@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability exposed through the driver contract: a Spark
+  * implementation plus (when SQL-expressible) an equivalent DuckDB oracle
+  * query over the same parquet tables. Column names are aligned 1:1 between
+  * the two — the driver sorts columns by name before hashing values.
+  */
+final case class QueryDef(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def apply(name: String, spark: (SparkSession, String) => DataFrame,
+      oracle: String): QueryDef =
+    QueryDef(name, spark, Some(oracle))
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+
+import java.sql.Timestamp
+
+/** Reusable relational operators re-expressing the reference's semantics
+  * (SURVEY.md §2) as pure `DataFrame => DataFrame` transforms.
+  *
+  * Everything here stays inside Catalyst/codegen: no UDFs, no collects, no
+  * driver-side loops — each transform compiles to a declarative plan that
+  * Catalyst can push down, prune, and re-order, and that scales from
+  * `local[32]` to a 1000-executor cluster unchanged.
+  */
+object CoreOps {
+
+  /** S1 — predicate-pushdown scan builder with the reference's "at least one
+    * predicate" contract (reference processor/main.py:94-97: a full-table
+    * telemetry read is refused). Time bounds are CLOSED intervals, matching
+    * Postgres BETWEEN (processor/main.py:137-142, SURVEY §2.2 P3).
+    *
+    * Both the key-equality and time-range predicates reach the parquet scan
+    * as PushedFilters, so at 100 TB this prunes row groups (and, with a
+    * date-partitioned layout, whole partitions) instead of filtering in the
+    * engine.
+    */
+  def scanWithPredicates(
+      fact: DataFrame,
+      cols: Seq[String],
+      keyCol: String,
+      key: Option[Long],
+      timeCol: String,
+      timeFrom: Option[Timestamp],
+      timeTo: Option[Timestamp]): DataFrame = {
+    require(key.nonEmpty || timeFrom.nonEmpty || timeTo.nonEmpty,
+      "at least one of key/timeFrom/timeTo is required (unbounded scan refused)")
+    val preds: Seq[Column] =
+      key.map(k => col(keyCol) === lit(k)).toSeq ++
+        timeFrom.map(f => col(timeCol) >= lit(f)).toSeq ++
+        timeTo.map(t => col(timeCol) <= lit(t)).toSeq
+    fact.where(preds.reduce(_ && _)).select(cols.map(col): _*)
+  }
+
+  /** J1 — "active keys in window": filter the fact table to a time interval,
+    * join a (small) dimension, project the key tuple, distinct. The dimension
+    * is broadcast — at 100 TB the fact side never shuffles; distinct is a
+    * partial-aggregate (map-side combine) on the fact partitions. */
+  def activeKeys(
+      fact: DataFrame, dim: DataFrame, joinCond: Column,
+      timeCol: Column, from: Column, to: Column,
+      outCols: Seq[Column]): DataFrame =
+    fact.where(timeCol.between(from, to))
+      .join(broadcast(dim), joinCond)
+      .select(outCols: _*)
+      .distinct()
+
+  /** A13 — pandas-`describe()` equivalent as one hash aggregation: count, min,
+    * max, exact quartiles, deterministic mean. One shuffle, partial aggs
+    * map-side. At 100 TB scale swap `percentile` for `percentile_approx`
+    * (documented scale mode; exact percentiles need the full group in memory).
+    */
+  def describeStats(df: DataFrame, groupCols: Seq[Column], value: Column,
+      approx: Boolean = false): DataFrame = {
+    def pct(p: Double): Column =
+      if (approx) percentile_approx(value, lit(p), lit(10000))
+      else percentile(value, lit(p))
+    df.groupBy(groupCols: _*).agg(
+      count(value).as("n"),
+      min(value).as("vmin"),
+      max(value).as("vmax"),
+      round(pct(0.25), 4).as("p25"),
+      round(pct(0.50), 4).as("p50"),
+      round(pct(0.75), 4).as("p75"),
+      davg(value).as("mean_v"))
+  }
+
+  /** W1/W2 — first and second discrete difference of an ordered signal
+    * (reference accel/jerk, processor/main.py:563-565), first element filled
+    * with 0. One window spec, reused for both lags: a single sort per
+    * partition key, no extra shuffle for the second diff. */
+  def diff2(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+      value: Column, d1Name: String, d2Name: String): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn(d1Name, coalesce(value - lag(value, 1).over(w), lit(0.0)))
+      .withColumn(d2Name,
+        coalesce(col(d1Name) - lag(col(d1Name), 1).over(w), lit(0.0)))
+  }
+
+  /** W4 — gaps-and-islands run detection: one output row per maximal
+    * contiguous run of `flag == true` within a partition, `[min(order),
+    * max(order)]` plus the run length. Replaces the reference's per-minute
+    * FSM + 20×20 s lookback loop (processor/main.py:250-337): computed over
+    * whole partitions there is no window-boundary problem at all
+    * (SURVEY §2.5 W6). Cost: one shuffle on `partCols` shared by the window
+    * function and the groupBy — Catalyst reuses the partitioning.
+    */
+  def flagRuns(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+      flag: Column, runStart: String = "start_ts", runEnd: String = "end_ts",
+      runLen: String = "n_rows"): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(flag, 1).over(w)
+    val changed = when(prev.isNull || prev =!= flag, 1L).otherwise(0L)
+    df.withColumn("_flag", flag)
+      .withColumn("_run_id", sum(changed).over(cum))
+      .where(col("_flag"))
+      .groupBy(partCols :+ col("_run_id"): _*)
+      .agg(
+        min(orderCols.head).as(runStart),
+        max(orderCols.head).as(runEnd),
+        count(lit(1)).as(runLen))
+      .drop("_run_id")
+  }
+}
