@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic, engine-portable text hashing primitives.
+  *
+  * All hashes are defined in pure integer arithmetic over code points
+  * (polynomial rolling hash mod a 31-bit prime), so the exact same value is
+  * computable in any SQL engine — no dependence on Spark's murmur3 `hash()`
+  * or DuckDB's internal `hash()`, which differ. Everything stays inside
+  * Catalyst's codegen'd higher-order array functions: no UDFs, fully
+  * distributed, no driver involvement.
+  */
+object TextHash {
+  /** 31-bit prime modulus; intermediate products stay well inside Long. */
+  val P: Long = 1000000007L
+
+  /** Per-minhash-permutation constants h_i(x) = (a_i*x + b_i) mod P. */
+  val MinhashA: Seq[Long] = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
+  val MinhashB: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) mod P
+    * left-to-right over its characters. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % P)
+
+  /** DuckDB SQL fragment computing exactly [[polyHash]]. */
+  def polyHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Word n-gram shingles of a space-tokenized text as an array column:
+    * element i = words[i..i+w-1] joined by a single space. Single-word (or
+    * shorter-than-w) texts yield one (possibly short) shingle. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val ws = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(ws) - lit(w - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(w))))
+  }
+
+  /** DuckDB fragment for [[wordShingles]] given a table alias exposing
+    * `ws` = string_split(text, ' '); produces rows via UNNEST, one shingle
+    * per `i`. Kept as a pattern string — see call sites in queries. */
+  def wordShinglesSql(w: Int): String =
+    s"array_to_string(ws[i:i+${w - 1}], ' ')"
+
+  /** The i-th minhash permutation applied to a shingle-hash column. */
+  def minhashPerm(h: Column, i: Int): Column =
+    (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(P)
+
+  def minhashPermSql(h: String, i: Int): String =
+    s"($h * ${MinhashA(i)} + ${MinhashB(i)}) % $P"
+
+  /** Combine a band of minhash values into one bucket id (same polynomial
+    * fold, no final mod needed — stays < 3.2e10). */
+  def bandBucket(ms: Seq[Column]): Column =
+    ms.reduce((acc, m) => (acc * lit(31L) + m) % lit(P))
+
+  def bandBucketSql(ms: Seq[String]): String =
+    ms.reduce((acc, m) => s"(($acc) * 31 + $m) % $P")
+
+  // ------------------------------------------------------- vector helpers
+
+  /** Deterministic dot product of two float-array columns: widen each
+    * element to double, multiply pairwise, left-fold sum (fixed order —
+    * reproducible anywhere, unlike a shuffled aggregation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** DuckDB fragment computing exactly [[dot]] for list columns `a`,`b` of
+    * length `dim`. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x + y)"
+
+  /** Cosine similarity built from [[dot]] — one expression, codegen'd. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  /** Sign-LSH bucket over the first `nBits` vector components: bit j set iff
+    * v[j+1] > 0. Cheap, deterministic, balanced for zero-centered embeddings
+    * — the bucketed ANN scale path. */
+  def signBucket(v: Column, nBits: Int): Column =
+    (1 to nBits).map(j =>
+      when(element_at(v, j) > lit(0f), lit(1 << (j - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  def signBucketSql(v: String, nBits: Int): String =
+    (1 to nBits).map(j =>
+      s"(CASE WHEN $v[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+      .mkString(" + ")
+}

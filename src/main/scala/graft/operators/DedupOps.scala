@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale ladder (all shuffle-minimal):
+  *  - exact:     hash-groupBy on the normalized text — one shuffle.
+  *  - MinHash+LSH: shingle → permuted min-hash signature → band buckets →
+  *    bucket-equality self-join. Only bucket-colliding pairs are compared, so
+  *    cost is Σ bucket² instead of n² — the standard web-scale near-dup
+  *    design. At 100 TB the band join shuffles on (band, bucket), which is
+  *    uniformly distributed by construction.
+  *  - SimHash: 16-bit signed-projection fingerprint, hamming-close =
+  *    near-dup; signature computation is one groupBy.
+  *  - n-gram Jaccard: exact verification on (small) candidate sets; the
+  *    shingle self-join is quadratic in posting-list length and is the
+  *    verify step, not the discovery step, at scale.
+  */
+object DedupOps {
+
+  /** Exact-duplicate stats per group: total rows vs distinct texts. */
+  def exactDedupStats(docs: DataFrame, groupCol: Column, text: Column): DataFrame =
+    docs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_total"),
+      countDistinct(text).as("n_unique"))
+
+  /** Distinct (doc, shingleHash) pairs — the shared front end of minhash /
+    * jaccard. One shuffle for the distinct. */
+  def shingleHashes(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame =
+    docs.select(id.as("doc_id"), explode(wordShingles(text, w)).as("s"))
+      .select(col("doc_id"), polyHash(col("s")).as("h"))
+      .distinct()
+
+  /** 8-permutation MinHash signature per document. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
+    val mins = (0 until MinhashA.size).map(i =>
+      min(minhashPerm(col("h"), i)).as(s"m$i"))
+    shingleHashes(docs, id, text, w)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: 2 bands × 4 rows; a pair is a candidate iff some
+    * band's 4 minhashes all agree. Output (doc_a < doc_b), distinct. */
+  def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(
+      col("doc_id"),
+      bandBucket((0 to 3).map(i => col(s"m$i"))).as("band0"),
+      bandBucket((4 to 7).map(i => col(s"m$i"))).as("band1"))
+      .selectExpr("doc_id", "stack(2, 0, band0, 1, band1) as (band, b)")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.b") === col("y.b") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
+    * discovered via a shared-shingle equi-join (scale note in object doc). */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column, w: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleHashes(docs, id, text, w)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** 16-bit SimHash per document over its distinct word-unigram hashes:
+    * bit j of the signature is the sign of Σ ±1 over words (+1 if bit j of
+    * the word hash is set). One groupBy with 16 conditional sums. */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs
+      .select(id.as("doc_id"), explode(split(text, " ")).as("w"))
+      .distinct()
+      .select(col("doc_id"), polyHash(col("w")).as("h"))
+    val bitSums = (0 until 16).map(j =>
+      sum(when(pmod(shiftright(col("h"), j), lit(2)) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 16).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+}

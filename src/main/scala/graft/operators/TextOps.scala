@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash._
+
+/** Text-analysis operators for training-data curation: language id, quality
+  * scoring, token counting, document fingerprinting. All pure Column
+  * expressions (codegen'd, no UDFs) — embarrassingly parallel row-local
+  * transforms that scale linearly. */
+object TextOps {
+
+  /** Stopword profiles for the n-gram/stopword language-id heuristic.
+    * Deterministic fixed lists; priority order breaks score ties. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "los", "que", "y", "por", "con", "para", "como"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "dans", "pour", "sur"))
+
+  private def scoreFor(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(words))).cast("double") /
+      size(ws).cast("double")
+
+  /** Language-ID: per-language stopword hit-rate scores + argmax prediction
+    * (first language in profile order wins ties). */
+  def langId(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = split(text, " ")
+    val scored = docs.select(
+      id.as("doc_id") +:
+        LangProfiles.map { case (lang, stop) =>
+          scoreFor(ws, stop).as(s"score_$lang")
+        }: _*)
+    val best = LangProfiles.map(p => col(s"score_${p._1}"))
+      .reduce((a, b) => greatest(a, b))
+    val pred = LangProfiles.foldRight(lit("und"): Column) {
+      case ((lang, _), acc) =>
+        when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality signals: word count, mean word length, digit ratio, stopword
+    * ratio, and a fixed-weight composite score in [0,1]-ish. */
+  def qualityScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = split(text, " ")
+    val allStop = LangProfiles.flatMap(_._2).distinct
+    val nWords = size(ws).cast("long")
+    val avgWordLen = length(text).cast("double") / nWords.cast("double")
+    val digitRatio =
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+        length(text).cast("double")
+    val stopRatio = size(filter(ws, w => w.isInCollection(allStop)))
+      .cast("double") / nWords.cast("double")
+    docs.select(
+      id.as("doc_id"),
+      nWords.as("n_words"),
+      avgWordLen.as("avg_word_len"),
+      digitRatio.as("digit_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (lit(0.5) * stopRatio + lit(0.3) * least(nWords.cast("double") / lit(100.0), lit(1.0))
+        + lit(0.2) * (lit(1.0) - digitRatio)).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens, regex word-ish tokens, and a BPE-style
+    * estimate (≈ 1 token per 4 chars). */
+  def tokenCounts(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      size(split(text, " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+        .as("n_re_tokens"),
+      ceil(length(text).cast("double") / lit(4.0)).cast("long")
+        .as("n_bpe_est"))
+
+  /** Whole-document rolling-hash fingerprint (exact-dup key). */
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), polyHash(text).as("fingerprint"))
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextHash._
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) over `documents` / `embeddings`, each with
+  * a DuckDB oracle built from the same shared hash/cosine definitions
+  * ([[graft.functions.TextHash]]), so both engines compute identical values.
+  */
+object Pipeline {
+
+  private val DIM = 64        // embedding dimensionality in the test tables
+  private val SHINGLE_W = 2   // word-bigram shingles
+  private val JACCARD_T = 0.3
+  private val COSINE_T = 0.4
+  private val ANN_K = 5
+  private val LSH_BITS = 4
+  private val LSH_K = 3
+
+  /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs. */
+  private def shingleCte: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
+       |    SELECT doc_id, ${wordShinglesSql(SHINGLE_W)} AS s
+       |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - ${SHINGLE_W - 1}, 1))) AS t(i)))""".stripMargin
+
+  /** Shared oracle CTE: 8-permutation minhash signature per doc. */
+  private def sigCte: String = {
+    val mins = (0 until MinhashA.size)
+      .map(i => s"min(${minhashPermSql("h", i)}) AS m$i").mkString(", ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  private val q30 = QueryDef(
+    "q30_dedup_exact",
+    (s, d) => DedupOps.exactDedupStats(
+      Tables.documents(s, d), col("lang"), col("text")),
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique
+      |FROM documents GROUP BY lang""".stripMargin)
+
+  private val q31 = QueryDef(
+    "q31_minhash_signatures",
+    (s, d) => DedupOps.minhashSignatures(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W),
+    s"""WITH $sigCte
+       |SELECT * FROM sig""".stripMargin)
+
+  private val q32 = QueryDef(
+    "q32_lsh_candidate_pairs",
+    (s, d) => DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
+    s"""WITH $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id""".stripMargin)
+
+  private val q33 = QueryDef(
+    "q33_jaccard_pairs",
+    (s, d) => DedupOps.jaccardPairs(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, JACCARD_T),
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JACCARD_T""".stripMargin)
+
+  private val q34 = QueryDef(
+    "q34_simhash",
+    (s, d) => DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text")),
+    {
+      val sums = (0 until 16)
+        .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |hashes AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM words),
+         |sums AS (SELECT doc_id, $sums FROM hashes GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+    })
+
+  // ------------------------------------------------------------ similarity
+
+  private val q35 = QueryDef(
+    "q35_cosine_neardup",
+    (s, d) => SimilarityOps.cosinePairs(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T),
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${cosineSql("a.e", "b.e", DIM)}, 6) AS cos_sim
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
+
+  private val q36 = QueryDef(
+    "q36_ann_brute_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        ANN_K)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${cosineSql("q.e", "c.e", DIM)}, 6) AS cos_sim
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, rk, neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |) t WHERE rk <= $ANN_K""".stripMargin)
+
+  private val q37 = QueryDef(
+    "q37_ann_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.lshTopK(
+        emb, emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        LSH_BITS, LSH_K)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    ${signBucketSql("embedding", LSH_BITS)} AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+       |    round(${cosineSql("q.e", "c.e", DIM)}, 6) AS cos_sim
+       |  FROM v q JOIN v c
+       |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, rk, neighbor_id, bucket, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |) t WHERE rk <= $LSH_K""".stripMargin)
+
+  // ------------------------------------------------------------------ text
+
+  private val q38 = QueryDef(
+    "q38_langid",
+    (s, d) => TextOps.langId(Tables.documents(s, d), col("doc_id"), col("text")),
+    {
+      val scores = TextOps.LangProfiles.map { case (lang, stop) =>
+        val list = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(ws, w -> list_contains($list, w))) AS DOUBLE)" +
+          s" / CAST(len(ws) AS DOUBLE) AS score_$lang"
+      }.mkString(",\n  ")
+      val best = TextOps.LangProfiles.map(p => s"score_${p._1}")
+        .mkString("greatest(", ", ", ")")
+      val pred = TextOps.LangProfiles.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |scored AS (SELECT doc_id,
+         |  $scores
+         |FROM words),
+         |wb AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, score_en, score_de, score_es, score_fr,
+         |  $pred AS pred_lang
+         |FROM wb""".stripMargin
+    })
+
+  private val q39 = QueryDef(
+    "q39_quality_score",
+    (s, d) => TextOps.qualityScore(Tables.documents(s, d), col("doc_id"), col("text")),
+    {
+      val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS digit_ratio,
+         |    CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) AS stopword_ratio
+         |  FROM base)
+         |SELECT doc_id, n_words, avg_word_len, digit_ratio, stopword_ratio,
+         |  0.5 * stopword_ratio
+         |    + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+         |    + 0.2 * (1.0 - digit_ratio) AS quality_score
+         |FROM m""".stripMargin
+    })
+
+  private val q40 = QueryDef(
+    "q40_token_counts",
+    (s, d) => TextOps.tokenCounts(Tables.documents(s, d), col("doc_id"), col("text")),
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
+      |FROM documents""".stripMargin)
+
+  private val q41 = QueryDef(
+    "q41_fingerprint",
+    (s, d) => TextOps.fingerprint(Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""SELECT doc_id, ${polyHashSql("text")} AS fingerprint
+       |FROM documents""".stripMargin)
+
+  // ------------------------------------------------------------ multimodal
+
+  private val q42 = QueryDef(
+    "q42_multimodal_metadata",
+    (s, d) => MultimodalOps.mediaMetadata(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS content_md5,
+      |  md5(substr(text, 1, 16)) AS frame_md5
+      |FROM documents""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"),            // exact dup of 1
+    (3L, "the cat sat on the red mat"),        // near dup of 1
+    (4L, "completely different words here now"),
+    (5L, "der hund und die katze")).toDF("doc_id", "text")
+
+  test("exactDedupStats counts duplicates") {
+    val out = DedupOps
+      .exactDedupStats(docs.withColumn("g", lit("x")), col("g"), col("text"))
+      .select("n_total", "n_unique").as[(Long, Long)].head()
+    assert(out == ((5L, 4L)))
+  }
+
+  test("minhash: identical docs share signatures; LSH pairs them") {
+    val sig = DedupOps.minhashSignatures(docs, col("doc_id"), col("text"), 2)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L), "exact dups must have equal signatures")
+    val pairs = DedupOps.lshCandidatePairs(sig)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)), "unrelated docs must not collide")
+  }
+
+  test("jaccardPairs finds exact and near duplicates with correct scores") {
+    val pairs = DedupOps
+      .jaccardPairs(docs, col("doc_id"), col("text"), 2, 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: equal for dups, close for near-dups, far for unrelated") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sh = DedupOps.simhash(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(ham(sh(1L), sh(3L)) <= ham(sh(1L), sh(4L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0f, 0.1f, 0f)),   // close to 0, same sign-LSH bucket
+    (2L, Array(0f, 1f, 0f, 0f)),       // orthogonal to 0
+    (3L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  test("cosinePairs respects threshold") {
+    val pairs = SimilarityOps
+      .cosinePairs(vecs, col("vec_id"), col("embedding"), 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val out = SimilarityOps.bruteForceTopK(
+      vecs, vecs.where(col("vec_id") === 0), col("vec_id"), col("embedding"), 3)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.head == ((1L, 1L)), "nearest neighbor of 0 must be 1")
+    assert(out.last._2 == 3L, "opposite vector ranks last")
+  }
+
+  test("lshTopK only pairs within a bucket") {
+    val out = SimilarityOps.lshTopK(
+      vecs, vecs.where(col("vec_id") === 0), col("vec_id"), col("embedding"),
+      2, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    // bucket(bit1=v[1]>0, bit2=v[2]>0): 0,1 -> bucket 1; 2 -> 2; 3 -> 0
+    assert(out == Set(1L))
+  }
+
+  test("langId prefers the matching stopword profile") {
+    val out = TextOps.langId(docs, col("doc_id"), col("text"))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+  }
+
+  test("tokenCounts and fingerprint are deterministic and sane") {
+    val tok = TextOps.tokenCounts(docs, col("doc_id"), col("text"))
+      .where(col("doc_id") === 1).head()
+    assert(tok.getLong(1) == 6L) // n_ws_tokens
+    val fp = TextOps.fingerprint(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("multimodal feature extraction runs distributed over binary payloads") {
+    implicit val s = spark
+    val media = MultimodalOps
+      .asMediaTable(docs, col("doc_id"), col("text"))
+      .as[MultimodalOps.MediaRow]
+    val feats = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).ok && feats(1L).byte_len == "the cat sat on the mat".length)
+    assert(feats(1L).mean_byte > 0 && feats(1L).frame_bytes == 16L)
+  }
+}
