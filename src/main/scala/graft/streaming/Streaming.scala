@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Exact._
+
+/** Structured Streaming drivers for the reference's continuous pipeline
+  * (SURVEY.md §2.8, §3 E1-E3).
+  *
+  * Design stance: the reference's window-event cascade (simulator tick →
+  * EveryMinute → per-trip fan-out → five algorithms) collapses into a single
+  * streaming query — event-time `window()` grouping subsumes the EveryMinute
+  * trigger, the grouping keys subsume the fan-out, and the checkpoint
+  * subsumes the `sim_logs` ledger (simulator/main.py:96-101). The watermark
+  * of 400 s is the streaming analog of the reference's bounded lookback
+  * (20 iterations × 20 s, processor/main.py:246-247): later-arriving samples
+  * are dropped, matching the reference's hard cap.
+  */
+object Streaming {
+
+  /** One boolean-flag telemetry sample — input to the sessionizer. */
+  final case class FlagSample(trip_id: Long, time: Timestamp, flag: Boolean)
+
+  /** One emitted session window (flag-delimited, not gap-delimited — which
+    * is why `session_window()` doesn't fit and custom state is needed). */
+  final case class SessionOut(
+      trip_id: Long, time_from: Timestamp, time_to: Timestamp,
+      n_samples: Long)
+
+  /** Open-run state carried across micro-batches (replaces the reference's
+    * backward paging across minute slices, processor/main.py:250-289). */
+  final case class RunState(startMs: Long, lastMs: Long, n: Long)
+
+  val WatermarkDelay = "400 seconds"
+  private val SessionCloseMs = 400000L
+
+  /** E1 — batch harness for the clock source: generate the minute-boundary
+    * WindowEvent grid the simulator would emit, from the seed epoch
+    * (simulator/main.py:85-93). Streaming equivalent: `format("rate")`
+    * mapped through the same minute arithmetic. */
+  def minuteWindowEvents(spark: SparkSession, from: Timestamp, to: Timestamp): DataFrame = {
+    val nMinutes = ((to.getTime - from.getTime) / 60000L).toInt
+    spark.range(0, nMinutes.toLong)
+      .select(
+        (lit(from).cast("timestamp") + expr(s"make_interval(0,0,0,0,0,0,id*60)"))
+          .as("time_from"))
+      .select(
+        col("time_from"),
+        (col("time_from") + expr("INTERVAL 60 SECONDS")).as("time_to"),
+        lit("EveryMinute").as("name"), lit("1.0.0").as("version"),
+        lit("simulator").as("origin"),
+        map().cast("map<string,string>").as("metadata"))
+  }
+
+  /** E3 streaming — per-minute per-trip metrics over a telemetry stream:
+    * event-time tumbling windows + watermark; one streaming aggregation,
+    * partial aggregation before the shuffle. Append mode → results
+    * finalize when the watermark passes the window end, the streaming
+    * equivalent of the reference emitting results per closed window. */
+  def minuteMetricsStream(telemetry: DataFrame): DataFrame =
+    telemetry
+      .withWatermark("time", WatermarkDelay)
+      .groupBy(window(col("time"), "1 minute").as("w"), col("trip_id"))
+      .agg(
+        dsum(coalesce(col("electric_power_demand"), lit(0.0)) / 3600.0).as("kwh"),
+        dsum(coalesce(col("odometry_vehicle_speed"), lit(0.0))).as("dist_m"),
+        countIf(col("status_door_is_open") &&
+          col("odometry_vehicle_speed") < 0.1).as("dwell_time_s"),
+        count(lit(1)).as("total_s"))
+      .withColumn("kwh_per_km", guardedRatio(col("kwh"), col("dist_m") / 1000.0))
+      .select(col("w.start").as("minute"), col("trip_id"), col("kwh"),
+        col("dist_m"), col("dwell_time_s"), col("total_s"), col("kwh_per_km"))
+
+  /** W4/W6 streaming — flag-delimited sessionization via
+    * flatMapGroupsWithState keyed by trip. A session is a maximal contiguous
+    * run of `flag == true`; it is emitted when a false sample arrives after
+    * an open run, or when the event-time timeout (400 s past the last
+    * sample) fires — so runs straddling micro-batch boundaries survive in
+    * state instead of needing the reference's lookback loop. */
+  def sessionize(samples: Dataset[FlagSample])(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    samples
+      .withWatermark("time", WatermarkDelay)
+      .groupByKey(_.trip_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processTrip)
+  }
+
+  private[streaming] def processTrip(
+      tripId: Long, it: Iterator[FlagSample],
+      state: GroupState[RunState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(r =>
+        SessionOut(tripId, new Timestamp(r.startMs), new Timestamp(r.lastMs), r.n))
+      state.remove()
+      return out.iterator
+    }
+    // Micro-batch iterators are not time-ordered; 1 Hz per-trip batches are
+    // small, so an in-group sort is safe (bounded by batch slice size).
+    val sorted = it.toIndexedSeq.sortBy(_.time.getTime)
+    val emitted = Seq.newBuilder[SessionOut]
+    var open: Option[RunState] = state.getOption
+    sorted.foreach { s =>
+      val t = s.time.getTime
+      (open, s.flag) match {
+        case (Some(r), true) => open = Some(RunState(r.startMs, t, r.n + 1))
+        case (Some(r), false) =>
+          emitted += SessionOut(tripId, new Timestamp(r.startMs),
+            new Timestamp(r.lastMs), r.n)
+          open = None
+        case (None, true) => open = Some(RunState(t, t, 1))
+        case (None, false) => ()
+      }
+    }
+    open match {
+      case Some(r) =>
+        state.update(r)
+        state.setTimeoutTimestamp(r.lastMs + SessionCloseMs)
+      case None => state.remove()
+    }
+    emitted.result().iterator
+  }
+}

@@ -1,0 +1,193 @@
+package graft.ztbus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+import graft.operators.CoreOps
+
+/** The reference's six live algorithms re-expressed as ONE collapsed Spark
+  * plan (SURVEY.md §3 E3, §7): where the reference runs
+  * 1 + N + 5·N gRPC round-trips per minute (FindActiveBusses fan-out then
+  * five independent per-window pull-queries), this computes every metric for
+  * every (minute, trip, bus, route) key in a single pass:
+  *
+  *   telemetry → per-trip ordered diffs (accel/jerk) → groupBy(minute, trip)
+  *   → all aggregates at once → broadcast-join trips for (bus_id, route_id)
+  *
+  * Two shuffles total (one for the trip-partitioned window sort, one for the
+  * aggregation — and they share the trip_id partitioning). At 100 TB this is
+  * the difference between a scan per algorithm per window and one scan,
+  * period.
+  *
+  * Fidelity note (SURVEY §2.4): the reference queries four of the five
+  * metrics with trip_id=None — aggregating over ALL buses per minute despite
+  * emitting per-trip results (processor/main.py:481,524,554,584; likely an
+  * upstream bug). We implement the per-trip grouping as the primary
+  * semantic; `globalPerMinute = true` reproduces the reference behavior.
+  */
+object Algorithms {
+
+  /** Registry mirroring `@proc.algorithm(name, version, windowType)`
+    * (reference processor/main.py:342,449,474,518,547,577). The transform's
+    * output columns are that algorithm's StructResult fields. */
+  final case class Algorithm(
+      name: String,
+      version: String,
+      trigger: (String, String),
+      resultCols: Seq[String])
+
+  val registry: Seq[Algorithm] = Seq(
+    Algorithm("FindActiveBusses", "1.0.0", WindowTypes.EveryMinute,
+      Seq("active_buses")),
+    Algorithm("AmbientTemperature", "1.1.0",
+      WindowTypes.EveryMinutePerTripPerBus, Seq("temp_50p")),
+    Algorithm("EnergyEfficiencyPerMinute", "1.0.0",
+      WindowTypes.EveryMinutePerTripPerBus,
+      Seq("kwh", "kwh_per_km", "kwh_per_passenger_km")),
+    Algorithm("ServiceEfficiencyPerMinute", "1.0.0",
+      WindowTypes.EveryMinutePerTripPerBus,
+      Seq("dwell_time_s", "door_open_fraction")),
+    Algorithm("ComfortAndSafetyPerMinute", "1.0.0",
+      WindowTypes.EveryMinutePerTripPerBus,
+      Seq("accel_mean", "accel_std", "jerk_p95")),
+    Algorithm("AssetStressPerMinute", "1.0.0",
+      WindowTypes.EveryMinutePerTripPerBus,
+      Seq("articulation_var", "brake_pressure_mean")))
+
+  /** Minute bucket of the sample time — closed-interval window membership
+    * note: the reference's BETWEEN makes boundary samples belong to two
+    * adjacent windows (SURVEY §2.2 P3); date_trunc assigns each sample to
+    * exactly one window. We keep half-open windows as the primary semantic
+    * (each 1 Hz sample counted once — the double-count is a reference
+    * artifact) and document the deviation. */
+  private def minuteOf(time: Column): Column = date_trunc("minute", time)
+
+  /** J1 + A1: distinct active (trip, bus, route) per minute, with count.
+    * `trips` is dimension-sized → broadcast; no fact-side shuffle before the
+    * distinct. */
+  def activeBusesPerMinute(telemetry: DataFrame, trips: DataFrame): DataFrame =
+    telemetry
+      .select(minuteOf(col("time")).as("minute"), col("trip_id"))
+      .join(broadcast(trips.select(col("id"), col("bus_id"), col("route_id"))),
+        col("trip_id") === col("id"))
+      .select("minute", "trip_id", "bus_id", "route_id")
+      .distinct()
+
+  def activeBusCount(telemetry: DataFrame, trips: DataFrame): DataFrame =
+    activeBusesPerMinute(telemetry, trips)
+      .groupBy("minute").agg(count(lit(1)).as("active_buses"))
+
+  /** All five per-trip-per-minute metric algorithms in one aggregation.
+    *
+    * @param globalPerMinute reproduce the reference's trip_id=None behavior
+    *        (aggregate the four non-temperature metrics across all trips in
+    *        the minute) instead of the per-trip primary semantic. */
+  def perMinuteMetrics(telemetry: DataFrame, trips: DataFrame,
+      globalPerMinute: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("trip_id")).orderBy(col("time"), col("id"))
+    val speed = coalesce(col("odometry_vehicle_speed"), lit(0.0))
+    // W1/W2 — accel/jerk as ordered per-trip diffs, first value filled 0
+    // (reference processor/main.py:563-565).
+    val withDiffs = telemetry
+      .withColumn("accel", coalesce(
+        col("odometry_vehicle_speed") - lag(col("odometry_vehicle_speed"), 1).over(w),
+        lit(0.0)))
+      .withColumn("jerk", coalesce(
+        col("accel") - lag(col("accel"), 1).over(w), lit(0.0)))
+
+    val groupKeys: Seq[Column] =
+      if (globalPerMinute) Seq(minuteOf(col("time")).as("minute"))
+      else Seq(minuteOf(col("time")).as("minute"), col("trip_id"))
+
+    val power = coalesce(col("electric_power_demand"), lit(0.0))
+    val passengers = coalesce(col("itcs_number_of_passengers"), lit(0))
+
+    val agg = withDiffs.groupBy(groupKeys: _*).agg(
+      // AmbientTemperature (processor/main.py:465)
+      percentile(col("temperature_ambient"), lit(0.5)).as("temp_50p"),
+      // EnergyEfficiencyPerMinute (processor/main.py:493-513)
+      dsum(power / 3600.0).as("kwh"),
+      dsum(speed).as("dist_m"),
+      dsum(passengers * speed).as("passenger_m"),
+      // ServiceEfficiencyPerMinute (processor/main.py:533-543)
+      countIf(col("status_door_is_open") &&
+        col("odometry_vehicle_speed") < 0.1).as("dwell_time_s"),
+      count(lit(1)).as("total_s"),
+      // ComfortAndSafetyPerMinute (processor/main.py:567-573)
+      davg(col("accel")).as("accel_mean"),
+      stddev_samp(col("accel")).as("accel_std"),
+      percentile(col("jerk"), lit(0.95)).as("jerk_p95"),
+      // AssetStressPerMinute (processor/main.py:593-598)
+      var_samp(col("odometry_articulation_angle")).as("articulation_var"),
+      avg(col("traction_brake_pressure")).as("brake_pressure_mean"))
+
+    val withRatios = agg
+      .withColumn("kwh_per_km",
+        guardedRatio(col("kwh"), col("dist_m") / 1000.0))
+      .withColumn("kwh_per_passenger_km",
+        guardedRatio(col("kwh"), col("passenger_m") / 1000.0))
+      .withColumn("door_open_fraction",
+        guardedRatio(col("dwell_time_s").cast("double"),
+          col("total_s").cast("double")))
+
+    if (globalPerMinute) withRatios
+    else withRatios.join(
+      broadcast(trips.select(col("id"), col("bus_id"), col("route_id"))),
+      col("trip_id") === col("id"))
+      .drop("id")
+  }
+
+  /** Unpivot the wide per-key metrics row into the reference's
+    * result-per-algorithm shape: one row per (algorithm, version, key) with
+    * a map payload — the S7 result-sink schema. */
+  def asAlgoResults(metrics: DataFrame): DataFrame = {
+    val perAlgo = registry.filter(_.trigger == WindowTypes.EveryMinutePerTripPerBus)
+    val structs = perAlgo.map { a =>
+      struct(
+        lit(a.name).as("algorithm"),
+        lit(a.version).as("version"),
+        map(a.resultCols.flatMap(c =>
+          Seq(lit(c), col(c).cast("double"))): _*).as("payload"))
+    }
+    metrics.select(
+      col("minute"), col("trip_id"), col("bus_id"), col("route_id"),
+      explode(array(structs: _*)).as("r"))
+      .select(col("minute"), col("trip_id"), col("bus_id"), col("route_id"),
+        col("r.algorithm"), col("r.version"), col("r.payload"))
+  }
+
+  /** Session windows: one row per maximal contiguous run of a status flag
+    * per trip (HaltBrakeApplied / ParkBrakeApplied, reference
+    * processor/main.py:299-337 + lookback :250-289). Whole-trip
+    * gaps-and-islands — no cross-minute lookback needed (SURVEY §2.5 W6). */
+  def brakeSessions(telemetry: DataFrame, flagCol: String): DataFrame =
+    CoreOps.flagRuns(telemetry, Seq(col("trip_id")),
+      Seq(col("time"), col("id")), col(flagCol),
+      runStart = "time_from", runEnd = "time_to", runLen = "n_samples")
+
+  /** Session runs → WindowEvent rows (the faithful-mode S6 sink shape). */
+  def sessionsAsWindowEvents(sessions: DataFrame, windowType: (String, String),
+      origin: String): DataFrame =
+    sessions.select(
+      col("time_from"), col("time_to"),
+      lit(windowType._1).as("name"), lit(windowType._2).as("version"),
+      lit(origin).as("origin"),
+      map(lit("trip_id"), col("trip_id").cast("string")).as("metadata"))
+
+  /** The A13 describe-stats template instantiated for the 30 commented-out
+    * per-column stats algorithms (reference other_metrics.py:41-246): one
+    * reusable transform, one groupBy per column set. */
+  val statsColumns: Seq[String] = Seq(
+    "electric_power_demand", "temperature_ambient", "traction_brake_pressure",
+    "traction_traction_force", "odometry_articulation_angle",
+    "odometry_steering_angle", "odometry_vehicle_speed",
+    "odometry_wheel_speed_fl", "odometry_wheel_speed_fr",
+    "odometry_wheel_speed_ml", "odometry_wheel_speed_mr",
+    "odometry_wheel_speed_rl", "odometry_wheel_speed_rr")
+
+  def describePerMinute(telemetry: DataFrame, column: String): DataFrame =
+    CoreOps.describeStats(
+      telemetry, Seq(minuteOf(col("time")).as("minute"), col("trip_id")),
+      col(column))
+}

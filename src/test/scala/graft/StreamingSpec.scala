@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{FlagSample, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def sec(base: String, s: Int) =
+    new Timestamp(Timestamp.valueOf(base).getTime + s * 1000L)
+
+  test("minuteWindowEvents generates the simulator's minute grid from the seed epoch") {
+    val ev = Streaming.minuteWindowEvents(spark,
+      graft.ztbus.Fixtures.SeedEpoch, ts("2021-03-09 14:20:05"))
+    val rows = ev.select("time_from", "time_to", "name")
+      .as[(Timestamp, Timestamp, String)].collect().sortBy(_._1.getTime)
+    assert(rows.length == 5)
+    assert(rows.head._1 == ts("2021-03-09 14:15:05"))
+    assert(rows.head._2 == ts("2021-03-09 14:16:05"))
+    assert(rows.forall(_._3 == "EveryMinute"))
+  }
+
+  test("sessionize: run crossing micro-batches survives in state") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[FlagSample]
+    val q = Streaming.sessionize(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess1").start()
+    try {
+      // batch 1: run open at end of batch
+      in.addData((0 to 10).map(i => FlagSample(1L, sec(base, i), flag = true)))
+      q.processAllAvailable()
+      assert(spark.table("sess1").isEmpty, "open run must not emit yet")
+      // batch 2: flag drops -> session emitted, spanning both batches
+      in.addData(FlagSample(1L, sec(base, 12), flag = false))
+      q.processAllAvailable()
+      val out = spark.table("sess1").as[SessionOut].collect()
+      assert(out.toSeq == Seq(
+        SessionOut(1L, sec(base, 0), sec(base, 10), 11L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: event-time timeout closes a dangling run") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[FlagSample]
+    val q = Streaming.sessionize(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess2").start()
+    try {
+      in.addData((0 to 4).map(i => FlagSample(7L, sec(base, i), flag = true)))
+      q.processAllAvailable()
+      // another trip's sample far in the future pushes the watermark past
+      // the 400 s session-close timeout
+      in.addData(FlagSample(8L, sec(base, 2000), flag = false))
+      q.processAllAvailable()
+      in.addData(FlagSample(8L, sec(base, 2001), flag = false))
+      q.processAllAvailable()
+      val out = spark.table("sess2").as[SessionOut].collect()
+      assert(out.toSeq == Seq(SessionOut(7L, sec(base, 0), sec(base, 4), 5L)))
+    } finally q.stop()
+  }
+
+  test("sessionize matches batch gaps-and-islands on the ZTBus fixture") {
+    implicit val s = spark
+    val samples = graft.ztbus.Fixtures.telemetry().map(t =>
+      FlagSample(t.trip_id, t.time, t.status_halt_brake_is_active))
+    val batchRuns = graft.ztbus.Algorithms.brakeSessions(
+      graft.ztbus.Fixtures.telemetry().toDF(), "status_halt_brake_is_active")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+    val in = MemoryStream[FlagSample]
+    val q = Streaming.sessionize(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess3").start()
+    try {
+      // split mid-run (trip 1 run is samples 50..69) to cross batches
+      val (a, b) = samples.partition(_.time.getTime <
+        Timestamp.valueOf("2021-03-09 14:16:05").getTime)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // close any open runs via a far-future watermark pusher
+      in.addData(FlagSample(99L, sec("2021-03-09 16:00:00", 0), flag = false))
+      q.processAllAvailable()
+      in.addData(FlagSample(99L, sec("2021-03-09 16:00:01", 0), flag = false))
+      q.processAllAvailable()
+      val streamRuns = spark.table("sess3").as[SessionOut].collect()
+        .map(r => (r.trip_id, r.time_from, r.time_to, r.n_samples)).toSet
+      assert(streamRuns == batchRuns,
+        s"stream $streamRuns\nbatch $batchRuns")
+    } finally q.stop()
+  }
+
+  test("minuteMetricsStream finalizes windows past the watermark") {
+    implicit val s = spark
+    val in = MemoryStream[graft.ztbus.Telemetry]
+    val q = Streaming.minuteMetricsStream(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("mm").start()
+    try {
+      in.addData(graft.ztbus.Fixtures.telemetry())
+      q.processAllAvailable()
+      // trip 3 ends at 14:36:04; watermark = 14:36:04 - 400 s = 14:29:24,
+      // so trip-1/2 minutes up to 14:28 are final.
+      val got = spark.table("mm")
+        .where(col("trip_id") === 1 && col("minute") === ts("2021-03-09 14:18:00"))
+        .select("dwell_time_s", "total_s").as[(Long, Long)].collect()
+      assert(got.toSeq == Seq((60L, 60L)))
+      val batch = graft.ztbus.Algorithms.perMinuteMetrics(
+        graft.ztbus.Fixtures.telemetry().toDF(), graft.ztbus.Fixtures.trips.toDF())
+      val streamKwh = spark.table("mm")
+        .where(col("trip_id") === 2 && col("minute") === ts("2021-03-09 14:17:00"))
+        .select("kwh").as[Double].head()
+      val batchKwh = batch
+        .where(col("trip_id") === 2 && col("minute") === ts("2021-03-09 14:17:00"))
+        .select("kwh").as[Double].head()
+      assert(streamKwh == batchKwh, "streaming agg must equal batch agg")
+    } finally q.stop()
+  }
+}
