@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions
 import graft.functions.TextHash._
 
 /** Document deduplication operators for large-scale training-data pipelines.
@@ -29,10 +30,12 @@ object DedupOps {
 
   /** Distinct (doc, shingleHash) pairs — the shared front end of minhash /
     * jaccard. One shuffle for the distinct. */
-  def shingleHashes(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame =
+  def shingleHashes(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
+    HashExpressions.register(docs.sparkSession)
     docs.select(id.as("doc_id"), explode(wordShingles(text, w)).as("s"))
-      .select(col("doc_id"), polyHash(col("s")).as("h"))
+      .select(col("doc_id"), HashExpressions.polyHash(col("s")).as("h"))
       .distinct()
+  }
 
   /** 8-permutation MinHash signature per document. */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
@@ -81,14 +84,42 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Exact Jaccard verification restricted to LSH candidate pairs — the
+    * scale architecture: discovery via [[lshCandidatePairs]] (cost
+    * Σ bucket²), exact verification only on the (small) candidate set. The
+    * candidate list is broadcast-joined against the shingle postings, so
+    * the quadratic shingle self-join never materializes. */
+  def jaccardOnCandidates(docs: DataFrame, id: Column, text: Column, w: Int,
+      threshold: Double): DataFrame = {
+    val cands = lshCandidatePairs(minhashSignatures(docs, id, text, w))
+    val sh = shingleHashes(docs, id, text, w)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cands)
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
   /** 16-bit SimHash per document over its distinct word-unigram hashes:
     * bit j of the signature is the sign of Σ ±1 over words (+1 if bit j of
     * the word hash is set). One groupBy with 16 conditional sums. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    HashExpressions.register(docs.sparkSession)
     val words = docs
       .select(id.as("doc_id"), explode(split(text, " ")).as("w"))
       .distinct()
-      .select(col("doc_id"), polyHash(col("w")).as("h"))
+      .select(col("doc_id"), HashExpressions.polyHash(col("w")).as("h"))
     val bitSums = (0 until 16).map(j =>
       sum(when(pmod(shiftright(col("h"), j), lit(2)) === 1, 1).otherwise(-1))
         .as(s"s$j"))

@@ -74,6 +74,9 @@ object TextOps {
         .as("n_bpe_est"))
 
   /** Whole-document rolling-hash fingerprint (exact-dup key). */
-  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), polyHash(text).as("fingerprint"))
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+      graft.functions.HashExpressions.polyHash(text).as("fingerprint"))
+  }
 }

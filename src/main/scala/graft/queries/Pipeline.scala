@@ -68,16 +68,31 @@ object Pipeline {
        |FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id""".stripMargin)
 
+  /** Exact Jaccard on LSH candidates — discovery via minhash bands, exact
+    * verification only on candidates (the scale path; the all-pairs shingle
+    * self-join in [[DedupOps.jaccardPairs]] stays available for small data
+    * and tests). */
   private val q33 = QueryDef(
     "q33_jaccard_pairs",
-    (s, d) => DedupOps.jaccardPairs(
+    (s, d) => DedupOps.jaccardOnCandidates(
       Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, JACCARD_T),
-    s"""WITH $shingleCte,
+    s"""WITH $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(count(*) AS BIGINT) AS n_common
-       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common,
        |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
@@ -110,10 +125,11 @@ object Pipeline {
     "q35_cosine_neardup",
     (s, d) => SimilarityOps.cosinePairs(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T),
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings)
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(${cosineSql("a.e", "b.e", DIM)}, 6) AS cos_sim
+       |    round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) AS cos_sim
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
        |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
 
@@ -125,10 +141,11 @@ object Pipeline {
         emb, emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
         ANN_K)
     },
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(${cosineSql("q.e", "c.e", DIM)}, 6) AS cos_sim
+       |    round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) AS cos_sim
        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
        |SELECT query_id, rk, neighbor_id, cos_sim FROM (
        |  SELECT *, CAST(row_number() OVER (
@@ -145,10 +162,11 @@ object Pipeline {
         LSH_BITS, LSH_K)
     },
     s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm,
        |    ${signBucketSql("embedding", LSH_BITS)} AS bucket FROM embeddings),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
-       |    round(${cosineSql("q.e", "c.e", DIM)}, 6) AS cos_sim
+       |    round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) AS cos_sim
        |  FROM v q JOIN v c
        |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
        |SELECT query_id, rk, neighbor_id, bucket, cos_sim FROM (
