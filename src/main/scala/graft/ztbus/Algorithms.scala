@@ -55,6 +55,30 @@ object Algorithms {
       WindowTypes.EveryMinutePerTripPerBus,
       Seq("articulation_var", "brake_pressure_mean")))
 
+  /** The 30 commented-out per-column stats algorithms
+    * (reference other_metrics.py:41-246) as registry entries over the
+    * [[describePerMinute]] template. */
+  def statsRegistry: Seq[Algorithm] = statsColumns.map(c =>
+    Algorithm(s"DescribeStats_$c", "0.1.0",
+      WindowTypes.EveryMinutePerTripPerBus,
+      Seq("n", "vmin", "vmax", "p25", "p50", "p75", "mean_v")))
+
+  /** E2/S6 — the EveryMinutePerTripPerBus fan-out as WindowEvent rows
+    * (faithful mode): one event per active (minute, trip, bus, route),
+    * metadata mirroring processor/main.py:356-369. In the collapsed plan
+    * these keys are the groupBy columns and no events materialize. */
+  def fanOutWindowEvents(telemetry: DataFrame, trips: DataFrame): DataFrame =
+    activeBusesPerMinute(telemetry, trips).select(
+      col("minute").as("time_from"),
+      (col("minute") + expr("INTERVAL 60 SECONDS")).as("time_to"),
+      lit(WindowTypes.EveryMinutePerTripPerBus._1).as("name"),
+      lit(WindowTypes.EveryMinutePerTripPerBus._2).as("version"),
+      lit("active_bus_emitter").as("origin"),
+      map(
+        lit("trip_id"), col("trip_id").cast("string"),
+        lit("bus_id"), col("bus_id").cast("string"),
+        lit("route_id"), col("route_id").cast("string")).as("metadata"))
+
   /** Minute bucket of the sample time — closed-interval window membership
     * note: the reference's BETWEEN makes boundary samples belong to two
     * adjacent windows (SURVEY §2.2 P3); date_trunc assigns each sample to

@@ -1,0 +1,33 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ztbus.{Algorithms, Fixtures}
+
+class FanOutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fanOutWindowEvents emits one event per active key with full metadata") {
+    val ev = Algorithms.fanOutWindowEvents(
+      Fixtures.telemetry().toDF(), Fixtures.trips.toDF())
+    val rows = ev.collect()
+    assert(rows.nonEmpty)
+    val r = ev.where(
+        col("time_from") === Timestamp.valueOf("2021-03-09 14:16:00") &&
+          col("metadata")("trip_id") === "1")
+      .head()
+    assert(r.getAs[String]("name") == "EveryMinutePerTripPerBus")
+    assert(r.getAs[Timestamp]("time_to") == Timestamp.valueOf("2021-03-09 14:17:00"))
+    val md = r.getAs[Map[String, String]]("metadata")
+    assert(md("bus_id") == "183" && md("route_id") == "31")
+    // fan-out cardinality == active keys cardinality
+    assert(ev.count() == Algorithms.activeBusesPerMinute(
+      Fixtures.telemetry().toDF(), Fixtures.trips.toDF()).count())
+  }
+
+  test("statsRegistry exposes the 13 describe-stats algorithms") {
+    assert(Algorithms.statsRegistry.size == Algorithms.statsColumns.size)
+    assert(Algorithms.statsRegistry.forall(_.name.startsWith("DescribeStats_")))
+  }
+}
