@@ -412,7 +412,39 @@ object Relational {
       |  SELECT l_returnflag FROM lineitem WHERE l_quantity >= 45
       |) t GROUP BY l_returnflag""".stripMargin)
 
+  /** Hierarchical rollup (extension beyond the reference surface — grouping
+    * sets come free with the declarative plan): per (returnflag, linestatus)
+    * plus subtotals and grand total. */
+  private val q22 = QueryDef(
+    "q22_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+
+  /** Running (prefix) sum per key — cumulative window aggregate; sequential
+    * in-order accumulation is deterministic on both engines. */
+  private val q23 = QueryDef(
+    "q23_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(col("value").cast(graft.functions.Exact.SumDecimal)).over(w)
+            .cast("double"))
+        .select("user_id", "event_id", "running_value")
+    },
+    """SELECT user_id, event_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_value
+      |FROM events""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }
