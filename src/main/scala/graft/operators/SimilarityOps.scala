@@ -70,6 +70,38 @@ object SimilarityOps {
         col("nid").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF-style bucketed top-k: vectors are assigned to their
+    * highest-cosine centroid (the coarse quantizer cell), and queries only
+    * compare against corpus vectors in their own cell. `centroids` is
+    * dimension-sized and broadcast; assignment is one narrow pass over the
+    * corpus. With learned centroids this is IVF-flat; any deterministic
+    * centroid set (e.g. a fixed sample) gives the same operator shape. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      id: Column, vec: Column, k: Int): DataFrame = {
+    val cents = withNorm(centroids, id, vec, "cid")
+    def assign(df: DataFrame, idName: String, cellName: String): DataFrame = {
+      val scored = df.join(broadcast(cents), expr("true"))
+        .withColumn("c_sim", round(
+          VectorExpressions.floatDot(col(s"${idName}_e"), col("cid_e")) /
+            (col(s"${idName}_nrm") * col("cid_nrm")), 6))
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("c_sim").desc, col("cid"))
+      scored.withColumn("crk", row_number().over(w))
+        .where(col("crk") === 1)
+        .select(df.columns.map(col) :+ col("cid").as(cellName): _*)
+    }
+    val c = assign(withNorm(corpus, id, vec, "nid"), "nid", "cell")
+    val q = assign(withNorm(queries, id, vec, "qid"), "qid", "qcell")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    q.join(c, col("qcell") === col("cell") && col("qid") =!= col("nid"))
+      .withColumn("cos_sim", pairCosine("qid", "nid"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("nid").as("neighbor_id"), col("cell"), col("cos_sim"))
+  }
+
   /** Sign-LSH bucketed top-k: queries only compare against corpus vectors in
     * the same bucket. Approximate (recall < 1), ~2^nBits cheaper. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

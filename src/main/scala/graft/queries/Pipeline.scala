@@ -175,6 +175,39 @@ object Pipeline {
        |  FROM scored
        |) t WHERE rk <= $LSH_K""".stripMargin)
 
+  /** IVF-style ANN: coarse-quantize to the highest-cosine centroid (first 8
+    * vectors as a deterministic centroid set), search within the cell. */
+  private val q43 = QueryDef(
+    "q43_ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(
+        emb, emb.where(col("vec_id") < 10), emb.where(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), LSH_K)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT a.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) DESC,
+       |                 c.cid) AS crk
+       |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, an.cell,
+       |    round(${dotSql("q.e", "n.e", DIM)} / (q.nrm * n.nrm), 6) AS cos_sim
+       |  FROM v q
+       |  JOIN assign aq ON q.vec_id = aq.vec_id AND q.vec_id < 10
+       |  JOIN assign an ON an.cell = aq.cell
+       |  JOIN v n ON n.vec_id = an.vec_id AND n.vec_id <> q.vec_id)
+       |SELECT query_id, rk, neighbor_id, cell, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |) t WHERE rk <= $LSH_K""".stripMargin)
+
   // ------------------------------------------------------------------ text
 
   private val q38 = QueryDef(
@@ -253,5 +286,5 @@ object Pipeline {
       |FROM documents""".stripMargin)
 
   val all: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

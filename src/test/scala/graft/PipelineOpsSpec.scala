@@ -78,6 +78,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set(1L))
   }
 
+  test("ivfTopK searches only within the assigned centroid cell") {
+    val out = SimilarityOps.ivfTopK(
+      vecs, vecs.where(col("vec_id") === 0),
+      vecs.where(col("vec_id") === 0 || col("vec_id") === 2),
+      col("vec_id"), col("embedding"), 3)
+      .select("neighbor_id", "cell").as[(Long, Long)].collect().toSet
+    // cells: v0,v1 -> centroid 0; v2,v3 -> centroid 2 (cos 0 beats cos -1)
+    assert(out == Set((1L, 0L)))
+  }
+
   test("langId prefers the matching stopword profile") {
     val out = TextOps.langId(docs, col("doc_id"), col("text"))
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
