@@ -28,20 +28,28 @@ object DedupOps {
       count(lit(1)).as("n_total"),
       countDistinct(text).as("n_unique"))
 
-  /** Distinct (doc, shingleHash) pairs — the shared front end of minhash /
-    * jaccard. One shuffle for the distinct. */
-  def shingleHashes(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
+  /** Raw (doc, shingleHash) stream — duplicates retained (no shuffle). */
+  def shingleHashesRaw(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
     HashExpressions.register(docs.sparkSession)
     docs.select(id.as("doc_id"), explode(wordShingles(text, w)).as("s"))
       .select(col("doc_id"), HashExpressions.polyHash(col("s")).as("h"))
-      .distinct()
   }
 
-  /** 8-permutation MinHash signature per document. */
+  /** Distinct (doc, shingleHash) pairs — needed where shingles are COUNTED
+    * (jaccard); minhash skips the distinct since min() is duplicate-
+    * insensitive. One shuffle for the distinct. */
+  def shingleHashes(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame =
+    shingleHashesRaw(docs, id, text, w).distinct()
+
+  /** 8-permutation MinHash signature per document. Works on the raw
+    * (duplicate-retaining) shingle stream: min() is duplicate-insensitive,
+    * so the distinct's extra shuffle is pure cost here — partial min
+    * aggregation compresses each partition to ≤1 row per doc before the
+    * single shuffle. */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
     val mins = (0 until MinhashA.size).map(i =>
       min(minhashPerm(col("h"), i)).as(s"m$i"))
-    shingleHashes(docs, id, text, w)
+    shingleHashesRaw(docs, id, text, w)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
   }

@@ -444,7 +444,22 @@ object Relational {
       |          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_value
       |FROM events""".stripMargin)
 
+  /** Scale-mode approximations: HyperLogLog distinct counts and t-digest
+    * percentiles — the documented 100 TB substitutes for exact
+    * countDistinct/percentile. No DuckDB oracle (sketch algorithms differ
+    * across engines); the driver records a rows-only check, and
+    * ApproxSpec bounds the error against the exact operators. */
+  private val q24 = QueryDef(
+    "q24_approx_scale_mode",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+        count(lit(1)).as("n")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }

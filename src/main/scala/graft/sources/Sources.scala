@@ -31,6 +31,28 @@ object Sources {
     spark.read.parquet(path).as[Trip]
   }
 
+  /** CSV ingest with the strict typed schema (header expected; malformed
+    * rows fail fast — ingest integrity over silent nulls). */
+  def telemetryCsv(spark: SparkSession, path: String): Dataset[Telemetry] = {
+    import spark.implicits._
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(implicitly[org.apache.spark.sql.Encoder[Telemetry]].schema)
+      .csv(path)
+      .as[Telemetry]
+  }
+
+  /** JSON-lines ingest with the strict typed schema. */
+  def telemetryJson(spark: SparkSession, path: String): Dataset[Telemetry] = {
+    import spark.implicits._
+    spark.read
+      .option("mode", "FAILFAST")
+      .schema(implicitly[org.apache.spark.sql.Encoder[Telemetry]].schema)
+      .json(path)
+      .as[Telemetry]
+  }
+
   /** S1 — the reference's telemetry read API: ≥1 predicate required,
     * closed time interval, explicit projection; predicates reach the scan
     * (PushedFilters / partition pruning). Mirrors
