@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment needs
+  * beyond what AQE does automatically.
+  *
+  *  - Salting: for aggregations/joins with pathological key skew (one bus,
+  *    one document cluster, one hot minute dominating a partition). AQE's
+  *    skew-join split handles sort-merge joins; salting is the general tool
+  *    that also covers aggregations and works below AQE's thresholds.
+  *  - Bucketing: pre-shuffle the lake ONCE at write time; every later join
+  *    or aggregation on the bucket key is exchange-free. The write cost is
+  *    amortized over every downstream query.
+  */
+object ScaleOps {
+
+  /** Two-phase skew-safe aggregation: aggregate on (key, salt) first —
+    * spreading a hot key over `salts` partial groups — then combine.
+    * The aggregate list must be algebraically combinable (sum/count/min/max
+    * and compositions); the caller supplies both phases. */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      salts: Int,
+      partial: Seq[Column],
+      combine: Seq[Column]): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("_key"))
+      .agg(combine.head, combine.tail: _*)
+      .withColumnRenamed("_key", "key")
+
+  /** Skew-safe inner equi-join: replicate each right row `salts` times and
+    * salt the left side, so one hot key spreads over `salts` tasks. Use for
+    * a moderately-sized right side; for dimension tables just broadcast. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts)))
+    val replicatedRight = right
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("_salt", col("_salt").cast("long"))
+    saltedLeft.join(replicatedRight,
+        leftKey === rightKey && saltedLeft("_salt") === replicatedRight("_salt"))
+      .drop("_salt")
+  }
+
+  /** Write a table bucketed + sorted on a key: downstream equi-joins and
+    * aggregations on that key plan with zero Exchange (asserted in
+    * ScaleOpsSpec). Bucket count should match the target parallelism at the
+    * lake's scale, not the current job's. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+}
