@@ -39,9 +39,34 @@ object Bench {
       catch { case _: Throwable => () })
 
     val results = SparkEntry.registry.map(q => q.name -> runOnce(q.name))
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+
+    // ZTBus-dataset-scale pipeline throughput: the reference's full dataset
+    // is ~1.5 M telemetry points which its 60x replay processes in ~4.9 real
+    // hours; this measures the collapsed plan over the same row count.
+    val ztbusSec = {
+      val t0 = System.nanoTime()
+      try {
+        import graft.ztbus.{Algorithms, Engine, Fixtures}
+        val tel = Fixtures.telemetryDF(spark, 500000L) // 3 trips -> 1.5M rows
+        val trips = {
+          import spark.implicits._
+          Fixtures.trips.toDF()
+        }
+        Algorithms.perMinuteMetrics(tel, trips)
+          .write.format("noop").mode("overwrite").save()
+        Algorithms.brakeSessions(tel, "status_halt_brake_is_active")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ztbus_replay failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    val qs = (results :+ ("z_ztbus_pipeline_1p5M" -> ztbusSec))
+      .map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = (results.map(_._2) :+ ztbusSec).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

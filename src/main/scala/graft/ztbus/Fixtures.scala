@@ -2,6 +2,9 @@ package graft.ztbus
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Deterministic ZTBus-shaped fixture generator (FIXTURES.md §A; seed via
   * pure arithmetic — no RNG). Mirrors the reference's replay seed epoch
   * 2021-03-09 14:15:05 (simulator/main.py:85-87) and plants the edge cases
@@ -26,6 +29,58 @@ object Fixtures {
       Timestamp.valueOf("2021-03-09 14:30:05"),
       Timestamp.valueOf("2021-03-09 14:36:05"),
       2.1, 2.6, 9.0, 1, 25, 0.3, 7.9, 6.2, 9.1))
+
+  /** Distributed telemetry generator for throughput runs: same waveform
+    * shapes as [[telemetry]] but built from `spark.range` + Column
+    * expressions, so ZTBus-dataset-scale inputs (the reference's ~1.5 M
+    * points ≈ `secondsPerTrip = 500000`) are generated on executors, never
+    * materialized on the driver. */
+  def telemetryDF(spark: SparkSession, secondsPerTrip: Long): DataFrame = {
+    val tripDf = spark.createDataFrame(
+      trips.map(t => (t.id, t.start_time, t.route_id.toInt)))
+      .toDF("trip_id", "start_time", "route")
+    spark.range(0, secondsPerTrip).withColumnRenamed("id", "s")
+      .crossJoin(broadcast(tripDf))
+      .select(
+        (col("trip_id") * 10000000L + col("s")).as("id"),
+        col("trip_id"),
+        (col("start_time") + expr("make_interval(0, 0, 0, 0, 0, 0, s)"))
+          .as("time"),
+        (lit(50.0) + lit(20.0) * cos(col("s") / 15.0))
+          .as("electric_power_demand"),
+        (lit(8.0) + (col("s") % 10) * 0.1).as("temperature_ambient"),
+        when((col("s") % 97) < 5, 5.0).otherwise(1.0)
+          .as("traction_brake_pressure"),
+        (lit(1000.0) + col("s") % 50).as("traction_traction_force"),
+        (lit(400.0) + col("s") * 0.01).as("gnss_altitude"),
+        (col("s") % 360).cast("double").as("gnss_course"),
+        (lit(47.37) + col("s") * 1e-5).as("gnss_latitude"),
+        (lit(8.54) + col("s") * 1e-5).as("gnss_longitude"),
+        col("route").as("itcs_bus_route_id"),
+        ((col("s") / 60).cast("int") % 30 + 3).as("itcs_number_of_passengers"),
+        concat(lit("stop-"), (col("s") / 120).cast("long") % 5)
+          .as("itcs_stop_name"),
+        (lit(2.0) * sin(col("s") / 9.0)).as("odometry_articulation_angle"),
+        (lit(10.0) * sin(col("s") / 11.0)).as("odometry_steering_angle"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_vehicle_speed"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_wheel_speed_fl"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_wheel_speed_fr"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_wheel_speed_ml"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_wheel_speed_mr"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_wheel_speed_rl"),
+        (lit(6.0) + lit(3.0) * sin(col("s") / 20.0 + col("trip_id")))
+          .as("odometry_wheel_speed_rr"),
+        ((col("s") % 120) < 10).as("status_door_is_open"),
+        (col("s") % 2 === 0).as("status_grid_is_available"),
+        ((col("s") % 89) < 7).as("status_halt_brake_is_active"),
+        ((col("s") % 211) < 3).as("status_park_brake_is_active"))
+  }
 
   /** 1 Hz telemetry, `seconds` samples per trip. Deterministic waveforms:
     *  - trip 1: halt-brake ON for t∈[50,70) (crosses the 14:16:00 minute

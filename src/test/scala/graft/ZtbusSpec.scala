@@ -83,6 +83,15 @@ class ZtbusSpec extends SparkSpec {
     assert(global.getAs[Long]("total_s") == 120L, "both trips' samples pooled")
   }
 
+  test("distributed generator matches the typed schema and row count") {
+    val df = graft.ztbus.Fixtures.telemetryDF(spark, 1000L)
+    assert(df.count() == 3000L)
+    // must bind to the typed model (by-name resolution)
+    assert(df.as[graft.ztbus.Telemetry].head().trip_id > 0)
+    // and the collapsed pipeline must run on it
+    assert(Algorithms.perMinuteMetrics(df, trips).count() > 0)
+  }
+
   test("describePerMinute instantiates the stats template") {
     val d = Algorithms.describePerMinute(telemetry, "odometry_vehicle_speed")
       .where(col("trip_id") === 1 && col("minute") === ts("2021-03-09 14:18:00"))
