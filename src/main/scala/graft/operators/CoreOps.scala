@@ -89,6 +89,40 @@ object CoreOps {
         coalesce(col(d1Name) - lag(col(d1Name), 1).over(w), lit(0.0)))
   }
 
+  /** As-of join (composed from built-ins — preference (a) of the custom-
+    * operator ladder): for each left row, attach the carried columns of the
+    * LATEST right row with the same key and `rightTime <= leftTime`.
+    *
+    * Implementation: union both sides tagged, one window pass per key in
+    * time order carrying the last non-null right values forward — i.e. a
+    * single shuffle on the key, no range-join blowup, no custom SparkPlan.
+    * Right rows sort before left rows at equal timestamps, giving `<=`
+    * semantics (matching DuckDB's `ASOF JOIN ... ON l.t >= r.t`).
+    * Inner semantics: left rows with no prior right row are dropped.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      carry: Map[String, String]): DataFrame = {
+    val srcCols = ((keys :+ rightTime) ++ carry.keys).distinct
+    val r = carry.foldLeft(
+      right.select(srcCols.map(col): _*)
+        .withColumn("_t", col(rightTime))
+        .withColumn("_is_left", lit(0))) {
+      case (df, (src, out)) => df.withColumn(out, col(src))
+    }.select((keys ++ carry.values ++ Seq("_t", "_is_left")).map(col): _*)
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_is_left", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.values.foldLeft(unioned) { (df, out) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_is_left") === 1)
+      .where(carry.values.map(out => col(out).isNotNull).reduce(_ && _))
+      .drop("_t", "_is_left")
+  }
+
   /** W4 — gaps-and-islands run detection: one output row per maximal
     * contiguous run of `flag == true` within a partition, `[min(order),
     * max(order)]` plus the run length. Replaces the reference's per-minute

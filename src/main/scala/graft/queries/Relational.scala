@@ -459,7 +459,42 @@ object Relational {
         count(lit(1)).as("n")),
     None)
 
+  /** As-of join: each purchase gets the user's most recent prior click —
+    * composed from built-ins (one keyed window pass), oracled against
+    * DuckDB's native ASOF JOIN. */
+  private val q25 = QueryDef(
+    "q25_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      CoreOps.asofJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        carry = Map("ts" -> "last_click_ts", "value" -> "last_click_value"))
+        .select("user_id", "event_id", "ts", "last_click_ts",
+          "last_click_value")
+    },
+    """SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,
+      |  c.value AS last_click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+
+  /** JSON metadata extraction (events.props is a JSON string — the shape of
+    * per-record metadata in training pipelines). */
+  private val q26 = QueryDef(
+    "q26_json_extract",
+    (s, d) => Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k")),
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26)
 }

@@ -65,6 +65,20 @@ class CoreOpsSpec extends SparkSpec {
       (1L, 0.0, 0.0), (2L, 3.0, 3.0), (3L, 0.0, -3.0), (4L, 7.0, 7.0)))
   }
 
+  test("asofJoin attaches the latest prior right row per key, <= semantics") {
+    val left = Seq(("u1", 10L, "p1"), ("u1", 20L, "p2"), ("u2", 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq(("u1", 8L, 1.0), ("u1", 15L, 2.0), ("u1", 20L, 3.0),
+      ("u2", 9L, 9.0)).toDF("k", "t", "v")
+    val out = CoreOps.asofJoin(left, right, Seq("k"), "t", "t",
+      Map("t" -> "rt", "v" -> "rv"))
+      .select("tag", "rt", "rv").as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    // p1@10 -> right@8; p2@20 -> right@20 (equal ts included);
+    // p3@5 has no prior right row -> dropped (inner semantics)
+    assert(out.toSeq == Seq(("p1", 8L, 1.0), ("p2", 20L, 3.0)))
+  }
+
   test("guardedRatio yields NULL, not Inf, on zero denominator") {
     import graft.functions.Exact
     val df = Seq(("a", 1.0, 0.0), ("b", 1.0, 2.0)).toDF("k", "num", "den")
