@@ -74,6 +74,14 @@ object Streaming {
       .select(col("w.start").as("minute"), col("trip_id"), col("kwh"),
         col("dist_m"), col("dwell_time_s"), col("total_s"), col("kwh_per_km"))
 
+  /** Streaming exact deduplication: drop repeats of `idCols` with bounded
+    * state — the watermark lets Spark evict seen-keys older than the delay,
+    * so state is O(keys per watermark window), not O(all keys ever). The
+    * streaming face of [[graft.operators.DedupOps]]' exact path. */
+  def dedupStream(df: DataFrame, timeCol: String, idCols: Seq[String]): DataFrame =
+    df.withWatermark(timeCol, WatermarkDelay)
+      .dropDuplicates(idCols :+ timeCol)
+
   /** W4/W6 streaming — flag-delimited sessionization via
     * flatMapGroupsWithState keyed by trip. A session is a maximal contiguous
     * run of `flag == true`; it is emitted when a false sample arrives after

@@ -95,6 +95,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: data later than the watermark is dropped (W6 bound)") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[FlagSample]
+    val q = Streaming.sessionize(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess4").start()
+    try {
+      // push the watermark to ~14:41:40 (1600s later, minus 400s delay)
+      in.addData(FlagSample(2L, sec(base, 2000), flag = false))
+      q.processAllAvailable()
+      in.addData(FlagSample(2L, sec(base, 2001), flag = false))
+      q.processAllAvailable()
+      // a run entirely BELOW the watermark arrives late -> must be ignored
+      in.addData((0 to 5).map(i => FlagSample(1L, sec(base, i), flag = true)))
+      q.processAllAvailable()
+      in.addData(FlagSample(1L, sec(base, 10), flag = false))
+      q.processAllAvailable()
+      assert(spark.table("sess4").isEmpty,
+        "late data beyond the watermark must not create sessions " +
+          "(reference's hard lookback cap, SURVEY W6)")
+    } finally q.stop()
+  }
+
+  test("dedupStream drops repeats within the watermark horizon") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[FlagSample]
+    val q = Streaming.dedupStream(in.toDF(), "time", Seq("trip_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      in.addData(
+        FlagSample(1L, sec(base, 1), flag = true),
+        FlagSample(1L, sec(base, 1), flag = true), // exact repeat
+        FlagSample(2L, sec(base, 2), flag = false))
+      q.processAllAvailable()
+      in.addData(FlagSample(1L, sec(base, 1), flag = true)) // repeat, batch 2
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
   test("minuteMetricsStream finalizes windows past the watermark") {
     implicit val s = spark
     val in = MemoryStream[graft.ztbus.Telemetry]
