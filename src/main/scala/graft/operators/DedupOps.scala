@@ -99,6 +99,10 @@ object DedupOps {
     * the quadratic shingle self-join never materializes. */
   def jaccardOnCandidates(docs: DataFrame, id: Column, text: Column, w: Int,
       threshold: Double): DataFrame = {
+    // The shingle pipeline feeds both diamond branches (signatures for
+    // discovery, postings for verification) and is recomputed per branch:
+    // measured, caching it costs MORE than recomputing the codegen'd
+    // explode+hash (materialization + memory pressure) at every tested SF.
     val cands = lshCandidatePairs(minhashSignatures(docs, id, text, w))
     val sh = shingleHashes(docs, id, text, w)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
