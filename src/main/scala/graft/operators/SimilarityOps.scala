@@ -88,7 +88,7 @@ object SimilarityOps {
         .orderBy(col("c_sim").desc, col("cid"))
       scored.withColumn("crk", row_number().over(w))
         .where(col("crk") === 1)
-        .select(df.columns.map(col) :+ col("cid").as(cellName): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("cid").as(cellName): _*)
     }
     val c = assign(withNorm(corpus, id, vec, "nid"), "nid", "cell")
     val q = assign(withNorm(queries, id, vec, "qid"), "qid", "qcell")
