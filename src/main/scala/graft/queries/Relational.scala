@@ -493,8 +493,64 @@ object Relational {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
       |FROM events""".stripMargin)
 
+  /** Pivot: wide per-key feature table (one column per event type) — the
+    * shape a feature-engineering pipeline feeds to training. Expressed as
+    * conditional aggregation in the oracle (portable, same values). */
+  private val q27 = QueryDef(
+    "q27_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(dsum(col("value")))
+        .na.fill(0.0, types)
+    },
+    """SELECT user_id,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 0.0) AS click,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 0.0) AS error,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 0.0) AS purchase,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 0.0) AS signup,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE), 0.0) AS view
+      |FROM events GROUP BY user_id""".stripMargin)
+
+  /** Bivariate stats: correlation/covariance between the value signal and
+    * the JSON-extracted metadata field. */
+  private val q28 = QueryDef(
+    "q28_corr_covar",
+    (s, d) => Tables.events(s, d)
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(corr(col("value"), col("prop_k")), 4).as("corr_vk"),
+        round(covar_samp(col("value"), col("prop_k")), 4).as("covar_vk")),
+    """SELECT event_type,
+      |  round(corr(value, prop_k), 4) AS corr_vk,
+      |  round(covar_samp(value, prop_k), 4) AS covar_vk
+      |FROM (SELECT event_type, value,
+      |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS prop_k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin)
+
+  /** Sliding (hopping) event-time windows: 5-minute windows every minute —
+    * each event lands in 5 overlapping windows. */
+  private val q29 = QueryDef(
+    "q29_sliding_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value")),
+    """SELECT CAST(date_trunc('minute', ts) - i * INTERVAL 1 MINUTE AS TIMESTAMP)
+      |    AS window_start,
+      |  event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events, UNNEST(generate_series(0, 4)) AS t(i)
+      |GROUP BY 1, 2""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26)
+    q25, q26, q27, q28, q29)
 }
