@@ -74,6 +74,34 @@ object Streaming {
       .select(col("w.start").as("minute"), col("trip_id"), col("kwh"),
         col("dist_m"), col("dwell_time_s"), col("total_s"), col("kwh_per_km"))
 
+  /** J2 streaming — stream-stream interval join: correlate a stream of
+    * window events with the telemetry stream by containment
+    * (`time ∈ [time_from, time_to)`), the streaming form of the reference's
+    * per-window pull queries. Both sides carry watermarks and the time-range
+    * condition bounds the join state, so Spark can evict buffered rows as
+    * the watermarks advance — state is O(events within the watermark
+    * horizon), not unbounded. */
+  def intervalJoinStream(windows: DataFrame, telemetry: DataFrame,
+      maxWindowMinutes: Int = 1): DataFrame = {
+    // Stream-stream joins need an equality predicate (state is keyed by
+    // it); derive one: bucket window starts to their minute, and explode
+    // each sample to every minute bucket a containing window could start in
+    // (window length ≤ maxWindowMinutes). The range condition then prunes
+    // within the bucket, and the watermarks bound the join state.
+    val w = windows
+      .withColumn("from_minute", date_trunc("minute", col("time_from")))
+      .withWatermark("time_from", WatermarkDelay)
+    val t = telemetry
+      .withWatermark("time", WatermarkDelay)
+      .withColumn("cand_minute", explode(expr(
+        s"transform(sequence(0, $maxWindowMinutes), " +
+          "i -> date_trunc('MINUTE', time) - make_interval(0,0,0,0,0,i,0))")))
+    w.join(t,
+      col("from_minute") === col("cand_minute") &&
+        col("time") >= col("time_from") && col("time") < col("time_to"))
+      .drop("from_minute", "cand_minute")
+  }
+
   /** Streaming exact deduplication: drop repeats of `idCols` with bounded
     * state — the watermark lets Spark evict seen-keys older than the delay,
     * so state is O(keys per watermark window), not O(all keys ever). The

@@ -214,4 +214,34 @@ object Algorithms {
     CoreOps.describeStats(
       telemetry, Seq(minuteOf(col("time")).as("minute"), col("trip_id")),
       col(column))
+
+  /** All 30 stats algorithms in ONE aggregation pass: 13 columns × 7 stats
+    * as a single wide groupBy instead of 13 separate scans — at 100 TB this
+    * is 13× less I/O for the same results. Output is long-form
+    * (minute, trip_id, column, stat, value) via an unpivot, matching the
+    * result-per-algorithm sink shape. */
+  def describeAllPerMinute(telemetry: DataFrame): DataFrame = {
+    val aggs = statsColumns.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(v).cast("double").as(s"${c}__n"),
+        min(v).as(s"${c}__vmin"),
+        max(v).as(s"${c}__vmax"),
+        round(percentile(v, lit(0.25)), 4).as(s"${c}__p25"),
+        round(percentile(v, lit(0.50)), 4).as(s"${c}__p50"),
+        round(percentile(v, lit(0.75)), 4).as(s"${c}__p75"),
+        graft.functions.Exact.davg(v).as(s"${c}__mean_v"))
+    }
+    val wide = telemetry
+      .groupBy(minuteOf(col("time")).as("minute"), col("trip_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stacked = statsColumns.flatMap(c =>
+      Seq("n", "vmin", "vmax", "p25", "p50", "p75", "mean_v").map(st =>
+        struct(lit(c).as("column"), lit(st).as("stat"),
+          col(s"${c}__$st").as("value"))))
+    wide.select(col("minute"), col("trip_id"),
+        explode(array(stacked: _*)).as("r"))
+      .select(col("minute"), col("trip_id"),
+        col("r.column"), col("r.stat"), col("r.value"))
+  }
 }

@@ -136,6 +136,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream correlates window events with telemetry samples") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val win = MemoryStream[(Timestamp, Timestamp, String)]
+    val tel = MemoryStream[FlagSample]
+    val joined = Streaming.intervalJoinStream(
+      win.toDF().toDF("time_from", "time_to", "wname"),
+      tel.toDF().withColumnRenamed("trip_id", "tid"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj").start()
+    try {
+      win.addData((sec(base, 0), sec(base, 60), "w1"),
+        (sec(base, 60), sec(base, 120), "w2"))
+      tel.addData(
+        FlagSample(1L, sec(base, 10), flag = true),   // -> w1
+        FlagSample(1L, sec(base, 60), flag = true),   // -> w2 (half-open)
+        FlagSample(1L, sec(base, 200), flag = true))  // -> no window
+      q.processAllAvailable()
+      val got = spark.table("ivj").select("wname", "time")
+        .as[(String, Timestamp)].collect().toSet
+      assert(got == Set(("w1", sec(base, 10)), ("w2", sec(base, 60))))
+    } finally q.stop()
+  }
+
   test("minuteMetricsStream finalizes windows past the watermark") {
     implicit val s = spark
     val in = MemoryStream[graft.ztbus.Telemetry]

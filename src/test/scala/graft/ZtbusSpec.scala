@@ -92,6 +92,24 @@ class ZtbusSpec extends SparkSpec {
     assert(Algorithms.perMinuteMetrics(df, trips).count() > 0)
   }
 
+  test("describeAllPerMinute: one pass equals the 13 per-column passes") {
+    val all = Algorithms.describeAllPerMinute(telemetry)
+    val one = Algorithms.describePerMinute(telemetry, "odometry_vehicle_speed")
+      .where(col("trip_id") === 1 && col("minute") === ts("2021-03-09 14:18:00"))
+      .head()
+    val fromWide = all
+      .where(col("trip_id") === 1 && col("minute") === ts("2021-03-09 14:18:00")
+        && col("column") === "odometry_vehicle_speed")
+      .collect().map(r => r.getAs[String]("stat") -> r.getAs[Double]("value"))
+      .toMap
+    assert(fromWide("n") == one.getAs[Long]("n").toDouble)
+    assert(fromWide("vmax") == one.getAs[Double]("vmax"))
+    assert(fromWide("p50") == one.getAs[Double]("p50"))
+    assert(fromWide("mean_v") == one.getAs[Double]("mean_v"))
+    assert(all.select("column").distinct().count() ==
+      Algorithms.statsColumns.size)
+  }
+
   test("describePerMinute instantiates the stats template") {
     val d = Algorithms.describePerMinute(telemetry, "odometry_vehicle_speed")
       .where(col("trip_id") === 1 && col("minute") === ts("2021-03-09 14:18:00"))
