@@ -74,6 +74,34 @@ object MultimodalOps {
     }
   }
 
+  /** STUB resize: deterministic fake standing in for an image resize /
+    * audio resample — truncates the payload to `maxBytes` and stamps the
+    * new dimensions. A real implementation swaps the byte slice for a
+    * codec call; the distributed shape (narrow per-partition transform,
+    * no shuffle) is identical. */
+  def resizeStub(media: Dataset[MediaRow], maxBytes: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.emptyByteArray else r.payload
+      val resized = p.take(maxBytes)
+      r.copy(payload = resized,
+        width = math.min(r.width, maxBytes),
+        height = math.min(r.height, maxBytes))
+    })
+  }
+
+  /** STUB frame sampling: every `stride`-th byte stands in for every Nth
+    * video frame / audio window. */
+  def frameSampleStub(media: Dataset[MediaRow], stride: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val p = if (r.payload == null) Array.emptyByteArray else r.payload
+      r.copy(payload = p.grouped(stride).map(_.head).toArray)
+    })
+  }
+
   /** Pure-Column metadata/digest path (no decode): byte length, content
     * digest, and a "first frame" sample digest — stays in codegen, used for
     * dedup/integrity at scale where full decode is unnecessary. */

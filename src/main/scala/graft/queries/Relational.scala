@@ -549,8 +549,39 @@ object Relational {
       |FROM events, UNNEST(generate_series(0, 4)) AS t(i)
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Promo-revenue ratio (TPC-H Q14 shape): LIKE-pattern predicate on a
+    * broadcast dimension, conditional exact sums, guarded percentage. */
+  private val q44 = QueryDef(
+    "q44_promo_ratio",
+    (s, d) => Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-07-01"))
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsumIf(col("p_type").like("PROMO%"),
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue")),
+    """SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_pct
+      |FROM (
+      |  SELECT
+      |    COALESCE(CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) END)
+      |      AS VARCHAR) AS DOUBLE), 0.0) AS promo_revenue,
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
+      |      AS VARCHAR) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01'
+      |) t""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29)
+    q25, q26, q27, q28, q29, q44)
 }

@@ -104,6 +104,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("multimodal resize and frame-sample stubs keep the distributed shape") {
+    implicit val s = spark
+    val media = MultimodalOps
+      .asMediaTable(docs, col("doc_id"), col("text"))
+      .as[MultimodalOps.MediaRow]
+    val resized = MultimodalOps.resizeStub(media, 8).collect()
+    assert(resized.forall(_.payload.length <= 8))
+    val sampled = MultimodalOps.frameSampleStub(media, 4).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(sampled(1L).payload.length ==
+      math.ceil("the cat sat on the mat".length / 4.0).toInt)
+  }
+
   test("multimodal feature extraction runs distributed over binary payloads") {
     implicit val s = spark
     val media = MultimodalOps
