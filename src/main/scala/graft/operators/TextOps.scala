@@ -73,6 +73,23 @@ object TextOps {
       ceil(length(text).cast("double") / lit(4.0)).cast("long")
         .as("n_bpe_est"))
 
+  /** Deterministic train/val/test assignment by content hash: bucket =
+    * fingerprint mod 100; < trainPct → train, < trainPct+valPct → val,
+    * else test. Hash-based (not RNG) sampling is reproducible across runs,
+    * partitionings, and engines — the only kind of split that can be
+    * re-derived from the data itself at 100 TB. */
+  def hashSplit(docs: DataFrame, id: Column, text: Column,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val bucket = pmod(graft.functions.HashExpressions.polyHash(text), lit(100))
+    docs.select(
+      id.as("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Whole-document rolling-hash fingerprint (exact-dup key). */
   def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)

@@ -285,6 +285,23 @@ object Pipeline {
       |  md5(substr(text, 1, 16)) AS frame_md5
       |FROM documents""".stripMargin)
 
+  /** Deterministic hash-based train/val/test split, summarized per
+    * (lang, split). Content-hash bucketing beats RNG sampling at scale:
+    * reproducible across runs/partitionings/engines — which is also what
+    * makes it oracle-able at all. */
+  private val q45 = QueryDef(
+    "q45_train_split",
+    (s, d) => TextOps.hashSplit(Tables.documents(s, d), col("doc_id"), col("text"))
+      .join(Tables.documents(s, d), "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n")),
+    s"""SELECT lang,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT lang, ${polyHashSql("text")} % 100 AS b FROM documents) t
+       |GROUP BY 1, 2""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q45)
 }

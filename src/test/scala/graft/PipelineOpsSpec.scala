@@ -104,6 +104,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("hashSplit partitions every doc deterministically, invariant to partitioning") {
+    val a = TextOps.hashSplit(docs, col("doc_id"), col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = TextOps.hashSplit(docs.repartition(5), col("doc_id"), col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "split must be a pure function of content")
+    assert(a.size == 5 && a.values.forall(Set("train", "val", "test")))
+    // identical texts land in the same split (no leakage across splits)
+    assert(a(1L) == a(2L))
+  }
+
   test("multimodal resize and frame-sample stubs keep the distributed shape") {
     implicit val s = spark
     val media = MultimodalOps
