@@ -39,6 +39,14 @@ object Tables {
     }
   }
 
+  /** Register every test table as a temp view so the whole engine surface
+    * is reachable from plain `spark.sql(...)` too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** Session configs every graft entry point needs. */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine surface is equally reachable through plain SQL — temp views
+  * + `spark.sql`, including the injected native functions. */
+class SqlApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL string query equals the DataFrame query") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .as[(String, Double)].collect().toMap
+    val viaDf = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .as[(String, Double)].collect().toMap
+    assert(viaSql == viaDf)
+  }
+
+  test("native expressions are callable from SQL after registration") {
+    graft.functions.HashExpressions.register(spark)
+    graft.functions.VectorExpressions.register(spark)
+    val h = spark.sql("SELECT poly_hash('hello') AS h").as[Long].head()
+    assert(h == 99162322L) // the value pinned against DuckDB's fold
+    val d = spark.sql(
+      "SELECT float_vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").as[Double].head()
+    assert(d == 11.0)
+  }
+
+  test("ORC roundtrip preserves the telemetry lake") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val t = graft.ztbus.Fixtures.telemetry(seconds = 120).toDF()
+    t.write.orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() == t.count())
+    // formats don't persist nullability — compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      t.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+}
