@@ -89,6 +89,31 @@ object CoreOps {
         coalesce(col(d1Name) - lag(col(d1Name), 1).over(w), lit(0.0)))
   }
 
+  /** W1/W2 scale variant — diffs by self-equijoin on (keys, time − step)
+    * instead of an ordered window. The window formulation sorts each key's
+    * whole partition (parallelism = #keys, a problem when a few huge keys
+    * dominate, e.g. 3 multi-day trips); the join shuffles on (keys, time)
+    * which is uniformly distributed, so parallelism is unbounded. For a
+    * regular cadence with no gaps the results equal [[diff2]] exactly; at
+    * a gap the join yields 0 (no sample one step earlier) where lag would
+    * bridge it — arguably the more physical reading of a derivative.
+    */
+  def diff2ByJoin(df: DataFrame, partCols: Seq[String], timeCol: String,
+      stepExpr: String, value: String, d1Name: String, d2Name: String): DataFrame = {
+    def shift(src: DataFrame, v: String, out: String): DataFrame =
+      src.select(partCols.map(col) :+
+        (col(timeCol) + expr(stepExpr)).as(timeCol) :+ col(v).as(out): _*)
+    val joinKeys = partCols :+ timeCol
+    val with1 = df
+      .join(shift(df, value, "_prev"), joinKeys, "left")
+      .withColumn(d1Name, coalesce(col(value) - col("_prev"), lit(0.0)))
+      .drop("_prev")
+    with1
+      .join(shift(with1, d1Name, "_prev1"), joinKeys, "left")
+      .withColumn(d2Name, coalesce(col(d1Name) - col("_prev1"), lit(0.0)))
+      .drop("_prev1")
+  }
+
   /** As-of join (composed from built-ins — preference (a) of the custom-
     * operator ladder): for each left row, attach the carried columns of the
     * LATEST right row with the same key and `rightTime <= leftTime`.

@@ -65,6 +65,22 @@ class CoreOpsSpec extends SparkSpec {
       (1L, 0.0, 0.0), (2L, 3.0, 3.0), (3L, 0.0, -3.0), (4L, 7.0, 7.0)))
   }
 
+  test("diff2ByJoin equals diff2 on gapless 1 Hz data") {
+    import graft.ztbus.Fixtures
+    val tel = Fixtures.telemetry(seconds = 240).toDF()
+    val byWindow = graft.operators.CoreOps.diff2(tel,
+      Seq(col("trip_id")), Seq(col("time")), col("odometry_vehicle_speed"),
+      "accel", "jerk")
+      .select("id", "accel", "jerk").as[(Long, Double, Double)]
+      .collect().map { case (i, a, j) => i -> (a, j) }.toMap
+    val byJoin = graft.operators.CoreOps.diff2ByJoin(tel,
+      Seq("trip_id"), "time", "INTERVAL 1 SECOND",
+      "odometry_vehicle_speed", "accel", "jerk")
+      .select("id", "accel", "jerk").as[(Long, Double, Double)]
+      .collect().map { case (i, a, j) => i -> (a, j) }.toMap
+    assert(byWindow == byJoin)
+  }
+
   test("asofJoin attaches the latest prior right row per key, <= semantics") {
     val left = Seq(("u1", 10L, "p1"), ("u1", 20L, "p2"), ("u2", 5L, "p3"))
       .toDF("k", "t", "tag")
