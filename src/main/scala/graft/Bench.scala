@@ -11,14 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {
@@ -32,9 +25,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM/codegen warmup on the smallest SF so steady-state cost is measured.
+    // JVM/codegen warmup against the benched dir itself (a hardcoded path
+    // would silently skip warmup wherever that path doesn't exist).
     SparkEntry.registry.take(3)
-      .foreach(q => try q.spark(spark, "/root/testdata/sf0.001")
+      .foreach(q => try q.spark(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () })
 

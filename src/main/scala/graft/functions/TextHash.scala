@@ -21,15 +21,10 @@ object TextHash {
   val MinhashA: Seq[Long] = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
   val MinhashB: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
 
-  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) mod P
-    * left-to-right over its characters. */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % P)
-
-  /** DuckDB SQL fragment computing exactly [[polyHash]]. */
+  /** DuckDB SQL fragment computing the polynomial rolling hash — fold
+    * (acc*31 + codepoint) mod P left-to-right over the characters. The
+    * Spark-side implementation is the codegen'd
+    * [[graft.functions.PolyHash]] expression (same definition). */
   def polyHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
@@ -68,27 +63,13 @@ object TextHash {
 
   // ------------------------------------------------------- vector helpers
 
-  /** Deterministic dot product of two float-array columns: widen each
-    * element to double, multiply pairwise, left-fold sum (fixed order —
-    * reproducible anywhere, unlike a shuffled aggregation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
-
-  /** DuckDB fragment computing exactly [[dot]] for list columns `a`,`b` of
-    * length `dim`. */
+  /** DuckDB fragment computing the deterministic dot product of two list
+    * columns `a`,`b` of length `dim`: widen each element to double,
+    * multiply pairwise, left-fold sum — exactly the accumulation order of
+    * the Spark-side codegen'd [[graft.functions.FloatVectorDot]]. */
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$dim), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x + y)"
-
-  /** Cosine similarity built from [[dot]] — one expression, codegen'd. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
-  def cosineSql(a: String, b: String, dim: Int): String =
-    s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
 
   /** Sign-LSH bucket over the first `nBits` vector components: bit j set iff
     * v[j+1] > 0. Cheap, deterministic, balanced for zero-centered embeddings

@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * participates in whole-stage codegen: the generated Java is a tight
   * primitive loop over the two float arrays (no allocation, no virtual
   * calls), which matters when a similarity join evaluates it millions of
-  * times. Accumulation order is the same sequential left-to-right sum as the
-  * fold, so results are bit-identical to the composable version (and to the
-  * DuckDB oracle fragment).
+  * times. Accumulation order is the same sequential left-to-right sum as
+  * the DuckDB oracle fragment ([[TextHash.dotSql]]), so results are
+  * bit-identical across engines.
+  *
+  * PRECONDITION: array elements are non-null (embedding columns are dense
+  * float vectors). A null element would read as an undefined value here
+  * while the SQL fragment propagates NULL — enforce density upstream.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -97,6 +97,8 @@ object CoreOps {
     * regular cadence with no gaps the results equal [[diff2]] exactly; at
     * a gap the join yields 0 (no sample one step earlier) where lag would
     * bridge it — arguably the more physical reading of a derivative.
+    * PRECONDITION: (keys, time) is unique — duplicate timestamps would
+    * multiply rows through the self-join; dedupe upstream first.
     */
   def diff2ByJoin(df: DataFrame, partCols: Seq[String], timeCol: String,
       stepExpr: String, value: String, d1Name: String, d2Name: String): DataFrame = {
@@ -137,8 +139,12 @@ object CoreOps {
     }.select((keys ++ carry.values ++ Seq("_t", "_is_left")).map(col): _*)
     val l = left.withColumn("_t", col(leftTime)).withColumn("_is_left", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Tiebreak among right rows sharing a timestamp: order by the carried
+    // values too, so the pick is deterministic (the max carried tuple)
+    // instead of shuffle-order dependent.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_is_left"))
+      .orderBy(col("_t") +: col("_is_left") +:
+        carry.values.toSeq.sorted.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = carry.values.foldLeft(unioned) { (df, out) =>
       df.withColumn(out, last(col(out), ignoreNulls = true).over(w))

@@ -69,6 +69,21 @@ object DedupOps {
       .distinct()
   }
 
+  /** Shared tail of both jaccard paths: join per-doc distinct-shingle
+    * counts onto the intersection counts, score, threshold. */
+  private def jaccardFromIntersections(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
     * discovered via a shared-shingle equi-join (scale note in object doc). */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, w: Int,
@@ -80,16 +95,7 @@ object DedupOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+    jaccardFromIntersections(inter, sizes, threshold)
   }
 
   /** Exact Jaccard verification restricted to LSH candidate pairs — the
@@ -111,16 +117,7 @@ object DedupOps {
       .join(sh.as("b"),
         col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+    jaccardFromIntersections(inter, sizes, threshold)
   }
 
   /** 16-bit SimHash per document over its distinct word-unigram hashes:

@@ -37,11 +37,16 @@ object SimilarityOps {
       sqrt(VectorExpressions.floatDot(vec, vec)).as(s"${idName}_nrm"))
   }
 
+  /** Cosine of a candidate pair; NULL (dropped by every downstream
+    * threshold/rank) when either norm is zero — an unguarded division would
+    * diverge between engines (Spark x/0 → NULL, DuckDB 0/0 → NaN which
+    * sorts ABOVE every number there). Oracles carry the same guard. */
   private def pairCosine(a: String, b: String): Column =
-    round(
-      VectorExpressions.floatDot(col(s"${a}_e"), col(s"${b}_e")) /
-        (col(s"${a}_nrm") * col(s"${b}_nrm")),
-      6)
+    when(col(s"${a}_nrm") * col(s"${b}_nrm") > 0,
+      round(
+        VectorExpressions.floatDot(col(s"${a}_e"), col(s"${b}_e")) /
+          (col(s"${a}_nrm") * col(s"${b}_nrm")),
+        6))
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection (brute-force; see object doc for the scale path). */
@@ -81,9 +86,10 @@ object SimilarityOps {
     val cents = withNorm(centroids, id, vec, "cid")
     def assign(df: DataFrame, idName: String, cellName: String): DataFrame = {
       val scored = df.join(broadcast(cents), expr("true"))
-        .withColumn("c_sim", round(
-          VectorExpressions.floatDot(col(s"${idName}_e"), col("cid_e")) /
-            (col(s"${idName}_nrm") * col("cid_nrm")), 6))
+        .withColumn("c_sim", when(col(s"${idName}_nrm") * col("cid_nrm") > 0,
+          round(
+            VectorExpressions.floatDot(col(s"${idName}_e"), col("cid_e")) /
+              (col(s"${idName}_nrm") * col("cid_nrm")), 6)))
       val w = Window.partitionBy(col(idName))
         .orderBy(col("c_sim").desc, col("cid"))
       scored.withColumn("crk", row_number().over(w))

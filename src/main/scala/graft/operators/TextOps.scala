@@ -79,15 +79,17 @@ object TextOps {
     * partitionings, and engines — the only kind of split that can be
     * re-derived from the data itself at 100 TB. */
   def hashSplit(docs: DataFrame, id: Column, text: Column,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+      trainPct: Int = 80, valPct: Int = 10,
+      keep: Seq[Column] = Nil): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     val bucket = pmod(graft.functions.HashExpressions.polyHash(text), lit(100))
     docs.select(
-      id.as("doc_id"),
-      bucket.as("bucket"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+      id.as("doc_id") +:
+        bucket.as("bucket") +:
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split") +:
+        keep: _*)
   }
 
   /** Whole-document rolling-hash fingerprint (exact-dup key). */

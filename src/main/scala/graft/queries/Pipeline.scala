@@ -129,7 +129,7 @@ object Pipeline {
        |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings)
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) AS cos_sim
+       |    CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END AS cos_sim
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
        |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
 
@@ -145,7 +145,7 @@ object Pipeline {
        |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) AS cos_sim
+       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
        |SELECT query_id, rk, neighbor_id, cos_sim FROM (
        |  SELECT *, CAST(row_number() OVER (
@@ -166,7 +166,7 @@ object Pipeline {
        |    ${signBucketSql("embedding", LSH_BITS)} AS bucket FROM embeddings),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
-       |    round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) AS cos_sim
+       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
        |  FROM v q JOIN v c
        |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
        |SELECT query_id, rk, neighbor_id, bucket, cos_sim FROM (
@@ -192,12 +192,12 @@ object Pipeline {
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT a.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) DESC,
+       |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0 THEN round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END) DESC,
        |                 c.cid) AS crk
        |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
        |scored AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, an.cell,
-       |    round(${dotSql("q.e", "n.e", DIM)} / (q.nrm * n.nrm), 6) AS cos_sim
+       |    CASE WHEN q.nrm * n.nrm > 0 THEN round(${dotSql("q.e", "n.e", DIM)} / (q.nrm * n.nrm), 6) END AS cos_sim
        |  FROM v q
        |  JOIN assign aq ON q.vec_id = aq.vec_id AND q.vec_id < 10
        |  JOIN assign an ON an.cell = aq.cell
@@ -291,8 +291,8 @@ object Pipeline {
     * makes it oracle-able at all. */
   private val q45 = QueryDef(
     "q45_train_split",
-    (s, d) => TextOps.hashSplit(Tables.documents(s, d), col("doc_id"), col("text"))
-      .join(Tables.documents(s, d), "doc_id")
+    (s, d) => TextOps.hashSplit(Tables.documents(s, d), col("doc_id"),
+        col("text"), keep = Seq(col("lang")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n")),
     s"""SELECT lang,

@@ -75,8 +75,12 @@ object Sinks {
   /** Write telemetry in the 100 TB layout: date-partitioned,
     * trip/time-clustered within files. */
   def writeTelemetry(df: DataFrame, path: String): Unit =
+    // Repartition by (date, trip) — NOT date alone, which would funnel a
+    // whole day (potentially TBs at 1 Hz × fleet) into one task; trip
+    // granularity keeps write parallelism while the partitionBy still
+    // yields one directory per date and trips stay file-clustered.
     df.withColumn("date", to_date(col("time")))
-      .repartition(col("date"))
+      .repartition(col("date"), col("trip_id"))
       .sortWithinPartitions(col("trip_id"), col("time"))
       .write.partitionBy("date").mode("append").parquet(path)
 
