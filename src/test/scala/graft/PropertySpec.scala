@@ -73,6 +73,65 @@ class PropertySpec extends SparkSpec {
     assert(pairs.find(p => p._1 == 0 && p._2 == 1).exists(_._3 == 1.0))
   }
 
+  test("asofJoin equals a brute-force reference on random inputs") {
+    val gen = for {
+      nl <- Gen.chooseNum(1, 25)
+      nr <- Gen.chooseNum(0, 25)
+      lts <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 50L)))
+      rvs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(0L, 50L),
+        Gen.chooseNum(0.0, 9.0)))
+    } yield (lts.distinct, rvs.map(r => (r._1, r._2)).distinct.zip(rvs.map(_._3)))
+    samples(gen, 10).foreach { case (lts, rs) =>
+      val left = lts.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val right = rs.map { case ((k, t), v) => (k, t, v) }.toDF("k", "t", "v")
+      val got = graft.operators.CoreOps.asofJoin(left, right, Seq("k"), "t", "t",
+        Map("t" -> "rt", "v" -> "rv"))
+        .select("lid", "rt", "rv").as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // brute force: for each left row, the right row of that key with max
+      // rt <= t, tiebroken (like the operator) by max (rt, rv) tuple
+      val expect = lts.zipWithIndex.flatMap { case ((k, t), i) =>
+        val cands = rs.collect { case ((rk, rt), v) if rk == k && rt <= t => (rt, v) }
+        if (cands.isEmpty) None else Some(i.toLong -> cands.max)
+      }.toMap
+      assert(got == expect, s"left=$lts right=$rs")
+    }
+  }
+
+  test("flagRuns with composite keys never mixes keys") {
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.oneOf(true, false)))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, f), i) => (k, i.toLong, f) }.toDF("k", "t", "flag")
+      val runs = CoreOps.flagRuns(df, Seq(col("k")), Seq(col("t")), col("flag"))
+        .select("k", "n_rows").as[(String, Long)].collect()
+      val trueByKey = rows.groupBy(_._1).view
+        .mapValues(_.count(_._2)).toMap
+      runs.groupBy(_._1).foreach { case (k, rs) =>
+        assert(rs.map(_._2).sum == trueByKey.getOrElse(k, 0))
+      }
+    }
+  }
+
+  test("diff2ByJoin gap semantics: a cadence gap resets the diff to 0") {
+    // samples at t=1,2,5 (gap between 2 and 5)
+    val df = Seq(("k", 1L * 1000, 10.0), ("k", 2L * 1000, 14.0),
+      ("k", 5L * 1000, 20.0))
+      .map { case (k, ms, v) => (k, new java.sql.Timestamp(ms), v) }
+      .toDF("k", "time", "v")
+    val byJoin = graft.operators.CoreOps.diff2ByJoin(df, Seq("k"), "time",
+      "INTERVAL 1 SECOND", "v", "d1", "d2")
+      .orderBy("time").select("d1").as[Double].collect()
+    assert(byJoin.toSeq == Seq(0.0, 4.0, 0.0),
+      "no sample 1s earlier -> derivative resets to 0 (lag would bridge)")
+    val byLag = graft.operators.CoreOps.diff2(df, Seq(col("k")),
+      Seq(col("time")), col("v"), "d1", "d2")
+      .orderBy("time").select("d1").as[Double].collect()
+    assert(byLag.toSeq == Seq(0.0, 4.0, 6.0), "lag bridges the gap")
+  }
+
   test("minhash signatures stay within the hash field for random words") {
     samples(Gen.listOfN(5, Gen.alphaLowerStr.suchThat(_.nonEmpty)), 8)
       .foreach { words =>
