@@ -53,8 +53,10 @@ object TextHash {
   def minhashPermSql(h: String, i: Int): String =
     s"($h * ${MinhashA(i)} + ${MinhashB(i)}) % $P"
 
-  /** Combine a band of minhash values into one bucket id (same polynomial
-    * fold, no final mod needed — stays < 3.2e10). */
+  /** Combine a band of minhash values into one bucket id: polynomial fold
+    * (acc*31 + m) with mod P applied at EVERY step (so intermediates stay
+    * inside Long); [[bandBucketSql]] is the same per-step fold — port both
+    * together. */
   def bandBucket(ms: Seq[Column]): Column =
     ms.reduce((acc, m) => (acc * lit(31L) + m) % lit(P))
 

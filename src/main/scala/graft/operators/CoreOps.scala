@@ -126,32 +126,38 @@ object CoreOps {
     * Right rows sort before left rows at equal timestamps, giving `<=`
     * semantics (matching DuckDB's `ASOF JOIN ... ON l.t >= r.t`).
     * Inner semantics: left rows with no prior right row are dropped.
+    *
+    * All carried columns travel as ONE struct through a single
+    * `last(ignoreNulls)`, so the attached values always come from the same
+    * right row — carrying each column independently would stitch together a
+    * row that never existed whenever the latest right row holds NULL in one
+    * carried column (and would then drop the left row entirely, where DuckDB
+    * keeps it with a NULL payload).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       carry: Map[String, String]): DataFrame = {
-    val srcCols = ((keys :+ rightTime) ++ carry.keys).distinct
-    val r = carry.foldLeft(
-      right.select(srcCols.map(col): _*)
-        .withColumn("_t", col(rightTime))
-        .withColumn("_is_left", lit(0))) {
-      case (df, (src, out)) => df.withColumn(out, col(src))
-    }.select((keys ++ carry.values ++ Seq("_t", "_is_left")).map(col): _*)
+    // Fields sorted by output name: the struct IS the tiebreak order below.
+    val outs = carry.toSeq.map(_.swap).sortBy(_._1)
+    val r = right
+      .select((keys :+ rightTime).distinct.map(col) :+
+        struct(outs.map { case (out, src) => col(src).as(out) }: _*).as("_carry"): _*)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_is_left", lit(0))
+      .select((keys.map(col) :+ col("_carry") :+ col("_t") :+ col("_is_left")): _*)
     val l = left.withColumn("_t", col(leftTime)).withColumn("_is_left", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Tiebreak among right rows sharing a timestamp: order by the carried
-    // values too, so the pick is deterministic (the max carried tuple)
+    // struct too, so the pick is deterministic (the max carried tuple)
     // instead of shuffle-order dependent.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t") +: col("_is_left") +:
-        carry.values.toSeq.sorted.map(col): _*)
+      .orderBy(col("_t"), col("_is_left"), col("_carry"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.values.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_is_left") === 1)
-      .where(carry.values.map(out => col(out).isNotNull).reduce(_ && _))
-      .drop("_t", "_is_left")
+    val carried = unioned
+      .withColumn("_carry", last(col("_carry"), ignoreNulls = true).over(w))
+    carried.where(col("_is_left") === 1 && col("_carry").isNotNull)
+      .select(left.columns.map(col) ++
+        outs.map { case (out, _) => col(s"_carry.$out").as(out) }: _*)
   }
 
   /** W4 — gaps-and-islands run detection: one output row per maximal

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Deterministic per-row salt: a content hash of every column, so a
+    * re-executed map task assigns the SAME salt to the same row. Salting from
+    * spark_partition_id()/monotonically_increasing_id() is the classic
+    * non-deterministic-shuffle-key hazard (SPARK-23207): after a shuffle-fetch
+    * failure, recomputed tasks re-salt rows differently while some reducers
+    * already consumed the old output — duplicating or dropping rows. Identical
+    * rows hash to the same salt (they are indistinguishable anyway), which
+    * still spreads a hot KEY as long as its payloads vary. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
   /** Two-phase skew-safe aggregation: aggregate on (key, salt) first —
     * spreading a hot key over `salts` partial groups — then combine.
     * The aggregate list must be algebraically combinable (sum/count/min/max
@@ -26,7 +37,7 @@ object ScaleOps {
       salts: Int,
       partial: Seq[Column],
       combine: Seq[Column]): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("_salt", contentSalt(df, salts))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col("_key"))
@@ -38,8 +49,7 @@ object ScaleOps {
     * a moderately-sized right side; for dimension tables just broadcast. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts)))
+    val saltedLeft = left.withColumn("_salt", contentSalt(left, salts))
     val replicatedRight = right
       .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("_salt", col("_salt").cast("long"))

@@ -100,7 +100,10 @@ object Sinks {
       .write.mode("append").parquet(path)
   }
 
-  /** S4 — ledger tail read (latest row). */
+  /** S4 — ledger tail read (latest row). A missing ledger means "never ran"
+    * → None; any OTHER failure (corrupt files, permissions) propagates —
+    * swallowing it would make a replay driver silently restart from scratch
+    * instead of resuming. */
   def latestLedger(spark: SparkSession, path: String): Option[(Timestamp, Timestamp)] = {
     import spark.implicits._
     try spark.read.parquet(path)
@@ -108,6 +111,9 @@ object Sinks {
       .limit(1)
       .as[(Timestamp, Timestamp)]
       .collect().headOption
-    catch { case _: Exception => None }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
   }
 }

@@ -102,13 +102,23 @@ object Streaming {
       .drop("from_minute", "cand_minute")
   }
 
-  /** Streaming exact deduplication: drop repeats of `idCols` with bounded
-    * state — the watermark lets Spark evict seen-keys older than the delay,
-    * so state is O(keys per watermark window), not O(all keys ever). The
-    * streaming face of [[graft.operators.DedupOps]]' exact path. */
+  /** Streaming exact deduplication of (ids, event-time) EXACT repeats with
+    * bounded state — the event time is part of the dedup key, which is what
+    * lets the watermark evict seen keys (a record with the same ids at a
+    * different event time is retained; use [[dedupStreamById]] for true
+    * id-dedup). The streaming face of [[graft.operators.DedupOps]]' exact
+    * path. */
   def dedupStream(df: DataFrame, timeCol: String, idCols: Seq[String]): DataFrame =
     df.withWatermark(timeCol, WatermarkDelay)
       .dropDuplicates(idCols :+ timeCol)
+
+  /** True id-dedup within the watermark horizon: repeats of `idCols` are
+    * dropped regardless of their event time, as long as they arrive within
+    * the watermark delay of the first occurrence — state is still evictable
+    * because expiry is tracked per key. */
+  def dedupStreamById(df: DataFrame, timeCol: String, idCols: Seq[String]): DataFrame =
+    df.withWatermark(timeCol, WatermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** W4/W6 streaming — flag-delimited sessionization via
     * flatMapGroupsWithState keyed by trip. A session is a maximal contiguous
