@@ -76,13 +76,22 @@ object TextHash {
   /** Sign-LSH bucket over the first `nBits` vector components: bit j set iff
     * v[j+1] > 0. Cheap, deterministic, balanced for zero-centered embeddings
     * — the bucketed ANN scale path. */
-  def signBucket(v: Column, nBits: Int): Column =
-    (1 to nBits).map(j =>
-      when(element_at(v, j) > lit(0f), lit(1 << (j - 1))).otherwise(lit(0)))
-      .reduce(_ + _)
+  def signBucket(v: Column, nBits: Int): Column = signBucketAt(v, nBits, 0)
 
   def signBucketSql(v: String, nBits: Int): String =
+    signBucketAtSql(v, nBits, 0)
+
+  /** [[signBucket]] over components `offset+1 .. offset+nBits` — disjoint
+    * offsets give INDEPENDENT hash tables for multi-table LSH (union of
+    * per-table candidates recovers pairs a single table's sign boundary
+    * splits). */
+  def signBucketAt(v: Column, nBits: Int, offset: Int): Column =
     (1 to nBits).map(j =>
-      s"(CASE WHEN $v[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+      when(element_at(v, offset + j) > lit(0f), lit(1 << (j - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  def signBucketAtSql(v: String, nBits: Int, offset: Int): String =
+    (1 to nBits).map(j =>
+      s"(CASE WHEN $v[${offset + j}] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
       .mkString(" + ")
 }

@@ -49,7 +49,9 @@ object SimilarityOps {
         6))
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    * detection (brute-force; see object doc for the scale path). */
+    * detection. Brute-force all-pairs: the small-data / verification path
+    * ONLY (the theta join is O(n²) pairs over the corpus); discovery at
+    * scale is [[cosinePairsBucketed]]. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
     val v = withNorm(emb, id, vec, "va")
@@ -58,6 +60,36 @@ object SimilarityOps {
       .withColumn("cos_sim", pairCosine("va", "vb"))
       .where(col("cos_sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+  }
+
+  /** Scale path for near-dup pair DISCOVERY: multi-table sign-LSH. Each of
+    * `tables` independent hash tables buckets vectors by the signs of a
+    * disjoint component range ([[graft.functions.TextHash.signBucketAt]]);
+    * candidate pairs are bucket-equality self-joins — shuffled HASH joins on
+    * a ~uniform key, never a nested-loop — so compared pairs shrink from n²/2
+    * to Σ bucket² per table. Multiple tables recover the pairs any single
+    * table's sign boundary splits (recall rises as 1-(1-p)^tables). The
+    * same pair can collide in several tables; cos_sim is rounded and
+    * deterministic, so the final distinct dedupes exactly. Approximate by
+    * design (recall < 1 vs [[cosinePairs]]) — deterministic buckets keep it
+    * oracle-checkable. */
+  def cosinePairsBucketed(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, nBits: Int, tables: Int): DataFrame = {
+    val v = withNorm(emb, id, vec, "v")
+    val banded = v.select(col("v"), col("v_e"), col("v_nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucketAt(col("v_e"), nBits, t * nBits).as("bucket"))): _*)).as("tb"))
+      .select(col("v"), col("v_e"), col("v_nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    def side(n: String) = banded.select(col("v").as(n), col("v_e").as(s"${n}_e"),
+      col("v_nrm").as(s"${n}_nrm"), col("tbl"), col("bucket"))
+    side("va").join(side("vb"), Seq("tbl", "bucket"))
+      .where(col("va") < col("vb"))
+      .withColumn("cos_sim", pairCosine("va", "vb"))
+      .where(col("cos_sim") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+      .distinct()
   }
 
   /** Exact top-k cosine neighbors for each query vector. */

@@ -19,6 +19,7 @@ object Pipeline {
   private val ANN_K = 5
   private val LSH_BITS = 4
   private val LSH_K = 3
+  private val LSH_TABLES = 4
 
   /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs. */
   private def shingleCte: String =
@@ -131,6 +132,34 @@ object Pipeline {
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END AS cos_sim
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
+
+  /** Near-dup pair discovery via multi-table sign-LSH — q35's scale path:
+    * bucket-equality hash self-joins (PlanSpec asserts no nested-loop join)
+    * instead of the all-pairs theta join. 4 tables × 4 sign bits over
+    * disjoint component ranges (recall ≈ 1-(1-p)⁴, p = (1-θ/π)^bits). */
+  private val q46 = QueryDef(
+    "q46_cosine_neardup_bucketed",
+    (s, d) => SimilarityOps.cosinePairsBucketed(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T,
+      LSH_BITS, LSH_TABLES),
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |b AS (
+       |  ${(0 until LSH_TABLES).map(t =>
+            s"SELECT vec_id, $t AS tbl, " +
+              s"${signBucketAtSql("e", LSH_BITS, t * LSH_BITS)} AS bucket FROM v")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM b x JOIN b y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |    CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END AS cos_sim
+       |  FROM cand c
+       |  JOIN v a ON c.vec_a = a.vec_id
+       |  JOIN v b ON c.vec_b = b.vec_id
        |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
 
   private val q36 = QueryDef(
@@ -303,5 +332,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45)
+    q45, q46)
 }

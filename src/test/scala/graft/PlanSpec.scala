@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
     assert(joinSection.length >= 2, "pair join expected")
   }
 
+  test("q46 bucketed near-dup: hash/equi join on buckets, never nested-loop") {
+    val p = plan("q46_cosine_neardup_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair discovery must be an equi join on the LSH bucket:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/equi join:\n$p")
+    assert(p.contains("float_vector_dot"), "native dot expression expected")
+  }
+
   test("q31 minhash: codegen'd poly_hash, no UDFs anywhere") {
     val p = plan("q31_minhash_signatures")
     assert(p.contains("poly_hash"))
