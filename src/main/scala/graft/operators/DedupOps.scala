@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashExpressions
 import graft.functions.TextHash._
@@ -54,20 +55,65 @@ object DedupOps {
       .agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: 2 bands × 4 rows; a pair is a candidate iff some
-    * band's 4 minhashes all agree. Output (doc_a < doc_b), distinct. */
-  def lshCandidatePairs(sig: DataFrame): DataFrame = {
-    val bands = sig.select(
+  /** A bucket a pair-generating self-join may NOT process whole: above this,
+    * bucket² pairs degenerate one task (the boilerplate-heavy-corpus hot
+    * bucket). Buckets up to the cap are grid-split for parallelism; buckets
+    * beyond it are dropped from pair generation (their members are near-
+    * certain duplicates of each other anyway — cluster them wholesale) and
+    * surfaced via [[oversizedLshBuckets]]. */
+  val MaxBucket: Int = 100000
+
+  /** Target rows per grid cell when splitting a large bucket. */
+  val GridCell: Int = 4096
+
+  /** (doc_id, band, bucket) rows — one per signature band. */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(
       col("doc_id"),
       bandBucket((0 to 3).map(i => col(s"m$i"))).as("band0"),
       bandBucket((4 to 7).map(i => col(s"m$i"))).as("band1"))
       .selectExpr("doc_id", "stack(2, 0, band0, 1, band1) as (band, b)")
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.b") === col("y.b") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+
+  /** LSH candidate pairs: 2 bands × 4 rows; a pair is a candidate iff some
+    * band's 4 minhashes all agree. Output (doc_a < doc_b), distinct.
+    *
+    * Skew defense (output-preserving): every bucket is size-counted (window
+    * over the same (band, b) key the join shuffles on); a bucket larger than
+    * `cellTarget` is decomposed into a g×g grid of cells (g = ⌈n/cellTarget⌉,
+    * group = content hash of doc_id — deterministic under task retry), so
+    * its bucket² pair comparisons spread over ~g²/2 tasks instead of one.
+    * Every unordered pair still meets in EXACTLY the cell
+    * (min(g_a,g_b), max(g_a,g_b)): a row is the left side of cells
+    * (g, g..ng-1) and the right side of cells (0..g, g), and results are
+    * normalized least/greatest + distinct — so the output is identical to
+    * the naive self-join, for any cellTarget. Buckets beyond `maxBucket` are
+    * dropped (flagged by [[oversizedLshBuckets]] — drop-and-flag, the
+    * standard web-dedup treatment of degenerate boilerplate buckets). */
+  def lshCandidatePairs(sig: DataFrame, maxBucket: Int = MaxBucket,
+      cellTarget: Int = GridCell): DataFrame = {
+    val sized = bandRows(sig)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("b"))))
+      .where(col("_n") <= maxBucket)
+      .withColumn("_ng", greatest(
+        ceil(col("_n").cast("double") / cellTarget).cast("long"), lit(1L)))
+      .withColumn("_g", pmod(xxhash64(col("doc_id")), col("_ng")))
+    val x = sized.select(col("doc_id").as("doc_x"), col("band"), col("b"),
+      col("_g").as("_ca"), explode(sequence(col("_g"), col("_ng") - 1)).as("_cb"))
+    val y = sized.select(col("doc_id").as("doc_y"), col("band"), col("b"),
+      explode(sequence(lit(0L), col("_g"))).as("_ca"), col("_g").as("_cb"))
+    x.join(y, Seq("band", "b", "_ca", "_cb"))
+      .where(col("doc_x") =!= col("doc_y"))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
       .distinct()
   }
+
+  /** The buckets [[lshCandidatePairs]] refuses to pair-expand at the current
+    * cap — report/cluster these wholesale instead of silently dropping. */
+  def oversizedLshBuckets(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    bandRows(sig).groupBy(col("band"), col("b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucket)
 
   /** Shared tail of both jaccard paths: join per-doc distinct-shingle
     * counts onto the intersection counts, score, threshold. */

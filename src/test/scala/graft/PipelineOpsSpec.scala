@@ -30,6 +30,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)), "unrelated docs must not collide")
   }
 
+  test("lsh skew defense: grid-split pairs equal the naive self-join on a hot bucket") {
+    // Adversarial fixture: 120 exact-duplicate docs -> identical signatures
+    // -> ONE bucket holding all of them in both bands (the boilerplate-heavy
+    // corpus case), plus unrelated docs in other buckets.
+    val hot = (0L until 120L).map(i => (i, "common boilerplate header text"))
+    val rest = Seq((200L, "the cat sat on the mat"),
+      (201L, "the cat sat on the mat"),
+      (202L, "unrelated words entirely different"))
+    val sig = DedupOps.minhashSignatures(
+      (hot ++ rest).toDF("doc_id", "text"), col("doc_id"), col("text"), 2)
+    val naive = DedupOps.lshCandidatePairs(sig) // cap/cell far above 120
+      .as[(Long, Long)].collect().toSet
+    assert(naive.size >= 120 * 119 / 2, "hot bucket must pair out fully")
+    // tiny cell target -> the hot bucket splits into a ~15x15 grid
+    val grid = DedupOps.lshCandidatePairs(sig, cellTarget = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(grid == naive, "grid decomposition must preserve the pair set")
+    // drop-and-flag: a cap below the hot bucket drops exactly its pairs...
+    val capped = DedupOps.lshCandidatePairs(sig, maxBucket = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((200L, 201L)))
+    // ...and the dropped bucket is reported, not silently swallowed
+    val over = DedupOps.oversizedLshBuckets(sig, maxBucket = 50)
+      .select("n_docs").as[Long].collect()
+    assert(over.nonEmpty && over.forall(_ == 120L))
+  }
+
   test("jaccardPairs finds exact and near duplicates with correct scores") {
     val pairs = DedupOps
       .jaccardPairs(docs, col("doc_id"), col("text"), 2, 0.3)
