@@ -170,19 +170,35 @@ object CoreOps {
     */
   def flagRuns(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
       flag: Column, runStart: String = "start_ts", runEnd: String = "end_ts",
-      runLen: String = "n_rows"): DataFrame = {
+      runLen: String = "n_rows"): DataFrame =
+    flagRunAgg(df, partCols, orderCols, flag, Nil, runStart, runEnd, runLen)
+
+  /** [[flagRuns]] carrying arbitrary per-run aggregates: because every
+    * sample already knows its run id (the same gaps-and-islands cumulative
+    * sum), any per-session statistic is ONE aggregation on the run key — no
+    * session × telemetry interval join at all. The window sort and the
+    * groupBy share the `partCols` shuffle, so a full per-session describe
+    * over N columns costs exactly one shuffle at any scale.
+    *
+    * Equivalent to the join formulation (re-reading samples BETWEEN the
+    * run's min/max order value) whenever `orderCols.head` is unique per
+    * partition — 1 Hz telemetry is; asserted in ZtbusSpec. */
+  def flagRunAgg(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+      flag: Column, aggs: Seq[Column], runStart: String = "start_ts",
+      runEnd: String = "end_ts", runLen: String = "n_rows"): DataFrame = {
     val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(flag, 1).over(w)
     val changed = when(prev.isNull || prev =!= flag, 1L).otherwise(0L)
+    val base = Seq(
+      min(orderCols.head).as(runStart),
+      max(orderCols.head).as(runEnd),
+      count(lit(1)).as(runLen)) ++ aggs
     df.withColumn("_flag", flag)
       .withColumn("_run_id", sum(changed).over(cum))
       .where(col("_flag"))
       .groupBy(partCols :+ col("_run_id"): _*)
-      .agg(
-        min(orderCols.head).as(runStart),
-        max(orderCols.head).as(runEnd),
-        count(lit(1)).as(runLen))
+      .agg(base.head, base.tail: _*)
       .drop("_run_id")
   }
 }

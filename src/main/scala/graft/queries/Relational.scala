@@ -580,8 +580,54 @@ object Relational {
       |    AND l_shipdate < TIMESTAMP '1996-07-01'
       |) t""".stripMargin)
 
+  /** W4 + A13 composed — per-SESSION describe stats (the reference's 32
+    * brake-session stats algorithms, other_metrics.py:41-246, faithfully
+    * triggered on flag-run windows, windows.py:25-37): run detection and the
+    * full describe in ONE aggregation via [[CoreOps.flagRunAgg]] — no
+    * session × samples re-read. The ztbus face is
+    * [[graft.ztbus.Algorithms.brakeSessionStats]] (16 columns × 2 triggers);
+    * this single-column form is the oracle-checkable equivalent. */
+  private val q47 = QueryDef(
+    "q47_session_stats",
+    (s, d) => CoreOps.flagRunAgg(
+      Tables.events(s, d), Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+      col("value") >= 250,
+      Seq(
+        davg(col("value")).as("mean_v"),
+        round(stddev_samp(col("value")), 4).as("std_v"),
+        min(col("value")).as("vmin"),
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.50)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+        max(col("value")).as("vmax")),
+      runStart = "time_from", runEnd = "time_to", runLen = "n_samples"),
+    """WITH flagged AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |    (value >= 250) AS flag
+      |  FROM events
+      |), chg AS (
+      |  SELECT *, CASE WHEN LAG(flag) OVER w IS NULL
+      |                   OR LAG(flag) OVER w <> flag THEN 1 ELSE 0 END AS c
+      |  FROM flagged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), runs AS (
+      |  SELECT *, SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                         ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM chg
+      |)
+      |SELECT user_id, min(ts) AS time_from, max(ts) AS time_to,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(value) AS mean_v,
+      |  round(stddev_samp(value), 4) AS std_v,
+      |  min(value) AS vmin,
+      |  round(quantile_cont(value, 0.25), 4) AS p25,
+      |  round(quantile_cont(value, 0.50), 4) AS p50,
+      |  round(quantile_cont(value, 0.75), 4) AS p75,
+      |  max(value) AS vmax
+      |FROM runs WHERE flag GROUP BY user_id, run_id""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q44)
+    q25, q26, q27, q28, q29, q44, q47)
 }

@@ -55,13 +55,24 @@ object Algorithms {
       WindowTypes.EveryMinutePerTripPerBus,
       Seq("articulation_var", "brake_pressure_mean")))
 
-  /** The 30 commented-out per-column stats algorithms
-    * (reference other_metrics.py:41-246) as registry entries over the
-    * [[describePerMinute]] template. */
-  def statsRegistry: Seq[Algorithm] = statsColumns.map(c =>
-    Algorithm(s"DescribeStats_$c", "0.1.0",
-      WindowTypes.EveryMinutePerTripPerBus,
-      Seq("n", "vmin", "vmax", "p25", "p50", "p75", "mean_v")))
+  /** The 32 commented-out per-column stats algorithms (reference
+    * other_metrics.py:41-246): 16 columns × 2 brake-session triggers, names
+    * and versions matching the reference decorators (e.g.
+    * `@proc.algorithm("GnssAltitudeHaltBrakeStats", "1.0.0",
+    * HaltBrakeApplied)`, other_metrics.py:62). Computed by
+    * [[brakeSessionStats]]; result fields mirror the reference StructResult
+    * (other_metrics.py:28-37). */
+  def statsRegistry: Seq[Algorithm] =
+    Seq(("HaltBrake", WindowTypes.HaltBrakeApplied),
+        ("ParkBrake", WindowTypes.ParkBrakeApplied)).flatMap {
+      case (trig, windowType) => statsColumns.map(c =>
+        Algorithm(s"${camelize(c)}${trig}Stats", "1.0.0", windowType,
+          Seq("mean", "std", "min", "25p", "50p", "75p", "max")))
+    }
+
+  /** snake_case column → the reference's CamelCase algorithm-name prefix. */
+  private[ztbus] def camelize(column: String): String =
+    column.split('_').map(_.capitalize).mkString
 
   /** E2/S6 — the EveryMinutePerTripPerBus fan-out as WindowEvent rows
     * (faithful mode): one event per active (minute, trip, bus, route),
@@ -199,27 +210,95 @@ object Algorithms {
       lit(origin).as("origin"),
       map(lit("trip_id"), col("trip_id").cast("string")).as("metadata"))
 
-  /** The A13 describe-stats template instantiated for the 30 commented-out
-    * per-column stats algorithms (reference other_metrics.py:41-246): one
-    * reusable transform, one groupBy per column set. */
+  /** The 16 telemetry columns the reference's stats algorithms describe
+    * (other_metrics.py:41-246 — the `_helper(column, ...)` arguments),
+    * including the four GNSS columns (nullable: pandas describe and Spark
+    * aggregates both skip nulls). */
   val statsColumns: Seq[String] = Seq(
-    "electric_power_demand", "temperature_ambient", "traction_brake_pressure",
-    "traction_traction_force", "odometry_articulation_angle",
-    "odometry_steering_angle", "odometry_vehicle_speed",
+    "electric_power_demand", "traction_brake_pressure",
+    "traction_traction_force",
+    "gnss_altitude", "gnss_course", "gnss_latitude", "gnss_longitude",
+    "odometry_articulation_angle", "odometry_steering_angle",
+    "odometry_vehicle_speed",
     "odometry_wheel_speed_fl", "odometry_wheel_speed_fr",
     "odometry_wheel_speed_ml", "odometry_wheel_speed_mr",
     "odometry_wheel_speed_rl", "odometry_wheel_speed_rr")
+
+  /** The reference StructResult stats (other_metrics.py:28-37): pandas
+    * describe's mean/std/min/25%/50%/75%/max. std is sample std (ddof=1);
+    * percentiles are linearly interpolated — Spark's `percentile` matches
+    * pandas exactly. std/percentiles rounded to 4 decimals (order-dependent
+    * accumulation), mean via order-independent decimal sum. */
+  private def describeAggs(c: String): Seq[Column] = {
+    val v = col(c)
+    Seq(
+      graft.functions.Exact.davg(v).as(s"${c}__mean"),
+      round(stddev_samp(v), 4).as(s"${c}__std"),
+      min(v).as(s"${c}__min"),
+      round(percentile(v, lit(0.25)), 4).as(s"${c}__25p"),
+      round(percentile(v, lit(0.50)), 4).as(s"${c}__50p"),
+      round(percentile(v, lit(0.75)), 4).as(s"${c}__75p"),
+      max(v).as(s"${c}__max"))
+  }
+
+  private val DescribeStatNames = Seq("mean", "std", "min", "25p", "50p", "75p", "max")
+
+  /** All 16 per-column stats over one brake-session trigger in ONE pass —
+    * the real other_metrics semantics: the reference fires each of its 32
+    * algorithms per emitted HaltBrakeApplied/ParkBrakeApplied session window
+    * and re-reads that session's telemetry per algorithm
+    * (other_metrics.py:5-13, windows.py:25-37); here every sample already
+    * knows its session (gaps-and-islands run id), so all 112 aggregates run
+    * in one shuffle with NO session × telemetry join — at 100 TB that is 32
+    * scans collapsed into one. Output is long-form
+    * (trip_id, time_from, time_to, n_samples, column, stat, value), one row
+    * per algorithm result field. */
+  def brakeSessionStats(telemetry: DataFrame, flagCol: String): DataFrame = {
+    val wide = CoreOps.flagRunAgg(
+      telemetry, Seq(col("trip_id")), Seq(col("time"), col("id")),
+      col(flagCol), statsColumns.flatMap(describeAggs),
+      runStart = "time_from", runEnd = "time_to", runLen = "n_samples")
+    val stacked = statsColumns.flatMap(c =>
+      DescribeStatNames.map(st =>
+        struct(lit(c).as("column"), lit(st).as("stat"),
+          col(s"${c}__$st").as("value"))))
+    wide.select(col("trip_id"), col("time_from"), col("time_to"),
+        col("n_samples"), explode(array(stacked: _*)).as("r"))
+      .select(col("trip_id"), col("time_from"), col("time_to"),
+        col("n_samples"), col("r.column"), col("r.stat"), col("r.value"))
+  }
+
+  /** [[brakeSessionStats]] in the S7 result-sink shape: one row per
+    * (algorithm, version, session window), payload keyed by the reference's
+    * StructResult field names. */
+  def brakeSessionStatsAsResults(telemetry: DataFrame, flagCol: String,
+      windowType: (String, String)): DataFrame = {
+    val trig = if (windowType == WindowTypes.ParkBrakeApplied) "ParkBrake"
+      else "HaltBrake"
+    val camelized = typedLit(statsColumns.map(c => c -> camelize(c)).toMap)
+    brakeSessionStats(telemetry, flagCol)
+      .groupBy(col("trip_id"), col("time_from"), col("time_to"), col("column"))
+      .agg(map_from_entries(collect_list(struct(col("stat"), col("value"))))
+        .as("payload"))
+      .select(col("trip_id"), col("time_from"), col("time_to"),
+        concat(element_at(camelized, col("column")), lit(s"${trig}Stats"))
+          .as("algorithm"),
+        lit("1.0.0").as("version"), lit(windowType._1).as("name"),
+        col("payload"))
+  }
 
   def describePerMinute(telemetry: DataFrame, column: String): DataFrame =
     CoreOps.describeStats(
       telemetry, Seq(minuteOf(col("time")).as("minute"), col("trip_id")),
       col(column))
 
-  /** All 30 stats algorithms in ONE aggregation pass: 13 columns × 7 stats
-    * as a single wide groupBy instead of 13 separate scans — at 100 TB this
-    * is 13× less I/O for the same results. Output is long-form
-    * (minute, trip_id, column, stat, value) via an unpivot, matching the
-    * result-per-algorithm sink shape. */
+  /** Per-minute describe over all 16 stats columns in ONE aggregation pass
+    * (a single wide groupBy instead of 16 separate scans — 16× less I/O).
+    * NOTE: an extension — the reference's stats algorithms trigger on brake
+    * SESSION windows ([[brakeSessionStats]] is the faithful semantic); this
+    * per-minute variant reuses the same template on the EveryMinute grid.
+    * Output is long-form (minute, trip_id, column, stat, value) via an
+    * unpivot, matching the result-per-algorithm sink shape. */
   def describeAllPerMinute(telemetry: DataFrame): DataFrame = {
     val aggs = statsColumns.flatMap { c =>
       val v = col(c)

@@ -26,8 +26,18 @@ class FanOutSpec extends SparkSpec {
       Fixtures.telemetry().toDF(), Fixtures.trips.toDF()).count())
   }
 
-  test("statsRegistry exposes the 13 describe-stats algorithms") {
-    assert(Algorithms.statsRegistry.size == Algorithms.statsColumns.size)
-    assert(Algorithms.statsRegistry.forall(_.name.startsWith("DescribeStats_")))
+  test("statsRegistry exposes the reference's 32 brake-session stats algorithms") {
+    val reg = Algorithms.statsRegistry
+    assert(reg.size == 32 && Algorithms.statsColumns.size == 16)
+    // exact reference decorator names (other_metrics.py:41,62,145,166)
+    val names = reg.map(_.name).toSet
+    assert(names.contains("ElectricPowerDemandHaltBrakeStats"))
+    assert(names.contains("GnssAltitudeHaltBrakeStats"))
+    assert(names.contains("OdometryWheelSpeedRrParkBrakeStats"))
+    assert(reg.forall(_.version == "1.0.0"))
+    assert(reg.count(_.trigger == graft.ztbus.WindowTypes.HaltBrakeApplied) == 16)
+    assert(reg.count(_.trigger == graft.ztbus.WindowTypes.ParkBrakeApplied) == 16)
+    assert(reg.forall(_.resultCols ==
+      Seq("mean", "std", "min", "25p", "50p", "75p", "max")))
   }
 }

@@ -55,6 +55,72 @@ class ZtbusSpec extends SparkSpec {
       (1L, ts("2021-03-09 14:23:25"), ts("2021-03-09 14:23:44"), 20L)))
   }
 
+  test("brakeSessionStats: one row per (session, column, stat), correct values") {
+    val stats = Algorithms.brakeSessionStats(telemetry, "status_halt_brake_is_active")
+    // 3 halt sessions × 16 columns × 7 stats
+    assert(stats.count() == 3L * 16 * 7)
+    // trip 1's first halt session is s in [50, 70): check speed stats by hand
+    val speeds = (50 until 70).map(s => 6.0 + 3.0 * math.sin(s / 20.0 + 1))
+    val m = stats.where(col("trip_id") === 1 &&
+        col("time_from") === ts("2021-03-09 14:15:55") &&
+        col("column") === "odometry_vehicle_speed")
+      .collect().map(r => r.getAs[String]("stat") -> r.getAs[Double]("value"))
+      .toMap
+    assert(m.keySet == Set("mean", "std", "min", "25p", "50p", "75p", "max"))
+    assert(math.abs(m("mean") - speeds.sum / speeds.size) < 1e-9)
+    assert(m("min") == speeds.min && m("max") == speeds.max)
+    val sessionRow = stats.where(col("trip_id") === 1 &&
+        col("time_from") === ts("2021-03-09 14:15:55")).head()
+    assert(sessionRow.getAs[Timestamp]("time_to") == ts("2021-03-09 14:16:14"))
+    assert(sessionRow.getAs[Long]("n_samples") == 20L)
+  }
+
+  test("brakeSessionStats skips NULL GNSS samples like pandas describe") {
+    // trip 2's halt session s in [0,30) has every 7th GNSS row NULL
+    val alt = Algorithms
+      .brakeSessionStats(telemetry, "status_halt_brake_is_active")
+      .where(col("trip_id") === 2 && col("column") === "gnss_altitude")
+      .collect().map(r => r.getAs[String]("stat") -> r.getAs[Double]("value"))
+      .toMap
+    val present = (0 until 30).filter(_ % 7 != 0).map(s => 400.0 + s * 0.01)
+    assert(math.abs(alt("mean") - present.sum / present.size) < 1e-9)
+    assert(alt("min") == present.min && alt("max") == present.max)
+  }
+
+  test("brakeSessionStats equals the session x telemetry interval-join formulation") {
+    // the reference re-reads telemetry BETWEEN time_from AND time_to per
+    // session (other_metrics.py:5-13); with unique 1 Hz sample times the
+    // run-id aggregation must produce identical stats
+    val sessions = Algorithms.brakeSessions(telemetry, "status_halt_brake_is_active")
+      .withColumnRenamed("trip_id", "s_trip")
+    val joined = telemetry.join(sessions,
+      col("trip_id") === col("s_trip") &&
+        col("time").between(col("time_from"), col("time_to")))
+    val byJoin = graft.operators.CoreOps.describeStats(
+      joined, Seq(col("trip_id"), col("time_from")), col("gnss_course"))
+      .select("trip_id", "time_from", "p50", "mean_v")
+      .as[(Long, Timestamp, Double, Double)].collect().toSet
+    val byRun = Algorithms
+      .brakeSessionStats(telemetry, "status_halt_brake_is_active")
+      .where(col("column") === "gnss_course" && col("stat").isin("50p", "mean"))
+      .groupBy("trip_id", "time_from")
+      .pivot("stat", Seq("50p", "mean")).agg(first(col("value")))
+      .as[(Long, Timestamp, Double, Double)].collect().toSet
+    assert(byRun == byJoin)
+  }
+
+  test("brakeSessionStatsAsResults emits reference algorithm names + payloads") {
+    val res = Algorithms.brakeSessionStatsAsResults(
+      telemetry, "status_park_brake_is_active",
+      graft.ztbus.WindowTypes.ParkBrakeApplied)
+    assert(res.count() == 16L) // 1 park session × 16 columns
+    val r = res.where(col("algorithm") === "GnssAltitudeParkBrakeStats").head()
+    assert(r.getAs[String]("name") == "ParkBrakeApplied")
+    assert(r.getAs[String]("version") == "1.0.0")
+    val payload = r.getAs[Map[String, Double]]("payload")
+    assert(payload.keySet == Set("mean", "std", "min", "25p", "50p", "75p", "max"))
+  }
+
   test("sessionsAsWindowEvents carries the window-type contract") {
     val ev = Algorithms.sessionsAsWindowEvents(
       Algorithms.brakeSessions(telemetry, "status_halt_brake_is_active"),
@@ -92,7 +158,7 @@ class ZtbusSpec extends SparkSpec {
     assert(Algorithms.perMinuteMetrics(df, trips).count() > 0)
   }
 
-  test("describeAllPerMinute: one pass equals the 13 per-column passes") {
+  test("describeAllPerMinute: one pass equals the per-column passes") {
     val all = Algorithms.describeAllPerMinute(telemetry)
     val one = Algorithms.describePerMinute(telemetry, "odometry_vehicle_speed")
       .where(col("trip_id") === 1 && col("minute") === ts("2021-03-09 14:18:00"))
