@@ -53,6 +53,42 @@ object Sources {
       .as[Telemetry]
   }
 
+  /** S1 over a JDBC row store — the reference's PRIMARY source is Postgres
+    * (connection at reference processor/db.py:9-19, cursor read at
+    * processor/main.py:147-155). The reference streams one cursor; here the
+    * read is range-partitioned on `partitionColumn` into `numPartitions`
+    * disjoint-range queries issued in parallel from the executors, each with
+    * `fetchsize`-batched row transfer — the scan parallelism a 1000-executor
+    * cluster needs from a relational source. Predicates and projection
+    * still push down: Spark's JDBC relation compiles `.where`/`.select`
+    * into server-side WHERE/SELECT lists. */
+  def telemetryJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, fetchSize: Int = 10000,
+      connProps: Map[String, String] = Map.empty): DataFrame = {
+    val props = new java.util.Properties()
+    connProps.foreach { case (k, v) => props.setProperty(k, v) }
+    props.setProperty("fetchsize", fetchSize.toString)
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+  }
+
+  /** [[readTelemetry]] over a JDBC source: the same ≥1-predicate contract
+    * and projection, with the predicates reaching the remote database as
+    * WHERE clauses on every partition query. */
+  def readTelemetryJdbc(spark: SparkSession, url: String, table: String,
+      cols: Seq[String],
+      tripId: Option[Long] = None,
+      timeFrom: Option[Timestamp] = None,
+      timeTo: Option[Timestamp] = None,
+      partitionColumn: String = "trip_id",
+      lowerBound: Long = 0L, upperBound: Long = 1L << 20,
+      numPartitions: Int = 32): DataFrame =
+    readTelemetry(
+      telemetryJdbc(spark, url, table, partitionColumn, lowerBound,
+        upperBound, numPartitions),
+      cols, tripId, timeFrom, timeTo)
+
   /** S1 — the reference's telemetry read API: ≥1 predicate required,
     * closed time interval, explicit projection; predicates reach the scan
     * (PushedFilters / partition pruning). Mirrors
