@@ -120,6 +120,34 @@ object Streaming {
     df.withWatermark(timeCol, WatermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** E2/S6 faithful cascade, stage-2 subscription: a streaming read of the
+    * window-event TOPIC an upstream query appends to — here a parquet
+    * directory, the file-based analog of the reference's emit path where the
+    * sessionizer publishes window events and downstream algorithms consume
+    * them (processor/main.py:356-369). The file source replays
+    * deterministically from the checkpoint on restart, so a stage-1 sink +
+    * stage-2 source compose into an exactly-once cascade. */
+  def sessionTopic(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionOut]].schema)
+      .parquet(dir)
+      .as[SessionOut]
+  }
+
+  /** Stage-2 aggregation of the cascade: per-trip braking load per minute of
+    * session start, computed from EMITTED session windows (not raw
+    * telemetry) — the downstream-algorithm role of the reference's
+    * per-window metric queries. Append mode: rows finalize when the
+    * watermark passes the minute. */
+  def sessionMinuteAgg(sessions: DataFrame): DataFrame =
+    sessions
+      .withWatermark("time_from", WatermarkDelay)
+      .groupBy(window(col("time_from"), "1 minute").as("w"), col("trip_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_samples")).as("brake_s"))
+      .select(col("w.start").as("minute"), col("trip_id"),
+        col("n_sessions"), col("brake_s"))
+
   /** W4/W6 streaming — flag-delimited sessionization via
     * flatMapGroupsWithState keyed by trip. A session is a maximal contiguous
     * run of `flag == true`; it is emitted when a false sample arrives after
