@@ -73,6 +73,34 @@ class PropertySpec extends SparkSpec {
     assert(pairs.find(p => p._1 == 0 && p._2 == 1).exists(_._3 == 1.0))
   }
 
+  test("multimodal stages preserve row counts and determinism under repartition") {
+    // the plumbing contract a real codec will inherit: every stage is a
+    // narrow per-partition transform — same rows, same values, any layout
+    import graft.operators.MultimodalOps
+    import graft.operators.MultimodalOps.MediaRow
+    implicit val s = spark
+    val gen = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(0, 200), Gen.chooseNum(0, 255)))
+    samples(Gen.zip(gen, Gen.chooseNum(1, 7)), 6).foreach { case (specs, parts) =>
+      val rows = specs.zipWithIndex.map { case ((len, fill), i) =>
+        MediaRow(i.toLong, "image",
+          Array.tabulate(len)(j => ((fill + j) % 256).toByte), 64, 64, 0)
+      }
+      val ds = spark.createDataset(rows)
+      def run(d: org.apache.spark.sql.Dataset[MediaRow]) =
+        MultimodalOps.extractFeatures(
+          MultimodalOps.frameSampleStub(
+            MultimodalOps.resizeStub(d, maxBytes = 100), stride = 3))
+          .collect().map(f => f.media_id ->
+            (f.byte_len, f.mean_byte, f.frame_bytes, f.ok)).toMap
+      val base = run(ds)
+      val reparted = run(ds.repartition(parts))
+      assert(base.size == rows.size, "no stage may drop or duplicate rows")
+      assert(reparted == base,
+        "features must be identical under any partitioning")
+    }
+  }
+
   test("asofJoin equals a brute-force reference on random inputs") {
     val gen = for {
       nl <- Gen.chooseNum(1, 25)
