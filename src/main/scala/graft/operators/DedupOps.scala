@@ -153,8 +153,9 @@ object DedupOps {
       threshold: Double): DataFrame = {
     // The shingle pipeline feeds both diamond branches (signatures for
     // discovery, postings for verification) and is recomputed per branch:
-    // measured, caching it costs MORE than recomputing the codegen'd
-    // explode+hash (materialization + memory pressure) at every tested SF.
+    // measured (DECISIONS.md) — a DISK_ONLY persist of the postings wins
+    // 2.3 s vs 4.5 s at sf0.1 but is a wash at 10× docs (17.2 vs 17.4 s),
+    // so the declarative recompute stays (no cache lifecycle in the plan).
     val cands = lshCandidatePairs(minhashSignatures(docs, id, text, w))
     val sh = shingleHashes(docs, id, text, w)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
