@@ -50,6 +50,10 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         Algorithms.brakeSessions(tel, "status_halt_brake_is_active")
           .write.format("noop").mode("overwrite").save()
+        // the 16-column (112-aggregate) session describe — all 16
+        // HaltBrake stats algorithms over the same 1.5 M rows in one pass
+        Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active")
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ztbus_replay failed: ${e.getMessage}")

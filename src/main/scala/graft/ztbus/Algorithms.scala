@@ -229,15 +229,18 @@ object Algorithms {
     * percentiles are linearly interpolated — Spark's `percentile` matches
     * pandas exactly. std/percentiles rounded to 4 decimals (order-dependent
     * accumulation), mean via order-independent decimal sum. */
-  private def describeAggs(c: String): Seq[Column] = {
+  private def describeAggs(c: String, approx: Boolean): Seq[Column] = {
     val v = col(c)
+    def pct(p: Double): Column =
+      if (approx) percentile_approx(v, lit(p), lit(10000))
+      else percentile(v, lit(p))
     Seq(
       graft.functions.Exact.davg(v).as(s"${c}__mean"),
       round(stddev_samp(v), 4).as(s"${c}__std"),
       min(v).as(s"${c}__min"),
-      round(percentile(v, lit(0.25)), 4).as(s"${c}__25p"),
-      round(percentile(v, lit(0.50)), 4).as(s"${c}__50p"),
-      round(percentile(v, lit(0.75)), 4).as(s"${c}__75p"),
+      round(pct(0.25), 4).as(s"${c}__25p"),
+      round(pct(0.50), 4).as(s"${c}__50p"),
+      round(pct(0.75), 4).as(s"${c}__75p"),
       max(v).as(s"${c}__max"))
   }
 
@@ -252,11 +255,15 @@ object Algorithms {
     * in one shuffle with NO session × telemetry join — at 100 TB that is 32
     * scans collapsed into one. Output is long-form
     * (trip_id, time_from, time_to, n_samples, column, stat, value), one row
-    * per algorithm result field. */
-  def brakeSessionStats(telemetry: DataFrame, flagCol: String): DataFrame = {
+    * per algorithm result field. `approx = true` swaps the exact
+    * interpolated percentiles for `percentile_approx` (GK sketch, fixed
+    * memory per group) — the scale mode for giant sessions, same contract
+    * as q24's approx aggregation mode. */
+  def brakeSessionStats(telemetry: DataFrame, flagCol: String,
+      approx: Boolean = false): DataFrame = {
     val wide = CoreOps.flagRunAgg(
       telemetry, Seq(col("trip_id")), Seq(col("time"), col("id")),
-      col(flagCol), statsColumns.flatMap(describeAggs),
+      col(flagCol), statsColumns.flatMap(describeAggs(_, approx)),
       runStart = "time_from", runEnd = "time_to", runLen = "n_samples")
     val stacked = statsColumns.flatMap(c =>
       DescribeStatNames.map(st =>
