@@ -64,16 +64,20 @@ object CoreOps {
     */
   def describeStats(df: DataFrame, groupCols: Seq[Column], value: Column,
       approx: Boolean = false): DataFrame = {
-    def pct(p: Double): Column =
-      if (approx) percentile_approx(value, lit(p), lit(10000))
-      else percentile(value, lit(p))
+    // All three quartiles from ONE array-percentile aggregate: the planner
+    // dedupes the semantically-equal aggregate under each element_at, so the
+    // group pays one percentile buffer instead of three.
+    val qs = array(lit(0.25), lit(0.50), lit(0.75))
+    val pcts =
+      if (approx) percentile_approx(value, qs, lit(10000))
+      else percentile(value, qs)
     df.groupBy(groupCols: _*).agg(
       count(value).as("n"),
       min(value).as("vmin"),
       max(value).as("vmax"),
-      round(pct(0.25), 4).as("p25"),
-      round(pct(0.50), 4).as("p50"),
-      round(pct(0.75), 4).as("p75"),
+      round(element_at(pcts, 1), 4).as("p25"),
+      round(element_at(pcts, 2), 4).as("p50"),
+      round(element_at(pcts, 3), 4).as("p75"),
       davg(value).as("mean_v"))
   }
 

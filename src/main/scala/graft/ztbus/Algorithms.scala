@@ -228,19 +228,26 @@ object Algorithms {
     * describe's mean/std/min/25%/50%/75%/max. std is sample std (ddof=1);
     * percentiles are linearly interpolated — Spark's `percentile` matches
     * pandas exactly. std/percentiles rounded to 4 decimals (order-dependent
-    * accumulation), mean via order-independent decimal sum. */
+    * accumulation), mean via order-independent decimal sum.
+    *
+    * All three quartiles come from ONE `percentile(v, array(...))` aggregate
+    * — the planner dedupes the semantically-equal aggregate under each
+    * `element_at`, so each column costs one percentile buffer, not three
+    * (same exact interpolation, same result hash; the 112-aggregate session
+    * pass drops from 48 percentile buffers to 16). */
   private def describeAggs(c: String, approx: Boolean): Seq[Column] = {
     val v = col(c)
-    def pct(p: Double): Column =
-      if (approx) percentile_approx(v, lit(p), lit(10000))
-      else percentile(v, lit(p))
+    val qs = array(lit(0.25), lit(0.50), lit(0.75))
+    val pcts =
+      if (approx) percentile_approx(v, qs, lit(10000))
+      else percentile(v, qs)
     Seq(
       graft.functions.Exact.davg(v).as(s"${c}__mean"),
       round(stddev_samp(v), 4).as(s"${c}__std"),
       min(v).as(s"${c}__min"),
-      round(pct(0.25), 4).as(s"${c}__25p"),
-      round(pct(0.50), 4).as(s"${c}__50p"),
-      round(pct(0.75), 4).as(s"${c}__75p"),
+      round(element_at(pcts, 1), 4).as(s"${c}__25p"),
+      round(element_at(pcts, 2), 4).as(s"${c}__50p"),
+      round(element_at(pcts, 3), 4).as(s"${c}__75p"),
       max(v).as(s"${c}__max"))
   }
 
@@ -309,13 +316,15 @@ object Algorithms {
   def describeAllPerMinute(telemetry: DataFrame): DataFrame = {
     val aggs = statsColumns.flatMap { c =>
       val v = col(c)
+      // One array-percentile buffer per column (see describeAggs).
+      val pcts = percentile(v, array(lit(0.25), lit(0.50), lit(0.75)))
       Seq(
         count(v).cast("double").as(s"${c}__n"),
         min(v).as(s"${c}__vmin"),
         max(v).as(s"${c}__vmax"),
-        round(percentile(v, lit(0.25)), 4).as(s"${c}__p25"),
-        round(percentile(v, lit(0.50)), 4).as(s"${c}__p50"),
-        round(percentile(v, lit(0.75)), 4).as(s"${c}__p75"),
+        round(element_at(pcts, 1), 4).as(s"${c}__p25"),
+        round(element_at(pcts, 2), 4).as(s"${c}__p50"),
+        round(element_at(pcts, 3), 4).as(s"${c}__p75"),
         graft.functions.Exact.davg(v).as(s"${c}__mean_v"))
     }
     val wide = telemetry
