@@ -19,6 +19,9 @@ object MicroBench {
       val df = scenario match {
         case "session_stats" =>
           Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active")
+        case "session_stats_chunked" =>
+          Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active",
+            chunkSeconds = Some(3600L))
         case "sessions" =>
           Algorithms.brakeSessions(tel, "status_halt_brake_is_active")
         case "metrics" => Algorithms.perMinuteMetrics(tel, trips)
