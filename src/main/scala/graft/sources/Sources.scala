@@ -73,21 +73,53 @@ object Sources {
       numPartitions, props)
   }
 
+  /** Partition bounds for a range-partitioned JDBC read, derived from the
+    * table itself with one tiny aggregate query. A guessed constant bound
+    * silently unbalances the read: every key beyond the guess funnels into
+    * the last partition's open-ended range query (the round-2 default of
+    * `1 << 20` did exactly that for key spaces past ~1M). None on an empty
+    * table. */
+  def jdbcBounds(spark: SparkSession, url: String, table: String,
+      column: String,
+      connProps: Map[String, String] = Map.empty): Option[(Long, Long)] = {
+    val props = new java.util.Properties()
+    connProps.foreach { case (k, v) => props.setProperty(k, v) }
+    // Dialect-quote the column: engines with case-folding identifiers
+    // (Derby/Postgres uppercase/lowercase unquoted names) would otherwise
+    // miss columns created quoted by Spark's own JDBC writer.
+    val c = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(column)
+    val q = s"(SELECT MIN($c) AS lo, MAX($c) AS hi FROM $table) bounds"
+    val row = spark.read.jdbc(url, q, props).collect().head
+    if (row.isNullAt(0)) None
+    else Some((row.getAs[Number](0).longValue, row.getAs[Number](1).longValue))
+  }
+
   /** [[readTelemetry]] over a JDBC source: the same ≥1-predicate contract
     * and projection, with the predicates reaching the remote database as
-    * WHERE clauses on every partition query. */
+    * WHERE clauses on every partition query. Partition bounds default to
+    * [[jdbcBounds]] (min/max of `partitionColumn`) so the range stride
+    * matches the actual key space; pass both explicitly to skip the extra
+    * round-trip when the bounds are already known. */
   def readTelemetryJdbc(spark: SparkSession, url: String, table: String,
       cols: Seq[String],
       tripId: Option[Long] = None,
       timeFrom: Option[Timestamp] = None,
       timeTo: Option[Timestamp] = None,
       partitionColumn: String = "trip_id",
-      lowerBound: Long = 0L, upperBound: Long = 1L << 20,
-      numPartitions: Int = 32): DataFrame =
+      lowerBound: Option[Long] = None, upperBound: Option[Long] = None,
+      numPartitions: Int = 32): DataFrame = {
+    val derived =
+      if (lowerBound.nonEmpty && upperBound.nonEmpty) None
+      else jdbcBounds(spark, url, table, partitionColumn)
+    val lo = lowerBound.orElse(derived.map(_._1)).getOrElse(0L)
+    // +1: Spark's upperBound is a stride bound (rows above it still read,
+    // via the last partition's open-ended query) — include max in the stride.
+    val hi = upperBound.orElse(derived.map(_._2 + 1)).getOrElse(1L)
     readTelemetry(
-      telemetryJdbc(spark, url, table, partitionColumn, lowerBound,
-        upperBound, numPartitions),
+      telemetryJdbc(spark, url, table, partitionColumn, lo,
+        math.max(hi, lo + 1), numPartitions),
       cols, tripId, timeFrom, timeTo)
+  }
 
   /** S1 — the reference's telemetry read API: ≥1 predicate required,
     * closed time interval, explicit projection; predicates reach the scan

@@ -42,7 +42,7 @@ class JdbcSourceSpec extends SparkSpec {
     val df = Sources.readTelemetryJdbc(spark, url, "telemetry",
       cols = Seq("id", "trip_id", "electric_power_demand"),
       tripId = Some(11L),
-      lowerBound = 10L, upperBound = 13L, numPartitions = 2)
+      lowerBound = Some(10L), upperBound = Some(13L), numPartitions = 2)
     assert(df.as[(Long, Long, Double)].collect().sorted.toSeq ==
       Seq((3L, 11L, 60.0), (4L, 11L, 61.0)))
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -50,7 +50,36 @@ class JdbcSourceSpec extends SparkSpec {
       s"trip predicate must reach the JDBC scan:\n$plan")
     // unbounded scans stay refused on the JDBC path too
     intercept[IllegalArgumentException] {
-      Sources.readTelemetryJdbc(spark, url, "telemetry", Seq("id"))
+      Sources.readTelemetryJdbc(spark, url, "telemetry", Seq("id"),
+        lowerBound = Some(10L), upperBound = Some(13L))
     }
+  }
+
+  test("derived bounds balance partitions on a key space far beyond 2^20") {
+    // 40 trips spread over [2^30, 2^30 + 40e9) — a guessed 1<<20 upper
+    // bound would funnel every row into the last partition's open range
+    val base = 1L << 30
+    (0 until 40).map(i =>
+      (100L + i, base + i * 1000000000L,
+        Timestamp.valueOf("2021-03-09 14:15:05"), i.toDouble))
+      .toDF("id", "trip_id", "time", "electric_power_demand")
+      .write.mode("overwrite").jdbc(url, "telemetry_big", new java.util.Properties())
+
+    assert(Sources.jdbcBounds(spark, url, "telemetry_big", "trip_id")
+      .contains((base, base + 39 * 1000000000L)))
+
+    val auto = Sources.readTelemetryJdbc(spark, url, "telemetry_big",
+      cols = Seq("id", "trip_id"), timeFrom = Some(Timestamp.valueOf("2021-01-01 00:00:00")),
+      numPartitions = 4)
+    val autoCounts = auto.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(autoCounts.length == 4 && autoCounts.max <= 11,
+      s"derived bounds must spread rows: ${autoCounts.toSeq}")
+
+    val guessed = Sources.readTelemetryJdbc(spark, url, "telemetry_big",
+      cols = Seq("id", "trip_id"), timeFrom = Some(Timestamp.valueOf("2021-01-01 00:00:00")),
+      lowerBound = Some(0L), upperBound = Some(1L << 20), numPartitions = 4)
+    val guessedCounts = guessed.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(guessedCounts.max == 40,
+      s"the old constant bound funnels everything into one partition: ${guessedCounts.toSeq}")
   }
 }
