@@ -36,6 +36,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // transformWithState (the chained-stateful diff stage in
+      // Streaming.fullMetricsStream) requires the RocksDB provider; it also
+      // keeps streaming state off-heap at scale instead of in executor heap.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     Tables.sessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 }

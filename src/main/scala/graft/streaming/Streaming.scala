@@ -2,10 +2,13 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import graft.functions.Exact._
+import graft.ztbus.Telemetry
 
 /** Structured Streaming drivers for the reference's continuous pipeline
   * (SURVEY.md §2.8, §3 E1-E3).
@@ -55,11 +58,13 @@ object Streaming {
         map().cast("map<string,string>").as("metadata"))
   }
 
-  /** E3 streaming — per-minute per-trip metrics over a telemetry stream:
-    * event-time tumbling windows + watermark; one streaming aggregation,
-    * partial aggregation before the shuffle. Append mode → results
-    * finalize when the watermark passes the window end, the streaming
-    * equivalent of the reference emitting results per closed window. */
+  /** E3 streaming (stateless subset) — per-minute per-trip metrics over a
+    * telemetry stream: event-time tumbling windows + watermark; one
+    * streaming aggregation, partial aggregation before the shuffle. Append
+    * mode → results finalize when the watermark passes the window end, the
+    * streaming equivalent of the reference emitting results per closed
+    * window. Covers the metrics that need no cross-row order (kwh / dist /
+    * dwell / ratio); [[fullMetricsStream]] is the five-algorithm face. */
   def minuteMetricsStream(telemetry: DataFrame): DataFrame =
     telemetry
       .withWatermark("time", WatermarkDelay)
@@ -73,6 +78,143 @@ object Streaming {
       .withColumn("kwh_per_km", guardedRatio(col("kwh"), col("dist_m") / 1000.0))
       .select(col("w.start").as("minute"), col("trip_id"), col("kwh"),
         col("dist_m"), col("dwell_time_s"), col("total_s"), col("kwh_per_km"))
+
+  /** Per-trip carry state for the streaming diff stage: the previous
+    * sample's time/speed/accel, enough to continue the first/second
+    * difference across micro-batches. */
+  final case class DiffState(lastMs: Long, lastSpeed: Double, lastAccel: Double)
+
+  /** One telemetry sample augmented with accel/jerk — the streaming
+    * equivalent of the batch per-trip window diffs
+    * (reference processor/main.py:563-565). */
+  final case class DiffedSample(
+      trip_id: Long, time: Timestamp,
+      electric_power_demand: Double, temperature_ambient: Double,
+      traction_brake_pressure: Double, odometry_articulation_angle: Double,
+      odometry_vehicle_speed: Double, itcs_number_of_passengers: Int,
+      status_door_is_open: Boolean, accel: Double, jerk: Double)
+
+  /** E3 streaming, FULL five-algorithm metric set — the streaming face of
+    * [[graft.ztbus.Algorithms.perMinuteMetrics]]. Two chained stateful
+    * stages in ONE query:
+    *
+    *  1. a `transformWithState` diff stage ([[DiffProcessor]]) keyed by trip
+    *     carries the previous (speed, accel) across micro-batches, so
+    *     acceleration and jerk — per-key ORDERED first/second differences —
+    *     survive batch boundaries exactly like the batch window-lag
+    *     formulation (first sample of a trip fills 0; state evicted 400 s
+    *     past the last sample via an event-time timer, the same W6 bound as
+    *     [[sessionize]]). `transformWithState` rather than
+    *     `flatMapGroupsWithState` because only it can DECLARE the output
+    *     event-time column (`eventTimeColumnName = "time"`) — the watermark
+    *     then propagates into stage 2, where fMGWS → aggregation chaining is
+    *     rejected by the global-watermark correctness check.
+    *  2. the tumbling-minute keyed aggregation over the diffed stream, all
+    *     eleven metric columns at once. Sums/means use the same exact
+    *     decimal arithmetic as batch (bit-identical); the two percentiles
+    *     use `approx_percentile` (exact interpolated percentiles need the
+    *     whole group buffered — the GK sketch is the documented streaming /
+    *     scale mode, same contract as q24).
+    *
+    * Samples arriving out of order ACROSS micro-batches (older than the
+    * trip's last diffed sample, still inside the watermark) are dropped by
+    * the diff stage — a cross-batch diff against them is undefined; within
+    * a micro-batch the stage sorts by event time, so any in-batch order is
+    * fine. `trips` (a static dimension) joins stream-static after the
+    * aggregation for (bus_id, route_id), mirroring the batch plan's
+    * broadcast join. Requires the RocksDB state store provider (set in
+    * [[graft.GraftSession]]). */
+  def fullMetricsStream(telemetry: Dataset[Telemetry],
+      trips: Option[DataFrame] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val diffed = telemetry
+      .withWatermark("time", WatermarkDelay)
+      .groupByKey(_.trip_id)
+      .transformWithState(new DiffProcessor,
+        eventTimeColumnName = "time", outputMode = OutputMode.Append)
+    val agg = diffed
+      .groupBy(window(col("time"), "1 minute").as("w"), col("trip_id"))
+      .agg(
+        percentile_approx(col("temperature_ambient"), lit(0.5), lit(10000))
+          .as("temp_50p"),
+        dsum(col("electric_power_demand") / 3600.0).as("kwh"),
+        dsum(col("odometry_vehicle_speed")).as("dist_m"),
+        dsum(col("itcs_number_of_passengers") * col("odometry_vehicle_speed"))
+          .as("passenger_m"),
+        countIf(col("status_door_is_open") &&
+          col("odometry_vehicle_speed") < 0.1).as("dwell_time_s"),
+        count(lit(1)).as("total_s"),
+        davg(col("accel")).as("accel_mean"),
+        stddev_samp(col("accel")).as("accel_std"),
+        percentile_approx(col("jerk"), lit(0.95), lit(10000)).as("jerk_p95"),
+        var_samp(col("odometry_articulation_angle")).as("articulation_var"),
+        avg(col("traction_brake_pressure")).as("brake_pressure_mean"))
+      .withColumn("kwh_per_km", guardedRatio(col("kwh"), col("dist_m") / 1000.0))
+      .withColumn("kwh_per_passenger_km",
+        guardedRatio(col("kwh"), col("passenger_m") / 1000.0))
+      .withColumn("door_open_fraction",
+        guardedRatio(col("dwell_time_s").cast("double"),
+          col("total_s").cast("double")))
+      .select(col("w.start").as("minute"), col("trip_id"), col("temp_50p"),
+        col("kwh"), col("dist_m"), col("passenger_m"), col("kwh_per_km"),
+        col("kwh_per_passenger_km"), col("dwell_time_s"), col("total_s"),
+        col("door_open_fraction"), col("accel_mean"), col("accel_std"),
+        col("jerk_p95"), col("articulation_var"), col("brake_pressure_mean"))
+    trips match {
+      case Some(t) => agg.join(
+        broadcast(t.select(col("id"), col("bus_id"), col("route_id"))),
+        col("trip_id") === col("id")).drop("id")
+      case None => agg
+    }
+  }
+
+  /** The per-trip diff stage as a Spark 4 `StatefulProcessor` — see
+    * [[fullMetricsStream]] for why this is `transformWithState` and not
+    * `flatMapGroupsWithState`. State: one [[DiffState]] per live trip,
+    * cleared by an event-time timer 400 s past the trip's last sample. */
+  class DiffProcessor extends StatefulProcessor[Long, Telemetry, DiffedSample] {
+    @transient private var state: ValueState[DiffState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DiffState](
+        "diff", Encoders.product[DiffState], TTLConfig.NONE)
+
+    override def handleInputRows(tripId: Long, it: Iterator[Telemetry],
+        timers: TimerValues): Iterator[DiffedSample] = {
+      val sorted = it.toIndexedSeq.sortBy(_.time.getTime)
+      var last: Option[DiffState] = if (state.exists()) Some(state.get()) else None
+      val out = sorted.flatMap { t =>
+        val ms = t.time.getTime
+        if (last.exists(ms <= _.lastMs)) None // cross-batch out-of-order: drop
+        else {
+          val accel = last.map(t.odometry_vehicle_speed - _.lastSpeed)
+            .getOrElse(0.0)
+          val jerk = last.map(accel - _.lastAccel).getOrElse(0.0)
+          last = Some(DiffState(ms, t.odometry_vehicle_speed, accel))
+          Some(DiffedSample(t.trip_id, t.time, t.electric_power_demand,
+            t.temperature_ambient, t.traction_brake_pressure,
+            t.odometry_articulation_angle, t.odometry_vehicle_speed,
+            t.itcs_number_of_passengers, t.status_door_is_open, accel, jerk))
+        }
+      }
+      last.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.lastMs + SessionCloseMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(tripId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[DiffedSample] = {
+      // stale timers (the trip produced newer samples since) must not evict
+      // live state — only the timer matching the current state's bound does
+      if (state.exists() &&
+          state.get().lastMs + SessionCloseMs <= info.getExpiryTimeInMs)
+        state.clear()
+      Iterator.empty
+    }
+  }
 
   /** J2 streaming — stream-stream interval join: correlate a stream of
     * window events with the telemetry stream by containment

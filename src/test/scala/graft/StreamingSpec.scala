@@ -160,6 +160,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fullMetricsStream matches batch perMinuteMetrics on every metric") {
+    implicit val s = spark
+    val in = MemoryStream[graft.ztbus.Telemetry]
+    val q = Streaming.fullMetricsStream(in.toDS(),
+        Some(graft.ztbus.Fixtures.trips.toDF())).writeStream
+      .outputMode("append").format("memory").queryName("fm").start()
+    try {
+      // feed in two batches split mid-stream so diffs must cross the
+      // state boundary, then push the watermark far past every minute
+      val samples = graft.ztbus.Fixtures.telemetry()
+        .sortBy(t => (t.trip_id, t.time.getTime))
+      val (a, b) = samples.partition(_.time.getTime <
+        ts("2021-03-09 14:20:00").getTime)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      in.addData(samples.head.copy(id = 999999L, trip_id = 99L,
+        time = ts("2021-03-09 18:00:00")))
+      q.processAllAvailable()
+      in.addData(samples.head.copy(id = 999998L, trip_id = 99L,
+        time = ts("2021-03-09 18:00:01")))
+      q.processAllAvailable()
+
+      val metricCols = Seq("temp_50p", "kwh", "dist_m", "kwh_per_km",
+        "kwh_per_passenger_km", "dwell_time_s", "total_s",
+        "door_open_fraction", "accel_mean", "accel_std", "jerk_p95",
+        "articulation_var", "brake_pressure_mean", "bus_id", "route_id")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("trip_id") =!= 99L)
+        .select((Seq("minute", "trip_id") ++ metricCols).map(col): _*)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) ->
+          metricCols.zipWithIndex.map { case (c, i) => c -> r.get(i + 2) }.toMap)
+        .toMap
+      val stream = keyed(spark.table("fm"))
+      val batch = keyed(graft.ztbus.Algorithms.perMinuteMetrics(
+        graft.ztbus.Fixtures.telemetry().toDF(),
+        graft.ztbus.Fixtures.trips.toDF()))
+      assert(stream.keySet == batch.keySet,
+        s"every finalized (minute, trip) must appear: ${batch.keySet -- stream.keySet}")
+      // exact for counts and decimal sums/means; small tolerance for the
+      // order-dependent std/var/avg; percentile tolerance covers the GK
+      // sketch picking a data value where the exact path interpolates
+      val exact = Set("kwh", "dist_m", "dwell_time_s", "total_s",
+        "accel_mean", "kwh_per_km", "kwh_per_passenger_km",
+        "door_open_fraction", "bus_id", "route_id")
+      def asD(v: Any): Double = v match {
+        case null => Double.NaN
+        case n: Number => n.doubleValue
+      }
+      stream.foreach { case (k, sm) =>
+        val bm = batch(k)
+        metricCols.foreach { c =>
+          val (sv, bv) = (asD(sm(c)), asD(bm(c)))
+          if (sv.isNaN || bv.isNaN) assert(sv.isNaN == bv.isNaN, s"$k $c null mismatch")
+          else if (exact(c)) assert(sv == bv, s"$k $c: stream $sv != batch $bv")
+          else if (c == "temp_50p" || c == "jerk_p95")
+            assert(math.abs(sv - bv) <= math.max(0.5, math.abs(bv) * 0.05),
+              s"$k $c: stream $sv vs batch $bv beyond percentile tolerance")
+          else assert(math.abs(sv - bv) <= math.abs(bv) * 1e-9 + 1e-9,
+            s"$k $c: stream $sv vs batch $bv")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("minuteMetricsStream finalizes windows past the watermark") {
     implicit val s = spark
     val in = MemoryStream[graft.ztbus.Telemetry]
