@@ -237,6 +237,24 @@ object Pipeline {
        |  FROM scored
        |) t WHERE rk <= $LSH_K""".stripMargin)
 
+  /** IVF with LEARNED centroids (deterministic-seed k-means over the
+    * corpus) — the IVF-real production shape: learned cells track the data
+    * distribution where q43's fixed-sample quantizer is arbitrary.
+    * Recall@k of learned vs fixed is measured in PipelineOpsSpec. No
+    * oracle — k-means isn't SQL-expressible; the driver records the
+    * rows-only check (same contract as q24). */
+  private val q48 = QueryDef(
+    "q48_ann_ivf_learned",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(
+        emb, emb.where(col("vec_id") < 10),
+        SimilarityOps.learnCentroids(
+          emb, col("embedding"), 8, "vec_id", "embedding"),
+        col("vec_id"), col("embedding"), LSH_K, nProbe = 2)
+    },
+    None)
+
   // ------------------------------------------------------------------ text
 
   private val q38 = QueryDef(
@@ -332,5 +350,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46)
+    q45, q46, q48)
 }

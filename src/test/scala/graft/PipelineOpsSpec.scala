@@ -105,6 +105,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set(1L))
   }
 
+  test("learned IVF centroids: recall@k vs the fixed-sample quantizer") {
+    // OUT-OF-SAMPLE queries: with queries drawn from the centroid sample
+    // (q43's vec_id<10 vs vec_id<8) each query sits at its own cell center
+    // and the comparison is biased toward the sample quantizer. Here the
+    // queries are disjoint from both centroid sets.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 120)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = topkSet(SimilarityOps.bruteForceTopK(
+      emb, queries, col("vec_id"), col("embedding"), 3))
+    val learnedC = SimilarityOps.learnCentroids(
+      emb, col("embedding"), 8, "vec_id", "embedding")
+    def recall(cents: org.apache.spark.sql.DataFrame, nProbe: Int): Double = {
+      val got = topkSet(SimilarityOps.ivfTopK(
+        emb, queries, cents, col("vec_id"), col("embedding"), 3, nProbe))
+      (got & truth).size.toDouble / truth.size
+    }
+    val (l1, l2) = (recall(learnedC, 1), recall(learnedC, 2))
+    val (f1, f2) = (recall(emb.where(col("vec_id") < 8), 1),
+      recall(emb.where(col("vec_id") < 8), 2))
+    info(f"recall@3 out-of-sample: learned nprobe1=$l1%.2f nprobe2=$l2%.2f; " +
+      f"fixed nprobe1=$f1%.2f nprobe2=$f2%.2f")
+    assert(l1 > 0.0, "learned cells must recover some true neighbors")
+    assert(l2 >= l1, "more probes must never lose recall")
+    assert(l1 >= f1 && l2 >= f2,
+      f"learned centroids must beat the arbitrary sample out-of-sample " +
+        f"($l1%.2f/$l2%.2f vs $f1%.2f/$f2%.2f)")
+  }
+
   test("ivfTopK searches only within the assigned centroid cell") {
     val out = SimilarityOps.ivfTopK(
       vecs, vecs.where(col("vec_id") === 0),
