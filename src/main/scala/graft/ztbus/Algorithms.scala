@@ -123,7 +123,10 @@ object Algorithms {
     val w = Window.partitionBy(col("trip_id")).orderBy(col("time"), col("id"))
     val speed = coalesce(col("odometry_vehicle_speed"), lit(0.0))
     // W1/W2 — accel/jerk as ordered per-trip diffs, first value filled 0
-    // (reference processor/main.py:563-565).
+    // (reference processor/main.py:563-565). The aggregation deliberately
+    // REUSES the window's trip partitioning (no exchange between them);
+    // re-spreading on (minute, trip) and a two-pass split plan were both
+    // measured SLOWER — see DECISIONS.md round-3 entry.
     val withDiffs = telemetry
       .withColumn("accel", coalesce(
         col("odometry_vehicle_speed") - lag(col("odometry_vehicle_speed"), 1).over(w),

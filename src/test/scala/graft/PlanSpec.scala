@@ -76,6 +76,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
   }
 
+  test("session-stats pass: ONE exchange, shared by window and aggregation") {
+    // the 112-aggregate brake-session describe must keep its single-shuffle
+    // shape: the gaps-and-islands window and the per-run aggregation share
+    // the trip_id partitioning (a second exchange here would double the
+    // shuffled bytes of the heaviest ztbus pass at 100 TB)
+    import spark.implicits._
+    val df = graft.ztbus.Algorithms.brakeSessionStats(
+      graft.ztbus.Fixtures.telemetry().toDF(), "status_halt_brake_is_active")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // tree nodes print as "Exchange (n)"; detail headers as "(n) Exchange"
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+  }
+
+  test("q47 array-percentile: one percentile buffer per column, not three") {
+    val p = plan("q47_session_stats")
+    // each of the 16 columns contributes ONE percentile(col, [0.25,0.5,0.75])
+    // aggregate (deduped under the three element_at projections)
+    val buffers = "percentile\\(".r.findAllIn(p).length
+    assert(buffers <= 16 * 2, // formatted plans repeat aggs in partial+final
+      s"expected deduped array-percentile buffers, got $buffers occurrences")
+  }
+
   test("no query plan contains a Python/Scala UDF or collect-based step") {
     SparkEntry.registry.foreach { q =>
       val p = q.spark(spark, sf).queryExecution
