@@ -290,6 +290,150 @@ object Streaming {
       .select(col("w.start").as("minute"), col("trip_id"),
         col("n_sessions"), col("brake_s"))
 
+  /** One emitted per-session statistic — the streaming face of
+    * [[graft.ztbus.Algorithms.brakeSessionStats]]' long-form output
+    * (trip, session window, column, stat, value). */
+  final case class SessionStat(
+      trip_id: Long, time_from: Timestamp, time_to: Timestamp,
+      n_samples: Long, column: String, stat: String, value: Option[Double])
+
+  /** Single-column running moments (Welford) + extrema — O(1) state per
+    * column per OPEN session, merged sample-by-sample in event-time order. */
+  final case class ColAcc(n: Long, mean: Double, m2: Double, mn: Double, mx: Double)
+
+  /** Open-session stats state: run bounds + one [[ColAcc]] per stats column
+    * (ordered as [[graft.ztbus.Algorithms.statsColumns]]). */
+  final case class SessionStatsState(
+      startMs: Long, lastMs: Long, n: Long, accs: Seq[ColAcc])
+
+  /** The 16 stats columns as typed extractors, ordered EXACTLY as
+    * `Algorithms.statsColumns` (asserted in StreamingSpec); GNSS columns are
+    * nullable and nulls are skipped, matching pandas describe / Spark aggs. */
+  private[graft] val statsExtractors: Seq[Telemetry => Option[Double]] = Seq(
+    t => Some(t.electric_power_demand),
+    t => Some(t.traction_brake_pressure),
+    t => Some(t.traction_traction_force),
+    _.gnss_altitude, _.gnss_course, _.gnss_latitude, _.gnss_longitude,
+    t => Some(t.odometry_articulation_angle),
+    t => Some(t.odometry_steering_angle),
+    t => Some(t.odometry_vehicle_speed),
+    t => Some(t.odometry_wheel_speed_fl), t => Some(t.odometry_wheel_speed_fr),
+    t => Some(t.odometry_wheel_speed_ml), t => Some(t.odometry_wheel_speed_mr),
+    t => Some(t.odometry_wheel_speed_rl), t => Some(t.odometry_wheel_speed_rr))
+
+  /** Streaming face of the 32 per-column brake-session stats algorithms
+    * (reference other_metrics.py:41-246): per-session describe over all 16
+    * columns, computed with O(columns) state per OPEN session (Welford
+    * moments — no sample buffering) and emitted the moment the session
+    * closes (flag drops) or the 400 s event-time timer fires. Covers the
+    * mergeable subset of the batch stats — mean / std / min / max
+    * (+ n_samples); the exact interpolated quartiles are batch-only
+    * ([[graft.ztbus.Algorithms.brakeSessionStats]]), since exact percentiles
+    * need the whole session buffered — the documented bounded-state trade.
+    * StreamingSpec asserts equality with the batch stats on the shared
+    * columns (exact for min/max/n, 1e-9-relative for mean, 1e-4 for the
+    * 4-decimal-rounded std). */
+  def sessionStatsStream(telemetry: Dataset[Telemetry], flagCol: String)(
+      implicit spark: SparkSession): Dataset[SessionStat] = {
+    import spark.implicits._
+    telemetry
+      .withWatermark("time", WatermarkDelay)
+      .groupByKey(_.trip_id)
+      .transformWithState(new SessionStatsProcessor(flagCol),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The per-trip session-stats stage — same open/close/timer protocol as
+    * [[sessionize]], with per-column moment accumulation while open. */
+  class SessionStatsProcessor(flagCol: String)
+      extends StatefulProcessor[Long, Telemetry, SessionStat] {
+    @transient private var state: ValueState[SessionStatsState] = _
+
+    private def flagOf(t: Telemetry): Boolean = flagCol match {
+      case "status_halt_brake_is_active" => t.status_halt_brake_is_active
+      case "status_park_brake_is_active" => t.status_park_brake_is_active
+      case other => sys.error(s"unsupported session flag: $other")
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionStatsState](
+        "sessionStats", Encoders.product[SessionStatsState], TTLConfig.NONE)
+
+    private def freshAccs: Seq[ColAcc] =
+      statsExtractors.map(_ => ColAcc(0L, 0.0, 0.0,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+
+    private def absorb(accs: Seq[ColAcc], t: Telemetry): Seq[ColAcc] =
+      accs.lazyZip(statsExtractors).map { (a, f) =>
+        f(t) match {
+          case Some(x) =>
+            val n = a.n + 1
+            val d = x - a.mean
+            val mean = a.mean + d / n
+            ColAcc(n, mean, a.m2 + d * (x - mean),
+              math.min(a.mn, x), math.max(a.mx, x))
+          case None => a
+        }
+      }
+
+    private def emit(tripId: Long, s: SessionStatsState): Iterator[SessionStat] = {
+      val from = new Timestamp(s.startMs)
+      val to = new Timestamp(s.lastMs)
+      graft.ztbus.Algorithms.statsColumns.iterator.zip(s.accs.iterator).flatMap {
+        case (c, a) =>
+          def row(stat: String, v: Option[Double]) =
+            SessionStat(tripId, from, to, s.n, c, stat, v)
+          Seq(
+            row("mean", if (a.n > 0) Some(a.mean) else None),
+            row("std", if (a.n > 1)
+              Some(BigDecimal(math.sqrt(a.m2 / (a.n - 1)))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None),
+            row("min", if (a.n > 0) Some(a.mn) else None),
+            row("max", if (a.n > 0) Some(a.mx) else None))
+      }
+    }
+
+    override def handleInputRows(tripId: Long, it: Iterator[Telemetry],
+        timers: TimerValues): Iterator[SessionStat] = {
+      val sorted = it.toIndexedSeq.sortBy(_.time.getTime)
+      val out = Seq.newBuilder[SessionStat]
+      var open: Option[SessionStatsState] =
+        if (state.exists()) Some(state.get()) else None
+      sorted.foreach { t =>
+        val ms = t.time.getTime
+        (open, flagOf(t)) match {
+          case (Some(s), true) =>
+            open = Some(SessionStatsState(s.startMs, ms, s.n + 1,
+              absorb(s.accs, t)))
+          case (Some(s), false) =>
+            out ++= emit(tripId, s)
+            open = None
+          case (None, true) =>
+            open = Some(SessionStatsState(ms, ms, 1L, absorb(freshAccs, t)))
+          case (None, false) => ()
+        }
+      }
+      open match {
+        case Some(s) =>
+          state.update(s)
+          getHandle.registerTimer(s.lastMs + SessionCloseMs)
+        case None => state.clear()
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(tripId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionStat] = {
+      if (state.exists() &&
+          state.get().lastMs + SessionCloseMs <= info.getExpiryTimeInMs) {
+        val s = state.get()
+        state.clear()
+        emit(tripId, s)
+      } else Iterator.empty
+    }
+  }
+
   /** W4/W6 streaming — flag-delimited sessionization via
     * flatMapGroupsWithState keyed by trip. A session is a maximal contiguous
     * run of `flag == true`; it is emitted when a false sample arrives after

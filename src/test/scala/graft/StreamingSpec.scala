@@ -225,6 +225,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStatsStream matches batch brakeSessionStats on mergeable stats") {
+    implicit val s = spark
+    // extractor order must mirror the batch stats column order
+    assert(Streaming.statsExtractors.size ==
+      graft.ztbus.Algorithms.statsColumns.size)
+    val in = MemoryStream[graft.ztbus.Telemetry]
+    val q = Streaming.sessionStatsStream(in.toDS(), "status_halt_brake_is_active")
+      .writeStream.outputMode("append").format("memory").queryName("sst").start()
+    try {
+      val samples = graft.ztbus.Fixtures.telemetry()
+        .sortBy(t => (t.trip_id, t.time.getTime))
+      // split mid-run so an open session must survive in state
+      val (a, b) = samples.partition(_.time.getTime <
+        ts("2021-03-09 14:16:05").getTime)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // watermark pushers: close any dangling run via the event-time timer
+      in.addData(samples.head.copy(id = 999999L, trip_id = 99L,
+        time = ts("2021-03-09 18:00:00"), status_halt_brake_is_active = false))
+      q.processAllAvailable()
+      in.addData(samples.head.copy(id = 999998L, trip_id = 99L,
+        time = ts("2021-03-09 18:00:01"), status_halt_brake_is_active = false))
+      q.processAllAvailable()
+
+      type K = (Long, Timestamp, Timestamp, Long, String, String)
+      def keyed(df: org.apache.spark.sql.DataFrame): Map[K, Option[Double]] =
+        df.where(col("trip_id") =!= 99L)
+          .select("trip_id", "time_from", "time_to", "n_samples",
+            "column", "stat", "value")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+            r.getTimestamp(2), r.getLong(3), r.getString(4), r.getString(5)) ->
+            (if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+      val stream = keyed(spark.table("sst"))
+      val batch = keyed(graft.ztbus.Algorithms.brakeSessionStats(
+          graft.ztbus.Fixtures.telemetry().toDF(), "status_halt_brake_is_active")
+        .where(col("stat").isin("mean", "std", "min", "max")))
+      assert(stream.keySet == batch.keySet,
+        s"session/stat keys must line up; missing=${batch.keySet -- stream.keySet} " +
+          s"extra=${stream.keySet -- batch.keySet}")
+      stream.foreach { case (k, sv) =>
+        val bv = batch(k)
+        (sv, bv) match {
+          case (None, None) => ()
+          case (Some(x), Some(y)) =>
+            val tol = k._6 match {
+              case "min" | "max" => 0.0
+              case "std" => 1e-4   // both 4-decimal rounded, ulp at the edge
+              case _ => math.abs(y) * 1e-9 + 1e-12 // Welford vs decimal sum
+            }
+            assert(math.abs(x - y) <= tol, s"$k: stream $x vs batch $y")
+          case other => fail(s"$k: null mismatch $other")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("minuteMetricsStream finalizes windows past the watermark") {
     implicit val s = spark
     val in = MemoryStream[graft.ztbus.Telemetry]
