@@ -23,11 +23,18 @@ import graft.functions.TextHash._
   */
 object DedupOps {
 
-  /** Exact-duplicate stats per group: total rows vs distinct texts. */
-  def exactDedupStats(docs: DataFrame, groupCol: Column, text: Column): DataFrame =
+  /** Exact-duplicate stats per group: total rows vs distinct texts.
+    * `approx = true` swaps the exact distinct for HyperLogLog++
+    * (`approx_count_distinct`, default 5% relative error) — the scale mode
+    * for corpora where an exact distinct's per-group hash set no longer
+    * fits (same contract as the percentile scale modes; error bounded in
+    * ApproxSpec). */
+  def exactDedupStats(docs: DataFrame, groupCol: Column, text: Column,
+      approx: Boolean = false): DataFrame =
     docs.groupBy(groupCol).agg(
       count(lit(1)).as("n_total"),
-      countDistinct(text).as("n_unique"))
+      (if (approx) approx_count_distinct(text) else countDistinct(text))
+        .as("n_unique"))
 
   /** Raw (doc, shingleHash) stream — duplicates retained (no shuffle). */
   def shingleHashesRaw(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {

@@ -109,9 +109,24 @@ object Algorithms {
       .select("minute", "trip_id", "bus_id", "route_id")
       .distinct()
 
-  def activeBusCount(telemetry: DataFrame, trips: DataFrame): DataFrame =
-    activeBusesPerMinute(telemetry, trips)
-      .groupBy("minute").agg(count(lit(1)).as("active_buses"))
+  /** A1 per minute. `approx = true` is the fleet-scale mode: HyperLogLog++
+    * over the (trip,bus,route) tuple skips `activeBusesPerMinute`'s exact
+    * distinct entirely — one aggregation, no distinct shuffle, fixed sketch
+    * memory per minute (error bounded in ApproxSpec). */
+  def activeBusCount(telemetry: DataFrame, trips: DataFrame,
+      approx: Boolean = false): DataFrame =
+    if (approx)
+      telemetry
+        .select(minuteOf(col("time")).as("minute"), col("trip_id"))
+        .join(broadcast(trips.select(col("id"), col("bus_id"), col("route_id"))),
+          col("trip_id") === col("id"))
+        .groupBy("minute")
+        .agg(approx_count_distinct(
+          struct(col("trip_id"), col("bus_id"), col("route_id")))
+          .as("active_buses"))
+    else
+      activeBusesPerMinute(telemetry, trips)
+        .groupBy("minute").agg(count(lit(1)).as("active_buses"))
 
   /** All five per-trip-per-minute metric algorithms in one aggregation.
     *

@@ -25,6 +25,32 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct scale modes bounded against exact counts") {
+    // dedup stats over the documents table
+    val docs = Tables.documents(spark, sf)
+    def dedup(approx: Boolean) = graft.operators.DedupOps
+      .exactDedupStats(docs, col("lang"), col("text"), approx)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val (de, da) = (dedup(false), dedup(true))
+    // HLL++ default rsd is 0.05 — allow 2 sigma on small groups
+    de.foreach { case (k, exact) =>
+      assert(math.abs(da(k) - exact).toDouble / exact < 0.1,
+        s"$k: approx unique ${da(k)} vs exact $exact")
+    }
+    // active-bus count over the ztbus fixture
+    val tel = graft.ztbus.Fixtures.telemetry().toDF()
+    val trips = graft.ztbus.Fixtures.trips.toDF()
+    def buses(approx: Boolean) = graft.ztbus.Algorithms
+      .activeBusCount(tel, trips, approx)
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val (be, ba) = (buses(false), buses(true))
+    assert(be.keySet == ba.keySet)
+    be.foreach { case (m, exact) =>
+      assert(math.abs(ba(m) - exact).toDouble / exact < 0.1,
+        s"$m: approx $ba vs exact $exact")
+    }
+  }
+
   test("CSV and JSON telemetry sources roundtrip the typed schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val t = graft.ztbus.Fixtures.telemetry(seconds = 60).toDF()
