@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, processed by per-partition batch transforms.
   *
-  * The Spark-side shape is real and tested — schema, partitioning, batch
-  * iteration, feature output. The codec itself is a STUB (`StubDecoder`):
-  * this container has no image/audio libraries, so decode produces a
-  * deterministic fake "decoded frame" from the bytes. Swapping in a real
-  * decoder (JNI/javacv or a Python `mapInPandas` stage in a PySpark wrapper)
-  * changes only [[StubDecoder.decode]] — the distributed plumbing is
-  * identical.
+  * Codec status by modality:
+  *  - IMAGE: REAL — `javax.imageio` (JDK built-in: PNG/JPEG/BMP/GIF)
+  *    decode, resize, re-encode in [[ImageCodec]] / [[decodeImages]] /
+  *    [[resizeImages]]. No external dependency.
+  *  - AUDIO: REAL for PCM containers — `javax.sound.sampled` (JDK built-in:
+  *    WAV/AIFF/AU) decode + RMS/rate features in [[audioFeatures]].
+  *    Compressed audio (MP3/AAC) would need an external codec.
+  *  - VIDEO: STUB (`StubDecoder`) — no JDK video codec exists; swapping in
+  *    a real decoder (JNI/javacv) changes only the decode call, the
+  *    distributed plumbing (per-partition batch iteration, no shuffle) is
+  *    identical and is what the generic stub path tests.
   */
 object MultimodalOps {
 
@@ -99,6 +103,137 @@ object MultimodalOps {
     media.mapPartitions(_.map { r =>
       val p = if (r.payload == null) Array.emptyByteArray else r.payload
       r.copy(payload = p.grouped(stride).map(_.head).toArray)
+    })
+  }
+
+  /** Decoded-image features (REAL codec path). */
+  final case class ImageFeatures(
+      media_id: Long, ok: Boolean, width: Int, height: Int, mean_luma: Double)
+
+  /** Decoded-audio features (REAL codec path, PCM containers). */
+  final case class AudioFeatures(
+      media_id: Long, ok: Boolean, sample_rate: Int, n_frames: Long, rms: Double)
+
+  /** Real image codec over the JDK's ImageIO — executor-local, no external
+    * libraries. All methods are deterministic for a given payload. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else Option(ImageIO.read(new ByteArrayInputStream(payload)))
+
+    /** Rec.601 luma averaged over all pixels. */
+    def meanLuma(img: BufferedImage): Double = {
+      var s = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      s / (img.getWidth.toLong * img.getHeight)
+    }
+
+    /** Area-averaged downscale preserving aspect ratio so the longer edge is
+      * ≤ maxEdge; images already small pass through unscaled. */
+    def resize(img: BufferedImage, maxEdge: Int): BufferedImage = {
+      val scale = maxEdge.toDouble / math.max(img.getWidth, img.getHeight)
+      if (scale >= 1.0) img
+      else {
+        val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt))
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img.getScaledInstance(w, h,
+          java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+        finally g.dispose()
+        out
+      }
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** REAL image decode + feature extraction: per-partition batches, decode
+    * executor-local, no shuffle. Rows whose payload isn't a decodable image
+    * come back `ok = false` with zeroed features (integrity signal, nothing
+    * silently dropped). */
+  def decodeImages(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.payload) match {
+        case Some(img) => ImageFeatures(r.media_id, ok = true,
+          img.getWidth, img.getHeight, ImageCodec.meanLuma(img))
+        case None => ImageFeatures(r.media_id, ok = false, 0, 0, 0.0)
+      }
+    })
+  }
+
+  /** REAL image resize: decode → area-average downscale to `maxEdge` →
+    * re-encode PNG, stamping the new dimensions. Non-decodable rows pass
+    * through UNCHANGED (use [[decodeImages]]' ok flag to filter) — a
+    * resize stage must not invent or drop rows. */
+  def resizeImages(media: Dataset[MediaRow], maxEdge: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.payload) match {
+        case Some(img) =>
+          val scaled = ImageCodec.resize(img, maxEdge)
+          r.copy(payload = ImageCodec.encodePng(scaled),
+            width = scaled.getWidth, height = scaled.getHeight)
+        case None => r
+      }
+    })
+  }
+
+  /** REAL audio features for PCM containers (WAV/AIFF/AU via the JDK's
+    * javax.sound.sampled): sample rate, frame count, and RMS amplitude
+    * normalized to [0,1] for 16-bit signed PCM. Non-decodable payloads →
+    * `ok = false`. */
+  def audioFeatures(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var ss = 0.0
+          var i = 0
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(order)
+          while (i < n) {
+            val v = buf.getShort(i * 2).toDouble / 32768.0
+            ss += v * v
+            i += 1
+          }
+          AudioFeatures(r.media_id, ok = true,
+            fmt.getSampleRate.toInt, in.getFrameLength,
+            if (n == 0) 0.0 else math.sqrt(ss / n))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+            _: java.io.IOException =>
+          AudioFeatures(r.media_id, ok = false, 0, 0L, 0.0)
+      }
     })
   }
 
