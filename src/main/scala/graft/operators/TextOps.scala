@@ -92,6 +92,43 @@ object TextOps {
         keep: _*)
   }
 
+  /** Repetition/boilerplate signals: distinct-word ratio and top-word
+    * share — the row-local redundancy screens a curation pipeline applies
+    * before (and independently of) cross-document dedup. Pure higher-order
+    * array Columns; per-row cost O(distinct × words), no shuffle. */
+  def repetitionScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = split(text, " ")
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val topFreq = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    docs.select(
+      id.as("doc_id"),
+      nWords.as("n_words"),
+      nDistinct.as("n_distinct_words"),
+      (lit(1.0) - nDistinct.cast("double") / nWords.cast("double"))
+        .as("dup_word_ratio"),
+      (topFreq.cast("double") / nWords.cast("double")).as("top_word_ratio"))
+  }
+
+  /** PII pattern scan: match COUNTS for emails / phone shapes / URLs per
+    * document (a redaction pre-screen). Counts only — extracted PII never
+    * leaves the row. Patterns are RE2-compatible so the exact same regex
+    * runs in engines restricted to linear-time matching. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}[- ]\\d{3}[- ]\\d{4}"
+  val UrlRe = "https?://[^ ]+"
+
+  def piiScan(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    def n(re: String) =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    docs.select(
+      id.as("doc_id"),
+      n(EmailRe).as("n_emails"),
+      n(PhoneRe).as("n_phones"),
+      n(UrlRe).as("n_urls"))
+  }
+
   /** Whole-document rolling-hash fingerprint (exact-dup key). */
   def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)

@@ -237,6 +237,33 @@ object Pipeline {
        |  FROM scored
        |) t WHERE rk <= $LSH_K""".stripMargin)
 
+  /** Row-local repetition/boilerplate screen over the documents table. */
+  private val q49 = QueryDef(
+    "q49_repetition_score",
+    (s, d) => TextOps.repetitionScore(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    """SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+      |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_ratio,
+      |  CAST(list_max(list_transform(list_distinct(ws),
+      |    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS top_word_ratio
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t""".stripMargin)
+
+  /** PII pattern counts; the synthetic corpus contains none (all-zero
+    * output still hash-gates the cross-engine regex/count plumbing), and
+    * the patterns' match behavior is unit-tested on a fixture with real
+    * emails/phones/URLs (PipelineOpsSpec). */
+  private val q50 = QueryDef(
+    "q50_pii_scan",
+    (s, d) => TextOps.piiScan(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS BIGINT) AS n_urls
+       |FROM documents""".stripMargin)
+
   /** IVF with LEARNED centroids (deterministic-seed k-means over the
     * corpus) — the IVF-real production shape: learned cells track the data
     * distribution where q43's fixed-sample quantizer is arbitrary.
@@ -350,5 +377,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48)
+    q45, q46, q48, q49, q50)
 }

@@ -105,6 +105,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set(1L))
   }
 
+  test("repetitionScore flags redundant documents") {
+    val out = TextOps.repetitionScore(
+      Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1L, 0.75, 1.0)), s"${out(1L)}")
+    assert(out(2L) == ((2L, 4L, 4L, 0.0, 0.25)), s"${out(2L)}")
+  }
+
+  test("piiScan counts emails, phone shapes, and URLs") {
+    val fixture = Seq(
+      (1L, "contact bob@example.com or sue@test.org today"),
+      (2L, "call 555-123-4567 or 555 987 6543 now"),
+      (3L, "see https://example.com/a and http://b.io docs"),
+      (4L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScan(fixture, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2L, 0L, 0L)))
+    assert(out(2L) == ((0L, 2L, 0L)), s"${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 2L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
   test("learned IVF centroids: recall@k vs the fixed-sample quantizer") {
     // OUT-OF-SAMPLE queries: with queries drawn from the centroid sample
     // (q43's vec_id<10 vs vec_id<8) each query sits at its own cell center
