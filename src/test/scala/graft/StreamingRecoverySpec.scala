@@ -17,6 +17,66 @@ class StreamingRecoverySpec extends SparkSpec {
   private def sec(base: String, s: Int) =
     new Timestamp(Timestamp.valueOf(base).getTime + s * 1000L)
 
+  private def tel(id: Long, tripId: Long, time: Timestamp,
+      speed: Double): graft.ztbus.Telemetry =
+    graft.ztbus.Telemetry(id, tripId, time,
+      electric_power_demand = 100.0, temperature_ambient = 20.0,
+      traction_brake_pressure = 1.0, traction_traction_force = 0.0,
+      gnss_altitude = None, gnss_course = None,
+      gnss_latitude = None, gnss_longitude = None,
+      itcs_bus_route_id = 1, itcs_number_of_passengers = 10,
+      itcs_stop_name = "s", odometry_articulation_angle = 0.1,
+      odometry_steering_angle = 0.0, odometry_vehicle_speed = speed,
+      odometry_wheel_speed_fl = 0.0, odometry_wheel_speed_fr = 0.0,
+      odometry_wheel_speed_ml = 0.0, odometry_wheel_speed_mr = 0.0,
+      odometry_wheel_speed_rl = 0.0, odometry_wheel_speed_rr = 0.0,
+      status_door_is_open = false, status_grid_is_available = true,
+      status_halt_brake_is_active = false, status_park_brake_is_active = false)
+
+  test("diff-stage state survives a stop/restart: accel continuous across the boundary") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val ckpt = Files.createTempDirectory("graft-fm-ckpt").toString
+    val out = Files.createTempDirectory("graft-fm-out").toString
+    val in = MemoryStream[graft.ztbus.Telemetry]
+
+    def start() = Streaming.fullMetricsStream(in.toDS()).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // speed ramps 1.0 m/s per sample: accel is exactly 1.0 everywhere
+    // except the trip's first sample (filled 0). If the restart lost the
+    // carried (lastSpeed, lastAccel), sample 60 would diff against nothing
+    // (accel 0) and minute 2's accel_mean/jerk stats would shift.
+    val samples = (0 until 120).map(i =>
+      tel(i.toLong, 1L, sec(base, i), speed = i.toDouble))
+    val q1 = start()
+    in.addData(samples.take(60)); q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    in.addData(samples.drop(60)); q2.processAllAvailable()
+    // watermark pushers finalize both minutes
+    in.addData(tel(999999L, 99L, sec(base, 7200), 0.0)); q2.processAllAvailable()
+    in.addData(tel(999998L, 99L, sec(base, 7201), 0.0)); q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("trip_id") === 1L)
+      .select("minute", "accel_mean", "total_s")
+      .as[(Timestamp, Double, Long)].collect().sortBy(_._1.getTime)
+    assert(got.map(_._1).toSeq ==
+      Seq(Timestamp.valueOf("2021-03-09 14:15:00"),
+        Timestamp.valueOf("2021-03-09 14:16:00")))
+    assert(got.map(_._3).toSeq == Seq(60L, 60L))
+    // minute 1: 59 diffs of 1.0 + first-sample fill 0 -> 59/60
+    assert(math.abs(got(0)._2 - 59.0 / 60.0) < 1e-12, s"${got(0)}")
+    // minute 2: all 60 diffs exist ONLY if sample 59's state survived the
+    // restart -> exactly 1.0; a state loss would give 59/60 here too
+    assert(got(1)._2 == 1.0,
+      s"accel must be continuous across the restart boundary: ${got(1)}")
+  }
+
   test("open-run state survives a stop/restart from the checkpoint") {
     implicit val s = spark
     val base = "2021-03-09 14:15:00"
