@@ -62,13 +62,18 @@ object Bench {
         import spark.implicits._
         Fixtures.trips.toDF()
       }
+      // median-of-3 here too: single-shot ztbus timings drifted up to 2.4x
+      // on unchanged code between runs
       def time(key: String)(body: => Unit): (String, Double) = {
-        val t0 = System.nanoTime()
-        try { body; key -> (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $key failed: ${e.getMessage}")
-          key -> -1.0
+        val times = (1 to Reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { body; Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $key failed: ${e.getMessage}")
+            None
+          }
         }
+        key -> (if (times.size < Reps) -1.0 else times.sorted.apply(Reps / 2))
       }
       Seq(
         time("z_ztbus_metrics") {
