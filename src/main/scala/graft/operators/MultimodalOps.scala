@@ -213,6 +213,12 @@ object MultimodalOps {
           new java.io.ByteArrayInputStream(r.payload))
         try {
           val fmt = in.getFormat
+          // RMS math below assumes 16-bit signed PCM; flag anything else
+          // rather than mis-parse it (8-bit WAV is unsigned, 24/32-bit has
+          // a different stride).
+          if (fmt.getSampleSizeInBits != 16)
+            throw new javax.sound.sampled.UnsupportedAudioFileException(
+              s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
           val bytes = in.readAllBytes()
           val n = bytes.length / 2
           var ss = 0.0

@@ -83,10 +83,21 @@ class MultimodalSpec extends SparkSpec {
 
   test("audioFeatures: real WAV decode with rate, frames, and sine RMS") {
     val rate = 8000
+    // an 8-bit unsigned WAV: decodable container, unsupported sample width
+    val eightBit = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](800)(64)), fmt, 800L)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
     val rows = Seq(
       media(1L, "audio", wav(rate, 0.5, amp = 0.8)),
       media(2L, "audio", wav(rate, 0.25, amp = 0.2)),
-      media(3L, "audio", "not audio".getBytes))
+      media(3L, "audio", "not audio".getBytes),
+      media(4L, "audio", eightBit))
     val out = MultimodalOps.audioFeatures(spark.createDataset(rows))
       .collect().map(f => f.media_id -> f).toMap
     assert(out(1L).ok && out(1L).sample_rate == rate &&
@@ -95,5 +106,6 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(1L).rms - 0.8 / math.sqrt(2)) < 0.01, s"${out(1L)}")
     assert(math.abs(out(2L).rms - 0.2 / math.sqrt(2)) < 0.01, s"${out(2L)}")
     assert(!out(3L).ok, "non-audio bytes must flag, not throw")
+    assert(!out(4L).ok, "non-16-bit PCM must flag, not mis-parse")
   }
 }
