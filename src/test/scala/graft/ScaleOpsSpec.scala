@@ -33,6 +33,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("session detection over a trip-bucketed lake plans with ZERO exchange") {
+    // the 100 TB layout claim, asserted: telemetry written bucketed on
+    // trip_id means the gaps-and-islands window (and the run aggregation
+    // that shares its partitioning) needs no shuffle at all — the one
+    // Exchange the unbucketed plan carries (PlanSpec) disappears, so
+    // session detection over the whole lake is scan + sort + aggregate.
+    val tel = graft.ztbus.Fixtures.telemetry().toDF()
+    ScaleOps.writeBucketed(tel, "bucket_tel", "trip_id", 4)
+    val runs = graft.ztbus.Algorithms.brakeSessions(
+      spark.table("bucket_tel"), "status_halt_brake_is_active")
+    val plan = runs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed session detection must not shuffle:\n$plan")
+    // and the result is identical to the unbucketed path
+    val plain = graft.ztbus.Algorithms.brakeSessions(
+      tel, "status_halt_brake_is_active").collect().toSet
+    assert(runs.collect().toSet == plain)
+  }
+
   test("bucketed tables join with zero exchanges") {
     val a = (1L to 500L).map(i => (i, s"a$i")).toDF("id", "pa")
     val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "vb")
