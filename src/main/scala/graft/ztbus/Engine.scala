@@ -20,7 +20,9 @@ import graft.sources.Sinks
   */
 object Engine {
 
-  /** Collapsed batch run: all metrics + all sessions for a time range. */
+  /** Collapsed batch run: all metrics + all sessions + the 32 session-stats
+    * algorithm results for a time range — the reference's COMPLETE
+    * registered-algorithm surface in one call. */
   def batchRun(telemetry: DataFrame, trips: DataFrame,
       from: Timestamp, to: Timestamp): BatchResults = {
     val slice = telemetry.where(col("time") >= lit(from) && col("time") < lit(to))
@@ -34,7 +36,11 @@ object Engine {
         WindowTypes.HaltBrakeApplied, "halt_brake_finder"),
       parkSessions = Algorithms.sessionsAsWindowEvents(
         Algorithms.brakeSessions(slice, "status_park_brake_is_active"),
-        WindowTypes.ParkBrakeApplied, "park_brake_finder"))
+        WindowTypes.ParkBrakeApplied, "park_brake_finder"),
+      sessionStats = Algorithms.brakeSessionStatsAsResults(
+          slice, "status_halt_brake_is_active", WindowTypes.HaltBrakeApplied)
+        .unionByName(Algorithms.brakeSessionStatsAsResults(
+          slice, "status_park_brake_is_active", WindowTypes.ParkBrakeApplied)))
   }
 
   final case class BatchResults(
@@ -42,7 +48,8 @@ object Engine {
       metrics: DataFrame,
       results: DataFrame,
       haltSessions: DataFrame,
-      parkSessions: DataFrame)
+      parkSessions: DataFrame,
+      sessionStats: DataFrame)
 
   /** Faithful replay tick: read ledger tail → advance one minute → compute
     * that minute → append ledger. Returns the processed window, or the seed

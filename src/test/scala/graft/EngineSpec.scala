@@ -51,5 +51,9 @@ class EngineSpec extends SparkSpec {
     assert(r.results.count() == r.metrics.count() * 5)
     assert(r.haltSessions.where(col("name") === "HaltBrakeApplied").count() == 3)
     assert(r.parkSessions.count() == 1)
+    // 32 stats algorithms: one result row per (algorithm, session window);
+    // 16 columns x (3 halt + 1 park session)
+    assert(r.sessionStats.count() == 16 * 4)
+    assert(r.sessionStats.select("algorithm").distinct().count() == 32)
   }
 }
