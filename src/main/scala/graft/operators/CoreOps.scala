@@ -221,8 +221,11 @@ object CoreOps {
     * exactly the global gaps-and-islands ids. Output is row-identical to
     * [[flagRunAgg]] for ANY chunking (PropertySpec). Cost: one extra shuffle
     * of the fact rows (local window on (key, chunk) + final groupBy on
-    * (key, run) can't share partitioning) — worth it only when keys are few
-    * and huge; measured trade in DECISIONS.md. */
+    * (key, run) can't share partitioning), AND the window subplan evaluates
+    * twice — once under the offsets aggregation, once under the final join
+    * (the (key, chunk) Exchange is reused; the sort above it is not) —
+    * worth it only when keys are few and huge; measured trade in
+    * DECISIONS.md. */
   def flagRunAggChunked(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], flag: Column, chunk: Column, aggs: Seq[Column],
       runStart: String = "start_ts", runEnd: String = "end_ts",

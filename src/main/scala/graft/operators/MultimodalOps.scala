@@ -208,7 +208,9 @@ object MultimodalOps {
       implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      try {
+      if (r.payload == null || r.payload.isEmpty)
+        AudioFeatures(r.media_id, ok = false, 0, 0L, 0.0)
+      else try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         try {

@@ -159,7 +159,14 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
-    val feats = emb.select(array_to_vector(vec).as("features"))
+    // zero-norm vectors are in-contract for this corpus (ivfTopK's cosine
+    // guard exists for them) but Spark ML's cosine k-means REQUIRES
+    // strictly positive norms — exclude them from the fit; they still get
+    // a cell at assignment time (NULL c_sim ranks last deterministically).
+    VectorExpressions.register(emb.sparkSession)
+    val feats = emb
+      .where(VectorExpressions.floatDot(vec, vec) > 0)
+      .select(array_to_vector(vec).as("features"))
     // Spherical k-means: cell assignment in ivfTopK is by COSINE, so the
     // centroids must be learned under the same geometry — euclidean k-means
     // pulls centroids toward the data mean, collapsing angular separation

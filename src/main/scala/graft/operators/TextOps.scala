@@ -114,10 +114,12 @@ object TextOps {
   /** PII pattern scan: match COUNTS for emails / phone shapes / URLs per
     * document (a redaction pre-screen). Counts only — extracted PII never
     * leaves the row. Patterns are RE2-compatible so the exact same regex
-    * runs in engines restricted to linear-time matching. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * runs in engines restricted to linear-time matching; `(?i)` because a
+    * redaction pre-screen must not let `John.Doe@Example.COM` through a
+    * lowercase-only match. */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\d{3}[- ]\\d{3}[- ]\\d{4}"
-  val UrlRe = "https?://[^ ]+"
+  val UrlRe = "(?i)https?://[^ ]+"
 
   def piiScan(docs: DataFrame, id: Column, text: Column): DataFrame = {
     def n(re: String) =

@@ -108,6 +108,10 @@ object Sources {
       partitionColumn: String = "trip_id",
       lowerBound: Option[Long] = None, upperBound: Option[Long] = None,
       numPartitions: Int = 32): DataFrame = {
+    // validate the ≥1-predicate contract BEFORE the bounds round-trip: a
+    // refused call must not cost the database a query
+    require(tripId.nonEmpty || timeFrom.nonEmpty || timeTo.nonEmpty,
+      "at least one of key/timeFrom/timeTo is required (unbounded scan refused)")
     val derived =
       if (lowerBound.nonEmpty && upperBound.nonEmpty) None
       else jdbcBounds(spark, url, table, partitionColumn)

@@ -117,10 +117,14 @@ object Streaming {
     *     scale mode, same contract as q24).
     *
     * Samples arriving out of order ACROSS micro-batches (older than the
-    * trip's last diffed sample, still inside the watermark) are dropped by
-    * the diff stage — a cross-batch diff against them is undefined; within
-    * a micro-batch the stage sorts by event time, so any in-batch order is
-    * fine. `trips` (a static dimension) joins stream-static after the
+    * trip's furthest-seen sample, still inside the watermark) are EMITTED
+    * with accel = jerk = 0 — their cross-batch diff is undefined (the same
+    * reset-at-a-gap reading as [[graft.operators.CoreOps.diff2ByJoin]]),
+    * but the row still reaches every order-free aggregate, so kwh / counts
+    * / dwell never silently lose rows. Within a micro-batch the stage
+    * sorts by (time, id) — the batch window's exact order — so any
+    * in-batch arrival order, including duplicate timestamps, matches
+    * batch. `trips` (a static dimension) joins stream-static after the
     * aggregation for (bus_id, route_id), mirroring the batch plan's
     * broadcast join. Requires the RocksDB state store provider (set in
     * [[graft.GraftSession]]). */
@@ -182,21 +186,25 @@ object Streaming {
 
     override def handleInputRows(tripId: Long, it: Iterator[Telemetry],
         timers: TimerValues): Iterator[DiffedSample] = {
-      val sorted = it.toIndexedSeq.sortBy(_.time.getTime)
+      // (time, id) — the batch window's exact sort, so duplicate
+      // timestamps tiebreak identically
+      val sorted = it.toIndexedSeq.sortBy(t => (t.time.getTime, t.id))
       var last: Option[DiffState] = if (state.exists()) Some(state.get()) else None
-      val out = sorted.flatMap { t =>
+      val out = sorted.map { t =>
         val ms = t.time.getTime
-        if (last.exists(ms <= _.lastMs)) None // cross-batch out-of-order: drop
-        else {
-          val accel = last.map(t.odometry_vehicle_speed - _.lastSpeed)
-            .getOrElse(0.0)
-          val jerk = last.map(accel - _.lastAccel).getOrElse(0.0)
-          last = Some(DiffState(ms, t.odometry_vehicle_speed, accel))
-          Some(DiffedSample(t.trip_id, t.time, t.electric_power_demand,
-            t.temperature_ambient, t.traction_brake_pressure,
-            t.odometry_articulation_angle, t.odometry_vehicle_speed,
-            t.itcs_number_of_passengers, t.status_door_is_open, accel, jerk))
-        }
+        val (accel, jerk) =
+          if (last.exists(ms < _.lastMs)) (0.0, 0.0) // late cross-batch: reset
+          else {
+            val a = last.map(t.odometry_vehicle_speed - _.lastSpeed)
+              .getOrElse(0.0)
+            val j = last.map(a - _.lastAccel).getOrElse(0.0)
+            last = Some(DiffState(ms, t.odometry_vehicle_speed, a))
+            (a, j)
+          }
+        DiffedSample(t.trip_id, t.time, t.electric_power_demand,
+          t.temperature_ambient, t.traction_brake_pressure,
+          t.odometry_articulation_angle, t.odometry_vehicle_speed,
+          t.itcs_number_of_passengers, t.status_door_is_open, accel, jerk)
       }
       last.foreach { s =>
         state.update(s)
@@ -396,7 +404,7 @@ object Streaming {
 
     override def handleInputRows(tripId: Long, it: Iterator[Telemetry],
         timers: TimerValues): Iterator[SessionStat] = {
-      val sorted = it.toIndexedSeq.sortBy(_.time.getTime)
+      val sorted = it.toIndexedSeq.sortBy(t => (t.time.getTime, t.id))
       val out = Seq.newBuilder[SessionStat]
       var open: Option[SessionStatsState] =
         if (state.exists()) Some(state.get()) else None
@@ -404,11 +412,18 @@ object Streaming {
         val ms = t.time.getTime
         (open, flagOf(t)) match {
           case (Some(s), true) =>
-            open = Some(SessionStatsState(s.startMs, ms, s.n + 1,
+            // late in-watermark flagged samples are absorbed and the run
+            // bounds widened (never regressed — a shrinking lastMs would
+            // emit time_to < time_from and let a stale timer close the
+            // session early); a retroactive run SPLIT from a late false
+            // sample is unknowable with bounded state and is ignored below
+            open = Some(SessionStatsState(
+              math.min(s.startMs, ms), math.max(s.lastMs, ms), s.n + 1,
               absorb(s.accs, t)))
-          case (Some(s), false) =>
+          case (Some(s), false) if ms >= s.lastMs =>
             out ++= emit(tripId, s)
             open = None
+          case (Some(_), false) => () // late false inside the open run
           case (None, true) =>
             open = Some(SessionStatsState(ms, ms, 1L, absorb(freshAccs, t)))
           case (None, false) => ()

@@ -47,7 +47,7 @@ class ApproxSpec extends SparkSpec {
     assert(be.keySet == ba.keySet)
     be.foreach { case (m, exact) =>
       assert(math.abs(ba(m) - exact).toDouble / exact < 0.1,
-        s"$m: approx $ba vs exact $exact")
+        s"$m: approx ${ba(m)} vs exact $exact")
     }
   }
 

@@ -48,10 +48,10 @@ class JdbcSourceSpec extends SparkSpec {
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("PushedFilters") && plan.contains("trip_id"),
       s"trip predicate must reach the JDBC scan:\n$plan")
-    // unbounded scans stay refused on the JDBC path too
+    // unbounded scans stay refused on the JDBC path too — BEFORE the
+    // derived-bounds round-trip (a refused call must not query the DB)
     intercept[IllegalArgumentException] {
-      Sources.readTelemetryJdbc(spark, url, "telemetry", Seq("id"),
-        lowerBound = Some(10L), upperBound = Some(13L))
+      Sources.readTelemetryJdbc(spark, url, "telemetry", Seq("id"))
     }
   }
 

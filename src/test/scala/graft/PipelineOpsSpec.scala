@@ -120,7 +120,8 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "contact bob@example.com or sue@test.org today"),
       (2L, "call 555-123-4567 or 555 987 6543 now"),
       (3L, "see https://example.com/a and http://b.io docs"),
-      (4L, "clean text with no identifiers at all"))
+      (4L, "clean text with no identifiers at all"),
+      (5L, "mail John.Doe@Example.COM or visit HTTPS://Ex.COM/x"))
       .toDF("doc_id", "text")
     val out = TextOps.piiScan(fixture, col("doc_id"), col("text"))
       .as[(Long, Long, Long, Long)].collect()
@@ -129,6 +130,8 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 2L, 0L)), s"${out(2L)}")
     assert(out(3L) == ((0L, 0L, 2L)))
     assert(out(4L) == ((0L, 0L, 0L)))
+    assert(out(5L) == ((1L, 0L, 1L)),
+      s"a redaction pre-screen must be case-insensitive: ${out(5L)}")
   }
 
   test("learned IVF centroids: recall@k vs the fixed-sample quantizer") {

@@ -281,6 +281,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fullMetricsStream: late in-watermark samples are counted, not dropped") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[graft.ztbus.Telemetry]
+    val q = Streaming.fullMetricsStream(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fml").start()
+    try {
+      def t(id: Long, secs: Int, speed: Double) =
+        graft.ztbus.Fixtures.telemetry().head.copy(
+          id = id, trip_id = 5L, time = sec(base, secs),
+          odometry_vehicle_speed = speed)
+      // batch 1: samples 0,1,2,4,5 (3 missing); batch 2 delivers 3 LATE
+      in.addData(Seq(0, 1, 2, 4, 5).map(i => t(i.toLong, i, i.toDouble)))
+      q.processAllAvailable()
+      in.addData(t(3L, 3, 3.0))
+      q.processAllAvailable()
+      // watermark pushers finalize the minute
+      in.addData(t(999999L, 7200, 0.0).copy(trip_id = 99L))
+      q.processAllAvailable()
+      in.addData(t(999998L, 7201, 0.0).copy(trip_id = 99L))
+      q.processAllAvailable()
+      val row = spark.table("fml").where(col("trip_id") === 5L)
+        .select("total_s", "dist_m", "accel_mean")
+        .as[(Long, Double, Double)].head()
+      assert(row._1 == 6L, s"late row must still be counted: $row")
+      assert(row._2 == 15.0, s"late row must reach the sums: $row")
+      // diffs: 0(first) +1 +1 +2 +1 in arrival order, late row resets to 0
+      assert(row._3 == 5.0 / 6.0, s"late row contributes accel 0: $row")
+    } finally q.stop()
+  }
+
+  test("sessionStatsStream: late flagged sample widens the open run, never regresses it") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[graft.ztbus.Telemetry]
+    val q = Streaming.sessionStatsStream(in.toDS(), "status_halt_brake_is_active")
+      .writeStream.outputMode("append").format("memory").queryName("sstl").start()
+    try {
+      def t(id: Long, secs: Int, speed: Double, flag: Boolean) =
+        graft.ztbus.Fixtures.telemetry().head.copy(
+          id = id, trip_id = 5L, time = sec(base, secs),
+          odometry_vehicle_speed = speed,
+          status_halt_brake_is_active = flag)
+      // batch 1: flagged 0,1,2,4,5 (3 missing); batch 2: late flagged 3,
+      // then a closing false at 6
+      in.addData(Seq(0, 1, 2, 4, 5).map(i => t(i.toLong, i, i.toDouble, flag = true)))
+      q.processAllAvailable()
+      in.addData(t(3L, 3, 3.0, flag = true), t(6L, 6, 0.0, flag = false))
+      q.processAllAvailable()
+      val rows = spark.table("sstl")
+        .where(col("column") === "odometry_vehicle_speed")
+        .select("time_from", "time_to", "n_samples", "stat", "value")
+        .as[(Timestamp, Timestamp, Long, String, Option[Double])].collect()
+      assert(rows.nonEmpty, "session must close on the false sample")
+      rows.foreach { r =>
+        assert(r._1 == sec(base, 0) && r._2 == sec(base, 5) && r._3 == 6L,
+          s"late sample must widen, not regress, the run: $r")
+      }
+      val byStat = rows.map(r => r._4 -> r._5).toMap
+      assert(byStat("min").contains(0.0) && byStat("max").contains(5.0))
+      assert(byStat("mean").exists(m => math.abs(m - 2.5) < 1e-12),
+        s"late sample's value must be absorbed: ${byStat("mean")}")
+    } finally q.stop()
+  }
+
   test("minuteMetricsStream finalizes windows past the watermark") {
     implicit val s = spark
     val in = MemoryStream[graft.ztbus.Telemetry]
