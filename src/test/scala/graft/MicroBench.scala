@@ -24,6 +24,17 @@ object MicroBench {
             chunkSeconds = Some(3600L))
         case "sessions" =>
           Algorithms.brakeSessions(tel, "status_halt_brake_is_active")
+        // single giant key — the chunked variant's target regime
+        case "session_stats_1key" =>
+          Algorithms.brakeSessionStats(
+            Fixtures.telemetryDF(spark, 2000000L)
+              .where(org.apache.spark.sql.functions.col("trip_id") === 1L),
+            "status_halt_brake_is_active")
+        case "session_stats_1key_chunked" =>
+          Algorithms.brakeSessionStats(
+            Fixtures.telemetryDF(spark, 2000000L)
+              .where(org.apache.spark.sql.functions.col("trip_id") === 1L),
+            "status_halt_brake_is_active", chunkSeconds = Some(3600L))
         case "metrics" => Algorithms.perMinuteMetrics(tel, trips)
         case other => sys.error(s"unknown scenario: $other")
       }
