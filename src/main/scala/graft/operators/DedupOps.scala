@@ -122,6 +122,59 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > maxBucket)
 
+  /** Near-dup CLUSTERS from a candidate/verified pair graph: connected
+    * components by iterative min-label propagation, cluster id = the
+    * smallest doc id reachable. This is the step a dedup pipeline needs
+    * AFTER pair discovery — transitivity (a~b, b~c ⇒ one cluster) so one
+    * canonical doc survives per group, not one per pair.
+    *
+    * Each iteration is one distributed join + min-aggregation over the
+    * edge list; labels converge in ≤ graph-diameter rounds (near-dup
+    * clusters are shallow — tens of rounds covers pathological chains, and
+    * convergence is checked so typical data stops after 2-3). The driver
+    * only coordinates iterations (the standard shape of distributed
+    * iterative algorithms); per-round `localCheckpoint` truncates the plan
+    * lineage so round N's plan doesn't embed rounds 1..N-1. Output:
+    * (doc_id, cluster_id) for every doc appearing in a pair — docs in no
+    * pair are their own cluster by definition and are left out of the edge
+    * walk entirely. Deterministic for any input order/partitioning. */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val undirected = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = undirected.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val propagated = undirected
+        .join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("cluster_id"))
+      val next = labels.unionByName(propagated)
+        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "_old"), "node")
+        .where(col("cluster_id") =!= col("_old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  /** The keep-set after clustering: one canonical doc (the cluster id
+    * itself = smallest member) per near-dup cluster, plus every doc that
+    * appears in no pair. One broadcast-size anti-join against the
+    * (pairs-only, hence small relative to the corpus) cluster table. */
+  def keepCanonical(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      id === col("doc_id"), "left_anti")
+
   /** Shared tail of both jaccard paths: join per-doc distinct-shingle
     * counts onto the intersection counts, score, threshold. */
   private def jaccardFromIntersections(inter: DataFrame, sizes: DataFrame,

@@ -237,6 +237,38 @@ object Pipeline {
        |  FROM scored
        |) t WHERE rk <= $LSH_K""".stripMargin)
 
+  /** Near-dup clusters over the LSH candidate-pair graph: connected
+    * components (min-label propagation) — the transitive step after pair
+    * discovery, so one canonical doc survives per GROUP, not per pair.
+    * Oracle: the same pair CTE as q32 closed transitively with a recursive
+    * CTE, cluster id = min reachable doc id. */
+  private val q51 = QueryDef(
+    "q51_dedup_clusters",
+    (s, d) => DedupOps.dedupClusters(
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+        Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
+      "doc_a", "doc_b"),
+    s"""WITH RECURSIVE $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a""".stripMargin)
+
   /** Row-local repetition/boilerplate screen over the documents table. */
   private val q49 = QueryDef(
     "q49_repetition_score",
@@ -377,5 +409,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48, q49, q50)
+    q45, q46, q48, q49, q50, q51)
 }

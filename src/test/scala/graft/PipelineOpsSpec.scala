@@ -105,6 +105,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set(1L))
   }
 
+  test("dedupClusters finds transitive components; keepCanonical keeps one per group") {
+    // chain 1-2-3, pair 5-6, triangle 7-8-9 (4 and 10 unpaired)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val clusters = DedupOps.dedupClusters(pairs, "doc_a", "doc_b")
+    val got = clusters.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L), s"$got")
+    // invariant under partitioning
+    val reparted = DedupOps.dedupClusters(pairs.repartition(5), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(reparted == got)
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("id", "t")
+    val kept = DedupOps.keepCanonical(docs, col("id"), clusters)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 7L, 10L),
+      "one canonical per cluster + all unpaired docs")
+  }
+
   test("repetitionScore flags redundant documents") {
     val out = TextOps.repetitionScore(
       Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text"),
