@@ -346,6 +346,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStatsStream park-brake flag selects the park column") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val in = MemoryStream[graft.ztbus.Telemetry]
+    val q = Streaming.sessionStatsStream(in.toDS(), "status_park_brake_is_active")
+      .writeStream.outputMode("append").format("memory").queryName("sstp").start()
+    try {
+      def t(id: Long, secs: Int, park: Boolean, halt: Boolean) =
+        graft.ztbus.Fixtures.telemetry().head.copy(
+          id = id, trip_id = 6L, time = sec(base, secs),
+          status_park_brake_is_active = park,
+          status_halt_brake_is_active = halt)
+      // park run 0..2; halt flag deliberately inverted to prove the
+      // processor reads the requested column
+      in.addData(
+        t(0L, 0, park = true, halt = false),
+        t(1L, 1, park = true, halt = false),
+        t(2L, 2, park = true, halt = false),
+        t(3L, 3, park = false, halt = true))
+      q.processAllAvailable()
+      val ns = spark.table("sstp").select("n_samples")
+        .as[Long].collect().distinct
+      assert(ns.toSeq == Seq(3L), s"park run must be 3 samples: ${ns.toSeq}")
+    } finally q.stop()
+  }
+
   test("minuteMetricsStream finalizes windows past the watermark") {
     implicit val s = spark
     val in = MemoryStream[graft.ztbus.Telemetry]
