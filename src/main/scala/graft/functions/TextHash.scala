@@ -63,6 +63,19 @@ object TextHash {
   def bandBucketSql(ms: Seq[String]): String =
     ms.reduce((acc, m) => s"(($acc) * 31 + $m) % $P")
 
+  /** Sampling bucket with an avalanche step: the raw polynomial hash is
+    * SEQUENTIAL for texts differing only in a trailing digit (h(s+c) =
+    * 31·h(s)+c), so `h mod buckets` would give near-identical documents
+    * near-identical buckets — correlated sampling decisions, a biased
+    * sample. One Knuth multiplicative step (odd constant ≈ 2³²/φ) spreads
+    * consecutive hashes across the whole field before bucketing.
+    * Intermediates stay < 2.7e18 (inside Long/BIGINT in both engines). */
+  def sampleBucket(h: Column, buckets: Int): Column =
+    (h * lit(2654435761L)) % lit(P) % lit(buckets)
+
+  def sampleBucketSql(h: String, buckets: Int): String =
+    s"((($h) * 2654435761) % $P) % $buckets"
+
   // ------------------------------------------------------- vector helpers
 
   /** DuckDB fragment computing the deterministic dot product of two list

@@ -131,6 +131,33 @@ object TextOps {
       n(UrlRe).as("n_urls"))
   }
 
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * documents, selected by CONTENT HASH (bucket = polyHash(text) mod 1e4 <
+    * fraction·1e4) rather than RNG — the only sampling that is reproducible
+    * across runs, partitionings, retries, and engines at 100 TB scale, and
+    * that samples exact duplicates identically (so dedup-then-sample and
+    * sample-then-dedup commute). Same hash as [[hashSplit]], so sample
+    * membership and train/val/test assignment stay mutually consistent.
+    * Strata not in `fractions` are dropped (fraction 0). The bucket is the
+    * AVALANCHED hash ([[graft.functions.TextHash.sampleBucket]]) — the raw
+    * polynomial hash is sequential over near-identical texts, which would
+    * correlate their keep/drop decisions. */
+  def stratifiedSample(docs: DataFrame, id: Column, text: Column,
+      strata: Column, fractions: Map[String, Double],
+      keep: Seq[Column] = Nil): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val bucket = sampleBucket(
+      graft.functions.HashExpressions.polyHash(text), 10000)
+    val thresh = fractions.foldLeft(lit(0): Column) {
+      case (acc, (k, f)) =>
+        when(strata === lit(k), lit(math.round(f * 10000).toInt)).otherwise(acc)
+    }
+    docs.where(bucket < thresh)
+      .select(id.as("doc_id") +: strata.as("stratum") +: keep: _*)
+  }
+
   /** Whole-document rolling-hash fingerprint (exact-dup key). */
   def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)

@@ -269,6 +269,24 @@ object Pipeline {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin)
 
+  /** Deterministic per-language quota sampling: downsample the dominant
+    * language, keep the rest — the rebalancing step of a curation
+    * pipeline, content-hash-selected so it reproduces anywhere. */
+  private val SampleFractions = Seq("en" -> 0.5, "de" -> 1.0, "es" -> 1.0,
+    "fr" -> 1.0, "zh" -> 0.25)
+  private val q52 = QueryDef(
+    "q52_stratified_sample",
+    (s, d) => TextOps.stratifiedSample(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
+      SampleFractions.toMap),
+    s"""SELECT doc_id, lang AS stratum
+       |FROM (SELECT doc_id, lang,
+       |        ${sampleBucketSql(polyHashSql("text"), 10000)} AS bkt
+       |      FROM documents) t
+       |WHERE bkt < CASE lang ${SampleFractions.map { case (k, f) =>
+          s"WHEN '$k' THEN ${math.round(f * 10000)}" }.mkString(" ")}
+       | ELSE 0 END""".stripMargin)
+
   /** Row-local repetition/boilerplate screen over the documents table. */
   private val q49 = QueryDef(
     "q49_repetition_score",
@@ -409,5 +427,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48, q49, q50, q51)
+    q45, q46, q48, q49, q50, q51, q52)
 }

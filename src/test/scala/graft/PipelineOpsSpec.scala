@@ -124,6 +124,39 @@ class PipelineOpsSpec extends SparkSpec {
       "one canonical per cluster + all unpaired docs")
   }
 
+  test("stratifiedSample: per-stratum fractions honored, deterministic, dup-consistent") {
+    // every text has exactly one en and one de twin
+    val docs = (0 until 400).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (i.toLong, lang, s"some document text number ${i / 2}")
+    }.toDF("doc_id", "lang", "text")
+      .withColumnRenamed("lang", "l")
+    val out = TextOps.stratifiedSample(docs, col("doc_id"), col("text"),
+      col("l"), Map("en" -> 0.5, "de" -> 1.0))
+    val byStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum("de") == 200L, "fraction 1.0 keeps everything")
+    assert(math.abs(byStratum("en") - 100L) < 30,
+      s"fraction 0.5 keeps about half: ${byStratum("en")}")
+    // unlisted strata are dropped
+    assert(TextOps.stratifiedSample(docs, col("doc_id"), col("text"),
+      col("l"), Map("de" -> 1.0)).where(col("stratum") === "en").isEmpty)
+    // determinism under repartitioning
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextOps.stratifiedSample(docs.repartition(7), col("doc_id"),
+      col("text"), col("l"), Map("en" -> 0.5, "de" -> 1.0))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // content-hash selection: duplicate texts decide identically — with
+    // EQUAL fractions, a text's twins are kept or dropped together
+    val equalFrac = TextOps.stratifiedSample(docs, col("doc_id"), col("text"),
+      col("l"), Map("en" -> 0.5, "de" -> 0.5))
+    val twinCounts = docs.join(equalFrac, "doc_id").groupBy("text").count()
+      .as[(String, Long)].collect().map(_._2)
+    assert(twinCounts.nonEmpty && twinCounts.forall(_ == 2),
+      "same text must sample identically in every stratum at equal fractions")
+  }
+
   test("repetitionScore flags redundant documents") {
     val out = TextOps.repetitionScore(
       Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text"),
