@@ -158,6 +158,22 @@ object TextOps {
       .select(id.as("doc_id") +: strata.as("stratum") +: keep: _*)
   }
 
+  /** Corpus vocabulary statistics: document frequency and term frequency
+    * per word, top-k by document frequency (word tiebreak — deterministic
+    * under ties at the k boundary). The corpus-level complement of the
+    * row-local text ops: the classic one-shuffle wordcount shape
+    * (explode → groupBy word with map-side partial aggregation), then a
+    * TakeOrdered top-k — no global sort. Feeds stopword derivation and
+    * vocabulary builds. */
+  def vocabulary(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+      .groupBy("word")
+      .agg(
+        countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+      .limit(k)
+
   /** Whole-document rolling-hash fingerprint (exact-dup key). */
   def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)

@@ -287,6 +287,20 @@ object Pipeline {
           s"WHEN '$k' THEN ${math.round(f * 10000)}" }.mkString(" ")}
        | ELSE 0 END""".stripMargin)
 
+  /** Corpus-level vocabulary: top-k words by document frequency. */
+  private val q53 = QueryDef(
+    "q53_vocabulary",
+    (s, d) => TextOps.vocabulary(
+      Tables.documents(s, d), col("doc_id"), col("text"), 20),
+    """SELECT word,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      |  CAST(count(*) AS BIGINT) AS term_freq
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |      FROM documents) t
+      |GROUP BY word
+      |ORDER BY doc_freq DESC, word
+      |LIMIT 20""".stripMargin)
+
   /** Row-local repetition/boilerplate screen over the documents table. */
   private val q49 = QueryDef(
     "q49_repetition_score",
@@ -427,5 +441,5 @@ object Pipeline {
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48, q49, q50, q51, q52)
+    q45, q46, q48, q49, q50, q51, q52, q53)
 }

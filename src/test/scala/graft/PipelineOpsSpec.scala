@@ -157,6 +157,21 @@ class PipelineOpsSpec extends SparkSpec {
       "same text must sample identically in every stratum at equal fractions")
   }
 
+  test("vocabulary ranks words by document frequency with a word tiebreak") {
+    val out = TextOps.vocabulary(docs, col("doc_id"), col("text"), 3)
+      .as[(String, Long, Long)].collect()
+    // docs fixture: "the" appears in docs 1,2,3 (df=3, tf=6); "cat"/"sat"/
+    // "on"/"mat" in 1,2,3 (df=3); tie broken alphabetically
+    assert(out.length == 3)
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq,
+      "must be ordered by doc_freq desc")
+    assert(out.head._1 == "cat" && out.head._2 == 3L,
+      s"alphabetical tiebreak among df=3 words: ${out.toSeq}")
+    val the = TextOps.vocabulary(docs, col("doc_id"), col("text"), 30)
+      .where(col("word") === "the").as[(String, Long, Long)].head()
+    assert(the == (("the", 3L, 6L)), s"$the")
+  }
+
   test("repetitionScore flags redundant documents") {
     val out = TextOps.repetitionScore(
       Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text"),
