@@ -144,23 +144,35 @@ object DedupOps {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
-    var labels = undirected.select(col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node"))
+    // Seed = min(self, direct neighbors): exactly the state after round 1
+    // of min-label propagation, folded into one aggregation — replaces the
+    // identity-label distinct AND the first full round (2 fewer jobs).
+    var labels = undirected
+      .select(col("src").as("node"),
+        least(col("src"), col("dst")).as("cluster_id"))
+      .groupBy("node").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint(true)
+    val labelType = labels.schema("cluster_id").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Carry each node's PREVIOUS label through the same aggregation
+      // (exactly one non-null _old per node, from the labels branch), so
+      // the convergence check is a narrow filter over the just-checkpointed
+      // partitions instead of a second shuffle join per round.
       val propagated = undirected
         .join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("cluster_id"))
-      val next = labels.unionByName(propagated)
-        .groupBy("node").agg(min("cluster_id").as("cluster_id"))
+        .select(col("src").as("node"), col("cluster_id"),
+          lit(null).cast(labelType).as("_old"))
+      val next = labels
+        .select(col("node"), col("cluster_id"),
+          col("cluster_id").as("_old"))
+        .unionByName(propagated)
+        .groupBy("node").agg(
+          min("cluster_id").as("cluster_id"), min("_old").as("_old"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "_old"), "node")
-        .where(col("cluster_id") =!= col("_old"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("cluster_id") =!= col("_old")).isEmpty
+      labels = next.select("node", "cluster_id")
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("cluster_id"))

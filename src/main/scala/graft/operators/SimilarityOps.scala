@@ -180,6 +180,43 @@ object SimilarityOps {
       .toDF(idName, vecName)
   }
 
+  /** Embedding-space class statistics per `label`: vector count, mean norm,
+    * and mean cosine to the label centroid (cluster tightness — low values
+    * flag mislabeled or heterogeneous classes before training). The
+    * centroid is the component-wise mean, computed distributed
+    * (posexplode → groupBy(label, pos), corpus-linear, one shuffle) and
+    * ROUNDED to 1e-6 before use, so the downstream cosine consumes the same
+    * decimal centroid in any engine; the label-count sized centroid table is
+    * broadcast back. Per-row dot products unroll over `dim` in fixed
+    * left-to-right order (bit-deterministic); unordered float MEANS are
+    * rounded to 1e-6, below which double-sum order effects live. */
+  def labelStats(emb: DataFrame, label: Column, vec: Column,
+      dim: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val v = emb.select(label.as("label"), vec.as("e"),
+      sqrt(VectorExpressions.floatDot(vec, vec)).as("nrm"))
+    val centroid = v
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("ce"))
+    def dot(a: Column => Column, b: Column => Column): Column =
+      (1 to dim).map(i => a(lit(i)) * b(lit(i))).reduce(_ + _)
+    val cnrm = sqrt(dot(i => element_at(col("ce"), i),
+      i => element_at(col("ce"), i)))
+    val d = dot(i => element_at(col("e"), i).cast("double"),
+      i => element_at(col("ce"), i))
+    v.join(broadcast(centroid), "label")
+      .withColumn("cos_c",
+        when(col("nrm") * cnrm > 0, round(d / (col("nrm") * cnrm), 6)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 6).as("avg_norm"),
+        round(avg("cos_c"), 6).as("avg_cos_centroid"))
+  }
+
   /** Sign-LSH bucketed top-k: queries only compare against corpus vectors in
     * the same bucket. Approximate (recall < 1), ~2^nBits cheaper. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHash._
 
@@ -38,6 +39,23 @@ object TextOps {
         when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(acc)
     }
     scored.withColumn("pred_lang", pred)
+  }
+
+  /** The fixed-weight composite of [[qualityScore]] as a reusable Column —
+    * shared with the per-source aggregation ([[sourceStats]]) so both
+    * compute the identical score. */
+  def qualityComposite(text: Column): Column = {
+    val ws = split(text, " ")
+    val allStop = LangProfiles.flatMap(_._2).distinct
+    val nWords = size(ws).cast("long")
+    val digitRatio =
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+        length(text).cast("double")
+    val stopRatio = size(filter(ws, w => w.isInCollection(allStop)))
+      .cast("double") / nWords.cast("double")
+    lit(0.5) * stopRatio +
+      lit(0.3) * least(nWords.cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - digitRatio)
   }
 
   /** Quality signals: word count, mean word length, digit ratio, stopword
@@ -179,5 +197,108 @@ object TextOps {
     graft.functions.HashExpressions.register(docs.sparkSession)
     docs.select(id.as("doc_id"),
       graft.functions.HashExpressions.polyHash(text).as("fingerprint"))
+  }
+
+  /** Pack documents into fixed token-budget training chunks by contiguous
+    * fill in id order: a doc lands in chunk `floor(startOffset / budget)`,
+    * where startOffset is the EXCLUSIVE prefix sum of per-doc token
+    * estimates (the [[tokenCounts]] BPE estimate). The prefix sum is
+    * hierarchical — an intra-block running sum (window partitioned by
+    * `block = id div blockSize`, so per-task work is bounded by blockSize)
+    * plus exclusive block offsets (a global window, but over corpus/blockSize
+    * AGGREGATE rows — ~10⁶ rows for a 10¹²-doc corpus, never the corpus
+    * itself) — the distributed prefix-sum shape; a single-partition window
+    * over all docs would serialize the job. `budget` and `blockSize` must be
+    * powers of two so the float divisions below are exact (binary scaling,
+    * no rounding) and the chunk boundary is engine-portable. */
+  def packSequences(docs: DataFrame, id: Column, text: Column, budget: Long,
+      blockSize: Long = 1L << 20): DataFrame = {
+    require((budget & (budget - 1)) == 0 && (blockSize & (blockSize - 1)) == 0,
+      "budget and blockSize must be powers of two (exact float division)")
+    val toks = ceil(length(text).cast("double") / lit(4.0)).cast("long")
+    val base = docs
+      .select(id.as("doc_id"), toks.as("toks"))
+      .withColumn("block",
+        floor(col("doc_id").cast("double") / lit(blockSize.toDouble)).cast("long"))
+    val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("block").agg(sum("toks").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
+      .select("block", "boff")
+    base
+      .withColumn("cum_in", sum("toks").over(wIn))
+      .join(broadcast(offsets), "block")
+      .withColumn("strt", col("boff") + col("cum_in") - col("toks"))
+      .withColumn("chunk_id",
+        floor(col("strt").cast("double") / lit(budget.toDouble)).cast("long"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** Train/test contamination screen (n-gram decontamination): for every
+    * TEST-split document ([[hashSplit]]), the fraction of its distinct
+    * word-`w`-gram shingles that occur in ANY train-split document. The
+    * train shingle set is a distinct hash column, the overlap a shuffled
+    * hash join on the (uniform) shingle hash — both sides stream at corpus
+    * scale; nothing is collected or crossed. */
+  def contamination(docs: DataFrame, id: Column, text: Column, w: Int,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val sh = DedupOps.shingleHashes(docs, id, text, w)
+    val splits = hashSplit(docs, id, text, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    val labeled = sh.join(splits, "doc_id")
+    val trainH = labeled.where(col("split") === "train")
+      .select("h").distinct().withColumn("_hit", lit(1L))
+    labeled.where(col("split") === "test")
+      .join(trainH, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_in_train"))
+      .withColumn("contamination",
+        col("n_in_train").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Per-source curation audit: document counts, exact-duplicate ratio,
+    * mean length, and mean [[qualityComposite]] score per `source` — the
+    * aggregation a pipeline uses to decide which sources to keep, reweight,
+    * or drop. One hash aggregation; the quality composite is row-local, so
+    * the whole plan is a single shuffle on `source`. The float means are
+    * rounded (1e-6) because an unordered double sum is only
+    * order-deterministic to the last ulp. */
+  def sourceStats(docs: DataFrame, source: Column, text: Column,
+      nChars: Column): DataFrame =
+    docs.groupBy(source.as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(text).as("n_unique_texts"),
+      (lit(1.0) - countDistinct(text).cast("double") /
+        count(lit(1)).cast("double")).as("dup_ratio"),
+      avg(nChars).as("avg_chars"),
+      round(avg(qualityComposite(text)), 6).as("avg_quality"))
+
+  /** Top-`k` TF-IDF terms per document: term frequency × smoothed inverse
+    * document frequency `ln((N+1)/(df+1))`, ranked per doc with a word
+    * tiebreak ON THE ROUNDED score (1e-6), so ranking is identical in any
+    * engine whose `ln` agrees to ~1e-7 — ulp-level libm differences cannot
+    * reorder. Two wordcount-shaped aggregations plus a broadcast of the
+    * 1-row corpus count; the per-doc rank partitions by doc (bounded by
+    * vocabulary, not corpus). */
+  def tfidfTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .join(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("doc_id", "rk", "word", "tf", "df", "tfidf")
   }
 }

@@ -21,13 +21,15 @@ object Pipeline {
   private val LSH_K = 3
   private val LSH_TABLES = 4
 
-  /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs. */
-  private def shingleCte: String =
+  /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs at width `w`. */
+  private def shingleCteW(w: Int): String =
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
-       |    SELECT doc_id, ${wordShinglesSql(SHINGLE_W)} AS s
-       |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - ${SHINGLE_W - 1}, 1))) AS t(i)))""".stripMargin
+       |    SELECT doc_id, ${wordShinglesSql(w)} AS s
+       |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - ${w - 1}, 1))) AS t(i)))""".stripMargin
+
+  private def shingleCte: String = shingleCteW(SHINGLE_W)
 
   /** Shared oracle CTE: 8-permutation minhash signature per doc. */
   private def sigCte: String = {
@@ -439,7 +441,119 @@ object Pipeline {
        |FROM (SELECT lang, ${polyHashSql("text")} % 100 AS b FROM documents) t
        |GROUP BY 1, 2""".stripMargin)
 
+  /** Contiguous-fill packing of documents into fixed token-budget training
+    * chunks — the sequence-packing step before tokenization. The chunk
+    * boundary comes from a DISTRIBUTED hierarchical prefix sum
+    * ([[TextOps.packSequences]]); the oracle's single window sum is the
+    * same math, viable only at oracle scale. Budget is a power of two so
+    * the boundary division is exact in both engines. */
+  private val PackBudget = 2048L
+  private val q54 = QueryDef(
+    "q54_pack_sequences",
+    (s, d) => TextOps.packSequences(
+      Tables.documents(s, d), col("doc_id"), col("text"), PackBudget),
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |    sum(toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS strt
+       |  FROM t)
+       |SELECT CAST(floor(CAST(strt AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin)
+
+  /** Train/test n-gram contamination screen over the [[TextOps.hashSplit]]
+    * split — the decontamination audit run before an eval set is trusted.
+    * Width 3 (longer than the dedup shingles): contamination wants matching
+    * PASSAGES, not near-dup pages. */
+  private val ContamW = 3
+  private val q55 = QueryDef(
+    "q55_contamination",
+    (s, d) => TextOps.contamination(
+      Tables.documents(s, d), col("doc_id"), col("text"), ContamW),
+    s"""WITH ${shingleCteW(ContamW)},
+       |spl AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b FROM documents) t),
+       |tr AS (SELECT DISTINCT h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+       |  WHERE split = 'train'),
+       |te AS (SELECT sh.doc_id, sh.h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+       |  WHERE split = 'test')
+       |SELECT te.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(tr.h) AS BIGINT) AS n_in_train,
+       |  CAST(count(tr.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+       |FROM te LEFT JOIN tr ON te.h = tr.h
+       |GROUP BY te.doc_id""".stripMargin)
+
+  /** Per-source curation audit over documents.source. */
+  private val q56 = QueryDef(
+    "q56_source_stats",
+    (s, d) => TextOps.sourceStats(
+      Tables.documents(s, d), col("source"), col("text"), col("n_chars")),
+    {
+      val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT source, text, n_chars, string_split(text, ' ') AS ws FROM documents),
+         |m AS (SELECT source, text, n_chars,
+         |    0.5 * (CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE))
+         |    + 0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE)) AS q
+         |  FROM base)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+         |  1.0 - CAST(count(DISTINCT text) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio,
+         |  avg(n_chars) AS avg_chars,
+         |  round(avg(q), 6) AS avg_quality
+         |FROM m GROUP BY source""".stripMargin
+    })
+
+  /** Top-k TF-IDF terms per document (smoothed idf, rounded-score ranking). */
+  private val TfidfK = 3
+  private val q57 = QueryDef(
+    "q57_tfidf_topk",
+    (s, d) => TextOps.tfidfTopK(
+      Tables.documents(s, d), col("doc_id"), col("text"), TfidfK),
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+       |dfreq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, word, tf, df,
+       |    round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+       |SELECT doc_id, rk, word, tf, df, tfidf FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rk FROM s
+       |) t WHERE rk <= $TfidfK""".stripMargin)
+
+  /** Embedding-space class statistics per embeddings.label. */
+  private val q58 = QueryDef(
+    "q58_label_stats",
+    (s, d) => SimilarityOps.labelStats(
+      Tables.embeddings(s, d), col("label"), col("embedding"), DIM),
+    s"""WITH v AS (SELECT label, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |comp AS (SELECT label, i, round(avg(CAST(e[i] AS DOUBLE)), 6) AS c
+       |  FROM v, UNNEST(generate_series(1, $DIM)) AS t(i)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT label, list(c ORDER BY i) AS ce FROM comp GROUP BY label),
+       |j AS (SELECT v.label, v.nrm,
+       |    sqrt(${dotSql("ce", "ce", DIM)}) AS cnrm,
+       |    ${dotSql("e", "ce", DIM)} AS d
+       |  FROM v JOIN cent ON v.label = cent.label)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(avg(nrm), 6) AS avg_norm,
+       |  round(avg(CASE WHEN nrm * cnrm > 0 THEN round(d / (nrm * cnrm), 6) END), 6) AS avg_cos_centroid
+       |FROM j GROUP BY label""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48, q49, q50, q51, q52, q53)
+    q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

@@ -268,6 +268,93 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a(1L) == a(2L))
   }
 
+  test("packSequences fills chunks contiguously and conserves docs/tokens") {
+    // 10 docs x 40 chars -> 10 tokens each; starts 0,10,..,90; budget 32
+    // -> chunks {0: docs 0-3, 1: docs 4-6, 2: docs 7-9}; blockSize 4 forces
+    // the hierarchical path (3 blocks, non-zero offsets for blocks 1+)
+    val d = (0L until 10L).map(i => (i, "x" * 40)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.packSequences(df, col("doc_id"), col("text"), 32L, blockSize = 4L)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val out = run(d)
+    assert(out == Seq((0L, 4L, 40L, 0L, 3L), (1L, 3L, 30L, 4L, 6L),
+      (2L, 3L, 30L, 7L, 9L)), s"$out")
+    assert(out.map(_._2).sum == 10L && out.map(_._3).sum == 100L,
+      "every doc and token lands in exactly one chunk")
+    assert(run(d.repartition(7)) == out, "invariant to input partitioning")
+  }
+
+  test("contamination scores test-split docs by train shingle overlap") {
+    // unique texts sharing exactly the 2 leading trigrams out of 5 ->
+    // every test doc reads 2/5 contamination against any train doc
+    val d = (0L until 60L)
+      .map(i => (i, s"alpha beta gamma delta token$i epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contamination(d, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val testIds = TextOps.hashSplit(d, col("doc_id"), col("text"))
+      .where(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty && out.map(_._1).toSet == testIds,
+      "every test doc is scored, nothing else")
+    out.foreach { case (_, n, hit, c) =>
+      assert(n == 5L && hit == 2L && c == 0.4, s"($n, $hit, $c)")
+    }
+    val reparted = TextOps.contamination(d.repartition(5), col("doc_id"),
+      col("text"), 3).as[(Long, Long, Long, Double)].collect()
+    assert(reparted.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("sourceStats aggregates counts, dup ratio, and mean quality per source") {
+    val d = Seq(
+      (1L, "the cat sat here", "a", 16L),
+      (2L, "the cat sat here", "a", 16L),
+      (3L, "unique words now appear", "a", 23L),
+      (4L, "other text entirely", "b", 19L)).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextOps.sourceStats(d, col("source"), col("text"), col("n_chars"))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = out("a")
+    assert(a._2 == 3L && a._3 == 2L)
+    assert(math.abs(a._4 - (1.0 - 2.0 / 3.0)) < 1e-15)
+    assert(math.abs(a._5 - (16 + 16 + 23) / 3.0) < 1e-12)
+    // cross-check the mean against the per-doc qualityScore operator
+    val perDoc = TextOps.qualityScore(
+      d.where(col("source") === "a"), col("doc_id"), col("text"))
+      .select("quality_score").as[Double].collect()
+    assert(a._6 == BigDecimal(perDoc.sum / perDoc.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("b")._2 == 1L && out("b")._4 == 0.0)
+  }
+
+  test("tfidfTopK ranks rare-but-frequent terms first with a word tiebreak") {
+    val d = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(d, col("doc_id"), col("text"), 2)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // N=3: idf(apple)=ln(4/2), idf(banana)=ln(4/3) -> apple outranks in doc 1
+    assert(out((1L, 1L))._3 == "apple" && out((1L, 1L))._4 == 2L)
+    assert(out((1L, 2L))._3 == "banana")
+    assert(out((3L, 1L))._3 == "durian")
+    assert(out((3L, 1L))._6 ==
+      BigDecimal(3.0 * math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out.contains((2L, 3L)), "only k rows per doc")
+  }
+
+  test("labelStats: centroid tightness separates tight and spread classes") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),   // orthogonal pair: spread class
+      (2L, Array(3f, 0f, 0f, 0f), 1),
+      (3L, Array(5f, 0f, 0f, 0f), 1))   // colinear pair: tight class
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelStats(e, col("label"), col("embedding"), 4)
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0) == ((0, 2L, 1.0, 0.707107)), s"${out(0)}")
+    assert(out(1) == ((1, 2L, 4.0, 1.0)), s"${out(1)}")
+  }
+
   test("multimodal resize and frame-sample stubs keep the distributed shape") {
     implicit val s = spark
     val media = MultimodalOps
