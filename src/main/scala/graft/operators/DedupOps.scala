@@ -97,8 +97,18 @@ object DedupOps {
     * dropped (flagged by [[oversizedLshBuckets]] — drop-and-flag, the
     * standard web-dedup treatment of degenerate boilerplate buckets). */
   def lshCandidatePairs(sig: DataFrame, maxBucket: Int = MaxBucket,
+      cellTarget: Int = GridCell): DataFrame =
+    bucketedSelfJoinPairs(bandRows(sig), maxBucket, cellTarget)
+
+  /** The skew-safe distinct-pair self-join shared by every banded-signature
+    * scheme (minhash-LSH bands, simhash bytes): input rows are
+    * (doc_id, band, b) bucket memberships; output is every unordered pair
+    * sharing a bucket, grid-decomposed per the [[lshCandidatePairs]] skew
+    * defense (size-counted buckets, deterministic content-hash cells,
+    * drop-above-cap). */
+  def bucketedSelfJoinPairs(rows: DataFrame, maxBucket: Int = MaxBucket,
       cellTarget: Int = GridCell): DataFrame = {
-    val sized = bandRows(sig)
+    val sized = rows
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("b"))))
       .where(col("_n") <= maxBucket)
       .withColumn("_ng", greatest(
@@ -237,6 +247,32 @@ object DedupOps {
         col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     jaccardFromIntersections(inter, sizes, threshold)
+  }
+
+  /** Near-dup pairs from 16-bit [[simhash]] signatures — the discovery step
+    * q34's signatures feed. Pigeonhole banding: the signature splits into 4
+    * nibbles; any pair within hamming distance 3 differs in at most 3 bits,
+    * so at least one nibble matches exactly — candidate generation by
+    * nibble-equality self-join has GUARANTEED recall for `maxHamming` ≤ 3
+    * (probabilistic above). Candidates reuse the LSH grid-split skew
+    * defense ([[bucketedSelfJoinPairs]] — 16-bit signatures make hot
+    * buckets likely on boilerplate corpora), then exact hamming verifies
+    * via two hash joins back to the signature table. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = MaxBucket, cellTarget: Int = GridCell): DataFrame = {
+    val rows = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("b"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
+    bucketedSelfJoinPairs(rows, maxBucket, cellTarget)
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("_sa")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("_sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** 16-bit SimHash per document over its distinct word-unigram hashes:

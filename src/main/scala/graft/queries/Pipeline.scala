@@ -553,7 +553,53 @@ object Pipeline {
        |  round(avg(CASE WHEN nrm * cnrm > 0 THEN round(d / (nrm * cnrm), 6) END), 6) AS avg_cos_centroid
        |FROM j GROUP BY label""".stripMargin)
 
+  /** SimHash near-dup pair discovery — the step q34's signatures feed:
+    * nibble-banded candidates (pigeonhole: full recall at hamming ≤ 3)
+    * verified by exact hamming distance. The registered query aggregates
+    * the pair set per hamming distance (count + an exact integer checksum
+    * over the pair ids, so the oracle still pins the ENTIRE pair set):
+    * 16-bit signatures collide heavily on a small-vocabulary corpus, and
+    * raw pairs grow quadratically with corpus self-similarity — the
+    * aggregate output is scale-stable while [[DedupOps.simhashPairs]]'s raw
+    * pair surface stays spec-tested. */
+  private val q59 = QueryDef(
+    "q59_simhash_pairs",
+    (s, d) => DedupOps.simhashPairs(
+      DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text")))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("doc_a") * lit(31L) + col("doc_b")).as("pair_checksum")),
+    {
+      val sums = (0 until 16)
+        .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |hashes AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM words),
+         |sums AS (SELECT doc_id, $sums FROM hashes GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums),
+         |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS v
+         |  FROM s, UNNEST(generate_series(0, 3)) AS t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN s sa ON doc_a = sa.doc_id
+         |  JOIN s sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(doc_a * 31 + doc_b) AS BIGINT) AS pair_checksum
+         |FROM pairs GROUP BY hamming""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

@@ -75,6 +75,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) <= ham(sh(1L), sh(4L)))
   }
 
+  test("simhashPairs matches the exhaustive hamming-<=3 pair set (pigeonhole recall)") {
+    val sig = DedupOps.simhash(docs, col("doc_id"), col("text"))
+    val sh = sig.as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    val got = DedupOps.simhashPairs(sig)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == expected,
+      s"banding must recover every pair within hamming 3: ${got.toSeq}")
+    assert(expected.contains((1L, 2L)), "exact dups are a hamming-0 pair")
+    got.foreach { case (a, b, h) =>
+      assert(h == java.lang.Long.bitCount(sh(a) ^ sh(b)))
+    }
+    // the grid skew defense must preserve the pair set at any cell size
+    val grid = DedupOps.simhashPairs(sig, cellTarget = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(grid.toSet == got.toSet)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f, 0f)),
     (1L, Array(0.9f, 0f, 0.1f, 0f)),   // close to 0, same sign-LSH bucket
@@ -282,6 +303,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum == 10L && out.map(_._3).sum == 100L,
       "every doc and token lands in exactly one chunk")
     assert(run(d.repartition(7)) == out, "invariant to input partitioning")
+    // blockSize only shapes the decomposition, never the result: a block
+    // larger than the corpus (pure single-window path) must agree with the
+    // 3-block hierarchical path exercised above
+    val oneBlock = TextOps.packSequences(d, col("doc_id"), col("text"), 32L,
+      blockSize = 1024L).as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(oneBlock == out)
   }
 
   test("contamination scores test-split docs by train shingle overlap") {
