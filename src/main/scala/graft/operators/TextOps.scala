@@ -278,6 +278,38 @@ object TextOps {
       avg(nChars).as("avg_chars"),
       round(avg(qualityComposite(text)), 6).as("avg_quality"))
 
+  /** Curation filter funnel: the cumulative survivor count after each
+    * cleaning rule (length floor → repetition ceiling → quality floor →
+    * PII-free), the audit that tells a pipeline WHERE its corpus is lost.
+    * All rules are row-local ([[repetitionScore]] / [[qualityComposite]] /
+    * [[piiScan]] definitions, applied conjunctively in order), so the whole
+    * funnel is ONE pass and one 5-row aggregate — no per-stage jobs, no
+    * materialized intermediates, corpus-linear at any scale. */
+  def filterFunnel(docs: DataFrame, id: Column, text: Column,
+      minWords: Int = 30, maxDupRatio: Double = 0.6,
+      minQuality: Double = 0.25): DataFrame = {
+    val ws = split(text, " ")
+    val dupRatio = lit(1.0) -
+      size(array_distinct(ws)).cast("double") / size(ws).cast("double")
+    def piiFree = Seq(EmailRe, PhoneRe, UrlRe)
+      .map(re => size(regexp_extract_all(text, lit(re), lit(0))) === 0)
+      .reduce(_ && _)
+    val p1 = size(ws) >= minWords
+    val p2 = p1 && dupRatio <= maxDupRatio
+    val p3 = p2 && qualityComposite(text) >= minQuality
+    val p4 = p3 && piiFree
+    def surv(p: Column) = sum(when(p, 1L).otherwise(0L))
+    docs.agg(
+      count(lit(1)).as("s0"), surv(p1).as("s1"), surv(p2).as("s2"),
+      surv(p3).as("s3"), surv(p4).as("s4"))
+      .selectExpr(s"""stack(5,
+        0, 'input', s0,
+        1, 'min_words', s1,
+        2, 'max_dup_ratio', s2,
+        3, 'min_quality', s3,
+        4, 'pii_free', s4) as (stage_idx, stage, n_surviving)""")
+  }
+
   /** Top-`k` TF-IDF terms per document: term frequency × smoothed inverse
     * document frequency `ln((N+1)/(df+1))`, ranked per doc with a word
     * tiebreak ON THE ROUNDED score (1e-6), so ranking is identical in any

@@ -599,7 +599,44 @@ object Pipeline {
          |FROM pairs GROUP BY hamming""".stripMargin
     })
 
+  /** Cumulative curation-funnel survivor counts (one pass, 5 rows). */
+  private val q60 = QueryDef(
+    "q60_filter_funnel",
+    (s, d) => TextOps.filterFunnel(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    {
+      val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
+        .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
+        .mkString("(", " AND ", ")")
+      s"""WITH base AS (
+         |  SELECT text, string_split(text, ' ') AS ws FROM documents),
+         |m AS (SELECT
+         |    len(ws) >= 30 AS p1,
+         |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) <= 0.6 AS p2,
+         |    0.5 * (CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE))
+         |    + 0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE)) >= 0.25 AS p3,
+         |    $piiFree AS p4
+         |  FROM base),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |  FROM m)
+         |SELECT 0 AS stage_idx, 'input' AS stage, s0 AS n_surviving FROM f
+         |UNION ALL SELECT 1, 'min_words', s1 FROM f
+         |UNION ALL SELECT 2, 'max_dup_ratio', s2 FROM f
+         |UNION ALL SELECT 3, 'min_quality', s3 FROM f
+         |UNION ALL SELECT 4, 'pii_free', s4 FROM f""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
+    q60)
 }

@@ -383,6 +383,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1) == ((1, 2L, 4.0, 1.0)), s"${out(1)}")
   }
 
+  test("filterFunnel reports cumulative survivors per cleaning rule") {
+    val base = for { c1 <- 'a' to 'h'; c2 <- 'a' to 'e' } yield s"$c1$c2"
+    val docs = Seq(
+      (1L, base.mkString(" ")),                       // survives every rule
+      (2L, "short text"),                             // fails min_words
+      (3L, Seq.fill(40)("w").mkString(" ")),          // fails dup-ratio ceiling
+      (4L, "contact bob@example.com now " + base.drop(3).mkString(" ")), // fails only pii
+      (5L, (10 until 50).map(_.toString).mkString(" "))) // digit-heavy: fails quality
+      .toDF("doc_id", "text")
+    val out = TextOps.filterFunnel(docs, col("doc_id"), col("text"))
+      .orderBy("stage_idx").as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((0, "input", 5L), (1, "min_words", 4L),
+      (2, "max_dup_ratio", 3L), (3, "min_quality", 2L), (4, "pii_free", 1L)),
+      s"$out")
+  }
+
   test("multimodal resize and frame-sample stubs keep the distributed shape") {
     implicit val s = spark
     val media = MultimodalOps
