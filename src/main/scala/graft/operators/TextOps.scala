@@ -288,26 +288,38 @@ object TextOps {
   def filterFunnel(docs: DataFrame, id: Column, text: Column,
       minWords: Int = 30, maxDupRatio: Double = 0.6,
       minQuality: Double = 0.25): DataFrame = {
+    val preds = funnelPredicates(text, minWords, maxDupRatio, minQuality)
+    val aggs = count(lit(1)).as("s0") +: preds.zipWithIndex.map {
+      case ((_, p), i) => sum(when(p, 1L).otherwise(0L)).as(s"s${i + 1}")
+    }
+    val stages = ("input" -> 0) +: preds.zipWithIndex.map {
+      case ((n, _), i) => n -> (i + 1)
+    }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(stages.map { case (n, i) => s"$i, '$n', s$i" }
+        .mkString(s"stack(${stages.size}, ", ", ",
+          ") as (stage_idx, stage, n_surviving)"))
+  }
+
+  /** The funnel's CUMULATIVE stage predicates in rule order — shared by the
+    * batch unpivot above and the streaming per-minute variant
+    * ([[graft.streaming.Streaming.curationFunnelStream]]), so both faces
+    * apply bit-identical rules. */
+  def funnelPredicates(text: Column, minWords: Int = 30,
+      maxDupRatio: Double = 0.6,
+      minQuality: Double = 0.25): Seq[(String, Column)] = {
     val ws = split(text, " ")
     val dupRatio = lit(1.0) -
       size(array_distinct(ws)).cast("double") / size(ws).cast("double")
-    def piiFree = Seq(EmailRe, PhoneRe, UrlRe)
+    val piiFree = Seq(EmailRe, PhoneRe, UrlRe)
       .map(re => size(regexp_extract_all(text, lit(re), lit(0))) === 0)
       .reduce(_ && _)
     val p1 = size(ws) >= minWords
     val p2 = p1 && dupRatio <= maxDupRatio
     val p3 = p2 && qualityComposite(text) >= minQuality
     val p4 = p3 && piiFree
-    def surv(p: Column) = sum(when(p, 1L).otherwise(0L))
-    docs.agg(
-      count(lit(1)).as("s0"), surv(p1).as("s1"), surv(p2).as("s2"),
-      surv(p3).as("s3"), surv(p4).as("s4"))
-      .selectExpr(s"""stack(5,
-        0, 'input', s0,
-        1, 'min_words', s1,
-        2, 'max_dup_ratio', s2,
-        3, 'min_quality', s3,
-        4, 'pii_free', s4) as (stage_idx, stage, n_surviving)""")
+    Seq("min_words" -> p1, "max_dup_ratio" -> p2, "min_quality" -> p3,
+      "pii_free" -> p4)
   }
 
   /** Top-`k` TF-IDF terms per document: term frequency × smoothed inverse

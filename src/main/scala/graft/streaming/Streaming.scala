@@ -262,6 +262,27 @@ object Streaming {
     df.withWatermark(timeCol, WatermarkDelay)
       .dropDuplicates(idCols :+ timeCol)
 
+  /** Streaming face of the curation funnel
+    * ([[graft.operators.TextOps.filterFunnel]]): cumulative survivor counts
+    * per event-time MINUTE over a document stream (`doc_id`, `text`,
+    * `timeCol`). Every cleaning rule is row-local — the shared
+    * `funnelPredicates` keep the two faces bit-identical — so the only
+    * state is the watermarked tumbling-window aggregate: bounded however
+    * long the stream runs, finalized (append-mode) once the watermark
+    * passes each minute. Wide columns instead of the batch unpivot: one
+    * row per finalized minute. */
+  def curationFunnelStream(docs: DataFrame, timeCol: String): DataFrame = {
+    val preds = graft.operators.TextOps.funnelPredicates(col("text"))
+    val aggs = count(lit(1)).as("n_input") +: preds.map { case (n, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$n")
+    }
+    docs.withWatermark(timeCol, WatermarkDelay)
+      .groupBy(window(col(timeCol), "1 minute"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("minute") +: col("n_input") +:
+        preds.map(p => col(s"n_${p._1}")): _*)
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

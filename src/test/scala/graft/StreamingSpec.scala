@@ -26,6 +26,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_._3 == "EveryMinute"))
   }
 
+  test("curationFunnelStream finalizes per-minute funnel counts matching batch rules") {
+    implicit val s = spark
+    val base = "2021-03-09 14:15:00"
+    val good = (for { c1 <- 'a' to 'h'; c2 <- 'a' to 'e' } yield s"$c1$c2")
+      .mkString(" ")                                   // survives every rule
+    val repeaty = Seq.fill(40)("w").mkString(" ")      // fails dup-ratio
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.curationFunnelStream(
+      in.toDS().toDF("doc_id", "text", "time"), "time")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel1").start()
+    try {
+      // minute 1: good + short + repeaty, split across two micro-batches
+      in.addData((1L, good, sec(base, 1)), (2L, "short text", sec(base, 10)))
+      q.processAllAvailable()
+      in.addData((3L, repeaty, sec(base, 50)))
+      // minute 2: one good doc
+      in.addData((4L, good, sec(base, 70)))
+      q.processAllAvailable()
+      assert(spark.table("funnel1").isEmpty, "open windows must not emit")
+      // a far-future doc pushes the watermark past both minutes
+      in.addData((9L, good, sec(base, 4000)))
+      q.processAllAvailable()
+      val out = spark.table("funnel1")
+        .as[(Timestamp, Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1.getTime).toSeq
+      assert(out == Seq(
+        (ts("2021-03-09 14:15:00"), 3L, 2L, 1L, 1L, 1L),
+        (ts("2021-03-09 14:16:00"), 1L, 1L, 1L, 1L, 1L)), s"$out")
+    } finally q.stop()
+  }
+
   test("sessionize: run crossing micro-batches survives in state") {
     implicit val s = spark
     val base = "2021-03-09 14:15:00"
