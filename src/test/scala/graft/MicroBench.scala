@@ -36,6 +36,15 @@ object MicroBench {
               .where(org.apache.spark.sql.functions.col("trip_id") === 1L),
             "status_halt_brake_is_active", chunkSeconds = Some(3600L))
         case "metrics" => Algorithms.perMinuteMetrics(tel, trips)
+        case "dedup_clusters" =>
+          // the full q51 pipeline at bench scale (sf0.1 documents)
+          import org.apache.spark.sql.functions.col
+          graft.operators.DedupOps.dedupClusters(
+            graft.operators.DedupOps.lshCandidatePairs(
+              graft.operators.DedupOps.minhashSignatures(
+                Tables.documents(spark, "/root/testdata/sf0.1"),
+                col("doc_id"), col("text"), 2)),
+            "doc_a", "doc_b")
         case other => sys.error(s"unknown scenario: $other")
       }
       df.write.format("noop").mode("overwrite").save()

@@ -145,6 +145,17 @@ class PipelineOpsSpec extends SparkSpec {
       "one canonical per cluster + all unpaired docs")
   }
 
+  test("dedupClusters converges on a deep chain within the iteration cap") {
+    // a 200-node path has diameter 199: one-hop-per-round propagation
+    // would silently return unconverged labels at maxIter=20 — pointer
+    // jumping must close it in O(log D) rounds
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dedupClusters(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L),
+      s"all chain nodes must label to the min: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("stratifiedSample: per-stratum fractions honored, deterministic, dup-consistent") {
     // every text has exactly one en and one de twin
     val docs = (0 until 400).map { i =>
