@@ -128,9 +128,23 @@ object DedupOps {
   /** The buckets [[lshCandidatePairs]] refuses to pair-expand at the current
     * cap — report/cluster these wholesale instead of silently dropping. */
   def oversizedLshBuckets(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
-    bandRows(sig).groupBy(col("band"), col("b"))
+    oversizedBuckets(bandRows(sig), maxBucket)
+
+  /** [[oversizedLshBuckets]] for any banded scheme: the (band, b) buckets
+    * [[bucketedSelfJoinPairs]] drops at `maxBucket`. */
+  def oversizedBuckets(rows: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    rows.groupBy(col("band"), col("b"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > maxBucket)
+
+  /** The nibble buckets [[simhashPairs]] drops at its cap. With only 16
+    * values per band, buckets hold ~N/16 docs — the cap bites at corpus
+    * sizes around 16·maxBucket, far sooner than minhash-LSH's hash-spread
+    * buckets. Check this BEFORE trusting simhashPairs at scale; widen the
+    * signature or raise the cap when it reports rows. */
+  def oversizedSimhashBuckets(sig: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame =
+    oversizedBuckets(simhashBandRows(sig), maxBucket)
 
   /** Near-dup CLUSTERS from a candidate/verified pair graph: connected
     * components by iterative min-label propagation, cluster id = the
@@ -265,23 +279,29 @@ object DedupOps {
     jaccardFromIntersections(inter, sizes, threshold)
   }
 
-  /** Near-dup pairs from 16-bit [[simhash]] signatures — the discovery step
-    * q34's signatures feed. Pigeonhole banding: the signature splits into 4
-    * nibbles; any pair within hamming distance 3 differs in at most 3 bits,
-    * so at least one nibble matches exactly — candidate generation by
-    * nibble-equality self-join has GUARANTEED recall for `maxHamming` ≤ 3
-    * (probabilistic above). Candidates reuse the LSH grid-split skew
-    * defense ([[bucketedSelfJoinPairs]] — 16-bit signatures make hot
-    * buckets likely on boilerplate corpora), then exact hamming verifies
-    * via two hash joins back to the signature table. */
-  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = MaxBucket, cellTarget: Int = GridCell): DataFrame = {
-    val rows = sig.select(col("doc_id"),
+  /** (doc_id, band, b) nibble-bucket memberships of a 16-bit signature. */
+  private def simhashBandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("b"))): _*))
         .as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
-    bucketedSelfJoinPairs(rows, maxBucket, cellTarget)
+
+  /** Near-dup pairs from 16-bit [[simhash]] signatures — the discovery step
+    * q34's signatures feed. Pigeonhole banding: the signature splits into 4
+    * nibbles; any pair within hamming distance 3 differs in at most 3 bits,
+    * so at least one nibble matches exactly — candidate generation by
+    * nibble-equality self-join has guaranteed recall for `maxHamming` ≤ 3
+    * AS LONG AS no bucket exceeds `maxBucket` (dropped buckets lose their
+    * pairs; with only 16 nibble values per band that cap bites around
+    * 16·maxBucket docs — monitor [[oversizedSimhashBuckets]] and widen the
+    * signature or raise the cap before trusting recall at that scale).
+    * Candidates reuse the LSH grid-split skew defense
+    * ([[bucketedSelfJoinPairs]]), then exact hamming verifies via two hash
+    * joins back to the signature table. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = MaxBucket, cellTarget: Int = GridCell): DataFrame = {
+    bucketedSelfJoinPairs(simhashBandRows(sig), maxBucket, cellTarget)
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("_sa")),
         "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("_sb")),

@@ -195,6 +195,10 @@ object SimilarityOps {
     VectorExpressions.register(emb.sparkSession)
     val v = emb.select(label.as("label"), vec.as("e"),
       sqrt(VectorExpressions.floatDot(vec, vec)).as("nrm"))
+    def dot(a: Column => Column, b: Column => Column): Column =
+      (1 to dim).map(i => a(lit(i)) * b(lit(i))).reduce(_ + _)
+    // centroid norm computed ONCE per label here (label-count rows), not
+    // per corpus row after the join — it is constant within a label
     val centroid = v
       .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
@@ -202,15 +206,14 @@ object SimilarityOps {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("ce"))
-    def dot(a: Column => Column, b: Column => Column): Column =
-      (1 to dim).map(i => a(lit(i)) * b(lit(i))).reduce(_ + _)
-    val cnrm = sqrt(dot(i => element_at(col("ce"), i),
-      i => element_at(col("ce"), i)))
+      .withColumn("cnrm", sqrt(dot(i => element_at(col("ce"), i),
+        i => element_at(col("ce"), i))))
     val d = dot(i => element_at(col("e"), i).cast("double"),
       i => element_at(col("ce"), i))
     v.join(broadcast(centroid), "label")
       .withColumn("cos_c",
-        when(col("nrm") * cnrm > 0, round(d / (col("nrm") * cnrm), 6)))
+        when(col("nrm") * col("cnrm") > 0,
+          round(d / (col("nrm") * col("cnrm")), 6)))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(avg("nrm"), 6).as("avg_norm"),

@@ -76,8 +76,7 @@ object TextOps {
       avgWordLen.as("avg_word_len"),
       digitRatio.as("digit_ratio"),
       stopRatio.as("stopword_ratio"),
-      (lit(0.5) * stopRatio + lit(0.3) * least(nWords.cast("double") / lit(100.0), lit(1.0))
-        + lit(0.2) * (lit(1.0) - digitRatio)).as("quality_score"))
+      qualityComposite(text).as("quality_score"))
   }
 
   /** Token counts: whitespace tokens, regex word-ish tokens, and a BPE-style
@@ -208,18 +207,16 @@ object TextOps {
     * plus exclusive block offsets (a global window, but over corpus/blockSize
     * AGGREGATE rows — ~10⁶ rows for a 10¹²-doc corpus, never the corpus
     * itself) — the distributed prefix-sum shape; a single-partition window
-    * over all docs would serialize the job. `budget` and `blockSize` must be
-    * powers of two so the float divisions below are exact (binary scaling,
-    * no rounding) and the chunk boundary is engine-portable. */
+    * over all docs would serialize the job. Boundaries use INTEGER division
+    * (`div`), exact for any non-negative id/offset at any scale — a double
+    * `floor(a / b)` would misplace boundary docs once offsets pass 2⁵³. */
   def packSequences(docs: DataFrame, id: Column, text: Column, budget: Long,
       blockSize: Long = 1L << 20): DataFrame = {
-    require((budget & (budget - 1)) == 0 && (blockSize & (blockSize - 1)) == 0,
-      "budget and blockSize must be powers of two (exact float division)")
+    require(budget > 0 && blockSize > 0, "budget and blockSize must be > 0")
     val toks = ceil(length(text).cast("double") / lit(4.0)).cast("long")
     val base = docs
       .select(id.as("doc_id"), toks.as("toks"))
-      .withColumn("block",
-        floor(col("doc_id").cast("double") / lit(blockSize.toDouble)).cast("long"))
+      .withColumn("block", expr(s"doc_id div $blockSize"))
     val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBlocks = Window.orderBy(col("block"))
@@ -231,8 +228,7 @@ object TextOps {
       .withColumn("cum_in", sum("toks").over(wIn))
       .join(broadcast(offsets), "block")
       .withColumn("strt", col("boff") + col("cum_in") - col("toks"))
-      .withColumn("chunk_id",
-        floor(col("strt").cast("double") / lit(budget.toDouble)).cast("long"))
+      .withColumn("chunk_id", expr(s"strt div $budget"))
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -285,9 +281,16 @@ object TextOps {
     * [[piiScan]] definitions, applied conjunctively in order), so the whole
     * funnel is ONE pass and one 5-row aggregate — no per-stage jobs, no
     * materialized intermediates, corpus-linear at any scale. */
+  /** Funnel rule defaults, defined ONCE so the batch and streaming faces
+    * can never drift apart silently. */
+  val DefaultMinWords = 30
+  val DefaultMaxDupRatio = 0.6
+  val DefaultMinQuality = 0.25
+
   def filterFunnel(docs: DataFrame, id: Column, text: Column,
-      minWords: Int = 30, maxDupRatio: Double = 0.6,
-      minQuality: Double = 0.25): DataFrame = {
+      minWords: Int = DefaultMinWords,
+      maxDupRatio: Double = DefaultMaxDupRatio,
+      minQuality: Double = DefaultMinQuality): DataFrame = {
     val preds = funnelPredicates(text, minWords, maxDupRatio, minQuality)
     val aggs = count(lit(1)).as("s0") +: preds.zipWithIndex.map {
       case ((_, p), i) => sum(when(p, 1L).otherwise(0L)).as(s"s${i + 1}")
@@ -305,9 +308,9 @@ object TextOps {
     * batch unpivot above and the streaming per-minute variant
     * ([[graft.streaming.Streaming.curationFunnelStream]]), so both faces
     * apply bit-identical rules. */
-  def funnelPredicates(text: Column, minWords: Int = 30,
-      maxDupRatio: Double = 0.6,
-      minQuality: Double = 0.25): Seq[(String, Column)] = {
+  def funnelPredicates(text: Column, minWords: Int = DefaultMinWords,
+      maxDupRatio: Double = DefaultMaxDupRatio,
+      minQuality: Double = DefaultMinQuality): Seq[(String, Column)] = {
     val ws = split(text, " ")
     val dupRatio = lit(1.0) -
       size(array_distinct(ws)).cast("double") / size(ws).cast("double")

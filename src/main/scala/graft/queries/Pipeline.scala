@@ -31,6 +31,20 @@ object Pipeline {
 
   private def shingleCte: String = shingleCteW(SHINGLE_W)
 
+  /** Shared oracle fragment: the [[TextOps.qualityComposite]] fixed-weight
+    * score, expecting `text` and `ws = string_split(text, ' ')` in scope —
+    * defined once so q56/q60 cannot drift from the Spark side
+    * independently. */
+  private def qualityCompositeSql: String = {
+    val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""0.5 * (CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
+       |      / CAST(len(ws) AS DOUBLE))
+       |    + 0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE))""".stripMargin
+  }
+
   /** Shared oracle CTE: 8-permutation minhash signature per doc. */
   private def sigCte: String = {
     val mins = (0 until MinhashA.size)
@@ -445,8 +459,8 @@ object Pipeline {
     * chunks — the sequence-packing step before tokenization. The chunk
     * boundary comes from a DISTRIBUTED hierarchical prefix sum
     * ([[TextOps.packSequences]]); the oracle's single window sum is the
-    * same math, viable only at oracle scale. Budget is a power of two so
-    * the boundary division is exact in both engines. */
+    * same math, viable only at oracle scale. Both engines use integer
+    * division for the boundary — exact at any offset. */
   private val PackBudget = 2048L
   private val q54 = QueryDef(
     "q54_pack_sequences",
@@ -459,7 +473,7 @@ object Pipeline {
        |    sum(toks) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS strt
        |  FROM t)
-       |SELECT CAST(floor(CAST(strt AS DOUBLE) / $PackBudget.0) AS BIGINT) AS chunk_id,
+       |SELECT CAST(strt // $PackBudget AS BIGINT) AS chunk_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -495,16 +509,10 @@ object Pipeline {
     (s, d) => TextOps.sourceStats(
       Tables.documents(s, d), col("source"), col("text"), col("n_chars")),
     {
-      val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
-        .map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH base AS (
          |  SELECT source, text, n_chars, string_split(text, ' ') AS ws FROM documents),
          |m AS (SELECT source, text, n_chars,
-         |    0.5 * (CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE))
-         |    + 0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-         |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |      / CAST(length(text) AS DOUBLE)) AS q
+         |    $qualityCompositeSql AS q
          |  FROM base)
          |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -568,7 +576,12 @@ object Pipeline {
       DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text")))
       .groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("doc_a") * lit(31L) + col("doc_b")).as("pair_checksum")),
+        // per-pair AVALANCHED hash, then sum: a plain linear sum
+        // (31·a + b) collides across different pair sets, letting
+        // divergent engines agree by accident
+        sum(pmod(pmod(pmod(col("doc_a"), lit(P)) * lit(1000003L)
+          + col("doc_b"), lit(P)) * lit(2654435761L), lit(P)))
+          .as("pair_checksum")),
     {
       val sums = (0 until 16)
         .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -595,7 +608,7 @@ object Pipeline {
          |  JOIN s sb ON doc_b = sb.doc_id
          |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)
          |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(doc_a * 31 + doc_b) AS BIGINT) AS pair_checksum
+         |  CAST(sum(((((doc_a % $P) * 1000003 + doc_b) % $P) * 2654435761) % $P) AS BIGINT) AS pair_checksum
          |FROM pairs GROUP BY hamming""".stripMargin
     })
 
@@ -605,21 +618,15 @@ object Pipeline {
     (s, d) => TextOps.filterFunnel(
       Tables.documents(s, d), col("doc_id"), col("text")),
     {
-      val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
-        .map(w => s"'$w'").mkString("[", ", ", "]")
       val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
         .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
         .mkString("(", " AND ", ")")
       s"""WITH base AS (
          |  SELECT text, string_split(text, ' ') AS ws FROM documents),
          |m AS (SELECT
-         |    len(ws) >= 30 AS p1,
-         |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) <= 0.6 AS p2,
-         |    0.5 * (CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE))
-         |    + 0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-         |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |      / CAST(length(text) AS DOUBLE)) >= 0.25 AS p3,
+         |    len(ws) >= ${TextOps.DefaultMinWords} AS p1,
+         |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio} AS p2,
+         |    $qualityCompositeSql >= ${TextOps.DefaultMinQuality} AS p3,
          |    $piiFree AS p4
          |  FROM base),
          |f AS (SELECT CAST(count(*) AS BIGINT) AS s0,

@@ -271,8 +271,12 @@ object Streaming {
     * long the stream runs, finalized (append-mode) once the watermark
     * passes each minute. Wide columns instead of the batch unpivot: one
     * row per finalized minute. */
-  def curationFunnelStream(docs: DataFrame, timeCol: String): DataFrame = {
-    val preds = graft.operators.TextOps.funnelPredicates(col("text"))
+  def curationFunnelStream(docs: DataFrame, timeCol: String,
+      minWords: Int = graft.operators.TextOps.DefaultMinWords,
+      maxDupRatio: Double = graft.operators.TextOps.DefaultMaxDupRatio,
+      minQuality: Double = graft.operators.TextOps.DefaultMinQuality): DataFrame = {
+    val preds = graft.operators.TextOps.funnelPredicates(
+      col("text"), minWords, maxDupRatio, minQuality)
     val aggs = count(lit(1)).as("n_input") +: preds.map { case (n, p) =>
       sum(when(p, 1L).otherwise(0L)).as(s"n_$n")
     }
