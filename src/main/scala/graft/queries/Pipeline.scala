@@ -561,19 +561,22 @@ object Pipeline {
        |  round(avg(CASE WHEN nrm * cnrm > 0 THEN round(d / (nrm * cnrm), 6) END), 6) AS avg_cos_centroid
        |FROM j GROUP BY label""".stripMargin)
 
-  /** SimHash near-dup pair discovery — the step q34's signatures feed:
-    * nibble-banded candidates (pigeonhole: full recall at hamming ≤ 3)
-    * verified by exact hamming distance. The registered query aggregates
-    * the pair set per hamming distance (count + an exact integer checksum
-    * over the pair ids, so the oracle still pins the ENTIRE pair set):
-    * 16-bit signatures collide heavily on a small-vocabulary corpus, and
-    * raw pairs grow quadratically with corpus self-similarity — the
-    * aggregate output is scale-stable while [[DedupOps.simhashPairs]]'s raw
-    * pair surface stays spec-tested. */
+  /** SimHash near-dup pair discovery — the step the signatures feed:
+    * band-equality candidates (pigeonhole: full recall at hamming ≤ 3)
+    * verified by exact hamming distance, over a 28-BIT signature (q34's
+    * 16-bit reference signature has only 16 bucket values per band —
+    * measured 30 s vs ~2 s at sf0.1 on this self-similar corpus; see
+    * [[DedupOps.simhashPairs]]). The registered query aggregates the pair
+    * set per hamming distance (count + an avalanched integer checksum over
+    * the pair ids, so the oracle still pins the ENTIRE pair set): raw
+    * pairs grow quadratically with corpus self-similarity — the aggregate
+    * output is scale-stable while the raw pair surface stays spec-tested. */
+  private val SimhashBits = 28
   private val q59 = QueryDef(
     "q59_simhash_pairs",
     (s, d) => DedupOps.simhashPairs(
-      DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text")))
+      DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text"),
+        SimhashBits), bits = SimhashBits)
       .groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
         // per-pair AVALANCHED hash, then sum: a plain linear sum
@@ -583,10 +586,12 @@ object Pipeline {
           + col("doc_b"), lit(P)) * lit(2654435761L), lit(P)))
           .as("pair_checksum")),
     {
-      val sums = (0 until 16)
+      val bandBits = SimhashBits / 4
+      val mask = (1L << bandBits) - 1
+      val sums = (0 until SimhashBits)
         .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
         .mkString(", ")
-      val bits = (0 until 16)
+      val bits = (0 until SimhashBits)
         .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
       s"""WITH words AS (
@@ -595,7 +600,7 @@ object Pipeline {
          |hashes AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM words),
          |sums AS (SELECT doc_id, $sums FROM hashes GROUP BY doc_id),
          |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums),
-         |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS v
+         |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * $bandBits)) & $mask AS v
          |  FROM s, UNNEST(generate_series(0, 3)) AS t(b)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y

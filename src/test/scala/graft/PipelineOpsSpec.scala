@@ -76,24 +76,31 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("simhashPairs matches the exhaustive hamming-<=3 pair set (pigeonhole recall)") {
-    val sig = DedupOps.simhash(docs, col("doc_id"), col("text"))
-    val sh = sig.as[(Long, Long)].collect().toMap
-    val expected = (for {
-      a <- sh.keys; b <- sh.keys if a < b
-      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
-    } yield (a, b)).toSet
-    val got = DedupOps.simhashPairs(sig)
-      .as[(Long, Long, Long)].collect()
-    assert(got.map(p => (p._1, p._2)).toSet == expected,
-      s"banding must recover every pair within hamming 3: ${got.toSeq}")
-    assert(expected.contains((1L, 2L)), "exact dups are a hamming-0 pair")
-    got.foreach { case (a, b, h) =>
-      assert(h == java.lang.Long.bitCount(sh(a) ^ sh(b)))
+    for (bits <- Seq(16, 28)) {
+      val sig = DedupOps.simhash(docs, col("doc_id"), col("text"), bits)
+      val sh = sig.as[(Long, Long)].collect().toMap
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+      } yield (a, b)).toSet
+      val got = DedupOps.simhashPairs(sig, bits = bits)
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(p => (p._1, p._2)).toSet == expected,
+        s"banding must recover every pair within hamming 3 at $bits bits: ${got.toSeq}")
+      assert(got.length == got.toSet.size,
+        "every pair must be emitted exactly once (no distinct in the plan)")
+      assert(expected.contains((1L, 2L)), "exact dups are a hamming-0 pair")
+      got.foreach { case (a, b, h) =>
+        assert(h == java.lang.Long.bitCount(sh(a) ^ sh(b)))
+      }
+      // the grid skew defense must preserve the pair set at any cell size
+      val grid = DedupOps.simhashPairs(sig, bits = bits, cellTarget = 2)
+        .as[(Long, Long, Long)].collect()
+      assert(grid.toSet == got.toSet)
+      // drop-and-flag: a cap below a band bucket's size surfaces the drop
+      val over = DedupOps.oversizedSimhashBuckets(sig, bits, maxBucket = 1)
+      assert(!over.isEmpty, "dropped band buckets must be reported")
     }
-    // the grid skew defense must preserve the pair set at any cell size
-    val grid = DedupOps.simhashPairs(sig, cellTarget = 2)
-      .as[(Long, Long, Long)].collect()
-    assert(grid.toSet == got.toSet)
   }
 
   private lazy val vecs = Seq(
