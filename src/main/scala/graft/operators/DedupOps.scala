@@ -241,6 +241,56 @@ object DedupOps {
       clusters.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
       id === col("doc_id"), "left_anti")
 
+  /** Quality-aware cluster representatives: for each near-dup cluster, the
+    * member a curation pipeline should KEEP — highest `score`, smallest
+    * doc id on ties — rather than [[keepCanonical]]'s arbitrary
+    * smallest-id pick (real pipelines keep the best-quality copy, not the
+    * first-crawled one). `score` is rounded to 1e-6 BEFORE ranking so
+    * ulp-level float noise cannot flip the winner between engines
+    * (DECISIONS.md convention 6). Output: one row per cluster with the
+    * keep id, its rounded score, and the member count.
+    *
+    * Plan shape: the cluster table is pairs-only (small relative to the
+    * corpus), so the docs join streams; the per-cluster rank partitions by
+    * cluster id — bounded by cluster size, which LSH-band construction
+    * keeps far under bucket caps. */
+  def keepBestInCluster(docs: DataFrame, id: Column, score: Column,
+      clusters: DataFrame): DataFrame = {
+    val members = docs.select(id.as("_id"), round(score, 6).as("q"))
+      .join(clusters, col("_id") === col("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rk") === 1, col("q"))).as("keep_quality"))
+  }
+
+  /** Incremental (delta-vs-corpus) near-dup screen — the production shape
+    * at ingest time: a new batch is deduped against the EXISTING corpus's
+    * signature index without ever re-pairing the corpus with itself. A
+    * delta doc is flagged iff any of its minhash LSH band buckets collides
+    * with a corpus doc's (the same candidate definition as
+    * [[lshCandidatePairs]], applied across tables); survivors are the docs
+    * to append.
+    *
+    * Takes SIGNATURES (from [[minhashSignatures]]) on both sides so the
+    * corpus side can be a precomputed, incrementally-maintained index —
+    * at 100 TB the corpus index is computed once and only the (small)
+    * delta is shingled per batch. The collision test is one shuffled
+    * equi-join on (band, bucket) — uniform by hash construction — with the
+    * corpus side reduced to distinct buckets first (partial aggregation
+    * compresses map-side; no corpus doc ids travel). Intra-delta
+    * duplicates are NOT screened here — that is [[lshCandidatePairs]] on
+    * the delta alone. Output: the delta signature rows that survive.  */
+  def incrementalDedup(deltaSig: DataFrame, corpusSig: DataFrame): DataFrame = {
+    val corpusBuckets = bandRows(corpusSig).select("band", "b").distinct()
+    val hit = bandRows(deltaSig).join(corpusBuckets, Seq("band", "b"),
+      "left_semi").select("doc_id").distinct()
+    deltaSig.join(hit, Seq("doc_id"), "left_anti")
+  }
+
   /** Shared tail of both jaccard paths: join per-doc distinct-shingle
     * counts onto the intersection counts, score, threshold. */
   private def jaccardFromIntersections(inter: DataFrame, sizes: DataFrame,

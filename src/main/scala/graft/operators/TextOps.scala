@@ -325,6 +325,76 @@ object TextOps {
       "pii_free" -> p4)
   }
 
+  /** Cross-document duplicate n-gram coverage: per document, the fraction
+    * of its distinct w-shingles that also occur in at least one OTHER
+    * document — the passage-level dup screen (a doc can be unique as a page
+    * yet mostly assembled from boilerplate shared across the corpus;
+    * exact/near dedup both miss it). Docs above a coverage threshold are
+    * the ones a curation pipeline drops or trims.
+    *
+    * Plan: distinct (doc, shingle-hash) postings → per-hash doc count
+    * (uniform hash key, safe at any scale) → rejoin on the same hash key
+    * (the shuffle partitioning is reused) → per-doc ratio. A shingle
+    * occurring in d docs is duplicated for THIS doc iff d ≥ 2. */
+  def dupNgramCoverage(docs: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame = {
+    val sh = DedupOps.shingleHashes(docs, id, text, w)
+    val hDocs = sh.groupBy("h").agg(count(lit(1)).as("_nd"))
+    sh.join(hDocs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_nd") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_coverage",
+        col("n_dup_shingles").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Deterministic corpus mixing: downsample each source so the KEPT token
+    * mass approaches `budget` tokens distributed by integer `weights`
+    * (parts of the mix; sources absent from the map are dropped). The keep
+    * decision is a content-hash threshold per source — reproducible across
+    * runs, partitionings, and engines, like [[stratifiedSample]] — with the
+    * threshold computed in PURE integer arithmetic (millionths):
+    * `floor(w_s·budget·10⁶ / (W·a_s))`, clamped to 10⁶, where `a_s` is the
+    * source's available token mass. A source whose share of `budget`
+    * exceeds its inventory keeps everything (sampling cannot upsample) and
+    * the realized mix deviates — visible in the output, not hidden.
+    *
+    * Plan shape: a stats pass (per-source token sums — tiny) computes
+    * thresholds, broadcast back over a second scan that filters row-locally
+    * — the standard two-job stats+apply pipeline; no row data touches the
+    * driver. Overflow bound: w_s·budget·10⁶ must stay inside Long, i.e.
+    * w_s·budget < 9.2e12 — token budgets beyond that should rescale weights
+    * down (documented contract, `require`d). Output: per-source kept
+    * doc/token counts and the applied threshold — scale-stable audit rows.
+    * Tokens are the [[tokenCounts]] BPE estimate (ceil(chars/4)). */
+  def corpusMix(docs: DataFrame, id: Column, text: Column, source: Column,
+      weights: Map[String, Long], budget: Long): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    require(weights.values.forall(w => w > 0 &&
+      w * budget < Long.MaxValue / 1000000L),
+      "weights must be positive with weight*budget*1e6 inside Long")
+    val totalW = weights.values.sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wTab = broadcast(weights.toSeq.toDF("source", "_w"))
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      ceil(length(text).cast("double") / 4.0).cast("long").as("toks"),
+      sampleBucket(graft.functions.HashExpressions.polyHash(text), 1000000)
+        .as("_bkt"))
+    val thresholds = broadcast(
+      base.groupBy("source").agg(sum(col("toks")).as("_avail"))
+        .join(wTab, "source")
+        .select(col("source"),
+          least(expr(s"_w * $budget * 1000000 div ($totalW * _avail)"),
+            lit(1000000L)).as("_thr")))
+    base.join(thresholds, "source")
+      .where(col("_bkt") < col("_thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("toks")).as("n_tokens_kept"),
+        max(col("_thr")).as("keep_millionths"))
+  }
+
   /** Top-`k` TF-IDF terms per document: term frequency × smoothed inverse
     * document frequency `ln((N+1)/(df+1))`, ranked per doc with a word
     * tiebreak ON THE ROUNDED score (1e-6), so ranking is identical in any

@@ -647,8 +647,136 @@ object Pipeline {
          |UNION ALL SELECT 4, 'pii_free', s4 FROM f""".stripMargin
     })
 
+  /** Incremental (delta-vs-corpus) dedup — the ingest-time production
+    * shape: the new batch (doc_id ≡ 0 mod 10 here) is screened against the
+    * existing corpus's LSH band buckets; survivors are appended. The corpus
+    * side takes PRECOMPUTED signatures, so a real deployment maintains the
+    * index incrementally instead of re-shingling 100 TB per batch. */
+  private val q61 = QueryDef(
+    "q61_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def sig(side: org.apache.spark.sql.DataFrame) =
+        DedupOps.minhashSignatures(side, col("doc_id"), col("text"), SHINGLE_W)
+      DedupOps.incrementalDedup(
+        sig(docs.where(col("doc_id") % 10 === 0)),
+        sig(docs.where(col("doc_id") % 10 =!= 0)))
+    },
+    s"""WITH $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+       |hit AS (
+       |  SELECT DISTINCT x.doc_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.b = y.b AND y.doc_id % 10 <> 0
+       |  WHERE x.doc_id % 10 = 0)
+       |SELECT sig.* FROM sig ANTI JOIN hit ON sig.doc_id = hit.doc_id
+       |WHERE sig.doc_id % 10 = 0""".stripMargin)
+
+  /** Cross-doc duplicate n-gram coverage — the passage-level boilerplate
+    * screen (docs unique as pages but assembled from shared shingles). */
+  private val q62 = QueryDef(
+    "q62_dup_ngram_coverage",
+    (s, d) => TextOps.dupNgramCoverage(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W),
+    s"""WITH $shingleCte,
+       |hd AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY h)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_coverage
+       |FROM sh JOIN hd USING (h)
+       |GROUP BY doc_id""".stripMargin)
+
+  /** Quality-aware cluster representatives: per near-dup cluster, keep the
+    * highest-[[TextOps.qualityComposite]] member (smallest id on rounded
+    * ties) — what a real pipeline keeps, vs q51's arbitrary smallest id. */
+  private val q63 = QueryDef(
+    "q63_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.keepBestInCluster(
+        docs, col("doc_id"), TextOps.qualityComposite(col("text")),
+        DedupOps.dedupClusters(
+          DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+            docs, col("doc_id"), col("text"), SHINGLE_W)),
+          "doc_a", "doc_b"))
+    },
+    s"""WITH RECURSIVE $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |labels AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |q AS (SELECT doc_id, round($qualityCompositeSql, 6) AS q
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) b0),
+       |r AS (SELECT l.cluster_id, l.doc_id, q.q,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.q DESC, l.doc_id) AS rk
+       |  FROM labels l JOIN q USING (doc_id))
+       |SELECT cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       |  max(CASE WHEN rk = 1 THEN q END) AS keep_quality
+       |FROM r GROUP BY cluster_id""".stripMargin)
+
+  /** Deterministic corpus mixing to integer weights under a token budget —
+    * the rebalancing step that composes a training mix from sources.
+    * Thresholds are pure integer arithmetic (millionths), so the keep set
+    * is bit-identical cross-engine. */
+  private val MixWeights = Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 1L,
+    "src3" -> 1L, "src4" -> 1L)
+  private val MixBudget = 2000L
+  private val q64 = QueryDef(
+    "q64_corpus_mix",
+    (s, d) => TextOps.corpusMix(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("source"),
+      MixWeights.toMap, MixBudget),
+    {
+      val totalW = MixWeights.map(_._2).sum
+      val vals = MixWeights.map { case (k, w) =>
+        s"('$k', CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks,
+         |    ${sampleBucketSql(polyHashSql("text"), 1000000)} AS bkt
+         |  FROM documents),
+         |a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail FROM t GROUP BY source),
+         |wt(source, w) AS (VALUES $vals),
+         |thr AS (SELECT a.source,
+         |    least(w * $MixBudget * 1000000 // ($totalW * avail),
+         |      CAST(1000000 AS BIGINT)) AS thr
+         |  FROM a JOIN wt USING (source))
+         |SELECT t.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens_kept,
+         |  max(thr) AS keep_millionths
+         |FROM t JOIN thr ON t.source = thr.source
+         |WHERE bkt < thr
+         |GROUP BY t.source""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60)
+    q60, q61, q62, q63, q64)
 }

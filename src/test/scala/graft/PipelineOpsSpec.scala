@@ -440,4 +440,88 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats(1L).ok && feats(1L).byte_len == "the cat sat on the mat".length)
     assert(feats(1L).mean_byte > 0 && feats(1L).frame_bytes == 16L)
   }
+
+  test("incrementalDedup flags exactly the delta docs sharing an LSH bucket with the corpus") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (4L, "completely different words here now")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the cat sat on the mat"),          // exact dup of corpus 1
+      (11L, "the cat sat on the red mat"),      // near dup — may collide
+      (12L, "zebra quantum xylophone jigsaw vortex")).toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.minhashSignatures(df, col("doc_id"), col("text"), 2)
+    val survivors = DedupOps.incrementalDedup(sig(delta), sig(corpus))
+      .select("doc_id").as[Long].collect().toSet
+    // Reference semantics: a delta doc survives iff lshCandidatePairs over
+    // the UNION yields no (delta, corpus) pair containing it.
+    val crossPairs = DedupOps
+      .lshCandidatePairs(sig(delta.union(corpus)))
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => (a >= 10) != (b >= 10) }
+    val flagged = crossPairs.flatMap { case (a, b) => Seq(a, b) }
+      .filter(_ >= 10).toSet
+    assert(survivors == Set(10L, 11L, 12L) -- flagged)
+    assert(!survivors.contains(10L), "exact dup must be screened out")
+    assert(survivors.contains(12L), "novel doc must survive")
+  }
+
+  test("dupNgramCoverage computes the cross-doc duplicate shingle fraction") {
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupNgramCoverage(d, col("doc_id"), col("text"), 2)
+      .select("doc_id", "n_shingles", "n_dup_shingles", "dup_coverage")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))   // "a b" shared with doc 2
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("keepBestInCluster keeps the highest-quality member, smallest id on ties") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = DedupOps.dedupClusters(pairs, "doc_a", "doc_b")
+    val scored = Seq((1L, 0.1), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.7))
+      .toDF("doc_id", "q0")
+    val out = DedupOps.keepBestInCluster(
+      scored, col("doc_id"), col("q0"), clusters)
+      .select("cluster_id", "n_members", "keep_id", "keep_quality")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 2L, 0.9)), "tie at 0.9 broken by smaller id")
+    assert(out(10L) == ((2L, 11L, 0.7)))
+  }
+
+  test("corpusMix: integer thresholds honor weights, clamp at inventory, deterministic") {
+    // srcA: 4 docs x 40 chars = 10 toks each (avail 40); srcB: 2 x 10 toks
+    // (avail 20). weights 1:1, budget 60 -> share 30 each:
+    // thrA = 30e6/40 = 750000; thrB = 30e6/20 clamped to 1e6 (keep all).
+    val d = ((0 until 4).map(i => (i.toLong, "a" * 36 + f"$i%04d", "srcA")) ++
+      (10 until 12).map(i => (i.toLong, "b" * 36 + f"$i%04d", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.corpusMix(d, col("doc_id"), col("text"), col("source"),
+      Map("srcA" -> 1L, "srcB" -> 1L), 60L)
+      .select("source", "n_docs_kept", "n_tokens_kept", "keep_millionths")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("srcB") == ((2L, 20L, 1000000L)), "undersupplied source keeps all")
+    assert(out("srcA")._3 == 750000L)
+    assert(out("srcA")._1 <= 4L && out("srcA")._2 == out("srcA")._1 * 10)
+    // deterministic under repartitioning
+    val out2 = TextOps.corpusMix(d.repartition(5), col("doc_id"), col("text"),
+      col("source"), Map("srcA" -> 1L, "srcB" -> 1L), 60L)
+      .select("source", "n_docs_kept", "n_tokens_kept", "keep_millionths")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out2 == out)
+    // unweighted sources are dropped; bad weights rejected
+    val dropped = TextOps.corpusMix(d, col("doc_id"), col("text"),
+      col("source"), Map("srcA" -> 1L), 60L)
+      .select("source").as[String].collect().toSet
+    assert(dropped == Set("srcA"))
+    intercept[IllegalArgumentException] {
+      TextOps.corpusMix(d, col("doc_id"), col("text"), col("source"),
+        Map("srcA" -> 0L), 60L)
+    }
+  }
 }
