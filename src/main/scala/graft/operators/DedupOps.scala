@@ -119,8 +119,8 @@ object DedupOps {
     * to both sides as `_<col>_x` / `_<col>_y` — so a SYMMETRIC verify
     * (e.g. hamming) can run inside the codegen'd join output and filter
     * BEFORE the distinct, instead of re-joining payloads afterwards. */
-  private def bucketedPairCandidates(rows: DataFrame, payload: Seq[String],
-      maxBucket: Int, cellTarget: Int): DataFrame = {
+  private[operators] def bucketedPairCandidates(rows: DataFrame,
+      payload: Seq[String], maxBucket: Int, cellTarget: Int): DataFrame = {
     val sized = rows
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("b"))))
       .where(col("_n") <= maxBucket)
@@ -341,6 +341,48 @@ object DedupOps {
         col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     jaccardFromIntersections(inter, sizes, threshold)
+  }
+
+  /** Shingle CONTAINMENT on LSH candidates — the asymmetric companion to
+    * [[jaccardOnCandidates]]: `containment(a→b) = |A∩B| / |A|`, the
+    * fraction of a's shingles that appear in b. Catches subset duplicates
+    * (a short doc quoted wholesale inside a long one) that Jaccard
+    * dilutes below any usable threshold — |A∩B|/|A∪B| ≈ |A|/|B| → 0 as
+    * the containing doc grows, while containment stays ≈ 1. A pair
+    * survives when EITHER direction reaches `threshold`; both directions
+    * are reported. Same plan shape as the Jaccard verify: discovery via
+    * [[lshCandidatePairs]], broadcast candidates against the shingle
+    * postings, per-pair intersection counts, broadcast size lookups.
+    *
+    * Discovery-recall caveat: minhash bands recall pairs by JACCARD, so an
+    * extreme subset pair (tiny doc inside a huge one — jaccard ≈ |A|/|B|)
+    * can evade candidate generation even though its containment is 1. A
+    * rare-shared-shingle discovery would have exact recall but its join
+    * cost is Σ df² over anchor shingles — measured 73M candidate pairs on
+    * the bench corpus (no rare shingles exist there: median shingle df is
+    * 285/5000 docs), vs thousands via LSH. Containment-oriented sketches
+    * (bottom-k) are the principled fix if asymmetric recall becomes a
+    * requirement. */
+  def containmentOnCandidates(docs: DataFrame, id: Column, text: Column,
+      w: Int, threshold: Double): DataFrame = {
+    val cands = lshCandidatePairs(minhashSignatures(docs, id, text, w))
+    val sh = shingleHashes(docs, id, text, w)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    broadcast(cands)
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("na").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("nb").cast("double"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
   }
 
   /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide

@@ -220,6 +220,65 @@ object SimilarityOps {
         round(avg("cos_c"), 6).as("avg_cos_centroid"))
   }
 
+  /** Semantic deduplication (SemDeDup-shape: cluster the embedding space,
+    * then near-dup only WITHIN clusters): every vector is assigned to its
+    * highest-cosine centroid cell; within each cell, a vector is DROPPED
+    * iff some smaller-id vector in the same cell has cosine ≥ `threshold`
+    * to it — a deterministic dominance rule, so the keep-set is unique and
+    * engine-reproducible (no greedy order dependence). Catches semantic
+    * duplicates (same content, different surface form) that exact/MinHash
+    * dedup cannot see.
+    *
+    * Scale shape: the quadratic never leaves a cell — cells are
+    * corpus/k sized, and k grows with the corpus (SemDeDup's design), so
+    * per-cell pair cost is bounded; the within-cell self-join additionally
+    * reuses the LSH grid-split skew defense
+    * ([[DedupOps.bucketedPairCandidates]]: size-counted cells decomposed
+    * into content-hash grid tiles), so one hot cell cannot serialize a
+    * task. Nothing is dropped by a cap here — a lost pair would silently
+    * KEEP a duplicate, so oversized cells split rather than drop. Output:
+    * (vec_id, cell, kept) for every corpus vector. `centroids` may be a
+    * fixed deterministic sample (oracle-able) or [[learnCentroids]]. */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, id: Column,
+      vec: Column, threshold: Double,
+      cellTarget: Int = DedupOps.GridCell): DataFrame = {
+    val cents = withNorm(centroids, id, vec, "cid")
+    val v = withNorm(emb, id, vec, "vid")
+    val scored = v.join(broadcast(cents), expr("true"))
+      .withColumn("c_sim", when(col("vid_nrm") * col("cid_nrm") > 0,
+        round(
+          VectorExpressions.floatDot(col("vid_e"), col("cid_e")) /
+            (col("vid_nrm") * col("cid_nrm")), 6)))
+    val wc = Window.partitionBy(col("vid"))
+      .orderBy(col("c_sim").desc, col("cid"))
+    val assigned = scored.withColumn("crk", row_number().over(wc))
+      .where(col("crk") === 1)
+      .select(col("vid"), col("vid_e"), col("vid_nrm"), col("cid").as("cell"))
+    // within-cell pairs via the shared skew-safe grid join; vectors and
+    // norms ride through as payload so the cosine verify runs inside the
+    // join output with no re-join
+    val pairs = DedupOps.bucketedPairCandidates(
+      assigned.select(col("vid").as("doc_id"), lit(0).as("band"),
+        col("cell").as("b"), col("vid_e"), col("vid_nrm")),
+      Seq("vid_e", "vid_nrm"), maxBucket = Int.MaxValue, cellTarget)
+      // same-tile matches see both orientations; cross-tile exactly one —
+      // normalize to the dominance direction (smaller id drops larger)
+      .where(when(col("_ca") === col("_cb"),
+        col("doc_x") < col("doc_y")).otherwise(lit(true)))
+      .withColumn("_sim", when(col("_vid_nrm_x") * col("_vid_nrm_y") > 0,
+        round(
+          VectorExpressions.floatDot(col("_vid_e_x"), col("_vid_e_y")) /
+            (col("_vid_nrm_x") * col("_vid_nrm_y")), 6)))
+      .where(col("_sim") >= threshold)
+    val dropped = pairs
+      .select(greatest(col("doc_x"), col("doc_y")).as("vid"))
+      .distinct()
+      .withColumn("_drop", lit(true))
+    assigned.join(dropped, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cell"),
+        coalesce(col("_drop"), lit(false)).unary_!.as("kept"))
+  }
+
   /** Sign-LSH bucketed top-k: queries only compare against corpus vectors in
     * the same bucket. Approximate (recall < 1), ~2^nBits cheaper. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

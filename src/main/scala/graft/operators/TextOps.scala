@@ -395,6 +395,94 @@ object TextOps {
         max(col("_thr")).as("keep_millionths"))
   }
 
+  /** Fixed-size word-window chunking with overlap — the context-length
+    * segmentation step before tokenization (long documents must be split
+    * into model-window-sized pieces; overlapping strides preserve
+    * boundary-straddling context). Chunk i covers words
+    * `[i·stride, i·stride + chunkWords)`; starts advance by `stride` while
+    * they stay inside the document, so every word lands in ≥1 chunk and the
+    * tail chunk may be short. All boundary math is INTEGER (ids, counts,
+    * `div`) — identical in any engine at any offset. Row-local
+    * explode (no shuffle): output rows ≈ corpus_words/stride, linear.
+    * Each chunk carries its word count and content fingerprint
+    * (chunk-level exact-dup key — dedup can run on chunks directly). */
+  def chunkDocs(docs: DataFrame, id: Column, text: Column,
+      chunkWords: Int, stride: Int): DataFrame = {
+    require(chunkWords > 0 && stride > 0 && stride <= chunkWords,
+      "need 0 < stride <= chunkWords (gaps would drop words)")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("_ws"))
+      .withColumn("_n", size(col("_ws")).cast("long"))
+    base
+      .select(col("doc_id"), col("_ws"), col("_n"),
+        explode(sequence(lit(0L), expr(s"(_n - 1) div $stride"))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(chunkWords.toLong), col("_n") - col("chunk_idx") * stride)
+          .as("n_chunk_words"),
+        graft.functions.HashExpressions.polyHash(
+          concat_ws(" ", slice(col("_ws"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(chunkWords))))
+          .as("chunk_hash"))
+  }
+
+  /** Unigram-LM cross-entropy per document — the perplexity-style quality
+    * signal (CCNet-shape: score each document under a language model built
+    * from the corpus itself; gibberish and boilerplate sit far from the
+    * corpus distribution in opposite directions). The model is the corpus
+    * unigram MLE `P(w) = count(w)/total`; the score is the mean token
+    * surprisal `Σ ln(total/count(w)) / n_tokens`. Every token has count ≥ 1
+    * (its own occurrence), so no OOV smoothing is needed for self-scoring.
+    *
+    * Plan: one wordcount aggregation (the vocabulary is Zipf-bounded, far
+    * smaller than the corpus), a 1-row total broadcast back onto it, then a
+    * shuffled equi-join of tokens against per-word surprisals on the
+    * (uniform) word key and a per-doc aggregation — corpus-linear, two
+    * shuffles. Float determinism: per-word surprisal is rounded to 1e-6
+    * and summed as DECIMAL (exact, order-independent — an unordered double
+    * sum drifts in the last ulp), so both engines divide identical sums. */
+  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+    val cnt = words.groupBy("word").agg(count(lit(1)).as("_cnt"))
+    val tot = cnt.agg(sum("_cnt").as("_tot"))
+    val wlp = cnt.join(broadcast(tot))
+      .select(col("word"),
+        round(log(col("_tot").cast("double") / col("_cnt").cast("double")), 6)
+          .cast("decimal(18,6)").as("_lp"))
+    words.join(wlp, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("_lp").as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s").cast("double") / col("n_tokens"), 6)
+          .as("cross_entropy"))
+  }
+
+  /** PII redaction — the transform [[piiScan]] pre-screens for: emails,
+    * phone shapes, and URLs replaced by typed placeholder tags, applied in
+    * that fixed order (an email inside a URL redacts as `<EMAIL>` first —
+    * order is part of the contract, identical in any engine). Row-local.
+    * Output carries the redaction count (from the ORIGINAL text, matching
+    * piiScan) and the redacted text's length and content fingerprint, so a
+    * pipeline can verify redaction idempotence (`n_redactions = 0` ⇒
+    * fingerprint unchanged) without the cleartext leaving the row. */
+  def piiRedact(docs: DataFrame, id: Column, text: Column,
+      keepText: Boolean = false): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    def n(re: String) =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    val red = Seq(EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>", UrlRe -> "<URL>")
+      .foldLeft(text) { case (t, (re, tag)) => regexp_replace(t, re, tag) }
+    docs.select(
+      Seq(
+        id.as("doc_id"),
+        (n(EmailRe) + n(PhoneRe) + n(UrlRe)).as("n_redactions"),
+        length(red).cast("long").as("redacted_len"),
+        graft.functions.HashExpressions.polyHash(red)
+          .as("redacted_fingerprint")) ++
+        (if (keepText) Seq(red.as("redacted_text")) else Nil): _*)
+  }
+
   /** Top-`k` TF-IDF terms per document: term frequency × smoothed inverse
     * document frequency `ln((N+1)/(df+1))`, ranked per doc with a word
     * tiebreak ON THE ROUNDED score (1e-6), so ranking is identical in any

@@ -775,8 +775,137 @@ object Pipeline {
          |GROUP BY t.source""".stripMargin
     })
 
+  /** Fixed-size word-window chunking with overlap — context-length
+    * segmentation before tokenization ([[TextOps.chunkDocs]]): integer-only
+    * boundary math, per-chunk word count + content fingerprint. */
+  private val ChunkW = 64
+  private val ChunkStride = 48
+  private val q65 = QueryDef(
+    "q65_chunk_docs",
+    (s, d) => TextOps.chunkDocs(
+      Tables.documents(s, d), col("doc_id"), col("text"), ChunkW, ChunkStride),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |c AS (SELECT doc_id, ws, n, i AS chunk_idx
+       |  FROM t, UNNEST(generate_series(0, (n - 1) // $ChunkStride)) AS u(i))
+       |SELECT doc_id, chunk_idx,
+       |  least($ChunkW, n - chunk_idx * $ChunkStride) AS n_chunk_words,
+       |  ${polyHashSql(
+           s"array_to_string(ws[chunk_idx * $ChunkStride + 1 : " +
+             s"chunk_idx * $ChunkStride + $ChunkW], ' ')")} AS chunk_hash
+       |FROM c""".stripMargin)
+
+  /** Unigram-LM cross-entropy quality signal ([[TextOps.lmScore]]):
+    * per-word surprisals rounded then summed as DECIMAL so the per-doc sum
+    * is order-independent and engine-exact. */
+  private val q66 = QueryDef(
+    "q66_lm_score",
+    (s, d) => TextOps.lmScore(Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |cnt AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+       |tot AS (SELECT sum(cnt) AS tot FROM cnt),
+       |wlp AS (SELECT word,
+       |    CAST(round(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM cnt CROSS JOIN tot),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(lp) AS s
+       |  FROM w JOIN wlp USING (word) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS cross_entropy
+       |FROM d""".stripMargin)
+
+  /** PII redaction ([[TextOps.piiRedact]]) — q50's transform counterpart;
+    * the synthetic corpus holds no PII (fingerprints gate the cross-engine
+    * replace chain; match behavior is fixture-tested in PipelineOpsSpec). */
+  private val q67 = QueryDef(
+    "q67_pii_redact",
+    (s, d) => TextOps.piiRedact(Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}'))
+       |    + len(regexp_extract_all(text, '${TextOps.PhoneRe}'))
+       |    + len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS BIGINT)
+       |    AS n_redactions,
+       |  CAST(length(r) AS BIGINT) AS redacted_len,
+       |  ${polyHashSql("r")} AS redacted_fingerprint
+       |FROM (SELECT doc_id, text,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+       |      '${TextOps.PhoneRe}', '<PHONE>', 'g'),
+       |      '${TextOps.UrlRe}', '<URL>', 'g') AS r
+       |  FROM documents) t""".stripMargin)
+
+  /** Asymmetric shingle containment on LSH candidates
+    * ([[DedupOps.containmentOnCandidates]]) — subset-duplicate detection
+    * Jaccard dilutes away. */
+  private val ContainT = 0.6
+  private val q68 = QueryDef(
+    "q68_containment",
+    (s, d) => DedupOps.containmentOnCandidates(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, ContainT),
+    s"""WITH $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
+       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= $ContainT""".stripMargin)
+
+  /** SemDeDup-shape semantic dedup ([[SimilarityOps.semanticDedup]]):
+    * centroid-cell assignment (fixed deterministic sample, as q43 — the
+    * learned-centroid variant is q48's contract), within-cell dominance
+    * keep-set. */
+  private val q69 = QueryDef(
+    "q69_semantic_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.semanticDedup(
+        emb, emb.where(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        COSINE_T)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0 THEN round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END) DESC,
+       |                 c.cid) AS crk
+       |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb
+       |  FROM assign x
+       |  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN v a ON a.vec_id = x.vec_id
+       |  JOIN v b ON b.vec_id = y.vec_id
+       |  WHERE (CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END) >= $COSINE_T),
+       |dropped AS (SELECT DISTINCT vb FROM pairs)
+       |SELECT a.vec_id, a.cell, (d.vb IS NULL) AS kept
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vb""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

@@ -524,4 +524,119 @@ class PipelineOpsSpec extends SparkSpec {
         Map("srcA" -> 0L), 60L)
     }
   }
+
+  test("chunkDocs: stride windows cover every word, tail chunk short") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, col("doc_id"), col("text"), 4, 3)
+      .select("doc_id", "chunk_idx", "n_chunk_words")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: starts 0,3,6,9 -> lengths 4,4,4,1; doc 2: one 1-word chunk
+    assert(out == Set((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L),
+      (2L, 0L, 1L)))
+    // identical docs chunk to identical fingerprints (chunk-level dedup key)
+    val dd = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val hs = TextOps.chunkDocs(dd, col("doc_id"), col("text"), 4, 3)
+      .groupBy("chunk_idx").agg(countDistinct("chunk_hash").as("n"))
+      .select("n").as[Long].collect()
+    assert(hs.nonEmpty && hs.forall(_ == 1L))
+    // gap strides refused (stride > chunkWords would drop words)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocs(d, col("doc_id"), col("text"), 4, 5)
+    }
+  }
+
+  test("lmScore: exact unigram cross-entropy, rare words score higher") {
+    // corpus tokens: a,a,b -> P(a)=2/3, P(b)=1/3
+    val d = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(d, col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "cross_entropy")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, math.round(math.log(1.5) * 1e6) / 1e6)))
+    assert(out(2L) == ((1L, math.round(math.log(3.0) * 1e6) / 1e6)))
+    // order-independence: repartitioned input produces identical scores
+    val out2 = TextOps.lmScore(d.repartition(7), col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "cross_entropy")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out2 == out)
+  }
+
+  test("piiRedact replaces PII with typed tags and counts redactions") {
+    val d = Seq(
+      (1L, "contact me at john.doe@example.com or 555-123-4567 ok"),
+      (2L, "see https://example.com/a?b=c for details"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(d, col("doc_id"), col("text"), keepText = true)
+      .select("doc_id", "n_redactions", "redacted_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 2L)
+    assert(out(1L)._2 == "contact me at <EMAIL> or <PHONE> ok")
+    assert(out(2L) == ((1L, "see <URL> for details")))
+    assert(out(3L) == ((0L, "no pii here at all")))
+    // idempotence on clean docs: fingerprint equals the raw fingerprint
+    val fp = TextOps.fingerprint(d.where(col("doc_id") === 3), col("doc_id"),
+      col("text")).select("fingerprint").as[Long].head()
+    val rfp = TextOps.piiRedact(d.where(col("doc_id") === 3), col("doc_id"),
+      col("text")).select("redacted_fingerprint").as[Long].head()
+    assert(fp == rfp)
+  }
+
+  test("containmentOnCandidates: subset pair scores ~1 where jaccard dilutes") {
+    // doc 11 is wholly contained in doc 12 (12 = 11 + extra tail, chosen so
+    // the pair still LSH-collides — see the discovery-recall caveat in the
+    // operator doc); jaccard dilutes to |A|/|B| ~ 0.82 but containment_a = 1
+    val core = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq(
+      (11L, core),
+      (12L, core + " tail words"),
+      (13L, "entirely unrelated content words")).toDF("doc_id", "text")
+    val out = DedupOps.containmentOnCandidates(
+      d, col("doc_id"), col("text"), 2, 0.9)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) == ((11L, 12L)))
+    assert(ca == 1.0, "all of A's shingles occur in B")
+    assert(cb < 0.9, "B has shingles A lacks")
+    // the same pair fails a jaccard threshold at 0.9 -- asymmetry matters
+    val jac = DedupOps.jaccardOnCandidates(d, col("doc_id"), col("text"), 2, 0.9)
+    assert(jac.isEmpty)
+  }
+
+  test("semanticDedup: within-cell dominance keep-set, grid-split invariant") {
+    // cell geometry: centroid 0 = +x, centroid 1 = +y; vecs 2,3 near +x
+    // (near-dups of each other), vec 4 near +y, vec 5 zero (NULL cosine ->
+    // ranks into a cell deterministically, never dropped)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0.9, 0.1, 0, 0)), (3L, v(0.88, 0.12, 0, 0)),
+      (4L, v(0.5, 0.7, 0, 0)), (5L, v(0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val cents = emb.where(col("vec_id") < 2)
+    val out = SimilarityOps.semanticDedup(
+      emb, cents, col("vec_id"), col("embedding"), 0.95)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 6)
+    assert(out(0L) == ((0L, true)) && out(2L) == ((0L, false)),
+      "0 dominates 2 in the +x cell (cos > 0.95)")
+    assert(out(3L)._1 == 0L && !out(3L)._2, "3 dropped by 0/2 in the same cell")
+    assert(out(1L) == ((1L, true)) && out(4L)._2,
+      "+y cell: 1 and 4 are not near-dups at 0.95")
+    assert(out.contains(5L), "zero vector still gets a cell and a verdict")
+    assert(out.values.count(_._1 == 0L) >= 3)
+    // grid decomposition preserves the keep-set (skew defense is
+    // output-invariant here exactly as for LSH pairs)
+    val fine = SimilarityOps.semanticDedup(
+      emb, cents, col("vec_id"), col("embedding"), 0.95, cellTarget = 1)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fine == out)
+  }
 }
