@@ -179,9 +179,15 @@ object DedupOps {
     * walk entirely. Deterministic for any input order/partitioning. */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // both edge directions from ONE pass over the pair pipeline: a
+    // union of two selects over `pairs` would evaluate the (expensive)
+    // upstream discovery plan twice — Spark does not reuse common
+    // subplans across union branches (measured: halves q51 end-to-end)
     val undirected = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     // Seed = min(self, direct neighbors): exactly the state after round 1
     // of min-label propagation, folded into one aggregation — replaces the
@@ -214,6 +220,10 @@ object DedupOps {
       // diameter D needs D rounds and silently returns unconverged labels
       // past maxIter. Jumping doubles the compressed distance each round,
       // so convergence is O(log D): 20 rounds covers diameters beyond 10⁶.
+      // (Composing TWO halvings per round was measured SLOWER — 6.2 s vs
+      // 4.7 s end-to-end — the self-join of a join subtree re-executes the
+      // inner halve rather than reusing its exchange; one extra round is
+      // only ~0.45 s of job latency. DECISIONS.md.)
       // A label is always some member node's id (a min over node ids), so
       // the self-join hits; left+coalesce guards the invariant anyway.
       val next = combined.as("a")
