@@ -27,17 +27,21 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    def medianOf(name: String): Double = {
+    // (median, min, max): the artifact carries the spread so a drifting rep
+    // is visible IN the round's JSON, not only by diffing across rounds
+    // (round 5: a 2.17x median drift on untouched code was only detectable
+    // by comparing BENCH_r04 vs BENCH_r05).
+    def medianOf(name: String): (Double, Double, Double) = {
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+          return (-1.0, -1.0, -1.0)
         }
         (System.nanoTime() - t0) / 1e9
       }
-      times.sorted.apply(Reps / 2)
+      (times.sorted.apply(Reps / 2), times.min, times.max)
     }
 
     // JVM/codegen warmup: one query per table domain, against the benched
@@ -55,16 +59,27 @@ object Bench {
     //   z_ztbus_metrics        — the five collapsed per-minute algorithms
     //   z_ztbus_sessions       — brake-session gaps-and-islands windows
     //   z_ztbus_session_stats  — the 112-aggregate (16-col) session describe
-    val ztbus: Seq[(String, Double)] = {
+    val ztbus: Seq[(String, (Double, Double, Double))] = {
       import graft.ztbus.{Algorithms, Fixtures}
       val tel = Fixtures.telemetryDF(spark, 500000L) // 3 trips -> 1.5M rows
       val trips = {
         import spark.implicits._
         Fixtures.trips.toDF()
       }
-      // median-of-3 here too: single-shot ztbus timings drifted up to 2.4x
-      // on unchanged code between runs
-      def time(key: String)(body: => Unit): (String, Double) = {
+      // Shed heap pressure accumulated by the 69-query registry pass before
+      // timing the ztbus block: round 5 measured z_ztbus_session_stats at
+      // 7.86 s here vs 3.29 s in an isolated JVM (MicroBench, same code) —
+      // the drift was harness state, not the operator.
+      System.gc()
+      // median-of-3 here too, PLUS one untimed warmup per scenario: the
+      // 112-aggregate describe compiles a large codegen unit whose first
+      // (JIT-cold, post-registry) rep lands in the median at Reps=3.
+      def time(key: String)(body: => Unit): (String, (Double, Double, Double)) = {
+        try body  // warmup: codegen + JIT for this scenario, untimed
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $key failed: ${e.getMessage}")
+          return key -> ((-1.0, -1.0, -1.0))
+        }
         val times = (1 to Reps).flatMap { _ =>
           val t0 = System.nanoTime()
           try { body; Some((System.nanoTime() - t0) / 1e9) }
@@ -73,7 +88,8 @@ object Bench {
             None
           }
         }
-        key -> (if (times.size < Reps) -1.0 else times.sorted.apply(Reps / 2))
+        key -> (if (times.size < Reps) ((-1.0, -1.0, -1.0))
+                else ((times.sorted.apply(Reps / 2), times.min, times.max)))
       }
       Seq(
         time("z_ztbus_metrics") {
@@ -90,12 +106,16 @@ object Bench {
         })
     }
 
-    val qs = (results ++ ztbus)
-      .map { case (k, v) => s""""$k":$v""" }
+    val all = results ++ ztbus
+    val qs = all
+      .map { case (k, (med, _, _)) => s""""$k":$med""" }
       .mkString("{", ",", "}")
-    val total = (results ++ ztbus).map(_._2).filter(_ >= 0).sum
+    val spread = all
+      .map { case (k, (_, mn, mx)) => s""""$k":[$mn,$mx]""" }
+      .mkString("{", ",", "}")
+    val total = all.map(_._2._1).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -377,8 +377,18 @@ object DedupOps {
       w: Int, threshold: Double): DataFrame = {
     val cands = lshCandidatePairs(minhashSignatures(docs, id, text, w))
     val sh = shingleHashes(docs, id, text, w)
+    containmentVerify(broadcast(cands), sh, threshold)
+  }
+
+  /** Exact both-direction containment over an explicit (doc_a, doc_b)
+    * candidate set, against the distinct shingle postings `sh`. Callers
+    * with a provably small candidate set wrap it in [[broadcast]];
+    * [[containmentPrefixPairs]] leaves the hint off so AQE sizes the join
+    * at runtime (its candidate set is corpus-dependent). */
+  private def containmentVerify(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    broadcast(cands)
+    cands
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"),
         col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
@@ -393,6 +403,51 @@ object DedupOps {
         col("n_common").cast("double") / col("nb").cast("double"))
       .where(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+  }
+
+  /** Containment pairs with EXACT recall via prefix filtering (Chaudhuri
+    * et al. SSJoin; Bayardo WWW'07) — the fix for the minhash-discovery
+    * recall hole documented on [[containmentOnCandidates]]: a 50-word doc
+    * quoted inside a 50k-word doc has containment 1.0 but Jaccard ≈ 0.001,
+    * so it is never an LSH candidate.
+    *
+    * Pigeonhole: if containment(A→B) = |A∩B|/|A| ≥ t then B misses fewer
+    * than ⌊(1−t)·|A|⌋+1 of A's shingles — so B must contain at least one
+    * of ANY ⌊(1−t)·|A|⌋+1 shingles of A. Probing the postings with that
+    * many shingles per doc has exact recall for either direction (every
+    * doc probes as A for its own A→B direction); choosing the GLOBALLY
+    * RAREST shingles (lowest document frequency, hash tiebreak) makes the
+    * probe join as cheap as the corpus allows: probe cost is
+    * Σ_docs Σ_prefix df(h), and rarest-first minimizes every df term.
+    *
+    * Scale shape: two shuffles to rank shingles by (df, h) within each doc
+    * (df join on `h`, window on `doc_id`), a probe join whose output is
+    * candidate pairs, then the shared exact verify. No all-pairs product
+    * anywhere; a degenerate corpus (no rare shingles — every doc a near
+    * copy) degrades the CANDIDATE count toward the true pair count, which
+    * is the output size anyway. Skew: a hot posting key is a hot shingle;
+    * AQE skew-join splits it, and rarest-first makes it the exception. */
+  def containmentPrefixPairs(docs: DataFrame, id: Column, text: Column,
+      w: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val sh = shingleHashes(docs, id, text, w)
+    val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val probes = sh.join(docFreq, "h")
+      .withColumn("rk",
+        row_number().over(wDoc.orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .where(col("rk") <=
+        floor(lit(1.0 - threshold) * col("n")).cast("int") + 1)
+      .select(col("doc_id").as("probe_doc"), col("h"))
+    val cands = probes
+      .join(sh.withColumnRenamed("doc_id", "other_doc"), "h")
+      .where(col("probe_doc") =!= col("other_doc"))
+      .select(least(col("probe_doc"), col("other_doc")).as("doc_a"),
+        greatest(col("probe_doc"), col("other_doc")).as("doc_b"))
+      .distinct()
+    containmentVerify(cands, sh, threshold)
   }
 
   /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide
