@@ -438,8 +438,15 @@ object DedupOps {
       .withColumn("rk",
         row_number().over(wDoc.orderBy(col("df"), col("h"))))
       .withColumn("n", count(lit(1)).over(wDoc))
+      // Epsilon before flooring: (1-t)*n can land an IEEE ulp BELOW an
+      // exact integer (t=0.8, n=10: (1-0.8)*10 = 1.9999999999999996),
+      // flooring to one fewer probe than the pigeonhole needs — a pair at
+      // exactly the threshold would then evade candidate generation while
+      // containmentVerify (n_common/na >= t in doubles) accepts it. The
+      // nudge can only ever ADD a probe (over-probing costs one df term,
+      // under-probing silently loses recall).
       .where(col("rk") <=
-        floor(lit(1.0 - threshold) * col("n")).cast("int") + 1)
+        floor(lit(1.0 - threshold) * col("n") + lit(1e-9)).cast("int") + 1)
       .select(col("doc_id").as("probe_doc"), col("h"))
     val cands = probes
       .join(sh.withColumnRenamed("doc_id", "other_doc"), "h")

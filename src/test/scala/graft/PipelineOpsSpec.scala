@@ -608,6 +608,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("containmentPrefixPairs: exact recall on an LSH-invisible subset pair") {
+    // doc 21 (6 words, 5 bigram shingles) is a verbatim slice of doc 22
+    // (120 distinct words): containment_a = 1.0 but jaccard = 5/119 ~ 0.04,
+    // far below any band-collision threshold -- the documented recall hole
+    // of minhash discovery. Prefix filtering must find it; the LSH path
+    // must (deterministically, fixed hash family) miss it.
+    val big = (0 until 120).map(i => s"w$i").mkString(" ")
+    val small = (10 to 15).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (21L, small),
+      (22L, big),
+      (23L, "entirely unrelated filler content words here")).toDF("doc_id", "text")
+    val out = DedupOps.containmentPrefixPairs(d, col("doc_id"), col("text"), 2, 0.9)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) == ((21L, 22L)))
+    assert(ca == 1.0, "every shingle of the slice occurs in the source doc")
+    assert(cb < 0.1, "the source doc is mostly NOT the slice")
+    // the minhash-discovery path misses this pair -- the hole prefix
+    // filtering exists to close
+    val lsh = DedupOps.containmentOnCandidates(d, col("doc_id"), col("text"), 2, 0.9)
+    assert(lsh.isEmpty, "jaccard ~0.04 must not LSH-collide")
+  }
+
+  test("containmentPrefixPairs: pair at exactly the threshold is recalled") {
+    // t = 0.8, both docs have 10 bigram shingles, exactly 8 shared:
+    // containment = 8/10 >= 0.8 on both sides. Each doc's two RAREST
+    // shingles (df = 1) are precisely the ones the other doc misses, so a
+    // prefix of floor((1-0.8)*10)+1 = 2 probes only df-1 shingles and the
+    // pair is never generated -- the IEEE under-count ADVICE flagged
+    // ((1-0.8)*10 = 1.9999999999999996 in doubles). The epsilon'd prefix
+    // of 3 reaches a shared shingle and must recall the pair.
+    val d = Seq(
+      (31L, "a b c d e f g h i j k"),   // shingles ab..jk (10)
+      (32L, "a b c d e f g h i p q"),   // shares ab..hi (8); ip, pq unique
+      (33L, "x y z unrelated words")).toDF("doc_id", "text")
+    val out = DedupOps.containmentPrefixPairs(d, col("doc_id"), col("text"), 2, 0.8)
+      .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, nc, ca, cb) = out.head
+    assert((a, b, nc) == ((31L, 32L, 8L)))
+    assert(ca == 0.8 && cb == 0.8)
+  }
+
+  test("containmentPrefixPairs agrees with brute-force over the shared corpus") {
+    // at threshold ~0 the prefix covers EVERY shingle, so that run is the
+    // brute force: all pairs sharing >= 1 shingle, exactly verified.
+    // Filtering it at 0.5 is the ground truth the pruned run must equal.
+    val pruned = DedupOps.containmentPrefixPairs(
+      docs, col("doc_id"), col("text"), 2, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val brute = DedupOps.containmentPrefixPairs(
+      docs, col("doc_id"), col("text"), 2, 1e-9)
+      .where(greatest(col("containment_a"), col("containment_b")) >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "the fixture has near-dup pairs")
+    assert(pruned == brute)
+  }
+
   test("semanticDedup: within-cell dominance keep-set, grid-split invariant") {
     // cell geometry: centroid 0 = +x, centroid 1 = +y; vecs 2,3 near +x
     // (near-dups of each other), vec 4 near +y, vec 5 zero (NULL cosine ->
