@@ -21,13 +21,16 @@ object Pipeline {
   private val LSH_K = 3
   private val LSH_TABLES = 4
 
-  /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs at width `w`. */
-  private def shingleCteW(w: Int): String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs at width `w`,
+    * over `table` (the `documents` table, or a corpus CTE derived from it). */
+  private def shingleCteOver(w: Int, table: String): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $table),
        |sh AS (
        |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
        |    SELECT doc_id, ${wordShinglesSql(w)} AS s
        |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - ${w - 1}, 1))) AS t(i)))""".stripMargin
+
+  private def shingleCteW(w: Int): String = shingleCteOver(w, "documents")
 
   private def shingleCte: String = shingleCteW(SHINGLE_W)
 
@@ -904,8 +907,63 @@ object Pipeline {
        |SELECT a.vec_id, a.cell, (d.vb IS NULL) AS kept
        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vb""".stripMargin)
 
+  /** Exact-recall containment via prefix filtering
+    * ([[DedupOps.containmentPrefixPairs]]) — closes q68's documented
+    * discovery hole. The corpus is `documents` plus two rows DERIVED from
+    * it, built identically on both engines, that form an extreme subset
+    * pair LSH cannot recall: a "big" doc (texts of docs 0-3 concatenated in
+    * doc_id order, ~280 words) and a "small" doc (a 6-word slice of doc 1),
+    * giving |small|/|big| ≈ 0.02 in shingles — containment 1.0, Jaccard
+    * ≈ 0.02. The oracle is BRUTE FORCE (every pair sharing ≥ 1 shingle,
+    * exactly verified), so a hash match here checks the prefix path's
+    * exact-recall claim against an oracle that cannot itself miss a pair. */
+  private val PrefixContainT = 0.9
+  private val q70 = QueryDef(
+    "q70_containment_prefix",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val big = base.where(col("doc_id") < 4)
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          t => t.getField("text")), " ").as("text"))
+        .select(lit(1000000L).as("doc_id"), col("text"))
+      val small = base.where(col("doc_id") === 1)
+        .select(lit(1000001L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 11, 6), " ").as("text"))
+      DedupOps.containmentPrefixPairs(
+        base.unionByName(big).unionByName(small),
+        col("doc_id"), col("text"), SHINGLE_W, PrefixContainT)
+    },
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(1000000 AS BIGINT),
+       |    (SELECT string_agg(text, ' ' ORDER BY doc_id)
+       |     FROM documents WHERE doc_id < 4)
+       |  UNION ALL
+       |  SELECT CAST(1000001 AS BIGINT),
+       |    (SELECT array_to_string((string_split(text, ' '))[11:16], ' ')
+       |     FROM documents WHERE doc_id = 1)),
+       |${shingleCteOver(SHINGLE_W, "corpus")},
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
+       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE))
+       |  >= $PrefixContainT""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }
