@@ -62,6 +62,24 @@ object DedupOps {
       .agg(mins.head, mins.tail: _*)
   }
 
+  /** [[minhashSignatures]] as ONE stateless projection: the same 8
+    * permutations computed with array functions over the shingle array —
+    * no explode, no groupBy — identical in value (min over the shingle
+    * array = min over the duplicate-retaining shingle stream). This is the
+    * form a STREAMING plan needs (zero state, no aggregation mode
+    * constraints); batch callers prefer [[minhashSignatures]], whose
+    * partial-aggregation shape lets long documents' shingle streams spread
+    * across tasks instead of pinning each doc's whole array to one row. */
+  def minhashSignaturesLocal(docs: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame = {
+    HashExpressions.register(docs.sparkSession)
+    val hs = transform(wordShingles(text, w),
+      s => HashExpressions.polyHash(s))
+    val mins = (0 until MinhashA.size).map(i =>
+      array_min(transform(hs, h => minhashPerm(h, i))).as(s"m$i"))
+    docs.select(id.as("doc_id") +: mins: _*)
+  }
+
   /** A bucket a pair-generating self-join may NOT process whole: above this,
     * bucket² pairs degenerate one task (the boilerplate-heavy-corpus hot
     * bucket). Buckets up to the cap are grid-split for parallelism; buckets
@@ -295,11 +313,18 @@ object DedupOps {
     * duplicates are NOT screened here — that is [[lshCandidatePairs]] on
     * the delta alone. Output: the delta signature rows that survive.  */
   def incrementalDedup(deltaSig: DataFrame, corpusSig: DataFrame): DataFrame = {
-    val corpusBuckets = bandRows(corpusSig).select("band", "b").distinct()
-    val hit = bandRows(deltaSig).join(corpusBuckets, Seq("band", "b"),
-      "left_semi").select("doc_id").distinct()
+    val hit = bandRows(deltaSig).join(corpusBandBuckets(corpusSig),
+      Seq("band", "b"), "left_semi").select("doc_id").distinct()
     deltaSig.join(hit, Seq("doc_id"), "left_anti")
   }
+
+  /** The corpus side of [[incrementalDedup]] as a standalone index: the
+    * DISTINCT (band, bucket) set of the corpus signatures. At ingest this
+    * is computed once (and maintained incrementally as batches append);
+    * [[graft.streaming.Streaming.incrementalDedupStream]] uses it as the
+    * static side of its per-band stream-static anti-joins. */
+  def corpusBandBuckets(corpusSig: DataFrame): DataFrame =
+    bandRows(corpusSig).select("band", "b").distinct()
 
   /** Shared tail of both jaccard paths: join per-doc distinct-shingle
     * counts onto the intersection counts, score, threshold. */

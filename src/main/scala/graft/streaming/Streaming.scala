@@ -287,6 +287,40 @@ object Streaming {
         preds.map(p => col(s"n_${p._1}")): _*)
   }
 
+  /** Streaming face of [[graft.operators.DedupOps.incrementalDedup]] — the
+    * operator whose semantics are INHERENTLY ingest-time: each micro-batch
+    * is a delta screened against the EXISTING corpus's signature index
+    * (`corpusSig`, from [[graft.operators.DedupOps.minhashSignatures]] —
+    * precomputed once, the static side). A delta doc is dropped iff ANY of
+    * its LSH band buckets collides with a corpus bucket; survivors are the
+    * rows to append.
+    *
+    * Plan shape: the signature is the ROW-LOCAL
+    * [[graft.operators.DedupOps.minhashSignaturesLocal]] (a stateless
+    * projection — batch's explode+groupBy would be a streaming aggregation
+    * with output-mode constraints), and "no band collides" is two chained
+    * stream-static LEFT ANTI joins, one per band, against the distinct
+    * corpus bucket index — each doc is one row throughout, so no state, no
+    * watermark, no distinct: exactly the batch keep-set per micro-batch.
+    * Intra-delta duplicates are out of scope on both faces (that is
+    * [[dedupStreamById]] upstream, or LSH on the accumulated delta).
+    * Output: surviving (doc_id, m0..m7) signature rows, identical to the
+    * batch operator's output over the same rows. */
+  def incrementalDedupStream(deltaDocs: DataFrame, corpusSig: DataFrame,
+      w: Int): DataFrame = {
+    import graft.functions.TextHash.bandBucket
+    val buckets = graft.operators.DedupOps.corpusBandBuckets(corpusSig)
+    def bandIndex(band: Int, as: String) =
+      buckets.where(col("band") === band).select(col("b").as(as))
+    graft.operators.DedupOps
+      .minhashSignaturesLocal(deltaDocs, col("doc_id"), col("text"), w)
+      .withColumn("_b0", bandBucket((0 to 3).map(i => col(s"m$i"))))
+      .withColumn("_b1", bandBucket((4 to 7).map(i => col(s"m$i"))))
+      .join(bandIndex(0, "_b0"), Seq("_b0"), "left_anti")
+      .join(bandIndex(1, "_b1"), Seq("_b1"), "left_anti")
+      .drop("_b0", "_b1")
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

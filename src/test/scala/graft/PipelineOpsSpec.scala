@@ -608,6 +608,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("minhashSignaturesLocal equals the explode+groupBy signatures") {
+    // same 8 permutations, row-local array form vs distributed aggregation
+    // form -- min over the array IS min over the shingle stream, including
+    // duplicate shingles and the single-short-shingle degenerate case
+    val d = docs.union(Seq((6L, "one"), (7L, "w w w w")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(
+      rows(DedupOps.minhashSignaturesLocal(d, col("doc_id"), col("text"), 2)) ==
+        rows(DedupOps.minhashSignatures(d, col("doc_id"), col("text"), 2)))
+  }
+
   test("containmentPrefixPairs: exact recall on an LSH-invisible subset pair") {
     // doc 21 (6 words, 5 bigram shingles) is a verbatim slice of doc 22
     // (120 distinct words): containment_a = 1.0 but jaccard = 5/119 ~ 0.04,

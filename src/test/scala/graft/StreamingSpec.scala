@@ -58,6 +58,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream keep-set equals batch incrementalDedup") {
+    import graft.operators.DedupOps
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a completely different corpus document here"),
+      (3L, "der hund und die katze")).toDF("doc_id", "text")
+    val corpusSig = DedupOps.minhashSignatures(
+      corpus, col("doc_id"), col("text"), 2)
+    val b1 = Seq(
+      (11L, "the cat sat on the mat"),              // exact dup -> dropped
+      (12L, "novel words never seen in the corpus"))
+    val b2 = Seq(
+      (13L, "der hund und die katze"),              // exact dup -> dropped
+      (14L, "another genuinely new delta document"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupStream(
+      in.toDS().toDF("doc_id", "text"), corpusSig, 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incdedup1").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("incdedup1").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = DedupOps.incrementalDedup(
+        DedupOps.minhashSignatures(
+          (b1 ++ b2).toDF("doc_id", "text"), col("doc_id"), col("text"), 2),
+        corpusSig).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(batch.keySet == Set(12L, 14L), "dups of corpus docs are dropped")
+      assert(streamed == batch,
+        "streamed micro-batches must produce the batch keep-set with signatures")
+    } finally q.stop()
+  }
+
   test("sessionize: run crossing micro-batches survives in state") {
     implicit val s = spark
     val base = "2021-03-09 14:15:00"
