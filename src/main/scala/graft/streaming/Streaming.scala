@@ -321,6 +321,23 @@ object Streaming {
       .drop("_b0", "_b1")
   }
 
+  /** Streaming faces of the row-local curation transforms
+    * ([[graft.operators.TextOps.chunkDocs]] /
+    * [[graft.operators.TextOps.piiRedact]]): both are stateless
+    * projections, so the BATCH definition applies to a streaming
+    * `(doc_id, text)` frame unchanged — one Column definition shared by
+    * construction (the funnel's `funnelPredicates` discipline, taken to
+    * its limit: there is no second definition to drift). The delegates
+    * make the streaming surface explicit and give StreamingSpec a stable
+    * name to pin parity on. No state, no watermark; legal in append mode
+    * under any sink. */
+  def chunkDocsStream(docs: DataFrame, chunkWords: Int, stride: Int): DataFrame =
+    graft.operators.TextOps.chunkDocs(
+      docs, col("doc_id"), col("text"), chunkWords, stride)
+
+  def piiRedactStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.piiRedact(docs, col("doc_id"), col("text"))
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

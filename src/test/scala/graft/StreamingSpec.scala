@@ -92,6 +92,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDocsStream and piiRedactStream match their batch faces") {
+    import graft.operators.TextOps
+    val b1 = Seq(
+      (1L, (1 to 11).map(i => s"w$i").mkString(" ")),  // 3 chunks at 5/4
+      (2L, "mail me at a.b@example.com or https://x.example/y"))
+    val b2 = Seq(
+      (3L, "short doc"),                               // single short chunk
+      (4L, "call 555-123-4567 twice 555-123-4567"))
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDS().toDF("doc_id", "text")
+    val qc = Streaming.chunkDocsStream(src, 5, 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunks1").start()
+    val qr = Streaming.piiRedactStream(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("redact1").start()
+    try {
+      in.addData(b1: _*); qc.processAllAvailable(); qr.processAllAvailable()
+      in.addData(b2: _*); qc.processAllAvailable(); qr.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(spark.table("chunks1")) ==
+        rows(TextOps.chunkDocs(all, col("doc_id"), col("text"), 5, 4)))
+      assert(rows(spark.table("chunks1")).size == 3 + 2 + 1 + 1,
+        "11w -> 3 chunks, 7w -> 2, 2w -> 1, 4w -> 1 at chunk 5 / stride 4")
+      assert(rows(spark.table("redact1")) ==
+        rows(TextOps.piiRedact(all, col("doc_id"), col("text"))))
+    } finally { qc.stop(); qr.stop() }
+  }
+
   test("sessionize: run crossing micro-batches survives in state") {
     implicit val s = spark
     val base = "2021-03-09 14:15:00"
