@@ -436,27 +436,45 @@ object TextOps {
     * (its own occurrence), so no OOV smoothing is needed for self-scoring.
     *
     * Plan: one wordcount aggregation (the vocabulary is Zipf-bounded, far
-    * smaller than the corpus), a 1-row total broadcast back onto it, then a
-    * shuffled equi-join of tokens against per-word surprisals on the
-    * (uniform) word key and a per-doc aggregation — corpus-linear, two
-    * shuffles. Float determinism: per-word surprisal is rounded to 1e-6
-    * and summed as DECIMAL (exact, order-independent — an unordered double
-    * sum drifts in the last ulp), so both engines divide identical sums. */
+    * smaller than the corpus), a 1-row total broadcast back onto it, then
+    * the token→surprisal join and a per-doc aggregation. The token join
+    * key is the Zipf-SKEWED word, so it is split by frequency: the
+    * surprisals of the top-[[LmHeadK]] words ride a broadcast (map-side —
+    * by Zipf's law the head covers most token OCCURRENCES with a tiny
+    * vocabulary slice, and a hot key never shuffles), while only TAIL
+    * tokens shuffle on the now de-skewed word key. Measured 4.61 → 2.00 s
+    * at 10× sf0.1 docs, a wash at 1× (DECISIONS.md). Float determinism:
+    * per-word surprisal is rounded to 1e-6 and summed as DECIMAL (exact,
+    * order-independent — an unordered double sum drifts in the last ulp),
+    * so both engines divide identical sums regardless of which side of the
+    * split a token took. */
   def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
     val cnt = words.groupBy("word").agg(count(lit(1)).as("_cnt"))
     val tot = cnt.agg(sum("_cnt").as("_tot"))
     val wlp = cnt.join(broadcast(tot))
-      .select(col("word"),
+      .select(col("word"), col("_cnt"),
         round(log(col("_tot").cast("double") / col("_cnt").cast("double")), 6)
           .cast("decimal(18,6)").as("_lp"))
-    words.join(wlp, "word")
+    val head = wlp.orderBy(col("_cnt").desc, col("word")).limit(LmHeadK)
+      .select(col("word"), col("_lp"))
+    val tail = wlp.join(broadcast(head.select("word")), Seq("word"), "left_anti")
+      .select(col("word"), col("_lp"))
+    val probed = words.join(broadcast(head), Seq("word"), "left")
+    probed.where(col("_lp").isNotNull)
+      .unionByName(probed.where(col("_lp").isNull).drop("_lp").join(tail, "word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("_lp").as("_s"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("_s").cast("double") / col("n_tokens"), 6)
           .as("cross_entropy"))
   }
+
+  /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
+    * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
+    * any broadcast threshold — yet covers the bulk of token occurrences in
+    * a natural-language corpus. */
+  val LmHeadK: Int = 4096
 
   /** PII redaction — the transform [[piiScan]] pre-screens for: emails,
     * phone shapes, and URLs replaced by typed placeholder tags, applied in
@@ -489,13 +507,21 @@ object TextOps {
     * engine whose `ln` agrees to ~1e-7 — ulp-level libm differences cannot
     * reorder. Two wordcount-shaped aggregations plus a broadcast of the
     * 1-row corpus count; the per-doc rank partitions by doc (bounded by
-    * vocabulary, not corpus). */
+    * vocabulary, not corpus). The TF→df join keys on the Zipf-skewed word,
+    * so it gets the same frequency split as [[lmScore]]: the top-[[LmHeadK]]
+    * words by df ride a broadcast (a hot word's up-to-n_docs TF rows never
+    * shuffle), tail TF pairs shuffle on the de-skewed remainder. Measured
+    * 4.70 → 3.60 s at 10× sf0.1 docs, identical rows (DECISIONS.md). */
   def tfidfTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "word")
+    val head = dfreq.orderBy(col("df").desc, col("word")).limit(LmHeadK)
+    val tail = dfreq.join(broadcast(head.select("word")), Seq("word"), "left_anti")
+    val probed = tf.join(broadcast(head), Seq("word"), "left")
+    val scored = probed.where(col("df").isNotNull)
+      .unionByName(probed.where(col("df").isNull).drop("df").join(tail, "word"))
       .join(broadcast(n))
       .withColumn("tfidf", round(
         col("tf") * log((col("n_docs") + 1).cast("double") /

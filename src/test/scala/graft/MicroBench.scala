@@ -1,11 +1,63 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
 /** Dev measurement harness (test scope — not part of the shipped library):
   * times one named scenario over the 1.5 M-row ztbus bench fixture, N reps.
   *
   * Usage: sbt "Test/runMain graft.MicroBench <scenario> [reps]"
   */
 object MicroBench {
+
+  /** sf0.1 documents replicated 10× with distinct ids — the scale-up corpus
+    * for the word-join experiments (same Zipf shape, 10× token mass). */
+  private def docs10x(spark: SparkSession): DataFrame =
+    Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(9L))).as("_rep"))
+      .select((col("doc_id") * 10 + col("_rep")).as("doc_id"), col("text"))
+
+  /** The PRE-round-7 lmScore plan (every token occurrence shuffled on the
+    * skewed word key) — kept as the measured-against baseline for the
+    * Zipf-head broadcast now shipped in [[TextOps.lmScore]]. */
+  private def lmScorePlain(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val cnt = words.groupBy("word").agg(count(lit(1)).as("_cnt"))
+    val tot = cnt.agg(sum("_cnt").as("_tot"))
+    val wlp = cnt.join(broadcast(tot))
+      .select(col("word"),
+        round(log(col("_tot").cast("double") / col("_cnt").cast("double")), 6)
+          .cast("decimal(18,6)").as("_lp"))
+    words.join(wlp, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("_lp").as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s").cast("double") / col("n_tokens"), 6)
+          .as("cross_entropy"))
+  }
+
+  /** The PRE-round-7 tfidf plan (TF pairs shuffled on the raw word key) —
+    * baseline for the frequency split now shipped in [[TextOps.tfidfTopK]]. */
+  private def tfidfPlain(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .join(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("doc_id", "rk", "word", "tf", "df", "tfidf")
+  }
+
   def main(args: Array[String]): Unit = {
     val scenario = args.headOption.getOrElse("session_stats")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
@@ -15,40 +67,66 @@ object MicroBench {
     val tel = Fixtures.telemetryDF(spark, 500000L)
     val trips = { import spark.implicits._; Fixtures.trips.toDF() }
 
-    def run(): Unit = {
-      val df = scenario match {
-        case "session_stats" =>
-          Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active")
-        case "session_stats_chunked" =>
-          Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active",
-            chunkSeconds = Some(3600L))
-        case "sessions" =>
-          Algorithms.brakeSessions(tel, "status_halt_brake_is_active")
-        // single giant key — the chunked variant's target regime
-        case "session_stats_1key" =>
-          Algorithms.brakeSessionStats(
-            Fixtures.telemetryDF(spark, 2000000L)
-              .where(org.apache.spark.sql.functions.col("trip_id") === 1L),
-            "status_halt_brake_is_active")
-        case "session_stats_1key_chunked" =>
-          Algorithms.brakeSessionStats(
-            Fixtures.telemetryDF(spark, 2000000L)
-              .where(org.apache.spark.sql.functions.col("trip_id") === 1L),
-            "status_halt_brake_is_active", chunkSeconds = Some(3600L))
-        case "metrics" => Algorithms.perMinuteMetrics(tel, trips)
-        case "dedup_clusters" =>
-          // the full q51 pipeline at bench scale (sf0.1 documents)
-          import org.apache.spark.sql.functions.col
-          graft.operators.DedupOps.dedupClusters(
-            graft.operators.DedupOps.lshCandidatePairs(
-              graft.operators.DedupOps.minhashSignatures(
-                Tables.documents(spark, "/root/testdata/sf0.1"),
-                col("doc_id"), col("text"), 2)),
-            "doc_a", "doc_b")
-        case other => sys.error(s"unknown scenario: $other")
-      }
-      df.write.format("noop").mode("overwrite").save()
+    def scenarioDf(): DataFrame = scenario match {
+      case "session_stats" =>
+        Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active")
+      case "session_stats_chunked" =>
+        Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active",
+          chunkSeconds = Some(3600L))
+      case "sessions" =>
+        Algorithms.brakeSessions(tel, "status_halt_brake_is_active")
+      // single giant key — the chunked variant's target regime
+      case "session_stats_1key" =>
+        Algorithms.brakeSessionStats(
+          Fixtures.telemetryDF(spark, 2000000L).where(col("trip_id") === 1L),
+          "status_halt_brake_is_active")
+      case "session_stats_1key_chunked" =>
+        Algorithms.brakeSessionStats(
+          Fixtures.telemetryDF(spark, 2000000L).where(col("trip_id") === 1L),
+          "status_halt_brake_is_active", chunkSeconds = Some(3600L))
+      case "metrics" => Algorithms.perMinuteMetrics(tel, trips)
+      case "dedup_clusters" =>
+        // the full q51 pipeline at bench scale (sf0.1 documents)
+        graft.operators.DedupOps.dedupClusters(
+          graft.operators.DedupOps.lshCandidatePairs(
+            graft.operators.DedupOps.minhashSignatures(
+              Tables.documents(spark, "/root/testdata/sf0.1"),
+              col("doc_id"), col("text"), 2)),
+          "doc_a", "doc_b")
+      // ---- Zipf-head broadcast (VERDICT r5 item 5; SHIPPED in lmScore):
+      // measured lm_plain_10x 4.61 s vs lm_10x 2.00 s, wash at 1x
+      case "lm_10x" =>
+        TextOps.lmScore(docs10x(spark), col("doc_id"), col("text"))
+      case "lm_plain_10x" => lmScorePlain(docs10x(spark))
+      case "lm_1x" => TextOps.lmScore(
+        Tables.documents(spark, "/root/testdata/sf0.1"), col("doc_id"), col("text"))
+      case "lm_plain_1x" => lmScorePlain(
+        Tables.documents(spark, "/root/testdata/sf0.1"))
+      // parity check, not a timing scenario: the two lm plans must agree
+      // row-for-row on the 10x corpus
+      case "lm_head_check" =>
+        val a = lmScorePlain(docs10x(spark))
+        val b = TextOps.lmScore(docs10x(spark), col("doc_id"), col("text"))
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        println(s"[microbench] lm_head_check diff rows: $diff")
+        require(diff == 0, s"head-broadcast output differs: $diff rows")
+        a.limit(1)
+      // tfidf frequency split (SHIPPED in tfidfTopK): measured
+      // tfidf_plain_10x 4.70 s vs tfidf_10x 3.60 s, identical rows
+      case "tfidf_10x" => TextOps.tfidfTopK(docs10x(spark),
+        col("doc_id"), col("text"), 3)
+      case "tfidf_plain_10x" => tfidfPlain(docs10x(spark), 3)
+      case "tfidf_head_check" =>
+        val a = tfidfPlain(docs10x(spark), 3)
+        val b = TextOps.tfidfTopK(docs10x(spark), col("doc_id"), col("text"), 3)
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        println(s"[microbench] tfidf_head_check diff rows: $diff")
+        require(diff == 0, s"tfidf head-broadcast output differs: $diff rows")
+        a.limit(1)
+      case other => sys.error(s"unknown scenario: $other")
     }
+
+    def run(): Unit = scenarioDf().write.format("noop").mode("overwrite").save()
 
     run() // warmup
     val times = (1 to reps).map { i =>
