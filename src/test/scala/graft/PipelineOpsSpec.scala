@@ -270,6 +270,34 @@ class PipelineOpsSpec extends SparkSpec {
         f"($l1%.2f/$l2%.2f vs $f1%.2f/$f2%.2f)")
   }
 
+  test("learned-centroid semantic dedup: duplicates caught per cell budget") {
+    // SemDeDup only compares WITHIN cells, so its drop-set is a subset of
+    // the global dominance drop-set (every vec with a smaller-id neighbor
+    // at cos >= t, from the exact all-pairs graph). The fraction caught at
+    // a fixed cell budget k measures quantizer quality: cells that track
+    // the data distribution co-locate near-dups; an arbitrary fixed sample
+    // splits them across cells and silently KEEPS duplicates.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val t = 0.4
+    val truth = SimilarityOps.cosinePairs(emb, col("vec_id"), col("embedding"), t)
+      .select("vec_b").distinct().as[Long].collect().toSet
+    def dropped(cents: org.apache.spark.sql.DataFrame): Set[Long] =
+      SimilarityOps.semanticDedup(
+        emb, cents, col("vec_id"), col("embedding"), t)
+        .where(!col("kept")).select("vec_id").as[Long].collect().toSet
+    val fixed = dropped(emb.where(col("vec_id") < 8))
+    val learned = dropped(SimilarityOps.learnCentroids(
+      emb, col("embedding"), 8, "vec_id", "embedding"))
+    assert(fixed.subsetOf(truth) && learned.subsetOf(truth),
+      "cell restriction can only LOSE dominance pairs, never invent them")
+    info(s"caught per 8-cell budget: learned=${learned.size}/${truth.size}, " +
+      s"fixed=${fixed.size}/${truth.size}")
+    assert(learned.nonEmpty, "the corpus has semantic dups to catch")
+    assert(learned.size >= fixed.size,
+      s"learned cells must catch at least the fixed sample's duplicates " +
+        s"(${learned.size} vs ${fixed.size} of ${truth.size})")
+  }
+
   test("ivfTopK searches only within the assigned centroid cell") {
     val out = SimilarityOps.ivfTopK(
       vecs, vecs.where(col("vec_id") === 0),
