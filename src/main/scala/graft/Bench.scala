@@ -61,15 +61,25 @@ object Bench {
     //   z_ztbus_session_stats  — the 112-aggregate (16-col) session describe
     val ztbus: Seq[(String, (Double, Double, Double))] = {
       import graft.ztbus.{Algorithms, Fixtures}
+      // The fixture is PERSISTED and materialized OUTSIDE the timed reps:
+      // un-cached, every rep re-ran the 1.5 M-row × 25-col generator
+      // (spark.range + trig columns), and that recompute under
+      // post-registry JIT/GC state — not the operators — was the r5/r6
+      // drift (r6 spread [2.98, 6.87] s for session_stats WITH warmup+gc;
+      // isolated-JVM medians were stable at ~3.3 s). Timed reps now read
+      // the operator's actual input from cache. Cross-round note: r7+
+      // z_ medians exclude fixture generation and land lower than r1-r6
+      // by construction (DECISIONS.md).
       val tel = Fixtures.telemetryDF(spark, 500000L) // 3 trips -> 1.5M rows
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tel.count()
       val trips = {
         import spark.implicits._
         Fixtures.trips.toDF()
       }
-      // Shed heap pressure accumulated by the 69-query registry pass before
-      // timing the ztbus block: round 5 measured z_ztbus_session_stats at
-      // 7.86 s here vs 3.29 s in an isolated JVM (MicroBench, same code) —
-      // the drift was harness state, not the operator.
+      // Shed heap pressure accumulated by the registry pass before timing
+      // the ztbus block (round 5 measured z_ztbus_session_stats at 7.86 s
+      // here vs 3.29 s in an isolated JVM on the same code).
       System.gc()
       // median-of-3 here too, PLUS one untimed warmup per scenario: the
       // 112-aggregate describe compiles a large codegen unit whose first
