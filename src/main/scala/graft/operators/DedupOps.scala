@@ -406,22 +406,31 @@ object DedupOps {
   }
 
   /** Exact both-direction containment over an explicit (doc_a, doc_b)
-    * candidate set, against the distinct shingle postings `sh`. Callers
-    * with a provably small candidate set wrap it in [[broadcast]];
-    * [[containmentPrefixPairs]] leaves the hint off so AQE sizes the join
-    * at runtime (its candidate set is corpus-dependent). */
+    * candidate set, against the distinct shingle postings `sh`.
+    *
+    * The verify is ONE ROW PER PAIR: each doc's distinct shingles are
+    * collected once into a sorted array (`sh` is already distinct, so the
+    * array is a set), the candidate list joins the array table twice on
+    * the uniform doc-id keys, and `n_common = size(array_intersect)` runs
+    * inside codegen — no per-shingle row explosion. The postings-join
+    * alternative (join `sh` on doc_a, re-join on (doc_b, h), groupBy)
+    * multiplies every candidate by its shingle count BEFORE the exact
+    * filter: measured 38 s vs 8 s end-to-end on [[containmentPrefixPairs]]
+    * at sf0.1, where a high-df corpus makes candidates outnumber true
+    * pairs 10⁵:1. Row width is bounded by per-doc shingle count — at
+    * LLM-pipeline scale documents are chunk-bounded ([[TextOps.chunkDocs]])
+    * long before a shingle array strains a row. */
   private def containmentVerify(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
     cands
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
+      .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("_ha"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("_hb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
       .withColumn("containment_a",
         col("n_common").cast("double") / col("na").cast("double"))
       .withColumn("containment_b",
@@ -447,11 +456,18 @@ object DedupOps {
     *
     * Scale shape: two shuffles to rank shingles by (df, h) within each doc
     * (df join on `h`, window on `doc_id`), a probe join whose output is
-    * candidate pairs, then the shared exact verify. No all-pairs product
-    * anywhere; a degenerate corpus (no rare shingles — every doc a near
-    * copy) degrades the CANDIDATE count toward the true pair count, which
-    * is the output size anyway. Skew: a hot posting key is a hot shingle;
-    * AQE skew-join splits it, and rarest-first makes it the exception. */
+    * candidate pairs, then the shared one-row-per-pair exact verify. No
+    * all-pairs product anywhere, but candidate volume is Σ_docs Σ_prefix
+    * df(h) BY CONSTRUCTION — on a corpus with rare shingles (natural text:
+    * names, numbers, typos) the rarest-first prefix keeps that near the
+    * true pair count, while a corpus whose every shingle is common defeats
+    * the filter (measured on the synthetic bench table: min df 3, median
+    * 285 over 5000 docs → 3.6 M candidates for 31 true pairs; the verify
+    * stays tractable only because it is one row per pair). Exactness costs
+    * exactly this; when the corpus is known to be high-df and approximate
+    * recall is acceptable, [[containmentOnCandidates]] is the cheap path.
+    * Skew: a hot posting key is a hot shingle; AQE skew-join splits it,
+    * and rarest-first makes it the exception. */
   def containmentPrefixPairs(docs: DataFrame, id: Column, text: Column,
       w: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,

@@ -64,7 +64,14 @@ object MicroBench {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ztbus.{Algorithms, Fixtures}
-    val tel = Fixtures.telemetryDF(spark, 500000L)
+    // persisted + materialized outside the timed reps, mirroring Bench:
+    // reps time the operator over its actual input, not the row generator
+    lazy val tel = {
+      val t = Fixtures.telemetryDF(spark, 500000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }
     val trips = { import spark.implicits._; Fixtures.trips.toDF() }
 
     def scenarioDf(): DataFrame = scenario match {
@@ -123,6 +130,39 @@ object MicroBench {
         println(s"[microbench] tfidf_head_check diff rows: $diff")
         require(diff == 0, s"tfidf head-broadcast output differs: $diff rows")
         a.limit(1)
+      // q70 end-to-end at sf0.1 (verify-shape experiments)
+      case "cp_q70" =>
+        import graft.operators.DedupOps
+        DedupOps.containmentPrefixPairs(
+          Tables.documents(spark, "/root/testdata/sf0.1")
+            .select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), 2, 0.9)
+      // q70 cost diagnosis at sf0.1: candidate volume vs verify cost
+      case "cp_diag" =>
+        import graft.operators.DedupOps
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+          .select(col("doc_id"), col("text"))
+        val sh = DedupOps.shingleHashes(docs, col("doc_id"), col("text"), 2)
+        val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        println(s"[diag] docs=${docs.count()} sh=${sh.count()}")
+        docFreq.select(min("df"), expr("percentile(df, 0.5)"),
+          expr("percentile(df, 0.9)"), max("df")).show()
+        val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        val probes = sh.join(docFreq, "h")
+          .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("h"))))
+          .withColumn("n", count(lit(1)).over(wDoc))
+          .where(col("rk") <= floor(lit(0.1) * col("n") + lit(1e-9)).cast("int") + 1)
+          .select(col("doc_id").as("probe_doc"), col("h"), col("df"))
+        println(s"[diag] probes=${probes.count()}")
+        probes.select(sum("df")).show()  // candidate rows before distinct
+        val cands = probes
+          .join(sh.withColumnRenamed("doc_id", "other_doc"), "h")
+          .where(col("probe_doc") =!= col("other_doc"))
+          .select(least(col("probe_doc"), col("other_doc")).as("doc_a"),
+            greatest(col("probe_doc"), col("other_doc")).as("doc_b"))
+          .distinct()
+        println(s"[diag] distinct cands=${cands.count()}")
+        cands.limit(1)
       case other => sys.error(s"unknown scenario: $other")
     }
 
