@@ -498,6 +498,62 @@ object DedupOps {
     containmentVerify(cands, sh, threshold)
   }
 
+  /** Bottom-k sketch per document: the `k` SMALLEST distinct shingle
+    * hashes. Hashes are uniform, so the bottom-k is a uniform sample of
+    * the shingle set whose membership can be tested against ANY other
+    * doc's full set — which makes it containment-oriented where minhash
+    * is Jaccard-oriented (Broder's original sketch; Cohen & Kaplan's
+    * bottom-k estimators). A doc with ≤ k shingles keeps its ENTIRE set:
+    * the sketch — and everything estimated from it — is exact there. */
+  def bottomKSketch(docs: DataFrame, id: Column, text: Column, w: Int,
+      k: Int): DataFrame = {
+    require(k > 0, s"sketch size must be positive, got $k")
+    shingleHashes(docs, id, text, w)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("h"))))
+      .where(col("_rk") <= k)
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Directional containment ESTIMATES from bottom-k sketches — the
+    * constant-budget scale path between [[containmentOnCandidates]]
+    * (cheap, Jaccard-recall: misses extreme subset pairs entirely) and
+    * [[containmentPrefixPairs]] (exact, but candidate volume grows as
+    * Σ prefix·df and the prefix grows with doc length):
+    *
+    * `containment_est(A→B) = |bottomK(A) ∩ S(B)| / |bottomK(A)|`
+    *
+    * One probe join of the k-row-per-doc sketch against the full postings
+    * — probe cost Σ_docs k·E[df], bounded by the FIXED k per doc at any
+    * threshold — then a per-pair count and a size join; no verify pass
+    * (the estimate IS the output; run the exact verify on survivors when
+    * true values are needed). Exact for docs with ≤ k shingles — an
+    * extreme subset pair (tiny doc inside a huge one) is therefore found
+    * with estimate exactly 1.0, the case Jaccard discovery provably
+    * misses; for larger docs the estimate is the fraction of a uniform
+    * k-sample found in B (hits ~ hypergeometric around k·containment).
+    * Output is directional: (doc_a, doc_b, n_hits, n_sketch,
+    * containment_est) for doc_a's containment IN doc_b, est ≥ threshold.
+    * Deterministic for a fixed hash family — engine-reproducible. */
+  def containmentSketchPairs(docs: DataFrame, id: Column, text: Column,
+      w: Int, k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val sh = shingleHashes(docs, id, text, w)
+    val bk = bottomKSketch(docs, id, text, w, k)
+    val sketchSize = bk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sketch"))
+    bk.join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
+      .where(col("doc_id") =!= col("doc_b"))
+      .groupBy(col("doc_id"), col("doc_b"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(sketchSize, "doc_id")
+      .withColumn("containment_est",
+        col("n_hits").cast("double") / col("n_sketch").cast("double"))
+      .where(col("containment_est") >= threshold)
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
+        col("n_sketch"), col("containment_est"))
+  }
+
   /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide
     * signature split into 4 equal bands. */
   private def simhashBandRows(sig: DataFrame, bits: Int): DataFrame = {

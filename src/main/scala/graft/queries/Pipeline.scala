@@ -982,8 +982,40 @@ object Pipeline {
     },
     None)
 
+  /** Bottom-k containment sketch estimates
+    * ([[DedupOps.containmentSketchPairs]]) — the constant-probe-budget
+    * middle path: exact for docs with ≤ k shingles (where the subset pairs
+    * live), a uniform-sample estimate above, probe cost k·E[df] per doc at
+    * ANY threshold. Deterministic hashes → the oracle recomputes the same
+    * sketch. */
+  private val SketchK = 16
+  private val SketchT = 0.6
+  private val q72 = QueryDef(
+    "q72_containment_sketch",
+    (s, d) => DedupOps.containmentSketchPairs(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W,
+      SketchK, SketchT),
+    s"""WITH $shingleCte,
+       |bk AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+       |    FROM sh) t
+       |  WHERE rk <= $SketchK),
+       |bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sketch
+       |  FROM bk GROUP BY doc_id),
+       |hits AS (
+       |  SELECT b.doc_id AS doc_a, s.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM bk b JOIN sh s ON s.h = b.h AND s.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_hits, n_sketch,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_sketch AS DOUBLE) AS containment_est
+       |FROM hits JOIN bsz ON hits.doc_a = bsz.doc_id
+       |WHERE CAST(n_hits AS DOUBLE) / CAST(n_sketch AS DOUBLE)
+       |  >= $SketchT""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

@@ -710,6 +710,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pruned == brute)
   }
 
+  test("containmentSketchPairs: exact on small docs, finds the subset pair") {
+    val big = (0 until 120).map(i => s"w$i").mkString(" ")
+    val small = (10 to 15).map(i => s"w$i").mkString(" ")   // 5 shingles <= k
+    val d = Seq(
+      (21L, small),
+      (22L, big),
+      (23L, "entirely unrelated filler content words here")).toDF("doc_id", "text")
+    val out = DedupOps.containmentSketchPairs(d, col("doc_id"), col("text"),
+      2, 16, 0.5)
+      .select("doc_a", "doc_b", "n_hits", "n_sketch", "containment_est")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // the tiny doc's sketch is its whole shingle set -> estimate EXACT 1.0;
+    // this is the pair Jaccard discovery provably misses
+    assert(out.exists(r => r._1 == 21L && r._2 == 22L && r._5 == 1.0 &&
+      r._3 == 5L && r._4 == 5L), s"${out.toSeq}")
+    // no direction reaches 0.5 against the unrelated doc
+    assert(out.forall(r => Set(r._1, r._2) == Set(21L, 22L)))
+    // big -> small direction: only 5 of big's 16 bottom hashes can be in
+    // the small doc, so its estimate stays below 0.5 (asymmetry preserved)
+    assert(!out.exists(r => r._1 == 22L))
+  }
+
+  test("containmentSketchPairs estimates equal exact containment when k covers the docs") {
+    // every doc here has < 16 shingles, so sketches are the full sets and
+    // the estimates must EQUAL the exact per-direction containments
+    val d = docs
+    val est = DedupOps.containmentSketchPairs(
+      d, col("doc_id"), col("text"), 2, 16, 0.3)
+      .select("doc_a", "doc_b", "containment_est")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = DedupOps.containmentPrefixPairs(
+      d, col("doc_id"), col("text"), 2, 1e-9)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+      .flatMap(r => Seq((r._1, r._2) -> r._3, (r._2, r._1) -> r._4)).toMap
+      .filter(_._2 >= 0.3)
+    assert(est == exact, s"est=$est exact=$exact")
+  }
+
   test("semanticDedup: within-cell dominance keep-set, grid-split invariant") {
     // cell geometry: centroid 0 = +x, centroid 1 = +y; vecs 2,3 near +x
     // (near-dups of each other), vec 4 near +y, vec 5 zero (NULL cosine ->
