@@ -137,6 +137,46 @@ object MicroBench {
           Tables.documents(spark, "/root/testdata/sf0.1")
             .select(col("doc_id"), col("text")),
           col("doc_id"), col("text"), 2, 0.9)
+      // q70 with the 4x-recomputed distinct shingle pipeline PERSISTED
+      // (DISK_ONLY, mirroring the jaccard persist experiment): the prefix
+      // path derives docFreq, probes, candidate postings, and the verify
+      // arrays all from `sh`
+      case "cp_q70_persist" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+          .select(col("doc_id"), col("text"))
+        val sh = DedupOps.shingleHashes(docs, col("doc_id"), col("text"), 2)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val t = 0.9
+        val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val probes = sh.join(docFreq, "h")
+          .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("h"))))
+          .withColumn("n", count(lit(1)).over(wDoc))
+          .where(col("rk") <= floor(lit(1.0 - t) * col("n") + lit(1e-9)).cast("int") + 1)
+          .select(col("doc_id").as("probe_doc"), col("h"))
+        val cands = probes
+          .join(sh.withColumnRenamed("doc_id", "other_doc"), "h")
+          .where(col("probe_doc") =!= col("other_doc"))
+          .select(least(col("probe_doc"), col("other_doc")).as("doc_a"),
+            greatest(col("probe_doc"), col("other_doc")).as("doc_b"))
+          .distinct()
+        val arrs = sh.groupBy(col("doc_id"))
+          .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
+        val out = cands
+          .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("_ha"),
+            col("n").as("na")), "doc_a")
+          .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("_hb"),
+            col("n").as("nb")), "doc_b")
+          .withColumn("n_common",
+            size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+          .withColumn("containment_a",
+            col("n_common").cast("double") / col("na").cast("double"))
+          .withColumn("containment_b",
+            col("n_common").cast("double") / col("nb").cast("double"))
+          .where(greatest(col("containment_a"), col("containment_b")) >= t)
+        out
       // q70 cost diagnosis at sf0.1: candidate volume vs verify cost
       case "cp_diag" =>
         import graft.operators.DedupOps
