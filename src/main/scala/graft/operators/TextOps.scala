@@ -532,4 +532,88 @@ object TextOps {
       .where(col("rk") <= k)
       .select("doc_id", "rk", "word", "tf", "df", "tfidf")
   }
+
+  /** Line-level duplicate removal (CCNet-shape): a line occurring in
+    * `maxDf` or more DISTINCT documents is boilerplate (headers, footers,
+    * licence banners, cookie notices) and is dropped from every document —
+    * the passage-level screen that document-level exact/near dedup cannot
+    * express (no document pair is a duplicate; the LINE is).
+    *
+    * Per document: original line count, surviving line count, and a
+    * rolling-hash fingerprint of the surviving text (lines rejoined in
+    * original order) — NULL when nothing survives, so a pipeline can
+    * verify the cleaned corpus without the text leaving the row.
+    *
+    * Scale shape: the duplicated-line table is keyed by line HASH, not the
+    * line text, and only the DROP set (lines with df >= maxDf — the
+    * boilerplate vocabulary, tiny next to the corpus) flows into the
+    * anti-join, which AQE broadcasts when it fits. Boilerplate lines are
+    * by definition the hot keys of the line-hash space; dropping via
+    * left_anti against the small drop-set (rather than joining every line
+    * to its df) means a hot line never fans out. Reassembly sorts WITHIN
+    * each document's collected array — no cross-document order
+    * dependency. */
+  def lineDedup(docs: DataFrame, id: Column, text: Column,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val lines = docs
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("h", graft.functions.HashExpressions.polyHash(col("line")))
+    val dropSet = lines.groupBy("h")
+      .agg(countDistinct("doc_id").as("_df"))
+      .where(col("_df") >= maxDf)
+      .select("h")
+    val keptAgg = lines.join(dropSet, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        graft.functions.HashExpressions.polyHash(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            p => p.getField("line")), "\n")).as("clean_fingerprint"))
+    docs.select(id.as("doc_id"),
+        size(split(text, "\n")).cast("long").as("n_lines"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_fingerprint"))
+  }
+
+  /** Per-source unigram KL divergence vs the whole corpus —
+    * `KL(source ‖ corpus) = Σ_w p_s(w) · ln(p_s(w)/p_c(w))` — the corpus-QA
+    * drift signal: a source whose word distribution diverges from the mix
+    * (spam, wrong language, machine-generated boilerplate) surfaces at the
+    * top. No smoothing is needed: each source's vocabulary is a subset of
+    * the corpus vocabulary, so p_c(w) > 0 wherever p_s(w) > 0.
+    *
+    * Float determinism (the [[lmScore]] pattern): the per-word log-ratio is
+    * rounded to 1e-6 and the weighted sum runs in DECIMAL, so the per-source
+    * total is order-independent and engine-exact; the single division by the
+    * source token count happens once at the end. Scale shape: one
+    * wordcount-shaped shuffle to (source, word) counts; the per-word corpus
+    * count is a RE-aggregation of that frame (vocabulary-sized, at most
+    * #sources rows per word — df-bounded, so the word-keyed join cannot
+    * skew the way a token-level join would). */
+  def sourceDivergence(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val sw = docs
+      .select(source.as("source"), explode(split(text, " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val ns = sw.groupBy("source").agg(sum("c_sw").as("n_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val total = cw.agg(sum("c_w").as("n_total"))
+    sw.join(cw, "word")
+      .join(broadcast(ns), "source")
+      .join(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        (col("c_sw").cast("decimal(20,0)") *
+          round(log((col("c_sw").cast("double") * col("n_total").cast("double")) /
+            (col("n_tokens").cast("double") * col("c_w").cast("double"))), 6)
+            .cast("decimal(18,6)")).as("_term"))
+      .groupBy("source", "n_tokens", "n_vocab")
+      .agg(sum("_term").as("_s"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        round(col("_s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("kl_vs_corpus"))
+  }
 }

@@ -1014,8 +1014,86 @@ object Pipeline {
        |WHERE CAST(n_hits AS DOUBLE) / CAST(n_sketch AS DOUBLE)
        |  >= $SketchT""".stripMargin)
 
+  /** Line-level duplicate removal ([[TextOps.lineDedup]]) — the CCNet-shape
+    * boilerplate screen. The test corpus holds no newlines, so the query
+    * derives a multi-line frame from the documents table itself (the q70
+    * pattern): doc i and doc i+1 concatenated with a newline (every
+    * ORIGINAL text becomes a line of ≤2 derived docs; corpus-level
+    * exact-dup texts then appear as lines of ≥4 derived docs), plus a
+    * shared banner line on every third doc — guaranteed boilerplate at any
+    * scale factor, so the drop-and-refingerprint path is always exercised.
+    * Both engines derive, split, count, drop, and re-fingerprint the same
+    * lines. */
+  private val LineMaxDf = 3
+  private val LineBanner = "all rights reserved boilerplate banner"
+  private val q73 = QueryDef(
+    "q73_line_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val next = base.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_next"))
+      val multi = base.join(next, "doc_id")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("_next"),
+            when(col("doc_id") % 3 === 0, lit("\n" + LineBanner))
+              .otherwise(lit(""))).as("text"))
+      TextOps.lineDedup(multi, col("doc_id"), col("text"), LineMaxDf)
+    },
+    s"""WITH multi AS (
+       |  SELECT a.doc_id, a.text || chr(10) || b.text ||
+       |    CASE WHEN a.doc_id % 3 = 0 THEN chr(10) || '$LineBanner'
+       |         ELSE '' END AS text
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+       |lns AS (
+       |  SELECT doc_id, i AS pos, ls[i] AS line,
+       |    ${polyHashSql("ls[i]")} AS h
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
+       |       UNNEST(generate_series(1, len(ls))) AS t(i)),
+       |drop_set AS (
+       |  SELECT h FROM lns GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= $LineMaxDf),
+       |ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    ${polyHashSql("string_agg(line, chr(10) ORDER BY pos)")}
+       |      AS clean_fingerprint
+       |  FROM lns WHERE h NOT IN (SELECT h FROM drop_set)
+       |  GROUP BY doc_id)
+       |SELECT m.doc_id,
+       |  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+       |  coalesce(ka.n_kept, 0) AS n_kept, ka.clean_fingerprint
+       |FROM multi m LEFT JOIN ka USING (doc_id)""".stripMargin)
+
+  /** Per-source unigram KL divergence vs the corpus
+    * ([[TextOps.sourceDivergence]]) — corpus-QA drift signal. The weighted
+    * sum rides the q66 DECIMAL pattern so both engines produce the exact
+    * same total. */
+  private val q74 = QueryDef(
+    "q74_source_divergence",
+    (s, d) => TextOps.sourceDivergence(
+      Tables.documents(s, d), col("source"), col("text")),
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
+      |cw AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_vocab
+      |  FROM sw GROUP BY 1),
+      |tot AS (SELECT sum(c_w) AS n_total FROM cw),
+      |terms AS (
+      |  SELECT s.source, ns.n_tokens, ns.n_vocab,
+      |    CAST(s.c_sw AS DECIMAL(20,0)) *
+      |      CAST(round(ln((CAST(s.c_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+      |          / (CAST(ns.n_tokens AS DOUBLE) * CAST(c.c_w AS DOUBLE))), 6)
+      |        AS DECIMAL(18,6)) AS term
+      |  FROM sw s JOIN cw c USING (word) JOIN ns USING (source)
+      |  CROSS JOIN tot t)
+      |SELECT source, n_tokens, n_vocab,
+      |  round(CAST(sum(term) AS DOUBLE) / n_tokens, 6) AS kl_vs_corpus
+      |FROM terms GROUP BY 1, 2, 3""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q74)
 }

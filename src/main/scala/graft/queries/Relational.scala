@@ -626,8 +626,48 @@ object Relational {
       |  max(value) AS vmax
       |FROM runs WHERE flag GROUP BY user_id, run_id""".stripMargin)
 
+  /** Full grouping-set lattice — CUBE over (returnflag, linestatus) with
+    * `grouping_id` distinguishing the four lattice levels (a NULL group key
+    * from the cube vs a NULL in the data are different rows). q22 covers
+    * the ROLLUP prefix-lattice; this is the complete one. */
+  private val q75 = QueryDef(
+    "q75_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid")),
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+
+  /** Value-based (RANGE) window frame: per-user trailing 10-minute sum over
+    * event time — the sensor-adjacent "rolling window by TIME, not by row
+    * count" shape. The frame is keyed on epoch SECONDS (integer on both
+    * engines), so rows sharing a timestamp share a frame and the result is
+    * order-independent; the sum itself rides the exact-decimal pattern. */
+  private val q76 = QueryDef(
+    "q76_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-600, 0)
+      Tables.events(s, d)
+        .withColumn("win_sum",
+          sum(col("value").cast(graft.functions.Exact.SumDecimal)).over(w)
+            .cast("double"))
+        .select("user_id", "event_id", "win_sum")
+    },
+    """SELECT user_id, event_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |    AS win_sum
+      |FROM events""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q44, q47)
+    q25, q26, q27, q28, q29, q44, q47, q75, q76)
 }

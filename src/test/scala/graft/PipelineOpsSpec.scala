@@ -781,4 +781,55 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(fine == out)
   }
+
+  test("lineDedup drops boilerplate lines, keeps order, handles all-dropped docs") {
+    val banner = "all rights reserved"
+    val multi = Seq(
+      (1L, s"alpha one\n$banner\nalpha two"),
+      (2L, s"beta one\n$banner"),
+      (3L, s"$banner\ngamma one"),
+      (4L, banner), // every line boilerplate -> nothing survives
+      (5L, "delta unique only")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(multi, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(1L)._1 == 3 && out(1L)._2 == 2)
+    assert(out(2L) == ((2L, 1L, out(2L)._3)) && out(3L)._2 == 1)
+    assert(out(4L)._1 == 1 && out(4L)._2 == 0 &&
+      out(4L)._3.isEmpty, "all-dropped doc keeps a row with NULL fingerprint")
+    assert(out(5L)._2 == 1)
+    // surviving text is the in-order join of kept lines: doc 1's
+    // fingerprint equals the fingerprint of the banner-free text
+    val clean = TextOps.fingerprint(
+      Seq((1L, "alpha one\nalpha two")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()(0).getLong(1)
+    assert(out(1L)._3.contains(clean))
+    // a line below the threshold (df=2 < 3) is NOT dropped
+    val two = Seq((1L, "shared line\na"), (2L, "shared line\nb"))
+      .toDF("doc_id", "text")
+    val kept2 = TextOps.lineDedup(two, col("doc_id"), col("text"), 3)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    assert(kept2 == 4, "df below maxDf must survive")
+  }
+
+  test("sourceDivergence: uniform source scores 0, skewed source dominates") {
+    // srcA and srcB have the SAME distribution as each other (and thus as
+    // the corpus): per-source KL must be exactly 0. srcC is disjoint
+    // vocabulary: strictly positive, and the largest.
+    val docs = Seq(
+      ("srcA", "x y x y x y x y"), ("srcB", "x y x y x y x y"),
+      ("srcC", "q q q q")).toDF("source", "text")
+    val out = TextOps.sourceDivergence(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("srcA")._1 == 8 && out("srcA")._2 == 2)
+    // corpus: x,y appear 8/20 each, q 4/20. srcA: p_s(x) = 1/2 vs
+    // p_c(x) = 2/5 -> KL = ln(1.25); srcC: p_s(q) = 1 vs p_c(q) = 1/5
+    // -> KL = ln(5) > ln(1.25). Exact to the operator's 1e-6 rounding.
+    val expectAB = math.round(math.log(1.25) * 1e6) / 1e6
+    assert(math.abs(out("srcA")._3 - expectAB) < 2e-6)
+    assert(out("srcA")._3 == out("srcB")._3)
+    assert(out("srcC")._3 > out("srcA")._3,
+      "disjoint-vocabulary source must diverge most")
+  }
 }
