@@ -555,16 +555,12 @@ object TextOps {
     * dependency. */
   def lineDedup(docs: DataFrame, id: Column, text: Column,
       maxDf: Int): DataFrame = {
-    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     graft.functions.HashExpressions.register(docs.sparkSession)
     val lines = docs
       .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
       .withColumn("h", graft.functions.HashExpressions.polyHash(col("line")))
-    val dropSet = lines.groupBy("h")
-      .agg(countDistinct("doc_id").as("_df"))
-      .where(col("_df") >= maxDf)
-      .select("h")
-    val keptAgg = lines.join(dropSet, Seq("h"), "left_anti")
+    val keptAgg = lines.join(boilerplateLineSet(docs, id, text, maxDf),
+        Seq("h"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         graft.functions.HashExpressions.polyHash(
@@ -577,6 +573,25 @@ object TextOps {
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("clean_fingerprint"))
+  }
+
+  /** The corpus's boilerplate-line table: hashes of lines occurring in
+    * `maxDf`+ distinct documents. [[lineDedup]]'s drop-set, exposed so an
+    * ingest stream can reuse it as the STATIC side of a stream-static join
+    * ([[graft.streaming.Streaming.lineDedupStream]]) — line df is a
+    * corpus-global statistic a micro-batch cannot see. */
+  def boilerplateLineSet(docs: DataFrame, id: Column, text: Column,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
+      .select(id.as("doc_id"), explode(split(text, "\n")).as("line"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.polyHash(col("line")).as("h"))
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("_df"))
+      .where(col("_df") >= maxDf)
+      .select("h")
   }
 
   /** Per-source unigram KL divergence vs the whole corpus —

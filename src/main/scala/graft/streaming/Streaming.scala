@@ -338,6 +338,38 @@ object Streaming {
   def piiRedactStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.piiRedact(docs, col("doc_id"), col("text"))
 
+  /** Streaming face of [[graft.operators.TextOps.lineDedup]]: line document
+    * frequency is a corpus-GLOBAL statistic no micro-batch can see, so the
+    * drop-set ([[graft.operators.TextOps.boilerplateLineSet]] over the
+    * corpus) joins stream-static, exactly like the q61 signature index.
+    * Dropped lines are MARKED by a left join rather than removed, so a doc
+    * whose every line is boilerplate still emits its (n_kept = 0, NULL
+    * fingerprint) row — identical to the batch face's left-join shape.
+    * Reassembly is a per-minute, per-doc watermarked aggregation: one doc
+    * row carries one event time, so a document never straddles windows,
+    * and rows finalize in append mode when the watermark passes. */
+  def lineDedupStream(docs: DataFrame, dropLines: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    import graft.functions.HashExpressions.polyHash
+    val lines = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", polyHash(col("line")))
+    lines
+      .join(dropLines.select(col("h"), lit(true).as("_drop")), Seq("h"), "left")
+      .groupBy(window(col("_t"), "1 minute"), col("doc_id"))
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(when(col("_drop").isNull, 1)).as("n_kept"),
+        polyHash(array_join(transform(
+          array_sort(collect_list(when(col("_drop").isNull,
+            struct(col("pos"), col("line"))))),
+          p => p.getField("line")), "\n")).as("_fp"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, col("_fp")).as("clean_fingerprint"))
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

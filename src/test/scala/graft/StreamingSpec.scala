@@ -58,6 +58,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lineDedupStream matches batch lineDedup including all-dropped docs") {
+    import graft.operators.TextOps
+    val banner = "all rights reserved"
+    val b1 = Seq(
+      (1L, s"alpha one\n$banner\nalpha two", sec("2021-03-09 14:15:00", 1)),
+      (2L, s"beta one\n$banner", sec("2021-03-09 14:15:00", 20)))
+    val b2 = Seq(
+      (3L, s"$banner\ngamma one", sec("2021-03-09 14:16:00", 5)),
+      (4L, banner, sec("2021-03-09 14:16:00", 30)))      // all-dropped doc
+    val all = (b1 ++ b2).map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val dropSet = TextOps.boilerplateLineSet(all, col("doc_id"), col("text"), 3)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.lineDedupStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), dropSet)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("linededup1").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // push the watermark past both minutes so windows finalize
+      in.addData((9L, "closer", sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      def keyed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+      val streamed = keyed(spark.table("linededup1")
+        .where(col("doc_id") < 9).collect())
+      val batch = keyed(
+        TextOps.lineDedup(all, col("doc_id"), col("text"), 3).collect())
+      assert(batch(4L)._2 == 0L && batch(4L)._3.isEmpty)
+      assert(streamed == batch,
+        "streamed per-minute rows must equal the batch face per doc")
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream keep-set equals batch incrementalDedup") {
     import graft.operators.DedupOps
     val corpus = Seq(
