@@ -540,13 +540,24 @@ object DedupOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     val sh = shingleHashes(docs, id, text, w)
-    val bk = bottomKSketch(docs, id, text, w, k)
-    val sketchSize = bk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sketch"))
+    // The sketch size is just least(|S(doc)|, k), so it rides the sketch
+    // window (same partition spec — one exchange) instead of a separate
+    // aggregate-and-join over a THIRD run of the shingle pipeline;
+    // measured 18.4 -> 9.9 s at sf0.1 (MicroBench cs_q72 vs cs_q72_lean,
+    // DECISIONS.md). A threshold-pigeonhole candidate pass (probe only the
+    // rarest ns-ceil(T*ns)+1 sketch hashes, array_intersect verify) was
+    // measured at 18.9 s and rejected — on a no-rare-shingle corpus the
+    // candidate set barely shrinks.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val bk = sh
+      .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+      .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(k)).cast("long"))
+      .where(col("_rk") <= k)
+      .select(col("doc_id"), col("h"), col("_ns"))
     bk.join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
       .where(col("doc_id") =!= col("doc_b"))
       .groupBy(col("doc_id"), col("doc_b"))
-      .agg(count(lit(1)).as("n_hits"))
-      .join(sketchSize, "doc_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("_ns")).as("n_sketch"))
       .withColumn("containment_est",
         col("n_hits").cast("double") / col("n_sketch").cast("double"))
       .where(col("containment_est") >= threshold)

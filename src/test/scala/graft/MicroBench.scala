@@ -203,6 +203,76 @@ object MicroBench {
           .distinct()
         println(s"[diag] distinct cands=${cands.count()}")
         cands.limit(1)
+      // ---- q72 containment-sketch cost experiments (19.8 s median in
+      // BENCH r7 — the registry's most expensive query)
+      case "cs_q72" =>
+        graft.operators.DedupOps.containmentSketchPairs(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2, 16, 0.6)
+      // lean: n_sketch carried through the sketch window (least(n, k)) so
+      // neither the shingle pipeline nor the window runs a third time for
+      // the size join
+      case "cs_q72_lean" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val sh = DedupOps.shingleHashes(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2)
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val bk = sh
+          .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+          .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(16)).cast("long"))
+          .where(col("_rk") <= 16)
+          .select(col("doc_id"), col("h"), col("_ns"))
+        bk.join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
+          .where(col("doc_id") =!= col("doc_b"))
+          .groupBy(col("doc_id"), col("doc_b"))
+          .agg(count(lit(1)).as("n_hits"), max(col("_ns")).as("n_sketch"))
+          .withColumn("containment_est",
+            col("n_hits").cast("double") / col("n_sketch").cast("double"))
+          .where(col("containment_est") >= 0.6)
+          .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
+            col("n_sketch"), col("containment_est"))
+      // pigeonhole: est >= T needs >= ceil(T*ns) hits, so a qualifying pair
+      // shares at least one of the (ns - ceil(T*ns) + 1) RAREST sketch
+      // hashes; probe only those, then count hits per candidate pair by
+      // array_intersect (the q70-measured verify shape)
+      case "cs_q72_prefix" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val t = 0.6
+        val sh = DedupOps.shingleHashes(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2)
+        val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val bk = sh
+          .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+          .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(16)).cast("long"))
+          .where(col("_rk") <= 16)
+        val probes = bk.join(docFreq, "h")
+          .withColumn("_pk", row_number().over(wDoc.orderBy(col("df"), col("h"))))
+          .where(col("_pk") <= col("_ns") - ceil(lit(t) * col("_ns")) + 1)
+          .select(col("doc_id"), col("h"))
+        val cands = probes
+          .join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
+          .where(col("doc_id") =!= col("doc_b"))
+          .select(col("doc_id"), col("doc_b")).distinct()
+        val sketchArr = bk.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("h"))).as("_sk"),
+            max(col("_ns")).as("n_sketch"))
+        val fullArr = sh.groupBy(col("doc_id"))
+          .agg(collect_list(col("h")).as("_full"))
+        cands
+          .join(sketchArr, "doc_id")
+          .join(fullArr.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+          .withColumn("n_hits",
+            size(array_intersect(col("_sk"), col("_full"))).cast("long"))
+          .withColumn("containment_est",
+            col("n_hits").cast("double") / col("n_sketch").cast("double"))
+          .where(col("containment_est") >= t)
+          .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
+            col("n_sketch"), col("containment_est"))
       case other => sys.error(s"unknown scenario: $other")
     }
 
