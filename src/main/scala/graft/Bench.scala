@@ -90,6 +90,7 @@ object Bench {
           System.err.println(s"[bench] $key failed: ${e.getMessage}")
           return key -> ((-1.0, -1.0, -1.0))
         }
+        System.gc() // shed the warmup's garbage before the timed reps
         val times = (1 to Reps).flatMap { _ =>
           val t0 = System.nanoTime()
           try { body; Some((System.nanoTime() - t0) / 1e9) }
