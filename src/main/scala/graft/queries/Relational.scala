@@ -666,8 +666,31 @@ object Relational {
       |    AS win_sum
       |FROM events""".stripMargin)
 
+  /** Analytic rank family over an ordered per-key frame: `percent_rank`,
+    * `cume_dist`, and `ntile` quartiles per user's value history. All three
+    * are rank-arithmetic (no floating aggregation), so cross-engine
+    * equality is exact as long as the ORDER is total — `(value, event_id)`
+    * breaks value ties deterministically. */
+  private val q77 = QueryDef(
+    "q77_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+    """SELECT user_id, event_id,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q44, q47, q75, q76)
+    q25, q26, q27, q28, q29, q44, q47, q75, q76, q77)
 }
