@@ -92,11 +92,11 @@ object Pipeline {
     * verification only on candidates (the scale path; the all-pairs shingle
     * self-join in [[DedupOps.jaccardPairs]] stays available for small data
     * and tests). */
-  private val q33 = QueryDef(
-    "q33_jaccard_pairs",
-    (s, d) => DedupOps.jaccardOnCandidates(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, JACCARD_T),
-    s"""WITH $sigCte,
+  /** Shared oracle CTE chain ending in `jp(doc_a, doc_b, n_common,
+    * jaccard)` — the q33 near-dup pair set at [[JACCARD_T]], reused by the
+    * q78 syndication matrix so the two cannot drift. */
+  private def jaccardPairsCtes: String =
+    s"""$sigCte,
        |bands AS (
        |  SELECT doc_id, 0 AS band,
        |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
@@ -113,13 +113,21 @@ object Pipeline {
        |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.doc_a
        |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_common,
-       |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JACCARD_T""".stripMargin)
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b, n_common,
+       |    CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JACCARD_T)""".stripMargin
+
+  private val q33 = QueryDef(
+    "q33_jaccard_pairs",
+    (s, d) => DedupOps.jaccardOnCandidates(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, JACCARD_T),
+    s"""WITH $jaccardPairsCtes
+       |SELECT doc_a, doc_b, n_common, jaccard FROM jp""".stripMargin)
 
   private val q34 = QueryDef(
     "q34_simhash",
@@ -1091,9 +1099,40 @@ object Pipeline {
       |  round(CAST(sum(term) AS DOUBLE) / n_tokens, 6) AS kl_vs_corpus
       |FROM terms GROUP BY 1, 2, 3""".stripMargin)
 
+  /** Cross-source syndication matrix: the q33 near-dup pair set grouped by
+    * unordered source pair — which feeds copy from which (wire-service
+    * syndication, mirror sites) and how much duplication stays
+    * intra-source. Composition, not new machinery: pair discovery+verify
+    * is [[DedupOps.jaccardOnCandidates]] unchanged; the source dimension
+    * is doc-level and broadcast. */
+  private val q78 = QueryDef(
+    "q78_syndication_matrix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      DedupOps.jaccardOnCandidates(
+          docs, col("doc_id"), col("text"), SHINGLE_W, JACCARD_T)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("_sa"))), "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("_sb"))), "doc_b")
+        .select(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    s"""WITH $jaccardPairsCtes
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM jp
+       |JOIN documents da ON jp.doc_a = da.doc_id
+       |JOIN documents db ON jp.doc_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74)
+    q74, q78)
 }
