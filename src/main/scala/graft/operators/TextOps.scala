@@ -448,14 +448,24 @@ object TextOps {
     * order-independent — an unordered double sum drifts in the last ulp),
     * so both engines divide identical sums regardless of which side of the
     * split a token took. */
-  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+  /** Corpus unigram surprisal table `(word, _cnt, _lp)` with
+    * `_lp = round(ln(N / count(word)), 6)` as DECIMAL — the shared
+    * vocabulary statistic behind [[lmScore]] and the streaming drift
+    * monitor ([[graft.streaming.Streaming.sourceDivergenceStream]]'s
+    * static side), defined once so the faces cannot drift. */
+  def unigramSurprisals(docs: DataFrame, text: Column): DataFrame = {
+    val words = docs.select(explode(split(text, " ")).as("word"))
     val cnt = words.groupBy("word").agg(count(lit(1)).as("_cnt"))
     val tot = cnt.agg(sum("_cnt").as("_tot"))
-    val wlp = cnt.join(broadcast(tot))
+    cnt.join(broadcast(tot))
       .select(col("word"), col("_cnt"),
         round(log(col("_tot").cast("double") / col("_cnt").cast("double")), 6)
           .cast("decimal(18,6)").as("_lp"))
+  }
+
+  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+    val wlp = unigramSurprisals(docs, text)
     val head = wlp.orderBy(col("_cnt").desc, col("word")).limit(LmHeadK)
       .select(col("word"), col("_lp"))
     val tail = wlp.join(broadcast(head.select("word")), Seq("word"), "left_anti")

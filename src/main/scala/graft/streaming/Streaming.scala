@@ -370,6 +370,45 @@ object Streaming {
         when(col("n_kept") > 0, col("_fp")).as("clean_fingerprint"))
   }
 
+  /** Streaming per-source distribution-drift monitor: per minute and
+    * source, the unigram KL divergence of that window's token distribution
+    * against the STATIC corpus distribution
+    * ([[graft.operators.TextOps.unigramSurprisals]] over the reference
+    * corpus — drift is measured against history, which a micro-batch
+    * cannot see). Two CHAINED windowed aggregations (Spark's multiple
+    * stateful operators): per-minute (source, word) counts, then the
+    * per-minute per-source combine keyed on `window_time` of the first
+    * window. The per-word log ratio needs the window's own token total, so
+    * the sum is decomposed as
+    * `KL = (Σ c·ln c + Σ c·ln(N/c_w)) / n_s − ln n_s`
+    * with both Σ terms accumulated exactly (rounded-decimal summands);
+    * agreement with the batch [[graft.operators.TextOps.sourceDivergence]]
+    * decomposition is to rounding placement (~1e-5), asserted in
+    * StreamingSpec. Words absent from the reference corpus have no
+    * surprisal and are dropped by the inner join — surface them with a
+    * separate OOV count if needed. */
+  def sourceDivergenceStream(docs: DataFrame, surprisals: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    val words = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(surprisals.select(col("word"), col("_lp")), "word")
+    val swm = words
+      .groupBy(window(col("_t"), "1 minute").as("w"), col("source"), col("word"))
+      .agg(count(lit(1)).as("c"), max(col("_lp")).as("_lp"))
+    swm
+      .groupBy(window(window_time(col("w")), "1 minute").as("w2"), col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * round(log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("_a"),
+        sum(col("c") * col("_lp")).as("_b"))
+      .select(col("w2.start").as("minute"), col("source"), col("n_tokens"),
+        round((col("_a") + col("_b")).cast("double") /
+            col("n_tokens").cast("double") -
+          log(col("n_tokens").cast("double")), 6).as("kl_vs_corpus"))
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

@@ -58,6 +58,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sourceDivergenceStream: per-minute KL vs the static corpus distribution") {
+    import graft.operators.TextOps
+    // reference corpus: x appears 3/6, y 1/6, q 2/6
+    val corpus = Seq((1L, "x x x y"), (2L, "q q")).toDF("doc_id", "text")
+    val surp = TextOps.unigramSurprisals(corpus, col("text"))
+    val in = MemoryStream[(String, String, Timestamp)]
+    val q = Streaming.sourceDivergenceStream(
+      in.toDS().toDF("source", "text", "event_time"), surp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("srcdiv1").start()
+    try {
+      // minute 1: srcA even x/y mix, srcB all-q; minute 2: srcA all-x
+      in.addData(
+        ("srcA", "x y", sec("2021-03-09 14:15:00", 1)),
+        ("srcB", "q q", sec("2021-03-09 14:15:00", 30)))
+      q.processAllAvailable()
+      in.addData(("srcA", "x y x x", sec("2021-03-09 14:16:00", 10)))
+      q.processAllAvailable()
+      in.addData(("srcZ", "x", sec("2021-03-09 14:15:00", 4000))) // closer
+      q.processAllAvailable()
+      val out = spark.table("srcdiv1")
+        .select("minute", "source", "n_tokens", "kl_vs_corpus")
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val m1 = ts("2021-03-09 14:15:00")
+      val m2 = ts("2021-03-09 14:16:00")
+      // srcA minute 1: p = (1/2, 1/2) vs corpus (1/2, 1/6):
+      //   KL = 0 + 0.5*ln(3) = 0.549306
+      assert(math.abs(out((m1, "srcA"))._2 - 0.549306) < 1e-5, s"$out")
+      // srcB minute 1: p(q) = 1 vs 1/3: KL = ln(3) = 1.098612
+      assert(out((m1, "srcB"))._1 == 2L)
+      assert(math.abs(out((m1, "srcB"))._2 - 1.098612) < 1e-5, s"$out")
+      // srcA minute 2: p = (3/4, 1/4) vs (1/2, 1/6):
+      //   KL = 0.75*ln(1.5) + 0.25*ln(1.5) = ln(1.5) = 0.405465
+      assert(math.abs(out((m2, "srcA"))._2 - 0.405465) < 1e-5, s"$out")
+      // windows are per-minute per-source and independent across batches
+      assert(out.size >= 3)
+    } finally q.stop()
+  }
+
   test("lineDedupStream matches batch lineDedup including all-dropped docs") {
     import graft.operators.TextOps
     val banner = "all rights reserved"
