@@ -108,4 +108,44 @@ class StreamingRecoverySpec extends SparkSpec {
       SessionOut(1L, sec(base, 0), sec(base, 9), 10L)),
       "one session spanning both runs of the query, emitted exactly once")
   }
+
+  test("chained-aggregation drift monitor merges window state across a restart") {
+    import org.apache.spark.sql.functions.col
+    val base = "2021-03-09 14:15:00"
+    val ckpt = Files.createTempDirectory("graft-div-ckpt").toString
+    val out = Files.createTempDirectory("graft-div-out").toString
+    // reference corpus: x 3/6, y 1/6, q 2/6
+    val corpus = Seq((1L, "x x x y"), (2L, "q q")).toDF("doc_id", "text")
+    val surp = graft.operators.TextOps.unigramSurprisals(corpus, col("text"))
+    val in = MemoryStream[(String, String, Timestamp)]
+
+    def start() = Streaming.sourceDivergenceStream(
+      in.toDS().toDF("source", "text", "event_time"), surp).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // batch 1 lands in minute 1, query stops with the window OPEN in both
+    // chained aggregations' state
+    val q1 = start()
+    in.addData(("srcA", "x y", sec(base, 1))); q1.processAllAvailable()
+    q1.stop()
+
+    // restart: MORE minute-1 tokens for the same source, then a closer —
+    // counts must merge across the restart in the recovered state
+    val q2 = start()
+    in.addData(("srcA", "x x", sec(base, 20))); q2.processAllAvailable()
+    in.addData(("srcZ", "x", sec(base, 4000))); q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .where(col("source") === "srcA")
+      .select("minute", "n_tokens", "kl_vs_corpus")
+      .as[(Timestamp, Long, Double)].collect()
+    assert(got.length == 1, s"exactly one finalized minute-1 row: ${got.toSeq}")
+    assert(got(0)._1 == Timestamp.valueOf(base) && got(0)._2 == 4L,
+      s"counts from both sides of the restart must merge: ${got.toSeq}")
+    // combined minute: (x:3, y:1) vs corpus (1/2, 1/6):
+    //   KL = 0.75 ln 1.5 + 0.25 ln 1.5 = ln 1.5
+    assert(math.abs(got(0)._3 - 0.405465) < 1e-5, s"${got.toSeq}")
+  }
 }
