@@ -32,6 +32,11 @@ object Bench {
     // (round 5: a 2.17x median drift on untouched code was only detectable
     // by comparing BENCH_r04 vs BENCH_r05).
     def medianOf(name: String): (Double, Double, Double) = {
+      // Shed the previous query's garbage before timing: the heaviest
+      // queries are heap-state sensitive in-harness (q70 measured
+      // [6.4, 21.4] s here vs a stable [5.3, 6.5] over six isolated
+      // reps — the z_ztbus drift class, same fix).
+      System.gc()
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         try materialize(name)

@@ -370,6 +370,28 @@ object TextOps {
   def corpusMix(docs: DataFrame, id: Column, text: Column, source: Column,
       weights: Map[String, Long], budget: Long): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      ceil(length(text).cast("double") / 4.0).cast("long").as("toks"),
+      sampleBucket(graft.functions.HashExpressions.polyHash(text), 1000000)
+        .as("_bkt"))
+    base.join(mixThresholds(docs, id, text, source, weights, budget), "source")
+      .where(col("_bkt") < col("_thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("toks")).as("n_tokens_kept"),
+        max(col("_thr")).as("keep_millionths"))
+  }
+
+  /** The per-source integer keep-thresholds (millionths) behind
+    * [[corpusMix]], exposed as the STATIC side of the streaming ingest
+    * filter ([[graft.streaming.Streaming.corpusMixStream]]) — the
+    * source-inventory totals are corpus-global, so a stream applies
+    * pre-computed thresholds rather than re-deriving them per
+    * micro-batch. Pure integer arithmetic end-to-end (see [[corpusMix]]'s
+    * cross-engine determinism contract). */
+  def mixThresholds(docs: DataFrame, id: Column, text: Column, source: Column,
+      weights: Map[String, Long], budget: Long): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
     require(weights.values.forall(w => w > 0 &&
       w * budget < Long.MaxValue / 1000000L),
       "weights must be positive with weight*budget*1e6 inside Long")
@@ -377,22 +399,13 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val wTab = broadcast(weights.toSeq.toDF("source", "_w"))
-    val base = docs.select(id.as("doc_id"), source.as("source"),
-      ceil(length(text).cast("double") / 4.0).cast("long").as("toks"),
-      sampleBucket(graft.functions.HashExpressions.polyHash(text), 1000000)
-        .as("_bkt"))
-    val thresholds = broadcast(
-      base.groupBy("source").agg(sum(col("toks")).as("_avail"))
-        .join(wTab, "source")
-        .select(col("source"),
-          least(expr(s"_w * $budget * 1000000 div ($totalW * _avail)"),
-            lit(1000000L)).as("_thr")))
-    base.join(thresholds, "source")
-      .where(col("_bkt") < col("_thr"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs_kept"),
-        sum(col("toks")).as("n_tokens_kept"),
-        max(col("_thr")).as("keep_millionths"))
+    val avail = docs.select(source.as("source"),
+        ceil(length(text).cast("double") / 4.0).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("_avail"))
+    broadcast(avail.join(wTab, "source")
+      .select(col("source"),
+        least(expr(s"_w * $budget * 1000000 div ($totalW * _avail)"),
+          lit(1000000L)).as("_thr")))
   }
 
   /** Fixed-size word-window chunking with overlap — the context-length

@@ -370,6 +370,22 @@ object Streaming {
         when(col("n_kept") > 0, col("_fp")).as("clean_fingerprint"))
   }
 
+  /** Streaming face of [[graft.operators.TextOps.corpusMix]] — the ingest
+    * filter: per-row keep/drop against the PRE-COMPUTED per-source integer
+    * thresholds ([[graft.operators.TextOps.mixThresholds]] over the corpus
+    * inventory, broadcast stream-static). Stateless row-local projection —
+    * the content-hash bucket makes the decision reproducible across
+    * engines, retries, and batch/stream faces for the same document. */
+  def corpusMixStream(docs: DataFrame, thresholds: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
+      .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
+        graft.functions.HashExpressions.polyHash(col("text")), 1000000))
+      .join(broadcast(thresholds), "source")
+      .where(col("_bkt") < col("_thr"))
+      .select(col("doc_id"), col("source"), col("text"))
+  }
+
   /** Streaming per-source distribution-drift monitor: per minute and
     * source, the unigram KL divergence of that window's token distribution
     * against the STATIC corpus distribution

@@ -58,6 +58,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusMixStream keep-set equals the batch mix filter") {
+    import graft.operators.TextOps
+    val corpus = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "big" else "small"
+      (i, src, s"doc $i ${"pad " * (if (src == "big") 40 else 5)}")
+    }.toDF("doc_id", "source", "text")
+    val weights = Map("big" -> 1L, "small" -> 1L)
+    val thr = TextOps.mixThresholds(
+      corpus, col("doc_id"), col("text"), col("source"), weights, 400L)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.corpusMixStream(
+      in.toDS().toDF("doc_id", "source", "text"), thr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix1").start()
+    try {
+      val rows = corpus.as[(Long, String, String)].collect()
+      in.addData(rows.take(15): _*); q.processAllAvailable()
+      in.addData(rows.drop(15): _*); q.processAllAvailable()
+      val streamed = spark.table("mix1").select("doc_id")
+        .as[Long].collect().toSet
+      // batch reference: same thresholds, same hash-bucket rule
+      val batch = corpus
+        .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
+          graft.functions.HashExpressions.polyHash(col("text")), 1000000))
+        .join(thr, "source").where(col("_bkt") < col("_thr"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "stream and batch must keep the same docs")
+      assert(streamed.nonEmpty && streamed.size < 40,
+        s"the budget must bind somewhere: kept ${streamed.size}")
+    } finally q.stop()
+  }
+
   test("sourceDivergenceStream: per-minute KL vs the static corpus distribution") {
     import graft.operators.TextOps
     // reference corpus: x appears 3/6, y 1/6, q 2/6
