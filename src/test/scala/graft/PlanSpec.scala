@@ -99,6 +99,29 @@ class PlanSpec extends SparkSpec {
       s"expected deduped array-percentile buffers, got $buffers occurrences")
   }
 
+  test("q76 range frame: one exchange feeding the window, nothing else") {
+    val p = plan("q76_range_frame")
+    // count node headers in the detail section — the tree repeats names
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1,
+      s"exactly one shuffle (by user_id) expected:\n$p")
+    assert(p.contains("Window"), s"window operator expected:\n$p")
+  }
+
+  test("q73 line dedup: drop-set applied by anti-join, self-join broadcasts") {
+    val p = plan("q73_line_dedup")
+    assert(p.contains("LeftAnti"), s"drop-set must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the adjacent-doc derivation joins a broadcast side:\n$p")
+  }
+
+  test("q74 source divergence: word join is hash, the only BNLJ is the 1-row total") {
+    val p = plan("q74_source_divergence")
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row corpus-total cross join may BNLJ:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"the word-keyed join must be a hash/merge join:\n$p")
+  }
+
   test("no query plan contains a Python/Scala UDF or collect-based step") {
     SparkEntry.registry.foreach { q =>
       val p = q.spark(spark, sf).queryExecution

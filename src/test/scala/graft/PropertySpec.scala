@@ -189,4 +189,31 @@ class PropertySpec extends SparkSpec {
             row.getLong(i) < graft.functions.TextHash.P))
       }
   }
+
+  test("sourceDivergence: KL is non-negative on random corpora (Gibbs)") {
+    // Gibbs' inequality: KL(p ‖ q) >= 0 for any p, q — up to the
+    // operator's 1e-6 per-word rounding, which can push a near-zero
+    // divergence a hair below zero but never materially.
+    val corpusGen: Gen[List[(String, String)]] = for {
+      nDocs <- Gen.chooseNum(2, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        src <- Gen.oneOf("s0", "s1", "s2")
+        n <- Gen.chooseNum(1, 20)
+        ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield (src, ws.mkString(" ")))
+    } yield docs
+    samples(corpusGen, 10).foreach { rows =>
+      val df = rows.toDF("source", "text")
+      val out = graft.operators.TextOps
+        .sourceDivergence(df, col("source"), col("text"))
+        .select("source", "kl_vs_corpus")
+        .as[(String, Double)].collect()
+      out.foreach { case (src, kl) =>
+        assert(kl >= -1e-5, s"KL($src) = $kl must be >= 0 (Gibbs)")
+      }
+      // single-source corpora have p == q exactly: KL == 0
+      if (rows.map(_._1).distinct.size == 1)
+        out.foreach { case (_, kl) => assert(math.abs(kl) < 1e-5) }
+    }
+  }
 }
