@@ -498,24 +498,12 @@ object DedupOps {
     containmentVerify(cands, sh, threshold)
   }
 
-  /** Bottom-k sketch per document: the `k` SMALLEST distinct shingle
-    * hashes. Hashes are uniform, so the bottom-k is a uniform sample of
-    * the shingle set whose membership can be tested against ANY other
-    * doc's full set — which makes it containment-oriented where minhash
-    * is Jaccard-oriented (Broder's original sketch; Cohen & Kaplan's
-    * bottom-k estimators). A doc with ≤ k shingles keeps its ENTIRE set:
-    * the sketch — and everything estimated from it — is exact there. */
-  def bottomKSketch(docs: DataFrame, id: Column, text: Column, w: Int,
-      k: Int): DataFrame = {
-    require(k > 0, s"sketch size must be positive, got $k")
-    shingleHashes(docs, id, text, w)
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("h"))))
-      .where(col("_rk") <= k)
-      .select(col("doc_id"), col("h"))
-  }
-
-  /** Directional containment ESTIMATES from bottom-k sketches — the
+  /** Directional containment ESTIMATES from bottom-k sketches (the `k`
+    * SMALLEST distinct shingle hashes per doc — hashes are uniform, so the
+    * bottom-k is a uniform sample of the shingle set whose membership can
+    * be tested against ANY other doc's full set, which makes it
+    * containment-oriented where minhash is Jaccard-oriented; Broder's
+    * original sketch, Cohen & Kaplan's bottom-k estimators) — the
     * constant-budget scale path between [[containmentOnCandidates]]
     * (cheap, Jaccard-recall: misses extreme subset pairs entirely) and
     * [[containmentPrefixPairs]] (exact, but candidate volume grows as
