@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the polynomial rolling string hash
@@ -57,17 +57,99 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All word-`w`-gram shingle hashes of a space-tokenized text in ONE pass —
+  * `poly_hash(concat_ws(" ", slice(split(text, " "), i, w)))` for every
+  * position `i`, WITHOUT building a shingle string per position.
+  *
+  * Key identity: `split(text, " ")` on the single-space regex is lossless
+  * (`words.mkString(" ") == text`, empties included), so every shingle is
+  * the EXACT substring of `text` between its first word's start and its
+  * last word's end — its hash folds directly over that char range. The
+  * composable form allocates a sliced array + a joined string + a
+  * UTF8String per position (O(n·w) bytes of garbage per doc); this is a
+  * zero-allocation scan, and it feeds every shingle consumer (minhash/LSH,
+  * jaccard, containment×3, contamination, dup-ngram coverage).
+  * Output identical by construction and pinned by a PropertySpec parity
+  * test over adversarial texts (multi-space, trailing space, unicode). */
+case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.shingleHashArray(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.HashExpressions.shingleHashArray($input, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   val FnName = "poly_hash"
+  val ShingleFnName = "shingle_hashes"
 
-  /** Idempotently register `poly_hash` in this session's function registry. */
+  /** Idempotently register `poly_hash` and `shingle_hashes` in this
+    * session's function registry. */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => PolyHash(exprs.head), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleFnName,
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 
   /** Codegen'd polynomial string hash (see [[PolyHash]]); requires
     * [[register]] on the session. */
   def polyHash(c: Column): Column = call_function(FnName, c)
+
+  /** Codegen'd one-pass shingle hashing (see [[ShingleHashes]]); requires
+    * [[register]] on the session. */
+  def shingleHashes(text: Column, w: Int): Column =
+    call_function(ShingleFnName, text, org.apache.spark.sql.functions.lit(w))
+
+  /** Shared kernel for [[ShingleHashes]] (called from generated code):
+    * word boundaries are the single-space positions (split-with-limit=-1
+    * semantics — leading/trailing/consecutive spaces yield empty words,
+    * exactly like `split(text, " ")`), and each shingle hash folds over
+    * the char range from word `i` to word `min(i+w-1, n-1)`. */
+  def shingleHashArray(u: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = u.toString
+    val len = s.length
+    // word start offsets: 0 and one past every space
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
+    val start = new Array[Int](nWords + 1)
+    start(0) = 0
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { start(k) = i + 1; k += 1 }
+      i += 1
+    }
+    start(nWords) = len + 1 // sentinel: "space" one past the end
+    val nSh = math.max(nWords - (w - 1), 1)
+    val out = new Array[Long](nSh)
+    var p = 0
+    while (p < nSh) {
+      val last = math.min(p + w - 1, nWords - 1)
+      val from = start(p)
+      val to = start(last + 1) - 1 // exclusive: char before the next space
+      var acc = 0L
+      var j = from
+      while (j < to) {
+        val cp = s.codePointAt(j)
+        acc = (acc * 31L + cp) % TextHash.P
+        j += Character.charCount(cp)
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -36,11 +36,13 @@ object DedupOps {
       (if (approx) approx_count_distinct(text) else countDistinct(text))
         .as("n_unique"))
 
-  /** Raw (doc, shingleHash) stream — duplicates retained (no shuffle). */
+  /** Raw (doc, shingleHash) stream — duplicates retained (no shuffle).
+    * One-pass native shingle hashing ([[HashExpressions.shingleHashes]]):
+    * no shingle string is ever materialized. */
   def shingleHashesRaw(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
     HashExpressions.register(docs.sparkSession)
-    docs.select(id.as("doc_id"), explode(wordShingles(text, w)).as("s"))
-      .select(col("doc_id"), HashExpressions.polyHash(col("s")).as("h"))
+    docs.select(id.as("doc_id"),
+      explode(HashExpressions.shingleHashes(text, w)).as("h"))
   }
 
   /** Distinct (doc, shingleHash) pairs — needed where shingles are COUNTED
@@ -73,8 +75,7 @@ object DedupOps {
   def minhashSignaturesLocal(docs: DataFrame, id: Column, text: Column,
       w: Int): DataFrame = {
     HashExpressions.register(docs.sparkSession)
-    val hs = transform(wordShingles(text, w),
-      s => HashExpressions.polyHash(s))
+    val hs = HashExpressions.shingleHashes(text, w)
     val mins = (0 until MinhashA.size).map(i =>
       array_min(transform(hs, h => minhashPerm(h, i))).as(s"m$i"))
     docs.select(id.as("doc_id") +: mins: _*)

@@ -273,6 +273,26 @@ object MicroBench {
           .where(col("containment_est") >= t)
           .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
             col("n_sketch"), col("containment_est"))
+      // ---- native one-pass shingle hashing vs the composable form
+      // (slice + concat_ws + poly_hash per position)
+      case "minhash_old" =>
+        import graft.functions.{HashExpressions, TextHash}
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        HashExpressions.register(spark)
+        val raw = docs.select(col("doc_id"),
+            explode(TextHash.wordShingles(col("text"), 2)).as("s"))
+          .select(col("doc_id"), HashExpressions.polyHash(col("s")).as("h"))
+        val mins = (0 until TextHash.MinhashA.size).map(i =>
+          min(TextHash.minhashPerm(col("h"), i)).as(s"m$i"))
+        raw.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      case "minhash_new" =>
+        graft.operators.DedupOps.minhashSignatures(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2)
+      case "cs_q72_now" =>
+        graft.operators.DedupOps.containmentSketchPairs(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2, 16, 0.6)
       case other => sys.error(s"unknown scenario: $other")
     }
 

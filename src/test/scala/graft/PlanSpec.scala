@@ -64,9 +64,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("float_vector_dot"), "native dot expression expected")
   }
 
-  test("q31 minhash: codegen'd poly_hash, no UDFs anywhere") {
+  test("q31 minhash: codegen'd native shingle hashing, no UDFs anywhere") {
     val p = plan("q31_minhash_signatures")
-    assert(p.contains("poly_hash"))
+    assert(p.contains("shingle_hashes"),
+      s"one-pass native shingle expression expected in the plan:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "hot path must stay UDF-free")
   }

@@ -190,6 +190,31 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("native shingle_hashes equals the composable slice+concat+poly_hash form") {
+    graft.functions.HashExpressions.register(spark)
+    // adversarial fixed cases: multi/leading/trailing spaces (empty words),
+    // unicode incl. astral plane, single word, empty string, w > n_words
+    val fixed = Seq("a b c d", "a  b", " a b ", "solo", "", "ü ñ 日本 语",
+      "😀 x 😁", "a b", "  ", ("word " * 50).trim)
+    val wordGen = Gen.oneOf(Gen.alphaLowerStr, Gen.const(""), Gen.const("日本"))
+    val textGen = Gen.chooseNum(1, 30)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val texts = fixed ++ samples(textGen, 20)
+    for (w <- Seq(2, 3, 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = df.select(col("doc_id"),
+        graft.functions.HashExpressions.shingleHashes(col("text"), w).as("hs"))
+      val composed = df.select(col("doc_id"),
+        transform(graft.functions.TextHash.wordShingles(col("text"), w),
+          s => graft.functions.HashExpressions.polyHash(s)).as("hs"))
+      val a = native.as[(Long, Seq[Long])].collect().toMap
+      val b = composed.as[(Long, Seq[Long])].collect().toMap
+      assert(a == b, s"w=$w: native and composable shingle hashes differ: " +
+        s"${a.toSeq.diff(b.toSeq).take(3)}")
+    }
+  }
+
   test("sourceDivergence: KL is non-negative on random corpora (Gibbs)") {
     // Gibbs' inequality: KL(p ‖ q) >= 0 for any p, q — up to the
     // operator's 1e-6 per-word rounding, which can push a near-zero
