@@ -257,6 +257,80 @@ object TextOps {
         col("n_in_train").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Decontamination screen — the TRAIN-side face of [[contamination]]:
+    * the train-split documents sharing at least `minOverlap` distinct
+    * shingles with the test split, i.e. the rows a pipeline must DROP
+    * before training so benchmark answers don't leak into the model.
+    *
+    * At corpus scale the train split IS the corpus, so the [[contamination]]
+    * shape (shuffle one side's whole shingle stream into a hash join) moves
+    * the 100 TB side. This operator inverts the asymmetry: the test split's
+    * distinct shingle hashes are aggregated into ONE compact Bloom filter
+    * (a few MB of binary that ships to every task like a broadcast), train
+    * shingles are pruned ROW-LOCALLY against it — no shuffle, and on a
+    * mostly-clean corpus ~everything dies here — and only the survivors
+    * enter the exact semi-join that strips the filter's false positives.
+    * Bloom filters have no false negatives, so the result is EXACT for ANY
+    * filter sizing: `estimatedTestShingles` only tunes the false-positive
+    * (i.e. wasted-verify) rate, and `bloomBitsPerItem = 0` disables the
+    * prune entirely (the parity baseline PipelineOpsSpec pins against).
+    *
+    * Measured (DECISIONS.md): the prune pays for its build job exactly
+    * when the held-out side is FAR smaller than train — the real
+    * decontamination shape (a benchmark suite vs a corpus; measured
+    * faster at a 98:1 split, slower at the synthetic 80/10/10 where the
+    * "test" side is a tenth of the corpus). Size the filter to the test
+    * side (`estimatedTestShingles`); it is deliberately recomputed, not
+    * cached, in the verify join (persist measured slower — same verdict
+    * as the q70 persist experiment).
+    *
+    * The split is a pure function of the text ([[hashSplit]]'s bucket), so
+    * both branches compute it row-locally — no (doc_id → split) join. */
+  def decontaminate(docs: DataFrame, id: Column, text: Column, w: Int,
+      minOverlap: Int = 1, trainPct: Int = 80, valPct: Int = 10,
+      bloomBitsPerItem: Int = 8,
+      estimatedTestShingles: Long = 1L << 22): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val bucket = pmod(hashes.polyHash(text), lit(100))
+    val withSplit = docs.select(
+      id.as("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"),
+      array_distinct(hashes.shingleHashes(text, w)).as("hs"))
+    val testH = withSplit.where(col("split") === "test")
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = withSplit.where(col("split") === "train")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+    val pruned =
+      if (bloomBitsPerItem <= 0) train
+      else {
+        graft.functions.BloomFunctions.register(docs.sparkSession)
+        // The test-side pipeline deliberately runs twice (build job +
+        // verify join) rather than being persisted: it is the SMALL side
+        // by construction, and caching it measured slower and noisier
+        // than recomputing it (cache write + lost pipelining, DECISIONS
+        // .md), the same verdict as the q70 persist experiment.
+        val bf = testH.agg(graft.functions.BloomFunctions
+            .bloomAgg(col("h"), estimatedTestShingles, bloomBitsPerItem)
+            .as("bf"))
+          .head.getAs[Array[Byte]](0) // one row, filter-sized — the same
+        // materialize-then-inline shape Catalyst's InjectRuntimeFilter
+        // produces for its build side
+        train.where(graft.functions.BloomFunctions
+          .mightContain(col("h"), lit(bf)))
+      }
+    pruned.join(testH, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(max("n_shingles").as("n_shingles"),
+        count(lit(1)).as("n_in_test"))
+      .where(col("n_in_test") >= minOverlap)
+      .withColumn("contamination",
+        col("n_in_test").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Per-source curation audit: document counts, exact-duplicate ratio,
     * mean length, and mean [[qualityComposite]] score per `source` — the
     * aggregation a pipeline uses to decide which sources to keep, reweight,

@@ -1130,9 +1130,34 @@ object Pipeline {
        |JOIN documents db ON jp.doc_b = db.doc_id
        |GROUP BY 1, 2""".stripMargin)
 
+  /** Bloom-pruned EXACT decontamination ([[TextOps.decontaminate]]): the
+    * train-split documents overlapping the test split by ≥2 distinct
+    * shingles. The oracle is pure relational (the Bloom stage only prunes;
+    * the exact semi-join guarantees the same rows for any filter sizing). */
+  private val q79 = QueryDef(
+    "q79_decontaminate",
+    (s, d) => TextOps.decontaminate(
+      Tables.documents(s, d), col("doc_id"), col("text"), ContamW,
+      minOverlap = 2, estimatedTestShingles = 1L << 20),
+    s"""WITH ${shingleCteW(ContamW)},
+       |spl AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b FROM documents) t),
+       |te AS (SELECT DISTINCT h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+       |  WHERE split = 'test'),
+       |tr AS (SELECT sh.doc_id, sh.h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+       |  WHERE split = 'train')
+       |SELECT tr.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(te.h) AS BIGINT) AS n_in_test,
+       |  CAST(count(te.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+       |FROM tr LEFT JOIN te ON tr.h = te.h
+       |GROUP BY tr.doc_id
+       |HAVING count(te.h) >= 2""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78)
+    q74, q78, q79)
 }

@@ -293,6 +293,30 @@ object MicroBench {
         graft.operators.DedupOps.containmentSketchPairs(
           Tables.documents(spark, "/root/testdata/sf0.1"),
           col("doc_id"), col("text"), 2, 16, 0.6)
+      case "decon_bloom_10x" =>
+        TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3)
+      case "decon_exact_10x" =>
+        TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3,
+          bloomBitsPerItem = 0)
+      case "decon_bloom_noB_10x" =>
+        // emulate the at-scale shape: the test shingle set exceeds every
+        // broadcast threshold, so the exact join must shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3)
+      case "decon_exact_noB_10x" =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3,
+          bloomBitsPerItem = 0)
+      // the real decontamination asymmetry: the held-out side is ~1% of
+      // the corpus (a benchmark suite), the train side is everything else
+      case "decon_bloom_98_10x" =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3,
+          trainPct = 98, valPct = 1, estimatedTestShingles = 1L << 18)
+      case "decon_exact_98_10x" =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3,
+          trainPct = 98, valPct = 1, bloomBitsPerItem = 0)
       case other => sys.error(s"unknown scenario: $other")
     }
 

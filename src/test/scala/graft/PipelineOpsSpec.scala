@@ -832,4 +832,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("srcC")._3 > out("srcA")._3,
       "disjoint-vocabulary source must diverge most")
   }
+
+  /** Near-duplicate corpus whose variants hash-split across train/test:
+    * a shared 40-word core with a distinct leading token per variant, so
+    * every variant shares the core's shingles while its TEXT hash (and so
+    * its [[TextOps.hashSplit]] bucket) differs — exact copies could never
+    * straddle splits (same text ⇒ same bucket). Plus noise docs. */
+  private lazy val contamCorpus = {
+    val core = (0 until 40).map(i => s"c$i").mkString(" ")
+    val variants = (0 until 60).map(i => (100L + i, s"v$i $core"))
+    // pairwise-disjoint vocabulary: no two noise docs share ANY word, so
+    // they can never overlap each other (or the core) across splits
+    val noise = (0 until 20).map(i =>
+      (500L + i, (0 until 6).map(j => s"n${i}_$j").mkString(" ")))
+    (variants ++ noise).toDF("doc_id", "text")
+  }
+
+  /** The decontamination answer computed the composable way (hashSplit +
+    * distinct shingle join) — no Bloom stage, no native shingle kernel on
+    * the hot path shape. */
+  private def bruteDecontaminate(minOverlap: Long): Map[Long, (Long, Long)] = {
+    val sh = DedupOps.shingleHashes(contamCorpus, col("doc_id"), col("text"), 2)
+    val spl = TextOps.hashSplit(contamCorpus, col("doc_id"), col("text"))
+      .select("doc_id", "split")
+    val labeled = sh.join(spl, "doc_id")
+    val te = labeled.where(col("split") === "test").select("h").distinct()
+    labeled.where(col("split") === "train")
+      .join(te.withColumn("_hit", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_in_test"))
+      .where(col("n_in_test") >= minOverlap)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("decontaminate flags exactly the train docs overlapping the test split") {
+    val expect = bruteDecontaminate(2L)
+    assert(expect.nonEmpty, "fixture must put core variants in both splits")
+    val got = TextOps.decontaminate(contamCorpus, col("doc_id"), col("text"),
+        2, minOverlap = 2)
+      .select("doc_id", "n_shingles", "n_in_test")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+    // noise docs never flagged; every flagged doc is a core variant
+    assert(got.keys.forall(_ < 500L))
+  }
+
+  test("decontaminate is exact for ANY bloom sizing, including disabled") {
+    // bloomBitsPerItem = 0 disables the prune (pure relational baseline);
+    // a 16-item 1-bit/item filter is deliberately undersized (high FP rate)
+    // — false positives must die in the exact verify, never in the output
+    val base = TextOps.decontaminate(contamCorpus, col("doc_id"), col("text"),
+        2, bloomBitsPerItem = 0)
+      .collect().map(_.toSeq).toSet
+    val tiny = TextOps.decontaminate(contamCorpus, col("doc_id"), col("text"),
+        2, bloomBitsPerItem = 1, estimatedTestShingles = 16L)
+      .collect().map(_.toSeq).toSet
+    val sized = TextOps.decontaminate(contamCorpus, col("doc_id"), col("text"), 2)
+      .collect().map(_.toSeq).toSet
+    assert(base.nonEmpty && tiny == base && sized == base)
+  }
 }

@@ -123,6 +123,16 @@ class PlanSpec extends SparkSpec {
       s"the word-keyed join must be a hash/merge join:\n$p")
   }
 
+  test("q79 decontaminate: bloom prune is a row-local filter, verify is a semi join") {
+    val p = plan("q79_decontaminate")
+    assert(p.contains("might_contain"),
+      s"train shingles must be pruned against the bloom literal in a Filter:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"false positives must die in an exact semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the bloom is a literal, not a joined side:\n$p")
+  }
+
   test("no query plan contains a Python/Scala UDF or collect-based step") {
     SparkEntry.registry.foreach { q =>
       val p = q.spark(spark, sf).queryExecution
