@@ -331,6 +331,36 @@ object TextOps {
         col("n_in_test").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Deterministic shuffle-and-shard — the OUTPUT stage of a training-data
+    * pipeline: every document gets a shard and an in-shard position, both
+    * pure functions of (text, doc_id), so the "random" order is
+    * reproducible across runs, engines, and partitionings, and any shard
+    * can be regenerated alone. The order key is the avalanched content
+    * hash ([[graft.functions.TextHash.sampleBucket]]'s mix — raw
+    * polynomial hashes are SEQUENTIAL for near-identical texts) with
+    * `doc_id` folded in first, so exact duplicate texts still spread
+    * across shards instead of pinning one shard (the boilerplate-heavy
+    * corpus case).
+    *
+    * Plan shape: one exchange on `shard` + an in-partition sort for
+    * `row_number` — parallelism = `nShards`, which at corpus scale is the
+    * number of output files (large); never a global single-partition
+    * sort. */
+  def shuffleShards(docs: DataFrame, id: Column, text: Column,
+      nShards: Int): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val mixed = (hashes.polyHash(text) * lit(31L) + id) % lit(P)
+    val orderKey = (mixed * lit(2654435761L)) % lit(P)
+    docs.select(id.as("doc_id"), orderKey.as("_k"))
+      .withColumn("shard", pmod(col("_k"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_k"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Per-source curation audit: document counts, exact-duplicate ratio,
     * mean length, and mean [[qualityComposite]] score per `source` — the
     * aggregation a pipeline uses to decide which sources to keep, reweight,

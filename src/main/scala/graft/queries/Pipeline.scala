@@ -1155,9 +1155,25 @@ object Pipeline {
        |GROUP BY tr.doc_id
        |HAVING count(te.h) >= 2""".stripMargin)
 
+  /** Deterministic shuffle-and-shard ([[TextOps.shuffleShards]]): shard +
+    * in-shard position as pure functions of (text, doc_id) — the
+    * reproducible "random" order a training run consumes. The oracle
+    * replays the same avalanched-hash arithmetic and window. */
+  private val q80 = QueryDef(
+    "q80_shuffle_shards",
+    (s, d) => TextOps.shuffleShards(
+      Tables.documents(s, d), col("doc_id"), col("text"), 16),
+    s"""SELECT doc_id, k % 16 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM (SELECT doc_id,
+       |    (((${polyHashSql("text")} * 31 + doc_id) % $P) * 2654435761) % $P
+       |      AS k
+       |  FROM documents) t""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79)
+    q74, q78, q79, q80)
 }

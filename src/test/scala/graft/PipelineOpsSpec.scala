@@ -894,4 +894,26 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(base.nonEmpty && tiny == base && sized == base)
   }
+
+  test("shuffleShards: contiguous positions, duplicates spread, deterministic") {
+    // 300 unique docs + 100 EXACT copies of one boilerplate text: a raw
+    // content-hash shard key would pin all copies to one shard
+    val d = ((0 until 300).map(i => (i.toLong, s"unique doc number $i words")) ++
+      (1000 until 1100).map(i => (i.toLong, "the same boilerplate text")))
+      .toDF("doc_id", "text")
+    val out = TextOps.shuffleShards(d, col("doc_id"), col("text"), 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 400)
+    // every shard's positions are exactly 1..n (dense ranking, no gaps)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the identical-text block must not pin a single shard
+    val dupShards = out.filter(_._1 >= 1000L).map(_._2).distinct
+    assert(dupShards.length > 4, s"copies hit only ${dupShards.length} shards")
+    // reproducible: a second evaluation gives the identical assignment
+    val again = TextOps.shuffleShards(d, col("doc_id"), col("text"), 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
