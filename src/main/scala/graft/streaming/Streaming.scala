@@ -425,6 +425,33 @@ object Streaming {
           log(col("n_tokens").cast("double")), 6).as("kl_vs_corpus"))
   }
 
+  /** Streaming face of [[graft.operators.TextOps.lmScore]]: per-doc unigram
+    * cross-entropy of arriving documents against a STATIC reference
+    * distribution ([[graft.operators.TextOps.unigramSurprisals]] over the
+    * reference corpus — the ingest-time quality gate scores new data
+    * against history, which a micro-batch cannot see; same static side as
+    * [[sourceDivergenceStream]]). Tokens join stream-static (stateless),
+    * the per-doc combine is one watermarked per-minute aggregation (a doc
+    * row carries one event time, so a document never straddles windows).
+    * Out-of-vocabulary tokens have no reference surprisal to price them:
+    * they are COUNTED (`n_oov`), excluded from the entropy — on a stream
+    * drawn from the reference distribution the face equals batch
+    * [[graft.operators.TextOps.lmScore]] exactly (StreamingSpec). */
+  def lmScoreStream(docs: DataFrame, surprisals: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    val words = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(surprisals.select(col("word"), col("_lp")), Seq("word"), "left")
+    words.groupBy(window(col("_t"), "1 minute"), col("doc_id"))
+      .agg(count(when(col("_lp").isNotNull, 1)).as("n_tokens"),
+        count(when(col("_lp").isNull, 1)).as("n_oov"),
+        sum(col("_lp")).as("_s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("_s").cast("double") / col("n_tokens"), 6)
+          .as("cross_entropy"))
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

@@ -130,6 +130,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lmScoreStream matches batch lmScore on in-vocab docs, counts OOV") {
+    import graft.operators.TextOps
+    // reference corpus = the batch-scored corpus, so every streamed word is
+    // in-vocab and the face must equal batch lmScore EXACTLY (n_oov = 0)
+    val corpus = Seq(
+      (1L, "x x x y common words here"),
+      (2L, "q q common words again"),
+      (3L, "y words x q common")).toDF("doc_id", "text")
+    val surp = TextOps.unigramSurprisals(corpus, col("text"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.lmScoreStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), surp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lmsc1").start()
+    try {
+      in.addData(
+        (1L, "x x x y common words here", sec("2021-03-09 14:15:00", 1)),
+        (2L, "q q common words again", sec("2021-03-09 14:15:00", 30)))
+      q.processAllAvailable()
+      in.addData(
+        (3L, "y words x q common", sec("2021-03-09 14:16:00", 10)),
+        // one word the reference has never seen: counted, not scored
+        (4L, "x y zzz_oov", sec("2021-03-09 14:16:00", 20)))
+      q.processAllAvailable()
+      // closer: advances the watermark so the minute windows finalize
+      in.addData((99L, "x", sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val got = spark.table("lmsc1")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = TextOps.lmScore(corpus, col("doc_id"), col("text"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      Seq(1L, 2L, 3L).foreach { d =>
+        assert(got(d) == ((batch(d)._1, 0L, batch(d)._2)),
+          s"doc $d: stream ${got(d)} vs batch ${batch(d)}")
+      }
+      assert(got(4L)._1 == 2L && got(4L)._2 == 1L,
+        "OOV token must be counted apart, in-vocab tokens scored")
+    } finally q.stop()
+  }
+
   test("lineDedupStream matches batch lineDedup including all-dropped docs") {
     import graft.operators.TextOps
     val banner = "all rights reserved"
