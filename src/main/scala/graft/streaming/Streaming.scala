@@ -452,6 +452,39 @@ object Streaming {
           .as("cross_entropy"))
   }
 
+  /** Streaming face of [[graft.operators.TextOps.decontaminate]] — the
+    * ingest shape: every ARRIVING document is a train candidate, screened
+    * against the FIXED held-out shingle set `testH` (one `h` column —
+    * distinct shingle hashes of the benchmark suite; the batch face
+    * derives it from the hash split, at ingest it is simply given).
+    * Emits per-minute rows for documents with ≥ `minOverlap` distinct
+    * held-out shingles — the drop-set, exactly like the batch face.
+    *
+    * Shape: row-local shingling, stream-static LEFT join against `testH`
+    * (stateless), one watermarked per-minute aggregation. The batch
+    * face's Bloom prune is deliberately absent: the filter binary would
+    * be built ONCE at stream definition and frozen for the stream's
+    * lifetime, and the stream-static join already probes a static side
+    * Spark keeps readily joinable per micro-batch — measured-on-batch,
+    * the prune only pays when the probed stream dwarfs the static side
+    * WITHIN one plan (DECISIONS.md), which a micro-batch never does. */
+  def decontaminateStream(docs: DataFrame, testH: DataFrame, w: Int,
+      minOverlap: Int = 1, timeCol: String = "event_time"): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val sh = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("doc_id"),
+        explode(array_distinct(graft.functions.HashExpressions
+          .shingleHashes(col("text"), w))).as("h"))
+      .join(testH.select(col("h"), lit(true).as("_hit")), Seq("h"), "left")
+    sh.groupBy(window(col("_t"), "1 minute"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("_hit"), 1)).as("n_in_test"))
+      .where(col("n_in_test") >= minOverlap)
+      .select(col("doc_id"), col("n_shingles"), col("n_in_test"),
+        (col("n_in_test").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

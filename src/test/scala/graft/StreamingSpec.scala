@@ -172,6 +172,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags arriving docs against the held-out set") {
+    import graft.operators.{DedupOps, TextOps}
+    // held-out "benchmark suite": its distinct shingle hashes are the
+    // static side, exactly what the batch face derives from the split
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val testH = DedupOps.shingleHashes(bench, col("doc_id"), col("text"), 2)
+      .select("h").distinct()
+    val arriving = Seq(
+      // contains a 4-word slice of the benchmark doc: 3 shared bigrams
+      (1L, "x alpha beta gamma delta y", sec("2021-03-09 14:15:00", 1)),
+      (2L, "wholly unrelated clean content", sec("2021-03-09 14:15:00", 20)),
+      // shares exactly one bigram: below minOverlap = 2
+      (3L, "alpha beta elsewhere entirely", sec("2021-03-09 14:16:00", 5)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.decontaminateStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), testH, 2, minOverlap = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decon1").start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      in.addData((99L, "closer", sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val got = spark.table("decon1")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch answer over the same arrivals vs the same held-out set
+      val batch = DedupOps.shingleHashes(
+          arriving.map(t => (t._1, t._2)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 2)
+        .join(testH, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == batch.keySet && got.keySet == Set(1L))
+      assert(got(1L)._2 == batch(1L), "overlap counts must agree with batch")
+      assert(got(1L) == ((5L, 3L)), "5 distinct bigrams, 3 held-out hits")
+    } finally q.stop()
+  }
+
   test("lineDedupStream matches batch lineDedup including all-dropped docs") {
     import graft.operators.TextOps
     val banner = "all rights reserved"
