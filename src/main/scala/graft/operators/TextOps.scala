@@ -316,7 +316,7 @@ object TextOps {
         val bf = testH.agg(graft.functions.BloomFunctions
             .bloomAgg(col("h"), estimatedTestShingles, bloomBitsPerItem)
             .as("bf"))
-          .head.getAs[Array[Byte]](0) // one row, filter-sized — the same
+          .head().getAs[Array[Byte]](0) // one row, filter-sized — the same
         // materialize-then-inline shape Catalyst's InjectRuntimeFilter
         // produces for its build side
         train.where(graft.functions.BloomFunctions
@@ -359,6 +359,72 @@ object TextOps {
         Window.partitionBy("shard").orderBy(col("_k"), col("doc_id")))
         .cast("long"))
       .select("doc_id", "shard", "pos")
+  }
+
+  /** Repeated-span REMOVAL — the passage-level cut the span-dedup
+    * literature applies where doc-level dedup keeps both copies: excise
+    * from every document each maximal token span of ≥ `minSpanTokens`
+    * whose every `w`-gram occurs at least twice corpus-wide (another doc
+    * OR again in the same one — licence banners, quoted boilerplate,
+    * self-repeating templates). [[dupNgramCoverage]] *scores* this
+    * redundancy; this operator *rewrites* the rows.
+    *
+    * Detection is shingle-granular: a position is covered when its
+    * `w`-gram hash has corpus frequency ≥ 2; maximal covered runs map to
+    * token intervals `[first, last + w - 1]` (clipped to the doc), and
+    * intervals shorter than `minSpanTokens` are kept. Any span that truly
+    * appears twice has ALL its `w`-grams duplicated, so recall is exact;
+    * the over-approximation direction (every `w`-gram duplicated yet the
+    * whole span never contiguous elsewhere — `w`-gram collage) removes a
+    * span a suffix-array method would keep, the standard trade of the
+    * shingle formulation.
+    *
+    * Shape: one shuffle on the shingle hash for the frequency count, a
+    * semi-join back onto the position stream, a per-doc window for the
+    * gaps-and-islands run detection, and a ROW-LOCAL rebuild (the
+    * interval list rides back to the doc row; tokens drop via an indexed
+    * array filter). No all-pairs anything; the frequency pass is the
+    * same linear shape as [[dupNgramCoverage]].
+    *
+    * Output per doc: `n_tokens`, `n_removed`, `n_spans` (qualifying
+    * intervals — adjacent runs may overlap at token level for `w` > 2 and
+    * count separately), and the kept text's `clean_fingerprint` (NULL
+    * when nothing survives, the [[lineDedup]] convention). */
+  def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column, w: Int,
+      minSpanTokens: Int): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val posSh = docs.select(id.as("doc_id"),
+        posexplode(hashes.shingleHashes(text, w)).as(Seq("_p0", "h")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("i"), col("h"))
+    val dupH = posSh.groupBy("h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2).select("h")
+    val runs = posSh.join(dupH, Seq("h"), "left_semi")
+      .withColumn("_g", col("i") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+    val base = docs.select(id.as("doc_id"), text.as("_text"),
+      size(split(text, " ")).cast("long").as("n_tokens"))
+    val iv = runs.groupBy("doc_id", "_g")
+      .agg(min("i").as("a"), (max("i") + lit((w - 1).toLong)).as("_braw"))
+      .join(base.select("doc_id", "n_tokens"), "doc_id")
+      .select(col("doc_id"), col("a"), least(col("_braw"), col("n_tokens")).as("b"))
+      .where(col("b") - col("a") + 1 >= minSpanTokens)
+    val perDoc = iv.groupBy("doc_id").agg(
+      collect_list(struct(col("a"), col("b"))).as("_ivs"),
+      count(lit(1)).as("n_spans"))
+    val ws = split(col("_text"), " ")
+    val kept = filter(ws, (_, i0) => !exists(col("_ivs"),
+      v => i0 + 1 >= v.getField("a") && i0 + 1 <= v.getField("b")))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        when(col("_ivs").isNull, lit(0L))
+          .otherwise(col("n_tokens") - size(kept)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("_ivs").isNull, hashes.polyHash(col("_text")))
+          .when(size(kept) === 0, lit(null).cast("long"))
+          .otherwise(hashes.polyHash(concat_ws(" ", kept)))
+          .as("clean_fingerprint"))
   }
 
   /** Per-source curation audit: document counts, exact-duplicate ratio,

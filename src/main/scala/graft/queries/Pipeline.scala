@@ -1171,9 +1171,51 @@ object Pipeline {
        |      AS k
        |  FROM documents) t""".stripMargin)
 
+  /** Repeated-span removal ([[TextOps.removeRepeatedSpans]]): excise every
+    * ≥5-token span whose 3-grams all repeat corpus-wide. The oracle
+    * replays the position stream, frequency threshold, gaps-and-islands
+    * run grouping, interval clipping, and row rebuild relationally. */
+  private val q81 = QueryDef(
+    "q81_remove_repeated_spans", {
+      (s, d) => TextOps.removeRepeatedSpans(
+        Tables.documents(s, d), col("doc_id"), col("text"), 3, 5)
+    },
+    s"""WITH words AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |possh AS (
+       |  SELECT doc_id, i, ${polyHashSql("s")} AS h FROM (
+       |    SELECT doc_id, i, ${wordShinglesSql(3)} AS s
+       |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))),
+       |dup AS (SELECT h FROM possh GROUP BY h HAVING count(*) >= 2),
+       |runs AS (SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM possh WHERE h IN (SELECT h FROM dup)),
+       |iv AS (SELECT r.doc_id, min(r.i) AS a,
+       |    least(max(r.i) + 2, len(w2.ws)) AS b
+       |  FROM runs r JOIN words w2 USING (doc_id)
+       |  GROUP BY r.doc_id, g, len(w2.ws)
+       |  HAVING least(max(r.i) + 2, len(w2.ws)) - min(r.i) + 1 >= 5),
+       |tok AS (SELECT doc_id, i AS pos, ws[i] AS word
+       |  FROM words, UNNEST(generate_series(1, len(ws))) AS t(i)),
+       |kept AS (SELECT t.* FROM tok t WHERE NOT EXISTS (
+       |  SELECT 1 FROM iv WHERE iv.doc_id = t.doc_id
+       |    AND t.pos BETWEEN iv.a AND iv.b)),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    ${polyHashSql("string_agg(word, ' ' ORDER BY pos)")} AS fp
+       |  FROM kept GROUP BY doc_id),
+       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM iv GROUP BY doc_id)
+       |SELECT w3.doc_id,
+       |  CAST(len(w3.ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(w3.ws) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(ns.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  ka.fp AS clean_fingerprint
+       |FROM words w3
+       |LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80)
+    q74, q78, q79, q80, q81)
 }

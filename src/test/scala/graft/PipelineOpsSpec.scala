@@ -895,6 +895,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(base.nonEmpty && tiny == base && sized == base)
   }
 
+  test("removeRepeatedSpans excises cross-doc and self-repeated passages") {
+    val banner = "all rights reserved by the original publisher" // 7 words
+    val d = Seq(
+      (1L, s"intro words here $banner closing remark"),
+      (2L, s"different opening text $banner and a tail"),
+      (3L, "rep a b rep a b rep a b end"),   // self-repeating 3-gram chain
+      (4L, "wholly unique document content nothing repeats here"),
+      (5L, "verbatim copy zz yy xx ww"),      // exact duplicates: every
+      (6L, "verbatim copy zz yy xx ww"))      // token is in the span
+      .toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(d, col("doc_id"), col("text"), 3, 5)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // docs 1 and 2 share the 7-word banner: its five internal 3-grams
+    // repeat (the splice-boundary grams differ), so the covered run maps
+    // to EXACTLY the banner tokens — surgical removal, nothing else
+    assert(out(1L) == ((12L, 7L, 1L, out(1L)._4)))
+    assert(out(2L) == ((13L, 7L, 1L, out(2L)._4)))
+    // the kept text is the doc minus the banner, verified by fingerprint
+    val expect1 = TextOps.fingerprint(
+      Seq((1L, "intro words here closing remark")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).select("fingerprint").as[Long].head()
+    assert(out(1L)._4.contains(expect1))
+    // doc 3: "rep a b" repeats within ONE doc. Gram positions 1-7 are all
+    // duplicated (only "a b end" at position 8 is unique), so the run
+    // covers tokens 1..9 and only the final "end" survives
+    val expect3 = TextOps.fingerprint(
+      Seq((3L, "end")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).select("fingerprint").as[Long].head()
+    assert(out(3L) == ((10L, 9L, 1L, Some(expect3))))
+    // doc 4 untouched: zero spans, fingerprint = original text's
+    val fp4 = TextOps.fingerprint(d.where(col("doc_id") === 4),
+      col("doc_id"), col("text")).select("fingerprint").as[Long].head()
+    assert(out(4L) == ((7L, 0L, 0L, Some(fp4))))
+    // exact duplicates lose EVERYTHING: NULL fingerprint, not hash("")
+    assert(out(5L) == ((6L, 6L, 1L, None)) && out(6L) == out(5L))
+  }
+
   test("shuffleShards: contiguous positions, duplicates spread, deterministic") {
     // 300 unique docs + 100 EXACT copies of one boilerplate text: a raw
     // content-hash shard key would pin all copies to one shard
