@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality funnel (length / repetition / quality / PII rules)
   *   2. line-level boilerplate audit (lines shared by ≥ maxDf docs)
-  *   3. near-dup dedup, keeping the highest-quality cluster member
-  *   4. train/test contamination screen over the hash split
-  *   5. source mixing to target weights (integer thresholds)
-  *   6. sequence packing into fixed token-budget chunks
+  *   3. repeated-span audit (≥5-token passages whose 3-grams all repeat)
+  *   4. near-dup dedup, keeping the highest-quality cluster member
+  *   5. decontamination: DROP train-split docs overlapping the test split
+  *   6. source mixing to target weights (integer thresholds)
+  *   7. sequence packing into fixed token-budget chunks
+  *   8. deterministic shuffle-and-shard of the final order
   *
   * Every stage is the same operator the oracle-backed queries gate; the
   * demo only wires them together. Run:
@@ -38,7 +40,15 @@ object CurationDemo {
     val boiler = lineStats.where(col("n_kept") < col("n_lines")).count()
     println(s"[curate] docs containing boilerplate lines: $boiler")
 
-    // 3. near-dup clusters -> keep the best-quality member of each
+    // 3. repeated-span audit: passages doc-level dedup would keep
+    val spans = TextOps.removeRepeatedSpans(clean, col("doc_id"), col("text"), 3, 5)
+    val spanStats = spans.agg(
+      sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_hit"),
+      sum("n_removed").as("tokens_removed")).head()
+    println(s"[curate] repeated spans: ${spanStats.getLong(0)} docs affected, " +
+      s"${spanStats.getLong(1)} tokens removable")
+
+    // 4. near-dup clusters -> keep the best-quality member of each
     val clusters = DedupOps.dedupClusters(
       DedupOps.lshCandidatePairs(
         DedupOps.minhashSignatures(clean, col("doc_id"), col("text"), 2)),
@@ -52,21 +62,22 @@ object CurationDemo {
     val n3 = deduped.count()
     println(s"[curate] after near-dup keep-best: $n3 (${n1 - n3} dropped)")
 
-    // 4. contamination screen: test-split docs vs the train shingle set
-    val contaminated = TextOps.contamination(
-        deduped, col("doc_id"), col("text"), 2)
-      .where(col("contamination") >= 0.5)
-    println(s"[curate] contaminated test-split docs flagged: ${contaminated.count()}")
+    // 5. decontamination: drop train-split docs overlapping the test split
+    val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"), 2,
+      minOverlap = 2, estimatedTestShingles = 1L << 16)
+    val decon = deduped.join(leaky.select("doc_id"), Seq("doc_id"), "left_anti")
+    val n4 = decon.count()
+    println(s"[curate] after decontamination: $n4 (${n3 - n4} train docs dropped)")
 
-    // 5. mix to target source weights at a fixed token budget
-    val weights = deduped.select("source").distinct().collect()
+    // 6. mix to target source weights at a fixed token budget
+    val weights = decon.select("source").distinct().collect()
       .map(_.getString(0) -> 1L).toMap
     val budget = 20000L
-    TextOps.corpusMix(deduped, col("doc_id"), col("text"), col("source"),
+    TextOps.corpusMix(decon, col("doc_id"), col("text"), col("source"),
       weights, budget).orderBy("source").show(5, truncate = false)
-    val thr = TextOps.mixThresholds(deduped, col("doc_id"), col("text"),
+    val thr = TextOps.mixThresholds(decon, col("doc_id"), col("text"),
       col("source"), weights, budget)
-    val mixed = deduped
+    val mixed = decon
       .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
         graft.functions.HashExpressions.polyHash(col("text")), 1000000))
       .join(thr, "source").where(col("_bkt") < col("_thr"))
@@ -74,11 +85,17 @@ object CurationDemo {
     val n5 = mixed.count()
     println(s"[curate] after mixing to budget $budget: $n5")
 
-    // 6. pack into fixed token-budget training chunks
+    // 7. pack into fixed token-budget training chunks
     val packed = TextOps.packSequences(mixed, col("doc_id"), col("text"), 512L)
     println(s"[curate] packed $n5 docs into ${packed.count()} chunks " +
       "of <= 512 tokens")
     packed.orderBy("chunk_id").show(5, truncate = false)
+
+    // 8. deterministic shuffle-and-shard: the order a training run reads
+    val sharded = TextOps.shuffleShards(mixed, col("doc_id"), col("text"), 8)
+    sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard").show(8, truncate = false)
+    println(s"[curate] final corpus sharded 8 ways, reproducibly")
 
     spark.stop()
   }

@@ -293,6 +293,10 @@ object MicroBench {
         graft.operators.DedupOps.containmentSketchPairs(
           Tables.documents(spark, "/root/testdata/sf0.1"),
           col("doc_id"), col("text"), 2, 16, 0.6)
+      case "spans_q81" =>
+        TextOps.removeRepeatedSpans(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 3, 5)
       case "decon_bloom_10x" =>
         TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3)
       case "decon_exact_10x" =>
