@@ -404,6 +404,12 @@ object TextOps {
         Window.partitionBy("doc_id").orderBy("i")))
     val base = docs.select(id.as("doc_id"), text.as("_text"),
       size(split(text, " ")).cast("long").as("n_tokens"))
+    // interval clipping joins the (doc_id, n_tokens) projection — 16 bytes
+    // per doc even at corpus scale (broadcast here, SMJ beyond). Carrying
+    // the token count through the position stream instead measured 2.5×
+    // SLOWER (DECISIONS.md; `spans_q81_joinclip` vs `spans_q81`): the
+    // extra column rides the explode, the semi-join probe, and the window
+    // sort — a per-position tax to avoid a per-doc join.
     val iv = runs.groupBy("doc_id", "_g")
       .agg(min("i").as("a"), (max("i") + lit((w - 1).toLong)).as("_braw"))
       .join(base.select("doc_id", "n_tokens"), "doc_id")

@@ -297,6 +297,48 @@ object MicroBench {
         TextOps.removeRepeatedSpans(
           Tables.documents(spark, "/root/testdata/sf0.1"),
           col("doc_id"), col("text"), 3, 5)
+      case "spans_q81_joinclip" => {
+        // the rejected-or-kept alternative: clip intervals by JOINING the
+        // (doc_id, n_tokens) corpus projection instead of carrying the
+        // token count through the position stream
+        import org.apache.spark.sql.expressions.Window
+        val hashes = graft.functions.HashExpressions
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        hashes.register(spark)
+        val (w, minSpanTokens) = (3, 5)
+        val posSh = docs.select(col("doc_id"),
+            posexplode(hashes.shingleHashes(col("text"), w)).as(Seq("_p0", "h")))
+          .select(col("doc_id"), (col("_p0") + 1).cast("long").as("i"), col("h"))
+        val dupH = posSh.groupBy("h").agg(count(lit(1)).as("_c"))
+          .where(col("_c") >= 2).select("h")
+        val runs = posSh.join(dupH, Seq("h"), "left_semi")
+          .withColumn("_g", col("i") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("i")))
+        val base = docs.select(col("doc_id"), col("text").as("_text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val iv = runs.groupBy("doc_id", "_g")
+          .agg(min("i").as("a"), (max("i") + lit((w - 1).toLong)).as("_braw"))
+          .join(base.select("doc_id", "n_tokens"), "doc_id")
+          .select(col("doc_id"), col("a"),
+            least(col("_braw"), col("n_tokens")).as("b"))
+          .where(col("b") - col("a") + 1 >= minSpanTokens)
+        val perDoc = iv.groupBy("doc_id").agg(
+          collect_list(struct(col("a"), col("b"))).as("_ivs"),
+          count(lit(1)).as("n_spans"))
+        val ws = split(col("_text"), " ")
+        val kept = filter(ws, (_, i0) => !exists(col("_ivs"),
+          v => i0 + 1 >= v.getField("a") && i0 + 1 <= v.getField("b")))
+        base.join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"),
+            when(col("_ivs").isNull, lit(0L))
+              .otherwise(col("n_tokens") - size(kept)).as("n_removed"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            when(col("_ivs").isNull, hashes.polyHash(col("_text")))
+              .when(size(kept) === 0, lit(null).cast("long"))
+              .otherwise(hashes.polyHash(concat_ws(" ", kept)))
+              .as("clean_fingerprint"))
+      }
       case "decon_bloom_10x" =>
         TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3)
       case "decon_exact_10x" =>
