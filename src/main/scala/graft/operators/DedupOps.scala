@@ -499,6 +499,17 @@ object DedupOps {
     containmentVerify(cands, sh, threshold)
   }
 
+  /** Document-frequency cap for [[containmentSketchPairs]]' probe join —
+    * the posting-side analog of [[MaxBucket]]: a shingle hash with df near
+    * corpus size is boilerplate, and every sketch that sampled it fans out
+    * df probe rows for ~zero containment signal per hit (its presence in B
+    * says nothing about A ⊆ B when it is present in EVERYONE). Hashes above
+    * the cap are dropped from the shingle universe (sketch AND postings
+    * side, so the estimate stays an unbiased sample of the retained
+    * universe) and surfaced via [[hotContainmentShingles]] — drop-and-flag,
+    * mirroring the LSH bucket cap. */
+  val MaxPostingDf: Long = 100000L
+
   /** Directional containment ESTIMATES from bottom-k sketches (the `k`
     * SMALLEST distinct shingle hashes per doc — hashes are uniform, so the
     * bottom-k is a uniform sample of the shingle set whose membership can
@@ -513,37 +524,75 @@ object DedupOps {
     * `containment_est(A→B) = |bottomK(A) ∩ S(B)| / |bottomK(A)|`
     *
     * One probe join of the k-row-per-doc sketch against the full postings
-    * — probe cost Σ_docs k·E[df], bounded by the FIXED k per doc at any
-    * threshold — then a per-pair count and a size join; no verify pass
-    * (the estimate IS the output; run the exact verify on survivors when
-    * true values are needed). Exact for docs with ≤ k shingles — an
-    * extreme subset pair (tiny doc inside a huge one) is therefore found
-    * with estimate exactly 1.0, the case Jaccard discovery provably
-    * misses; for larger docs the estimate is the fraction of a uniform
-    * k-sample found in B (hits ~ hypergeometric around k·containment).
-    * Output is directional: (doc_a, doc_b, n_hits, n_sketch,
-    * containment_est) for doc_a's containment IN doc_b, est ≥ threshold.
-    * Deterministic for a fixed hash family — engine-reproducible. */
+    * — probe cost Σ_docs k·E[df], bounded per doc by the FIXED k at any
+    * threshold and per HASH by `maxDf` (without the cap a df ≈ n hash
+    * makes probe volume quadratic on a boilerplate-heavy corpus; dropped
+    * hashes are reported by [[hotContainmentShingles]]) — then a per-pair
+    * hit count; no verify pass (the estimate IS the output; run the exact
+    * verify on survivors when true values are needed). Exact for docs with
+    * ≤ k shingles — an extreme subset pair (tiny doc inside a huge one) is
+    * therefore found with estimate exactly 1.0, the case Jaccard discovery
+    * provably misses; for larger docs the estimate is the fraction of a
+    * uniform k-sample found in B (hits ~ hypergeometric around
+    * k·containment). Output is directional: (doc_a, doc_b, n_hits,
+    * n_sketch, containment_est) for doc_a's containment IN doc_b,
+    * est ≥ threshold. Deterministic for a fixed hash family —
+    * engine-reproducible.
+    *
+    * Plan shape (the r8 rewrite — 11.1 → measured below at sf0.1): the
+    * probe output (Σ k·df rows) is by far the widest stream in the plan,
+    * and the naive shape shuffles ALL of it into the pair aggregate. Here
+    * the postings are pre-partitioned by document BEFORE the probe join,
+    * the k-per-doc sketch side is broadcast, and the broadcast join
+    * preserves the postings partitioning — doc_b then functionally
+    * determines the partition, so the (doc_a, doc_b) hit-count aggregate
+    * runs with NO exchange: the widest stream in the plan is never
+    * shuffled. The only full-width shuffles left are over the 256 k-row
+    * distinct shingle table. `broadcastSketches = false` is the escape
+    * hatch for corpora where k·n_docs sketch rows exceed driver/executor
+    * broadcast budgets (≳10⁸ docs): the probe becomes a shuffle join on
+    * `h` and the pair aggregate pays its exchange — at that scale the df
+    * cap is what keeps the probe volume linear. */
   def containmentSketchPairs(docs: DataFrame, id: Column, text: Column,
-      w: Int, k: Int, threshold: Double): DataFrame = {
+      w: Int, k: Int, threshold: Double,
+      maxDf: Long = MaxPostingDf,
+      broadcastSketches: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
-    val sh = shingleHashes(docs, id, text, w)
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val shAll = shingleHashes(docs, id, text, w)
+    val hot = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    // One explicit exchange by document feeds BOTH the sketch window
+    // (partitionBy doc_id) and, via the partitioning-preserving broadcast
+    // join, the pair aggregate (doc_b ⊂ grouping keys) — ReuseExchange
+    // collapses the two branches to a single 256 k-row shuffle. The
+    // partition count is PINNED (REPARTITION_BY_NUM): the exchange input is
+    // a few MB of (doc_id, h) pairs, so AQE would coalesce a by-column
+    // repartition to one partition — and this exchange's width is the
+    // parallelism of the ~100× wider downstream probe join + pair
+    // aggregate, which AQE cannot see at planning time.
+    val nPart = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val sh = shAll.join(hot.select("h"), Seq("h"), "left_anti")
+      .repartition(nPart, col("doc_id"))
     // The sketch size is just least(|S(doc)|, k), so it rides the sketch
-    // window (same partition spec — one exchange) instead of a separate
-    // aggregate-and-join over a THIRD run of the shingle pipeline;
-    // measured 18.4 -> 9.9 s at sf0.1 (MicroBench cs_q72 vs cs_q72_lean,
-    // DECISIONS.md). A threshold-pigeonhole candidate pass (probe only the
-    // rarest ns-ceil(T*ns)+1 sketch hashes, array_intersect verify) was
-    // measured at 18.9 s and rejected — on a no-rare-shingle corpus the
-    // candidate set barely shrinks.
+    // window (same partition spec) instead of a separate aggregate-and-join
+    // over a THIRD run of the shingle pipeline; measured 18.4 -> 9.9 s at
+    // sf0.1 (MicroBench cs_q72 vs cs_q72_lean, DECISIONS.md). A threshold-
+    // pigeonhole candidate pass (probe only the rarest ns-ceil(T*ns)+1
+    // sketch hashes, array_intersect verify) was measured at 18.9 s and
+    // rejected — on a no-rare-shingle corpus the candidate set barely
+    // shrinks.
     val wDoc = Window.partitionBy(col("doc_id"))
     val bk = sh
       .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
       .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(k)).cast("long"))
       .where(col("_rk") <= k)
       .select(col("doc_id"), col("h"), col("_ns"))
-    bk.join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
+    val bkSide = if (broadcastSketches) broadcast(bk) else bk
+    sh.withColumnRenamed("doc_id", "doc_b")
+      .join(bkSide, "h")
       .where(col("doc_id") =!= col("doc_b"))
       .groupBy(col("doc_id"), col("doc_b"))
       .agg(count(lit(1)).as("n_hits"), max(col("_ns")).as("n_sketch"))
@@ -553,6 +602,16 @@ object DedupOps {
       .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
         col("n_sketch"), col("containment_est"))
   }
+
+  /** The shingle hashes [[containmentSketchPairs]] drops at `maxDf` —
+    * (h, df) rows with df above the cap. Report these (they are the
+    * corpus's boilerplate n-grams) rather than silently losing them;
+    * empty on any corpus whose df range sits under the cap. */
+  def hotContainmentShingles(docs: DataFrame, id: Column, text: Column,
+      w: Int, maxDf: Long = MaxPostingDf): DataFrame =
+    shingleHashes(docs, id, text, w)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
 
   /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide
     * signature split into 4 equal bands. */

@@ -1004,17 +1004,20 @@ object Pipeline {
       Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W,
       SketchK, SketchT),
     s"""WITH $shingleCte,
+       |shf AS (SELECT s.doc_id, s.h FROM sh s JOIN (
+       |    SELECT h FROM sh GROUP BY h
+       |    HAVING count(*) <= ${DedupOps.MaxPostingDf}) ok ON ok.h = s.h),
        |bk AS (SELECT doc_id, h FROM (
        |    SELECT doc_id, h,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
-       |    FROM sh) t
+       |    FROM shf) t
        |  WHERE rk <= $SketchK),
        |bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sketch
        |  FROM bk GROUP BY doc_id),
        |hits AS (
        |  SELECT b.doc_id AS doc_a, s.doc_id AS doc_b,
        |    CAST(count(*) AS BIGINT) AS n_hits
-       |  FROM bk b JOIN sh s ON s.h = b.h AND s.doc_id <> b.doc_id
+       |  FROM bk b JOIN shf s ON s.h = b.h AND s.doc_id <> b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_hits, n_sketch,
        |  CAST(n_hits AS DOUBLE) / CAST(n_sketch AS DOUBLE) AS containment_est

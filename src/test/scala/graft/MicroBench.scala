@@ -289,6 +289,120 @@ object MicroBench {
         graft.operators.DedupOps.minhashSignatures(
           Tables.documents(spark, "/root/testdata/sf0.1"),
           col("doc_id"), col("text"), 2)
+      // q72 cost diagnosis: stage volumes + df distribution of the probe
+      case "cs_diag" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        val sh = DedupOps.shingleHashes(docs, col("doc_id"), col("text"), 2)
+        println(s"[diag] docs=${docs.count()} sh=${sh.count()}")
+        val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        docFreq.select(min("df"), expr("percentile(df, 0.5)"),
+          expr("percentile(df, 0.99)"), max("df")).show()
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val bk = sh
+          .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+          .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(16)).cast("long"))
+          .where(col("_rk") <= 16)
+          .select(col("doc_id"), col("h"), col("_ns"))
+        println(s"[diag] bk=${bk.count()}")
+        val probed = bk.join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
+          .where(col("doc_id") =!= col("doc_b"))
+        println(s"[diag] probe-join output=${probed.count()}")
+        val pairs = probed.groupBy(col("doc_id"), col("doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        println(s"[diag] distinct pairs=${pairs.count()}")
+        pairs.groupBy("n_hits").count().orderBy("n_hits").show(20)
+        pairs.limit(1)
+      // r8 shape WITHOUT the df-cap anti-join: isolates the hot-pipeline cost
+      case "cs_r8_nohot" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val sh = DedupOps.shingleHashes(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2).repartition(col("doc_id"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val bk = sh
+          .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+          .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(16)).cast("long"))
+          .where(col("_rk") <= 16)
+          .select(col("doc_id"), col("h"), col("_ns"))
+        sh.withColumnRenamed("doc_id", "doc_b")
+          .join(broadcast(bk), "h")
+          .where(col("doc_id") =!= col("doc_b"))
+          .groupBy(col("doc_id"), col("doc_b"))
+          .agg(count(lit(1)).as("n_hits"), max(col("_ns")).as("n_sketch"))
+          .withColumn("containment_est",
+            col("n_hits").cast("double") / col("n_sketch").cast("double"))
+          .where(col("containment_est") >= 0.6)
+          .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
+            col("n_sketch"), col("containment_est"))
+      // probe join with a TRIVIAL aggregate: isolates join-production cost
+      // from the 14M-key pair aggregate
+      case "cs_r8_scan" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val sh = DedupOps.shingleHashes(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2).repartition(col("doc_id"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val bk = sh
+          .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+          .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(16)).cast("long"))
+          .where(col("_rk") <= 16)
+          .select(col("doc_id"), col("h"), col("_ns"))
+        sh.withColumnRenamed("doc_id", "doc_b")
+          .join(broadcast(bk), "h")
+          .where(col("doc_id") =!= col("doc_b"))
+          .groupBy(col("doc_b")).agg(count(lit(1)).as("n"))
+      // df cap engaging on a synthetic hot-shingle corpus: sf0.1 docs with
+      // a 50-token boilerplate sentence appended to EVERY doc (so ~50
+      // shingles at df = 5000). Uncapped, each of those adds up to 5000
+      // probe hits per sketch that sampled it; capped at 1000 they leave
+      // the universe. Compare cs_hot_uncapped vs cs_hot_capped.
+      case "cs_hot_capped" | "cs_hot_uncapped" =>
+        val boiler = (0 until 50).map(i => s"zq$i").mkString(" ")
+        val hotDocs = Tables.documents(spark, "/root/testdata/sf0.1")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" " + boiler)).as("text"))
+        val cap = if (scenario == "cs_hot_capped") 1000L
+                  else graft.operators.DedupOps.MaxPostingDf
+        graft.operators.DedupOps.containmentSketchPairs(
+          hotDocs, col("doc_id"), col("text"), 2, 16, 0.6, maxDf = cap)
+      // parity: the r8 shape (df cap + pinned-partition broadcast probe)
+      // must emit exactly the r7 rows on the bench corpus
+      case "cs_parity" =>
+        import graft.operators.DedupOps
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        val sh = DedupOps.shingleHashes(docs, col("doc_id"), col("text"), 2)
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val bk = sh
+          .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+          .withColumn("_ns", least(count(lit(1)).over(wDoc), lit(16)).cast("long"))
+          .where(col("_rk") <= 16)
+          .select(col("doc_id"), col("h"), col("_ns"))
+        val old = bk.join(sh.withColumnRenamed("doc_id", "doc_b"), "h")
+          .where(col("doc_id") =!= col("doc_b"))
+          .groupBy(col("doc_id"), col("doc_b"))
+          .agg(count(lit(1)).as("n_hits"), max(col("_ns")).as("n_sketch"))
+          .withColumn("containment_est",
+            col("n_hits").cast("double") / col("n_sketch").cast("double"))
+          .where(col("containment_est") >= 0.6)
+          .select(col("doc_id").as("doc_a"), col("doc_b"), col("n_hits"),
+            col("n_sketch"), col("containment_est"))
+        val nw = DedupOps.containmentSketchPairs(
+          docs, col("doc_id"), col("text"), 2, 16, 0.6)
+        val diff = old.exceptAll(nw).count() + nw.exceptAll(old).count()
+        println(s"[microbench] cs_parity diff rows: $diff (old=${old.count()} new=${nw.count()})")
+        require(diff == 0, s"r8 containment sketch output differs: $diff rows")
+        nw.limit(1)
+      case "cs_explain" =>
+        val df = graft.operators.DedupOps.containmentSketchPairs(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2, 16, 0.6)
+        df.explain("formatted")
+        df.limit(1)
       case "cs_q72_now" =>
         graft.operators.DedupOps.containmentSketchPairs(
           Tables.documents(spark, "/root/testdata/sf0.1"),

@@ -750,6 +750,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est == exact, s"est=$est exact=$exact")
   }
 
+  test("containmentSketchPairs: df cap drops boilerplate shingles, flags them") {
+    // 20 docs sharing a universal 4-word boilerplate prefix plus a unique
+    // tail, and one genuine subset pair on RARE text. Uncapped, the three
+    // boilerplate shingles (df = 20) alone push every boilerplate doc pair
+    // to est 3/5 = 0.6 — the unbounded-fan-out pathology (O(n²) emitted
+    // pairs carrying zero containment signal). With maxDf below 20 the
+    // boilerplate shingles leave the universe on BOTH sides: only the real
+    // subset pair survives, and the dropped hashes are flagged.
+    val boiler = (0 until 20).map(i => (100L + i, s"b1 b2 b3 b4 u${i}a u${i}b"))
+    val d = (boiler ++ Seq((1L, "r1 r2 r3"), (2L, "r1 r2 r3 y1")))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.containmentSketchPairs(
+      d, col("doc_id"), col("text"), 2, 16, 0.6)
+    // every ordered boilerplate pair reaches the threshold: 20*19 of them
+    assert(uncapped.where(col("doc_a") >= 100L).count() == 380L)
+    val capped = DedupOps.containmentSketchPairs(
+      d, col("doc_id"), col("text"), 2, 16, 0.6, maxDf = 10L)
+      .select("doc_a", "doc_b", "containment_est")
+      .as[(Long, Long, Double)].collect()
+    assert(capped.forall(r => Set(r._1, r._2) == Set(1L, 2L)), s"${capped.toSeq}")
+    assert(capped.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0))
+    val hot = DedupOps.hotContainmentShingles(
+      d, col("doc_id"), col("text"), 2, maxDf = 10L)
+      .select("df").as[Long].collect()
+    assert(hot.toSeq == Seq(20L, 20L, 20L), s"${hot.toSeq}")
+    // cap above the corpus df range: identical to uncapped (the q72 mode)
+    val defCap = DedupOps.containmentSketchPairs(
+      d, col("doc_id"), col("text"), 2, 16, 0.6)
+    assert(defCap.exceptAll(uncapped).count() == 0 &&
+      uncapped.exceptAll(defCap).count() == 0)
+  }
+
+  test("containmentSketchPairs: shuffle-join escape hatch matches broadcast path") {
+    val out = DedupOps.containmentSketchPairs(
+      docs, col("doc_id"), col("text"), 2, 16, 0.3,
+      broadcastSketches = false)
+    val base = DedupOps.containmentSketchPairs(
+      docs, col("doc_id"), col("text"), 2, 16, 0.3)
+    assert(out.exceptAll(base).count() == 0 && base.exceptAll(out).count() == 0)
+    assert(base.count() > 0)
+  }
+
   test("semanticDedup: within-cell dominance keep-set, grid-split invariant") {
     // cell geometry: centroid 0 = +x, centroid 1 = +y; vecs 2,3 near +x
     // (near-dups of each other), vec 4 near +y, vec 5 zero (NULL cosine ->
