@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -87,12 +87,48 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `|A ∩ B|` of two SORTED long arrays by a zero-allocation merge walk.
+  *
+  * `size(array_intersect(a, b))` is semantically identical on
+  * duplicate-free inputs, but Spark's ArrayIntersect materializes a hash
+  * set AND an output array per evaluation — when a containment/jaccard
+  * verify runs it millions of times over ~kB shingle arrays, that is
+  * gigabytes of transient garbage whose collection pauses are the
+  * dominant source of rep-to-rep variance (the q70 26.9 s outlier class).
+  * This walk allocates nothing and stays inside whole-stage codegen.
+  *
+  * PRECONDITION: both arrays ascending with non-null elements (the shape
+  * `sort_array(collect_list(h))` over distinct hashes produces — strictly
+  * increasing). On inputs WITH duplicates the walk counts multiset
+  * intersection size, which differs from array_intersect's distinct
+  * semantics — keep inputs distinct. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashExpressions.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashExpressions.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   val FnName = "poly_hash"
   val ShingleFnName = "shingle_hashes"
+  val IntersectFnName = "sorted_intersect_count"
 
-  /** Idempotently register `poly_hash` and `shingle_hashes` in this
-    * session's function registry. */
+  /** Idempotently register `poly_hash`, `shingle_hashes` and
+    * `sorted_intersect_count` in this session's function registry. */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -101,6 +137,9 @@ object HashExpressions {
       ShingleFnName,
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      IntersectFnName,
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** Codegen'd polynomial string hash (see [[PolyHash]]); requires
@@ -111,6 +150,31 @@ object HashExpressions {
     * [[register]] on the session. */
   def shingleHashes(text: Column, w: Int): Column =
     call_function(ShingleFnName, text, org.apache.spark.sql.functions.lit(w))
+
+  /** Codegen'd merge-walk `|A ∩ B|` over two ASCENDING long-array columns
+    * (see [[SortedIntersectCount]]); requires [[register]] on the
+    * session. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(IntersectFnName, a, b)
+
+  /** Shared kernel for [[SortedIntersectCount]] (called from generated
+    * code): two-pointer walk over ascending arrays. */
+  def sortedIntersectCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
 
   /** Shared kernel for [[ShingleHashes]] (called from generated code):
     * word boundaries are the single-space positions (split-with-limit=-1

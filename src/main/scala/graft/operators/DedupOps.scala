@@ -423,15 +423,22 @@ object DedupOps {
     * long before a shingle array strains a row. */
   private def containmentVerify(cands: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
+    // Arrays are built SORTED once per doc so the per-pair count is a
+    // zero-allocation merge walk (sorted_intersect_count) instead of
+    // size(array_intersect(...)), whose per-evaluation hash set + output
+    // array made the verify the query's dominant allocator — GC-pause
+    // variance at millions of candidates (the q70 rep-spread class).
+    HashExpressions.register(sh.sparkSession)
     val arrs = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
     cands
       .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("_ha"),
         col("n").as("na")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("_hb"),
         col("n").as("nb")), "doc_b")
       .withColumn("n_common",
-        size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+        HashExpressions.sortedIntersectCount(col("_ha"), col("_hb")))
       .withColumn("containment_a",
         col("n_common").cast("double") / col("na").cast("double"))
       .withColumn("containment_b",
@@ -473,6 +480,14 @@ object DedupOps {
       w: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
+    // NOT pinned-pre-partitioned (unlike containmentSketchPairs): measured
+    // — a pinned exchange on `h` serving docFreq + both candidate-join
+    // sides pushed the isolated median 4.7 → 7.2 s, because here AQE's
+    // runtime choices (broadcasting the small probe side, coalescing the
+    // narrow pre-expansion stages) beat the hand-set shape. The expansion
+    // safety valve q72 needed is unnecessary: the candidate join's output
+    // flows straight into a map-side-combining distinct, not an
+    // exchange-free aggregate.
     val sh = shingleHashes(docs, id, text, w)
     val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))

@@ -215,6 +215,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    graft.functions.HashExpressions.register(spark)
+    val arrGen = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arrGen, arrGen), 60) ++
+      Seq((Nil, Nil), (List(1L), Nil), (List(1L, 2L), List(1L, 2L)))
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      graft.functions.HashExpressions
+        .sortedIntersectCount(col("a"), col("b")).as("nat"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(r => r._2 == r._3),
+      s"mismatches: ${out.filter(r => r._2 != r._3).take(3).toSeq}")
+  }
+
   test("sourceDivergence: KL is non-negative on random corpora (Gibbs)") {
     // Gibbs' inequality: KL(p ‖ q) >= 0 for any p, q — up to the
     // operator's 1e-6 per-word rounding, which can push a near-zero
