@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation run over the test corpus — the
@@ -16,36 +17,50 @@ import org.apache.spark.sql.functions._
   *   8. deterministic shuffle-and-shard of the final order
   *
   * Every stage is the same operator the oracle-backed queries gate; the
-  * demo only wires them together. Run:
-  * `sbt "runMain graft.operators.CurationDemo [sfDir]"`. */
+  * demo only wires them together — and the wiring itself is regression-
+  * gated: [[run]] returns the per-stage survivor counts, and
+  * CurationDemoSpec pins them as golden values at sf0.001, so a stage
+  * that silently stops dropping (or starts dropping everything) after a
+  * refactor fails CI even when every per-operator test still passes.
+  * Run: `sbt "runMain graft.operators.CurationDemo [sfDir]"`. */
 object CurationDemo {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = graft.GraftSession.builder("local[4]", 4).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+
+  /** Stage-by-stage survivor counts of the curation composition. */
+  final case class StageCounts(
+      corpus: Long, afterFunnel: Long, boilerplateDocs: Long,
+      spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
+      afterDecontamination: Long, afterMix: Long, nChunks: Long,
+      nShards: Long)
+
+  /** The full eight-stage composition; `verbose` adds the per-stage
+    * prints/shows the CLI demo displays. */
+  def run(spark: SparkSession, sfDir: String,
+      verbose: Boolean = false): StageCounts = {
+    def say(s: => String): Unit = if (verbose) println(s)
 
     val docs = graft.Tables.documents(spark, sfDir)
     val n0 = docs.count()
-    println(s"[curate] corpus: $n0 docs")
+    say(s"[curate] corpus: $n0 docs")
 
     // 1. quality funnel — one pass, cumulative survivor counts
-    TextOps.filterFunnel(docs, col("doc_id"), col("text")).show(truncate = false)
+    if (verbose)
+      TextOps.filterFunnel(docs, col("doc_id"), col("text")).show(truncate = false)
     val clean = docs.where(TextOps.funnelPredicates(col("text"))
       .map(_._2).reduce(_ && _))
     val n1 = clean.count()
-    println(s"[curate] after funnel: $n1 (${n0 - n1} dropped)")
+    say(s"[curate] after funnel: $n1 (${n0 - n1} dropped)")
 
     // 2. line-level boilerplate audit (drop-set from THIS corpus)
     val lineStats = TextOps.lineDedup(clean, col("doc_id"), col("text"), 3)
     val boiler = lineStats.where(col("n_kept") < col("n_lines")).count()
-    println(s"[curate] docs containing boilerplate lines: $boiler")
+    say(s"[curate] docs containing boilerplate lines: $boiler")
 
     // 3. repeated-span audit: passages doc-level dedup would keep
     val spans = TextOps.removeRepeatedSpans(clean, col("doc_id"), col("text"), 3, 5)
     val spanStats = spans.agg(
       sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_hit"),
       sum("n_removed").as("tokens_removed")).head()
-    println(s"[curate] repeated spans: ${spanStats.getLong(0)} docs affected, " +
+    say(s"[curate] repeated spans: ${spanStats.getLong(0)} docs affected, " +
       s"${spanStats.getLong(1)} tokens removable")
 
     // 4. near-dup clusters -> keep the best-quality member of each
@@ -60,21 +75,22 @@ object CurationDemo {
       .where(col("doc_id") =!= col("keep_id")).select("doc_id")
     val deduped = clean.join(dropDup, Seq("doc_id"), "left_anti")
     val n3 = deduped.count()
-    println(s"[curate] after near-dup keep-best: $n3 (${n1 - n3} dropped)")
+    say(s"[curate] after near-dup keep-best: $n3 (${n1 - n3} dropped)")
 
     // 5. decontamination: drop train-split docs overlapping the test split
     val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"), 2,
       minOverlap = 2, estimatedTestShingles = 1L << 16)
     val decon = deduped.join(leaky.select("doc_id"), Seq("doc_id"), "left_anti")
     val n4 = decon.count()
-    println(s"[curate] after decontamination: $n4 (${n3 - n4} train docs dropped)")
+    say(s"[curate] after decontamination: $n4 (${n3 - n4} train docs dropped)")
 
     // 6. mix to target source weights at a fixed token budget
     val weights = decon.select("source").distinct().collect()
       .map(_.getString(0) -> 1L).toMap
     val budget = 20000L
-    TextOps.corpusMix(decon, col("doc_id"), col("text"), col("source"),
-      weights, budget).orderBy("source").show(5, truncate = false)
+    if (verbose)
+      TextOps.corpusMix(decon, col("doc_id"), col("text"), col("source"),
+        weights, budget).orderBy("source").show(5, truncate = false)
     val thr = TextOps.mixThresholds(decon, col("doc_id"), col("text"),
       col("source"), weights, budget)
     val mixed = decon
@@ -83,20 +99,31 @@ object CurationDemo {
       .join(thr, "source").where(col("_bkt") < col("_thr"))
       .drop("_bkt", "_thr")
     val n5 = mixed.count()
-    println(s"[curate] after mixing to budget $budget: $n5")
+    say(s"[curate] after mixing to budget $budget: $n5")
 
     // 7. pack into fixed token-budget training chunks
     val packed = TextOps.packSequences(mixed, col("doc_id"), col("text"), 512L)
-    println(s"[curate] packed $n5 docs into ${packed.count()} chunks " +
-      "of <= 512 tokens")
-    packed.orderBy("chunk_id").show(5, truncate = false)
+    val nChunks = packed.count()
+    say(s"[curate] packed $n5 docs into $nChunks chunks of <= 512 tokens")
+    if (verbose) packed.orderBy("chunk_id").show(5, truncate = false)
 
     // 8. deterministic shuffle-and-shard: the order a training run reads
     val sharded = TextOps.shuffleShards(mixed, col("doc_id"), col("text"), 8)
-    sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
-      .orderBy("shard").show(8, truncate = false)
-    println(s"[curate] final corpus sharded 8 ways, reproducibly")
+    if (verbose)
+      sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard").show(8, truncate = false)
+    val nShards = sharded.select("shard").distinct().count()
+    say(s"[curate] final corpus sharded $nShards ways, reproducibly")
 
+    StageCounts(n0, n1, boiler, spanStats.getLong(0), spanStats.getLong(1),
+      n3, n4, n5, nChunks, nShards)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, sfDir, verbose = true)
     spark.stop()
   }
 }

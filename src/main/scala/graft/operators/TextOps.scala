@@ -391,14 +391,36 @@ object TextOps {
     * count separately), and the kept text's `clean_fingerprint` (NULL
     * when nothing survives, the [[lineDedup]] convention). */
   def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column, w: Int,
-      minSpanTokens: Int): DataFrame = {
+      minSpanTokens: Int): DataFrame =
+    removeSpansAgainst(docs, id, text, w, minSpanTokens,
+      repeatedShingleSet(docs, id, text, w))
+
+  /** The corpus-frequency duplicate-shingle set [[removeRepeatedSpans]]
+    * derives internally — one `h` column, every `w`-gram hash occurring
+    * ≥ 2 times across all document positions (within-doc repeats count).
+    * Exposed as the STATIC side of the streaming face
+    * ([[graft.streaming.Streaming.removeRepeatedSpansStream]]), the
+    * [[boilerplateLineSet]] convention: batch derives it from the corpus,
+    * ingest is handed the frozen set. */
+  def repeatedShingleSet(docs: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+        explode(hashes.shingleHashes(text, w)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2).select("h")
+  }
+
+  /** [[removeRepeatedSpans]] against an EXPLICIT duplicate-shingle set
+    * (the batch face derives `dupH` from the corpus itself). */
+  private def removeSpansAgainst(docs: DataFrame, id: Column, text: Column,
+      w: Int, minSpanTokens: Int, dupH: DataFrame): DataFrame = {
     val hashes = graft.functions.HashExpressions
     hashes.register(docs.sparkSession)
     val posSh = docs.select(id.as("doc_id"),
         posexplode(hashes.shingleHashes(text, w)).as(Seq("_p0", "h")))
       .select(col("doc_id"), (col("_p0") + 1).cast("long").as("i"), col("h"))
-    val dupH = posSh.groupBy("h").agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= 2).select("h")
     val runs = posSh.join(dupH, Seq("h"), "left_semi")
       .withColumn("_g", col("i") - row_number().over(
         Window.partitionBy("doc_id").orderBy("i")))

@@ -485,6 +485,66 @@ object Streaming {
           .as("contamination"))
   }
 
+  /** Streaming face of [[graft.operators.TextOps.removeRepeatedSpans]] —
+    * the ingest-time rewrite: every ARRIVING document has its repeated
+    * passages excised against the FIXED corpus-frequency duplicate-shingle
+    * set `dupH` (one `h` column —
+    * [[graft.operators.TextOps.repeatedShingleSet]] over the corpus; the
+    * batch face derives it inline, at ingest it is simply given — the
+    * [[decontaminateStream]] / [[lineDedupStream]] convention).
+    *
+    * Shape: row-local shingling, stream-static LEFT join against `dupH`
+    * (stateless), one watermarked per-minute aggregation that re-collects
+    * each doc's MATCHED positions, then a fully ROW-LOCAL rebuild. The
+    * batch face's gaps-and-islands runs through a window function, which
+    * streaming aggregations cannot host — but on the collected sorted
+    * position array the same runs are pure array algebra: run starts are
+    * positions whose predecessor is absent, run ends positions whose
+    * successor is absent, zipped into [a, min(end+w-1, n_tokens)]
+    * intervals, length-filtered, and applied with the batch face's exact
+    * indexed token filter. Output schema and semantics match the batch
+    * face row-for-row (StreamingSpec parity, incl. the no-span and
+    * all-removed fingerprint conventions). */
+  def removeRepeatedSpansStream(docs: DataFrame, dupH: DataFrame, w: Int,
+      minSpanTokens: Int, timeCol: String = "event_time"): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val pos = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("doc_id"), col("text"),
+        posexplode(hashes.shingleHashes(col("text"), w)).as(Seq("_p0", "h")))
+      .select(col("_t"), col("doc_id"), col("text"),
+        (col("_p0") + 1).cast("long").as("i"), col("h"))
+      .join(dupH.select(col("h"), lit(true).as("_hit")), Seq("h"), "left")
+    val agg = pos.groupBy(window(col("_t"), "1 minute"), col("doc_id"))
+      .agg(first(col("text")).as("_text"),
+        sort_array(collect_list(when(col("_hit"), col("i")))).as("_ps"))
+    val nTok = size(split(col("_text"), " ")).cast("long")
+    val ps = col("_ps")
+    // gaps-and-islands over the sorted matched positions, row-locally:
+    // element_at is 1-based, the lambda index 0-based, so the predecessor
+    // of the element at index i0 is element_at(ps, i0).
+    val starts = filter(ps, (p, i0) =>
+      (i0 === 0) || (element_at(ps, i0) =!= p - 1))
+    val ends = filter(ps, (p, i0) =>
+      (i0 === size(ps) - 1) || (element_at(ps, i0 + 2) =!= p + 1))
+    val ivs = filter(
+      zip_with(starts, ends, (a, e) =>
+        struct(a.as("a"), least(e + lit((w - 1).toLong), nTok).as("b"))),
+      v => v.getField("b") - v.getField("a") + 1 >= minSpanTokens)
+    val ws = split(col("_text"), " ")
+    val kept = filter(ws, (_, i0) => !exists(ivs,
+      v => i0 + 1 >= v.getField("a") && i0 + 1 <= v.getField("b")))
+    agg.select(
+      col("doc_id"), nTok.as("n_tokens"),
+      when(size(ivs) === 0, lit(0L))
+        .otherwise(nTok - size(kept)).as("n_removed"),
+      size(ivs).cast("long").as("n_spans"),
+      when(size(ivs) === 0, hashes.polyHash(col("_text")))
+        .when(size(kept) === 0, lit(null).cast("long"))
+        .otherwise(hashes.polyHash(concat_ws(" ", kept)))
+        .as("clean_fingerprint"))
+  }
+
   /** True id-dedup within the watermark horizon: repeats of `idCols` are
     * dropped regardless of their event time, as long as they arrive within
     * the watermark delay of the first occurrence — state is still evictable

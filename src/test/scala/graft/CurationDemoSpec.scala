@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.CurationDemo
+import graft.operators.CurationDemo.StageCounts
+
+/** Regression gate for the END-TO-END curation composition: every stage is
+  * individually oracle- or spec-gated, but only this pin catches a broken
+  * wire BETWEEN stages (a column rename between funnel and dedup, a join
+  * key drift between decontamination and mix) — those pass every
+  * per-operator test while silently changing what the pipeline drops.
+  *
+  * The golden values are the full stage-count vector at sf0.001; every
+  * stage is content-hash deterministic (no RNG, no time), so the vector
+  * is stable across runs, partitionings, and JVMs. When an INTENTIONAL
+  * semantics change shifts a count, re-run
+  * `sbt "runMain graft.operators.CurationDemo"` and update the pin in the
+  * same commit. */
+class CurationDemoSpec extends SparkSpec {
+
+  test("curation pipeline stage counts at sf0.001 match the golden vector") {
+    val got = CurationDemo.run(spark, sf)
+    val want = StageCounts(
+      corpus = 500L,
+      afterFunnel = 209L,
+      boilerplateDocs = 0L, // sf corpus has no newlines; lineDedup is
+                            // natively gated by LineDedupSpec's fixture
+      spanDocsHit = 147L,
+      spanTokensRemovable = 1626L,
+      afterKeepBest = 196L,
+      afterDecontamination = 36L,
+      afterMix = 36L,
+      nChunks = 5L,
+      nShards = 8L)
+    assert(got == want,
+      s"stage-count vector drifted:\n  got  $got\n  want $want")
+  }
+}

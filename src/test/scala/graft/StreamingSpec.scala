@@ -248,6 +248,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("removeRepeatedSpansStream matches batch removeRepeatedSpans per doc") {
+    import graft.operators.TextOps
+    val banner = "all rights reserved by the original publisher"
+    val rows = Seq(
+      (1L, s"intro words here $banner closing remark",
+        sec("2021-03-09 14:15:00", 1)),
+      (2L, s"different opening text $banner and a tail",
+        sec("2021-03-09 14:15:00", 20)),
+      (3L, "rep a b rep a b rep a b end", sec("2021-03-09 14:16:00", 5)),
+      (4L, "wholly unique document content nothing repeats here",
+        sec("2021-03-09 14:16:00", 10)),
+      (5L, "verbatim copy zz yy xx ww", sec("2021-03-09 14:16:00", 30)),
+      (6L, "verbatim copy zz yy xx ww", sec("2021-03-09 14:16:00", 40)))
+    val corpus = rows.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val dupH = TextOps.repeatedShingleSet(
+      corpus, col("doc_id"), col("text"), 3)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.removeRepeatedSpansStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), dupH, 3, 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spans1").start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      in.addData((9L, "closer", sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      def keyed(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+      val streamed = keyed(spark.table("spans1")
+        .where(col("doc_id") < 9).collect())
+      val batch = keyed(TextOps.removeRepeatedSpans(
+        corpus, col("doc_id"), col("text"), 3, 5).collect())
+      // the fixture exercises no-span, cross-doc, self-repeat, all-removed
+      assert(batch(4L)._2 == 0L && batch(5L)._4.isEmpty)
+      assert(streamed == batch,
+        "streamed per-minute rows must equal the batch face per doc")
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream keep-set equals batch incrementalDedup") {
     import graft.operators.DedupOps
     val corpus = Seq(
