@@ -135,8 +135,21 @@ object HashExpressions {
       FnName, exprs => PolyHash(exprs.head), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShingleFnName,
-      exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      exprs => {
+        // the width is folded into the generated code, so it must be a
+        // non-null literal — guard BEFORE eval() so a SQL caller passing a
+        // column or NULL gets an analysis error naming the requirement
+        // instead of an opaque NPE/ClassCastException at plan time
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$ShingleFnName(text, w): width argument must be $what"))
+        if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
+        if (!exprs(1).foldable) throw bad("a foldable integer literal")
+        val w = exprs(1).eval()
+        if (w == null) throw bad("non-null")
+        if (!w.isInstanceOf[Number]) throw bad("an integer")
+        ShingleHashes(exprs.head, w.asInstanceOf[Number].intValue())
+      }, "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       IntersectFnName,
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")

@@ -285,7 +285,14 @@ object TextOps {
     * as the q70 persist experiment).
     *
     * The split is a pure function of the text ([[hashSplit]]'s bucket), so
-    * both branches compute it row-locally — no (doc_id → split) join. */
+    * both branches compute it row-locally — no (doc_id → split) join.
+    *
+    * NOTE: with the prune enabled this method runs an EAGER job at
+    * DataFrame-construction time (the filter build's `head()` — the same
+    * materialize-then-inline shape Catalyst's InjectRuntimeFilter gives
+    * its build side); an empty test split is detected there (the
+    * aggregate returns a NULL filter) and short-circuits to an empty
+    * result explicitly — nothing can overlap an empty held-out set. */
   def decontaminate(docs: DataFrame, id: Column, text: Column, w: Int,
       minOverlap: Int = 1, trainPct: Int = 80, valPct: Int = 10,
       bloomBitsPerItem: Int = 8,
@@ -319,8 +326,15 @@ object TextOps {
           .head().getAs[Array[Byte]](0) // one row, filter-sized — the same
         // materialize-then-inline shape Catalyst's InjectRuntimeFilter
         // produces for its build side
-        train.where(graft.functions.BloomFunctions
-          .mightContain(col("h"), lit(bf)))
+        if (bf == null)
+          // the aggregate saw zero rows: the test split is EMPTY, so no
+          // train doc can overlap it — short-circuit rather than letting
+          // a NULL literal null-propagate through the filter (same rows,
+          // but implicit and it would still scan the train side)
+          train.limit(0)
+        else
+          train.where(graft.functions.BloomFunctions
+            .mightContain(col("h"), lit(bf)))
       }
     pruned.join(testH, Seq("h"), "left_semi")
       .groupBy("doc_id")
@@ -345,14 +359,20 @@ object TextOps {
     * Plan shape: one exchange on `shard` + an in-partition sort for
     * `row_number` — parallelism = `nShards`, which at corpus scale is the
     * number of output files (large); never a global single-partition
-    * sort. */
+    * sort.
+    *
+    * All modular steps use `pmod`, so the key stays in [0, P) for ANY
+    * `doc_id` sign — a negative id under plain `%` would give a negative
+    * order key on the Spark side while an engine whose `%` follows the
+    * dividend sign (DuckDB, Java) diverges; the q80 oracle mirrors the
+    * same non-negative arithmetic. */
   def shuffleShards(docs: DataFrame, id: Column, text: Column,
       nShards: Int): DataFrame = {
     val hashes = graft.functions.HashExpressions
     hashes.register(docs.sparkSession)
     val P = graft.functions.TextHash.P
-    val mixed = (hashes.polyHash(text) * lit(31L) + id) % lit(P)
-    val orderKey = (mixed * lit(2654435761L)) % lit(P)
+    val mixed = pmod(hashes.polyHash(text) * lit(31L) + id, lit(P))
+    val orderKey = pmod(mixed * lit(2654435761L), lit(P))
     docs.select(id.as("doc_id"), orderKey.as("_k"))
       .withColumn("shard", pmod(col("_k"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(

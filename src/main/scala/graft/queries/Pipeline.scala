@@ -1170,8 +1170,8 @@ object Pipeline {
        |  CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
        |    AS BIGINT) AS pos
        |FROM (SELECT doc_id,
-       |    (((${polyHashSql("text")} * 31 + doc_id) % $P) * 2654435761) % $P
-       |      AS k
+       |    ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
+       |      * 2654435761) % $P AS k
        |  FROM documents) t""".stripMargin)
 
   /** Repeated-span removal ([[TextOps.removeRepeatedSpans]]): excise every

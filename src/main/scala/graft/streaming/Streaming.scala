@@ -436,7 +436,15 @@ object Streaming {
     * Out-of-vocabulary tokens have no reference surprisal to price them:
     * they are COUNTED (`n_oov`), excluded from the entropy — on a stream
     * drawn from the reference distribution the face equals batch
-    * [[graft.operators.TextOps.lmScore]] exactly (StreamingSpec). */
+    * [[graft.operators.TextOps.lmScore]] exactly (StreamingSpec).
+    *
+    * A document whose EVERY token is out-of-vocabulary therefore surfaces
+    * as `n_tokens = 0`, `n_oov` = its length, `cross_entropy` NULL (0/0)
+    * — deliberately emitted, not filtered: an all-OOV doc is the most
+    * anomalous input a quality gate can see, and NULL-entropy +
+    * `n_oov > 0` is the downstream drop signal (gate on
+    * `cross_entropy IS NULL OR n_oov/(n_tokens+n_oov) > cap`, not on the
+    * entropy alone). Pinned by StreamingSpec. */
   def lmScoreStream(docs: DataFrame, surprisals: DataFrame,
       timeCol: String = "event_time"): DataFrame = {
     val words = docs.withWatermark(timeCol, WatermarkDelay)

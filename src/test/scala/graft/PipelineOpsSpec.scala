@@ -937,6 +937,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(base.nonEmpty && tiny == base && sized == base)
   }
 
+  test("decontaminate with an EMPTY test split returns empty, explicitly") {
+    // keep only docs whose content hash lands below the test bucket — the
+    // split is a pure function of the text, so this empties the test side;
+    // the NULL bloom aggregate must short-circuit, not null-propagate
+    graft.functions.HashExpressions.register(spark)
+    val noTest = contamCorpus.where(pmod(
+      graft.functions.HashExpressions.polyHash(col("text")), lit(100)) < 90)
+    assert(noTest.count() > 0)
+    val out = TextOps.decontaminate(noTest, col("doc_id"), col("text"), 2)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_shingles", "n_in_test", "contamination"))
+  }
+
   test("removeRepeatedSpans excises cross-doc and self-repeated passages") {
     val banner = "all rights reserved by the original publisher" // 7 words
     val d = Seq(
@@ -995,5 +1009,19 @@ class PipelineOpsSpec extends SparkSpec {
     val again = TextOps.shuffleShards(d, col("doc_id"), col("text"), 8)
       .as[(Long, Long, Long)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("shuffleShards: negative doc_ids still land in [0, nShards) with dense positions") {
+    // pmod keeps the order key non-negative for any id sign, so an engine
+    // whose % follows the dividend (DuckDB, Java) computes the same shard
+    val d = (-50 until 50).map(i => (i.toLong, s"signed id doc $i"))
+      .toDF("doc_id", "text")
+    val out = TextOps.shuffleShards(d, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 100)
+    assert(out.forall(r => r._2 >= 0L && r._2 < 4L && r._3 >= 1L))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
   }
 }

@@ -31,6 +31,24 @@ class SqlApiSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("shingle_hashes width argument: clean analysis errors, not plan-time NPEs") {
+    graft.functions.HashExpressions.register(spark)
+    // sane call still works through SQL
+    val ok = spark.sql("SELECT shingle_hashes('a b c', 2) AS hs")
+      .select(size(col("hs"))).as[Int].head()
+    assert(ok == 2)
+    // NULL width: foldable but null -> named analysis error
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_hashes('a b c', NULL)")
+    }
+    assert(eNull.getMessage.contains("shingle_hashes"))
+    // non-foldable width (a column reference) -> named analysis error
+    val eCol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_hashes(c, i) FROM VALUES ('a b', 2) AS t(c, i)")
+    }
+    assert(eCol.getMessage.contains("foldable"))
+  }
+
   test("ORC roundtrip preserves the telemetry lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val t = graft.ztbus.Fixtures.telemetry(seconds = 120).toDF()

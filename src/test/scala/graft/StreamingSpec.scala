@@ -152,23 +152,28 @@ class StreamingSpec extends SparkSpec {
       in.addData(
         (3L, "y words x q common", sec("2021-03-09 14:16:00", 10)),
         // one word the reference has never seen: counted, not scored
-        (4L, "x y zzz_oov", sec("2021-03-09 14:16:00", 20)))
+        (4L, "x y zzz_oov", sec("2021-03-09 14:16:00", 20)),
+        // EVERY token unseen: emitted with NULL entropy, not filtered
+        (5L, "zzz_oov qqq_oov", sec("2021-03-09 14:16:00", 25)))
       q.processAllAvailable()
       // closer: advances the watermark so the minute windows finalize
       in.addData((99L, "x", sec("2021-03-09 14:15:00", 4000)))
       q.processAllAvailable()
-      val got = spark.table("lmsc1")
-        .as[(Long, Long, Long, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val got = spark.table("lmsc1").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
       val batch = TextOps.lmScore(corpus, col("doc_id"), col("text"))
         .as[(Long, Long, Double)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       Seq(1L, 2L, 3L).foreach { d =>
-        assert(got(d) == ((batch(d)._1, 0L, batch(d)._2)),
+        assert(got(d) == ((batch(d)._1, 0L, Some(batch(d)._2))),
           s"doc $d: stream ${got(d)} vs batch ${batch(d)}")
       }
       assert(got(4L)._1 == 2L && got(4L)._2 == 1L,
         "OOV token must be counted apart, in-vocab tokens scored")
+      // the all-OOV doc is the documented anomaly signal: zero scored
+      // tokens, every token counted OOV, NULL cross-entropy
+      assert(got(5L) == ((0L, 2L, None)), s"all-OOV row: ${got(5L)}")
     } finally q.stop()
   }
 
