@@ -279,6 +279,26 @@ object SimilarityOps {
         coalesce(col("_drop"), lit(false)).unary_!.as("kept"))
   }
 
+  /** Recall of an approximate top-k result against its exact baseline —
+    * one summary row `(method, n_truth, n_hits, recall)`: the fraction of
+    * the TRUE (query, neighbor) pairs the approximate method recovered.
+    * Both inputs are any frames with `query_id`/`neighbor_id` columns
+    * (the shared top-k output shape), so it composes over
+    * [[bruteForceTopK]] vs [[lshTopK]]/[[ivfTopK]] at any k/nProbe.
+    * Deterministic for deterministic inputs — registered as q82's
+    * recall floor, so an ANN recall regression surfaces in the
+    * CORRECTNESS artifact (dropped row), not only in sbt. */
+  def annRecall(truth: DataFrame, approx: DataFrame,
+      method: String): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth").cast("double"),
+          6).as("recall"))
+
   /** Sign-LSH bucketed top-k: queries only compare against corpus vectors in
     * the same bucket. Approximate (recall < 1), ~2^nBits cheaper. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,

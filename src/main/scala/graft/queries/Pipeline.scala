@@ -1216,9 +1216,55 @@ object Pipeline {
        |FROM words w3
        |LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)""".stripMargin)
 
+  /** ANN recall floor (q82): each approximate method's recall@k vs the
+    * brute-force truth must clear this, or its summary row disappears and
+    * the driver's rows-only check flags the regression. A COLLAPSE
+    * detector, not a quality bar: set below every measured value across
+    * sf dirs (the q82 scaladoc), because recall varies with data shape —
+    * what it catches is the realistic regression mode, a broken bucket
+    * key / centroid assignment sending a method's recall to ~0. */
+  private val AnnRecallFloor = 0.05
+
+  /** ANN recall-at-k report ([[SimilarityOps.annRecall]]): one row per
+    * approximate method (sign-LSH, IVF-fixed, IVF-learned nprobe=2) with
+    * its recall against the shared brute-force truth at k = LSH_K — the
+    * PipelineOpsSpec recall measurement promoted to a registered artifact
+    * (r7 verdict item 7). No SQL oracle — learnCentroids (k-means) isn't
+    * SQL-expressible (q48 contract); the rows-only check is made
+    * regression-SENSITIVE by the [[AnnRecallFloor]] filter: 3 rows while
+    * every method clears the floor, fewer the moment one collapses.
+    * Measured (MicroBench ann_recall_all): lsh 0.10/0.20/0.07,
+    * ivf_fixed 0.87/0.83/0.80, ivf_learned 0.57/0.57/0.57 at
+    * sf0.001/0.01/0.1 — single-table 4-bit sign-LSH recall is honestly
+    * low (the q37 operator's documented trade); IVF-learned trails
+    * IVF-fixed HERE because the vec_id<10 queries overlap the fixed
+    * vec_id<8 centroid set (in-sample bias) — out-of-sample the learned
+    * quantizer wins, measured in PipelineOpsSpec's recall@k test. */
+  private val q82 = QueryDef(
+    "q82_ann_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+      def id = col("vec_id")
+      def v = col("embedding")
+      val truth = SimilarityOps.bruteForceTopK(emb, queries, id, v, LSH_K)
+      val lsh = SimilarityOps.lshTopK(emb, queries, id, v, LSH_BITS, LSH_K)
+      val ivfFixed = SimilarityOps.ivfTopK(
+        emb, queries, emb.where(col("vec_id") < 8), id, v, LSH_K)
+      val ivfLearned = SimilarityOps.ivfTopK(
+        emb, queries,
+        SimilarityOps.learnCentroids(emb, v, 8, "vec_id", "embedding"),
+        id, v, LSH_K, nProbe = 2)
+      SimilarityOps.annRecall(truth, lsh, "lsh")
+        .unionAll(SimilarityOps.annRecall(truth, ivfFixed, "ivf_fixed"))
+        .unionAll(SimilarityOps.annRecall(truth, ivfLearned, "ivf_learned"))
+        .where(col("recall") >= AnnRecallFloor)
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81)
+    q74, q78, q79, q80, q81, q82)
 }

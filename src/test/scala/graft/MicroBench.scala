@@ -360,6 +360,28 @@ object MicroBench {
       // shingles at df = 5000). Uncapped, each of those adds up to 5000
       // probe hits per sketch that sampled it; capped at 1000 they leave
       // the universe. Compare cs_hot_uncapped vs cs_hot_capped.
+      case "ann_recall_all" =>
+        import graft.operators.SimilarityOps
+        for (sfd <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+          val emb = Tables.embeddings(spark, s"/root/testdata/$sfd")
+          val queries = emb.where(col("vec_id") < 10)
+          def id = col("vec_id")
+          def v = col("embedding")
+          val truth = SimilarityOps.bruteForceTopK(emb, queries, id, v, 3)
+          val lsh = SimilarityOps.lshTopK(emb, queries, id, v, 4, 3)
+          val ivfF = SimilarityOps.ivfTopK(
+            emb, queries, emb.where(col("vec_id") < 8), id, v, 3)
+          val ivfL = SimilarityOps.ivfTopK(emb, queries,
+            SimilarityOps.learnCentroids(emb, v, 8, "vec_id", "embedding"),
+            id, v, 3, nProbe = 2)
+          val rep = SimilarityOps.annRecall(truth, lsh, "lsh")
+            .unionAll(SimilarityOps.annRecall(truth, ivfF, "ivf_fixed"))
+            .unionAll(SimilarityOps.annRecall(truth, ivfL, "ivf_learned"))
+            .collect()
+          println(s"[ann_recall] $sfd: " + rep.map(r =>
+            s"${r.getString(0)}=${r.getDouble(3)}").mkString(" "))
+        }
+        Tables.embeddings(spark, "/root/testdata/sf0.001").limit(1)
       case "cs_hot_capped" | "cs_hot_uncapped" =>
         val boiler = (0 until 50).map(i => s"zq$i").mkString(" ")
         val hotDocs = Tables.documents(spark, "/root/testdata/sf0.1")

@@ -240,6 +240,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"a redaction pre-screen must be case-insensitive: ${out(5L)}")
   }
 
+  test("annRecall report: pinned per-method recalls at sf0.001 (q82 shape)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val truth = SimilarityOps.bruteForceTopK(
+      emb, queries, col("vec_id"), col("embedding"), 3)
+    val lsh = SimilarityOps.lshTopK(
+      emb, queries, col("vec_id"), col("embedding"), 4, 3)
+    val ivfF = SimilarityOps.ivfTopK(
+      emb, queries, emb.where(col("vec_id") < 8),
+      col("vec_id"), col("embedding"), 3)
+    val ivfL = SimilarityOps.ivfTopK(emb, queries,
+      SimilarityOps.learnCentroids(emb, col("embedding"), 8, "vec_id", "embedding"),
+      col("vec_id"), col("embedding"), 3, nProbe = 2)
+    val rep = SimilarityOps.annRecall(truth, lsh, "lsh")
+      .unionAll(SimilarityOps.annRecall(truth, ivfF, "ivf_fixed"))
+      .unionAll(SimilarityOps.annRecall(truth, ivfL, "ivf_learned"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // golden values: deterministic hashes, centroids, and tie-breaks.
+    // An intentional ANN change that shifts these must update the pin
+    // (and re-check the q82 floor) in the same commit.
+    assert(rep("lsh") == ((30L, 3L, 0.1)))
+    assert(rep("ivf_fixed") == ((30L, 26L, 0.866667)))
+    assert(rep("ivf_learned") == ((30L, 17L, 0.566667)))
+  }
+
   test("learned IVF centroids: recall@k vs the fixed-sample quantizer") {
     // OUT-OF-SAMPLE queries: with queries drawn from the centroid sample
     // (q43's vec_id<10 vs vec_id<8) each query sits at its own cell center
