@@ -358,9 +358,18 @@ object DedupOps {
 
   /** Exact Jaccard verification restricted to LSH candidate pairs — the
     * scale architecture: discovery via [[lshCandidatePairs]] (cost
-    * Σ bucket²), exact verification only on the (small) candidate set. The
-    * candidate list is broadcast-joined against the shingle postings, so
-    * the quadratic shingle self-join never materializes. */
+    * Σ bucket²), exact verification only on the (small) candidate set.
+    *
+    * The verify is ONE ROW PER PAIR (the [[containmentVerify]] shape, r8):
+    * per-doc sorted shingle arrays joined onto the broadcast candidate
+    * list, `n_common` via the zero-allocation `sorted_intersect_count`
+    * merge walk. The previous postings-join shape (candidates × both
+    * docs' shingle streams, then a pair count) multiplies every candidate
+    * by its shingle count BEFORE counting — a wash at sf0.1 (1.29 vs
+    * 1.22 s, jacc_now/jacc_arr, identical 240 rows) where LSH yields few
+    * candidates, but the array form's verify volume is |cands| rows
+    * instead of Σ_cands(|A|+|B|) on the candidate-heavy corpora where the
+    * verify is the bottleneck (q70's measured 38 → 8 s lesson). */
   def jaccardOnCandidates(docs: DataFrame, id: Column, text: Column, w: Int,
       threshold: Double): DataFrame = {
     // The shingle pipeline feeds both diamond branches (signatures for
@@ -368,15 +377,24 @@ object DedupOps {
     // measured (DECISIONS.md) — a DISK_ONLY persist of the postings wins
     // 2.3 s vs 4.5 s at sf0.1 but is a wash at 10× docs (17.2 vs 17.4 s),
     // so the declarative recompute stays (no cache lifecycle in the plan).
+    HashExpressions.register(docs.sparkSession)
     val cands = lshCandidatePairs(minhashSignatures(docs, id, text, w))
     val sh = shingleHashes(docs, id, text, w)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cands)
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    jaccardFromIntersections(inter, sizes, threshold)
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+    broadcast(cands)
+      .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("_ha"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("_hb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("n_common",
+        HashExpressions.sortedIntersectCount(col("_ha"), col("_hb")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
   /** Shingle CONTAINMENT on LSH candidates — the asymmetric companion to
@@ -627,6 +645,96 @@ object DedupOps {
     shingleHashes(docs, id, text, w)
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
+
+  /** Directional containment estimates from COORDINATED bottom-k sketches
+    * — sketch-vs-sketch, no postings pass (Cohen & Kaplan's coordinated
+    * sampling; Beyer et al.'s bottom-k union trick): because every doc's
+    * sketch uses the SAME hash order, the bottom-k of
+    * `bottomK(A) ∪ bottomK(B)` IS the bottom-k sample V of A ∪ B, and
+    * membership of each sampled element in A and B is readable from the
+    * two sketches alone:
+    *
+    *   `containment_est(A→B) = |V ∩ S(A) ∩ S(B)| / |V ∩ S(A)|`
+    *
+    * Where [[containmentSketchPairs]] probes the sketch against the FULL
+    * postings (a second pass over the corpus, probe cost Σ k·df), this
+    * needs ONLY the k-row-per-doc sketch table on both sides — the shape
+    * for a persisted sketch INDEX: estimate containment between corpus
+    * snapshots, or ingest-vs-corpus, without touching the corpus again.
+    * The price is discovery recall: a pair is a candidate only when the
+    * two SKETCHES collide (for A ⊂ B with |B| ≫ k·|A| the sample of B may
+    * miss all of A — the full-postings probe keeps exact discovery for
+    * subset pairs, which is why q72 keeps it); estimates remain EXACT
+    * whenever the union fits the sketch (|S(A) ∪ S(B)| ≤ k — tiny-doc
+    * pairs), hypergeometric-concentrated otherwise.
+    *
+    * One sketch self-join on the hash generates candidates (cost
+    * Σ_h sk_df(h)² — bounded by the df cap on the underlying shingle
+    * universe, same `maxDf` drop-and-flag as q72), then the whole
+    * estimator is ROW-LOCAL array algebra over two ≤k-element arrays.
+    * An estimate is NULL when its denominator `|V ∩ S|` is below
+    * `minSupport` — a 1-element sample estimates containment as 0 or 1
+    * and nothing between, so un-floored output is dominated by
+    * spurious est=1.0 pairs (measured at sf0.1, k=16, T=0.6: 67 k pairs
+    * un-floored → 32 k at minSupport=3, vs 281 from q72's full-postings
+    * probe, 262 of which this estimator also finds — the excess is the
+    * k-sample's hypergeometric variance around sub-threshold true
+    * containments, the price of never re-reading the corpus; raise
+    * `minSupport`/`k` to tighten). A pair survives when either non-null
+    * direction clears `threshold`.
+    * Deterministic — engine-reproducible, and the q83 oracle replays it
+    * relationally in DuckDB. */
+  def coordinatedContainmentPairs(docs: DataFrame, id: Column, text: Column,
+      w: Int, k: Int, threshold: Double,
+      maxDf: Long = MaxPostingDf, minSupport: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    HashExpressions.register(docs.sparkSession)
+    val shAll = shingleHashes(docs, id, text, w)
+    val hot = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    val sh = shAll.join(hot.select("h"), Seq("h"), "left_anti")
+    val wDoc = Window.partitionBy(col("doc_id"))
+    // PINNED exchange (the q72 lesson): the sketch table is a few MB, but
+    // the self-join it feeds emits Σ_h sk_df(h)² candidate rows — globally
+    // small hash values sit in EVERY containing doc's bottom-k, so sk_df
+    // tracks df and candidates number in the millions on a no-rare-shingle
+    // corpus. AQE sizes the stage by the sketch bytes and would run that
+    // expansion near-serially.
+    val nPart = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val bk = sh
+      .withColumn("_rk", row_number().over(wDoc.orderBy(col("h"))))
+      .where(col("_rk") <= k)
+      .select(col("doc_id"), col("h"))
+      .repartition(nPart, col("h"))
+    val skArr = bk.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("sk"))
+    val cands = bk.join(bk.withColumnRenamed("doc_id", "doc_b"), "h")
+      .where(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    // The whole estimator is ONE native merge walk per pair
+    // (coordinated_sketch_stats) — the composable array formulation
+    // (union + sort + slice + 3 intersects, ~10 allocations/pair) measured
+    // 70 s at sf0.1 on the ~14 M-pair candidate set; the walk + the
+    // pinned parallelism bring it to the q72 cost band.
+    val est = cands
+      .join(skArr.select(col("doc_id").as("doc_a"), col("sk").as("_sa")), "doc_a")
+      .join(skArr.select(col("doc_id").as("doc_b"), col("sk").as("_sb")), "doc_b")
+      .withColumn("_cs",
+        HashExpressions.coordinatedSketchStats(col("_sa"), col("_sb"), k))
+      .select(col("doc_a"), col("doc_b"),
+        col("_cs.n_sample").as("n_sample"),
+        col("_cs.n_both").as("n_both"),
+        when(col("_cs.n_va") >= minSupport, col("_cs.n_both").cast("double") /
+          col("_cs.n_va").cast("double")).as("containment_ab_est"),
+        when(col("_cs.n_vb") >= minSupport, col("_cs.n_both").cast("double") /
+          col("_cs.n_vb").cast("double")).as("containment_ba_est"))
+    est.where(greatest(coalesce(col("containment_ab_est"), lit(-1.0)),
+        coalesce(col("containment_ba_est"), lit(-1.0))) >= threshold)
+  }
 
   /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide
     * signature split into 4 equal bands. */

@@ -1262,9 +1262,60 @@ object Pipeline {
     },
     None)
 
+  /** Coordinated bottom-k sketch-vs-sketch containment
+    * ([[DedupOps.coordinatedContainmentPairs]]) — the sketch-INDEX path:
+    * no postings pass, both sides are the k-row sketches (q72's suggested
+    * alternative estimator, measured side-by-side in MicroBench). Same
+    * k/threshold/cap as q72; deterministic, so the oracle replays the
+    * union-sample relationally. */
+  private val CoordMinSupport = 3
+  private val q83 = QueryDef(
+    "q83_containment_coordinated",
+    (s, d) => DedupOps.coordinatedContainmentPairs(
+      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W,
+      SketchK, SketchT, minSupport = CoordMinSupport),
+    s"""WITH $shingleCte,
+       |shf AS (SELECT s.doc_id, s.h FROM sh s JOIN (
+       |    SELECT h FROM sh GROUP BY h
+       |    HAVING count(*) <= ${DedupOps.MaxPostingDf}) ok ON ok.h = s.h),
+       |bk AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+       |    FROM shf) t
+       |  WHERE rk <= $SketchK),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |m AS (SELECT c.doc_a, c.doc_b, x.h,
+       |    max(CASE WHEN x.doc_id = c.doc_a THEN 1 ELSE 0 END) AS ina,
+       |    max(CASE WHEN x.doc_id = c.doc_b THEN 1 ELSE 0 END) AS inb
+       |  FROM cand c JOIN bk x ON x.doc_id IN (c.doc_a, c.doc_b)
+       |  GROUP BY 1, 2, 3),
+       |v AS (SELECT * FROM (SELECT m.*,
+       |    row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY h) AS rk
+       |  FROM m) r WHERE rk <= $SketchK),
+       |s AS (SELECT doc_a, doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_sample,
+       |    CAST(sum(ina * inb) AS BIGINT) AS n_both,
+       |    sum(ina) AS nva, sum(inb) AS nvb
+       |  FROM v GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_sample, n_both,
+       |  CASE WHEN nva >= $CoordMinSupport
+       |    THEN CAST(n_both AS DOUBLE) / CAST(nva AS DOUBLE) END
+       |    AS containment_ab_est,
+       |  CASE WHEN nvb >= $CoordMinSupport
+       |    THEN CAST(n_both AS DOUBLE) / CAST(nvb AS DOUBLE) END
+       |    AS containment_ba_est
+       |FROM s
+       |WHERE greatest(
+       |    coalesce(CASE WHEN nva >= $CoordMinSupport
+       |      THEN CAST(n_both AS DOUBLE) / CAST(nva AS DOUBLE) END, -1),
+       |    coalesce(CASE WHEN nvb >= $CoordMinSupport
+       |      THEN CAST(n_both AS DOUBLE) / CAST(nvb AS DOUBLE) END, -1))
+       |  >= $SketchT""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82)
+    q74, q78, q79, q80, q81, q82, q83)
 }

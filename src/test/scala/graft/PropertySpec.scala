@@ -233,6 +233,34 @@ class PropertySpec extends SparkSpec {
       s"mismatches: ${out.filter(r => r._2 != r._3).take(3).toSeq}")
   }
 
+  test("coordinated_sketch_stats equals the array-algebra formulation") {
+    graft.functions.HashExpressions.register(spark)
+    val arrGen = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-40L, 40L)))
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arrGen, arrGen), 60) ++
+      Seq((Nil, Nil), (List(1L), Nil), (List(1L, 2L, 3L), List(1L, 2L, 3L)))
+    for (k <- Seq(1, 4, 16)) {
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+      val cs = graft.functions.HashExpressions
+        .coordinatedSketchStats(col("a"), col("b"), k)
+      val v = slice(array_sort(array_union(col("a"), col("b"))), 1, k)
+      val out = df.select(col("id"),
+        cs.getField("n_sample").as("ns"), cs.getField("n_both").as("nb"),
+        cs.getField("n_va").as("va"), cs.getField("n_vb").as("vb"),
+        size(v).cast("long").as("rns"),
+        size(array_intersect(array_intersect(v, col("a")), col("b")))
+          .cast("long").as("rnb"),
+        size(array_intersect(v, col("a"))).cast("long").as("rva"),
+        size(array_intersect(v, col("b"))).cast("long").as("rvb"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      val bad = out.filter(r =>
+        (r._2, r._3, r._4, r._5) != ((r._6, r._7, r._8, r._9)))
+      assert(bad.isEmpty, s"k=$k mismatches: ${bad.take(3).toSeq}")
+    }
+  }
+
   test("sourceDivergence: KL is non-negative on random corpora (Gibbs)") {
     // Gibbs' inequality: KL(p ‖ q) >= 0 for any p, q — up to the
     // operator's 1e-6 per-word rounding, which can push a near-zero
