@@ -133,6 +133,27 @@ class PlanSpec extends SparkSpec {
       s"the bloom is a literal, not a joined side:\n$p")
   }
 
+  test("q72 sketch probe: pair aggregate sits directly on the broadcast join") {
+    // the r8 shape: the widest stream in the plan (probe-join output) must
+    // NEVER shuffle — the (doc_a, doc_b) hit-count aggregate's child chain
+    // reaches the BroadcastHashJoin with no Exchange in between (doc_b ⊂
+    // grouping keys is satisfied by the pinned postings partitioning). A
+    // regression reintroduces a 20M-row shuffle at sf0.1 (11 s, r7).
+    val p = plan("q72_containment_sketch")
+    val agg = """(?s)HashAggregate \((\d+)\)\s*\n\s*\+- HashAggregate \(\d+\)\s*\n\s*\+- Project \(\d+\)\s*\n\s*\+- BroadcastHashJoin""".r
+    assert(agg.findFirstIn(p).isDefined,
+      s"pair aggregate must sit exchange-free on the broadcast probe join:\n$p")
+  }
+
+  test("q83 coordinated sketches: estimator is row-local after the candidate distinct") {
+    val p = plan("q83_containment_coordinated")
+    assert(p.contains("coordinated_sketch_stats") ||
+      p.contains("CoordinatedSketchStats"),
+      s"native merge-walk expression expected in the plan:\n$p")
+    // candidate self-join must be a hash join on the sketch hash, never BNLJ
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in q83 plan:\n$p")
+  }
+
   test("no query plan contains a Python/Scala UDF or collect-based step") {
     SparkEntry.registry.foreach { q =>
       val p = q.spark(spark, sf).queryExecution

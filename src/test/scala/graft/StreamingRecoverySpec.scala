@@ -109,6 +109,53 @@ class StreamingRecoverySpec extends SparkSpec {
       "one session spanning both runs of the query, emitted exactly once")
   }
 
+  test("repeated-span stream merges one window's docs across a restart") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    val base = "2021-03-09 14:15:00"
+    val ckpt = Files.createTempDirectory("graft-spans-ckpt").toString
+    val out = Files.createTempDirectory("graft-spans-out").toString
+    val banner = "all rights reserved by the original publisher"
+    val rows = Seq(
+      (1L, s"intro words here $banner closing remark", sec(base, 1)),
+      (2L, s"different opening text $banner and a tail", sec(base, 20)),
+      (3L, "rep a b rep a b rep a b end", sec(base, 30)),
+      (4L, "wholly unique document content nothing repeats here", sec(base, 40)))
+    val corpus = rows.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val dupH = TextOps.repeatedShingleSet(corpus, col("doc_id"), col("text"), 3)
+    val in = MemoryStream[(Long, String, Timestamp)]
+
+    def start() = Streaming.removeRepeatedSpansStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), dupH, 3, 5)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // batch 1: two docs land in the 14:15 window, which stays OPEN (no
+    // watermark advance) — their aggregation state exists only in the
+    // checkpoint at stop time
+    val q1 = start()
+    in.addData(rows.take(2): _*); q1.processAllAvailable()
+    q1.stop()
+
+    // restart: the same window receives two MORE docs, then the closer
+    // finalizes it — every doc must emit exactly once with batch values
+    val q2 = start()
+    in.addData(rows.drop(2): _*); q2.processAllAvailable()
+    in.addData((9L, "closer", sec(base, 4000))); q2.processAllAvailable()
+    q2.stop()
+
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    val streamed = keyed(spark.read.parquet(out)
+      .where(col("doc_id") < 9).collect())
+    val batch = keyed(TextOps.removeRepeatedSpans(
+      corpus, col("doc_id"), col("text"), 3, 5).collect())
+    assert(streamed == batch,
+      "window state recovered: per-doc rows equal the batch face, once each")
+  }
+
   test("chained-aggregation drift monitor merges window state across a restart") {
     import org.apache.spark.sql.functions.col
     val base = "2021-03-09 14:15:00"
