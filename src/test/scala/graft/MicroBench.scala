@@ -19,6 +19,19 @@ object MicroBench {
         explode(sequence(lit(0L), lit(9L))).as("_rep"))
       .select((col("doc_id") * 10 + col("_rep")).as("doc_id"), col("text"))
 
+  /** sf0.1 documents replicated 10× with CONTENT-DISJOINT replicas: every
+    * word carries its replica index, so each replica reproduces the
+    * original corpus's shingle-df distribution over fresh hashes — the
+    * shape of natural 10× growth (new content), where [[docs10x]] models
+    * 10× duplication (df ×10, quadratic true-pair volume). */
+  private def docs10xDistinct(spark: SparkSession): DataFrame =
+    Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(9L))).as("_rep"))
+      .select((col("doc_id") * 10 + col("_rep")).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit("r"), col("_rep"), w))).as("text"))
+
   /** The PRE-round-7 lmScore plan (every token occurrence shuffled on the
     * skewed word key) — kept as the measured-against baseline for the
     * Zipf-head broadcast now shipped in [[TextOps.lmScore]]. */
@@ -289,6 +302,21 @@ object MicroBench {
         graft.operators.DedupOps.minhashSignatures(
           Tables.documents(spark, "/root/testdata/sf0.1"),
           col("doc_id"), col("text"), 2)
+      // 10x-docs scaling posture of the r8 containment shapes. NOT the
+      // replicated docs10x fixture: replication multiplies every shingle's
+      // df by 10, so probe volume (Σ k·df) grows 100× AND the true pair
+      // set itself is quadratic (every copy pair IS a subset pair) — any
+      // correct algorithm is quadratic on that input. Content-disjoint
+      // replicas (per-replica word prefix) keep the df DISTRIBUTION of the
+      // original corpus, which is what natural 10× growth looks like;
+      // linear volumes → ~10× runtime is the pass criterion.
+      case "fixture_10x" => docs10xDistinct(spark)
+      case "cs_10x" =>
+        graft.operators.DedupOps.containmentSketchPairs(
+          docs10xDistinct(spark), col("doc_id"), col("text"), 2, 16, 0.6)
+      case "q83_coord_10x" =>
+        graft.operators.DedupOps.coordinatedContainmentPairs(
+          docs10xDistinct(spark), col("doc_id"), col("text"), 2, 16, 0.6)
       case "q83_coord" =>
         graft.operators.DedupOps.coordinatedContainmentPairs(
           Tables.documents(spark, "/root/testdata/sf0.1"),
