@@ -239,9 +239,18 @@ object SimilarityOps {
     * KEEP a duplicate, so oversized cells split rather than drop. Output:
     * (vec_id, cell, kept) for every corpus vector. `centroids` may be a
     * fixed deterministic sample (oracle-able) or [[learnCentroids]]. */
-  def semanticDedup(emb: DataFrame, centroids: DataFrame, id: Column,
-      vec: Column, threshold: Double,
-      cellTarget: Int = DedupOps.GridCell): DataFrame = {
+  /** Coarse-quantizer cell assignment of every vector — each row of `emb`
+    * mapped to its highest-cosine centroid (tie → smallest centroid id;
+    * all-NULL cosines, e.g. a zero vector, rank deterministically into the
+    * smallest id). Output `(vec_id, cell, _e, _nrm)` — the vector and its
+    * norm ride along so downstream cosine verifies need no re-join. This
+    * is [[semanticDedup]]'s first stage, exposed because a PRE-ASSIGNED
+    * corpus is the natural FROZEN static side of the incremental faces
+    * ([[incrementalSemanticDedup]] /
+    * [[graft.streaming.Streaming.semanticDedupStream]]) — cell geometry is
+    * corpus-global, which an ingest micro-batch cannot see. */
+  def assignCells(emb: DataFrame, centroids: DataFrame, id: Column,
+      vec: Column): DataFrame = {
     val cents = withNorm(centroids, id, vec, "cid")
     val v = withNorm(emb, id, vec, "vid")
     val scored = v.join(broadcast(cents), expr("true"))
@@ -251,9 +260,18 @@ object SimilarityOps {
             (col("vid_nrm") * col("cid_nrm")), 6)))
     val wc = Window.partitionBy(col("vid"))
       .orderBy(col("c_sim").desc, col("cid"))
-    val assigned = scored.withColumn("crk", row_number().over(wc))
+    scored.withColumn("crk", row_number().over(wc))
       .where(col("crk") === 1)
-      .select(col("vid"), col("vid_e"), col("vid_nrm"), col("cid").as("cell"))
+      .select(col("vid").as("vec_id"), col("cid").as("cell"),
+        col("vid_e").as("_e"), col("vid_nrm").as("_nrm"))
+  }
+
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, id: Column,
+      vec: Column, threshold: Double,
+      cellTarget: Int = DedupOps.GridCell): DataFrame = {
+    val assigned = assignCells(emb, centroids, id, vec)
+      .select(col("vec_id").as("vid"), col("_e").as("vid_e"),
+        col("_nrm").as("vid_nrm"), col("cell"))
     // within-cell pairs via the shared skew-safe grid join; vectors and
     // norms ride through as payload so the cosine verify runs inside the
     // join output with no re-join
@@ -277,6 +295,59 @@ object SimilarityOps {
     assigned.join(dropped, Seq("vid"), "left")
       .select(col("vid").as("vec_id"), col("cell"),
         coalesce(col("_drop"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** Row-local cell assignment against a COLLECTED centroid set — the
+    * streaming-legal form of [[assignCells]] (a stream cannot host the
+    * window function): each centroid contributes a `(sim, -cid)` struct
+    * candidate and `greatest` picks the winner, so the whole assignment
+    * is one stateless expression. Arithmetic mirrors [[assignCells]]
+    * exactly — same dot order, same norm fold, same `round(_, 6)`, same
+    * tie-break (equal sims → smallest centroid id; all-NULL sims → the
+    * struct comparison's nulls-first puts every scored candidate behind,
+    * leaving the smallest id) — so the two forms agree value-for-value
+    * (StreamingSpec parity). */
+  def cellExprFor(vec: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val vnrm = sqrt(VectorExpressions.floatDot(vec, vec))
+    val scored = cents.map { case (cid, ce) =>
+      val cnrm = math.sqrt(ce.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      struct(
+        when(vnrm * lit(cnrm) > 0,
+          round(VectorExpressions.floatDot(vec, typedLit(ce)) /
+            (vnrm * lit(cnrm)), 6)).as("sim"),
+        lit(-cid).as("nid"), lit(cid).as("cid"))
+    }
+    (if (scored.sizeIs == 1) scored.head else greatest(scored: _*))
+      .getField("cid")
+  }
+
+  /** Incremental semantic dedup — delta-vs-corpus, the embedding analog of
+    * [[DedupOps.incrementalDedup]]'s minhash screen: an ARRIVING vector is
+    * dropped when some CORPUS vector in its cell has cosine ≥ `threshold`
+    * to it. `corpusCells` is the PRE-ASSIGNED corpus ([[assignCells]]
+    * output, the frozen side — at ingest the corpus index is built once,
+    * not per batch); the delta is assigned against the same `centroids`
+    * and only same-cell pairs are compared (the SemDeDup cell-local
+    * quadratic, with the small delta side broadcast so the corpus never
+    * shuffles). Output `(vec_id, cell, kept)` for every DELTA vector —
+    * [[semanticDedup]]'s schema, so batch and incremental compose. */
+  def incrementalSemanticDedup(delta: DataFrame, corpusCells: DataFrame,
+      centroids: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val d = assignCells(delta, centroids, id, vec)
+    val hits = broadcast(d.select(col("vec_id").as("_did"), col("cell"),
+        col("_e").as("_de"), col("_nrm").as("_dn")))
+      .join(corpusCells, "cell")
+      .withColumn("_sim", when(col("_dn") * col("_nrm") > 0,
+        round(VectorExpressions.floatDot(col("_de"), col("_e")) /
+          (col("_dn") * col("_nrm")), 6)))
+      .where(col("_sim") >= threshold)
+      .select(col("_did").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    d.join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("kept"))
   }
 
   /** Recall of an approximate top-k result against its exact baseline —

@@ -1313,9 +1313,48 @@ object Pipeline {
        |      THEN CAST(n_both AS DOUBLE) / CAST(nvb AS DOUBLE) END, -1))
        |  >= $SketchT""".stripMargin)
 
+  /** Incremental semantic dedup ([[SimilarityOps.incrementalSemanticDedup]])
+    * — arriving vectors (vec_id % 5 = 0, the "delta") screened against the
+    * pre-assigned rest of the corpus under the q43 fixed centroid set.
+    * Oracle replays assignment + same-cell cosine screen relationally. */
+  private val q84 = QueryDef(
+    "q84_semantic_dedup_incremental",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+      SimilarityOps.incrementalSemanticDedup(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0),
+        SimilarityOps.assignCells(
+          emb.where(pmod(col("vec_id"), lit(5)) =!= 0), cents,
+          col("vec_id"), col("embedding")),
+        cents, col("vec_id"), col("embedding"), COSINE_T)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT a.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0 THEN round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END) DESC,
+       |                 c.cid) AS crk
+       |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
+       |hits AS (
+       |  SELECT DISTINCT dv.vec_id
+       |  FROM v dv
+       |  JOIN assign da ON da.vec_id = dv.vec_id AND dv.vec_id % 5 = 0
+       |  JOIN assign ca ON ca.cell = da.cell AND ca.vec_id % 5 <> 0
+       |  JOIN v cv ON cv.vec_id = ca.vec_id
+       |  WHERE (CASE WHEN dv.nrm * cv.nrm > 0
+       |    THEN round(${dotSql("dv.e", "cv.e", DIM)} / (dv.nrm * cv.nrm), 6) END)
+       |    >= $COSINE_T)
+       |SELECT a.vec_id, a.cell, (h.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
+       |WHERE a.vec_id % 5 = 0""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82, q83)
+    q74, q78, q79, q80, q81, q82, q83, q84)
 }

@@ -493,6 +493,47 @@ object Streaming {
           .as("contamination"))
   }
 
+  /** Streaming face of [[graft.operators.SimilarityOps
+    * .incrementalSemanticDedup]] — the embedding-space ingest screen,
+    * completing the dedup ingest matrix (minhash:
+    * [[incrementalDedupStream]], lines: [[lineDedupStream]], spans:
+    * [[removeRepeatedSpansStream]]): every ARRIVING vector is assigned to
+    * its cell ROW-LOCALLY (the collected-centroid `greatest` expression,
+    * [[graft.operators.SimilarityOps.cellExprFor]] — cell geometry is
+    * corpus-global, frozen at stream definition; the k×dim centroid
+    * collect is the eager tiny-build convention, like decontaminate's
+    * Bloom) and compared against the PRE-ASSIGNED corpus
+    * ([[graft.operators.SimilarityOps.assignCells]] output) by a
+    * stream-static same-cell join; one watermarked per-minute aggregation
+    * emits `(vec_id, cell, kept)` — kept=false when some corpus vector in
+    * the cell reaches `threshold` cosine. Batch-face parity incl. the
+    * empty-cell and zero-norm conventions (StreamingSpec). */
+  def semanticDedupStream(deltaEmb: DataFrame, corpusCells: DataFrame,
+      centroids: DataFrame, threshold: Double,
+      timeCol: String = "event_time"): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(deltaEmb.sparkSession)
+    val cents = centroids.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val assigned = deltaEmb.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("vec_id"),
+        col("embedding").as("_de"),
+        sqrt(VectorExpressions.floatDot(col("embedding"), col("embedding")))
+          .as("_dn"),
+        graft.operators.SimilarityOps.cellExprFor(col("embedding"), cents)
+          .as("cell"))
+    assigned
+      .join(corpusCells.select(col("cell"), col("_e"), col("_nrm")),
+        Seq("cell"), "left")
+      .withColumn("_sim", when(col("_dn") * col("_nrm") > 0,
+        round(VectorExpressions.floatDot(col("_de"), col("_e")) /
+          (col("_dn") * col("_nrm")), 6)))
+      .groupBy(window(col("_t"), "1 minute"), col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        (count(when(col("_sim") >= threshold, 1)) === 0).as("kept"))
+      .select("vec_id", "cell", "kept")
+  }
+
   /** Streaming face of [[graft.operators.TextOps.removeRepeatedSpans]] —
     * the ingest-time rewrite: every ARRIVING document has its repeated
     * passages excised against the FIXED corpus-frequency duplicate-shingle

@@ -293,6 +293,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupStream matches batch incrementalSemanticDedup per vector") {
+    import graft.operators.SimilarityOps
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // corpus: two cell anchors (+x, +y) and members near each; centroids
+    // are the anchors themselves (the fixed-sample convention)
+    val corpus = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0.95, 0.05, 0, 0)), (3L, v(0.05, 0.95, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.where(col("vec_id") < 2)
+    val corpusCells = SimilarityOps.assignCells(
+      corpus, cents, col("vec_id"), col("embedding"))
+    val rows = Seq(
+      // near-dup of corpus vec 2 (same cell, cosine ~1) -> dropped
+      (10L, v(0.94, 0.06, 0, 0), sec("2021-03-09 14:15:00", 1)),
+      // +y-cell arrival near vec 3 -> dropped
+      (11L, v(0.06, 0.94, 0, 0), sec("2021-03-09 14:15:00", 20)),
+      // novel direction: lands in a cell but far from its members -> kept
+      (12L, v(0.6, 0.0, 0.8, 0), sec("2021-03-09 14:16:00", 5)),
+      // zero vector: NULL cosines everywhere -> deterministic cell, kept
+      (13L, v(0, 0, 0, 0), sec("2021-03-09 14:16:00", 10)))
+    val delta = rows.map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = Streaming.semanticDedupStream(
+      in.toDS().toDF("vec_id", "embedding", "event_time"),
+      corpusCells, cents, 0.9)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdedup1").start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      in.addData((99L, v(1, 0, 0, 0), sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      def keyed(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val streamed = keyed(spark.table("semdedup1")
+        .where(col("vec_id") < 99).collect())
+      val batch = keyed(SimilarityOps.incrementalSemanticDedup(
+        delta, corpusCells, cents, col("vec_id"), col("embedding"), 0.9)
+        .collect())
+      assert(batch(10L)._2 == false && batch(12L)._2 == true &&
+        batch(13L)._2 == true, s"batch fixture sanity: $batch")
+      assert(streamed == batch,
+        "streamed per-minute rows must equal the batch incremental face")
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream keep-set equals batch incrementalDedup") {
     import graft.operators.DedupOps
     val corpus = Seq(
