@@ -164,6 +164,37 @@ object MultimodalOps {
       ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** 64-bit difference hash (dHash, the standard perceptual fingerprint):
+      * area-average the image to a 9×8 luma grid, set bit (y*8 + x) when
+      * luma(x, y) > luma(x+1, y). Robust to re-encoding, resizing, and
+      * small edits — near-duplicate images land within a few bits of
+      * hamming distance; deterministic for a given payload. The 9×8
+      * resample ignores aspect ratio on purpose (both copies of a
+      * stretched duplicate stretch identically). */
+    def dHash(img: BufferedImage): Long = {
+      val grid = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+      val g = grid.createGraphics()
+      try g.drawImage(img.getScaledInstance(9, 8,
+        java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      finally g.dispose()
+      def luma(x: Int, y: Int): Double = {
+        val rgb = grid.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x, y) > luma(x + 1, y)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
   }
 
   /** REAL image decode + feature extraction: per-partition batches, decode
@@ -180,6 +211,54 @@ object MultimodalOps {
         case None => ImageFeatures(r.media_id, ok = false, 0, 0, 0.0)
       }
     })
+  }
+
+  /** Per-image perceptual fingerprint row. */
+  final case class ImageHash(media_id: Long, ok: Boolean, dhash: Long)
+
+  /** REAL perceptual hashing: decode → 64-bit [[ImageCodec.dHash]] per
+    * image, executor-local, no shuffle. Non-decodable rows come back
+    * `ok = false, dhash = 0` (integrity signal — filter on `ok` before
+    * pair discovery, or the broken payloads all collide at 0). */
+  def imageDHash(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.payload) match {
+        case Some(img) => ImageHash(r.media_id, ok = true, ImageCodec.dHash(img))
+        case None => ImageHash(r.media_id, ok = false, 0L)
+      }
+    })
+  }
+
+  /** Image near-duplicate pairs from [[imageDHash]] fingerprints — dedup
+    * extended to the image modality: pigeonhole banding over the 64-bit
+    * dHash (8 bands × 8 bits: any pair within hamming `maxHamming` ≤ 7
+    * matches at least one band exactly — guaranteed recall), candidate
+    * generation through the shared skew-safe grid self-join
+    * ([[DedupOps.bucketedSelfJoinPairs]] — one hot band bucket, e.g. flat
+    * single-color images, cannot serialize a task), then an exact
+    * `bit_count(xor)` verify. Output (media_a, media_b, hamming),
+    * media_a < media_b. Images-per-corpus is orders below shingles-per-
+    * corpus, so the re-join against the 1-row-per-image hash table is the
+    * cheap side everywhere. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
+    val hs = hashes.where(col("ok")).select(col("media_id"), col("dhash"))
+    val rows = hs.select(col("media_id").as("doc_id"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
+    DedupOps.bucketedSelfJoinPairs(rows)
+      .join(hs.select(col("media_id").as("doc_a"), col("dhash").as("_ha")), "doc_a")
+      .join(hs.select(col("media_id").as("doc_b"), col("dhash").as("_hb")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
   }
 
   /** REAL image resize: decode → area-average downscale to `maxEdge` →

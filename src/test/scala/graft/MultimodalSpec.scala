@@ -81,6 +81,45 @@ class MultimodalSpec extends SparkSpec {
       out3(k).payload.sameElements(out(k).payload)))
   }
 
+  test("imageDHash + imageNearDupPairs: resized/re-encoded copies pair, others don't") {
+    // a textured deterministic image (gradient + checker) so the dHash has
+    // structure in every band; its downscaled re-encode is a true near-dup
+    def textured(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x * 255 / math.max(1, w - 1)) & 0xff
+        val c = if (((x / 8) + (y / 8)) % 2 == 0) g else 255 - g
+        val v = if (invert) 255 - c else c
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      MultimodalOps.ImageCodec.encodePng(img)
+    }
+    val original = textured(128, 96, invert = false)
+    val resizedCopy = {
+      val img = MultimodalOps.ImageCodec.decode(original).get
+      MultimodalOps.ImageCodec.encodePng(
+        MultimodalOps.ImageCodec.resize(img, 64))
+    }
+    val rows = Seq(
+      media(1L, "image", original),
+      media(2L, "image", resizedCopy),
+      media(3L, "image", textured(128, 96, invert = true)), // structural opposite
+      media(4L, "image", "broken payload".getBytes))
+    val hashes = MultimodalOps.imageDHash(spark.createDataset(rows))
+    val hm = hashes.collect().map(f => f.media_id -> f).toMap
+    assert(hm(1L).ok && hm(2L).ok && hm(3L).ok && !hm(4L).ok)
+    // determinism: hashing the same payloads again is identical
+    val again = MultimodalOps.imageDHash(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f.dhash).toMap
+    assert(rows.map(_.media_id).forall(id => again(id) == hm(id).dhash))
+    val pairs = MultimodalOps.imageNearDupPairs(hashes.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 6L),
+      s"resized copy must pair with its original: $pairs")
+    assert(pairs.forall(p => Set(p._1, p._2) == Set(1L, 2L)),
+      s"inverted/broken images must not pair: $pairs")
+  }
+
   test("audioFeatures: real WAV decode with rate, frames, and sine RMS") {
     val rate = 8000
     // an 8-bit unsigned WAV: decodable container, unsupported sample width
