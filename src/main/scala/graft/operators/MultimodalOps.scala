@@ -242,18 +242,27 @@ object MultimodalOps {
     * media_a < media_b. Images-per-corpus is orders below shingles-per-
     * corpus, so the re-join against the 1-row-per-image hash table is the
     * cheap side everywhere. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
+    banded64Pairs(hashes, "dhash", maxHamming)
+
+  /** The shared 64-bit-fingerprint pair discovery behind
+    * [[imageNearDupPairs]] / [[audioNearDupPairs]]: 8 bands × 8 bits
+    * pigeonhole (recall guaranteed to hamming 7), skew-safe grid
+    * self-join, exact `bit_count(xor)` verify against the
+    * 1-row-per-media hash table. */
+  private def banded64Pairs(hashes: DataFrame, hashName: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
-    val hs = hashes.where(col("ok")).select(col("media_id"), col("dhash"))
+    val hs = hashes.where(col("ok")).select(col("media_id"), col(hashName))
     val rows = hs.select(col("media_id").as("doc_id"),
       explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-        shiftright(col("dhash"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+        shiftright(col(hashName), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
         .as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
     DedupOps.bucketedSelfJoinPairs(rows)
-      .join(hs.select(col("media_id").as("doc_a"), col("dhash").as("_ha")), "doc_a")
-      .join(hs.select(col("media_id").as("doc_b"), col("dhash").as("_hb")), "doc_b")
+      .join(hs.select(col("media_id").as("doc_a"), col(hashName).as("_ha")), "doc_a")
+      .join(hs.select(col("media_id").as("doc_b"), col(hashName).as("_hb")), "doc_b")
       .withColumn("hamming",
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
@@ -283,46 +292,98 @@ object MultimodalOps {
     * javax.sound.sampled): sample rate, frame count, and RMS amplitude
     * normalized to [0,1] for 16-bit signed PCM. Non-decodable payloads →
     * `ok = false`. */
+  /** Decode a 16-bit signed PCM container to normalized samples in
+    * [-1, 1); None for empty/undecodable payloads or other bit depths
+    * (8-bit WAV is unsigned, 24/32-bit has a different stride — flag
+    * rather than mis-parse). Also returns sample rate and frame count. */
+  private def decodePcm(payload: Array[Byte]): Option[(Int, Long, Array[Double])] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(order)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          out(i) = buf.getShort(i * 2).toDouble / 32768.0
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, in.getFrameLength, out))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+          _: java.io.IOException => None
+    }
+
   def audioFeatures(media: Dataset[MediaRow])(
       implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      if (r.payload == null || r.payload.isEmpty)
-        AudioFeatures(r.media_id, ok = false, 0, 0L, 0.0)
-      else try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        try {
-          val fmt = in.getFormat
-          // RMS math below assumes 16-bit signed PCM; flag anything else
-          // rather than mis-parse it (8-bit WAV is unsigned, 24/32-bit has
-          // a different stride).
-          if (fmt.getSampleSizeInBits != 16)
-            throw new javax.sound.sampled.UnsupportedAudioFileException(
-              s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
-          val bytes = in.readAllBytes()
-          val n = bytes.length / 2
+      decodePcm(r.payload) match {
+        case Some((rate, frames, samples)) =>
           var ss = 0.0
           var i = 0
-          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-            else java.nio.ByteOrder.LITTLE_ENDIAN
-          val buf = java.nio.ByteBuffer.wrap(bytes).order(order)
-          while (i < n) {
-            val v = buf.getShort(i * 2).toDouble / 32768.0
-            ss += v * v
-            i += 1
-          }
-          AudioFeatures(r.media_id, ok = true,
-            fmt.getSampleRate.toInt, in.getFrameLength,
-            if (n == 0) 0.0 else math.sqrt(ss / n))
-        } finally in.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-            _: java.io.IOException =>
-          AudioFeatures(r.media_id, ok = false, 0, 0L, 0.0)
+          while (i < samples.length) { ss += samples(i) * samples(i); i += 1 }
+          AudioFeatures(r.media_id, ok = true, rate, frames,
+            if (samples.isEmpty) 0.0 else math.sqrt(ss / samples.length))
+        case None => AudioFeatures(r.media_id, ok = false, 0, 0L, 0.0)
       }
     })
   }
+
+  /** Per-clip perceptual fingerprint row. */
+  final case class AudioHash(media_id: Long, ok: Boolean, ehash: Long)
+
+  /** 64-bit energy-envelope hash — [[ImageCodec.dHash]]'s idea applied to
+    * audio: the clip is split into 65 equal windows, RMS energy per
+    * window, bit i set when rms(i+1) > rms(i). Sign-of-difference makes
+    * it invariant to amplitude scaling (volume-normalized copies hash
+    * identically) and robust to re-encoding and resampling (the envelope
+    * SHAPE survives both); clips shorter than 65 samples or undecodable
+    * payloads flag `ok = false`. */
+  def audioEnvHash(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      decodePcm(r.payload) match {
+        case Some((_, _, samples)) if samples.length >= 65 =>
+          val rms = new Array[Double](65)
+          var w = 0
+          while (w < 65) {
+            val from = (samples.length.toLong * w / 65).toInt
+            val to = (samples.length.toLong * (w + 1) / 65).toInt
+            var ss = 0.0
+            var i = from
+            while (i < to) { ss += samples(i) * samples(i); i += 1 }
+            rms(w) = math.sqrt(ss / math.max(1, to - from))
+            w += 1
+          }
+          var h = 0L
+          var b = 0
+          while (b < 64) {
+            if (rms(b + 1) > rms(b)) h |= 1L << b
+            b += 1
+          }
+          AudioHash(r.media_id, ok = true, h)
+        case _ => AudioHash(r.media_id, ok = false, 0L)
+      }
+    })
+  }
+
+  /** Audio near-duplicate pairs from [[audioEnvHash]] fingerprints — the
+    * same banded discovery as [[imageNearDupPairs]] (shared
+    * [[banded64Pairs]] machinery, recall guaranteed to hamming 7). */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
+    banded64Pairs(hashes, "ehash", maxHamming)
 
   /** Pure-Column metadata/digest path (no decode): byte length, content
     * digest, and a "first frame" sample digest — stays in codegen, used for

@@ -120,6 +120,48 @@ class MultimodalSpec extends SparkSpec {
       s"inverted/broken images must not pair: $pairs")
   }
 
+  test("audioEnvHash + audioNearDupPairs: volume-scaled copies pair, different shapes don't") {
+    // amplitude-modulated sine: envelope rises then falls — structured
+    // rms differences in every window; a volume-scaled copy has the SAME
+    // sign pattern (scale cancels in the comparisons)
+    def modWav(rate: Int, seconds: Double, amp: Double, invertEnv: Boolean): Array[Byte] = {
+      import javax.sound.sampled._
+      val n = (rate * seconds).toInt
+      val samples = Array.tabulate(n) { i =>
+        val t = i.toDouble / n
+        val env0 = if (t < 0.5) t * 2 else (1 - t) * 2
+        val env = if (invertEnv) 1.0 - env0 else env0
+        (math.sin(2 * math.Pi * 440.0 * i / rate) * env * amp * 32767)
+          .toInt.toShort
+      }
+      val bytes = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      media(1L, "audio", modWav(8000, 1.0, 0.9, invertEnv = false)),
+      media(2L, "audio", modWav(8000, 1.0, 0.45, invertEnv = false)), // half volume
+      media(3L, "audio", modWav(8000, 1.0, 0.9, invertEnv = true)),   // other shape
+      media(4L, "audio", "not audio".getBytes))
+    val hashes = MultimodalOps.audioEnvHash(spark.createDataset(rows))
+    val hm = hashes.collect().map(f => f.media_id -> f).toMap
+    assert(hm(1L).ok && hm(2L).ok && hm(3L).ok && !hm(4L).ok)
+    assert(hm(1L).ehash == hm(2L).ehash,
+      "amplitude scaling must not change the envelope hash")
+    val pairs = MultimodalOps.audioNearDupPairs(hashes.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L), s"$pairs")
+    assert(pairs.forall(p => Set(p._1, p._2) == Set(1L, 2L)),
+      s"the inverted-envelope clip must not pair: $pairs")
+  }
+
   test("audioFeatures: real WAV decode with rate, frames, and sine RMS") {
     val rate = 8000
     // an 8-bit unsigned WAV: decodable container, unsupported sample width
