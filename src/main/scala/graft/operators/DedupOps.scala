@@ -593,6 +593,7 @@ object DedupOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    require(k >= 1, s"sketch size k must be >= 1, got $k")
     val shAll = shingleHashes(docs, id, text, w)
     val hot = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
@@ -690,6 +691,8 @@ object DedupOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(k >= 1, s"sketch size k must be >= 1, got $k")
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
     HashExpressions.register(docs.sparkSession)
     val shAll = shingleHashes(docs, id, text, w)
     val hot = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -49,6 +49,21 @@ class SqlApiSpec extends SparkSpec {
     assert(eCol.getMessage.contains("foldable"))
   }
 
+  test("coordinated_sketch_stats: SQL-callable, k guarded like shingle_hashes") {
+    graft.functions.HashExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT coordinated_sketch_stats(array(1L, 3L, 5L), array(3L, 5L, 9L), 4) AS s")
+      .select(col("s.n_sample"), col("s.n_both"), col("s.n_va"), col("s.n_vb"))
+      .as[(Long, Long, Long, Long)].head()
+    // union = [1,3,5,9], V = all 4; both = {3,5}; A covers {1,3,5}; B {3,5,9}
+    assert(r == ((4L, 2L, 3L, 3L)))
+    val eCol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT coordinated_sketch_stats(array(1L), array(1L), i) " +
+        "FROM VALUES (2) AS t(i)")
+    }
+    assert(eCol.getMessage.contains("foldable"))
+  }
+
   test("ORC roundtrip preserves the telemetry lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val t = graft.ztbus.Fixtures.telemetry(seconds = 120).toDF()
