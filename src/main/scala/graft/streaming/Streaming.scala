@@ -338,6 +338,21 @@ object Streaming {
   def piiRedactStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.piiRedact(docs, col("doc_id"), col("text"))
 
+  /** Streaming faces of the multimodal fingerprint ops
+    * ([[graft.operators.MultimodalOps.imageDHash]] /
+    * [[graft.operators.MultimodalOps.audioEnvHash]]): both are stateless
+    * per-row decodes, so the batch definition applies to a streaming
+    * media Dataset unchanged (the chunk/redact delegate discipline) —
+    * ingest-time fingerprinting; pair discovery against the corpus hash
+    * index stays a downstream stream-static join. */
+  def imageDHashStream(media: Dataset[graft.operators.MultimodalOps.MediaRow])(
+      implicit spark: SparkSession): Dataset[graft.operators.MultimodalOps.ImageHash] =
+    graft.operators.MultimodalOps.imageDHash(media)
+
+  def audioEnvHashStream(media: Dataset[graft.operators.MultimodalOps.MediaRow])(
+      implicit spark: SparkSession): Dataset[graft.operators.MultimodalOps.AudioHash] =
+    graft.operators.MultimodalOps.audioEnvHash(media)
+
   /** Streaming face of [[graft.operators.TextOps.lineDedup]]: line document
     * frequency is a corpus-GLOBAL statistic no micro-batch can see, so the
     * drop-set ([[graft.operators.TextOps.boilerplateLineSet]] over the

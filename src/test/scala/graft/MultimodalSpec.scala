@@ -162,6 +162,38 @@ class MultimodalSpec extends SparkSpec {
       s"the inverted-envelope clip must not pair: $pairs")
   }
 
+  test("media near-dup pairs compose with dedupClusters (cluster the modality graph)") {
+    // two image variants + their original = one cluster via transitivity
+    def shifted(w: Int, h: Int, shift: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((x * 255 / math.max(1, w - 1)) + shift) & 0xff
+        val c = if (((x / 8) + (y / 8)) % 2 == 0) g else 255 - g
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      MultimodalOps.ImageCodec.encodePng(img)
+    }
+    val original = shifted(128, 96, 0)
+    val rows = Seq(
+      media(1L, "image", original),
+      media(2L, "image", MultimodalOps.ImageCodec.encodePng(
+        MultimodalOps.ImageCodec.resize(
+          MultimodalOps.ImageCodec.decode(original).get, 64))),
+      media(3L, "image", MultimodalOps.ImageCodec.encodePng(
+        MultimodalOps.ImageCodec.resize(
+          MultimodalOps.ImageCodec.decode(original).get, 96))), // second variant
+      media(4L, "image", shifted(96, 128, 128))) // different geometry+phase
+    val hashes = MultimodalOps.imageDHash(spark.createDataset(rows))
+    val pairs = MultimodalOps.imageNearDupPairs(hashes.toDF())
+    val clusters = graft.operators.DedupOps.dedupClusters(
+      pairs, "media_a", "media_b")
+      .as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // 1, 2, 3 all reachable -> one cluster rooted at the smallest id
+    assert(clusters.get(1L).contains(1L) && clusters.get(2L).contains(1L) &&
+      clusters.get(3L).contains(1L), s"$clusters")
+    assert(!clusters.contains(4L), "the unrelated image joins no cluster")
+  }
+
   test("audioFeatures: real WAV decode with rate, frames, and sine RMS") {
     val rate = 8000
     // an 8-bit unsigned WAV: decodable container, unsupported sample width
