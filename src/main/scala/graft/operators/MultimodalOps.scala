@@ -245,6 +245,28 @@ object MultimodalOps {
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
     banded64Pairs(hashes, "dhash", maxHamming)
 
+  /** The band-membership rows of a 64-bit fingerprint column — the input
+    * shape of [[DedupOps.bucketedSelfJoinPairs]]. */
+  private def banded64Rows(hs: DataFrame, hashName: String): DataFrame =
+    hs.select(col("media_id").as("doc_id"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftright(col(hashName), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
+
+  /** The band buckets the fingerprint pair joins drop at `maxBucket` —
+    * the drop-and-flag companion every pair-generating join here carries
+    * (LSH / simhash / containment discipline). A hot fingerprint bucket
+    * is a degenerate media class: flat single-color images all hash to
+    * dHash 0, digital silence to envelope hash 0 — monitor this BEFORE
+    * trusting the pair output on such corpora, and screen degenerate
+    * media upstream (they are near-dups of each other by any measure). */
+  def oversizedFingerprintBuckets(hashes: DataFrame, hashName: String,
+      maxBucket: Int = DedupOps.MaxBucket): DataFrame =
+    DedupOps.oversizedBuckets(
+      banded64Rows(hashes.where(col("ok")).select(col("media_id"), col(hashName)),
+        hashName), maxBucket)
+
   /** The shared 64-bit-fingerprint pair discovery behind
     * [[imageNearDupPairs]] / [[audioNearDupPairs]]: 8 bands × 8 bits
     * pigeonhole (recall guaranteed to hamming 7), skew-safe grid
@@ -255,11 +277,7 @@ object MultimodalOps {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
     val hs = hashes.where(col("ok")).select(col("media_id"), col(hashName))
-    val rows = hs.select(col("media_id").as("doc_id"),
-      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-        shiftright(col(hashName), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
-        .as("bv"))
-      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
+    val rows = banded64Rows(hs, hashName)
     DedupOps.bucketedSelfJoinPairs(rows)
       .join(hs.select(col("media_id").as("doc_a"), col(hashName).as("_ha")), "doc_a")
       .join(hs.select(col("media_id").as("doc_b"), col(hashName).as("_hb")), "doc_b")

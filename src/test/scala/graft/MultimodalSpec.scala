@@ -194,6 +194,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!clusters.contains(4L), "the unrelated image joins no cluster")
   }
 
+  test("oversizedFingerprintBuckets flags the degenerate flat-image class") {
+    // 30 flat single-color images: all dHash to the same value, so every
+    // band bucket holds all 30 — at a cap of 10 all 8 buckets flag
+    def flat(v: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      MultimodalOps.ImageCodec.encodePng(img)
+    }
+    val rows = (0 until 30).map(i => media(i.toLong, "image", flat(100 + i)))
+    val hashes = MultimodalOps.imageDHash(spark.createDataset(rows)).toDF()
+    val flagged = MultimodalOps.oversizedFingerprintBuckets(
+      hashes, "dhash", maxBucket = 10)
+      .as[(Int, Long, Long)].collect()
+    assert(flagged.length == 8 && flagged.forall(_._3 == 30L), s"${flagged.toSeq}")
+    // and at the default cap nothing flags on a healthy corpus
+    assert(MultimodalOps.oversizedFingerprintBuckets(hashes, "dhash")
+      .count() == 0)
+  }
+
   test("audioFeatures: real WAV decode with rate, frames, and sine RMS") {
     val rate = 8000
     // an 8-bit unsigned WAV: decodable container, unsupported sample width
