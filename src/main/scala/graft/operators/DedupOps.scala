@@ -739,6 +739,23 @@ object DedupOps {
         coalesce(col("containment_ba_est"), lit(-1.0))) >= threshold)
   }
 
+  /** Cluster-size audit of a [[dedupClusters]] result — the report a
+    * pipeline emits after dedup: one row per cluster SIZE with how many
+    * clusters have it and how many documents they hold (`n_docs` =
+    * `cluster_size · n_clusters`, pre-multiplied for audit readability —
+    * `Σ (cluster_size - 1) · n_clusters` over the output is exactly the
+    * doc count a keep-one-per-cluster pass removes). One aggregation
+    * cascade, no joins; sizes are corpus-global but the first groupBy
+    * compresses to one row per cluster, so the histogram input is tiny
+    * at any corpus scale. */
+  def clusterStats(clusters: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(col(clusterCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** (doc_id, band, b, simhash) bucket memberships of a `bits`-wide
     * signature split into 4 equal bands. */
   private def simhashBandRows(sig: DataFrame, bits: Int): DataFrame = {

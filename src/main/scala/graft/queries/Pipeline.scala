@@ -269,13 +269,11 @@ object Pipeline {
     * discovery, so one canonical doc survives per GROUP, not per pair.
     * Oracle: the same pair CTE as q32 closed transitively with a recursive
     * CTE, cluster id = min reachable doc id. */
-  private val q51 = QueryDef(
-    "q51_dedup_clusters",
-    (s, d) => DedupOps.dedupClusters(
-      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-        Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
-      "doc_a", "doc_b"),
-    s"""WITH RECURSIVE $sigCte,
+  /** The recursive connected-components CTE chain shared by the q51 and
+    * q85 oracles: LSH bands → candidate pairs → undirected closure; the
+    * consumer selects from `reach`. */
+  private def clusterChainCtes: String =
+    s"""$sigCte,
        |bands AS (
        |  SELECT doc_id, 0 AS band,
        |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
@@ -292,7 +290,15 @@ object Pipeline {
        |reach(a, b) AS (
        |  SELECT a, b FROM und
        |  UNION
-       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)""".stripMargin
+
+  private val q51 = QueryDef(
+    "q51_dedup_clusters",
+    (s, d) => DedupOps.dedupClusters(
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+        Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
+      "doc_a", "doc_b"),
+    s"""WITH RECURSIVE $clusterChainCtes
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a""".stripMargin)
 
@@ -1352,9 +1358,29 @@ object Pipeline {
        |FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
        |WHERE a.vec_id % 5 = 0""".stripMargin)
 
+  /** Cluster-size audit ([[DedupOps.clusterStats]]) over the q51 cluster
+    * chain — the dedup report row set (how many clusters of each size,
+    * how many docs a keep-one pass removes). */
+  private val q85 = QueryDef(
+    "q85_cluster_stats",
+    (s, d) => DedupOps.clusterStats(
+      DedupOps.dedupClusters(
+        DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+          Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
+        "doc_a", "doc_b")),
+    s"""WITH RECURSIVE $clusterChainCtes,
+       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM cl GROUP BY 1)
+       |SELECT n AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(n * count(*) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY n""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82, q83, q84)
+    q74, q78, q79, q80, q81, q82, q83, q84, q85)
 }

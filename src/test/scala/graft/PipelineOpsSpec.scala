@@ -776,6 +776,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est == exact, s"est=$est exact=$exact")
   }
 
+  test("clusterStats: size histogram with pre-multiplied doc counts") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),    // one 3-cluster
+      (5L, 5L), (6L, 5L),              // two 2-clusters
+      (8L, 8L), (9L, 8L)).toDF("doc_id", "cluster_id")
+    val out = DedupOps.clusterStats(clusters)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
+    // the audit identity: docs removable by keep-one-per-cluster
+    val removable = out.map { case (sz, (nc, _)) => (sz - 1) * nc }.sum
+    assert(removable == 4L)
+  }
+
   test("coordinatedContainmentPairs: exact when the union fits the sketch") {
     // every doc < 16 shingles and every pairwise union <= 16: V is the
     // whole union, so both directional estimates must EQUAL the exact
