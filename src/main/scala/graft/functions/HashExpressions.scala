@@ -194,7 +194,13 @@ object HashExpressions {
       }, "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       IntersectFnName,
-      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
+      exprs => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              s"$IntersectFnName(a, b): exactly 2 arguments required, got ${exprs.length}"))
+        SortedIntersectCount(exprs.head, exprs(1))
+      }, "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       CoordFnName,
       exprs => {
@@ -246,11 +252,19 @@ object HashExpressions {
     var both = 0L
     var va = 0L
     var vb = 0L
+    // exhaustion is branched on the indices, not a sentinel VALUE: a
+    // Long.MaxValue sentinel would treat a real MaxValue element in the
+    // live array as "both exhausted-and-equal" and overcount n_both —
+    // unreachable for mod-P shingle hashes, but the function is SQL-
+    // registered for arbitrary long arrays
     while (n < k && (i < na || j < nb)) {
-      val x = if (i < na) a.getLong(i) else Long.MaxValue
-      val y = if (j < nb) b.getLong(j) else Long.MaxValue
-      if (x == y) { both += 1L; va += 1L; vb += 1L; i += 1; j += 1 }
-      else if (x < y) { va += 1L; i += 1 }
+      if (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { both += 1L; va += 1L; vb += 1L; i += 1; j += 1 }
+        else if (x < y) { va += 1L; i += 1 }
+        else { vb += 1L; j += 1 }
+      } else if (i < na) { va += 1L; i += 1 }
       else { vb += 1L; j += 1 }
       n += 1L
     }

@@ -540,7 +540,14 @@ object DedupOps {
     * the cap are dropped from the shingle universe (sketch AND postings
     * side, so the estimate stays an unbiased sample of the retained
     * universe) and surfaced via [[hotContainmentShingles]] — drop-and-flag,
-    * mirroring the LSH bucket cap. */
+    * mirroring the LSH bucket cap.
+    *
+    * The cap is OPT-IN: the sketch/coordinated estimators default to
+    * `maxDf = Long.MaxValue` (no drop — output covers the full shingle
+    * universe, matching pre-cap releases), and the registered q72/q83
+    * queries pass this constant explicitly, mirroring their oracles. At
+    * corpus scale, pass it (or your own cap) — an uncapped boilerplate
+    * shingle makes the probe volume quadratic. */
   val MaxPostingDf: Long = 100000L
 
   /** Directional containment ESTIMATES from bottom-k sketches (the `k`
@@ -588,7 +595,7 @@ object DedupOps {
     * cap is what keeps the probe volume linear. */
   def containmentSketchPairs(docs: DataFrame, id: Column, text: Column,
       w: Int, k: Int, threshold: Double,
-      maxDf: Long = MaxPostingDf,
+      maxDf: Long = Long.MaxValue,
       broadcastSketches: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
@@ -643,6 +650,8 @@ object DedupOps {
     * empty on any corpus whose df range sits under the cap. */
   def hotContainmentShingles(docs: DataFrame, id: Column, text: Column,
       w: Int, maxDf: Long = MaxPostingDf): DataFrame =
+    // default stays MaxPostingDf: this REPORT exists to show what that
+    // cap would drop — an uncapped default here would always be empty
     shingleHashes(docs, id, text, w)
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
@@ -687,7 +696,7 @@ object DedupOps {
     * relationally in DuckDB. */
   def coordinatedContainmentPairs(docs: DataFrame, id: Column, text: Column,
       w: Int, k: Int, threshold: Double,
-      maxDf: Long = MaxPostingDf, minSupport: Int = 3): DataFrame = {
+      maxDf: Long = Long.MaxValue, minSupport: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
