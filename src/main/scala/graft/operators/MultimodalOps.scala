@@ -123,7 +123,15 @@ object MultimodalOps {
 
     def decode(payload: Array[Byte]): Option[BufferedImage] =
       if (payload == null || payload.isEmpty) None
-      else Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      else
+        // ImageIO returns null when NO reader claims the bytes, but a
+        // payload that starts like a real image and then breaks off (the
+        // truncated/corrupt-object case every large crawl contains) makes
+        // the chosen reader THROW (IIOException/EOF, and the JDK readers
+        // can surface RuntimeExceptions on malformed headers) — either
+        // way the row must flag `ok = false`, never kill the task
+        scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(payload))))
+          .toOption.flatten
 
     /** Rec.601 luma averaged over all pixels. */
     def meanLuma(img: BufferedImage): Double = {
@@ -402,6 +410,130 @@ object MultimodalOps {
     * [[banded64Pairs]] machinery, recall guaranteed to hamming 7). */
   def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
     banded64Pairs(hashes, "ehash", maxHamming)
+
+  /** Offset added to a source doc_id to form its planted variant's
+    * media_id in the synthetic corpora below — far above any testdata
+    * doc_id, so originals and variants never collide. */
+  val VariantIdOffset: Long = 1000000000L
+
+  /** Deterministic REAL-PNG corpus synthesized from a text table — the
+    * bridge that lets the image near-dup pipeline run as a REGISTERED
+    * query over the driver's parquet tables (binary payloads cannot cross
+    * the DuckDB oracle, but 64-bit fingerprints and pair rows can — the
+    * q42/q82 precedent). Per doc: a 16×16 PNG whose pixels are a pure
+    * function of the text (char-code-seeded gradient — textured, so
+    * dHashes spread). Planted rows, all keyed `doc_id + VariantIdOffset`:
+    *  - `doc_id % (2·variantEvery) == 0` → byte-exact decode→re-encode of
+    *    the original (dHash hamming 0 GUARANTEED — the pair output is
+    *    deterministically non-empty),
+    *  - other `doc_id % variantEvery == 0` → area-average resize to 12 px
+    *    + re-encode (the perceptual-robustness class, hamming ≤ 6 for
+    *    these textures),
+    *  - `doc_id % brokenEvery == 0` → truncated, undecodable payload
+    *    (must surface as `ok = false` and be EXCLUDED from pairs — the
+    *    integrity path, exercised in the registered query, not only in
+    *    specs).
+    * Everything is executor-local (mapPartitions over the JDK codec, no
+    * shuffle) and deterministic for a given table — rerunnable as a
+    * rows-checked CORRECTNESS entry. */
+  def syntheticImageCorpus(docs: DataFrame, id: Column, text: Column,
+      variantEvery: Int = 4, brokenEvery: Int = 97)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(id.cast("long").as("media_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (mid, t) =>
+        val s = if (t == null || t.isEmpty) " " else t
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val c = s.charAt((y * 16 + x) % s.length).toInt
+            // char-seeded but spatially smooth-ish: neighboring cells
+            // share the text window, so the 9×8 area-average keeps
+            // structure instead of averaging to flat gray
+            val l = (c * 37 + x * 23 + y * 11) & 0xff
+            img.setRGB(x, y, (l << 16) | ((255 - l) << 8) | ((c * 13) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val png = ImageCodec.encodePng(img)
+        val base = MediaRow(mid, "image", png, 16, 16, 0)
+        val variant =
+          if (mid % brokenEvery == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = png.take(8))) // truncated: undecodable
+          else if (mid % (2L * variantEvery) == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = ImageCodec.encodePng(ImageCodec.decode(png).get)))
+          else if (mid % variantEvery == 0) {
+            val scaled = ImageCodec.resize(ImageCodec.decode(png).get, 12)
+            Some(MediaRow(mid + VariantIdOffset, "image",
+              ImageCodec.encodePng(scaled), scaled.getWidth,
+              scaled.getHeight, 0))
+          } else None
+        Iterator(base) ++ variant.iterator
+      })
+  }
+
+  /** Deterministic REAL-WAV corpus synthesized from a text table — the
+    * audio analog of [[syntheticImageCorpus]]. Per doc: a 0.2 s 16-bit
+    * mono PCM WAV at 8 kHz whose amplitude ENVELOPE follows the text's
+    * char codes (65-window envelope → well-spread [[audioEnvHash]]es)
+    * over a hash-seeded carrier tone. Planted rows at
+    * `doc_id + VariantIdOffset`:
+    *  - `doc_id % variantEvery == 0` → the SAME clip at 45 % volume
+    *    (envelope hash hamming 0 GUARANTEED by amplitude-scale
+    *    invariance — deterministic non-empty pair output),
+    *  - `doc_id % brokenEvery == 0` → truncated header, undecodable
+    *    (`ok = false`, excluded from pairs). */
+  def syntheticAudioCorpus(docs: DataFrame, id: Column, text: Column,
+      variantEvery: Int = 4, brokenEvery: Int = 97)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    val rate = 8000
+    val n = 1600
+    def wavBytes(t: String, scale: Double): Array[Byte] = {
+      val s = if (t == null || t.isEmpty) " " else t
+      val freq = 200.0 + (s.hashCode & 0x7fffffff) % 800
+      val samples = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i * s.length / n).toInt
+        val env = 0.2 + 0.8 * ((c * 31) % 97) / 96.0
+        val v = (scale * env * 0.9 *
+          math.sin(2 * math.Pi * freq * i / rate) * 32767.0).toInt
+        samples(2 * i) = (v & 0xff).toByte        // little-endian PCM16
+        samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    docs.select(id.cast("long").as("media_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (mid, t) =>
+        val base = MediaRow(mid, "audio", wavBytes(t, 1.0), 0, 0, rate)
+        val variant =
+          if (mid % brokenEvery == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = base.payload.take(16)))
+          else if (mid % variantEvery == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = wavBytes(t, 0.45)))
+          else None
+        Iterator(base) ++ variant.iterator
+      })
+  }
 
   /** Pure-Column metadata/digest path (no decode): byte length, content
     * digest, and a "first frame" sample digest — stays in codegen, used for

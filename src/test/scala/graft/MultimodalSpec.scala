@@ -241,4 +241,79 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).ok, "non-audio bytes must flag, not throw")
     assert(!out(4L).ok, "non-16-bit PCM must flag, not mis-parse")
   }
+
+  /** A small doc table shaped like the driver's documents table: ids cover
+    * the re-encode-twin (8), resize-variant (4, 12), broken (0, 97), and
+    * no-variant residue classes of the synthetic corpora. */
+  private def docTable = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 12L, 16L, 97L)
+      .map(i => (i, s"doc $i body " + (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("syntheticImageCorpus: planted twins pair at hamming 0, broken rows flagged and excluded") {
+    val media = MultimodalOps.syntheticImageCorpus(
+      docTable, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    val rows = media.collect()
+    val off = MultimodalOps.VariantIdOffset
+    // residue classes: 0 and 97 broken; 8, 16 re-encode twins; 4, 12 resized
+    assert(rows.count(_.media_id >= off) == 6, s"${rows.map(_.media_id).toSeq}")
+    val hashes = MultimodalOps.imageDHash(media)
+    val hm = hashes.collect().map(h => h.media_id -> h).toMap
+    assert(!hm(off + 0L).ok && !hm(off + 97L).ok, "truncated PNGs must flag")
+    assert(rows.filter(_.media_id < off).forall(r => hm(r.media_id).ok))
+    // decode -> re-encode twin: pixel-identical, dHash equal
+    assert(hm(off + 8L).dhash == hm(8L).dhash)
+    assert(hm(off + 16L).dhash == hm(16L).dhash)
+    val pairs = MultimodalOps.imageNearDupPairs(hashes.toDF(), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((8L, off + 8L)).contains(0L), s"$pairs")
+    assert(pairs.get((16L, off + 16L)).contains(0L))
+    // broken variants must never appear in the pair output
+    assert(pairs.keys.forall { case (a, b) =>
+      a != off + 0L && b != off + 0L && a != off + 97L && b != off + 97L })
+  }
+
+  test("syntheticAudioCorpus: half-volume twins hash identically, broken rows excluded") {
+    val media = MultimodalOps.syntheticAudioCorpus(
+      docTable, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    val hashes = MultimodalOps.audioEnvHash(media)
+    val hm = hashes.collect().map(h => h.media_id -> h).toMap
+    val off = MultimodalOps.VariantIdOffset
+    assert(!hm(off + 0L).ok && !hm(off + 97L).ok, "truncated WAVs must flag")
+    // amplitude-scale invariance: the 45%-volume twin hashes EXACTLY equal
+    for (i <- Seq(4L, 8L, 12L, 16L))
+      assert(hm(off + i).ehash == hm(i).ehash, s"twin $i")
+    val pairs = MultimodalOps.audioNearDupPairs(hashes.toDF(), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- Seq(4L, 8L, 12L, 16L))
+      assert(pairs.get((i, off + i)).contains(0L), s"twin pair $i missing: $pairs")
+    assert(pairs.keys.forall { case (a, b) =>
+      a != off + 0L && b != off + 0L && a != off + 97L && b != off + 97L })
+  }
+
+  test("registered media queries: deterministic rows on a sf-shaped table") {
+    // the q86/q87 bodies run on Tables.documents; emulate with the doc
+    // table twice — row counts and pair sets must be identical across runs
+    def run() = {
+      val img = MultimodalOps.imageNearDupPairs(
+        MultimodalOps.imageDHash(MultimodalOps.syntheticImageCorpus(
+          docTable, org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))).toDF(), 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val aud = MultimodalOps.audioNearDupPairs(
+        MultimodalOps.audioEnvHash(MultimodalOps.syntheticAudioCorpus(
+          docTable, org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))).toDF(), 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (img, aud)
+    }
+    val (i1, a1) = run()
+    val (i2, a2) = run()
+    assert(i1 == i2 && a1 == a2)
+    assert(i1.nonEmpty && a1.nonEmpty)
+  }
 }
