@@ -64,19 +64,49 @@ object Bench {
       // [6.4, 21.4] s here vs a stable [5.3, 6.5] over six isolated
       // reps — the z_ztbus drift class, same fix).
       System.gc()
-      val pairs = (1 to Reps).map { _ =>
+      def rep(): Option[(Double, Double)] = {
         val g0 = gcMillis
         val t0 = System.nanoTime()
         try body
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return failed
+          return None
         }
-        ((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
+        Some(((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3))
       }
-      val times = pairs.map(_._1)
-      Timing(times.sorted.apply(Reps / 2), times.min, times.max,
-        times, pairs.map(_._2))
+      var pairs = List.empty[(Double, Double)]
+      var i = 0
+      while (i < Reps) {
+        rep() match {
+          case Some(p) => pairs ::= p
+          case None    => return failed
+        }
+        i += 1
+      }
+      // Spread-triggered settling: the r9 telemetry showed in-rep GC at
+      // millisecond scale while wall times spread up to 1.9x within one
+      // query's reps (loadavg rose 1.7 -> 5.7 over the run) — a transient
+      // co-tenant CPU spike can land in 1 of 3 reps and set the MEDIAN of
+      // a multi-second query. When the 3-rep spread exceeds 1.5x on a
+      // >=1 s query, run 2 more reps and take the median of 5: one
+      // spiked rep then sits at percentile 80, not 50. Bounded cost
+      // (only slow, already-noisy queries re-run), and the full rep
+      // vector is in BENCH_DETAIL so the trigger is auditable.
+      def walls = pairs.map(_._1)
+      if (walls.min >= 0.0 && walls.max / math.max(walls.min, 1e-9) > 1.5
+          && walls.sorted.apply(pairs.size / 2) >= 1.0) {
+        var j = 0
+        while (j < 2) {
+          rep() match {
+            case Some(p) => pairs ::= p
+            case None    => return failed
+          }
+          j += 1
+        }
+      }
+      val times = pairs.reverse.map(_._1)
+      Timing(times.sorted.apply(times.size / 2), times.min, times.max,
+        times, pairs.reverse.map(_._2))
     }
 
     // JVM/codegen warmup: one query per table domain, against the benched
@@ -85,9 +115,6 @@ object Bench {
     Seq("q01_scan_filter", "q30_dedup_exact", "q36_ann_brute_topk")
       .foreach(n => try materialize(n) catch { case _: Throwable => () })
 
-    val results: Seq[(String, Timing)] =
-      SparkEntry.registry.map(q => q.name -> timeReps(q.name)(materialize(q.name)))
-
     // ZTBus-dataset-scale pipeline throughput: the reference's full dataset
     // is ~1.5 M telemetry points which its 60x replay processes in ~4.9 real
     // hours. Three separately-keyed passes over the same 1.5 M rows so
@@ -95,6 +122,25 @@ object Bench {
     //   z_ztbus_metrics        — the five collapsed per-minute algorithms
     //   z_ztbus_sessions       — brake-session gaps-and-islands windows
     //   z_ztbus_session_stats  — the 112-aggregate (16-col) session describe
+    //
+    // Run order, attributed (r9): the z-block deliberately runs AFTER the
+    // registry pass. A z-first variant was built and measured to chase the
+    // r8 z-drift — and made things far worse: z_ztbus_metrics reps hit
+    // 20-48 s (vs ~4 s) with FLAT in-rep GC. jstack mid-slow-rep showed
+    // 29/32 executor threads parked (the metrics agg reuses the 3-trip
+    // window partitioning — 3 tasks carry all 1.5 M rows by design) and
+    // the busy threads inside Decimal.changePrecision /
+    // FloatingDecimal.toJavaFormatString / BigDecimal.valueOf — the
+    // dsum double→decimal cast path, running interpreted/C1. Those JDK
+    // paths are shared across the whole suite: after 88 registry queries
+    // they are C2-hot and z is stable; early-JVM they deopt/recompile
+    // mid-sequence and a 3-thread tail magnifies every stall 10x. The r8
+    // "z-drift" this chased is separately attributed to the old 8 GB heap
+    // (21 s of suite GC in BENCH_DETAIL r9; build.sbt now sizes the JVM
+    // to the machine), so end-of-suite is the reproducible slot.
+    val results: Seq[(String, Timing)] =
+      SparkEntry.registry.map(q => q.name -> timeReps(q.name)(materialize(q.name)))
+
     val ztbus: Seq[(String, Timing)] = {
       import graft.ztbus.{Algorithms, Fixtures}
       // The fixture is PERSISTED and materialized OUTSIDE the timed reps:
@@ -124,7 +170,7 @@ object Bench {
         }
         key -> timeReps(key)(body)
       }
-      Seq(
+      val out = Seq(
         time("z_ztbus_metrics") {
           Algorithms.perMinuteMetrics(tel, trips)
             .write.format("noop").mode("overwrite").save()
@@ -137,6 +183,8 @@ object Bench {
           Algorithms.brakeSessionStats(tel, "status_halt_brake_is_active")
             .write.format("noop").mode("overwrite").save()
         })
+      tel.unpersist(blocking = true)
+      out
     }
 
     val all = results ++ ztbus

@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   *   2. line-level boilerplate audit (lines shared by ≥ maxDf docs)
   *   3. repeated-span audit (≥5-token passages whose 3-grams all repeat)
   *   4. near-dup dedup, keeping the highest-quality cluster member
-  *   5. decontamination: DROP train-split docs overlapping the test split
-  *   6. source mixing to target weights (integer thresholds)
-  *   7. sequence packing into fixed token-budget chunks
-  *   8. deterministic shuffle-and-shard of the final order
+  *   5. SEMANTIC dedup over the doc embeddings (SemDeDup cells: coarse
+  *      quantize → within-cell cosine, the q69 batch face; the same
+  *      keep-set schema has incremental/streaming faces for ingest)
+  *   6. media near-dup over the docs' image/audio attachments (codec
+  *      decode → perceptual fingerprint → banded pairs, the q86/q87
+  *      pipeline; cross-doc matches drop the larger doc, undecodable
+  *      payloads are flagged and never pair)
+  *   7. decontamination: DROP train-split docs overlapping the test split
+  *   8. source mixing to target weights (integer thresholds)
+  *   9. sequence packing into fixed token-budget chunks
+  *  10. deterministic shuffle-and-shard of the final order
   *
   * Every stage is the same operator the oracle-backed queries gate; the
   * demo only wires them together — and the wiring itself is regression-
@@ -29,8 +36,9 @@ object CurationDemo {
   final case class StageCounts(
       corpus: Long, afterFunnel: Long, boilerplateDocs: Long,
       spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
-      afterDecontamination: Long, afterMix: Long, nChunks: Long,
-      nShards: Long)
+      afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
+      afterMedia: Long, afterDecontamination: Long, afterMix: Long,
+      nChunks: Long, nShards: Long)
 
   /** The full eight-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. */
@@ -77,14 +85,59 @@ object CurationDemo {
     val n3 = deduped.count()
     say(s"[curate] after near-dup keep-best: $n3 (${n1 - n3} dropped)")
 
-    // 5. decontamination: drop train-split docs overlapping the test split
-    val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"), 2,
-      minOverlap = 2, estimatedTestShingles = 1L << 16)
-    val decon = deduped.join(leaky.select("doc_id"), Seq("doc_id"), "left_anti")
-    val n4 = decon.count()
-    say(s"[curate] after decontamination: $n4 (${n3 - n4} train docs dropped)")
+    // 5. semantic dedup on the doc embeddings: coarse-quantize into
+    // SemDeDup cells, within-cell cosine, drop the dominated member.
+    // Centroids are a fixed deterministic sample of the FULL table (cell
+    // geometry is corpus-global — an already-filtered subset would move
+    // the cells whenever an upstream stage changes its drops).
+    val embAll = graft.Tables.embeddings(spark, sfDir)
+    val emb = embAll.join(deduped.select(col("doc_id").as("vec_id")), "vec_id")
+    val semKeep = SimilarityOps.semanticDedup(
+      emb, embAll.where(col("vec_id") < 8), col("vec_id"), col("embedding"),
+      threshold = 0.4)
+    val semDrop = semKeep.where(!col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    val semDeduped = deduped.join(semDrop, Seq("doc_id"), "left_anti")
+    val n3s = semDeduped.count()
+    say(s"[curate] after semantic dedup: $n3s (${n3 - n3s} dropped)")
 
-    // 6. mix to target source weights at a fixed token budget
+    // 6. media near-dup over the docs' image/audio attachments (the
+    // documents table carries none, so the demo synthesizes REAL PNG/WAV
+    // payloads from the text — the q86/q87 bridge): decode → perceptual
+    // fingerprint → banded pairs; a cross-doc match means two DOCS render
+    // near-identical media, and the larger doc_id drops. Planted same-doc
+    // variants pair with their own doc (no drop), and planted broken
+    // payloads flag `ok = false` and never reach the pair join.
+    implicit val sp: SparkSession = spark
+    def docOf(c: org.apache.spark.sql.Column) =
+      when(c >= MultimodalOps.VariantIdOffset,
+        c - MultimodalOps.VariantIdOffset).otherwise(c)
+    def crossDocDrops(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .select(docOf(col("media_a")).as("da"), docOf(col("media_b")).as("db"))
+      .where(col("da") =!= col("db"))
+      .select(greatest(col("da"), col("db")).as("doc_id")).distinct()
+    val imgDrops = crossDocDrops(MultimodalOps.imageNearDupPairs(
+      MultimodalOps.imageDHash(MultimodalOps.syntheticImageCorpus(
+        semDeduped, col("doc_id"), col("text"))).toDF()))
+    val audDrops = crossDocDrops(MultimodalOps.audioNearDupPairs(
+      MultimodalOps.audioEnvHash(MultimodalOps.syntheticAudioCorpus(
+        semDeduped, col("doc_id"), col("text"))).toDF()))
+    val nImg = imgDrops.count()
+    val nAud = audDrops.count()
+    val mediaDeduped = semDeduped
+      .join(imgDrops.union(audDrops).distinct(), Seq("doc_id"), "left_anti")
+    val n3m = mediaDeduped.count()
+    say(s"[curate] after media near-dup: $n3m " +
+      s"($nImg image-dup docs, $nAud audio-dup docs)")
+
+    // 7. decontamination: drop train-split docs overlapping the test split
+    val leaky = TextOps.decontaminate(mediaDeduped, col("doc_id"), col("text"), 2,
+      minOverlap = 2, estimatedTestShingles = 1L << 16)
+    val decon = mediaDeduped.join(leaky.select("doc_id"), Seq("doc_id"), "left_anti")
+    val n4 = decon.count()
+    say(s"[curate] after decontamination: $n4 (${n3m - n4} train docs dropped)")
+
+    // 8. mix to target source weights at a fixed token budget
     val weights = decon.select("source").distinct().collect()
       .map(_.getString(0) -> 1L).toMap
     val budget = 20000L
@@ -101,13 +154,13 @@ object CurationDemo {
     val n5 = mixed.count()
     say(s"[curate] after mixing to budget $budget: $n5")
 
-    // 7. pack into fixed token-budget training chunks
+    // 9. pack into fixed token-budget training chunks
     val packed = TextOps.packSequences(mixed, col("doc_id"), col("text"), 512L)
     val nChunks = packed.count()
     say(s"[curate] packed $n5 docs into $nChunks chunks of <= 512 tokens")
     if (verbose) packed.orderBy("chunk_id").show(5, truncate = false)
 
-    // 8. deterministic shuffle-and-shard: the order a training run reads
+    // 10. deterministic shuffle-and-shard: the order a training run reads
     val sharded = TextOps.shuffleShards(mixed, col("doc_id"), col("text"), 8)
     if (verbose)
       sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
@@ -116,7 +169,7 @@ object CurationDemo {
     say(s"[curate] final corpus sharded $nShards ways, reproducibly")
 
     StageCounts(n0, n1, boiler, spanStats.getLong(0), spanStats.getLong(1),
-      n3, n4, n5, nChunks, nShards)
+      n3, n3s, nImg, nAud, n3m, n4, n5, nChunks, nShards)
   }
 
   def main(args: Array[String]): Unit = {

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   *  - AUDIO: REAL for PCM containers — `javax.sound.sampled` (JDK built-in:
   *    WAV/AIFF/AU) decode + RMS/rate features in [[audioFeatures]].
   *    Compressed audio (MP3/AAC) would need an external codec.
-  *  - VIDEO: STUB (`StubDecoder`) — no JDK video codec exists; swapping in
-  *    a real decoder (JNI/javacv) changes only the decode call, the
-  *    distributed plumbing (per-partition batch iteration, no shuffle) is
-  *    identical and is what the generic stub path tests.
+  *  - VIDEO: REAL for the Y4M (YUV4MPEG2) container — the uncompressed
+  *    interchange format every ffmpeg pipeline can emit (`ffmpeg -i x.mp4
+  *    -f yuv4mpeg2 -`): an ASCII header plus raw planar YUV frames, so a
+  *    pure-JVM parser ([[VideoCodec]]) needs no codec library. Compressed
+  *    video (H.264/VP9/AV1) still needs an external decoder — for those
+  *    the `StubDecoder` path documents the plumbing; transcode-to-Y4M at
+  *    ingest is the no-JNI alternative.
   */
 object MultimodalOps {
 
@@ -410,6 +413,305 @@ object MultimodalOps {
     * [[banded64Pairs]] machinery, recall guaranteed to hamming 7). */
   def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
     banded64Pairs(hashes, "ehash", maxHamming)
+
+  /** Real video codec for the Y4M (YUV4MPEG2) container — pure JVM, no
+    * external library: Y4M is an ASCII stream header (`YUV4MPEG2 W.. H..
+    * F<num>:<den> .. C<colourspace>\n`) followed by `FRAME\n`-delimited
+    * raw planar YUV. Only the LUMA plane feeds analysis (it IS the
+    * grayscale image — chroma is parsed by size and skipped), which is
+    * exactly what perceptual fingerprinting wants. Deterministic for a
+    * given payload; any malformation (bad magic, truncated frame, absurd
+    * dimensions) decodes to None rather than throwing. */
+  object VideoCodec {
+    /** A decoded video: dimensions, frame rate, and one luma plane
+      * (w*h bytes, row-major) per frame. */
+    final case class Y4mVideo(width: Int, height: Int, fpsNum: Int,
+        fpsDen: Int, lumaFrames: Vector[Array[Byte]])
+
+    /** Frame payload bytes for a colourspace tag, or -1 if unsupported. */
+    private def frameBytes(c: String, w: Int, h: Int): Long = c match {
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+        w.toLong * h + 2L * ((w + 1) / 2) * ((h + 1) / 2)
+      case "422" => 2L * w * h
+      case "444" => 3L * w * h
+      case "mono" => w.toLong * h
+      case _ => -1L
+    }
+
+    /** Max pixels per frame accepted by the parser — a corrupt or hostile
+      * header claiming a huge W/H must not OOM an executor (the truncated-
+      * object discipline of [[ImageCodec.decode]], applied pre-allocation). */
+    val MaxFramePixels: Int = 1 << 26
+
+    def decode(payload: Array[Byte]): Option[Y4mVideo] = {
+      if (payload == null || payload.length < 10) return None
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < payload.length && payload(i) != '\n') i += 1
+        if (i >= payload.length) -1 else i
+      }
+      val h0 = lineEnd(0)
+      if (h0 < 0) return None
+      val header = new String(payload, 0, h0, "US-ASCII")
+      val parts = header.split(' ')
+      if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+      var (w, h, fn, fd, cs) = (-1, -1, 30, 1, "420jpeg")
+      try parts.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val r = p.substring(1).split(':')
+            fn = r(0).toInt; fd = r(1).toInt
+          case 'C' => cs = p.substring(1)
+          case _ => () // I/A/X params don't affect plane layout
+        }
+      } catch { case _: RuntimeException => return None }
+      val fb = frameBytes(cs, w, h)
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxFramePixels || fb < 0 ||
+        fn <= 0 || fd <= 0) return None
+      val frames = Vector.newBuilder[Array[Byte]]
+      var pos = h0 + 1
+      while (pos < payload.length) {
+        val fe = lineEnd(pos)
+        if (fe < 0) return None
+        val marker = new String(payload, pos, fe - pos, "US-ASCII")
+        if (!marker.startsWith("FRAME")) return None
+        if (payload.length - (fe + 1) < fb) return None // truncated frame
+        frames += java.util.Arrays.copyOfRange(payload, fe + 1, fe + 1 + w * h)
+        pos = fe + 1 + fb.toInt
+      }
+      Some(Y4mVideo(w, h, fn, fd, frames.result()))
+    }
+
+    /** Encode luma frames as C420jpeg Y4M with flat (neutral-gray) chroma
+      * — the analysis path never reads chroma, so decode∘encode is the
+      * identity on luma (the re-encode twin guarantee the synthetic
+      * corpus and specs rely on). */
+    def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+        lumaFrames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+        s"C420 needs positive even dimensions, got ${width}x$height")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII"))
+      val chroma = new Array[Byte]((width / 2) * (height / 2))
+      java.util.Arrays.fill(chroma, 0x80.toByte)
+      lumaFrames.foreach { luma =>
+        require(luma.length == width * height,
+          s"luma plane ${luma.length} != ${width}x$height")
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        bos.write(luma)
+        bos.write(chroma) // U
+        bos.write(chroma) // V
+      }
+      bos.toByteArray
+    }
+
+    /** [[ImageCodec.dHash]] on a raw luma plane: box-filter the plane to a
+      * 9×8 grid (direct array math — no AWT round trip), set bit (y*8+x)
+      * when grid(x,y) > grid(x+1,y). Same robustness class as the image
+      * dHash: invariant to re-encoding and (approximately) to resizing.
+      * Planes smaller than the grid can't be area-averaged meaningfully —
+      * callers flag those `ok = false` (see [[videoFrameHashes]]). */
+    def dHashLuma(luma: Array[Byte], w: Int, h: Int): Long = {
+      require(w >= 9 && h >= 8, s"dHashLuma needs >=9x8 luma, got ${w}x$h")
+      val grid = new Array[Double](9 * 8)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8
+        val y1 = (gy + 1) * h / 8
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9
+          val x1 = (gx + 1) * w / 9
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += luma(y * w + x) & 0xff; x += 1 }
+            y += 1
+          }
+          grid(gy * 9 + gx) = s.toDouble / ((y1 - y0) * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          if (grid(yy * 9 + xx) > grid(yy * 9 + xx + 1))
+            hash |= 1L << (yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      hash
+    }
+
+    /** Area-average (box-filter) downscale of a luma plane so the longer
+      * edge is ≤ maxEdge; already-small planes pass through. Returns
+      * (plane, w, h). */
+    def resizeLuma(luma: Array[Byte], w: Int, h: Int,
+        maxEdge: Int): (Array[Byte], Int, Int) = {
+      val scale = maxEdge.toDouble / math.max(w, h)
+      if (scale >= 1.0) (luma, w, h)
+      else {
+        val ow = math.max(1, (w * scale).toInt)
+        val oh = math.max(1, (h * scale).toInt)
+        val out = new Array[Byte](ow * oh)
+        var oy = 0
+        while (oy < oh) {
+          val y0 = oy * h / oh
+          val y1 = math.max(y0 + 1, (oy + 1) * h / oh)
+          var ox = 0
+          while (ox < ow) {
+            val x0 = ox * w / ow
+            val x1 = math.max(x0 + 1, (ox + 1) * w / ow)
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += luma(y * w + x) & 0xff; x += 1 }
+              y += 1
+            }
+            out(oy * ow + ox) = (s / ((y1 - y0) * (x1 - x0))).toByte
+            ox += 1
+          }
+          oy += 1
+        }
+        (out, ow, oh)
+      }
+    }
+  }
+
+  /** Decoded-video features (REAL codec path, Y4M container). */
+  final case class VideoFeatures(
+      media_id: Long, ok: Boolean, width: Int, height: Int, n_frames: Long,
+      fps: Double, mean_luma: Double)
+
+  /** REAL video decode + feature extraction — per-partition batches,
+    * executor-local, no shuffle; undecodable payloads flag `ok = false`. */
+  def videoFeatures(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      VideoCodec.decode(r.payload) match {
+        case Some(v) =>
+          var s = 0L
+          var n = 0L
+          v.lumaFrames.foreach { f =>
+            var i = 0
+            while (i < f.length) { s += f(i) & 0xff; i += 1 }
+            n += f.length
+          }
+          VideoFeatures(r.media_id, ok = true, v.width, v.height,
+            v.lumaFrames.size.toLong, v.fpsNum.toDouble / v.fpsDen,
+            if (n == 0) 0.0 else s.toDouble / n)
+        case None => VideoFeatures(r.media_id, ok = false, 0, 0, 0L, 0.0, 0.0)
+      }
+    })
+  }
+
+  /** REAL frame sampling: decode → keep every `stride`-th frame →
+    * re-encode Y4M (luma preserved exactly; chroma neutralized — the
+    * analysis path never reads it). The real replacement for
+    * [[frameSampleStub]] on the video modality; undecodable rows pass
+    * through unchanged (sampling must not invent or drop rows — the
+    * [[resizeImages]] discipline). */
+  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      VideoCodec.decode(r.payload) match {
+        case Some(v) if v.width % 2 == 0 && v.height % 2 == 0 =>
+          val kept = v.lumaFrames.zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => f }
+          r.copy(payload = VideoCodec.encodeY4m(
+            v.width, v.height, v.fpsNum, v.fpsDen, kept))
+        case _ => r
+      }
+    })
+  }
+
+  /** One sampled frame's perceptual fingerprint; an undecodable or
+    * sub-grid-size video emits a single `ok = false, frame_idx = -1` row
+    * (integrity signal, nothing silently dropped). */
+  final case class VideoFrameHash(
+      media_id: Long, ok: Boolean, frame_idx: Int, fhash: Long)
+
+  /** REAL video fingerprinting: decode → every `stride`-th frame (at most
+    * `maxFrames` of them — a runaway multi-hour clip must not turn one
+    * row into millions) → 64-bit luma dHash per sampled frame. The
+    * per-video hash SET is what near-dup discovery consumes; stride and
+    * maxFrames are the scale knobs (frames beyond the cap are dropped
+    * and the row keeps `ok = true` — the cap bounds work, the features
+    * path reports true frame counts). */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int = 1,
+      maxFrames: Int = 64)(
+      implicit spark: SparkSession): Dataset[VideoFrameHash] = {
+    require(stride >= 1 && maxFrames >= 1,
+      s"stride/maxFrames must be >= 1, got $stride/$maxFrames")
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      VideoCodec.decode(r.payload) match {
+        case Some(v) if v.width >= 9 && v.height >= 8 && v.lumaFrames.nonEmpty =>
+          v.lumaFrames.iterator.zipWithIndex
+            .filter(_._2 % stride == 0).take(maxFrames)
+            .map { case (f, i) => VideoFrameHash(r.media_id, ok = true, i,
+              VideoCodec.dHashLuma(f, v.width, v.height)) }
+        case _ => Iterator(VideoFrameHash(r.media_id, ok = false, -1, 0L))
+      }
+    })
+  }
+
+  /** Video near-duplicate pairs from [[videoFrameHashes]] — dedup extended
+    * to the video modality. Candidates: the 8×8-bit pigeonhole bands of
+    * EVERY sampled frame hash, distinct per (video, band, byte), through
+    * the shared skew-safe grid self-join — recall guaranteed whenever any
+    * frame of A is within hamming 7 of any frame of B. Verify: join both
+    * videos' sampled frame hashes back (≤ maxFrames each, so the cross is
+    * ≤ maxFrames² codegen'd rows per candidate pair), count A-frames with
+    * a ≤ maxHamming partner in B, and keep pairs whose matched fraction —
+    * over the SMALLER video's sampled count, so a trimmed copy still
+    * matches — reaches `minMatchFrac`. Output (media_a, media_b,
+    * matched_frames, match_frac), media_a < media_b. */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 6,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
+    val hs = frameHashes.where(col("ok"))
+      .select(col("media_id"), col("frame_idx"), col("fhash"))
+    val counts = hs.groupBy("media_id")
+      .agg(count(lit(1)).as("nf"))
+    val bandRows = hs.select(col("media_id").as("doc_id"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftright(col("fhash"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
+      .distinct()
+    DedupOps.bucketedSelfJoinPairs(bandRows)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"))
+      .join(hs.select(col("media_id").as("media_a"),
+        col("frame_idx").as("_fi_a"), col("fhash").as("_ha")), "media_a")
+      .join(hs.select(col("media_id").as("media_b"),
+        col("fhash").as("_hb")), "media_b")
+      .where(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(countDistinct(col("_fi_a")).as("matched_frames"))
+      .join(counts.select(col("media_id").as("media_a"), col("nf").as("_na")),
+        "media_a")
+      .join(counts.select(col("media_id").as("media_b"), col("nf").as("_nb")),
+        "media_b")
+      .withColumn("match_frac",
+        col("matched_frames") / least(col("_na"), col("_nb")))
+      .where(col("match_frac") >= minMatchFrac)
+      .select(col("media_a"), col("media_b"), col("matched_frames"),
+        col("match_frac"))
+  }
 
   /** Offset added to a source doc_id to form its planted variant's
     * media_id in the synthetic corpora below — far above any testdata

@@ -109,6 +109,47 @@ object TextOps {
         keep: _*)
   }
 
+  /** Leakage-safe train/val/test assignment: [[hashSplit]] leaks near-
+    * duplicates across splits (two 0.9-Jaccard docs hash to independent
+    * buckets, so a test doc's near-copy sits in train — contamination the
+    * decontamination pass can't see because it IS the same corpus). Here
+    * the whole near-dup cluster moves as one unit: every member gets the
+    * bucket of the cluster's MIN content hash. Min-of-member-hashes (not
+    * the min-id representative's hash) keeps the assignment id-independent
+    * — re-ingesting the corpus with different doc ids reproduces the same
+    * split, the property that makes hash splits re-derivable at 100 TB.
+    * Also emits `n_members` and `sample_weight` = 1/|cluster| — the
+    * duplicate-aware upsampling correction (each near-dup GROUP
+    * contributes unit weight to training, however many copies survived).
+    *
+    * `clusters` is (doc_id, cluster_id) from [[DedupOps.dedupClusters]];
+    * docs absent from it are singletons (their own cluster). Cost: one
+    * hash projection, one left join on doc_id, one groupBy cluster_id +
+    * join back — all key-partitioned, no skew beyond the (capped) cluster
+    * sizes; AQE broadcasts the cluster side when it is small. */
+  def leakageSafeSplit(docs: DataFrame, id: Column, text: Column,
+      clusters: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val base = docs.select(id.as("doc_id"),
+      graft.functions.HashExpressions.polyHash(text).as("own_hash"))
+    val grouped = base
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("own_hash"))
+    val perCluster = grouped.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"), min("own_hash").as("grp_hash"))
+    val bucket = pmod(col("grp_hash"), lit(100))
+    grouped.join(perCluster, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (lit(1.0) / col("n_members")).as("sample_weight"),
+        bucket.as("bucket"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Repetition/boilerplate signals: distinct-word ratio and top-word
     * share — the row-local redundancy screens a curation pipeline applies
     * before (and independently of) cross-document dedup. Pure higher-order

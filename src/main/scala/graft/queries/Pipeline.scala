@@ -1379,6 +1379,42 @@ object Pipeline {
        |  CAST(n * count(*) AS BIGINT) AS n_docs
        |FROM sz GROUP BY n""".stripMargin)
 
+  /** Leakage-safe train/val/test split ([[TextOps.leakageSafeSplit]]):
+    * q45's independent hash split leaks near-duplicates across splits — a
+    * test doc's 0.9-Jaccard twin lands in train and no decontamination
+    * pass can see it (it IS the same corpus). Here the q51 near-dup
+    * cluster moves as ONE unit: every member takes the bucket of the
+    * cluster's min content hash (id-independent — re-ingestion with fresh
+    * doc ids reproduces the split), plus the 1/|cluster| duplicate-aware
+    * sample weight. Oracle: the q51 recursive-CTE cluster chain, a left
+    * join for singletons, and the same bucket arithmetic. */
+  private val q88 = QueryDef(
+    "q88_leakage_safe_split",
+    (s, d) => TextOps.leakageSafeSplit(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      DedupOps.dedupClusters(
+        DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+          Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
+        "doc_a", "doc_b")),
+    s"""WITH RECURSIVE $clusterChainCtes,
+       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a),
+       |base AS (SELECT doc_id, ${polyHashSql("text")} AS own_hash
+       |  FROM documents),
+       |g AS (SELECT b.doc_id,
+       |    COALESCE(cl.cluster_id, b.doc_id) AS cluster_id, b.own_hash
+       |  FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id),
+       |pc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    min(own_hash) AS grp_hash
+       |  FROM g GROUP BY 1)
+       |SELECT g.doc_id, g.cluster_id, pc.n_members,
+       |  1.0 / pc.n_members AS sample_weight,
+       |  pc.grp_hash % 100 AS bucket,
+       |  CASE WHEN pc.grp_hash % 100 < 80 THEN 'train'
+       |       WHEN pc.grp_hash % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM g JOIN pc ON pc.cluster_id = g.cluster_id""".stripMargin)
+
   /** Image near-dup as a REGISTERED query (round-9, closing the verdict's
     * "media near-dup has no registered query" gap): REAL PNG payloads are
     * synthesized deterministically from the documents table
@@ -1425,5 +1461,5 @@ object Pipeline {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

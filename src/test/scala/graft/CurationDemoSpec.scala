@@ -27,8 +27,13 @@ class CurationDemoSpec extends SparkSpec {
       spanDocsHit = 147L,
       spanTokensRemovable = 1626L,
       afterKeepBest = 196L,
-      afterDecontamination = 36L,
-      afterMix = 36L,
+      afterSemantic = 193L,
+      imageDupDocs = 0L,  // planted variants are same-doc by construction;
+      audioDupDocs = 0L,  // a cross-doc drop here means two DOCS render
+                          // near-identical media — none in the sf corpus
+      afterMedia = 193L,
+      afterDecontamination = 35L,
+      afterMix = 35L,
       nChunks = 5L,
       nShards = 8L)
     assert(got == want,

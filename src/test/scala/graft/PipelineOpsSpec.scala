@@ -361,6 +361,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a(1L) == a(2L))
   }
 
+  test("leakageSafeSplit moves near-dup clusters as one unit, id-independently") {
+    val clusters = DedupOps.dedupClusters(
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+        docs, col("doc_id"), col("text"), 2)), "doc_a", "doc_b")
+    val out = TextOps.leakageSafeSplit(docs, col("doc_id"), col("text"),
+      clusters)
+      .select("doc_id", "cluster_id", "n_members", "sample_weight", "split")
+      .as[(Long, Long, Long, Double, String)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length == 5)
+    // every cluster is one unit: all members share cluster_id's split, and
+    // n_members/sample_weight reflect the true member count
+    val members = out.groupBy(_._2)
+    assert(members.exists(_._2.length > 1), "fixture must have a real cluster")
+    members.foreach { case (_, ms) =>
+      assert(ms.map(_._5).toSet.size == 1, s"split straddles a cluster: $ms")
+      assert(ms.forall(m => m._3 == ms.length && m._4 == 1.0 / ms.length))
+    }
+    // docs 1/2 are exact dups — must be one cluster (doc 3 is a near dup
+    // whose candidacy depends on LSH banding; not asserted either way)
+    assert(byDoc(1L)._2 == byDoc(2L)._2)
+    // singletons: weight 1, split equal to the plain hashSplit bucket
+    val plain = TextOps.hashSplit(docs, col("doc_id"), col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(_._3 == 1L).foreach { m =>
+      assert(m._4 == 1.0 && m._5 == plain(m._1))
+    }
+    // id-independence: shifting every doc_id by 1000 must not move the
+    // split of any cluster (the split key is min CONTENT hash, not an id)
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000L)
+    val clusters2 = DedupOps.dedupClusters(
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+        shifted, col("doc_id"), col("text"), 2)), "doc_a", "doc_b")
+    val out2 = TextOps.leakageSafeSplit(shifted, col("doc_id"), col("text"),
+        clusters2)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { r => out2(r._1 + 1000L) == r._5 })
+  }
+
   test("packSequences fills chunks contiguously and conserves docs/tokens") {
     // 10 docs x 40 chars -> 10 tokens each; starts 0,10,..,90; budget 32
     // -> chunks {0: docs 0-3, 1: docs 4-6, 2: docs 7-9}; blockSize 4 forces
