@@ -55,8 +55,21 @@ object Bench {
     // by diffing across rounds (round 5: a 2.17x median drift on untouched
     // code was only detectable by comparing BENCH_r04 vs BENCH_r05).
     final case class Timing(med: Double, min: Double, max: Double,
-        reps: Seq[Double], gcs: Seq[Double])
-    val failed = Timing(-1.0, -1.0, -1.0, Nil, Nil)
+        reps: Seq[Double], gcs: Seq[Double], cached: Seq[Double])
+    val failed = Timing(-1.0, -1.0, -1.0, Nil, Nil, Nil)
+
+    // Block-manager footprint (MB) at the END of each rep: RDD blocks
+    // (cached/checkpointed, mem+disk) PLUS broadcast blocks via executor
+    // storage-memory used — getRDDStorageInfo alone misses broadcasts,
+    // which are exactly what iterative ML fits accumulate. The r9 q51/q48
+    // signature — wall climbing monotonically across reps with zero in-rep
+    // GC — is an accumulating-state shape; this column attributes it from
+    // the artifact (climbing MB = leaked blocks, flat = look elsewhere).
+    def cachedMb: Double =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum / 1e6 +
+        spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, rem) => (max - rem) / 1e6 }.sum
 
     def timeReps(name: String)(body: => Unit): Timing = {
       // Shed the previous query's garbage before timing: the heaviest
@@ -64,7 +77,7 @@ object Bench {
       // [6.4, 21.4] s here vs a stable [5.3, 6.5] over six isolated
       // reps — the z_ztbus drift class, same fix).
       System.gc()
-      def rep(): Option[(Double, Double)] = {
+      def rep(): Option[(Double, Double, Double)] = {
         val g0 = gcMillis
         val t0 = System.nanoTime()
         try body
@@ -72,11 +85,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return None
         }
-        Some(((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3))
+        Some(((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3,
+          cachedMb))
       }
-      var pairs = List.empty[(Double, Double)]
+      // Between reps of SLOW queries, force a driver GC (outside the timed
+      // window) so ContextCleaner frees the previous rep's blocks/shuffles
+      // before the next one starts: rep N then measures the query, not
+      // rep N-1's cleanup debt. Measured cost on the 89 GB pre-touched
+      // driver heap: 0.10-0.17 s per call — gated on the previous rep
+      // being >= 1 s so the ~70 sub-second queries don't pay it (bounds
+      // the suite overhead to ~10 s while covering every query whose
+      // median a drifting rep could actually move).
+      def isolate(prev: List[(Double, Double, Double)]): Unit =
+        if (prev.headOption.exists(_._1 >= 1.0)) System.gc()
+      var pairs = List.empty[(Double, Double, Double)]
       var i = 0
       while (i < Reps) {
+        if (i > 0) isolate(pairs)
         rep() match {
           case Some(p) => pairs ::= p
           case None    => return failed
@@ -97,6 +122,7 @@ object Bench {
           && walls.sorted.apply(pairs.size / 2) >= 1.0) {
         var j = 0
         while (j < 2) {
+          isolate(pairs)
           rep() match {
             case Some(p) => pairs ::= p
             case None    => return failed
@@ -106,7 +132,7 @@ object Bench {
       }
       val times = pairs.reverse.map(_._1)
       Timing(times.sorted.apply(times.size / 2), times.min, times.max,
-        times, pairs.reverse.map(_._2))
+        times, pairs.reverse.map(_._2), pairs.reverse.map(_._3))
     }
 
     // JVM/codegen warmup: one query per table domain, against the benched
@@ -214,6 +240,16 @@ object Bench {
       val gcJson = all
         .map { case (k, t) => s""""$k":${arr(t.gcs, d => f"$d%.3f")}""" }
         .mkString("{", ",", "}")
+      val cachedJson = all
+        .map { case (k, t) => s""""$k":${arr(t.cached, d => f"$d%.1f")}""" }
+        .mkString("{", ",", "}")
+      // Settled queries carry 5 entries in the rep vectors where base_reps
+      // is 3 — the list makes them machine-identifiable (r9 advisory: a
+      // consumer keying off a single top-level rep count misread which
+      // medians were median-of-5).
+      val settled = all.collect {
+        case (k, t) if t.reps.size > Reps => s""""$k"""" }
+        .mkString("[", ",", "]")
       val rt = Runtime.getRuntime
       val env =
         s"""{"xmx_gb":${f"${rt.maxMemory / (1 << 30).toDouble}%.1f"},""" +
@@ -222,10 +258,11 @@ object Bench {
           s""""gc_total_sec":${f"${gcMillis / 1e3}%.1f"}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
-        (s"""{"unit":"sec","order":["median","min","max"],"reps":$Reps,""" +
+        (s"""{"unit":"sec","order":["median","min","max"],""" +
+          s""""base_reps":$Reps,"settled":$settled,""" +
           s""""sf":"$sfDir","env":$env,"total_median_sec":$total,""" +
           s""""queries":$detail,"rep_wall_sec":$repsJson,""" +
-          s""""rep_gc_sec":$gcJson}""")
+          s""""rep_gc_sec":$gcJson,"rep_cached_mb":$cachedJson}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     // Key order is deliberate: truncation eats the line FRONT, so the

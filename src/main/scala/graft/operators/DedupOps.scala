@@ -195,9 +195,28 @@ object DedupOps {
     * lineage so round N's plan doesn't embed rounds 1..N-1. Output:
     * (doc_id, cluster_id) for every doc appearing in a pair — docs in no
     * pair are their own cluster by definition and are left out of the edge
-    * walk entirely. Deterministic for any input order/partitioning. */
+    * walk entirely. Deterministic for any input order/partitioning.
+    *
+    * Checkpoint lifecycle: each round's eager `localCheckpoint` SUPERSEDES
+    * the previous round's blocks, and Spark only frees superseded blocks
+    * when the driver GCs the RDD handle (ContextCleaner is weak-reference
+    * driven). On a large driver heap GC may not run for the whole job, so
+    * without explicit cleanup every round's full label frame stays pinned
+    * in the block manager — O(rounds × corpus) storage that evicts/spills
+    * later work (measured in-harness: repeated q51 runs climbed 2.6→14.9 s
+    * with zero GC). Each superseded frame is therefore unpersisted HERE,
+    * the moment its successor is materialized; only the frame backing the
+    * returned labels outlives the call. */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // The blocks behind an eagerly-checkpointed frame: the analyzed plan's
+    // root is the LogicalRDD wrapping the materialized RDD.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     // both edge directions from ONE pass over the pair pipeline: a
     // union of two selects over `pairs` would evaluate the (expensive)
     // upstream discovery plan twice — Spark does not reuse common
@@ -217,6 +236,7 @@ object DedupOps {
       .groupBy("node").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint(true)
     val labelType = labels.schema("cluster_id").dataType
+    var live = labels // the one checkpointed label frame still referenced
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -256,8 +276,11 @@ object DedupOps {
         .localCheckpoint(true)
       converged = next.where(col("cluster_id") =!= col("_old")).isEmpty
       labels = next.select("node", "cluster_id")
+      freeCheckpoint(live) // superseded: `next` is already materialized
+      live = next
       i += 1
     }
+    freeCheckpoint(undirected) // the returned labels reference only `live`
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 
