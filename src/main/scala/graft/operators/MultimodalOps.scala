@@ -508,6 +508,27 @@ object MultimodalOps {
       bos.toByteArray
     }
 
+    /** Luma-only Y4M (`Cmono`) encode — the re-encode path for videos
+      * whose dimensions are odd (legal in mono/444 containers) and so
+      * cannot carry C420 chroma planes. Luma is preserved exactly; the
+      * analysis path never reads chroma, so decode∘encode is still the
+      * identity on what the pipeline consumes. */
+    def encodeY4mMono(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+        lumaFrames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0,
+        s"mono needs positive dimensions, got ${width}x$height")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 Cmono\n"
+        .getBytes("US-ASCII"))
+      lumaFrames.foreach { luma =>
+        require(luma.length == width * height,
+          s"luma plane ${luma.length} != ${width}x$height")
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        bos.write(luma)
+      }
+      bos.toByteArray
+    }
+
     /** [[ImageCodec.dHash]] on a raw luma plane: box-filter the plane to a
       * 9×8 grid (direct array math — no AWT round trip), set bit (y*8+x)
       * when grid(x,y) > grid(x+1,y). Same robustness class as the image
@@ -620,19 +641,28 @@ object MultimodalOps {
     * analysis path never reads it). The real replacement for
     * [[frameSampleStub]] on the video modality; undecodable rows pass
     * through unchanged (sampling must not invent or drop rows — the
-    * [[resizeImages]] discipline). */
+    * [[resizeImages]] discipline). Decodable videos with odd
+    * dimensions — legal in mono/444 containers but unrepresentable in
+    * C420 — re-encode as luma-only `Cmono` ([[VideoCodec.encodeY4mMono]])
+    * so every decodable row IS sampled; only luma survives, which is all
+    * the analysis path reads. */
   def sampleVideoFrames(media: Dataset[MediaRow], stride: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
     media.mapPartitions(_.map { r =>
       VideoCodec.decode(r.payload) match {
-        case Some(v) if v.width % 2 == 0 && v.height % 2 == 0 =>
+        case Some(v) =>
           val kept = v.lumaFrames.zipWithIndex
             .collect { case (f, i) if i % stride == 0 => f }
-          r.copy(payload = VideoCodec.encodeY4m(
-            v.width, v.height, v.fpsNum, v.fpsDen, kept))
-        case _ => r
+          val enc =
+            if (v.width % 2 == 0 && v.height % 2 == 0)
+              VideoCodec.encodeY4m(v.width, v.height, v.fpsNum, v.fpsDen, kept)
+            else
+              VideoCodec.encodeY4mMono(v.width, v.height, v.fpsNum, v.fpsDen,
+                kept)
+          r.copy(payload = enc)
+        case None => r
       }
     })
   }
@@ -674,11 +704,16 @@ object MultimodalOps {
     * the shared skew-safe grid self-join — recall guaranteed whenever any
     * frame of A is within hamming 7 of any frame of B. Verify: join both
     * videos' sampled frame hashes back (≤ maxFrames each, so the cross is
-    * ≤ maxFrames² codegen'd rows per candidate pair), count A-frames with
-    * a ≤ maxHamming partner in B, and keep pairs whose matched fraction —
-    * over the SMALLER video's sampled count, so a trimmed copy still
-    * matches — reaches `minMatchFrac`. Output (media_a, media_b,
-    * matched_frames, match_frac), media_a < media_b. */
+    * ≤ maxFrames² codegen'd rows per candidate pair), count matched
+    * frames on EACH side, and keep pairs whose match fraction — the
+    * SHORTER video's coverage: its matched-frame count over its sampled
+    * count, the video-copy-detection convention, so a trimmed copy still
+    * scores 1.0 and the fraction can never exceed 1 — reaches
+    * `minMatchFrac`. (Normalizing the LONGER side's matched count by the
+    * shorter side's total, the previous form, over-counted: 4 of A's 6
+    * frames near-matching a 3-frame trim gave 4/3.) Output (media_a,
+    * media_b, matched_frames, match_frac), media_a < media_b;
+    * matched_frames is the shorter side's matched count. */
   def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 6,
       minMatchFrac: Double = 0.5): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -698,16 +733,20 @@ object MultimodalOps {
       .join(hs.select(col("media_id").as("media_a"),
         col("frame_idx").as("_fi_a"), col("fhash").as("_ha")), "media_a")
       .join(hs.select(col("media_id").as("media_b"),
-        col("fhash").as("_hb")), "media_b")
+        col("frame_idx").as("_fi_b"), col("fhash").as("_hb")), "media_b")
       .where(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
       .groupBy(col("media_a"), col("media_b"))
-      .agg(countDistinct(col("_fi_a")).as("matched_frames"))
+      .agg(countDistinct(col("_fi_a")).as("_ma"),
+        countDistinct(col("_fi_b")).as("_mb"))
       .join(counts.select(col("media_id").as("media_a"), col("nf").as("_na")),
         "media_a")
       .join(counts.select(col("media_id").as("media_b"), col("nf").as("_nb")),
         "media_b")
+      .withColumn("matched_frames",
+        when(col("_na") <= col("_nb"), col("_ma")).otherwise(col("_mb")))
       .withColumn("match_frac",
-        col("matched_frames") / least(col("_na"), col("_nb")))
+        col("matched_frames") /
+          when(col("_na") <= col("_nb"), col("_na")).otherwise(col("_nb")))
       .where(col("match_frac") >= minMatchFrac)
       .select(col("media_a"), col("media_b"), col("matched_frames"),
         col("match_frac"))
@@ -832,6 +871,68 @@ object MultimodalOps {
           else if (mid % variantEvery == 0)
             Some(base.copy(media_id = mid + VariantIdOffset,
               payload = wavBytes(t, 0.45)))
+          else None
+        Iterator(base) ++ variant.iterator
+      })
+  }
+
+  /** Deterministic REAL-Y4M corpus synthesized from a text table — the
+    * video analog of [[syntheticImageCorpus]], the bridge that lets the
+    * video near-dup pipeline run as a REGISTERED query over the driver's
+    * parquet tables. Per doc: a 16×16, 6-frame C420 Y4M whose luma planes
+    * are a pure function of (text, frame index) — textured per frame so
+    * the 9×8 area-average dHashes spread. Planted rows, all keyed
+    * `doc_id + VariantIdOffset`:
+    *  - `doc_id % (2·variantEvery) == 0` → decode→re-encode of the
+    *    original (luma byte-identical, every frame hash hamming 0,
+    *    match_frac 1.0 — the pair output is deterministically non-empty),
+    *  - other `doc_id % variantEvery == 0` → a FRAME-STRIDE twin (every
+    *    2nd frame kept, via the [[sampleVideoFrames]] code path): each
+    *    kept frame is byte-identical to a frame of the original, and
+    *    [[videoNearDupPairs]] normalizes matched frames over the SMALLER
+    *    video's count, so match_frac is exactly 1.0 — the trimmed-copy
+    *    recall guarantee, exercised in the registered query,
+    *  - `doc_id % brokenEvery == 0` → truncated mid-frame, undecodable
+    *    (must surface as `ok = false` and be EXCLUDED from pairs).
+    * Executor-local (mapPartitions over the pure-JVM codec, no shuffle)
+    * and deterministic for a given table — rows-checkable in CORRECTNESS. */
+  def syntheticVideoCorpus(docs: DataFrame, id: Column, text: Column,
+      variantEvery: Int = 4, brokenEvery: Int = 97)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    val (w, h, nFrames) = (16, 16, 6)
+    docs.select(id.cast("long").as("media_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (mid, t) =>
+        val s = if (t == null || t.isEmpty) " " else t
+        val frames = Vector.tabulate(nFrames) { f =>
+          val luma = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = s.charAt((y * w + x) % s.length).toInt
+              luma(y * w + x) = ((c * 37 + x * 23 + y * 11 + f * 53) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          luma
+        }
+        val y4m = VideoCodec.encodeY4m(w, h, 30, 1, frames)
+        val base = MediaRow(mid, "video", y4m, w, h, 0)
+        val variant =
+          if (mid % brokenEvery == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = y4m.take(y4m.length / 2))) // truncated: undecodable
+          else if (mid % (2L * variantEvery) == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = VideoCodec.encodeY4m(w, h, 30, 1,
+                VideoCodec.decode(y4m).get.lumaFrames)))
+          else if (mid % variantEvery == 0)
+            Some(base.copy(media_id = mid + VariantIdOffset,
+              payload = VideoCodec.encodeY4m(w, h, 30, 1,
+                frames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f })))
           else None
         Iterator(base) ++ variant.iterator
       })

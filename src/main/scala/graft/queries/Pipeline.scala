@@ -1457,9 +1457,32 @@ object Pipeline {
     },
     None)
 
+  /** Video near-dup as a REGISTERED query — the video face of [[q86]],
+    * closing the last spec-only modality: REAL Y4M payloads from the
+    * documents table ([[MultimodalOps.syntheticVideoCorpus]]), then the
+    * full production pipeline: pure-JVM Y4M decode → per-frame luma
+    * dHash → banded discovery over EVERY frame hash → frame-set verify
+    * with match fraction normalized over the smaller video. Planted
+    * decode→re-encode twins match at fraction 1.0 (deterministic
+    * non-empty output); planted FRAME-STRIDE twins (every 2nd frame)
+    * exercise the trimmed-copy recall guarantee; truncated payloads must
+    * flag `ok = false` and stay out of the pairs — codec, hashing,
+    * banding, and verify regressions all move the row count. No SQL
+    * oracle: the Y4M decode is not expressible in DuckDB. */
+  private val q89 = QueryDef(
+    "q89_video_neardup",
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val media = MultimodalOps.syntheticVideoCorpus(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+      MultimodalOps.videoNearDupPairs(
+        MultimodalOps.videoFrameHashes(media).toDF(), maxHamming = 6)
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -295,6 +295,168 @@ class MultimodalSpec extends SparkSpec {
       a != off + 0L && b != off + 0L && a != off + 97L && b != off + 97L })
   }
 
+  /** A deterministic multi-frame Y4M: luma(f, x, y) is textured so frame
+    * dHashes spread; even dims by default so C420 round-trips. */
+  private def y4m(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = Vector.tabulate(nFrames) { f =>
+      Array.tabulate(w * h) { i =>
+        ((i % w) * 29 + (i / w) * 17 + f * 101 + (i * i) % 61).toByte
+      }
+    }
+    MultimodalOps.VideoCodec.encodeY4m(w, h, 25, 1, frames)
+  }
+
+  test("VideoCodec: encodeY4m -> decode round-trips luma, header, and framing") {
+    val payload = y4m(16, 12, 4)
+    val v = MultimodalOps.VideoCodec.decode(payload).get
+    assert(v.width == 16 && v.height == 12 && v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.lumaFrames.size == 4)
+    // luma is the identity through encode∘decode (chroma is synthetic)
+    val expect = Vector.tabulate(4) { f =>
+      Array.tabulate(16 * 12) { i =>
+        ((i % 16) * 29 + (i / 16) * 17 + f * 101 + (i * i) % 61).toByte
+      }
+    }
+    v.lumaFrames.zip(expect).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+    // mono round-trip on ODD dimensions (legal Y4M, no chroma planes)
+    val mono = MultimodalOps.VideoCodec.encodeY4mMono(9, 11, 30, 1,
+      Seq(Array.tabulate(99)(_.toByte)))
+    val mv = MultimodalOps.VideoCodec.decode(mono).get
+    assert(mv.width == 9 && mv.height == 11 && mv.lumaFrames.size == 1)
+    assert(java.util.Arrays.equals(mv.lumaFrames.head,
+      Array.tabulate(99)(_.toByte)))
+  }
+
+  test("VideoCodec.decode: truncated, hostile, and malformed payloads return None") {
+    val good = y4m(16, 12, 3)
+    // truncation at any depth: header-only, mid-marker, mid-frame
+    assert(MultimodalOps.VideoCodec.decode(good.take(10)).isEmpty)
+    assert(MultimodalOps.VideoCodec.decode(good.take(good.length / 2)).isEmpty)
+    assert(MultimodalOps.VideoCodec.decode(good.dropRight(1)).isEmpty)
+    assert(MultimodalOps.VideoCodec.decode("not video".getBytes).isEmpty)
+    assert(MultimodalOps.VideoCodec.decode(null).isEmpty)
+    // hostile header claiming giant dimensions must refuse pre-allocation
+    val hostile = ("YUV4MPEG2 W100000 H100000 F30:1 C420jpeg\nFRAME\n")
+      .getBytes("US-ASCII")
+    assert(MultimodalOps.VideoCodec.decode(hostile).isEmpty)
+    // zero/negative dims and unknown colourspace
+    assert(MultimodalOps.VideoCodec.decode(
+      "YUV4MPEG2 W0 H16 F30:1\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    assert(MultimodalOps.VideoCodec.decode(
+      "YUV4MPEG2 W16 H16 F30:1 Cweird\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("videoFeatures + videoFrameHashes: decode, flag, and hash per sampled frame") {
+    val rows = Seq(
+      media(1L, "video", y4m(16, 16, 6)),
+      media(2L, "video", y4m(16, 16, 6).take(40)), // truncated
+      media(3L, "video", "junk".getBytes))
+    val feats = MultimodalOps.videoFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).ok && feats(1L).n_frames == 6 &&
+      feats(1L).width == 16 && feats(1L).fps == 25.0)
+    assert(!feats(2L).ok && !feats(3L).ok)
+    val hashes = MultimodalOps.videoFrameHashes(
+      spark.createDataset(rows), stride = 2, maxFrames = 2).collect()
+    val byId = hashes.groupBy(_.media_id)
+    // stride 2 over 6 frames = indices 0,2,4; maxFrames 2 caps to 0,2
+    assert(byId(1L).forall(_.ok) &&
+      byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // undecodable rows emit exactly one ok=false integrity row
+    assert(byId(2L).toSeq.map(h => (h.ok, h.frame_idx)) == Seq((false, -1)))
+    assert(byId(3L).toSeq.map(h => (h.ok, h.frame_idx)) == Seq((false, -1)))
+    // re-encode twin: decode -> encode -> hash is bit-identical per frame
+    val re = MultimodalOps.VideoCodec.encodeY4m(16, 16, 25, 1,
+      MultimodalOps.VideoCodec.decode(y4m(16, 16, 6)).get.lumaFrames)
+    val twin = MultimodalOps.videoFrameHashes(spark.createDataset(
+      Seq(media(1L, "video", y4m(16, 16, 6)), media(9L, "video", re))))
+      .collect().groupBy(_.media_id)
+    assert(twin(1L).map(h => h.frame_idx -> h.fhash).toMap ==
+      twin(9L).map(h => h.frame_idx -> h.fhash).toMap)
+  }
+
+  test("sampleVideoFrames: stride keeps every Nth frame; odd dims re-encode mono") {
+    val rows = Seq(
+      media(1L, "video", y4m(16, 16, 6)),
+      media(2L, "video", {
+        // odd-dimension mono source: 15x11, 4 frames
+        val frames = Vector.tabulate(4)(f =>
+          Array.tabulate(15 * 11)(i => (i * 7 + f * 31).toByte))
+        MultimodalOps.VideoCodec.encodeY4mMono(15, 11, 30, 1, frames)
+      }),
+      media(3L, "video", "junk".getBytes))
+    val out = MultimodalOps.sampleVideoFrames(spark.createDataset(rows), 2)
+      .collect().map(r => r.media_id -> r).toMap
+    val v1 = MultimodalOps.VideoCodec.decode(out(1L).payload).get
+    assert(v1.lumaFrames.size == 3) // frames 0, 2, 4
+    val orig = MultimodalOps.VideoCodec.decode(y4m(16, 16, 6)).get
+    assert(java.util.Arrays.equals(v1.lumaFrames(1), orig.lumaFrames(2)))
+    // ADVICE r9: odd-dimension decodable videos must be SAMPLED (mono
+    // re-encode), not silently passed through
+    val v2 = MultimodalOps.VideoCodec.decode(out(2L).payload).get
+    assert(v2.width == 15 && v2.height == 11 && v2.lumaFrames.size == 2)
+    // undecodable rows pass through byte-identical (no row invented/lost)
+    assert(java.util.Arrays.equals(out(3L).payload, "junk".getBytes))
+  }
+
+  test("videoNearDupPairs: re-encoded and frame-subsampled (trimmed) copies pair") {
+    val base = y4m(16, 16, 6)
+    val v = MultimodalOps.VideoCodec.decode(base).get
+    val trimmed = MultimodalOps.VideoCodec.encodeY4m(16, 16, 25, 1,
+      v.lumaFrames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f })
+    val unrelated = {
+      val frames = Vector.tabulate(6)(f =>
+        Array.tabulate(256)(i => ((i % 16) * 91 + (i / 16) * 3 + f * 7).toByte))
+      MultimodalOps.VideoCodec.encodeY4m(16, 16, 25, 1, frames)
+    }
+    val rows = Seq(
+      media(1L, "video", base),
+      media(2L, "video", MultimodalOps.VideoCodec.encodeY4m(16, 16, 25, 1,
+        v.lumaFrames)), // re-encode twin
+      media(3L, "video", trimmed), // frame-subsampled copy
+      media(4L, "video", unrelated),
+      media(5L, "video", base.take(50))) // broken: must never pair
+    val pairs = MultimodalOps.videoNearDupPairs(
+      MultimodalOps.videoFrameHashes(spark.createDataset(rows)).toDF(),
+      maxHamming = 2, minMatchFrac = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0), s"re-encode twin: $pairs")
+    // trimmed copy: all 3 kept frames match, normalized over MIN(nf)=3
+    assert(pairs.get((1L, 3L)).contains(1.0), s"trimmed copy: $pairs")
+    assert(pairs.get((2L, 3L)).contains(1.0))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated video must not pair: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L },
+      "broken payload must never pair")
+  }
+
+  test("syntheticVideoCorpus: planted twins pair at frac 1.0, broken rows flagged and excluded") {
+    val media = MultimodalOps.syntheticVideoCorpus(
+      docTable, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    val rows = media.collect()
+    val off = MultimodalOps.VariantIdOffset
+    // residue classes: 0 and 97 broken; 8, 16 re-encode twins; 4, 12 stride
+    assert(rows.count(_.media_id >= off) == 6, s"${rows.map(_.media_id).toSeq}")
+    val hashes = MultimodalOps.videoFrameHashes(media)
+    val hm = hashes.collect().groupBy(_.media_id)
+    assert(hm(off + 0L).forall(!_.ok) && hm(off + 97L).forall(!_.ok),
+      "truncated Y4Ms must flag")
+    assert(rows.filter(_.media_id < off).forall(r => hm(r.media_id).forall(_.ok)))
+    // re-encode twins carry all 6 frames; stride twins exactly 3
+    assert(hm(off + 8L).length == 6 && hm(off + 16L).length == 6)
+    assert(hm(off + 4L).length == 3 && hm(off + 12L).length == 3)
+    val pairs = MultimodalOps.videoNearDupPairs(hashes.toDF(), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    for (i <- Seq(4L, 8L, 12L, 16L))
+      assert(pairs.get((i, off + i)).contains(1.0), s"twin pair $i: $pairs")
+    assert(pairs.keys.forall { case (a, b) =>
+      a != off + 0L && b != off + 0L && a != off + 97L && b != off + 97L })
+  }
+
   test("registered media queries: deterministic rows on a sf-shaped table") {
     // the q86/q87 bodies run on Tables.documents; emulate with the doc
     // table twice — row counts and pair sets must be identical across runs
@@ -309,11 +471,16 @@ class MultimodalSpec extends SparkSpec {
           docTable, org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))).toDF(), 6)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      (img, aud)
+      val vid = MultimodalOps.videoNearDupPairs(
+        MultimodalOps.videoFrameHashes(MultimodalOps.syntheticVideoCorpus(
+          docTable, org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))).toDF(), 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (img, aud, vid)
     }
-    val (i1, a1) = run()
-    val (i2, a2) = run()
-    assert(i1 == i2 && a1 == a2)
-    assert(i1.nonEmpty && a1.nonEmpty)
+    val (i1, a1, v1) = run()
+    val (i2, a2, v2) = run()
+    assert(i1 == i2 && a1 == a2 && v1 == v2)
+    assert(i1.nonEmpty && a1.nonEmpty && v1.nonEmpty)
   }
 }
