@@ -164,8 +164,44 @@ object Bench {
     // "z-drift" this chased is separately attributed to the old 8 GB heap
     // (21 s of suite GC in BENCH_DETAIL r9; build.sbt now sizes the JVM
     // to the machine), so end-of-suite is the reproducible slot.
+    // The media near-dup queries are timed in their own fixture block
+    // below — inside the registry loop every rep would re-run the
+    // per-document codec ENCODE that manufactures the synthetic corpus
+    // (javax.sound WAV framing, PNG deflate, Y4M assembly), and that
+    // synthesis dominated the number (r9: q87 at 6.24 s was mostly corpus
+    // encode, measured on the split-out fixture), so the bench gated the
+    // encoder, not the operator.
+    val mediaNames = graft.queries.MediaNearDup.faces.map(_._1).toSet
     val results: Seq[(String, Timing)] =
-      SparkEntry.registry.map(q => q.name -> timeReps(q.name)(materialize(q.name)))
+      SparkEntry.registry.filterNot(q => mediaNames(q.name))
+        .map(q => q.name -> timeReps(q.name)(materialize(q.name)))
+
+    // Media near-dup: PERSIST the synthetic corpus outside the timed reps
+    // (the z_ztbus fixture discipline) and time decode→hash→band→verify —
+    // the production shape too: a real lake stores media bytes once;
+    // near-dup discovery re-reads them, it never re-encodes them.
+    val media: Seq[(String, Timing)] =
+      graft.queries.MediaNearDup.faces.map { case (name, corpus, op) =>
+        try {
+          val t0 = System.nanoTime()
+          val fixture = corpus(spark, sfDir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          fixture.count()
+          System.err.println(f"[bench] $name fixture synthesized in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s (untimed)")
+          op(fixture)(spark) // warmup: codegen for this operator chain
+            .write.format("noop").mode("overwrite").save()
+          val t = timeReps(name) {
+            op(fixture)(spark)
+              .write.format("noop").mode("overwrite").save()
+          }
+          fixture.unpersist(blocking = true)
+          name -> t
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> failed
+        }
+      }
 
     val ztbus: Seq[(String, Timing)] = {
       import graft.ztbus.{Algorithms, Fixtures}
@@ -213,7 +249,7 @@ object Bench {
       out
     }
 
-    val all = results ++ ztbus
+    val all = results ++ media ++ ztbus
 
     // The driver's bench artifact keeps only the LAST 2000 chars of stdout
     // (BENCH_r06.json: the full-precision queries+spread line overflowed

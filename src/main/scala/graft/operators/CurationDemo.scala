@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   *   5. SEMANTIC dedup over the doc embeddings (SemDeDup cells: coarse
   *      quantize → within-cell cosine, the q69 batch face; the same
   *      keep-set schema has incremental/streaming faces for ingest)
-  *   6. media near-dup over the docs' image/audio attachments (codec
-  *      decode → perceptual fingerprint → banded pairs, the q86/q87
-  *      pipeline; cross-doc matches drop the larger doc, undecodable
-  *      payloads are flagged and never pair)
+  *   6. media near-dup over the docs' image/audio/video attachments
+  *      (codec decode → perceptual fingerprint → banded pairs, the
+  *      q86/q87/q89 pipeline; cross-doc matches drop the larger doc,
+  *      undecodable payloads are flagged and never pair)
   *   7. decontamination: DROP train-split docs overlapping the test split
   *   8. source mixing to target weights (integer thresholds)
   *   9. sequence packing into fixed token-budget chunks
@@ -37,8 +37,8 @@ object CurationDemo {
       corpus: Long, afterFunnel: Long, boilerplateDocs: Long,
       spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
-      afterMedia: Long, afterDecontamination: Long, afterMix: Long,
-      nChunks: Long, nShards: Long)
+      videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
+      afterMix: Long, nChunks: Long, nShards: Long)
 
   /** The full eight-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. */
@@ -101,9 +101,10 @@ object CurationDemo {
     val n3s = semDeduped.count()
     say(s"[curate] after semantic dedup: $n3s (${n3 - n3s} dropped)")
 
-    // 6. media near-dup over the docs' image/audio attachments (the
-    // documents table carries none, so the demo synthesizes REAL PNG/WAV
-    // payloads from the text — the q86/q87 bridge): decode → perceptual
+    // 6. media near-dup over the docs' image/audio/video attachments (the
+    // documents table carries none, so the demo synthesizes REAL
+    // PNG/WAV/Y4M payloads from the text — the q86/q87/q89 bridge):
+    // decode → perceptual
     // fingerprint → banded pairs; a cross-doc match means two DOCS render
     // near-identical media, and the larger doc_id drops. Planted same-doc
     // variants pair with their own doc (no drop), and planted broken
@@ -122,13 +123,18 @@ object CurationDemo {
     val audDrops = crossDocDrops(MultimodalOps.audioNearDupPairs(
       MultimodalOps.audioEnvHash(MultimodalOps.syntheticAudioCorpus(
         semDeduped, col("doc_id"), col("text"))).toDF()))
+    val vidDrops = crossDocDrops(MultimodalOps.videoNearDupPairs(
+      MultimodalOps.videoFrameHashes(MultimodalOps.syntheticVideoCorpus(
+        semDeduped, col("doc_id"), col("text"))).toDF()))
     val nImg = imgDrops.count()
     val nAud = audDrops.count()
+    val nVid = vidDrops.count()
     val mediaDeduped = semDeduped
-      .join(imgDrops.union(audDrops).distinct(), Seq("doc_id"), "left_anti")
+      .join(imgDrops.union(audDrops).union(vidDrops).distinct(),
+        Seq("doc_id"), "left_anti")
     val n3m = mediaDeduped.count()
     say(s"[curate] after media near-dup: $n3m " +
-      s"($nImg image-dup docs, $nAud audio-dup docs)")
+      s"($nImg image-dup docs, $nAud audio-dup docs, $nVid video-dup docs)")
 
     // 7. decontamination: drop train-split docs overlapping the test split
     val leaky = TextOps.decontaminate(mediaDeduped, col("doc_id"), col("text"), 2,
@@ -169,7 +175,7 @@ object CurationDemo {
     say(s"[curate] final corpus sharded $nShards ways, reproducibly")
 
     StageCounts(n0, n1, boiler, spanStats.getLong(0), spanStats.getLong(1),
-      n3, n3s, nImg, nAud, n3m, n4, n5, nChunks, nShards)
+      n3, n3s, nImg, nAud, nVid, n3m, n4, n5, nChunks, nShards)
   }
 
   def main(args: Array[String]): Unit = {

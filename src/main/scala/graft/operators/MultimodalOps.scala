@@ -704,16 +704,30 @@ object MultimodalOps {
     * the shared skew-safe grid self-join — recall guaranteed whenever any
     * frame of A is within hamming 7 of any frame of B. Verify: join both
     * videos' sampled frame hashes back (≤ maxFrames each, so the cross is
-    * ≤ maxFrames² codegen'd rows per candidate pair), count matched
-    * frames on EACH side, and keep pairs whose match fraction — the
-    * SHORTER video's coverage: its matched-frame count over its sampled
-    * count, the video-copy-detection convention, so a trimmed copy still
-    * scores 1.0 and the fraction can never exceed 1 — reaches
+    * ≤ maxFrames² ops per candidate pair, ROW-LOCAL), count matched
+    * frames on the shorter side, and keep pairs whose match fraction —
+    * the SHORTER video's coverage: its matched-frame count over its
+    * sampled count, the video-copy-detection convention, so a trimmed
+    * copy still scores 1.0 and the fraction can never exceed 1 — reaches
     * `minMatchFrac`. (Normalizing the LONGER side's matched count by the
     * shorter side's total, the previous form, over-counted: 4 of A's 6
-    * frames near-matching a 3-frame trim gave 4/3.) Output (media_a,
-    * media_b, matched_frames, match_frac), media_a < media_b;
-    * matched_frames is the shorter side's matched count. */
+    * frames near-matching a 3-frame trim gave 4/3.)
+    *
+    * Verify shape, sized for clustery corpora: candidates are generated
+    * at the FRAME level (key = (media_id, frame_idx)) with each side's
+    * fhash CARRIED THROUGH the banded join as a payload column, so the
+    * exact `bit_count(xor) ≤ maxHamming` check filters inside the join's
+    * codegen'd output stage — only verified frame pairs ever shuffle.
+    * The previous form joined every frame of both videos back per
+    * candidate VIDEO pair and let an aggregate re-collapse it; on a
+    * corpus whose band bytes cluster (8-bit bands give only 2048 buckets,
+    * so uniform collisions alone go quadratic past a few thousand items),
+    * candidates approach all-pairs and that join materialized
+    * candidates × frames² shuffled rows (measured at sf0.1: 6.3 k videos
+    * → 15 M candidates → 500 M verify rows, the entire cost of the
+    * query). Output (media_a, media_b, matched_frames, match_frac),
+    * media_a < media_b; matched_frames is the shorter side's matched
+    * count. */
   def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 6,
       minMatchFrac: Double = 0.5): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -722,20 +736,29 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_idx"), col("fhash"))
     val counts = hs.groupBy("media_id")
       .agg(count(lit(1)).as("nf"))
-    val bandRows = hs.select(col("media_id").as("doc_id"),
+    // one row per (frame, band): rows are distinct by construction — no
+    // video-level distinct that would erase which frame carried a byte
+    val bandRows = hs.select(
+      struct(col("media_id"), col("frame_idx")).as("doc_id"),
+      col("media_id").as("mid"), col("frame_idx").as("fi"),
+      col("fhash").as("h"),
       explode(array((0 until 8).map(b => struct(lit(b).as("band"),
         shiftright(col("fhash"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
         .as("bv"))
-      .select(col("doc_id"), col("bv.band").as("band"), col("bv.b").as("b"))
-      .distinct()
-    DedupOps.bucketedSelfJoinPairs(bandRows)
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"))
-      .join(hs.select(col("media_id").as("media_a"),
-        col("frame_idx").as("_fi_a"), col("fhash").as("_ha")), "media_a")
-      .join(hs.select(col("media_id").as("media_b"),
-        col("frame_idx").as("_fi_b"), col("fhash").as("_hb")), "media_b")
-      .where(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
-      .groupBy(col("media_a"), col("media_b"))
+      .select(col("doc_id"), col("mid"), col("fi"), col("h"),
+        col("bv.band").as("band"), col("bv.b").as("b"))
+    val lower = col("_mid_x") < col("_mid_y")
+    val verified = DedupOps.bucketedPairCandidates(bandRows,
+        Seq("mid", "fi", "h"), DedupOps.MaxBucket, DedupOps.GridCell)
+      .where(col("_mid_x") =!= col("_mid_y")) // cross-video only
+      .where(bit_count(col("_h_x").bitwiseXOR(col("_h_y"))) <= maxHamming)
+      .select(
+        when(lower, col("_mid_x")).otherwise(col("_mid_y")).as("media_a"),
+        when(lower, col("_mid_y")).otherwise(col("_mid_x")).as("media_b"),
+        when(lower, col("_fi_x")).otherwise(col("_fi_y")).as("_fi_a"),
+        when(lower, col("_fi_y")).otherwise(col("_fi_x")).as("_fi_b"))
+      .distinct() // a frame pair surfaces once per shared (band, cell)
+    verified.groupBy(col("media_a"), col("media_b"))
       .agg(countDistinct(col("_fi_a")).as("_ma"),
         countDistinct(col("_fi_b")).as("_mb"))
       .join(counts.select(col("media_id").as("media_a"), col("nf").as("_na")),
@@ -745,8 +768,7 @@ object MultimodalOps {
       .withColumn("matched_frames",
         when(col("_na") <= col("_nb"), col("_ma")).otherwise(col("_mb")))
       .withColumn("match_frac",
-        col("matched_frames") /
-          when(col("_na") <= col("_nb"), col("_na")).otherwise(col("_nb")))
+        col("matched_frames") / least(col("_na"), col("_nb")))
       .where(col("match_frac") >= minMatchFrac)
       .select(col("media_a"), col("media_b"), col("matched_frames"),
         col("match_frac"))
@@ -905,6 +927,16 @@ object MultimodalOps {
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (mid, t) =>
         val s = if (t == null || t.isEmpty) " " else t
+        // per-doc avalanche seed: without it, structurally similar texts
+        // ("doc N body …") produce near-identical luma STRUCTURE across
+        // docs, dHash band bytes collide pervasively, and candidate
+        // generation degenerates toward all-pairs (measured at sf0.1:
+        // 15 M candidates from 6.3 k videos). Mixing the seed per PIXEL
+        // (not a constant offset, which dHash's neighbor-compare would
+        // cancel) spreads cross-doc hashes the way real content does,
+        // while every planted variant stays an exact derivation of its
+        // own doc's frames.
+        val seed = scala.util.hashing.MurmurHash3.stringHash(s)
         val frames = Vector.tabulate(nFrames) { f =>
           val luma = new Array[Byte](w * h)
           var y = 0
@@ -912,7 +944,9 @@ object MultimodalOps {
             var x = 0
             while (x < w) {
               val c = s.charAt((y * w + x) % s.length).toInt
-              luma(y * w + x) = ((c * 37 + x * 23 + y * 11 + f * 53) & 0xff).toByte
+              val mix = seed * (y * w + x + 1)
+              luma(y * w + x) =
+                ((c * 37 + x * 23 + y * 11 + f * 53 + (mix >>> 24)) & 0xff).toByte
               x += 1
             }
             y += 1

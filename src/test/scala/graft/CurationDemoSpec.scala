@@ -30,7 +30,7 @@ class CurationDemoSpec extends SparkSpec {
       afterSemantic = 193L,
       imageDupDocs = 0L,  // planted variants are same-doc by construction;
       audioDupDocs = 0L,  // a cross-doc drop here means two DOCS render
-                          // near-identical media — none in the sf corpus
+      videoDupDocs = 0L,  // near-identical media — none in the sf corpus
       afterMedia = 193L,
       afterDecontamination = 35L,
       afterMix = 35L,
