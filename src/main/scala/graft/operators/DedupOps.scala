@@ -73,12 +73,12 @@ object DedupOps {
     * partial-aggregation shape lets long documents' shingle streams spread
     * across tasks instead of pinning each doc's whole array to one row. */
   def minhashSignaturesLocal(docs: DataFrame, id: Column, text: Column,
-      w: Int): DataFrame = {
+      w: Int, keep: Seq[Column] = Nil): DataFrame = {
     HashExpressions.register(docs.sparkSession)
     val hs = HashExpressions.shingleHashes(text, w)
     val mins = (0 until MinhashA.size).map(i =>
       array_min(transform(hs, h => minhashPerm(h, i))).as(s"m$i"))
-    docs.select(id.as("doc_id") +: mins: _*)
+    docs.select(id.as("doc_id") +: mins ++: keep: _*)
   }
 
   /** A bucket a pair-generating self-join may NOT process whole: above this,
@@ -93,7 +93,7 @@ object DedupOps {
   val GridCell: Int = 4096
 
   /** (doc_id, band, bucket) rows — one per signature band. */
-  private def bandRows(sig: DataFrame): DataFrame =
+  private[graft] def bandRows(sig: DataFrame): DataFrame =
     sig.select(
       col("doc_id"),
       bandBucket((0 to 3).map(i => col(s"m$i"))).as("band0"),
