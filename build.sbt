@@ -44,7 +44,20 @@ val jdk17AddOpens = Seq(
 // (2.8 GB, recycled hot) restored 8g's stability at every rep while
 // keeping the large heap's execution-memory headroom: ZRepro A/B in
 // DECISIONS.md round 9.
-val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")
+//
+// The default is derived from the machine (min(28g, half of physical RAM),
+// floor 2g) so a smaller host gets a JVM that starts instead of an opaque
+// "could not reserve enough space" init failure; the bench-grade 28g only
+// applies where the RAM for it exists. SPARK_DRIVER_MEM overrides either way.
+val driverMemDefault: String = {
+  val physGb =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize / (1024L * 1024L * 1024L)
+    catch { case _: Throwable => 56L }
+  s"${math.max(2L, math.min(28L, physGb / 2))}g"
+}
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", driverMemDefault)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -150,6 +150,58 @@ object TextOps {
           .otherwise("test").as("split"))
   }
 
+  /** The persisted per-cluster index that gives [[leakageSafeSplit]] an
+    * INCREMENTAL face ([[graft.streaming.Streaming.leakageSafeSplitStream]]):
+    * one row per surviving LSH band bucket of the corpus, carrying the
+    * bucket's cluster and that cluster's established split key —
+    * `(band, b, cluster_id, grp_hash, n_members)`. A new doc whose
+    * signature lands in a bucket inherits the cluster's `grp_hash` bucket,
+    * so ingesting a near-dup of a test doc can never assign it to train.
+    *
+    * Bucket→cluster is well-defined when `clusters` comes from the raw
+    * LSH candidate graph (the q88 shape): every doc sharing a surviving
+    * bucket is a candidate pair, hence one connected component — so each
+    * bucket maps to exactly one cluster. For clusters built over a
+    * VERIFIED pair graph a bucket may straddle clusters; the index then
+    * keeps the min-`grp_hash` cluster per bucket (deterministic, and the
+    * conservative choice: ties break toward the same bucket every member
+    * of the straddle would produce on re-ingest). Buckets larger than
+    * `maxBucket` are EXCLUDED — [[graft.operators.DedupOps.lshCandidatePairs]]
+    * never paired through them, so routing a new doc by one would assign
+    * cluster membership the batch split never saw (parity over the same
+    * corpus requires the same drop rule).
+    *
+    * Scale shape: the corpus signature pass (`minhashSignatures`), two
+    * key-partitioned joins, and a (band, b) aggregation whose output is
+    * ≤ 2 rows per corpus doc — small enough to persist next to the corpus
+    * and broadcast into every ingest micro-batch. */
+  def clusterSplitIndex(docs: DataFrame, id: Column, text: Column,
+      clusters: DataFrame, w: Int,
+      maxBucket: Int = DedupOps.MaxBucket): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val base = docs.select(id.as("doc_id"),
+      graft.functions.HashExpressions.polyHash(text).as("own_hash"))
+    val grouped = base
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("own_hash"))
+    val perCluster = grouped.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"), min("own_hash").as("grp_hash"))
+    DedupOps.bandRows(DedupOps.minhashSignatures(docs, id, text, w))
+      .join(grouped.select("doc_id", "cluster_id"), Seq("doc_id"))
+      .join(perCluster, Seq("cluster_id"))
+      .groupBy(col("band"), col("b"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col("grp_hash"), col("cluster_id"), col("n_members")))
+          .as("_best"))
+      .where(col("_n") <= maxBucket)
+      .select(col("band"), col("b"), col("_best.cluster_id").as("cluster_id"),
+        col("_best.grp_hash").as("grp_hash"),
+        col("_best.n_members").as("n_members"))
+  }
+
   /** Repetition/boilerplate signals: distinct-word ratio and top-word
     * share — the row-local redundancy screens a curation pipeline applies
     * before (and independently of) cross-document dedup. Pure higher-order

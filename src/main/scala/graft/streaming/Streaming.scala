@@ -321,6 +321,70 @@ object Streaming {
       .drop("_b0", "_b1")
   }
 
+  /** Streaming face of [[graft.operators.TextOps.leakageSafeSplit]] — the
+    * ingest-time split assignment: a doc arriving AFTER the corpus was
+    * split must inherit its near-dup cluster's established bucket, or the
+    * new copy of a test doc lands in train and the leakage the batch
+    * split removed comes straight back through ingest.
+    *
+    * `splitIndex` is the persisted per-cluster index
+    * ([[graft.operators.TextOps.clusterSplitIndex]] — (band, b) →
+    * (cluster_id, grp_hash, n_members), ≤ 2 rows per corpus doc). Each
+    * delta doc computes its row-local signature
+    * ([[graft.operators.DedupOps.minhashSignaturesLocal]] — stateless, no
+    * aggregation-mode constraints) and its two band buckets, then two
+    * stream-static LEFT joins (one per band, the [[incrementalDedupStream]]
+    * shape — each doc stays one row throughout, so no state, no watermark)
+    * fetch any established cluster. A doc hitting a cluster inherits
+    * (cluster_id, grp_hash, n_members) — min grp_hash across bands when
+    * both hit, which for a candidate-graph index is the SAME cluster by
+    * construction; a doc hitting nothing is a singleton and buckets by its
+    * own content hash, exactly the batch fallback. Output schema matches
+    * the batch face; `n_members`/`sample_weight` reflect the ESTABLISHED
+    * cluster (the corpus the index was built from — for a truly-new member
+    * the denominator predates its own arrival; rebuild the index on
+    * re-split, as with every ingest-time screen here).
+    *
+    * Parity (pinned in StreamingSpec): streaming the corpus's own docs
+    * against its own index reproduces [[graft.operators.TextOps
+    * .leakageSafeSplit]] row-for-row — every member's buckets map to its
+    * own cluster, singletons (including docs ALL of whose buckets were
+    * capped out of pair generation) miss every index row and fall back to
+    * their own hash. */
+  def leakageSafeSplitStream(deltaDocs: DataFrame, splitIndex: DataFrame,
+      w: Int, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    import graft.functions.TextHash.bandBucket
+    graft.functions.HashExpressions.register(deltaDocs.sparkSession)
+    def side(band: Int) = splitIndex.where(col("band") === lit(band))
+      .select(col("b").as(s"_b$band"), col("cluster_id").as(s"_c$band"),
+        col("grp_hash").as(s"_h$band"), col("n_members").as(s"_n$band"))
+    val useB0 = col("_h0").isNotNull &&
+      (col("_h1").isNull || col("_h0") <= col("_h1"))
+    val grpHash = when(useB0, col("_h0"))
+      .when(col("_h1").isNotNull, col("_h1")).otherwise(col("own_hash"))
+    val clusterId = when(useB0, col("_c0"))
+      .when(col("_h1").isNotNull, col("_c1")).otherwise(col("doc_id"))
+    val nMembers = when(useB0, col("_n0"))
+      .when(col("_h1").isNotNull, col("_n1")).otherwise(lit(1L))
+    val bucket = pmod(grpHash, lit(100))
+    graft.operators.DedupOps
+      .minhashSignaturesLocal(deltaDocs, col("doc_id"), col("text"), w,
+        keep = Seq(
+          graft.functions.HashExpressions.polyHash(col("text"))
+            .as("own_hash")))
+      .withColumn("_b0", bandBucket((0 to 3).map(i => col(s"m$i"))))
+      .withColumn("_b1", bandBucket((4 to 7).map(i => col(s"m$i"))))
+      .join(side(0), Seq("_b0"), "left")
+      .join(side(1), Seq("_b1"), "left")
+      .select(col("doc_id"), clusterId.as("cluster_id"),
+        nMembers.as("n_members"),
+        (lit(1.0) / nMembers).as("sample_weight"),
+        bucket.as("bucket"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Streaming faces of the row-local curation transforms
     * ([[graft.operators.TextOps.chunkDocs]] /
     * [[graft.operators.TextOps.piiRedact]]): both are stateless

@@ -374,6 +374,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leakageSafeSplitStream: corpus parity with batch, ingest inherits cluster split") {
+    import graft.operators.{DedupOps, TextOps}
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and purred all day long"),
+      (2L, "the cat sat on the mat and purred all day long"),
+      (3L, "a completely different corpus document about tall ships"),
+      (4L, "der hund und die katze spielen zusammen im garten heute"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val clusters = DedupOps.dedupClusters(
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+        corpusDf, col("doc_id"), col("text"), 2)), "doc_a", "doc_b")
+    val index = TextOps.clusterSplitIndex(
+      corpusDf, col("doc_id"), col("text"), clusters, 2)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batch = keyed(TextOps.leakageSafeSplit(
+      corpusDf, col("doc_id"), col("text"), clusters).collect())
+    val delta = Seq(
+      (11L, corpus.head._2),  // near-dup of the 1/2 cluster -> inherits it
+      (12L, "totally novel unseen delta document right here now"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.leakageSafeSplitStream(
+      in.toDS().toDF("doc_id", "text"), index, 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lss1").start()
+    try {
+      in.addData(corpus: _*); q.processAllAvailable()
+      in.addData(delta: _*); q.processAllAvailable()
+      val streamed = keyed(spark.table("lss1").collect())
+      // 1) replaying the corpus through its own index IS the batch split
+      corpus.foreach { case (id, _) =>
+        assert(streamed(id) == batch(id),
+          s"doc $id: streamed ${streamed(id)} != batch ${batch(id)}")
+      }
+      // 2) an ingested near-dup inherits the established cluster wholesale
+      //    (cluster_id, n_members, weight, bucket, split all the corpus's)
+      assert(streamed(11L) == batch(1L),
+        s"near-dup must inherit the cluster's split: ${streamed(11L)}")
+      // 3) a novel doc is a singleton: weight 1, bucket = its own hashSplit
+      val plain = TextOps.hashSplit(
+          delta.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed(12L)(0) == 12L && streamed(12L)(1) == 1L &&
+        streamed(12L)(2) == 1.0 && streamed(12L)(4) == plain(12L),
+        s"singleton fallback: ${streamed(12L)}")
+    } finally q.stop()
+  }
+
   test("chunkDocsStream and piiRedactStream match their batch faces") {
     import graft.operators.TextOps
     val b1 = Seq(
