@@ -646,12 +646,19 @@ object Relational {
     * event time — the sensor-adjacent "rolling window by TIME, not by row
     * count" shape. The frame is keyed on epoch SECONDS (integer on both
     * engines), so rows sharing a timestamp share a frame and the result is
-    * order-independent; the sum itself rides the exact-decimal pattern. */
+    * order-independent; the sum itself rides the exact-decimal pattern.
+    *
+    * The epoch key goes through an explicit `timestamp_ltz` hop: parquet
+    * writers flip between instant (isAdjustedToUTC) and naive timestamps,
+    * and Spark forbids a direct TIMESTAMP_NTZ → BIGINT cast. NTZ → LTZ
+    * interprets the wall clock in the session zone (pinned UTC here), which
+    * is exactly DuckDB's `epoch_us` reading of a naive timestamp; for an
+    * instant-typed file the hop is a no-op. */
   private val q76 = QueryDef(
     "q76_range_frame",
     (s, d) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").cast("long"))
+        .orderBy(col("ts").cast("timestamp_ltz").cast("long"))
         .rangeBetween(-600, 0)
       Tables.events(s, d)
         .withColumn("win_sum",
