@@ -698,6 +698,36 @@ object MultimodalOps {
     })
   }
 
+  /** [[VideoFrameHash]] plus the video's SAMPLED frame count `nf` — the
+    * denominator a match fraction needs, stamped on every frame row. */
+  final case class VideoFrameHashN(
+      media_id: Long, ok: Boolean, frame_idx: Int, fhash: Long, nf: Int)
+
+  /** [[videoFrameHashes]] with the per-video sampled-frame count carried on
+    * each row. Batch discovery doesn't need it (the pair aggregate
+    * recounts); the STREAMING ingest screen does — a stateless projection
+    * cannot re-aggregate the count, and the decode already holds the whole
+    * sample in hand, so stamping `nf` here is free where a downstream
+    * aggregation would be a second stateful operator. */
+  def videoFrameHashesCounted(media: Dataset[MediaRow], stride: Int = 1,
+      maxFrames: Int = 64)(
+      implicit spark: SparkSession): Dataset[VideoFrameHashN] = {
+    require(stride >= 1 && maxFrames >= 1,
+      s"stride/maxFrames must be >= 1, got $stride/$maxFrames")
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      VideoCodec.decode(r.payload) match {
+        case Some(v) if v.width >= 9 && v.height >= 8 && v.lumaFrames.nonEmpty =>
+          val sampled = v.lumaFrames.iterator.zipWithIndex
+            .filter(_._2 % stride == 0).take(maxFrames).toSeq
+          sampled.iterator.map { case (f, i) =>
+            VideoFrameHashN(r.media_id, ok = true, i,
+              VideoCodec.dHashLuma(f, v.width, v.height), sampled.size) }
+        case _ => Iterator(VideoFrameHashN(r.media_id, ok = false, -1, 0L, 0))
+      }
+    })
+  }
+
   /** Video near-duplicate pairs from [[videoFrameHashes]] — dedup extended
     * to the video modality. Candidates: the 8×8-bit pigeonhole bands of
     * EVERY sampled frame hash, distinct per (video, band, byte), through

@@ -417,6 +417,143 @@ object Streaming {
       implicit spark: SparkSession): Dataset[graft.operators.MultimodalOps.AudioHash] =
     graft.operators.MultimodalOps.audioEnvHash(media)
 
+  /** Ingest-time media near-dup SCREEN over a 64-bit fingerprint column —
+    * the [[incrementalDedupStream]] shape extended to the image/audio
+    * modality: each micro-batch of freshly-fingerprinted media
+    * ([[imageDHashStream]] / [[audioEnvHashStream]]) is screened against
+    * the EXISTING corpus's fingerprints, and survivors are the rows to
+    * append. A delta row is dropped iff some corpus fingerprint is within
+    * hamming `maxHamming` of it.
+    *
+    * Exact recall WITHOUT band-bucket trust: the text screen can drop on
+    * bucket collision because minhash band equality IS the candidate
+    * predicate, but 8-bit fingerprint bands have only 256 values per band
+    * — on any real corpus every byte is occupied and a collision means
+    * nothing (the q89 banding lesson). So each of the 8 per-band joins
+    * here carries the corpus fingerprint as payload and the exact
+    * `bit_count(xor) <= maxHamming` verify runs INSIDE the join
+    * condition; the band equality only routes the hash lookup. Eight
+    * chained stream-static LEFT ANTI joins, one per band — pigeonhole
+    * guarantees any fingerprint within hamming 7 shares at least one band
+    * byte, so a true near-dup cannot evade all eight. Each doc stays one
+    * row throughout: no state, no watermark, no aggregation.
+    *
+    * Scale note: per band the corpus side hashes to 256 buckets, so one
+    * probe compares against ~N/256 corpus fingerprints — fine to millions
+    * of media, and the screen is embarrassingly parallel in the delta.
+    * Past that, widen the route key (Manku et al., WWW'07: fewer, wider
+    * permuted blocks) — the verify-in-join shape is unchanged.
+    *
+    * Broken payloads (`ok = false`, fingerprint 0) are NEVER hash-screened
+    * — they would all collide at 0 — and pass through with their flag for
+    * the caller's integrity handling, mirroring the batch discipline of
+    * filtering on `ok` before pair discovery. */
+  def mediaNearDupScreenStream(deltaHashes: DataFrame, corpusHashes: DataFrame,
+      hashName: String, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
+    val corpus = (if (corpusHashes.columns.contains("ok"))
+        corpusHashes.where(col("ok"))
+      else corpusHashes).select(col(hashName).as("_ch"))
+    val screened = (0 until 8).foldLeft(deltaHashes.where(col("ok"))) {
+      (df, band) =>
+        val side = corpus.select(
+          shiftright(col("_ch"), band * 8).bitwiseAND(lit(0xffL))
+            .as(s"_cb$band"),
+          col("_ch").as(s"_ch$band")).distinct()
+        df.join(side,
+          shiftright(col(hashName), band * 8).bitwiseAND(lit(0xffL)) ===
+            col(s"_cb$band") &&
+            bit_count(col(hashName).bitwiseXOR(col(s"_ch$band")))
+              <= lit(maxHamming),
+          "left_anti")
+    }
+    screened.unionByName(deltaHashes.where(!col("ok")))
+  }
+
+  /** [[mediaNearDupScreenStream]] on [[imageDHashStream]] output. */
+  def imageNearDupScreenStream(deltaHashes: DataFrame, corpusHashes: DataFrame,
+      maxHamming: Int = 6): DataFrame =
+    mediaNearDupScreenStream(deltaHashes, corpusHashes, "dhash", maxHamming)
+
+  /** [[mediaNearDupScreenStream]] on [[audioEnvHashStream]] output. */
+  def audioNearDupScreenStream(deltaHashes: DataFrame, corpusHashes: DataFrame,
+      maxHamming: Int = 6): DataFrame =
+    mediaNearDupScreenStream(deltaHashes, corpusHashes, "ehash", maxHamming)
+
+  /** Ingest-time VIDEO near-dup detection — the frame-fraction semantics of
+    * [[graft.operators.MultimodalOps.videoNearDupPairs]] as a streaming
+    * face. Emits one VERDICT row per (delta video, corpus video) whose
+    * matched-frame fraction reaches `minMatchFrac`; an empty result for a
+    * video means it is clean to append (the drop itself is the caller's
+    * append-time anti-join — a "survivors" shape would need stream-stream
+    * negation).
+    *
+    * Input `deltaFrames` is the row-local
+    * [[graft.operators.MultimodalOps.videoFrameHashesCounted]] output plus
+    * an event-time column `ts` (one timestamp per video — all its frame
+    * rows carry the same ingest time); `corpusFrames` is the static
+    * [[graft.operators.MultimodalOps.videoFrameHashes]] table of the
+    * existing corpus. Candidates: delta frames explode into 8×8-bit band
+    * rows and equi-join corpus band rows with the corpus fhash carried as
+    * payload — the exact per-frame hamming verify filters INSIDE the join
+    * output (the q89 shape), so only verified frame matches reach state.
+    * Then two watermark-bounded stateful steps in append mode:
+    * `dropDuplicatesWithinWatermark` collapses a delta frame matching a
+    * corpus video through several bands/frames to one row, and a windowed
+    * count per (delta video, corpus video) yields `matched_frames`.
+    *
+    * `match_frac = matched_frames / nf(delta)` — the DELTA's perspective:
+    * a delta that is a trim of a corpus video scores 1.0 (the batch
+    * shorter-side convention, since the trim is the shorter side). The
+    * one direction this under-flags is a delta EXTENSION that swallows a
+    * short corpus video whole (fraction dilutes with delta length); that
+    * direction needs the corpus-side denominator, which is the batch
+    * pass's job at re-index time — same division of labor as every other
+    * ingest screen here (the index predates the delta by construction).
+    *
+    * Verdicts finalize when the watermark passes their window end —
+    * bounded state, append-mode output, late frames beyond
+    * `watermarkDelay` dropped like every face in this file. */
+  def videoNearDupScreenStream(deltaFrames: DataFrame, corpusFrames: DataFrame,
+      maxHamming: Int = 6, minMatchFrac: Double = 0.5,
+      watermarkDelay: String = WatermarkDelay,
+      windowLen: String = "60 seconds"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val corpusBands = corpusFrames.where(col("ok")).select(
+      col("media_id").as("_cid"), col("fhash").as("_cfh"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftright(col("fhash"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+        .as("_bv"))
+      .select(col("_cid"), col("_cfh"), col("_bv.band").as("_band"),
+        col("_bv.b").as("_b"))
+    deltaFrames.where(col("ok"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("media_id"), col("frame_idx"), col("fhash"), col("nf"),
+        col("ts"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftright(col("fhash"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+          .as("_bv"))
+      .join(corpusBands,
+        col("_bv.band") === col("_band") && col("_bv.b") === col("_b") &&
+          col("media_id") =!= col("_cid") &&
+          bit_count(col("fhash").bitwiseXOR(col("_cfh"))) <= lit(maxHamming))
+      .select(col("media_id"), col("_cid").as("corpus_id"), col("frame_idx"),
+        col("nf"), col("ts"))
+      .dropDuplicatesWithinWatermark("media_id", "corpus_id", "frame_idx")
+      .groupBy(window(col("ts"), windowLen), col("media_id"),
+        col("corpus_id"))
+      .agg(count(lit(1)).as("matched_frames"), max(col("nf")).as("nf"))
+      .withColumn("match_frac",
+        col("matched_frames").cast("double") / col("nf").cast("double"))
+      .where(col("match_frac") >= minMatchFrac)
+      .select(col("window"), col("media_id"), col("corpus_id"),
+        col("matched_frames"), col("nf"), col("match_frac"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.lineDedup]]: line document
     * frequency is a corpus-GLOBAL statistic no micro-batch can see, so the
     * drop-set ([[graft.operators.TextOps.boilerplateLineSet]] over the

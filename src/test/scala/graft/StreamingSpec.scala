@@ -453,6 +453,82 @@ class StreamingSpec extends SparkSpec {
     } finally { qc.stop(); qr.stop() }
   }
 
+  test("mediaNearDupScreenStream: exact-hamming screen, band collision alone never drops") {
+    // Corpus: one good fingerprint; one BROKEN row (ok=false, hash 0) that
+    // must be excluded from the index or it would absorb every zero-ish delta.
+    val h = 0x0123456789abcdefL
+    val corpus = Seq((1L, true, h), (2L, false, 0L))
+      .toDF("media_id", "ok", "dhash")
+    val delta = Seq(
+      (11L, true, h),                         // hamming 0 -> dropped
+      (12L, true, h ^ 0x3L),                  // hamming 2 -> dropped
+      // band 0 byte IDENTICAL but one bit flipped in each other band:
+      // hamming 7 > maxHamming 6 -> the bucket collision routes it to the
+      // verify and the verify must KEEP it (the 256-bucket lesson)
+      (13L, true, h ^ 0x0101010101010100L),
+      (14L, true, 0L),                        // hamming 32 from h -> kept;
+                                              // would be dropped if the
+                                              // broken corpus row indexed
+      (15L, false, 0L))                       // broken delta: passes through
+    val in = MemoryStream[(Long, Boolean, Long)]
+    val q = Streaming.imageNearDupScreenStream(
+      in.toDS().toDF("media_id", "ok", "dhash"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mediascreen1").start()
+    try {
+      in.addData(delta: _*); q.processAllAvailable()
+      val out = spark.table("mediascreen1").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out.keySet == Set(13L, 14L, 15L),
+        s"survivors must be exactly {13,14,15}, got ${out.keySet}")
+      assert(!out(15L), "broken payloads keep their ok=false flag")
+      assert(out(13L) && out(14L))
+    } finally q.stop()
+  }
+
+  test("videoNearDupScreenStream: trimmed copy verdicts at frac 1.0, partial overlap below threshold is silent") {
+    val base = "2021-03-09 14:15:00"
+    val (hA0, hA1, hA2, hA3) = (0x1111111111111111L, 0x2222222222222222L,
+      0x3333333333333333L, 0x4444444444444444L)
+    val corpus = Seq(
+      (1L, true, 0, hA0), (1L, true, 1, hA1),
+      (1L, true, 2, hA2), (1L, true, 3, hA3),
+      (2L, false, -1, 0L))                    // broken corpus row: ignored
+      .toDF("media_id", "ok", "frame_idx", "fhash")
+    val in = MemoryStream[(Long, Boolean, Int, Long, Int, Timestamp)]
+    val q = Streaming.videoNearDupScreenStream(
+      in.toDS().toDF("media_id", "ok", "frame_idx", "fhash", "nf", "ts"),
+      corpus, maxHamming = 6, minMatchFrac = 0.5,
+      watermarkDelay = "10 seconds", windowLen = "60 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vidscreen1").start()
+    try {
+      val t0 = sec(base, 5)
+      in.addData(
+        // 10: exact 2-frame trim of corpus video 1 -> frac 2/2 = 1.0
+        (10L, true, 0, hA0, 2, t0), (10L, true, 1, hA1, 2, t0),
+        // 11: unrelated (no band byte shared with any corpus hash)
+        (11L, true, 0, 0x5555555555555555L, 1, t0),
+        // 12: one frame of four matches -> frac 0.25 < 0.5 -> silent
+        (12L, true, 0, hA0, 4, t0), (12L, true, 1, 0x6666666666666666L, 4, t0),
+        (12L, true, 2, 0x7777777777777777L, 4, t0),
+        (12L, true, 3, 0x8888888888888888L, 4, t0),
+        // 13: near (hamming 1-2 per frame) trim -> frac 1.0
+        (13L, true, 0, hA0 ^ 0x1L, 2, t0), (13L, true, 1, hA1 ^ 0x3L, 2, t0))
+      q.processAllAvailable()
+      // advance the watermark past window end (60 s) + delay (10 s)
+      in.addData((99L, true, 0, 0x5555555555555555L, 1, sec(base, 90)))
+      q.processAllAvailable()
+      val out = spark.table("vidscreen1").collect()
+        .map(r => (r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3), r.getInt(4), r.getDouble(5))).toMap
+      assert(out.keySet == Set((10L, 1L), (13L, 1L)),
+        s"verdicts must be exactly the two trims, got ${out.keySet}")
+      assert(out((10L, 1L)) == ((2L, 2, 1.0)), s"got ${out((10L, 1L))}")
+      assert(out((13L, 1L)) == ((2L, 2, 1.0)), s"got ${out((13L, 1L))}")
+    } finally q.stop()
+  }
+
   test("sessionize: run crossing micro-batches survives in state") {
     implicit val s = spark
     val base = "2021-03-09 14:15:00"
