@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-layout operators: the WRITE-side half of the 100 TB posture that
+  * [[ScaleOps]]' shuffle shaping and the readers' pushdown assume.
+  *
+  * At lake scale, read performance is mostly decided before the first
+  * query runs, by how the writer laid the files out:
+  *
+  *  - **File sizing.** A 100 TB table written by a 10k-task job in
+  *    per-task files yields millions of small files: listing dominates
+  *    planning, every scan pays per-file open/footer costs, and the
+  *    driver's file index bloats. [[compactedWrite]] targets a fixed
+  *    row count per file instead.
+  *  - **Range clustering.** Parquet row-group and file skipping work off
+  *    min/max statistics; they prune only when values are CLUSTERED, not
+  *    scattered. Sorting the whole table by the hot predicate column
+  *    gives disjoint per-file ranges — a point/range predicate then
+  *    touches O(1) files instead of all of them.
+  *  - **Multi-dimension clustering.** A single-column sort gives perfect
+  *    pruning on that column and none on any other. Interleaving the
+  *    bits of k normalized columns ([[zValue]] — the Morton/Z-order
+  *    curve, the technique behind lakehouse OPTIMIZE ZORDER) bounds
+  *    every file's min/max box on EVERY indexed column: each dimension's
+  *    pruning weakens from "perfect" to "bounded", instead of one
+  *    dimension taking everything and the rest nothing.
+  *
+  * Everything here is expressed as plain projections + one
+  * `repartitionByRange` exchange, so Catalyst/AQE plan it like any other
+  * query; nothing is driver-side except the k min/max scalars. */
+object LayoutOps {
+
+  /** Morton (Z-order) value of `cols`, each normalized to `bits`-bit bins
+    * against its `[min, max]` range, bits interleaved column-major:
+    * output bit `b * k + j` is bin bit `b` of column `j`. Pure column
+    * arithmetic — codegen'd, no UDF.
+    *
+    * Normalization is linear min/max binning (the two scalars per column
+    * come from one tiny aggregate over the data, or from table metadata
+    * at a real lake). Rows at `max` land in the top bin; rows OUTSIDE
+    * the stated range are clamped into the edge bins — the curve stays
+    * total, outliers just cluster at the ends. NULL normalizes to bin 0
+    * (sorts first, the usual NULLS FIRST layout convention).
+    *
+    * `k * bits` must fit a long's 63 usable bits; 2 columns × 16 bits
+    * covers 4 G distinct cells, plenty of resolution for file-level
+    * skipping (cells per file stays >= 1 until files outnumber cells). */
+  def zValue(cols: Seq[(Column, Double, Double)], bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"need 1..${63 / bits} columns at $bits bits, got ${cols.size}")
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    val k = cols.size
+    val maxBin = (1L << bits) - 1
+    val bins = cols.map { case (c, lo, hi) =>
+      require(hi > lo, s"max must exceed min for $c: [$lo, $hi]")
+      val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxBin.toDouble)
+      least(greatest(coalesce(round(scaled), lit(0.0)), lit(0.0)),
+        lit(maxBin.toDouble)).cast("long")
+    }
+    (0 until bits).flatMap { b =>
+      bins.zipWithIndex.map { case (bin, j) =>
+        shiftleft(shiftright(bin, b).bitwiseAND(lit(1L)), b * k + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The per-column (min, max) scalars [[zValue]] needs, from one
+    * aggregate pass. At a managed lake these come free from table
+    * statistics; here they cost one cheap scan of just the indexed
+    * columns. */
+  def columnRanges(df: DataFrame, cols: Seq[String]): Seq[(String, Double, Double)] = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"),
+      max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, row.getDouble(2 * i), row.getDouble(2 * i + 1)) }
+  }
+
+  /** Compact + range-cluster `df` into `numFiles` parquet files of
+    * near-equal row count, globally range-partitioned and in-file sorted
+    * on `sortCols` — per-file value ranges on the leading sort column are
+    * DISJOINT (asserted in LayoutOpsSpec), so min/max file skipping on it
+    * is exact. One exchange (the range partitioner), one in-partition
+    * sort; `maxRecordsPerFile` additionally caps any file that sampling
+    * skew made oversized (splitting a partition into sequential sorted
+    * chunks keeps ranges disjoint).
+    *
+    * `numFiles` is explicit, not derived: at 100 TB the writer knows its
+    * target file size (the lake convention, e.g. ~1 GB) and row width;
+    * deriving it here would cost a full count of the input. */
+  def compactedWrite(df: DataFrame, path: String, numFiles: Int,
+      sortCols: Seq[String], maxRecordsPerFile: Long = 0L): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(sortCols.nonEmpty, "need at least one sort column")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
+  }
+
+  /** [[compactedWrite]] along the Z-order curve of `zCols` instead of a
+    * lexicographic sort: every written file's min/max bounding box is
+    * tight on EVERY indexed column, so single-column predicates on any
+    * of them prune files (the multi-dimension trade [[zValue]]
+    * documents). Ranges are taken from [[columnRanges]] unless supplied. */
+  def zOrderedWrite(df: DataFrame, path: String, numFiles: Int,
+      zCols: Seq[String], bits: Int = 16,
+      ranges: Option[Seq[(String, Double, Double)]] = None): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val rs = ranges.getOrElse(columnRanges(df, zCols))
+    require(rs.map(_._1) == zCols, s"ranges must align with zCols: $rs")
+    df.withColumn("_z", zValue(rs.map { case (c, lo, hi) => (col(c), lo, hi) },
+        bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file audit of a written parquet directory: one row per file
+    * with row count plus the min/max box over `statsCols` — the
+    * file-skipping effectiveness report (a predicate on column c touches
+    * exactly the files whose [c_min, c_max] straddle it). Runs as a
+    * regular distributed scan grouped by `input_file_name`; at lake
+    * scale run it on a partition subtree, not the whole table. */
+  def fileLayoutAudit(spark: SparkSession, path: String,
+      statsCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        statsCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))): _*)
+  }
+}

@@ -1462,11 +1462,55 @@ object Pipeline {
     (s, d) => MediaNearDup.videoOp(MediaNearDup.videoCorpus(s, d))(s),
     None)
 
+  /** Z-order (Morton) cell statistics over events — the write-side layout
+    * curve ([[graft.operators.LayoutOps.zValue]], the clustering key
+    * behind [[graft.operators.LayoutOps.zOrderedWrite]]) verified
+    * cell-exact against DuckDB computing the SAME interleave in SQL: both
+    * engines bin (value, user_id) linearly into 8-bit bins against the
+    * table's own min/max and interleave the bits column-major; rows group
+    * by the top-8-bit cell prefix. Any drift in the binning (rounding
+    * mode, clamp rule, NULL rule) or the interleave order moves rows
+    * across cells and fails the hash — the curve the physical layout
+    * depends on is therefore oracle-pinned, even though the file-level
+    * effects (LayoutOpsSpec's box-pruning gates) live outside SQL. */
+  private val ZBITS = 8
+  private val q90 = QueryDef(
+    "q90_zorder_cells",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val rs = graft.operators.LayoutOps
+        .columnRanges(ev, Seq("value", "user_id"))
+      val z = graft.operators.LayoutOps.zValue(
+        rs.map { case (c, lo, hi) => (col(c), lo, hi) }, bits = ZBITS)
+      ev.withColumn("_z", z)
+        .groupBy(shiftright(col("_z"), ZBITS).as("cell"))
+        .agg(count(lit(1)).as("n"), min(col("_z")).as("z_min"),
+          max(col("_z")).as("z_max"))
+    }, {
+      val maxBin = (1 << ZBITS) - 1
+      def bin(c: String, lo: String, hi: String) =
+        s"CAST(least(greatest(coalesce(round(((CAST($c AS DOUBLE) - $lo)" +
+          s" / ($hi - $lo)) * $maxBin.0), 0.0), 0.0), $maxBin.0) AS BIGINT)"
+      val terms = (0 until ZBITS).flatMap(b => Seq(
+        s"(((b0 >> $b) & 1) << ${b * 2})",
+        s"(((b1 >> $b) & 1) << ${b * 2 + 1})"))
+      s"""WITH r AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo0,
+         |  CAST(MAX(value) AS DOUBLE) AS hi0,
+         |  CAST(MIN(user_id) AS DOUBLE) AS lo1,
+         |  CAST(MAX(user_id) AS DOUBLE) AS hi1 FROM events),
+         |b AS (SELECT ${bin("value", "lo0", "hi0")} AS b0,
+         |  ${bin("user_id", "lo1", "hi1")} AS b1 FROM events, r),
+         |z AS (SELECT ${terms.mkString(" | ")} AS z FROM b)
+         |SELECT z >> $ZBITS AS cell, COUNT(*) AS n,
+         |  MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM z GROUP BY 1""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(xs: Seq[Long], bits: Int): Long =
+    (0 until bits).flatMap { b =>
+      xs.zipWithIndex.map { case (v, j) =>
+        ((v >> b) & 1L) << (b * xs.size + j) }
+    }.reduce(_ | _)
+
+  test("zValue interleaves bits exactly like a reference Morton encoder") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L),
+      (17L, 42L), (32L, 31L))
+    val out = pts.toDF("x", "y")
+      .withColumn("z", LayoutOps.zValue(
+        Seq((col("x"), 0.0, 63.0), (col("y"), 0.0, 63.0)), bits = 6))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect()
+    out.foreach { case (x, y, z) =>
+      assert(z == mortonRef(Seq(x, y), 6), s"($x,$y): got $z") }
+  }
+
+  test("zValue: NULL bins to 0, out-of-range values clamp to edge bins") {
+    val out = Seq((Some(200L), 0L), (None, 0L), (Some(-5L), 63L))
+      .toDF("x", "y")
+      .withColumn("z", LayoutOps.zValue(
+        Seq((col("x"), 0.0, 63.0), (col("y"), 0.0, 63.0)), bits = 6))
+      .select("z").as[Long].collect()
+    assert(out(0) == mortonRef(Seq(63L, 0L), 6), "above max clamps to top bin")
+    assert(out(1) == 0L, "NULL sorts first")
+    assert(out(2) == mortonRef(Seq(0L, 63L), 6), "below min clamps to bin 0")
+  }
+
+  test("compactedWrite: target file count, near-even rows, disjoint sort-key ranges") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/compact"
+    val df = spark.range(10000)
+      .select((col("id") * 7919 % 10007).as("k"), col("id").as("v"))
+    LayoutOps.compactedWrite(df, dir, 8, Seq("k"))
+    val audit = LayoutOps.fileLayoutAudit(spark, dir, Seq("k")).collect()
+    assert(audit.length == 8, s"expected 8 files, got ${audit.length}")
+    val counts = audit.map(_.getAs[Long]("n_rows"))
+    assert(counts.sum == 10000L)
+    assert(counts.max <= 2L * counts.min,
+      s"range sampling should keep files near-even, got ${counts.toSeq}")
+    val ranges = audit.map(r =>
+      (r.getAs[Long]("k_min"), r.getAs[Long]("k_max"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges must be disjoint: $aMax vs $bMin")
+      case _ => ()
+    }
+  }
+
+  test("zOrderedWrite bounds every file's box on BOTH dims; a 1-col sort cannot") {
+    val base = Files.createTempDirectory("graft-layout").toString
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    LayoutOps.zOrderedWrite(grid, s"$base/z", 16, Seq("x", "y"), bits = 6)
+    val zBoxes = LayoutOps.fileLayoutAudit(spark, s"$base/z", Seq("x", "y"))
+      .collect()
+    assert(zBoxes.map(_.getAs[Long]("n_rows")).sum == 4096L)
+    // A point predicate on y prunes z-ordered files: ideal Morton quadrants
+    // put y=17 in 4 of 16 files; range-sampling slack allowed up to 8.
+    def touched(boxes: Array[org.apache.spark.sql.Row], dim: String, v: Long) =
+      boxes.count(r => r.getAs[Long](s"${dim}_min") <= v &&
+        v <= r.getAs[Long](s"${dim}_max"))
+    assert(touched(zBoxes, "y", 17L) <= 8,
+      s"y=17 should touch few z-ordered files, got ${touched(zBoxes, "y", 17L)}")
+    assert(touched(zBoxes, "x", 40L) <= 8,
+      s"x=40 should touch few z-ordered files, got ${touched(zBoxes, "x", 40L)}")
+    // Contrast: x-sorted layout prunes x perfectly but every y predicate
+    // touches ALL files — the trade zValue's doc states.
+    LayoutOps.compactedWrite(grid, s"$base/xsort", 16, Seq("x"))
+    val xBoxes = LayoutOps.fileLayoutAudit(spark, s"$base/xsort",
+      Seq("x", "y")).collect()
+    assert(touched(xBoxes, "y", 17L) == 16,
+      "1-col sort leaves the second dim unpruned")
+    assert(touched(xBoxes, "x", 40L) <= 2)
+  }
+
+  test("maxRecordsPerFile splits oversized partitions into sequential sorted chunks") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/split"
+    val df = spark.range(1000).select(col("id").as("k"))
+    LayoutOps.compactedWrite(df, dir, 2, Seq("k"), maxRecordsPerFile = 300L)
+    val audit = LayoutOps.fileLayoutAudit(spark, dir, Seq("k")).collect()
+    assert(audit.length >= 4, s"2 partitions of ~500 rows at cap 300 must " +
+      s"split into >= 4 files, got ${audit.length}")
+    assert(audit.map(_.getAs[Long]("n_rows")).max <= 300L)
+    val ranges = audit.map(r =>
+      (r.getAs[Long]("k_min"), r.getAs[Long]("k_max"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ => ()
+    }
+  }
+}
