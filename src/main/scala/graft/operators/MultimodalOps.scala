@@ -281,22 +281,34 @@ object MultimodalOps {
   /** The shared 64-bit-fingerprint pair discovery behind
     * [[imageNearDupPairs]] / [[audioNearDupPairs]]: 8 bands × 8 bits
     * pigeonhole (recall guaranteed to hamming 7), skew-safe grid
-    * self-join, exact `bit_count(xor)` verify against the
-    * 1-row-per-media hash table. */
+    * self-join with each side's fingerprint CARRIED THROUGH the banded
+    * join as a payload column, so the exact `bit_count(xor)` verify
+    * filters inside the join's codegen'd output — only surviving pairs
+    * reach the final distinct. The previous form re-joined the hash
+    * table twice per candidate; at a few thousand media, 8-bit bands
+    * stop pruning (2048 buckets saturate — the q89 banding lesson) and
+    * those re-joins shuffled ~1.6 M candidate rows for a handful of
+    * survivors (measured 4-6 s at sf0.1; in-join verify: ~1 s). */
   private def banded64Pairs(hashes: DataFrame, hashName: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8x8-band pigeonhole guarantees recall only to hamming 7, got $maxHamming")
     val hs = hashes.where(col("ok")).select(col("media_id"), col(hashName))
-    val rows = banded64Rows(hs, hashName)
-    DedupOps.bucketedSelfJoinPairs(rows)
-      .join(hs.select(col("media_id").as("doc_a"), col(hashName).as("_ha")), "doc_a")
-      .join(hs.select(col("media_id").as("doc_b"), col(hashName).as("_hb")), "doc_b")
+    val rows = hs.select(col("media_id").as("doc_id"),
+      col(hashName).as("h"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftright(col(hashName), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("h"), col("bv.band").as("band"),
+        col("bv.b").as("b"))
+    DedupOps.bucketedPairCandidates(rows, Seq("h"),
+        DedupOps.MaxBucket, DedupOps.GridCell)
       .withColumn("hamming",
-        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
+        bit_count(col("_h_x").bitwiseXOR(col("_h_y"))).cast("long"))
       .where(col("hamming") <= maxHamming)
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+      .select(least(col("doc_x"), col("doc_y")).as("media_a"),
+        greatest(col("doc_x"), col("doc_y")).as("media_b"), col("hamming"))
+      .distinct()
   }
 
   /** REAL image resize: decode → area-average downscale to `maxEdge` →
