@@ -693,6 +693,66 @@ object TextOps {
         max(col("_thr")).as("keep_millionths"))
   }
 
+  /** Temperature-based source re-weighting — the multilingual-LLM mixing
+    * rule `p_i = n_i^alpha / Σ_j n_j^alpha` (alpha < 1 flattens the source
+    * distribution, up-weighting small sources; alpha = 1 is the natural
+    * mix). Where [[corpusMix]] DOWN-samples against a token budget, this
+    * operator computes per-doc UP-sampling: `boost = p_temp / p_raw` is
+    * the expected copy count of each doc under a fixed total budget, and
+    * `n_copies` realizes it deterministically — `floor(boost)` copies
+    * plus one more iff the doc's content-hash draw (the [[shuffleShards]]
+    * mixed hash mod 1e6) falls below the fractional part in millionths.
+    * Re-derivable on any engine/retry; copy counts hit the target mix in
+    * expectation with per-source error O(1/√n) from the hash draw.
+    *
+    * Cross-engine determinism: `n^alpha` uses `sqrt` for alpha = 0.5 and
+    * the identity for alpha = 1 (both exactly-rounded IEEE ops — `pow` is
+    * not correctly rounded and may differ in the last ulp between libm
+    * implementations; other alphas use it and carry that caveat). The
+    * weight total rides [[graft.functions.Exact.dsum]]'s decimal path, so
+    * Σ is order-independent. Plan shape: two tiny per-source aggregates,
+    * then one broadcast join back to the docs — corpus-linear, one pass
+    * over the data. */
+  def temperatureMix(docs: DataFrame, id: Column, text: Column,
+      source: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val base = docs.select(id.as("doc_id"), text.as("text"),
+      source.as("source"))
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val w = alpha match {
+      case 0.5 => sqrt(col("n_src").cast("double"))
+      case 1.0 => col("n_src").cast("double")
+      case a   => pow(col("n_src").cast("double"), lit(a))
+    }
+    val weighted = counts.withColumn("_w", w)
+    val totals = weighted.agg(sum(col("n_src")).as("_n_total"),
+      graft.functions.Exact.dsum(col("_w")).as("_w_total"))
+    val rates = weighted.crossJoin(broadcast(totals))
+      .withColumn("p_raw",
+        col("n_src").cast("double") / col("_n_total").cast("double"))
+      .withColumn("p_temp", col("_w") / col("_w_total"))
+      .withColumn("boost", col("p_temp") / col("p_raw"))
+      .select("source", "n_src", "p_raw", "p_temp", "boost")
+    // The [[shuffleShards]] draw: polyHash is a rolling hash, NOT
+    // avalanched — texts differing in a trailing digit give nearby
+    // hashes, and without the Knuth multiplicative spread the mod-1e6
+    // draw of a sequentially-named corpus clusters in one narrow band
+    // (measured: 100 sequential titles landed within 9k of each other,
+    // making the fractional-copy rate 1.0 instead of the target).
+    val draw = pmod(pmod(pmod(hashes.polyHash(col("text")) * lit(31L)
+      + col("doc_id"), lit(P)) * lit(2654435761L), lit(P)), lit(1000000L))
+    base.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_src"), col("p_raw"),
+        col("p_temp"), col("boost"),
+        (floor(col("boost")) +
+          when(draw.cast("double") <
+            (col("boost") - floor(col("boost"))) * lit(1e6), 1L)
+            .otherwise(0L)).as("n_copies"))
+  }
+
   /** The per-source integer keep-thresholds (millionths) behind
     * [[corpusMix]], exposed as the STATIC side of the streaming ingest
     * filter ([[graft.streaming.Streaming.corpusMixStream]]) — the

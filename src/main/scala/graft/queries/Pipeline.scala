@@ -1506,11 +1506,47 @@ object Pipeline {
          |FROM z GROUP BY 1""".stripMargin
     })
 
+  /** Temperature-flattened source mix ([[TextOps.temperatureMix]],
+    * alpha = 0.5): per-doc sampling weights plus the deterministic
+    * hash-realized copy counts. The oracle recomputes the whole chain —
+    * sqrt weights (exactly-rounded on both engines), the decimal-path
+    * weight total (VARCHAR hop per the DuckDB cast convention), and the
+    * shuffleShards mixed-hash draw — so a drift in any of the binning,
+    * the Σ discipline, or the draw arithmetic fails the hash. */
+  private val q91 = QueryDef(
+    "q91_temperature_mix",
+    (s, d) => TextOps.temperatureMix(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("source"),
+      alpha = 0.5),
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_src, sqrt(CAST(n_src AS DOUBLE)) AS w FROM c),
+       |t AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total,
+       |    CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+       |      AS w_total FROM w),
+       |r AS (SELECT source, n_src,
+       |    CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
+       |    w / w_total AS p_temp
+       |  FROM w, t),
+       |d AS (SELECT doc_id, source,
+       |    (((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
+       |      * 2654435761) % $P) % 1000000 AS draw
+       |  FROM documents)
+       |SELECT d.doc_id, d.source, r.n_src, r.p_raw, r.p_temp,
+       |  r.p_temp / r.p_raw AS boost,
+       |  CAST(floor(r.p_temp / r.p_raw) AS BIGINT) +
+       |    (CASE WHEN CAST(draw AS DOUBLE) <
+       |      (r.p_temp / r.p_raw - floor(r.p_temp / r.p_raw)) * 1000000.0
+       |     THEN 1 ELSE 0 END) AS n_copies
+       |FROM d JOIN r USING (source)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

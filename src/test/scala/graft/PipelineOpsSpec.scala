@@ -1152,4 +1152,42 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
     }
   }
+
+  test("temperatureMix: alpha=1 is the natural mix, alpha<1 boosts small sources, budget preserved") {
+    // 400 docs from a big source, 100 from a small one
+    val d = ((0 until 400).map(i => (i.toLong, s"big source doc $i", "big")) ++
+      (400 until 500).map(i => (i.toLong, s"small source doc $i", "small")))
+      .toDF("doc_id", "text", "source")
+    // alpha = 1: every boost is exactly 1.0, every doc gets exactly 1 copy
+    val nat = TextOps.temperatureMix(d, col("doc_id"), col("text"),
+      col("source"), alpha = 1.0).collect()
+    assert(nat.length == 500)
+    assert(nat.forall(r => r.getAs[Double]("boost") == 1.0 &&
+      r.getAs[Long]("n_copies") == 1L))
+    // alpha = 0.5: sqrt flattening — small boosted above 1, big below
+    val out = TextOps.temperatureMix(d, col("doc_id"), col("text"),
+      col("source"), alpha = 0.5)
+    val bySrc = out.select("source", "boost", "p_temp", "p_raw").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bySrc("small") > 1.0 && bySrc("big") < 1.0,
+      s"sqrt mix must up-weight the small source: $bySrc")
+    // the expected copy total equals the corpus size (budget-preserving):
+    // sum_i n_i * boost_i = N by construction
+    val expTotal = out.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n"), max(col("boost")).as("b"))
+      .collect().map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(math.abs(expTotal - 500.0) < 1e-6, s"expected-copy total $expTotal")
+    // realized copies: every doc gets floor(boost) or floor(boost)+1, and
+    // the hash draw lands the total near the budget
+    val copies = out.select("n_copies").as[Long].collect()
+    assert(copies.forall(c => c == 0L || c == 1L || c == 2L || c == 3L))
+    assert(math.abs(copies.sum - 500L) <= 50L,
+      s"realized total ${copies.sum} strays from the 500 budget")
+    // deterministic: re-evaluation is identical
+    val again = TextOps.temperatureMix(d, col("doc_id"), col("text"),
+      col("source"), alpha = 0.5).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.select("doc_id", "n_copies").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq == again)
+  }
 }
