@@ -195,4 +195,45 @@ class StreamingRecoverySpec extends SparkSpec {
     //   KL = 0.75 ln 1.5 + 0.25 ln 1.5 = ln 1.5
     assert(math.abs(got(0)._3 - 0.405465) < 1e-5, s"${got.toSeq}")
   }
+
+  test("video near-dup screen: chained dedup+agg state survives a stop/restart") {
+    val base = "2021-03-09 14:15:00"
+    val (hA0, hA1) = (0x1111111111111111L, 0x2222222222222222L)
+    val corpus = Seq((1L, true, 0, hA0), (1L, true, 1, hA1))
+      .toDF("media_id", "ok", "frame_idx", "fhash")
+    val ckpt = Files.createTempDirectory("graft-vid-ckpt").toString
+    val out = Files.createTempDirectory("graft-vid-out").toString
+    val in = MemoryStream[(Long, Boolean, Int, Long, Int, Timestamp)]
+
+    def start() = Streaming.videoNearDupScreenStream(
+        in.toDS().toDF("media_id", "ok", "frame_idx", "fhash", "nf", "ts"),
+        corpus, maxHamming = 6, minMatchFrac = 0.5,
+        watermarkDelay = "10 seconds", windowLen = "60 seconds")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    // batch 1: half of delta video 10 (one of its two frames) arrives
+    val t0 = sec(base, 5)
+    val q1 = start()
+    in.addData((10L, true, 0, hA0, 2, t0)); q1.processAllAvailable()
+    q1.stop()
+
+    // batch 2 after restart: the second frame, PLUS a replay of the first
+    // one — the dedup store must still hold (10, 1, frame 0) or the
+    // matched count inflates to 3 and the fraction to 1.5
+    val q2 = start()
+    in.addData((10L, true, 1, hA1, 2, t0), (10L, true, 0, hA0, 2, t0))
+    q2.processAllAvailable()
+    in.addData((99L, true, 0, 0x5555555555555555L, 1, sec(base, 90)))
+    q2.processAllAvailable()
+    in.addData((98L, true, 0, 0x5555555555555555L, 1, sec(base, 120)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("media_id", "corpus_id", "matched_frames", "nf", "match_frac")
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(got.toSeq == Seq((10L, 1L, 2L, 2, 1.0)),
+      s"one verdict, both frames matched exactly once across the restart: ${got.toSeq}")
+  }
 }
