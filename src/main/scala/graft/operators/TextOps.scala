@@ -714,14 +714,23 @@ object TextOps {
     * then one broadcast join back to the docs — corpus-linear, one pass
     * over the data. */
   def temperatureMix(docs: DataFrame, id: Column, text: Column,
-      source: Column, alpha: Double = 0.5): DataFrame = {
+      source: Column, alpha: Double = 0.5): DataFrame =
+    applyTemperatureRates(
+      docs.select(id.as("doc_id"), text.as("text"), source.as("source")),
+      temperatureRates(docs, source, alpha))
+
+  /** The per-source rate table behind [[temperatureMix]] — (source, n_src,
+    * p_raw, p_temp, boost) — exposed as the STATIC side of the streaming
+    * ingest face ([[graft.streaming.Streaming.temperatureMixStream]]):
+    * source counts are corpus-global, so a stream applies pre-computed
+    * rates rather than re-deriving them per micro-batch (the
+    * [[mixThresholds]] convention; rebuild on re-mix). Tiny at any scale
+    * (one row per source) and broadcast at every use site. */
+  def temperatureRates(docs: DataFrame, source: Column,
+      alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
-    val hashes = graft.functions.HashExpressions
-    hashes.register(docs.sparkSession)
-    val P = graft.functions.TextHash.P
-    val base = docs.select(id.as("doc_id"), text.as("text"),
-      source.as("source"))
-    val counts = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val counts = docs.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_src"))
     val w = alpha match {
       case 0.5 => sqrt(col("n_src").cast("double"))
       case 1.0 => col("n_src").cast("double")
@@ -730,12 +739,23 @@ object TextOps {
     val weighted = counts.withColumn("_w", w)
     val totals = weighted.agg(sum(col("n_src")).as("_n_total"),
       graft.functions.Exact.dsum(col("_w")).as("_w_total"))
-    val rates = weighted.crossJoin(broadcast(totals))
+    weighted.crossJoin(broadcast(totals))
       .withColumn("p_raw",
         col("n_src").cast("double") / col("_n_total").cast("double"))
       .withColumn("p_temp", col("_w") / col("_w_total"))
       .withColumn("boost", col("p_temp") / col("p_raw"))
       .select("source", "n_src", "p_raw", "p_temp", "boost")
+  }
+
+  /** Per-doc copy realization against a precomputed rate table — the
+    * row-local half of [[temperatureMix]], shared verbatim by the batch
+    * and streaming faces so the draw arithmetic cannot drift. Expects
+    * `base` with (doc_id, text, source). */
+  private[graft] def applyTemperatureRates(base: DataFrame,
+      rates: DataFrame): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(base.sparkSession)
+    val P = graft.functions.TextHash.P
     // The [[shuffleShards]] draw: polyHash is a rolling hash, NOT
     // avalanched — texts differing in a trailing digit give nearby
     // hashes, and without the Knuth multiplicative spread the mod-1e6

@@ -321,6 +321,21 @@ object Streaming {
       .drop("_b0", "_b1")
   }
 
+  /** Streaming face of [[graft.operators.TextOps.temperatureMix]] —
+    * ingest-time copy-count assignment against the corpus-global rate
+    * table ([[graft.operators.TextOps.temperatureRates]], the static
+    * side: source proportions are unknowable from a micro-batch). Each
+    * arriving doc gets its source's sampling weights and its
+    * deterministic `n_copies` via the SAME shared row-local draw as the
+    * batch face (one broadcast stream-static join, one row per doc, no
+    * state); a doc from a source absent in the rate table is dropped by
+    * the inner join — rebuild the rates on re-mix, as with every static
+    * index here. Batch replay parity is row-for-row by construction
+    * (both faces call the same `applyTemperatureRates`). */
+  def temperatureMixStream(docs: DataFrame, rates: DataFrame): DataFrame =
+    graft.operators.TextOps.applyTemperatureRates(
+      docs.select(col("doc_id"), col("text"), col("source")), rates)
+
   /** Streaming face of [[graft.operators.TextOps.leakageSafeSplit]] — the
     * ingest-time split assignment: a doc arriving AFTER the corpus was
     * split must inherit its near-dup cluster's established bucket, or the

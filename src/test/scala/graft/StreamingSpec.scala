@@ -453,6 +453,30 @@ class StreamingSpec extends SparkSpec {
     } finally { qc.stop(); qr.stop() }
   }
 
+  test("temperatureMixStream equals batch temperatureMix row-for-row") {
+    import graft.operators.TextOps
+    val d = ((0 until 40).map(i => (i.toLong, s"big source doc $i", "big")) ++
+      (40 until 50).map(i => (i.toLong, s"small source doc $i", "small")))
+    val corpusDf = d.toDF("doc_id", "text", "source")
+    val rates = TextOps.temperatureRates(corpusDf, col("source"), 0.5)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.temperatureMixStream(
+      in.toDS().toDF("doc_id", "text", "source"), rates)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tmix1").start()
+    try {
+      in.addData(d.take(25): _*); q.processAllAvailable()
+      in.addData(d.drop(25): _*); q.processAllAvailable()
+      val streamed = spark.table("tmix1").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = TextOps.temperatureMix(corpusDf, col("doc_id"),
+        col("text"), col("source"), 0.5).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed == batch,
+        "ingest-time assignment must reproduce the batch mix exactly")
+    } finally q.stop()
+  }
+
   test("mediaNearDupScreenStream: exact-hamming screen, band collision alone never drops") {
     // Corpus: one good fingerprint; one BROKEN row (ok=false, hash 0) that
     // must be excluded from the index or it would absorb every zero-ish delta.
