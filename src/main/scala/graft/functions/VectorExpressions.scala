@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -62,18 +62,232 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8 scalar quantization (SQ8) of a dense float vector against per-
+  * dimension corpus `mins`/`scales` (both `array<double>`, broadcast as
+  * 1-row stats): `code_i = clamp(round((x_i - min_i) / scale_i), 0, 255)`,
+  * or 0 where `scale_i = 0` (a constant dimension). This is the embedding
+  * memory-footprint scale path — 4 bytes/dim → 1, so a 100 TB float corpus
+  * indexes in 25 TB with recall measured, not hoped (SQ8Spec pins it).
+  *
+  * Determinism across engines: `(x-min)/scale` is non-negative (min is the
+  * corpus min), and for non-negative arguments JVM `Math.round` (floor of
+  * x+0.5) and DuckDB `round` (half away from zero) agree on every double,
+  * so codes are bit-identical to the oracle's. Codes are `array<int>`
+  * rather than packed bytes for oracle comparability; a production sink
+  * would pack 4:1 (the compaction layer's job, not the operator's).
+  *
+  * PRECONDITION (shared with [[FloatVectorDot]]): arrays are dense and
+  * non-null; `mins`/`scales` are at least as long as the vector.
+  */
+case class SQ8Encode(vec: Expression, mins: Expression, scales: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = mins
+  override def third: Expression = scales
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_encode"
+
+  override def nullSafeEval(v: Any, mn: Any, sc: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val m = mn.asInstanceOf[ArrayData]
+    val s = sc.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val scale = s.getDouble(i)
+      out(i) =
+        if (scale > 0)
+          math.min(255L, math.max(0L,
+            Math.round((x.getFloat(i).toDouble - m.getDouble(i)) / scale))).toInt
+        else 0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, sc) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val scale = ctx.freshName("scale")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $scale = $sc.getDouble($i);
+         |  $out[$i] = $scale > 0
+         |    ? (int) java.lang.Math.min(255L, java.lang.Math.max(0L,
+         |        java.lang.Math.round((((double) $v.getFloat($i)) - $mn.getDouble($i)) / $scale)))
+         |    : 0;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(vec = newFirst, mins = newSecond, scales = newThird)
+}
+
+/** Dot product of two SQ8-RECONSTRUCTED vectors, fused: sums
+  * `(min_i + a_i*scale_i) * (min_i + b_i*scale_i)` left-to-right without
+  * materializing the reconstructed arrays — the quantized analog of
+  * [[FloatVectorDot]], same sequential accumulation as the oracle's
+  * `list_reduce` fold, so similarity scores are bit-identical across
+  * engines. Reconstruction where `scale_i = 0` degenerates to `min_i`
+  * (codes are 0 there by [[SQ8Encode]]), so no guard is needed. */
+case class SQ8ReconDot(a: Expression, b: Expression, mins: Expression,
+    scales: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = mins
+  override def fourth: Expression = scales
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_recon_dot"
+
+  override def nullSafeEval(av: Any, bv: Any, mn: Any, sc: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val m = mn.asInstanceOf[ArrayData]
+    val s = sc.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val mi = m.getDouble(i)
+      val si = s.getDouble(i)
+      acc += (mi + x.getInt(i) * si) * (mi + y.getInt(i) * si)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, mn, sc) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val mi = ctx.freshName("mi")
+      val si = ctx.freshName("si")
+      s"""
+         |int $n = java.lang.Math.min($av.numElements(), $bv.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $mi = $mn.getDouble($i);
+         |  double $si = $sc.getDouble($i);
+         |  $acc += ($mi + $av.getInt($i) * $si) * ($mi + $bv.getInt($i) * $si);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(a = newFirst, b = newSecond, mins = newThird, scales = newFourth)
+}
+
+/** Largest absolute per-component reconstruction error of an SQ8 code
+  * vector against its source floats: `max_i |x_i - (min_i + c_i*scale_i)|`.
+  * Max is order-independent, so this digest is engine-reproducible without
+  * rounding tricks; it is the registered quantization-quality gate (error
+  * must stay ≤ scale/2 per dimension — SQ8Spec pins the bound, the q92
+  * oracle pins the values). */
+case class SQ8MaxAbsErr(vec: Expression, codes: Expression, mins: Expression,
+    scales: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = codes
+  override def third: Expression = mins
+  override def fourth: Expression = scales
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_max_abs_err"
+
+  override def nullSafeEval(v: Any, cd: Any, mn: Any, sc: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cd.asInstanceOf[ArrayData]
+    val m = mn.asInstanceOf[ArrayData]
+    val s = sc.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), c.numElements())
+    var best = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(
+        x.getFloat(i).toDouble - (m.getDouble(i) + c.getInt(i) * s.getDouble(i)))
+      if (d > best) best = d
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cd, mn, sc) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $cd.numElements());
+         |double $best = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = java.lang.Math.abs(((double) $v.getFloat($i))
+         |    - ($mn.getDouble($i) + $cd.getInt($i) * $sc.getDouble($i)));
+         |  if ($d > $best) $best = $d;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(vec = newFirst, codes = newSecond, mins = newThird, scales = newFourth)
+}
+
 object VectorExpressions {
   val FnName = "float_vector_dot"
 
   /** Idempotently register the expression in this session's function
     * registry (temp function — visible to DataFrame and SQL callers). */
+  val SQ8EncodeFn = "sq8_encode"
+  val SQ8DotFn = "sq8_recon_dot"
+  val SQ8ErrFn = "sq8_max_abs_err"
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => FloatVectorDot(exprs.head, exprs(1)), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SQ8EncodeFn, exprs => SQ8Encode(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SQ8DotFn, exprs => SQ8ReconDot(exprs.head, exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SQ8ErrFn,
+      exprs => SQ8MaxAbsErr(exprs.head, exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
   }
 
   /** Codegen'd dot product of two `array<float>` columns (see class doc).
     * Requires [[register]] to have been called on the session. */
   def floatDot(a: Column, b: Column): Column = call_function(FnName, a, b)
+
+  /** SQ8 code vector of a float embedding (see [[SQ8Encode]]). */
+  def sq8Encode(vec: Column, mins: Column, scales: Column): Column =
+    call_function(SQ8EncodeFn, vec, mins, scales)
+
+  /** Fused dot product over SQ8-reconstructed vectors ([[SQ8ReconDot]]). */
+  def sq8ReconDot(a: Column, b: Column, mins: Column, scales: Column): Column =
+    call_function(SQ8DotFn, a, b, mins, scales)
+
+  /** Max absolute SQ8 reconstruction error ([[SQ8MaxAbsErr]]). */
+  def sq8MaxAbsErr(vec: Column, codes: Column, mins: Column,
+      scales: Column): Column =
+    call_function(SQ8ErrFn, vec, codes, mins, scales)
 }

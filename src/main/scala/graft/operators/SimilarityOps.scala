@@ -388,4 +388,143 @@ object SimilarityOps {
       .select(col("qid").as("query_id"), col("rk"),
         col("nid").as("neighbor_id"), col("bucket"), col("cos_sim"))
   }
+
+  // ------------------------------------------------- int8 scalar quantization
+
+  /** Per-dimension quantization stats for SQ8: ONE row
+    * `(mins: array<double>, scales: array<double>)` with
+    * `scale_d = (max_d - min_d) / 255`. One corpus-linear aggregate pass
+    * (2·dim min/max aggregates, partial map-side — the q14-describe shape),
+    * output broadcast at every use site. Min/max are computed on the raw
+    * floats and widened AFTER (exact), so any engine aggregating the same
+    * column reproduces them bit-for-bit. */
+  def sq8Stats(emb: DataFrame, vec: Column, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val aggs = (1 to dim).flatMap(i => Seq(
+      min(element_at(vec, i)).cast("double").as(s"_mn$i"),
+      max(element_at(vec, i)).cast("double").as(s"_mx$i")))
+    emb.agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((1 to dim).map(i => col(s"_mn$i")): _*).as("mins"),
+        array((1 to dim).map(i =>
+          (col(s"_mx$i") - col(s"_mn$i")) / lit(255.0)): _*).as("scales"))
+  }
+
+  /** SQ8-encode every vector against broadcast corpus `stats`
+    * ([[sq8Stats]]): output `(vec_id, codes, mins, scales)` — codes are
+    * the 1-byte-per-dim index payload (kept as `array<int>` for oracle
+    * comparability; a sink packs 4:1), and the stats ride along so every
+    * downstream score ([[graft.functions.SQ8ReconDot]]) is computable from
+    * this frame alone, raw floats no longer needed — the point of the
+    * operator: after one encode pass the 4-bytes/dim corpus is dead weight.
+    * Encode is map-side only (broadcast 1-row stats, codegen'd expression,
+    * no shuffle). */
+  def sq8Quantize(emb: DataFrame, stats: DataFrame, id: Column,
+      vec: Column): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    emb.crossJoin(broadcast(stats))
+      .select(id.as("vec_id"),
+        VectorExpressions.sq8Encode(vec, col("mins"), col("scales"))
+          .as("codes"),
+        col("mins"), col("scales"))
+  }
+
+  /** Registered quantization-quality digest (q92): per vector, the code
+    * checksum/range, the reconstructed norm, and the max absolute
+    * reconstruction error. Scalars only — every value is either an integer
+    * (order-free), a max (order-free), or a fixed-order fold rounded at
+    * 1e-6, so the whole digest hash-matches the DuckDB oracle. The
+    * error column is the operational gate: it must stay ≤ scale/2 in every
+    * dimension (SQ8Spec pins the bound against [[sq8Stats]]). */
+  def sq8Digest(emb: DataFrame, id: Column, vec: Column,
+      dim: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val q = emb.crossJoin(broadcast(sq8Stats(emb, vec, dim)))
+      .select(id.as("vec_id"), vec.as("_e"), col("mins"), col("scales"),
+        VectorExpressions.sq8Encode(vec, col("mins"), col("scales"))
+          .as("codes"))
+    q.select(col("vec_id"),
+      (1 to dim).map(i => element_at(col("codes"), i))
+        .reduce(_ + _).cast("long").as("code_sum"),
+      least((1 to dim).map(i => element_at(col("codes"), i)): _*)
+        .as("code_min"),
+      greatest((1 to dim).map(i => element_at(col("codes"), i)): _*)
+        .as("code_max"),
+      round(sqrt(VectorExpressions.sq8ReconDot(col("codes"), col("codes"),
+        col("mins"), col("scales"))), 6).as("recon_nrm"),
+      round(VectorExpressions.sq8MaxAbsErr(col("_e"), col("codes"),
+        col("mins"), col("scales")), 6).as("max_err"))
+  }
+
+  /** Sign-LSH bucket over SQ8-RECONSTRUCTED components
+    * `offset+1 .. offset+nBits` — [[graft.functions.TextHash.signBucketAt]]
+    * computed from codes alone (`min_d + c_d·scale_d > 0`), so the bucketed
+    * discovery path needs no float vectors: index construction and probing
+    * both run on the quantized frame. */
+  def sq8SignBucketAt(codes: Column, mins: Column, scales: Column,
+      nBits: Int, offset: Int): Column =
+    (1 to nBits).map { j =>
+      val recon = element_at(mins, offset + j) +
+        element_at(codes, offset + j) * element_at(scales, offset + j)
+      when(recon > lit(0.0), lit(1 << (j - 1))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Near-dup pair discovery over the QUANTIZED corpus — [[
+    * cosinePairsBucketed]] re-expressed on SQ8 codes (q93): multi-table
+    * sign-LSH buckets from reconstructed signs, bucket-equality hash
+    * self-joins, and the exact reconstructed cosine verify fused into the
+    * join output via [[graft.functions.SQ8ReconDot]] (the in-join payload
+    * rule — fingerprints never re-joined per candidate). Same recall
+    * structure as the float path; scores differ from float cosine only by
+    * quantization error (SQ8Spec pins pair recall against [[cosinePairs]]).
+    * At 100 TB this is the shape that matters: the self-join shuffles
+    * 65 bytes/vector of codes instead of 256 of floats, and the stats ride
+    * as broadcast-constant payload. */
+  def sq8NearDupPairsBucketed(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, nBits: Int, tables: Int, dim: Int): DataFrame = {
+    val stats = sq8Stats(emb, vec, dim)
+    val q = sq8Quantize(emb, stats, id, vec)
+      .withColumn("nrm", sqrt(VectorExpressions.sq8ReconDot(col("codes"),
+        col("codes"), col("mins"), col("scales"))))
+    val banded = q.select(col("vec_id"), col("codes"), col("nrm"),
+      col("mins"), col("scales"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          sq8SignBucketAt(col("codes"), col("mins"), col("scales"),
+            nBits, t * nBits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("codes"), col("nrm"), col("mins"),
+        col("scales"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    def side(n: String) = banded.select(col("vec_id").as(n),
+      col("codes").as(s"${n}_c"), col("nrm").as(s"${n}_nrm"),
+      col("tbl"), col("bucket")) // stats re-attached once, not per side
+    side("va").join(side("vb"), Seq("tbl", "bucket"))
+      .where(col("va") < col("vb"))
+      .crossJoin(broadcast(stats)) // 1-row quantizer, not a re-derived subtree
+      .withColumn("cos_sim", when(col("va_nrm") * col("vb_nrm") > 0,
+        round(VectorExpressions.sq8ReconDot(col("va_c"), col("vb_c"),
+          col("mins"), col("scales")) / (col("va_nrm") * col("vb_nrm")), 6)))
+      .where(col("cos_sim") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+      .distinct()
+  }
+
+  /** Exact all-pairs variant on the quantized corpus — the SQ8 analog of
+    * [[cosinePairs]]; verification baseline for the bucketed path (spec
+    * only, not registered: the theta join is the O(n²) shape). */
+  def sq8NearDupPairs(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, dim: Int): DataFrame = {
+    val stats = sq8Stats(emb, vec, dim)
+    val q = sq8Quantize(emb, stats, id, vec)
+      .withColumn("nrm", sqrt(VectorExpressions.sq8ReconDot(col("codes"),
+        col("codes"), col("mins"), col("scales"))))
+    def side(n: String) = q.select(col("vec_id").as(n),
+      col("codes").as(s"${n}_c"), col("nrm").as(s"${n}_nrm"))
+    side("va").join(side("vb"), col("va") < col("vb"))
+      .crossJoin(broadcast(stats))
+      .withColumn("cos_sim", when(col("va_nrm") * col("vb_nrm") > 0,
+        round(VectorExpressions.sq8ReconDot(col("va_c"), col("vb_c"),
+          col("mins"), col("scales")) / (col("va_nrm") * col("vb_nrm")), 6)))
+      .where(col("cos_sim") >= threshold)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+  }
 }

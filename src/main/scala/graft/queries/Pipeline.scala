@@ -1541,12 +1541,92 @@ object Pipeline {
        |     THEN 1 ELSE 0 END) AS n_copies
        |FROM d JOIN r USING (source)""".stripMargin)
 
+  /** Shared oracle CTE chain for SQ8 ([[SimilarityOps.sq8Stats]] +
+    * [[SimilarityOps.sq8Quantize]] in SQL): per-dim min/max → scales →
+    * per-vector int codes, mirroring [[graft.functions.SQ8Encode]]'s
+    * clamp(round((x-min)/scale)) arithmetic exactly (for non-negative
+    * arguments JVM Math.round and DuckDB round agree on every double). */
+  private def sq8Ctes: String =
+    s"""st AS (
+       |  SELECT list(mn ORDER BY d) AS mins, list(sc ORDER BY d) AS scales FROM (
+       |    SELECT i AS d, CAST(min(embedding[i]) AS DOUBLE) AS mn,
+       |      (CAST(max(embedding[i]) AS DOUBLE) - CAST(min(embedding[i]) AS DOUBLE)) / 255.0 AS sc
+       |    FROM embeddings, generate_series(1,$DIM) AS t(i) GROUP BY 1)),
+       |q0 AS (SELECT vec_id, embedding AS e, st.mins AS mn, st.scales AS sc
+       |  FROM embeddings, st),
+       |q AS (SELECT vec_id, e, mn, sc,
+       |  list_transform(generate_series(1,$DIM), i -> CASE WHEN sc[i] > 0
+       |    THEN CAST(least(255.0, greatest(0.0, round((CAST(e[i] AS DOUBLE) - mn[i]) / sc[i]))) AS INTEGER)
+       |    ELSE 0 END) AS c
+       |  FROM q0)""".stripMargin
+
+  /** Int8 scalar quantization digest ([[SimilarityOps.sq8Digest]]): the
+    * embedding memory-footprint scale path (4 bytes/dim → 1) registered
+    * through per-vector scalars — code checksum/range, reconstructed norm,
+    * max reconstruction error — each either order-free (int sum, min, max)
+    * or a fixed-order fold rounded at 1e-6, so the whole quantizer
+    * (stats pass, clamp/round rule, reconstruction arithmetic) is
+    * hash-pinned against DuckDB computing the identical chain. */
+  private val q92 = QueryDef(
+    "q92_embedding_sq8",
+    (s, d) => SimilarityOps.sq8Digest(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), DIM),
+    s"""WITH $sq8Ctes
+       |SELECT vec_id,
+       |  CAST(list_reduce(list_prepend(0, c), (x,y) -> x + y) AS BIGINT) AS code_sum,
+       |  list_reduce(c, (x,y) -> least(x,y)) AS code_min,
+       |  list_reduce(c, (x,y) -> greatest(x,y)) AS code_max,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
+       |    i -> (mn[i] + c[i]*sc[i]) * (mn[i] + c[i]*sc[i]))), (x,y) -> x + y)), 6) AS recon_nrm,
+       |  round(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
+       |    i -> abs(CAST(e[i] AS DOUBLE) - (mn[i] + c[i]*sc[i])))), (x,y) -> greatest(x,y)), 6) AS max_err
+       |FROM q""".stripMargin)
+
+  /** Near-dup discovery over the QUANTIZED corpus
+    * ([[SimilarityOps.sq8NearDupPairsBucketed]]) — q46's multi-table
+    * sign-LSH re-expressed on SQ8 codes: buckets from reconstructed signs,
+    * the exact reconstructed-cosine verify fused into the bucket join.
+    * The oracle reconstructs the same vectors from the same codes and runs
+    * the same banding, so ANY drift in the quantizer or the reconstructed
+    * scoring moves pairs and fails the hash. Proves the float corpus can
+    * be discarded post-encode without losing the dedup capability. */
+  private val q93 = QueryDef(
+    "q93_sq8_neardup",
+    (s, d) => SimilarityOps.sq8NearDupPairsBucketed(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T,
+      LSH_BITS, LSH_TABLES, DIM), {
+      val bands = (0 until LSH_TABLES).map { t =>
+        val bits = (1 to LSH_BITS).map(j =>
+          s"(CASE WHEN re[${t * LSH_BITS + j}] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM n"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sq8Ctes,
+         |v AS (SELECT vec_id,
+         |  list_transform(generate_series(1,$DIM), i -> mn[i] + c[i]*sc[i]) AS re FROM q),
+         |n AS (SELECT vec_id, re,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
+         |    i -> re[i] * re[i])), (x,y) -> x + y)) AS nrm FROM v),
+         |b AS (
+         |$bands),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT cd.vec_a, cd.vec_b,
+         |    CASE WHEN a.nrm * bb.nrm > 0 THEN
+         |      round(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
+         |        i -> a.re[i] * bb.re[i])), (x,y) -> x + y) / (a.nrm * bb.nrm), 6) END AS cos_sim
+         |  FROM cand cd JOIN n a ON cd.vec_a = a.vec_id JOIN n bb ON cd.vec_b = bb.vec_id
+         |) t WHERE cos_sim >= $COSINE_T""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91)
+    q91, q92, q93)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -336,6 +336,30 @@ object Streaming {
     graft.operators.TextOps.applyTemperatureRates(
       docs.select(col("doc_id"), col("text"), col("source")), rates)
 
+  /** Streaming face of [[graft.operators.SimilarityOps.sq8Quantize]] —
+    * ingest-time int8 encoding of arriving embeddings against the
+    * corpus-global quantizer ([[graft.operators.SimilarityOps.sq8Stats]],
+    * the static side: per-dimension min/max are a whole-corpus property a
+    * micro-batch cannot see). One broadcast stream-static join on a
+    * constant key (the stats frame is one row), then the same codegen'd
+    * [[graft.functions.SQ8Encode]] as the batch face — codes are
+    * identical to re-encoding the vector in batch by construction, so a
+    * quantized ANN index can be appended at ingest without re-reading
+    * float history. An out-of-range arriving component clamps to 0/255
+    * (the encoder's saturation rule); re-fit stats → re-encode, as with
+    * every static index here. Output matches [[
+    * graft.operators.SimilarityOps.sq8Quantize]]: (vec_id, codes, mins,
+    * scales). */
+  def sq8QuantizeStream(emb: DataFrame, stats: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"), lit(1).as("_k"))
+      .join(broadcast(stats.withColumn("_k", lit(1))), "_k")
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.sq8Encode(
+          col("embedding"), col("mins"), col("scales")).as("codes"),
+        col("mins"), col("scales"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.leakageSafeSplit]] — the
     * ingest-time split assignment: a doc arriving AFTER the corpus was
     * split must inherit its near-dup cluster's established bucket, or the

@@ -477,6 +477,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sq8QuantizeStream encodes arriving vectors identically to batch") {
+    import graft.operators.SimilarityOps
+    val emb = graft.Tables.embeddings(spark, sf).limit(60).cache()
+    val stats = SimilarityOps.sq8Stats(emb, col("embedding"), 64)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.sq8QuantizeStream(
+      in.toDS().toDF("vec_id", "embedding"), stats)
+      .select(col("vec_id"), col("codes"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sq8q1").start()
+    try {
+      in.addData(rows.take(30).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(30).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("sq8q1").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val batch = SimilarityOps.sq8Quantize(emb, stats,
+        col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(streamed == batch,
+        "ingest-time codes must equal batch re-encode exactly")
+    } finally q.stop()
+  }
+
   test("mediaNearDupScreenStream: exact-hamming screen, band collision alone never drops") {
     // Corpus: one good fingerprint; one BROKEN row (ok=false, hash 0) that
     // must be excluded from the index or it would absorb every zero-ish delta.
