@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** Product quantization (PQ) for embedding similarity search — the deep
+  * compression path beyond SQ8: the vector is split into `m` subspaces of
+  * `sub` components, each subspace is assigned the id of its nearest
+  * codebook entry (squared L2), and the whole vector becomes `m` small
+  * codes (64 floats → 8 bytes at m=8). Search runs ASYMMETRICALLY: the
+  * float query is compared against the corpus's reconstructed codewords
+  * ([[graft.functions.PQAdcDist]]), so corpus floats are never needed
+  * after the one-time encode — the property that lets a 100 TB embedding
+  * corpus live as a 3 TB index. (Public method: Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011.)
+  *
+  * The codebook is `k` full-dimension rows `(cid, ce)` — subspace `s` of
+  * entry `j` is `ce[s·sub+1 .. (s+1)·sub]`. Two sources, one machinery
+  * (the q43/q48 precedent): a FIXED deterministic sample
+  * (oracle-expressible, q94) or per-subspace k-means glued into full
+  * vectors ([[pqLearnCodebook]], q95 — learned codebooks track the data,
+  * spec-pinned recall).
+  *
+  * Scale shape: encode is corpus × broadcast(k rows) — linear, one
+  * shuffle to assemble codes; the index `(vec_id, codes, recon)` is the
+  * only thing search touches, and the query side is broadcast. Distances
+  * are computed by a codegen'd native expression with per-subspace
+  * accumulation, chosen so the LUT fast path (precompute m·k subspace
+  * partials per query, gather O(m) per candidate) is bit-identical —
+  * swapping it in at cluster scale cannot move a ranking.
+  */
+object PQOps {
+
+  /** PQ-encode every vector and materialize its reconstruction: output
+    * `(vec_id, codes: array<int>, recon: array<double>)` — the search
+    * index. One broadcast cross join against the `k`-row codebook scores
+    * every (vector, entry, subspace) in fixed-order double arithmetic
+    * (bit-reproducible, so the assignment needs no rounding before the
+    * argmin compare), one window picks each subspace's winner (tie →
+    * smallest entry id), and one aggregation assembles codes and the
+    * glued reconstruction in subspace order (the labelStats
+    * collect/sort/transform pattern). */
+  def pqIndex(emb: DataFrame, codebook: DataFrame, id: Column, vec: Column,
+      m: Int, sub: Int): DataFrame = {
+    require(m > 0 && sub > 0, s"need positive m/sub, got $m/$sub")
+    val cb = codebook.select(id.as("cid"), vec.as("ce"))
+    val subDists = emb.select(id.as("vec_id"), vec.as("e"))
+      .join(broadcast(cb), expr("true"))
+      .select(col("vec_id"), col("cid"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("s"),
+            (1 to sub).map { c =>
+              val d = element_at(col("e"), s * sub + c).cast("double") -
+                element_at(col("ce"), s * sub + c).cast("double")
+              d * d
+            }.reduce(_ + _).as("dist"))
+        }: _*)).as("sd"))
+      .select(col("vec_id"), col("cid"),
+        col("sd.s").as("s"), col("sd.dist").as("dist"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("cid"))
+    val codes = subDists.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("cid").cast("int").as("code"))
+    // re-attach the winning entry's sub-slice (broadcast k rows, cheap)
+    // and glue per-vector codes + reconstruction in subspace order
+    val subArr = array((1 to sub).map(c =>
+      element_at(col("ce"), col("s") * lit(sub) + lit(c)).cast("double")): _*)
+    codes.join(broadcast(cb), col("code") === col("cid"))
+      .select(col("vec_id"), col("s"), col("code"), subArr.as("sub"))
+      .groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("s"), col("sub")))),
+          x => x.getField("sub"))).as("recon"))
+  }
+
+  /** Asymmetric top-k over a PQ index: each float query scored against
+    * every indexed reconstruction via [[graft.functions.PQAdcDist]]
+    * (queries broadcast, corpus never shuffles), ranked on the 1e-6-rounded
+    * distance with the neighbor id as tie-break (the house ranking rule —
+    * stable under float noise, engine-reproducible). Output
+    * `(query_id, rk, neighbor_id, adc_dist)`. */
+  def pqTopK(index: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(queries.sparkSession)
+    val q = queries.select(id.as("qid"), vec.as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(q).join(index, col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist",
+        round(VectorExpressions.pqAdcDist(col("qe"), col("recon"), sub), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Exact re-rank of a PQ shortlist — the production search composition:
+    * [[pqTopK]] prunes the corpus to a per-query candidate shortlist on
+    * codes alone, then ONLY those candidates are re-scored against the
+    * float corpus with exact squared L2 (`q·q − 2·q·n + n·n`, three
+    * fixed-order [[graft.functions.FloatVectorDot]]s — bit-reproducible)
+    * and re-ranked to the final `k`. At scale the float fetch is a
+    * shortlist-sized hash join (shortlist ≪ corpus), so the expensive
+    * exact arithmetic touches `queries × shortlist` rows, never
+    * `queries × corpus` — ADC recall at exact-ranking precision. Output
+    * `(query_id, rk, neighbor_id, l2_dist)`. */
+  def pqRerankTopK(shortlist: DataFrame, emb: DataFrame, queries: DataFrame,
+      id: Column, vec: Column, k: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    def selfDot(n: String) = VectorExpressions.floatDot(
+      col(s"${n}_e"), col(s"${n}_e"))
+    val q = queries.select(id.as("qid"), vec.as("q_e"))
+    val c = emb.select(id.as("nid"), vec.as("n_e"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("l2_dist"), col("nid"))
+    shortlist.select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      .join(broadcast(q), "qid")
+      .join(c, "nid")
+      .withColumn("l2_dist", round(
+        selfDot("q") - lit(2.0) * VectorExpressions.floatDot(
+          col("q_e"), col("n_e")) + selfDot("n"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("nid").as("neighbor_id"), col("l2_dist"))
+  }
+
+  /** Learn a PQ codebook: an independent `k`-means per subspace over the
+    * corpus's sub-vectors (squared-L2 geometry — the metric PQ encodes,
+    * unlike the cosine k-means of [[SimilarityOps.learnCentroids]]),
+    * glued into `k` full-dimension rows so the learned codebook drops
+    * into the same [[pqIndex]]/[[pqTopK]] machinery as a fixed sample.
+    * Deterministic for a fixed seed and input; the m fits each see only a
+    * `sub`-wide projection (cheap), and only m·k·sub floats come back to
+    * the driver. Fit inputs are not persisted — nothing to unpersist
+    * (the q48 checkpoint-lifecycle lesson). */
+  def pqLearnCodebook(emb: DataFrame, vec: Column, m: Int, sub: Int,
+      k: Int, idName: String, vecName: String, seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val perSubspace: Seq[Array[Array[Float]]] = (0 until m).map { s =>
+      val feats = emb.select(array_to_vector(
+        array((1 to sub).map(c =>
+          element_at(vec, s * sub + c)): _*)).as("features"))
+      new KMeans()
+        .setK(k).setSeed(seed + s).setMaxIter(maxIter)
+        .setFeaturesCol("features")
+        .fit(feats)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    (0 until k).map { j =>
+      (j.toLong, (0 until m).flatMap(s => perSubspace(s)(j)).toArray)
+    }.toDF(idName, vecName)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextHash._
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, PQOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) over `documents` / `embeddings`, each with
@@ -1621,12 +1621,154 @@ object Pipeline {
          |) t WHERE cos_sim >= $COSINE_T""".stripMargin
     })
 
+  // product quantization: m subspaces of sub components, k entries each
+  private val PQ_M = 8
+  private val PQ_SUB = 8
+  private val PQ_K = 8
+  private val PQ_SHORTLIST = 20
+
+  /** Product-quantized ANN top-k with a FIXED deterministic codebook
+    * ([[PQOps.pqIndex]]/[[PQOps.pqTopK]], codebook = the first [[PQ_K]]
+    * corpus rows — the q43 fixed-sample precedent): 64 floats become 8
+    * byte-codes, and search runs asymmetrically against the
+    * reconstructions, floats discarded post-encode. The oracle recomputes
+    * the whole chain — per-subspace argmin assignment (fixed-order
+    * squared-L2, tie → smallest entry), glued reconstructions, and the
+    * subspace-grouped ADC fold — so encode, codebook slicing, and the
+    * ranking rule are all hash-pinned. */
+  private val q94 = QueryDef(
+    "q94_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      PQOps.pqTopK(
+        PQOps.pqIndex(emb, emb.where(col("vec_id") < PQ_K),
+          col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
+        emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        LSH_K, PQ_SUB)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
+         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
+         |  FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
+    })
+
+  /** PQ top-k with a LEARNED codebook — per-subspace k-means glued into
+    * full-dimension entries ([[PQOps.pqLearnCodebook]]), the quantizer
+    * that actually tracks the data distribution (q48's learned-vs-fixed
+    * contract, here for PQ). k-means isn't SQL-expressible → rows-only
+    * driver check; the recall floor against exact float search is pinned
+    * in PQSpec. */
+  private val q95 = QueryDef(
+    "q95_pq_topk_learned",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      PQOps.pqTopK(
+        PQOps.pqIndex(emb,
+          PQOps.pqLearnCodebook(emb, col("embedding"), PQ_M, PQ_SUB, PQ_K,
+            "vec_id", "embedding"),
+          col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
+        emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        LSH_K, PQ_SUB)
+    },
+    None)
+
+  /** PQ shortlist + exact re-rank ([[PQOps.pqRerankTopK]]) — the full
+    * production ANN composition: codes prune the corpus to a top-
+    * [[PQ_SHORTLIST]] shortlist (q94's fixed-codebook chain), exact
+    * squared-L2 re-scores only those candidates. The oracle replays the
+    * entire two-stage pipeline — PQ assignment, reconstruction, ADC
+    * shortlist, then the three-dot exact distance and the final ranking —
+    * so the composition's hand-off (shortlist membership!) is itself
+    * hash-pinned: a pruning regression changes who gets re-ranked and
+    * fails the gate even when the re-rank arithmetic is right. */
+  private val q96 = QueryDef(
+    "q96_pq_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+      PQOps.pqRerankTopK(
+        PQOps.pqTopK(
+          PQOps.pqIndex(emb, emb.where(col("vec_id") < PQ_K),
+            col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
+          queries, col("vec_id"), col("embedding"), PQ_SHORTLIST, PQ_SUB),
+        emb, queries, col("vec_id"), col("embedding"), LSH_K)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
+         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS srk
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |        round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |            ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |            (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
+         |      FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id) a
+         |  ) b WHERE srk <= $PQ_SHORTLIST)
+         |SELECT query_id, rk, neighbor_id, l2_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM (
+         |    SELECT sl.query_id, sl.neighbor_id,
+         |      round(${dotSql("q.e", "q.e", DIM)} - 2.0 * ${dotSql("q.e", "n.e", DIM)}
+         |        + ${dotSql("n.e", "n.e", DIM)}, 6) AS l2_dist
+         |    FROM shortlist sl
+         |    JOIN v q ON q.vec_id = sl.query_id
+         |    JOIN v n ON n.vec_id = sl.neighbor_id) s
+         |) t WHERE rk <= $LSH_K""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94, q95, q96)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
