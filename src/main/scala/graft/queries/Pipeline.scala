@@ -1763,12 +1763,53 @@ object Pipeline {
          |) t WHERE rk <= $LSH_K""".stripMargin
     })
 
+  /** Snapshot diff ([[graft.operators.AuditOps.snapshotDiff]]) — corpus
+    * version auditing: the "after" snapshot is derived from documents with
+    * deterministic planted edits (mod-97 removals, mod-101 text revisions,
+    * mod-103 re-keyed additions), so every status arm is exercised and
+    * counted. The oracle replays the same derivation and the same
+    * full-outer hash compare; a drift in the content canonicalization
+    * (separator, column order, cast) or the join/status logic moves rows
+    * between statuses and fails the hash. */
+  private val q97 = QueryDef(
+    "q97_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val after = docs.where(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 101 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .unionAll(docs.where(col("doc_id") % 103 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      graft.operators.AuditOps.snapshotDiff(
+        docs, after, col("doc_id"), Seq(col("text"), col("source")),
+        keyName = "doc_id")
+    }, {
+      val h = (t: String) => polyHashSql(s"concat_ws(chr(1), $t.text, $t.source)")
+      s"""WITH chg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         |    source
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |adds AS (SELECT doc_id + 10000000 AS doc_id, text, source
+         |  FROM documents WHERE doc_id % 103 = 0),
+         |b AS (SELECT * FROM chg UNION ALL SELECT * FROM adds),
+         |bh AS (SELECT a.doc_id, ${h("a")} AS before_hash FROM documents a),
+         |ah AS (SELECT b.doc_id, ${h("b")} AS after_hash FROM b)
+         |SELECT COALESCE(bh.doc_id, ah.doc_id) AS doc_id,
+         |  CASE WHEN bh.doc_id IS NULL THEN 'added'
+         |       WHEN ah.doc_id IS NULL THEN 'removed'
+         |       WHEN before_hash <> after_hash THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  before_hash, after_hash
+         |FROM bh FULL OUTER JOIN ah ON bh.doc_id = ah.doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96)
+    q91, q92, q93, q94, q95, q96, q97)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
