@@ -100,6 +100,46 @@ object PQOps {
         col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 
+  /** Row-local PQ encode against a COLLECTED codebook — the streaming-
+    * legal form of [[pqIndex]]'s assignment (a stream can host neither
+    * the window argmin nor the collect_list glue): per subspace, every
+    * codebook entry contributes a `(dist, cid)` struct and `least` picks
+    * the winner, so the whole encode is one stateless expression tree.
+    * Arithmetic mirrors [[pqIndex]] exactly — same fixed-order squared-L2
+    * per entry, same tie-break (equal dists → smallest entry id via the
+    * struct comparison) — so ingest-time codes equal a batch re-encode
+    * value-for-value (StreamingSpec parity). Returns
+    * `(codes: array<int>, recon: array<double>)` as two Columns to
+    * attach to any frame with the embedding column. */
+  def pqEncodeExprs(vec: Column, cents: Seq[(Int, Array[Float])], m: Int,
+      sub: Int): (Column, Column) = {
+    require(cents.nonEmpty, "codebook must be non-empty")
+    val winners = (0 until m).map { s =>
+      val scored = cents.map { case (cid, ce) =>
+        val dist = (1 to sub).map { c =>
+          val d = element_at(vec, s * sub + c).cast("double") -
+            lit(ce(s * sub + c - 1).toDouble)
+          d * d
+        }.reduce(_ + _)
+        struct(dist.as("dist"), lit(cid).as("cid"))
+      }
+      if (scored.sizeIs == 1) scored.head else least(scored: _*)
+    }
+    val codes = array(winners.map(_.getField("cid")): _*)
+    // reconstruction: per component, the winning entry's value — chosen
+    // by chained whens over the (small) codebook, all row-local
+    val recon = array((0 until m).flatMap { s =>
+      val code = winners(s).getField("cid")
+      (1 to sub).map { c =>
+        cents.tail.foldLeft(
+          lit(cents.head._2(s * sub + c - 1).toDouble)) { case (acc, (cid, ce)) =>
+          when(code === cid, lit(ce(s * sub + c - 1).toDouble)).otherwise(acc)
+        }
+      }
+    }: _*)
+    (codes, recon)
+  }
+
   /** Exact re-rank of a PQ shortlist — the production search composition:
     * [[pqTopK]] prunes the corpus to a per-query candidate shortlist on
     * codes alone, then ONLY those candidates are re-scored against the

@@ -389,6 +389,40 @@ object SimilarityOps {
         col("nid").as("neighbor_id"), col("bucket"), col("cos_sim"))
   }
 
+  /** 64-bit sign fingerprint of an embedding: bit i−1 set iff component i
+    * is positive — the cheapest compression tier in the ladder (float 256 B
+    * → SQ8 64 B → PQ 8 B → THIS, 8 B with pure bit-arithmetic distances).
+    * Bit 64 lands in the long's sign bit (the simhash/q59 encoding
+    * convention: disjoint-bit SUM equals OR and reproduces two's-complement
+    * in any engine). */
+  def binarySignHash(vec: Column, dim: Int): Column = {
+    require(dim <= 64, s"sign hash packs into one long, got dim=$dim")
+    (1 to dim).map(i =>
+      when(element_at(vec, i) > lit(0f), lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Hamming top-k over sign fingerprints: each query compared to every
+    * corpus signature by `bit_count(xor)` — one long op per candidate, the
+    * coarse screen tier that buys a 32× arithmetic reduction over float
+    * cosine before any finer (SQ8/PQ/exact) stage runs. Queries broadcast;
+    * the corpus side carries 8 bytes/vector. Ties (hamming is 0..dim) break
+    * on neighbor id — deterministic, oracle-reproducible. */
+  def binarySignTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, dim: Int, k: Int): DataFrame = {
+    val c = corpus.select(id.as("nid"), binarySignHash(vec, dim).as("nsig"))
+    val q = queries.select(id.as("qid"), binarySignHash(vec, dim).as("qsig"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("nid"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("hamming",
+        bit_count(col("qsig").bitwiseXOR(col("nsig"))).cast("int"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("nid").as("neighbor_id"), col("hamming"))
+  }
+
   // ------------------------------------------------- int8 scalar quantization
 
   /** Per-dimension quantization stats for SQ8: ONE row

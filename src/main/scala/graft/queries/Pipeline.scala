@@ -1804,12 +1804,42 @@ object Pipeline {
          |FROM bh FULL OUTER JOIN ah ON bh.doc_id = ah.doc_id""".stripMargin
     })
 
+  /** Hamming top-k over 64-bit sign fingerprints
+    * ([[SimilarityOps.binarySignTopK]]) — the cheapest tier of the
+    * embedding compression ladder (8 bytes + one bit_count per candidate),
+    * the coarse screen in front of SQ8/PQ/exact stages. The oracle mirrors
+    * the disjoint-bit sum encoding (two's-complement at bit 64, the q59
+    * simhash convention), the xor/popcount distance, and the
+    * (hamming, id) ranking — sign rule, packing, and ranking all
+    * hash-pinned. */
+  private val q98 = QueryDef(
+    "q98_binary_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.binarySignTopK(emb, emb.where(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), DIM, LSH_K)
+    }, {
+      val bits = (1 to DIM).map(i =>
+        s"(CASE WHEN e[$i] > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, CAST($bits AS BIGINT) AS s
+         |  FROM (SELECT vec_id, embedding AS e FROM embeddings) t)
+         |SELECT query_id, rk, neighbor_id, hamming FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(q.s, n.s)) AS INTEGER) AS hamming,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.s, n.s)), n.vec_id) AS BIGINT) AS rk
+         |  FROM sig q JOIN sig n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+         |) t WHERE rk <= $LSH_K""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97)
+    q91, q92, q93, q94, q95, q96, q97, q98)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

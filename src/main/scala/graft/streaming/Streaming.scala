@@ -360,6 +360,27 @@ object Streaming {
         col("mins"), col("scales"))
   }
 
+  /** Streaming face of [[graft.operators.PQOps.pqIndex]] — ingest-time
+    * product-quantization encode of arriving embeddings against the
+    * corpus-global codebook (the static side: codebooks are learned or
+    * sampled corpus-wide, a micro-batch cannot see them). The codebook is
+    * COLLECTED (k·dim floats — dimension-sized, the learnCentroids
+    * precedent) and the whole encode runs as one stateless row-local
+    * expression tree ([[graft.operators.PQOps.pqEncodeExprs]]): per
+    * subspace, `least` over per-entry (dist, id) structs, identical
+    * arithmetic and tie-break to the batch window argmin — so an
+    * arriving vector's codes equal a batch re-encode exactly and a PQ
+    * index can grow at ingest without re-reading float history. Output
+    * matches [[graft.operators.PQOps.pqIndex]]:
+    * (vec_id, codes, recon). Re-learn the codebook → re-encode, as with
+    * every static index here. */
+  def pqEncodeStream(emb: DataFrame, codebook: Seq[(Int, Array[Float])],
+      m: Int, sub: Int): DataFrame = {
+    val (codes, recon) = graft.operators.PQOps.pqEncodeExprs(
+      col("embedding"), codebook, m, sub)
+    emb.select(col("vec_id"), codes.as("codes"), recon.as("recon"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.leakageSafeSplit]] — the
     * ingest-time split assignment: a doc arriving AFTER the corpus was
     * split must inherit its near-dup cluster's established bucket, or the

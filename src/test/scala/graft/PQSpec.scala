@@ -76,6 +76,17 @@ class PQSpec extends SparkSpec {
     assert(r >= 0.7, s"shortlist recall $r below pinned floor 0.7")
   }
 
+  test("binary sign screen: top-50 hamming shortlist recall floor (q98 tier)") {
+    val short50 = SimilarityOps.binarySignTopK(emb, queries,
+      col("vec_id"), col("embedding"), 64, 50)
+    val r = SimilarityOps.annRecall(exactTopK(3), short50, "bin")
+      .select(col("recall")).as[Double].head()
+    // measured 0.707 on this corpus — one bit per dimension holds 70% of
+    // the exact top-3 in a 10%-of-corpus shortlist; a packing or distance
+    // regression craters it
+    assert(r >= 0.65, s"binary shortlist recall $r below pinned floor")
+  }
+
   test("exact re-rank of the shortlist recovers exact order on recovered pairs") {
     val idx = PQOps.pqIndex(emb, emb.where(col("vec_id") < 8),
       col("vec_id"), col("embedding"), M, SUB)

@@ -503,6 +503,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqEncodeStream codes and reconstructions equal batch pqIndex") {
+    import graft.operators.PQOps
+    val emb = graft.Tables.embeddings(spark, sf).limit(40).cache()
+    val cbDf = emb.where(col("vec_id") < 8)
+    val cents = cbDf.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).toArray).toSeq
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.pqEncodeStream(
+      in.toDS().toDF("vec_id", "embedding"), cents, 8, 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pqe1").start()
+    try {
+      in.addData(rows.take(20).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(20).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("pqe1").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2))))
+        .toMap
+      val batch = PQOps.pqIndex(emb, cbDf,
+        col("vec_id"), col("embedding"), 8, 8).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2))))
+        .toMap
+      assert(streamed == batch,
+        "ingest-time PQ encode must equal the batch index exactly")
+    } finally q.stop()
+  }
+
   test("mediaNearDupScreenStream: exact-hamming screen, band collision alone never drops") {
     // Corpus: one good fingerprint; one BROKEN row (ok=false, hash 0) that
     // must be excluded from the index or it would absorb every zero-ish delta.

@@ -32,6 +32,10 @@ object PQProbe {
     SimilarityOps.annRecall(truth, short20, "pq_k64_short20").show()
     val short20k8 = PQOps.pqTopK(learnedIdx, queries, col("vec_id"), col("embedding"), 20, 8)
     SimilarityOps.annRecall(truth, short20k8, "pq_k8_short20").show()
+    val binShort = SimilarityOps.binarySignTopK(emb, queries, col("vec_id"), col("embedding"), 64, 50)
+    SimilarityOps.annRecall(truth, binShort, "bin_short50").show()
+    val binShort20 = SimilarityOps.binarySignTopK(emb, queries, col("vec_id"), col("embedding"), 64, 20)
+    SimilarityOps.annRecall(truth, binShort20, "bin_short20").show()
     spark.stop()
   }
 }
