@@ -1261,9 +1261,19 @@ object Pipeline {
         emb, queries,
         SimilarityOps.learnCentroids(emb, v, 8, "vec_id", "embedding"),
         id, v, LSH_K, nProbe = 2)
+      // compression-ladder tiers (round-12): the PQ fixed-codebook
+      // shortlist and the binary sign screen, recall-gated like the rest —
+      // a quantizer or distance regression drops the row
+      val pqShort = PQOps.pqTopK(
+        PQOps.pqIndex(emb, emb.where(col("vec_id") < 8), id, v, 8, 8),
+        queries, id, v, 20, 8)
+      val binShort = SimilarityOps.binarySignTopK(emb, queries, id, v,
+        DIM, 50)
       SimilarityOps.annRecall(truth, lsh, "lsh")
         .unionAll(SimilarityOps.annRecall(truth, ivfFixed, "ivf_fixed"))
         .unionAll(SimilarityOps.annRecall(truth, ivfLearned, "ivf_learned"))
+        .unionAll(SimilarityOps.annRecall(truth, pqShort, "pq_short20"))
+        .unionAll(SimilarityOps.annRecall(truth, binShort, "bin_short50"))
         .where(col("recall") >= AnnRecallFloor)
     },
     None)
