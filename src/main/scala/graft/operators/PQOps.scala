@@ -182,7 +182,7 @@ object PQOps {
     * (the q48 checkpoint-lifecycle lesson). */
   def pqLearnCodebook(emb: DataFrame, vec: Column, m: Int, sub: Int,
       k: Int, idName: String, vecName: String, seed: Long = 42L,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, initMode: String = "k-means||"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import scala.concurrent.{Await, Future}
@@ -207,6 +207,7 @@ object PQOps {
               element_at(col("_e"), s * sub + c)): _*)).as("features"))
           new KMeans()
             .setK(k).setSeed(seed + s).setMaxIter(maxIter)
+            .setInitMode(initMode)
             .setFeaturesCol("features")
             .fit(feats)
             .clusterCenters.map(_.toArray.map(_.toFloat))

@@ -22,6 +22,21 @@ object PQProbe {
     SimilarityOps.annRecall(truth, fixedTk, "pq_fixed").show()
     SimilarityOps.annRecall(truth, learnedTk, "pq_learned").show()
     // K=64 learned codebook
+    val t0 = System.nanoTime
+    val cbDefault = PQOps.pqLearnCodebook(emb, col("embedding"), 8, 8, 8, "vec_id", "embedding")
+    cbDefault.count()
+    val t1 = System.nanoTime
+    val cbRandom = PQOps.pqLearnCodebook(emb, col("embedding"), 8, 8, 8, "vec_id", "embedding", initMode = "random")
+    cbRandom.count()
+    val t2 = System.nanoTime
+    println(f"FIT default ${(t1-t0)/1e9}%.2f s  random ${(t2-t1)/1e9}%.2f s")
+    val randTk = PQOps.pqTopK(PQOps.pqIndex(emb, cbRandom, col("vec_id"), col("embedding"), 8, 8),
+      queries, col("vec_id"), col("embedding"), 3, 8)
+    SimilarityOps.annRecall(truth, randTk, "pq_random_init").show()
+    val cb64r = PQOps.pqLearnCodebook(emb, col("embedding"), 8, 8, 64, "vec_id", "embedding", initMode = "random")
+    val short20r = PQOps.pqTopK(PQOps.pqIndex(emb, cb64r, col("vec_id"), col("embedding"), 8, 8),
+      queries, col("vec_id"), col("embedding"), 20, 8)
+    SimilarityOps.annRecall(truth, short20r, "pq_k64r_short20").show()
     val learned64 = PQOps.pqIndex(emb,
       PQOps.pqLearnCodebook(emb, col("embedding"), 8, 8, 64, "vec_id", "embedding"),
       col("vec_id"), col("embedding"), 8, 8)
