@@ -319,6 +319,57 @@ case class PQAdcDist(query: Expression, recon: Expression, sub: Int)
     copy(query = newLeft, recon = newRight)
 }
 
+/** The LUT fast path of [[PQAdcDist]]: the per-query lookup table `lut`
+  * holds the precomputed subspace partial `‖q_s − c_{j,s}‖²` at index
+  * `j·m + s` (entry-major), and the distance to a coded candidate is
+  * `Σ_s lut[codes[s]·m + s]` — m array gathers per candidate instead of
+  * O(dim) arithmetic, the shape that matters when one query scans 10⁹
+  * coded rows. Accumulation is in subspace order over partials that are
+  * bit-identical to [[PQAdcDist]]'s inner sums, so the two expressions
+  * return THE SAME DOUBLE for every (query, candidate) — asserted
+  * exactly in PQSpec, which is what makes the swap safe at any scale. */
+case class PQLutDist(lut: Expression, codes: Expression, m: Int)
+    extends BinaryExpression {
+
+  require(m > 0, s"subspace count must be positive, got $m")
+  override def left: Expression = lut
+  override def right: Expression = codes
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_lut_dist"
+
+  override def nullSafeEval(l: Any, c: Any): Any = {
+    val t = l.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[ArrayData]
+    val n = math.min(m, cd.numElements())
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      acc += t.getDouble(cd.getInt(s) * m + s)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, c) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($m, $c.numElements());
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $acc += $l.getDouble($c.getInt($s) * $m + $s);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(lut = newLeft, codes = newRight)
+}
+
 object VectorExpressions {
   val FnName = "float_vector_dot"
 
@@ -328,6 +379,7 @@ object VectorExpressions {
   val SQ8DotFn = "sq8_recon_dot"
   val SQ8ErrFn = "sq8_max_abs_err"
   val PQDistFn = "pq_adc_dist"
+  val PQLutFn = "pq_lut_dist"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -358,6 +410,19 @@ object VectorExpressions {
         if (!s.isInstanceOf[Number]) throw bad("an integer")
         PQAdcDist(exprs.head, exprs(1), s.asInstanceOf[Number].intValue())
       }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PQLutFn,
+      exprs => {
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$PQLutFn(lut, codes, m): m argument must be $what"))
+        if (exprs.length != 3) throw bad("present (exactly 3 arguments)")
+        if (!exprs(2).foldable) throw bad("a foldable integer literal")
+        val mv = exprs(2).eval()
+        if (mv == null) throw bad("non-null")
+        if (!mv.isInstanceOf[Number]) throw bad("an integer")
+        PQLutDist(exprs.head, exprs(1), mv.asInstanceOf[Number].intValue())
+      }, "scala_udf")
   }
 
   /** Codegen'd dot product of two `array<float>` columns (see class doc).
@@ -381,4 +446,10 @@ object VectorExpressions {
   def pqAdcDist(query: Column, recon: Column, sub: Int): Column =
     call_function(PQDistFn, query, recon,
       org.apache.spark.sql.functions.lit(sub))
+
+  /** LUT-gather PQ distance ([[PQLutDist]]); bit-identical to
+    * [[pqAdcDist]] for a LUT built from the same codebook. */
+  def pqLutDist(lut: Column, codes: Column, m: Int): Column =
+    call_function(PQLutFn, lut, codes,
+      org.apache.spark.sql.functions.lit(m))
 }

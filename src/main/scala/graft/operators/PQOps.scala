@@ -100,6 +100,49 @@ object PQOps {
         col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 
+  /** The LUT fast path of [[pqTopK]] — same output, O(m) work per
+    * candidate: each query precomputes its lookup table of `k·m` subspace
+    * partials against the codebook (`lut[cid·m + s] = ‖q_s − c_{cid,s}‖²`,
+    * one small broadcast join + one per-query aggregation), and scoring a
+    * coded candidate is m array gathers ([[graft.functions.PQLutDist]])
+    * instead of O(dim) arithmetic — the shape that wins when each query
+    * scans 10⁹ coded rows. The LUT partials use the same fixed-order
+    * inner sums as [[graft.functions.PQAdcDist]]'s subspace groups, so
+    * the two paths return bit-identical distances (PQSpec asserts
+    * row-set equality including the doubles).
+    *
+    * PRECONDITION: codebook entry ids are exactly 0..k−1 (both codebook
+    * sources here satisfy it) — the LUT is indexed by code. */
+  def pqTopKLut(index: DataFrame, queries: DataFrame, codebook: DataFrame,
+      id: Column, vec: Column, k: Int, m: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(queries.sparkSession)
+    val cb = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+    val parts = array((0 until m).map { s =>
+      (1 to sub).map { c =>
+        val d = element_at(col("qe"), s * sub + c).cast("double") -
+          element_at(col("ce"), s * sub + c).cast("double")
+        d * d
+      }.reduce(_ + _)
+    }: _*)
+    val luts = queries.select(id.as("qid"), vec.as("qe"))
+      .join(broadcast(cb), expr("true"))
+      .select(col("qid"), col("qe"), col("cid"), parts.as("parts"))
+      .groupBy("qid")
+      .agg(first(col("qe")).as("qe"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("cid"), col("parts")))),
+          x => x.getField("parts"))).as("lut"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(luts).join(index, col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist",
+        round(VectorExpressions.pqLutDist(col("lut"), col("codes"), m), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
   /** Row-local PQ encode against a COLLECTED codebook — the streaming-
     * legal form of [[pqIndex]]'s assignment (a stream can host neither
     * the window argmin nor the collect_list glue): per subspace, every
@@ -169,6 +212,54 @@ object PQOps {
       .where(col("rk") <= k)
       .select(col("qid").as("query_id"), col("rk"),
         col("nid").as("neighbor_id"), col("l2_dist"))
+  }
+
+  /** IVF-PQ: the standard billion-scale composition — a coarse quantizer
+    * partitions the corpus into cosine cells ([[SimilarityOps
+    * .assignCells]]), PQ codes live per cell, and a query scores codes
+    * ONLY in its `nProbe` nearest cells. Cost per query drops from
+    * corpus-linear to (corpus/cells)·nProbe while both index halves stay
+    * compressed: the cell id prunes, the codes score, floats appear
+    * nowhere after indexing. Join is equi on cell — a shuffled hash join
+    * at scale, queries broadcast. Output
+    * `(query_id, rk, neighbor_id, cell, adc_dist)`; ranking is the house
+    * (rounded dist, id) rule. Probing and scoring reuse the exact
+    * arithmetic of their standalone operators, so the composition adds no
+    * new numeric surface — it IS [[pqTopK]] restricted by q43's cell
+    * assignment, which is how the oracle replays it. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, cells: DataFrame,
+      codebook: DataFrame, id: Column, vec: Column, k: Int, nProbe: Int,
+      m: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val corpusCells = SimilarityOps.assignCells(emb, cells, id, vec)
+      .select(col("vec_id"), col("cell"))
+    val idx = pqIndex(emb, codebook, id, vec, m, sub)
+      .join(corpusCells, "vec_id")
+    // query-side probe list: top-nProbe cells by the same rounded cosine
+    // and tie-break as assignCells (nProbe=1 degenerates to it)
+    val cents = cells.select(id.as("cid"), vec.as("ce"),
+      sqrt(VectorExpressions.floatDot(vec, vec)).as("cnrm"))
+    val qn = queries.select(id.as("qid"), vec.as("qe"),
+      sqrt(VectorExpressions.floatDot(vec, vec)).as("qnrm"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("c_sim").desc, col("cid"))
+    val probes = qn.join(broadcast(cents), expr("true"))
+      .withColumn("c_sim", when(col("qnrm") * col("cnrm") > 0,
+        round(VectorExpressions.floatDot(col("qe"), col("ce")) /
+          (col("qnrm") * col("cnrm")), 6)))
+      .withColumn("crk", row_number().over(wp))
+      .where(col("crk") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(probes).join(idx, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist",
+        round(VectorExpressions.pqAdcDist(col("qe"), col("recon"), sub), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cell"), col("adc_dist"))
   }
 
   /** Learn a PQ codebook: an independent `k`-means per subspace over the

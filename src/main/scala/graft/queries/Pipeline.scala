@@ -1844,12 +1844,76 @@ object Pipeline {
          |) t WHERE rk <= $LSH_K""".stripMargin
     })
 
+  /** IVF-PQ ([[PQOps.ivfPqTopK]]) — the standard billion-scale ANN
+    * composition: q43's cosine coarse cells prune, q94's PQ codes score,
+    * floats appear nowhere after indexing. Fixed deterministic cells AND
+    * codebook (the first [[PQ_K]] rows serve both roles), so the oracle
+    * replays the ENTIRE composition — cell assignment, nProbe probing,
+    * per-cell ADC scoring, final ranking — and a drift in either half or
+    * in their hand-off (which candidates get scored) fails the hash. */
+  private val q99 = QueryDef(
+    "q99_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sample = emb.where(col("vec_id") < PQ_K)
+      PQOps.ivfPqTopK(emb, emb.where(col("vec_id") < 10), sample, sample,
+        col("vec_id"), col("embedding"), LSH_K, nProbe = 2, PQ_M, PQ_SUB)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $PQ_K),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
+         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
+         |csim AS (
+         |  SELECT a.vec_id, c.cid,
+         |    CASE WHEN a.nrm * c.cnrm > 0 THEN
+         |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
+         |  FROM v a CROSS JOIN cb c),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
+         |  WHERE crk = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk
+         |    FROM csim WHERE vec_id < 10) t WHERE crk <= 2),
+         |scored AS (
+         |  SELECT p.query_id, r.vec_id AS neighbor_id, an.cell,
+         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
+         |  FROM probes p
+         |  JOIN assign an ON an.cell = p.cell
+         |  JOIN recon r ON r.vec_id = an.vec_id AND r.vec_id <> p.query_id
+         |  JOIN v q ON q.vec_id = p.query_id)
+         |SELECT query_id, rk, neighbor_id, cell, adc_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -76,6 +76,21 @@ class PQSpec extends SparkSpec {
     assert(r >= 0.7, s"shortlist recall $r below pinned floor 0.7")
   }
 
+  test("LUT fast path returns bit-identical distances to the ADC expression") {
+    val cb = emb.where(col("vec_id") < 8)
+    val idx = PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), M, SUB)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val adc = asSet(PQOps.pqTopK(idx, queries,
+      col("vec_id"), col("embedding"), 5, SUB))
+    val lut = asSet(PQOps.pqTopKLut(idx, queries, cb,
+      col("vec_id"), col("embedding"), 5, M, SUB))
+    // not approximately — EXACTLY, doubles included: the per-subspace
+    // accumulation grouping was chosen to make this swap safe
+    assert(adc == lut, s"LUT path diverged: ${(adc diff lut).take(3)}")
+  }
+
   test("binary sign screen: top-50 hamming shortlist recall floor (q98 tier)") {
     val short50 = SimilarityOps.binarySignTopK(emb, queries,
       col("vec_id"), col("embedding"), 64, 50)
@@ -85,6 +100,34 @@ class PQSpec extends SparkSpec {
     // the exact top-3 in a 10%-of-corpus shortlist; a packing or distance
     // regression craters it
     assert(r >= 0.65, s"binary shortlist recall $r below pinned floor")
+  }
+
+  test("ivf-pq: probed search is the cell-restricted subset of full PQ search") {
+    val cb = emb.where(col("vec_id") < 8)
+    val full = PQOps.pqTopK(
+      PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), M, SUB),
+      queries, col("vec_id"), col("embedding"), 200, SUB)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val probed = PQOps.ivfPqTopK(emb, queries, cb, cb,
+      col("vec_id"), col("embedding"), 3, 2, M, SUB).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4))
+    assert(probed.nonEmpty)
+    // every probed hit carries the same ADC distance the full scan gives
+    // it — probing prunes candidates, never changes scores
+    probed.foreach { case (k, d) =>
+      assert(full.get(k).forall(_ == d), s"probed score diverged for $k")
+    }
+    // more probes can only improve: nProbe=8 (all cells) equals full PQ
+    // top-3 exactly
+    val all8 = PQOps.ivfPqTopK(emb, queries, cb, cb,
+      col("vec_id"), col("embedding"), 3, 8, M, SUB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fullTop3 = PQOps.pqTopK(
+      PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), M, SUB),
+      queries, col("vec_id"), col("embedding"), 3, SUB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all8 == fullTop3,
+      "probing every cell must recover the unpartitioned PQ ranking")
   }
 
   test("exact re-rank of the shortlist recovers exact order on recovered pairs") {
