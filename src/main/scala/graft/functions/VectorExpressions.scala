@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -319,6 +319,82 @@ case class PQAdcDist(query: Expression, recon: Expression, sub: Int)
     copy(query = newLeft, recon = newRight)
 }
 
+/** Pack SQ8/PQ codes (`array<int>`, every element 0..255) into a
+  * `binary` of one byte per code — the SINK form of a quantized index:
+  * the operators keep `array<int>` for oracle comparability, the lake
+  * stores bytes (the 4:1 that makes a 100 TB float corpus a 25 TB SQ8 /
+  * 3 TB PQ index ON DISK, not just in arithmetic). Lossless for
+  * in-contract codes; out-of-range values are masked to their low byte —
+  * enforce the 0..255 contract upstream ([[SQ8Encode]] clamps, PQ
+  * codebooks are ≤ 256 entries). */
+case class CodesPack(codes: Expression) extends UnaryExpression {
+
+  override def child: Expression = codes
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "codes_pack"
+
+  override def nullSafeEval(c: Any): Any = {
+    val a = c.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (a.getInt(i) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) ($c.getInt($i) & 0xff);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(codes = newChild)
+}
+
+/** Inverse of [[CodesPack]]: one unsigned byte per code back to
+  * `array<int>` — the LOAD form; `unpack(pack(codes)) = codes` for
+  * in-contract inputs (spec-pinned round trip). */
+case class CodesUnpack(bin: Expression) extends UnaryExpression {
+
+  override def child: Expression = bin
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "codes_unpack"
+
+  override def nullSafeEval(b: Any): Any = {
+    val a = b.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) & 0xff; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = new int[$b.length];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $out[$i] = $b[$i] & 0xff;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(bin = newChild)
+}
+
 /** The LUT fast path of [[PQAdcDist]]: the per-query lookup table `lut`
   * holds the precomputed subspace partial `‖q_s − c_{j,s}‖²` at index
   * `j·m + s` (entry-major), and the distance to a coded candidate is
@@ -380,6 +456,8 @@ object VectorExpressions {
   val SQ8ErrFn = "sq8_max_abs_err"
   val PQDistFn = "pq_adc_dist"
   val PQLutFn = "pq_lut_dist"
+  val PackFn = "codes_pack"
+  val UnpackFn = "codes_unpack"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -423,6 +501,10 @@ object VectorExpressions {
         if (!mv.isInstanceOf[Number]) throw bad("an integer")
         PQLutDist(exprs.head, exprs(1), mv.asInstanceOf[Number].intValue())
       }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PackFn, exprs => CodesPack(exprs.head), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UnpackFn, exprs => CodesUnpack(exprs.head), "scala_udf")
   }
 
   /** Codegen'd dot product of two `array<float>` columns (see class doc).
@@ -452,4 +534,11 @@ object VectorExpressions {
   def pqLutDist(lut: Column, codes: Column, m: Int): Column =
     call_function(PQLutFn, lut, codes,
       org.apache.spark.sql.functions.lit(m))
+
+  /** One byte per code: the sink form of a quantized index
+    * ([[CodesPack]]). */
+  def codesPack(codes: Column): Column = call_function(PackFn, codes)
+
+  /** Unsigned-byte load of a packed code column ([[CodesUnpack]]). */
+  def codesUnpack(bin: Column): Column = call_function(UnpackFn, bin)
 }

@@ -287,4 +287,48 @@ class PropertySpec extends SparkSpec {
         out.foreach { case (_, kl) => assert(math.abs(kl) < 1e-5) }
     }
   }
+
+  private val vecGen: Gen[List[(Long, Array[Float])]] = for {
+    n <- Gen.chooseNum(4, 24)
+    vs <- Gen.listOfN(n, Gen.listOfN(16,
+      Gen.chooseNum(-1000, 1000).map(_ / 250.0f)))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+
+  test("sq8: codes bounded and reconstruction within scale/2 on random vectors") {
+    import graft.operators.SimilarityOps
+    samples(vecGen, 8).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val stats = SimilarityOps.sq8Stats(df, col("embedding"), 16)
+      val maxScale = stats.select(
+        (1 to 16).map(i => element_at(col("scales"), i))
+          .reduce((a, b) => greatest(a, b))).as[Double].head()
+      val dig = SimilarityOps.sq8Digest(df, col("vec_id"), col("embedding"), 16)
+        .select("code_min", "code_max", "max_err")
+        .as[(Int, Int, Double)].collect()
+      dig.foreach { case (lo, hi, err) =>
+        assert(lo >= 0 && hi <= 255)
+        // digest rounds max_err at 1e-6 — allow that much slack
+        assert(err <= maxScale / 2 + 1e-6,
+          s"recon error $err breaks the scale/2 bound ($maxScale)")
+      }
+    }
+  }
+
+  test("pq: LUT distances equal ADC distances on random vectors and codebooks") {
+    import graft.operators.PQOps
+    samples(vecGen, 6).foreach { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val cb = df.where(col("vec_id") < 3) // tiny random codebook
+      val idx = PQOps.pqIndex(df, cb, col("vec_id"), col("embedding"), 4, 4)
+      val queries = df.where(col("vec_id") < 2)
+      def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val adc = asSet(PQOps.pqTopK(idx, queries,
+        col("vec_id"), col("embedding"), 5, 4))
+      val lut = asSet(PQOps.pqTopKLut(idx, queries, cb,
+        col("vec_id"), col("embedding"), 5, 4, 4))
+      assert(adc == lut, "LUT and ADC paths must agree bit-for-bit")
+    }
+  }
 }

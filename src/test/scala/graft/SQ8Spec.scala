@@ -49,6 +49,26 @@ class SQ8Spec extends SparkSpec {
     assert(worst > 0, "recon error should be nonzero on real floats")
   }
 
+  test("codes pack to one byte each and round-trip losslessly (the sink form)") {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(spark)
+    val q = SimilarityOps.sq8Quantize(emb,
+      SimilarityOps.sq8Stats(emb, col("embedding"), 64),
+      col("vec_id"), col("embedding"))
+    val rt = q.select(col("vec_id"), col("codes"),
+      VectorExpressions.codesPack(col("codes")).as("bin"))
+      .withColumn("codes_back",
+        VectorExpressions.codesUnpack(col("bin")))
+    val rows = rt.select(col("codes"), col("bin"), col("codes_back")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(r.getAs[Array[Byte]](1).length == codes.length,
+        "packed form must be exactly one byte per dimension")
+      assert(r.getSeq[Int](2) == codes, "pack→unpack must be lossless")
+    }
+  }
+
   test("sq8 near-dup pairs track the float path within quantization margin") {
     val t = 0.4
     val floatPairs = SimilarityOps.cosinePairs(
