@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *   8. source mixing to target weights (integer thresholds)
   *   9. sequence packing into fixed token-budget chunks
   *  10. deterministic shuffle-and-shard of the final order
+  *  11. snapshot audit of final-vs-raw: curation may only DROP — an
+  *      added or changed row means some stage mutated or invented
+  *      content, and the audit catches it row-exactly ([[AuditOps]])
   *
   * Every stage is the same operator the oracle-backed queries gate; the
   * demo only wires them together — and the wiring itself is regression-
@@ -38,7 +41,8 @@ object CurationDemo {
       spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
       videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
-      afterMix: Long, nChunks: Long, nShards: Long)
+      afterMix: Long, nChunks: Long, nShards: Long,
+      auditRemoved: Long, auditMutatedOrAdded: Long)
 
   /** The full eight-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. */
@@ -174,8 +178,23 @@ object CurationDemo {
     val nShards = sharded.select("shard").distinct().count()
     say(s"[curate] final corpus sharded $nShards ways, reproducibly")
 
+    // 11. snapshot audit: final corpus vs the raw snapshot. The curation
+    // contract is DROP-ONLY — content flows through every stage
+    // untouched — so the diff may contain removed/unchanged rows but
+    // never added/changed ones; a nonzero count here is a stage
+    // corrupting or inventing rows, caught end-to-end.
+    val audit = AuditOps.snapshotDiffSummary(AuditOps.snapshotDiff(
+      docs, mixed, col("doc_id"), Seq(col("text"), col("source")),
+      keyName = "doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nRemoved = audit.getOrElse("removed", 0L)
+    val nBad = audit.getOrElse("added", 0L) + audit.getOrElse("changed", 0L)
+    say(s"[curate] audit vs raw snapshot: $nRemoved dropped, " +
+      s"${audit.getOrElse("unchanged", 0L)} untouched, $nBad mutated/invented")
+
     StageCounts(n0, n1, boiler, spanStats.getLong(0), spanStats.getLong(1),
-      n3, n3s, nImg, nAud, nVid, n3m, n4, n5, nChunks, nShards)
+      n3, n3s, nImg, nAud, nVid, n3m, n4, n5, nChunks, nShards,
+      nRemoved, nBad)
   }
 
   def main(args: Array[String]): Unit = {

@@ -35,7 +35,9 @@ class CurationDemoSpec extends SparkSpec {
       afterDecontamination = 35L,
       afterMix = 35L,
       nChunks = 5L,
-      nShards = 8L)
+      nShards = 8L,
+      auditRemoved = 465L,       // 500 - 35: everything else untouched
+      auditMutatedOrAdded = 0L)  // the drop-only contract, end-to-end
     assert(got == want,
       s"stage-count vector drifted:\n  got  $got\n  want $want")
   }
