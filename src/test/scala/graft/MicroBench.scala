@@ -599,6 +599,38 @@ object MicroBench {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         TextOps.decontaminate(docs10x(spark), col("doc_id"), col("text"), 3,
           trainPct = 98, valPct = 1, bloomBitsPerItem = 0)
+      // PQ scoring paths head-to-head at an at-scale candidate volume:
+      // sf0.1 embeddings replicated 100× (200 k coded rows) × 50 queries
+      // = 10 M scorings. pq_adc is O(dim)=64 mults each; pq_lut is m=8
+      // gathers each. Results are bit-identical (PQSpec). MEASURED:
+      // adc 1.19 s vs lut 2.22 s — at dim=64 the 8× arithmetic saving
+      // LOSES to the LUT's dependent random-access gathers and the wider
+      // broadcast row (lut + query vector), because 64 sequential
+      // multiply-adds are effectively free next to per-row overhead. The
+      // LUT swap earns its keep at transformer dimensionalities
+      // (dim ≥ 512, m = 8: 64+× arithmetic ratio), which is why it ships
+      // parity-proven but is NOT the default scorer.
+      case "pq_adc" | "pq_lut" =>
+        import graft.operators.PQOps
+        val emb0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        val cb = emb0.where(col("vec_id") < 8)
+        val emb = emb0
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(0L), lit(99L))).as("_rep"))
+          .select((col("vec_id") * 100 + col("_rep")).as("vec_id"),
+            col("embedding"))
+        val idx = {
+          val i = PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), 8, 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          i.count() // index built OUTSIDE the timed reps; reps time scoring
+          i
+        }
+        val queries = emb0.where(col("vec_id") < 50)
+        if (scenario == "pq_adc")
+          PQOps.pqTopK(idx, queries, col("vec_id"), col("embedding"), 10, 8)
+        else
+          PQOps.pqTopKLut(idx, queries, cb, col("vec_id"), col("embedding"),
+            10, 8, 8)
       case other => sys.error(s"unknown scenario: $other")
     }
 
