@@ -31,6 +31,39 @@ class SqlApiSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("quantization expressions are SQL-callable with guarded literal args") {
+    import org.apache.spark.sql.AnalysisException
+    graft.functions.VectorExpressions.register(spark)
+    // SQ8: encode a 2-dim vector against mins [0,0], scales [1,0] —
+    // dim 2 is constant (scale 0) and must code to 0
+    val codes = spark.sql(
+      "SELECT sq8_encode(array(CAST(3.4 AS FLOAT), CAST(9.0 AS FLOAT)), " +
+        "array(0.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .as[Seq[Int]].head()
+    assert(codes == Seq(3, 0))
+    val rd = spark.sql(
+      "SELECT sq8_recon_dot(array(2, 3), array(4, 5), " +
+        "array(0.0D, 0.0D), array(1.0D, 1.0D)) AS d").as[Double].head()
+    assert(rd == 2.0 * 4 + 3.0 * 5)
+    // PQ ADC with sub=1: plain squared L2
+    val adc = spark.sql(
+      "SELECT pq_adc_dist(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(0.0D, 0.0D), 1) AS d").as[Double].head()
+    assert(adc == 5.0)
+    // pack/unpack round trip incl. the 255 ceiling
+    val rt = spark.sql(
+      "SELECT codes_unpack(codes_pack(array(0, 7, 255))) AS c")
+      .as[Seq[Int]].head()
+    assert(rt == Seq(0, 7, 255))
+    // the sub/m arguments are codegen-folded literals — a column there
+    // must be a clean analysis error, not a plan-time crash
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT pq_adc_dist(q, r, i) FROM VALUES " +
+        "(array(CAST(1.0 AS FLOAT)), array(1.0D), 1) AS t(q, r, i)")
+    }
+    assert(e.getMessage.contains("foldable"))
+  }
+
   test("shingle_hashes width argument: clean analysis errors, not plan-time NPEs") {
     graft.functions.HashExpressions.register(spark)
     // sane call still works through SQL
