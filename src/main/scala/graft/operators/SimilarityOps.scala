@@ -542,6 +542,24 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** The compressed corpus-side index for ingest-time semantic screening
+    * (`(vec_id, cell, codes, nrm)`): every corpus vector's SemDeDup cell
+    * ([[assignCells]]) plus its SQ8 codes and RECONSTRUCTED norm — after
+    * this one batch pass the float corpus is not needed to screen
+    * arrivals ([[graft.streaming.Streaming.sq8SemanticScreenStream]]
+    * consumes it; both sides of the ingest verify live in code space).
+    * `stats` is the corpus quantizer ([[sq8Stats]]). */
+  def sq8CellIndex(emb: DataFrame, centroids: DataFrame, stats: DataFrame,
+      id: Column, vec: Column): DataFrame = {
+    val cells = assignCells(emb, centroids, id, vec)
+      .select(col("vec_id"), col("cell"))
+    sq8Quantize(emb, stats, id, vec)
+      .withColumn("nrm", sqrt(VectorExpressions.sq8ReconDot(col("codes"),
+        col("codes"), col("mins"), col("scales"))))
+      .select(col("vec_id"), col("codes"), col("nrm"))
+      .join(cells, "vec_id")
+  }
+
   /** Exact all-pairs variant on the quantized corpus — the SQ8 analog of
     * [[cosinePairs]]; verification baseline for the bucketed path (spec
     * only, not registered: the theta join is the O(n²) shape). */

@@ -381,6 +381,60 @@ object Streaming {
     emb.select(col("vec_id"), codes.as("codes"), recon.as("recon"))
   }
 
+  /** Ingest-time semantic near-dup screen against the COMPRESSED corpus —
+    * [[semanticDedupStream]] with both sides of the verify in SQ8 code
+    * space: the corpus side is [[graft.operators.SimilarityOps
+    * .sq8CellIndex]] (cells + codes + reconstructed norms, floats
+    * discarded after one batch pass), and each arriving embedding is
+    * cell-assigned row-locally, SQ8-encoded against the broadcast
+    * quantizer, and compared to same-cell corpus CODES via the fused
+    * reconstructed dot. An arrival is `kept = false` iff some corpus
+    * code-vector in its cell reaches `threshold` reconstructed cosine —
+    * the decision the batch code-space screen makes on the same data
+    * (StreamingSpec pins face-on-batch ≡ face-on-stream and the
+    * independent code-space expectation). At 100 TB the static side of
+    * this join is 65 bytes/vector instead of 260 — the screen fits where
+    * the float index would not.
+    *
+    * CODE-SPACE CAVEAT (inherent, spec-pinned): a corpus-constant
+    * dimension has scale 0, so an arrival with energy THERE collapses to
+    * its in-distribution projection and can screen as a near-dup the
+    * float screen would keep — the quantizer cannot represent directions
+    * the corpus never exercised. Distribution drift at ingest therefore
+    * warrants a stats re-fit (the standing static-index rule), and a
+    * drift monitor on the delta's reconstruction error is the cheap
+    * detector (max_err spikes exactly when arrivals leave the fitted
+    * box). */
+  def sq8SemanticScreenStream(deltaEmb: DataFrame, corpusIdx: DataFrame,
+      centroids: DataFrame, stats: DataFrame, threshold: Double,
+      timeCol: String = "event_time"): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(deltaEmb.sparkSession)
+    val cents = centroids.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val encoded = deltaEmb.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("vec_id"), col("embedding"),
+        graft.operators.SimilarityOps.cellExprFor(col("embedding"), cents)
+          .as("cell"), lit(1).as("_k"))
+      .join(broadcast(stats.withColumn("_k", lit(1))), "_k")
+      .select(col("_t"), col("vec_id"), col("cell"), col("mins"),
+        col("scales"),
+        VectorExpressions.sq8Encode(col("embedding"), col("mins"),
+          col("scales")).as("_dc"))
+      .withColumn("_dn", sqrt(VectorExpressions.sq8ReconDot(col("_dc"),
+        col("_dc"), col("mins"), col("scales"))))
+    encoded
+      .join(corpusIdx.select(col("cell"), col("codes").as("_cc"),
+        col("nrm").as("_cn")), Seq("cell"), "left")
+      .withColumn("_sim", when(col("_dn") * col("_cn") > 0,
+        round(VectorExpressions.sq8ReconDot(col("_dc"), col("_cc"),
+          col("mins"), col("scales")) / (col("_dn") * col("_cn")), 6)))
+      .groupBy(window(col("_t"), "1 minute"), col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        (count(when(col("_sim") >= threshold, 1)) === 0).as("kept"))
+      .select("vec_id", "cell", "kept")
+  }
+
   /** Streaming face of [[graft.operators.TextOps.leakageSafeSplit]] — the
     * ingest-time split assignment: a doc arriving AFTER the corpus was
     * split must inherit its near-dup cluster's established bucket, or the

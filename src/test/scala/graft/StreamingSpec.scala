@@ -477,6 +477,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sq8SemanticScreenStream: code-space screen drops planted near-dups, keeps novel") {
+    import graft.operators.SimilarityOps
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0.95, 0.05, 0, 0)), (3L, v(0.05, 0.95, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.where(col("vec_id") < 2)
+    val stats = SimilarityOps.sq8Stats(corpus, col("embedding"), 4)
+    val idx = SimilarityOps.sq8CellIndex(corpus, cents, stats,
+      col("vec_id"), col("embedding"))
+    val rows = Seq(
+      // exact copy of corpus vec 2 — identical codes, recon cosine 1 → drop
+      (10L, v(0.95, 0.05, 0, 0), sec("2021-03-09 14:15:00", 1)),
+      // novel IN-DISTRIBUTION direction (between the cells, far from all
+      // members in code space) → keep
+      (12L, v(0.6, 0.55, 0, 0), sec("2021-03-09 14:15:00", 20)),
+      // zero vector: NULL sims everywhere → kept deterministically
+      (13L, v(0, 0, 0, 0), sec("2021-03-09 14:16:00", 5)),
+      // the code-space caveat, pinned: all its novelty is in dim 3, which
+      // the corpus never exercised (scale 0) — the reconstruction
+      // collapses onto +x and the screen DROPS what a float screen would
+      // keep. This is the documented re-fit-on-drift trigger.
+      (14L, v(0.6, 0.0, 0.8, 0), sec("2021-03-09 14:16:00", 10)))
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = Streaming.sq8SemanticScreenStream(
+      in.toDS().toDF("vec_id", "embedding", "event_time"),
+      idx, cents, stats, 0.9)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sq8screen1").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((99L, v(1, 0, 0, 0), sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val streamed = spark.table("sq8screen1").where(col("vec_id") < 99)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(streamed ==
+        Map(10L -> false, 12L -> true, 13L -> true, 14L -> false),
+        s"screen verdicts drifted: $streamed")
+      // parity: the same face applied to a BATCH frame (stream-static ops
+      // are plain joins) produces identical verdicts
+      val batchDf = rows.toDF("vec_id", "embedding", "event_time")
+      val batch = Streaming.sq8SemanticScreenStream(
+        batchDf, idx, cents, stats, 0.9)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(batch == streamed, "face-on-batch must equal face-on-stream")
+    } finally q.stop()
+  }
+
   test("sq8QuantizeStream encodes arriving vectors identically to batch") {
     import graft.operators.SimilarityOps
     val emb = graft.Tables.embeddings(spark, sf).limit(60).cache()
