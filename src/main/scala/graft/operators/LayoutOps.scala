@@ -46,7 +46,13 @@ object LayoutOps {
     *
     * `k * bits` must fit a long's 63 usable bits; 2 columns × 16 bits
     * covers 4 G distinct cells, plenty of resolution for file-level
-    * skipping (cells per file stays >= 1 until files outnumber cells). */
+    * skipping (cells per file stays >= 1 until files outnumber cells).
+    *
+    * NaN inputs bin like NULL (bin 0): without the guard Spark's
+    * NaN-is-largest ordering would silently send them to the TOP bin
+    * (NaN survives `greatest`, then `least` picks maxBin) — a layout
+    * surprise, not an error. Un-binnable values (NULL, NaN) cluster
+    * together at the low edge where a reader expects them. */
   def zValue(cols: Seq[(Column, Double, Double)], bits: Int = 16): Column = {
     require(cols.nonEmpty && cols.size * bits <= 63,
       s"need 1..${63 / bits} columns at $bits bits, got ${cols.size}")
@@ -55,7 +61,9 @@ object LayoutOps {
     val maxBin = (1L << bits) - 1
     val bins = cols.map { case (c, lo, hi) =>
       require(hi > lo, s"max must exceed min for $c: [$lo, $hi]")
-      val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxBin.toDouble)
+      val cd = c.cast("double")
+      val guarded = when(isnan(cd), lit(null)).otherwise(cd)
+      val scaled = (guarded - lit(lo)) / lit(hi - lo) * lit(maxBin.toDouble)
       least(greatest(coalesce(round(scaled), lit(0.0)), lit(0.0)),
         lit(maxBin.toDouble)).cast("long")
     }

@@ -36,6 +36,17 @@ class LayoutOpsSpec extends SparkSpec {
     assert(out(2) == mortonRef(Seq(0L, 63L), 6), "below min clamps to bin 0")
   }
 
+  test("zValue: NaN bins to 0 like NULL, not the top bin") {
+    val out = Seq((Double.NaN, 63.0), (Double.NaN, Double.NaN))
+      .toDF("x", "y")
+      .withColumn("z", LayoutOps.zValue(
+        Seq((col("x"), 0.0, 63.0), (col("y"), 0.0, 63.0)), bits = 6))
+      .select("z").as[Long].collect()
+    assert(out(0) == mortonRef(Seq(0L, 63L), 6),
+      "NaN x must land in bin 0 (NaN-is-largest would send it to 63)")
+    assert(out(1) == 0L, "all-NaN row clusters at the low edge")
+  }
+
   test("compactedWrite: target file count, near-even rows, disjoint sort-key ranges") {
     val dir = Files.createTempDirectory("graft-layout").toString + "/compact"
     val df = spark.range(10000)
