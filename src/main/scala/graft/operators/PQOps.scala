@@ -23,9 +23,10 @@ import graft.functions.VectorExpressions
   * vectors ([[pqLearnCodebook]], q95 — learned codebooks track the data,
   * spec-pinned recall).
   *
-  * Scale shape: encode is corpus × broadcast(k rows) — linear, one
-  * shuffle to assemble codes; the index `(vec_id, codes, recon)` is the
-  * only thing search touches, and the query side is broadcast. Distances
+  * Scale shape: encode is row-local against the collected k-row
+  * codebook — O(corpus), zero shuffle, no row expansion; the index
+  * `(vec_id, codes, recon)` is the only thing search touches, and the
+  * query side is broadcast. Distances
   * are computed by a codegen'd native expression with per-subspace
   * accumulation, chosen so the LUT fast path (precompute m·k subspace
   * partials per query, gather O(m) per candidate) is bit-identical —
@@ -35,15 +36,44 @@ object PQOps {
 
   /** PQ-encode every vector and materialize its reconstruction: output
     * `(vec_id, codes: array<int>, recon: array<double>)` — the search
-    * index. One broadcast cross join against the `k`-row codebook scores
-    * every (vector, entry, subspace) in fixed-order double arithmetic
-    * (bit-reproducible, so the assignment needs no rounding before the
-    * argmin compare), one window picks each subspace's winner (tie →
-    * smallest entry id), and one aggregation assembles codes and the
-    * glued reconstruction in subspace order (the labelStats
-    * collect/sort/transform pattern). */
+    * index. The DEFAULT batch path is ROW-LOCAL: the codebook is `k`
+    * small rows by contract, so it is collected once at plan-build time
+    * and the whole encode becomes one stateless expression tree
+    * ([[pqEncodeExprs]], the same expressions the streaming face runs)
+    * mapped over the corpus — O(corpus) work, ZERO shuffle, no row
+    * expansion. The relational window-argmin form this replaced survives
+    * as [[pqIndexRelational]] (the oracle-expressible shape); PQSpec
+    * pins EXACT output equality of the two, so the q94-q99 oracles that
+    * replay the relational form in SQL stay valid against this path. */
   def pqIndex(emb: DataFrame, codebook: DataFrame, id: Column, vec: Column,
       m: Int, sub: Int): DataFrame = {
+    require(m > 0 && sub > 0, s"need positive m/sub, got $m/$sub")
+    val rows = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+      .collect()
+    require(rows.nonEmpty, "codebook must be non-empty")
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    cents.foreach { case (cid, ce) =>
+      require(ce.length >= m * sub,
+        s"codebook entry $cid has ${ce.length} components, need ${m * sub}") }
+    val (codes, recon) = pqEncodeExprs(vec, cents, m, sub)
+    emb.select(id.as("vec_id"), codes.as("codes"), recon.as("recon"))
+  }
+
+  /** The relational form of [[pqIndex]] — one broadcast cross join
+    * against the `k`-row codebook scores every (vector, entry, subspace)
+    * in fixed-order double arithmetic (bit-reproducible, so the
+    * assignment needs no rounding before the argmin compare), one window
+    * picks each subspace's winner (tie → smallest entry id), and one
+    * aggregation assembles codes and the glued reconstruction in
+    * subspace order (the labelStats collect/sort/transform pattern).
+    * This is the shape a SQL oracle can replay (and how the q94 oracle
+    * does), but NOT the plan to run at scale: it expands corpus × k × m
+    * rows (64× at k=m=8) through a full shuffle that the row-local
+    * default avoids entirely. Kept for oracle parity and as the
+    * cross-shape proof target. */
+  def pqIndexRelational(emb: DataFrame, codebook: DataFrame, id: Column,
+      vec: Column, m: Int, sub: Int): DataFrame = {
     require(m > 0 && sub > 0, s"need positive m/sub, got $m/$sub")
     val cb = codebook.select(id.as("cid"), vec.as("ce"))
     val subDists = emb.select(id.as("vec_id"), vec.as("e"))
@@ -111,12 +141,22 @@ object PQOps {
     * the two paths return bit-identical distances (PQSpec asserts
     * row-set equality including the doubles).
     *
-    * PRECONDITION: codebook entry ids are exactly 0..k−1 (both codebook
-    * sources here satisfy it) — the LUT is indexed by code. */
+    * PRECONDITION (checked): codebook entry ids are exactly 0..k−1 —
+    * the LUT is indexed by raw code, so a 1-based or gappy id set would
+    * silently score against the wrong subspace partials (or throw an
+    * unexplained ArrayIndexOutOfBounds mid-query). The check collects
+    * the (small, k-row) cid set at plan-build time and fails fast with
+    * the offending ids. */
   def pqTopKLut(index: DataFrame, queries: DataFrame, codebook: DataFrame,
       id: Column, vec: Column, k: Int, m: Int, sub: Int): DataFrame = {
     VectorExpressions.register(queries.sparkSession)
     val cb = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+    val cids = cb.select(col("cid")).collect().map(_.getInt(0)).sorted
+    require(cids.nonEmpty && cids.head == 0 &&
+      cids.last == cids.length - 1 && cids.distinct.length == cids.length,
+      "pqTopKLut requires codebook entry ids to be exactly 0..k-1 " +
+        "(PQLutDist indexes the LUT by raw code value); got ids " +
+        s"[${cids.take(20).mkString(", ")}${if (cids.length > 20) ", …" else ""}]")
     val parts = array((0 until m).map { s =>
       (1 to sub).map { c =>
         val d = element_at(col("qe"), s * sub + c).cast("double") -
@@ -143,15 +183,16 @@ object PQOps {
         col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 
-  /** Row-local PQ encode against a COLLECTED codebook — the streaming-
-    * legal form of [[pqIndex]]'s assignment (a stream can host neither
-    * the window argmin nor the collect_list glue): per subspace, every
-    * codebook entry contributes a `(dist, cid)` struct and `least` picks
-    * the winner, so the whole encode is one stateless expression tree.
-    * Arithmetic mirrors [[pqIndex]] exactly — same fixed-order squared-L2
+  /** Row-local PQ encode against a COLLECTED codebook — the expression
+    * engine behind BOTH [[pqIndex]] and the streaming encode face (a
+    * stream could host neither the window argmin nor the collect_list
+    * glue of the relational form): per subspace, every codebook entry
+    * contributes a `(dist, cid)` struct and `least` picks the winner, so
+    * the whole encode is one stateless expression tree. Arithmetic
+    * mirrors [[pqIndexRelational]] exactly — same fixed-order squared-L2
     * per entry, same tie-break (equal dists → smallest entry id via the
-    * struct comparison) — so ingest-time codes equal a batch re-encode
-    * value-for-value (StreamingSpec parity). Returns
+    * struct comparison) — so row-local codes equal a relational
+    * re-encode value-for-value (StreamingSpec + PQSpec parity). Returns
     * `(codes: array<int>, recon: array<double>)` as two Columns to
     * attach to any frame with the embedding column. */
   def pqEncodeExprs(vec: Column, cents: Seq[(Int, Array[Float])], m: Int,
@@ -169,16 +210,18 @@ object PQOps {
       if (scored.sizeIs == 1) scored.head else least(scored: _*)
     }
     val codes = array(winners.map(_.getField("cid")): _*)
-    // reconstruction: per component, the winning entry's value — chosen
-    // by chained whens over the (small) codebook, all row-local
-    val recon = array((0 until m).flatMap { s =>
-      val code = winners(s).getField("cid")
-      (1 to sub).map { c =>
-        cents.tail.foldLeft(
-          lit(cents.head._2(s * sub + c - 1).toDouble)) { case (acc, (cid, ce)) =>
-          when(code === cid, lit(ce(s * sub + c - 1).toDouble)).otherwise(acc)
-        }
-      }
+    // reconstruction: one cid -> full-entry MAP LITERAL, each subspace
+    // slicing the winning entry's components out of a single lookup.
+    // (The obvious per-component when-chain re-embeds the whole argmin
+    // tree in every branch condition — k·m·sub copies — which blows the
+    // expression tree into millions of nodes at k=64 and overflows
+    // Catalyst's transform recursion. The map form keeps ONE argmin tree
+    // per subspace and the codebook as one literal.)
+    val cmap = typedLit(cents.map { case (cid, ce) =>
+      cid -> ce.map(_.toDouble).toSeq }.toMap)
+    val recon = concat((0 until m).map { s =>
+      slice(element_at(cmap, winners(s).getField("cid")),
+        s * sub + 1, sub)
     }: _*)
     (codes, recon)
   }

@@ -32,6 +32,32 @@ class PQSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Double](2).length == 64))
   }
 
+  test("row-local pqIndex equals the relational window-argmin form exactly") {
+    // the default encode path is row-local (zero shuffle); the q94-q99
+    // oracles replay the relational form in SQL — this equality is what
+    // keeps them valid against the default path, doubles included
+    val cb = emb.where(col("vec_id") < 8)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2))))
+      .toMap
+    val rowLocal = asMap(PQOps.pqIndex(emb, cb,
+      col("vec_id"), col("embedding"), M, SUB))
+    val relational = asMap(PQOps.pqIndexRelational(emb, cb,
+      col("vec_id"), col("embedding"), M, SUB))
+    assert(rowLocal == relational)
+  }
+
+  test("pqTopKLut rejects a codebook whose ids are not exactly 0..k-1") {
+    val cb = emb.where(col("vec_id") < 8)
+    val idx = PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), M, SUB)
+    val shifted = cb.withColumn("vec_id", col("vec_id") + 1)
+    val e = intercept[IllegalArgumentException] {
+      PQOps.pqTopKLut(idx, queries, shifted,
+        col("vec_id"), col("embedding"), 5, M, SUB)
+    }
+    assert(e.getMessage.contains("0..k-1"))
+  }
+
   test("pq encode is idempotent on codebook entries (distance-0 self-assignment)") {
     // a vector that IS codebook entry j must encode every subspace to a
     // zero-distance entry and reconstruct itself exactly
