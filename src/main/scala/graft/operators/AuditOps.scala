@@ -20,11 +20,19 @@ object AuditOps {
 
   /** Canonical content rendering of `cols` in order: the chr(1) unit-
     * separator joined string form, so adjacent fields cannot collide by
-    * concatenation. Callers pick STRING-RENDERABLE columns (strings,
+    * concatenation. NULL fields render as the chr(0) sentinel BEFORE the
+    * join — `concat_ws` silently skips NULL arguments (Spark and DuckDB
+    * alike), so without the sentinel (text='a\u0001b', source=NULL) and
+    * (text='a', source='b') would render identically, and a value hopping
+    * between columns past a NULL would read as 'unchanged' in a row-exact
+    * audit. chr(0) cannot occur in sane text content; a field actually
+    * containing a lone NUL is the one remaining (documented) collision
+    * with NULL. Callers pick STRING-RENDERABLE columns (strings,
     * integers) — float rendering is not cross-engine canonical and has
     * no business in an identity hash. */
   def contentHash(cols: Seq[Column]): Column =
-    concat_ws("\u0001", cols.map(_.cast("string")): _*)
+    concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
 
   /** Row-exact diff of two keyed snapshots: for every key present in
     * either side, `(key, status, before_hash, after_hash)` with status ∈
@@ -52,4 +60,47 @@ object AuditOps {
     * rebuilt corpus: e.g. `removed = 0` for an append-only source). */
   def snapshotDiffSummary(diff: DataFrame): DataFrame =
     diff.groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** The persisted side of an INCREMENTAL audit: `(key, snapshot_hash)`
+    * over a snapshot — write it once per corpus rebuild (8 bytes + key
+    * per row, ~1% of the data it summarizes) and every later delta is
+    * classified against it without touching the snapshot's content
+    * columns again. Same canonicalization and hash as [[snapshotDiff]],
+    * so an index-then-delta audit and a full two-sided diff can never
+    * disagree about what "same content" means. */
+  def snapshotHashIndex(snapshot: DataFrame, key: Column,
+      content: Seq[Column], keyName: String = "key"): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(snapshot.sparkSession)
+    snapshot.select(key.as(keyName),
+      hashes.polyHash(contentHash(content)).as("snapshot_hash"))
+  }
+
+  /** Incremental face of [[snapshotDiff]]: classify an arriving DELTA
+    * against a persisted [[snapshotHashIndex]] without recomputing the
+    * snapshot side — the shape a continuously-rebuilt corpus runs
+    * between full re-indexes (the incrementalDedup convention, for
+    * auditing). Status ∈ added | changed | unchanged; `removed` is
+    * definitionally out of scope — a delta cannot witness absence, that
+    * classification belongs to the full [[snapshotDiff]] at re-index
+    * time. One equi-join on the key: the delta hashes map-side (its
+    * shuffled payload is `(key, 8-byte hash)`), the index side ships
+    * nothing but what it stores. Output
+    * `(key, status, snapshot_hash, delta_hash)` — hash columns kept so a
+    * `changed` verdict is auditable and the post-audit index update is a
+    * projection, not a recompute. */
+  def snapshotDeltaAudit(delta: DataFrame, snapshotIndex: DataFrame,
+      key: Column, content: Seq[Column], keyName: String = "key"): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(delta.sparkSession)
+    delta.select(key.as(keyName),
+        hashes.polyHash(contentHash(content)).as("delta_hash"))
+      .join(snapshotIndex.select(col(keyName), col("snapshot_hash")),
+        Seq(keyName), "left")
+      .select(col(keyName),
+        when(col("snapshot_hash").isNull, lit("added"))
+          .when(col("snapshot_hash") =!= col("delta_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("snapshot_hash"), col("delta_hash"))
+  }
 }

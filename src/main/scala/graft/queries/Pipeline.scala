@@ -1245,7 +1245,14 @@ object Pipeline {
     * low (the q37 operator's documented trade); IVF-learned trails
     * IVF-fixed HERE because the vec_id<10 queries overlap the fixed
     * vec_id<8 centroid set (in-sample bias) — out-of-sample the learned
-    * quantizer wins, measured in PipelineOpsSpec's recall@k test. */
+    * quantizer wins, measured in PipelineOpsSpec's recall@k test.
+    *
+    * ivfpq_short20 (added r11 — the production 100 TB tier, q99's
+    * composition recall-gated): 0.63/0.40/0.53 at sf0.001/0.01/0.1 with
+    * nProbe=2 of 8 cells — tracking pq_short20 (0.57/0.40/0.50) within
+    * a few points, i.e. at this corpus shape the 4× candidate pruning
+    * costs almost no recall on top of PQ distortion, which is exactly
+    * the trade IVF-PQ is deployed for. */
   private val q82 = QueryDef(
     "q82_ann_recall",
     (s, d) => {
@@ -1269,11 +1276,18 @@ object Pipeline {
         queries, id, v, 20, 8)
       val binShort = SimilarityOps.binarySignTopK(emb, queries, id, v,
         DIM, 50)
+      // the production 100 TB path: coarse cells prune, PQ codes score —
+      // its recall compounds nProbe cell misses with PQ distortion, so it
+      // gets its own gated row (r10 verdict item 1)
+      val ivfpqShort = PQOps.ivfPqTopK(emb, queries,
+        emb.where(col("vec_id") < 8), emb.where(col("vec_id") < 8),
+        id, v, 20, 2, 8, 8)
       SimilarityOps.annRecall(truth, lsh, "lsh")
         .unionAll(SimilarityOps.annRecall(truth, ivfFixed, "ivf_fixed"))
         .unionAll(SimilarityOps.annRecall(truth, ivfLearned, "ivf_learned"))
         .unionAll(SimilarityOps.annRecall(truth, pqShort, "pq_short20"))
         .unionAll(SimilarityOps.annRecall(truth, binShort, "bin_short50"))
+        .unionAll(SimilarityOps.annRecall(truth, ivfpqShort, "ivfpq_short20"))
         .where(col("recall") >= AnnRecallFloor)
     },
     None)
@@ -1794,7 +1808,11 @@ object Pipeline {
         docs, after, col("doc_id"), Seq(col("text"), col("source")),
         keyName = "doc_id")
     }, {
-      val h = (t: String) => polyHashSql(s"concat_ws(chr(1), $t.text, $t.source)")
+      // mirror contentHash's NULL sentinel: coalesce each field to chr(0)
+      // BEFORE concat_ws (both engines skip NULL args silently)
+      val h = (t: String) => polyHashSql(
+        s"concat_ws(chr(1), coalesce(CAST($t.text AS VARCHAR), chr(0)), " +
+          s"coalesce(CAST($t.source AS VARCHAR), chr(0)))")
       s"""WITH chg AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 101 = 0 THEN text || ' [rev2]' ELSE text END AS text,
@@ -1908,12 +1926,58 @@ object Pipeline {
          |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
     })
 
+  /** Incremental snapshot audit ([[graft.operators.AuditOps
+    * .snapshotDeltaAudit]]) — q97's ingest-time face: a re-crawl DELTA
+    * (every third doc, a fifth of those revised, plus genuinely new keys)
+    * classified added | changed | unchanged against the persisted
+    * (key, hash) index of the previous snapshot, WITHOUT recomputing the
+    * snapshot side. The oracle replays the index build, the row-local
+    * delta hash (same chr(1)/chr(0) canonicalization as q97), and the
+    * left-join classification — so the index/delta hash agreement the
+    * incremental contract rests on is itself hash-pinned. */
+  private val q100 = QueryDef(
+    "q100_snapshot_delta",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = graft.operators.AuditOps.snapshotHashIndex(
+        docs, col("doc_id"), Seq(col("text"), col("source")),
+        keyName = "doc_id")
+      val delta = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .unionAll(docs.where(col("doc_id") % 103 === 0)
+          .withColumn("doc_id", col("doc_id") + 20000000L))
+      graft.operators.AuditOps.snapshotDeltaAudit(
+        delta, idx, col("doc_id"), Seq(col("text"), col("source")),
+        keyName = "doc_id")
+    }, {
+      val h = (t: String) => polyHashSql(
+        s"concat_ws(chr(1), coalesce(CAST($t.text AS VARCHAR), chr(0)), " +
+          s"coalesce(CAST($t.source AS VARCHAR), chr(0)))")
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         |    source
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id, text, source
+         |  FROM documents WHERE doc_id % 103 = 0),
+         |ih AS (SELECT a.doc_id, ${h("a")} AS snapshot_hash FROM documents a),
+         |dh AS (SELECT b.doc_id, ${h("b")} AS delta_hash FROM dl b)
+         |SELECT dh.doc_id,
+         |  CASE WHEN ih.doc_id IS NULL THEN 'added'
+         |       WHEN snapshot_hash <> delta_hash THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  snapshot_hash, delta_hash
+         |FROM dh LEFT JOIN ih ON dh.doc_id = ih.doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

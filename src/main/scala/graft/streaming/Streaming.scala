@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
@@ -499,6 +499,31 @@ object Streaming {
           .otherwise("test").as("split"))
   }
 
+  /** Streaming face of [[graft.operators.AuditOps.snapshotDeltaAudit]] —
+    * ingest-time change classification: every arriving keyed row is
+    * stamped added | changed | unchanged against the persisted
+    * [[graft.operators.AuditOps.snapshotHashIndex]] the moment it lands,
+    * instead of waiting for the next full two-sided
+    * [[graft.operators.AuditOps.snapshotDiff]]. The delta's hash is
+    * row-local and the classification is ONE stream-static left join on
+    * the key — no state, no watermark, append mode (the
+    * [[incrementalDedupStream]] shape); `removed` stays the full diff's
+    * job, a delta cannot witness absence.
+    *
+    * PERSIST the index before starting the stream (it is the static join
+    * side every micro-batch re-reads — the [[mediaNearDupScreenStream]]
+    * lesson); rebuild it at corpus re-index time like every ingest-time
+    * screen here. Batch parity is definitional: the body IS the batch
+    * operator applied to the streaming frame, so the face and
+    * [[graft.operators.AuditOps.snapshotDeltaAudit]] cannot drift
+    * (StreamingSpec pins it row-for-row anyway, plus checkpoint
+    * recovery). */
+  def snapshotDeltaAuditStream(delta: DataFrame, snapshotIndex: DataFrame,
+      key: Column, content: Seq[Column],
+      keyName: String = "key"): DataFrame =
+    graft.operators.AuditOps.snapshotDeltaAudit(
+      delta, snapshotIndex, key, content, keyName)
+
   /** Streaming faces of the row-local curation transforms
     * ([[graft.operators.TextOps.chunkDocs]] /
     * [[graft.operators.TextOps.piiRedact]]): both are stateless
@@ -569,12 +594,24 @@ object Streaming {
     val corpus = (if (corpusHashes.columns.contains("ok"))
         corpusHashes.where(col("ok"))
       else corpusHashes).select(col(hashName).as("_ch"))
+    // The 8 per-band projections of the STATIC corpus side, computed and
+    // deduplicated ONCE and persisted: without the cache every
+    // micro-batch re-pays 8 corpus scans plus 8 distinct-shuffles
+    // rebuilding them. The cached frame materializes on the first batch
+    // and lives for the stream's lifetime (it is the screen's index —
+    // same footprint as the corpus hash list ×8); stop the stream and
+    // `spark.catalog.clearCache()` to reclaim it.
+    val bandSides = corpus.select(col("_ch"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftright(col("_ch"), b * 8).bitwiseAND(lit(0xffL)).as("b"))): _*))
+          .as("_bv"))
+      .select(col("_bv.band").as("_band"), col("_bv.b").as("_cb"),
+        col("_ch"))
+      .distinct().persist()
     val screened = (0 until 8).foldLeft(deltaHashes.where(col("ok"))) {
       (df, band) =>
-        val side = corpus.select(
-          shiftright(col("_ch"), band * 8).bitwiseAND(lit(0xffL))
-            .as(s"_cb$band"),
-          col("_ch").as(s"_ch$band")).distinct()
+        val side = bandSides.where(col("_band") === band)
+          .select(col("_cb").as(s"_cb$band"), col("_ch").as(s"_ch$band"))
         df.join(side,
           shiftright(col(hashName), band * 8).bitwiseAND(lit(0xffL)) ===
             col(s"_cb$band") &&

@@ -36,6 +36,57 @@ class AuditOpsSpec extends SparkSpec {
     assert(d == Map(1L -> "changed"))
   }
 
+  test("NULL fields do not collide with adjacent content (sentinel)") {
+    // concat_ws skips NULL args, so without the chr(0) sentinel
+    // (text='ab', source=NULL) renders identically to
+    // (text='a', source='b') and a value hopping columns past a NULL
+    // reads as unchanged — both must diff as 'changed'
+    val before = Seq((1L, "ab", Option.empty[String]),
+      (2L, "x", Option.empty[String])).toDF("id", "text", "source")
+    val after = Seq((1L, "a", Option("b")),
+      (2L, null.asInstanceOf[String], Option("x")))
+      .toDF("id", "text", "source")
+    val d = AuditOps.snapshotDiff(before, after, col("id"),
+      Seq(col("text"), col("source")), keyName = "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("snapshotDeltaAudit classifies a delta against a persisted index") {
+    val snapshot = Seq(
+      (1L, "alpha", "web"), (2L, "beta", "web"),
+      (3L, "gamma", "book")).toDF("id", "text", "source")
+    val index = AuditOps.snapshotHashIndex(snapshot, col("id"),
+      Seq(col("text"), col("source")), keyName = "id")
+    val delta = Seq(
+      (1L, "alpha", "web"),         // unchanged
+      (2L, "beta EDITED", "web"),   // changed
+      (9L, "epsilon", "web"))       // added; key 3 absent -> no verdict
+      .toDF("id", "text", "source")
+    val got = AuditOps.snapshotDeltaAudit(delta, index, col("id"),
+      Seq(col("text"), col("source")), keyName = "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 9L -> "added"),
+      s"delta-only keys, no 'removed' arm: $got")
+  }
+
+  test("delta audit agrees with the full diff on every delta key") {
+    // the incremental contract: for keys the delta carries, index-then-
+    // delta classification and the two-sided diff are the same function
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val delta = Seq((1L, "a"), (2L, "B2"), (9L, "z")).toDF("id", "text")
+    val full = AuditOps.snapshotDiff(before, delta, col("id"),
+      Seq(col("text")), keyName = "id")
+      .where(col("status") =!= "removed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inc = AuditOps.snapshotDeltaAudit(delta,
+      AuditOps.snapshotHashIndex(before, col("id"), Seq(col("text")),
+        keyName = "id"),
+      col("id"), Seq(col("text")), keyName = "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inc == full, s"incremental $inc vs full $full")
+  }
+
   test("snapshotDiffSummary counts per status") {
     val before = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
     val after = Seq((2L, "b2"), (3L, "c")).toDF("id", "text")

@@ -422,6 +422,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotDeltaAuditStream classifies arrivals like the batch face") {
+    import graft.operators.AuditOps
+    val snapshot = Seq(
+      (1L, "alpha", "web"), (2L, "beta", "web"),
+      (3L, "gamma", "book")).toDF("doc_id", "text", "source")
+    val index = AuditOps.snapshotHashIndex(snapshot, col("doc_id"),
+      Seq(col("text"), col("source")), keyName = "doc_id").persist()
+    val b1 = Seq(
+      (1L, "alpha", "web"),          // unchanged
+      (2L, "beta EDITED", "web"))    // changed
+    val b2 = Seq(
+      (3L, "gamma", "web"),          // changed (source moved)
+      (9L, "epsilon", "web"))        // added
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.snapshotDeltaAuditStream(
+      in.toDS().toDF("doc_id", "text", "source"), index,
+      col("doc_id"), Seq(col("text"), col("source")), keyName = "doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snapaudit1").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      def keyed(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val streamed = keyed(spark.table("snapaudit1").collect())
+      val batch = keyed(AuditOps.snapshotDeltaAudit(
+        (b1 ++ b2).toDF("doc_id", "text", "source"), index,
+        col("doc_id"), Seq(col("text"), col("source")),
+        keyName = "doc_id").collect())
+      assert(batch(1L).head == "unchanged" && batch(2L).head == "changed" &&
+        batch(3L).head == "changed" && batch(9L).head == "added",
+        s"batch fixture sanity: $batch")
+      assert(streamed == batch,
+        "streamed verdicts and hashes must equal the batch face row-for-row")
+    } finally { q.stop(); index.unpersist(blocking = false) }
+  }
+
   test("chunkDocsStream and piiRedactStream match their batch faces") {
     import graft.operators.TextOps
     val b1 = Seq(
@@ -553,7 +590,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("pqEncodeStream codes and reconstructions equal batch pqIndex") {
+  test("pqEncodeStream codes and reconstructions equal the relational batch index") {
     import graft.operators.PQOps
     val emb = graft.Tables.embeddings(spark, sf).limit(40).cache()
     val cbDf = emb.where(col("vec_id") < 8)
@@ -572,12 +609,15 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("pqe1").collect()
         .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2))))
         .toMap
-      val batch = PQOps.pqIndex(emb, cbDf,
+      // compare against the RELATIONAL (window-argmin) form: the default
+      // pqIndex now runs the same row-local expressions as the stream, so
+      // parity against pqIndexRelational is the cross-shape proof
+      val batch = PQOps.pqIndexRelational(emb, cbDf,
         col("vec_id"), col("embedding"), 8, 8).collect()
         .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2))))
         .toMap
       assert(streamed == batch,
-        "ingest-time PQ encode must equal the batch index exactly")
+        "ingest-time PQ encode must equal the relational batch index exactly")
     } finally q.stop()
   }
 
