@@ -305,6 +305,103 @@ object PQOps {
         col("vec_id").as("neighbor_id"), col("cell"), col("adc_dist"))
   }
 
+  /** Residual of every vector against its assigned coarse cell's
+    * centroid — the encode input of IVFADC (Jégou, Douze, Schmid, TPAMI
+    * 2011 §V-A: quantize `r = x − q1(x)`, not `x`, because residuals are
+    * small and centered so the same PQ bit budget buys less distortion).
+    * FULLY ROW-LOCAL: the (small) cell set is collected once, assignment
+    * is [[SimilarityOps.cellExprFor]] (value-identical to the relational
+    * `assignCells`, StreamingSpec parity) and the centroid comes back out
+    * of a cid→centroid map literal — zero shuffle, no corpus × cells
+    * expansion, the [[pqIndex]] scale discipline. The subtraction is
+    * element-wise FLOAT arithmetic (`zip_with`), bit-exact cross-engine
+    * (DuckDB REAL subtraction is IEEE-single-identical — measured), so
+    * residuals are oracle-replayable. Output
+    * `(vec_id, cell, res: array<float>)`. */
+  def cellResiduals(emb: DataFrame, cells: DataFrame, id: Column,
+      vec: Column): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val rows = cells.select(id.cast("long").as("cid"), vec.as("ce"))
+      .collect()
+    require(rows.nonEmpty, "cell centroid set must be non-empty")
+    val cents = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val cmap = typedLit(cents.map { case (cid, ce) => cid -> ce.toSeq }.toMap)
+    emb.select(id.as("vec_id"), vec.as("_e"))
+      .withColumn("cell", SimilarityOps.cellExprFor(col("_e"), cents))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("_e"), element_at(cmap, col("cell")),
+          (a, b) => a - b).as("res"))
+  }
+
+  /** IVFADC index: PQ codes over CELL RESIDUALS instead of raw vectors —
+    * [[cellResiduals]] then the row-local encode, so the whole build is
+    * one stateless expression pass over the corpus (zero shuffle).
+    * `codebook` lives in RESIDUAL space (entries are residual-sized
+    * vectors — a fixed deterministic residual sample, or
+    * [[pqLearnCodebook]] fitted on [[cellResiduals]] output). Output
+    * `(vec_id, cell, codes, recon)` where `recon` reconstructs the
+    * RESIDUAL — search must compare it against `query − centroid`,
+    * which [[ivfPqResidualTopK]] does. */
+  def ivfPqResidualIndex(emb: DataFrame, cells: DataFrame,
+      codebook: DataFrame, id: Column, vec: Column, m: Int,
+      sub: Int): DataFrame = {
+    require(m > 0 && sub > 0, s"need positive m/sub, got $m/$sub")
+    val rows = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+      .collect()
+    require(rows.nonEmpty, "codebook must be non-empty")
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val (codes, recon) = pqEncodeExprs(col("res"), cents, m, sub)
+    cellResiduals(emb, cells, id, vec)
+      .select(col("vec_id"), col("cell"),
+        codes.as("codes"), recon.as("recon"))
+  }
+
+  /** IVFADC search over a residual-coded index: identical probing to
+    * [[ivfPqTopK]] (top-`nProbe` cells by the q43 rounded cosine), but
+    * each probe carries `qres = query − probed cell's centroid` and ADC
+    * runs residual-against-residual —
+    * `‖q − (c + recon_r)‖² = ‖(q − c) − recon_r‖²`, so the existing
+    * [[graft.functions.PQAdcDist]] scores it unchanged. Same cost shape
+    * as the raw composition ((corpus/cells)·nProbe per query, queries
+    * broadcast, floats appear nowhere after indexing) — the residual
+    * encoding buys accuracy, not speed: the ADC estimate now carries the
+    * EXACT centroid offset and quantizes only the small residual, which
+    * is why production billion-scale deployments run this form. Output
+    * `(query_id, rk, neighbor_id, cell, adc_dist)`, house ranking rule. */
+  def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame,
+      cells: DataFrame, codebook: DataFrame, id: Column, vec: Column,
+      k: Int, nProbe: Int, m: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val idx = ivfPqResidualIndex(emb, cells, codebook, id, vec, m, sub)
+    val cents = cells.select(id.as("cid"), vec.as("ce"),
+      sqrt(VectorExpressions.floatDot(vec, vec)).as("cnrm"))
+    val qn = queries.select(id.as("qid"), vec.as("qe"),
+      sqrt(VectorExpressions.floatDot(vec, vec)).as("qnrm"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("c_sim").desc, col("cid"))
+    val probes = qn.join(broadcast(cents), expr("true"))
+      .withColumn("c_sim", when(col("qnrm") * col("cnrm") > 0,
+        round(VectorExpressions.floatDot(col("qe"), col("ce")) /
+          (col("qnrm") * col("cnrm")), 6)))
+      .withColumn("crk", row_number().over(wp))
+      .where(col("crk") <= nProbe)
+      .select(col("qid"),
+        zip_with(col("qe"), col("ce"), (a, b) => a - b).as("qres"),
+        col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(probes).join(idx, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist",
+        round(VectorExpressions.pqAdcDist(col("qres"), col("recon"), sub), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("cell"), col("adc_dist"))
+  }
+
   /** Learn a PQ codebook: an independent `k`-means per subspace over the
     * corpus's sub-vectors (squared-L2 geometry — the metric PQ encodes,
     * unlike the cosine k-means of [[SimilarityOps.learnCentroids]]),

@@ -1252,7 +1252,20 @@ object Pipeline {
     * nProbe=2 of 8 cells — tracking pq_short20 (0.57/0.40/0.50) within
     * a few points, i.e. at this corpus shape the 4× candidate pruning
     * costs almost no recall on top of PQ distortion, which is exactly
-    * the trade IVF-PQ is deployed for. */
+    * the trade IVF-PQ is deployed for.
+    *
+    * ivfadc_short20 (added r11, q101's residual composition):
+    * 0.50/0.63/0.23 — noisy ACROSS sf dirs rather than better, and
+    * honestly so: residual coding's accuracy advantage assumes residuals
+    * are small (clustered data) and a codebook that tracks them; this
+    * synthetic near-uniform corpus gives neither, and the q101 fixed
+    * 8-residual sample is deliberately arbitrary (it exists to hash-pin
+    * mechanics, not to flatter recall). The row still earns its place:
+    * the floor catches the realistic regression (a broken residual or
+    * double-subtracted centroid sends recall to ~0, not to 0.23), and
+    * PQSpec pins the law that matters — with a perfect residual codebook
+    * IVFADC distances ARE exact L2, the property raw coding cannot
+    * have. */
   private val q82 = QueryDef(
     "q82_ann_recall",
     (s, d) => {
@@ -1282,12 +1295,26 @@ object Pipeline {
       val ivfpqShort = PQOps.ivfPqTopK(emb, queries,
         emb.where(col("vec_id") < 8), emb.where(col("vec_id") < 8),
         id, v, 20, 2, 8, 8)
+      // IVFADC (q101): same budget and probing, residual-coded — the
+      // accuracy the centroid offset + centered residual buy is what
+      // this row gates
+      val ivfadcShort = {
+        val cells = emb.where(col("vec_id") < 8)
+        val rcb = PQOps.cellResiduals(
+            emb.where(col("vec_id") >= 8 && col("vec_id") < 16),
+            cells, id, v)
+          .select((col("vec_id") - 8).as("vec_id"),
+            col("res").as("embedding"))
+        PQOps.ivfPqResidualTopK(emb, queries, cells, rcb,
+          id, v, 20, 2, 8, 8)
+      }
       SimilarityOps.annRecall(truth, lsh, "lsh")
         .unionAll(SimilarityOps.annRecall(truth, ivfFixed, "ivf_fixed"))
         .unionAll(SimilarityOps.annRecall(truth, ivfLearned, "ivf_learned"))
         .unionAll(SimilarityOps.annRecall(truth, pqShort, "pq_short20"))
         .unionAll(SimilarityOps.annRecall(truth, binShort, "bin_short50"))
         .unionAll(SimilarityOps.annRecall(truth, ivfpqShort, "ivfpq_short20"))
+        .unionAll(SimilarityOps.annRecall(truth, ivfadcShort, "ivfadc_short20"))
         .where(col("recall") >= AnnRecallFloor)
     },
     None)
@@ -1926,6 +1953,94 @@ object Pipeline {
          |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
     })
 
+  /** IVFADC — IVF-PQ over CELL RESIDUALS ([[PQOps.ivfPqResidualTopK]]),
+    * the composition production billion-scale ANN actually deploys: the
+    * coarse cell carries the EXACT centroid offset and PQ quantizes only
+    * the small centered residual, so the same 8-byte code budget buys
+    * less distortion than q99's raw-vector coding. Fixed deterministic
+    * geometry keeps it oracle-expressible: cells = first [[PQ_K]] corpus
+    * rows (q99's), residual codebook = the residuals of corpus rows
+    * [[PQ_K]]..2·[[PQ_K]]−1 re-idd to 0..7 (nonzero by construction —
+    * the first-8 rows' own residuals are identically zero since each IS
+    * its cell's centroid). The oracle replays assignment, the FLOAT
+    * residual subtraction (DuckDB REAL arithmetic is IEEE-single
+    * bit-identical to Spark's `zip_with` subtraction — measured), the
+    * per-subspace argmin over residual space, recon glue, probing, and
+    * the residual-vs-residual ADC — the full IVFADC chain hash-pinned. */
+  private val q101 = QueryDef(
+    "q101_ivfadc_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cells = emb.where(col("vec_id") < PQ_K)
+      val rcb = PQOps.cellResiduals(
+          emb.where(col("vec_id") >= PQ_K && col("vec_id") < 2 * PQ_K),
+          cells, col("vec_id"), col("embedding"))
+        .select((col("vec_id") - PQ_K).as("vec_id"),
+          col("res").as("embedding"))
+      PQOps.ivfPqResidualTopK(emb, emb.where(col("vec_id") < 10), cells,
+        rcb, col("vec_id"), col("embedding"), LSH_K, nProbe = 2,
+        PQ_M, PQ_SUB)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $PQ_K),
+         |csim AS (
+         |  SELECT a.vec_id, c.cid,
+         |    CASE WHEN a.nrm * c.cnrm > 0 THEN
+         |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
+         |  FROM v a CROSS JOIN cb c),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
+         |  WHERE crk = 1),
+         |res AS (
+         |  SELECT a.vec_id, an.cell,
+         |    list_transform(generate_series(1,$DIM), i -> a.e[i] - c.ce[i]) AS r
+         |  FROM v a JOIN assign an ON an.vec_id = a.vec_id
+         |  JOIN cb c ON c.cid = an.cell),
+         |rcb AS (SELECT vec_id - $PQ_K AS cid, r AS ce FROM res
+         |  WHERE vec_id >= $PQ_K AND vec_id < ${2 * PQ_K}),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.r", "c.ce", "s.s")} AS dist
+         |  FROM res a CROSS JOIN rcb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(rcb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN rcb ON rcb.cid = codes.code) d GROUP BY d.vec_id),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk
+         |    FROM csim WHERE vec_id < 10) t WHERE crk <= 2),
+         |qres AS (
+         |  SELECT p.query_id, p.cell,
+         |    list_transform(generate_series(1,$DIM), i -> q.e[i] - c.ce[i]) AS qr
+         |  FROM probes p JOIN v q ON q.vec_id = p.query_id
+         |  JOIN cb c ON c.cid = p.cell),
+         |scored AS (
+         |  SELECT p.query_id, r.vec_id AS neighbor_id, p.cell,
+         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |        ${sq(s"CAST(p.qr[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
+         |  FROM qres p
+         |  JOIN assign an ON an.cell = p.cell
+         |  JOIN recon r ON r.vec_id = an.vec_id AND r.vec_id <> p.query_id)
+         |SELECT query_id, rk, neighbor_id, cell, adc_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
+    })
+
   /** Incremental snapshot audit ([[graft.operators.AuditOps
     * .snapshotDeltaAudit]]) — q97's ingest-time face: a re-crawl DELTA
     * (every third doc, a fifth of those revised, plus genuinely new keys)
@@ -1977,7 +2092,7 @@ object Pipeline {
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -156,6 +156,54 @@ class PQSpec extends SparkSpec {
       "probing every cell must recover the unpartitioned PQ ranking")
   }
 
+  test("ivfadc: probing prunes candidates without changing residual scores") {
+    val cells = emb.where(col("vec_id") < 8)
+    val rcb = PQOps.cellResiduals(
+        emb.where(col("vec_id") >= 8 && col("vec_id") < 16),
+        cells, col("vec_id"), col("embedding"))
+      .select((col("vec_id") - 8).as("vec_id"), col("res").as("embedding"))
+    def run(k: Int, nProbe: Int) = PQOps.ivfPqResidualTopK(emb,
+        emb.where(col("vec_id") < 10), cells, rcb,
+        col("vec_id"), col("embedding"), k, nProbe, M, SUB)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4))
+    val all8 = run(200, 8).toMap
+    val probed = run(3, 2)
+    assert(probed.nonEmpty)
+    probed.foreach { case (k, d) =>
+      assert(all8.get(k._1 -> k._2).contains(d),
+        s"probed residual score diverged for $k")
+    }
+  }
+
+  test("ivfadc with a perfect residual codebook recovers exact L2 (the raw coding cannot)") {
+    // the property residual coding exists for: the cell carries the
+    // centroid offset EXACTLY, so when the codebook holds every corpus
+    // residual (zero quantization error) the ADC estimate collapses to
+    // ||(q-c) - (n-c)||^2 = ||q-n||^2 — exact squared L2, up to the one
+    // float rounding in each residual subtraction
+    val corpus = emb.where(col("vec_id") < 24).cache()
+    val cells = corpus.where(col("vec_id") < 8)
+    val rcb = PQOps.cellResiduals(corpus, cells,
+      col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("res").as("embedding"))
+    val got = PQOps.ivfPqResidualTopK(corpus, corpus.where(col("vec_id") < 10),
+      cells, rcb, col("vec_id"), col("embedding"), 23, 8, M, SUB).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4))
+    val exact = PQOps.pqTopK(
+      corpus.select(col("vec_id"),
+        array((1 to 64).map(i =>
+          element_at(col("embedding"), i).cast("double")): _*).as("recon")),
+      corpus.where(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), 23, SUB).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, d) =>
+      val e = exact(k._1 -> k._2)
+      assert(math.abs(d - e) <= 1e-3,
+        s"pair $k: ivfadc $d vs exact $e — residual chain broke the offset")
+    }
+  }
+
   test("exact re-rank of the shortlist recovers exact order on recovered pairs") {
     val idx = PQOps.pqIndex(emb, emb.where(col("vec_id") < 8),
       col("vec_id"), col("embedding"), M, SUB)
