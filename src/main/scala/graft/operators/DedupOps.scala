@@ -92,6 +92,48 @@ object DedupOps {
   /** Target rows per grid cell when splitting a large bucket. */
   val GridCell: Int = 4096
 
+  /** The banded-LSH S-curve: probability that a pair with Jaccard
+    * similarity `s` becomes a CANDIDATE under `bands` bands of
+    * `rowsPerBand` minhash rows — `1 − (1 − s^r)^b` (Leskovec/Rajaraman/
+    * Ullman, Mining of Massive Datasets §3.4.2). Driver-side math, but it
+    * is the number a 100 TB dedup run needs BEFORE it runs: recall at the
+    * target threshold, and the false-candidate mass below it (= pair-join
+    * volume), both fall straight out of this curve. */
+  def lshCatchProbability(s: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(s >= 0.0 && s <= 1.0, s"similarity must be in [0,1], got $s")
+    require(bands > 0 && rowsPerBand > 0,
+      s"need positive bands/rows, got $bands/$rowsPerBand")
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+  }
+
+  /** A chosen banding and its operating point: at `midpoint` =
+    * (1/b)^(1/r), a pair's per-band agreement probability is exactly 1/b,
+    * so its catch probability is 1 − (1 − 1/b)^b (0.75 at b = 2, → 1−1/e
+    * ≈ 0.632 as b grows) — the steep center of the S-curve. */
+  final case class LshPlan(bands: Int, rowsPerBand: Int, midpoint: Double,
+      catchAtThreshold: Double)
+
+  /** Choose a banding of an `nHashes`-permutation signature for a target
+    * Jaccard `threshold`: among the divisor pairs b·r = nHashes, pick the
+    * one whose S-curve midpoint lands closest to the threshold (the MMDS
+    * rule). Deliberately a PLANNER, not a policy change — e.g. it reports
+    * that this library's own 8-hash 2×4 default has its midpoint at 0.84,
+    * a high-precision/low-recall operating point for the q32 threshold of
+    * 0.3 (the banded-pair operators' documented trade), and that a
+    * recall-first run at 0.3 should band 8×1. At 100 TB the same call
+    * sizes the candidate join: catch probability at the corpus's
+    * similarity histogram IS the pair volume. */
+  def lshPlan(nHashes: Int, threshold: Double): LshPlan = {
+    require(nHashes > 0, s"need a positive signature length, got $nHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    (1 to nHashes).filter(nHashes % _ == 0).map { b =>
+      val r = nHashes / b
+      LshPlan(b, r, math.pow(1.0 / b, 1.0 / r),
+        lshCatchProbability(threshold, b, r))
+    }.minBy(p => math.abs(p.midpoint - threshold))
+  }
+
   /** (doc_id, band, bucket) rows — one per signature band. */
   private[graft] def bandRows(sig: DataFrame): DataFrame =
     sig.select(

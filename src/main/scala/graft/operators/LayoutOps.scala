@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** File-layout operators: the WRITE-side half of the 100 TB posture that
@@ -125,6 +126,41 @@ object LayoutOps {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compaction PLAN over a file audit: assign files — kept in their
+    * clustering order — to rewrite bins of ~`targetRows` rows each. The
+    * binning is the distributed-prefix-sum rule (the [[graft.operators
+    * .TextOps]] sequence-packing precedent): `bin = floor(rows-before /
+    * targetRows)`, one window pass, fully deterministic — versus the
+    * sequential greedy that closes a bin exactly at the target, this can
+    * overshoot a bin by at most one file, and in exchange the plan is a
+    * pure relational expression (parallel, engine-reproducible,
+    * SQL-replayable). Because bins take ADJACENT files in `orderCol`
+    * order, compacting a range-clustered layout ([[compactedWrite]] /
+    * [[zOrderedWrite]]) preserves the disjointness of per-file ranges —
+    * the property that makes min/max skipping exact — which is exactly
+    * why the plan orders by the leading cluster key's file min, not by
+    * file size. Output `(file, n_rows, bin, bin_rows, bin_files,
+    * needs_compaction)`; only `bin_files > 1` bins need rewriting, the
+    * rest are already at target. The audit is file-LEVEL metadata (one
+    * row per file), so the unpartitioned windows are driver-scale by
+    * construction; at a real lake run the plan per table partition. */
+  def compactionPlan(audit: DataFrame, fileCol: Column, rowsCol: Column,
+      orderCol: Column, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val w = Window.orderBy(col("_ord"), col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wb = Window.partitionBy(col("bin"))
+    audit.select(fileCol.as("file"), rowsCol.cast("long").as("n_rows"),
+        orderCol.as("_ord"))
+      .withColumn("_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("_before") / lit(targetRows)).cast("long"))
+      .withColumn("bin_rows", sum(col("n_rows")).over(wb))
+      .withColumn("bin_files", count(lit(1)).over(wb))
+      .select(col("file"), col("n_rows"), col("bin"), col("bin_rows"),
+        col("bin_files"), (col("bin_files") > 1).as("needs_compaction"))
   }
 
   /** Small-file audit of a written parquet directory: one row per file

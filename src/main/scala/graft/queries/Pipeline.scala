@@ -1557,6 +1557,40 @@ object Pipeline {
          |FROM z GROUP BY 1""".stripMargin
     })
 
+  /** Compaction plan ([[graft.operators.LayoutOps.compactionPlan]]) —
+    * the OPTIMIZE-planning half of the write-side layout family: a
+    * synthetic small-file audit derived from `orders` (one "file" per
+    * 1000-key range, so file sizes vary with TPC-H's sparse key stride)
+    * binned to ~2500-row rewrite groups by the distributed-prefix-sum
+    * rule over the clustering order. The oracle replays the cumsum
+    * window, the floor binning, and the per-bin aggregates — the
+    * adjacency-preserving assignment is hash-pinned, which is the
+    * property that keeps per-file ranges disjoint after the rewrite. */
+  private val q102 = QueryDef(
+    "q102_compaction_plan",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val audit = o.groupBy((col("o_orderkey") / 1000).cast("long")
+          .as("file"))
+        .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("k_min"))
+      graft.operators.LayoutOps.compactionPlan(audit, col("file"),
+        col("n_rows"), col("k_min"), 2500L)
+    },
+    s"""WITH a AS (SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS file,
+       |    CAST(count(*) AS BIGINT) AS n_rows, min(o_orderkey) AS k_min
+       |  FROM orders GROUP BY 1),
+       |p AS (SELECT file, n_rows,
+       |    coalesce(sum(n_rows) OVER (ORDER BY k_min, file
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4
+       |  FROM a),
+       |b AS (SELECT file, n_rows,
+       |    CAST(floor(b4 / 2500.0) AS BIGINT) AS bin FROM p)
+       |SELECT file, n_rows, bin,
+       |  CAST(sum(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows,
+       |  CAST(count(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files,
+       |  (count(*) OVER (PARTITION BY bin)) > 1 AS needs_compaction
+       |FROM b""".stripMargin)
+
   /** Temperature-flattened source mix ([[TextOps.temperatureMix]],
     * alpha = 0.5): per-doc sampling weights plus the deterministic
     * hash-realized copy counts. The oracle recomputes the whole chain —
@@ -2092,7 +2126,7 @@ object Pipeline {
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

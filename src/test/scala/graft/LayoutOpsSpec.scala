@@ -47,6 +47,31 @@ class LayoutOpsSpec extends SparkSpec {
     assert(out(1) == 0L, "all-NaN row clusters at the low edge")
   }
 
+  test("compactionPlan: adjacency-preserving prefix-sum bins at the target size") {
+    val audit = Seq(
+      ("f0", 10L, 0L), ("f1", 10L, 100L), ("f2", 10L, 200L),
+      ("f3", 70L, 300L), ("f4", 100L, 400L), ("f5", 5L, 500L),
+      ("f6", 5L, 600L)).toDF("file", "n_rows", "k_min")
+    val plan = LayoutOps.compactionPlan(audit, col("file"), col("n_rows"),
+      col("k_min"), 100L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // prefix sums 0,10,20,30,100,200,205 -> bins 0,0,0,0,1,2,2
+    assert(plan("f0")._1 == 0 && plan("f3")._1 == 0,
+      s"first four files share bin 0: $plan")
+    assert(plan("f4") == ((1L, 100L, 1L, false)),
+      "an exactly-at-target file is its own bin, no rewrite needed")
+    assert(plan("f5") == ((2L, 10L, 2L, true)) && plan("f6")._1 == 2L,
+      "tail smalls merge into one rewrite bin")
+    assert(plan("f0")._2 == 100L && plan("f0")._3 == 4L && plan("f0")._4,
+      "bin 0 holds 100 rows across 4 files and needs compaction")
+    // adjacency: files of a bin are contiguous in clustering order —
+    // the property that keeps post-rewrite ranges disjoint
+    val order = Seq("f0", "f1", "f2", "f3", "f4", "f5", "f6")
+    val bins = order.map(plan(_)._1)
+    assert(bins == bins.sorted, s"bins must be monotone over the order: $bins")
+  }
+
   test("compactedWrite: target file count, near-even rows, disjoint sort-key ranges") {
     val dir = Files.createTempDirectory("graft-layout").toString + "/compact"
     val df = spark.range(10000)

@@ -1190,4 +1190,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.select("doc_id", "n_copies").as[(Long, Long)].collect()
       .sortBy(_._1).toSeq == again)
   }
+  test("lshPlan: S-curve math and banding selection (MMDS rule)") {
+    import graft.operators.DedupOps
+    // catch probability: exact S-curve values and monotonicity in s
+    assert(math.abs(DedupOps.lshCatchProbability(0.5, 2, 4) -
+      (1.0 - math.pow(1.0 - 0.0625, 2))) < 1e-12)
+    val curve = (0 to 10).map(i => DedupOps.lshCatchProbability(i / 10.0, 2, 4))
+    assert(curve == curve.sorted && curve.head == 0.0 && curve.last == 1.0,
+      s"S-curve must rise 0 -> 1: $curve")
+    // at the midpoint the per-band agreement is exactly 1/b
+    val mid = math.pow(0.5, 0.25) // (1/b)^(1/r) for 2x4
+    assert(math.abs(DedupOps.lshCatchProbability(mid, 2, 4) - 0.75) < 1e-9,
+      "catch at the 2x4 midpoint is 1-(1-1/2)^2 = 0.75")
+    // selection: a 0.8 target keeps this library's 2x4 shape (midpoint
+    // 0.84); a 0.3 target wants the recall-first 8x1 banding
+    assert(DedupOps.lshPlan(8, 0.8).bands == 2)
+    val low = DedupOps.lshPlan(8, 0.3)
+    assert(low.bands == 8 && low.rowsPerBand == 1 &&
+      math.abs(low.midpoint - 0.125) < 1e-12)
+    assert(low.catchAtThreshold > 0.9,
+      "8x1 at s=0.3 catches >90% - the recall-first operating point")
+  }
 }
