@@ -446,6 +446,67 @@ case class PQLutDist(lut: Expression, codes: Expression, m: Int)
     copy(lut = newLeft, codes = newRight)
 }
 
+/** Dot product of two PQ-RECONSTRUCTED vectors in O(m), without ever
+  * materializing either reconstruction: `Σ_s table[(a_s·k + b_s)·m + s]`,
+  * where `table` is the precomputed m·k·k SUBSPACE-DOT table of the
+  * codebook (`table[(i·k+j)·m+s] = Σ_c cb_i[s·sub+c] · cb_j[s·sub+c]`,
+  * entry-pair-major — [[graft.operators.PQOps.pqCodeDotTable]]). This is
+  * the code-space screen's workhorse: comparing two coded corpus vectors
+  * costs m array gathers against an 8-byte-per-side index, the shape that
+  * lets a semantic near-dup screen over 10⁹ vectors hold its entire
+  * static side in memory. Subspace partials are accumulated in the same
+  * fixed c-then-s order as [[PQAdcDist]]'s groups, so the value is
+  * bit-identical to the dot of the two reconstruction arrays computed
+  * subspace-grouped — which is how the DuckDB oracle replays it.
+  *
+  * PRECONDITION (holds for both codebook sources, validated by the table
+  * builder): codebook entry ids are exactly 0..k−1 — the table is indexed
+  * by raw code pairs. */
+case class PQCodeDot(table: Expression, a: Expression, b: Expression,
+    m: Int, k: Int) extends TernaryExpression {
+
+  require(m > 0 && k > 0, s"need positive m/k, got $m/$k")
+  override def first: Expression = table
+  override def second: Expression = a
+  override def third: Expression = b
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_code_dot"
+
+  override def nullSafeEval(t: Any, av: Any, bv: Any): Any = {
+    val tb = t.asInstanceOf[ArrayData]
+    val ca = av.asInstanceOf[ArrayData]
+    val cb = bv.asInstanceOf[ArrayData]
+    val n = math.min(m, math.min(ca.numElements(), cb.numElements()))
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      acc += tb.getDouble((ca.getInt(s) * k + cb.getInt(s)) * m + s)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ca, cb) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($m,
+         |  java.lang.Math.min($ca.numElements(), $cb.numElements()));
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $acc += $t.getDouble(($ca.getInt($s) * $k + $cb.getInt($s)) * $m + $s);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(table = newFirst, a = newSecond, b = newThird)
+}
+
 object VectorExpressions {
   val FnName = "float_vector_dot"
 
@@ -458,6 +519,7 @@ object VectorExpressions {
   val PQLutFn = "pq_lut_dist"
   val PackFn = "codes_pack"
   val UnpackFn = "codes_unpack"
+  val PQCodeDotFn = "pq_code_dot"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -505,6 +567,22 @@ object VectorExpressions {
       PackFn, exprs => CodesPack(exprs.head), "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       UnpackFn, exprs => CodesUnpack(exprs.head), "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PQCodeDotFn,
+      exprs => {
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$PQCodeDotFn(table, a, b, m, k): m/k arguments must be $what"))
+        if (exprs.length != 5) throw bad("present (exactly 5 arguments)")
+        val mk = exprs.drop(3).map { e =>
+          if (!e.foldable) throw bad("foldable integer literals")
+          val v = e.eval()
+          if (v == null) throw bad("non-null")
+          if (!v.isInstanceOf[Number]) throw bad("integers")
+          v.asInstanceOf[Number].intValue()
+        }
+        PQCodeDot(exprs.head, exprs(1), exprs(2), mk(0), mk(1))
+      }, "scala_udf")
   }
 
   /** Codegen'd dot product of two `array<float>` columns (see class doc).
@@ -541,4 +619,11 @@ object VectorExpressions {
 
   /** Unsigned-byte load of a packed code column ([[CodesUnpack]]). */
   def codesUnpack(bin: Column): Column = call_function(UnpackFn, bin)
+
+  /** O(m) dot of two PQ-coded vectors via the precomputed subspace-dot
+    * table ([[PQCodeDot]]). */
+  def pqCodeDot(table: Column, a: Column, b: Column, m: Int, k: Int): Column =
+    call_function(PQCodeDotFn, table, a, b,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k))
 }

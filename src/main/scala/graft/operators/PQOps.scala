@@ -402,6 +402,107 @@ object PQOps {
         col("vec_id").as("neighbor_id"), col("cell"), col("adc_dist"))
   }
 
+  /** The m·k·k subspace-dot table of a collected codebook — the static
+    * input of [[graft.functions.PQCodeDot]]:
+    * `t[(i·k+j)·m+s] = Σ_c cb_i[s·sub+c] · cb_j[s·sub+c]` in fixed
+    * c-order doubles, entry-pair-major. k·k·m doubles (4 KB at k=m=8)
+    * replace every reconstruction the code-space screen would otherwise
+    * materialize. Validates the 0..k−1 id precondition the raw-code
+    * indexing relies on (the pqTopKLut rule). */
+  def pqCodeDotTable(cents: Seq[(Int, Array[Float])], m: Int,
+      sub: Int): Array[Double] = {
+    val k = cents.size
+    val ids = cents.map(_._1).sorted
+    require(ids == (0 until k),
+      s"pq code-dot table requires codebook ids exactly 0..${k - 1} " +
+        s"(indexed by raw code pairs); got [${ids.take(20).mkString(", ")}]")
+    val byId = cents.sortBy(_._1).map(_._2)
+    val t = new Array[Double](k * k * m)
+    for (i <- 0 until k; j <- 0 until k; s <- 0 until m) {
+      var acc = 0.0
+      var c = 0
+      while (c < sub) {
+        acc += byId(i)(s * sub + c).toDouble * byId(j)(s * sub + c).toDouble
+        c += 1
+      }
+      t((i * k + j) * m + s) = acc
+    }
+    t
+  }
+
+  /** PQ code-space cell index — the deepest tier of the compression
+    * screen ladder (SQ8's [[SimilarityOps.sq8CellIndex]] at 65 B/vector,
+    * this at ~8 B/vector + one 4 KB table): `(vec_id, cell, codes, nrm)`
+    * with `nrm` the reconstructed norm computed via the code-dot table,
+    * so floats are discarded after this one pass and never refetched.
+    * FULLY ROW-LOCAL (cellExprFor assignment + expression encode + table
+    * norm — zero shuffle, the pqIndex discipline); the ingest screen
+    * ([[graft.streaming.Streaming.pqSemanticScreenStream]]) consumes it
+    * as its static side. */
+  def pqCellIndex(emb: DataFrame, cells: DataFrame, codebook: DataFrame,
+      id: Column, vec: Column, m: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val cellRows = cells.select(id.cast("long").as("cid"), vec.as("ce"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val cbRows = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val (codes, _) = pqEncodeExprs(vec, cbRows, m, sub)
+    val table = typedLit(pqCodeDotTable(cbRows, m, sub).toSeq)
+    emb.select(id.as("vec_id"),
+        SimilarityOps.cellExprFor(vec, cellRows).as("cell"),
+        codes.as("codes"))
+      .withColumn("nrm", sqrt(VectorExpressions.pqCodeDot(table,
+        col("codes"), col("codes"), m, cbRows.size)))
+  }
+
+  /** Incremental semantic near-dup screen with BOTH sides in PQ code
+    * space — [[SimilarityOps.incrementalSemanticDedup]]'s contract
+    * (same cell-local compare, same (vec_id, cell, kept) schema) over
+    * reconstructed cosines computed entirely from codes: an arriving
+    * vector is dropped iff some corpus CODE vector in its cell reaches
+    * `threshold` reconstructed cosine. Per pair the compare is m table
+    * gathers ([[graft.functions.PQCodeDot]]) — no reconstruction is ever
+    * materialized, the corpus side is the ~8 B/vector [[pqCellIndex]],
+    * and the small delta side broadcasts so the corpus never shuffles.
+    *
+    * The SQ8 screen's code-space caveat applies one tier deeper: the
+    * codebook can only represent directions it was built from, so
+    * distribution drift at ingest warrants a codebook re-fit (the
+    * standing static-index rule). */
+  def pqSemanticScreen(delta: DataFrame, corpusIdx: DataFrame,
+      cells: DataFrame, codebook: DataFrame, id: Column, vec: Column,
+      threshold: Double, m: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(delta.sparkSession)
+    val cellRows = cells.select(id.cast("long").as("cid"), vec.as("ce"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val cbRows = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val (codes, _) = pqEncodeExprs(vec, cbRows, m, sub)
+    val table = typedLit(pqCodeDotTable(cbRows, m, sub).toSeq)
+    val k = cbRows.size
+    val enc = delta.select(id.as("vec_id"),
+        SimilarityOps.cellExprFor(vec, cellRows).as("cell"),
+        codes.as("_dc"))
+      .withColumn("_dn", sqrt(VectorExpressions.pqCodeDot(table,
+        col("_dc"), col("_dc"), m, k)))
+    val hits = broadcast(enc)
+      .join(corpusIdx.select(col("cell"), col("codes").as("_cc"),
+        col("nrm").as("_cn")), Seq("cell"))
+      .withColumn("_sim", when(col("_dn") * col("_cn") > 0,
+        round(VectorExpressions.pqCodeDot(table, col("_dc"), col("_cc"),
+          m, k) / (col("_dn") * col("_cn")), 6)))
+      .where(col("_sim") >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    enc.join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("kept"))
+  }
+
   /** Learn a PQ codebook: an independent `k`-means per subspace over the
     * corpus's sub-vectors (squared-L2 geometry — the metric PQ encodes,
     * unlike the cosine k-means of [[SimilarityOps.learnCentroids]]),

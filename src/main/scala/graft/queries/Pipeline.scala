@@ -2121,12 +2121,81 @@ object Pipeline {
          |FROM dh LEFT JOIN ih ON dh.doc_id = ih.doc_id""".stripMargin
     })
 
+  /** Incremental semantic screen with BOTH sides in PQ code space
+    * ([[PQOps.pqSemanticScreen]] over [[PQOps.pqCellIndex]]) — the q84
+    * contract (same delta/corpus split, same cell-local compare, same
+    * (vec_id, cell, kept) schema) at the deepest compression tier:
+    * ~8 bytes/vector static side, every compare m table gathers, no
+    * reconstruction materialized anywhere. The oracle replays raw-vector
+    * cell assignment (q84's CTE), the q94 encode chain, reconstructed
+    * norms, and the subspace-grouped reconstructed cosine — codebook,
+    * table arithmetic, and the keep decision all hash-pinned. */
+  private val q103 = QueryDef(
+    "q103_pq_semantic_screen",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.where(col("vec_id") < 8)
+      val idx = PQOps.pqCellIndex(
+        emb.where(pmod(col("vec_id"), lit(5)) =!= 0), cents, cents,
+        col("vec_id"), col("embedding"), PQ_M, PQ_SUB)
+      PQOps.pqSemanticScreen(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0), idx, cents, cents,
+        col("vec_id"), col("embedding"), COSINE_T, PQ_M, PQ_SUB)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      val gdot = (x: String, y: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s -> " +
+          s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          s"$x[s*$PQ_SUB+i] * $y[s*$PQ_SUB+i])), (u,w) -> u + w))), (u,w) -> u + w)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+         |csim AS (
+         |  SELECT a.vec_id, c.cid,
+         |    CASE WHEN a.nrm * c.cnrm > 0 THEN
+         |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
+         |  FROM v a CROSS JOIN cb c),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
+         |  WHERE crk = 1),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
+         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
+         |rn AS (SELECT vec_id, re, sqrt(${gdot("re", "re")}) AS rnrm FROM recon),
+         |hits AS (
+         |  SELECT DISTINCT dv.vec_id
+         |  FROM rn dv
+         |  JOIN assign da ON da.vec_id = dv.vec_id AND dv.vec_id % 5 = 0
+         |  JOIN assign ca ON ca.cell = da.cell AND ca.vec_id % 5 <> 0
+         |  JOIN rn cv ON cv.vec_id = ca.vec_id
+         |  WHERE (CASE WHEN dv.rnrm * cv.rnrm > 0
+         |    THEN round(${gdot("dv.re", "cv.re")} / (dv.rnrm * cv.rnrm), 6) END)
+         |    >= $COSINE_T)
+         |SELECT a.vec_id, a.cell, (h.vec_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
+         |WHERE a.vec_id % 5 = 0""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

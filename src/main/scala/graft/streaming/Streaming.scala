@@ -435,6 +435,55 @@ object Streaming {
       .select("vec_id", "cell", "kept")
   }
 
+  /** Ingest-time semantic screen at the DEEPEST compression tier —
+    * [[sq8SemanticScreenStream]]'s shape with both sides of the verify in
+    * PQ code space: the static side is [[graft.operators.PQOps
+    * .pqCellIndex]] (~8 bytes/vector + one 4 KB subspace-dot table,
+    * vs SQ8's 65 B/vector — the index for a 10⁹-vector corpus fits in
+    * single-digit GB), each arrival is cell-assigned and PQ-encoded
+    * row-locally, and every same-cell compare is m table gathers
+    * ([[graft.functions.PQCodeDot]]) — no reconstruction materialized
+    * anywhere. `kept = false` iff some corpus code vector in the
+    * arrival's cell reaches `threshold` reconstructed cosine — the
+    * decision [[graft.operators.PQOps.pqSemanticScreen]] makes on the
+    * same data (StreamingSpec parity).
+    *
+    * The SQ8 face's code-space caveat applies ONE TIER DEEPER: a PQ
+    * codebook spans at most k directions per subspace, so novelty
+    * orthogonal to the codebook collapses onto its nearest codeword and
+    * can screen as a near-dup a float (or SQ8) screen would keep.
+    * Distribution drift ⇒ re-fit the codebook and rebuild the index
+    * (the standing static-index rule); the cheap detector is the
+    * arrival-side ADC distance to its own code, this tier's
+    * reconstruction error. PERSIST the index before starting the
+    * stream (the mediaNearDupScreenStream lesson). */
+  def pqSemanticScreenStream(deltaEmb: DataFrame, corpusIdx: DataFrame,
+      cells: Seq[(Long, Array[Float])], codebook: Seq[(Int, Array[Float])],
+      threshold: Double, m: Int, sub: Int,
+      timeCol: String = "event_time"): DataFrame = {
+    import graft.functions.VectorExpressions
+    import graft.operators.{PQOps, SimilarityOps}
+    VectorExpressions.register(deltaEmb.sparkSession)
+    val (codes, _) = PQOps.pqEncodeExprs(col("embedding"), codebook, m, sub)
+    val table = typedLit(PQOps.pqCodeDotTable(codebook, m, sub).toSeq)
+    val k = codebook.size
+    deltaEmb.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"), col("vec_id"),
+        SimilarityOps.cellExprFor(col("embedding"), cells).as("cell"),
+        codes.as("_dc"))
+      .withColumn("_dn", sqrt(VectorExpressions.pqCodeDot(table,
+        col("_dc"), col("_dc"), m, k)))
+      .join(corpusIdx.select(col("cell"), col("codes").as("_cc"),
+        col("nrm").as("_cn")), Seq("cell"), "left")
+      .withColumn("_sim", when(col("_dn") * col("_cn") > 0,
+        round(VectorExpressions.pqCodeDot(table, col("_dc"), col("_cc"),
+          m, k) / (col("_dn") * col("_cn")), 6)))
+      .groupBy(window(col("_t"), "1 minute"), col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        (count(when(col("_sim") >= threshold, 1)) === 0).as("kept"))
+      .select("vec_id", "cell", "kept")
+  }
+
   /** Streaming face of [[graft.operators.TextOps.leakageSafeSplit]] — the
     * ingest-time split assignment: a doc arriving AFTER the corpus was
     * split must inherit its near-dup cluster's established bucket, or the

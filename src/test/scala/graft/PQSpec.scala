@@ -204,6 +204,65 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("pqCodeDot equals the dot of materialized reconstructions, doubles included") {
+    import graft.functions.VectorExpressions
+    val cb = emb.where(col("vec_id") < 8)
+    val cents = cb.select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val table = PQOps.pqCodeDotTable(cents, M, SUB)
+    val idx = PQOps.pqIndex(emb.where(col("vec_id") < 60), cb,
+      col("vec_id"), col("embedding"), M, SUB)
+      .select(col("vec_id"), col("codes"), col("recon")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2)))
+    def reconDot(a: Seq[Double], b: Seq[Double]): Double =
+      // the subspace-grouped order PQAdcDist/PQCodeDot both use
+      (0 until M).map { s =>
+        (0 until SUB).map(c => a(s * SUB + c) * b(s * SUB + c)).sum
+      }.sum
+    def codeDot(a: Seq[Int], b: Seq[Int]): Double =
+      (0 until M).map(s => table((a(s) * cents.size + b(s)) * M + s)).sum
+    for ((_, ca, ra) <- idx.take(10); (_, cb2, rb) <- idx.take(10)) {
+      assert(codeDot(ca, cb2) == reconDot(ra, rb),
+        "table gather must be bit-identical to the reconstructed dot")
+    }
+    // and through the EXPRESSION (codegen path), not just the Scala model
+    val two = emb.where(col("vec_id") < 2)
+    val got = PQOps.pqCellIndex(two, cb, cb,
+      col("vec_id"), col("embedding"), M, SUB)
+      .select(col("vec_id"), col("nrm")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byId = idx.map(t => t._1 -> t._3).toMap
+    got.foreach { case (id, nrm) =>
+      assert(nrm == math.sqrt(reconDot(byId(id), byId(id))),
+        s"vec $id index norm must equal the reconstructed self-dot norm")
+    }
+  }
+
+  test("pqCodeDotTable rejects non-contiguous codebook ids") {
+    val cents = Seq(1 -> Array.fill(64)(0.5f), 2 -> Array.fill(64)(0.25f))
+    val e = intercept[IllegalArgumentException] {
+      PQOps.pqCodeDotTable(cents, M, SUB)
+    }
+    assert(e.getMessage.contains("0..1"))
+  }
+
+  test("pq semantic screen: code-space keep-set equals the oracle shape on q84's split") {
+    // batch face sanity at spec scale: dropped vectors are exactly those
+    // with a same-cell corpus code-vector at reconstructed cosine >= T
+    val cents = emb.where(col("vec_id") < 8)
+    val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    val idx = PQOps.pqCellIndex(corpus, cents, cents,
+      col("vec_id"), col("embedding"), M, SUB)
+    val out = PQOps.pqSemanticScreen(delta, idx, cents, cents,
+      col("vec_id"), col("embedding"), 0.4, M, SUB).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.nonEmpty && out.keySet.forall(_ % 5 == 0))
+    assert(out.values.exists(identity) && out.values.exists(!_),
+      s"threshold 0.4 must split the delta: $out")
+  }
+
   test("exact re-rank of the shortlist recovers exact order on recovered pairs") {
     val idx = PQOps.pqIndex(emb, emb.where(col("vec_id") < 8),
       col("vec_id"), col("embedding"), M, SUB)

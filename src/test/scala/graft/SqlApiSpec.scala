@@ -64,6 +64,20 @@ class SqlApiSpec extends SparkSpec {
     assert(e.getMessage.contains("foldable"))
   }
 
+  test("pq_code_dot: SQL-callable, m/k guarded like the other folded args") {
+    graft.functions.VectorExpressions.register(spark)
+    // m=1, k=2: table[(a*2+b)*1+0] — codes (0) x (1) gather index 1
+    val d = spark.sql(
+      "SELECT pq_code_dot(array(10.0D, 20.0D, 30.0D, 40.0D), " +
+        "array(0), array(1), 1, 2) AS d").as[Double].head()
+    assert(d == 20.0)
+    val eCol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT pq_code_dot(t, a, b, m, 2) FROM VALUES " +
+        "(array(1.0D), array(0), array(0), 1) AS x(t, a, b, m)")
+    }
+    assert(eCol.getMessage.contains("foldable"))
+  }
+
   test("shingle_hashes width argument: clean analysis errors, not plan-time NPEs") {
     graft.functions.HashExpressions.register(spark)
     // sane call still works through SQL

@@ -422,6 +422,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqSemanticScreenStream keep-set equals the batch code-space screen") {
+    import graft.operators.PQOps
+    val emb = graft.Tables.embeddings(spark, sf).limit(60).cache()
+    val cents = emb.where(col("vec_id") < 8)
+    val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val deltaRows = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cellSeq = cents.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val cbSeq = cents.select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val idx = PQOps.pqCellIndex(corpus, cents, cents,
+      col("vec_id"), col("embedding"), 8, 8).persist()
+    val rows = deltaRows.zipWithIndex.map { case ((id, e), i) =>
+      (id, e, sec("2021-03-09 14:15:00", i)) }
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = Streaming.pqSemanticScreenStream(
+      in.toDS().toDF("vec_id", "embedding", "event_time"), idx,
+      cellSeq, cbSeq, 0.4, 8, 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pqscreen1").start()
+    try {
+      in.addData(rows.take(4).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(4).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData((999L, Array.fill(64)(0f), sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      def keyed(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val streamed = keyed(spark.table("pqscreen1")
+        .where(col("vec_id") < 999).collect())
+      val batch = keyed(PQOps.pqSemanticScreen(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0), idx, cents, cents,
+        col("vec_id"), col("embedding"), 0.4, 8, 8).collect())
+      assert(batch.values.exists(_._2) && batch.values.exists(!_._2),
+        s"fixture sanity — threshold must split the delta: $batch")
+      assert(streamed == batch,
+        "ingest-time code-space verdicts must equal the batch screen")
+    } finally { q.stop(); idx.unpersist(blocking = false) }
+  }
+
   test("snapshotDeltaAuditStream classifies arrivals like the batch face") {
     import graft.operators.AuditOps
     val snapshot = Seq(
