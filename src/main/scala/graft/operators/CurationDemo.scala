@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   *  11. snapshot audit of final-vs-raw: curation may only DROP — an
   *      added or changed row means some stage mutated or invented
   *      content, and the audit catches it row-exactly ([[AuditOps]])
+  *  12. layout-aware final WRITE: the sharded corpus lands as one
+  *      compacted, (shard, pos)-clustered parquet layout
+  *      ([[LayoutOps.compactedWrite]]) and [[LayoutOps.fileLayoutAudit]]
+  *      verifies what a trainer's reader relies on — file count at
+  *      target and per-file shard ranges disjoint, so "read shard 3"
+  *      opens one file, not all of them
   *
   * Every stage is the same operator the oracle-backed queries gate; the
   * demo only wires them together — and the wiring itself is regression-
@@ -42,12 +48,15 @@ object CurationDemo {
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
       videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
       afterMix: Long, nChunks: Long, nShards: Long,
-      auditRemoved: Long, auditMutatedOrAdded: Long)
+      auditRemoved: Long, auditMutatedOrAdded: Long,
+      nFiles: Long, layoutOverlaps: Long)
 
-  /** The full eight-stage composition; `verbose` adds the per-stage
-    * prints/shows the CLI demo displays. */
+  /** The full twelve-stage composition; `verbose` adds the per-stage
+    * prints/shows the CLI demo displays. The final corpus is written
+    * under `outDir` (a fresh temp directory when None — the demo's
+    * artifact is the stage-count vector, not the files). */
   def run(spark: SparkSession, sfDir: String,
-      verbose: Boolean = false): StageCounts = {
+      verbose: Boolean = false, outDir: Option[String] = None): StageCounts = {
     def say(s: => String): Unit = if (verbose) println(s)
 
     val docs = graft.Tables.documents(spark, sfDir)
@@ -192,9 +201,35 @@ object CurationDemo {
     say(s"[curate] audit vs raw snapshot: $nRemoved dropped, " +
       s"${audit.getOrElse("unchanged", 0L)} untouched, $nBad mutated/invented")
 
+    // 12. layout-aware final write: the corpus a trainer actually reads —
+    // doc content re-attached to its (shard, pos) order, compacted into
+    // nShards files range-clustered on (shard, pos). compactedWrite's
+    // disjoint-leading-key contract means each file covers a contiguous
+    // shard range, so a reader of one shard opens ~1 file; the audit
+    // verifies that from the written footers (running-max interval scan:
+    // a file whose shard_min sits strictly inside any earlier file's
+    // range is an overlap — 0 expected).
+    val outPath = outDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-curate-").toString) + "/corpus"
+    LayoutOps.compactedWrite(
+      sharded.join(mixed.select(col("doc_id"), col("text"), col("source")),
+        "doc_id"),
+      outPath, numFiles = 8, sortCols = Seq("shard", "pos"))
+    val layout = LayoutOps.fileLayoutAudit(spark, outPath, Seq("shard"))
+      .select(col("file"), col("n_rows"), col("shard_min"), col("shard_max"))
+      .collect().sortBy(r => (r.getLong(2), r.getString(0)))
+    val nFiles = layout.length.toLong
+    val overlaps = layout.foldLeft((Long.MinValue, 0L)) {
+      case ((runMax, bad), r) =>
+        (math.max(runMax, r.getLong(3)),
+          if (r.getLong(2) < runMax) bad + 1 else bad)
+    }._2
+    say(s"[curate] wrote $outPath: $nFiles files, " +
+      s"$overlaps shard-range overlaps (0 = exact file skipping per shard)")
+
     StageCounts(n0, n1, boiler, spanStats.getLong(0), spanStats.getLong(1),
       n3, n3s, nImg, nAud, nVid, n3m, n4, n5, nChunks, nShards,
-      nRemoved, nBad)
+      nRemoved, nBad, nFiles, overlaps)
   }
 
   def main(args: Array[String]): Unit = {

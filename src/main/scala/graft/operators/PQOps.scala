@@ -183,6 +183,28 @@ object PQOps {
         col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 
+  /** Vector dimension at or above which [[pqTopKLut]] outruns direct ADC
+    * scoring. Measured (DECISIONS.md "LUT-vs-ADC"): at dim=64 the ADC
+    * fold is 64 fused multiply-adds inside one codegen'd expression and
+    * BEATS the LUT's m dependent array gathers (1.19 s vs 2.22 s over
+    * 10 M candidates); the LUT's O(m) arithmetic only dominates once the
+    * per-candidate O(dim) work does — transformer embedding widths. The
+    * crossover is conservative: below it the measured loss is 1.9×, and
+    * because the two paths are bit-identical (PQSpec), a wrong guess
+    * here can cost time but never move a ranking. */
+  val LutMinDim: Int = 512
+
+  /** [[pqTopK]] with the scoring path SELF-SELECTING on vector width:
+    * direct ADC below [[LutMinDim]], the per-query lookup table at or
+    * above it. Same output either way — the two scorers are bit-identical
+    * by construction — so callers get the measured-faster plan without
+    * owning the dim heuristic. */
+  def pqTopKAuto(index: DataFrame, queries: DataFrame, codebook: DataFrame,
+      id: Column, vec: Column, k: Int, m: Int, sub: Int): DataFrame =
+    if (m * sub >= LutMinDim)
+      pqTopKLut(index, queries, codebook, id, vec, k, m, sub)
+    else pqTopK(index, queries, id, vec, k, sub)
+
   /** Row-local PQ encode against a COLLECTED codebook — the expression
     * engine behind BOTH [[pqIndex]] and the streaming encode face (a
     * stream could host neither the window argmin nor the collect_list

@@ -37,7 +37,10 @@ class CurationDemoSpec extends SparkSpec {
       nChunks = 5L,
       nShards = 8L,
       auditRemoved = 465L,       // 500 - 35: everything else untouched
-      auditMutatedOrAdded = 0L)  // the drop-only contract, end-to-end
+      auditMutatedOrAdded = 0L,  // the drop-only contract, end-to-end
+      nFiles = 8L,               // compactedWrite hit its file target
+      layoutOverlaps = 0L)       // per-file shard ranges disjoint: a
+                                 // one-shard read opens one file
     assert(got == want,
       s"stage-count vector drifted:\n  got  $got\n  want $want")
   }

@@ -117,6 +117,36 @@ class PQSpec extends SparkSpec {
     assert(adc == lut, s"LUT path diverged: ${(adc diff lut).take(3)}")
   }
 
+  test("pqTopKAuto dim-gates the scorer: ADC at dim=64, LUT at dim>=512, same rows") {
+    def scorerOf(df: org.apache.spark.sql.DataFrame) = {
+      val plan = df.queryExecution.analyzed.toString
+      (plan.contains("pqadcdist") || plan.contains("pq_adc_dist"),
+        plan.contains("pqlutdist") || plan.contains("pq_lut_dist"))
+    }
+    // dim = 64: the measured ADC-wins regime — auto must pick direct ADC
+    val cb = emb.where(col("vec_id") < 8)
+    val idx = PQOps.pqIndex(emb, cb, col("vec_id"), col("embedding"), M, SUB)
+    val auto64 = PQOps.pqTopKAuto(idx, queries, cb,
+      col("vec_id"), col("embedding"), 5, M, SUB)
+    assert(scorerOf(auto64) == ((true, false)),
+      "dim=64 must score through the direct ADC expression")
+    assert(auto64.collect().toSet == PQOps.pqTopK(idx, queries,
+      col("vec_id"), col("embedding"), 5, SUB).collect().toSet)
+    // dim = 512 (m=8, sub=64): the LUT regime — and because the two
+    // scorers are bit-identical, the rows still match the ADC path
+    val wide = emb.where(col("vec_id") < 40).select(col("vec_id"),
+      flatten(array_repeat(col("embedding"), 8)).as("embedding"))
+    val wcb = wide.where(col("vec_id") < 8)
+    val widx = PQOps.pqIndex(wide, wcb, col("vec_id"), col("embedding"), 8, 64)
+    val auto512 = PQOps.pqTopKAuto(widx, wide.where(col("vec_id") < 12), wcb,
+      col("vec_id"), col("embedding"), 5, 8, 64)
+    assert(scorerOf(auto512) == ((false, true)),
+      "dim=512 must score through the LUT gather expression")
+    assert(auto512.collect().toSet == PQOps.pqTopK(widx,
+      wide.where(col("vec_id") < 12),
+      col("vec_id"), col("embedding"), 5, 64).collect().toSet)
+  }
+
   test("binary sign screen: top-50 hamming shortlist recall floor (q98 tier)") {
     val short50 = SimilarityOps.binarySignTopK(emb, queries,
       col("vec_id"), col("embedding"), 64, 50)
