@@ -927,4 +927,77 @@ object DedupOps {
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
+
+  /** Takedown (right-to-be-forgotten) propagation: expand a deletion list
+    * to every corpus row the request REACHES — the compliance operator a
+    * training-data pipeline runs before a rebuild. Deleting only the
+    * listed rows is not enough: the same content typically survives as
+    * byte-exact mirrors and as near-duplicate rewrites, so the expanded
+    * set is, in priority order,
+    *
+    *   - `listed`     — the id is on the list (src_id = itself),
+    *   - `exact_copy` — byte-identical text to some listed doc,
+    *   - `near_dup`   — shares an LSH band bucket with a listed doc AND
+    *                    passes the exact shingle-Jaccard verify at
+    *                    `threshold` (the q33 discovery/verify pair — band
+    *                    recall, exact precision).
+    *
+    * One row per affected doc with its STRONGEST reason and the smallest
+    * triggering listed id (deterministic under any execution order) —
+    * the auditable artifact: who is dropped, why, and on whose request.
+    *
+    * Scale shape: the list is tiny by contract, so every list-derived
+    * side (ids, listed texts, listed band rows, the candidate set) is
+    * broadcast and the corpus NEVER self-joins — candidate volume is
+    * corpus × listed-buckets, not corpus². The corpus-side signature and
+    * sorted-shingle frames are exactly the index [[incrementalDedup]]'s
+    * ingest path already maintains; a deployment feeds the persisted
+    * index instead of recomputing (recomputed here for
+    * self-containment). Reference has no deletion surface; this derives
+    * from the dedup semantics of `/root/reference/processor/main.py`'s
+    * corpus model applied to the standard compliance requirement. */
+  def takedownPropagation(docs: DataFrame, deleteIds: DataFrame, id: Column,
+      text: Column, w: Int, threshold: Double): DataFrame = {
+    HashExpressions.register(docs.sparkSession)
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val del = deleteIds.select(col("doc_id"))
+    val listed = base.join(broadcast(del), "doc_id")
+    val exact = base.join(
+        broadcast(listed.select(col("text").as("_lt"),
+          col("doc_id").as("_src"))),
+        col("text") === col("_lt") && col("doc_id") =!= col("_src"))
+      .groupBy("doc_id").agg(min(col("_src")).as("src_id"))
+    val sig = minhashSignatures(docs, id, text, w)
+    val cand = bandRows(sig).join(
+        broadcast(bandRows(sig.join(broadcast(del), "doc_id"))
+          .select(col("band"), col("b"), col("doc_id").as("_src"))),
+        Seq("band", "b"))
+      .where(col("doc_id") =!= col("_src"))
+      .select("doc_id", "_src").distinct()
+    val arrs = shingleHashes(docs, id, text, w).groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+    val near = broadcast(cand)
+      .join(arrs.select(col("doc_id"), col("hs").as("_ha"),
+        col("n").as("na")), "doc_id")
+      .join(arrs.select(col("doc_id").as("_src"), col("hs").as("_hb"),
+        col("n").as("nb")), "_src")
+      .withColumn("n_common",
+        HashExpressions.sortedIntersectCount(col("_ha"), col("_hb")))
+      .where(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double")
+        >= threshold)
+      .groupBy("doc_id").agg(min(col("_src")).as("src_id"))
+    val wp = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_pri"), col("src_id"))
+    listed.select(col("doc_id"), lit("listed").as("reason"),
+        col("doc_id").as("src_id"), lit(0).as("_pri"))
+      .unionByName(exact.select(col("doc_id"),
+        lit("exact_copy").as("reason"), col("src_id"), lit(1).as("_pri")))
+      .unionByName(near.select(col("doc_id"),
+        lit("near_dup").as("reason"), col("src_id"), lit(2).as("_pri")))
+      .withColumn("rk", row_number().over(wp))
+      .where(col("rk") === 1)
+      .select("doc_id", "reason", "src_id")
+  }
 }

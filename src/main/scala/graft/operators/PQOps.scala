@@ -525,6 +525,64 @@ object PQOps {
         coalesce(col("_dup"), lit(false)).unary_!.as("kept"))
   }
 
+  /** Quantization-drift monitor — the operator behind the standing
+    * static-index rule ("distribution drift at ingest warrants a codebook
+    * re-fit") that until now was only documented: measure the PQ
+    * codebook's reconstruction error on an arriving DELTA against the
+    * same codebook's error on the corpus it was fitted to, and flag a
+    * re-fit when the ratio crosses `refitRatio`. A codebook can only
+    * represent directions it was built from, so a corpus whose
+    * distribution moves (new language, new embedding model, new domain)
+    * degrades EVERY downstream code-space screen silently — recall decays
+    * with no failed row anywhere. Recon error is the one number that
+    * sees it: `‖v − recon(encode(v))‖²` rises exactly when vectors leave
+    * the fitted manifold.
+    *
+    * Output two rows `(side, n, mean_err, max_err, err_ratio, refit)` —
+    * `baseline` (ratio 1.0, never flags) and `delta` (ratio =
+    * delta mean / baseline mean on the 6-rounded means, flags at
+    * `refitRatio`). Mean rides [[graft.functions.Exact]]'s decimal-sum
+    * path (order-independent, engine-reproducible); per-row error is the
+    * same fixed-order [[graft.functions.PQAdcDist]] arithmetic the
+    * search path scores with, so the monitor measures EXACTLY the error
+    * the screens experience. Fully row-local per side (the
+    * [[pqEncodeExprs]] encode + one aggregate each — zero shuffle,
+    * O(corpus + delta) one-pass); at ingest run the baseline row once at
+    * fit time and persist it. */
+  def quantizationDrift(baseline: DataFrame, delta: DataFrame,
+      codebook: DataFrame, id: Column, vec: Column, m: Int, sub: Int,
+      refitRatio: Double = 1.5): DataFrame = {
+    require(refitRatio > 0, s"refitRatio must be positive, got $refitRatio")
+    VectorExpressions.register(baseline.sparkSession)
+    val rows = codebook.select(id.cast("int").as("cid"), vec.as("ce"))
+      .collect()
+    require(rows.nonEmpty, "codebook must be non-empty")
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    def stats(side: DataFrame) = {
+      val (_, recon) = pqEncodeExprs(vec, cents, m, sub)
+      side.select(
+          VectorExpressions.pqAdcDist(vec, recon, sub).as("_err"))
+        .agg(count(lit(1)).as("n"),
+          round(graft.functions.Exact.dsum(col("_err")) / count(lit(1)), 6)
+            .as("mean_err"),
+          round(max(col("_err")), 6).as("max_err"))
+    }
+    val b = stats(baseline)
+    b.withColumn("side", lit("baseline"))
+      .withColumn("err_ratio", lit(1.0))
+      .withColumn("refit", lit(false))
+      .unionByName(stats(delta)
+        .crossJoin(broadcast(b.select(col("mean_err").as("_bm"))))
+        .withColumn("side", lit("delta"))
+        .withColumn("err_ratio", when(col("_bm") > 0,
+          round(col("mean_err") / col("_bm"), 6)))
+        .withColumn("refit",
+          coalesce(col("err_ratio") >= refitRatio, lit(false)))
+        .drop("_bm"))
+      .select("side", "n", "mean_err", "max_err", "err_ratio", "refit")
+  }
+
   /** Learn a PQ codebook: an independent `k`-means per subspace over the
     * corpus's sub-vectors (squared-L2 geometry — the metric PQ encodes,
     * unlike the cosine k-means of [[SimilarityOps.learnCentroids]]),

@@ -579,4 +579,56 @@ object SimilarityOps {
       .where(col("cos_sim") >= threshold)
       .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
   }
+
+  /** Diversity-aware (cluster-balanced) sampling: draw ~`budget` vectors
+    * with per-cell quotas ∝ `n_cell^alpha` — the embedding-space analog
+    * of [[TextOps.temperatureMix]]'s source rule, applied to SemDeDup
+    * cells instead of source labels. At `alpha < 1` the head cells (the
+    * over-represented modes a web corpus is full of) are downsampled
+    * harder than the tail, so the sample COVERS the embedding space
+    * instead of reproducing its skew — the cluster-coverage selection
+    * step of data-pruning pipelines (publicly described in SemDeDup-
+    * style curation literature: prune within clusters, balance across
+    * them). `alpha = 1` degenerates to uniform sampling at rate
+    * budget/corpus.
+    *
+    * Deterministic end to end: assignment is the row-local
+    * [[cellExprFor]] (collected k-row centroid set — value-identical to
+    * [[assignCells]], StreamingSpec parity), the realized draw is the
+    * house avalanched-hash millionth rule on `vec_id` (same decision on
+    * any engine/retry/face), and quota rates use the fixed-order
+    * arithmetic the oracle replays. Per-cell rate = budget·p_cell /
+    * n_cell capped at 1 (an undersized cell contributes everything it
+    * has — the [[TextOps.corpusMix]] clamp, deviation visible in the
+    * kept counts). Plan shape: one tiny per-cell aggregate, one
+    * broadcast join back — the corpus never shuffles. Output
+    * `(vec_id, cell, kept)`. */
+  def diversitySample(emb: DataFrame, centroids: DataFrame, id: Column,
+      vec: Column, alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    VectorExpressions.register(emb.sparkSession)
+    val cents = centroids.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val assigned = emb.select(id.as("vec_id"),
+      cellExprFor(vec, cents).as("cell"))
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    val w = alpha match {
+      case 0.5 => sqrt(col("n_cell").cast("double"))
+      case 1.0 => col("n_cell").cast("double")
+      case a   => pow(col("n_cell").cast("double"), lit(a))
+    }
+    val weighted = counts.withColumn("_w", w)
+    val rates = weighted
+      .crossJoin(broadcast(weighted.agg(
+        graft.functions.Exact.dsum(col("_w")).as("_wt"))))
+      .withColumn("thr", least(lit(1000000L),
+        floor((lit(budget.toDouble) * (col("_w") / col("_wt"))
+          / col("n_cell").cast("double")) * lit(1000000.0)).cast("long")))
+      .select("cell", "thr")
+    assigned.join(broadcast(rates), "cell")
+      .select(col("vec_id"), col("cell"),
+        (pmod(pmod(col("vec_id") * lit(2654435761L), lit(P)),
+          lit(1000000L)) < col("thr")).as("kept"))
+  }
 }

@@ -2190,12 +2190,180 @@ object Pipeline {
          |WHERE a.vec_id % 5 = 0""".stripMargin
     })
 
+  /** Takedown propagation: the deletion list (every 97th doc) expanded to
+    * byte-exact mirrors and verified near-duplicates, one row per
+    * affected doc with its strongest reason and smallest triggering
+    * listed id ([[DedupOps.takedownPropagation]]). The oracle replays the
+    * list, the text-equality mirror join, the q32/q33 band-discovery +
+    * exact-Jaccard verify chain, and the priority resolution. */
+  private val q104 = QueryDef(
+    "q104_takedown_propagation",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.takedownPropagation(docs,
+        docs.where(col("doc_id") % 97 === 0).select("doc_id"),
+        col("doc_id"), col("text"), SHINGLE_W, JACCARD_T)
+    },
+    s"""WITH $sigCte,
+       |del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id, y.doc_id AS src
+       |  FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.b = y.b
+       |    AND x.doc_id <> y.doc_id
+       |  JOIN del ON y.doc_id = del.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_id, c.src, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_id
+       |  JOIN sh b ON b.doc_id = c.src AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT i.doc_id, min(i.src) AS src_id
+       |  FROM inter i
+       |  JOIN sizes sa ON i.doc_id = sa.doc_id
+       |  JOIN sizes sb ON i.src = sb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE)
+       |    / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JACCARD_T
+       |  GROUP BY 1),
+       |ex AS (
+       |  SELECT d.doc_id, min(l.doc_id) AS src_id
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, text FROM documents JOIN del USING (doc_id)) l
+       |    ON d.text = l.text AND d.doc_id <> l.doc_id
+       |  GROUP BY 1),
+       |allr AS (
+       |  SELECT doc_id, 'listed' AS reason, doc_id AS src_id, 0 AS pri
+       |  FROM del
+       |  UNION ALL SELECT doc_id, 'exact_copy', src_id, 1 FROM ex
+       |  UNION ALL SELECT doc_id, 'near_dup', src_id, 2 FROM near)
+       |SELECT doc_id, reason, src_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY pri, src_id) AS rk FROM allr) t
+       |WHERE rk = 1""".stripMargin)
+
+  /** Quantization-drift monitor ([[PQOps.quantizationDrift]]): the PQ
+    * codebook's reconstruction error on a drifted delta (every 7th
+    * vector OFFSET by +2 per component in single-precision — a region
+    * the codebook never saw; float arithmetic is bit-exact cross-engine,
+    * the cellResiduals precedent) vs its error on the corpus it
+    * represents; the delta row must flag a re-fit (DriftSpec pins the
+    * flag). The oracle replays the q94 encode chain on both sides, the
+    * subspace-grouped ADC error, the decimal-exact means, and the ratio
+    * gate — so the number that triggers production re-fits is itself
+    * hash-pinned. */
+  private val q105 = QueryDef(
+    "q105_quantization_drift",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      PQOps.quantizationDrift(
+        emb,
+        emb.where(col("vec_id") % 7 === 0)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x + lit(2.0f))),
+        emb.where(col("vec_id") < PQ_K),
+        col("vec_id"), col("embedding"), PQ_M, PQ_SUB)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
+         |uni AS (
+         |  SELECT 'baseline' AS side, vec_id, e FROM v
+         |  UNION ALL
+         |  SELECT 'delta', vec_id, list_transform(e, x -> x + CAST(2.0 AS REAL))
+         |  FROM v WHERE vec_id % 7 = 0),
+         |dists AS (
+         |  SELECT u.side, u.vec_id, c.cid, s.s, ${subDist("u.e", "c.ce", "s.s")} AS dist
+         |  FROM uni u CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT side, vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY side, vec_id, s
+         |      ORDER BY dist, cid) AS rk FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.side, d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.side, codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.side, d.vec_id),
+         |err AS (
+         |  SELECT u.side, u.vec_id,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |        ${sq(s"CAST(u.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |        (x,y) -> x + y))), (x,y) -> x + y) AS e2
+         |  FROM uni u JOIN recon r ON u.side = r.side AND u.vec_id = r.vec_id),
+         |st AS (
+         |  SELECT side, CAST(count(*) AS BIGINT) AS n,
+         |    round(CAST(CAST(SUM(CAST(e2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         |      / count(*), 6) AS mean_err,
+         |    round(max(e2), 6) AS max_err
+         |  FROM err GROUP BY side)
+         |SELECT st.side, st.n, st.mean_err, st.max_err,
+         |  CASE WHEN st.side = 'baseline' THEN 1.0
+         |       WHEN b.bm > 0 THEN round(st.mean_err / b.bm, 6) END AS err_ratio,
+         |  CASE WHEN st.side = 'baseline' THEN FALSE
+         |       ELSE coalesce(CASE WHEN b.bm > 0
+         |         THEN round(st.mean_err / b.bm, 6) >= 1.5 END, FALSE)
+         |  END AS refit
+         |FROM st CROSS JOIN
+         |  (SELECT mean_err AS bm FROM st WHERE side = 'baseline') b""".stripMargin
+    })
+
+  /** Diversity-aware sampling ([[SimilarityOps.diversitySample]]):
+    * ~100 vectors drawn with per-cell quotas ∝ √n_cell over the q43
+    * cell geometry — head cells downsampled harder, coverage over skew.
+    * The oracle replays cell assignment, the decimal-exact weight total,
+    * the fixed-order millionth thresholds, and the avalanched id draw —
+    * every kept/dropped decision hash-pinned. */
+  private val q106 = QueryDef(
+    "q106_diversity_sample",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.diversitySample(emb, emb.where(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), 0.5, 100L)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+       |csim AS (
+       |  SELECT a.vec_id, c.cid,
+       |    CASE WHEN a.nrm * c.cnrm > 0 THEN
+       |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
+       |  FROM v a CROSS JOIN cb c),
+       |assign AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
+       |  WHERE crk = 1),
+       |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+       |  FROM assign GROUP BY cell),
+       |wt AS (SELECT cell, n_cell, sqrt(CAST(n_cell AS DOUBLE)) AS w FROM cnt),
+       |tot AS (SELECT CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR)
+       |    AS DOUBLE) AS wtot FROM wt),
+       |thr AS (SELECT cell, least(1000000, CAST(floor(
+       |    ((100.0 * (w / wtot)) / CAST(n_cell AS DOUBLE)) * 1000000.0)
+       |    AS BIGINT)) AS thr FROM wt CROSS JOIN tot)
+       |SELECT a.vec_id, a.cell,
+       |  (((a.vec_id * 2654435761) % 1000000007) % 1000000) < t.thr AS kept
+       |FROM assign a JOIN thr t USING (cell)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
+    q104, q105, q106)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -381,6 +381,47 @@ object Streaming {
     emb.select(col("vec_id"), codes.as("codes"), recon.as("recon"))
   }
 
+  /** Ingest face of [[graft.operators.PQOps.quantizationDrift]] — the
+    * live detector behind the static-index re-fit rule: arriving
+    * embeddings are PQ-encoded row-locally against the frozen codebook,
+    * their reconstruction error ([[graft.functions.PQAdcDist]] self-
+    * distance — the same fixed-order arithmetic every code-space screen
+    * scores with) is aggregated per minute, and each window compares its
+    * mean against `baselineMeanErr` — the corpus-at-fit-time scalar the
+    * batch operator's baseline row produces ONCE and a deployment
+    * persists beside the codebook. A window whose ratio crosses
+    * `refitRatio` flags `refit = true`: the signal to re-learn the
+    * codebook and rebuild the code-space indexes before their recall
+    * silently decays. Stateless beyond the one watermarked window agg;
+    * per-window output `(minute, n, mean_err, max_err, err_ratio,
+    * refit)` — the batch delta row's schema keyed by window
+    * (StreamingSpec pins stats parity against the batch operator on the
+    * same rows). */
+  def quantizationDriftStream(emb: DataFrame,
+      codebook: Seq[(Int, Array[Float])], baselineMeanErr: Double,
+      m: Int, sub: Int, refitRatio: Double = 1.5,
+      timeCol: String = "event_time"): DataFrame = {
+    require(refitRatio > 0, s"refitRatio must be positive, got $refitRatio")
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val (_, recon) = graft.operators.PQOps.pqEncodeExprs(
+      col("embedding"), codebook, m, sub)
+    emb.withWatermark(timeCol, WatermarkDelay)
+      .select(col(timeCol).as("_t"),
+        graft.functions.VectorExpressions.pqAdcDist(
+          col("embedding"), recon, sub).as("_err"))
+      .groupBy(window(col("_t"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Exact.dsum(col("_err")) / count(lit(1)), 6)
+          .as("mean_err"),
+        round(max(col("_err")), 6).as("max_err"))
+      .withColumn("err_ratio", when(lit(baselineMeanErr) > 0,
+        round(col("mean_err") / lit(baselineMeanErr), 6)))
+      .withColumn("refit",
+        coalesce(col("err_ratio") >= refitRatio, lit(false)))
+      .select(col("w.start").as("minute"), col("n"), col("mean_err"),
+        col("max_err"), col("err_ratio"), col("refit"))
+  }
+
   /** Ingest-time semantic near-dup screen against the COMPRESSED corpus —
     * [[semanticDedupStream]] with both sides of the verify in SQ8 code
     * space: the corpus side is [[graft.operators.SimilarityOps

@@ -1211,4 +1211,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(low.catchAtThreshold > 0.9,
       "8x1 at s=0.3 catches >90% - the recall-first operating point")
   }
+
+  test("takedownPropagation: exact mirrors and verified near-dups, strongest reason wins") {
+    // sf corpus + one planted byte mirror of doc 0. List = {0}: doc 82 is
+    // 0's (deterministic) LSH-caught near-dup, and the mirror — which is
+    // ALSO a near-dup of 0 (identical text ⇒ jaccard 1) — must surface as
+    // exact_copy: the strongest reason wins, one row per doc.
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Tables.documents(spark, sf).where(col("doc_id") === 0)
+        .select(lit(9001L).as("doc_id"), col("text")))
+    val out = DedupOps.takedownPropagation(corpus, Seq(0L).toDF("doc_id"),
+      col("doc_id"), col("text"), 2, 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(
+      0L -> (("listed", 0L)),
+      82L -> (("near_dup", 0L)),
+      9001L -> (("exact_copy", 0L))),
+      s"unexpected takedown reach: $out")
+    // an empty list reaches nothing
+    assert(DedupOps.takedownPropagation(corpus,
+      Seq.empty[Long].toDF("doc_id"), col("doc_id"), col("text"), 2, 0.3)
+      .count() == 0L)
+  }
+
+  test("diversitySample flattens cell skew: smaller cells keep at higher rates") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.where(col("vec_id") < 8)
+    val out = SimilarityOps.diversitySample(emb, cents,
+      col("vec_id"), col("embedding"), 0.5, 100L)
+    val byCell = out.groupBy("cell").agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum(when(col("kept"), 1L)
+        .otherwise(0L)).as("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // √n quotas: keep RATE must not increase with cell size (the
+    // flattening contract), up to the 1e-6 draw granularity
+    val rates = byCell.sortBy(_._1).map { case (n, k) => k.toDouble / n }
+    rates.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 0.05, s"keep rates must fall with cell size: $rates")
+    case _ => () }
+    val total = byCell.map(_._2).sum
+    assert(total >= 80 && total <= 120,
+      s"realized sample $total strays from the 100 budget")
+    // alpha = 1 degenerates to one uniform rate across cells
+    val uni = SimilarityOps.diversitySample(emb, cents,
+      col("vec_id"), col("embedding"), 1.0, 100L)
+      .groupBy("cell").agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(when(col("kept"), 1L)
+          .otherwise(0L)).as("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = emb.count()
+    uni.foreach { case (nc, kc) =>
+      val expect = 100.0 / n
+      assert(math.abs(kc.toDouble / nc - expect) <= 0.08,
+        s"alpha=1 cell rate ${kc.toDouble / nc} strays from uniform $expect") }
+  }
 }

@@ -663,6 +663,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantizationDriftStream windows equal the batch monitor's delta row") {
+    import graft.operators.PQOps
+    val emb = graft.Tables.embeddings(spark, sf).limit(40).cache()
+    val cbDf = emb.where(col("vec_id") < 8)
+    val cents = cbDf.select(col("vec_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // minute 1: in-distribution rows; minute 2: the same rows pushed off
+    // the fitted manifold (+2 per component, single-precision)
+    val inDist = all.take(20)
+    val drifted = all.drop(20).map { case (id, e) => (id, e.map(_ + 2.0f)) }
+    val baseMean = PQOps.quantizationDrift(emb, emb, cbDf,
+      col("vec_id"), col("embedding"), 8, 8).where(col("side") === "baseline")
+      .select("mean_err").head.getDouble(0)
+    def batchDelta(rows: Array[(Long, Array[Float])]) =
+      PQOps.quantizationDrift(emb, rows.toSeq.toDF("vec_id", "embedding"),
+        cbDf, col("vec_id"), col("embedding"), 8, 8)
+        .where(col("side") === "delta")
+        .select("n", "mean_err", "max_err", "err_ratio", "refit").head
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = Streaming.quantizationDriftStream(
+      in.toDS().toDF("vec_id", "embedding", "event_time"), cents,
+      baseMean, 8, 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qdrift1").start()
+    try {
+      in.addData(inDist.map { case (id, e) =>
+        (id, e, ts("2021-03-09 14:15:00")) }.toIndexedSeq: _*)
+      in.addData(drifted.map { case (id, e) =>
+        (id, e, ts("2021-03-09 14:16:00")) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // a far-future row closes both windows in append mode
+      in.addData((999L, Array.fill(64)(0f), sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val windows = spark.table("qdrift1")
+        .where(col("minute") < ts("2021-03-09 14:17:00")).collect()
+        .map(r => r.getTimestamp(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getBoolean(5)))).toMap
+      assert(windows.size == 2, s"expected two closed windows: $windows")
+      def asTuple(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4))
+      val calm = windows(ts("2021-03-09 14:15:00"))
+      val hot = windows(ts("2021-03-09 14:16:00"))
+      assert(calm == asTuple(batchDelta(inDist)),
+        "in-distribution window must equal the batch monitor row-for-row")
+      assert(hot == asTuple(batchDelta(drifted)),
+        "drifted window must equal the batch monitor row-for-row")
+      assert(!calm._5 && hot._5,
+        s"refit must flag exactly the drifted window: calm=$calm hot=$hot")
+    } finally q.stop()
+  }
+
   test("mediaNearDupScreenStream: exact-hamming screen, band collision alone never drops") {
     // Corpus: one good fingerprint; one BROKEN row (ok=false, hash 0) that
     // must be excluded from the index or it would absorb every zero-ish delta.
