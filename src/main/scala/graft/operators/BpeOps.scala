@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer FITTING — the piece of a training-data
+  * pipeline that turns the curated corpus into the model's own
+  * vocabulary (public method: Sennrich, Haddow, Birch, "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016; the
+  * word-frequency formulation is the reference implementation's).
+  *
+  * The fit runs on the WORD-FREQUENCY table, not the corpus: pair counts
+  * are identical whether summed over 100 TB of text or over its
+  * vocab-sized `(word, freq)` aggregate, so one corpus-wide word count
+  * (the [[TextOps.vocabulary]] shuffle) reduces every subsequent
+  * iteration to vocab-scale work — the standard trick that makes BPE
+  * fitting tractable at scale (production fits additionally sample; the
+  * operator takes whatever frame it is given). Each of the `numMerges`
+  * iterations is one distributed pair-count aggregation plus a 1-row
+  * argmax collect (count desc, then lexicographic — fully
+  * deterministic), then a row-local fold rewrites the symbol arrays;
+  * intermediate tables are persisted and released iteration-over-
+  * iteration (the q48 lifecycle rule) so lineage never re-derives the
+  * whole chain.
+  *
+  * Symbols follow the paper: a word is its characters plus a terminal
+  * [[EndOfWord]] marker, so learned units distinguish "est-" from
+  * "-est". Merging is the greedy LEFT-TO-RIGHT non-overlapping rewrite
+  * ("aaa" + merge (a,a) → ["aa","a"]), expressed as an `aggregate` HOF —
+  * codegen'd column arithmetic, no UDF. */
+object BpeOps {
+
+  /** Terminal symbol closing every word (the paper's `</w>`). */
+  val EndOfWord = "</w>"
+
+  /** `(word, freq)` over whitespace words — the fit input. */
+  def wordFreqs(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** A word as its BPE start symbols: characters + [[EndOfWord]]. */
+  def toSymbols(word: Column): Column =
+    concat(filter(split(word, ""), s => s =!= ""), array(lit(EndOfWord)))
+
+  /** Greedy left-to-right non-overlapping rewrite of one merge over a
+    * symbol array — the BPE inner loop as a stateless fold: append each
+    * symbol, except when the accumulator's last element is `left` and
+    * the symbol is `right`, in which case the pair collapses to
+    * `left+right` (and, having consumed the left, cannot chain into an
+    * overlapping second merge — the "aaa" case). */
+  def mergePair(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, t) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(left) && t === lit(right),
+        concat(slice(acc, lit(1), size(acc) - lit(1)),
+          array(lit(left + right))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Learn `numMerges` merges over `freqs` (a [[wordFreqs]] frame).
+    * Returns `(rank, left, right, pair_count)` in learn order; stops
+    * early when no pair reaches `minPairCount` (merging noise pairs
+    * below it buys vocabulary slots nothing). Iterative by nature —
+    * each rank's counts depend on every earlier rewrite — so the driver
+    * coordinates `numMerges` vocab-scale jobs; the corpus itself is
+    * touched only by the one [[wordFreqs]] aggregation. */
+  def bpeLearn(freqs: DataFrame, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    var words = freqs.select(toSymbols(col("word")).as("toks"),
+      col("freq")).persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    try {
+      var done = false
+      var rank = 0L
+      while (!done && rank < numMerges) {
+        val best = words
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - lit(1)),
+            slice(col("toks"), lit(2), size(col("toks")) - lit(1)),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty || best.head.getLong(2) < minPairCount) done = true
+        else {
+          val (l, r, n) = (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+          merges += ((rank, l, r, n))
+          val next = words.select(mergePair(col("toks"), l, r).as("toks"),
+            col("freq")).persist()
+          next.count()
+          words.unpersist(blocking = false)
+          words = next
+          rank += 1
+        }
+      }
+    } finally words.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Tokens of `text` under an ORDERED merge list: per word, the char
+    * symbols folded through every merge in rank order, flattened across
+    * words. One expression node chain per merge — row-local and
+    * codegen'd, the right shape for the bounded merge lists the tests
+    * and demos fit; a full 32k-vocab production tokenizer would compile
+    * the merge table into a longest-match trie expression instead of
+    * chaining 32k folds (same contract, denser code — the documented
+    * scale path). */
+  def bpeTokensExpr(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(
+      filter(split(text, " "), w => length(w) > 0),
+      w => merges.foldLeft(toSymbols(w)) { case (s, (l, r)) =>
+        mergePair(s, l, r) }))
+
+  /** Per-doc tokenization under a learned merge table ([[bpeLearn]]
+    * output — collected in rank order; merge tables are vocab-sized by
+    * construction, the broadcast-side convention). Output
+    * `(doc_id, tokens, n_tokens)`. */
+  def bpeTokenize(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = bpeTokensExpr(text, m)
+    docs.select(id.as("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+}

@@ -956,6 +956,29 @@ object DedupOps {
     * self-containment). Reference has no deletion surface; this derives
     * from the dedup semantics of `/root/reference/processor/main.py`'s
     * corpus model applied to the standard compliance requirement. */
+  /** The PERSISTED static side of the takedown screen — the compliance
+    * blocklist index a deployment maintains beside its corpus: for every
+    * listed doc, its byte-exact text, its two LSH band buckets, and its
+    * sorted shingle-hash array with count (the exact-Jaccard verify
+    * payload). One row per (listed doc, band); list-sized, so it
+    * broadcasts at every use site. [[graft.streaming.Streaming
+    * .takedownScreenStream]] consumes it; rebuild when the list
+    * changes. */
+  def takedownIndex(docs: DataFrame, deleteIds: DataFrame, id: Column,
+      text: Column, w: Int): DataFrame = {
+    HashExpressions.register(docs.sparkSession)
+    val listed = docs.select(id.as("doc_id"), text.as("text"))
+      .join(broadcast(deleteIds.select(col("doc_id"))), "doc_id")
+    val arrs = shingleHashes(listed, col("doc_id"), col("text"), w)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n"))
+    bandRows(minhashSignatures(listed, col("doc_id"), col("text"), w))
+      .join(listed, "doc_id").join(arrs, "doc_id")
+      .select(col("doc_id").as("src_id"), col("text"), col("band"),
+        col("b"), col("hs"), col("n"))
+  }
+
   def takedownPropagation(docs: DataFrame, deleteIds: DataFrame, id: Column,
       text: Column, w: Int, threshold: Double): DataFrame = {
     HashExpressions.register(docs.sparkSession)

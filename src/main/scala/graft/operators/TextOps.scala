@@ -474,6 +474,51 @@ object TextOps {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Source-interleaved training order — the read-order companion to
+    * [[shuffleShards]]: a global content-hash shuffle makes long
+    * same-source runs UNLIKELY; this makes them IMPOSSIBLE (until
+    * sources exhaust), which is what curriculum-sensitive training
+    * wants — round `r` of the order takes the `r`-th doc of every
+    * source still holding one, sources in name order, docs within a
+    * source in the avalanched content-draw order (the shuffleShards
+    * draw, so each source's stream is internally shuffled and
+    * reproducible). A doc's global position is CLOSED-FORM from its
+    * in-source rank and the per-source counts: positions before it =
+    * full rounds `Σ_s' min(n_s', r−1)` + its slot within round `r`
+    * (sources with `n ≥ r` and smaller name) — evaluated row-locally
+    * against the collected per-source count table (source-count-sized,
+    * the broadcast convention), so the ONLY shuffle is the per-source
+    * rank window. That window sorts each source in one partition — fine
+    * at typical source cardinalities; a corpus-dominating source would
+    * swap in the hierarchical prefix-sum rank ([[packSequences]]'s
+    * machinery, the W4 chunked-escape-hatch precedent). Output
+    * `(doc_id, source, rank_in_source, global_pos)`; `global_pos` is a
+    * permutation of 1..n. */
+  def interleavedOrder(docs: DataFrame, id: Column, text: Column,
+      source: Column): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val mixed = pmod(hashes.polyHash(text) * lit(31L) + id, lit(P))
+    val draw = pmod(mixed * lit(2654435761L), lit(P))
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      draw.as("_k"))
+    val ranked = base.withColumn("r", row_number().over(
+      Window.partitionBy("source").orderBy(col("_k"), col("doc_id")))
+      .cast("long"))
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val rounds = counts.map { case (_, n) =>
+      least(lit(n), col("r") - lit(1L)) }
+      .reduce[Column](_ + _)
+    val slot = counts.map { case (s, n) =>
+      when(lit(s) < col("source") && lit(n) >= col("r"), lit(1L))
+        .otherwise(lit(0L)) }
+      .reduce[Column](_ + _)
+    ranked.select(col("doc_id"), col("source"),
+      col("r").as("rank_in_source"),
+      (rounds + slot + lit(1L)).as("global_pos"))
+  }
+
   /** Repeated-span REMOVAL — the passage-level cut the span-dedup
     * literature applies where doc-level dedup keeps both copies: excise
     * from every document each maximal token span of ≥ `minSpanTokens`

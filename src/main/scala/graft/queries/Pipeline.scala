@@ -2357,13 +2357,53 @@ object Pipeline {
        |  (((a.vec_id * 2654435761) % 1000000007) % 1000000) < t.thr AS kept
        |FROM assign a JOIN thr t USING (cell)""".stripMargin)
 
+  /** BPE tokenizer fit ([[BpeOps.bpeLearn]]): 16 merges learned over the
+    * corpus word-frequency table — iterative distributed argmax, not
+    * SQL-expressible (each rank's pair counts depend on every earlier
+    * rewrite) → rows-only driver check; the merge sequence itself is
+    * pinned against a hand-computed Sennrich fixture in BpeSpec, and the
+    * greedy rewrite + round-trip contracts are spec-gated there. */
+  private val q107 = QueryDef(
+    "q107_bpe_merges",
+    (s, d) => graft.operators.BpeOps.bpeLearn(
+      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
+      16),
+    None)
+
+  /** Source-interleaved training order ([[TextOps.interleavedOrder]]):
+    * round-robin across sources, shuffled within each — same-source runs
+    * impossible until sources exhaust. The oracle replays the avalanched
+    * draw, the per-source rank window, and the closed-form position
+    * (rounds-before + within-round slot) relationally — the exact
+    * permutation is hash-pinned. */
+  private val q108 = QueryDef(
+    "q108_interleaved_order",
+    (s, d) => TextOps.interleavedOrder(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("source")),
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+       |      AS BIGINT) AS r
+       |  FROM (SELECT doc_id, source,
+       |      ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
+       |        * 2654435761) % $P AS k
+       |    FROM documents) t),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY source)
+       |SELECT x.doc_id, x.source, x.r AS rank_in_source,
+       |  CAST(sum(least(c.n, x.r - 1))
+       |    + sum(CASE WHEN c.source < x.source AND c.n >= x.r
+       |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS global_pos
+       |FROM ranked x CROSS JOIN cnt c
+       |GROUP BY x.doc_id, x.source, x.r""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106)
+    q104, q105, q106, q107, q108)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -321,6 +321,64 @@ object Streaming {
       .drop("_b0", "_b1")
   }
 
+  /** Ingest face of [[graft.operators.DedupOps.takedownPropagation]] —
+    * the screen that keeps REMOVED content from re-entering: a takedown
+    * reaches its mirrors and near-dups once in batch, but a web recrawl
+    * will keep re-surfacing the same content forever, so every ARRIVING
+    * doc is checked against the persisted compliance blocklist index
+    * ([[graft.operators.DedupOps.takedownIndex]] — listed texts, band
+    * buckets, and sorted shingle arrays; list-sized, broadcast). Verdicts
+    * per blocked arrival: `exact_copy` (byte-identical text to a listed
+    * doc) beats `near_dup` (band collision + exact shingle-Jaccard at
+    * `threshold` INSIDE the join — collision alone never blocks, the
+    * media-screen rule), smallest triggering src on ties; arrivals
+    * matching nothing pass silently (the decontaminate drop-set
+    * convention). Row-local signatures/shingles, three stream-static
+    * joins, one watermarked per-minute aggregation — no state. Replay
+    * parity: on the corpus itself this equals the batch operator's
+    * non-`listed` rows (an arriving doc has no list membership — lists
+    * name corpus history), pinned in StreamingSpec. */
+  def takedownScreenStream(docs: DataFrame, index: DataFrame, w: Int,
+      threshold: Double, timeCol: String = "event_time"): DataFrame = {
+    import graft.functions.TextHash.bandBucket
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val base = graft.operators.DedupOps.minhashSignaturesLocal(
+        docs.withWatermark(timeCol, WatermarkDelay),
+        col("doc_id"), col("text"), w,
+        keep = Seq(col(timeCol).as("_t"), col("text").as("_txt"),
+          sort_array(array_distinct(hashes.shingleHashes(col("text"), w)))
+            .as("_hs")))
+      .withColumn("_b0", bandBucket((0 to 3).map(i => col(s"m$i"))))
+      .withColumn("_b1", bandBucket((4 to 7).map(i => col(s"m$i"))))
+      .withColumn("_n", size(col("_hs")).cast("long"))
+    val exact = base.join(
+        index.select(col("text").as("_txt"), col("src_id")).distinct(),
+        Seq("_txt"))
+      .where(col("doc_id") =!= col("src_id"))
+      .select(col("_t"), col("doc_id"), lit(1).as("_pri"), col("src_id"))
+    val near = Seq(0, 1).map { band =>
+      base.join(index.where(col("band") === band)
+          .select(col("b").as(s"_b$band"), col("src_id"),
+            col("hs").as("_lhs"), col("n").as("_ln")),
+        Seq(s"_b$band"))
+        .where(col("doc_id") =!= col("src_id"))
+        .withColumn("_common",
+          hashes.sortedIntersectCount(col("_hs"), col("_lhs")))
+        .where(col("_common").cast("double") /
+          (col("_n") + col("_ln") - col("_common")).cast("double")
+          >= threshold)
+        .select(col("_t"), col("doc_id"), lit(2).as("_pri"), col("src_id"))
+    }
+    near.foldLeft(exact)(_ unionByName _)
+      .groupBy(window(col("_t"), "1 minute"), col("doc_id"))
+      .agg(min(struct(col("_pri"), col("src_id"))).as("_v"))
+      .select(col("doc_id"),
+        when(col("_v._pri") === 1, lit("exact_copy"))
+          .otherwise(lit("near_dup")).as("reason"),
+        col("_v.src_id").as("src_id"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.temperatureMix]] —
     * ingest-time copy-count assignment against the corpus-global rate
     * table ([[graft.operators.TextOps.temperatureRates]], the static

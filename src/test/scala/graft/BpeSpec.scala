@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeOps
+
+/** BPE fitting against the hand-derived merge sequence of the classic
+  * Sennrich vocabulary {low:5, lower:2, newest:6, widest:3} — every
+  * pinned rank below is computed by hand from the paper's algorithm
+  * (pair counts over the word-frequency table, argmax with
+  * count-desc-then-lexicographic tiebreak, greedy non-overlapping
+  * rewrite), so a drift in counting, tie-breaking, or the rewrite fold
+  * changes a literal. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = BpeOps.EndOfWord
+  private lazy val corpus = Seq(
+    // one doc per word occurrence — the fit must reduce this to the
+    // word-frequency table itself
+    Seq.fill(5)("low"), Seq.fill(2)("lower"),
+    Seq.fill(6)("newest"), Seq.fill(3)("widest")
+  ).flatten.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    .toDF("doc_id", "text")
+
+  test("bpeLearn reproduces the hand-computed Sennrich merge sequence") {
+    val merges = BpeOps.bpeLearn(
+      BpeOps.wordFreqs(corpus, col("text")), 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val want = Seq(
+      (0L, "e", "s", 9L),       // newest 6 + widest 3; ties (s,t),(t,</w>)
+                                // lose lexicographically
+      (1L, "es", "t", 9L),
+      (2L, "est", W, 9L),
+      (3L, "l", "o", 7L),       // low 5 + lower 2; beats o-w tie on "l"<"o"
+      (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L))       // ties (n,e),(w,est</w>) lose on "e"<"n"<"w"
+    assert(merges.toSeq == want, s"merge sequence drifted: ${merges.toSeq}")
+  }
+
+  test("bpeTokenize segments an UNSEEN word with learned units") {
+    val merges = BpeOps.bpeLearn(BpeOps.wordFreqs(corpus, col("text")), 6)
+    val toks = BpeOps.bpeTokenize(
+      Seq((1L, "lowest low")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), merges).head()
+    // "lowest" was never a training word; the learned units still
+    // compose it as low + est</w> (and "low" itself merges fully)
+    assert(toks.getSeq[String](1) == Seq("low", s"est$W", "low", W),
+      s"unexpected tokens: ${toks.getSeq[String](1)}")
+    assert(toks.getLong(2) == 4L)
+  }
+
+  test("greedy rewrite is non-overlapping and round-trips the text") {
+    // "aaa": merge (a,a) must yield [aa, a], never [aa, aa]
+    val syms = Seq(Tuple1(Seq("a", "a", "a")))
+      .toDF("toks")
+      .select(BpeOps.mergePair(col("toks"), "a", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(syms == Seq("aa", "a"), s"overlapping merge: $syms")
+    // round-trip: concatenated tokens minus the markers rebuild the doc
+    val merges = BpeOps.bpeLearn(BpeOps.wordFreqs(corpus, col("text")), 6)
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 50)
+    val rebuilt = BpeOps.bpeTokenize(docs, col("doc_id"), col("text"), merges)
+      .select(col("doc_id"),
+        replace(concat_ws("", col("tokens")), lit(W), lit(" ")).as("r"))
+    val bad = rebuilt.join(docs.select(col("doc_id"),
+        concat(regexp_replace(trim(col("text")), lit(" +"), lit(" ")),
+          lit(" ")).as("t")), "doc_id")
+      .where(col("r") =!= col("t")).count()
+    assert(bad == 0L, "tokenization must preserve content exactly")
+  }
+
+  test("early stop: no pair at minPairCount ends the merge list") {
+    val merges = BpeOps.bpeLearn(
+      BpeOps.wordFreqs(Seq((1L, "ab cd")).toDF("doc_id", "text"),
+        col("text")), 10, minPairCount = 2L)
+    assert(merges.count() == 0L, "all pairs are singletons here")
+  }
+}

@@ -1235,6 +1235,34 @@ class PipelineOpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("interleavedOrder: round-robin source sequence, permutation positions") {
+    // A×3, B×2, C×1 → the source sequence by global position is exactly
+    // A B C A B A, whatever the within-source draw order
+    val d = Seq(
+      (1L, "one two", "A"), (2L, "three four", "A"), (3L, "five six", "A"),
+      (4L, "seven eight", "B"), (5L, "nine ten", "B"),
+      (6L, "eleven twelve", "C")).toDF("doc_id", "text", "source")
+    val out = TextOps.interleavedOrder(d, col("doc_id"), col("text"),
+      col("source")).collect()
+      .map(r => (r.getLong(3), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 6L),
+      s"positions must be a permutation: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq("A", "B", "C", "A", "B", "A"),
+      s"source sequence drifted: ${out.toSeq}")
+    // rank within source ascends along the global order
+    Seq("A", "B", "C").foreach { s =>
+      val ranks = out.filter(_._2 == s).map(_._3).toSeq
+      assert(ranks == (1L to ranks.size), s"ranks out of order for $s") }
+    // and on the real corpus: positions are a permutation of 1..n
+    val docs = Tables.documents(spark, sf)
+    val pos = TextOps.interleavedOrder(docs, col("doc_id"), col("text"),
+      col("source")).select("global_pos")
+    assert(pos.distinct().count() == docs.count())
+    assert(pos.agg(org.apache.spark.sql.functions.min("global_pos"),
+      org.apache.spark.sql.functions.max("global_pos")).head ==
+      org.apache.spark.sql.Row(1L, docs.count()))
+  }
+
   test("diversitySample flattens cell skew: smaller cells keep at higher rates") {
     val emb = Tables.embeddings(spark, sf)
     val cents = emb.where(col("vec_id") < 8)

@@ -663,6 +663,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("takedownScreenStream verdicts equal the batch propagation's non-listed rows") {
+    import graft.operators.DedupOps
+    // corpus subset + a planted byte mirror of listed doc 0; doc 82 is
+    // 0's deterministic LSH near-dup (the PipelineOpsSpec fixture)
+    val corpus = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") < 120).select("doc_id", "text")
+      .unionByName(graft.Tables.documents(spark, sf)
+        .where(col("doc_id") === 0)
+        .select(lit(9001L).as("doc_id"), col("text")))
+    val del = Seq(0L).toDF("doc_id")
+    val index = DedupOps.takedownIndex(corpus, del,
+      col("doc_id"), col("text"), 2).cache()
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.takedownScreenStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), index, 2, 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("takedown1").start()
+    try {
+      val (a, b) = rows.splitAt(60)
+      in.addData(a.map { case (id, t) =>
+        (id, t, ts("2021-03-09 14:15:00")) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(b.map { case (id, t) =>
+        (id, t, ts("2021-03-09 14:15:30")) }.toIndexedSeq: _*)
+      in.addData((99999L, "zzz qqq xxx", sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val streamed = spark.table("takedown1")
+        .where(col("doc_id") =!= 99999L).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val batch = DedupOps.takedownPropagation(corpus, del,
+        col("doc_id"), col("text"), 2, 0.3)
+        .where(col("reason") =!= "listed").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(batch.nonEmpty && batch.values.map(_._1).toSet ==
+        Set("exact_copy", "near_dup"),
+        s"fixture sanity — both screen reasons must fire: $batch")
+      assert(streamed == batch,
+        "ingest verdicts must equal the batch propagation's screen rows")
+    } finally { q.stop(); index.unpersist(blocking = false) }
+  }
+
   test("quantizationDriftStream windows equal the batch monitor's delta row") {
     import graft.operators.PQOps
     val emb = graft.Tables.embeddings(spark, sf).limit(40).cache()
