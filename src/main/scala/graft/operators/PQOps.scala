@@ -525,6 +525,55 @@ object PQOps {
         coalesce(col("_dup"), lit(false)).unary_!.as("kept"))
   }
 
+  /** Per-dimension variance of the embedding corpus — the input of
+    * [[balancedPermutation]]. One pass, 64-group aggregate; both moments
+    * ride [[graft.functions.Exact]]'s decimal path so the variances (and
+    * therefore the permutation ranked from them) are order-independent
+    * and engine-reproducible. Output `(dim, var)`, `dim` 1-based. */
+  def dimVariances(emb: DataFrame, vec: Column, dim: Int): DataFrame = {
+    require(dim > 0, s"need a positive dim, got $dim")
+    emb.select(posexplode(vec).as(Seq("_p", "_x")))
+      .select((col("_p") + 1).as("dim"), col("_x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("_n"),
+        graft.functions.Exact.dsum(col("x")).as("_s"),
+        graft.functions.Exact.dsum(col("x") * col("x")).as("_s2"))
+      .select(col("dim").cast("int").as("dim"),
+        ((col("_s2") - col("_s") * col("_s") / col("_n")) / col("_n"))
+          .as("var"))
+  }
+
+  /** Variance-balanced subspace allocation — the rotation-free half of
+    * optimized product quantization (public method: Ge, He, Ke, Sun,
+    * "Optimized Product Quantization", CVPR 2013 — their eigenvalue-
+    * allocation principle, applied to raw dimension variances instead of
+    * PCA eigenvalues): rank dimensions by variance descending and deal
+    * them round-robin across the `m` subspaces, so every subspace gets
+    * one dim from each variance stratum. A CONTIGUOUS split can hand one
+    * subspace all the high-variance dimensions — its k centroids then
+    * carry the whole corpus's spread while other subspaces quantize
+    * noise; balancing equalizes per-subspace work, which is what the
+    * shared per-subspace bit budget (k entries each) assumes. Returns
+    * the permutation as output-position → source-dim (0-based, length
+    * `m·sub`): output slot `s·sub + j` takes the dim ranked `j·m + s`.
+    * Deterministic: ranked on (var desc, dim). */
+  def balancedPermutation(vars: Seq[(Int, Double)], m: Int,
+      sub: Int): Seq[Int] = {
+    require(vars.size == m * sub,
+      s"need exactly ${m * sub} dims, got ${vars.size}")
+    val ranked = vars.sortBy { case (d, v) => (-v, d) }.map(_._1 - 1)
+    // rank i (0-based) goes to subspace i % m, slot i / m within it
+    val out = new Array[Int](m * sub)
+    ranked.zipWithIndex.foreach { case (src, i) =>
+      out((i % m) * sub + i / m) = src }
+    out.toSeq
+  }
+
+  /** The permuted view of a vector column under an output→source map —
+    * row-local gather, zero shuffle. */
+  def permuteExpr(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(src => element_at(vec, src + 1)): _*)
+
   /** Quantization-drift monitor — the operator behind the standing
     * static-index rule ("distribution drift at ingest warrants a codebook
     * re-fit") that until now was only documented: measure the PQ

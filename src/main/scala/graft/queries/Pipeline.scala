@@ -2397,13 +2397,83 @@ object Pipeline {
        |FROM ranked x CROSS JOIN cnt c
        |GROUP BY x.doc_id, x.source, x.r""".stripMargin)
 
+  /** OPQ-lite: PQ search over the VARIANCE-BALANCED dimension permutation
+    * ([[PQOps.balancedPermutation]] — the rotation-free eigenvalue-
+    * allocation heuristic) — q94's exact chain with every vector, query,
+    * and codebook entry permuted first. The oracle replays the
+    * decimal-exact per-dim variances, the (var desc, dim) ranking, the
+    * round-robin dealing, the permuted gather, and the whole q94
+    * encode/search chain — so the permutation itself (the learned part)
+    * is hash-pinned; the distortion WIN over the contiguous split is
+    * PQSpec's job (it needs learned codebooks and a skewed corpus). */
+  private val q109 = QueryDef(
+    "q109_pq_permuted",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val vars = PQOps.dimVariances(emb, col("embedding"), DIM)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      val perm = PQOps.balancedPermutation(vars, PQ_M, PQ_SUB)
+      val embP = emb.select(col("vec_id"),
+        PQOps.permuteExpr(col("embedding"), perm).as("embedding"))
+      PQOps.pqTopK(
+        PQOps.pqIndex(embP, embP.where(col("vec_id") < PQ_K),
+          col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
+        embP.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        LSH_K, PQ_SUB)
+    }, {
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |ux AS (SELECT t.i AS dim, CAST(e[t.i] AS DOUBLE) AS x
+         |  FROM v0, UNNEST(generate_series(1, $DIM)) AS t(i)),
+         |vars AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s1,
+         |    CAST(CAST(SUM(CAST(x*x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
+         |  FROM ux GROUP BY dim),
+         |vr AS (SELECT dim, (s2 - s1*s1/n)/n AS var FROM vars),
+         |perm AS (SELECT dim,
+         |    CAST(row_number() OVER (ORDER BY var DESC, dim) - 1 AS BIGINT) AS rk
+         |  FROM vr),
+         |pmap AS (SELECT ((rk % $PQ_M) * $PQ_SUB + rk // $PQ_M + 1) AS outpos,
+         |    dim AS srcdim FROM perm),
+         |v AS (SELECT v0.vec_id, list(e[p.srcdim] ORDER BY p.outpos) AS e
+         |  FROM v0 CROSS JOIN pmap p GROUP BY v0.vec_id),
+         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
+         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
+         |  FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108)
+    q104, q105, q106, q107, q108, q109)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

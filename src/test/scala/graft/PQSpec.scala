@@ -147,6 +147,49 @@ class PQSpec extends SparkSpec {
       col("vec_id"), col("embedding"), 5, 64).collect().toSet)
   }
 
+  test("balancedPermutation deals variance ranks round-robin across subspaces") {
+    // dims 1..16 with strictly descending variance: rank i-1 = dim i,
+    // so subspace s gets source dims {s+1, s+5, s+9, s+13} (0-based src)
+    val vars = (1 to 16).map(d => (d, 100.0 - d))
+    val perm = PQOps.balancedPermutation(vars, 4, 4)
+    assert(perm == Seq(
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15),
+      s"dealing drifted: $perm")
+    // a permutation: every source dim appears exactly once
+    assert(perm.sorted == (0 until 16))
+  }
+
+  test("variance balancing cuts learned-codebook distortion on a skewed corpus") {
+    // all the variance lives in dims 1..8 — exactly one contiguous
+    // subspace. The balanced deal spreads them one per subspace, so each
+    // k=8 codebook quantizes one hard dim instead of one codebook
+    // carrying all eight.
+    val skew = emb.select(col("vec_id"),
+      array((1 to 64).map(i => element_at(col("embedding"), i) *
+        lit(if (i <= 8) 4.0f else 0.25f)): _*).as("embedding"))
+    def meanErr(corpus: org.apache.spark.sql.DataFrame) = {
+      val cb = PQOps.pqLearnCodebook(corpus, col("embedding"), M, SUB, 8,
+        "vec_id", "embedding")
+      PQOps.quantizationDrift(corpus, corpus, cb,
+        col("vec_id"), col("embedding"), M, SUB)
+        .where(col("side") === "baseline").select("mean_err")
+        .head.getDouble(0)
+    }
+    val contiguous = meanErr(skew)
+    val vars = PQOps.dimVariances(skew, col("embedding"), 64)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val perm = PQOps.balancedPermutation(vars, M, SUB)
+    // sanity: the permutation actually separates the hot dims — no
+    // subspace holds two of dims 0..7
+    (0 until M).foreach { s =>
+      val hot = perm.slice(s * SUB, (s + 1) * SUB).count(_ < 8)
+      assert(hot == 1, s"subspace $s holds $hot hot dims: $perm") }
+    val permuted = meanErr(skew.select(col("vec_id"),
+      PQOps.permuteExpr(col("embedding"), perm).as("embedding")))
+    assert(permuted < contiguous * 0.9,
+      s"balanced allocation must cut distortion: $permuted vs $contiguous")
+  }
+
   test("binary sign screen: top-50 hamming shortlist recall floor (q98 tier)") {
     val short50 = SimilarityOps.binarySignTopK(emb, queries,
       col("vec_id"), col("embedding"), 64, 50)
