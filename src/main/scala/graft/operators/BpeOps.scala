@@ -69,9 +69,26 @@ object BpeOps {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = freqs.sparkSession
     import spark.implicits._
-    var words = freqs.select(toSymbols(col("word")).as("toks"),
-      col("freq")).persist()
-    words.count()
+    // Lineage discipline (the q51 checkpoint lifecycle): a persist()
+    // chain caches DATA but the analyzed plan still nests — after k
+    // rewrites every new query re-analyzes k stacked fold projections,
+    // so iteration cost grows with k and the fit goes quadratic
+    // (measured: 16 merges at sf0.1 took ~100 s chained vs ~5 s with
+    // per-iteration plan truncation). Each round therefore eagerly
+    // localCheckpoints the rewritten table — its plan collapses to the
+    // materialized RDD — and frees the superseded round's blocks. The
+    // table is also compacted up front: vocab-scale rows on the corpus's
+    // full partition width would spend the loop's tiny jobs on task
+    // scheduling.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var words = freqs.repartition(4)
+      .select(toSymbols(col("word")).as("toks"), col("freq"))
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     try {
@@ -93,14 +110,13 @@ object BpeOps {
             best.head.getLong(2))
           merges += ((rank, l, r, n))
           val next = words.select(mergePair(col("toks"), l, r).as("toks"),
-            col("freq")).persist()
-          next.count()
-          words.unpersist(blocking = false)
+            col("freq")).localCheckpoint(true)
+          freeCheckpoint(words) // superseded: next is already materialized
           words = next
           rank += 1
         }
       }
-    } finally words.unpersist(blocking = false)
+    } finally freeCheckpoint(words)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 

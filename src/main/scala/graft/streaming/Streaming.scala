@@ -379,6 +379,21 @@ object Streaming {
         col("_v.src_id").as("src_id"))
   }
 
+  /** Ingest face of [[graft.operators.BpeOps.bpeTokenize]] — arriving
+    * docs tokenized against the FROZEN merge table (tokenizers are
+    * fitted corpus-wide once and then applied forever; a micro-batch
+    * never re-fits). The ordered merge list is baked into one row-local
+    * fold expression at stream definition ([[graft.operators.BpeOps
+    * .bpeTokensExpr]] — the same expression the batch face builds, so
+    * parity is definitional), no state, no join. Re-fit the tokenizer →
+    * restart the stream, the standing static-index rule. */
+  def bpeTokenizeStream(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.operators.BpeOps.bpeTokensExpr(col("text"), merges)
+    docs.select(col("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.temperatureMix]] —
     * ingest-time copy-count assignment against the corpus-global rate
     * table ([[graft.operators.TextOps.temperatureRates]], the static

@@ -663,6 +663,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeTokenizeStream tokens equal the batch tokenizer row-for-row") {
+    import graft.operators.BpeOps
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 80)
+      .select("doc_id", "text").cache()
+    val mergesDf = BpeOps.bpeLearn(BpeOps.wordFreqs(docs, col("text")), 8)
+    val merges = mergesDf.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.bpeTokenizeStream(
+      in.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe1").start()
+    try {
+      in.addData(rows.take(40).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(40).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("bpe1").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      val batch = BpeOps.bpeTokenize(docs, col("doc_id"), col("text"),
+        mergesDf).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      assert(batch.values.exists(_._1.exists(_.length > 5)),
+        "fixture sanity — some learned multi-char unit must appear")
+      assert(streamed == batch,
+        "ingest-time tokens must equal the batch tokenizer exactly")
+    } finally q.stop()
+  }
+
   test("takedownScreenStream verdicts equal the batch propagation's non-listed rows") {
     import graft.operators.DedupOps
     // corpus subset + a planted byte mirror of listed doc 0; doc 82 is
