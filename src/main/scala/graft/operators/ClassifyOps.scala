@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned document classification — the curation-pipeline quality/domain
+  * classifier tier (CCNet/fastText-style: train a cheap linear model on the
+  * corpus's own labels, score every document with it). The model family is
+  * multinomial Naive Bayes with add-one smoothing (Manning/Raghavan/Schütze,
+  * IIR ch. 13): closed-form — the fit is ONE counting aggregation, no
+  * iterations — which is what makes a *learned* classifier fully
+  * oracle-checkable where k-means/SGD fits are rows-only.
+  *
+  * Float determinism (the [[TextOps.lmScore]] convention): every per-token
+  * class log-likelihood and every class log-prior is rounded to 1e-6 and
+  * carried as DECIMAL(18,6); per-document scores are DECIMAL sums of those —
+  * exact and order-independent — so argmax ties break identically in any
+  * engine whose `ln` agrees to ~1e-7, and the (score desc, label asc)
+  * tie-break is total.
+  *
+  * Scale shape: the fit is a wordcount-shaped aggregation pivoted over the
+  * class domain (classes are FEW by definition — the pivot widens rows, it
+  * never multiplies them), plus two single-row reductions (class token
+  * totals + vocabulary size; class priors). The only corpus-scale artifact
+  * is the per-word model table, and the apply join against it gets the
+  * [[TextOps.lmScore]] Zipf frequency split: the top-[[TextOps.LmHeadK]]
+  * words' likelihood rows ride a broadcast (hot keys never shuffle), only
+  * tail tokens shuffle on the de-skewed word key, then one per-doc
+  * aggregation. The class domain is the operator's one bounded collect
+  * (the k-row centroid-table precedent). */
+object ClassifyOps {
+
+  private def lpDec(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+
+  /** Smoothed per-word class log-likelihood table
+    * `(word, _cnt, _lp_<label>...)` with
+    * `_lp_l = round(ln((count(word,l)+1) / (tokens_l + |V|)), 6)` and
+    * `_cnt` = corpus frequency (the Zipf-head split key, dropped by
+    * [[nbClassify]] before scoring). Shared between the batch face and
+    * [[graft.streaming.Streaming.nbClassifyStream]]'s static side so the
+    * two cannot drift. */
+  def nbModel(docs: DataFrame, text: Column, label: Column,
+      labels: Seq[String]): DataFrame = {
+    val toks = docs.select(label.as("_lbl"), explode(split(text, " ")).as("word"))
+    val wc = toks.groupBy("word").pivot("_lbl", labels).count()
+    val cls = toks.agg(
+      countDistinct("word").as("_v"),
+      labels.map(l =>
+        sum(when(col("_lbl") === l, 1L).otherwise(0L)).as(s"_tot_$l")): _*)
+    val cntAll = labels.map(l => coalesce(col(s"`$l`"), lit(0L)))
+      .reduce(_ + _).as("_cnt")
+    wc.join(broadcast(cls))
+      .select(col("word") +: cntAll +: labels.map { l =>
+        lpDec(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double") /
+          (col(s"_tot_$l") + col("_v")).cast("double"))).as(s"_lp_$l")
+      }: _*)
+  }
+
+  /** Class-prior + out-of-vocabulary constants, ONE wide row:
+    * `_pri_l = round(ln(n_docs_l / n_docs), 6)` and
+    * `_oov_l = round(ln(1 / (tokens_l + |V|)), 6)` (the smoothed
+    * zero-count likelihood — what a word never seen in class `l`'s
+    * training text scores). Broadcast onto the apply side. */
+  def nbPriors(docs: DataFrame, text: Column, label: Column,
+      labels: Seq[String]): DataFrame = {
+    val toks = docs.select(label.as("_lbl"), explode(split(text, " ")).as("word"))
+    val cls = toks.agg(
+      countDistinct("word").as("_v"),
+      labels.map(l =>
+        sum(when(col("_lbl") === l, 1L).otherwise(0L)).as(s"_tot_$l")): _*)
+    val pri = docs.agg(
+      count(lit(1)).as("_n"),
+      labels.map(l =>
+        sum(when(label === l, 1L).otherwise(0L)).as(s"_n_$l")): _*)
+    pri.join(broadcast(cls)).select(
+      labels.map(l => lpDec(log(col(s"_n_$l").cast("double") /
+        col("_n").cast("double"))).as(s"_pri_$l")) ++
+        labels.map(l => lpDec(log(lit(1.0) /
+          (col(s"_tot_$l") + col("_v")).cast("double"))).as(s"_oov_$l")): _*)
+  }
+
+  /** Scoring core shared by the batch face and the streaming face: takes
+    * exploded `(keyCols..., word)` token rows, probes the model with the
+    * [[TextOps.lmScore]] Zipf frequency split (head likelihood rows ride a
+    * broadcast, tail tokens shuffle on the de-skewed word key; words in
+    * neither take the smoothed `_oov_l` constants), sums the class
+    * decimal log-likelihoods per key group, adds priors, and resolves the
+    * argmax ROW-LOCALLY by a fold over the class columns in ascending
+    * label order with a strictly-greater comparison — ties break (score
+    * desc, label asc) with no shuffle and no nondeterminism. */
+  def scoreTokens(words: DataFrame, model: DataFrame, priors: DataFrame,
+      labels: Seq[String], keyCols: Seq[String]): DataFrame = {
+    val lpCols = labels.map(l => s"_lp_$l")
+    val head = model.orderBy(col("_cnt").desc, col("word"))
+      .limit(TextOps.LmHeadK).drop("_cnt")
+    val tail = model.drop("_cnt")
+      .join(broadcast(head.select("word")), Seq("word"), "left_anti")
+
+    val probed = words.join(broadcast(head), Seq("word"), "left")
+    val marker = col(lpCols.head)
+    val joined = probed.where(marker.isNotNull)
+      .unionByName(probed.where(marker.isNull).drop(lpCols: _*)
+        .join(tail, Seq("word"), "left"))
+
+    val sums = joined.join(broadcast(priors))
+      .select(keyCols.map(col) ++ labels.map(l =>
+        coalesce(col(s"_lp_$l"), col(s"_oov_$l")).as(s"_lp_$l")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        labels.map(l => sum(col(s"_lp_$l")).as(s"_s_$l")): _*)
+      .join(broadcast(priors))
+
+    val scores = labels.map(l => l -> (col(s"_s_$l") + col(s"_pri_$l")))
+    val (bestLbl, bestSc) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) { case ((bl, bs), (l, s)) =>
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    sums.select(keyCols.map(col) ++ Seq(bestLbl.as("pred_label"),
+      col("n_tokens"), bestSc.cast("double").as("score")): _*)
+  }
+
+  /** Score `apply` documents under a model fitted on `train` (pass the
+    * same frame for self-classification): per document the true label (if
+    * `applyLabel` is given), the argmax class under
+    * `prior_l + Σ_tokens lp_l(word)` with unseen words taking the smoothed
+    * zero-count likelihood, the token count, and the winning score. */
+  def nbClassify(train: DataFrame, trainText: Column, trainLabel: Column,
+      apply: DataFrame, id: Column, text: Column,
+      applyLabel: Option[Column] = None): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val labels = train.select(trainLabel.cast("string")).distinct()
+      .as[String].collect().sorted.toSeq // bounded: the class domain
+    val model = nbModel(train, trainText, trainLabel, labels)
+    val pri = nbPriors(train, trainText, trainLabel, labels)
+    val base = Seq(id.as("doc_id")) ++ applyLabel.map(_.as("label"))
+    val words = apply.select(base :+ explode(split(text, " ")).as("word"): _*)
+    scoreTokens(words, model, pri, labels,
+      Seq("doc_id") ++ applyLabel.map(_ => "label"))
+  }
+}

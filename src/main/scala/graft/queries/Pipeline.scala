@@ -2467,13 +2467,70 @@ object Pipeline {
          |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
     })
 
+  /** Learned language classifier ([[ClassifyOps.nbClassify]] self-scoring
+    * the documents table on its own `lang` labels): multinomial Naive
+    * Bayes with add-one smoothing. The closed-form fit makes the ENTIRE
+    * learned model oracle-replayable — counts, smoothing, priors, the
+    * per-doc decimal score sums, and the (score desc, label asc) argmax
+    * all hash-pin, where the k-means/SGD queries (q48/q71/q95) can only
+    * be rows-only. */
+  private val NbLangs = Seq("de", "en", "es", "fr", "zh")
+  private val q110 = QueryDef(
+    "q110_nb_langid",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.ClassifyOps.nbClassify(
+        docs, col("text"), col("lang"),
+        docs, col("doc_id"), col("text"), Some(col("lang")))
+    }, {
+      val ls = NbLangs
+      val dec = "DECIMAL(18,6)"
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS word FROM documents),
+         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
+         |cls AS (SELECT count(DISTINCT word) AS v,
+         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
+              .mkString(",\n    ")}
+         |  FROM toks),
+         |pri AS (SELECT
+         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
+                s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
+              .mkString(",\n    ")}
+         |  FROM documents),
+         |model AS (
+         |  SELECT w.word,
+         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
+                s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
+              .mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
+         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
+              .mkString("\n  ")}),
+         |sums AS (SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+         |    ${ls.map(l => s"sum(m.lp_$l) AS s_$l").mkString(", ")}
+         |  FROM toks t JOIN model m ON m.word = t.word GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, lang, n_tokens,
+         |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
+         |  FROM sums CROSS JOIN pri),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_tokens, l AS pred_label, s AS score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rk
+         |  FROM (SELECT doc_id, lang, n_tokens,
+         |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
+         |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
+         |    FROM sc) u)
+         |SELECT doc_id, lang AS label, pred_label,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
+         |FROM ranked WHERE rk = 1""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109)
+    q104, q105, q106, q107, q108, q109, q110)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -394,6 +394,29 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of [[graft.operators.ClassifyOps.nbClassify]] — arriving
+    * docs scored under the FROZEN Naive Bayes model (the fit is corpus-
+    * wide and closed-form; a micro-batch never re-fits — re-fit → restart
+    * the stream, the standing static-index rule). The static sides are
+    * [[graft.operators.ClassifyOps.nbModel]] /
+    * [[graft.operators.ClassifyOps.nbPriors]] — the SAME tables the batch
+    * face builds, so likelihoods cannot drift between faces. Tokens
+    * explode within the batch, probe the model through the shared
+    * Zipf-split join ([[graft.operators.ClassifyOps.scoreTokens]]), and
+    * re-aggregate per (1-minute window, doc_id) under the watermark — the
+    * one stateful step, bounded, the takedown-screen shape. Output: per
+    * window the doc's predicted class, token count, and winning score —
+    * equal to the batch classifier's row for the same doc (StreamingSpec
+    * parity). */
+  def nbClassifyStream(docs: DataFrame, model: DataFrame, priors: DataFrame,
+      labels: Seq[String], timeCol: String = "event_time"): DataFrame = {
+    val words = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+    graft.operators.ClassifyOps.scoreTokens(
+      words, model, priors, labels, Seq("window", "doc_id"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.temperatureMix]] —
     * ingest-time copy-count assignment against the corpus-global rate
     * table ([[graft.operators.TextOps.temperatureRates]], the static

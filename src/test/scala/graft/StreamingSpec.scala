@@ -693,6 +693,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nbClassifyStream scores equal the batch classifier row-for-row") {
+    import graft.operators.ClassifyOps
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text", "lang").cache()
+    val labels = docs.select("lang").distinct()
+      .as[String].collect().sorted.toSeq
+    val model = ClassifyOps.nbModel(
+      docs, col("text"), col("lang"), labels).cache()
+    val pri = ClassifyOps.nbPriors(
+      docs, col("text"), col("lang"), labels).cache()
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.nbClassifyStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), model, pri, labels)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nbc1").start()
+    try {
+      val (a, b) = rows.splitAt(30)
+      in.addData(a.map { case (id, t) =>
+        (id, t, ts("2021-03-09 14:15:00")) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(b.map { case (id, t) =>
+        (id, t, ts("2021-03-09 14:15:30")) }.toIndexedSeq: _*)
+      in.addData((99999L, "zzz", sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val streamed = spark.table("nbc1")
+        .where(col("doc_id") =!= 99999L).collect()
+        .map(r => r.getLong(1) ->
+          ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+      val batch = ClassifyOps.nbClassify(
+        docs, col("text"), col("lang"),
+        docs, col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(batch.values.map(_._1).toSet.size > 1,
+        "fixture sanity — more than one predicted class")
+      assert(streamed == batch,
+        "ingest-time scores must equal the batch classifier exactly")
+    } finally {
+      q.stop()
+      model.unpersist(blocking = false); pri.unpersist(blocking = false)
+      docs.unpersist(blocking = false)
+    }
+  }
+
   test("takedownScreenStream verdicts equal the batch propagation's non-listed rows") {
     import graft.operators.DedupOps
     // corpus subset + a planted byte mirror of listed doc 0; doc 82 is
