@@ -89,6 +89,40 @@ object AuditOps {
     * `(key, status, snapshot_hash, delta_hash)` — hash columns kept so a
     * `changed` verdict is auditable and the post-audit index update is a
     * projection, not a recompute. */
+  /** Apply a CDC changeset to a keyed snapshot — the MERGE INTO /
+    * upsert-apply primitive of every table format (Delta/Iceberg-style
+    * semantics, stated engine-neutrally): `changes` rows carry
+    * `(key, seq, op ∈ upsert|delete, payload...)`; per key the change
+    * with the HIGHEST `seq` wins, and on an exact seq tie `delete` beats
+    * `upsert` (op ascending — the conservative resolution, documented
+    * contract, deterministic). The result is the next snapshot: rows
+    * whose key saw no winning change pass through untouched, winning
+    * upserts replace (or insert) their key's row, winning deletes remove
+    * it. Payload columns must match the snapshot's schema — a drift is a
+    * compile/analysis error here, not a silent column loss.
+    *
+    * Scale shape: the winner resolution is one window over the CHANGESET
+    * (delta-sized — a changeset is ≪ the snapshot by definition of CDC);
+    * the snapshot itself never shuffles — it flows through one LEFT ANTI
+    * join on the winners' key set, which AQE turns into a broadcast for
+    * any sanely-sized delta, then a union with the winning upsert
+    * payloads. At 100 TB: O(snapshot) scan + broadcast probe, zero
+    * snapshot shuffle, zero snapshot rewrite amplification beyond the
+    * touched keys. */
+  def applyChangeSet(snapshot: DataFrame, changes: DataFrame,
+      keyName: String, seqName: String = "seq",
+      opName: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = snapshot.columns.toSeq
+    val w = Window.partitionBy(keyName)
+      .orderBy(col(seqName).desc, col(opName).asc)
+    val winners = changes
+      .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
+    snapshot.join(winners.select(keyName), Seq(keyName), "left_anti")
+      .unionByName(winners.where(col(opName) === "upsert")
+        .select(payload.map(col): _*))
+  }
+
   def snapshotDeltaAudit(delta: DataFrame, snapshotIndex: DataFrame,
       key: Column, content: Seq[Column], keyName: String = "key"): DataFrame = {
     val hashes = graft.functions.HashExpressions

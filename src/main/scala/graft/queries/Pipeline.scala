@@ -2524,13 +2524,72 @@ object Pipeline {
          |FROM ranked WHERE rk = 1""".stripMargin
     })
 
+  /** CDC changeset apply ([[graft.operators.AuditOps.applyChangeSet]]):
+    * MERGE-INTO semantics — latest seq wins per key, delete beats upsert
+    * on a seq tie, snapshot flows through one anti join unshuffled. The
+    * changeset is derived deterministically from the snapshot itself and
+    * exercises every rule: superseded revisions (rev1 < rev2), plain
+    * deletes, a delete/upsert seq TIE (the zombie row must not survive),
+    * and fresh-key inserts. */
+  private val q111 = QueryDef(
+    "q111_cdc_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = col("doc_id") % 7
+      def change(rows: org.apache.spark.sql.DataFrame,
+          idC: org.apache.spark.sql.Column,
+          textC: org.apache.spark.sql.Column, seqV: Long, opV: String) =
+        rows.select(idC.as("doc_id"), textC.as("text"), col("lang"),
+          col("source"), length(textC).cast("long").as("n_chars"),
+          lit(seqV).as("seq"), lit(opV).as("op"))
+      val changes = Seq(
+        change(docs.where(m === 1), col("doc_id"),
+          concat(col("text"), lit(" [rev1]")), 1L, "upsert"),
+        change(docs.where(m === 1), col("doc_id"),
+          concat(col("text"), lit(" [rev2]")), 2L, "upsert"),
+        change(docs.where(m === 0), col("doc_id"), col("text"), 1L, "delete"),
+        change(docs.where(m === 2), col("doc_id"), col("text"), 3L, "delete"),
+        change(docs.where(m === 2), col("doc_id"),
+          concat(col("text"), lit(" [zombie]")), 3L, "upsert"),
+        change(docs.where(m === 3), col("doc_id") + 10000L,
+          concat(lit("new: "), col("text")), 1L, "upsert"))
+        .reduce(_ unionByName _)
+      graft.operators.AuditOps.applyChangeSet(docs, changes, "doc_id")
+    },
+    s"""WITH ch AS (
+       |  SELECT doc_id, text || ' [rev1]' AS text, lang, source,
+       |    CAST(length(text || ' [rev1]') AS BIGINT) AS n_chars,
+       |    1 AS seq, 'upsert' AS op FROM documents WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id, text || ' [rev2]', lang, source,
+       |    length(text || ' [rev2]'), 2, 'upsert'
+       |    FROM documents WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id, text, lang, source, length(text),
+       |    1, 'delete' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id, text, lang, source, length(text),
+       |    3, 'delete' FROM documents WHERE doc_id % 7 = 2
+       |  UNION ALL SELECT doc_id, text || ' [zombie]', lang, source,
+       |    length(text || ' [zombie]'), 3, 'upsert'
+       |    FROM documents WHERE doc_id % 7 = 2
+       |  UNION ALL SELECT doc_id + 10000, 'new: ' || text, lang, source,
+       |    length('new: ' || text), 1, 'upsert'
+       |    FROM documents WHERE doc_id % 7 = 3),
+       |win AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY seq DESC, op) AS rk FROM ch) t
+       |  WHERE rk = 1)
+       |SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+       |FROM documents s ANTI JOIN win ON s.doc_id = win.doc_id
+       |UNION ALL
+       |SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT)
+       |FROM win WHERE op = 'upsert'""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109, q110)
+    q104, q105, q106, q107, q108, q109, q110, q111)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

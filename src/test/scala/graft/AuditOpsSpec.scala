@@ -95,4 +95,54 @@ class AuditOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s == Map("removed" -> 1L, "changed" -> 1L, "added" -> 1L))
   }
+
+  test("applyChangeSet: latest seq wins, delete beats upsert on a tie") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    val changes = Seq(
+      (2L, "b-rev1", 1L, "upsert"),   // superseded by rev2
+      (2L, "b-rev2", 2L, "upsert"),
+      (3L, "c-zombie", 5L, "upsert"), // loses the seq-5 tie to the delete
+      (3L, "c", 5L, "delete"),
+      (4L, "d", 1L, "delete"),
+      (9L, "z-new", 1L, "upsert"))    // fresh-key insert
+      .toDF("id", "text", "seq", "op")
+    val got = AuditOps.applyChangeSet(snap, changes, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got ==
+      Map(1L -> "a", 2L -> "b-rev2", 9L -> "z-new"),
+      s"merge semantics: $got")
+  }
+
+  test("applyChangeSet in seq-ordered increments equals one-shot apply") {
+    // the incremental-materialization contract: applying change batches
+    // in seq order, snapshot-by-snapshot, is the same function as one
+    // MERGE of the full changeset — what a foreachBatch CDC consumer
+    // relies on.
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val batch1 = Seq((2L, "b1", 1L, "upsert"), (3L, "c", 1L, "delete"),
+      (7L, "g", 1L, "upsert")).toDF("id", "text", "seq", "op")
+    val batch2 = Seq((2L, "b2", 2L, "upsert"), (7L, "g", 2L, "delete"),
+      (3L, "c-back", 2L, "upsert")).toDF("id", "text", "seq", "op")
+    val incremental = AuditOps.applyChangeSet(
+      AuditOps.applyChangeSet(snap, batch1, "id"), batch2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val oneShot = AuditOps.applyChangeSet(
+      snap, batch1.unionByName(batch2), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(incremental == oneShot && incremental ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c-back"))
+  }
+
+  test("applyChangeSet never shuffles the snapshot side") {
+    val docs = Tables.documents(spark, sf)
+    val changes = docs.where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), lit(1L).as("seq"), lit("delete").as("op"))
+    val plan = AuditOps.applyChangeSet(docs, changes, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"),
+      s"the anti probe must broadcast the winners' keys:\n$plan")
+  }
 }
