@@ -163,6 +163,44 @@ object LayoutOps {
         col("bin_files"), (col("bin_files") > 1).as("needs_compaction"))
   }
 
+  /** Zone-map file-skipping PLAN: the pruning decision a lakehouse scan
+    * planner makes from manifest statistics, as an auditable relational
+    * operator. Input is a file audit (one row per file with
+    * `<c>_min`/`<c>_max` box columns — [[fileLayoutAudit]]'s shape, or
+    * table-format manifests at a real lake); `preds` is a conjunction of
+    * closed-interval predicates `(column, lo, hi)`. A file must be
+    * scanned iff its box intersects EVERY predicate interval
+    * (`c_min <= hi AND c_max >= lo`); a NULL statistic is conservatively
+    * scannable (stats are an optimization, never a correctness gate —
+    * the rule every format's pruning spec shares). Output: per file the
+    * box verdict per predicate column and the final `scan` decision.
+    * Pure projection over file-LEVEL metadata — evaluating it for a
+    * 100 TB table costs one pass over rows-per-file manifest entries,
+    * which is why clustering quality ([[compactedWrite]] /
+    * [[zOrderedWrite]]) decides scan cost before any data is read. */
+  def pruningPlan(audit: DataFrame, fileCol: Column, rowsCol: Column,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one predicate interval")
+    val verdicts = preds.map { case (c, lo, hi) =>
+      (coalesce(col(s"${c}_min").cast("double") <= lit(hi), lit(true)) &&
+        coalesce(col(s"${c}_max").cast("double") >= lit(lo), lit(true)))
+        .as(s"${c}_hit")
+    }
+    audit.select(Seq(fileCol.as("file"), rowsCol.cast("long").as("n_rows")) ++
+      verdicts: _*)
+      .withColumn("scan", preds.map(p => col(s"${p._1}_hit")).reduce(_ && _))
+  }
+
+  /** One-row effectiveness summary of a [[pruningPlan]]: files/rows
+    * total vs scanned — the number a layout change is judged by (a
+    * perfect range-clustered layout scans O(selectivity) rows; a
+    * scattered one scans everything regardless of the predicate). */
+  def pruningPlanSummary(plan: DataFrame): DataFrame =
+    plan.agg(count(lit(1)).as("files_total"),
+      sum(when(col("scan"), 1L).otherwise(0L)).as("files_scanned"),
+      sum(col("n_rows")).as("rows_total"),
+      sum(when(col("scan"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+
   /** Small-file audit of a written parquet directory: one row per file
     * with row count plus the min/max box over `statsCols` — the
     * file-skipping effectiveness report (a predicate on column c touches

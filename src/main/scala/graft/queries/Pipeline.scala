@@ -2583,13 +2583,47 @@ object Pipeline {
        |SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT)
        |FROM win WHERE op = 'upsert'""".stripMargin)
 
+  /** Zone-map pruning plan ([[graft.operators.LayoutOps.pruningPlan]]):
+    * a user_id-clustered simulated layout (15 "files" of 10 ids each —
+    * the q102 relational-layout convention) pruned by a conjunctive
+    * interval predicate. The clustered column prunes to the predicate's
+    * file range; the scattered `value` column's wide boxes hit almost
+    * everywhere — the asymmetry that motivates Z-ordering, here
+    * hash-pinned per file. */
+  private val q112 = QueryDef(
+    "q112_pruning_plan",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val audit = ev
+        .groupBy((col("user_id") / 10).cast("long").as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("user_id_min"),
+          max(col("user_id")).as("user_id_max"),
+          min(col("value")).as("value_min"),
+          max(col("value")).as("value_max"))
+      graft.operators.LayoutOps.pruningPlan(audit, col("file"),
+        col("n_rows"), Seq(("user_id", 35.0, 72.0), ("value", 0.0, 450.0)))
+    },
+    s"""WITH a AS (SELECT CAST(floor(user_id / 10) AS BIGINT) AS file,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(user_id) AS umin, max(user_id) AS umax,
+       |    min(value) AS vmin, max(value) AS vmax
+       |  FROM events GROUP BY 1)
+       |SELECT file, n_rows,
+       |  (CAST(umin AS DOUBLE) <= 72.0 AND CAST(umax AS DOUBLE) >= 35.0)
+       |    AS user_id_hit,
+       |  (vmin <= 450.0 AND vmax >= 0.0) AS value_hit,
+       |  ((CAST(umin AS DOUBLE) <= 72.0 AND CAST(umax AS DOUBLE) >= 35.0)
+       |    AND (vmin <= 450.0 AND vmax >= 0.0)) AS scan
+       |FROM a""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109, q110, q111)
+    q104, q105, q106, q107, q108, q109, q110, q111, q112)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -134,4 +134,41 @@ class LayoutOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("pruningPlan on a real clustered layout is sound and effective") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/prune"
+    val df = spark.range(10000)
+      .select((col("id") * 7919 % 10007).as("k"), col("id").as("v"))
+    LayoutOps.compactedWrite(df, dir, 10, Seq("k"))
+    val audit = LayoutOps.fileLayoutAudit(spark, dir, Seq("k"))
+    val (lo, hi) = (2000.0, 2999.0)
+    val plan = LayoutOps.pruningPlan(audit, col("file"), col("n_rows"),
+      Seq(("k", lo, hi))).collect()
+    val scanned = plan.filter(_.getAs[Boolean]("scan"))
+      .map(_.getAs[String]("file")).toSet
+    // Effectiveness: a clustered layout prunes ~90% of files for a ~10%
+    // selectivity predicate.
+    assert(scanned.size <= 3 && scanned.nonEmpty,
+      s"clustered layout must prune most files: ${scanned.size}/10")
+    // Soundness: reading ONLY the scan=true files returns exactly the
+    // predicate's rows from the full table.
+    val pruned = spark.read.parquet(scanned.toSeq: _*)
+      .where(col("k").between(lo, hi)).agg(count(lit(1)), sum("v")).head
+    val full = spark.read.parquet(dir)
+      .where(col("k").between(lo, hi)).agg(count(lit(1)), sum("v")).head
+    assert(pruned == full, "pruning must not lose predicate rows")
+  }
+
+  test("pruningPlan: NULL statistics are conservatively scannable") {
+    val audit = Seq(
+      ("f0", 10L, Some(0.0), Some(1.0)),
+      ("f1", 10L, None, None),
+      ("f2", 10L, Some(5.0), Some(9.0)))
+      .toDF("file", "n_rows", "k_min", "k_max")
+    val got = LayoutOps.pruningPlan(audit, col("file"), col("n_rows"),
+      Seq(("k", 4.0, 6.0))).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("scan")).toMap
+    assert(got == Map("f0" -> false, "f1" -> true, "f2" -> true),
+      s"missing stats must never skip a file: $got")
+  }
 }
