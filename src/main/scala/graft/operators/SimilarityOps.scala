@@ -92,6 +92,71 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Semantic contamination screen: flag corpus vectors whose embedding
+    * sits within `threshold` cosine of ANY eval-set vector — the
+    * embedding-space complement of the exact n-gram decontamination
+    * screens ([[TextOps]] q55/q79 family), catching the paraphrased and
+    * reformatted eval leakage that no exact-match screen can see.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of rows
+    * against a corpus of billions), so its banded sign-LSH projection is
+    * BROADCAST — the corpus never shuffles for discovery; its `tables`
+    * band rows explode map-side into a broadcast hash probe. Cosine
+    * verification runs INSIDE the join (a band collision alone never
+    * flags — the media-screen/takedown rule), and only the COLLIDING
+    * rows (eval-neighborhood-sized) reach the per-doc strongest-evidence
+    * window (cos desc, eval_id asc). Approximate by design — recall
+    * rises with `tables` like [[cosinePairsBucketed]] — and
+    * deterministic buckets keep the whole screen oracle-checkable.
+    * Output: one row per flagged corpus vector with its strongest
+    * eval-set witness. */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      id: Column, vec: Column, threshold: Double, nBits: Int,
+      tables: Int): DataFrame = {
+    val hits = contaminationHits(corpus, evalSet, id, vec, threshold,
+      nBits, tables)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("eval_id"))
+    hits.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .drop("rk")
+  }
+
+  /** Banded sign-LSH projection of one side — `tables` (tbl, bucket)
+    * rows per vector, map-side explode, no shuffle. Shared by
+    * [[semanticContamination]]'s two sides and its ingest face
+    * ([[graft.streaming.Streaming.semanticContaminationStream]]) so the
+    * band geometry cannot drift between faces. `keep` names columns of
+    * `df` (e.g. an event-time) that ride along. */
+  def bandedProjection(df: DataFrame, id: Column, vec: Column, n: String,
+      nBits: Int, tables: Int, keep: Seq[String] = Nil): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    df.select(Seq(id.as(n), vec.as(s"${n}_e"),
+        sqrt(VectorExpressions.floatDot(vec, vec)).as(s"${n}_nrm")) ++
+        keep.map(col): _*)
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucketAt(col(s"${n}_e"), nBits, t * nBits).as("bucket"))): _*)))
+      .withColumn("tbl", col("tb.tbl"))
+      .withColumn("bucket", col("tb.bucket")).drop("tb")
+  }
+
+  /** Verified contamination witnesses — every (corpus vector, eval
+    * vector) band collision whose cosine clears `threshold`, BEFORE the
+    * per-doc strongest-evidence resolution (batch resolves with a rank
+    * window; the ingest face with a windowed max — both over this same
+    * frame). */
+  def contaminationHits(corpus: DataFrame, evalSet: DataFrame, id: Column,
+      vec: Column, threshold: Double, nBits: Int, tables: Int,
+      keep: Seq[String] = Nil): DataFrame =
+    bandedProjection(corpus, id, vec, "va", nBits, tables, keep)
+      .join(broadcast(
+        bandedProjection(evalSet, id, vec, "vb", nBits, tables)),
+        Seq("tbl", "bucket"))
+      .withColumn("cos_sim", pairCosine("va", "vb"))
+      .where(col("cos_sim") >= threshold)
+      .select(Seq(col("va").as("vec_id"), col("vb").as("eval_id"),
+        col("cos_sim")) ++ keep.map(col): _*)
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       vec: Column, k: Int): DataFrame = {

@@ -2617,13 +2617,51 @@ object Pipeline {
        |    AND (vmin <= 450.0 AND vmax >= 0.0)) AS scan
        |FROM a""".stripMargin)
 
+  /** Semantic contamination screen
+    * ([[SimilarityOps.semanticContamination]]): corpus vectors within
+    * cosine `COSINE_T` of any eval-set vector (vec_id < 25 plays the
+    * benchmark), via the broadcast banded sign-LSH probe with cosine
+    * verified inside the join. The embedding-space complement of
+    * q55/q79's exact n-gram screens — paraphrased eval leakage that
+    * exact matching cannot see. */
+  private val q113 = QueryDef(
+    "q113_semantic_contamination",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.semanticContamination(
+        emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25),
+        col("vec_id"), col("embedding"), COSINE_T, LSH_BITS, LSH_TABLES)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
+       |cb AS (
+       |  ${(0 until LSH_TABLES).map(t =>
+            s"SELECT vec_id, e, nrm, $t AS tbl, " +
+              s"${signBucketAtSql("e", LSH_BITS, t * LSH_BITS)} AS bucket " +
+              "FROM v WHERE vec_id >= 25").mkString("\n  UNION ALL\n  ")}),
+       |qb AS (
+       |  ${(0 until LSH_TABLES).map(t =>
+            s"SELECT vec_id, e, nrm, $t AS tbl, " +
+              s"${signBucketAtSql("e", LSH_BITS, t * LSH_BITS)} AS bucket " +
+              "FROM v WHERE vec_id < 25").mkString("\n  UNION ALL\n  ")}),
+       |hits AS (
+       |  SELECT c.vec_id, q.vec_id AS eval_id,
+       |    CASE WHEN c.nrm * q.nrm > 0 THEN
+       |      round(${dotSql("c.e", "q.e", DIM)} / (c.nrm * q.nrm), 6) END AS cos_sim
+       |  FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket)
+       |SELECT vec_id, eval_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id) AS rk
+       |  FROM hits WHERE cos_sim >= $COSINE_T) t
+       |WHERE rk = 1""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

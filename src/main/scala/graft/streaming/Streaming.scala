@@ -394,6 +394,33 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of
+    * [[graft.operators.SimilarityOps.semanticContamination]] — arriving
+    * embeddings screened against the STATIC eval-set band projection
+    * (benchmark-sized, broadcast; re-release the benchmark → restart the
+    * stream, the standing static-index rule). Witness discovery is the
+    * shared [[graft.operators.SimilarityOps.contaminationHits]] frame —
+    * band collision + cosine verified inside the join, collision alone
+    * never flags — and the strongest witness per (1-minute window, doc)
+    * resolves with a windowed `max(struct(cos, -eval_id))` (equal to the
+    * batch rank window's cos-desc/eval-asc pick, parity pinned in
+    * StreamingSpec). One watermark-bounded aggregation, no other
+    * state. */
+  def semanticContaminationStream(delta: DataFrame, evalSet: DataFrame,
+      threshold: Double, nBits: Int, tables: Int,
+      timeCol: String = "event_time"): DataFrame = {
+    val hits = graft.operators.SimilarityOps.contaminationHits(
+      delta.withWatermark(timeCol, WatermarkDelay),
+      evalSet, col("vec_id"), col("embedding"), threshold, nBits, tables,
+      keep = Seq(timeCol))
+    hits.groupBy(window(col(timeCol), "1 minute").as("window"),
+        col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("eval_id")).as("_ne")))
+        .as("_m"))
+      .select(col("window"), col("vec_id"),
+        (-col("_m._ne")).as("eval_id"), col("_m.cos_sim").as("cos_sim"))
+  }
+
   /** Ingest face of [[graft.operators.ClassifyOps.nbClassify]] — arriving
     * docs scored under the FROZEN Naive Bayes model (the fit is corpus-
     * wide and closed-form; a micro-batch never re-fits — re-fit → restart

@@ -1296,4 +1296,46 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(kc.toDouble / nc - expect) <= 0.08,
         s"alpha=1 cell rate ${kc.toDouble / nc} strays from uniform $expect") }
   }
+
+  test("semanticContamination flags are a subset of the exact screen") {
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na * nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else -2.0
+    }
+    val evalIds = vecs.keySet.filter(_ < 25)
+    val exact = (for {
+      c <- vecs.keySet -- evalIds; e <- evalIds
+      if cos(vecs(c), vecs(e)) >= 0.4 - 1e-6
+    } yield (c, e)).toSet
+    val flagged = SimilarityOps.semanticContamination(
+      emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25),
+      col("vec_id"), col("embedding"), 0.4, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.nonEmpty, "fixture sanity — some contamination exists")
+    flagged.foreach { case (c, e, s) =>
+      assert(exact.contains((c, e)),
+        s"witness ($c,$e) must be a genuine >=0.4 pair")
+      assert(math.abs(s - cos(vecs(c), vecs(e))) < 1e-5,
+        s"reported cosine must match the exact one for ($c,$e)")
+    }
+    assert(flagged.map(_._1).toSet.subsetOf(exact.map(_._1)),
+      "no corpus vector may be flagged without an exact witness")
+  }
+
+  test("semanticContamination broadcasts the eval side, never the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = SimilarityOps.semanticContamination(
+      emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25),
+      col("vec_id"), col("embedding"), 0.4, 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval probe must be a broadcast hash join:\n$plan")
+  }
 }

@@ -693,6 +693,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticContaminationStream verdicts equal the batch screen") {
+    import graft.operators.SimilarityOps
+    val emb = graft.Tables.embeddings(spark, sf).cache()
+    val evalSet = emb.where(col("vec_id") < 25)
+      .select("vec_id", "embedding").cache()
+    val corpus = emb.where(col("vec_id") >= 25)
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = Streaming.semanticContaminationStream(
+      in.toDS().toDF("vec_id", "embedding", "event_time"), evalSet,
+      0.4, 4, 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semcon1").start()
+    try {
+      val (a, b) = rows.splitAt(40)
+      in.addData(a.map { case (id, e) =>
+        (id, e, ts("2021-03-09 14:15:00")) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(b.map { case (id, e) =>
+        (id, e, ts("2021-03-09 14:15:30")) }.toIndexedSeq: _*)
+      in.addData((99999L, Array.fill(64)(0.0f), sec("2021-03-09 14:15:00", 4000)))
+      q.processAllAvailable()
+      val streamed = spark.table("semcon1")
+        .where(col("vec_id") =!= 99999L).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = SimilarityOps.semanticContamination(
+        corpus, evalSet, col("vec_id"), col("embedding"), 0.4, 4, 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(batch.nonEmpty, "fixture sanity — some contamination flagged")
+      assert(streamed == batch,
+        "ingest verdicts must equal the batch screen's strongest witnesses")
+    } finally { q.stop(); evalSet.unpersist(blocking = false)
+      emb.unpersist(blocking = false) }
+  }
+
   test("nbClassifyStream scores equal the batch classifier row-for-row") {
     import graft.operators.ClassifyOps
     val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
