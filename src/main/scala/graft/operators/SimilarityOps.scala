@@ -172,6 +172,44 @@ object SimilarityOps {
         col("nid").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Margin-based cross-corpus alignment mining (Artetxe & Schwenk,
+    * ACL 2019 "Margin-based Parallel Corpus Mining" — the LASER/CCMatrix
+    * criterion): a raw cosine threshold cannot separate true pairs from
+    * dense-hub neighborhoods, so each candidate is scored by its RATIO
+    * margin — cosine divided by the mean of both endpoints' k-NN cosine
+    * neighborhoods: `margin(x,y) = cos(x,y) / ((avgNN_k(x) +
+    * avgNN_k(y)) / 2)`; margin ≥ 1 means "closer than the neighborhoods'
+    * average", the standard mining cutoff. Candidates are x's forward
+    * top-k; each x keeps its best-margin y (margin desc, dst asc).
+    *
+    * Float determinism: neighborhood sums are DECIMAL sums of the
+    * already-1e-6-rounded cosines (exact, order-independent), and the
+    * margin divides in double off those exact decimals, rounded 1e-6 —
+    * so ranking is engine-identical. Built on [[bruteForceTopK]] (the
+    * exact tier, what the oracle replays); at 100 TB swap both top-k
+    * legs for the IVF/PQ tiers — the margin arithmetic composes over any
+    * neighbor source unchanged. Both frames' ids must be disjoint (the
+    * cross-frame contract [[bruteForceTopK]] inherits). */
+  def marginMining(a: DataFrame, b: DataFrame, id: Column, vec: Column,
+      k: Int, threshold: Double): DataFrame = {
+    val fwd = bruteForceTopK(b, a, id, vec, k)
+    val bwd = bruteForceTopK(a, b, id, vec, k)
+    val fa = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum(col("cos_sim").cast("decimal(18,6)")).as("_sx"))
+    val ba = bwd.groupBy(col("query_id").as("dst_id"))
+      .agg(sum(col("cos_sim").cast("decimal(18,6)")).as("_sy"))
+    val cand = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("dst_id"), col("cos_sim"))
+      .join(fa, "src_id").join(ba, "dst_id")
+      .withColumn("margin", round(col("cos_sim") * lit(2 * k) /
+        (col("_sx") + col("_sy")).cast("double"), 6))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("dst_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1 && col("margin") >= threshold)
+      .select("src_id", "dst_id", "cos_sim", "margin")
+  }
+
   /** IVF-style bucketed top-k: corpus vectors are assigned to their
     * highest-cosine centroid (the coarse quantizer cell); each query probes
     * its `nProbe` nearest CELLS (standard IVF recall knob — cost grows

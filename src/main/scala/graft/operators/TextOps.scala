@@ -929,6 +929,36 @@ object TextOps {
           .as("cross_entropy"))
   }
 
+  /** Percentile score calibration — raw quality scores ([[lmScore]]
+    * cross-entropy, [[qualityComposite]], a classifier margin) are not
+    * comparable ACROSS languages or sources: a threshold tuned on English
+    * guts every low-resource slice (the CCNet lesson — it calibrates per
+    * language). This operator converts scores to within-group percentile
+    * ranks and realizes the keep decision there: per group,
+    * `pct = percent_rank()` over the score order (tie groups share a
+    * rank — deterministic in any engine), a `buckets`-ile bucket, and
+    * `keep = pct <= keepPct`.
+    *
+    * Scale shape: the window partitions by GROUP (language/source), so
+    * the sort distributes across groups and ships only (id, group,
+    * score); nothing is corpus-global. A single giant group is the
+    * documented escape hatch: compute its thresholds from an
+    * `approx_percentile` sample and broadcast them (the exact window is
+    * chosen here because it is oracle-replayable). */
+  def calibrateScores(scored: DataFrame, id: Column, score: Column,
+      group: Column, groupName: String, buckets: Int,
+      keepPct: Double): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val w = Window.partitionBy("_g").orderBy(col("score"))
+    scored.select(id.as("doc_id"), score.as("score"), group.as("_g"))
+      .withColumn("pct", round(percent_rank().over(w), 6))
+      .select(col("doc_id"), col("_g").as(groupName), col("score"),
+        col("pct"),
+        least(floor(col("pct") * buckets), lit(buckets - 1).cast("double"))
+          .cast("long").as("bucket"),
+        (col("pct") <= keepPct).as("keep"))
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

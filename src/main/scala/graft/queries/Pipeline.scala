@@ -2655,13 +2655,104 @@ object Pipeline {
        |  FROM hits WHERE cos_sim >= $COSINE_T) t
        |WHERE rk = 1""".stripMargin)
 
+  /** Margin-based cross-corpus mining ([[SimilarityOps.marginMining]],
+    * the LASER/CCMatrix ratio-margin criterion): even vec_ids play
+    * corpus A, odd play corpus B; each A doc's best-margin B partner at
+    * the standard margin ≥ 1 cutoff. The oracle replays both exact
+    * top-k legs, the decimal neighborhood sums, the double margin
+    * division (VARCHAR-hop decimal cast per the DuckDB convention), and
+    * the (margin desc, dst asc) pick. */
+  private val MARGIN_K = 3
+  private val q114 = QueryDef(
+    "q114_margin_mining",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      SimilarityOps.marginMining(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"), MARGIN_K, 1.0)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+       |  FROM embeddings WHERE vec_id < 2000),
+       |fs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
+       |  FROM v q JOIN v c ON q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+       |bs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
+       |  FROM v q JOIN v c ON q.vec_id % 2 = 1 AND c.vec_id % 2 = 0),
+       |fwd AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM fs) t WHERE rk <= $MARGIN_K),
+       |bwd AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM bs) t WHERE rk <= $MARGIN_K),
+       |fa AS (SELECT query_id AS src_id,
+       |    SUM(CAST(cos_sim AS DECIMAL(18,6))) AS sx FROM fwd GROUP BY 1),
+       |ba AS (SELECT query_id AS dst_id,
+       |    SUM(CAST(cos_sim AS DECIMAL(18,6))) AS sy FROM bwd GROUP BY 1),
+       |cand AS (
+       |  SELECT f.query_id AS src_id, f.neighbor_id AS dst_id, f.cos_sim,
+       |    round(f.cos_sim * ${2 * MARGIN_K}
+       |      / CAST(CAST(fa.sx + ba.sy AS VARCHAR) AS DOUBLE), 6) AS margin
+       |  FROM fwd f
+       |  JOIN fa ON fa.src_id = f.query_id
+       |  JOIN ba ON ba.dst_id = f.neighbor_id)
+       |SELECT src_id, dst_id, cos_sim, margin FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY src_id ORDER BY margin DESC, dst_id) AS rk
+       |  FROM cand) t
+       |WHERE rk = 1 AND margin >= 1.0""".stripMargin)
+
+  /** Percentile score calibration ([[TextOps.calibrateScores]]): q66's
+    * unigram cross-entropy converted to within-LANGUAGE percentile
+    * ranks, decile buckets, and a keep-best-70% decision — the CCNet
+    * per-language calibration step that makes one threshold safe across
+    * resource levels. */
+  private val q115 = QueryDef(
+    "q115_score_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.lmScore(docs, col("doc_id"), col("text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      TextOps.calibrateScores(scored, col("doc_id"),
+        col("cross_entropy"), col("lang"), "lang", 10, 0.7)
+    },
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |cnt AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+       |tot AS (SELECT sum(cnt) AS tot FROM cnt),
+       |wlp AS (SELECT word,
+       |    CAST(round(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM cnt CROSS JOIN tot),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(lp) AS s
+       |  FROM w JOIN wlp USING (word) GROUP BY doc_id),
+       |ce AS (SELECT d.doc_id,
+       |    round(CAST(s AS DOUBLE) / n_tokens, 6) AS score, doc.lang
+       |  FROM d JOIN documents doc USING (doc_id)),
+       |p AS (SELECT doc_id, lang, score,
+       |    round(percent_rank() OVER (
+       |      PARTITION BY lang ORDER BY score), 6) AS pct
+       |  FROM ce)
+       |SELECT doc_id, lang, score, pct,
+       |  CAST(least(floor(pct * 10), 9.0) AS BIGINT) AS bucket,
+       |  (pct <= 0.7) AS keep
+       |FROM p""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
+    q115)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

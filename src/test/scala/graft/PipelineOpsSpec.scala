@@ -1297,6 +1297,71 @@ class PipelineOpsSpec extends SparkSpec {
         s"alpha=1 cell rate ${kc.toDouble / nc} strays from uniform $expect") }
   }
 
+  test("marginMining reproduces the ratio-margin criterion exactly") {
+    val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 2000)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aIds = vecs.keySet.filter(_ % 2 == 0).toSeq.sorted
+    val bIds = vecs.keySet.filter(_ % 2 == 1).toSeq.sorted
+    val k = 3
+    def topk(q: Long, side: Seq[Long]) = side
+      .map(n => (n, r6(cos(vecs(q), vecs(n)))))
+      .sortBy { case (n, c) => (-c, n) }.take(k)
+    val fwd = aIds.map(q => q -> topk(q, bIds)).toMap
+    val bwdSum = bIds.map(q =>
+      q -> topk(q, aIds).map(t => BigDecimal(t._2)).sum).toMap
+    val expect = aIds.flatMap { x =>
+      val sx = fwd(x).map(t => BigDecimal(t._2)).sum
+      val cands = fwd(x).map { case (y, c) =>
+        (y, c, r6(c * 2 * k / (sx + bwdSum(y)).toDouble)) }
+      val best = cands.sortBy { case (y, _, m) => (-m, y) }.head
+      if (best._3 >= 1.0) Some(x -> ((best._1, best._3))) else None
+    }.toMap
+    val got = SimilarityOps.marginMining(
+      emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), k, 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(expect.nonEmpty, "fixture sanity — some pair clears margin 1")
+    assert(got.keySet == expect.keySet,
+      s"mined src set diverges: ${got.keySet.diff(expect.keySet)} / ${expect.keySet.diff(got.keySet)}")
+    got.foreach { case (x, (y, m)) =>
+      assert(expect(x)._1 == y && math.abs(expect(x)._2 - m) < 1e-9,
+        s"pick/margin for $x: got ($y,$m), want ${expect(x)}")
+    }
+  }
+
+  test("calibrateScores: per-group percent ranks, buckets, keep") {
+    val scored = Seq(
+      (1L, 10.0, "g1"), (2L, 20.0, "g1"), (3L, 30.0, "g1"), (4L, 40.0, "g1"),
+      (5L, 1.0, "g2"), (6L, 1.0, "g2"), (7L, 2.0, "g2"),
+      (8L, 9.0, "g3"))
+      .toDF("doc_id", "s", "g")
+    val out = TextOps.calibrateScores(scored, col("doc_id"), col("s"),
+      col("g"), "grp", 10, 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((0.0, 0L, true)))
+    assert(out(2L) == ((0.333333, 3L, true)))
+    assert(out(3L) == ((0.666667, 6L, true)))
+    assert(out(4L) == ((1.0, 9L, false)))
+    // ties share the min rank; the last of 3 rows sits at pct 1
+    assert(out(5L) == ((0.0, 0L, true)) && out(6L) == ((0.0, 0L, true)))
+    assert(out(7L) == ((1.0, 9L, false)))
+    // a single-row group calibrates to pct 0 (kept)
+    assert(out(8L) == ((0.0, 0L, true)))
+  }
+
   test("semanticContamination flags are a subset of the exact screen") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.select("vec_id", "embedding").collect()
