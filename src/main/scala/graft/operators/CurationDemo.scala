@@ -43,15 +43,17 @@ object CurationDemo {
 
   /** Stage-by-stage survivor counts of the curation composition. */
   final case class StageCounts(
-      corpus: Long, afterFunnel: Long, boilerplateDocs: Long,
+      corpus: Long, afterFunnel: Long, langDisagreeDocs: Long,
+      boilerplateDocs: Long,
       spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
       videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
+      semContaminated: Long, afterSemDecon: Long,
       afterMix: Long, nChunks: Long, nShards: Long,
       auditRemoved: Long, auditMutatedOrAdded: Long,
       nFiles: Long, layoutOverlaps: Long)
 
-  /** The full twelve-stage composition; `verbose` adds the per-stage
+  /** The full fourteen-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. The final corpus is written
     * under `outDir` (a fresh temp directory when None — the demo's
     * artifact is the stage-count vector, not the files). */
@@ -66,39 +68,62 @@ object CurationDemo {
     // 1. quality funnel — one pass, cumulative survivor counts
     if (verbose)
       TextOps.filterFunnel(docs, col("doc_id"), col("text")).show(truncate = false)
-    val clean = docs.where(TextOps.funnelPredicates(col("text"))
-      .map(_._2).reduce(_ && _))
+    // Stage-boundary lineage truncation (the q51/q107 checkpoint rule —
+    // a staged pipeline materializes between stages): each surviving
+    // frame is corpus-row-sized, but without truncation every downstream
+    // action re-analyzes the ENTIRE upstream plan tree, and with 14
+    // stages Catalyst analysis alone dominates the demo (measured: the
+    // spec spun >15 min inside TreeNode.collectFirst before this).
+    def settle(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+    val clean = settle(docs.where(TextOps.funnelPredicates(col("text"))
+      .map(_._2).reduce(_ && _)))
     val n1 = clean.count()
     say(s"[curate] after funnel: $n1 (${n0 - n1} dropped)")
 
-    // 2. line-level boilerplate audit (drop-set from THIS corpus)
-    val lineStats = TextOps.lineDedup(clean, col("doc_id"), col("text"), 3)
+    // 2. learned-classifier language audit: self-fit Naive Bayes on the
+    // corpus's own lang labels (the q110 model) and count docs whose
+    // PREDICTED language disagrees with their label — the CCNet
+    // langid-confidence signal, surfaced as an audit (the stage-2/3
+    // convention: the synthetic corpus's random-word text carries weak
+    // language signal, so hard-dropping on it would gut the demo; a real
+    // pipeline thresholds this disagreement rate per source).
+    val langPred = ClassifyOps.nbClassify(clean, col("text"), col("lang"),
+      clean, col("doc_id"), col("text"), Some(col("lang")))
+    val langDisagree = langPred
+      .where(col("label") =!= col("pred_label")).count()
+    val gated = clean
+    val n1c = n1
+    say(s"[curate] language audit: $langDisagree of $n1 docs predicted " +
+      "off-label")
+
+    // 3. line-level boilerplate audit (drop-set from THIS corpus)
+    val lineStats = TextOps.lineDedup(gated, col("doc_id"), col("text"), 3)
     val boiler = lineStats.where(col("n_kept") < col("n_lines")).count()
     say(s"[curate] docs containing boilerplate lines: $boiler")
 
-    // 3. repeated-span audit: passages doc-level dedup would keep
-    val spans = TextOps.removeRepeatedSpans(clean, col("doc_id"), col("text"), 3, 5)
+    // 4. repeated-span audit: passages doc-level dedup would keep
+    val spans = TextOps.removeRepeatedSpans(gated, col("doc_id"), col("text"), 3, 5)
     val spanStats = spans.agg(
       sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("docs_hit"),
       sum("n_removed").as("tokens_removed")).head()
     say(s"[curate] repeated spans: ${spanStats.getLong(0)} docs affected, " +
       s"${spanStats.getLong(1)} tokens removable")
 
-    // 4. near-dup clusters -> keep the best-quality member of each
+    // 5. near-dup clusters -> keep the best-quality member of each
     val clusters = DedupOps.dedupClusters(
       DedupOps.lshCandidatePairs(
-        DedupOps.minhashSignatures(clean, col("doc_id"), col("text"), 2)),
+        DedupOps.minhashSignatures(gated, col("doc_id"), col("text"), 2)),
       "doc_a", "doc_b")
-    val quality = TextOps.qualityScore(clean, col("doc_id"), col("text"))
+    val quality = TextOps.qualityScore(gated, col("doc_id"), col("text"))
     val best = DedupOps.keepBestInCluster(
       quality, col("doc_id"), col("quality_score"), clusters)
     val dropDup = clusters.join(best, "cluster_id")
       .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-    val deduped = clean.join(dropDup, Seq("doc_id"), "left_anti")
+    val deduped = settle(gated.join(dropDup, Seq("doc_id"), "left_anti"))
     val n3 = deduped.count()
-    say(s"[curate] after near-dup keep-best: $n3 (${n1 - n3} dropped)")
+    say(s"[curate] after near-dup keep-best: $n3 (${n1c - n3} dropped)")
 
-    // 5. semantic dedup on the doc embeddings: coarse-quantize into
+    // 6. semantic dedup on the doc embeddings: coarse-quantize into
     // SemDeDup cells, within-cell cosine, drop the dominated member.
     // Centroids are a fixed deterministic sample of the FULL table (cell
     // geometry is corpus-global — an already-filtered subset would move
@@ -110,11 +135,11 @@ object CurationDemo {
       threshold = 0.4)
     val semDrop = semKeep.where(!col("kept"))
       .select(col("vec_id").as("doc_id"))
-    val semDeduped = deduped.join(semDrop, Seq("doc_id"), "left_anti")
+    val semDeduped = settle(deduped.join(semDrop, Seq("doc_id"), "left_anti"))
     val n3s = semDeduped.count()
     say(s"[curate] after semantic dedup: $n3s (${n3 - n3s} dropped)")
 
-    // 6. media near-dup over the docs' image/audio/video attachments (the
+    // 7. media near-dup over the docs' image/audio/video attachments (the
     // documents table carries none, so the demo synthesizes REAL
     // PNG/WAV/Y4M payloads from the text — the q86/q87/q89 bridge):
     // decode → perceptual
@@ -142,44 +167,63 @@ object CurationDemo {
     val nImg = imgDrops.count()
     val nAud = audDrops.count()
     val nVid = vidDrops.count()
-    val mediaDeduped = semDeduped
+    val mediaDeduped = settle(semDeduped
       .join(imgDrops.union(audDrops).union(vidDrops).distinct(),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti"))
     val n3m = mediaDeduped.count()
     say(s"[curate] after media near-dup: $n3m " +
       s"($nImg image-dup docs, $nAud audio-dup docs, $nVid video-dup docs)")
 
-    // 7. decontamination: drop train-split docs overlapping the test split
+    // 8. exact decontamination: drop train-split docs overlapping the test split
     val leaky = TextOps.decontaminate(mediaDeduped, col("doc_id"), col("text"), 2,
       minOverlap = 2, estimatedTestShingles = 1L << 16)
-    val decon = mediaDeduped.join(leaky.select("doc_id"), Seq("doc_id"), "left_anti")
+    val decon = settle(mediaDeduped.join(leaky.select("doc_id"),
+      Seq("doc_id"), "left_anti"))
     val n4 = decon.count()
     say(s"[curate] after decontamination: $n4 (${n3m - n4} train docs dropped)")
 
-    // 8. mix to target source weights at a fixed token budget
-    val weights = decon.select("source").distinct().collect()
+    // 9. semantic decontamination: what exact n-gram matching cannot see
+    // — surviving docs whose EMBEDDING sits within cosine 0.4 of the
+    // held-out benchmark (vec_ids < 25 play the eval set, the q113
+    // convention; only ids outside it are screened). Paraphrased leakage
+    // drops here.
+    val evalEmb = embAll.where(col("vec_id") < 25)
+    val semCon = SimilarityOps.semanticContamination(
+      embAll.join(decon.select(col("doc_id").as("vec_id")), "vec_id")
+        .where(col("vec_id") >= 25),
+      evalEmb, col("vec_id"), col("embedding"), 0.4, 4, 4)
+    val nSemCon = semCon.count()
+    val decon2 = settle(decon.join(semCon.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_anti"))
+    val n4b = decon2.count()
+    say(s"[curate] after semantic decontamination: $n4b " +
+      s"($nSemCon docs within cosine 0.4 of the benchmark)")
+
+    // 10. mix to target source weights at a fixed token budget
+    val weights = decon2.select("source").distinct().collect()
       .map(_.getString(0) -> 1L).toMap
     val budget = 20000L
     if (verbose)
-      TextOps.corpusMix(decon, col("doc_id"), col("text"), col("source"),
+      TextOps.corpusMix(decon2, col("doc_id"), col("text"), col("source"),
         weights, budget).orderBy("source").show(5, truncate = false)
-    val thr = TextOps.mixThresholds(decon, col("doc_id"), col("text"),
+    val thr = TextOps.mixThresholds(decon2, col("doc_id"), col("text"),
       col("source"), weights, budget)
-    val mixed = decon
+    val mixed = decon2
       .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
         graft.functions.HashExpressions.polyHash(col("text")), 1000000))
       .join(thr, "source").where(col("_bkt") < col("_thr"))
       .drop("_bkt", "_thr")
+      .localCheckpoint(true)
     val n5 = mixed.count()
     say(s"[curate] after mixing to budget $budget: $n5")
 
-    // 9. pack into fixed token-budget training chunks
+    // 11. pack into fixed token-budget training chunks
     val packed = TextOps.packSequences(mixed, col("doc_id"), col("text"), 512L)
     val nChunks = packed.count()
     say(s"[curate] packed $n5 docs into $nChunks chunks of <= 512 tokens")
     if (verbose) packed.orderBy("chunk_id").show(5, truncate = false)
 
-    // 10. deterministic shuffle-and-shard: the order a training run reads
+    // 12. deterministic shuffle-and-shard: the order a training run reads
     val sharded = TextOps.shuffleShards(mixed, col("doc_id"), col("text"), 8)
     if (verbose)
       sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
@@ -187,7 +231,7 @@ object CurationDemo {
     val nShards = sharded.select("shard").distinct().count()
     say(s"[curate] final corpus sharded $nShards ways, reproducibly")
 
-    // 11. snapshot audit: final corpus vs the raw snapshot. The curation
+    // 13. snapshot audit: final corpus vs the raw snapshot. The curation
     // contract is DROP-ONLY — content flows through every stage
     // untouched — so the diff may contain removed/unchanged rows but
     // never added/changed ones; a nonzero count here is a stage
@@ -201,7 +245,7 @@ object CurationDemo {
     say(s"[curate] audit vs raw snapshot: $nRemoved dropped, " +
       s"${audit.getOrElse("unchanged", 0L)} untouched, $nBad mutated/invented")
 
-    // 12. layout-aware final write: the corpus a trainer actually reads —
+    // 14. layout-aware final write: the corpus a trainer actually reads —
     // doc content re-attached to its (shard, pos) order, compacted into
     // nShards files range-clustered on (shard, pos). compactedWrite's
     // disjoint-leading-key contract means each file covers a contiguous
@@ -227,8 +271,9 @@ object CurationDemo {
     say(s"[curate] wrote $outPath: $nFiles files, " +
       s"$overlaps shard-range overlaps (0 = exact file skipping per shard)")
 
-    StageCounts(n0, n1, boiler, spanStats.getLong(0), spanStats.getLong(1),
-      n3, n3s, nImg, nAud, nVid, n3m, n4, n5, nChunks, nShards,
+    StageCounts(n0, n1, langDisagree, boiler, spanStats.getLong(0),
+      spanStats.getLong(1), n3, n3s, nImg, nAud, nVid, n3m, n4,
+      nSemCon, n4b, n5, nChunks, nShards,
       nRemoved, nBad, nFiles, overlaps)
   }
 

@@ -22,6 +22,10 @@ class CurationDemoSpec extends SparkSpec {
     val want = StageCounts(
       corpus = 500L,
       afterFunnel = 209L,
+      langDisagreeDocs = 100L, // NB self-fit disagrees on ~48% of the
+                               // random-word synthetic text — audited,
+                               // not dropped (weak lang signal is a
+                               // corpus property, not a pipeline bug)
       boilerplateDocs = 0L, // sf corpus has no newlines; lineDedup is
                             // natively gated by LineDedupSpec's fixture
       spanDocsHit = 147L,
@@ -33,10 +37,13 @@ class CurationDemoSpec extends SparkSpec {
       videoDupDocs = 0L,  // near-identical media — none in the sf corpus
       afterMedia = 193L,
       afterDecontamination = 35L,
-      afterMix = 35L,
+      semContaminated = 1L,  // one survivor sits within cosine 0.4 of
+      afterSemDecon = 34L,   // the vec_id<25 benchmark — the paraphrase
+                             // leakage exact n-grams (stage 8) missed
+      afterMix = 34L,
       nChunks = 5L,
       nShards = 8L,
-      auditRemoved = 465L,       // 500 - 35: everything else untouched
+      auditRemoved = 466L,       // 500 - 34: everything else untouched
       auditMutatedOrAdded = 0L,  // the drop-only contract, end-to-end
       nFiles = 8L,               // compactedWrite hit its file target
       layoutOverlaps = 0L)       // per-file shard ranges disjoint: a
