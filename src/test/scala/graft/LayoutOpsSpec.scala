@@ -159,6 +159,16 @@ class LayoutOpsSpec extends SparkSpec {
     assert(pruned == full, "pruning must not lose predicate rows")
   }
 
+  test("pruningPlanSummary reports files/rows scanned vs total") {
+    val audit = Seq(
+      ("f0", 10L, 0.0, 1.0), ("f1", 20L, 2.0, 3.0), ("f2", 30L, 5.0, 9.0))
+      .toDF("file", "n_rows", "k_min", "k_max")
+    val s = LayoutOps.pruningPlanSummary(LayoutOps.pruningPlan(
+      audit, col("file"), col("n_rows"), Seq(("k", 2.5, 6.0)))).head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      ((3L, 2L, 60L, 50L)), s"summary row: $s")
+  }
+
   test("pruningPlan: NULL statistics are conservatively scannable") {
     val audit = Seq(
       ("f0", 10L, Some(0.0), Some(1.0)),
