@@ -394,6 +394,47 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of [[graft.operators.AuditOps.applyChangeSet]] — a CDC
+    * change stream continuously materialized into a keyed snapshot (the
+    * foreachBatch MERGE consumer every table format documents, as a
+    * library operator). State lives under `stateDir` as immutable
+    * per-batch versions `v=<batchId>`: each micro-batch reads the latest
+    * version (or `initial` before the first), applies the batch's
+    * changes through the SAME `applyChangeSet` the batch face uses —
+    * AuditOpsSpec's invariant (seq-ordered incremental application ≡
+    * one-shot apply) is exactly what makes this materialization equal a
+    * batch MERGE of the full log — and writes the next version. Restart
+    * safety: re-processing batch N overwrites `v=N` with identical
+    * content (the apply is deterministic), so replays converge.
+    * Versions double as time travel: `v=K` IS the snapshot as of batch
+    * K; compact old versions out-of-band like any table-format
+    * maintenance job. Pass the returned function to
+    * `writeStream.foreachBatch`; read the live snapshot with
+    * [[cdcSnapshot]]. */
+  def cdcApplySink(stateDir: String, initial: DataFrame,
+      keyName: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prev = cdcSnapshot(spark, stateDir, initial, maxVersion = batchId - 1)
+      graft.operators.AuditOps.applyChangeSet(prev, batch, keyName)
+        .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    }
+  }
+
+  /** The latest materialized [[cdcApplySink]] snapshot under `stateDir`
+    * (capped at `maxVersion` for time travel), or `initial` when no
+    * version exists yet. */
+  def cdcSnapshot(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      initial: DataFrame, maxVersion: Long = Long.MaxValue): DataFrame = {
+    val dir = new java.io.File(stateDir)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ <= maxVersion)
+    if (versions.isEmpty) initial
+    else spark.read.parquet(s"$stateDir/v=${versions.max}")
+  }
+
   /** Ingest face of
     * [[graft.operators.SimilarityOps.semanticContamination]] — arriving
     * embeddings screened against the STATIC eval-set band projection

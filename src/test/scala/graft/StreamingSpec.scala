@@ -693,6 +693,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApplySink materializes the change log to the one-shot MERGE state") {
+    import graft.operators.AuditOps
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc").toString
+    val initial = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    val batch1 = Seq((2L, "b1", 1L, "upsert"), (3L, "c", 1L, "delete"),
+      (7L, "g", 1L, "upsert"))
+    val batch2 = Seq((2L, "b2", 2L, "upsert"), (7L, "g", 2L, "delete"),
+      (3L, "c-back", 2L, "upsert"))
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = in.toDS().toDF("id", "text", "seq", "op")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", stateDir + "/_ckpt")
+      .foreachBatch(Streaming.cdcApplySink(stateDir, initial, "id"))
+      .start()
+    try {
+      in.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      // mid-stream time travel: version 0 is the post-batch-1 state
+      val mid = Streaming.cdcSnapshot(spark, stateDir, initial)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(mid == Map(1L -> "a", 2L -> "b1", 4L -> "d", 7L -> "g"))
+      in.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      val fin = Streaming.cdcSnapshot(spark, stateDir, initial)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val oneShot = AuditOps.applyChangeSet(initial,
+        (batch1 ++ batch2).toDF("id", "text", "seq", "op"), "id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fin == oneShot,
+        "materialized stream state must equal one MERGE of the full log")
+      // the pre-batch-2 version is still readable (time travel)
+      val tt = Streaming.cdcSnapshot(spark, stateDir, initial, maxVersion = 0)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(tt == mid, "v=0 must remain the as-of-batch-0 snapshot")
+    } finally q.stop()
+  }
+
   test("semanticContaminationStream verdicts equal the batch screen") {
     import graft.operators.SimilarityOps
     val emb = graft.Tables.embeddings(spark, sf).cache()
