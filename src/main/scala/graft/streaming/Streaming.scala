@@ -445,8 +445,10 @@ object Streaming {
     * never flags — and the strongest witness per (1-minute window, doc)
     * resolves with a windowed `max(struct(cos, -eval_id))` (equal to the
     * batch rank window's cos-desc/eval-asc pick, parity pinned in
-    * StreamingSpec). One watermark-bounded aggregation, no other
-    * state. */
+    * StreamingSpec). One watermark-bounded aggregation, no other state.
+    * PERSIST `evalSet` before starting the stream (the media-screen
+    * static-side rule) so its band projection is not recomputed per
+    * micro-batch. */
   def semanticContaminationStream(delta: DataFrame, evalSet: DataFrame,
       threshold: Double, nBits: Int, tables: Int,
       timeCol: String = "event_time"): DataFrame = {
@@ -475,7 +477,9 @@ object Streaming {
     * one stateful step, bounded, the takedown-screen shape. Output: per
     * window the doc's predicted class, token count, and winning score —
     * equal to the batch classifier's row for the same doc (StreamingSpec
-    * parity). */
+    * parity). PERSIST `model` and `priors` before starting the stream
+    * (the media-screen static-side rule): the Zipf head/tail split sorts
+    * the model per micro-batch otherwise. */
   def nbClassifyStream(docs: DataFrame, model: DataFrame, priors: DataFrame,
       labels: Seq[String], timeCol: String = "event_time"): DataFrame = {
     val words = docs.withWatermark(timeCol, WatermarkDelay)
