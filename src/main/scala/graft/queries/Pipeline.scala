@@ -2745,6 +2745,69 @@ object Pipeline {
        |  (pct <= 0.7) AS keep
        |FROM p""".stripMargin)
 
+  /** Confusion matrix of the q110 classifier — the aggregate face a
+    * pipeline actually monitors (per-class precision/recall inputs and
+    * the disagreement rate CurationDemo's language audit thresholds):
+    * per (label, pred_label) cell the doc count and its share of the
+    * true-label row, millionth-rounded. */
+  private val q116 = QueryDef(
+    "q116_nb_confusion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = graft.operators.ClassifyOps.nbClassify(
+        docs, col("text"), col("lang"),
+        docs, col("doc_id"), col("text"), Some(col("lang")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      pred.groupBy("label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_share",
+          round(col("n") / sum(col("n")).over(w), 6))
+    }, {
+      val ls = NbLangs
+      val dec = "DECIMAL(18,6)"
+      // the q110 oracle chain, aggregated to (label, pred_label) cells
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS word FROM documents),
+         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
+         |cls AS (SELECT count(DISTINCT word) AS v,
+         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
+              .mkString(",\n    ")}
+         |  FROM toks),
+         |pri AS (SELECT
+         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
+                s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
+              .mkString(",\n    ")}
+         |  FROM documents),
+         |model AS (
+         |  SELECT w.word,
+         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
+                s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
+              .mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
+         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
+              .mkString("\n  ")}),
+         |sums AS (SELECT t.doc_id, t.lang,
+         |    ${ls.map(l => s"sum(m.lp_$l) AS s_$l").mkString(", ")}
+         |  FROM toks t JOIN model m ON m.word = t.word GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, lang,
+         |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
+         |  FROM sums CROSS JOIN pri),
+         |pick AS (
+         |  SELECT doc_id, lang, l AS pred_label,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rk
+         |  FROM (SELECT doc_id, lang,
+         |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
+         |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
+         |    FROM sc) u),
+         |cells AS (SELECT lang AS label, pred_label,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pick WHERE rk = 1 GROUP BY 1, 2)
+         |SELECT label, pred_label, n,
+         |  round(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+         |    AS label_share
+         |FROM cells""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2752,7 +2815,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115)
+    q115, q116)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
