@@ -95,7 +95,13 @@ object AuditOps {
     * `(key, seq, op ∈ upsert|delete, payload...)`; per key the change
     * with the HIGHEST `seq` wins, and on an exact seq tie `delete` beats
     * `upsert` (op ascending — the conservative resolution, documented
-    * contract, deterministic). The result is the next snapshot: rows
+    * contract, deterministic). Two upserts sharing (key, seq) with
+    * DIFFERENT payloads tiebreak on the canonical payload rendering
+    * ([[contentHash]], ascending) — row_number over (seq, op) alone
+    * would pick an arbitrary winner, and [[graft.streaming.Streaming
+    * .cdcApplySink]]'s replay-convergence claim ("re-processing batch N
+    * overwrites v=N with identical content") requires the apply to be a
+    * pure function of the changeset's VALUES. The result is the next snapshot: rows
     * whose key saw no winning change pass through untouched, winning
     * upserts replace (or insert) their key's row, winning deletes remove
     * it. Payload columns must match the snapshot's schema — a drift is a
@@ -115,7 +121,8 @@ object AuditOps {
     import org.apache.spark.sql.expressions.Window
     val payload = snapshot.columns.toSeq
     val w = Window.partitionBy(keyName)
-      .orderBy(col(seqName).desc, col(opName).asc)
+      .orderBy(col(seqName).desc, col(opName).asc,
+        contentHash(payload.map(col)).asc)
     val winners = changes
       .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
     snapshot.join(winners.select(keyName), Seq(keyName), "left_anti")

@@ -2584,7 +2584,12 @@ object Pipeline {
        |    FROM documents WHERE doc_id % 7 = 3),
        |win AS (SELECT * FROM (
        |    SELECT *, row_number() OVER (
-       |      PARTITION BY doc_id ORDER BY seq DESC, op) AS rk FROM ch) t
+       |      PARTITION BY doc_id ORDER BY seq DESC, op,
+       |        concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+       |          coalesce(text, chr(0)), coalesce(lang, chr(0)),
+       |          coalesce(source, chr(0)),
+       |          coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS rk
+       |    FROM ch) t
        |  WHERE rk = 1)
        |SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
        |FROM documents s ANTI JOIN win ON s.doc_id = win.doc_id

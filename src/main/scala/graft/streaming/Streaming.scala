@@ -328,16 +328,19 @@ object Streaming {
     * doc is checked against the persisted compliance blocklist index
     * ([[graft.operators.DedupOps.takedownIndex]] — listed texts, band
     * buckets, and sorted shingle arrays; list-sized, broadcast). Verdicts
-    * per blocked arrival: `exact_copy` (byte-identical text to a listed
-    * doc) beats `near_dup` (band collision + exact shingle-Jaccard at
-    * `threshold` INSIDE the join — collision alone never blocks, the
-    * media-screen rule), smallest triggering src on ties; arrivals
-    * matching nothing pass silently (the decontaminate drop-set
-    * convention). Row-local signatures/shingles, three stream-static
-    * joins, one watermarked per-minute aggregation — no state. Replay
-    * parity: on the corpus itself this equals the batch operator's
-    * non-`listed` rows (an arriving doc has no list membership — lists
-    * name corpus history), pinned in StreamingSpec. */
+    * per blocked arrival: `listed` (the arrival's id equals the
+    * triggering src — the removed document itself recrawled under its
+    * own id; excluding id-equal matches here would wave the listed
+    * content straight back in) beats `exact_copy` (byte-identical text
+    * to a listed doc) beats `near_dup` (band collision + exact
+    * shingle-Jaccard at `threshold` INSIDE the join — collision alone
+    * never blocks, the media-screen rule), smallest triggering src on
+    * ties; arrivals matching nothing pass silently (the decontaminate
+    * drop-set convention). Row-local signatures/shingles, three
+    * stream-static joins, one watermarked per-minute aggregation — no
+    * state. Replay parity: on the corpus itself this equals the batch
+    * operator's rows row-for-row, `listed` included, pinned in
+    * StreamingSpec. */
   def takedownScreenStream(docs: DataFrame, index: DataFrame, w: Int,
       threshold: Double, timeCol: String = "event_time"): DataFrame = {
     import graft.functions.TextHash.bandBucket
@@ -352,29 +355,35 @@ object Streaming {
       .withColumn("_b0", bandBucket((0 to 3).map(i => col(s"m$i"))))
       .withColumn("_b1", bandBucket((4 to 7).map(i => col(s"m$i"))))
       .withColumn("_n", size(col("_hs")).cast("long"))
+    // An arrival whose id EQUALS a listed src is not excluded — it is the
+    // removed document itself re-surfacing (a recrawl reusing the id), the
+    // exact case a compliance screen must block. It outranks exact_copy
+    // (_pri 0, matching the batch operator's 'listed' rows) so corpus
+    // replay parity with takedownPropagation holds row-for-row.
+    def pri(nonListed: Int): Column =
+      when(col("doc_id") === col("src_id"), lit(0)).otherwise(lit(nonListed))
     val exact = base.join(
         index.select(col("text").as("_txt"), col("src_id")).distinct(),
         Seq("_txt"))
-      .where(col("doc_id") =!= col("src_id"))
-      .select(col("_t"), col("doc_id"), lit(1).as("_pri"), col("src_id"))
+      .select(col("_t"), col("doc_id"), pri(1).as("_pri"), col("src_id"))
     val near = Seq(0, 1).map { band =>
       base.join(index.where(col("band") === band)
           .select(col("b").as(s"_b$band"), col("src_id"),
             col("hs").as("_lhs"), col("n").as("_ln")),
         Seq(s"_b$band"))
-        .where(col("doc_id") =!= col("src_id"))
         .withColumn("_common",
           hashes.sortedIntersectCount(col("_hs"), col("_lhs")))
         .where(col("_common").cast("double") /
           (col("_n") + col("_ln") - col("_common")).cast("double")
           >= threshold)
-        .select(col("_t"), col("doc_id"), lit(2).as("_pri"), col("src_id"))
+        .select(col("_t"), col("doc_id"), pri(2).as("_pri"), col("src_id"))
     }
     near.foldLeft(exact)(_ unionByName _)
       .groupBy(window(col("_t"), "1 minute"), col("doc_id"))
       .agg(min(struct(col("_pri"), col("src_id"))).as("_v"))
       .select(col("doc_id"),
-        when(col("_v._pri") === 1, lit("exact_copy"))
+        when(col("_v._pri") === 0, lit("listed"))
+          .when(col("_v._pri") === 1, lit("exact_copy"))
           .otherwise(lit("near_dup")).as("reason"),
         col("_v.src_id").as("src_id"))
   }
@@ -421,18 +430,66 @@ object Streaming {
     }
   }
 
+  /** Version ids currently materialized under a [[cdcApplySink]]
+    * `stateDir`, listed through the Hadoop FileSystem of the path's
+    * scheme — `java.io.File.listFiles` returns null for hdfs://, s3a://
+    * (any non-local scheme), which would silently read as "no versions"
+    * and make every micro-batch merge against `initial` while its write
+    * still succeeds via Spark's Hadoop path: prior merges silently lost.
+    * The listing MUST go through the same filesystem abstraction the
+    * writes do. */
+  private def cdcVersions(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
   /** The latest materialized [[cdcApplySink]] snapshot under `stateDir`
     * (capped at `maxVersion` for time travel), or `initial` when no
-    * version exists yet. */
+    * version at all exists yet (stream not started / replaying batch 0,
+    * whose previous state IS `initial`). Requesting a version BELOW the
+    * retained floor after a [[cdcSquash]] throws instead of silently
+    * answering with `initial` — a squashed snapshot is gone, and a wrong
+    * time-travel answer is worse than no answer. */
   def cdcSnapshot(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       initial: DataFrame, maxVersion: Long = Long.MaxValue): DataFrame = {
-    val dir = new java.io.File(stateDir)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .filter(_ <= maxVersion)
-    if (versions.isEmpty) initial
-    else spark.read.parquet(s"$stateDir/v=${versions.max}")
+    val versions = cdcVersions(spark, stateDir)
+    val candidates = versions.filter(_ <= maxVersion)
+    if (candidates.nonEmpty) spark.read.parquet(s"$stateDir/v=${candidates.max}")
+    else if (versions.isEmpty || maxVersion < 0) initial
+    else throw new IllegalStateException(
+      s"cdcSnapshot: version <= $maxVersion under $stateDir was squashed " +
+        s"(retained floor v=${versions.min}); time travel below the " +
+        "retention window is unrecoverable")
+  }
+
+  /** Retention for [[cdcApplySink]] state — the maintenance job that
+    * bounds the one-immutable-version-per-micro-batch accumulation (a
+    * long-running stream otherwise grows `stateDir` forever). Each
+    * version is a SELF-CONTAINED snapshot (the sink writes the full
+    * merged state, not a delta), so the newest retained version is
+    * already the "compacted base" and squash is pure deletion: drop every
+    * version below the newest `keepLast`. Returns the dropped ids.
+    * Time travel within the retained window is unaffected; below it,
+    * [[cdcSnapshot]] now fails fast. Safe to run concurrently with the
+    * stream: the sink only ever reads `v = batchId - 1`, and
+    * `keepLast >= 1` keeps the latest version by construction (use
+    * comfortably more than 1 so a restart replaying the last checkpointed
+    * batch still finds its predecessor). */
+  def cdcSquash(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val drop = cdcVersions(spark, stateDir).sorted.dropRight(keepLast)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)
+    }
+    drop
   }
 
   /** Ingest face of

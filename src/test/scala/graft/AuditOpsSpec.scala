@@ -134,6 +134,25 @@ class AuditOpsSpec extends SparkSpec {
       Map(1L -> "a", 2L -> "b2", 3L -> "c-back"))
   }
 
+  test("applyChangeSet: (key, seq, op) ties resolve by payload, deterministically") {
+    // two upserts sharing (key, seq, op) with different payloads: without a
+    // payload tiebreak the window's row_number picks whichever row the
+    // shuffle happened to order first, and cdcApplySink's replay-convergence
+    // claim (re-processing a batch overwrites its version with identical
+    // content) silently breaks. The contentHash-asc tiebreak makes the
+    // winner a pure function of the changeset's values.
+    val snap = Seq((1L, "a")).toDF("id", "text")
+    val changes = Seq((1L, "payload-B", 1L, "upsert"),
+      (1L, "payload-A", 1L, "upsert")).toDF("id", "text", "seq", "op")
+    val got = (1 to 5).map { i =>
+      AuditOps.applyChangeSet(snap,
+        changes.repartition(if (i % 2 == 0) 7 else 3), "id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(got.distinct.size == 1 && got.head == Map(1L -> "payload-A"),
+      s"tie winner must be value-determined (contentHash asc): $got")
+  }
+
   test("applyChangeSet never shuffles the snapshot side") {
     val docs = Tables.documents(spark, sf)
     val changes = docs.where(col("doc_id") % 11 === 0)

@@ -727,6 +727,34 @@ class StreamingSpec extends SparkSpec {
       val tt = Streaming.cdcSnapshot(spark, stateDir, initial, maxVersion = 0)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(tt == mid, "v=0 must remain the as-of-batch-0 snapshot")
+
+      // retention: a long replay accumulates one version per micro-batch;
+      // squash bounds it. Third batch -> versions {0,1,2}; keep last 2.
+      in.addData((4L, "d3", 3L, "upsert")); q.processAllAvailable()
+      val dropped = Streaming.cdcSquash(spark, stateDir, keepLast = 2)
+      assert(dropped == Seq(0L), s"squash must drop exactly v=0: $dropped")
+      def versionDirs = new java.io.File(stateDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName).sorted.toSeq
+      assert(versionDirs == Seq("v=1", "v=2"),
+        s"retained version count must be bounded: $versionDirs")
+      // time travel ACROSS the squash boundary: the latest and the
+      // retained v=1 still answer; below the floor fails fast instead of
+      // silently answering `initial`
+      val post = Streaming.cdcSnapshot(spark, stateDir, initial)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(post == fin + (4L -> "d3"))
+      assert(Streaming.cdcSnapshot(spark, stateDir, initial, maxVersion = 1)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == fin,
+        "v=1 must survive the squash intact")
+      intercept[IllegalStateException] {
+        Streaming.cdcSnapshot(spark, stateDir, initial, maxVersion = 0)
+      }
+      // batch-0 replay (maxVersion < 0) still resolves to `initial` — the
+      // sink's restart path does not depend on squashed history
+      assert(Streaming.cdcSnapshot(spark, stateDir, initial, maxVersion = -1)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
     } finally q.stop()
   }
 
@@ -844,14 +872,19 @@ class StreamingSpec extends SparkSpec {
         .where(col("doc_id") =!= 99999L).collect()
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       val batch = DedupOps.takedownPropagation(corpus, del,
-        col("doc_id"), col("text"), 2, 0.3)
-        .where(col("reason") =!= "listed").collect()
+        col("doc_id"), col("text"), 2, 0.3).collect()
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(batch.nonEmpty && batch.values.map(_._1).toSet ==
-        Set("exact_copy", "near_dup"),
-        s"fixture sanity — both screen reasons must fire: $batch")
+        Set("listed", "exact_copy", "near_dup"),
+        s"fixture sanity — all three screen reasons must fire: $batch")
+      // full-row parity INCLUDING 'listed': the recrawl of a removed doc
+      // under its own id must be blocked, not waved through (the id-reuse
+      // blind spot — an id-equality exclusion here would let the listed
+      // content re-enter)
       assert(streamed == batch,
         "ingest verdicts must equal the batch propagation's screen rows")
+      assert(streamed.get(0L).map(_._1).contains("listed"),
+        "the listed doc's own recrawl must be blocked as 'listed'")
     } finally { q.stop(); index.unpersist(blocking = false) }
   }
 
