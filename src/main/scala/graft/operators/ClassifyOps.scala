@@ -40,21 +40,8 @@ object ClassifyOps {
     * [[graft.streaming.Streaming.nbClassifyStream]]'s static side so the
     * two cannot drift. */
   def nbModel(docs: DataFrame, text: Column, label: Column,
-      labels: Seq[String]): DataFrame = {
-    val toks = docs.select(label.as("_lbl"), explode(split(text, " ")).as("word"))
-    val wc = toks.groupBy("word").pivot("_lbl", labels).count()
-    val cls = toks.agg(
-      countDistinct("word").as("_v"),
-      labels.map(l =>
-        sum(when(col("_lbl") === l, 1L).otherwise(0L)).as(s"_tot_$l")): _*)
-    val cntAll = labels.map(l => coalesce(col(s"`$l`"), lit(0L)))
-      .reduce(_ + _).as("_cnt")
-    wc.join(broadcast(cls))
-      .select(col("word") +: cntAll +: labels.map { l =>
-        lpDec(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double") /
-          (col(s"_tot_$l") + col("_v")).cast("double"))).as(s"_lp_$l")
-      }: _*)
-  }
+      labels: Seq[String]): DataFrame =
+    nbFit(docs, text, label, labels)._1
 
   /** Class-prior + out-of-vocabulary constants, ONE wide row:
     * `_pri_l = round(ln(n_docs_l / n_docs), 6)` and
@@ -62,21 +49,43 @@ object ClassifyOps {
     * zero-count likelihood — what a word never seen in class `l`'s
     * training text scores). Broadcast onto the apply side. */
   def nbPriors(docs: DataFrame, text: Column, label: Column,
-      labels: Seq[String]): DataFrame = {
+      labels: Seq[String]): DataFrame =
+    nbFit(docs, text, label, labels)._2
+
+  /** The shared fit behind [[nbModel]] and [[nbPriors]]: both need the
+    * identical class-totals reduction (tokens per class + |V|), and two
+    * separate calls each re-explode the training text and re-run that
+    * corpus-wide aggregate. Here it is computed ONCE — the 1-row result
+    * is eagerly materialized (localCheckpoint; fit semantics are eager by
+    * nature) and referenced by both output frames, so a caller fitting
+    * both tables pays one token-explode aggregate, not two. Returns
+    * `(model, priors)`. */
+  def nbFit(docs: DataFrame, text: Column, label: Column,
+      labels: Seq[String]): (DataFrame, DataFrame) = {
     val toks = docs.select(label.as("_lbl"), explode(split(text, " ")).as("word"))
     val cls = toks.agg(
       countDistinct("word").as("_v"),
       labels.map(l =>
         sum(when(col("_lbl") === l, 1L).otherwise(0L)).as(s"_tot_$l")): _*)
+      .localCheckpoint(true)
+    val wc = toks.groupBy("word").pivot("_lbl", labels).count()
+    val cntAll = labels.map(l => coalesce(col(s"`$l`"), lit(0L)))
+      .reduce(_ + _).as("_cnt")
+    val model = wc.join(broadcast(cls))
+      .select(col("word") +: cntAll +: labels.map { l =>
+        lpDec(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1)).cast("double") /
+          (col(s"_tot_$l") + col("_v")).cast("double"))).as(s"_lp_$l")
+      }: _*)
     val pri = docs.agg(
       count(lit(1)).as("_n"),
       labels.map(l =>
         sum(when(label === l, 1L).otherwise(0L)).as(s"_n_$l")): _*)
-    pri.join(broadcast(cls)).select(
+    val priors = pri.join(broadcast(cls)).select(
       labels.map(l => lpDec(log(col(s"_n_$l").cast("double") /
         col("_n").cast("double"))).as(s"_pri_$l")) ++
         labels.map(l => lpDec(log(lit(1.0) /
           (col(s"_tot_$l") + col("_v")).cast("double"))).as(s"_oov_$l")): _*)
+    (model, priors)
   }
 
   /** Scoring core shared by the batch face and the streaming face: takes
@@ -131,8 +140,7 @@ object ClassifyOps {
     import spark.implicits._
     val labels = train.select(trainLabel.cast("string")).distinct()
       .as[String].collect().sorted.toSeq // bounded: the class domain
-    val model = nbModel(train, trainText, trainLabel, labels)
-    val pri = nbPriors(train, trainText, trainLabel, labels)
+    val (model, pri) = nbFit(train, trainText, trainLabel, labels)
     val base = Seq(id.as("doc_id")) ++ applyLabel.map(_.as("label"))
     val words = apply.select(base :+ explode(split(text, " ")).as("word"): _*)
     scoreTokens(words, model, pri, labels,

@@ -491,11 +491,21 @@ object TextOps {
     * rank window. That window sorts each source in one partition — fine
     * at typical source cardinalities; a corpus-dominating source would
     * swap in the hierarchical prefix-sum rank ([[packSequences]]'s
-    * machinery, the W4 chunked-escape-hatch precedent). Output
-    * `(doc_id, source, rank_in_source, global_pos)`; `global_pos` is a
-    * permutation of 1..n. */
+    * machinery, the W4 chunked-escape-hatch precedent).
+    *
+    * Above `maxExprSources` distinct sources the closed form switches
+    * from per-row literal chains (two O(#sources) expression trees —
+    * fine for curated source lists, a Catalyst codegen blow-up for
+    * per-domain sources) to a broadcast join against the counts table:
+    * each ranked row expands against the broadcast counts and partial
+    * aggregation collapses it map-side, so the join path costs one
+    * extra |docs|-row exchange instead of an O(#sources)-deep codegen
+    * unit. Both paths compute the identical closed form (spec-pinned).
+    * Output `(doc_id, source, rank_in_source, global_pos)`; `global_pos`
+    * is a permutation of 1..n; empty input yields an empty frame (no
+    * driver-side reduce to throw). */
   def interleavedOrder(docs: DataFrame, id: Column, text: Column,
-      source: Column): DataFrame = {
+      source: Column, maxExprSources: Int = 64): DataFrame = {
     val hashes = graft.functions.HashExpressions
     hashes.register(docs.sparkSession)
     val mixed = pmod(hashes.polyHash(text) * lit(31L) + id, lit(P))
@@ -505,18 +515,32 @@ object TextOps {
     val ranked = base.withColumn("r", row_number().over(
       Window.partitionBy("source").orderBy(col("_k"), col("doc_id")))
       .cast("long"))
-    val counts = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val countsDf = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val counts = countsDf.limit(maxExprSources + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val rounds = counts.map { case (_, n) =>
-      least(lit(n), col("r") - lit(1L)) }
-      .reduce[Column](_ + _)
-    val slot = counts.map { case (s, n) =>
-      when(lit(s) < col("source") && lit(n) >= col("r"), lit(1L))
-        .otherwise(lit(0L)) }
-      .reduce[Column](_ + _)
-    ranked.select(col("doc_id"), col("source"),
-      col("r").as("rank_in_source"),
-      (rounds + slot + lit(1L)).as("global_pos"))
+    if (counts.isEmpty)
+      ranked.select(col("doc_id"), col("source"),
+        col("r").as("rank_in_source"), col("r").as("global_pos"))
+    else if (counts.length <= maxExprSources) {
+      val rounds = counts.map { case (_, n) =>
+        least(lit(n), col("r") - lit(1L)) }
+        .reduce[Column](_ + _)
+      val slot = counts.map { case (s, n) =>
+        when(lit(s) < col("source") && lit(n) >= col("r"), lit(1L))
+          .otherwise(lit(0L)) }
+        .reduce[Column](_ + _)
+      ranked.select(col("doc_id"), col("source"),
+        col("r").as("rank_in_source"),
+        (rounds + slot + lit(1L)).as("global_pos"))
+    } else
+      ranked.crossJoin(broadcast(
+          countsDf.select(col("source").as("_s"), col("n_src"))))
+        .groupBy(col("doc_id"), col("source"), col("r"))
+        .agg((sum(least(col("n_src"), col("r") - lit(1L))) +
+          sum(when(col("_s") < col("source") && col("n_src") >= col("r"),
+            lit(1L)).otherwise(lit(0L))) + lit(1L)).as("global_pos"))
+        .select(col("doc_id"), col("source"),
+          col("r").as("rank_in_source"), col("global_pos"))
   }
 
   /** Repeated-span REMOVAL — the passage-level cut the span-dedup

@@ -2822,6 +2822,91 @@ object Pipeline {
          |FROM cells""".stripMargin
     })
 
+  /** Held-out confusion matrix of the NB classifier — the honest face of
+    * q116: q110/q116 score the corpus the model was FITTED on, so their
+    * accuracy is in-sample (a memorizing model would ace it). Here the
+    * [[TextOps.hashSplit]] train buckets (content-hash < 80) fit the
+    * model and the held-out 20% is scored — fit and eval never share a
+    * document, so the matrix measures generalization. The entire chain
+    * (split, fit, OOV-smoothed scoring of words the train vocabulary
+    * never saw, argmax, cells) hash-pins against DuckDB: held-out tokens
+    * LEFT-join the model and absent words take the `_oov_l` constants —
+    * the one scoring path self-classification can never exercise.
+    * ClassifyOpsSpec gates held-out accuracy above the modal-class
+    * baseline. */
+  private val q118 = QueryDef(
+    "q118_nb_holdout_confusion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = graft.operators.TextOps.hashSplit(
+        docs, col("doc_id"), col("text"))
+      val withSplit = docs.join(split.select("doc_id", "split"), "doc_id")
+      val train = withSplit.where(col("split") === "train")
+      val held = withSplit.where(col("split") =!= "train")
+      val pred = graft.operators.ClassifyOps.nbClassify(
+        train, col("text"), col("lang"),
+        held, col("doc_id"), col("text"), Some(col("lang")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      pred.groupBy("label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_share",
+          round(col("n") / sum(col("n")).over(w), 6))
+    }, {
+      val ls = NbLangs
+      val dec = "DECIMAL(18,6)"
+      val ph = graft.functions.TextHash.polyHashSql("text")
+      s"""WITH train AS (SELECT * FROM documents WHERE $ph % 100 < 80),
+         |held AS (SELECT * FROM documents WHERE $ph % 100 >= 80),
+         |toks AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS word FROM train),
+         |cls AS (SELECT count(DISTINCT word) AS v,
+         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
+              .mkString(",\n    ")}
+         |  FROM toks),
+         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
+         |pri AS (SELECT
+         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
+                s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
+              .mkString(",\n    ")}
+         |  FROM train),
+         |oov AS (SELECT
+         |    ${ls.map(l => s"CAST(round(ln(1.0 / (cls.tot_$l + cls.v)), 6)" +
+                s" AS $dec) AS oov_$l").mkString(",\n    ")}
+         |  FROM cls),
+         |model AS (
+         |  SELECT w.word,
+         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
+                s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
+              .mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
+         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
+              .mkString("\n  ")}),
+         |htoks AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS word FROM held),
+         |sums AS (SELECT t.doc_id, t.lang,
+         |    ${ls.map(l => s"sum(COALESCE(m.lp_$l, oov.oov_$l)) AS s_$l")
+              .mkString(", ")}
+         |  FROM htoks t LEFT JOIN model m ON m.word = t.word
+         |  CROSS JOIN oov GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, lang,
+         |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
+         |  FROM sums CROSS JOIN pri),
+         |pick AS (
+         |  SELECT doc_id, lang, l AS pred_label,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rk
+         |  FROM (SELECT doc_id, lang,
+         |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
+         |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
+         |    FROM sc) u),
+         |cells AS (SELECT lang AS label, pred_label,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pick WHERE rk = 1 GROUP BY 1, 2)
+         |SELECT label, pred_label, n,
+         |  round(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+         |    AS label_share
+         |FROM cells""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2829,7 +2914,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116)
+    q115, q116, q118)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

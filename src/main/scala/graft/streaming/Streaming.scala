@@ -525,9 +525,8 @@ object Streaming {
     * docs scored under the FROZEN Naive Bayes model (the fit is corpus-
     * wide and closed-form; a micro-batch never re-fits — re-fit → restart
     * the stream, the standing static-index rule). The static sides are
-    * [[graft.operators.ClassifyOps.nbModel]] /
-    * [[graft.operators.ClassifyOps.nbPriors]] — the SAME tables the batch
-    * face builds, so likelihoods cannot drift between faces. Tokens
+    * the [[graft.operators.ClassifyOps.nbFit]] pair — the SAME tables the
+    * batch face builds, so likelihoods cannot drift between faces. Tokens
     * explode within the batch, probe the model through the shared
     * Zipf-split join ([[graft.operators.ClassifyOps.scoreTokens]]), and
     * re-aggregate per (1-minute window, doc_id) under the watermark — the

@@ -1263,6 +1263,26 @@ class PipelineOpsSpec extends SparkSpec {
       org.apache.spark.sql.Row(1L, docs.count()))
   }
 
+  test("interleavedOrder: broadcast-join path equals the expression path; empty input") {
+    // force the high-cardinality path (maxExprSources below the real
+    // source count) and pin it row-for-row against the literal-chain path
+    // on the same corpus — the two closed-form evaluations must be the
+    // same function
+    val docs = Tables.documents(spark, sf)
+    def rows(maxExpr: Int) = TextOps.interleavedOrder(docs, col("doc_id"),
+      col("text"), col("source"), maxExprSources = maxExpr)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows(1) == rows(1000000),
+      "join-path order must equal the expression-path order")
+    // empty input: no driver-side reduce to throw, just an empty frame
+    val empty = TextOps.interleavedOrder(
+      docs.where(lit(false)), col("doc_id"), col("text"), col("source"))
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "source", "rank_in_source", "global_pos"))
+  }
+
   test("diversitySample flattens cell skew: smaller cells keep at higher rates") {
     val emb = Tables.embeddings(spark, sf)
     val cents = emb.where(col("vec_id") < 8)

@@ -801,10 +801,10 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "text", "lang").cache()
     val labels = docs.select("lang").distinct()
       .as[String].collect().sorted.toSeq
-    val model = ClassifyOps.nbModel(
-      docs, col("text"), col("lang"), labels).cache()
-    val pri = ClassifyOps.nbPriors(
-      docs, col("text"), col("lang"), labels).cache()
+    val (modelDf, priDf) = ClassifyOps.nbFit(
+      docs, col("text"), col("lang"), labels)
+    val model = modelDf.cache()
+    val pri = priDf.cache()
     val rows = docs.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val in = MemoryStream[(Long, String, Timestamp)]
