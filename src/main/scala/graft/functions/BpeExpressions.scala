@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled BPE tokenization under a FROZEN merge table — the production
+  * apply path ([[graft.operators.BpeOps.bpeTokensExpr]]'s scaladoc'd
+  * "documented scale path", landed).
+  *
+  * The composable form chains one `aggregate` HOF per merge, so a 32 k-merge
+  * production vocabulary would build (and Catalyst would analyze + codegen)
+  * a 32 k-node expression tree per plan — the tree construction alone is
+  * minutes, and the generated method exceeds every JIT limit. This
+  * expression carries the merge table as DATA (one rank map, built once per
+  * instance) and encodes each word imperatively with semantics IDENTICAL to
+  * the fold chain:
+  *
+  * Fold-by-rank contract (Sennrich ACL 2016's learn-time rewrite, the same
+  * function `bpeTokensExpr` computes): merges apply strictly in rank order;
+  * each applying merge rewrites the word greedily left-to-right
+  * non-overlapping. The loop below is that contract with skips: the next
+  * merge that CAN apply is the minimum-rank adjacent pair at or above the
+  * cursor (absent pairs' scans are no-ops, so skipping them is exact), and
+  * a merge can never recreate its own pair (`l+r` differs from both `l` and
+  * `r` — non-empty concatenation), so the cursor advances strictly. Cost:
+  * O(len^2) map probes per word, INDEPENDENT of vocabulary size — vs the
+  * chain's O(merges x len). Note this is deliberately NOT the min-rank
+  * priority-queue apply of subword-nmt's `apply_bpe.py`: that algorithm
+  * revisits ranks below the cursor when a later merge recreates an earlier
+  * pair's string (e.g. learned ("a","bc") reappearing after ("ab","c")
+  * fires), so it can diverge from the fold chain on adversarial tables;
+  * parity with [[graft.operators.BpeOps.bpeTokensExpr]] is this
+  * expression's contract and is definitional here, pinned in BpeSpec.
+  *
+  * Zipf leverage: word-to-tokens is cached per thread (bounded; cleared
+  * when full). A natural-language corpus re-encodes the head of the
+  * vocabulary constantly — the cache turns the per-word loop into a hash
+  * probe for every repeated word, the standard production-tokenizer
+  * trick. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  // Rank map rebuilt per (de)serialized instance; the joint is a space
+  // (symbols come from single-space-split words, so no symbol contains
+  // one). A pair maps to ALL its ranks, ascending: the same (l, r) pair
+  // can occur at several ranks and the later ones are NOT dead — a merge
+  // between the duplicates can re-manufacture the symbol string (e.g.
+  // ("a","b") recreates "ab" after an earlier ("ab","c") consumed it) and
+  // the fold chain fires the later duplicate too.
+  @transient private lazy val ranks: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val k = l + " " + r
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i)
+    }
+    m
+  }
+
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[String]]()
+    }
+  private val CacheCap = 1 << 16
+
+  /** Smallest rank >= cur for this adjacent pair, or Int.MaxValue. */
+  private def rankAtOrAbove(l: String, r: String, cur: Int): Int = {
+    val rs = ranks.get(l + " " + r)
+    if (rs == null) Int.MaxValue
+    else {
+      var i = 0
+      while (i < rs.length && rs(i) < cur) i += 1
+      if (i < rs.length) rs(i) else Int.MaxValue
+    }
+  }
+
+  /** One word (no spaces) -> its BPE tokens under the frozen table. */
+  def encodeWord(word: String): Array[String] = {
+    val c = cache.get()
+    val hit = c.get(word)
+    if (hit != null) return hit
+    // start symbols: code points + the end-of-word marker
+    var syms = {
+      val buf = new java.util.ArrayList[String](word.length + 1)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        buf.add(word.substring(i, i + n))
+        i += n
+      }
+      buf.add(graft.operators.BpeOps.EndOfWord)
+      buf
+    }
+    var cur = 0
+    var continue = true
+    while (continue && syms.size > 1) {
+      // min-rank adjacent pair at or above the cursor
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = rankAtOrAbove(syms.get(i), syms.get(i + 1), cur)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val (l, r) = merges(bestRank)
+        // the fold chain's greedy left-to-right non-overlapping rewrite
+        val next = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          val t = syms.get(j)
+          if (!next.isEmpty && next.get(next.size - 1) == l && t == r)
+            next.set(next.size - 1, l + r)
+          else next.add(t)
+          j += 1
+        }
+        syms = next
+        cur = bestRank + 1
+      }
+    }
+    val out = new Array[String](syms.size)
+    var i = 0
+    while (i < syms.size) { out(i) = syms.get(i); i += 1 }
+    if (c.size >= CacheCap) c.clear()
+    c.put(word, out)
+    out
+  }
+
+  /** Whole text -> flattened tokens: words are the non-empty single-space
+    * splits, exactly `filter(split(text, " "), w => length(w) > 0)`. */
+  def encodeText(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val toks = new java.util.ArrayList[UTF8String]()
+    var from = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > from) {
+          val ws = encodeWord(s.substring(from, i))
+          var k = 0
+          while (k < ws.length) {
+            toks.add(UTF8String.fromString(ws(k))); k += 1
+          }
+        }
+        from = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(toks.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("bpeEncode", this,
+        classOf[BpeEncode].getName)
+      s"${ev.value} = $ref.encodeText($input);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeExpressions {
+  val FnName = "bpe_encode"
+
+  /** Idempotently register `bpe_encode(text, merges)` where `merges` is a
+    * FOLDABLE array<struct<l string, r string>> literal (the frozen merge
+    * table — tokenizers are fitted once, the table is a plan-time
+    * constant). */
+  def register(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName,
+      exprs => {
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$FnName(text, merges): merges argument must be $what"))
+        if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
+        if (!exprs(1).foldable)
+          throw bad("a foldable array<struct<l,r>> literal")
+        val v = exprs(1).eval()
+        if (v == null) throw bad("non-null")
+        val arr = v.asInstanceOf[ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val row = arr.getStruct(i, 2)
+          (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+        }
+        BpeEncode(exprs.head, merges)
+      }, "scala_udf")
+  }
+
+  /** Compiled-tokenizer column (see [[BpeEncode]]); call [[register]] on
+    * the session first. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val lit = org.apache.spark.sql.functions.typedlit(merges.map {
+      case (l, r) => BpeMergeRow(l, r) })
+    call_function(FnName, text, lit)
+  }
+}
+
+/** Struct shape of one merge row in the [[BpeExpressions.bpeEncode]]
+  * literal: field order (l, r) is the wire contract the registration
+  * parses. */
+case class BpeMergeRow(l: String, r: String)

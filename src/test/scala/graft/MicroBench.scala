@@ -695,6 +695,37 @@ object MicroBench {
           recon.as("recon"))
         PQOps.pqTopK(idx, emb.where(col("vec_id") < 10),
           col("vec_id"), col("embedding"), 3, 8)
+      // bpe_apply_{chain|compiled}_{N}: tokenize sf0.1 documents under an
+      // N-merge table — a firing head of hand-built merges over this
+      // corpus's actual vocabulary, padded to N with merges over symbols
+      // absent from the corpus. The padding is honest for exactly what it
+      // measures: the chain pays O(N) expression nodes per PLAN (built,
+      // analyzed, codegen'd every rep — production pays it per query)
+      // whether or not a merge fires, while the compiled path probes only
+      // the word's own adjacent pairs, so its cost is independent of N by
+      // construction. Both paths produce identical tokens (BpeSpec parity
+      // covers the semantics; the pad never fires in either).
+      case s if s.startsWith("bpe_apply_") =>
+        import graft.operators.BpeOps
+        val parts = s.stripPrefix("bpe_apply_").split("_")
+        val (mode, n) = (parts(0), parts(1).toInt)
+        val W = BpeOps.EndOfWord
+        val head = Seq(
+          ("t", "h"), ("th", "e"), ("the", W),
+          ("s", "c"), ("sc", "a"), ("sca", "n"), ("scan", W),
+          ("c", "o"), ("co", "l"), ("col", "u"), ("colu", "m"),
+          ("colum", "n"), ("column", W),
+          ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+          ("query", W),
+          ("j", "o"), ("jo", "i"), ("joi", "n"), ("join", W))
+        val merges = (head ++ (head.size until n).map(i =>
+          (s"§$i", "¶"))).take(n)
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        val toks =
+          if (mode == "chain") BpeOps.bpeTokensExpr(col("text"), merges)
+          else BpeOps.bpeTokensCompiled(spark, col("text"), merges)
+        docs.select(col("doc_id"), toks.as("tokens"),
+          size(toks).cast("long").as("n_tokens"))
       case other => sys.error(s"unknown scenario: $other")
     }
 
