@@ -2822,6 +2822,161 @@ object Pipeline {
          |FROM cells""".stripMargin
     })
 
+  /** End-to-end curation funnel as a REGISTERED query (r11 verdict item
+    * 6): the SQL-expressible spine of [[graft.operators.CurationDemo]] —
+    * quality funnel → near-dup keep-best → exact decontamination →
+    * source mixing → sequence packing — chained over the SURVIVORS of
+    * each previous stage (not the full corpus like the per-stage queries
+    * q60/q63/q79/q64/q54), with per-stage survivor counts as the output.
+    * The oracle replays the whole five-stage composition in one CTE
+    * chain, so a stage that silently stops dropping (or drops everything)
+    * hash-fails the round's CORRECTNESS artifact, not just a spec. The
+    * demo's non-SQL stages (semantic/media dedup over embeddings and
+    * codecs) stay gated by their own queries (q69/q86/q87/q89) and
+    * CurationDemoSpec's golden stage-count vector. */
+  private val q117 = QueryDef(
+    "q117_curation_funnel",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val docs = Tables.documents(s, d)
+      def settle(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+      // 1. quality funnel
+      val clean = settle(docs.where(TextOps.funnelPredicates(col("text"))
+        .map(_._2).reduce(_ && _)))
+      // 2. near-dup keep-best (the q63 pair: qualityComposite score)
+      val clusters = DedupOps.dedupClusters(
+        DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+          clean, col("doc_id"), col("text"), SHINGLE_W)),
+        "doc_a", "doc_b")
+      val best = DedupOps.keepBestInCluster(
+        clean, col("doc_id"), TextOps.qualityComposite(col("text")), clusters)
+      val dropDup = clusters.join(best, "cluster_id")
+        .where(col("doc_id") =!= col("keep_id")).select("doc_id")
+      val deduped = settle(clean.join(dropDup, Seq("doc_id"), "left_anti"))
+      // 3. exact decontamination (the q79 shape over the survivors)
+      val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"),
+        ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
+      val decon = settle(deduped.join(leaky.select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+      // 4. mix to a uniform source weighting at the q64 budget
+      val weights = decon.select("source").distinct().collect()
+        .map(_.getString(0) -> 1L).toMap // bounded: the source domain
+      val thr = TextOps.mixThresholds(decon, col("doc_id"), col("text"),
+        col("source"), weights, MixBudget)
+      val mixed = settle(decon
+        .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
+          graft.functions.HashExpressions.polyHash(col("text")), 1000000))
+        .join(thr, "source").where(col("_bkt") < col("_thr"))
+        .drop("_bkt", "_thr"))
+      // 5. pack into fixed token-budget chunks
+      val packed = TextOps.packSequences(mixed, col("doc_id"), col("text"),
+        512L)
+      def cnt(i: Long, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n"))
+      cnt(0L, "corpus", docs)
+        .unionAll(cnt(1L, "funnel", clean))
+        .unionAll(cnt(2L, "keep_best", deduped))
+        .unionAll(cnt(3L, "decontaminated", decon))
+        .unionAll(cnt(4L, "mixed", mixed))
+        .unionAll(cnt(5L, "chunks", packed))
+    }, {
+      val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
+        .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
+        .mkString("(", " AND ", ")")
+      val mins = (0 until MinhashA.size)
+        .map(i => s"min(${minhashPermSql("h", i)}) AS m$i").mkString(", ")
+      s"""WITH RECURSIVE fun AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source, string_split(text, ' ') AS ws
+         |    FROM documents) b
+         |  WHERE len(ws) >= ${TextOps.DefaultMinWords}
+         |    AND 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio}
+         |    AND $qualityCompositeSql >= ${TextOps.DefaultMinQuality}
+         |    AND $piiFree),
+         |${shingleCteOver(SHINGLE_W, "fun")},
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band,
+         |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band,
+         |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
+         |und AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, round($qualityCompositeSql, 6) AS q
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |    FROM fun) b0),
+         |r AS (SELECT l.cluster_id, l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.q DESC, l.doc_id) AS rk
+         |  FROM labels l JOIN q USING (doc_id)),
+         |dropdup AS (SELECT doc_id FROM r WHERE rk > 1),
+         |dedup AS (SELECT * FROM fun ANTI JOIN dropdup USING (doc_id)),
+         |dwords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
+         |    SELECT doc_id, ${wordShinglesSql(ContamW)} AS s
+         |    FROM dwords, UNNEST(generate_series(1,
+         |      greatest(len(ws) - ${ContamW - 1}, 1))) AS t(i))),
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b
+         |    FROM dedup) t2),
+         |te AS (SELECT DISTINCT h FROM dsh JOIN spl USING (doc_id)
+         |  WHERE split = 'test'),
+         |trd AS (SELECT dsh.doc_id, dsh.h FROM dsh
+         |  JOIN spl ON dsh.doc_id = spl.doc_id WHERE split = 'train'),
+         |leaky AS (SELECT trd.doc_id FROM trd LEFT JOIN te ON trd.h = te.h
+         |  GROUP BY trd.doc_id HAVING count(te.h) >= 2),
+         |decon AS (SELECT * FROM dedup ANTI JOIN leaky USING (doc_id)),
+         |t AS (SELECT doc_id, source,
+         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks,
+         |    ${sampleBucketSql(polyHashSql("text"), 1000000)} AS bkt
+         |  FROM decon),
+         |a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail
+         |  FROM t GROUP BY source),
+         |nsrc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM a),
+         |thr AS (SELECT a.source,
+         |    least($MixBudget * 1000000 // (nsrc.k * avail),
+         |      CAST(1000000 AS BIGINT)) AS thr
+         |  FROM a CROSS JOIN nsrc),
+         |mixed AS (SELECT t.doc_id, t.toks FROM t JOIN thr USING (source)
+         |  WHERE bkt < thr),
+         |c AS (SELECT doc_id, toks,
+         |    sum(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS strt
+         |  FROM mixed),
+         |chunks AS (SELECT DISTINCT CAST(strt // 512 AS BIGINT) AS chunk_id
+         |  FROM c)
+         |SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
+         |UNION ALL SELECT 1, 'funnel',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fun)
+         |UNION ALL SELECT 2, 'keep_best',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dedup)
+         |UNION ALL SELECT 3, 'decontaminated',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM decon)
+         |UNION ALL SELECT 4, 'mixed',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mixed)
+         |UNION ALL SELECT 5, 'chunks',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM chunks)""".stripMargin
+    })
+
   /** Held-out confusion matrix of the NB classifier — the honest face of
     * q116: q110/q116 score the corpus the model was FITTED on, so their
     * accuracy is in-sample (a memorizing model would ace it). Here the
@@ -2914,7 +3069,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q118)
+    q115, q116, q117, q118)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
