@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *  - VIDEO: REAL for the Y4M (YUV4MPEG2) container — the uncompressed
   *    interchange format every ffmpeg pipeline can emit (`ffmpeg -i x.mp4
   *    -f yuv4mpeg2 -`): an ASCII header plus raw planar YUV frames, so a
-  *    pure-JVM parser ([[VideoCodec]]) needs no codec library. Compressed
-  *    video (H.264/VP9/AV1) still needs an external decoder — for those
-  *    the `StubDecoder` path documents the plumbing; transcode-to-Y4M at
-  *    ingest is the no-JNI alternative.
+  *    pure-JVM parser ([[VideoCodec]]) needs no codec library — AND for
+  *    COMPRESSED Motion-JPEG/DIB in RIFF/AVI ([[AviCodec]]): each MJPEG
+  *    frame is an independent JPEG the JDK's ImageIO decodes, so the
+  *    demux+decode is still pure JVM. [[decodeVideo]] sniffs the
+  *    container; every video operator is container-agnostic downstream.
+  *    Inter-frame codecs (H.264/VP9/AV1) are OUT OF SCOPE by decision
+  *    (no JDK decoder, no JNI): the ingest-edge contract is transcode to
+  *    Y4M or MJPEG (DECISIONS.md round-12).
   */
 object MultimodalOps {
 
@@ -620,6 +624,220 @@ object MultimodalOps {
     }
   }
 
+  /** Real COMPRESSED-video ingest for the MJPEG/DIB-in-AVI container —
+    * pure JVM, closing the "compressed video needs an external decoder"
+    * boundary for the one compressed format the JDK can actually decode:
+    * Motion-JPEG (each frame an independent JPEG, the format surveillance
+    * and capture pipelines emit) inside RIFF/AVI. The demux is a plain
+    * RIFF chunk walk (`RIFF("AVI " LIST(hdrl avih ...) LIST(movi
+    * 00dc/00db...))`); `00dc` frames are JPEGs decoded by `javax.imageio`,
+    * `00db` frames are uncompressed bottom-up BGR24 DIBs decoded by array
+    * math. Output is the SAME [[VideoCodec.Y4mVideo]] luma-frame struct
+    * the Y4M path produces, so fingerprinting/features/near-dup are
+    * container-agnostic downstream ([[decodeVideo]] sniffs the magic).
+    * Inter-frame-compressed codecs (H.264/VP9/AV1) remain out of scope by
+    * decision: no JDK decoder exists, JNI is off the table, and the
+    * documented contract is transcode-to-Y4M or -MJPEG at the ingest edge
+    * (DECISIONS.md round-12). Malformed payloads decode to None, never
+    * throw (the [[ImageCodec.decode]] discipline); header-claimed sizes
+    * are bounded before any allocation. */
+  object AviCodec {
+    import VideoCodec.{MaxFramePixels, Y4mVideo}
+
+    private def u32(b: Array[Byte], at: Int): Long =
+      if (at < 0 || at + 4 > b.length) -1L
+      else (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+        ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], at: Int): String =
+      if (at < 0 || at + 4 > b.length) ""
+      else new String(b, at, 4, "US-ASCII")
+
+    /** Rec.601 luma plane of a decoded image (row-major bytes). */
+    def lumaPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y * w + x) = math.round(
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)).toInt.min(255).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte]): Option[Y4mVideo] = {
+      if (payload == null || payload.length < 24) return None
+      if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ")
+        return None
+      val end = math.min(payload.length.toLong, 8L + u32(payload, 4)).toInt
+      var micro = 33333L
+      var aw = -1
+      var ah = -1
+      val frames = Vector.newBuilder[Array[Byte]]
+      var fw = -1
+      var fh = -1
+      // one flat walk: RIFF children at top level, and the hdrl/movi LIST
+      // children one level down — the only nesting a minimal MJPEG AVI has
+      // ('rec ' grouping inside movi is handled as one more LIST level)
+      def walk(from: Int, to: Int, depth: Int): Boolean = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fourcc(payload, pos)
+          val sz = u32(payload, pos + 4)
+          if (sz < 0 || pos + 8 + sz > to) return false
+          val body = pos + 8
+          id match {
+            case "LIST" =>
+              if (depth < 3 && !walk(body + 4, (body + sz).toInt, depth + 1))
+                return false
+            case "avih" =>
+              micro = u32(payload, body)
+              aw = u32(payload, body + 32).toInt
+              ah = u32(payload, body + 36).toInt
+            case c if c.length == 4 && c.endsWith("dc") =>
+              // compressed frame: a JPEG — the JDK decodes it
+              val bytes = java.util.Arrays.copyOfRange(
+                payload, body, (body + sz).toInt)
+              ImageCodec.decode(bytes) match {
+                case Some(img)
+                    if img.getWidth.toLong * img.getHeight <= MaxFramePixels =>
+                  if (fw < 0) { fw = img.getWidth; fh = img.getHeight }
+                  if (img.getWidth != fw || img.getHeight != fh) return false
+                  frames += lumaPlane(img)
+                case _ => return false
+              }
+            case c if c.length == 4 && c.endsWith("db") =>
+              // uncompressed bottom-up BGR24 DIB, rows padded to 4 bytes
+              if (aw <= 0 || ah <= 0 ||
+                aw.toLong * ah > MaxFramePixels) return false
+              val stride = ((aw * 3 + 3) / 4) * 4
+              if (sz != stride.toLong * ah) return false
+              if (fw < 0) { fw = aw; fh = ah }
+              if (aw != fw || ah != fh) return false
+              val luma = new Array[Byte](aw * ah)
+              var y = 0
+              while (y < ah) {
+                val row = body + (ah - 1 - y) * stride // bottom-up
+                var x = 0
+                while (x < aw) {
+                  val b = payload(row + x * 3) & 0xff
+                  val g = payload(row + x * 3 + 1) & 0xff
+                  val r = payload(row + x * 3 + 2) & 0xff
+                  luma(y * aw + x) = math.round(
+                    0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              frames += luma
+            case _ => () // strh/strf/JUNK/idx1/...: layout-irrelevant here
+          }
+          pos = (body + sz + (sz & 1L)).toInt // chunks pad to even
+        }
+        true
+      }
+      if (!walk(12, end, 0)) return None
+      val fs = frames.result()
+      if (fs.isEmpty || fw < 0 || micro <= 0) None
+      else Some(Y4mVideo(fw, fh, 1000000,
+        math.min(micro, Int.MaxValue.toLong).toInt, fs))
+    }
+
+    /** Minimal MJPEG-AVI encode of luma frames — a TEST-FIXTURE writer
+      * (the parser-accepted subset: avih + movi; no strl/idx1), each frame
+      * JPEG-encoded from a grayscale image. JPEG is lossy, so
+      * decode∘encode preserves luma only approximately — the perceptual
+      * dHash is what survives exactly enough (spec-pinned); the lossless
+      * round-trip fixture is [[encodeDib]]. */
+    def encodeMjpeg(width: Int, height: Int, microPerFrame: Long,
+        lumaFrames: Seq[Array[Byte]]): Array[Byte] =
+      encodeAvi(width, height, microPerFrame, lumaFrames.map { luma =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, width, height, luma)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        ("00dc", bos.toByteArray)
+      })
+
+    /** Uncompressed-DIB AVI encode (bottom-up BGR24, gray pixels) — the
+      * LOSSLESS fixture: decode∘encode is the identity on luma. */
+    def encodeDib(width: Int, height: Int, microPerFrame: Long,
+        lumaFrames: Seq[Array[Byte]]): Array[Byte] =
+      encodeAvi(width, height, microPerFrame, lumaFrames.map { luma =>
+        require(luma.length == width * height,
+          s"luma plane ${luma.length} != ${width}x$height")
+        val stride = ((width * 3 + 3) / 4) * 4
+        val dib = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          val row = (height - 1 - y) * stride
+          var x = 0
+          while (x < width) {
+            val v = luma(y * width + x)
+            dib(row + x * 3) = v; dib(row + x * 3 + 1) = v
+            dib(row + x * 3 + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        ("00db", dib)
+      })
+
+    /** Raw-chunk AVI assembly exposed for malformed-payload tests (e.g. a
+      * `00dc` chunk carrying non-JPEG bytes). */
+    def encodeAviForTest(width: Int, height: Int, microPerFrame: Long,
+        chunks: Seq[(String, Array[Byte])]): Array[Byte] =
+      encodeAvi(width, height, microPerFrame, chunks)
+
+    private def encodeAvi(width: Int, height: Int, microPerFrame: Long,
+        chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array(0.toByte)
+          else Array.emptyByteArray
+        id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
+      }
+      val avih = {
+        val b = new Array[Byte](56)
+        le32(microPerFrame).copyToArray(b, 0)
+        le32(chunks.size.toLong).copyToArray(b, 16)
+        le32(1L).copyToArray(b, 24)
+        le32(width.toLong).copyToArray(b, 32)
+        le32(height.toLong).copyToArray(b, 36)
+        b
+      }
+      val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++
+        chunk("avih", avih))
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        chunks.flatMap { case (id, body) => chunk(id, body) }.toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+  }
+
+  /** Container-agnostic video decode: sniff the payload magic and route —
+    * `YUV4MPEG2` → [[VideoCodec]] (uncompressed interchange), `RIFF/AVI `
+    * → [[AviCodec]] (MJPEG/DIB — real compressed ingest). Everything
+    * downstream (features, frame sampling, fingerprints, near-dup) is
+    * already luma-plane-based, so both containers flow through the same
+    * operators unchanged. */
+  def decodeVideo(payload: Array[Byte]): Option[VideoCodec.Y4mVideo] = {
+    if (payload == null || payload.length < 12) None
+    else if (payload(0) == 'Y') VideoCodec.decode(payload)
+    else if (payload(0) == 'R') AviCodec.decode(payload)
+    else None
+  }
+
   /** Decoded-video features (REAL codec path, Y4M container). */
   final case class VideoFeatures(
       media_id: Long, ok: Boolean, width: Int, height: Int, n_frames: Long,
@@ -631,7 +849,7 @@ object MultimodalOps {
       implicit spark: SparkSession): Dataset[VideoFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      VideoCodec.decode(r.payload) match {
+      decodeVideo(r.payload) match {
         case Some(v) =>
           var s = 0L
           var n = 0L
@@ -663,7 +881,7 @@ object MultimodalOps {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
     media.mapPartitions(_.map { r =>
-      VideoCodec.decode(r.payload) match {
+      decodeVideo(r.payload) match {
         case Some(v) =>
           val kept = v.lumaFrames.zipWithIndex
             .collect { case (f, i) if i % stride == 0 => f }
@@ -699,7 +917,7 @@ object MultimodalOps {
       s"stride/maxFrames must be >= 1, got $stride/$maxFrames")
     import spark.implicits._
     media.mapPartitions(_.flatMap { r =>
-      VideoCodec.decode(r.payload) match {
+      decodeVideo(r.payload) match {
         case Some(v) if v.width >= 9 && v.height >= 8 && v.lumaFrames.nonEmpty =>
           v.lumaFrames.iterator.zipWithIndex
             .filter(_._2 % stride == 0).take(maxFrames)
@@ -728,7 +946,7 @@ object MultimodalOps {
       s"stride/maxFrames must be >= 1, got $stride/$maxFrames")
     import spark.implicits._
     media.mapPartitions(_.flatMap { r =>
-      VideoCodec.decode(r.payload) match {
+      decodeVideo(r.payload) match {
         case Some(v) if v.width >= 9 && v.height >= 8 && v.lumaFrames.nonEmpty =>
           val sampled = v.lumaFrames.iterator.zipWithIndex
             .filter(_._2 % stride == 0).take(maxFrames).toSeq

@@ -348,6 +348,86 @@ class MultimodalSpec extends SparkSpec {
       "YUV4MPEG2 W16 H16 F30:1 Cweird\nFRAME\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("AviCodec: DIB round-trips luma exactly; MJPEG survives dHash-equivalent") {
+    import MultimodalOps.{AviCodec, VideoCodec}
+    // smooth gradient frames: JPEG quantization must not move 9x8 box means
+    val frames = Vector.tabulate(3) { f =>
+      Array.tabulate(16 * 12) { i =>
+        ((i % 16) * 13 + (i / 16) * 7 + f * 31).toByte }
+    }
+    // lossless fixture: uncompressed bottom-up BGR24 DIB frames
+    val dib = AviCodec.decode(
+      AviCodec.encodeDib(16, 12, 40000L, frames)).get
+    assert(dib.width == 16 && dib.height == 12 && dib.lumaFrames.size == 3)
+    assert(dib.fpsNum == 1000000 && dib.fpsDen == 40000) // 25 fps rational
+    dib.lumaFrames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want),
+        "DIB decode must be the luma identity") }
+    // compressed fixture: every frame an independent JPEG (Motion-JPEG)
+    val mj = AviCodec.decode(
+      AviCodec.encodeMjpeg(16, 12, 40000L, frames)).get
+    assert(mj.width == 16 && mj.height == 12 && mj.lumaFrames.size == 3)
+    mj.lumaFrames.zip(frames).foreach { case (got, want) =>
+      val d = java.lang.Long.bitCount(
+        VideoCodec.dHashLuma(got, 16, 12) ^ VideoCodec.dHashLuma(want, 16, 12))
+      assert(d <= 2, s"JPEG loss moved the perceptual hash $d bits") }
+  }
+
+  test("AviCodec.decode: truncated, hostile, and malformed payloads return None") {
+    import MultimodalOps.AviCodec
+    val frames = Vector.tabulate(2)(f =>
+      Array.tabulate(16 * 12)(i => (i + f).toByte))
+    val good = AviCodec.encodeMjpeg(16, 12, 40000L, frames)
+    assert(AviCodec.decode(good).nonEmpty, "fixture sanity")
+    assert(AviCodec.decode(good.take(20)).isEmpty)
+    assert(AviCodec.decode(good.take(good.length / 2)).isEmpty)
+    assert(AviCodec.decode(good.dropRight(3)).isEmpty)
+    assert(AviCodec.decode(null).isEmpty)
+    assert(AviCodec.decode("RIFFxxxxWAVEdata".getBytes("US-ASCII")).isEmpty)
+    // hostile avih claiming giant dims with a DIB frame: size check refuses
+    val dibGood = AviCodec.encodeDib(16, 12, 40000L, frames)
+    val hostile = dibGood.clone()
+    // avih dwWidth lives 8 bytes into RIFF + LIST(hdrl) + avih headers:
+    // find the 'avih' fourcc and poison its width field
+    val at = hostile.sliding(4).indexWhere(_.sameElements("avih".getBytes))
+    hostile(at + 8 + 32) = 0xff.toByte; hostile(at + 8 + 33) = 0xff.toByte
+    hostile(at + 8 + 34) = 0xff.toByte
+    assert(AviCodec.decode(hostile).isEmpty)
+    // garbage bytes in an 00dc chunk: ImageIO refuses, row must not decode
+    val bad = AviCodec.encodeAviForTest(16, 12, 40000L,
+      Seq(("00dc", Array.fill[Byte](64)(0x42))))
+    assert(AviCodec.decode(bad).isEmpty)
+  }
+
+  test("decodeVideo: container-agnostic — MJPEG-AVI twin of a Y4M video pairs") {
+    import MultimodalOps.{AviCodec, VideoCodec}
+    val base = y4m(16, 16, 6)
+    val v = VideoCodec.decode(base).get
+    // the SAME luma content shipped as compressed MJPEG inside AVI
+    val avi = AviCodec.encodeMjpeg(16, 16, 40000L, v.lumaFrames)
+    val unrelated = {
+      val frames = Vector.tabulate(6)(f =>
+        Array.tabulate(256)(i => ((i % 16) * 91 + (i / 16) * 3 + f * 7).toByte))
+      VideoCodec.encodeY4m(16, 16, 25, 1, frames)
+    }
+    val rows = Seq(
+      media(1L, "video", base),
+      media(2L, "video", avi),
+      media(3L, "video", unrelated),
+      media(4L, "video", avi.take(60))) // broken AVI: flagged, never pairs
+    val hashes = MultimodalOps.videoFrameHashes(spark.createDataset(rows))
+    assert(hashes.filter(h => !h.ok).collect().map(_.media_id).toSeq ==
+      Seq(4L), "only the broken AVI flags")
+    val pairs = MultimodalOps.videoNearDupPairs(hashes.toDF(),
+      maxHamming = 6, minMatchFrac = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(pairs.contains((1L, 2L)),
+      s"Y4M and its MJPEG-AVI twin must pair across containers: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated video must not pair: $pairs")
+  }
+
   test("videoFeatures + videoFrameHashes: decode, flag, and hash per sampled frame") {
     val rows = Seq(
       media(1L, "video", y4m(16, 16, 6)),
