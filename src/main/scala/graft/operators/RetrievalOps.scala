@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-for-curation: lexical BM25 top-k, reciprocal-rank fusion of
+  * lexical and vector rankings, and DSIR-style importance weighting — the
+  * targeted-subset-selection tier of a training-data pipeline ("find the
+  * documents like THESE", "weight the corpus toward THIS distribution").
+  *
+  * Float determinism follows the [[TextOps.lmScore]] convention throughout:
+  * every per-term quantity is rounded to 1e-6 and carried as
+  * DECIMAL(18,6); per-document scores are DECIMAL sums of those — exact and
+  * order-independent — so rankings tie-break identically in any engine
+  * whose `ln` agrees to ~1e-7.
+  *
+  * Scale shape: the corpus is touched by wordcount-shaped aggregations
+  * only; query/target-derived tables are query-sized and BROADCAST. BM25's
+  * one corpus-wide shuffle is the (doc, term) term-frequency aggregation —
+  * the postings build every search engine pays once — and document length
+  * rides the same partitioning as a window sum, not a second aggregation
+  * join. */
+object RetrievalOps {
+
+  private def dec6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+
+  /** Okapi BM25 top-`k` (Robertson & Walker SIGIR 1994; the
+    * `ln(1 + (N-df+0.5)/(df+0.5))` non-negative idf variant Lucene ships):
+    * per (query, doc) the DECIMAL sum over shared terms of
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`, ranked
+    * (score desc, doc_id asc), top `k` per query. Query terms are SET
+    * semantics (the common qtf-free form, documented contract).
+    *
+    * Plan: tokens → one (doc, term) tf aggregation (the postings
+    * shuffle); doc length = a window sum over the same doc partitioning;
+    * postings then semi-join the BROADCAST distinct query-term set, df
+    * aggregates over only the surviving postings (query-term-sized
+    * result, broadcast back), and corpus stats (N, avgdl) are a 1-row
+    * broadcast. Nothing corpus-sized shuffles twice; the per-query rank
+    * window partitions by query. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val qterms = queries.select(qid.as("query_id"),
+        explode(split(qtext, " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+    val probed = withDl.join(
+      broadcast(qterms.select("word").distinct()), Seq("word"), "left_semi")
+    val dfreq = probed.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.groupBy("doc_id").agg(count(lit(1)).as("_dl"))
+        .agg(avg(col("_dl")).as("avgdl")))
+    val contrib = probed
+      .join(broadcast(dfreq), "word")
+      .join(broadcast(stats))
+      .join(broadcast(qterms), Seq("word"))
+      .select(col("query_id"), col("doc_id"),
+        dec6(
+          // idf is itself rounded before the product so the oracle can
+          // replay it as an exact intermediate
+          dec6(log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)))).cast("double") *
+            (col("tf") * (lit(k1) + 1.0)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("_c")).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_terms"),
+        col("score").cast("double").as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR 2009) of a
+    * LEXICAL ranking and a VECTOR ranking — the standard hybrid-retrieval
+    * combiner, score-scale-free by construction: fused(q, d) =
+    * Σ_legs round(1/(k0 + rank), 6), absent legs contribute nothing.
+    * Inputs are rank tables `(query_id, doc_id/neighbor_id, rk)` — the
+    * [[bm25TopK]] and [[SimilarityOps.bruteForceTopK]]/IVF/PQ output
+    * shapes. Output: per query the fused top `k`
+    * (fused desc, doc_id asc), with each leg's rank kept NULL-able for
+    * audit. Rank tables are top-k-sized — per-query-bounded — so the
+    * fusion is a join of two small frames; at scale the cost lives in
+    * the legs, never here. */
+  def rrfFuse(lexical: DataFrame, vector: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    require(k >= 1 && k0 >= 1, s"k/k0 must be >= 1, got $k/$k0")
+    def leg(df: DataFrame, rkName: String) =
+      df.select(col("query_id"),
+        coalesce(col("doc_id"), col("neighbor_id")).as("doc_id"),
+        col("rk").as(rkName))
+    def contribution(rk: Column): Column =
+      when(rk.isNull, lit(BigDecimal(0)).cast("decimal(18,6)"))
+        .otherwise(dec6(lit(1.0) / (lit(k0) + rk)))
+    val joined = leg(lexical.withColumn("neighbor_id", lit(null)), "lex_rk")
+      .join(leg(vector.withColumn("doc_id", lit(null)), "vec_rk"),
+        Seq("query_id", "doc_id"), "full_outer")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    joined
+      .withColumn("fused",
+        contribution(col("lex_rk")) + contribution(col("vec_rk")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("lex_rk"), col("vec_rk"),
+        col("fused").cast("double").as("fused"))
+  }
+
+  /** DSIR-style importance weights (Xie, Santurkar, Ma & Liang, NeurIPS
+    * 2023 "Data Selection for Language Models via Importance Resampling"):
+    * weight every RAW document by how much more likely its tokens are
+    * under the TARGET distribution than under the raw distribution —
+    * `log_weight(x) = Σ_tokens (ln p_target(t) − ln p_raw(t))` with
+    * add-one-smoothed unigram LMs over the SHARED vocabulary (raw ∪
+    * target — both models smooth over the same domain, so the ratio is
+    * well-defined for every token). Output per raw doc: `n_tokens`,
+    * `log_weight` (decimal-exact sum of per-word rounded log ratios) and
+    * `avg_log_weight` (length-normalized, the ranking key). Positive avg
+    * means "looks more like the target than like the corpus".
+    *
+    * The KEEP decision deliberately stays out: selection composes with
+    * [[TextOps.calibrateScores]] (top-percentile keep) — the existing
+    * oracle-gated operator — instead of baking one sampling rule in here.
+    *
+    * Scale shape: the target is eval/benchmark-sized by definition, so
+    * its wordcount broadcasts; the raw corpus pays one wordcount
+    * aggregation for its LM and one token-probe join for scoring, which
+    * gets the [[TextOps.LmHeadK]] Zipf head/tail split (hot words ride a
+    * broadcast, tails shuffle de-skewed). */
+  def dsirWeights(raw: DataFrame, rawId: Column, rawText: Column,
+      target: DataFrame, targetText: Column): DataFrame = {
+    def toks(df: DataFrame, t: Column) =
+      df.select(explode(split(t, " ")).as("word"))
+        .where(length(col("word")) > 0)
+    val rawCnt = toks(raw, rawText).groupBy("word")
+      .agg(count(lit(1)).as("_rc"))
+    val tgtCnt = toks(target, targetText).groupBy("word")
+      .agg(count(lit(1)).as("_tc"))
+    // shared smoothing domain: the union vocabulary
+    val vocab = rawCnt.select("word")
+      .unionByName(tgtCnt.select("word")).distinct()
+    val sizes = rawCnt.agg(sum(col("_rc")).as("_rtot"))
+      .crossJoin(tgtCnt.agg(sum(col("_tc")).as("_ttot")))
+      .crossJoin(vocab.agg(count(lit(1)).as("_v")))
+    // per-word log ratio: both logs rounded to 1e-6 BEFORE the subtraction
+    // (the nbClassify convention), so the ratio table is engine-exact
+    val lr = vocab
+      .join(rawCnt, Seq("word"), "left")
+      .join(broadcast(tgtCnt), Seq("word"), "left")
+      .join(broadcast(sizes))
+      .select(col("word"),
+        coalesce(col("_rc"), lit(0L)).as("_rc"),
+        (dec6(log((coalesce(col("_tc"), lit(0L)) + lit(1)).cast("double") /
+          (col("_ttot") + col("_v")).cast("double"))) -
+          dec6(log((coalesce(col("_rc"), lit(0L)) + lit(1)).cast("double") /
+            (col("_rtot") + col("_v")).cast("double")))).as("_lr"))
+    val head = lr.orderBy(col("_rc").desc, col("word"))
+      .limit(TextOps.LmHeadK).select("word", "_lr")
+    val tail = lr.select("word", "_lr")
+      .join(broadcast(head.select("word")), Seq("word"), "left_anti")
+    val words = raw.select(rawId.as("doc_id"),
+      explode(split(rawText, " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val probed = words.join(broadcast(head), Seq("word"), "left")
+    probed.where(col("_lr").isNotNull)
+      .unionByName(probed.where(col("_lr").isNull).drop("_lr")
+        .join(tail, "word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lr")).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("_s").cast("double").as("log_weight"),
+        round(col("_s").cast("double") / col("n_tokens"), 6)
+          .as("avg_log_weight"))
+  }
+}

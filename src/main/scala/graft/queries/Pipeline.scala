@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextHash._
-import graft.operators.{DedupOps, MultimodalOps, PQOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, PQOps, RetrievalOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) over `documents` / `embeddings`, each with
@@ -3062,6 +3062,189 @@ object Pipeline {
          |FROM cells""".stripMargin
     })
 
+  /** Okapi BM25 lexical retrieval ([[RetrievalOps.bm25TopK]]): the first 3
+    * documents play standing queries over the corpus (self-match expected
+    * at rank 1 — a retrieval sanity the hash then pins). k1/b are the
+    * universal defaults; idf is the non-negative Lucene variant, rounded
+    * decimal before the product so the oracle replays it as an exact
+    * intermediate. */
+  private val BM25_K = 5
+  private val q119 = QueryDef(
+    "q119_bm25_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
+        docs.where(col("doc_id") < 3), col("doc_id"), col("text"), BM25_K)
+    },
+    s"""WITH words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t WHERE length(w) > 0),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |stats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
+       |  WHERE doc_id < 3),
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST(CAST(CAST(round(ln(1.0 +
+       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, sum(c) AS s,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, n_terms, s,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
+       |  FROM sc)
+       |SELECT query_id, rk, doc_id, n_terms,
+       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score
+       |FROM ranked WHERE rk <= $BM25_K""".stripMargin)
+
+  /** Hybrid retrieval via reciprocal-rank fusion ([[RetrievalOps
+    * .rrfFuse]], Cormack et al. 2009): the q119 lexical ranking and the
+    * q36-shape vector ranking over the SAME query ids (doc 0-2 texts /
+    * vec 0-2 embeddings), fused score-scale-free as
+    * Σ round(1/(60+rank), 6). Both legs run at k=10 and the fusion
+    * reports the top 5 — documents strong in either modality surface,
+    * documents strong in both win. */
+  private val q120 = QueryDef(
+    "q120_hybrid_rrf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
+        docs.where(col("doc_id") < 3), col("doc_id"), col("text"), 10)
+      val vec = SimilarityOps.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        10)
+      RetrievalOps.rrfFuse(lex, vec, 5)
+    },
+    s"""WITH words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t WHERE length(w) > 0),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |stats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
+       |  WHERE doc_id < 3),
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST(CAST(CAST(round(ln(1.0 +
+       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
+       |  FROM sc QUALIFY rk <= 10),
+       |v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+       |  FROM embeddings),
+       |vscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN q.nrm * c.nrm > 0
+       |      THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6)
+       |    END AS cos_sim
+       |  FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+       |vec AS (SELECT query_id, neighbor_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM vscored QUALIFY rk <= 10),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, vv.query_id) AS query_id,
+       |    COALESCE(l.doc_id, vv.doc_id) AS doc_id,
+       |    l.rk AS lex_rk, vv.rk AS vec_rk,
+       |    COALESCE(CAST(round(1.0 / (60 + l.rk), 6) AS DECIMAL(18,6)),
+       |      CAST(0 AS DECIMAL(18,6))) +
+       |    COALESCE(CAST(round(1.0 / (60 + vv.rk), 6) AS DECIMAL(18,6)),
+       |      CAST(0 AS DECIMAL(18,6))) AS f
+       |  FROM lex l FULL OUTER JOIN vec vv
+       |    ON l.query_id = vv.query_id AND l.doc_id = vv.doc_id)
+       |SELECT query_id, rk, doc_id, lex_rk, vec_rk,
+       |  CAST(CAST(f AS VARCHAR) AS DOUBLE) AS fused
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY f DESC, doc_id) AS BIGINT) AS rk FROM fused) z
+       |WHERE rk <= 5""".stripMargin)
+
+  /** DSIR importance weighting ([[RetrievalOps.dsirWeights]], Xie et al.
+    * NeurIPS 2023): every document weighted by how much more likely its
+    * tokens are under the TARGET unigram distribution (the English slice
+    * plays the target domain) than under the whole-corpus distribution —
+    * the importance-resampling score that steers a 100 TB crawl toward a
+    * desired domain. Selection composes with q115's percentile
+    * calibration; this query pins the weights themselves. */
+  private val q121 = QueryDef(
+    "q121_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      RetrievalOps.dsirWeights(docs, col("doc_id"), col("text"),
+        docs.where(col("lang") === "en"), col("text"))
+    },
+    s"""WITH rt AS (SELECT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE length(w) > 0),
+       |tt AS (SELECT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE lang = 'en') t WHERE length(w) > 0),
+       |rc AS (SELECT w, CAST(count(*) AS BIGINT) AS rc FROM rt GROUP BY w),
+       |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS tc FROM tt GROUP BY w),
+       |vocab AS (SELECT w FROM rc UNION SELECT w FROM tc),
+       |sizes AS (SELECT
+       |    (SELECT sum(rc) FROM rc) AS rtot,
+       |    (SELECT sum(tc) FROM tc) AS ttot,
+       |    (SELECT count(*) FROM vocab) AS v),
+       |lr AS (SELECT vocab.w,
+       |    CAST(round(ln((COALESCE(tc.tc, 0) + 1)
+       |        / CAST(sizes.ttot + sizes.v AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) -
+       |    CAST(round(ln((COALESCE(rc.rc, 0) + 1)
+       |        / CAST(sizes.rtot + sizes.v AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS lr
+       |  FROM vocab LEFT JOIN rc ON rc.w = vocab.w
+       |  LEFT JOIN tc ON tc.w = vocab.w CROSS JOIN sizes),
+       |dw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t WHERE length(w) > 0),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(lr) AS s
+       |  FROM dw JOIN lr ON lr.w = dw.w GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS log_weight,
+       |  round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_tokens, 6)
+       |    AS avg_log_weight
+       |FROM s""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3069,7 +3252,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q117, q118)
+    q115, q116, q117, q118, q119, q120, q121)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
