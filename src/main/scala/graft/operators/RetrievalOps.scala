@@ -141,6 +141,21 @@ object RetrievalOps {
     * broadcast, tails shuffle de-skewed). */
   def dsirWeights(raw: DataFrame, rawId: Column, rawText: Column,
       target: DataFrame, targetText: Column): DataFrame = {
+    val lr = dsirRatioTable(raw, rawText, target, targetText)
+    val words = raw.select(rawId.as("doc_id"),
+      explode(split(rawText, " ")).as("word"))
+      .where(length(col("word")) > 0)
+    dsirScore(words, lr, Seq("doc_id"))
+  }
+
+  /** The fitted DSIR artifact: per-word `(word, _rc, _lr)` where `_lr` is
+    * the rounded-decimal log p_target/p_raw ratio over the shared union
+    * vocabulary and `_rc` is the word's raw-corpus frequency (the Zipf
+    * split key). Shared by [[dsirWeights]] and
+    * [[graft.streaming.Streaming.dsirScoreStream]] so the two faces
+    * cannot drift. */
+  def dsirRatioTable(raw: DataFrame, rawText: Column,
+      target: DataFrame, targetText: Column): DataFrame = {
     def toks(df: DataFrame, t: Column) =
       df.select(explode(split(t, " ")).as("word"))
         .where(length(col("word")) > 0)
@@ -156,7 +171,7 @@ object RetrievalOps {
       .crossJoin(vocab.agg(count(lit(1)).as("_v")))
     // per-word log ratio: both logs rounded to 1e-6 BEFORE the subtraction
     // (the nbClassify convention), so the ratio table is engine-exact
-    val lr = vocab
+    vocab
       .join(rawCnt, Seq("word"), "left")
       .join(broadcast(tgtCnt), Seq("word"), "left")
       .join(broadcast(sizes))
@@ -166,22 +181,31 @@ object RetrievalOps {
           (col("_ttot") + col("_v")).cast("double"))) -
           dec6(log((coalesce(col("_rc"), lit(0L)) + lit(1)).cast("double") /
             (col("_rtot") + col("_v")).cast("double")))).as("_lr"))
-    val head = lr.orderBy(col("_rc").desc, col("word"))
+  }
+
+  /** Scoring core shared by the batch and streaming DSIR faces: exploded
+    * `(keyCols..., word)` token rows probe the ratio table through the
+    * [[TextOps.LmHeadK]] Zipf frequency split (hot words ride a broadcast,
+    * tails shuffle de-skewed; words outside the fitted vocabulary score 0
+    * — an unseen word is evidence for neither distribution), then one
+    * per-key aggregation. */
+  def dsirScore(words: DataFrame, ratioTable: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val head = ratioTable.orderBy(col("_rc").desc, col("word"))
       .limit(TextOps.LmHeadK).select("word", "_lr")
-    val tail = lr.select("word", "_lr")
+    val tail = ratioTable.select("word", "_lr")
       .join(broadcast(head.select("word")), Seq("word"), "left_anti")
-    val words = raw.select(rawId.as("doc_id"),
-      explode(split(rawText, " ")).as("word"))
-      .where(length(col("word")) > 0)
     val probed = words.join(broadcast(head), Seq("word"), "left")
     probed.where(col("_lr").isNotNull)
       .unionByName(probed.where(col("_lr").isNull).drop("_lr")
-        .join(tail, "word"))
-      .groupBy("doc_id")
+        .join(tail, Seq("word"), "left")
+        .withColumn("_lr",
+          coalesce(col("_lr"), lit(BigDecimal(0)).cast("decimal(18,6)"))))
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"), sum(col("_lr")).as("_s"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(keyCols.map(col) ++ Seq(col("n_tokens"),
         col("_s").cast("double").as("log_weight"),
         round(col("_s").cast("double") / col("n_tokens"), 6)
-          .as("avg_log_weight"))
+          .as("avg_log_weight")): _*)
   }
 }

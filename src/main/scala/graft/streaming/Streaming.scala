@@ -547,6 +547,29 @@ object Streaming {
       words, model, priors, labels, Seq("window", "doc_id"))
   }
 
+  /** Ingest face of [[graft.operators.RetrievalOps.dsirWeights]] —
+    * arriving docs scored under the FROZEN importance-ratio table (the
+    * target and raw LMs are corpus-wide fits; a micro-batch never
+    * re-fits — re-fit → restart the stream, the standing static-index
+    * rule). The static side is [[graft.operators.RetrievalOps
+    * .dsirRatioTable]] — the SAME table the batch face consumes through
+    * the SAME [[graft.operators.RetrievalOps.dsirScore]] core, so weights
+    * cannot drift between faces; words outside the fitted vocabulary
+    * score 0 (evidence for neither distribution). One watermarked
+    * per-(minute window, doc) aggregation, no other state. PERSIST
+    * `ratioTable` before starting the stream (the media-screen
+    * static-side rule): the Zipf head/tail split sorts it per
+    * micro-batch otherwise. */
+  def dsirScoreStream(docs: DataFrame, ratioTable: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    val words = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    graft.operators.RetrievalOps.dsirScore(
+      words, ratioTable, Seq("window", "doc_id"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.temperatureMix]] —
     * ingest-time copy-count assignment against the corpus-global rate
     * table ([[graft.operators.TextOps.temperatureRates]], the static

@@ -841,6 +841,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dsirScoreStream weights equal the batch scorer row-for-row") {
+    import graft.operators.RetrievalOps
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").cache()
+    val lr = RetrievalOps.dsirRatioTable(docs, col("text"),
+      docs.where(col("lang") === "en"), col("text")).cache()
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.dsirScoreStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), lr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir1").start()
+    try {
+      in.addData(rows.take(40).map { case (id, t) =>
+        (id, t, ts("2021-03-09 14:15:00")) }.toIndexedSeq: _*)
+      // an arrival whose vocabulary the fit never saw: counted, scored 0
+      in.addData((99999L, "qqzx zxqq", ts("2021-03-09 14:15:10")))
+      in.addData((-1L, "x", sec("2021-03-09 14:15:00", 4000))) // flush
+      q.processAllAvailable()
+      val streamed = spark.table("dsir1")
+        .where(col("doc_id") >= 0 && col("doc_id") =!= 99999L).collect()
+        .map(r => r.getLong(1) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val batch = RetrievalOps.dsirWeights(docs.where(col("doc_id") < 9999),
+        col("doc_id"), col("text"),
+        docs.where(col("lang") === "en"), col("text"))
+        .where(col("doc_id").isin(rows.take(40).map(_._1): _*)).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed == batch,
+        "ingest-time DSIR weights must equal the batch scorer exactly")
+      val unseen = spark.table("dsir1")
+        .where(col("doc_id") === 99999L).collect()
+      assert(unseen.length == 1 && unseen(0).getLong(2) == 2L &&
+        unseen(0).getDouble(3) == 0.0,
+        "out-of-vocabulary arrivals count tokens and score 0")
+    } finally {
+      q.stop()
+      lr.unpersist(blocking = false); docs.unpersist(blocking = false)
+    }
+  }
+
   test("takedownScreenStream verdicts equal the batch propagation's non-listed rows") {
     import graft.operators.DedupOps
     // corpus subset + a planted byte mirror of listed doc 0; doc 82 is
