@@ -983,6 +983,38 @@ object TextOps {
         (col("pct") <= keepPct).as("keep"))
   }
 
+  /** The [[calibrateScores]] giant-group escape hatch, implemented (was
+    * documented-only): when one group holds a large share of the corpus,
+    * the exact per-group percent_rank window funnels that group through a
+    * single sort partition. Here thresholds come from ONE
+    * `percentile_approx` aggregation per group — the (buckets-1) bucket
+    * boundaries plus the keep threshold — whose group-count-sized result
+    * broadcasts back onto the rows: no row-level sort anywhere, every
+    * step map-side after one aggregation exchange. Output mirrors
+    * [[calibrateScores]] minus the `pct` column (a per-row percentile is
+    * exactly what this path avoids computing): `bucket` = number of
+    * boundary thresholds at or below the score (clamped), `keep` =
+    * score ≤ the keepPct quantile. Tie groups keep or drop together in
+    * both faces; boundary rows can differ by the sketch's rank error —
+    * the spec gates agreement against the exact face. */
+  def calibrateScoresApprox(scored: DataFrame, id: Column, score: Column,
+      group: Column, groupName: String, buckets: Int, keepPct: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = scored.select(id.as("doc_id"), score.as("score"),
+      group.as("_g"))
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val thr = base.groupBy("_g").agg(
+      percentile_approx(col("score"), typedlit(qs), lit(accuracy)).as("_ts"),
+      percentile_approx(col("score"), lit(keepPct), lit(accuracy)).as("_kt"))
+    base.join(broadcast(thr), "_g")
+      .select(col("doc_id"), col("_g").as(groupName), col("score"),
+        least(aggregate(col("_ts"), lit(0L),
+          (acc, t) => acc + when(col("score") >= t, 1L).otherwise(0L)),
+          lit((buckets - 1).toLong)).as("bucket"),
+        (col("score") <= col("_kt")).as("keep"))
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

@@ -1382,6 +1382,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(8L) == ((0.0, 0L, true)))
   }
 
+  test("calibrateScoresApprox agrees with the exact face; no sort window") {
+    // the giant-group escape hatch, implemented: quantile thresholds from
+    // one percentile_approx aggregation, broadcast back — agreement with
+    // the exact percent_rank face gated on the real corpus scores
+    val docs = Tables.documents(spark, sf)
+    val scored = TextOps.lmScore(docs, col("doc_id"), col("text"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    def collectKeeps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("bucket")),
+          r.getBoolean(r.fieldIndex("keep"))))).toMap
+    val exact = collectKeeps(TextOps.calibrateScores(scored, col("doc_id"),
+      col("cross_entropy"), col("lang"), "lang", 10, 0.7))
+    val approx = collectKeeps(TextOps.calibrateScoresApprox(scored,
+      col("doc_id"), col("cross_entropy"), col("lang"), "lang", 10, 0.7))
+    assert(approx.keySet == exact.keySet)
+    val n = exact.size.toDouble
+    val keepAgree = exact.count { case (k, (_, kp)) =>
+      approx(k)._2 == kp } / n
+    val bucketClose = exact.count { case (k, (b, _)) =>
+      math.abs(approx(k)._1 - b) <= 1 } / n
+    assert(keepAgree >= 0.97,
+      s"keep decisions must track the exact face: $keepAgree")
+    assert(bucketClose >= 0.97,
+      s"buckets must sit within one of the exact face: $bucketClose")
+    // the point of the path: no per-row sort window anywhere in the plan
+    val plan = TextOps.calibrateScoresApprox(scored, col("doc_id"),
+      col("cross_entropy"), col("lang"), "lang", 10, 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("BroadcastHashJoin"),
+      s"approx calibration must be sort-window-free + broadcast:\n$plan")
+  }
+
   test("semanticContamination flags are a subset of the exact screen") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.select("vec_id", "embedding").collect()
