@@ -25,6 +25,19 @@ object RetrievalOps {
 
   private def dec6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
 
+  /** The BM25 idf (Lucene's non-negative variant), rounded decimal —
+    * shared by the batch ranking and the frozen query index so the two
+    * faces are structurally the same formula. */
+  private[graft] def idf6(nDocs: Column, df: Column): Column =
+    dec6(log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))))
+
+  /** One term's BM25 contribution from the ROUNDED idf — shared by both
+    * faces for the same reason. */
+  private[graft] def contrib6(idfDec: Column, tf: Column, dl: Column,
+      avgdl: Column, k1: Double, b: Double): Column =
+    dec6(idfDec.cast("double") * (tf * (lit(k1) + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
+
   /** Okapi BM25 top-`k` (Robertson & Walker SIGIR 1994; the
     * `ln(1 + (N-df+0.5)/(df+0.5))` non-negative idf variant Lucene ships):
     * per (query, doc) the DECIMAL sum over shared terms of
@@ -62,16 +75,10 @@ object RetrievalOps {
       .join(broadcast(stats))
       .join(broadcast(qterms), Seq("word"))
       .select(col("query_id"), col("doc_id"),
-        dec6(
-          // idf is itself rounded before the product so the oracle can
-          // replay it as an exact intermediate
-          dec6(log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5)))).cast("double") *
-            (col("tf") * (lit(k1) + 1.0)) /
-            (col("tf") + lit(k1) *
-              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("_c"))
+        // idf is itself rounded before the product so the oracle can
+        // replay it as an exact intermediate
+        contrib6(idf6(col("n_docs"), col("df")), col("tf"), col("dl"),
+          col("avgdl"), k1, b).as("_c"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     contrib.groupBy("query_id", "doc_id")
@@ -80,6 +87,34 @@ object RetrievalOps {
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("n_terms"),
         col("score").cast("double").as("score"))
+  }
+
+  /** The FROZEN standing-query index for [[graft.streaming.Streaming
+    * .bm25ScoreStream]]: per (query_id, word) the corpus-fitted rounded
+    * idf, with the corpus `avgdl` stamped on every row (one broadcastable
+    * static side, query-terms-sized). Fitted once over the corpus — df
+    * and avgdl are corpus-wide statistics a micro-batch cannot know —
+    * and identical by construction to the batch ranking's intermediates
+    * (shared idf6/contrib6 helpers; parity pinned in StreamingSpec). */
+  def bm25QueryIndex(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column): DataFrame = {
+    val words = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
+    val qterms = queries.select(qid.as("query_id"),
+        explode(split(qtext, " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+    val dfreq = words.select("doc_id", "word").distinct()
+      .join(broadcast(qterms.select("word").distinct()),
+        Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.groupBy("doc_id").agg(count(lit(1)).as("_dl"))
+        .agg(avg(col("_dl")).as("avgdl")))
+    qterms.join(broadcast(dfreq), Seq("word"), "left")
+      .join(broadcast(stats))
+      .select(col("query_id"), col("word"),
+        idf6(col("n_docs"), coalesce(col("df"), lit(0L))).as("idf"),
+        col("avgdl"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR 2009) of a

@@ -547,6 +547,44 @@ object Streaming {
       words, model, priors, labels, Seq("window", "doc_id"))
   }
 
+  /** Standing-query routing face of [[graft.operators.RetrievalOps
+    * .bm25TopK]] — every ARRIVING doc scored against the FROZEN
+    * standing-query set (topic routing / alerting: "which of our N
+    * monitored queries does this crawl document match, and how
+    * strongly"). The static side is [[graft.operators.RetrievalOps
+    * .bm25QueryIndex]] — corpus-fitted idf + avgdl, query-terms-sized,
+    * broadcast (df/avgdl are corpus statistics a micro-batch cannot
+    * know; re-fit → restart, the standing static-index rule). Term
+    * frequency and doc length are ROW-LOCAL array math over the
+    * arrival's own tokens — no postings state — so the one stateful
+    * step is the per-(window, doc, query) score aggregation, and a
+    * corpus replay reproduces the batch ranking's scores exactly
+    * (StreamingSpec parity; terms the corpus never saw score at the
+    * df=0 idf, the correct BM25 treatment of novel vocabulary). Emits
+    * scores at or above `minScore`. */
+  def bm25ScoreStream(docs: DataFrame, index: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, minScore: Double = 0.0,
+      timeCol: String = "event_time"): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => length(w) > 0)
+    val base = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
+        toks.as("_toks"))
+    val tf = size(filter(col("_toks"), t => t === col("word"))).cast("long")
+    val dl = size(col("_toks")).cast("long")
+    base
+      .select(col("window"), col("doc_id"), col("_toks"),
+        explode(array_distinct(col("_toks"))).as("word"))
+      .join(index, Seq("word")) // stream-static inner probe
+      .select(col("window"), col("doc_id"), col("query_id"),
+        graft.operators.RetrievalOps.contrib6(col("idf"), tf, dl,
+          col("avgdl"), k1, b).as("_c"))
+      .groupBy(col("window"), col("doc_id"), col("query_id"))
+      .agg(sum(col("_c")).as("score"), count(lit(1)).as("n_terms"))
+      .where(col("score") >= minScore)
+      .select(col("window"), col("doc_id"), col("query_id"), col("n_terms"),
+        col("score").cast("double").as("score"))
+  }
+
   /** Ingest face of [[graft.operators.RetrievalOps.dsirWeights]] —
     * arriving docs scored under the FROZEN importance-ratio table (the
     * target and raw LMs are corpus-wide fits; a micro-batch never

@@ -841,6 +841,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25ScoreStream routing scores equal the batch ranking's scores") {
+    import graft.operators.RetrievalOps
+    val docs = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") < 80).select("doc_id", "text").cache()
+    val queries = docs.where(col("doc_id") < 3)
+    val index = RetrievalOps.bm25QueryIndex(docs, col("doc_id"),
+      col("text"), queries, col("doc_id"), col("text")).cache()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.bm25ScoreStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bm25s1").start()
+    try {
+      in.addData(rows.map { case (id, t) =>
+        (id, t, ts("2021-03-09 14:15:00")) }.toIndexedSeq: _*)
+      in.addData((-1L, "x", sec("2021-03-09 14:15:00", 4000))) // flush
+      q.processAllAvailable()
+      val streamed = spark.table("bm25s1")
+        .where(col("doc_id") >= 0).collect()
+        .map(r => (r.getLong(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getDouble(4)))).toMap
+      // batch ranking at k = corpus size keeps every scored (query, doc)
+      val batch = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
+        queries, col("doc_id"), col("text"), 100000).collect()
+        .map(r => (r.getLong(2), r.getLong(0)) ->
+          ((r.getLong(3), r.getDouble(4)))).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        "replaying the corpus through the routing screen must reproduce " +
+          s"the batch ranking's scores (${streamed.size} vs ${batch.size})")
+    } finally {
+      q.stop()
+      index.unpersist(blocking = false); docs.unpersist(blocking = false)
+    }
+  }
+
   test("dsirScoreStream weights equal the batch scorer row-for-row") {
     import graft.operators.RetrievalOps
     val docs = graft.Tables.documents(spark, sf)
