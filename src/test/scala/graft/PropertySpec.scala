@@ -331,4 +331,34 @@ class PropertySpec extends SparkSpec {
       assert(adc == lut, "LUT and ADC paths must agree bit-for-bit")
     }
   }
+
+  test("BpeEncode equals the fold chain on random merge tables and texts") {
+    // randomized parity armor for the compiled tokenizer: tiny alphabets
+    // maximize merge interaction (overlapping runs, recreated pairs,
+    // duplicate-pair tables, end-of-word merges)
+    import graft.operators.BpeOps
+    val sym = Gen.oneOf("a", "b", "c")
+    val wordGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, sym).map(_.mkString))
+    val textGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val unitGen: Gen[String] = Gen.chooseNum(1, 2)
+      .flatMap(n => Gen.listOfN(n, sym).map(_.mkString))
+      .flatMap(u => Gen.oneOf(u, u + BpeOps.EndOfWord))
+    val mergeGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(unitGen, unitGen)))
+    samples(Gen.zip(Gen.listOfN(6, textGen), mergeGen), 12).foreach {
+      case (texts, merges) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val chain = df.select(col("doc_id"),
+          BpeOps.bpeTokensExpr(col("text"), merges).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val compiled = df.select(col("doc_id"),
+          BpeOps.bpeTokensCompiled(spark, col("text"), merges).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(compiled == chain,
+          s"divergence under merges $merges on $texts")
+    }
+  }
 }
