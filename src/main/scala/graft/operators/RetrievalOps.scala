@@ -89,33 +89,87 @@ object RetrievalOps {
         col("score").cast("double").as("score"))
   }
 
+  /** The maintainable half of a BM25 index: per-word document frequency
+    * over the corpus — `(word, df)`. One wordcount-shaped pass; ~1% of
+    * the data it summarizes (the snapshotHashIndex convention). */
+  def bm25CorpusDf(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+
+  /** The scalar half: ONE row `(n_docs, n_docs_tok, n_tokens)` — doc
+    * count, docs-with-tokens count (avgdl's denominator), total token
+    * count. All three are sums, so they maintain incrementally. */
+  def bm25CorpusStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.groupBy("doc_id").agg(count(lit(1)).as("_dl"))
+        .agg(count(lit(1)).as("n_docs_tok"),
+          coalesce(sum(col("_dl")), lit(0L)).as("n_tokens")))
+  }
+
+  /** Incremental BM25 index maintenance — the operator that retires the
+    * "re-fit → restart" cost of the standing-query index's static side:
+    * df and the scalar stats are SUMS, so a new-document delta folds in
+    * with one word-keyed merge and one 1-row addition instead of a
+    * corpus-wide recompute. PRECONDITION (the incrementalDedup
+    * convention): delta doc ids are NEW — a re-crawl of existing ids
+    * goes through CDC apply and a re-stat, not this fold. Returns the
+    * updated `(dfTable, stats)` pair; the invariant `update(stats(A), B)
+    * ≡ stats(A ∪ B)` is the q122 oracle. */
+  def bm25StatsUpdate(prevDf: DataFrame, prevStats: DataFrame,
+      delta: DataFrame, id: Column, text: Column): (DataFrame, DataFrame) = {
+    val dDf = bm25CorpusDf(delta, id, text)
+    val mergedDf = prevDf.select(col("word"), col("df").as("_a"))
+      .join(dDf.select(col("word"), col("df").as("_b")),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("_a"), lit(0L)) + coalesce(col("_b"), lit(0L)))
+          .as("df"))
+    val dStats = bm25CorpusStats(delta, id, text)
+    val mergedStats = prevStats.crossJoin(
+        dStats.select(col("n_docs").as("_n"), col("n_docs_tok").as("_nt"),
+          col("n_tokens").as("_tk")))
+      .select((col("n_docs") + col("_n")).as("n_docs"),
+        (col("n_docs_tok") + col("_nt")).as("n_docs_tok"),
+        (col("n_tokens") + col("_tk")).as("n_tokens"))
+    (mergedDf, mergedStats)
+  }
+
+  /** Query index from MAINTAINED statistics — the composition point:
+    * `(dfTable, stats)` may come from one [[bm25CorpusDf]]/
+    * [[bm25CorpusStats]] pass or from any chain of [[bm25StatsUpdate]]
+    * folds; the resulting index is the same function either way. */
+  def bm25IndexFromStats(dfTable: DataFrame, stats: DataFrame,
+      queries: DataFrame, qid: Column, qtext: Column): DataFrame = {
+    val qterms = queries.select(qid.as("query_id"),
+        explode(split(qtext, " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+    qterms
+      .join(broadcast(dfTable.join(broadcast(qterms.select("word").distinct()),
+        Seq("word"), "left_semi")), Seq("word"), "left")
+      .join(broadcast(stats))
+      .select(col("query_id"), col("word"),
+        idf6(col("n_docs"), coalesce(col("df"), lit(0L))).as("idf"),
+        (col("n_tokens").cast("double") / col("n_docs_tok")).as("avgdl"))
+  }
+
   /** The FROZEN standing-query index for [[graft.streaming.Streaming
     * .bm25ScoreStream]]: per (query_id, word) the corpus-fitted rounded
     * idf, with the corpus `avgdl` stamped on every row (one broadcastable
     * static side, query-terms-sized). Fitted once over the corpus — df
     * and avgdl are corpus-wide statistics a micro-batch cannot know —
     * and identical by construction to the batch ranking's intermediates
-    * (shared idf6/contrib6 helpers; parity pinned in StreamingSpec). */
+    * (shared idf6/contrib6 helpers; parity pinned in StreamingSpec).
+    * Built on the maintainable [[bm25CorpusDf]]/[[bm25CorpusStats]]
+    * pieces, so an index refresh after a delta is a [[bm25StatsUpdate]]
+    * fold, not a corpus recompute. */
   def bm25QueryIndex(docs: DataFrame, id: Column, text: Column,
-      queries: DataFrame, qid: Column, qtext: Column): DataFrame = {
-    val words = docs.select(id.as("doc_id"),
-      explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
-    val qterms = queries.select(qid.as("query_id"),
-        explode(split(qtext, " ")).as("word"))
-      .where(length(col("word")) > 0).distinct()
-    val dfreq = words.select("doc_id", "word").distinct()
-      .join(broadcast(qterms.select("word").distinct()),
-        Seq("word"), "left_semi")
-      .groupBy("word").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(words.groupBy("doc_id").agg(count(lit(1)).as("_dl"))
-        .agg(avg(col("_dl")).as("avgdl")))
-    qterms.join(broadcast(dfreq), Seq("word"), "left")
-      .join(broadcast(stats))
-      .select(col("query_id"), col("word"),
-        idf6(col("n_docs"), coalesce(col("df"), lit(0L))).as("idf"),
-        col("avgdl"))
-  }
+      queries: DataFrame, qid: Column, qtext: Column): DataFrame =
+    bm25IndexFromStats(bm25CorpusDf(docs, id, text),
+      bm25CorpusStats(docs, id, text), queries, qid, qtext)
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR 2009) of a
     * LEXICAL ranking and a VECTOR ranking — the standard hybrid-retrieval

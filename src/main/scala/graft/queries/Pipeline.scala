@@ -3245,6 +3245,41 @@ object Pipeline {
        |    AS avg_log_weight
        |FROM s""".stripMargin)
 
+  /** Incremental BM25 index maintenance ([[RetrievalOps
+    * .bm25StatsUpdate]]): the df table and scalar stats of a 90% corpus
+    * folded with the remaining 10% as a new-document delta — and the
+    * oracle computes the SAME statistics over the full corpus directly,
+    * so the hash match IS the maintenance invariant
+    * `update(stats(A), B) ≡ stats(A ∪ B)`. This is what retires the
+    * standing-query index's "re-fit → restart" recompute: a delta folds
+    * in with one word-keyed merge + one 1-row addition. */
+  private val q122 = QueryDef(
+    "q122_bm25_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val delta = docs.where(col("doc_id") % 10 === 0)
+      val (df1, st1) = RetrievalOps.bm25StatsUpdate(
+        RetrievalOps.bm25CorpusDf(corpus, col("doc_id"), col("text")),
+        RetrievalOps.bm25CorpusStats(corpus, col("doc_id"), col("text")),
+        delta, col("doc_id"), col("text"))
+      df1.crossJoin(broadcast(st1))
+        .select(col("word"), col("df"), col("n_docs"), col("n_docs_tok"),
+          col("n_tokens"))
+    },
+    s"""WITH words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t WHERE length(w) > 0),
+       |d AS (SELECT w AS word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM words GROUP BY 1),
+       |st AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM words)
+       |      AS n_docs_tok,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens)
+       |SELECT word, df, n_docs, n_docs_tok, n_tokens
+       |FROM d CROSS JOIN st""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3252,7 +3287,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q117, q118, q119, q120, q121)
+    q115, q116, q117, q118, q119, q120, q121, q122)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
