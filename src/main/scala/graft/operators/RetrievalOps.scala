@@ -207,6 +207,46 @@ object RetrievalOps {
         col("fused").cast("double").as("fused"))
   }
 
+  /** nDCG@k of a ranking against graded relevance (Järvelin & Kekäläinen
+    * TOIS 2002) — the retrieval band's quality gate, the q82-recall
+    * pattern applied to ranked retrieval: `rels` carries
+    * `(query_id, doc_id, rel)` graded relevance (rounded decimal,
+    * non-negative — clamp upstream), `ranking` a `(query_id, doc_id,
+    * rk)` table. Per query: DCG = Σ_{i≤k} round(rel_i / log2(i+1), 6)
+    * over the ranking's order, IDCG the same sum over the TRUE top-k by
+    * relevance (rel desc, doc_id asc — deterministic), and
+    * `ndcg = round(DCG/IDCG, 6)` (0 when IDCG is 0). Unjudged ranked
+    * docs count 0 relevance, the standard convention. Both sides are
+    * top-k-sized per query, so the whole evaluation is
+    * per-query-bounded. */
+  def ndcgAtK(ranking: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gain = rels.select(col("query_id"), col("doc_id"), col("rel"))
+    val dcg = ranking.where(col("rk") <= k)
+      .join(gain, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        dec6(coalesce(col("rel"), lit(BigDecimal(0)).cast("decimal(18,6)"))
+          .cast("double") / log2(col("rk") + lit(1))).as("_g"))
+      .groupBy("query_id").agg(sum(col("_g")).as("dcg"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = gain
+      .withColumn("_irk", row_number().over(wIdeal).cast("long"))
+      .where(col("_irk") <= k)
+      .select(col("query_id"),
+        dec6(col("rel").cast("double") / log2(col("_irk") + lit(1)))
+          .as("_g"))
+      .groupBy("query_id").agg(sum(col("_g")).as("idcg"))
+    dcg.join(idcg, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        coalesce(col("dcg").cast("double"), lit(0.0)).as("dcg"),
+        coalesce(col("idcg").cast("double"), lit(0.0)).as("idcg"),
+        when(coalesce(col("idcg"), lit(BigDecimal(0)).cast("decimal(18,6)"))
+          > 0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   /** DSIR-style importance weights (Xie, Santurkar, Ma & Liang, NeurIPS
     * 2023 "Data Selection for Language Models via Importance Resampling"):
     * weight every RAW document by how much more likely its tokens are

@@ -3280,6 +3280,136 @@ object Pipeline {
        |SELECT word, df, n_docs, n_docs_tok, n_tokens
        |FROM d CROSS JOIN st""".stripMargin)
 
+  /** Retrieval-quality gate ([[RetrievalOps.ndcgAtK]]): nDCG@10 of the
+    * lexical and the hybrid rankings against cosine-graded relevance —
+    * the q82 recall-gate pattern applied to ranked retrieval. Query docs
+    * (ids < 3) are excluded from both corpora so self-matches cannot
+    * flatter either leg; relevance is the clamped rounded cosine of the
+    * query/doc embeddings (unjudged = 0, the standard convention). The
+    * vector leg's nDCG would be 1 by construction (it IS the relevance
+    * order), so the report carries the two rankings whose quality is NOT
+    * definitional. */
+  private val q123 = QueryDef(
+    "q123_retrieval_ndcg",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val corpusD = docs.where(col("doc_id") >= 3)
+      val corpusE = emb.where(col("vec_id") >= 3)
+      val qD = docs.where(col("doc_id") < 3)
+      val qE = emb.where(col("vec_id") < 3)
+      val lex = RetrievalOps.bm25TopK(corpusD, col("doc_id"), col("text"),
+        qD, col("doc_id"), col("text"), 10)
+      val vec = SimilarityOps.bruteForceTopK(corpusE, qE,
+        col("vec_id"), col("embedding"), 10)
+      val hybrid = RetrievalOps.rrfFuse(lex, vec, 10)
+      val rels = SimilarityOps.bruteForceTopK(corpusE, qE,
+        col("vec_id"), col("embedding"), 1000000)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          greatest(coalesce(col("cos_sim"), lit(0.0)), lit(0.0))
+            .cast("decimal(18,6)").as("rel"))
+      def face(name: String, ranking: org.apache.spark.sql.DataFrame) =
+        RetrievalOps.ndcgAtK(
+          ranking.select(col("query_id"), col("doc_id"), col("rk")),
+          rels, 10)
+          .select(lit(name).as("method"), col("query_id"),
+            col("dcg"), col("idcg"), col("ndcg"))
+      face("lexical",
+        lex.select(col("query_id"), col("doc_id"), col("rk")))
+        .unionAll(face("hybrid",
+          hybrid.select(col("query_id"), col("doc_id"), col("rk"))))
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+       |  FROM embeddings),
+       |vcos AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    CASE WHEN q.nrm * c.nrm > 0
+       |      THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6)
+       |    END AS cos_sim
+       |  FROM v q JOIN v c ON q.vec_id < 3 AND c.vec_id >= 3),
+       |rel AS (SELECT query_id, doc_id,
+       |    CAST(greatest(COALESCE(cos_sim, 0), 0) AS DECIMAL(18,6)) AS rel
+       |  FROM vcos),
+       |vec AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rk
+       |  FROM vcos QUALIFY rk <= 10),
+       |corp AS (SELECT * FROM documents WHERE doc_id >= 3),
+       |words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM corp) t WHERE length(w) > 0),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |stats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM corp) AS n_docs,
+       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents WHERE doc_id < 3) t WHERE length(w) > 0),
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST(CAST(CAST(round(ln(1.0 +
+       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
+       |  FROM sc QUALIFY rk <= 10),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, vv.query_id) AS query_id,
+       |    COALESCE(l.doc_id, vv.doc_id) AS doc_id,
+       |    COALESCE(CAST(round(1.0 / (60 + l.rk), 6) AS DECIMAL(18,6)),
+       |      CAST(0 AS DECIMAL(18,6))) +
+       |    COALESCE(CAST(round(1.0 / (60 + vv.rk), 6) AS DECIMAL(18,6)),
+       |      CAST(0 AS DECIMAL(18,6))) AS f
+       |  FROM lex l FULL OUTER JOIN vec vv
+       |    ON l.query_id = vv.query_id AND l.doc_id = vv.doc_id),
+       |hyb AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY f DESC, doc_id) AS BIGINT) AS rk
+       |  FROM fused QUALIFY rk <= 10),
+       |idcg AS (SELECT query_id,
+       |    sum(CAST(round(CAST(CAST(rel AS VARCHAR) AS DOUBLE)
+       |      / log2(irk + 1), 6) AS DECIMAL(18,6))) AS idcg
+       |  FROM (SELECT query_id, rel,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, doc_id) AS BIGINT) AS irk
+       |    FROM rel) t WHERE irk <= 10 GROUP BY query_id),
+       |faces AS (
+       |  SELECT 'lexical' AS method, query_id, doc_id, rk FROM lex
+       |  UNION ALL SELECT 'hybrid', query_id, doc_id, rk FROM hyb),
+       |dcg AS (SELECT method, f.query_id,
+       |    sum(CAST(round(CAST(CAST(COALESCE(rel.rel,
+       |        CAST(0 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |      / log2(f.rk + 1), 6) AS DECIMAL(18,6))) AS dcg
+       |  FROM faces f LEFT JOIN rel
+       |    ON rel.query_id = f.query_id AND rel.doc_id = f.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d.method, d.query_id,
+       |  CAST(CAST(d.dcg AS VARCHAR) AS DOUBLE) AS dcg,
+       |  CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE) AS idcg,
+       |  CASE WHEN i.idcg > 0 THEN
+       |    round(CAST(CAST(d.dcg AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS ndcg
+       |FROM dcg d JOIN idcg i ON d.query_id = i.query_id""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3287,7 +3417,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q117, q118, q119, q120, q121, q122)
+    q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -109,6 +109,43 @@ class RetrievalOpsSpec extends SparkSpec {
       s"target-like docs must outweigh others: $tgtAvg vs $othAvg")
   }
 
+  test("ndcgAtK reproduces the hand-computed DCG/IDCG; unjudged scores 0") {
+    val rels = Seq((0L, 10L, BigDecimal("1.000000")),
+      (0L, 11L, BigDecimal("0.500000")), (0L, 12L, BigDecimal("0.200000")))
+      .toDF("query_id", "doc_id", "rel")
+      .select(col("query_id"), col("doc_id"),
+        col("rel").cast("decimal(18,6)").as("rel"))
+    // ranking: the rel-0.5 doc first, the rel-1.0 doc second, then an
+    // UNJUDGED doc (contributes 0)
+    val ranking = Seq((0L, 11L, 1L), (0L, 10L, 2L), (0L, 99L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val out = RetrievalOps.ndcgAtK(ranking, rels, 3).head()
+    def g(rel: Double, rk: Long): BigDecimal =
+      r6(rel / (math.log(rk + 1.0) / math.log(2.0)))
+    val dcg = (g(0.5, 1) + g(1.0, 2)).toDouble // + 0 for the unjudged
+    val idcg = (g(1.0, 1) + g(0.5, 2) + g(0.2, 3)).toDouble
+    assert(math.abs(out.getDouble(1) - dcg) < 1e-9, s"dcg ${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(2) - idcg) < 1e-9)
+    assert(math.abs(out.getDouble(3) -
+      r6(dcg / idcg).toDouble) < 1e-9)
+  }
+
+  test("hybrid fusion beats the lexical leg on embedding-graded relevance") {
+    // the q123 gate: on both sf dirs the RRF fusion's nDCG@10 dominates
+    // the lexical leg for every query — what hybrid retrieval is FOR
+    // (measured stable at sf0.001 and sf0.01; this pins the property at
+    // the spec's sf)
+    val out = graft.SparkEntry.queries("q123_retrieval_ndcg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    val queries = out.keys.map(_._2).toSet
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      assert(out(("hybrid", q)) > out(("lexical", q)),
+        s"hybrid must dominate lexical for query $q: $out")
+    }
+  }
+
   test("bm25 plan: query-derived sides broadcast; corpus aggregates once") {
     val docs = Tables.documents(spark, sf)
     val plan = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
