@@ -273,4 +273,56 @@ class StreamingRecoverySpec extends SparkSpec {
       "no duplicate emissions after recovery")
     index.unpersist(blocking = false)
   }
+
+  test("bm25 routing screen merges one window's arrivals across a restart") {
+    // the windowed score aggregation is the face's one stateful step: docs
+    // landing in the SAME minute on both sides of a restart must score as
+    // one window from checkpointed state — a lost partial would halve a
+    // doc's score or emit the window twice
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") < 40).select("doc_id", "text").cache()
+    val queries = docs.where(col("doc_id") < 2)
+    val index = RetrievalOps.bm25QueryIndex(docs, col("doc_id"),
+      col("text"), queries, col("doc_id"), col("text")).persist()
+    index.count()
+    val ckpt = Files.createTempDirectory("graft-bm25-ckpt").toString
+    val out = Files.createTempDirectory("graft-bm25-out").toString
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val base = "2021-03-09 14:15:00"
+
+    def start() = Streaming.bm25ScoreStream(
+        in.toDS().toDF("doc_id", "text", "event_time"), index)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = rows.splitAt(20)
+    val q1 = start()
+    in.addData(a.map { case (id, t) =>
+      (id, t, sec(base, 5)) }.toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    in.addData(b.map { case (id, t) =>
+      (id, t, sec(base, 30)) }.toIndexedSeq: _*) // same minute window
+    in.addData((-1L, "x", sec(base, 4000))) // watermark pusher
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .where(col("doc_id") >= 0).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val batch = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
+      queries, col("doc_id"), col("text"), 100000).collect()
+      .map(r => (r.getLong(2), r.getLong(0)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(batch.nonEmpty && streamed == batch,
+      "one window split across a restart must equal the batch ranking " +
+        s"exactly (${streamed.size} vs ${batch.size})")
+    index.unpersist(blocking = false); docs.unpersist(blocking = false)
+  }
 }
