@@ -726,6 +726,23 @@ object MicroBench {
           else BpeOps.bpeTokensCompiled(spark, col("text"), merges)
         docs.select(col("doc_id"), toks.as("tokens"),
           size(toks).cast("long").as("n_tokens"))
+      // calib_{exact|approx}: the calibrateScores giant-group case — 1.5 M
+      // scores in ONE group, where the exact face funnels everything
+      // through a single percent_rank sort partition and the approx face
+      // pays one percentile_approx aggregation + a broadcast probe
+      case "calib_exact" | "calib_approx" | "calib_exact_10x"
+          | "calib_approx_10x" =>
+        val rows = if (scenario.endsWith("_10x")) 15000000L else 1500000L
+        val scored = spark.range(rows).select(col("id").as("doc_id"),
+          (pmod(col("id") * 2654435761L, lit(1000003L)).cast("double")
+            / 1000003.0).as("s"),
+          lit("g").as("lang"))
+        if (scenario.startsWith("calib_exact"))
+          TextOps.calibrateScores(scored, col("doc_id"), col("s"),
+            col("lang"), "lang", 10, 0.7)
+        else
+          TextOps.calibrateScoresApprox(scored, col("doc_id"), col("s"),
+            col("lang"), "lang", 10, 0.7)
       case other => sys.error(s"unknown scenario: $other")
     }
 
