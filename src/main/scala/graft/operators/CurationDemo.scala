@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *      q86/q87/q89 pipeline; cross-doc matches drop the larger doc,
   *      undecodable payloads are flagged and never pair)
   *   7. decontamination: DROP train-split docs overlapping the test split
+  *   7b. DSIR targeting audit: survivors leaning toward the target
+  *      domain's unigram distribution ([[RetrievalOps.dsirWeights]];
+  *      audit-only — threshold selection is per-source policy)
   *   8. source mixing to target weights (integer thresholds)
   *   9. sequence packing into fixed token-budget chunks
   *  10. deterministic shuffle-and-shard of the final order
@@ -48,12 +51,12 @@ object CurationDemo {
       spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
       videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
-      semContaminated: Long, afterSemDecon: Long,
+      semContaminated: Long, afterSemDecon: Long, dsirPositive: Long,
       afterMix: Long, nChunks: Long, nShards: Long,
       auditRemoved: Long, auditMutatedOrAdded: Long,
       nFiles: Long, layoutOverlaps: Long)
 
-  /** The full fourteen-stage composition; `verbose` adds the per-stage
+  /** The full fifteen-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. The final corpus is written
     * under `outDir` (a fresh temp directory when None — the demo's
     * artifact is the stage-count vector, not the files). */
@@ -199,6 +202,20 @@ object CurationDemo {
     say(s"[curate] after semantic decontamination: $n4b " +
       s"($nSemCon docs within cosine 0.4 of the benchmark)")
 
+    // 9b. DSIR targeting audit: how much of the surviving corpus looks
+    // like the target domain (the English slice plays the target)? An
+    // AUDIT, not a drop (the lang-audit convention): selection to a
+    // weight threshold is a policy decision the per-source pipelines
+    // make with calibrateScores; the demo surfaces the signal — docs
+    // whose tokens are MORE likely under the target LM than the corpus
+    // LM (avg_log_weight > 0).
+    val dsirPositive = RetrievalOps.dsirWeights(
+      decon2, col("doc_id"), col("text"),
+      decon2.where(col("lang") === "en"), col("text"))
+      .where(col("avg_log_weight") > 0).count()
+    say(s"[curate] DSIR targeting audit: $dsirPositive of $n4b survivors " +
+      "lean toward the English target distribution")
+
     // 10. mix to target source weights at a fixed token budget
     val weights = decon2.select("source").distinct().collect()
       .map(_.getString(0) -> 1L).toMap
@@ -273,7 +290,7 @@ object CurationDemo {
 
     StageCounts(n0, n1, langDisagree, boiler, spanStats.getLong(0),
       spanStats.getLong(1), n3, n3s, nImg, nAud, nVid, n3m, n4,
-      nSemCon, n4b, n5, nChunks, nShards,
+      nSemCon, n4b, dsirPositive, n5, nChunks, nShards,
       nRemoved, nBad, nFiles, overlaps)
   }
 

@@ -40,6 +40,9 @@ class CurationDemoSpec extends SparkSpec {
       semContaminated = 1L,  // one survivor sits within cosine 0.4 of
       afterSemDecon = 34L,   // the vec_id<25 benchmark — the paraphrase
                              // leakage exact n-grams (stage 8) missed
+      dsirPositive = 12L,    // 12 of 34 survivors lean toward the
+                             // English-target unigram distribution
+                             // (DSIR audit — reported, not dropped)
       afterMix = 34L,
       nChunks = 5L,
       nShards = 8L,
