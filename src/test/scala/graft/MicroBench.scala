@@ -743,6 +743,16 @@ object MicroBench {
         else
           TextOps.calibrateScoresApprox(scored, col("doc_id"), col("s"),
             col("lang"), "lang", 10, 0.7)
+      // bm25_{1x|10x}: the lexical ranking's postings-shuffle path at
+      // corpus scale-up (content-disjoint 10x replicas — fresh vocabulary,
+      // the natural-growth shape); 3 standing queries, k=10
+      case "bm25_1x" | "bm25_10x" =>
+        import graft.operators.RetrievalOps
+        val corpus =
+          if (scenario == "bm25_10x") docs10xDistinct(spark)
+          else Tables.documents(spark, "/root/testdata/sf0.1")
+        RetrievalOps.bm25TopK(corpus, col("doc_id"), col("text"),
+          corpus.where(col("doc_id") < 3), col("doc_id"), col("text"), 10)
       case other => sys.error(s"unknown scenario: $other")
     }
 

@@ -325,4 +325,52 @@ class StreamingRecoverySpec extends SparkSpec {
         s"exactly (${streamed.size} vs ${batch.size})")
     index.unpersist(blocking = false); docs.unpersist(blocking = false)
   }
+
+  test("dsir scorer merges one window's arrivals across a restart") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") < 40).select("doc_id", "text", "lang").cache()
+    val lr = RetrievalOps.dsirRatioTable(docs, col("text"),
+      docs.where(col("lang") === "en"), col("text")).persist()
+    lr.count()
+    val ckpt = Files.createTempDirectory("graft-dsir-ckpt").toString
+    val out = Files.createTempDirectory("graft-dsir-out").toString
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val base = "2021-03-09 14:15:00"
+
+    def start() = Streaming.dsirScoreStream(
+        in.toDS().toDF("doc_id", "text", "event_time"), lr)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = rows.splitAt(20)
+    val q1 = start()
+    in.addData(a.map { case (id, t) =>
+      (id, t, sec(base, 5)) }.toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    in.addData(b.map { case (id, t) =>
+      (id, t, sec(base, 30)) }.toIndexedSeq: _*) // same minute window
+    in.addData((-1L, "x", sec(base, 4000))) // watermark pusher
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .where(col("doc_id") >= 0).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val batch = RetrievalOps.dsirWeights(docs, col("doc_id"), col("text"),
+      docs.where(col("lang") === "en"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed == batch,
+      "weights for a window split across a restart must equal batch " +
+        s"(${streamed.size} vs ${batch.size})")
+    lr.unpersist(blocking = false); docs.unpersist(blocking = false)
+  }
 }
