@@ -1015,6 +1015,104 @@ object TextOps {
         (col("score") <= col("_kt")).as("keep"))
   }
 
+  /** T5-style span-corruption target construction (Raffel et al. JMLR
+    * 2020 §3.1.4): deterministically mask ~`maskRate` of each document's
+    * tokens in spans of mean length `meanSpan`, emitting the denoising
+    * pair a seq2seq pretraining run consumes — the INPUT with each masked
+    * run replaced by one `<extra_id_k>` sentinel, and the TARGET listing
+    * each sentinel followed by the tokens it hid.
+    *
+    * Determinism is the [[shuffleShards]] draw, per position: with
+    * `mixed = pmod(polyHash(text)·31 + doc_id, P)`, position `i` draws
+    * `d_i = pmod((mixed + i)·2654435761, P)`; a span STARTS at `i` when
+    * `d_i mod 1e6 < round(maskRate/meanSpan · 1e6)` and runs for
+    * `1 + (d_i div 1e6) mod (2·meanSpan − 1)` tokens (uniform on
+    * [1, 2·meanSpan−1], mean `meanSpan`), clipped to the document;
+    * overlapping spans merge into one sentinel (the islands rule). Every
+    * quantity is integer/hash arithmetic — bit-identical in any engine —
+    * and the whole operator is ROW-LOCAL array math: zero shuffles, the
+    * ideal 100 TB shape (the draw, the mask, the merged runs, and both
+    * output strings are higher-order functions over the token array).
+    *
+    * Output per doc: `n_tokens`, `n_masked`, `n_spans` (merged runs =
+    * sentinels used), and both rebuilt strings' lengths + polyHash
+    * fingerprints (`input_fp`, `target_fp`) — the cleartext stays in the
+    * row, the audit travels (the piiRedact convention); pass
+    * `keepText = true` for the actual pair. */
+  def spanCorruptionMask(docs: DataFrame, id: Column, text: Column,
+      maskRate: Double, meanSpan: Int,
+      keepText: Boolean = false): DataFrame = {
+    require(maskRate > 0.0 && maskRate < 1.0,
+      s"maskRate must be in (0, 1), got $maskRate")
+    require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val maxL = 2 * meanSpan - 1
+    val startThr = math.round(maskRate / meanSpan * 1e6)
+    val toks = filter(split(text, " "), w => length(w) > 0)
+    val base = docs.select(id.as("doc_id"), toks.as("_toks"),
+      pmod(graft.functions.HashExpressions.polyHash(text) * lit(31L) + id,
+        lit(P)).as("_mix"))
+    val n = size(col("_toks"))
+    val idx = sequence(lit(1), greatest(n, lit(1)))
+    // per-position draw, span-start flag, span length
+    val withDraw = base
+      .withColumn("_d", when(n >= 1, transform(idx,
+        i => pmod((col("_mix") + i) * lit(2654435761L), lit(P))))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("_st", transform(col("_d"),
+        d => pmod(d, lit(1000000L)) < lit(startThr)))
+      .withColumn("_len", transform(col("_d"),
+        d => lit(1L) + pmod(floor(d / lit(1000000L)), lit(maxL.toLong))))
+    // position j is masked iff some start i in (j-maxL, j] covers it
+    val masked = transform(idx, j =>
+      exists(sequence(greatest(j - lit(maxL - 1), lit(1)), j), i =>
+        element_at(col("_st"), i.cast("int")) &&
+          j < i + element_at(col("_len"), i.cast("int"))))
+    val withMask = withDraw.withColumn("_msk",
+      when(n >= 1, masked).otherwise(array().cast("array<boolean>")))
+    def mAt(j: Column) = element_at(col("_msk"), j.cast("int"))
+    def tAt(j: Column) = element_at(col("_toks"), j.cast("int"))
+    val runStart = (j: Column) => mAt(j) && (j === 1 || !mAt(j - 1))
+    // one fold builds input tokens, target tokens, and the sentinel count
+    val emptyAcc = struct(
+      array().cast("array<string>").as("inp"),
+      array().cast("array<string>").as("tgt"),
+      lit(0).as("k"))
+    val sentinel = (k: Column) =>
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val folded = aggregate(
+      when(n >= 1, idx).otherwise(array().cast("array<bigint>")), emptyAcc,
+      (acc, j) =>
+        when(!mAt(j), struct(
+          concat(acc.getField("inp"), array(tAt(j))).as("inp"),
+          acc.getField("tgt").as("tgt"), acc.getField("k").as("k")))
+          .when(runStart(j), struct(
+            concat(acc.getField("inp"),
+              array(sentinel(acc.getField("k")))).as("inp"),
+            concat(acc.getField("tgt"),
+              array(sentinel(acc.getField("k")), tAt(j))).as("tgt"),
+            (acc.getField("k") + 1).as("k")))
+          .otherwise(struct(
+            acc.getField("inp").as("inp"),
+            concat(acc.getField("tgt"), array(tAt(j))).as("tgt"),
+            acc.getField("k").as("k"))))
+    val withOut = withMask.withColumn("_f", folded)
+    val inpStr = concat_ws(" ", col("_f.inp"))
+    val tgtStr = concat_ws(" ", col("_f.tgt"))
+    withOut.select(
+      Seq(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        size(filter(col("_msk"), m => m)).cast("long").as("n_masked"),
+        col("_f.k").cast("long").as("n_spans"),
+        length(inpStr).cast("long").as("input_len"),
+        graft.functions.HashExpressions.polyHash(inpStr).as("input_fp"),
+        graft.functions.HashExpressions.polyHash(tgtStr).as("target_fp")) ++
+        (if (keepText) Seq(inpStr.as("input_text"), tgtStr.as("target_text"))
+         else Nil): _*)
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

@@ -3410,6 +3410,73 @@ object Pipeline {
        |  ELSE 0.0 END AS ndcg
        |FROM dcg d JOIN idcg i ON d.query_id = i.query_id""".stripMargin)
 
+  /** T5 span-corruption target construction ([[TextOps
+    * .spanCorruptionMask]], Raffel et al. 2020): ~15% of each doc's
+    * tokens masked in mean-3 spans, input/target pair fingerprints
+    * hash-pinned — the oracle replays the per-position hash draws, the
+    * bounded-band span-coverage join, the merged-run sentinels, and BOTH
+    * rebuilt strings' polynomial hashes, so the exact denoising pair an
+    * engine would feed a trainer is what the gate checks. */
+  private val SpanMaskRate = 0.15
+  private val SpanMean = 3
+  private val q124 = QueryDef(
+    "q124_span_corruption",
+    (s, d) => graft.operators.TextOps.spanCorruptionMask(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      SpanMaskRate, SpanMean),
+    {
+      val maxL = 2 * SpanMean - 1
+      val thr = math.round(SpanMaskRate / SpanMean * 1e6)
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+         |    ((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P AS mix
+         |  FROM documents),
+         |pos AS (SELECT doc_id, i, ws[i] AS tok,
+         |    ((mix + i) * 2654435761) % $P AS d
+         |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |sp AS (SELECT doc_id, i, tok,
+         |    (d % 1000000 < $thr) AS st,
+         |    1 + (d // 1000000) % $maxL AS ln
+         |  FROM pos),
+         |mk AS (SELECT p.doc_id, p.i AS j, p.tok,
+         |    max(CASE WHEN s.st AND p.i < s.i + s.ln THEN 1 ELSE 0 END)
+         |      AS m
+         |  FROM sp p LEFT JOIN sp s
+         |    ON s.doc_id = p.doc_id AND s.i BETWEEN p.i - ${maxL - 1} AND p.i
+         |  GROUP BY 1, 2, 3),
+         |rn AS (SELECT doc_id, j, tok, m,
+         |    CASE WHEN m = 1 AND COALESCE(lag(m) OVER w, 0) = 0
+         |      THEN 1 ELSE 0 END AS rs
+         |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+         |kk AS (SELECT doc_id, j, tok, m, rs,
+         |    sum(rs) OVER (PARTITION BY doc_id ORDER BY j) - 1 AS k
+         |  FROM rn),
+         |strs AS (SELECT doc_id,
+         |    COALESCE(string_agg(
+         |      CASE WHEN m = 0 THEN tok
+         |        WHEN rs = 1 THEN '<extra_id_' || k || '>' END,
+         |      ' ' ORDER BY j), '') AS inp,
+         |    COALESCE(string_agg(
+         |      CASE WHEN m = 1 AND rs = 1
+         |          THEN '<extra_id_' || k || '> ' || tok
+         |        WHEN m = 1 THEN tok END,
+         |      ' ' ORDER BY j), '') AS tgt,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(m) AS BIGINT) AS n_masked,
+         |    CAST(sum(rs) AS BIGINT) AS n_spans
+         |  FROM kk GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_masked, n_spans,
+         |  CAST(length(inp) AS BIGINT) AS input_len,
+         |  CASE WHEN inp = '' THEN 0 ELSE ${polyHashSql("inp")} END
+         |    AS input_fp,
+         |  -- string_split('', '') yields [''] and unicode('') = -1 in
+         |  -- DuckDB, so the empty string must hash to 0 explicitly (the
+         |  -- Spark expression's value)
+         |  CASE WHEN tgt = '' THEN 0 ELSE ${polyHashSql("tgt")} END
+         |    AS target_fp
+         |FROM strs""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3417,7 +3484,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1415,6 +1415,55 @@ class PipelineOpsSpec extends SparkSpec {
       s"approx calibration must be sort-window-free + broadcast:\n$plan")
   }
 
+  test("spanCorruptionMask: input+target reconstruct the original; rate; determinism") {
+    val docs = Tables.documents(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.spanCorruptionMask(d, col("doc_id"), col("text"), 0.15, 3,
+        keepText = true)
+    val rows = run(docs).collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinelRe = "<extra_id_(\\d+)>".r
+    rows.foreach { r =>
+      val (id, nMask, nSpans) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val (inp, tgt) = (r.getString(7), r.getString(8))
+      // parse the target into sentinel -> hidden tokens
+      val spans = scala.collection.mutable.LinkedHashMap[Int,
+        scala.collection.mutable.ListBuffer[String]]()
+      var cur = -1
+      tgt.split(" ").filter(_.nonEmpty).foreach {
+        case sentinelRe(k) =>
+          cur = k.toInt
+          spans(cur) = scala.collection.mutable.ListBuffer[String]()
+        case w => spans(cur) += w
+      }
+      // the denoising contract: substituting each sentinel's span back
+      // into the input reproduces the original token stream exactly
+      val rebuilt = inp.split(" ").filter(_.nonEmpty).toSeq.flatMap {
+        case sentinelRe(k) => spans(k.toInt).toSeq
+        case w => Seq(w)
+      }.mkString(" ")
+      val origNorm = orig(id).split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == origNorm, s"doc $id does not reconstruct")
+      assert(nSpans == spans.size && nMask == spans.values.map(_.size).sum,
+        s"doc $id span accounting drifted")
+      // sentinels appear in order 0..k-1 in both strings
+      assert(spans.keys.toSeq == (0 until spans.size),
+        s"doc $id sentinel order: ${spans.keys.toSeq}")
+    }
+    // corpus-level mask rate lands near the requested 15%
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val maskedTot = rows.map(_.getLong(2)).sum.toDouble
+    assert(maskedTot / total > 0.08 && maskedTot / total < 0.25,
+      s"mask rate ${maskedTot / total} far from 0.15")
+    assert(rows.exists(_.getLong(3) > 1), "fixture sanity: multi-span docs")
+    // hash-draw determinism: invariant to partitioning
+    val again = run(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(rows.map(r => r.getLong(0) -> r.toSeq).toMap == again,
+      "masking must be a pure function of (text, doc_id)")
+  }
+
   test("semanticContamination flags are a subset of the exact screen") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.select("vec_id", "embedding").collect()
