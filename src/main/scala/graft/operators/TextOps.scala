@@ -1030,9 +1030,11 @@ object TextOps {
     * [1, 2·meanSpan−1], mean `meanSpan`), clipped to the document;
     * overlapping spans merge into one sentinel (the islands rule). Every
     * quantity is integer/hash arithmetic — bit-identical in any engine —
-    * and the whole operator is ROW-LOCAL array math: zero shuffles, the
-    * ideal 100 TB shape (the draw, the mask, the merged runs, and both
-    * output strings are higher-order functions over the token array).
+    * and the whole operator is ROW-LOCAL: zero shuffles, the ideal
+    * 100 TB shape. The production path is the compiled
+    * [[graft.functions.SpanCorrupt]] kernel (one imperative pass per
+    * row); [[spanCorruptionMaskComposable]] keeps the same computation
+    * as auditable higher-order functions and is parity-pinned.
     *
     * Output per doc: `n_tokens`, `n_masked`, `n_spans` (merged runs =
     * sentinels used), and both rebuilt strings' lengths + polyHash
@@ -1040,6 +1042,31 @@ object TextOps {
     * row, the audit travels (the piiRedact convention); pass
     * `keepText = true` for the actual pair. */
   def spanCorruptionMask(docs: DataFrame, id: Column, text: Column,
+      maskRate: Double, meanSpan: Int,
+      keepText: Boolean = false): DataFrame = {
+    require(maskRate > 0.0 && maskRate < 1.0,
+      s"maskRate must be in (0, 1), got $maskRate")
+    require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
+    graft.functions.SpanExpressions.register(docs.sparkSession)
+    val f = graft.functions.SpanExpressions.spanCorrupt(
+      text, id.cast("long"), maskRate, meanSpan)
+    docs.select(id.as("doc_id"), f.as("_s"))
+      .select(
+        Seq(col("doc_id"), col("_s.n_tokens"), col("_s.n_masked"),
+          col("_s.n_spans"), col("_s.input_len"), col("_s.input_fp"),
+          col("_s.target_fp")) ++
+          (if (keepText) Seq(col("_s.input_text"), col("_s.target_text"))
+           else Nil): _*)
+  }
+
+  /** The COMPOSABLE form of [[spanCorruptionMask]] — the executable spec
+    * (every draw/coverage/fold step is an auditable higher-order
+    * function; parity with the compiled kernel is pinned in
+    * PipelineOpsSpec and PropertySpec). Its string-building folds copy
+    * their accumulator arrays per position (O(len^2) per doc), so the
+    * compiled [[graft.functions.SpanCorrupt]] kernel is the production
+    * path. */
+  def spanCorruptionMaskComposable(docs: DataFrame, id: Column, text: Column,
       maskRate: Double, meanSpan: Int,
       keepText: Boolean = false): DataFrame = {
     require(maskRate > 0.0 && maskRate < 1.0,

@@ -1462,6 +1462,12 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.toSeq).toMap
     assert(rows.map(r => r.getLong(0) -> r.toSeq).toMap == again,
       "masking must be a pure function of (text, doc_id)")
+    // the compiled kernel IS the composable form (the BpeEncode contract)
+    val composable = TextOps.spanCorruptionMaskComposable(docs,
+      col("doc_id"), col("text"), 0.15, 3, keepText = true).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(rows.map(r => r.getLong(0) -> r.toSeq).toMap == composable,
+      "compiled span corruption must equal the composable spec")
   }
 
   test("semanticContamination flags are a subset of the exact screen") {

@@ -361,4 +361,25 @@ class PropertySpec extends SparkSpec {
           s"divergence under merges $merges on $texts")
     }
   }
+
+  test("SpanCorrupt kernel equals the composable form on random texts") {
+    import graft.operators.TextOps
+    val word = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "\u00e9", "z"))
+        .map(_.mkString))
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(Gen.listOfN(8, textGen), 10).zipWithIndex.foreach {
+      case (texts, w) =>
+        val df = texts.zipWithIndex.map { case (t, i) =>
+          ((w * 100 + i).toLong, t) }.toDF("doc_id", "text")
+        def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => r.getLong(0) -> r.toSeq).toMap
+        val a = m(TextOps.spanCorruptionMask(df, col("doc_id"),
+          col("text"), 0.2, 2, keepText = true))
+        val b = m(TextOps.spanCorruptionMaskComposable(df, col("doc_id"),
+          col("text"), 0.2, 2, keepText = true))
+        assert(a == b, s"kernel/spec divergence on $texts")
+    }
+  }
 }
