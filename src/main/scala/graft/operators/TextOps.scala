@@ -1140,6 +1140,46 @@ object TextOps {
          else Nil): _*)
   }
 
+  /** Prefix-LM pair construction (the PrefixLM / UL2 "S-denoiser"
+    * objective, Raffel et al. 2020 §3.2.1 / Tay et al. 2023): split each
+    * document at a deterministic hash-drawn token boundary into a PREFIX
+    * (the conditioning context) and a CONTINUATION (the prediction
+    * target) — the sequential-denoising companion to
+    * [[spanCorruptionMask]]'s span objective. The split point draws from
+    * the same [[shuffleShards]] family: `d = pmod(pmod(polyHash(text)·31
+    * + doc_id, P)·2654435761, P)` and `split_at = 1 + d mod (n−1)` for
+    * n ≥ 2 (both sides always non-empty), `split_at = n` for shorter
+    * docs (empty continuation, fingerprint 0 — the degenerate case a
+    * packing stage filters). Pure row-local column arithmetic, zero
+    * shuffle; engine-exact. Output: `n_tokens`, `split_at`,
+    * `prefix_fp`/`target_fp` (polyHash of each side; `keepText` for the
+    * actual pair). */
+  def prefixLmSplit(docs: DataFrame, id: Column, text: Column,
+      keepText: Boolean = false): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val toks = filter(split(text, " "), w => length(w) > 0)
+    val base = docs.select(id.as("doc_id"), toks.as("_toks"),
+      pmod(pmod(graft.functions.HashExpressions.polyHash(text) * lit(31L)
+        + id, lit(P)) * lit(2654435761L), lit(P)).as("_d"))
+    val n = size(col("_toks"))
+    val splitAt = when(n >= 2, lit(1) + pmod(col("_d"), (n - 1).cast("long"))
+      .cast("int")).otherwise(n)
+    val prefix = concat_ws(" ", slice(col("_toks"), lit(1), splitAt))
+    val target = concat_ws(" ",
+      when(n > splitAt, slice(col("_toks"), splitAt + 1, n - splitAt))
+        .otherwise(array().cast("array<string>")))
+    base.select(
+      Seq(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        splitAt.cast("long").as("split_at"),
+        graft.functions.HashExpressions.polyHash(prefix).as("prefix_fp"),
+        graft.functions.HashExpressions.polyHash(target).as("target_fp")) ++
+        (if (keepText) Seq(prefix.as("prefix_text"), target.as("target_text"))
+         else Nil): _*)
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

@@ -3477,6 +3477,36 @@ object Pipeline {
          |FROM strs""".stripMargin
     })
 
+  /** Prefix-LM pair construction ([[TextOps.prefixLmSplit]]) — the
+    * sequential-denoising companion to q124: deterministic hash-drawn
+    * split of every doc into non-empty prefix/continuation, both sides'
+    * fingerprints hash-pinned. */
+  private val q125 = QueryDef(
+    "q125_prefix_lm_split",
+    (s, d) => graft.operators.TextOps.prefixLmSplit(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+       |    ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
+       |      * 2654435761) % $P AS d
+       |  FROM documents),
+       |sp AS (SELECT doc_id, ws, len(ws) AS n,
+       |    CASE WHEN len(ws) >= 2 THEN 1 + d % (len(ws) - 1)
+       |      ELSE len(ws) END AS s
+       |  FROM base),
+       |strs AS (SELECT doc_id, n, s,
+       |    array_to_string(ws[1:s], ' ') AS pre,
+       |    CASE WHEN n > s THEN array_to_string(ws[s+1:n], ' ')
+       |      ELSE '' END AS tgt
+       |  FROM sp)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(s AS BIGINT) AS split_at,
+       |  CASE WHEN pre = '' THEN 0 ELSE ${polyHashSql("pre")} END
+       |    AS prefix_fp,
+       |  CASE WHEN tgt = '' THEN 0 ELSE ${polyHashSql("tgt")} END
+       |    AS target_fp
+       |FROM strs""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3484,7 +3514,7 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

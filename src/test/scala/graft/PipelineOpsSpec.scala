@@ -1470,6 +1470,34 @@ class PipelineOpsSpec extends SparkSpec {
       "compiled span corruption must equal the composable spec")
   }
 
+  test("prefixLmSplit: reconstruction, non-empty sides, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.prefixLmSplit(docs, col("doc_id"), col("text"),
+      keepText = true).collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, n, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (pre, tgt) = (r.getString(5), r.getString(6))
+      val origNorm = orig(id).split(" ").filter(_.nonEmpty).mkString(" ")
+      val joined = if (tgt.isEmpty) pre else s"$pre $tgt"
+      assert(joined == origNorm, s"doc $id does not reconstruct")
+      assert(s >= 1 && s <= n)
+      if (n >= 2) assert(pre.nonEmpty && tgt.nonEmpty,
+        s"doc $id: both sides must be non-empty when n >= 2")
+      assert(pre.split(" ").count(_.nonEmpty) == s,
+        s"doc $id: prefix must hold exactly split_at tokens")
+    }
+    // split points spread (not all at 1 or n) — the draw is doing its job
+    val mids = out.count(r => r.getLong(2) > 1 && r.getLong(2) < r.getLong(1))
+    assert(mids > out.length / 2, s"split points must spread: $mids")
+    // determinism across partitionings
+    val again = TextOps.prefixLmSplit(docs.repartition(7), col("doc_id"),
+      col("text"), keepText = true).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(out.map(r => r.getLong(0) -> r.toSeq).toMap == again)
+  }
+
   test("semanticContamination flags are a subset of the exact screen") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.select("vec_id", "embedding").collect()
