@@ -221,6 +221,24 @@ object TextOps {
       (topFreq.cast("double") / nWords.cast("double")).as("top_word_ratio"))
   }
 
+  /** Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446, Table
+    * A1): the thirteen per-document self-repetition signals — duplicate
+    * line/paragraph fractions (count- and character-weighted), top
+    * 2/3/4-gram character fractions, duplicated 5..10-gram character
+    * coverage — plus the `keep` verdict at the published thresholds.
+    * Finer-grained than [[repetitionScore]] (which screens on word-level
+    * ratios): these are the signals the published curation stacks
+    * threshold. One codegen'd kernel pass per row
+    * ([[graft.functions.RepetitionSignals]], hash-map counting, O(len)
+    * per n-value), zero shuffle; signal conventions and rounding are
+    * documented on the kernel and replayed by the q126 oracle. */
+  def gopherRepetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.functions.RepetitionExpressions.register(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+        graft.functions.RepetitionExpressions.repetitionSignals(text).as("_r"))
+      .select(col("doc_id"), col("_r.*"))
+  }
+
   /** PII pattern scan: match COUNTS for emails / phone shapes / URLs per
     * document (a redaction pre-screen). Counts only — extracted PII never
     * leaves the row. Patterns are RE2-compatible so the exact same regex

@@ -3507,6 +3507,108 @@ object Pipeline {
        |    AS target_fp
        |FROM strs""".stripMargin)
 
+  /** Gopher repetition rules ([[TextOps.gopherRepetition]], Rae et al.
+    * 2021 Table A1): thirteen per-document self-repetition signals + the
+    * keep verdict at the published thresholds, all hash-pinned — the
+    * oracle replays line/paragraph duplicate accounting, top-n-gram
+    * selection (count ≥ 2, lexicographic ties), and per-character
+    * duplicated-n-gram coverage. The corpus has no newlines, so the
+    * line/paragraph legs gate the zero path here; RepetitionSpec pins
+    * them on multi-line fixtures against the reference model. */
+  private val q126 = QueryDef(
+    "q126_repetition_signals",
+    (s, d) => TextOps.gopherRepetition(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    {
+      // per-n CTEs: grams (gN), counts (cN), top pick (tN) for n=2..4,
+      // duplicated-gram starts (dN) -> covered positions -> chars (covN)
+      // for n=5..10
+      val topNs = Seq(2, 3, 4)
+      val covNs = Seq(5, 6, 7, 8, 9, 10)
+      val gramCtes = (topNs ++ covNs).map { n =>
+        s"""g$n AS (SELECT doc_id, i, array_to_string(ws[i:i+${n - 1}], ' ') AS g
+           |  FROM base, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+           |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2)""".stripMargin
+      }
+      val topCtes = topNs.map { n =>
+        s"""t$n AS (SELECT doc_id, c, length(g) - ${n - 1} AS gc FROM c$n
+           |  WHERE c >= 2
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)""".stripMargin
+      }
+      val covCtes = covNs.map { n =>
+        s"""d$n AS (SELECT g.doc_id, g.i FROM g$n g
+           |  JOIN c$n c ON c.doc_id = g.doc_id AND c.g = g.g WHERE c.c >= 2),
+           |v$n AS (SELECT DISTINCT t.doc_id, t.i, length(t.tok) AS lc FROM tok t
+           |  JOIN d$n s ON s.doc_id = t.doc_id AND t.i BETWEEN s.i AND s.i + ${n - 1}),
+           |cov$n AS (SELECT doc_id, CAST(sum(lc) AS BIGINT) AS cc FROM v$n GROUP BY 1)""".stripMargin
+      }
+      val topCols = topNs.map { n =>
+        s"""  COALESCE(round(CAST(t$n.c * t$n.gc AS DOUBLE) / CAST(tt.tc AS DOUBLE), 6), 0.0)
+           |    AS top_${n}gram_frac""".stripMargin
+      }
+      val covCols = covNs.map { n =>
+        s"""  COALESCE(round(CAST(cov$n.cc AS DOUBLE) / CAST(tt.tc AS DOUBLE), 6), 0.0)
+           |    AS dup_${n}gram_frac""".stripMargin
+      }
+      val joins =
+        topNs.map(n => s"LEFT JOIN t$n ON t$n.doc_id = tt.doc_id") ++
+          covNs.map(n => s"LEFT JOIN cov$n ON cov$n.doc_id = tt.doc_id")
+      import graft.functions.{RepetitionSignals => RS}
+      val keepSql =
+        s"""dup_line_frac <= ${RS.DupLineThr} AND dup_para_frac <= ${RS.DupParaThr}
+           |    AND dup_line_char_frac <= ${RS.DupLineCharThr}
+           |    AND dup_para_char_frac <= ${RS.DupParaCharThr}
+           |    AND top_2gram_frac <= ${RS.Top2Thr} AND top_3gram_frac <= ${RS.Top3Thr}
+           |    AND top_4gram_frac <= ${RS.Top4Thr}
+           |    AND dup_5gram_frac <= ${RS.Dup5Thr} AND dup_6gram_frac <= ${RS.Dup6Thr}
+           |    AND dup_7gram_frac <= ${RS.Dup7Thr} AND dup_8gram_frac <= ${RS.Dup8Thr}
+           |    AND dup_9gram_frac <= ${RS.Dup9Thr} AND dup_10gram_frac <= ${RS.Dup10Thr}""".stripMargin
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+         |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lns,
+         |    list_filter(string_split(text, chr(10) || chr(10)), x -> length(x) > 0) AS prs
+         |  FROM documents),
+         |tok AS (SELECT doc_id, i, ws[i] AS tok
+         |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |tt AS (SELECT b.doc_id, len(b.ws) AS nw, COALESCE(s.tc, 0) AS tc
+         |  FROM base b LEFT JOIN (
+         |    SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS tc
+         |    FROM tok GROUP BY 1) s ON s.doc_id = b.doc_id),
+         |lparts AS (SELECT doc_id, unnest(lns) AS p FROM base),
+         |lcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
+         |  FROM lparts GROUP BY 1, 2),
+         |lagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
+         |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
+         |  FROM lcnt GROUP BY 1),
+         |pparts AS (SELECT doc_id, unnest(prs) AS p FROM base),
+         |pcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
+         |  FROM pparts GROUP BY 1, 2),
+         |pagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
+         |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
+         |  FROM pcnt GROUP BY 1),
+         |${gramCtes.mkString(",\n")},
+         |${topCtes.mkString(",\n")},
+         |${covCtes.mkString(",\n")},
+         |sig AS (SELECT tt.doc_id,
+         |  CAST(tt.nw AS BIGINT) AS n_words, tt.tc AS n_chars,
+         |  COALESCE(round(CAST(la.dup AS DOUBLE) / CAST(la.np AS DOUBLE), 6), 0.0)
+         |    AS dup_line_frac,
+         |  COALESCE(round(CAST(la.dupc AS DOUBLE) / CAST(la.pc AS DOUBLE), 6), 0.0)
+         |    AS dup_line_char_frac,
+         |  COALESCE(round(CAST(pa.dup AS DOUBLE) / CAST(pa.np AS DOUBLE), 6), 0.0)
+         |    AS dup_para_frac,
+         |  COALESCE(round(CAST(pa.dupc AS DOUBLE) / CAST(pa.pc AS DOUBLE), 6), 0.0)
+         |    AS dup_para_char_frac,
+         |${topCols.mkString(",\n")},
+         |${covCols.mkString(",\n")}
+         |  FROM tt
+         |  LEFT JOIN lagg la ON la.doc_id = tt.doc_id
+         |  LEFT JOIN pagg pa ON pa.doc_id = tt.doc_id
+         |  ${joins.mkString("\n  ")})
+         |SELECT *, ($keepSql) AS keep
+         |FROM sig""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3514,7 +3616,8 @@ object Pipeline {
     q74, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
+    q126)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

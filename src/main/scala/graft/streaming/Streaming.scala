@@ -405,6 +405,14 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of [[graft.operators.TextOps.gopherRepetition]] — the
+    * Gopher repetition rules ARE an ingest-time screen (every signal is
+    * document-local), so the stream body is literally the batch
+    * operator: one codegen'd kernel per arriving row, no state, no
+    * join, parity definitional. */
+  def gopherRepetitionStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
+
   /** Ingest face of [[graft.operators.AuditOps.applyChangeSet]] — a CDC
     * change stream continuously materialized into a keyed snapshot (the
     * foreachBatch MERGE consumer every table format documents, as a
