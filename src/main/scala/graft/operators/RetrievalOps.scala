@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Retrieval-for-curation: lexical BM25 top-k, reciprocal-rank fusion of
   * lexical and vector rankings, and DSIR-style importance weighting — the
@@ -170,6 +171,61 @@ object RetrievalOps {
       queries: DataFrame, qid: Column, qtext: Column): DataFrame =
     bm25IndexFromStats(bm25CorpusDf(docs, id, text),
       bm25CorpusStats(docs, id, text), queries, qid, qtext)
+
+  /** DPR-style hard-negative mining (Karpukhin et al. EMNLP 2020 §4.2):
+    * the hardest negatives for training a dense retriever are the
+    * passages the LEXICAL retriever ranks highest that are NOT true
+    * positives — BM25 surfaces confusable candidates, the embedding
+    * check removes semantic matches (including the query document
+    * itself, cosine 1), and the survivors keep their lexical order as
+    * the difficulty ranking. `posThreshold` is the positive cutoff on
+    * rounded cosine; a candidate whose cosine is NULL (missing
+    * embedding, zero norm) cannot be certified positive and stays a
+    * negative — the DPR convention (unverifiable ⇒ negative), documented
+    * rather than silently dropped.
+    *
+    * Plan: [[bm25TopK]] does all corpus-scale work (one postings
+    * shuffle); candidates are query×k rows, so both embedding lookups
+    * run as BROADCAST probes of the candidate side against the
+    * embeddings table — two scans, zero additional shuffles, and the
+    * final per-query rank window is candidate-sized. `emb` must cover
+    * both query and document ids (split tables union upstream). */
+  def hardNegatives(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column,
+      emb: DataFrame, vecId: Column, vec: Column,
+      k: Int, posThreshold: Double, nNeg: Int): DataFrame = {
+    require(nNeg >= 1 && k >= nNeg, s"need k >= nNeg >= 1, got $k/$nNeg")
+    VectorExpressions.register(docs.sparkSession)
+    val cand = bm25TopK(docs, id, text, queries, qid, qtext, k)
+      .select(col("query_id"), col("rk").as("bm25_rk"), col("doc_id"),
+        col("score").as("bm25_score"))
+    val e = emb.select(vecId.as("_eid"), vec.as("_ev"),
+      sqrt(VectorExpressions.floatDot(vec, vec)).as("_en"))
+    // fetch embeddings with inner BROADCAST probes (corpus never
+    // shuffles), then LEFT-join the candidate-sized fetches back so a
+    // missing embedding survives as a NULL cosine instead of dropping
+    // the candidate
+    val docE = e.join(broadcast(cand.select("doc_id").distinct()),
+        col("_eid") === col("doc_id"))
+      .select(col("doc_id"), col("_ev").as("_dv"), col("_en").as("_dn"))
+    val qryE = e.join(broadcast(cand.select("query_id").distinct()),
+        col("_eid") === col("query_id"))
+      .select(col("query_id"), col("_ev").as("_qv"), col("_en").as("_qn"))
+    val withBoth = cand
+      .join(docE, Seq("doc_id"), "left")
+      .join(qryE, Seq("query_id"), "left")
+      .withColumn("cos_sim",
+        when(col("_qn") * col("_dn") > 0,
+          round(VectorExpressions.floatDot(col("_qv"), col("_dv")) /
+            (col("_qn") * col("_dn")), 6)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("bm25_rk"))
+    withBoth
+      .where(!coalesce(col("cos_sim") >= posThreshold, lit(false)))
+      .withColumn("neg_rk", row_number().over(w).cast("long"))
+      .where(col("neg_rk") <= nNeg)
+      .select(col("query_id"), col("neg_rk"), col("doc_id"),
+        col("bm25_rk"), col("bm25_score"), col("cos_sim"))
+  }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR 2009) of a
     * LEXICAL ranking and a VECTOR ranking — the standard hybrid-retrieval

@@ -3609,6 +3609,75 @@ object Pipeline {
          |FROM sig""".stripMargin
     })
 
+  /** DPR-style hard-negative mining ([[RetrievalOps.hardNegatives]],
+    * Karpukhin et al. 2020): per query the top lexically-confusable
+    * candidates that fail the semantic-positive check, in BM25 order —
+    * the oracle replays the full q120 lexical chain, the candidate
+    * cosines (NULL-guarded), the NOT-positive filter (NULL ⇒ negative,
+    * the unverifiable-stays-negative convention), and the re-rank. The
+    * query doc itself (cosine 1) is excluded by the positive check, not
+    * by an id rule — the same mechanism that removes any other true
+    * positive. */
+  private val q127 = QueryDef(
+    "q127_hard_negatives",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      RetrievalOps.hardNegatives(docs, col("doc_id"), col("text"),
+        docs.where(col("doc_id") < 3), col("doc_id"), col("text"),
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        10, COSINE_T, 5)
+    },
+    s"""WITH words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t WHERE length(w) > 0),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |stats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
+       |  WHERE doc_id < 3),
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST(CAST(CAST(round(ln(1.0 +
+       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
+       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM tf
+       |  JOIN qt ON qt.w = tf.w
+       |  JOIN dfq ON dfq.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, s,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
+       |  FROM sc QUALIFY rk <= 10),
+       |v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+       |  FROM embeddings),
+       |cand AS (SELECT l.query_id, l.rk AS bm25_rk, l.doc_id,
+       |    CAST(CAST(l.s AS VARCHAR) AS DOUBLE) AS bm25_score,
+       |    CASE WHEN q.nrm * c.nrm > 0
+       |      THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6)
+       |    END AS cos_sim
+       |  FROM lex l
+       |  LEFT JOIN v q ON q.vec_id = l.query_id
+       |  LEFT JOIN v c ON c.vec_id = l.doc_id),
+       |neg AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_rk) AS BIGINT) AS neg_rk
+       |  FROM cand WHERE NOT COALESCE(cos_sim >= $COSINE_T, FALSE))
+       |SELECT query_id, neg_rk, doc_id, bm25_rk, bm25_score, cos_sim
+       |FROM neg WHERE neg_rk <= 5""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3617,7 +3686,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126)
+    q126, q127)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -146,6 +146,57 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: positives excluded by cosine, BM25 order kept, " +
+      "missing embedding stays negative") {
+    // corpus: doc 1 is the query itself (identical vector => positive),
+    // doc 2 shares vocabulary but points the other way (hard negative),
+    // doc 3 shares vocabulary but has NO embedding (unverifiable =>
+    // negative by convention), doc 4 shares nothing (never a candidate)
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana date"),
+      (3L, "banana cherry egg"),
+      (4L, "zebra yak xylo")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(-1f, 0f)),
+      (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = RetrievalOps.hardNegatives(
+      docs, col("doc_id"), col("text"),
+      docs.where(col("doc_id") === 1), col("doc_id"), col("text"),
+      emb, col("vec_id"), col("embedding"),
+      k = 4, posThreshold = 0.4, nNeg = 3)
+      .orderBy("neg_rk").collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(1L), "the query doc (cosine 1) must be excluded")
+    assert(!ids.contains(4L), "a no-shared-term doc is never a candidate")
+    assert(ids.toSet == Set(2L, 3L), s"hard negatives must be 2 and 3: $ids")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[Double]("cos_sim") == -1.0,
+      "opposite vector scores cosine -1")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("cos_sim")),
+      "missing embedding must survive with NULL cosine, not drop")
+    // negatives keep lexical (BM25) order: neg_rk increases with bm25_rk
+    val ordered = out.sortBy(_.getAs[Long]("neg_rk"))
+      .map(_.getAs[Long]("bm25_rk")).toSeq
+    assert(ordered == ordered.sorted, s"BM25 order must be kept: $ordered")
+  }
+
+  test("hardNegatives plan: corpus-sized sides never shuffle for the " +
+      "embedding probes") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val plan = RetrievalOps.hardNegatives(docs, col("doc_id"), col("text"),
+      docs.where(col("doc_id") < 3), col("doc_id"), col("text"),
+      emb, col("vec_id"), col("embedding"), 10, 0.4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product anywhere:\n$plan")
+    // the embeddings scans must join against BROADCAST candidate probes
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both embedding fetches must be broadcast probes:\n$plan")
+  }
+
   test("bm25 plan: query-derived sides broadcast; corpus aggregates once") {
     val docs = Tables.documents(spark, sf)
     val plan = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
