@@ -161,4 +161,43 @@ object BpeOps {
     docs.select(id.as("doc_id"), toks.as("tokens"),
       size(toks).cast("long").as("n_tokens"))
   }
+
+  /** Tokenizer fertility / compression audit — the per-group QA table a
+    * multilingual tokenizer fit is judged by (the fertility comparisons
+    * of the XLM-R / BLOOM tokenizer analyses): per `group` (language,
+    * source), exact-long sums of whitespace words, fitted-BPE tokens,
+    * and word characters, plus the two ratios tokenizer QA thresholds —
+    * `fertility` = tokens per word (how many subwords a word shatters
+    * into under the fitted vocabulary) and `chars_per_token` (the
+    * inverse compression rate). A group whose fertility is an outlier
+    * is under-served by the vocabulary — its text costs proportionally
+    * more sequence positions per word — which is the trigger for
+    * re-fitting on a rebalanced sample ([[TextOps.temperatureMix]]).
+    * `n_chars` counts WORD characters (the tokens partition exactly
+    * those, the round-trip contract), so chars/token and chars/word
+    * share one denominator universe. One row-local compiled-encode pass
+    * ([[bpeTokensCompiled]]) + one group-sized aggregation; ratios are
+    * doubles off exact long sums, rounded 1e-6. */
+  def tokenizerFertility(docs: DataFrame, id: Column, text: Column,
+      group: Column, merges: DataFrame): DataFrame = {
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = bpeTokensCompiled(docs.sparkSession, text, m)
+    val words = filter(split(text, " "), w => length(w) > 0)
+    docs
+      .select(group.as("grp"),
+        size(words).cast("long").as("_w"),
+        size(toks).cast("long").as("_t"),
+        aggregate(words, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("_c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_t")).as("n_tokens"), sum(col("_c")).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 6)))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)))
+  }
 }

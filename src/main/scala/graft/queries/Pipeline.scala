@@ -3678,6 +3678,23 @@ object Pipeline {
        |SELECT query_id, neg_rk, doc_id, bm25_rk, bm25_score, cos_sim
        |FROM neg WHERE neg_rk <= 5""".stripMargin)
 
+  /** Tokenizer fertility audit ([[graft.operators.BpeOps
+    * .tokenizerFertility]]): per-language tokens/word and chars/token
+    * under the corpus-fitted 16-merge BPE — rows-only (the fit's
+    * iterative argmax is not SQL-expressible, the q107 precedent); the
+    * ratio arithmetic and the monotone no-merges baseline are pinned in
+    * BpeSpec on hand-computed fixtures. */
+  private val q128 = QueryDef(
+    "q128_tokenizer_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.BpeOps.tokenizerFertility(
+        docs, col("doc_id"), col("text"), col("lang"),
+        graft.operators.BpeOps.bpeLearn(
+          graft.operators.BpeOps.wordFreqs(docs, col("text")), 16))
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3686,7 +3703,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127)
+    q126, q127, q128)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

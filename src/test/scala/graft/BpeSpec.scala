@@ -136,4 +136,38 @@ class BpeSpec extends SparkSpec {
     assert(e.encodeWord("abcd").toSeq == Seq("a", "bcd", W),
       s"fold-by-rank drifted: ${e.encodeWord("abcd").toSeq}")
   }
+
+  test("tokenizerFertility: per-group sums and ratios match the tokenizer") {
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val docs = corpus.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "aa").otherwise("bb"))
+    val merges = BpeOps.bpeLearn(BpeOps.wordFreqs(corpus, col("text")), 6)
+    val out = BpeOps.tokenizerFertility(
+      docs, col("doc_id"), col("text"), col("lang"), merges)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out.keySet == Set("aa", "bb"))
+    val per = BpeOps.bpeTokenize(docs, col("doc_id"), col("text"), merges)
+      .join(docs, "doc_id").select("lang", "n_tokens", "text").collect()
+    Seq("aa", "bb").foreach { g =>
+      val rows = per.filter(_.getString(0) == g)
+      val words = rows.map(_.getString(2).split(" ").count(_.nonEmpty).toLong).sum
+      val toks = rows.map(_.getLong(1)).sum
+      val chars = rows
+        .map(_.getString(2).split(" ").filter(_.nonEmpty).map(_.length).sum.toLong)
+        .sum
+      val r = out(g)
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong, s"n_docs $g")
+      assert(r.getAs[Long]("n_words") == words, s"n_words $g")
+      assert(r.getAs[Long]("n_tokens") == toks, s"n_tokens $g")
+      assert(r.getAs[Long]("n_chars") == chars, s"n_chars $g")
+      assert(r.getAs[Double]("fertility") == round6(toks.toDouble / words),
+        s"fertility $g")
+      assert(r.getAs[Double]("chars_per_token") ==
+        round6(chars.toDouble / toks), s"chars_per_token $g")
+      // the 6-merge vocabulary cannot cover whole words -> every word
+      // shatters into >1 token
+      assert(r.getAs[Double]("fertility") > 1.0, s"fertility sanity $g")
+    }
+  }
 }
