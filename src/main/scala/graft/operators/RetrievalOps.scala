@@ -47,12 +47,16 @@ object RetrievalOps {
     * semantics (the common qtf-free form, documented contract).
     *
     * Plan: tokens → one (doc, term) tf aggregation (the postings
-    * shuffle); doc length = a window sum over the same doc partitioning;
-    * postings then semi-join the BROADCAST distinct query-term set, df
-    * aggregates over only the surviving postings (query-term-sized
-    * result, broadcast back), and corpus stats (N, avgdl) are a 1-row
-    * broadcast. Nothing corpus-sized shuffles twice; the per-query rank
-    * window partitions by query. */
+    * shuffle, map-side combined) → one post-combine exchange on doc_id
+    * for the doc-length window. Two corpus-sized exchanges, but BOTH
+    * carry the combined tf table (≈ half the raw token count on Zipfian
+    * text) — pre-partitioning raw tokens by doc_id would make it one
+    * exchange of MORE bytes with no combine, a wash that loses the
+    * skew robustness. Postings then semi-join the BROADCAST distinct
+    * query-term set, df aggregates over only the surviving postings
+    * (query-term-sized result, broadcast back), and corpus stats
+    * (N, avgdl) are a 1-row broadcast; the per-query rank window
+    * partitions by query. */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, qid: Column, qtext: Column, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -239,6 +239,61 @@ object TextOps {
       .select(col("doc_id"), col("_r.*"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021 Table A1, the non-repetition
+    * half — [[gopherRepetition]] is the other): per-document structural
+    * quality signals and the keep verdict at the published thresholds —
+    * word count in [50, 100k], mean word length in [3, 10], symbol-to-
+    * word ratio (`#` and `...`) ≤ 0.1, ≤ 90% bullet-started lines,
+    * ≤ 30% ellipsis-ended lines, ≥ 80% of words with an alphabetic
+    * character, and ≥ 2 of the canonical eight stop words present.
+    * Pure row-local array/HOF Columns, zero shuffle; fractions round
+    * 1e-6 (verdicts compare the ROUNDED values, engine-reproducible).
+    * Conventions the paper leaves open, pinned here and in the q129
+    * oracle: words = non-empty single-space splits; `...` counts
+    * non-overlapping leftmost; a bullet line starts with `•`, `-` or
+    * `*`; an ellipsis line ends with `...` or `…`; line fractions are
+    * over non-empty lines (0 when none). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val ws = filter(split(text, " "), w => length(w) > 0)
+    val lns = filter(split(text, "\n"), l => length(l) > 0)
+    val nW = size(ws).cast("long")
+    val nL = size(lns).cast("long")
+    val wordChars = aggregate(ws, lit(0L), (a, x) => a + length(x).cast("long"))
+    val nHash = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("long")
+    val nEllipsis = (size(split(text, "\\.\\.\\.", -1)) - 1).cast("long")
+    val nBullet = size(filter(lns,
+      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("long")
+    val nEllipsisEnd = size(filter(lns,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = GopherStopWords
+      .map(s => when(array_contains(ws, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(0.0))
+    docs
+      .select(id.as("doc_id"), nW.as("n_words"), nL.as("n_lines"),
+        frac(wordChars, nW).as("mean_word_len"),
+        frac(nHash + nEllipsis, nW).as("symbol_word_ratio"),
+        frac(nBullet, nL).as("bullet_line_frac"),
+        frac(nEllipsisEnd, nL).as("ellipsis_line_frac"),
+        frac(nAlpha, nW).as("alpha_word_frac"),
+        nStop.as("n_stop_words"))
+      .withColumn("keep",
+        col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_words") >= 2L)
+  }
+
   /** PII pattern scan: match COUNTS for emails / phone shapes / URLs per
     * document (a redaction pre-screen). Counts only — extracted PII never
     * leaves the row. Patterns are RE2-compatible so the exact same regex

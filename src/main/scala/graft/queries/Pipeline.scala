@@ -3695,6 +3695,60 @@ object Pipeline {
     },
     None)
 
+  /** Gopher quality rules ([[TextOps.gopherQuality]], Rae et al. 2021
+    * Table A1's non-repetition half): structural quality signals + keep
+    * verdict at the published thresholds, all hash-pinned. The corpus
+    * exercises word count, mean word length, alpha fraction, and
+    * stop-word presence (its synthetic vocabulary holds ≤ 1 of the
+    * canonical eight, so every corpus doc honestly fails keep — the
+    * keep=true path and the newline/symbol legs are spec-pinned on
+    * fixtures in RepetitionSpec). */
+  private val q129 = QueryDef(
+    "q129_gopher_quality",
+    (s, d) => TextOps.gopherQuality(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    {
+      val stopSum = TextOps.GopherStopWords
+        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+         |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lns
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(lns) AS BIGINT) AS n_lines,
+         |  CASE WHEN len(ws) > 0 THEN round(
+         |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |      / len(ws), 6) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(ws) > 0 THEN round(
+         |      CAST((length(text) - length(replace(text, '#', '')))
+         |        + (len(string_split(text, '...')) - 1) AS DOUBLE)
+         |      / len(ws), 6) ELSE 0.0 END AS symbol_word_ratio,
+         |  CASE WHEN len(lns) > 0 THEN round(
+         |      CAST(len(list_filter(lns, l -> substr(l, 1, 1) = '•'
+         |        OR substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*'))
+         |        AS DOUBLE) / len(lns), 6) ELSE 0.0 END AS bullet_line_frac,
+         |  CASE WHEN len(lns) > 0 THEN round(
+         |      CAST(len(list_filter(lns, l -> right(l, 3) = '...'
+         |        OR right(l, 1) = '…')) AS DOUBLE) / len(lns), 6)
+         |    ELSE 0.0 END AS ellipsis_line_frac,
+         |  CASE WHEN len(ws) > 0 THEN round(
+         |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |        AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS alpha_word_frac,
+         |  CAST($stopSum AS BIGINT) AS n_stop_words
+         |  FROM base)
+         |SELECT *,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_word_ratio <= 0.1
+         |    AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3
+         |    AND alpha_word_frac >= 0.8
+         |    AND n_stop_words >= 2) AS keep
+         |FROM sig""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3703,7 +3757,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128)
+    q126, q127, q128, q129)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -198,6 +198,62 @@ class RepetitionSpec extends SparkSpec {
     check(samples(textGen, 40))
   }
 
+  // ------------------------------------------- gopherQuality (Table A1's
+  // non-repetition half — fixtures for the legs the corpus can't reach)
+
+  private def runQ(texts: Seq[String]) = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    TextOps.gopherQuality(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+  }
+
+  test("gopherQuality: hand-computed signals on a multi-line doc") {
+    val t = "• bullet one\nplain line\nends with dots...\n- another bullet"
+    val r = runQ(Seq(t)).head
+    assert(r.getAs[Long]("n_lines") == 4L)
+    // 2 of 4 lines bullet-started; 1 of 4 ellipsis-ended
+    assert(r.getAs[Double]("bullet_line_frac") == 0.5)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.25)
+    // words: 8 tokens (newlines glue "one\nplain" into one token — words
+    // are SPACE splits, the documented convention)
+    assert(r.getAs[Long]("n_words") == 8L)
+    // one "..." and no "#": 1/8
+    assert(r.getAs[Double]("symbol_word_ratio") == round6(1.0 / 8))
+    assert(!r.getAs[Boolean]("keep")) // fails the 50-word floor
+  }
+
+  test("gopherQuality: symbol ratio counts hashes and ellipses per word") {
+    val r = runQ(Seq("a# b ## c ... d .... e")).head
+    // hashes: 3; "...": non-overlapping leftmost -> 1 + 1 (the "....")
+    // over 8 words (a#, b, ##, c, ..., d, ...., e)
+    assert(r.getAs[Long]("n_words") == 8L)
+    assert(r.getAs[Double]("symbol_word_ratio") == round6(5.0 / 8))
+  }
+
+  test("gopherQuality: alpha fraction and stop-word count gate keep") {
+    // 52 words, all alphabetic, mean length in range, enough stop words
+    val good = (Seq.fill(25)("the quick") :+ "and that").mkString(" ")
+    val g = runQ(Seq(good)).head
+    assert(g.getAs[Long]("n_words") == 52L)
+    assert(g.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(g.getAs[Long]("n_stop_words") == 3L)
+    assert(g.getAs[Boolean]("keep"), s"good doc must keep: $g")
+    // same doc with the words replaced by digits: alpha fraction dies
+    val bad = (Seq.fill(25)("the 12345") :+ "and that").mkString(" ")
+    val b = runQ(Seq(bad)).head
+    assert(b.getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!b.getAs[Boolean]("keep"), "digit-heavy doc must drop")
+  }
+
+  test("gopherQuality: empty and word-count bounds") {
+    val rows = runQ(Seq("", "word", ("w " * 49).trim))
+    rows.foreach(r => assert(!r.getAs[Boolean]("keep"),
+      s"short docs must fail the 50-word floor: $r"))
+    assert(rows.head.getAs[Long]("n_words") == 0L)
+    assert(rows.head.getAs[Double]("mean_word_len") == 0.0)
+  }
+
   test("corpus smoke: signals bounded, some docs show bigram repetition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
