@@ -1253,6 +1253,56 @@ object TextOps {
          else Nil): _*)
   }
 
+  /** Inverse-cloze-task pair construction (ICT, Lee, Chang & Toutanova
+    * ACL 2019 §3.1 — the standard unsupervised pre-training objective
+    * for dense retrievers): from each document, a hash-drawn contiguous
+    * QUERY chunk (~10% of tokens, ≥ 1) and its CONTEXT — the document
+    * with the chunk removed, except that with probability 1/10 the chunk
+    * is KEPT in the context (the paper's rule: the model must not learn
+    * that the query is never in its evidence). These are the POSITIVE
+    * pairs [[graft.operators.RetrievalOps.hardNegatives]] complements
+    * with negatives. Draws follow the [[prefixLmSplit]] scheme (`mix =
+    * pmod(polyHash(text)·31 + doc_id, P)`, Knuth-multiplied per draw
+    * index), so pairs are deterministic across runs/partitionings/
+    * engines. Docs with < 2 tokens are excluded (no non-empty pair
+    * exists). Pure row-local column arithmetic, zero shuffle. Output:
+    * `n_tokens`, `q_start` (1-based), `q_len`, `kept_in_context`,
+    * `query_fp`/`context_fp` (polyHash; `keepText` for the actual
+    * pair). */
+  def ictPairs(docs: DataFrame, id: Column, text: Column,
+      keepText: Boolean = false): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val toks = filter(split(text, " "), w => length(w) > 0)
+    val base = docs.select(id.as("doc_id"), toks.as("_toks"),
+      pmod(graft.functions.HashExpressions.polyHash(text) * lit(31L)
+        + id, lit(P)).as("_mix"))
+      .where(size(col("_toks")) >= 2)
+    def draw(i: Int): Column =
+      pmod((col("_mix") + lit(i.toLong)) * lit(2654435761L), lit(P))
+    val n = size(col("_toks"))
+    val qLen = greatest(lit(1), floor(n.cast("double") / 10.0).cast("int"))
+    val qStart = (lit(1) + pmod(draw(0), (n - qLen + 1).cast("long"))
+      .cast("int"))
+    val kept = pmod(draw(1), lit(10L)) === 0L
+    val query = concat_ws(" ", slice(col("_toks"), qStart, qLen))
+    val context = concat_ws(" ",
+      when(kept, col("_toks")).otherwise(concat(
+        slice(col("_toks"), lit(1), qStart - 1),
+        slice(col("_toks"), qStart + qLen, n - qStart - qLen + 1))))
+    base.select(
+      Seq(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        qStart.cast("long").as("q_start"),
+        qLen.cast("long").as("q_len"),
+        kept.as("kept_in_context"),
+        graft.functions.HashExpressions.polyHash(query).as("query_fp"),
+        graft.functions.HashExpressions.polyHash(context).as("context_fp")) ++
+        (if (keepText) Seq(query.as("query_text"), context.as("context_text"))
+         else Nil): _*)
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

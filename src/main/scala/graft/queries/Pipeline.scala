@@ -3749,6 +3749,44 @@ object Pipeline {
          |FROM sig""".stripMargin
     })
 
+  /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
+    * 2019): hash-drawn query chunk + context-with-chunk-removed (kept in
+    * 1/10 of docs, the paper's rule), both sides' fingerprints
+    * hash-pinned — the oracle replays the draws, the chunk slice, the
+    * keep decision, and both rebuilt strings' hashes. Together with
+    * q127's hard negatives this is the full dense-retriever training
+    * pair set. */
+  private val q130 = QueryDef(
+    "q130_ict_pairs",
+    (s, d) => TextOps.ictPairs(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+       |    ((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P AS mix
+       |  FROM documents),
+       |sp AS (SELECT doc_id, ws, len(ws) AS n,
+       |    greatest(1, len(ws) // 10) AS qlen,
+       |    (mix * 2654435761) % $P AS d0,
+       |    ((mix + 1) * 2654435761) % $P AS d1
+       |  FROM base WHERE len(ws) >= 2),
+       |pos AS (SELECT doc_id, ws, n, qlen,
+       |    1 + d0 % (n - qlen + 1) AS qs,
+       |    (d1 % 10 = 0) AS kept
+       |  FROM sp),
+       |strs AS (SELECT doc_id, n, qs, qlen, kept,
+       |    array_to_string(ws[qs:qs+qlen-1], ' ') AS q,
+       |    CASE WHEN kept THEN array_to_string(ws, ' ')
+       |      ELSE array_to_string(
+       |        list_concat(ws[1:qs-1], ws[qs+qlen:n]), ' ') END AS ctx
+       |  FROM pos)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(qs AS BIGINT) AS q_start, CAST(qlen AS BIGINT) AS q_len,
+       |  kept AS kept_in_context,
+       |  CASE WHEN q = '' THEN 0 ELSE ${polyHashSql("q")} END AS query_fp,
+       |  CASE WHEN ctx = '' THEN 0 ELSE ${polyHashSql("ctx")} END
+       |    AS context_fp
+       |FROM strs""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3757,7 +3795,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129)
+    q126, q127, q128, q129, q130)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

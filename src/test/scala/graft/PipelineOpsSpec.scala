@@ -1498,6 +1498,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(r => r.getLong(0) -> r.toSeq).toMap == again)
   }
 
+  test("ictPairs: chunk slice, removal/keep rule, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.ictPairs(docs, col("doc_id"), col("text"),
+      keepText = true).collect()
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, n, qs, ql) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      val kept = r.getBoolean(4)
+      val (q, ctx) = (r.getString(7), r.getString(8))
+      val toks = orig(id).split(" ").filter(_.nonEmpty)
+      assert(n == toks.length && n >= 2)
+      assert(ql == math.max(1, n / 10), s"doc $id: chunk ~10% of tokens")
+      assert(qs >= 1 && qs + ql - 1 <= n, s"doc $id: chunk in bounds")
+      // the query IS the drawn slice
+      assert(q == toks.slice(qs.toInt - 1, (qs + ql).toInt - 1).mkString(" "),
+        s"doc $id: query must be the drawn chunk")
+      val without = (toks.take(qs.toInt - 1) ++ toks.drop((qs + ql).toInt - 1))
+        .mkString(" ")
+      if (kept) assert(ctx == toks.mkString(" "),
+        s"doc $id: kept chunk stays in context")
+      else assert(ctx == without, s"doc $id: removed chunk leaves context")
+      assert(ctx.nonEmpty, s"doc $id: context never empty")
+    }
+    // the 1/10 keep rule realizes at roughly its rate
+    val keptFrac = out.count(_.getBoolean(4)).toDouble / out.length
+    assert(keptFrac > 0.02 && keptFrac < 0.25,
+      s"keep-in-context rate must be near 1/10: $keptFrac")
+    // chunk starts spread across positions
+    val starts = out.map(_.getLong(2)).distinct
+    assert(starts.length > 10, s"chunk starts must spread: ${starts.length}")
+    // determinism across partitionings
+    val again = TextOps.ictPairs(docs.repartition(7), col("doc_id"),
+      col("text"), keepText = true).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(out.map(r => r.getLong(0) -> r.toSeq).toMap == again)
+  }
+
   test("semanticContamination flags are a subset of the exact screen") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.select("vec_id", "embedding").collect()
