@@ -734,4 +734,44 @@ object SimilarityOps {
         (pmod(pmod(col("vec_id") * lit(2654435761L), lit(P)),
           lit(1000000L)) < col("thr")).as("kept"))
   }
+
+  /** Deterministic ±1 sign matrix for [[jlProject]]: `signs(j)(i)` is the
+    * sign of input dim `i` in output dim `j`, from the house avalanche
+    * hash — data-independent, so every engine/run/face derives the SAME
+    * projection from (dim, k) alone; no matrix needs to be stored or
+    * shipped. */
+  def jlSigns(dim: Int, k: Int): Seq[Array[Float]] =
+    (0 until k).map { j =>
+      Array.tabulate(dim) { i =>
+        val h = ((i.toLong * 1000003L + j.toLong) * 2654435761L) % P
+        val hp = if (h < 0) h + P else h
+        if (hp % 2 == 0L) 1.0f else -1.0f
+      }
+    }
+
+  /** Johnson-Lindenstrauss sign projection (Achlioptas, JCSS 2003 — the
+    * "database-friendly" ±1 variant of random projection): each of `k`
+    * output dims is a pseudorandom ±1 combination of the input dims.
+    * The JL lemma bounds pairwise-distance distortion, so the projected
+    * space is a faithful-enough geometry for a FIRST-PASS ANN screen at
+    * `dim/k`× the scan bytes and FLOPs — compose it under any of the
+    * existing tiers (brute/LSH/IVF/PQ run unchanged on the k-dim
+    * output) and rerank survivors in the original space. Cosine use is
+    * scale-free, so the usual 1/√k normalization is deliberately
+    * dropped (documented; distances would need it). Per-element ±1
+    * products are float-exact and the fold order is fixed, so projected
+    * values round 1e-6 to engine-identical doubles. Fully row-local,
+    * zero shuffle, nothing learned and nothing stored — the projection
+    * is a pure function of (dim, k). Output: `vec_id`, `p0..p{k-1}`. */
+  def jlProject(emb: DataFrame, id: Column, vec: Column,
+      dim: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    VectorExpressions.register(emb.sparkSession)
+    val signs = jlSigns(dim, k)
+    emb.select(id.as("vec_id") +:
+      (0 until k).map { j =>
+        val s = array(signs(j).map(v => lit(v)): _*)
+        round(VectorExpressions.floatDot(vec, s), 6).as(s"p$j")
+      }: _*)
+  }
 }

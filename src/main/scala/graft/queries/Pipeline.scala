@@ -3787,6 +3787,32 @@ object Pipeline {
        |    AS context_fp
        |FROM strs""".stripMargin)
 
+  /** JL sign projection ([[SimilarityOps.jlProject]], Achlioptas 2003):
+    * 64 → 16 dims through the deterministic ±1 matrix — every projected
+    * coordinate hash-pinned (the oracle embeds the SAME sign constants
+    * the Spark side derives, generated by one function; per-element ±1
+    * products are float-exact and the fold order matches `float_vector_
+    * dot`). The recall value of screening in the projected space is
+    * gated in PipelineOpsSpec. */
+  private val q131 = QueryDef(
+    "q131_jl_projection",
+    (s, d) => SimilarityOps.jlProject(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), DIM, 16),
+    {
+      val cols = SimilarityOps.jlSigns(DIM, 16).zipWithIndex.map {
+        case (sv, j) =>
+          val lst = sv.map(v => if (v > 0) "1.0" else "-1.0")
+            .mkString("[", ", ", "]")
+          s"""  round(list_reduce(list_prepend(0.0,
+             |    list_transform(generate_series(1, $DIM),
+             |      i -> CAST(embedding[i] AS DOUBLE) * ($lst[i]))),
+             |    (x, y) -> x + y), 6) AS p$j""".stripMargin
+      }
+      s"""SELECT vec_id,
+         |${cols.mkString(",\n")}
+         |FROM embeddings""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3795,7 +3821,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130)
+    q126, q127, q128, q129, q130, q131)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -413,6 +413,12 @@ object Streaming {
   def gopherRepetitionStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
 
+  /** Ingest face of [[graft.operators.TextOps.gopherQuality]] — the
+    * non-repetition Gopher half, equally document-local: row-local HOF
+    * columns, no state, no join, parity definitional. */
+  def gopherQualityStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.gopherQuality(docs, col("doc_id"), col("text"))
+
   /** Ingest face of [[graft.operators.AuditOps.applyChangeSet]] — a CDC
     * change stream continuously materialized into a keyed snapshot (the
     * foreachBatch MERGE consumer every table format documents, as a

@@ -1538,6 +1538,72 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(r => r.getLong(0) -> r.toSeq).toMap == again)
   }
 
+  test("jlProject: pinned signs, engine-free determinism, recall value") {
+    import graft.operators.SimilarityOps
+    // the sign generator is the projection's entire identity — pin it
+    val s0 = SimilarityOps.jlSigns(64, 16)
+    assert(s0.length == 16 && s0.forall(_.length == 64))
+    val h = (i: Long, j: Long) => {
+      val x = ((i * 1000003L + j) * 2654435761L) % 1000000007L
+      if ((if (x < 0) x + 1000000007L else x) % 2 == 0L) 1.0f else -1.0f
+    }
+    for (j <- 0 until 16; i <- 0 until 64)
+      assert(s0(j)(i) == h(i, j), s"sign ($i,$j) drifted")
+    val emb = Tables.embeddings(spark, sf)
+    val proj = SimilarityOps.jlProject(emb, col("vec_id"), col("embedding"),
+      64, 16)
+    // determinism across partitionings
+    val a = proj.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val b = SimilarityOps.jlProject(emb.repartition(7), col("vec_id"),
+      col("embedding"), 64, 16).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(a == b)
+    // recall value of a first-pass screen in the projected space: the
+    // projected top-50 shortlist must hold most of the true top-10
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val pvecs = a.map { case (id, row) =>
+      id -> row.drop(1).map(_.asInstanceOf[Double]).toArray }
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      if (nx * ny > 0) d / math.sqrt(nx * ny) else -2.0
+    }
+    val ids = vecs.keySet.toSeq.sorted
+    val queries = ids.take(40)
+    def recallAt(pv: Map[Long, Array[Double]]): Double = {
+      val rs = queries.map { q =>
+        val qd = vecs(q).map(_.toDouble)
+        val truth = ids.filter(_ != q)
+          .sortBy(c => (-cos(qd, vecs(c).map(_.toDouble)), c)).take(10).toSet
+        val short = ids.filter(_ != q)
+          .sortBy(c => (-cos(pv(q), pv(c)), c)).take(50).toSet
+        truth.intersect(short).size / 10.0
+      }
+      rs.sum / rs.length
+    }
+    val r16 = recallAt(pvecs)
+    // collapse floor (the q82 convention): the synthetic embeddings are
+    // near-uniform, so absolute recall is data-limited — the gate is
+    // "well above the random-chance shortlist" (50/(n-1) ≈ 0.10 here),
+    // not an absolute that real clustered embeddings would clear easily
+    val chance = 50.0 / (ids.length - 1)
+    assert(r16 >= 2 * chance,
+      s"projected-space shortlist must beat chance 2x: $r16 vs $chance")
+    // structural JL property: fidelity is monotone in k — doubling the
+    // projected dims must not lose recall (small tolerance: on
+    // near-uniform data both sit in a sampling-noise band)
+    val p32 = SimilarityOps.jlProject(emb, col("vec_id"), col("embedding"),
+      64, 32).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)
+        .map(_.asInstanceOf[Double]).toArray).toMap
+    val r32 = recallAt(p32)
+    assert(r32 >= r16 - 0.05,
+      s"recall must not degrade with projected dims: k=32 $r32 vs k=16 $r16")
+  }
+
   test("semanticContamination flags are a subset of the exact screen") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.select("vec_id", "embedding").collect()

@@ -714,6 +714,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherQualityStream verdicts equal the batch screen row-for-row") {
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text").cache()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.gopherQualityStream(in.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopherq1").start()
+    try {
+      in.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        r.getLong(0) -> r.getValuesMap[Any](r.schema.fieldNames.drop(1).toSeq)
+      val streamed = spark.table("gopherq1").collect().map(key).toMap
+      val batch = graft.operators.TextOps.gopherQuality(
+        docs, col("doc_id"), col("text")).collect().map(key).toMap
+      assert(streamed == batch,
+        "ingest-time quality verdicts must equal the batch screen exactly")
+    } finally q.stop()
+  }
+
   test("cdcApplySink materializes the change log to the one-shot MERGE state") {
     import graft.operators.AuditOps
     val stateDir = java.nio.file.Files
