@@ -46,7 +46,8 @@ object CurationDemo {
 
   /** Stage-by-stage survivor counts of the curation composition. */
   final case class StageCounts(
-      corpus: Long, afterFunnel: Long, langDisagreeDocs: Long,
+      corpus: Long, afterFunnel: Long, afterGopher: Long,
+      gopherQualityFailDocs: Long, langDisagreeDocs: Long,
       boilerplateDocs: Long,
       spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
@@ -56,7 +57,7 @@ object CurationDemo {
       auditRemoved: Long, auditMutatedOrAdded: Long,
       nFiles: Long, layoutOverlaps: Long)
 
-  /** The full fifteen-stage composition; `verbose` adds the per-stage
+  /** The full sixteen-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. The final corpus is written
     * under `outDir` (a fresh temp directory when None — the demo's
     * artifact is the stage-count vector, not the files). */
@@ -83,19 +84,35 @@ object CurationDemo {
     val n1 = clean.count()
     say(s"[curate] after funnel: $n1 (${n0 - n1} dropped)")
 
-    // 2. learned-classifier language audit: self-fit Naive Bayes on the
+    // 2. Gopher screens (q126/q129): the repetition rules DROP — the
+    // published thresholds really fire on this corpus — while the
+    // structural-quality rules stay an AUDIT (the synthetic vocabulary
+    // holds ≤ 1 of the canonical stop words, so every doc fails that
+    // gate — a corpus property, not a pipeline signal; a real pipeline
+    // drops on both).
+    val rep = TextOps.gopherRepetition(clean, col("doc_id"), col("text"))
+    val dropRep = rep.where(!col("keep")).select("doc_id")
+    val screened = settle(clean.join(dropRep, Seq("doc_id"), "left_anti"))
+    val n1b = screened.count()
+    val gopherQualFail = TextOps.gopherQuality(clean, col("doc_id"),
+      col("text")).where(!col("keep")).count()
+    say(s"[curate] after Gopher repetition screen: $n1b " +
+      s"(${n1 - n1b} dropped); $gopherQualFail fail the quality rules " +
+      "(audited — the synthetic corpus cannot pass the stop-word gate)")
+
+    // 3. learned-classifier language audit: self-fit Naive Bayes on the
     // corpus's own lang labels (the q110 model) and count docs whose
     // PREDICTED language disagrees with their label — the CCNet
     // langid-confidence signal, surfaced as an audit (the stage-2/3
     // convention: the synthetic corpus's random-word text carries weak
     // language signal, so hard-dropping on it would gut the demo; a real
     // pipeline thresholds this disagreement rate per source).
-    val langPred = ClassifyOps.nbClassify(clean, col("text"), col("lang"),
-      clean, col("doc_id"), col("text"), Some(col("lang")))
+    val langPred = ClassifyOps.nbClassify(screened, col("text"), col("lang"),
+      screened, col("doc_id"), col("text"), Some(col("lang")))
     val langDisagree = langPred
       .where(col("label") =!= col("pred_label")).count()
-    val gated = clean
-    val n1c = n1
+    val gated = screened
+    val n1c = n1b
     say(s"[curate] language audit: $langDisagree of $n1 docs predicted " +
       "off-label")
 
@@ -288,7 +305,8 @@ object CurationDemo {
     say(s"[curate] wrote $outPath: $nFiles files, " +
       s"$overlaps shard-range overlaps (0 = exact file skipping per shard)")
 
-    StageCounts(n0, n1, langDisagree, boiler, spanStats.getLong(0),
+    StageCounts(n0, n1, n1b, gopherQualFail, langDisagree, boiler,
+      spanStats.getLong(0),
       spanStats.getLong(1), n3, n3s, nImg, nAud, nVid, n3m, n4,
       nSemCon, n4b, dsirPositive, n5, nChunks, nShards,
       nRemoved, nBad, nFiles, overlaps)

@@ -22,31 +22,37 @@ class CurationDemoSpec extends SparkSpec {
     val want = StageCounts(
       corpus = 500L,
       afterFunnel = 209L,
-      langDisagreeDocs = 100L, // NB self-fit disagrees on ~48% of the
+      afterGopher = 208L,  // the q126 repetition thresholds really fire:
+                           // one funnel survivor is top-2-gram heavy
+      gopherQualityFailDocs = 209L, // every doc fails the stop-word gate
+                                    // (synthetic vocabulary holds ≤ 1 of
+                                    // the canonical eight) — audited,
+                                    // not dropped
+      langDisagreeDocs = 101L, // NB self-fit disagrees on ~48% of the
                                // random-word synthetic text — audited,
                                // not dropped (weak lang signal is a
                                // corpus property, not a pipeline bug)
       boilerplateDocs = 0L, // sf corpus has no newlines; lineDedup is
                             // natively gated by LineDedupSpec's fixture
-      spanDocsHit = 147L,
-      spanTokensRemovable = 1626L,
-      afterKeepBest = 196L,
-      afterSemantic = 193L,
+      spanDocsHit = 146L,
+      spanTokensRemovable = 1615L,
+      afterKeepBest = 195L,
+      afterSemantic = 192L,
       imageDupDocs = 0L,  // planted variants are same-doc by construction;
       audioDupDocs = 0L,  // a cross-doc drop here means two DOCS render
       videoDupDocs = 0L,  // near-identical media — none in the sf corpus
-      afterMedia = 193L,
-      afterDecontamination = 35L,
+      afterMedia = 192L,
+      afterDecontamination = 34L,
       semContaminated = 1L,  // one survivor sits within cosine 0.4 of
-      afterSemDecon = 34L,   // the vec_id<25 benchmark — the paraphrase
-                             // leakage exact n-grams (stage 8) missed
-      dsirPositive = 12L,    // 12 of 34 survivors lean toward the
+      afterSemDecon = 33L,   // the vec_id<25 benchmark — the paraphrase
+                             // leakage exact n-grams missed
+      dsirPositive = 12L,    // 12 of 33 survivors lean toward the
                              // English-target unigram distribution
                              // (DSIR audit — reported, not dropped)
-      afterMix = 34L,
+      afterMix = 33L,
       nChunks = 5L,
       nShards = 8L,
-      auditRemoved = 466L,       // 500 - 34: everything else untouched
+      auditRemoved = 467L,       // 500 - 33: everything else untouched
       auditMutatedOrAdded = 0L,  // the drop-only contract, end-to-end
       nFiles = 8L,               // compactedWrite hit its file target
       layoutOverlaps = 0L)       // per-file shard ranges disjoint: a
