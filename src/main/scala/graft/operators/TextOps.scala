@@ -1303,6 +1303,34 @@ object TextOps {
          else Nil): _*)
   }
 
+  /** Deterministic text normalization — the stage every pipeline runs
+    * before shingling/tokenization so that byte-level noise (case, weird
+    * whitespace, zero-width characters) cannot defeat exact and
+    * near-dup matching. Fixed chain, order significant and documented:
+    * (1) strip zero-width/format characters (ZWSP/ZWNJ/ZWJ/BOM);
+    * (2) collapse every run of control-or-space characters
+    * (U+0000–U+0020, U+007F) to one space; (3) trim; (4) lowercase.
+    * Pure codegen'd string expressions, zero shuffle; output carries the
+    * normalized fingerprint, length, and a `changed` flag (the
+    * monitoring face: a spike in changed-rate at ingest means an
+    * upstream encoding regression). `keepText` for the normalized
+    * string itself. */
+  val ZeroWidthRe = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+  val ControlWsRe = "[\\x{0000}-\\x{0020}\\x{007F}]+"
+
+  def normalizeText(docs: DataFrame, id: Column, text: Column,
+      keepText: Boolean = false): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(text, ZeroWidthRe, ""), ControlWsRe, " ")))
+    docs.select(
+      Seq(id.as("doc_id"),
+        graft.functions.HashExpressions.polyHash(norm).as("norm_fp"),
+        length(norm).cast("long").as("n_chars"),
+        (norm =!= text).as("changed")) ++
+        (if (keepText) Seq(norm.as("norm_text")) else Nil): _*)
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

@@ -3813,6 +3813,26 @@ object Pipeline {
          |FROM embeddings""".stripMargin
     })
 
+  /** Text normalization ([[TextOps.normalizeText]]): the fixed
+    * strip-collapse-trim-lowercase chain, fingerprint hash-pinned. The
+    * corpus is already normal form, so every row pins the no-op path
+    * (changed = false, fp = polyHash(text)); the transforming paths are
+    * spec-pinned on fixtures in RepetitionSpec. */
+  private val q132 = QueryDef(
+    "q132_normalize_text",
+    (s, d) => TextOps.normalizeText(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH n AS (SELECT doc_id, text, lower(trim(regexp_replace(
+       |    regexp_replace(text, '${TextOps.ZeroWidthRe}', '', 'g'),
+       |    '${TextOps.ControlWsRe}', ' ', 'g'))) AS norm
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN norm = '' THEN 0 ELSE ${polyHashSql("norm")} END
+       |    AS norm_fp,
+       |  CAST(length(norm) AS BIGINT) AS n_chars,
+       |  (norm <> text) AS changed
+       |FROM n""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3821,7 +3841,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131)
+    q126, q127, q128, q129, q130, q131, q132)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

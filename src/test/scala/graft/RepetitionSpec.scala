@@ -254,6 +254,38 @@ class RepetitionSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("mean_word_len") == 0.0)
   }
 
+  // ------------------------------------------------------- normalizeText
+
+  test("normalizeText: strip, collapse, trim, lowercase — in that order") {
+    val texts = Seq(
+      "  Hello\tWorld \u200B!",  // tab + leading/trailing + case + ZWSP
+      "a\u200Bb",                 // zero-width INSIDE a word joins halves
+      "a\u0001b",                 // control char becomes a separator
+      "already normal",            // no-op
+      "",                          // empty
+      "A\r\nB")                    // CRLF run collapses to one space
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeText(df, col("doc_id"), col("text"),
+      keepText = true).orderBy("doc_id").collect()
+    val want = Seq("hello world !", "ab", "a b", "already normal", "", "a b")
+    out.zip(want).zip(texts).foreach { case ((r, w), t) =>
+      assert(r.getAs[String]("norm_text") == w, s"norm of ${t.take(30)}")
+      assert(r.getAs[Boolean]("changed") == (w != t))
+      assert(r.getAs[Long]("n_chars") == w.length.toLong)
+    }
+    // idempotence: a normalized string is its own normal form
+    val again = TextOps.normalizeText(
+      out.map(r => (r.getLong(0), r.getAs[String]("norm_text"))).toSeq
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), keepText = true)
+      .orderBy("doc_id").collect()
+    again.foreach(r => assert(!r.getAs[Boolean]("changed"),
+      s"normalization must be idempotent: ${r.getAs[String]("norm_text")}"))
+    // empty string fingerprints 0 (the polyHash convention)
+    assert(out(4).getAs[Long]("norm_fp") == 0L)
+  }
+
   test("corpus smoke: signals bounded, some docs show bigram repetition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
