@@ -3833,6 +3833,52 @@ object Pipeline {
        |  (norm <> text) AS changed
        |FROM n""".stripMargin)
 
+  /** Embedding first/second moments, relational face ([[graft.operators
+    * .WhitenOps.momentsRelational]]): the decimal-exact (i, j, s) moment
+    * table the ZCA whitening fit consumes — count at (-1,-1), first
+    * moments at (i,-1), rounded-product second moments at (i,j), i ≤ j
+    * — all hash-pinned. The production face is one treeAggregate pass
+    * (WhitenSpec pins ≈-parity); this shape exists so the fit input is
+    * oracle-checkable. */
+  private val q133 = QueryDef(
+    "q133_embedding_moments",
+    (s, d) => graft.operators.WhitenOps.momentsRelational(
+      Tables.embeddings(s, d), col("embedding"), DIM),
+    s"""WITH e AS (SELECT embedding AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+       |    CAST(1.0 AS DECIMAL(28,10)) AS p FROM e
+       |  UNION ALL
+       |  SELECT CAST(t.i - 1 AS INTEGER), CAST(-1 AS INTEGER),
+       |    CAST(round(CAST(v[t.i] AS DOUBLE), 6) AS DECIMAL(28,10))
+       |  FROM e, UNNEST(generate_series(1, $DIM)) AS t(i)
+       |  UNION ALL
+       |  SELECT CAST(t.i - 1 AS INTEGER), CAST(u.j - 1 AS INTEGER),
+       |    CAST(round(CAST(v[t.i] AS DOUBLE) * CAST(v[u.j] AS DOUBLE), 6)
+       |      AS DECIMAL(28,10))
+       |  FROM e, UNNEST(generate_series(1, $DIM)) AS t(i),
+       |    UNNEST(generate_series(1, $DIM)) AS u(j)
+       |  WHERE u.j >= t.i)
+       |SELECT i, j, CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS s
+       |FROM pairs GROUP BY 1, 2""".stripMargin)
+
+  /** ZCA-whitened embeddings ([[graft.operators.WhitenOps.whiten]]) —
+    * rows-only (the dim×dim eigensolve runs on the driver over the
+    * BOUNDED moment table and is not SQL-expressible); the defining law
+    * (whitened covariance = I), production/oracle moment parity, the
+    * cosine un-squashing effect, and run/partitioning determinism are
+    * all pinned in WhitenSpec. */
+  private val q134 = QueryDef(
+    "q134_whitened_embeddings",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.WhitenOps.fitZca(
+        graft.operators.WhitenOps.moments(emb, col("embedding"), DIM), DIM)
+      graft.operators.WhitenOps.whiten(
+        emb, col("vec_id"), col("embedding"), model)
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3841,7 +3887,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
