@@ -419,6 +419,28 @@ object Streaming {
   def gopherQualityStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.gopherQuality(docs, col("doc_id"), col("text"))
 
+  /** Ingest face of [[graft.operators.TextOps.normalizeText]] —
+    * normalization is the FIRST ingest stage (every downstream screen
+    * fingerprints the normal form); row-local string expressions, no
+    * state, parity definitional. */
+  def normalizeTextStream(docs: DataFrame,
+      keepText: Boolean = false): DataFrame =
+    graft.operators.TextOps.normalizeText(docs, col("doc_id"), col("text"),
+      keepText)
+
+  /** Ingest face of [[graft.operators.WhitenOps.whiten]] — arriving
+    * vectors projected through the FROZEN fitted ZCA model (moments are
+    * corpus-wide statistics a micro-batch cannot know; re-fit ⇒ restart
+    * the stream, the standing static-index rule — with
+    * [[quantizationDriftStream]]'s drift-detector pattern as the re-fit
+    * trigger). The model is baked into one compiled row-local
+    * expression at stream definition, so the plan is three nodes and
+    * parity with the batch apply is definitional. */
+  def whitenStream(emb: DataFrame,
+      model: graft.operators.WhitenOps.ZcaModel): DataFrame =
+    graft.operators.WhitenOps.whiten(emb, col("vec_id"), col("embedding"),
+      model)
+
   /** Ingest face of [[graft.operators.AuditOps.applyChangeSet]] — a CDC
     * change stream continuously materialized into a keyed snapshot (the
     * foreachBatch MERGE consumer every table format documents, as a

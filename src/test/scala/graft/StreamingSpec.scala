@@ -734,6 +734,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("normalizeTextStream and whitenStream equal their batch faces") {
+    // normalize: stateless string chain
+    val docs = Seq((1L, "  A\tB  "), (2L, "ok"), (3L, ""))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.normalizeTextStream(
+      in.toDS().toDF("doc_id", "text"), keepText = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("norm1").start()
+    try {
+      in.addData((1L, "  A\tB  "), (2L, "ok"), (3L, "")); q.processAllAvailable()
+      val streamed = spark.table("norm1").collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("norm_text")).toMap
+      val batch = graft.operators.TextOps.normalizeText(
+        docs, col("doc_id"), col("text"), keepText = true).collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("norm_text")).toMap
+      assert(streamed == batch && streamed(1L) == "a b")
+    } finally q.stop()
+    // whiten: frozen fitted model applied to arrivals
+    import graft.operators.WhitenOps
+    val emb = graft.Tables.embeddings(spark, sf).where(col("vec_id") < 60)
+      .select("vec_id", "embedding").cache()
+    val model = WhitenOps.fitZca(
+      WhitenOps.moments(emb, col("embedding"), 64), 64)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Streaming.whitenStream(
+      in2.toDS().toDF("vec_id", "embedding"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("whiten1").start()
+    try {
+      in2.addData(rows.toIndexedSeq: _*); q2.processAllAvailable()
+      val streamed = spark.table("whiten1").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val batch = WhitenOps.whiten(emb, col("vec_id"), col("embedding"),
+        model).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(streamed == batch,
+        "ingest-time whitening must equal the batch apply exactly")
+    } finally q2.stop()
+  }
+
   test("cdcApplySink materializes the change log to the one-shot MERGE state") {
     import graft.operators.AuditOps
     val stateDir = java.nio.file.Files
