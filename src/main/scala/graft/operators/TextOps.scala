@@ -1331,6 +1331,24 @@ object TextOps {
         (if (keepText) Seq(norm.as("norm_text")) else Nil): _*)
   }
 
+  /** Multi-pattern blocklist screen over a FROZEN phrase list
+    * ([[graft.functions.AcScreen]], Aho-Corasick 1975): total substring
+    * hits, distinct patterns present, and the flagged verdict — one
+    * automaton walk per document, O(len + matches) at ANY blocklist
+    * size, where the per-pattern scan ([[piiScan]]'s regex-count shape)
+    * is O(len × patterns) and a single alternation regex stops
+    * compiling at real blocklist sizes. Substring semantics by design
+    * (phrase lists must match inside words and across word boundaries);
+    * compose with [[normalizeText]] upstream so case/whitespace noise
+    * cannot dodge the screen. */
+  def blocklistScreen(docs: DataFrame, id: Column, text: Column,
+      patterns: Seq[String]): DataFrame = {
+    graft.functions.AcExpressions.register(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+        graft.functions.AcExpressions.acScreen(text, patterns).as("_b"))
+      .select(col("doc_id"), col("_b.*"))
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

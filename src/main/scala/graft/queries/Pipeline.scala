@@ -3879,6 +3879,37 @@ object Pipeline {
     },
     None)
 
+  /** Blocklist screen ([[TextOps.blocklistScreen]], Aho-Corasick): all
+    * substring hits of a frozen phrase list in one automaton walk per
+    * doc — hash-pinned against an oracle that enumerates every start
+    * position per pattern (the O(len × patterns) shape the automaton
+    * replaces). Patterns chosen to overlap ("slow" inside "slower"-less
+    * corpus text, a two-word phrase, a single char-gram) so the
+    * dictionary-suffix reporting path is exercised on real data. */
+  private val BlockPatterns = Seq("slow", "fast table", "agg", "w sc")
+  private val q135 = QueryDef(
+    "q135_blocklist_screen",
+    (s, d) => TextOps.blocklistScreen(
+      Tables.documents(s, d), col("doc_id"), col("text"), BlockPatterns),
+    {
+      val cnts = BlockPatterns.zipWithIndex.map { case (p, k) =>
+        s"""    SUM(CASE WHEN substr(text, i, ${p.length}) = '$p'
+           |      THEN 1 ELSE 0 END) AS c$k""".stripMargin
+      }
+      val ks = BlockPatterns.indices
+      s"""WITH posn AS (SELECT doc_id, text, g.i
+         |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)),
+         |cnts AS (SELECT doc_id,
+         |${cnts.mkString(",\n")}
+         |  FROM posn GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(${ks.map(k => s"c$k").mkString(" + ")} AS BIGINT) AS n_hits,
+         |  CAST(${ks.map(k => s"(CASE WHEN c$k > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS BIGINT) AS n_patterns,
+         |  (${ks.map(k => s"c$k").mkString(" + ")}) > 0 AS flagged
+         |FROM cnts""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3887,7 +3918,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

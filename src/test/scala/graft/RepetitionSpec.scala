@@ -286,6 +286,60 @@ class RepetitionSpec extends SparkSpec {
     assert(out(4).getAs[Long]("norm_fp") == 0L)
   }
 
+  // ----------------------------------------------------- blocklistScreen
+
+  private def naiveCounts(text: String, pats: Seq[String]): Seq[Long] =
+    pats.map { p =>
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }
+
+  private def runB(texts: Seq[String], pats: Seq[String]) = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    TextOps.blocklistScreen(df, col("doc_id"), col("text"), pats)
+      .orderBy("doc_id").collect()
+  }
+
+  test("blocklistScreen: hand-computed hits incl. overlapping patterns") {
+    // "aba" in "ababa": starts 1,3 (overlapping) = 2; "ba" starts 2,4;
+    // "b" starts 2,4 — patterns nested inside each other all report
+    val pats = Seq("aba", "ba", "b")
+    val r = runB(Seq("ababa"), pats).head
+    assert(r.getAs[Long]("n_hits") == 6L, s"2+2+2 overlapping hits: $r")
+    assert(r.getAs[Long]("n_patterns") == 3L)
+    assert(r.getAs[Boolean]("flagged"))
+    // no hits
+    val clean = runB(Seq("zzz"), pats).head
+    assert(clean.getAs[Long]("n_hits") == 0L)
+    assert(!clean.getAs[Boolean]("flagged"))
+    // empty text
+    val empty = runB(Seq(""), pats).head
+    assert(empty.getAs[Long]("n_hits") == 0L && !empty.getAs[Boolean]("flagged"))
+  }
+
+  test("blocklistScreen: phrase match crosses word boundaries") {
+    val r = runB(Seq("a fast table scan"), Seq("fast table", "st ta")).head
+    assert(r.getAs[Long]("n_hits") == 2L, s"both phrases overlap in: $r")
+    assert(r.getAs[Long]("n_patterns") == 2L)
+  }
+
+  test("blocklistScreen: randomized parity with naive substring counting") {
+    val pats = Seq("ab", "ba", "aab", "b", "abab")
+    val tokGen = Gen.oneOf("a", "b", "ab", "ba", " ")
+    val textGen = Gen.chooseNum(0, 80)
+      .flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString))
+    val texts = samples(textGen, 60)
+    val rows = runB(texts, pats)
+    rows.zip(texts).foreach { case (r, t) =>
+      val want = naiveCounts(t, pats)
+      assert(r.getAs[Long]("n_hits") == want.sum,
+        s"hits for '${t.take(40)}': got $r want $want")
+      assert(r.getAs[Long]("n_patterns") == want.count(_ > 0).toLong,
+        s"patterns for '${t.take(40)}'")
+    }
+  }
+
   test("corpus smoke: signals bounded, some docs show bigram repetition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
