@@ -726,6 +726,30 @@ object MicroBench {
           else BpeOps.bpeTokensCompiled(spark, col("text"), merges)
         docs.select(col("doc_id"), toks.as("tokens"),
           size(toks).cast("long").as("n_tokens"))
+      // ac_{auto|regex}_{N}: the blocklist screen over an N-pattern list —
+      // a firing head of real corpus phrases padded to N with patterns
+      // over symbols absent from the corpus (the bpe_apply convention).
+      // The automaton walks each doc ONCE regardless of N; the regex
+      // baseline (the piiScan per-pattern regexp count shape) pays one
+      // full scan per pattern, O(len × N). Both report identical hits on
+      // the firing head (RepetitionSpec parity covers semantics).
+      case s if s.startsWith("ac_") =>
+        val parts = s.stripPrefix("ac_").split("_")
+        val (mode, n) = (parts(0), parts(1).toInt)
+        val head = Seq("slow", "fast table", "agg", "row scan", "key",
+          "window", "sort", "merge batch", "hash value", "spark")
+        val pats = (head ++ (head.size until n).map(i => s"§$i¶")).take(n)
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        if (mode == "auto")
+          TextOps.blocklistScreen(docs, col("doc_id"), col("text"), pats)
+        else {
+          val counts = pats.map(p => size(regexp_extract_all(col("text"),
+            lit(java.util.regex.Pattern.quote(p)), lit(0))).cast("long"))
+          val total = counts.reduce(_ + _)
+          docs.select(col("doc_id"), total.as("n_hits"),
+            counts.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _)
+              .as("n_patterns"), (total > 0).as("flagged"))
+        }
       // calib_{exact|approx}: the calibrateScores giant-group case — 1.5 M
       // scores in ONE group, where the exact face funnels everything
       // through a single percent_rank sort partition and the approx face
