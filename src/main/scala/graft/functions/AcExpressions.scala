@@ -83,6 +83,28 @@ case class AcScreen(child: Expression, patterns: Seq[String])
     (gotos.toArray, failArr, outArr, term.toArray)
   }
 
+  /** Every (start, length) substring match in the text, in match-end
+    * order — the raw match stream [[AcRedact]] resolves greedily. */
+  def allMatches(text: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var node = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = Character.valueOf(text.charAt(i))
+      while (node != 0 && !gotoMaps(node).containsKey(ch)) node = fail(node)
+      val nxt = gotoMaps(node).get(ch)
+      node = if (nxt != null) nxt.intValue() else 0
+      var t = if (termPattern(node) >= 0) node else outLink(node)
+      while (t >= 0) {
+        val len = patterns(termPattern(t)).length
+        out += ((i - len + 1, len))
+        t = outLink(t)
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   def screen(textU: UTF8String): InternalRow = {
     val text = textU.toString
     val perPattern = new Array[Long](patterns.length)
@@ -133,6 +155,86 @@ object AcScreen {
     StructField("flagged", BooleanType, nullable = false)))
 }
 
+/** Redaction face of [[AcScreen]] — the same frozen-list automaton, but
+  * matched spans are REPLACED: greedy leftmost-longest non-overlapping
+  * resolution (the FlashText rule: scan left to right, at each position
+  * consume the longest match starting there; overlapped shorter/later
+  * matches are subsumed), each chosen span replaced by `marker`. Output
+  * carries the span count, characters removed, and the redacted text's
+  * polynomial fingerprint ([[PolyHash]] convention; `keepText` upstream
+  * decides whether the string itself survives). */
+case class AcRedact(child: Expression, patterns: Seq[String], marker: String)
+    extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty strings")
+  require(patterns.distinct.length == patterns.length,
+    "patterns must be distinct")
+
+  override def dataType: DataType = AcRedact.OutType
+  override def prettyName: String = "ac_redact"
+
+  @transient private lazy val screener = AcScreen(child, patterns)
+
+  private def polyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % TextHash.P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def redact(textU: UTF8String): InternalRow = {
+    val text = textU.toString
+    val matches = screener.allMatches(text) // (start, len), end-order
+    // greedy leftmost-longest: sort (start asc, len desc), sweep a cursor
+    val sorted = matches.sortBy { case (s, l) => (s, -l) }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var cursor = 0
+    sorted.foreach { case (s, l) =>
+      if (s >= cursor) { chosen += ((s, l)); cursor = s + l }
+    }
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    chosen.foreach { case (s, l) =>
+      sb.append(text, pos, s).append(marker)
+      pos = s + l
+    }
+    sb.append(text, pos, text.length)
+    val red = sb.toString
+    new GenericInternalRow(Array[Any](
+      chosen.size.toLong,
+      chosen.map(_._2.toLong).sum,
+      polyHash(red),
+      UTF8String.fromString(red)))
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    redact(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("acRedact", this,
+        classOf[AcRedact].getName)
+      s"${ev.value} = $ref.redact($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AcRedact {
+  val OutType: StructType = StructType(Seq(
+    StructField("n_redacted", LongType, nullable = false),
+    StructField("n_chars_removed", LongType, nullable = false),
+    StructField("redacted_fp", LongType, nullable = false),
+    StructField("redacted_text",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+}
+
 object AcExpressions {
   val FnName = "ac_screen"
 
@@ -164,5 +266,38 @@ object AcExpressions {
     val f = org.apache.spark.sql.functions
     call_function(FnName, text,
       f.array(patterns.map(f.lit(_)).toIndexedSeq: _*))
+  }
+
+  val RedactFnName = "ac_redact"
+
+  /** Idempotently register `ac_redact(text, patterns, marker)`. */
+  def registerRedact(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RedactFnName,
+      exprs => {
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$RedactFnName(text, patterns, marker): $what"))
+        if (exprs.length != 3) throw bad("exactly 3 arguments required")
+        if (!exprs(1).foldable || !exprs(2).foldable)
+          throw bad("patterns and marker must be foldable literals")
+        val v = exprs(1).eval()
+        val m = exprs(2).eval()
+        if (v == null || m == null) throw bad("patterns/marker non-null")
+        val arr = v.asInstanceOf[ArrayData]
+        val pats = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        AcRedact(exprs.head, pats, m.asInstanceOf[UTF8String].toString)
+      }, "scala_udf")
+  }
+
+  /** Compiled blocklist-redaction column (see [[AcRedact]]); call
+    * [[registerRedact]] on the session first. */
+  def acRedact(text: Column, patterns: Seq[String],
+      marker: String): Column = {
+    val f = org.apache.spark.sql.functions
+    call_function(RedactFnName, text,
+      f.array(patterns.map(f.lit(_)).toIndexedSeq: _*), f.lit(marker))
   }
 }

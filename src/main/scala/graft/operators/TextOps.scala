@@ -1349,6 +1349,27 @@ object TextOps {
       .select(col("doc_id"), col("_b.*"))
   }
 
+  /** Redaction face of [[blocklistScreen]] ([[graft.functions
+    * .AcRedact]]): matched spans replaced by `marker` under greedy
+    * leftmost-longest non-overlapping resolution (the FlashText rule) —
+    * the takedown/compliance apply path when dropping the whole document
+    * is too blunt. Same one-walk-per-row automaton; the resolution rule
+    * is what makes the output deterministic when patterns nest or
+    * overlap, and the q136 oracle replays it with a per-doc recursive
+    * cursor sweep. */
+  def blocklistRedact(docs: DataFrame, id: Column, text: Column,
+      patterns: Seq[String], marker: String = "<BLOCKED>",
+      keepText: Boolean = false): DataFrame = {
+    graft.functions.AcExpressions.registerRedact(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+        graft.functions.AcExpressions.acRedact(text, patterns, marker)
+          .as("_r"))
+      .select(
+        Seq(col("doc_id"), col("_r.n_redacted"), col("_r.n_chars_removed"),
+          col("_r.redacted_fp")) ++
+          (if (keepText) Seq(col("_r.redacted_text")) else Nil): _*)
+  }
+
   /** Zipf-head size for [[lmScore]]'s frequency-split token join: 4096
     * words × ~30 B of (word, decimal) is a ~100 KB broadcast — far under
     * any broadcast threshold — yet covers the bulk of token occurrences in

@@ -3910,6 +3910,61 @@ object Pipeline {
          |FROM cnts""".stripMargin
     })
 
+  /** Blocklist redaction ([[TextOps.blocklistRedact]]): matched spans
+    * replaced under greedy leftmost-longest resolution — the oracle
+    * replays the automaton's match set by position enumeration, the
+    * greedy sweep as a recursive per-doc cursor (arg-min encoded as
+    * `min(s·1e5 + (1e5−1−l))`, aggregation in the recursive term), and
+    * the rebuilt string's fingerprint. */
+  private val q136 = QueryDef(
+    "q136_blocklist_redact",
+    (s, d) => TextOps.blocklistRedact(
+      Tables.documents(s, d), col("doc_id"), col("text"), BlockPatterns),
+    {
+      val mm = BlockPatterns.map { p =>
+        val l = p.length
+        s"""  SELECT doc_id, g.i AS s, $l AS l
+           |  FROM documents, UNNEST(generate_series(1, length(text) - ${l - 1}))
+           |    AS g(i)
+           |  WHERE substr(text, g.i, $l) = '$p'""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH RECURSIVE m AS (
+         |$mm),
+         |sel(doc_id, s, l) AS (
+         |  SELECT doc_id,
+         |    CAST(min(s * 100000 + (99999 - l)) // 100000 AS BIGINT),
+         |    CAST(99999 - (min(s * 100000 + (99999 - l)) % 100000) AS BIGINT)
+         |  FROM m GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT m.doc_id,
+         |    CAST(min(m.s * 100000 + (99999 - m.l)) // 100000 AS BIGINT),
+         |    CAST(99999 - (min(m.s * 100000 + (99999 - m.l)) % 100000)
+         |      AS BIGINT)
+         |  FROM m JOIN sel p ON p.doc_id = m.doc_id AND m.s >= p.s + p.l
+         |  GROUP BY m.doc_id),
+         |sp AS (SELECT sel.doc_id, sel.s, sel.l, d.text,
+         |    COALESCE(lag(sel.s + sel.l)
+         |      OVER (PARTITION BY sel.doc_id ORDER BY sel.s), 1) AS pe
+         |  FROM sel JOIN documents d USING (doc_id)),
+         |agg AS (SELECT doc_id,
+         |    string_agg(substr(text, CAST(pe AS INTEGER),
+         |      CAST(s - pe AS INTEGER)) || '<BLOCKED>', '' ORDER BY s)
+         |      AS headpart,
+         |    CAST(max(s + l) AS INTEGER) AS lastend,
+         |    CAST(count(*) AS BIGINT) AS n_redacted,
+         |    CAST(sum(l) AS BIGINT) AS n_chars_removed
+         |  FROM sp GROUP BY doc_id),
+         |red AS (SELECT d.doc_id,
+         |    COALESCE(a.n_redacted, 0) AS n_redacted,
+         |    COALESCE(a.n_chars_removed, 0) AS n_chars_removed,
+         |    COALESCE(a.headpart, '') || substr(d.text, COALESCE(a.lastend, 1))
+         |      AS r
+         |  FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, n_redacted, n_chars_removed,
+         |  CASE WHEN r = '' THEN 0 ELSE ${polyHashSql("r")} END AS redacted_fp
+         |FROM red""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3918,7 +3973,7 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -340,6 +340,32 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("blocklistRedact: greedy leftmost-longest, FlashText semantics") {
+    def red(t: String, pats: Seq[String]) = {
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      TextOps.blocklistRedact(df, col("doc_id"), col("text"), pats,
+        marker = "#", keepText = true).collect().head
+    }
+    // nested patterns: the longest starting at the leftmost wins; the
+    // inner/later matches are subsumed, text between spans survives
+    val r1 = red("ababa", Seq("aba", "ba", "b"))
+    assert(r1.getAs[String]("redacted_text") == "##",
+      s"aba@1 then ba@4: ${r1.getAs[String]("redacted_text")}")
+    assert(r1.getAs[Long]("n_redacted") == 2L)
+    assert(r1.getAs[Long]("n_chars_removed") == 5L)
+    // a longer match starting later does NOT preempt an earlier shorter
+    // one (leftmost wins before longest)
+    val r2 = red("xabcy", Seq("ab", "bc"))
+    assert(r2.getAs[String]("redacted_text") == "x#cy")
+    // no matches -> identity, fp = polyHash(text)
+    val r3 = red("clean text", Seq("zz"))
+    assert(r3.getAs[Long]("n_redacted") == 0L)
+    assert(r3.getAs[String]("redacted_text") == "clean text")
+    // adjacent matches both redact
+    val r4 = red("abab", Seq("ab"))
+    assert(r4.getAs[String]("redacted_text") == "##")
+  }
+
   test("corpus smoke: signals bounded, some docs show bigram repetition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
