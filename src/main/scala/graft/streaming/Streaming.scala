@@ -428,6 +428,22 @@ object Streaming {
     graft.operators.TextOps.normalizeText(docs, col("doc_id"), col("text"),
       keepText)
 
+  /** Ingest faces of [[graft.operators.TextOps.blocklistScreen]] /
+    * [[graft.operators.TextOps.blocklistRedact]] — the frozen phrase
+    * list is baked into the automaton at stream definition (the
+    * BpeEncode convention; list update ⇒ restart the stream, the
+    * standing static-index rule); one walk per arriving row, no state,
+    * parity definitional. */
+  def blocklistScreenStream(docs: DataFrame,
+      patterns: Seq[String]): DataFrame =
+    graft.operators.TextOps.blocklistScreen(docs, col("doc_id"),
+      col("text"), patterns)
+
+  def blocklistRedactStream(docs: DataFrame, patterns: Seq[String],
+      marker: String = "<BLOCKED>", keepText: Boolean = false): DataFrame =
+    graft.operators.TextOps.blocklistRedact(docs, col("doc_id"),
+      col("text"), patterns, marker, keepText)
+
   /** Ingest face of [[graft.operators.WhitenOps.whiten]] — arriving
     * vectors projected through the FROZEN fitted ZCA model (moments are
     * corpus-wide statistics a micro-batch cannot know; re-fit ⇒ restart

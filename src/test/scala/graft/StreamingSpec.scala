@@ -776,6 +776,35 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("blocklist screen and redact streams equal their batch faces") {
+    val pats = Seq("slow", "fast table", "agg")
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text").cache()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.blocklistScreenStream(
+      in.toDS().toDF("doc_id", "text"), pats)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("block1").start()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.blocklistRedactStream(
+      in2.toDS().toDF("doc_id", "text"), pats)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("block2").start()
+    try {
+      in.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      in2.addData(rows.toIndexedSeq: _*); q2.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        r.getLong(0) -> r.getValuesMap[Any](r.schema.fieldNames.drop(1).toSeq)
+      assert(spark.table("block1").collect().map(key).toMap ==
+        graft.operators.TextOps.blocklistScreen(docs, col("doc_id"),
+          col("text"), pats).collect().map(key).toMap)
+      assert(spark.table("block2").collect().map(key).toMap ==
+        graft.operators.TextOps.blocklistRedact(docs, col("doc_id"),
+          col("text"), pats).collect().map(key).toMap)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("cdcApplySink materializes the change log to the one-shot MERGE state") {
     import graft.operators.AuditOps
     val stateDir = java.nio.file.Files
