@@ -340,6 +340,23 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("blocklistScreen/Redact: astral (surrogate-pair) patterns match " +
+      "and redact exactly") {
+    val pats = Seq("🎉x", "x") // 🎉x and x
+    val t = "a🎉xb x"
+    val r = runB(Seq(t), pats).head
+    // 🎉x once; x twice (inside 🎉x and standalone)
+    assert(r.getAs[Long]("n_hits") == 3L, s"hits: $r")
+    assert(r.getAs[Long]("n_patterns") == 2L)
+    val df = Seq((1L, t)).toDF("doc_id", "text")
+    val red = TextOps.blocklistRedact(df, col("doc_id"), col("text"), pats,
+      marker = "#", keepText = true).collect().head
+    // leftmost-longest: 🎉x wins over the inner x; the standalone x
+    // redacts separately
+    assert(red.getAs[String]("redacted_text") == "a#b #",
+      s"got ${red.getAs[String]("redacted_text")}")
+  }
+
   test("blocklistRedact: greedy leftmost-longest, FlashText semantics") {
     def red(t: String, pats: Seq[String]) = {
       val df = Seq((1L, t)).toDF("doc_id", "text")
