@@ -2824,16 +2824,22 @@ object Pipeline {
 
   /** End-to-end curation funnel as a REGISTERED query (r11 verdict item
     * 6): the SQL-expressible spine of [[graft.operators.CurationDemo]] —
-    * quality funnel → near-dup keep-best → exact decontamination →
-    * source mixing → sequence packing — chained over the SURVIVORS of
+    * quality funnel → Gopher repetition screen → near-dup keep-best →
+    * exact decontamination → source mixing → sequence packing — chained
+    * over the SURVIVORS of
     * each previous stage (not the full corpus like the per-stage queries
     * q60/q63/q79/q64/q54), with per-stage survivor counts as the output.
-    * The oracle replays the whole five-stage composition in one CTE
+    * The oracle replays the whole six-stage composition in one CTE
     * chain, so a stage that silently stops dropping (or drops everything)
     * hash-fails the round's CORRECTNESS artifact, not just a spec. The
     * demo's non-SQL stages (semantic/media dedup over embeddings and
     * codecs) stay gated by their own queries (q69/q86/q87/q89) and
-    * CurationDemoSpec's golden stage-count vector. */
+    * CurationDemoSpec's golden stage-count vector. The multiply-referenced
+    * stage CTEs carry the MATERIALIZED hint: DuckDB 1.0 inlines every CTE
+    * reference, so without it each downstream reference re-expands the
+    * whole upstream DAG (repetition chain × minhash × recursive reach) —
+    * measured >12 min vs 0.7 s at sf0.01. Oracle-side syntax only; Spark
+    * never parses this SQL. */
   private val q117 = QueryDef(
     "q117_curation_funnel",
     (s, d) => {
@@ -2843,16 +2849,22 @@ object Pipeline {
       // 1. quality funnel
       val clean = settle(docs.where(TextOps.funnelPredicates(col("text"))
         .map(_._2).reduce(_ && _)))
-      // 2. near-dup keep-best (the q63 pair: qualityComposite score)
+      // 2. Gopher repetition screen (the q126 rules, the demo's stage)
+      val screened = settle(clean.join(
+        TextOps.gopherRepetition(clean, col("doc_id"), col("text"))
+          .where(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      // 3. near-dup keep-best (the q63 pair: qualityComposite score)
       val clusters = DedupOps.dedupClusters(
         DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-          clean, col("doc_id"), col("text"), SHINGLE_W)),
+          screened, col("doc_id"), col("text"), SHINGLE_W)),
         "doc_a", "doc_b")
       val best = DedupOps.keepBestInCluster(
-        clean, col("doc_id"), TextOps.qualityComposite(col("text")), clusters)
+        screened, col("doc_id"), TextOps.qualityComposite(col("text")),
+        clusters)
       val dropDup = clusters.join(best, "cluster_id")
         .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-      val deduped = settle(clean.join(dropDup, Seq("doc_id"), "left_anti"))
+      val deduped = settle(screened.join(dropDup, Seq("doc_id"), "left_anti"))
       // 3. exact decontamination (the q79 shape over the survivors)
       val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"),
         ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
@@ -2876,17 +2888,18 @@ object Pipeline {
           .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n"))
       cnt(0L, "corpus", docs)
         .unionAll(cnt(1L, "funnel", clean))
-        .unionAll(cnt(2L, "keep_best", deduped))
-        .unionAll(cnt(3L, "decontaminated", decon))
-        .unionAll(cnt(4L, "mixed", mixed))
-        .unionAll(cnt(5L, "chunks", packed))
+        .unionAll(cnt(2L, "gopher", screened))
+        .unionAll(cnt(3L, "keep_best", deduped))
+        .unionAll(cnt(4L, "decontaminated", decon))
+        .unionAll(cnt(5L, "mixed", mixed))
+        .unionAll(cnt(6L, "chunks", packed))
     }, {
       val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
         .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
         .mkString("(", " AND ", ")")
       val mins = (0 until MinhashA.size)
         .map(i => s"min(${minhashPermSql("h", i)}) AS m$i").mkString(", ")
-      s"""WITH RECURSIVE fun AS (
+      s"""WITH RECURSIVE fun AS MATERIALIZED (
          |  SELECT doc_id, text, source FROM (
          |    SELECT doc_id, text, source, string_split(text, ' ') AS ws
          |    FROM documents) b
@@ -2895,8 +2908,11 @@ object Pipeline {
          |      / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio}
          |    AND $qualityCompositeSql >= ${TextOps.DefaultMinQuality}
          |    AND $piiFree),
-         |${shingleCteOver(SHINGLE_W, "fun")},
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |${repetitionCtes("fun", "gr")},
+         |scr AS MATERIALIZED (SELECT f.* FROM fun f
+         |  JOIN grkeep k USING (doc_id) WHERE k.keep),
+         |${shingleCteOver(SHINGLE_W, "scr")},
+         |sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, 0 AS band,
          |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
@@ -2914,18 +2930,18 @@ object Pipeline {
          |  SELECT a, b FROM und
          |  UNION
          |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         |labels AS (
+         |labels AS MATERIALIZED (
          |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |  FROM reach GROUP BY a),
          |q AS (SELECT doc_id, round($qualityCompositeSql, 6) AS q
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |    FROM fun) b0),
+         |    FROM scr) b0),
          |r AS (SELECT l.cluster_id, l.doc_id,
          |    row_number() OVER (PARTITION BY l.cluster_id
          |      ORDER BY q.q DESC, l.doc_id) AS rk
          |  FROM labels l JOIN q USING (doc_id)),
          |dropdup AS (SELECT doc_id FROM r WHERE rk > 1),
-         |dedup AS (SELECT * FROM fun ANTI JOIN dropdup USING (doc_id)),
+         |dedup AS MATERIALIZED (SELECT * FROM scr ANTI JOIN dropdup USING (doc_id)),
          |dwords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup),
          |dsh AS (
          |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
@@ -2943,7 +2959,7 @@ object Pipeline {
          |  JOIN spl ON dsh.doc_id = spl.doc_id WHERE split = 'train'),
          |leaky AS (SELECT trd.doc_id FROM trd LEFT JOIN te ON trd.h = te.h
          |  GROUP BY trd.doc_id HAVING count(te.h) >= 2),
-         |decon AS (SELECT * FROM dedup ANTI JOIN leaky USING (doc_id)),
+         |decon AS MATERIALIZED (SELECT * FROM dedup ANTI JOIN leaky USING (doc_id)),
          |t AS (SELECT doc_id, source,
          |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks,
          |    ${sampleBucketSql(polyHashSql("text"), 1000000)} AS bkt
@@ -2955,7 +2971,7 @@ object Pipeline {
          |    least($MixBudget * 1000000 // (nsrc.k * avail),
          |      CAST(1000000 AS BIGINT)) AS thr
          |  FROM a CROSS JOIN nsrc),
-         |mixed AS (SELECT t.doc_id, t.toks FROM t JOIN thr USING (source)
+         |mixed AS MATERIALIZED (SELECT t.doc_id, t.toks FROM t JOIN thr USING (source)
          |  WHERE bkt < thr),
          |c AS (SELECT doc_id, toks,
          |    sum(toks) OVER (ORDER BY doc_id
@@ -2967,13 +2983,15 @@ object Pipeline {
          |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
          |UNION ALL SELECT 1, 'funnel',
          |  (SELECT CAST(count(*) AS BIGINT) FROM fun)
-         |UNION ALL SELECT 2, 'keep_best',
+         |UNION ALL SELECT 2, 'gopher',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scr)
+         |UNION ALL SELECT 3, 'keep_best',
          |  (SELECT CAST(count(*) AS BIGINT) FROM dedup)
-         |UNION ALL SELECT 3, 'decontaminated',
+         |UNION ALL SELECT 4, 'decontaminated',
          |  (SELECT CAST(count(*) AS BIGINT) FROM decon)
-         |UNION ALL SELECT 4, 'mixed',
+         |UNION ALL SELECT 5, 'mixed',
          |  (SELECT CAST(count(*) AS BIGINT) FROM mixed)
-         |UNION ALL SELECT 5, 'chunks',
+         |UNION ALL SELECT 6, 'chunks',
          |  (SELECT CAST(count(*) AS BIGINT) FROM chunks)""".stripMargin
     })
 
@@ -3507,107 +3525,113 @@ object Pipeline {
        |    AS target_fp
        |FROM strs""".stripMargin)
 
+  /** CTE chain computing the thirteen Gopher repetition signals + keep
+    * over `table` (which must expose doc_id, text), every CTE name
+    * prefixed with `pfx` so the chain composes inside larger oracles
+    * (q117 threads it over the funnel survivors). Final CTE:
+    * `${pfx}keep` with all signal columns + `keep`. */
+  private def repetitionCtes(table: String, pfx: String): String = {
+    val topNs = Seq(2, 3, 4)
+    val covNs = Seq(5, 6, 7, 8, 9, 10)
+    val gramCtes = (topNs ++ covNs).map { n =>
+      s"""${pfx}g$n AS (SELECT doc_id, i, array_to_string(ws[i:i+${n - 1}], ' ') AS g
+         |  FROM ${pfx}base, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+         |${pfx}c$n AS (SELECT doc_id, g, count(*) AS c FROM ${pfx}g$n GROUP BY 1, 2)""".stripMargin
+    }
+    val topCtes = topNs.map { n =>
+      s"""${pfx}t$n AS (SELECT doc_id, c, length(g) - ${n - 1} AS gc FROM ${pfx}c$n
+         |  WHERE c >= 2
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)""".stripMargin
+    }
+    val covCtes = covNs.map { n =>
+      s"""${pfx}d$n AS (SELECT g.doc_id, g.i FROM ${pfx}g$n g
+         |  JOIN ${pfx}c$n c ON c.doc_id = g.doc_id AND c.g = g.g WHERE c.c >= 2),
+         |${pfx}v$n AS (SELECT DISTINCT t.doc_id, t.i, length(t.tok) AS lc FROM ${pfx}tok t
+         |  JOIN ${pfx}d$n s ON s.doc_id = t.doc_id AND t.i BETWEEN s.i AND s.i + ${n - 1}),
+         |${pfx}cov$n AS (SELECT doc_id, CAST(sum(lc) AS BIGINT) AS cc FROM ${pfx}v$n GROUP BY 1)""".stripMargin
+    }
+    val topCols = topNs.map { n =>
+      s"""  COALESCE(round(CAST(${pfx}t$n.c * ${pfx}t$n.gc AS DOUBLE) / CAST(${pfx}tt.tc AS DOUBLE), 6), 0.0)
+         |    AS top_${n}gram_frac""".stripMargin
+    }
+    val covCols = covNs.map { n =>
+      s"""  COALESCE(round(CAST(${pfx}cov$n.cc AS DOUBLE) / CAST(${pfx}tt.tc AS DOUBLE), 6), 0.0)
+         |    AS dup_${n}gram_frac""".stripMargin
+    }
+    val joins =
+      topNs.map(n => s"LEFT JOIN ${pfx}t$n ON ${pfx}t$n.doc_id = ${pfx}tt.doc_id") ++
+        covNs.map(n => s"LEFT JOIN ${pfx}cov$n ON ${pfx}cov$n.doc_id = ${pfx}tt.doc_id")
+    import graft.functions.{RepetitionSignals => RS}
+    val keepSql =
+      s"""dup_line_frac <= ${RS.DupLineThr} AND dup_para_frac <= ${RS.DupParaThr}
+         |    AND dup_line_char_frac <= ${RS.DupLineCharThr}
+         |    AND dup_para_char_frac <= ${RS.DupParaCharThr}
+         |    AND top_2gram_frac <= ${RS.Top2Thr} AND top_3gram_frac <= ${RS.Top3Thr}
+         |    AND top_4gram_frac <= ${RS.Top4Thr}
+         |    AND dup_5gram_frac <= ${RS.Dup5Thr} AND dup_6gram_frac <= ${RS.Dup6Thr}
+         |    AND dup_7gram_frac <= ${RS.Dup7Thr} AND dup_8gram_frac <= ${RS.Dup8Thr}
+         |    AND dup_9gram_frac <= ${RS.Dup9Thr} AND dup_10gram_frac <= ${RS.Dup10Thr}""".stripMargin
+    s"""${pfx}base AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+       |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lns,
+       |    list_filter(string_split(text, chr(10) || chr(10)), x -> length(x) > 0) AS prs
+       |  FROM $table),
+       |${pfx}tok AS (SELECT doc_id, i, ws[i] AS tok
+       |  FROM ${pfx}base, UNNEST(generate_series(1, len(ws))) AS t(i)),
+       |${pfx}tt AS (SELECT b.doc_id, len(b.ws) AS nw, COALESCE(s.tc, 0) AS tc
+       |  FROM ${pfx}base b LEFT JOIN (
+       |    SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS tc
+       |    FROM ${pfx}tok GROUP BY 1) s ON s.doc_id = b.doc_id),
+       |${pfx}lparts AS (SELECT doc_id, unnest(lns) AS p FROM ${pfx}base),
+       |${pfx}lcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
+       |  FROM ${pfx}lparts GROUP BY 1, 2),
+       |${pfx}lagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
+       |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
+       |  FROM ${pfx}lcnt GROUP BY 1),
+       |${pfx}pparts AS (SELECT doc_id, unnest(prs) AS p FROM ${pfx}base),
+       |${pfx}pcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
+       |  FROM ${pfx}pparts GROUP BY 1, 2),
+       |${pfx}pagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
+       |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
+       |  FROM ${pfx}pcnt GROUP BY 1),
+       |${gramCtes.mkString(",\n")},
+       |${topCtes.mkString(",\n")},
+       |${covCtes.mkString(",\n")},
+       |${pfx}sig AS (SELECT ${pfx}tt.doc_id,
+       |  CAST(${pfx}tt.nw AS BIGINT) AS n_words, ${pfx}tt.tc AS n_chars,
+       |  COALESCE(round(CAST(la.dup AS DOUBLE) / CAST(la.np AS DOUBLE), 6), 0.0)
+       |    AS dup_line_frac,
+       |  COALESCE(round(CAST(la.dupc AS DOUBLE) / CAST(la.pc AS DOUBLE), 6), 0.0)
+       |    AS dup_line_char_frac,
+       |  COALESCE(round(CAST(pa.dup AS DOUBLE) / CAST(pa.np AS DOUBLE), 6), 0.0)
+       |    AS dup_para_frac,
+       |  COALESCE(round(CAST(pa.dupc AS DOUBLE) / CAST(pa.pc AS DOUBLE), 6), 0.0)
+       |    AS dup_para_char_frac,
+       |${topCols.mkString(",\n")},
+       |${covCols.mkString(",\n")}
+       |  FROM ${pfx}tt
+       |  LEFT JOIN ${pfx}lagg la ON la.doc_id = ${pfx}tt.doc_id
+       |  LEFT JOIN ${pfx}pagg pa ON pa.doc_id = ${pfx}tt.doc_id
+       |  ${joins.mkString("\n  ")}),
+       |${pfx}keep AS (SELECT *, ($keepSql) AS keep FROM ${pfx}sig)""".stripMargin
+  }
+
   /** Gopher repetition rules ([[TextOps.gopherRepetition]], Rae et al.
     * 2021 Table A1): thirteen per-document self-repetition signals + the
     * keep verdict at the published thresholds, all hash-pinned — the
     * oracle replays line/paragraph duplicate accounting, top-n-gram
-    * selection (count ≥ 2, lexicographic ties), and per-character
-    * duplicated-n-gram coverage. The corpus has no newlines, so the
-    * line/paragraph legs gate the zero path here; RepetitionSpec pins
-    * them on multi-line fixtures against the reference model. */
+    * selection (count >= 2, lexicographic ties), and per-character
+    * duplicated-n-gram coverage through the shared [[repetitionCtes]]
+    * chain (q117 threads the same chain over its funnel survivors). The
+    * corpus has no newlines, so the line/paragraph legs gate the zero
+    * path here; RepetitionSpec pins them on multi-line fixtures against
+    * the reference model. */
   private val q126 = QueryDef(
     "q126_repetition_signals",
     (s, d) => TextOps.gopherRepetition(
       Tables.documents(s, d), col("doc_id"), col("text")),
-    {
-      // per-n CTEs: grams (gN), counts (cN), top pick (tN) for n=2..4,
-      // duplicated-gram starts (dN) -> covered positions -> chars (covN)
-      // for n=5..10
-      val topNs = Seq(2, 3, 4)
-      val covNs = Seq(5, 6, 7, 8, 9, 10)
-      val gramCtes = (topNs ++ covNs).map { n =>
-        s"""g$n AS (SELECT doc_id, i, array_to_string(ws[i:i+${n - 1}], ' ') AS g
-           |  FROM base, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
-           |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2)""".stripMargin
-      }
-      val topCtes = topNs.map { n =>
-        s"""t$n AS (SELECT doc_id, c, length(g) - ${n - 1} AS gc FROM c$n
-           |  WHERE c >= 2
-           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)""".stripMargin
-      }
-      val covCtes = covNs.map { n =>
-        s"""d$n AS (SELECT g.doc_id, g.i FROM g$n g
-           |  JOIN c$n c ON c.doc_id = g.doc_id AND c.g = g.g WHERE c.c >= 2),
-           |v$n AS (SELECT DISTINCT t.doc_id, t.i, length(t.tok) AS lc FROM tok t
-           |  JOIN d$n s ON s.doc_id = t.doc_id AND t.i BETWEEN s.i AND s.i + ${n - 1}),
-           |cov$n AS (SELECT doc_id, CAST(sum(lc) AS BIGINT) AS cc FROM v$n GROUP BY 1)""".stripMargin
-      }
-      val topCols = topNs.map { n =>
-        s"""  COALESCE(round(CAST(t$n.c * t$n.gc AS DOUBLE) / CAST(tt.tc AS DOUBLE), 6), 0.0)
-           |    AS top_${n}gram_frac""".stripMargin
-      }
-      val covCols = covNs.map { n =>
-        s"""  COALESCE(round(CAST(cov$n.cc AS DOUBLE) / CAST(tt.tc AS DOUBLE), 6), 0.0)
-           |    AS dup_${n}gram_frac""".stripMargin
-      }
-      val joins =
-        topNs.map(n => s"LEFT JOIN t$n ON t$n.doc_id = tt.doc_id") ++
-          covNs.map(n => s"LEFT JOIN cov$n ON cov$n.doc_id = tt.doc_id")
-      import graft.functions.{RepetitionSignals => RS}
-      val keepSql =
-        s"""dup_line_frac <= ${RS.DupLineThr} AND dup_para_frac <= ${RS.DupParaThr}
-           |    AND dup_line_char_frac <= ${RS.DupLineCharThr}
-           |    AND dup_para_char_frac <= ${RS.DupParaCharThr}
-           |    AND top_2gram_frac <= ${RS.Top2Thr} AND top_3gram_frac <= ${RS.Top3Thr}
-           |    AND top_4gram_frac <= ${RS.Top4Thr}
-           |    AND dup_5gram_frac <= ${RS.Dup5Thr} AND dup_6gram_frac <= ${RS.Dup6Thr}
-           |    AND dup_7gram_frac <= ${RS.Dup7Thr} AND dup_8gram_frac <= ${RS.Dup8Thr}
-           |    AND dup_9gram_frac <= ${RS.Dup9Thr} AND dup_10gram_frac <= ${RS.Dup10Thr}""".stripMargin
-      s"""WITH base AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-         |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lns,
-         |    list_filter(string_split(text, chr(10) || chr(10)), x -> length(x) > 0) AS prs
-         |  FROM documents),
-         |tok AS (SELECT doc_id, i, ws[i] AS tok
-         |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |tt AS (SELECT b.doc_id, len(b.ws) AS nw, COALESCE(s.tc, 0) AS tc
-         |  FROM base b LEFT JOIN (
-         |    SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS tc
-         |    FROM tok GROUP BY 1) s ON s.doc_id = b.doc_id),
-         |lparts AS (SELECT doc_id, unnest(lns) AS p FROM base),
-         |lcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
-         |  FROM lparts GROUP BY 1, 2),
-         |lagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
-         |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
-         |  FROM lcnt GROUP BY 1),
-         |pparts AS (SELECT doc_id, unnest(prs) AS p FROM base),
-         |pcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
-         |  FROM pparts GROUP BY 1, 2),
-         |pagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
-         |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
-         |  FROM pcnt GROUP BY 1),
-         |${gramCtes.mkString(",\n")},
-         |${topCtes.mkString(",\n")},
-         |${covCtes.mkString(",\n")},
-         |sig AS (SELECT tt.doc_id,
-         |  CAST(tt.nw AS BIGINT) AS n_words, tt.tc AS n_chars,
-         |  COALESCE(round(CAST(la.dup AS DOUBLE) / CAST(la.np AS DOUBLE), 6), 0.0)
-         |    AS dup_line_frac,
-         |  COALESCE(round(CAST(la.dupc AS DOUBLE) / CAST(la.pc AS DOUBLE), 6), 0.0)
-         |    AS dup_line_char_frac,
-         |  COALESCE(round(CAST(pa.dup AS DOUBLE) / CAST(pa.np AS DOUBLE), 6), 0.0)
-         |    AS dup_para_frac,
-         |  COALESCE(round(CAST(pa.dupc AS DOUBLE) / CAST(pa.pc AS DOUBLE), 6), 0.0)
-         |    AS dup_para_char_frac,
-         |${topCols.mkString(",\n")},
-         |${covCols.mkString(",\n")}
-         |  FROM tt
-         |  LEFT JOIN lagg la ON la.doc_id = tt.doc_id
-         |  LEFT JOIN pagg pa ON pa.doc_id = tt.doc_id
-         |  ${joins.mkString("\n  ")})
-         |SELECT *, ($keepSql) AS keep
-         |FROM sig""".stripMargin
-    })
+    s"""WITH ${repetitionCtes("documents", "rg")}
+       |SELECT * FROM rgkeep""".stripMargin)
 
   /** DPR-style hard-negative mining ([[RetrievalOps.hardNegatives]],
     * Karpukhin et al. 2020): per query the top lexically-confusable
