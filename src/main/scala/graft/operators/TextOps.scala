@@ -1531,4 +1531,131 @@ object TextOps {
         round(col("_s").cast("double") / col("n_tokens").cast("double"), 6)
           .as("kl_vs_corpus"))
   }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Interpolated Kneser–Ney bigram language model (Kneser & Ney
+  // ICASSP 1995; the interpolated form and the fixed-discount estimate
+  // follow Chen & Goodman, Computer Speech & Language 1999 §3/§4). The
+  // CCNet-style perplexity filter graduates from [[lmScore]]'s unigram
+  // model: a bigram KN model prices word ORDER, so shuffled boilerplate
+  // and template spam — which a unigram model scores identically to
+  // their source text — surface as high cross-entropy.
+
+  /** Absolute-discount mass for [[knBigramModel]] — Chen & Goodman's
+    * fixed D (their eq. for D = n1/(n1+2·n2) lands near 0.75 on natural
+    * text; the fixed constant keeps the model oracle-replayable, and the
+    * discount is not a tuned hyperparameter here). */
+  val KnDiscount: Double = 0.75
+
+  /** Zipf-head size for [[knScore]]'s frequency-split bigram join — the
+    * [[LmHeadK]] convention one n-gram order up: bigram frequencies are
+    * Zipf-like too, so the hottest [[KnHeadK]] bigram types ride a
+    * broadcast and never shuffle. */
+  val KnHeadK: Int = 4096
+
+  /** Corpus bigram-type counts `(v, w, c_vw)` — consecutive word pairs
+    * within each document, no sentence segmentation and no BOS/EOS
+    * padding (documented convention; the oracle mirrors it). One explode
+    * + one aggregation exchange on the (v, w) key; everything downstream
+    * of this frame is bigram-TYPE-sized, far smaller than the corpus. */
+  def knBigramCounts(docs: DataFrame, text: Column): DataFrame = {
+    val ws = split(text, " ")
+    docs.where(size(ws) >= 2)
+      .select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("v"), b.as("w")))).as("b"))
+      .select(col("b.v").as("v"), col("b.w").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+  }
+
+  /** Interpolated Kneser–Ney bigram model fitted on the corpus:
+    *
+    *   P(w|v) = (c(v,w) − D)/c(v) + D·N1+(v,·)/c(v) · Pcont(w)
+    *   Pcont(w) = N1+(·,w) / N1+(·,·)
+    *
+    * where c(v) = Σ_w c(v,w) (context total — the last token of each doc
+    * continues nothing), N1+(v,·) = distinct continuations of v,
+    * N1+(·,w) = distinct contexts preceding w (the continuation count —
+    * KN's insight: "Francisco" is frequent but follows only "San", so it
+    * should back off weakly), and N1+(·,·) = total bigram types. Every
+    * observed bigram has c ≥ 1 > D, so the max(·,0) clamp of the general
+    * form is vacuous on the fitted rows.
+    *
+    * Output: (v, w, c_vw, c_v, n1p_v, n1p_w, p_kn, _lp) with `p_kn`
+    * rounded to 1e-6 and `_lp = round(−ln P, 6)` as DECIMAL — the
+    * [[lmScore]] determinism convention (rounding absorbs libm ulp
+    * differences; decimal sums are order-independent).
+    *
+    * Scale shape: the ONLY corpus-sized pass is [[knBigramCounts]]'s one
+    * explode+aggregation; `ctx`/`cont`/`nb` are re-aggregations of the
+    * bigram-type frame (vocabulary-scale), and the model join keys that
+    * same frame by v then w — the hottest context row count equals that
+    * context's distinct-continuation count, df-bounded like
+    * [[sourceDivergence]]'s word join, so neither join inherits token
+    * skew. The 1-row type total broadcasts. */
+  def knBigramModel(docs: DataFrame, text: Column,
+      discount: Double = KnDiscount): DataFrame =
+    knModelParts(docs, text, discount)._1
+
+  /** The KN fit split into its four statistic frames — `(model, ctx,
+    * cont, nTypes)` = ((v, w, c_vw, c_v, n1p_v, n1p_w, p_kn, _lp),
+    * (v, c_v, n1p_v), (w, n1p_w), 1-row (n_bigram_types)) — so the
+    * batch scorer and [[graft.streaming.Streaming.knScoreStream]]'s
+    * backoff path share one fit: backoff for an UNSEEN bigram needs the
+    * context and continuation marginals independently of the joined
+    * model rows. */
+  def knModelParts(docs: DataFrame, text: Column,
+      discount: Double = KnDiscount)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val cvw = knBigramCounts(docs, text)
+    val ctx = cvw.groupBy("v")
+      .agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1p_v"))
+    val cont = cvw.groupBy("w").agg(count(lit(1)).as("n1p_w"))
+    val nb = cvw.agg(count(lit(1)).as("n_bigram_types"))
+    val p = (col("c_vw").cast("double") - lit(discount)) /
+        col("c_v").cast("double") +
+      lit(discount) * col("n1p_v").cast("double") / col("c_v").cast("double") *
+        (col("n1p_w").cast("double") /
+          col("n_bigram_types").cast("double"))
+    val model = cvw.join(ctx, "v").join(cont, "w").join(broadcast(nb))
+      .select(col("v"), col("w"), col("c_vw"), col("c_v"), col("n1p_v"),
+        col("n1p_w"), round(p, 6).as("p_kn"),
+        round(-log(p), 6).cast("decimal(18,6)").as("_lp"))
+    (model, ctx, cont, nb)
+  }
+
+  /** Per-document KN-bigram cross-entropy (self-scoring, the [[lmScore]]
+    * counterpart one order up): every document bigram is in the fitted
+    * model, so no backoff path executes here — scoring UNSEEN data (the
+    * ingest gate) is [[graft.streaming.Streaming.knScoreStream]], which
+    * carries the full backoff. Documents with fewer than two tokens have
+    * no bigrams and are absent from the output (mirrored by the oracle's
+    * inner join). The bigram join key is Zipf-skewed like [[lmScore]]'s
+    * word key and gets the same split: the top-[[KnHeadK]] bigram types
+    * ride a broadcast, only tail bigrams shuffle. */
+  def knScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val model = knBigramModel(docs, text).select("v", "w", "c_vw", "_lp")
+    val head = model.orderBy(col("c_vw").desc, col("v"), col("w"))
+      .limit(KnHeadK).select("v", "w", "_lp")
+    val tail = model
+      .join(broadcast(head.select("v", "w")), Seq("v", "w"), "left_anti")
+      .select("v", "w", "_lp")
+    val ws = split(text, " ")
+    val dbg = docs.where(size(ws) >= 2)
+      .select(id.as("doc_id"), explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("v"), b.as("w")))).as("b"))
+      .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+    val probed = dbg.join(broadcast(head), Seq("v", "w"), "left")
+    probed.where(col("_lp").isNotNull)
+      .unionByName(probed.where(col("_lp").isNull).drop("_lp")
+        .join(tail, Seq("v", "w")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("_lp").as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_s").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+  }
 }

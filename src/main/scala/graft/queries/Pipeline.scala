@@ -3989,6 +3989,70 @@ object Pipeline {
          |FROM red""".stripMargin
     })
 
+  /** Shared DuckDB CTE chain for the interpolated Kneser–Ney bigram
+    * model ([[TextOps.knBigramModel]]): bigram-type counts, context
+    * totals, continuation counts, and the type total — defined once so
+    * q137 (the model) and q138 (the scorer) cannot drift. `cvw` is
+    * MATERIALIZED (the q117 lesson: DuckDB 1.0 re-inlines every
+    * reference, and three aggregations + the model join read it). */
+  private def knModelCtes(docsFrom: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM $docsFrom),
+       |bg AS MATERIALIZED (SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+       |  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+       |  WHERE len(ws) >= 2),
+       |cvw AS MATERIALIZED (
+       |  SELECT v, w, count(*) AS c_vw FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+       |    count(*) AS n1p_v FROM cvw GROUP BY 1),
+       |cont AS (SELECT w, count(*) AS n1p_w FROM cvw GROUP BY 1),
+       |tot AS (SELECT count(*) AS nb FROM cvw)""".stripMargin
+
+  /** The KN probability expression, shared between both oracles — the
+    * exact parenthesization of the Spark column tree so IEEE evaluation
+    * matches before the 1e-6 rounding absorbs libm ulps. */
+  private val knPSql: String =
+    s"""(CAST(c_vw AS DOUBLE) - ${TextOps.KnDiscount})
+       |      / CAST(c_v AS DOUBLE)
+       |    + ${TextOps.KnDiscount} * CAST(n1p_v AS DOUBLE)
+       |      / CAST(c_v AS DOUBLE)
+       |      * (CAST(n1p_w AS DOUBLE) / CAST(nb AS DOUBLE))""".stripMargin
+
+  /** Interpolated Kneser–Ney bigram model ([[TextOps.knBigramModel]],
+    * Kneser & Ney 1995 / Chen & Goodman 1999): the top-100 bigram types
+    * with their count statistics and smoothed probability. The full
+    * estimation chain — context totals, continuation counts (KN's
+    * distinct-context insight), the discount interpolation — is
+    * hash-gated, not just the counts. */
+  private val q137 = QueryDef(
+    "q137_kn_bigram_model",
+    (s, d) => TextOps.knBigramModel(Tables.documents(s, d), col("text"))
+      .drop("_lp")
+      .orderBy(col("c_vw").desc, col("v"), col("w")).limit(100),
+    s"""WITH ${knModelCtes("documents")}
+       |SELECT v, w, c_vw, c_v, n1p_v, n1p_w,
+       |  round($knPSql, 6) AS p_kn
+       |FROM cvw JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot
+       |ORDER BY c_vw DESC, v, w LIMIT 100""".stripMargin)
+
+  /** KN-bigram cross-entropy per document ([[TextOps.knScore]]) — the
+    * CCNet-style perplexity filter one n-gram order above q66: word
+    * ORDER is priced, so shuffled boilerplate scores high where the
+    * unigram model cannot tell it from its source. Self-scoring (every
+    * doc bigram is fitted); per-bigram surprisals rounded then DECIMAL-
+    * summed per the q66 determinism convention. */
+  private val q138 = QueryDef(
+    "q138_kn_perplexity",
+    (s, d) => TextOps.knScore(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH ${knModelCtes("documents")},
+       |lp AS (SELECT v, w,
+       |    CAST(round(-ln($knPSql), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM cvw JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+       |FROM bg JOIN lp USING (v, w) GROUP BY doc_id""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3997,7 +4061,8 @@ object Pipeline {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
+    q137, q138)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1256,6 +1256,68 @@ object Streaming {
           .as("cross_entropy"))
   }
 
+  /** Streaming face of [[graft.operators.TextOps.knScore]]: KN-bigram
+    * cross-entropy of ARRIVING documents under the FROZEN corpus model
+    * — and, unlike the batch self-scorer, this face carries the full
+    * interpolated-KN backoff, because new data is exactly where unseen
+    * bigrams live. Static sides are the four
+    * [[graft.operators.TextOps.knModelParts]] frames. Per bigram
+    * (v, w) of an arrival:
+    *
+    *  - fitted bigram → the model's `_lp` verbatim (bit-identical to
+    *    batch, so a replay of the training corpus equals
+    *    [[graft.operators.TextOps.knScore]] exactly — StreamingSpec);
+    *  - unseen (v, w), seen context v → the interpolation's backoff
+    *    mass alone: D·N1+(v,·)/c(v) · Pcont(w);
+    *  - unseen context v → Pcont(w) (the unigram-level continuation
+    *    model — the standard KN recursion base);
+    *  - unseen continuation w → Pcont = 1/(N1+(·,·)+1), one pseudo
+    *    continuation type (documented convention; keeps every
+    *    probability finite without a tuning knob).
+    *
+    * Backoff bigrams are COUNTED (`n_backoff`) so the gate can
+    * distinguish "fluent but novel" from "priced by the model" — the
+    * lmScoreStream n_oov discipline. Shape: row-local bigram explode,
+    * three stream-static LEFT joins (model on (v,w); ctx on v; cont on
+    * w — all stateless) + the broadcast 1-row type total, one
+    * watermarked per-minute aggregation. */
+  def knScoreStream(docs: DataFrame, model: DataFrame, ctx: DataFrame,
+      cont: DataFrame, nTypes: DataFrame,
+      discount: Double = graft.operators.TextOps.KnDiscount,
+      timeCol: String = "event_time"): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bg = docs.withWatermark(timeCol, WatermarkDelay)
+      .where(size(ws) >= 2)
+      .select(col(timeCol).as("_t"), col("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("v"), b.as("w")))).as("b"))
+      .select(col("_t"), col("doc_id"),
+        col("b.v").as("v"), col("b.w").as("w"))
+      .join(model.select("v", "w", "_lp"), Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(cont, Seq("w"), "left")
+      .join(broadcast(nTypes))
+    val nbD = col("n_bigram_types").cast("double")
+    val pcont = coalesce(col("n1p_w").cast("double") / nbD,
+      lit(1.0) / (nbD + lit(1.0)))
+    val pBack = when(col("c_v").isNotNull,
+        lit(discount) * col("n1p_v").cast("double") /
+          col("c_v").cast("double") * pcont)
+      .otherwise(pcont)
+    val lp = coalesce(col("_lp"),
+      round(-log(pBack), 6).cast("decimal(18,6)"))
+    bg.select(col("_t"), col("doc_id"), col("_lp").isNull.as("_back"),
+        lp.as("_lpe"))
+      .groupBy(window(col("_t"), "1 minute"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("_back"), 1)).as("n_backoff"),
+        sum(col("_lpe")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        round(col("_s").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+  }
+
   /** Streaming face of [[graft.operators.TextOps.decontaminate]] — the
     * ingest shape: every ARRIVING document is a train candidate, screened
     * against the FIXED held-out shingle set `testH` (one `h` column —

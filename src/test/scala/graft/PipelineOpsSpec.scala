@@ -1645,4 +1645,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the eval probe must be a broadcast hash join:\n$plan")
   }
+
+  test("knBigramModel: hand-computed interpolated-KN statistics") {
+    // corpus: "a b a" + "b a c" -> bigrams (a,b),(b,a) + (b,a),(a,c)
+    //   c(a,b)=1 c(b,a)=2 c(a,c)=1; c(a)=2 N1+(a,.)=2; c(b)=2 N1+(b,.)=1
+    //   N1+(.,a)=N1+(.,b)=N1+(.,c)=1; N1+(..)=3; Pcont(w)=1/3 for all w
+    val corpus = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
+    val m = TextOps.knBigramModel(corpus, col("text"))
+      .select("v", "w", "c_vw", "c_v", "n1p_v", "n1p_w", "p_kn")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(m.size == 3)
+    assert(m(("a", "b"))._3 == 1L && m(("a", "b"))._4 == 2L &&
+      m(("a", "b"))._5 == 2L && m(("a", "b"))._6 == 1L)
+    // P(b|a) = (1-.75)/2 + .75*(2/2)*(1/3) = 0.375
+    assert(math.abs(m(("a", "b"))._7 - 0.375) < 1e-9)
+    // P(a|b) = (2-.75)/2 + .75*(1/2)*(1/3) = 0.75
+    assert(math.abs(m(("b", "a"))._7 - 0.75) < 1e-9)
+    // P(c|a) = same shape as (a,b) = 0.375
+    assert(math.abs(m(("a", "c"))._7 - 0.375) < 1e-9)
+    // the discount reserves exactly D·N1+(v,·)/c(v) of each context's
+    // mass for unseen continuations: observed mass of context a is
+    // 1 - 0.75·2/2·(1 - 2/3) ... pin the simpler identity instead:
+    // sum of observed P(w|a) = (2 - 2·D)/2 + D·(2/2)·(2/3) = 0.75
+    val obsA = m(("a", "b"))._7 + m(("a", "c"))._7
+    assert(math.abs(obsA - 0.75) < 1e-9,
+      "context 'a' must reserve D*N1+/c * (unseen Pcont mass) = 0.25")
+  }
+
+  test("knScore: per-doc cross-entropy from the hand model") {
+    val corpus = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
+    val got = TextOps.knScore(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // doc1: (a,b),(b,a) -> (-ln .375 - ln .75)/2; doc2 identical values
+    val exp = (math.rint(-math.log(0.375) * 1e6) / 1e6 +
+      math.rint(-math.log(0.75) * 1e6) / 1e6) / 2
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - exp) < 2e-6, s"$got")
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - exp) < 2e-6, s"$got")
+    // a single-token doc has no bigrams and is absent, not NULL-scored
+    val one = TextOps.knScore(
+      corpus.unionAll(Seq((3L, "solo")).toDF("doc_id", "text")),
+      col("doc_id"), col("text"))
+    assert(!one.select("doc_id").as[Long].collect().contains(3L))
+  }
 }

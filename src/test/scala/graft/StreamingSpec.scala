@@ -177,6 +177,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knScoreStream: batch parity on replayed corpus; backoff on novel bigrams") {
+    import graft.operators.TextOps
+    val corpus = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
+    val (model, ctx, cont, nb) = TextOps.knModelParts(corpus, col("text"))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.knScoreStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), model, ctx, cont, nb)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("knsc1").start()
+    try {
+      in.addData(
+        (1L, "a b a", sec("2021-03-09 14:15:00", 1)),
+        (2L, "b a c", sec("2021-03-09 14:15:00", 30)),
+        // novel continuation: (a,b) fitted, (b,q) backs off through seen
+        // context b with the unseen-w pseudo continuation 1/(3+1)
+        (4L, "a b q", sec("2021-03-09 14:15:00", 40)),
+        // unseen context z: (z,a) prices at Pcont(a) = 1/3
+        (5L, "z a", sec("2021-03-09 14:15:00", 50)))
+      q.processAllAvailable()
+      in.addData((99L, "a b", sec("2021-03-09 14:15:00", 4000))) // closer
+      q.processAllAvailable()
+      val got = spark.table("knsc1").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      val batch = TextOps.knScore(corpus, col("doc_id"), col("text"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // replayed training docs: fitted rows only -> EXACT batch equality
+      Seq(1L, 2L).foreach { d =>
+        assert(got(d) == ((batch(d)._1, 0L, batch(d)._2)),
+          s"doc $d: stream ${got(d)} vs batch ${batch(d)}")
+      }
+      // (b,q): p = D*N1+(b,.)/c(b) * 1/(nb+1) = .75*(1/2)*(1/4) = 0.09375
+      val lpAB = math.rint(-math.log(0.375) * 1e6) / 1e6
+      val lpBQ = math.rint(-math.log(0.09375) * 1e6) / 1e6
+      assert(got(4L)._1 == 2L && got(4L)._2 == 1L, s"${got(4L)}")
+      assert(math.abs(got(4L)._3 - (lpAB + lpBQ) / 2) < 2e-6, s"${got(4L)}")
+      // (z,a): unseen context -> Pcont(a) = 1/3
+      val lpZA = math.rint(math.log(3.0) * 1e6) / 1e6
+      assert(got(5L)._1 == 1L && got(5L)._2 == 1L &&
+        math.abs(got(5L)._3 - lpZA) < 2e-6, s"${got(5L)}")
+    } finally q.stop()
+  }
+
   test("decontaminateStream flags arriving docs against the held-out set") {
     import graft.operators.{DedupOps, TextOps}
     // held-out "benchmark suite": its distinct shingle hashes are the
