@@ -4053,6 +4053,80 @@ object Pipeline {
        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
        |FROM bg JOIN lp USING (v, w) GROUP BY doc_id""".stripMargin)
 
+  /** DuckDB Luhn mod-10 sum over digit-string expression `e` with
+    * doubling parity `dbl` — mirrors [[TextOps]]' private luhnSum
+    * exactly (0-based positions from the right; (i−1) because DuckDB
+    * generate_series is 1-based here). */
+  private def luhnSumSql(e: String, dbl: Int): String =
+    s"""list_sum(list_transform(generate_series(1, length($e)),
+       |    i -> CASE WHEN (i - 1) % 2 = $dbl
+       |      THEN CASE
+       |        WHEN 2 * CAST(substr(reverse($e), i, 1) AS INTEGER) > 9
+       |        THEN 2 * CAST(substr(reverse($e), i, 1) AS INTEGER) - 9
+       |        ELSE 2 * CAST(substr(reverse($e), i, 1) AS INTEGER) END
+       |      ELSE CAST(substr(reverse($e), i, 1) AS INTEGER) END))"""
+      .stripMargin
+
+  /** Luhn-gated payment-card scan ([[TextOps.ccScan]]) + the checksum
+    * arithmetic hash-gated on SYNTHETIC per-doc numbers: the corpus
+    * holds no card numbers (the q50/q67 PII precedent — candidate
+    * matching is fixture-tested in PipelineOpsSpec), so the oracle
+    * would otherwise only check zeros. Each doc derives a 16-digit
+    * string from its content hash — `luhn_valid` splits ~10/90 across
+    * the corpus (real discrimination for the validator) — and a
+    * 15-digit payload whose computed check digit must satisfy
+    * generator∘validator ≡ true (`gen_valid`, pinned true in BOTH
+    * engines: if either side's arithmetic drifts, the hash fails). */
+  private val q139 = QueryDef(
+    "q139_cc_luhn",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      import graft.functions.HashExpressions.polyHash
+      val docs = Tables.documents(s, d)
+      val h1 = polyHash(col("text"))
+      val h2 = polyHash(concat(col("text"), lit("cc")))
+      val cc16 = concat(
+        lpad((h1 % 100000000).cast("string"), 8, "0"),
+        lpad((h2 % 100000000).cast("string"), 8, "0"))
+      val payload = cc16.substr(lit(1), lit(15))
+      TextOps.ccScan(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), cc16.as("cc16"),
+          TextOps.luhnValid(cc16).as("luhn_valid"),
+          TextOps.luhnCheckDigit(payload).cast("long").as("check_digit"),
+          TextOps.luhnValid(concat(payload,
+            TextOps.luhnCheckDigit(payload).cast("string")))
+            .as("gen_valid")), "doc_id")
+    },
+    s"""WITH s AS (SELECT doc_id, text,
+       |    lpad(CAST(${polyHashSql("text")} % 100000000 AS VARCHAR), 8, '0')
+       |    || lpad(CAST(${polyHashSql("text || 'cc'")} % 100000000
+       |         AS VARCHAR), 8, '0') AS cc16
+       |  FROM documents),
+       |p AS (SELECT doc_id, text, cc16, substr(cc16, 1, 15) AS payload
+       |  FROM s),
+       |g AS (SELECT doc_id, text, cc16,
+       |    CAST((10 - ${luhnSumSql("payload", 0)} % 10) % 10 AS BIGINT)
+       |      AS check_digit, payload
+       |  FROM p),
+       |c AS (SELECT doc_id,
+       |    list_transform(
+       |      regexp_extract_all(text, '${TextOps.CcCandidateRe}'),
+       |      x -> regexp_replace(x, '[ -]', '', 'g')) AS cands
+       |  FROM s)
+       |SELECT g.doc_id,
+       |  CAST(len(c.cands) AS BIGINT) AS n_cc_candidates,
+       |  CAST(len(list_filter(c.cands, d -> length(d) BETWEEN 13 AND 19
+       |    AND ${luhnSumSql("d", 1)} % 10 = 0)) AS BIGINT) AS n_cc_valid,
+       |  g.cc16,
+       |  length(g.cc16) BETWEEN 13 AND 19
+       |    AND ${luhnSumSql("g.cc16", 1)} % 10 = 0 AS luhn_valid,
+       |  g.check_digit,
+       |  length(g.payload || CAST(g.check_digit AS VARCHAR))
+       |      BETWEEN 13 AND 19
+       |    AND ${luhnSumSql("(g.payload || CAST(g.check_digit AS VARCHAR))",
+             1)} % 10 = 0 AS gen_valid
+       |FROM g JOIN c USING (doc_id)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4062,7 +4136,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138)
+    q137, q138, q139)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

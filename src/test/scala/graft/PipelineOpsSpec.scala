@@ -1689,4 +1689,29 @@ class PipelineOpsSpec extends SparkSpec {
       col("doc_id"), col("text"))
     assert(!one.select("doc_id").as[Long].collect().contains(3L))
   }
+
+  test("ccScan: Luhn gates candidates, separators normalize, generator round-trips") {
+    val fx = Seq(
+      (1L, "pay 4539 1488 0343 6467 now"),   // valid, space-grouped
+      (2L, "card 4111-1111-1111-1111 etc"),  // valid, dash-grouped
+      (3L, "amex 378282246310005 works"),    // valid, 15 bare digits
+      (4L, "fake 1234 5678 9012 3456 nope"), // digit run failing Luhn
+      (5L, "order 123456789012 is short"),   // 12 digits: below the band
+      (6L, "no card digits here at all")).toDF("doc_id", "text")
+    val got = TextOps.ccScan(fx, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 1L)), s"$got")
+    assert(got(2L) == ((1L, 1L)), s"$got")
+    assert(got(3L) == ((1L, 1L)), s"$got")
+    assert(got(4L) == ((1L, 0L)), "non-Luhn digit run: candidate, not valid")
+    assert(got(5L) == ((0L, 0L)), "12 digits must not even candidate")
+    assert(got(6L) == ((0L, 0L)))
+    // generator ∘ validator ≡ true on arbitrary 14-digit payloads
+    val pay = lpad((col("doc_id") * 987654321L).cast("string"), 14, "0")
+    val ok = fx.select(TextOps.luhnValid(
+      concat(pay, TextOps.luhnCheckDigit(pay).cast("string"))).as("ok"))
+      .as[Boolean].collect()
+    assert(ok.length == 6 && ok.forall(identity))
+  }
 }
