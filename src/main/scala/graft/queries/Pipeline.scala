@@ -4127,6 +4127,38 @@ object Pipeline {
              1)} % 10 = 0 AS gen_valid
        |FROM g JOIN c USING (doc_id)""".stripMargin)
 
+  /** SentencePiece-style unigram-LM tokenizer fit
+    * ([[graft.operators.UnigramOps.unigramFit]], Kudo ACL 2018):
+    * seed-substring vocabulary pruned under Viterbi hard-EM to the
+    * target size. Rows-only per the q107 BPE precedent — an iterative
+    * EM argmax is not SQL-expressible; the fit is hand-replayed and
+    * brute-force-pinned in UnigramSpec instead. */
+  private val q140 = QueryDef(
+    "q140_unigram_fit",
+    (s, d) => graft.operators.UnigramOps.unigramFit(
+      Tables.documents(s, d), col("text"),
+      vocabSize = 300, seedSize = 600, emIters = 2),
+    None)
+
+  /** Corpus tokenization under the fitted unigram-LM table
+    * ([[graft.operators.UnigramOps.unigramTokenize]]) — the compiled
+    * Viterbi apply path (piece table as DATA in one codegen'd
+    * expression, the BpeEncode discipline): per-doc piece count, piece-
+    * stream fingerprint, and segmentation log-probability. Rows-only
+    * (rides the q140 fit); coverage and determinism pinned in
+    * UnigramSpec. */
+  private val q141 = QueryDef(
+    "q141_unigram_tokenize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pieces = graft.operators.UnigramOps.unigramFit(
+        docs, col("text"), vocabSize = 300, seedSize = 600, emIters = 2)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      graft.operators.UnigramOps.unigramTokenize(
+        docs, col("doc_id"), col("text"), pieces)
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4136,7 +4168,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139)
+    q137, q138, q139, q140, q141)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -726,6 +726,26 @@ object MicroBench {
           else BpeOps.bpeTokensCompiled(spark, col("text"), merges)
         docs.select(col("doc_id"), toks.as("tokens"),
           size(toks).cast("long").as("n_tokens"))
+      // unigram_apply_{N}: Viterbi tokenization of sf0.1 documents under
+      // an N-piece unigram-LM table — a fitted head over this corpus's
+      // real vocabulary padded to N with pieces over symbols absent from
+      // the corpus (the bpe_apply convention). The compiled expression
+      // probes only each word's own O(len × maxPieceLen) substrings, so
+      // cost must be flat in N — the plan is the same three nodes at 300
+      // pieces or 32 k (the table is DATA, not tree).
+      case s if s.startsWith("unigram_apply_") =>
+        import graft.operators.UnigramOps
+        val n = s.stripPrefix("unigram_apply_").toInt
+        val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+        val head = UnigramOps.unigramFit(docs, col("text"),
+          vocabSize = math.min(n, 300), seedSize = 600, emIters = 1)
+          .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+        val pieces = head ++ (head.size until n).map(i =>
+          (s"§$i¶", -10.0))
+        graft.functions.UnigramExpressions.register(spark)
+        docs.select(col("doc_id"),
+          size(graft.functions.UnigramExpressions.unigramEncode(
+            col("text"), pieces)).cast("long").as("n_pieces"))
       // ac_{auto|regex}_{N}: the blocklist screen over an N-pattern list —
       // a firing head of real corpus phrases padded to N with patterns
       // over symbols absent from the corpus (the bpe_apply convention).
