@@ -1703,6 +1703,36 @@ object TextOps {
   def luhnCheckDigit(payload: Column): Column =
     (lit(10) - luhnSum(payload, 0) % 10) % 10
 
+  /** Preference-pair construction — the RLHF/DPO data-prep shape: from
+    * a frame of scored responses, emit one (chosen, rejected) pair per
+    * group (prompt, source, task), pairing the group's best-scored row
+    * against its worst (the max-margin pairing — the highest-signal
+    * pair a group can yield, and the standard reduction when all-pairs
+    * O(n²) is off the table at corpus scale). Determinism contract:
+    * chosen ties resolve id-ASC, rejected ties id-DESC (so a fully tied
+    * group still picks distinct endpoints when it has ≥2 rows);
+    * single-row groups and zero-margin pairs below `minMargin` drop.
+    *
+    * Scale shape: ONE aggregation exchange on the group key — chosen
+    * and rejected are struct-ordered min/max aggregates, no window, no
+    * sort, no self-join; map-side partials make the hot-group case a
+    * non-issue. Output (group, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin). */
+  def preferencePairs(scored: DataFrame, id: Column, group: Column,
+      score: Column, groupName: String = "group",
+      minMargin: Double = 0.0): DataFrame = {
+    scored.select(group.as("_g"), id.as("_id"), score.as("_s"))
+      .groupBy("_g")
+      .agg(max(struct(col("_s").as("s"), (-col("_id")).as("ni"))).as("_c"),
+        min(struct(col("_s").as("s"), (-col("_id")).as("ni"))).as("_r"))
+      .select(col("_g").as(groupName),
+        (-col("_c.ni")).as("chosen_id"), (-col("_r.ni")).as("rejected_id"),
+        col("_c.s").as("chosen_score"), col("_r.s").as("rejected_score"),
+        round(col("_c.s") - col("_r.s"), 6).as("margin"))
+      .where(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
+  }
+
   /** Per-document payment-card scan: digit-run candidates by
     * [[CcCandidateRe]], separator-normalized, then Luhn-gated. Output
     * (doc_id, n_cc_candidates, n_cc_valid) — the gap between the two

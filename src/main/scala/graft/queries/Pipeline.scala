@@ -4147,6 +4147,33 @@ object Pipeline {
     * stream fingerprint, and segmentation log-probability. Rows-only
     * (rides the q140 fit); coverage and determinism pinned in
     * UnigramSpec. */
+  /** Preference-pair construction ([[TextOps.preferencePairs]]) — the
+    * RLHF/DPO data-prep reduction: per source, the max-margin
+    * (best, worst) quality pair, as ONE struct-ordered aggregation (no
+    * window, no self-join). Tie rules (chosen id-asc, rejected id-desc)
+    * are part of the hash-gated contract. */
+  private val q142 = QueryDef(
+    "q142_preference_pairs",
+    (s, d) => TextOps.preferencePairs(
+      Tables.documents(s, d), col("doc_id"), col("source"),
+      round(TextOps.qualityComposite(col("text")), 6), "source"),
+    s"""WITH q AS (SELECT doc_id, source, round($qualityCompositeSql, 6) AS s
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+       |    FROM documents) b),
+       |c AS (SELECT source, doc_id AS chosen_id, s AS chosen_score FROM q
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY s DESC, doc_id ASC) = 1),
+       |r AS (SELECT source, doc_id AS rejected_id, s AS rejected_score
+       |  FROM q
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY s ASC, doc_id DESC) = 1)
+       |SELECT c.source, chosen_id, rejected_id, chosen_score,
+       |  rejected_score,
+       |  round(chosen_score - rejected_score, 6) AS margin
+       |FROM c JOIN r USING (source)
+       |WHERE chosen_id <> rejected_id
+       |  AND round(chosen_score - rejected_score, 6) >= 0.0""".stripMargin)
+
   private val q141 = QueryDef(
     "q141_unigram_tokenize",
     (s, d) => {
@@ -4168,7 +4195,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141)
+    q137, q138, q139, q140, q141, q142)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -405,6 +405,20 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of [[graft.operators.UnigramOps.unigramTokenize]] —
+    * the [[bpeTokenizeStream]] contract for the unigram-LM family:
+    * arriving docs Viterbi-segmented under the FROZEN fitted piece
+    * table, baked as data into one row-local compiled expression
+    * ([[graft.functions.UnigramEncode]] — the same expression the batch
+    * face builds, parity definitional), no state, no join. Novel
+    * characters price at the unk floor instead of failing, so the face
+    * never drops an arrival. Re-fit → restart, the standing
+    * static-index rule. */
+  def unigramTokenizeStream(docs: DataFrame,
+      pieces: Seq[(String, Double)]): DataFrame =
+    graft.operators.UnigramOps.unigramTokenize(
+      docs, col("doc_id"), col("text"), pieces)
+
   /** Ingest face of [[graft.operators.TextOps.gopherRepetition]] — the
     * Gopher repetition rules ARE an ingest-time screen (every signal is
     * document-local), so the stream body is literally the batch

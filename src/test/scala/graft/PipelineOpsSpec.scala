@@ -1714,4 +1714,32 @@ class PipelineOpsSpec extends SparkSpec {
       .as[Boolean].collect()
     assert(ok.length == 6 && ok.forall(identity))
   }
+
+  test("preferencePairs: max-margin pair per group, tie rules, drops") {
+    val fx = Seq(
+      (1L, "g1", 0.9), (2L, "g1", 0.3), (3L, "g1", 0.5),  // clear order
+      (4L, "g2", 0.7), (5L, "g2", 0.7), (6L, "g2", 0.7),  // fully tied
+      (7L, "g3", 0.4),                                    // single row
+      (8L, "g4", 0.6), (9L, "g4", 0.1))                   // margin 0.5
+      .toDF("doc_id", "g", "s")
+    val got = TextOps.preferencePairs(fx, col("doc_id"), col("g"),
+        col("s"), "g")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._6))).toMap
+    assert(got("g1") == ((1L, 2L, 0.6)))
+    // fully tied group: chosen = smallest id, rejected = LARGEST id —
+    // distinct endpoints, margin 0, kept at the default minMargin
+    assert(got("g2") == ((4L, 6L, 0.0)))
+    assert(!got.contains("g3"), "single-row group cannot form a pair")
+    assert(got("g4") == ((8L, 9L, 0.5)))
+    // minMargin filters the zero-margin tie pair
+    val strict = TextOps.preferencePairs(fx, col("doc_id"), col("g"),
+      col("s"), "g", minMargin = 0.1)
+      .select("g").as[String].collect().toSet
+    assert(strict == Set("g1", "g4"))
+    // plan shape: one aggregation, no window exchange
+    val plan = TextOps.preferencePairs(fx, col("doc_id"), col("g"),
+      col("s"), "g").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window/sort expected:\n$plan")
+  }
 }

@@ -737,6 +737,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigramTokenizeStream rows equal the batch tokenizer; novel chars price as unk") {
+    import graft.operators.UnigramOps
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text").cache()
+    val pieces = UnigramOps.unigramFit(docs, col("text"),
+      vocabSize = 120, seedSize = 240, emIters = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.unigramTokenizeStream(
+      in.toDS().toDF("doc_id", "text"), pieces)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ug1").start()
+    try {
+      in.addData(rows.take(30).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(30).toIndexedSeq: _*); q.processAllAvailable()
+      // a doc in a script the fit never saw: segments (unk floor), no drop
+      in.addData((9999L, "щось цілком нове")); q.processAllAvailable()
+      val streamed = spark.table("ug1").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val batch = UnigramOps.unigramTokenize(docs, col("doc_id"),
+        col("text"), pieces).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed.filterNot(_._1 == 9999L) == batch,
+        "ingest-time rows must equal the batch tokenizer exactly")
+      val novel = streamed(9999L)
+      assert(novel._1 == 14L, s"all-novel doc chars as pieces: $novel")
+      assert(novel._3 < -300.0, "every novel char priced at the unk floor")
+    } finally q.stop()
+  }
+
   test("gopherRepetitionStream verdicts equal the batch screen row-for-row") {
     val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
       .select("doc_id", "text").cache()
