@@ -1703,6 +1703,50 @@ object TextOps {
   def luhnCheckDigit(payload: Column): Column =
     (lit(10) - luhnSum(payload, 0) % 10) % 10
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1996, the CONSISTENT routing companion to
+    * [[shuffleShards]]: each key goes to the shard whose
+    * `hash(key # shard)` is highest, so when the shard count changes the
+    * ONLY keys that move are those the new shard wins (growing n → n+1
+    * relocates ~1/(n+1) of keys, all TO the new shard — never between
+    * survivors). That is the property an incremental pipeline needs for
+    * recrawl routing, per-shard dedup state, and cache affinity: a plain
+    * `hash % n` reshuffles ~everything on any resize and invalidates
+    * every shard-local structure.
+    *
+    * Row-local: per key, `nShards` hash probes inside one HOF column —
+    * no exchange at all (routing is a LABEL here; the downstream writer
+    * exchanges once on it). Ties on the hash resolve to the larger
+    * shard id (struct max), part of the contract.
+    *
+    * The per-shard score is NOT the raw polynomial hash: appending the
+    * shard digit makes that hash AFFINE in the shard id (h_s = base + s
+    * mod P), so the largest id would win every key — measured: 500/500
+    * keys "moved" on n→n+1. Even the [[graft.functions.TextHash
+    * .sampleBucket]] multiply is affine and leaves the candidate scores
+    * a fixed lattice per key. The score therefore runs through a
+    * NONLINEAR multiply–xorshift–multiply mix ([[hrwMix]]) — after it,
+    * the measured move fraction is 51/500 ≈ 1/9, the HRW expectation. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hashes = graft.functions.HashExpressions
+    array_max(transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(hrwMix(hashes.polyHash(concat(key, lit("#"),
+        s.cast("string")))).as("h"), s.cast("long").as("s"))))("s")
+  }
+
+  /** Nonlinear avalanche over a [0, P) hash: multiply mod P, xor with a
+    * 15-bit right shift, multiply mod P again. The xor between the two
+    * affine rounds is what breaks the lattice structure a pure
+    * multiplicative mix preserves; all intermediates stay below 2^30 so
+    * neither engine's BIGINT overflows. Mirrored verbatim in the q143
+    * oracle. */
+  def hrwMix(h: Column): Column = {
+    val P = graft.functions.TextHash.P
+    val m1 = pmod(h * lit(2654435761L), lit(P))
+    pmod(m1.bitwiseXOR(shiftright(m1, 15)) * lit(2654435761L), lit(P))
+  }
+
   /** Preference-pair construction — the RLHF/DPO data-prep shape: from
     * a frame of scored responses, emit one (chosen, rejected) pair per
     * group (prompt, source, task), pairing the group's best-scored row

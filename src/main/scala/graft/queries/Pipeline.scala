@@ -4174,6 +4174,40 @@ object Pipeline {
        |WHERE chosen_id <> rejected_id
        |  AND round(chosen_score - rejected_score, 6) >= 0.0""".stripMargin)
 
+  /** Rendezvous/HRW sharding ([[TextOps.rendezvousShard]]) under n=8
+    * and n=9 side by side: the hash-gated artifact carries the
+    * consistency property itself — every `moved` row lands on the NEW
+    * shard (spec-asserted exactly; ~1/9 of keys, never survivor-to-
+    * survivor traffic). */
+  private val q143 = QueryDef(
+    "q143_rendezvous_shards",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.rendezvousShard(col("text"), 8).as("shard8"),
+        TextOps.rendezvousShard(col("text"), 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+    },
+    {
+      val P = graft.functions.TextHash.P
+      def mixSql(h: String): String =
+        s"((xor((($h) * 2654435761) % $P, ((($h) * 2654435761) % $P)" +
+          s" >> 15)) * 2654435761) % $P"
+      val score = mixSql(polyHashSql("text || '#' || CAST(s AS VARCHAR)"))
+      s"""WITH s8 AS (
+         |  SELECT doc_id, s AS shard8
+         |  FROM documents, UNNEST(generate_series(0, 7)) AS t(s)
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY
+         |    $score DESC, s DESC) = 1),
+         |s9 AS (
+         |  SELECT doc_id, s AS shard9
+         |  FROM documents, UNNEST(generate_series(0, 8)) AS t(s)
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY
+         |    $score DESC, s DESC) = 1)
+         |SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved
+         |FROM s8 JOIN s9 USING (doc_id)""".stripMargin
+    })
+
   private val q141 = QueryDef(
     "q141_unigram_tokenize",
     (s, d) => {
@@ -4195,7 +4229,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142)
+    q137, q138, q139, q140, q141, q142, q143)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1742,4 +1742,25 @@ class PipelineOpsSpec extends SparkSpec {
       col("s"), "g").queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window/sort expected:\n$plan")
   }
+
+  test("rendezvousShard: movers land ONLY on the new shard; routing spreads") {
+    graft.functions.HashExpressions.register(spark)
+    val corpus = Tables.documents(spark, sf)
+    val routed = corpus.select(col("doc_id"),
+        TextOps.rendezvousShard(col("text"), 8).as("s8"),
+        TextOps.rendezvousShard(col("text"), 9).as("s9"))
+      .as[(Long, Long, Long)].collect()
+    assert(routed.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(routed.forall(r => r._3 >= 0 && r._3 < 9))
+    // THE HRW property, exactly: a key moves iff the new shard wins it
+    val movers = routed.filter(r => r._2 != r._3)
+    assert(movers.nonEmpty && movers.forall(_._3 == 8L),
+      s"survivor-to-survivor traffic is an HRW violation: " +
+        s"${movers.filter(_._3 != 8L).take(3).toSeq}")
+    // expected ~1/9 of keys move; gate loosely against hash pathology
+    assert(movers.length < routed.length / 4,
+      s"${movers.length}/${routed.length} moved — far above ~1/9")
+    // all 8 original shards actually receive keys
+    assert(routed.map(_._2).distinct.length == 8)
+  }
 }
