@@ -1703,6 +1703,59 @@ object TextOps {
   def luhnCheckDigit(payload: Column): Column =
     (lit(10) - luhnSum(payload, 0) % 10) % 10
 
+  /** Token-budget allocation with epoch caps — exact water-filling.
+    * Given a token budget B and a per-source repeat ceiling (`maxEpochs`
+    * — the "don't train 40 epochs on the smallest source" rule of
+    * Chinchilla-era data recipes), allocate the budget as EVENLY across
+    * sources as the caps allow: sources whose cap c_s = maxEpochs ·
+    * avail_s is below the even share fill to their cap, and their
+    * shortfall REDISTRIBUTES among the rest — the step [[mixThresholds]]
+    * deliberately skips (its one-shot `least(share, cap)` under-fills
+    * the budget whenever any source caps; this operator closes that
+    * gap). Water level by the standard sorted-prefix argument: with
+    * caps ascending, source at rank r caps iff
+    * c_r · (k − r + 1) ≤ B − cum_{r−1} (exact integers, no division —
+    * the condition is monotone in r, so the capped set is a prefix).
+    * Uncapped sources get the floor-divided even share of what remains;
+    * the sub-`k` integer remainder stays unallocated and is readable
+    * from the output (Σ alloc vs B), the documented contract.
+    *
+    * Scale shape: one corpus aggregation to (source, avail); everything
+    * after runs on the SOURCES table — the rank window's single
+    * partition holds one row per source (thousands at most), never
+    * corpus rows. Output (source, avail, cap, rank, capped, alloc),
+    * all BIGINT — engine-exact. */
+  def budgetWaterfill(docs: DataFrame, text: Column, source: Column,
+      budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val avail = docs.select(source.as("source"),
+        ceil(length(text).cast("double") / 4.0).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("avail"))
+    val caps = avail.select(col("source"), col("avail"),
+      (col("avail") * maxEpochs).as("cap"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = caps
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum("cap").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val k = caps.agg(count(lit(1)).as("_k"))
+    val flagged = ranked.join(broadcast(k))
+      .withColumn("capped",
+        col("cap") * (col("_k") - col("rank") + 1) <=
+          lit(budget) - (col("_cum") - col("cap")))
+    val summary = flagged.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("_m"),
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("_capsum"),
+      max(col("_k")).as("_k2"))
+    flagged.join(broadcast(summary))
+      .select(col("source"), col("avail"), col("cap"), col("rank"),
+        col("capped"),
+        when(col("capped"), col("cap")).otherwise(
+          expr(s"($budget - _capsum) div greatest(_k2 - _m, 1)"))
+          .as("alloc"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — Thaler &
     * Ravishankar 1996, the CONSISTENT routing companion to
     * [[shuffleShards]]: each key goes to the shard whose
@@ -1759,8 +1812,12 @@ object TextOps {
     *
     * Scale shape: ONE aggregation exchange on the group key — chosen
     * and rejected are struct-ordered min/max aggregates, no window, no
-    * sort, no self-join; map-side partials make the hot-group case a
-    * non-issue. Output (group, chosen_id, rejected_id, chosen_score,
+    * self-join. Struct aggregates compile to partial+final
+    * SortAggregate (structs are not hash-aggregable), so there IS an
+    * in-partition sort on the group key — but the map-side partial
+    * reduces each partition to one row per group BEFORE the exchange,
+    * which is exactly what a row_number window cannot do; the hot-group
+    * case ships one row, not the group. Output (group, chosen_id, rejected_id, chosen_score,
     * rejected_score, margin). */
   def preferencePairs(scored: DataFrame, id: Column, group: Column,
       score: Column, groupName: String = "group",

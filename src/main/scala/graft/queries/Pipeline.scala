@@ -4174,6 +4174,44 @@ object Pipeline {
        |WHERE chosen_id <> rejected_id
        |  AND round(chosen_score - rejected_score, 6) >= 0.0""".stripMargin)
 
+  /** Token-budget water-filling with epoch caps
+    * ([[TextOps.budgetWaterfill]]): the redistribution step q64's
+    * one-shot `least(share, cap)` skips — capped sources' shortfall
+    * flows to the uncapped, by the exact sorted-prefix condition (all
+    * BIGINT, no float anywhere). Budget/epochs chosen so the corpus
+    * splits into both capped and uncapped sources. */
+  private val WfBudget = 70000L
+  private val WfEpochs = 2L
+  private val q144 = QueryDef(
+    "q144_budget_waterfill",
+    (s, d) => TextOps.budgetWaterfill(
+      Tables.documents(s, d), col("text"), col("source"),
+      WfBudget, WfEpochs),
+    s"""WITH a AS (SELECT source, CAST(sum(CAST(ceil(
+       |      CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT)
+       |      AS avail
+       |  FROM documents GROUP BY 1),
+       |c AS (SELECT source, avail, avail * $WfEpochs AS cap FROM a),
+       |r AS (SELECT source, avail, cap,
+       |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT)
+       |      AS rank,
+       |    sum(cap) OVER (ORDER BY cap, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM c),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c),
+       |f AS (SELECT r.*, k.k,
+       |    cap * (k.k - rank + 1) <= $WfBudget - (cum - cap) AS capped
+       |  FROM r CROSS JOIN k),
+       |s AS (SELECT
+       |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+       |      AS capsum,
+       |    max(k) AS k2 FROM f)
+       |SELECT source, avail, cap, rank, capped,
+       |  CASE WHEN capped THEN cap
+       |    ELSE ($WfBudget - capsum) // greatest(k2 - m, 1) END AS alloc
+       |FROM f CROSS JOIN s""".stripMargin)
+
   /** Rendezvous/HRW sharding ([[TextOps.rendezvousShard]]) under n=8
     * and n=9 side by side: the hash-gated artifact carries the
     * consistency property itself — every `moved` row lands on the NEW
@@ -4229,7 +4267,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143)
+    q137, q138, q139, q140, q141, q142, q143, q144)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1743,6 +1743,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window/sort expected:\n$plan")
   }
 
+  test("budgetWaterfill: caps bind as a prefix, shortfall redistributes exactly") {
+    // sources with 'text' sized so toks = len/4 exactly: avails 100/200/
+    // 700/1000, E=1 -> caps equal avails. B = 1500: even share 375 caps
+    // s1 (100) and s2 (200); remaining 1200 splits 600/600 across
+    // s3/s4 — the redistribution a one-shot least(375, cap) would lose.
+    def doc(src: String, toks: Int) = (src, "x" * (toks * 4))
+    val fx = Seq(doc("s1", 100), doc("s2", 200), doc("s3", 700),
+      doc("s4", 1000)).toDF("source", "text")
+    val got = TextOps.budgetWaterfill(fx, col("text"), col("source"),
+        budget = 1500L, maxEpochs = 1L)
+      .select("source", "cap", "capped", "alloc")
+      .as[(String, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1") == ((100L, true, 100L)))
+    assert(got("s2") == ((200L, true, 200L)))
+    assert(got("s3") == ((700L, false, 600L)))
+    assert(got("s4") == ((1000L, false, 600L)))
+    // invariants on the real corpus: alloc <= cap, sum(alloc) <= B with
+    // remainder < #uncapped, uncapped sources share one level
+    val corpus = Tables.documents(spark, sf)
+    val B = 70000L
+    val rows = TextOps.budgetWaterfill(corpus, col("text"),
+        col("source"), B, 2L)
+      .select("cap", "capped", "alloc")
+      .as[(Long, Boolean, Long)].collect()
+    assert(rows.forall(r => r._3 <= r._1), "alloc may never exceed cap")
+    val total = rows.map(_._3).sum
+    val nUncapped = rows.count(!_._2)
+    val bound = math.min(B, rows.map(_._1).sum)
+    assert(total <= bound && bound - total < math.max(nUncapped, 1),
+      s"budget must be exhausted up to the integer remainder: " +
+        s"$total of $bound, uncapped=$nUncapped")
+    assert(rows.filter(!_._2).map(_._3).distinct.length <= 1,
+      "uncapped sources share one water level")
+  }
+
   test("rendezvousShard: movers land ONLY on the new shard; routing spreads") {
     graft.functions.HashExpressions.register(spark)
     val corpus = Tables.documents(spark, sf)
