@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *   7b. DSIR targeting audit: survivors leaning toward the target
   *      domain's unigram distribution ([[RetrievalOps.dsirWeights]];
   *      audit-only — threshold selection is per-source policy)
+  *   7c. KN-perplexity band-pass: word-order-aware cross-entropy under
+  *      the survivors' own bigram model ([[TextOps.knScore]]),
+  *      calibrated per source ([[TextOps.calibrateScores]]); the worst
+  *      decile per source DROPS
   *   8. source mixing to target weights (integer thresholds)
   *   9. sequence packing into fixed token-budget chunks
   *  10. deterministic shuffle-and-shard of the final order
@@ -53,11 +57,12 @@ object CurationDemo {
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
       videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
       semContaminated: Long, afterSemDecon: Long, dsirPositive: Long,
+      afterPerplexity: Long,
       afterMix: Long, nChunks: Long, nShards: Long,
       auditRemoved: Long, auditMutatedOrAdded: Long,
       nFiles: Long, layoutOverlaps: Long)
 
-  /** The full sixteen-stage composition; `verbose` adds the per-stage
+  /** The full seventeen-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. The final corpus is written
     * under `outDir` (a fresh temp directory when None — the demo's
     * artifact is the stage-count vector, not the files). */
@@ -233,16 +238,33 @@ object CurationDemo {
     say(s"[curate] DSIR targeting audit: $dsirPositive of $n4b survivors " +
       "lean toward the English target distribution")
 
+    // 9c. KN-perplexity band-pass (q138 ∘ q115): word-order-aware
+    // cross-entropy under the SURVIVORS' own bigram model — shuffled
+    // boilerplate a unigram score cannot see surfaces here — calibrated
+    // per source (percent-rank) so one threshold transfers across
+    // languages; the worst decile per source drops.
+    val knCe = TextOps.knScore(decon2, col("doc_id"), col("text"))
+    val knCal = TextOps.calibrateScores(
+      knCe.join(decon2.select("doc_id", "source"), "doc_id"),
+      col("doc_id"), col("cross_entropy"), col("source"), "source",
+      10, 0.9)
+    val lmKept = settle(decon2.join(
+      knCal.where(col("keep")).select("doc_id"), Seq("doc_id"),
+      "left_semi"))
+    val n4c = lmKept.count()
+    say(s"[curate] after KN-perplexity band-pass: $n4c " +
+      s"(${n4b - n4c} worst-decile-per-source docs dropped)")
+
     // 10. mix to target source weights at a fixed token budget
-    val weights = decon2.select("source").distinct().collect()
+    val weights = lmKept.select("source").distinct().collect()
       .map(_.getString(0) -> 1L).toMap
     val budget = 20000L
     if (verbose)
-      TextOps.corpusMix(decon2, col("doc_id"), col("text"), col("source"),
+      TextOps.corpusMix(lmKept, col("doc_id"), col("text"), col("source"),
         weights, budget).orderBy("source").show(5, truncate = false)
-    val thr = TextOps.mixThresholds(decon2, col("doc_id"), col("text"),
+    val thr = TextOps.mixThresholds(lmKept, col("doc_id"), col("text"),
       col("source"), weights, budget)
-    val mixed = decon2
+    val mixed = lmKept
       .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
         graft.functions.HashExpressions.polyHash(col("text")), 1000000))
       .join(thr, "source").where(col("_bkt") < col("_thr"))
@@ -308,7 +330,7 @@ object CurationDemo {
     StageCounts(n0, n1, n1b, gopherQualFail, langDisagree, boiler,
       spanStats.getLong(0),
       spanStats.getLong(1), n3, n3s, nImg, nAud, nVid, n3m, n4,
-      nSemCon, n4b, dsirPositive, n5, nChunks, nShards,
+      nSemCon, n4b, dsirPositive, n4c, n5, nChunks, nShards,
       nRemoved, nBad, nFiles, overlaps)
   }
 

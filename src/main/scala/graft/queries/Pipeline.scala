@@ -2825,11 +2825,15 @@ object Pipeline {
   /** End-to-end curation funnel as a REGISTERED query (r11 verdict item
     * 6): the SQL-expressible spine of [[graft.operators.CurationDemo]] —
     * quality funnel → Gopher repetition screen → near-dup keep-best →
-    * exact decontamination → source mixing → sequence packing — chained
-    * over the SURVIVORS of
+    * exact decontamination → KN-perplexity band-pass (q138's word-order-
+    * aware cross-entropy under the survivors' own bigram model,
+    * calibrated per source via q115's percent-rank — worst decile per
+    * source drops) → source mixing → sequence packing — chained over
+    * the SURVIVORS of
     * each previous stage (not the full corpus like the per-stage queries
-    * q60/q63/q79/q64/q54), with per-stage survivor counts as the output.
-    * The oracle replays the whole six-stage composition in one CTE
+    * q60/q63/q79/q138/q115/q64/q54), with per-stage survivor counts as
+    * the output.
+    * The oracle replays the whole seven-stage composition in one CTE
     * chain, so a stage that silently stops dropping (or drops everything)
     * hash-fails the round's CORRECTNESS artifact, not just a spec. The
     * demo's non-SQL stages (semantic/media dedup over embeddings and
@@ -2870,12 +2874,24 @@ object Pipeline {
         ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
       val decon = settle(deduped.join(leaky.select("doc_id"),
         Seq("doc_id"), "left_anti"))
-      // 4. mix to a uniform source weighting at the q64 budget
-      val weights = decon.select("source").distinct().collect()
+      // 5. KN-perplexity band-pass, calibrated per source (q138 ∘ q115:
+      // word-order-aware cross-entropy under the SURVIVORS' own bigram
+      // model; the worst decile per source drops — per-source
+      // calibration so one threshold transfers across languages)
+      val ce = TextOps.knScore(decon, col("doc_id"), col("text"))
+      val cal = TextOps.calibrateScores(
+        ce.join(decon.select("doc_id", "source"), "doc_id"),
+        col("doc_id"), col("cross_entropy"), col("source"), "source",
+        10, 0.9)
+      val lmKept = settle(decon.join(
+        cal.where(col("keep")).select("doc_id"), Seq("doc_id"),
+        "left_semi"))
+      // 6. mix to a uniform source weighting at the q64 budget
+      val weights = lmKept.select("source").distinct().collect()
         .map(_.getString(0) -> 1L).toMap // bounded: the source domain
-      val thr = TextOps.mixThresholds(decon, col("doc_id"), col("text"),
+      val thr = TextOps.mixThresholds(lmKept, col("doc_id"), col("text"),
         col("source"), weights, MixBudget)
-      val mixed = settle(decon
+      val mixed = settle(lmKept
         .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
           graft.functions.HashExpressions.polyHash(col("text")), 1000000))
         .join(thr, "source").where(col("_bkt") < col("_thr"))
@@ -2891,8 +2907,9 @@ object Pipeline {
         .unionAll(cnt(2L, "gopher", screened))
         .unionAll(cnt(3L, "keep_best", deduped))
         .unionAll(cnt(4L, "decontaminated", decon))
-        .unionAll(cnt(5L, "mixed", mixed))
-        .unionAll(cnt(6L, "chunks", packed))
+        .unionAll(cnt(5L, "lm_perplexity", lmKept))
+        .unionAll(cnt(6L, "mixed", mixed))
+        .unionAll(cnt(7L, "chunks", packed))
     }, {
       val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
         .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
@@ -2960,10 +2977,24 @@ object Pipeline {
          |leaky AS (SELECT trd.doc_id FROM trd LEFT JOIN te ON trd.h = te.h
          |  GROUP BY trd.doc_id HAVING count(te.h) >= 2),
          |decon AS MATERIALIZED (SELECT * FROM dedup ANTI JOIN leaky USING (doc_id)),
+         |${knModelCtes("decon", "kn")},
+         |knlp AS (SELECT v, w,
+         |    CAST(round(-ln($knPSql), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM kncvw JOIN knctx USING (v) JOIN kncont USING (w)
+         |  CROSS JOIN kntot),
+         |knce AS (SELECT b.doc_id,
+         |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS ce
+         |  FROM knbg b JOIN knlp USING (v, w) GROUP BY b.doc_id),
+         |kncal AS (SELECT k.doc_id,
+         |    round(percent_rank() OVER (
+         |      PARTITION BY d.source ORDER BY k.ce), 6) AS pct
+         |  FROM knce k JOIN decon d USING (doc_id)),
+         |lmkept AS MATERIALIZED (SELECT decon.* FROM decon
+         |  JOIN kncal USING (doc_id) WHERE pct <= 0.9),
          |t AS (SELECT doc_id, source,
          |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks,
          |    ${sampleBucketSql(polyHashSql("text"), 1000000)} AS bkt
-         |  FROM decon),
+         |  FROM lmkept),
          |a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail
          |  FROM t GROUP BY source),
          |nsrc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM a),
@@ -2989,9 +3020,11 @@ object Pipeline {
          |  (SELECT CAST(count(*) AS BIGINT) FROM dedup)
          |UNION ALL SELECT 4, 'decontaminated',
          |  (SELECT CAST(count(*) AS BIGINT) FROM decon)
-         |UNION ALL SELECT 5, 'mixed',
+         |UNION ALL SELECT 5, 'lm_perplexity',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lmkept)
+         |UNION ALL SELECT 6, 'mixed',
          |  (SELECT CAST(count(*) AS BIGINT) FROM mixed)
-         |UNION ALL SELECT 6, 'chunks',
+         |UNION ALL SELECT 7, 'chunks',
          |  (SELECT CAST(count(*) AS BIGINT) FROM chunks)""".stripMargin
     })
 
@@ -3995,23 +4028,23 @@ object Pipeline {
     * q137 (the model) and q138 (the scorer) cannot drift. `cvw` is
     * MATERIALIZED (the q117 lesson: DuckDB 1.0 re-inlines every
     * reference, and three aggregations + the model join read it). */
-  private def knModelCtes(docsFrom: String): String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws
+  private def knModelCtes(docsFrom: String, p: String = ""): String =
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS ws
        |  FROM $docsFrom),
-       |bg AS MATERIALIZED (SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
-       |  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+       |${p}bg AS MATERIALIZED (SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+       |  FROM ${p}t, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
        |  WHERE len(ws) >= 2),
-       |cvw AS MATERIALIZED (
-       |  SELECT v, w, count(*) AS c_vw FROM bg GROUP BY 1, 2),
-       |ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
-       |    count(*) AS n1p_v FROM cvw GROUP BY 1),
-       |cont AS (SELECT w, count(*) AS n1p_w FROM cvw GROUP BY 1),
-       |tot AS (SELECT count(*) AS nb FROM cvw)""".stripMargin
+       |${p}cvw AS MATERIALIZED (
+       |  SELECT v, w, count(*) AS c_vw FROM ${p}bg GROUP BY 1, 2),
+       |${p}ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+       |    count(*) AS n1p_v FROM ${p}cvw GROUP BY 1),
+       |${p}cont AS (SELECT w, count(*) AS n1p_w FROM ${p}cvw GROUP BY 1),
+       |${p}tot AS (SELECT count(*) AS nb FROM ${p}cvw)""".stripMargin
 
   /** The KN probability expression, shared between both oracles — the
     * exact parenthesization of the Spark column tree so IEEE evaluation
     * matches before the 1e-6 rounding absorbs libm ulps. */
-  private val knPSql: String =
+  private def knPSql: String =
     s"""(CAST(c_vw AS DOUBLE) - ${TextOps.KnDiscount})
        |      / CAST(c_v AS DOUBLE)
        |    + ${TextOps.KnDiscount} * CAST(n1p_v AS DOUBLE)

@@ -49,10 +49,13 @@ class CurationDemoSpec extends SparkSpec {
       dsirPositive = 12L,    // 12 of 33 survivors lean toward the
                              // English-target unigram distribution
                              // (DSIR audit — reported, not dropped)
-      afterMix = 33L,
-      nChunks = 5L,
-      nShards = 8L,
-      auditRemoved = 467L,       // 500 - 33: everything else untouched
+      afterPerplexity = 24L, // the worst KN-cross-entropy decile per
+                             // source drops (9 of 33) — the band-pass
+                             // stage q138∘q115 realize
+      afterMix = 24L,
+      nChunks = 4L,
+      nShards = 7L,          // 24 docs hash across 7 of 8 shard labels
+      auditRemoved = 476L,       // 500 - 24: everything else untouched
       auditMutatedOrAdded = 0L,  // the drop-only contract, end-to-end
       nFiles = 8L,               // compactedWrite hit its file target
       layoutOverlaps = 0L)       // per-file shard ranges disjoint: a
