@@ -1707,6 +1707,56 @@ object TextOps {
   def luhnCheckDigit(payload: Column): Column =
     (lit(10) - luhnSum(payload, 0) % 10) % 10
 
+  /** Single-deletion neighborhood of a word: the word itself plus every
+    * string obtained by removing one character. The SymSpell indexing
+    * insight (deletion-neighborhood candidate generation; the method is
+    * public domain): two words within Levenshtein distance 1 ALWAYS
+    * share a neighborhood member — equal words trivially, an
+    * insertion/deletion pair contains the shorter word in the longer's
+    * neighborhood, and a substitution pair shares the deletion at the
+    * substituted position — so a join on neighborhood members finds
+    * every distance-1 pair without an all-pairs comparison. The
+    * containment is one-directional: sharing a member does NOT imply
+    * distance ≤ 1 (e.g. "ab"/"ba" share "a"), so candidates verify with
+    * the real metric. */
+  def deletionVariants(word: Column): Column =
+    array_distinct(concat(array(word),
+      transform(sequence(lit(1), length(word)), i =>
+        concat(word.substr(lit(1), i - 1),
+          word.substr(i + 1, length(word))))))
+
+  /** All vocabulary pairs within Levenshtein distance 1 — fuzzy
+    * matching / typo canonicalization over a `(word, df)` frame,
+    * discovered by the deletion-neighborhood join and VERIFIED with
+    * `levenshtein` (candidates over-approximate; the metric decides).
+    * Words under `minLen` are excluded: short words' neighborhoods
+    * collapse onto few very short strings (every 2-char word shares a
+    * single-char member with dozens of others), the method's documented
+    * skew hazard — and distance-1 on a 3-char word is a 33% rewrite, a
+    * different word, not a typo.
+    *
+    * Scale shape: the neighborhood explode and join run on the
+    * VOCABULARY frame (Zipf-bounded, orders below the corpus), never
+    * corpus rows; neighborhood keys are near-unique so the join does
+    * not inherit token skew; verification is row-local. The exact
+    * guarantee (candidates ⊇ all distance-1 pairs, then metric-filter)
+    * makes the output IDENTICAL to the all-pairs brute force — the q145
+    * oracle proves that equivalence per corpus. */
+  def fuzzyVocabPairs(vocab: DataFrame, minLen: Int = 4): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val vars = vocab.where(length(col("word")) >= minLen)
+      .select(col("word"), col("df"),
+        explode(deletionVariants(col("word"))).as("_v"))
+    vars.as("a").join(vars.as("b"),
+        col("a._v") === col("b._v") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("word_a"), col("a.df").as("df_a"),
+        col("b.word").as("word_b"), col("b.df").as("df_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .where(col("dist") <= 1)
+  }
+
   /** Token-budget allocation with epoch caps — exact water-filling.
     * Given a token budget B and a per-source repeat ceiling (`maxEpochs`
     * — the "don't train 40 epochs on the smallest source" rule of

@@ -1779,6 +1779,39 @@ class PipelineOpsSpec extends SparkSpec {
       "uncapped sources share one water level")
   }
 
+  test("fuzzyVocabPairs: neighborhood join equals brute force; edit kinds covered") {
+    // one word per edit kind against "table": substitution, deletion,
+    // insertion, a transposition NEGATIVE (lev 2 — shares a deletion
+    // member, so it exercises the verify step), and an unrelated word
+    val vocab = Seq(("table", 10L), ("tcble", 1L), ("tble", 1L),
+      ("tabble", 1L), ("atble", 1L), ("chair", 5L))
+      .toDF("word", "df")
+    val got = TextOps.fuzzyVocabPairs(vocab)
+      .select("word_a", "word_b").as[(String, String)].collect().toSet
+    // brute force over the same vocab
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = Seq("table", "tcble", "tble", "tabble", "atble", "chair")
+    val brute = (for (a <- words; b <- words if a < b && lev(a, b) <= 1)
+      yield (a, b)).toSet
+    assert(got == brute, s"got $got, brute $brute")
+    assert(got.contains(("table", "tcble")) && // substitution
+      got.contains(("table", "tble")) &&       // deletion
+      got.contains(("tabble", "table")))       // insertion
+    assert(!got.contains(("atble", "table")),
+      "transposition is lev 2: a candidate the verify step must reject")
+    // short words are excluded before the neighborhood explode
+    val short = TextOps.fuzzyVocabPairs(
+      Seq(("ab", 1L), ("ba", 1L), ("abc", 1L)).toDF("word", "df"))
+    assert(short.count() == 0L)
+  }
+
   test("rendezvousShard: movers land ONLY on the new shard; routing spreads") {
     graft.functions.HashExpressions.register(spark)
     val corpus = Tables.documents(spark, sf)
