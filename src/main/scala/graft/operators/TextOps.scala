@@ -1719,11 +1719,20 @@ object TextOps {
     * containment is one-directional: sharing a member does NOT imply
     * distance ≤ 1 (e.g. "ab"/"ba" share "a"), so candidates verify with
     * the real metric. */
-  def deletionVariants(word: Column): Column =
-    array_distinct(concat(array(word),
-      transform(sequence(lit(1), length(word)), i =>
-        concat(word.substr(lit(1), i - 1),
-          word.substr(i + 1, length(word))))))
+  def deletionVariants(word: Column, maxDist: Int = 1): Column = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion neighborhoods support distance 1 or 2, got $maxDist")
+    def del1(s: Column): Column =
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val d1 = del1(word)
+    val all =
+      if (maxDist == 1) concat(array(word), d1)
+      // d2 = one more deletion from every d1 member (v is a lambda
+      // variable, so nothing expensive is captured — the q139 rule)
+      else concat(array(word), d1, flatten(transform(d1, v => del1(v))))
+    array_distinct(all)
+  }
 
   /** All vocabulary pairs within Levenshtein distance 1 — fuzzy
     * matching / typo canonicalization over a `(word, df)` frame,
@@ -1742,11 +1751,13 @@ object TextOps {
     * guarantee (candidates ⊇ all distance-1 pairs, then metric-filter)
     * makes the output IDENTICAL to the all-pairs brute force — the q145
     * oracle proves that equivalence per corpus. */
-  def fuzzyVocabPairs(vocab: DataFrame, minLen: Int = 4): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+  def fuzzyVocabPairs(vocab: DataFrame, minLen: Int = 4,
+      maxDist: Int = 1): DataFrame = {
+    require(minLen >= maxDist + 2,
+      s"minLen must be >= maxDist + 2, got minLen=$minLen maxDist=$maxDist")
     val vars = vocab.where(length(col("word")) >= minLen)
       .select(col("word"), col("df"),
-        explode(deletionVariants(col("word"))).as("_v"))
+        explode(deletionVariants(col("word"), maxDist)).as("_v"))
     vars.as("a").join(vars.as("b"),
         col("a._v") === col("b._v") && col("a.word") < col("b.word"))
       .select(col("a.word").as("word_a"), col("a.df").as("df_a"),
@@ -1754,7 +1765,7 @@ object TextOps {
       .distinct()
       .withColumn("dist",
         levenshtein(col("word_a"), col("word_b")).cast("long"))
-      .where(col("dist") <= 1)
+      .where(col("dist") <= maxDist)
   }
 
   /** Token-budget allocation with epoch caps — exact water-filling.

@@ -4294,6 +4294,50 @@ object Pipeline {
        |FROM v a JOIN v b ON a.word < b.word
        |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin)
 
+  /** The q145 method at distance 2 — the production SymSpell setting
+    * (most real typos sit within two edits): two-deletion neighborhoods
+    * on both sides, same metric-verify, same all-pairs brute-force
+    * oracle proving bucketed ≡ exact. minLen rises to 5 (distance 2 on
+    * a 4-char word is half the word). */
+  private val q146 = QueryDef(
+    "q146_fuzzy_pairs_d2",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      import graft.functions.HashExpressions.polyHash
+      val docs = Tables.documents(s, d)
+      val h = polyHash(col("text"))
+      val w0 = element_at(split(col("text"), " "), 1)
+      val p = (pmod(h, length(w0).cast("long")) + 1).cast("int")
+      val c = lit("abcdefghijklmnopqrstuvwxyz")
+        .substr((pmod(h * 31, lit(26L)) + 1).cast("int"), lit(1))
+      val typo = concat(w0.substr(lit(1), p - 1), c,
+        w0.substr(p + 1, length(w0)))
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+      val vocab = words.unionAll(docs.select(typo.as("word")))
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      TextOps.fuzzyVocabPairs(vocab, minLen = 5, maxDist = 2)
+    },
+    s"""WITH ty0 AS (SELECT string_split(text, ' ')[1] AS w0,
+       |    ${polyHashSql("text")} AS h FROM documents),
+       |ty AS (SELECT concat(substr(w0, 1, CAST(p - 1 AS INTEGER)), c,
+       |    substr(w0, CAST(p + 1 AS INTEGER), length(w0))) AS word
+       |  FROM (SELECT w0, h % length(w0) + 1 AS p,
+       |      substr('abcdefghijklmnopqrstuvwxyz',
+       |        CAST((h * 31) % 26 + 1 AS INTEGER), 1) AS c
+       |    FROM ty0)),
+       |w AS (SELECT unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |  UNION ALL SELECT word FROM ty),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM w
+       |  WHERE length(word) >= 5 GROUP BY 1)
+       |SELECT a.word AS word_a, a.df AS df_a,
+       |  b.word AS word_b, b.df AS df_b,
+       |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+       |FROM v a JOIN v b ON a.word < b.word
+       |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin)
+
   /** Rendezvous/HRW sharding ([[TextOps.rendezvousShard]]) under n=8
     * and n=9 side by side: the hash-gated artifact carries the
     * consistency property itself — every `moved` row lands on the NEW
@@ -4349,7 +4393,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

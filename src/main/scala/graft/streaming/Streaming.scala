@@ -405,6 +405,50 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Typo-normalization ingest face of
+    * [[graft.operators.TextOps.fuzzyVocabPairs]]: arriving documents'
+    * out-of-vocabulary words are resolved against the FROZEN reference
+    * vocabulary through the deletion-neighborhood index — the SymSpell
+    * lookup shape: the static side pre-explodes the vocabulary's
+    * neighborhoods ONCE at stream definition, each arriving OOV word
+    * explodes its own neighborhood row-locally, the two meet in a
+    * stream-static join (stateless), and `levenshtein` verifies. Emits
+    * one row per (window, doc, word) with the BEST suggestion —
+    * min (distance, −df, suggestion) struct order: closest wins, then
+    * the more frequent canonical form, then lexicographic — the
+    * deterministic pick a replay reproduces. In-vocabulary words never
+    * emit (they are not typos); OOV words with no neighbor within
+    * `maxDist` never emit (novel vocabulary, not typos — a quality
+    * gate reads their absence from n_words vs suggestions elsewhere). */
+  def typoSuggestStream(docs: DataFrame, vocab: DataFrame,
+      minLen: Int = 4, maxDist: Int = 1,
+      timeCol: String = "event_time"): DataFrame = {
+    import graft.operators.TextOps
+    val idx = vocab.select(col("word").as("_sug"), col("df"),
+      explode(TextOps.deletionVariants(col("word"), maxDist)).as("_v"))
+    val words = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= minLen)
+      .join(vocab.select(col("word"), lit(true).as("_known")),
+        Seq("word"), "left")
+      .where(col("_known").isNull).drop("_known")
+    words
+      .select(col("window"), col("doc_id"), col("word"),
+        explode(TextOps.deletionVariants(col("word"), maxDist)).as("_v"))
+      .join(idx, "_v")
+      .select(col("window"), col("doc_id"), col("word"),
+        col("_sug"), col("df"),
+        levenshtein(col("word"), col("_sug")).cast("long").as("_d"))
+      .where(col("_d") <= maxDist)
+      .groupBy(col("window"), col("doc_id"), col("word"))
+      .agg(min(struct(col("_d").as("d"), (-col("df")).as("ndf"),
+        col("_sug").as("s"))).as("_b"))
+      .select(col("doc_id"), col("word"),
+        col("_b.s").as("suggestion"), col("_b.d").as("dist"),
+        (-col("_b.ndf")).as("suggestion_df"))
+  }
+
   /** Ingest face of [[graft.operators.UnigramOps.unigramTokenize]] —
     * the [[bpeTokenizeStream]] contract for the unigram-LM family:
     * arriving docs Viterbi-segmented under the FROZEN fitted piece

@@ -1810,6 +1810,15 @@ class PipelineOpsSpec extends SparkSpec {
     val short = TextOps.fuzzyVocabPairs(
       Seq(("ab", 1L), ("ba", 1L), ("abc", 1L)).toDF("word", "df"))
     assert(short.count() == 0L)
+    // distance 2: brute parity again, and the transposition flips from
+    // rejected candidate to genuine pair (lev("atble","table") = 2)
+    val got2 = TextOps.fuzzyVocabPairs(vocab, minLen = 5, maxDist = 2)
+      .select("word_a", "word_b").as[(String, String)].collect().toSet
+    val w5 = words.filter(_.length >= 5)
+    val brute2 = (for (a <- w5; b <- w5 if a < b && lev(a, b) <= 2)
+      yield (a, b)).toSet
+    assert(got2 == brute2, s"d2: got $got2, brute $brute2")
+    assert(got2.contains(("atble", "table")))
   }
 
   test("rendezvousShard: movers land ONLY on the new shard; routing spreads") {

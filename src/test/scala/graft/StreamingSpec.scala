@@ -770,6 +770,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("typoSuggestStream: OOV words resolve to the closest frequent vocab word") {
+    val vocab = Seq(("table", 10L), ("cable", 3L), ("chair", 5L))
+      .toDF("word", "df")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.typoSuggestStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), vocab)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("typo1").start()
+    try {
+      in.addData(
+        // tble -> table (lev 1; cable is lev 2, out of range at d=1);
+        // aable ties table/cable at lev 1 -> df breaks it (table, 10);
+        // zzzzz has no neighbor; chair/table are in-vocab
+        (1L, "table tble zzzzz chair", sec("2021-03-09 14:15:00", 1)),
+        (2L, "aable cable", sec("2021-03-09 14:15:00", 20)))
+      q.processAllAvailable()
+      in.addData((99L, "table", sec("2021-03-09 14:15:00", 4000))) // closer
+      q.processAllAvailable()
+      val got = spark.table("typo1").collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        (1L, "tble") -> (("table", 1L, 10L)),
+        (2L, "aable") -> (("table", 1L, 10L))), s"$got")
+    } finally q.stop()
+  }
+
   test("gopherRepetitionStream verdicts equal the batch screen row-for-row") {
     val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
       .select("doc_id", "text").cache()
