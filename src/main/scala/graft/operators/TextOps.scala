@@ -1707,6 +1707,64 @@ object TextOps {
   def luhnCheckDigit(payload: Column): Column =
     (lit(10) - luhnSum(payload, 0) % 10) % 10
 
+  /** Deterministic negative sampling from the unigram^alpha distribution
+    * — the word2vec/noise-contrastive convention (Mikolov et al. 2013:
+    * the 3/4 power flattens Zipf so frequent words don't monopolize the
+    * noise). Each document draws `k` negatives by EXACT inverse-CDF:
+    * the vocabulary's cumulative adjusted weights (1e-6-rounded DECIMAL,
+    * so the partition of mass is engine-exact) split [0, total) into
+    * half-open intervals, each draw is an avalanched content-hash
+    * position u ∈ [0, 1e6), and membership is decided by the
+    * DIVISION-FREE exact comparison prev·1e6 ≤ u·total < cum·1e6 —
+    * every draw lands in exactly one interval, reproducibly across
+    * runs, partitionings, and engines.
+    *
+    * Scale shape: the cumsum window runs on the VOCABULARY frame (the
+    * sources-table window precedent); the corpus-scale draw side meets
+    * the intervals through an EQUI join on quantized buckets — each
+    * interval registers its covered buckets ±1 slop (the float bucket
+    * boundary may disagree by an ulp; the exact comparison decides, so
+    * slop costs candidates, never correctness) and each draw probes one
+    * bucket, meeting ~vocab/buckets + 1 candidates, never the whole
+    * table. No broadcast of corpus-sized anything; `buckets` trades
+    * candidate count against the interval-expansion size. */
+  def negativeSamples(docs: DataFrame, id: Column, text: Column, k: Int,
+      alpha: Double = 0.75, buckets: Int = 1024): DataFrame = {
+    require(k > 0 && buckets > 1, s"need k > 0, buckets > 1; got $k, $buckets")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val vocab = BpeOps.wordFreqs(docs, text)
+    val w = Window.orderBy("word")
+    val cum = vocab
+      .select(col("word"), round(pow(col("freq").cast("double"), alpha), 6)
+        .cast("decimal(18,6)").as("_p"))
+      .withColumn("_cum", sum("_p").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_prev", (col("_cum") - col("_p")).cast("decimal(28,6)"))
+    val tot = cum.agg(max("_cum").as("_tot"))
+    val wb = cum.join(broadcast(tot))
+      .select(col("word"), col("_prev"), col("_cum"), col("_tot"),
+        explode(sequence(
+          greatest(floor(col("_prev").cast("double") * buckets /
+            col("_tot").cast("double")).cast("long") - 1, lit(0L)),
+          least(floor(col("_cum").cast("double") * buckets /
+            col("_tot").cast("double")).cast("long") + 1,
+            lit(buckets - 1L)))).as("_b"))
+    val h = graft.functions.HashExpressions.polyHash(text)
+    val draws = docs.select(id.as("doc_id"), h.as("_h"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_idx"), col("_h"))
+      .withColumn("_u", pmod(hrwMix(
+        pmod(col("_h") * 31 + col("neg_idx"), lit(P))), lit(1000000L)))
+      .withColumn("_b",
+        floor(col("_u") * buckets / lit(1000000.0)).cast("long"))
+    draws.join(wb, "_b")
+      .where(col("_prev") * lit(1000000L) <= col("_u") * col("_tot") &&
+        col("_u") * col("_tot") < col("_cum") * lit(1000000L))
+      .select(col("doc_id"), col("neg_idx").cast("long").as("neg_idx"),
+        col("word").as("neg_word"), col("_u").as("draw"))
+  }
+
   /** Single-deletion neighborhood of a word: the word itself plus every
     * string obtained by removing one character. The SymSpell indexing
     * insight (deletion-neighborhood candidate generation; the method is

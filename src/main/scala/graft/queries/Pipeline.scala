@@ -4338,6 +4338,53 @@ object Pipeline {
        |FROM v a JOIN v b ON a.word < b.word
        |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin)
 
+  /** Deterministic unigram^0.75 negative sampling
+    * ([[TextOps.negativeSamples]], the word2vec noise distribution):
+    * four negatives per document by exact inverse-CDF over the
+    * vocabulary's DECIMAL cumulative weights, membership decided by the
+    * division-free comparison prev·1e6 ≤ u·total < cum·1e6 — the hash
+    * gate proves every draw lands in exactly one interval identically
+    * in both engines. */
+  private val q147 = QueryDef(
+    "q147_negative_samples",
+    (s, d) => TextOps.negativeSamples(
+      Tables.documents(s, d), col("doc_id"), col("text"), k = 4),
+    {
+      val P = graft.functions.TextHash.P
+      def mixSql(h: String): String =
+        s"((xor((($h) * 2654435761) % $P, ((($h) * 2654435761) % $P)" +
+          s" >> 15)) * 2654435761) % $P"
+      s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |cum AS (SELECT word, p,
+         |    sum(p) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cum
+         |  FROM (SELECT word,
+         |      CAST(round(pow(freq, 0.75), 6) AS DECIMAL(18,6)) AS p
+         |    FROM wf) t1),
+         |tot AS (SELECT max(cum) AS tot FROM cum),
+         |wb AS (SELECT word, CAST(cum - p AS DECIMAL(28,6)) AS prev,
+         |    cum, tot,
+         |    unnest(generate_series(
+         |      GREATEST(CAST(floor(CAST(cum - p AS DOUBLE) * 1024
+         |        / CAST(tot AS DOUBLE)) AS BIGINT) - 1, 0),
+         |      LEAST(CAST(floor(CAST(cum AS DOUBLE) * 1024
+         |        / CAST(tot AS DOUBLE)) AS BIGINT) + 1, 1023))) AS b
+         |  FROM cum CROSS JOIN tot),
+         |dr AS (SELECT doc_id, j AS neg_idx,
+         |    ${mixSql(s"((${polyHashSql("text")}) * 31 + j) % $P")}
+         |      % 1000000 AS u
+         |  FROM documents, UNNEST(generate_series(0, 3)) AS t(j))
+         |SELECT doc_id, CAST(neg_idx AS BIGINT) AS neg_idx,
+         |  word AS neg_word, u AS draw
+         |FROM dr JOIN wb
+         |  ON wb.b = CAST(floor(u * 1024 / 1000000.0) AS BIGINT)
+         |WHERE prev * 1000000 <= u * tot
+         |  AND u * tot < cum * 1000000""".stripMargin
+    })
+
   /** Rendezvous/HRW sharding ([[TextOps.rendezvousShard]]) under n=8
     * and n=9 side by side: the hash-gated artifact carries the
     * consistency property itself — every `moved` row lands on the NEW
@@ -4393,7 +4440,7 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

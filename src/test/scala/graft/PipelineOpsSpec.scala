@@ -1821,6 +1821,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got2.contains(("atble", "table")))
   }
 
+  test("negativeSamples: every draw resolves uniquely; Zipf head flattened but leading") {
+    val corpus = Tables.documents(spark, sf)
+    val n = corpus.count()
+    val got = TextOps.negativeSamples(corpus, col("doc_id"), col("text"),
+      k = 4).cache()
+    // the intervals partition [0, total): one word per (doc, draw)
+    assert(got.count() == n * 4)
+    assert(got.select("doc_id", "neg_idx").distinct().count() == n * 4)
+    // alpha=0.75 flattens Zipf but keeps order: the most frequent word
+    // is sampled at least as often as the least frequent
+    val byWord = got.groupBy("neg_word").count()
+      .as[(String, Long)].collect().toMap
+    val freqs = graft.operators.BpeOps.wordFreqs(corpus, col("text"))
+      .as[(String, Long)].collect().sortBy(-_._2)
+    val (head, tail) = (freqs.head._1, freqs.last._1)
+    assert(byWord.getOrElse(head, 0L) >= byWord.getOrElse(tail, 0L),
+      s"head $head=${byWord.get(head)} vs tail $tail=${byWord.get(tail)}")
+    // deterministic across plans
+    val again = TextOps.negativeSamples(corpus, col("doc_id"),
+      col("text"), k = 4).orderBy("doc_id", "neg_idx").collect().toSeq
+    assert(again == got.orderBy("doc_id", "neg_idx").collect().toSeq)
+    got.unpersist()
+  }
+
   test("rendezvousShard: movers land ONLY on the new shard; routing spreads") {
     graft.functions.HashExpressions.register(spark)
     val corpus = Tables.documents(spark, sf)
