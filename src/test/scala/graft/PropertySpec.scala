@@ -382,4 +382,43 @@ class PropertySpec extends SparkSpec {
         assert(a == b, s"kernel/spec divergence on $texts")
     }
   }
+
+  test("budgetWaterfill: invariants hold for arbitrary avails, budgets, epochs") {
+    import graft.operators.TextOps
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 12)
+      avails <- Gen.listOfN(n, Gen.chooseNum(1, 400))
+      budget <- Gen.chooseNum(1L, 4000L)
+      epochs <- Gen.chooseNum(1L, 3L)
+    } yield (avails, budget, epochs)
+    samples(caseGen, 15).foreach { case (avails, budget, epochs) =>
+      // one doc per source, text sized so toks = avail exactly
+      val df = avails.zipWithIndex
+        .map { case (a, i) => (s"s$i", "x" * (a * 4)) }
+        .toDF("source", "text")
+      val rows = TextOps.budgetWaterfill(df, col("text"), col("source"),
+          budget, epochs)
+        .select("cap", "capped", "alloc", "rank")
+        .as[(Long, Boolean, Long, Long)].collect()
+      val ctx = s"avails=$avails budget=$budget epochs=$epochs: " +
+        rows.sortBy(_._4).mkString(", ")
+      rows.foreach { case (cap, capped, alloc, _) =>
+        assert(alloc >= 0 && alloc <= cap, s"alloc in [0, cap] — $ctx")
+        if (capped) assert(alloc == cap, s"capped fills to cap — $ctx")
+      }
+      // caps bind as a PREFIX of the cap-ascending order
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._2).dropWhile(identity).forall(!_),
+        s"capped set must be a rank prefix — $ctx")
+      // budget exhausted up to the integer remainder (or cap-bound)
+      val total = rows.map(_._3).sum
+      val bound = math.min(budget, rows.map(_._1).sum)
+      val nUncapped = rows.count(!_._2)
+      assert(total <= bound && bound - total < math.max(nUncapped, 1),
+        s"exhaustion up to remainder: $total of $bound — $ctx")
+      // uncapped sources share one water level
+      assert(rows.filter(!_._2).map(_._3).distinct.length <= 1,
+        s"one shared level — $ctx")
+    }
+  }
 }
