@@ -30,6 +30,14 @@ object TextHash {
       s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $P)"
 
+  /** DuckDB fragment of [[graft.operators.TextOps.hrwMix]] — the
+    * multiply–xorshift–multiply avalanche over a [0, P) hash. Mirrored
+    * from the Column definition verbatim; shared by the q143/q147/q148
+    * oracles. */
+  def hrwMixSql(h: String): String =
+    s"((xor((($h) * 2654435761) % $P, ((($h) * 2654435761) % $P)" +
+      s" >> 15)) * 2654435761) % $P"
+
   /** Word n-gram shingles of a space-tokenized text as an array column:
     * element i = words[i..i+w-1] joined by a single space. Single-word (or
     * shorter-than-w) texts yield one (possibly short) shingle. */

@@ -1731,9 +1731,20 @@ object TextOps {
   def negativeSamples(docs: DataFrame, id: Column, text: Column, k: Int,
       alpha: Double = 0.75, buckets: Int = 1024): DataFrame = {
     require(k > 0 && buckets > 1, s"need k > 0, buckets > 1; got $k, $buckets")
-    graft.functions.HashExpressions.register(docs.sparkSession)
-    val P = graft.functions.TextHash.P
-    val vocab = BpeOps.wordFreqs(docs, text)
+    val wb = noiseTable(BpeOps.wordFreqs(docs, text), alpha, buckets)
+    noiseDraws(docs.select(id.as("doc_id"), text.as("_text")), wb, k, buckets)
+  }
+
+  /** The frozen noise distribution behind [[negativeSamples]]: per word,
+    * its half-open interval `[_prev, _cum)` of cumulative unigram^alpha
+    * mass (1e-6-rounded DECIMAL, engine-exact), the shared `_tot`, and
+    * one row per covered quantized bucket `_b` (±1 slop; the exact
+    * comparison in the probe decides membership, so slop costs
+    * candidates, never correctness). Vocabulary-scale — the static side
+    * of the streaming face, broadcastable at any corpus size. */
+  def noiseTable(vocab: DataFrame, alpha: Double = 0.75,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 1, s"need buckets > 1, got $buckets")
     val w = Window.orderBy("word")
     val cum = vocab
       .select(col("word"), round(pow(col("freq").cast("double"), alpha), 6)
@@ -1742,7 +1753,7 @@ object TextOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_prev", (col("_cum") - col("_p")).cast("decimal(28,6)"))
     val tot = cum.agg(max("_cum").as("_tot"))
-    val wb = cum.join(broadcast(tot))
+    cum.join(broadcast(tot))
       .select(col("word"), col("_prev"), col("_cum"), col("_tot"),
         explode(sequence(
           greatest(floor(col("_prev").cast("double") * buckets /
@@ -1750,15 +1761,28 @@ object TextOps {
           least(floor(col("_cum").cast("double") * buckets /
             col("_tot").cast("double")).cast("long") + 1,
             lit(buckets - 1L)))).as("_b"))
-    val h = graft.functions.HashExpressions.polyHash(text)
-    val draws = docs.select(id.as("doc_id"), h.as("_h"))
+  }
+
+  /** The draw half of [[negativeSamples]], shared with the streaming
+    * face: k avalanched content-hash positions per `(doc_id, _text)`
+    * row, probed into the noise table by quantized-bucket equi join and
+    * decided by the division-free exact interval comparison. `buckets`
+    * MUST equal the value the noise table was built with — the probe
+    * bucket is recomputed draw-side. */
+  private[graft] def noiseDraws(docs: DataFrame, noise: DataFrame, k: Int,
+      buckets: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val h = graft.functions.HashExpressions.polyHash(col("_text"))
+    val draws = docs.withColumn("_h", h)
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(k - 1))).as("neg_idx"), col("_h"))
       .withColumn("_u", pmod(hrwMix(
         pmod(col("_h") * 31 + col("neg_idx"), lit(P))), lit(1000000L)))
       .withColumn("_b",
         floor(col("_u") * buckets / lit(1000000.0)).cast("long"))
-    draws.join(wb, "_b")
+    draws.join(noise, "_b")
       .where(col("_prev") * lit(1000000L) <= col("_u") * col("_tot") &&
         col("_u") * col("_tot") < col("_cum") * lit(1000000L))
       .select(col("doc_id"), col("neg_idx").cast("long").as("neg_idx"),

@@ -4351,9 +4351,7 @@ object Pipeline {
       Tables.documents(s, d), col("doc_id"), col("text"), k = 4),
     {
       val P = graft.functions.TextHash.P
-      def mixSql(h: String): String =
-        s"((xor((($h) * 2654435761) % $P, ((($h) * 2654435761) % $P)" +
-          s" >> 15)) * 2654435761) % $P"
+      def mixSql(h: String): String = graft.functions.TextHash.hrwMixSql(h)
       s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word
          |    FROM documents)
@@ -4401,9 +4399,7 @@ object Pipeline {
     },
     {
       val P = graft.functions.TextHash.P
-      def mixSql(h: String): String =
-        s"((xor((($h) * 2654435761) % $P, ((($h) * 2654435761) % $P)" +
-          s" >> 15)) * 2654435761) % $P"
+      def mixSql(h: String): String = graft.functions.TextHash.hrwMixSql(h)
       val score = mixSql(polyHashSql("text || '#' || CAST(s AS VARCHAR)"))
       s"""WITH s8 AS (
          |  SELECT doc_id, s AS shard8

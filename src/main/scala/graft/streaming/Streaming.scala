@@ -463,6 +463,28 @@ object Streaming {
     graft.operators.UnigramOps.unigramTokenize(
       docs, col("doc_id"), col("text"), pieces)
 
+  /** Ingest face of [[graft.operators.TextOps.negativeSamples]]: draw
+    * `k` contrastive negatives for each ARRIVING document from the
+    * FROZEN training-corpus noise distribution
+    * ([[graft.operators.TextOps.noiseTable]] — the word2vec unigram^3/4
+    * convention). The right decomposition for a stream is exactly the
+    * batch operator's own split: the noise table is a pure function of
+    * the frozen vocabulary (fit-time, vocabulary-scale), and the draw
+    * half is row-local hashing + one equi-join probe — so the face IS
+    * [[graft.operators.TextOps.noiseDraws]] over the arrivals with the
+    * static side broadcast. Stateless stream-static inner join: no
+    * watermark, no state store, append-mode clean. A replay of any
+    * document yields bit-identical negatives to the batch operator
+    * (draws are content-hash positions — StreamingSpec pins the
+    * parity), which is what makes negatives reproducible across a
+    * resumed/restarted ingest. Re-fit vocabulary → restart, the
+    * standing static-index rule. */
+  def negativeSamplesStream(docs: DataFrame, noise: DataFrame, k: Int,
+      buckets: Int = 1024): DataFrame =
+    graft.operators.TextOps.noiseDraws(
+      docs.select(col("doc_id"), col("text").as("_text")),
+      broadcast(noise), k, buckets)
+
   /** Ingest face of [[graft.operators.TextOps.gopherRepetition]] — the
     * Gopher repetition rules ARE an ingest-time screen (every signal is
     * document-local), so the stream body is literally the batch

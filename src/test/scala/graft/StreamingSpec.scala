@@ -1686,4 +1686,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamKwh == batchKwh, "streaming agg must equal batch agg")
     } finally q.stop()
   }
+
+  test("negativeSamplesStream replays batch negatives bit-identically; novel arrivals still draw") {
+    import graft.operators.{BpeOps, TextOps}
+    val corpus = Seq(
+      (1L, "x x x y common words here"),
+      (2L, "q q common words again"),
+      (3L, "y words x q common")).toDF("doc_id", "text")
+    // fit-time: freeze the noise distribution on the training vocabulary
+    val noise = TextOps.noiseTable(
+      BpeOps.wordFreqs(corpus, col("text"))).cache()
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.negativeSamplesStream(
+      in.toDS().toDF("doc_id", "text"), noise, k = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("negs1").start()
+    try {
+      in.addData(
+        (1L, "x x x y common words here"),
+        (2L, "q q common words again"))
+      q.processAllAvailable()
+      // an arrival the fit never saw: draws from the FROZEN table anyway
+      in.addData((4L, "entirely novel arrival text"))
+      q.processAllAvailable()
+      val got = spark.table("negs1")
+        .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+      // every (doc, draw) resolves to exactly one word — for novel docs too
+      assert(got.length == 9 && got.map(r => (r._1, r._2)).distinct.length == 9)
+      // replayed docs: bit-identical to the batch operator (contract)
+      val batch = TextOps.negativeSamples(
+          corpus, col("doc_id"), col("text"), k = 3)
+        .where(col("doc_id").isin(1L, 2L))
+        .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.filter(_._1 <= 2L).toSeq == batch.toSeq,
+        "stream negatives must equal batch negatives on replayed docs")
+      // novel-doc negatives come from the frozen vocabulary only
+      val vocab = BpeOps.wordFreqs(corpus, col("text"))
+        .select("word").as[String].collect().toSet
+      assert(got.filter(_._1 == 4L).forall(r => vocab(r._3)))
+    } finally { q.stop(); noise.unpersist() }
+  }
 }
