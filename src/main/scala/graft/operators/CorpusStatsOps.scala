@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-health diagnostics for a training-data pipeline: rank-frequency
+  * (Zipf) shape, vocabulary-growth (Heaps) fit, and robust per-group
+  * outlier screening. These are the monitoring metrics a curation pipeline
+  * publishes per snapshot — a corpus whose Zipf slope or hapax ratio moves
+  * between crawls has changed character (boilerplate flood, language drift,
+  * spam injection) before any downstream quality gate notices.
+  *
+  * All three are pure aggregation shapes: one explode + groupBy over the
+  * corpus, then arithmetic on a vocabulary- or group-sized frame. Nothing
+  * here materializes per-pair or per-position state, so the operators run
+  * at any corpus scale where word-count aggregation runs.
+  *
+  * Methods are public classics: Zipf's rank-frequency law (Zipf 1949),
+  * Heaps' vocabulary-growth law (Heaps 1978, "Information Retrieval"
+  * §7.5; also Herdan 1960), and the median/MAD robust z-score with the
+  * 1.4826 normal-consistency constant (Iglewicz & Hoaglin 1993; Leys et
+  * al. 2013).
+  */
+object CorpusStatsOps {
+
+  /** Least-squares slope/intercept of y on x from pre-aggregated sums.
+    * Inputs are the per-group aggregates n, Σx, Σy, Σ(x·y), Σ(x²), each of
+    * round-6 terms so the engine-portable oracle sums identical values.
+    * Returns (slope, intercept), NULL when the x-variance denominator is
+    * zero (single point or constant x). */
+  private def lsFit(n: Column, sx: Column, sy: Column, sxy: Column,
+      sxx: Column): (Column, Column) = {
+    val denom = n * sxx - sx * sx
+    val slope = when(denom =!= lit(0.0), (n * sxy - sx * sy) / denom)
+    val intercept = when(denom =!= lit(0.0), (sy - slope * sx) / n)
+    (slope, intercept)
+  }
+
+  /** Rank-frequency diagnostics per group (usually language): vocabulary
+    * size, token count, hapax-legomenon count/ratio, type-token ratio, and
+    * the log-log least-squares Zipf fit ln(freq) = intercept +
+    * slope·ln(rank). A healthy natural-language corpus sits near
+    * slope ≈ −1; boilerplate-flooded or template-generated corpora flatten
+    * (head-heavy) or steepen (tail of unique noise tokens).
+    *
+    * Shape: explode → two groupBys (word freq, then group rollup) — the
+    * second aggregates a VOCABULARY-sized frame, so the rank window
+    * partitions by group over vocab rows, never corpus rows. Regression
+    * terms are rounded to 6 decimals before summing so the DuckDB oracle
+    * sums bit-identical addends (order-of-addition noise then dies at the
+    * final round-6).
+    */
+  def zipfDiagnostics(docs: DataFrame, group: Column, text: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(group.as("grp"), explode(split(text, " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val freq = words.groupBy("grp", "word")
+      .agg(count(lit(1)).as("freq"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("freq").desc, col("word").asc)))
+    val x = round(log(col("rank").cast("double")), 6)
+    val y = round(log(col("freq").cast("double")), 6)
+    val terms = ranked.select(col("grp"), col("freq"), x.as("x"), y.as("y"),
+      round(x * y, 6).as("xy"), round(x * x, 6).as("xx"))
+    val agg = terms.groupBy("grp").agg(
+      count(lit(1)).as("n_types"),
+      sum(col("freq")).as("n_tokens"),
+      sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+    val n = col("n_types").cast("double")
+    val (slope, intercept) =
+      lsFit(n, col("sx"), col("sy"), col("sxy"), col("sxx"))
+    agg.select(
+      col("grp"),
+      col("n_types"), col("n_tokens"), col("n_hapax"),
+      round(col("n_hapax").cast("double") / n, 6).as("hapax_ratio"),
+      round(n / col("n_tokens").cast("double"), 6).as("ttr"),
+      round(slope, 6).as("zipf_slope"),
+      round(intercept, 6).as("zipf_intercept"))
+  }
+
+  /** Heaps'-law fit V(N) ≈ K·N^β over the corpus vocabulary-growth curve,
+    * sampled at `buckets` checkpoints of the document-id order. Returns one
+    * row: the fitted K and β, the checkpoint count, and the final corpus
+    * totals. β well below the 0.4–0.6 natural-language band signals a
+    * closed/templated vocabulary; β near 1 signals unbounded unique noise
+    * (mint-everything tokenizers, serial numbers).
+    *
+    * Scale design: the naive curve is a cumulative count over EVERY doc in
+    * a global order — a single-partition window over the whole corpus. We
+    * instead reduce to per-bucket aggregates first (`width_bucket` over the
+    * id range): tokens per bucket, plus NEW types per bucket via each
+    * word's first-occurrence bucket (one groupBy on the vocabulary). The
+    * ordered cumulative window then runs over `buckets` rows — driver-scale
+    * — and the regression fits `buckets` points. At 100 TB the corpus
+    * passes through two word-level aggregations and nothing else.
+    */
+  def heapsFit(docs: DataFrame, id: Column, text: Column,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(id.as("did"), split(text, " ").as("ws"))
+    // one tiny agg for the id range; broadcast as a literal-free cross join
+    val bounds = base.agg(min(col("did")).as("lo"), max(col("did")).as("hi"))
+    val withB = base.crossJoin(broadcast(bounds)).select(
+      col("did"), col("ws"),
+      least(lit(buckets - 1),
+        floor((col("did") - col("lo")).cast("double") * buckets /
+          (col("hi") - col("lo") + 1).cast("double")).cast("int"))
+        .as("bucket"))
+    val words = withB.select(col("bucket"), col("did"),
+      explode(col("ws")).as("word")).where(length(col("word")) > 0)
+    val tokensPerBucket = words.groupBy("bucket")
+      .agg(count(lit(1)).as("toks"))
+    // a word is "new" in the bucket holding its first-occurrence doc; ties
+    // on min(did) all carry the same bucket, so min_by is deterministic
+    val newTypes = words.groupBy("word")
+      .agg(min_by(col("bucket"), col("did")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val perBucket = tokensPerBucket
+      .join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perBucket.select(
+      col("bucket"),
+      sum(col("toks")).over(w).as("cum_toks"),
+      sum(col("new_types")).over(w).as("cum_types"))
+      .where(col("cum_toks") > 0 && col("cum_types") > 0)
+    val x = round(log(col("cum_toks").cast("double")), 6)
+    val y = round(log(col("cum_types").cast("double")), 6)
+    val terms = curve.select(x.as("x"), y.as("y"),
+      round(x * y, 6).as("xy"), round(x * x, 6).as("xx"),
+      col("cum_toks"), col("cum_types"))
+    val agg = terms.agg(
+      count(lit(1)).as("n_points"),
+      max(col("cum_toks")).as("n_tokens"),
+      max(col("cum_types")).as("n_types"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+    val (slope, intercept) = lsFit(col("n_points").cast("double"),
+      col("sx"), col("sy"), col("sxy"), col("sxx"))
+    agg.select(
+      col("n_points"), col("n_tokens"), col("n_types"),
+      round(slope, 6).as("heaps_beta"),
+      round(exp(intercept), 6).as("heaps_k"))
+  }
+
+  /** Robust per-group outlier screen on a numeric signal: the median/MAD
+    * z-score `(v − median) / (1.4826 · MAD)` (Iglewicz & Hoaglin 1993).
+    * Unlike mean/stddev, the estimate itself is not dragged by the
+    * outliers it is hunting — the standard screen for length/quality
+    * anomalies per source or language. MAD = 0 (over half the group
+    * identical) yields NULL z and `is_outlier = false`.
+    *
+    * Shape: two exact-percentile aggregations over the corpus (median,
+    * then MAD of residuals) producing a GROUP-cardinality stats frame,
+    * broadcast back onto the corpus. At 100 TB swap `percentile` for
+    * `percentile_approx` at the call site via `exact = false` — the shape
+    * is otherwise identical. */
+  def robustOutliers(docs: DataFrame, id: Column, group: Column,
+      value: Column, zThresh: Double = 3.0, exact: Boolean = true)
+      : DataFrame = {
+    def median(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
+    val base = docs.select(id.as("did"), group.as("grp"),
+      value.cast("double").as("v"))
+    val med = base.groupBy("grp").agg(median(col("v")).as("med"))
+    val mad = base.join(broadcast(med), Seq("grp"))
+      .groupBy("grp").agg(
+        first(col("med")).as("med"),
+        median(abs(col("v") - col("med"))).as("mad"))
+    val z = when(col("mad") =!= lit(0.0),
+      round((col("v") - col("med")) / (lit(1.4826) * col("mad")), 6))
+    base.join(broadcast(mad), Seq("grp"))
+      .select(col("did"), col("grp"), col("v"),
+        z.as("robust_z"),
+        coalesce(abs(z) > zThresh, lit(false)).as("is_outlier"))
+  }
+}

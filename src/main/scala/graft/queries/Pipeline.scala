@@ -4427,6 +4427,121 @@ object Pipeline {
     },
     None)
 
+  // ------------------------------------------------ corpus-health stats
+
+  /** Shared oracle fragment: the round-6 least-squares regression terms
+    * over `(x, y)` pairs — mirrors [[CorpusStatsOps]]'s convention of
+    * rounding each term BEFORE summation so both engines add identical
+    * values. */
+  private def lsTermsSql(xExpr: String, yExpr: String): String =
+    s"""round($xExpr, 6) AS x, round($yExpr, 6) AS y,
+       |round(round($xExpr, 6) * round($yExpr, 6), 6) AS xy,
+       |round(round($xExpr, 6) * round($xExpr, 6), 6) AS xx""".stripMargin
+
+  /** Corpus rank-frequency diagnostics per language: Zipf's law fit plus
+    * vocabulary/hapax/TTR health metrics (Zipf 1949; the per-snapshot
+    * corpus monitoring row of a curation pipeline). */
+  private val q148 = QueryDef(
+    "q148_zipf_diagnostics",
+    (s, d) => graft.operators.CorpusStatsOps.zipfDiagnostics(
+      Tables.documents(s, d), col("lang"), col("text")),
+    s"""WITH words AS (
+       |  SELECT lang AS grp, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |f AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM words WHERE length(word) > 0 GROUP BY 1, 2),
+       |r AS (SELECT grp, freq, row_number() OVER (
+       |    PARTITION BY grp ORDER BY freq DESC, word ASC) AS rnk
+       |  FROM f),
+       |t AS (SELECT grp, freq,
+       |  ${lsTermsSql("ln(CAST(rnk AS DOUBLE))", "ln(CAST(freq AS DOUBLE))")}
+       |  FROM r),
+       |a AS (SELECT grp,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax,
+       |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
+       |  FROM t GROUP BY grp)
+       |SELECT grp, n_types, n_tokens, n_hapax,
+       |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio,
+       |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       |  round(CASE WHEN n_types * sxx - sx * sx <> 0
+       |    THEN (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)
+       |    END, 6) AS zipf_slope,
+       |  round(CASE WHEN n_types * sxx - sx * sx <> 0
+       |    THEN (sy - ((n_types * sxy - sx * sy)
+       |      / (n_types * sxx - sx * sx)) * sx) / n_types
+       |    END, 6) AS zipf_intercept
+       |FROM a""".stripMargin)
+
+  /** Heaps'-law vocabulary-growth fit V(N) = K·N^β, curve sampled at 32
+    * doc-id buckets so the ordered cumulative window runs over 32 rows,
+    * not the corpus (Heaps 1978). */
+  private val q149 = QueryDef(
+    "q149_heaps_fit",
+    (s, d) => graft.operators.CorpusStatsOps.heapsFit(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH base AS (
+       |  SELECT doc_id AS did, string_split(text, ' ') AS ws FROM documents),
+       |bounds AS (SELECT min(did) AS lo, max(did) AS hi FROM base),
+       |wb AS (SELECT did, ws, least(31, CAST(floor(
+       |    CAST(did - lo AS DOUBLE) * 32 / CAST(hi - lo + 1 AS DOUBLE))
+       |    AS INTEGER)) AS bucket
+       |  FROM base, bounds),
+       |words AS (SELECT bucket, did, unnest(ws) AS word FROM wb),
+       |wnz AS (SELECT * FROM words WHERE length(word) > 0),
+       |tp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks
+       |  FROM wnz GROUP BY 1),
+       |nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+       |    SELECT word, arg_min(bucket, did) AS bucket FROM wnz GROUP BY 1)
+       |  GROUP BY 1),
+       |pb AS (SELECT tp.bucket, toks, coalesce(new_types, 0) AS new_types
+       |  FROM tp LEFT JOIN nt ON tp.bucket = nt.bucket),
+       |c AS (SELECT
+       |    CAST(sum(toks) OVER w AS BIGINT) AS cum_toks,
+       |    CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+       |  FROM pb WINDOW w AS (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t AS (SELECT cum_toks, cum_types,
+       |  ${lsTermsSql("ln(CAST(cum_toks AS DOUBLE))",
+                       "ln(CAST(cum_types AS DOUBLE))")}
+       |  FROM c WHERE cum_toks > 0 AND cum_types > 0),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |    max(cum_toks) AS n_tokens, max(cum_types) AS n_types,
+       |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
+       |  FROM t)
+       |SELECT n_points, n_tokens, n_types,
+       |  round(CASE WHEN n_points * sxx - sx * sx <> 0
+       |    THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+       |    END, 6) AS heaps_beta,
+       |  round(exp(CASE WHEN n_points * sxx - sx * sx <> 0
+       |    THEN (sy - ((n_points * sxy - sx * sy)
+       |      / (n_points * sxx - sx * sx)) * sx) / n_points
+       |    END), 6) AS heaps_k
+       |FROM a""".stripMargin)
+
+  /** Robust median/MAD outlier screen on doc length per language
+    * (Iglewicz & Hoaglin 1993) — the anomaly gate a pipeline runs on every
+    * ingest batch before the expensive quality stages. */
+  private val q150 = QueryDef(
+    "q150_robust_outliers",
+    (s, d) => graft.operators.CorpusStatsOps.robustOutliers(
+      Tables.documents(s, d), col("doc_id"), col("lang"), col("n_chars")),
+    """WITH b AS (SELECT doc_id AS did, lang AS grp,
+      |    CAST(n_chars AS DOUBLE) AS v FROM documents),
+      |m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1),
+      |md AS (SELECT b.grp, any_value(med) AS med,
+      |    quantile_cont(abs(v - med), 0.5) AS mad
+      |  FROM b JOIN m USING (grp) GROUP BY b.grp)
+      |SELECT did, grp, v,
+      |  round(CASE WHEN mad <> 0
+      |    THEN (v - med) / (1.4826 * mad) END, 6) AS robust_z,
+      |  coalesce(abs(round(CASE WHEN mad <> 0
+      |    THEN (v - med) / (1.4826 * mad) END, 6)) > 3.0, FALSE)
+      |    AS is_outlier
+      |FROM b JOIN md USING (grp)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4436,7 +4551,8 @@ object Pipeline {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
+    q148, q149, q150)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

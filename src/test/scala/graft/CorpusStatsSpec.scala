@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusStatsOps
+
+/** Corpus-health diagnostics ([[CorpusStatsOps]]): hand-computed Zipf and
+  * MAD fixtures, a degenerate-fit guard, and Heaps-law invariants (exact
+  * totals regardless of bucketing; β = 1 on an all-new-words corpus).
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Independent round-6 least-squares fit matching the operator's
+    * convention (terms rounded before summation). */
+  private def fit(pts: Seq[(Double, Double)]): (Double, Double) = {
+    val n = pts.size.toDouble
+    val xs = pts.map(p => round6(math.log(p._1)))
+    val ys = pts.map(p => round6(math.log(p._2)))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => round6(a * b) }.sum
+    val sxx = xs.map(a => round6(a * a)).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    (slope, (sy - slope * sx) / n)
+  }
+
+  test("zipfDiagnostics matches a hand-computed rank-frequency fixture") {
+    val docs = Seq((1L, "g1", "a a a b b c")).toDF("doc_id", "lang", "text")
+    val r = CorpusStatsOps.zipfDiagnostics(docs, col("lang"), col("text"))
+      .collect().head
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("n_hapax") === 1L)
+    assert(r.getAs[Double]("hapax_ratio") === round6(1.0 / 3))
+    assert(r.getAs[Double]("ttr") === 0.5)
+    // freq by rank: (1,3) (2,2) (3,1)
+    val (slope, intercept) = fit(Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)))
+    assert(r.getAs[Double]("zipf_slope") === round6(slope))
+    assert(r.getAs[Double]("zipf_intercept") === round6(intercept))
+  }
+
+  test("zipfDiagnostics yields NULL fit on a single-type group") {
+    val docs = Seq((1L, "g", "x x x")).toDF("doc_id", "lang", "text")
+    val r = CorpusStatsOps.zipfDiagnostics(docs, col("lang"), col("text"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("zipf_slope")))
+    assert(r.isNullAt(r.fieldIndex("zipf_intercept")))
+    assert(r.getAs[Long]("n_hapax") === 0L)
+  }
+
+  test("heapsFit: β = 1, K = 1 when every token is a new type") {
+    val docs = (1L to 8L).map(i => (i, s"w${i}a w${i}b"))
+      .toDF("doc_id", "text")
+    val r = CorpusStatsOps.heapsFit(docs, col("doc_id"), col("text"),
+      buckets = 8).collect().head
+    assert(r.getAs[Double]("heaps_beta") === 1.0)
+    assert(r.getAs[Double]("heaps_k") === 1.0)
+    assert(r.getAs[Long]("n_tokens") === 16L)
+    assert(r.getAs[Long]("n_types") === 16L)
+  }
+
+  test("heapsFit totals are exact and bucket-invariant on real docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val expTokens = toks.count()
+    val expTypes = toks.distinct().count()
+    for (b <- Seq(4, 32)) {
+      val r = CorpusStatsOps.heapsFit(docs, col("doc_id"), col("text"),
+        buckets = b).collect().head
+      assert(r.getAs[Long]("n_tokens") === expTokens)
+      assert(r.getAs[Long]("n_types") === expTypes)
+      assert(r.getAs[Long]("n_points") <= b)
+      assert(r.getAs[Double]("heaps_k") > 0.0)
+    }
+  }
+
+  test("robustOutliers matches a hand-computed median/MAD fixture") {
+    val docs = Seq(
+      (1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0), (4L, "g", 4.0),
+      (5L, "g", 100.0),
+      (6L, "c", 7.0), (7L, "c", 7.0), (8L, "c", 7.0))
+      .toDF("doc_id", "lang", "v")
+    val out = CorpusStatsOps.robustOutliers(docs, col("doc_id"),
+      col("lang"), col("v")).collect()
+      .map(r => r.getAs[Long]("did") ->
+        (Option(r.getAs[java.lang.Double]("robust_z")),
+          r.getAs[Boolean]("is_outlier"))).toMap
+    // group g: median 3, MAD = median(|v-3|) = median(2,1,0,1,97) = 1
+    assert(out(5L)._1.get === round6(97.0 / 1.4826))
+    assert(out(5L)._2 === true)
+    assert(out(1L)._1.get === round6(-2.0 / 1.4826))
+    assert(out(1L)._2 === false)
+    // constant group: MAD 0 → NULL z, never an outlier
+    assert(out(6L)._1.isEmpty && !out(6L)._2)
+  }
+}
