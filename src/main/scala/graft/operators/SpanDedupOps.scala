@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextHash
+
+/** Cross-document exact-substring deduplication — the "ExactSubstr" method
+  * of Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better" (ACL 2022): any word span duplicated VERBATIM across documents
+  * (boilerplate, licenses, syndicated paragraphs) is located as a maximal
+  * run of duplicated k-grams and removed, keeping one canonical occurrence
+  * corpus-wide.
+  *
+  * Lee et al. build a suffix array over the concatenated corpus — a
+  * sequential construction that does not distribute. The Spark-native
+  * equivalent anchors on word k-grams: a substring of ≥ k words duplicated
+  * across docs duplicates ALL its k-grams, so (1) hash every k-gram with
+  * its position, (2) keep hashes seen in ≥ `minDf` distinct docs (one
+  * word-level aggregation — the same shape as every shingle pipeline
+  * here), (3) per doc, merge adjacent duplicated positions into maximal
+  * spans with a gaps-and-islands window over ONLY the duplicated
+  * positions. No self-join, no per-pair state; the heavy frames are the
+  * corpus token table and the gram-vocabulary aggregate, both linear in
+  * corpus size. Spans shorter than k words are invisible by construction
+  * (the standard k-gram-anchored tradeoff; Lee et al. use 50-token
+  * thresholds at corpus scale).
+  *
+  * The canonical-copy rule is deterministic: the doc with the smallest id
+  * containing a gram keeps it; every other doc's occurrence is removable.
+  */
+object SpanDedupOps {
+
+  /** Word positions are 1-based (SQL `generate_series` parity). Emits one
+    * row per (doc, position) k-gram: `(did, pos, h)`; docs shorter than
+    * `k` words emit nothing. */
+  private def gramTable(docs: DataFrame, id: Column, text: Column, k: Int)
+      : DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val ws = split(text, " ")
+    val grams = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - lit(k - 1)),
+        i => graft.functions.HashExpressions.polyHash(
+          concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(id.as("did"), posexplode(grams).as(Seq("p0", "h")))
+      .select(col("did"), (col("p0") + 1).as("pos"), col("h"))
+  }
+
+  /** Maximal cross-document duplicated spans per doc: every maximal run of
+    * positions whose k-gram occurs in ≥ `minDf` distinct docs. Returns
+    * `(did, span_start, span_end, span_len, n_grams, max_df)` with word
+    * positions 1-based inclusive. */
+  def crossDocSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, minDf: Int = 2): DataFrame = {
+    val grams = gramTable(docs, id, text, k)
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("did")).as("df"))
+      .where(col("df") >= minDf)
+    val dupPos = grams.join(dup, "h")
+    val island = col("pos") -
+      row_number().over(Window.partitionBy(col("did")).orderBy(col("pos")))
+    dupPos.withColumn("island", island)
+      .groupBy("did", "island")
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"),
+        max(col("df")).as("max_df"))
+      .select(col("did"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"),
+        col("n_grams"), col("max_df"))
+  }
+
+  /** Removable word positions per doc under the canonical-copy rule: a
+    * position is covered when one of the k-grams overlapping it is
+    * duplicated AND this doc is not the gram's canonical (min-id) holder.
+    * Returns `(did, pos)` expanded to word granularity. */
+  private def dropPositions(docs: DataFrame, id: Column, text: Column,
+      k: Int, minDf: Int): DataFrame = {
+    val grams = gramTable(docs, id, text, k)
+    val dup = grams.groupBy("h").agg(
+      countDistinct(col("did")).as("df"),
+      min(col("did")).as("canon"))
+      .where(col("df") >= minDf)
+    grams.join(dup, "h")
+      .where(col("did") =!= col("canon"))
+      .select(col("did"), explode(
+        sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+  }
+
+  /** Cross-document dedup: rewrite each doc with its non-canonical
+    * duplicated spans removed (word-granular), keeping exactly the
+    * canonical min-id occurrence of every duplicated substring. Returns
+    * `(did, text_clean, n_words, n_dropped)`. */
+  def crossDocDedup(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, minDf: Int = 2): DataFrame = {
+    val drops = dropPositions(docs, id, text, k, minDf)
+      .groupBy("did").agg(collect_list(col("pos")).as("drops"))
+    docs.select(id.as("did"), split(text, " ").as("ws"))
+      .join(drops, Seq("did"), "left")
+      .select(
+        col("did"),
+        concat_ws(" ", filter(col("ws"),
+          (_, i) => coalesce(not(array_contains(col("drops"), i + 1)),
+            lit(true)))).as("text_clean"),
+        size(col("ws")).cast("long").as("n_words"),
+        coalesce(size(col("drops")), lit(0)).cast("long").as("n_dropped"))
+  }
+
+  /** DuckDB oracle fragment mirroring [[gramTable]] over a table exposing
+    * `did` and `ws = string_split(text, ' ')`: one row per full-width
+    * k-gram with 1-based `pos` and the shared polynomial hash. */
+  def gramCteSql(k: Int, table: String): String =
+    s"""SELECT did, i AS pos,
+       |  ${TextHash.polyHashSql(s"array_to_string(ws[i:i+${k - 1}], ' ')")} AS h
+       |FROM $table, UNNEST(generate_series(1, len(ws) - ${k - 1})) AS t(i)
+       |WHERE len(ws) >= $k""".stripMargin
+}

@@ -4542,6 +4542,72 @@ object Pipeline {
       |    AS is_outlier
       |FROM b JOIN md USING (grp)""".stripMargin)
 
+  // -------------------------------------- cross-document substring dedup
+
+  private val XDOC_K = 3
+
+  /** Shared oracle prefix for q151/q152: the word table and the k-gram
+    * table (positions 1-based), built from [[SpanDedupOps.gramCteSql]] so
+    * the hash definition cannot drift from the Spark side. */
+  private def xdocCtes: String =
+    s"""base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |g AS (${graft.operators.SpanDedupOps.gramCteSql(XDOC_K, "base")})""".stripMargin
+
+  /** Maximal cross-doc duplicated spans (Lee et al. ACL 2022, k-gram
+    * anchored): every verbatim word run shared by ≥ 2 docs, merged from
+    * adjacent duplicated 3-grams with a gaps-and-islands window. */
+  private val q151 = QueryDef(
+    "q151_crossdoc_spans",
+    (s, d) => graft.operators.SpanDedupOps.crossDocSpans(
+      Tables.documents(s, d), col("doc_id"), col("text"), k = XDOC_K),
+    s"""WITH $xdocCtes,
+       |dup AS (SELECT h, CAST(count(DISTINCT did) AS BIGINT) AS df
+       |  FROM g GROUP BY 1 HAVING count(DISTINCT did) >= 2),
+       |dp AS (SELECT g.did, g.pos, dup.df FROM g JOIN dup USING (h)),
+       |isl AS (SELECT did, pos, df,
+       |    pos - row_number() OVER (PARTITION BY did ORDER BY pos)
+       |      AS island
+       |  FROM dp)
+       |SELECT did,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${XDOC_K - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + ${XDOC_K - 1} - min(pos) + 1 AS BIGINT)
+       |    AS span_len,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(max(df) AS BIGINT) AS max_df
+       |FROM isl GROUP BY did, island""".stripMargin)
+
+  /** Cross-doc dedup rewrite: non-canonical duplicated spans removed at
+    * word granularity, min-id holder keeps the single surviving copy. */
+  private val q152 = QueryDef(
+    "q152_crossdoc_dedup",
+    (s, d) => graft.operators.SpanDedupOps.crossDocDedup(
+      Tables.documents(s, d), col("doc_id"), col("text"), k = XDOC_K),
+    s"""WITH $xdocCtes,
+       |dup AS (SELECT h, min(did) AS canon
+       |  FROM g GROUP BY 1 HAVING count(DISTINCT did) >= 2),
+       |dropp AS (SELECT DISTINCT g.did, p AS pos
+       |  FROM g JOIN dup USING (h),
+       |    UNNEST(generate_series(g.pos, g.pos + ${XDOC_K - 1})) AS t(p)
+       |  WHERE g.did <> dup.canon),
+       |toks AS (SELECT did, i AS pos, ws[i] AS w
+       |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
+       |kept AS (SELECT toks.did, toks.pos, toks.w
+       |  FROM toks LEFT JOIN dropp
+       |    ON toks.did = dropp.did AND toks.pos = dropp.pos
+       |  WHERE dropp.pos IS NULL),
+       |agg AS (SELECT did, string_agg(w, ' ' ORDER BY pos) AS text_clean
+       |  FROM kept GROUP BY did),
+       |nd AS (SELECT did, CAST(count(*) AS BIGINT) AS n_dropped
+       |  FROM dropp GROUP BY did)
+       |SELECT b.did, coalesce(agg.text_clean, '') AS text_clean,
+       |  CAST(len(b.ws) AS BIGINT) AS n_words,
+       |  coalesce(nd.n_dropped, 0) AS n_dropped
+       |FROM base b
+       |LEFT JOIN agg ON b.did = agg.did
+       |LEFT JOIN nd ON b.did = nd.did""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4552,7 +4618,7 @@ object Pipeline {
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-    q148, q149, q150)
+    q148, q149, q150, q151, q152)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
