@@ -35,8 +35,8 @@ object SpanDedupOps {
   /** Word positions are 1-based (SQL `generate_series` parity). Emits one
     * row per (doc, position) k-gram: `(did, pos, h)`; docs shorter than
     * `k` words emit nothing. */
-  private def gramTable(docs: DataFrame, id: Column, text: Column, k: Int)
-      : DataFrame = {
+  private[operators] def gramTable(docs: DataFrame, id: Column,
+      text: Column, k: Int): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     val ws = split(text, " ")
     val grams = when(size(ws) >= k,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Winnowing document fingerprints — Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD
+  * 2003; the MOSS algorithm). From each window of `w` consecutive k-gram
+  * hashes, select the minimum (rightmost on ties); the distinct selected
+  * hashes are the document's fingerprint set. The selection is LOCAL —
+  * whether a hash is picked depends only on its w-neighborhood — so any
+  * shared substring of ≥ w + k − 1 words is guaranteed to share at least
+  * one fingerprint, while storage drops to ~2/(w+1) of the gram count.
+  * Unlike minhash (a global random sample, Jaccard-calibrated), winnowing
+  * is position-robust: it finds PARTIAL overlap (one shared paragraph in
+  * an otherwise different doc) that whole-doc signatures dilute away.
+  *
+  * Shape: one per-doc ordered window over the gram table (partitioned by
+  * doc — never global), then a distinct. Pair generation joins fingerprint
+  * sets on hash with a document-frequency cap (drop-and-flag, the
+  * repo-standard hot-bucket guard), so no bucket degenerates at corpus
+  * scale.
+  */
+object WinnowOps {
+
+  /** Encoding base for the rightmost-min tiebreak: key = h·C + (C − pos)
+    * makes lexicographic (h asc, pos desc) ordering a single Long min.
+    * Caps supported doc length at C−1 words — raise for a corpus of
+    * longer docs (h < 2^31 leaves 32 bits of headroom). */
+  val PosBase: Long = 1L << 20
+
+  /** Winnowed fingerprints `(did, pos, h)`: the k-gram hash selected from
+    * each w-window (rightmost minimum), deduplicated. Docs with fewer
+    * than `w` grams yield the single minimum over what they have (the
+    * standard short-doc convention), so every non-empty doc carries at
+    * least one fingerprint. */
+  def fingerprints(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = SpanDedupOps.gramTable(docs, id, text, k)
+    val byDoc = Window.partitionBy(col("did"))
+    val win = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    val key = col("h") * lit(PosBase) + (lit(PosBase) - col("pos"))
+    val selected = grams
+      .withColumn("m", count(lit(1)).over(byDoc))
+      .withColumn("sel", min(key).over(win))
+      // full windows only, except the single window of a short doc
+      .where(col("pos") <= greatest(col("m") - lit(w - 1), lit(1)))
+      .select(col("did"),
+        (lit(PosBase) - pmod(col("sel"), lit(PosBase))).cast("int")
+          .as("pos"),
+        expr(s"CAST(sel DIV $PosBase AS BIGINT)").as("h"))
+    selected.distinct()
+  }
+
+  /** Near-duplicate / partial-overlap candidates from shared winnowed
+    * fingerprints: for each doc pair sharing ≥ 1 fingerprint hash (after
+    * dropping hashes in more than `maxDf` docs — boilerplate grams),
+    * the count of shared hashes and the fingerprint-set Jaccard.
+    * Returns pairs with `jaccard ≥ minJaccard`, `did_a < did_b`. */
+  def fingerprintPairs(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4, maxDf: Int = 64,
+      minJaccard: Double = 0.5): DataFrame = {
+    val fp = fingerprints(docs, id, text, k, w)
+      .select(col("did"), col("h")).distinct()
+    val sizes = fp.groupBy("did").agg(count(lit(1)).as("sz"))
+    val rare = fp.join(
+      fp.groupBy("h").agg(countDistinct(col("did")).as("df"))
+        .where(col("df") <= maxDf),
+      "h")
+    val shared = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("did_a"), col("b.did").as("did_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("did", "did_a")
+        .withColumnRenamed("sz", "sz_a"), "did_a")
+      .join(sizes.withColumnRenamed("did", "did_b")
+        .withColumnRenamed("sz", "sz_b"), "did_b")
+      .withColumn("jaccard", round(
+        col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("did_a"), col("did_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** DuckDB fragment of [[fingerprints]] over the [[SpanDedupOps.gramCteSql]]
+    * gram CTE named `g`: the selected-(pos, h) rows, pre-distinct. */
+  def fingerprintCteSql(w: Int): String =
+    s"""SELECT DISTINCT did,
+       |  CAST($PosBase - (sel % $PosBase) AS INTEGER) AS pos,
+       |  CAST(sel // $PosBase AS BIGINT) AS h
+       |FROM (
+       |  SELECT did, pos,
+       |    count(*) OVER (PARTITION BY did) AS m,
+       |    min(h * $PosBase + ($PosBase - pos)) OVER (
+       |      PARTITION BY did ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |  FROM g)
+       |WHERE pos <= greatest(m - ${w - 1}, 1)""".stripMargin
+}

@@ -4608,6 +4608,46 @@ object Pipeline {
        |LEFT JOIN agg ON b.did = agg.did
        |LEFT JOIN nd ON b.did = nd.did""".stripMargin)
 
+  // -------------------------------------------- winnowing fingerprints
+
+  /** Winnowed fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD
+    * 2003): rightmost-min of each 4-window of 3-gram hashes per doc. */
+  private val q153 = QueryDef(
+    "q153_winnow_fingerprints",
+    (s, d) => graft.operators.WinnowOps.fingerprints(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      k = XDOC_K, w = 4),
+    s"""WITH $xdocCtes
+       |${graft.operators.WinnowOps.fingerprintCteSql(4)}""".stripMargin)
+
+  /** Partial-overlap candidates from shared winnowed fingerprints, with
+    * the repo-standard hot-hash df cap and fingerprint-set Jaccard. */
+  private val q154 = QueryDef(
+    "q154_winnow_pairs",
+    (s, d) => graft.operators.WinnowOps.fingerprintPairs(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      k = XDOC_K, w = 4, maxDf = 64, minJaccard = 0.5),
+    s"""WITH $xdocCtes,
+       |fp0 AS (${graft.operators.WinnowOps.fingerprintCteSql(4)}),
+       |fp AS (SELECT DISTINCT did, h FROM fp0),
+       |sz AS (SELECT did, CAST(count(*) AS BIGINT) AS sz
+       |  FROM fp GROUP BY 1),
+       |rare AS (SELECT fp.did, fp.h FROM fp
+       |  JOIN (SELECT h FROM fp GROUP BY h
+       |        HAVING count(DISTINCT did) <= 64) dd USING (h)),
+       |sh AS (SELECT a.did AS did_a, b.did AS did_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.did < b.did
+       |  GROUP BY 1, 2)
+       |SELECT did_a, did_b, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6)
+       |    AS jaccard
+       |FROM sh
+       |JOIN sz sa ON sh.did_a = sa.did
+       |JOIN sz sb ON sh.did_b = sb.did
+       |WHERE round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared),
+       |  6) >= 0.5""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4618,7 +4658,7 @@ object Pipeline {
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152)
+    q148, q149, q150, q151, q152, q153, q154)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
