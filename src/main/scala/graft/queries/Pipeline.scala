@@ -4648,6 +4648,74 @@ object Pipeline {
        |WHERE round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared),
        |  6) >= 0.5""".stripMargin)
 
+  // ------------------------------------------------ ridge distillation
+
+  private val RIDGE_LAMBDA = 0.1
+
+  /** Spark-side feature/target frame for the ridge distillation: two
+    * cheap features (log word count, mean word length) and the composite
+    * quality score as the expensive target being distilled. */
+  private def ridgeData(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ws = split(col("text"), " ")
+    val nw = size(filter(ws, w => length(w) > 0))
+    Tables.documents(s, d).select(
+      col("doc_id").as("id"),
+      round(log(lit(1.0) + nw), 6).as("x1"),
+      round(length(translate(col("text"), " ", "")).cast("double") / nw, 6)
+        .as("x2"),
+      round(TextOps.qualityComposite(col("text")), 6).as("y"))
+  }
+
+  /** Oracle twin of [[ridgeData]]. */
+  private def ridgeFeatSql: String =
+    s"""feat AS (SELECT doc_id AS id,
+       |  round(ln(1.0 + len(list_filter(ws, w -> length(w) > 0))), 6)
+       |    AS x1,
+       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |    / len(list_filter(ws, w -> length(w) > 0)), 6) AS x2,
+       |  round($qualityCompositeSql, 6) AS y
+       |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |      FROM documents))""".stripMargin
+
+  /** Closed-form ridge fit (Hoerl & Kennard 1970) distilling the
+    * composite quality score onto two cheap features — a learned model
+    * with ZERO driver involvement: one aggregate row + Cramer's-rule
+    * column arithmetic, weight formulas shared with the oracle as text. */
+  private val q155 = QueryDef(
+    "q155_ridge_distill",
+    (s, d) => graft.operators.RegressionOps.ridge2Fit(
+      ridgeData(s, d), RIDGE_LAMBDA),
+    {
+      val Seq(det, n0, n1, n2) =
+        graft.operators.RegressionOps.cramerSql(RIDGE_LAMBDA)
+      s"""WITH $ridgeFeatSql,
+         |m AS (${graft.operators.RegressionOps.momentRowSql})
+         |SELECT CAST(n AS BIGINT) AS n_rows,
+         |  round($n0 / $det, 6) AS w0,
+         |  round($n1 / $det, 6) AS w1,
+         |  round($n2 / $det, 6) AS w2
+         |FROM m""".stripMargin
+    })
+
+  /** Whole-corpus scoring face of q155: the cheap distilled score and its
+    * residual against the expensive target, model broadcast as one row. */
+  private val q156 = QueryDef(
+    "q156_ridge_residuals",
+    (s, d) => graft.operators.RegressionOps.ridge2Score(
+      ridgeData(s, d), RIDGE_LAMBDA),
+    {
+      val Seq(det, n0, n1, n2) =
+        graft.operators.RegressionOps.cramerSql(RIDGE_LAMBDA)
+      s"""WITH $ridgeFeatSql,
+         |m AS (${graft.operators.RegressionOps.momentRowSql}),
+         |w AS (SELECT round($n0 / $det, 6) AS w0,
+         |  round($n1 / $det, 6) AS w1, round($n2 / $det, 6) AS w2 FROM m),
+         |p AS (SELECT id, round(y, 6) AS y,
+         |    round(w0 + w1 * round(x1, 6) + w2 * round(x2, 6), 6) AS y_hat
+         |  FROM feat, w)
+         |SELECT id, y, y_hat, round(y - y_hat, 6) AS resid FROM p""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4658,7 +4726,7 @@ object Pipeline {
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153, q154)
+    q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
