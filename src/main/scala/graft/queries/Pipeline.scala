@@ -4716,6 +4716,66 @@ object Pipeline {
          |SELECT id, y, y_hat, round(y - y_hat, 6) AS resid FROM p""".stripMargin
     })
 
+  // ------------------------------------------------- html extraction
+
+  /** Shared q157/q158 oracle prefix: synthesize the deterministic page
+    * around each doc, run the tag-strip/entity/line chain. */
+  private def htmlCtes: String = {
+    import graft.operators.HtmlOps
+    s"""base AS (SELECT doc_id AS did, text, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |hh AS (SELECT did, ${HtmlOps.wrapHtmlSql} AS html FROM base),
+       |l AS (SELECT did, ${HtmlOps.textLinesSql("html")} AS ls FROM hh)"""
+      .stripMargin
+  }
+
+  /** HTML → clean text over the synthesized page corpus: script/style
+    * subtree drop, block tags → line breaks, entity decode, whitespace
+    * normalization. */
+  private val q157 = QueryDef(
+    "q157_html_extract",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.HtmlOps.extractText(
+        docs.withColumn("html", graft.operators.HtmlOps.wrapHtml(
+          col("doc_id"), col("text"))),
+        col("doc_id"), col("html"))
+    },
+    s"""WITH $htmlCtes
+       |SELECT did, array_to_string(ls, chr(10)) AS text_clean,
+       |  CAST(len(ls) AS BIGINT) AS n_lines
+       |FROM l""".stripMargin)
+
+  /** Line-density boilerplate removal (Kohlschütter WSDM 2010 flavor):
+    * nav/title/footer drop out, 8-word body paragraphs survive, short
+    * closing lines are rescued next to content. */
+  private val q158 = QueryDef(
+    "q158_html_content",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.HtmlOps.extractContent(
+        docs.withColumn("html", graft.operators.HtmlOps.wrapHtml(
+          col("doc_id"), col("text"))),
+        col("doc_id"), col("html"))
+    },
+    s"""WITH $htmlCtes,
+       |ln AS (SELECT did, i AS lno, ls[i] AS line
+       |  FROM l, UNNEST(generate_series(1, len(ls))) AS t(i)),
+       |sc AS (SELECT did, lno, line,
+       |    len(string_split(line, ' ')) AS wc FROM ln),
+       |k AS (SELECT did, lno, line,
+       |    (wc >= 6 OR (wc >= 3 AND (
+       |      coalesce(lag(wc) OVER w, 0) >= 6 OR
+       |      coalesce(lead(wc) OVER w, 0) >= 6))) AS keep
+       |  FROM sc WINDOW w AS (PARTITION BY did ORDER BY lno))
+       |SELECT did,
+       |  coalesce(string_agg(line, chr(10) ORDER BY lno)
+       |    FILTER (WHERE keep), '') AS content,
+       |  CAST(coalesce(count(*) FILTER (WHERE keep), 0) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM k GROUP BY did""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4726,7 +4786,7 @@ object Pipeline {
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153, q154, q155, q156)
+    q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
