@@ -164,21 +164,34 @@ object CorpusStatsOps {
   def robustOutliers(docs: DataFrame, id: Column, group: Column,
       value: Column, zThresh: Double = 3.0, exact: Boolean = true)
       : DataFrame = {
+    val base = docs.select(id.as("did"), group.as("grp"),
+      value.cast("double").as("v"))
+    val stats = robustStats(docs, group, value, exact)
+    base.join(broadcast(stats), Seq("grp"))
+      .select(col("did"), col("grp"), col("v"),
+        robustZ(col("v"), col("med"), col("mad")).as("robust_z"),
+        coalesce(abs(robustZ(col("v"), col("med"), col("mad"))) > zThresh,
+          lit(false)).as("is_outlier"))
+  }
+
+  /** The per-group median/MAD stats frame `(grp, med, mad)` — the model
+    * [[robustOutliers]] applies, exposed so an ingest stream can freeze
+    * it and score arrivals against the batch-fitted baseline. */
+  def robustStats(docs: DataFrame, group: Column, value: Column,
+      exact: Boolean = true): DataFrame = {
     def median(c: Column): Column =
       if (exact) percentile(c, lit(0.5))
       else percentile_approx(c, lit(0.5), lit(10000))
-    val base = docs.select(id.as("did"), group.as("grp"),
-      value.cast("double").as("v"))
+    val base = docs.select(group.as("grp"), value.cast("double").as("v"))
     val med = base.groupBy("grp").agg(median(col("v")).as("med"))
-    val mad = base.join(broadcast(med), Seq("grp"))
+    base.join(broadcast(med), Seq("grp"))
       .groupBy("grp").agg(
         first(col("med")).as("med"),
         median(abs(col("v") - col("med"))).as("mad"))
-    val z = when(col("mad") =!= lit(0.0),
-      round((col("v") - col("med")) / (lit(1.4826) * col("mad")), 6))
-    base.join(broadcast(mad), Seq("grp"))
-      .select(col("did"), col("grp"), col("v"),
-        z.as("robust_z"),
-        coalesce(abs(z) > zThresh, lit(false)).as("is_outlier"))
   }
+
+  /** The round-6 robust z (NULL when MAD = 0). */
+  def robustZ(v: Column, med: Column, mad: Column): Column =
+    when(mad =!= lit(0.0),
+      round((v - med) / (lit(1.4826) * mad), 6))
 }

@@ -89,6 +89,16 @@ object RegressionOps {
       .withColumn("resid", round(col("y") - col("y_hat"), 6))
   }
 
+  /** The two cheap distillation features over a text column — round-6
+    * (log word count, mean word length); shared by the q155 registry
+    * body and the ingest face so they cannot drift. */
+  def qualityFeatures(text: Column): (Column, Column) = {
+    val ws = split(text, " ")
+    val nw = size(filter(ws, w => length(w) > 0))
+    (round(log(lit(1.0) + nw), 6),
+      round(length(translate(text, " ", "")).cast("double") / nw, 6))
+  }
+
   /** DuckDB oracle fragment mirroring [[momentRow]] over a CTE `feat`
     * exposing `x1`, `x2`, `y` (round-6). */
   def momentRowSql: String =

@@ -112,6 +112,18 @@ object SpanDedupOps {
         coalesce(size(col("drops")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** Frozen k-gram index of a corpus for ingest screening: the distinct
+    * gram hashes with their document frequency and canonical (min-id)
+    * holder. An ARRIVAL whose grams hit this index duplicates corpus
+    * content — the stream-static side of
+    * [[graft.streaming.Streaming.crossDocScreenStream]]. Gram-vocabulary
+    * sized (linear scan output, one aggregation). */
+  def gramIndex(docs: DataFrame, id: Column, text: Column, k: Int = 3)
+      : DataFrame =
+    gramTable(docs, id, text, k).groupBy("h").agg(
+      countDistinct(col("did")).as("df"),
+      min(col("did")).as("canon"))
+
   /** DuckDB oracle fragment mirroring [[gramTable]] over a table exposing
     * `did` and `ws = string_split(text, ' ')`: one row per full-width
     * k-gram with 1-based `pos` and the shared polynomial hash. */

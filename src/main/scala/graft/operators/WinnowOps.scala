@@ -84,6 +84,27 @@ object WinnowOps {
       .select(col("did_a"), col("did_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** The winnowed fingerprint HASH SET as a per-row array column —
+    * window minima only: set membership does not need selection
+    * positions, and the min VALUE per window is independent of the tie
+    * rule, so this equals `fingerprints(...).select(h)` per doc exactly
+    * (WinnowSpec pins it). Computed entirely with codegen'd array HOFs:
+    * zero shuffle, usable in a streaming plan where window functions are
+    * unavailable. */
+  def fingerprintHashes(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val ws = split(text, " ")
+    val hs = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - lit(k - 1)),
+        i => graft.functions.HashExpressions.polyHash(
+          concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val m = size(hs)
+    when(m > 0, array_distinct(transform(
+      sequence(lit(1), greatest(m - lit(w - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** DuckDB fragment of [[fingerprints]] over the [[SpanDedupOps.gramCteSql]]
     * gram CTE named `g`: the selected-(pos, h) rows, pre-distinct. */
   def fingerprintCteSql(w: Int): String =

@@ -4656,13 +4656,10 @@ object Pipeline {
     * cheap features (log word count, mean word length) and the composite
     * quality score as the expensive target being distilled. */
   private def ridgeData(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val ws = split(col("text"), " ")
-    val nw = size(filter(ws, w => length(w) > 0))
+    val (x1, x2) =
+      graft.operators.RegressionOps.qualityFeatures(col("text"))
     Tables.documents(s, d).select(
-      col("doc_id").as("id"),
-      round(log(lit(1.0) + nw), 6).as("x1"),
-      round(length(translate(col("text"), " ", "")).cast("double") / nw, 6)
-        .as("x2"),
+      col("doc_id").as("id"), x1.as("x1"), x2.as("x2"),
       round(TextOps.qualityComposite(col("text")), 6).as("y"))
   }
 

@@ -1735,6 +1735,111 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processTrip)
   }
 
+  // ---------------------------------------- substring/stats ingest faces
+
+  /** Ingest face of [[graft.operators.SpanDedupOps.crossDocSpans]] — each
+    * ARRIVING doc screened against the FROZEN corpus gram index
+    * ([[graft.operators.SpanDedupOps.gramIndex]]): how much of the
+    * arrival duplicates corpus content verbatim, and the longest such
+    * run. Gram explode → stream-static left join → one per-(window, doc)
+    * aggregate; the longest-run merge cannot use a row window in a
+    * streaming plan, so it folds the collected match positions with a
+    * single `aggregate` HOF over the sorted array (bounded by the
+    * arrival's own gram count). Re-fit the index → restart, the standing
+    * static-index rule. */
+  def crossDocScreenStream(docs: DataFrame, index: DataFrame, k: Int = 3,
+      timeCol: String = "event_time"): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val ws = split(col("text"), " ")
+    val grams = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - lit(k - 1)),
+        i => struct(i.as("pos"), graft.functions.HashExpressions.polyHash(
+          concat_ws(" ", slice(ws, i, lit(k)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    val exploded = docs.withWatermark(timeCol, WatermarkDelay)
+      .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
+        explode_outer(grams).as("g"))
+      .select(col("window"), col("doc_id"), col("g.pos").as("pos"),
+        col("g.h").as("h"))
+      .join(index.select(col("h"), col("df")), Seq("h"), "left")
+    val agg = exploded.groupBy(col("window"), col("doc_id")).agg(
+      count(col("pos")).as("n_grams"),
+      count(col("df")).as("n_dup"),
+      sort_array(collect_list(when(col("df").isNotNull, col("pos"))))
+        .as("_ps"))
+    val maxRun = aggregate(col("_ps"),
+      struct(lit(-2).as("prev"), lit(0).as("cur"), lit(0).as("best")),
+      (acc, p) => {
+        val cur = when(p === acc.getField("prev") + 1,
+          acc.getField("cur") + 1).otherwise(lit(1))
+        struct(p.as("prev"), cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+    agg.select(col("window"), col("doc_id"), col("n_grams"), col("n_dup"),
+      when(col("n_grams") > 0,
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+        .as("dup_frac"),
+      when(col("n_dup") > 0, maxRun + lit(k - 1)).otherwise(lit(0))
+        .cast("long").as("max_run_words"))
+  }
+
+  /** Ingest face of [[graft.operators.CorpusStatsOps.robustOutliers]] —
+    * arrivals scored against the FROZEN per-group median/MAD baseline
+    * ([[graft.operators.CorpusStatsOps.robustStats]]): the anomaly gate
+    * runs per row with a broadcast group-stats join, completely
+    * stateless (an ingest batch must be judged against the fitted
+    * baseline, never against its own skewed statistics). */
+  def robustOutlierStream(docs: DataFrame, stats: DataFrame,
+      group: String, value: Column, zThresh: Double = 3.0,
+      timeCol: String = "event_time"): DataFrame = {
+    import graft.operators.CorpusStatsOps.robustZ
+    val z = robustZ(col("_v"), col("med"), col("mad"))
+    docs.select(col(timeCol), col("doc_id"), col(group).as("grp"),
+        value.cast("double").as("_v"))
+      .join(broadcast(stats), Seq("grp"))
+      .select(col(timeCol), col("doc_id"), col("grp"),
+        col("_v").as("v"), z.as("robust_z"),
+        coalesce(abs(z) > zThresh, lit(false)).as("is_outlier"))
+  }
+
+  /** Ingest face of [[graft.operators.RegressionOps.ridge2Score]] — the
+    * distilled cheap quality score applied to arrivals with the FROZEN
+    * 1-row model (fit batch-side on the reference corpus; scoring is
+    * pure row-local arithmetic after a broadcast single-row join). */
+  def ridgeScoreStream(docs: DataFrame, model: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    val (x1, x2) = graft.operators.RegressionOps.qualityFeatures(col("text"))
+    docs.select(col(timeCol), col("doc_id"),
+        x1.as("_x1"), x2.as("_x2"), lit(1).as("_k"))
+      .join(broadcast(model.withColumn("_k", lit(1))), Seq("_k"))
+      .select(col(timeCol), col("doc_id"),
+        round(col("w0") + col("w1") * col("_x1")
+          + col("w2") * col("_x2"), 6).as("y_hat"))
+  }
+
+  /** Ingest face of [[graft.operators.WinnowOps.fingerprintPairs]] — each
+    * arrival's winnowed fingerprint set probed against the FROZEN corpus
+    * fingerprint index: which corpus docs share ≥ `minShared` selected
+    * hashes (partial-overlap alerting). The arrival's fingerprints are
+    * computed with [[graft.operators.WinnowOps.fingerprintHashes]] — the
+    * HOF form, zero shuffle — because streaming plans cannot run the
+    * batch operator's per-doc row window; WinnowSpec pins the two forms
+    * to identical hash sets. */
+  def winnowScreenStream(docs: DataFrame, fpIndex: DataFrame,
+      minShared: Long = 1L, timeCol: String = "event_time"): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs.withWatermark(timeCol, WatermarkDelay)
+      .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
+        explode(graft.operators.WinnowOps.fingerprintHashes(col("text")))
+          .as("h"))
+      .join(fpIndex.select(col("did").as("src_id"), col("h")).distinct(),
+        Seq("h"))
+      .groupBy(col("window"), col("doc_id"), col("src_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   private[streaming] def processTrip(
       tripId: Long, it: Iterator[FlagSample],
       state: GroupState[RunState]): Iterator[SessionOut] = {

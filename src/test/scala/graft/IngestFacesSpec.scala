@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.operators.{CorpusStatsOps, RegressionOps, SpanDedupOps, WinnowOps}
+
+/** Round-12 ingest faces: arrivals screened/scored against FROZEN
+  * batch-fitted indexes — cross-doc gram screen, robust-outlier gate,
+  * ridge distillation scoring, winnow fingerprint screen. Each face is
+  * pinned to its batch operator's semantics.
+  */
+class IngestFacesSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def sec(base: String, s: Int) =
+    new Timestamp(Timestamp.valueOf(base).getTime + s * 1000L)
+  private val T0 = "2021-03-09 14:15:00"
+
+  test("crossDocScreenStream measures verbatim corpus overlap per arrival") {
+    val corpus = Seq((1L, "p q r s t"), (2L, "u v w x y z"))
+      .toDF("doc_id", "text")
+    val index = SpanDedupOps.gramIndex(corpus, col("doc_id"), col("text"))
+      .cache()
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.crossDocScreenStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("xds1").start()
+    try {
+      in.addData(
+        (10L, "x p q r y", ts(T0)),      // one shared gram "p q r" at pos 2
+        (11L, "p q r s t", ts(T0)),      // verbatim corpus doc
+        (12L, "aa bb cc dd", ts(T0)),    // fully novel
+        (13L, "p q", ts(T0)))            // shorter than k
+      in.addData((-1L, "x", sec(T0, 4000)))
+      q.processAllAvailable()
+      val out = spark.table("xds1").where(col("doc_id") >= 0).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+          Option(r.getAs[java.lang.Double]("dup_frac")),
+          r.getLong(5)))).toMap
+      assert(out(10L) === ((3L, 1L, Some(0.333333), 3L)))
+      assert(out(11L) === ((3L, 3L, Some(1.0), 5L)))
+      assert(out(12L) === ((2L, 0L, Some(0.0), 0L)))
+      assert(out(13L) === ((0L, 0L, None, 0L)))
+    } finally { q.stop(); index.unpersist(blocking = false) }
+  }
+
+  test("robustOutlierStream applies the frozen batch baseline") {
+    val corpus = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+      (4L, "g", 4.0), (5L, "g", 100.0)).toDF("doc_id", "lang", "v")
+    val stats = CorpusStatsOps.robustStats(corpus, col("lang"), col("v"))
+      .cache()
+    val in = MemoryStream[(Long, String, Double, Timestamp)]
+    val q = Streaming.robustOutlierStream(
+      in.toDS().toDF("doc_id", "lang", "v", "event_time"),
+      stats, "lang", col("v"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ros1").start()
+    try {
+      in.addData((20L, "g", 3.0, ts(T0)), (21L, "g", 200.0, ts(T0)),
+        (22L, "unknown", 1.0, ts(T0)))
+      q.processAllAvailable()
+      val out = spark.table("ros1").collect()
+        .map(r => r.getLong(1) ->
+          ((r.getAs[Double]("robust_z"), r.getAs[Boolean]("is_outlier"))))
+        .toMap
+      assert(out(20L) === ((0.0, false)))
+      // (200 - 3) / 1.4826 — judged by the CORPUS baseline, not the batch
+      assert(math.abs(out(21L)._1 - 132.874680) < 1e-6)
+      assert(out(21L)._2 === true)
+      assert(!out.contains(22L)) // no fitted baseline for the group
+    } finally { q.stop(); stats.unpersist(blocking = false) }
+  }
+
+  test("ridgeScoreStream reproduces the batch distilled scores") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").cache()
+    val (x1, x2) = RegressionOps.qualityFeatures(col("text"))
+    val data = docs.select(col("doc_id").as("id"), x1.as("x1"),
+      x2.as("x2"),
+      round(graft.operators.TextOps.qualityComposite(col("text")), 6)
+        .as("y"))
+    val model = RegressionOps.ridge2Fit(data).cache()
+    val batch = RegressionOps.ridge2Score(data).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("y_hat")).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.ridgeScoreStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rss1").start()
+    try {
+      in.addData(rows.map { case (i, t) => (i, t, ts(T0)) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rss1").collect()
+        .map(r => r.getLong(1) -> r.getAs[Double]("y_hat")).toMap
+      assert(streamed === batch)
+    } finally {
+      q.stop(); model.unpersist(blocking = false)
+      docs.unpersist(blocking = false)
+    }
+  }
+
+  test("winnowScreenStream finds the corpus doc an arrival copies") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val fpIndex = WinnowOps.fingerprints(corpus, col("doc_id"), col("text"))
+      .cache()
+    val fp1 = fpIndex.where(col("did") === 1L)
+      .select("h").distinct().count()
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.winnowScreenStream(
+      in.toDS().toDF("doc_id", "text", "event_time"), fpIndex)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wss1").start()
+    try {
+      in.addData(
+        (30L, "one two three four five six seven eight nine ten", ts(T0)),
+        (31L, "totally novel words with zero corpus overlap here", ts(T0)))
+      in.addData((-1L, "x", sec(T0, 4000)))
+      q.processAllAvailable()
+      val out = spark.table("wss1").where(col("doc_id") >= 0).collect()
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(out === Map((30L, 1L) -> fp1))
+    } finally { q.stop(); fpIndex.unpersist(blocking = false) }
+  }
+}

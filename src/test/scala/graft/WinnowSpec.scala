@@ -85,6 +85,19 @@ class WinnowSpec extends SparkSpec {
     assert(got(0L).map(_._2).intersect(got(1L).map(_._2)).nonEmpty)
   }
 
+  test("HOF fingerprintHashes equals the window form's hash set per doc") {
+    graft.functions.HashExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hof = docs.select(col("doc_id"),
+      explode(WinnowOps.fingerprintHashes(col("text"), K, W)).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val win = WinnowOps.fingerprints(docs, col("doc_id"), col("text"), K, W)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert(hof === win)
+  }
+
   test("fingerprintPairs scores exact duplicates at jaccard 1.0") {
     val df = Seq(
       (1L, "one two three four five six seven eight"),
