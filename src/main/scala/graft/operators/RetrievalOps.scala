@@ -60,15 +60,24 @@ object RetrievalOps {
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, qid: Column, qtext: Column, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(qid.as("query_id"),
+        explode(split(qtext, " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+    bm25TopKTerms(docs, id, text, qterms, k, k1, b)
+  }
+
+  /** [[bm25TopK]] from a prepared distinct `(query_id, word)` term set —
+    * the entry point for expanded queries ([[prfExpandTerms]]) where the
+    * term set is constructed, not tokenized from text. */
+  def bm25TopKTerms(docs: DataFrame, id: Column, text: Column,
+      qterms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val words = docs.select(id.as("doc_id"),
       explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val withDl = tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val qterms = queries.select(qid.as("query_id"),
-        explode(split(qtext, " ")).as("word"))
-      .where(length(col("word")) > 0).distinct()
     val probed = withDl.join(
       broadcast(qterms.select("word").distinct()), Seq("word"), "left_semi")
     val dfreq = probed.groupBy("word").agg(count(lit(1)).as("df"))
@@ -92,6 +101,49 @@ object RetrievalOps {
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("n_terms"),
         col("score").cast("double").as("score"))
+  }
+
+  /** Rocchio / RM3-style pseudo-relevance feedback (Rocchio 1971, SMART;
+    * Abdul-Jaleel et al. TREC 2004 RM3): run a first-pass BM25, treat
+    * each query's top `kFb` docs as pseudo-relevant, weight their terms
+    * by the DECIMAL sum of tf·idf over the feedback set (idf from the
+    * corpus-wide df — one wordcount aggregation), drop the original
+    * query terms, and keep the `tExp` heaviest per query (weight desc,
+    * word asc — the decimal weights make the ranking drift-free by
+    * construction). Returns the EXPANDED distinct `(query_id, word)` set
+    * — original ∪ expansion — ready for [[bm25TopKTerms]]'s second pass.
+    *
+    * Scale shape: the feedback frame is (queries × kFb) docs joined to
+    * the combined tf table (postings-sized, key-partitioned); expansion
+    * selection windows over a feedback-vocabulary-sized frame per query.
+    * Nothing new touches the corpus beyond the df wordcount the index
+    * maintenance face already materializes. */
+  def prfExpandTerms(docs: DataFrame, id: Column, text: Column,
+      qterms: DataFrame, kFb: Int = 5, tExp: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fb = bm25TopKTerms(docs, id, text, qterms, kFb, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val words = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfAll = bm25CorpusDf(docs, id, text)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val weights = fb.join(tf, "doc_id")
+      .join(dfAll, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("query_id"), col("word"),
+        dec6(idf6(col("n_docs"), col("df")).cast("double") * col("tf"))
+          .as("_w"))
+      .groupBy("query_id", "word").agg(sum(col("_w")).as("wgt"))
+    val novel = weights
+      .join(qterms.select("query_id", "word"),
+        Seq("query_id", "word"), "left_anti")
+    val expansion = novel.withColumn("rk",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("wgt").desc, col("word"))))
+      .where(col("rk") <= tExp)
+      .select("query_id", "word")
+    qterms.select("query_id", "word").unionByName(expansion).distinct()
   }
 
   /** The maintainable half of a BM25 index: per-word document frequency

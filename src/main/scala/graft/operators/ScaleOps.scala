@@ -58,6 +58,40 @@ object ScaleOps {
       .drop("_salt")
   }
 
+  /** Weighted random sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * IPL 2006): give each row the key u^(1/w) for u ~ U(0,1]; the n
+    * largest keys are exactly a weighted sample without replacement —
+    * one pass, fully distributed, no sequential draw loop. u is
+    * DETERMINISTIC here (u = (hrwMix(id mod P)+1)/(P+1), the q143
+    * avalanche primitive), so re-runs and the DuckDB oracle reproduce
+    * the same sample — a training-data pipeline wants reproducible
+    * subsets, not true randomness. Keys are compared in log space
+    * scaled by 10^6 before the round-6 (12 significant decimals —
+    * enough that the engines agree and distinct weights stay distinct).
+    *
+    * Selection is `orderBy(...).limit(n)` — Spark plans TakeOrdered
+    * (per-partition top-n, driver merge of n·partitions rows), never a
+    * single-partition global window; the rank is re-derived on the
+    * n-row result. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, n: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    val P = graft.functions.TextHash.P
+    val mix = TextOps.hrwMix(pmod(id.cast("long"), lit(P)))
+    val u = (mix + lit(1L)).cast("double") / lit((P + 1).toDouble)
+    val skey = round(log(u) * lit(1000000.0) / weight.cast("double"), 6)
+    val top = df
+      .where(weight.cast("double") > 0)
+      .select(id.cast("long").as("did"),
+        weight.cast("double").as("weight"), skey.as("skey"))
+      .orderBy(col("skey").desc, col("did"))
+      .limit(n)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("skey").desc, col("did")))
+        .cast("long"))
+  }
+
   /** Write a table bucketed + sorted on a key: downstream equi-joins and
     * aggregations on that key plan with zero Exchange (asserted in
     * ScaleOpsSpec). Bucket count should match the target parallelism at the

@@ -4773,6 +4773,111 @@ object Pipeline {
        |  CAST(count(*) AS BIGINT) AS n_total
        |FROM k GROUP BY did""".stripMargin)
 
+  // ------------------------------------------- PRF + weighted sampling
+
+  /** The q119 BM25 scoring chain, parameterized by the query-term CTE so
+    * the PRF oracle can run it twice (first pass and expanded pass)
+    * without drift. Expects CTEs `words`, `tf`, `dl`, `stats` in scope. */
+  private def bm25ChainSql(qt: String, sfx: String): String =
+    s"""dfq$sfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE w IN (SELECT w FROM $qt) GROUP BY w),
+       |contrib$sfx AS (
+       |  SELECT $qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST(CAST(CAST(round(ln(1.0 +
+       |          (stats.n_docs - dfq$sfx.df + 0.5) / (dfq$sfx.df + 0.5)), 6)
+       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM tf
+       |  JOIN $qt ON $qt.w = tf.w
+       |  JOIN dfq$sfx ON dfq$sfx.w = tf.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |sc$sfx AS (SELECT query_id, doc_id, sum(c) AS s,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM contrib$sfx GROUP BY 1, 2),
+       |ranked$sfx AS (SELECT query_id, doc_id, n_terms, s,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
+       |  FROM sc$sfx)""".stripMargin
+
+  /** Rocchio/RM3 pseudo-relevance feedback: expand each query with the
+    * 3 heaviest tf·idf terms of its top-5 first-pass docs, re-rank with
+    * the expanded term set. The oracle replays BOTH passes and the
+    * decimal expansion selection. */
+  private val q159 = QueryDef(
+    "q159_prf_expansion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.where(col("doc_id") < 3)
+      val qterms = queries.select(col("doc_id").as("query_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0).distinct()
+      val expanded = RetrievalOps.prfExpandTerms(
+        docs, col("doc_id"), col("text"), qterms, kFb = 5, tExp = 3)
+      RetrievalOps.bm25TopKTerms(
+        docs, col("doc_id"), col("text"), expanded, BM25_K)
+    },
+    s"""WITH words AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t WHERE length(w) > 0),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |stats AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
+       |  WHERE doc_id < 3),
+       |${bm25ChainSql("qt", "")},
+       |fb AS (SELECT query_id, doc_id FROM ranked WHERE rk <= 5),
+       |dfall AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+       |wgt AS (SELECT f.query_id, tf.w,
+       |    sum(CAST(round(
+       |      CAST(CAST(CAST(round(ln(1.0 +
+       |          (stats.n_docs - dfall.df + 0.5) / (dfall.df + 0.5)), 6)
+       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+       |      * tf.tf, 6) AS DECIMAL(18,6))) AS wgt
+       |  FROM fb f
+       |  JOIN tf ON tf.doc_id = f.doc_id
+       |  JOIN dfall ON dfall.w = tf.w
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |novel AS (SELECT wgt.query_id, wgt.w, wgt.wgt FROM wgt
+       |  ANTI JOIN qt ON qt.query_id = wgt.query_id AND qt.w = wgt.w),
+       |expn AS (SELECT query_id, w FROM (
+       |    SELECT query_id, w, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY wgt DESC, w) AS rk FROM novel)
+       |  WHERE rk <= 3),
+       |qt2 AS (SELECT query_id, w FROM qt
+       |  UNION SELECT query_id, w FROM expn),
+       |${bm25ChainSql("qt2", "2")}
+       |SELECT query_id, rk, doc_id, n_terms,
+       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score
+       |FROM ranked2 WHERE rk <= $BM25_K""".stripMargin)
+
+  /** Efraimidis–Spirakis weighted sampling without replacement (IPL
+    * 2006): top-50 of u^(1/w) keys with deterministic hash-derived u —
+    * reproducible weighted subset selection at any scale. */
+  private val q160 = QueryDef(
+    "q160_weighted_sample",
+    (s, d) => graft.operators.ScaleOps.weightedSample(
+      Tables.documents(s, d), col("doc_id"), col("n_chars"), 50),
+    s"""WITH b AS (SELECT doc_id AS did,
+       |    CAST(n_chars AS DOUBLE) AS weight,
+       |    round(ln((${graft.functions.TextHash.hrwMixSql(
+                  "doc_id % 1000000007")} + 1) / 1000000008.0)
+       |      * 1000000.0 / CAST(n_chars AS DOUBLE), 6) AS skey
+       |  FROM documents WHERE n_chars > 0),
+       |top AS (SELECT * FROM b ORDER BY skey DESC, did LIMIT 50)
+       |SELECT did, weight, skey,
+       |  CAST(row_number() OVER (ORDER BY skey DESC, did) AS BIGINT) AS rk
+       |FROM top""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4783,7 +4888,8 @@ object Pipeline {
     q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+    q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
+    q159, q160)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

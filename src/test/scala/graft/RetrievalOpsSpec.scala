@@ -197,6 +197,39 @@ class RetrievalOpsSpec extends SparkSpec {
       s"both embedding fetches must be broadcast probes:\n$plan")
   }
 
+  test("prfExpandTerms picks the hand-computed tf-idf expansion") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana date"),
+      (3L, "kiwi melon lime")).toDF("doc_id", "text")
+    val qterms = Seq((0L, "apple")).toDF("query_id", "word")
+    val expanded = RetrievalOps.prfExpandTerms(docs, col("doc_id"),
+      col("text"), qterms, kFb = 5, tExp = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // feedback docs for "apple" = {1, 2}. Weights (df over 3 docs):
+    // banana 2·idf(df=2)=0.940008 < cherry/date 1·idf(df=1)=0.980829 —
+    // the rare terms outrank the common one; tie → word asc.
+    assert(expanded === Set((0L, "apple"), (0L, "cherry"), (0L, "date")))
+  }
+
+  test("PRF second pass surfaces docs sharing only expansion terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana date"),
+      (3L, "kiwi melon lime"),
+      (4L, "cherry date fig")).toDF("doc_id", "text")
+    val qterms = Seq((0L, "apple")).toDF("query_id", "word")
+    def hits(qt: org.apache.spark.sql.DataFrame) =
+      RetrievalOps.bm25TopKTerms(docs, col("doc_id"), col("text"), qt, 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!hits(qterms).contains(4L))
+    val expanded = RetrievalOps.prfExpandTerms(docs, col("doc_id"),
+      col("text"), qterms, kFb = 5, tExp = 2)
+    assert(hits(expanded).contains(4L))
+  }
+
   test("bm25 plan: query-derived sides broadcast; corpus aggregates once") {
     val docs = Tables.documents(spark, sf)
     val plan = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),

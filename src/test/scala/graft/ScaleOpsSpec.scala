@@ -67,4 +67,30 @@ class ScaleOpsSpec extends SparkSpec {
       s"bucketed join must not shuffle:\n$plan")
     assert(joined.count() == 500)
   }
+
+  test("weightedSample: deterministic, bounded, weight-responsive") {
+    import spark.implicits._
+    // 100 heavy rows (weight 1000) + 100 light rows (weight 1)
+    val rows = (1L to 100L).map(i => (i, 1000.0)) ++
+      (101L to 200L).map(i => (i, 1.0))
+    val df = rows.toDF("id", "w")
+    val s1 = ScaleOps.weightedSample(df, col("id"), col("w"), 50)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val s2 = ScaleOps.weightedSample(df, col("id"), col("w"), 50)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(s1 === s2)                       // reproducible
+    assert(s1.size === 50)
+    assert(s1.map(_._2) === (1L to 50L).toSet)  // rank is 1..n
+    val heavy = s1.count(_._1 <= 100L)
+    assert(heavy >= 45, s"heavy rows selected: $heavy/50")
+  }
+
+  test("weightedSample excludes non-positive weights and caps at n") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, -3.0), (3L, 2.0), (4L, 5.0))
+      .toDF("id", "w")
+    val out = ScaleOps.weightedSample(df, col("id"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(3L, 4L))
+  }
 }
