@@ -117,10 +117,19 @@ object RetrievalOps {
     * the combined tf table (postings-sized, key-partitioned); expansion
     * selection windows over a feedback-vocabulary-sized frame per query.
     * Nothing new touches the corpus beyond the df wordcount the index
-    * maintenance face already materializes. */
+    * maintenance face already materializes.
+    *
+    * The result is a query-model ARTIFACT (|queries|·(terms+tExp) rows),
+    * so it is materialized (`localCheckpoint`) before being returned:
+    * feeding the un-materialized plan into the second-pass ranking would
+    * splice the entire first pass into every join side that probes the
+    * term set (measured: 98 exchanges vs 11 after the boundary — the
+    * CurationDemo stage-boundary rule). Pass `materialize = false` to
+    * keep the lazy plan. */
   def prfExpandTerms(docs: DataFrame, id: Column, text: Column,
       qterms: DataFrame, kFb: Int = 5, tExp: Int = 3,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      materialize: Boolean = true): DataFrame = {
     val fb = bm25TopKTerms(docs, id, text, qterms, kFb, k1, b)
       .select(col("query_id"), col("doc_id"))
     val words = docs.select(id.as("doc_id"),
@@ -143,7 +152,9 @@ object RetrievalOps {
         .orderBy(col("wgt").desc, col("word"))))
       .where(col("rk") <= tExp)
       .select("query_id", "word")
-    qterms.select("query_id", "word").unionByName(expansion).distinct()
+    val out = qterms.select("query_id", "word")
+      .unionByName(expansion).distinct()
+    if (materialize) out.localCheckpoint(true) else out
   }
 
   /** The maintainable half of a BM25 index: per-word document frequency

@@ -60,9 +60,19 @@ object WinnowOps {
     * Returns pairs with `jaccard ≥ minJaccard`, `did_a < did_b`. */
   def fingerprintPairs(docs: DataFrame, id: Column, text: Column,
       k: Int = 3, w: Int = 4, maxDf: Int = 64,
+      minJaccard: Double = 0.5): DataFrame =
+    fingerprintPairsFrom(fingerprints(docs, id, text, k, w),
+      maxDf, minJaccard)
+
+  /** [[fingerprintPairs]] from an already-materialized fingerprint table
+    * — the production entry point: at corpus scale the fingerprint set
+    * (~2/(w+1) of the gram count) is written once as an index (the BM25
+    * df-table convention) and pair discovery reads it, instead of
+    * re-running the selection window on each of this plan's four probes
+    * of the frame. */
+  def fingerprintPairsFrom(fps: DataFrame, maxDf: Int = 64,
       minJaccard: Double = 0.5): DataFrame = {
-    val fp = fingerprints(docs, id, text, k, w)
-      .select(col("did"), col("h")).distinct()
+    val fp = fps.select(col("did"), col("h")).distinct()
     val sizes = fp.groupBy("did").agg(count(lit(1)).as("sz"))
     val rare = fp.join(
       fp.groupBy("h").agg(countDistinct(col("did")).as("df"))
