@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   *   8. source mixing to target weights (integer thresholds)
   *   9. sequence packing into fixed token-budget chunks
   *  10. deterministic shuffle-and-shard of the final order
-  *  11. snapshot audit of final-vs-raw: curation may only DROP — an
-  *      added or changed row means some stage mutated or invented
-  *      content, and the audit catches it row-exactly ([[AuditOps]])
+  *  11. snapshot audit of final-vs-raw: curation may only DROP or
+  *      despan-REWRITE (stage 4b) — every final row must be identical
+  *      to the post-despan snapshot, and the rewrite volume is reported
+  *      against raw; anything else is a stage mutating or inventing
+  *      content, caught row-exactly ([[AuditOps]])
   *  12. layout-aware final WRITE: the sharded corpus lands as one
   *      compacted, (shard, pos)-clustered parquet layout
   *      ([[LayoutOps.compactedWrite]]) and [[LayoutOps.fileLayoutAudit]]
@@ -53,16 +55,17 @@ object CurationDemo {
       corpus: Long, afterFunnel: Long, afterGopher: Long,
       gopherQualityFailDocs: Long, langDisagreeDocs: Long,
       boilerplateDocs: Long,
-      spanDocsHit: Long, spanTokensRemovable: Long, afterKeepBest: Long,
+      spanDocsHit: Long, spanTokensRemovable: Long,
+      despanModifiedDocs: Long, afterDespan: Long, afterKeepBest: Long,
       afterSemantic: Long, imageDupDocs: Long, audioDupDocs: Long,
       videoDupDocs: Long, afterMedia: Long, afterDecontamination: Long,
       semContaminated: Long, afterSemDecon: Long, dsirPositive: Long,
       afterPerplexity: Long,
       afterMix: Long, nChunks: Long, nShards: Long,
-      auditRemoved: Long, auditMutatedOrAdded: Long,
+      auditRemoved: Long, auditRewritten: Long, auditMutatedOrAdded: Long,
       nFiles: Long, layoutOverlaps: Long)
 
-  /** The full seventeen-stage composition; `verbose` adds the per-stage
+  /** The full eighteen-stage composition; `verbose` adds the per-stage
     * prints/shows the CLI demo displays. The final corpus is written
     * under `outDir` (a fresh temp directory when None — the demo's
     * artifact is the stage-count vector, not the files). */
@@ -134,19 +137,35 @@ object CurationDemo {
     say(s"[curate] repeated spans: ${spanStats.getLong(0)} docs affected, " +
       s"${spanStats.getLong(1)} tokens removable")
 
+    // 4b. cross-document verbatim-span REWRITE (the q152 stage, mirrored
+    // in q117): 3-grams recurring in >= 4 docs lose every non-canonical
+    // copy; docs scrubbed empty drop out, and every later stage sees the
+    // despanned text — syndicated passages stop feeding the minhash,
+    // KN-model, and packing stages
+    val dsp0 = SpanDedupOps.crossDocDedup(
+      gated, col("doc_id"), col("text"), 3, 4)
+    val despanModified = dsp0.where(col("n_dropped") > 0).count()
+    val despanned = settle(gated.drop("text")
+      .join(dsp0.where(col("text_clean") =!= "")
+        .select(col("did").as("doc_id"), col("text_clean").as("text")),
+        "doc_id"))
+    val nDsp = despanned.count()
+    say(s"[curate] after cross-doc despan: $nDsp docs " +
+      s"($despanModified rewritten, ${n1c - nDsp} scrubbed empty)")
+
     // 5. near-dup clusters -> keep the best-quality member of each
     val clusters = DedupOps.dedupClusters(
       DedupOps.lshCandidatePairs(
-        DedupOps.minhashSignatures(gated, col("doc_id"), col("text"), 2)),
+        DedupOps.minhashSignatures(despanned, col("doc_id"), col("text"), 2)),
       "doc_a", "doc_b")
-    val quality = TextOps.qualityScore(gated, col("doc_id"), col("text"))
+    val quality = TextOps.qualityScore(despanned, col("doc_id"), col("text"))
     val best = DedupOps.keepBestInCluster(
       quality, col("doc_id"), col("quality_score"), clusters)
     val dropDup = clusters.join(best, "cluster_id")
       .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-    val deduped = settle(gated.join(dropDup, Seq("doc_id"), "left_anti"))
+    val deduped = settle(despanned.join(dropDup, Seq("doc_id"), "left_anti"))
     val n3 = deduped.count()
-    say(s"[curate] after near-dup keep-best: $n3 (${n1c - n3} dropped)")
+    say(s"[curate] after near-dup keep-best: $n3 (${nDsp - n3} dropped)")
 
     // 6. semantic dedup on the doc embeddings: coarse-quantize into
     // SemDeDup cells, within-cell cosine, drop the dominated member.
@@ -287,19 +306,26 @@ object CurationDemo {
     val nShards = sharded.select("shard").distinct().count()
     say(s"[curate] final corpus sharded $nShards ways, reproducibly")
 
-    // 13. snapshot audit: final corpus vs the raw snapshot. The curation
-    // contract is DROP-ONLY — content flows through every stage
-    // untouched — so the diff may contain removed/unchanged rows but
-    // never added/changed ones; a nonzero count here is a stage
-    // corrupting or inventing rows, caught end-to-end.
+    // 13. snapshot audit: final corpus vs the raw snapshot. Since 4b the
+    // contract is DROP-OR-DESPAN: the ONLY permitted mutation is the
+    // cross-doc span rewrite, so every final row must be byte-identical
+    // to the POST-DESPAN snapshot (mutations beyond that = a stage
+    // corrupting or inventing rows), while the rewrite volume itself is
+    // reported against the raw snapshot as auditRewritten.
     val audit = AuditOps.snapshotDiffSummary(AuditOps.snapshotDiff(
+      despanned.select(col("doc_id"), col("text"), col("source")),
+      mixed, col("doc_id"), Seq(col("text"), col("source")),
+      keyName = "doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawAudit = AuditOps.snapshotDiffSummary(AuditOps.snapshotDiff(
       docs, mixed, col("doc_id"), Seq(col("text"), col("source")),
       keyName = "doc_id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nRemoved = audit.getOrElse("removed", 0L)
+    val nRemoved = rawAudit.getOrElse("removed", 0L)
+    val nRewritten = rawAudit.getOrElse("changed", 0L)
     val nBad = audit.getOrElse("added", 0L) + audit.getOrElse("changed", 0L)
-    say(s"[curate] audit vs raw snapshot: $nRemoved dropped, " +
-      s"${audit.getOrElse("unchanged", 0L)} untouched, $nBad mutated/invented")
+    say(s"[curate] audit: $nRemoved dropped vs raw, $nRewritten despan-" +
+      s"rewritten, $nBad mutations NOT explained by the despan stage")
 
     // 14. layout-aware final write: the corpus a trainer actually reads —
     // doc content re-attached to its (shard, pos) order, compacted into
@@ -329,9 +355,10 @@ object CurationDemo {
 
     StageCounts(n0, n1, n1b, gopherQualFail, langDisagree, boiler,
       spanStats.getLong(0),
-      spanStats.getLong(1), n3, n3s, nImg, nAud, nVid, n3m, n4,
+      spanStats.getLong(1), despanModified, nDsp, n3, n3s, nImg, nAud,
+      nVid, n3m, n4,
       nSemCon, n4b, dsirPositive, n4c, n5, nChunks, nShards,
-      nRemoved, nBad, nFiles, overlaps)
+      nRemoved, nRewritten, nBad, nFiles, overlaps)
   }
 
   def main(args: Array[String]): Unit = {

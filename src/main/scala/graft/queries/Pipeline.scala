@@ -2858,17 +2858,28 @@ object Pipeline {
         TextOps.gopherRepetition(clean, col("doc_id"), col("text"))
           .where(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi"))
-      // 3. near-dup keep-best (the q63 pair: qualityComposite score)
+      // 3. cross-document verbatim-span removal (the q152 rewrite,
+      // syndication screen): spans whose 3-grams recur in >= 4 docs lose
+      // every non-canonical copy; text is REWRITTEN in place and docs
+      // scrubbed empty drop out, so every later stage (minhash, KN model,
+      // packing) sees the despanned corpus
+      val dsp0 = graft.operators.SpanDedupOps.crossDocDedup(
+        screened, col("doc_id"), col("text"), k = 3, minDf = 4)
+      val despan = settle(screened.drop("text")
+        .join(dsp0.where(col("text_clean") =!= "")
+          .select(col("did").as("doc_id"), col("text_clean").as("text")),
+          "doc_id"))
+      // 4. near-dup keep-best (the q63 pair: qualityComposite score)
       val clusters = DedupOps.dedupClusters(
         DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-          screened, col("doc_id"), col("text"), SHINGLE_W)),
+          despan, col("doc_id"), col("text"), SHINGLE_W)),
         "doc_a", "doc_b")
       val best = DedupOps.keepBestInCluster(
-        screened, col("doc_id"), TextOps.qualityComposite(col("text")),
+        despan, col("doc_id"), TextOps.qualityComposite(col("text")),
         clusters)
       val dropDup = clusters.join(best, "cluster_id")
         .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-      val deduped = settle(screened.join(dropDup, Seq("doc_id"), "left_anti"))
+      val deduped = settle(despan.join(dropDup, Seq("doc_id"), "left_anti"))
       // 3. exact decontamination (the q79 shape over the survivors)
       val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"),
         ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
@@ -2905,11 +2916,12 @@ object Pipeline {
       cnt(0L, "corpus", docs)
         .unionAll(cnt(1L, "funnel", clean))
         .unionAll(cnt(2L, "gopher", screened))
-        .unionAll(cnt(3L, "keep_best", deduped))
-        .unionAll(cnt(4L, "decontaminated", decon))
-        .unionAll(cnt(5L, "lm_perplexity", lmKept))
-        .unionAll(cnt(6L, "mixed", mixed))
-        .unionAll(cnt(7L, "chunks", packed))
+        .unionAll(cnt(3L, "despanned", despan))
+        .unionAll(cnt(4L, "keep_best", deduped))
+        .unionAll(cnt(5L, "decontaminated", decon))
+        .unionAll(cnt(6L, "lm_perplexity", lmKept))
+        .unionAll(cnt(7L, "mixed", mixed))
+        .unionAll(cnt(8L, "chunks", packed))
     }, {
       val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
         .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
@@ -2928,7 +2940,25 @@ object Pipeline {
          |${repetitionCtes("fun", "gr")},
          |scr AS MATERIALIZED (SELECT f.* FROM fun f
          |  JOIN grkeep k USING (doc_id) WHERE k.keep),
-         |${shingleCteOver(SHINGLE_W, "scr")},
+         |dwords0 AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
+         |  FROM scr),
+         |dg AS (${graft.operators.SpanDedupOps.gramCteSql(3, "dwords0")}),
+         |ddup AS (SELECT h, min(did) AS canon FROM dg GROUP BY 1
+         |  HAVING count(DISTINCT did) >= 4),
+         |ddrop AS (SELECT DISTINCT dg.did, p AS pos
+         |  FROM dg JOIN ddup USING (h),
+         |    UNNEST(generate_series(dg.pos, dg.pos + 2)) AS t(p)
+         |  WHERE dg.did <> ddup.canon),
+         |dtok AS (SELECT did, i AS pos, ws[i] AS w
+         |  FROM dwords0, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |dkept AS (SELECT dtok.did, dtok.pos, dtok.w FROM dtok
+         |  LEFT JOIN ddrop ON dtok.did = ddrop.did AND dtok.pos = ddrop.pos
+         |  WHERE ddrop.pos IS NULL),
+         |dsp AS MATERIALIZED (SELECT s.doc_id, a.text, s.source
+         |  FROM scr s JOIN (SELECT did,
+         |      string_agg(w, ' ' ORDER BY pos) AS text
+         |    FROM dkept GROUP BY did) a ON s.doc_id = a.did),
+         |${shingleCteOver(SHINGLE_W, "dsp")},
          |sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, 0 AS band,
@@ -2952,13 +2982,13 @@ object Pipeline {
          |  FROM reach GROUP BY a),
          |q AS (SELECT doc_id, round($qualityCompositeSql, 6) AS q
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |    FROM scr) b0),
+         |    FROM dsp) b0),
          |r AS (SELECT l.cluster_id, l.doc_id,
          |    row_number() OVER (PARTITION BY l.cluster_id
          |      ORDER BY q.q DESC, l.doc_id) AS rk
          |  FROM labels l JOIN q USING (doc_id)),
          |dropdup AS (SELECT doc_id FROM r WHERE rk > 1),
-         |dedup AS MATERIALIZED (SELECT * FROM scr ANTI JOIN dropdup USING (doc_id)),
+         |dedup AS MATERIALIZED (SELECT * FROM dsp ANTI JOIN dropdup USING (doc_id)),
          |dwords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup),
          |dsh AS (
          |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
@@ -3016,15 +3046,17 @@ object Pipeline {
          |  (SELECT CAST(count(*) AS BIGINT) FROM fun)
          |UNION ALL SELECT 2, 'gopher',
          |  (SELECT CAST(count(*) AS BIGINT) FROM scr)
-         |UNION ALL SELECT 3, 'keep_best',
+         |UNION ALL SELECT 3, 'despanned',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dsp)
+         |UNION ALL SELECT 4, 'keep_best',
          |  (SELECT CAST(count(*) AS BIGINT) FROM dedup)
-         |UNION ALL SELECT 4, 'decontaminated',
+         |UNION ALL SELECT 5, 'decontaminated',
          |  (SELECT CAST(count(*) AS BIGINT) FROM decon)
-         |UNION ALL SELECT 5, 'lm_perplexity',
+         |UNION ALL SELECT 6, 'lm_perplexity',
          |  (SELECT CAST(count(*) AS BIGINT) FROM lmkept)
-         |UNION ALL SELECT 6, 'mixed',
+         |UNION ALL SELECT 7, 'mixed',
          |  (SELECT CAST(count(*) AS BIGINT) FROM mixed)
-         |UNION ALL SELECT 7, 'chunks',
+         |UNION ALL SELECT 8, 'chunks',
          |  (SELECT CAST(count(*) AS BIGINT) FROM chunks)""".stripMargin
     })
 

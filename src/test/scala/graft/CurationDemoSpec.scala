@@ -36,27 +36,31 @@ class CurationDemoSpec extends SparkSpec {
                             // natively gated by LineDedupSpec's fixture
       spanDocsHit = 146L,
       spanTokensRemovable = 1615L,
-      afterKeepBest = 195L,
-      afterSemantic = 192L,
+      despanModifiedDocs = 58L, // 3-grams shared by >= 4 docs at sf0.001
+      afterDespan = 208L,       // rewrites, never drops, at this scale
+      afterKeepBest = 198L,
+      afterSemantic = 195L,
       imageDupDocs = 0L,  // planted variants are same-doc by construction;
       audioDupDocs = 0L,  // a cross-doc drop here means two DOCS render
       videoDupDocs = 0L,  // near-identical media — none in the sf corpus
-      afterMedia = 192L,
-      afterDecontamination = 34L,
+      afterMedia = 195L,
+      afterDecontamination = 29L,
       semContaminated = 1L,  // one survivor sits within cosine 0.4 of
-      afterSemDecon = 33L,   // the vec_id<25 benchmark — the paraphrase
+      afterSemDecon = 28L,   // the vec_id<25 benchmark — the paraphrase
                              // leakage exact n-grams missed
-      dsirPositive = 12L,    // 12 of 33 survivors lean toward the
+      dsirPositive = 9L,     // 9 of 28 survivors lean toward the
                              // English-target unigram distribution
                              // (DSIR audit — reported, not dropped)
-      afterPerplexity = 24L, // the worst KN-cross-entropy decile per
-                             // source drops (9 of 33) — the band-pass
+      afterPerplexity = 20L, // the worst KN-cross-entropy decile per
+                             // source drops (8 of 28) — the band-pass
                              // stage q138∘q115 realize
-      afterMix = 24L,
-      nChunks = 4L,
-      nShards = 7L,          // 24 docs hash across 7 of 8 shard labels
-      auditRemoved = 476L,       // 500 - 24: everything else untouched
-      auditMutatedOrAdded = 0L,  // the drop-only contract, end-to-end
+      afterMix = 20L,
+      nChunks = 3L,
+      nShards = 7L,          // 20 docs hash across 7 of 8 shard labels
+      auditRemoved = 480L,       // 500 - 20: everything else untouched
+      auditRewritten = 2L,       // final docs carrying despanned text
+      auditMutatedOrAdded = 0L,  // drop-or-despan contract: no mutation
+                                 // beyond the post-despan snapshot
       nFiles = 8L,               // compactedWrite hit its file target
       layoutOverlaps = 0L)       // per-file shard ranges disjoint: a
                                  // one-shard read opens one file
