@@ -400,6 +400,44 @@ object TextOps {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Length-bucketed sequence packing — the length-grouped-batching
+    * counterpart of [[packSequences]]: docs are first routed to
+    * power-of-two length buckets (bucket = bit-length of the token
+    * count, an INTEGER computation via `bin()` so both engines agree
+    * exactly — `ceil(log2)` sits on a float boundary at exact powers),
+    * then packed independently per bucket with the same two-level
+    * distributed prefix sum. Batches drawn from one bucket hold
+    * similarly-sized docs, so padding-to-longest waste drops (the
+    * standard length-grouped batching trick); the price is one extra
+    * window partition key, not an extra shuffle. Chunk ids are scoped
+    * per bucket. */
+  def packSequencesBucketed(docs: DataFrame, id: Column, text: Column,
+      budget: Long, blockSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && blockSize > 0, "budget and blockSize must be > 0")
+    val toks = ceil(length(text).cast("double") / lit(4.0)).cast("long")
+    val base = docs
+      .select(id.as("doc_id"), toks.as("toks"))
+      .withColumn("bucket", length(bin(col("toks"))).cast("long"))
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+    val wIn = Window.partitionBy(col("bucket"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.partitionBy(col("bucket")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket", "block")
+      .agg(sum("toks").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
+      .select("bucket", "block", "boff")
+    base
+      .withColumn("cum_in", sum("toks").over(wIn))
+      .join(broadcast(offsets), Seq("bucket", "block"))
+      .withColumn("strt", col("boff") + col("cum_in") - col("toks"))
+      .withColumn("chunk_id", expr(s"strt div $budget"))
+      .groupBy("bucket", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   /** Train/test contamination screen (n-gram decontamination): for every
     * TEST-split document ([[hashSplit]]), the fraction of its distinct
     * word-`w`-gram shingles that occur in ANY train-split document. The

@@ -4910,6 +4910,36 @@ object Pipeline {
        |  CAST(row_number() OVER (ORDER BY skey DESC, did) AS BIGINT) AS rk
        |FROM top""".stripMargin)
 
+  /** Length-grouped packing (the q54 packer per power-of-two length
+    * bucket): similarly-sized docs share chunks, cutting pad-to-longest
+    * waste; the bucket key is integer bit-length, engine-exact. */
+  private val q161 = QueryDef(
+    "q161_bucketed_packing",
+    (s, d) => TextOps.packSequencesBucketed(
+      Tables.documents(s, d), col("doc_id"), col("text"), 512L),
+    """WITH b AS (SELECT doc_id,
+      |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks
+      |  FROM documents),
+      |bb AS (SELECT doc_id, toks,
+      |    CAST(length(bin(toks)) AS BIGINT) AS bucket,
+      |    doc_id // 1048576 AS block FROM b),
+      |off AS (SELECT bucket, block,
+      |    coalesce(sum(btot) OVER (PARTITION BY bucket ORDER BY block
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+      |  FROM (SELECT bucket, block, sum(toks) AS btot FROM bb
+      |        GROUP BY 1, 2)),
+      |c AS (SELECT bb.bucket, bb.doc_id, bb.toks,
+      |    off.boff + sum(bb.toks) OVER (PARTITION BY bb.bucket, bb.block
+      |      ORDER BY bb.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - bb.toks AS strt
+      |  FROM bb JOIN off ON bb.bucket = off.bucket AND bb.block = off.block)
+      |SELECT bucket, CAST(strt // 512 AS BIGINT) AS chunk_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4921,7 +4951,7 @@ object Pipeline {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160)
+    q159, q160, q161)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1865,4 +1865,26 @@ class PipelineOpsSpec extends SparkSpec {
     // all 8 original shards actually receive keys
     assert(routed.map(_._2).distinct.length == 8)
   }
+
+  test("packSequencesBucketed: bucket routing exact, totals conserved") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextOps.packSequencesBucketed(
+      docs, col("doc_id"), col("text"), 512L).collect()
+    // every doc lands in exactly one bucket; token totals conserved
+    val toks = docs.select(
+      ceil(length(col("text")).cast("double") / 4.0).cast("long").as("t"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === toks.length.toLong)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === toks.sum)
+    // bucket b holds doc token counts with bit-length b
+    val expBuckets = toks.map(t => 64L - java.lang.Long.numberOfLeadingZeros(t)).toSet
+    assert(out.map(_.getAs[Long]("bucket")).toSet === expBuckets)
+    // chunk ids are contiguous from 0 within each bucket
+    out.groupBy(_.getAs[Long]("bucket")).foreach { case (b, rows) =>
+      val ids = rows.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.head === 0L, s"bucket $b")
+      assert(ids === (0L until ids.length).toArray.toSeq.sorted.toArray, s"bucket $b")
+    }
+  }
 }
