@@ -194,4 +194,50 @@ object CorpusStatsOps {
   def robustZ(v: Column, med: Column, mad: Column): Column =
     when(mad =!= lit(0.0),
       round((v - med) / (lit(1.4826) * mad), 6))
+
+  /** Heavy-hitter word n-grams by two-phase sample-then-verify: phase 1
+    * aggregates only a deterministic 1/`rate` occurrence sample (each
+    * OCCURRENCE keeps/drops by a hash of gram ⊕ doc ⊕ position, so a
+    * frequent gram's sample count concentrates at freq/rate), keeps
+    * grams whose sample count clears `minCount/(2·rate)` as candidates;
+    * phase 2 computes EXACT counts for the candidates alone (a semi-join
+    * probe before the aggregate) and emits the top `k` with true count ≥
+    * `minCount` (count desc, gram asc). The shape is the point: exact
+    * top-k n-grams naively aggregates a key space as large as the corpus
+    * token count; here the full-cardinality aggregate runs over 1/rate
+    * of the occurrences, and the exact pass aggregates only candidate
+    * occurrences. Deterministic end to end — same sample, same answer,
+    * every run and every engine (vs Spark's count_min_sketch, whose
+    * binary sketch no oracle can replay). The miss probability of a
+    * true heavy hitter is a sampling-tail event; the verify phase can
+    * only remove false candidates, never invent counts. */
+  def heavyNgrams(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+      rate: Int = 8, minCount: Long = 16L, k: Int = 20): DataFrame = {
+    require(rate >= 1 && k >= 1 && minCount >= 1)
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    import graft.functions.HashExpressions.polyHash
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(text, " ")
+    val grams = docs.select(id.as("did"), posexplode(
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - lit(n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+      .as(Seq("p0", "gram")))
+    val occKey = polyHash(concat(col("gram"), lit("#"),
+      col("did").cast("string"), lit("#"), (col("p0") + 1).cast("string")))
+    val sampled = grams.where(pmod(occKey, lit(rate.toLong)) === 0)
+    val floor = math.max(1L, minCount / (2L * rate))
+    val candidates = sampled.groupBy("gram")
+      .agg(count(lit(1)).as("sample_cnt"))
+      .where(col("sample_cnt") >= floor)
+      .select("gram")
+    val exact = grams.join(candidates, Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    exact.withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gram"))).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("rk"), col("gram"), col("cnt"))
+  }
 }

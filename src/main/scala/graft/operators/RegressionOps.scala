@@ -77,6 +77,32 @@ object RegressionOps {
         round(expr(s"$n2 / $det"), 6).as("w2"))
   }
 
+  /** Per-group ridge fits — one model row per group (per-language /
+    * per-source calibration: the feature→quality mapping differs by
+    * domain, and a single global fit lets head domains dominate). Same
+    * zero-driver shape: ONE grouped aggregation, Cramer's rule on each
+    * group's row. Degenerate groups (constant features at λ = 0) yield
+    * NULL weights rather than failing the fit. */
+  def ridge2FitBy(data: DataFrame, group: Column, lambda: Double = 0.1)
+      : DataFrame = {
+    def s(c: Column, name: String): Column =
+      round(sum(round(c, 6)), 6).as(name)
+    val Seq(det, n0, n1, n2) = cramerSql(lambda)
+    data.groupBy(group.as("grp")).agg(
+      count(lit(1)).cast("double").as("n"),
+      s(col("x1"), "s1"), s(col("x2"), "s2"),
+      s(col("x1") * col("x1"), "s11"),
+      s(col("x1") * col("x2"), "s12"),
+      s(col("x2") * col("x2"), "s22"),
+      s(col("y"), "sy"),
+      s(col("x1") * col("y"), "s1y"),
+      s(col("x2") * col("y"), "s2y"))
+      .select(col("grp"), col("n").cast("long").as("n_rows"),
+        round(when(expr(det) =!= 0.0, expr(s"$n0 / $det")), 6).as("w0"),
+        round(when(expr(det) =!= 0.0, expr(s"$n1 / $det")), 6).as("w1"),
+        round(when(expr(det) =!= 0.0, expr(s"$n2 / $det")), 6).as("w2"))
+  }
+
   /** Score every row with the fitted model (broadcast 1-row cross join):
     * `(id, y, y_hat, resid)`, all round-6. */
   def ridge2Score(data: DataFrame, lambda: Double = 0.1): DataFrame = {

@@ -4940,6 +4940,74 @@ object Pipeline {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2""".stripMargin)
 
+  /** Two-phase heavy-hitter bigrams: deterministic 1/4 occurrence
+    * sample for candidates, exact verify of candidates only — the
+    * huge-key-space frequency-mining shape, fully oracle-replayed. */
+  private val q162 = QueryDef(
+    "q162_heavy_ngrams",
+    (s, d) => graft.operators.CorpusStatsOps.heavyNgrams(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      n = 2, rate = 4, minCount = 32L, k = 20),
+    s"""WITH base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |g AS (SELECT did, i AS pos, array_to_string(ws[i:i+1], ' ') AS gram
+       |  FROM base, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |samp AS (SELECT gram FROM g
+       |  WHERE ${polyHashSql("gram || '#' || CAST(did AS VARCHAR)" +
+                              " || '#' || CAST(pos AS VARCHAR)")} % 4 = 0),
+       |cand AS (SELECT gram FROM samp GROUP BY gram
+       |  HAVING count(*) >= 4),
+       |ex AS (SELECT g.gram, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM g JOIN cand USING (gram) GROUP BY g.gram
+       |  HAVING count(*) >= 32)
+       |SELECT rk, gram, cnt FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram)
+       |    AS BIGINT) AS rk, gram, cnt FROM ex)
+       |WHERE rk <= 20""".stripMargin)
+
+  /** Per-language ridge fits (the q155 distillation per domain): one
+    * guarded Cramer's-rule model row per language from one grouped
+    * aggregation. */
+  private val q163 = QueryDef(
+    "q163_ridge_by_lang",
+    (s, d) => {
+      val (x1, x2) =
+        graft.operators.RegressionOps.qualityFeatures(col("text"))
+      val data = Tables.documents(s, d).select(col("lang"),
+        x1.as("x1"), x2.as("x2"),
+        round(TextOps.qualityComposite(col("text")), 6).as("y"))
+      graft.operators.RegressionOps.ridge2FitBy(
+        data, col("lang"), RIDGE_LAMBDA)
+    },
+    {
+      val Seq(det, n0, n1, n2) =
+        graft.operators.RegressionOps.cramerSql(RIDGE_LAMBDA)
+      s"""WITH feat AS (SELECT lang AS grp,
+         |  round(ln(1.0 + len(list_filter(ws, w -> length(w) > 0))), 6)
+         |    AS x1,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(list_filter(ws, w -> length(w) > 0)), 6) AS x2,
+         |  round($qualityCompositeSql, 6) AS y
+         |FROM (SELECT lang, text, string_split(text, ' ') AS ws
+         |      FROM documents)),
+         |m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+         |  round(sum(round(x1, 6)), 6) AS s1,
+         |  round(sum(round(x2, 6)), 6) AS s2,
+         |  round(sum(round(x1 * x1, 6)), 6) AS s11,
+         |  round(sum(round(x1 * x2, 6)), 6) AS s12,
+         |  round(sum(round(x2 * x2, 6)), 6) AS s22,
+         |  round(sum(round(y, 6)), 6) AS sy,
+         |  round(sum(round(x1 * y, 6)), 6) AS s1y,
+         |  round(sum(round(x2 * y, 6)), 6) AS s2y
+         |FROM feat GROUP BY grp)
+         |SELECT grp, CAST(n AS BIGINT) AS n_rows,
+         |  round(CASE WHEN $det <> 0 THEN $n0 / $det END, 6) AS w0,
+         |  round(CASE WHEN $det <> 0 THEN $n1 / $det END, 6) AS w1,
+         |  round(CASE WHEN $det <> 0 THEN $n2 / $det END, 6) AS w2
+         |FROM m""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -4951,7 +5019,7 @@ object Pipeline {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161)
+    q159, q160, q161, q162, q163)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -78,6 +78,40 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("heavyNgrams equals the direct exact top-k on the real corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = CorpusStatsOps.heavyNgrams(docs, col("doc_id"), col("text"),
+      n = 2, rate = 4, minCount = 8L, k = 15)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // ground truth: full aggregate, no sampling
+    val ws = split(col("text"), " ")
+    val grams = docs.select(posexplode(
+      when(size(ws) >= 2, transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("p", "gram")))
+    val truth = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 8)
+      .orderBy(col("cnt").desc, col("gram")).limit(15)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+    assert(got.toSeq === truth.toSeq,
+      "the 1/4 occurrence sample must surface every >=8-count bigram " +
+        "at this corpus (deterministic pin; retune rate if this drifts)")
+  }
+
+  test("heavyNgrams verify phase removes sampled-but-light candidates") {
+    // 'x y' occurs 3 times and every occurrence hashes into the sample
+    // at rate 1 — candidate for sure — but cnt < minCount drops it
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val out = CorpusStatsOps.heavyNgrams(docs, col("doc_id"), col("text"),
+      n = 2, rate = 1, minCount = 4L, k = 10).collect()
+    assert(out.isEmpty)
+    val out2 = CorpusStatsOps.heavyNgrams(docs, col("doc_id"), col("text"),
+      n = 2, rate = 1, minCount = 3L, k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out2.toSet === Set(("x y", 3L)))
+  }
+
   test("robustOutliers matches a hand-computed median/MAD fixture") {
     val docs = Seq(
       (1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0), (4L, "g", 4.0),

@@ -76,4 +76,29 @@ class RegressionSpec extends SparkSpec {
       r.getAs[Double]("sy") * r.getAs[Double]("sy") / r.getAs[Double]("n")
     assert(r.getAs[Double]("sse") < sst, s"sse=${r.getAs[Double]("sse")} sst=$sst")
   }
+
+  test("ridge2FitBy: per-group fits match per-group global fits; degenerate group guarded") {
+    val rows = Seq(
+      ("a", 1.0, 2.0, 1.1), ("a", 2.0, 1.0, 2.3), ("a", 3.0, 4.0, 2.9),
+      ("a", 4.0, 2.0, 4.2),
+      ("b", 2.0, 2.0, 1.0), ("b", 2.0, 2.0, 3.0), ("b", 2.0, 2.0, 5.0))
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val by = RegressionOps.ridge2FitBy(df, col("g"), 0.1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // group a: identical to a global fit over only group a's rows
+    val solo = RegressionOps.ridge2Fit(
+      df.where(col("g") === "a"), 0.1).collect().head
+    assert(by("a").getAs[Double]("w0") === solo.getAs[Double]("w0"))
+    assert(by("a").getAs[Double]("w1") === solo.getAs[Double]("w1"))
+    assert(by("a").getAs[Double]("w2") === solo.getAs[Double]("w2"))
+    // group b is constant-featured; lambda keeps it solvable and finite
+    Seq("w0", "w1", "w2").foreach { c =>
+      val v = by("b").getAs[Double](c)
+      assert(!v.isNaN && !v.isInfinite, c)
+    }
+    // degenerate at lambda = 0: NULL weights, no Inf/NaN leakage
+    val deg = RegressionOps.ridge2FitBy(
+      df.where(col("g") === "b"), col("g"), 0.0).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("w0")))
+  }
 }
