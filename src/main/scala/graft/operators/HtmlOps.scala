@@ -60,32 +60,41 @@ object HtmlOps {
         concat_ws("\n", col("ls")).as("text_clean"),
         size(col("ls")).cast("long").as("n_lines"))
 
+  /** Per-line keep flags for the density rule over a LINE ARRAY — a pure
+    * array-HOF computation (the neighbor lookups are `get` on the
+    * per-row word-count array), so content extraction never explodes or
+    * shuffles: one row in, one row out, and the same column works
+    * unchanged in a streaming plan where the lag/lead window form
+    * would be rejected. */
+  def contentKeepFlags(lines: Column, minWords: Int, rescueWords: Int)
+      : Column = {
+    val wcs = transform(lines, l => size(split(l, " ")))
+    when(size(lines) > 0,
+      transform(sequence(lit(0), size(lines) - 1), i => {
+        val wc = get(wcs, i)
+        val prev = coalesce(get(wcs, i - 1), lit(0))
+        val nxt = coalesce(get(wcs, i + 1), lit(0))
+        wc >= minWords ||
+          (wc >= rescueWords && (prev >= minWords || nxt >= minWords))
+      })).otherwise(array().cast("array<boolean>"))
+  }
+
   /** Density-based content extraction: a line is content when it has
     * ≥ `minWords` words, or ≥ `rescueWords` words next to a long
-    * neighbor. Returns `(did, content, n_kept, n_total)`. */
+    * neighbor. Returns `(did, content, n_kept, n_total)` — fully
+    * row-local (no explode, no window, zero exchanges). */
   def extractContent(docs: DataFrame, id: Column, html: Column,
       minWords: Int = 6, rescueWords: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lines = docs.select(id.as("did"), posexplode(textLines(html))
-      .as(Seq("lno", "line")))
-    val w = Window.partitionBy(col("did")).orderBy(col("lno"))
-    val wc = size(split(col("line"), " "))
-    val scored = lines.withColumn("wc", wc)
-      .withColumn("keep",
-        col("wc") >= minWords ||
-          (col("wc") >= rescueWords &&
-            (coalesce(lag(col("wc"), 1).over(w), lit(0)) >= minWords ||
-              coalesce(lead(col("wc"), 1).over(w), lit(0)) >= minWords)))
-    scored.groupBy("did").agg(
-      // collect_list gives no row-order guarantee — carry lno and sort
-      array_sort(collect_list(
-        when(col("keep"), struct(col("lno"), col("line"))))).as("ks"),
-      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-      count(lit(1)).as("n_total"))
-      .select(col("did"),
-        concat_ws("\n", transform(col("ks"), x => x.getField("line")))
-          .as("content"),
-        col("n_kept"), col("n_total"))
+    val base = docs.select(id.as("did"), textLines(html).as("ls"))
+      .withColumn("ks", contentKeepFlags(col("ls"), minWords, rescueWords))
+    val keptLines = filter(
+      zip_with(col("ls"), col("ks"), (l, k) => when(k, l)),
+      l => l.isNotNull)
+    base.select(
+      col("did"),
+      concat_ws("\n", keptLines).as("content"),
+      size(filter(col("ks"), k => k)).cast("long").as("n_kept"),
+      size(col("ls")).cast("long").as("n_total"))
   }
 
   /** Deterministic synthetic page around a plain-text doc: nav (with an

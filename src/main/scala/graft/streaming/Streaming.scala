@@ -1840,6 +1840,29 @@ object Streaming {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Ingest face of [[graft.operators.HtmlOps.extractText]] +
+    * [[graft.operators.HtmlOps.extractContent]] — raw crawled HTML in,
+    * clean content out. The whole chain (regex strip, entity decode,
+    * line split, density keep flags) is row-local column arithmetic —
+    * the keep flags use the HOF form precisely because a streaming plan
+    * cannot run the lag/lead window — so this face is a stateless
+    * select: no watermark, no state store, arbitrary throughput. */
+  def htmlExtractStream(docs: DataFrame, minWords: Int = 6,
+      rescueWords: Int = 3, timeCol: String = "event_time"): DataFrame = {
+    import graft.operators.HtmlOps
+    val ls = HtmlOps.textLines(col("html"))
+    docs.select(col(timeCol), col("doc_id"), ls.as("_ls"))
+      .withColumn("_ks",
+        HtmlOps.contentKeepFlags(col("_ls"), minWords, rescueWords))
+      .select(col(timeCol), col("doc_id"),
+        concat_ws("\n", col("_ls")).as("text_clean"),
+        concat_ws("\n", filter(
+          zip_with(col("_ls"), col("_ks"), (l, k) => when(k, l)),
+          l => l.isNotNull)).as("content"),
+        size(filter(col("_ks"), k => k)).cast("long").as("n_kept"),
+        size(col("_ls")).cast("long").as("n_total"))
+  }
+
   private[streaming] def processTrip(
       tripId: Long, it: Iterator[FlagSample],
       state: GroupState[RunState]): Iterator[SessionOut] = {

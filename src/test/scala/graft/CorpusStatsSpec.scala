@@ -112,6 +112,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out2.toSet === Set(("x y", 3L)))
   }
 
+  test("robustOutliers approx path agrees with exact at test scale") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(exact: Boolean) = CorpusStatsOps.robustOutliers(
+      docs, col("doc_id"), col("lang"), col("n_chars"), exact = exact)
+      .collect().map(r => r.getAs[Long]("did") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    // percentile_approx at accuracy 10000 is exact for these group sizes,
+    // so the 100 TB swap-in path must flag identically here
+    assert(run(exact = false) === run(exact = true))
+  }
+
   test("robustOutliers matches a hand-computed median/MAD fixture") {
     val docs = Seq(
       (1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0), (4L, "g", 4.0),

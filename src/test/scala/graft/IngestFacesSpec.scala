@@ -106,6 +106,39 @@ class IngestFacesSpec extends SparkSpec {
     }
   }
 
+  test("htmlExtractStream equals the batch extraction per doc") {
+    import graft.operators.HtmlOps
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+      .withColumn("html", HtmlOps.wrapHtml(col("doc_id"), col("text")))
+      .cache()
+    val batchText = HtmlOps.extractText(docs, col("doc_id"), col("html"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchContent = HtmlOps
+      .extractContent(docs, col("doc_id"), col("html"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Long]("n_kept")))).toMap
+    val rows = docs.select("doc_id", "html").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.htmlExtractStream(
+      in.toDS().toDF("doc_id", "html", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hes1").start()
+    try {
+      in.addData(rows.map { case (i, h) => (i, h, ts(T0)) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val out = spark.table("hes1").collect()
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getString(3),
+          r.getAs[Long]("n_kept")))).toMap
+      assert(out.size === rows.length)
+      out.foreach { case (d, (tc, content, nk)) =>
+        assert(tc === batchText(d), s"text_clean doc $d")
+        assert((content, nk) === batchContent(d), s"content doc $d")
+      }
+    } finally { q.stop(); docs.unpersist(blocking = false) }
+  }
+
   test("winnowScreenStream finds the corpus doc an arrival copies") {
     val corpus = Seq(
       (1L, "one two three four five six seven eight nine ten"),
