@@ -211,6 +211,40 @@ object CorpusStatsOps {
     * binary sketch no oracle can replay). The miss probability of a
     * true heavy hitter is a sampling-tail event; the verify phase can
     * only remove false candidates, never invent counts. */
+  /** Gopher-style compression screen (Rae et al. 2021 §A1): per doc the
+    * DEFLATE ratio via the codegen'd [[graft.functions.DeflateRatio]]
+    * expression, and a keep verdict for the [lo, hi] natural-language
+    * band — too compressible = templated/repetitive, incompressible =
+    * high-entropy gibberish. Row-local, zero shuffle; rows-only in the
+    * driver gate (no SQL engine exposes DEFLATE), spec-pinned against a
+    * plain-Scala reference instead. */
+  def compressionScreen(docs: DataFrame, id: Column, text: Column,
+      lo: Double = 0.2, hi: Double = 1.1): DataFrame = {
+    graft.functions.CompressExpressions.register(docs.sparkSession)
+    val ratio = graft.functions.CompressExpressions.deflateRatio(text)
+    docs.select(id.as("did"),
+      length(text).cast("long").as("n_chars"),
+      ratio.as("deflate_ratio"))
+      .withColumn("keep", coalesce(
+        col("deflate_ratio") >= lo && col("deflate_ratio") <= hi,
+        lit(false)))
+  }
+
+  /** Encoding-damage scan — ingest QA for mojibake: U+FFFD replacement
+    * characters (the tombstone every lossy transcode leaves) and C0/DEL
+    * control bytes that survive into text. Pure per-row string
+    * arithmetic, mirrored exactly in SQL. */
+  def encodingScan(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val repl = lit("�")
+    val nRepl = length(text) - length(replace(text, repl, lit("")))
+    val nCtrl = length(text) -
+      length(regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", ""))
+    docs.select(id.as("did"),
+      nRepl.cast("long").as("n_repl"),
+      nCtrl.cast("long").as("n_ctrl"))
+      .withColumn("is_suspect", col("n_repl") > 0 || col("n_ctrl") > 0)
+  }
+
   def heavyNgrams(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       rate: Int = 8, minCount: Long = 16L, k: Int = 20): DataFrame = {
     require(rate >= 1 && k >= 1 && minCount >= 1)

@@ -5008,6 +5008,52 @@ object Pipeline {
          |FROM m""".stripMargin
     })
 
+  /** Gopher compression filter on the codegen'd DEFLATE expression —
+    * rows-only (no SQL engine can replay DEFLATE); CorpusStatsSpec pins
+    * exact values against the same JDK kernel. */
+  private val q164 = QueryDef(
+    "q164_compression_screen",
+    (s, d) => graft.operators.CorpusStatsOps.compressionScreen(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    None)
+
+  /** Mojibake/encoding-damage scan over a deterministically corrupted
+    * corpus (hash-picked docs get one U+FFFD spliced at a hash-picked
+    * position — the q145 synthetic-damage precedent), full oracle. */
+  private val q165 = QueryDef(
+    "q165_mojibake_scan",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      import graft.functions.HashExpressions.polyHash
+      val docs = Tables.documents(s, d)
+      val h = polyHash(col("text"))
+      val p = (pmod(h, length(col("text")).cast("long")) + 1).cast("int")
+      val corrupted = when(pmod(h, lit(5L)) === 0,
+        concat(col("text").substr(lit(1), p - 1), lit("�"),
+          col("text").substr(p + 1, length(col("text")))))
+        .otherwise(col("text"))
+      graft.operators.CorpusStatsOps.encodingScan(
+        docs.withColumn("text", corrupted), col("doc_id"), col("text"))
+    },
+    s"""WITH c AS (SELECT doc_id AS did,
+       |    CASE WHEN h % 5 = 0 THEN
+       |      substr(text, 1, CAST(p - 1 AS INTEGER)) || chr(65533) ||
+       |      substr(text, CAST(p + 1 AS INTEGER), length(text))
+       |    ELSE text END AS t
+       |  FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h,
+       |      ${polyHashSql("text")} % length(text) + 1 AS p
+       |    FROM documents))
+       |SELECT did,
+       |  CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT)
+       |    AS n_repl,
+       |  CAST(length(t) - length(regexp_replace(t,
+       |    '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g')) AS BIGINT)
+       |    AS n_ctrl,
+       |  (length(t) - length(replace(t, chr(65533), ''))) > 0 OR
+       |  (length(t) - length(regexp_replace(t,
+       |    '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'))) > 0 AS is_suspect
+       |FROM c""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -5019,7 +5065,7 @@ object Pipeline {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163)
+    q159, q160, q161, q162, q163, q164, q165)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -112,6 +112,54 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out2.toSet === Set(("x y", 3L)))
   }
 
+  test("deflate_ratio expression: kernel parity, bands, empty -> NULL") {
+    import graft.functions.{CompressExpressions, CompressKernel}
+    CompressExpressions.register(spark)
+    val texts = Seq(
+      "w w w w w w w w w w w w w w w w w w w w w w w w w w w w",  // repetitive
+      "the quick brown fox jumps over the lazy dog while it rains",
+      "q8Zk2LpT9xAv3mWc7RfJ1bYhN5dGsE0uKoQiXnB6tMzC4eHjPrS",      // entropic
+      "héllo wörld ünïcode ©®",                                    // non-ASCII
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+      CompressExpressions.deflateRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("r"))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val exp = CompressKernel.ratio(t.getBytes("UTF-8"))
+      if (t.isEmpty) assert(got(i.toLong).isEmpty)
+      else assert(got(i.toLong).get === exp, s"text $i")
+    }
+    // the Gopher ordering: repetitive < natural < high-entropy
+    assert(got(0L).get < got(1L).get && got(1L).get < got(2L).get)
+  }
+
+  test("compressionScreen drops outside the natural band") {
+    val docs = Seq(
+      (1L, Seq.fill(60)("w").mkString(" ")),            // over-compresses
+      (2L, "the quick brown fox jumps over the lazy dog and keeps going"))
+      .toDF("doc_id", "text")
+    val out = CorpusStatsOps.compressionScreen(
+      docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out === Map(1L -> false, 2L -> true))
+  }
+
+  test("encodingScan counts replacement and control characters") {
+    val docs = Seq(
+      (1L, "ok text here"),
+      (2L, "bad � twice � here"),
+      (3L, "bell  inside")).toDF("doc_id", "text")
+    val out = CorpusStatsOps.encodingScan(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((0L, 0L, false)))
+    assert(out(2L) === ((2L, 0L, true)))
+    assert(out(3L) === ((0L, 1L, true)))
+  }
+
   test("robustOutliers approx path agrees with exact at test scale") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run(exact: Boolean) = CorpusStatsOps.robustOutliers(
