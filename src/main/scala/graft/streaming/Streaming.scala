@@ -1863,6 +1863,41 @@ object Streaming {
         size(col("_ls")).cast("long").as("n_total"))
   }
 
+  /** Ingest face of [[graft.operators.CorpusStatsOps.compressionScreen]]
+    * — the Gopher compression filter on arrivals, a stateless select on
+    * the codegen'd DEFLATE expression (no state, no watermark). */
+  def compressionScreenStream(docs: DataFrame,
+      lo: Double = 0.2, hi: Double = 1.1,
+      timeCol: String = "event_time"): DataFrame = {
+    graft.functions.CompressExpressions.register(docs.sparkSession)
+    val ratio =
+      graft.functions.CompressExpressions.deflateRatio(col("text"))
+    docs.select(col(timeCol), col("doc_id"),
+      ratio.as("deflate_ratio"),
+      coalesce(ratio >= lo && ratio <= hi, lit(false)).as("keep"))
+  }
+
+  /** Per-micro-batch corpus-health monitor — a `foreachBatch` sink that
+    * runs the BATCH [[graft.operators.CorpusStatsOps.zipfDiagnostics]]
+    * over each arriving micro-batch and appends the stat rows (stamped
+    * with the batch id) under `outDir`. The Zipf fit needs a
+    * rank-per-group window plus a second aggregation — both unsupported
+    * inside a streaming plan — so the correct face is the cdcApplySink
+    * pattern: foreachBatch hands the micro-batch to the batch operator
+    * verbatim, which also makes stream/batch parity DEFINITIONAL (the
+    * spec pins it row-for-row). A monitoring dashboard then reads the
+    * appended parquet as an ordinary table and alerts on slope/hapax
+    * drift across batches. */
+  def corpusStatsSink(outDir: String,
+      group: String = "lang"): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.CorpusStatsOps.zipfDiagnostics(
+          batch, col(group), col("text"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
+    }
+  }
+
   private[streaming] def processTrip(
       tripId: Long, it: Iterator[FlagSample],
       state: GroupState[RunState]): Iterator[SessionOut] = {

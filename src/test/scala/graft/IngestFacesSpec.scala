@@ -139,6 +139,58 @@ class IngestFacesSpec extends SparkSpec {
     } finally { q.stop(); docs.unpersist(blocking = false) }
   }
 
+  test("compressionScreenStream flags the over-compressible arrival") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.compressionScreenStream(
+      in.toDS().toDF("doc_id", "text", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("css1").start()
+    try {
+      in.addData(
+        (1L, Seq.fill(60)("w").mkString(" "), ts(T0)),
+        (2L, "the quick brown fox jumps over the lazy dog while the " +
+          "rain keeps falling on the quiet grey town tonight", ts(T0)))
+      q.processAllAvailable()
+      val out = spark.table("css1").collect()
+        .map(r => r.getLong(1) -> r.getAs[Boolean]("keep")).toMap
+      assert(out === Map(1L -> false, 2L -> true))
+    } finally q.stop()
+  }
+
+  test("corpusStatsSink appends per-batch stats equal to the batch op") {
+    import graft.operators.CorpusStatsOps
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stats").toString
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val q = in.toDS().toDF("doc_id", "lang", "text", "event_time")
+      .writeStream.outputMode("append")
+      .foreachBatch(Streaming.corpusStatsSink(outDir))
+      .start()
+    try {
+      val b0 = Seq((1L, "en", "a a b"), (2L, "en", "b c d"))
+      val b1 = Seq((3L, "de", "x y"), (4L, "en", "a c"))
+      in.addData(b0.map { case (i, l, t) => (i, l, t, ts(T0)) }: _*)
+      q.processAllAvailable()
+      in.addData(b1.map { case (i, l, t) => (i, l, t, ts(T0)) }: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => (r.getAs[Long]("batch_id"),
+          r.getAs[String]("grp")) -> ((r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_hapax"))))
+        .toMap
+      def batchStats(rows: Seq[(Long, String, String)]) = {
+        val df = rows.toDF("doc_id", "lang", "text")
+        CorpusStatsOps.zipfDiagnostics(df, col("lang"), col("text"))
+          .collect().map(r => r.getAs[String]("grp") ->
+            ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+              r.getAs[Long]("n_hapax")))).toMap
+      }
+      val e0 = batchStats(b0); val e1 = batchStats(b1)
+      assert(got === (e0.map { case (g, v) => (0L, g) -> v } ++
+        e1.map { case (g, v) => (1L, g) -> v }))
+    } finally q.stop()
+  }
+
   test("winnowScreenStream finds the corpus doc an arrival copies") {
     val corpus = Seq(
       (1L, "one two three four five six seven eight nine ten"),
