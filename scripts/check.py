@@ -6,11 +6,21 @@ Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 Reads each <out_dir>/<query>/ parquet written by graft.Verify, runs the
 corresponding oracle SQL from <out_dir>/oracle_sql.json in DuckDB against the
 parquet tables in <sf_dir>, and diffs (row count, sorted values, dtypes).
+
+Matches the DRIVER's semantics (r12 lesson — the local replica passed where
+the driver failed):
+  * float compare is BYTE-level: the driver hashes raw bytes, so 0.0 vs -0.0
+    is a FAIL here too (plain == would call them equal);
+  * rows-only outputs (no oracle SQL) are still loaded and canonicalized —
+    the driver sorts EVERY output in pandas, so a top-level array column
+    crashes it even without an oracle; we replicate that as a FAIL.
 Dev tool only — NOT part of the shipped library.
 """
 import glob
 import json
 import math
+import os
+import struct
 import sys
 
 import duckdb
@@ -39,7 +49,8 @@ def cells_equal(a, b) -> bool:
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
-            return fa == fb
+            # byte-level like the driver's hash: 0.0 != -0.0
+            return struct.pack("<d", fa) == struct.pack("<d", fb)
     except (TypeError, ValueError):
         pass
     return a == b
@@ -54,6 +65,30 @@ def main() -> int:
             f"SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only entries: no oracle SQL, but the driver STILL canonicalizes
+    # the parquet (sort on all columns) — replicate so an unsortable output
+    # (top-level array column) fails locally before it fails at the gate.
+    rows_only = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracle)
+    for name in rows_only:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output (rows-only)")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: rows-only output not canonicalizable: {e}")
+            n_fail += 1
+            continue
+        if len(got) == 0:
+            print(f"FAIL {name}: rows-only output is EMPTY")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, rows-only)")
+            n_pass += 1
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:

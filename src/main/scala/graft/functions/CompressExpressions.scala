@@ -32,6 +32,15 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "deflate_ratio"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got " +
+          child.dataType.catalogString)
+
   override def nullSafeEval(input: Any): Any = {
     val r = CompressKernel.ratio(input.asInstanceOf[UTF8String].getBytes)
     if (r.isNaN) null else r
@@ -83,7 +92,14 @@ object CompressExpressions {
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DeflateRatio(exprs.head), "scala_udf")
+      FnName,
+      exprs => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              s"$FnName(text): exactly 1 argument required, got ${exprs.length}"))
+        DeflateRatio(exprs.head)
+      }, "scala_udf")
   }
 
   /** Codegen'd DEFLATE compression ratio of a string column. */

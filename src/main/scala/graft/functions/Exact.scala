@@ -45,4 +45,22 @@ object Exact {
   /** Conditional count as a long (reference dwell-seconds pattern,
     * processor/main.py:534-536). */
   def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Signed-zero normalization: IEEE `x + 0.0` maps `-0.0` to `+0.0`
+    * (NULL passes through; every other value is unchanged — adding +0.0
+    * is exact for all finite doubles). Needed because the oracle compare
+    * hashes BYTES: for a value like `-1e-9` that rounds to zero, Spark's
+    * `round` (BigDecimal HALF_UP) emits `+0.0` while DuckDB's preserves
+    * the sign and emits `-0.0` — value-equal, byte-different, hash RED.
+    * Apply after the FINAL round on any output that can be negative
+    * (slopes, intercepts, weights, residuals, z-scores). */
+  def znorm(c: Column): Column = c + lit(0.0)
+
+  /** Final round-6 with signed-zero normalization — the standard form
+    * for slope/intercept/weight/residual-style outputs. */
+  def round6z(c: Column): Column = znorm(round(c, 6))
+
+  /** Oracle-SQL twin of [[round6z]] (DuckDB obeys the same IEEE
+    * `-0.0 + 0.0 = +0.0` identity). */
+  def round6zSql(e: String): String = s"(round($e, 6) + 0.0)"
 }

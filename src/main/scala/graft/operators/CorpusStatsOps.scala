@@ -79,8 +79,8 @@ object CorpusStatsOps {
       col("n_types"), col("n_tokens"), col("n_hapax"),
       round(col("n_hapax").cast("double") / n, 6).as("hapax_ratio"),
       round(n / col("n_tokens").cast("double"), 6).as("ttr"),
-      round(slope, 6).as("zipf_slope"),
-      round(intercept, 6).as("zipf_intercept"))
+      graft.functions.Exact.round6z(slope).as("zipf_slope"),
+      graft.functions.Exact.round6z(intercept).as("zipf_intercept"))
   }
 
   /** Heaps'-law fit V(N) ≈ K·N^β over the corpus vocabulary-growth curve,
@@ -145,7 +145,7 @@ object CorpusStatsOps {
       col("sx"), col("sy"), col("sxy"), col("sxx"))
     agg.select(
       col("n_points"), col("n_tokens"), col("n_types"),
-      round(slope, 6).as("heaps_beta"),
+      graft.functions.Exact.round6z(slope).as("heaps_beta"),
       round(exp(intercept), 6).as("heaps_k"))
   }
 
@@ -190,27 +190,13 @@ object CorpusStatsOps {
         median(abs(col("v") - col("med"))).as("mad"))
   }
 
-  /** The round-6 robust z (NULL when MAD = 0). */
+  /** The round-6 robust z (NULL when MAD = 0; signed-zero normalized —
+    * a z just below zero rounds to `-0.0` in DuckDB but `+0.0` in
+    * Spark, the q149 byte-level hash knife edge). */
   def robustZ(v: Column, med: Column, mad: Column): Column =
     when(mad =!= lit(0.0),
-      round((v - med) / (lit(1.4826) * mad), 6))
+      graft.functions.Exact.round6z((v - med) / (lit(1.4826) * mad)))
 
-  /** Heavy-hitter word n-grams by two-phase sample-then-verify: phase 1
-    * aggregates only a deterministic 1/`rate` occurrence sample (each
-    * OCCURRENCE keeps/drops by a hash of gram ⊕ doc ⊕ position, so a
-    * frequent gram's sample count concentrates at freq/rate), keeps
-    * grams whose sample count clears `minCount/(2·rate)` as candidates;
-    * phase 2 computes EXACT counts for the candidates alone (a semi-join
-    * probe before the aggregate) and emits the top `k` with true count ≥
-    * `minCount` (count desc, gram asc). The shape is the point: exact
-    * top-k n-grams naively aggregates a key space as large as the corpus
-    * token count; here the full-cardinality aggregate runs over 1/rate
-    * of the occurrences, and the exact pass aggregates only candidate
-    * occurrences. Deterministic end to end — same sample, same answer,
-    * every run and every engine (vs Spark's count_min_sketch, whose
-    * binary sketch no oracle can replay). The miss probability of a
-    * true heavy hitter is a sampling-tail event; the verify phase can
-    * only remove false candidates, never invent counts. */
   /** Gopher-style compression screen (Rae et al. 2021 §A1): per doc the
     * DEFLATE ratio via the codegen'd [[graft.functions.DeflateRatio]]
     * expression, and a keep verdict for the [lo, hi] natural-language
@@ -245,6 +231,27 @@ object CorpusStatsOps {
       .withColumn("is_suspect", col("n_repl") > 0 || col("n_ctrl") > 0)
   }
 
+  /** Heavy-hitter word n-grams by two-phase sample-then-verify: phase 1
+    * aggregates only a deterministic 1/`rate` occurrence sample (each
+    * OCCURRENCE keeps/drops by a hash of gram ⊕ doc ⊕ position, so a
+    * frequent gram's sample count concentrates at freq/rate), keeps
+    * grams whose sample count clears `minCount/(2·rate)` as candidates;
+    * phase 2 computes EXACT counts for the candidates alone (a semi-join
+    * probe before the aggregate) and emits the top `k` with true count ≥
+    * `minCount` (count desc, gram asc). The shape is the point: exact
+    * top-k n-grams naively aggregates a key space as large as the corpus
+    * token count; here the full-cardinality aggregate runs over 1/rate
+    * of the occurrences, and the exact pass aggregates only candidate
+    * occurrences. Deterministic end to end — same sample, same answer,
+    * every run and every engine (vs Spark's count_min_sketch, whose
+    * binary sketch no oracle can replay). The determinism cuts both
+    * ways: because the sample is hash-fixed rather than random, a heavy
+    * gram whose occurrences happen never to hash into the sample is
+    * missed on EVERY run for that corpus (corpus-fixed, not re-rollable
+    * — pinned by the spec); the verify phase can only remove false
+    * candidates, never recover a sample miss. Choose `rate` against
+    * `minCount` so the expected sample count `minCount/rate` stays well
+    * above the `minCount/(2·rate)` admission bar. */
   def heavyNgrams(docs: DataFrame, id: Column, text: Column, n: Int = 3,
       rate: Int = 8, minCount: Long = 16L, k: Int = 20): DataFrame = {
     require(rate >= 1 && k >= 1 && minCount >= 1)

@@ -43,9 +43,12 @@ object HtmlOps {
     val noScript = regexp_replace(html, ScriptStyleRe, "")
     val withBreaks = regexp_replace(noScript, BlockCloseRe, "\n")
     val noTags = regexp_replace(withBreaks, TagRe, "")
+    // '&amp;' decodes LAST (the standard order): decoding it first would
+    // re-interpret its output, turning a doubly-escaped literal like
+    // '&amp;lt;' into '<' instead of the intended text '&lt;'.
     val decoded = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     val lines = transform(split(decoded, "\n"),
       l => trim(regexp_replace(l, "[ \\t\\r]+", " ")))
@@ -140,8 +143,8 @@ object HtmlOps {
        |        '$ScriptStyleRe', '', 'g'),
        |        '$BlockCloseRe', chr(10), 'g'),
        |        '$TagRe', '', 'g'),
-       |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-       |      '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
        |    chr(10)),
        |  l -> trim(regexp_replace(l, '[ \\t\\r]+', ' ', 'g'))),
        |l -> length(l) > 0)""".stripMargin

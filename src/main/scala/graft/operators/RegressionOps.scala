@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Exact
 
 /** Closed-form ridge regression for quality-signal distillation: fit a
   * 2-feature linear model to mimic an expensive quality target (an LM
@@ -72,9 +73,9 @@ object RegressionOps {
     val Seq(det, n0, n1, n2) = cramerSql(lambda)
     momentRow(data)
       .select(col("n").cast("long").as("n_rows"),
-        round(expr(s"$n0 / $det"), 6).as("w0"),
-        round(expr(s"$n1 / $det"), 6).as("w1"),
-        round(expr(s"$n2 / $det"), 6).as("w2"))
+        Exact.round6z(expr(s"$n0 / $det")).as("w0"),
+        Exact.round6z(expr(s"$n1 / $det")).as("w1"),
+        Exact.round6z(expr(s"$n2 / $det")).as("w2"))
   }
 
   /** Per-group ridge fits — one model row per group (per-language /
@@ -98,9 +99,9 @@ object RegressionOps {
       s(col("x1") * col("y"), "s1y"),
       s(col("x2") * col("y"), "s2y"))
       .select(col("grp"), col("n").cast("long").as("n_rows"),
-        round(when(expr(det) =!= 0.0, expr(s"$n0 / $det")), 6).as("w0"),
-        round(when(expr(det) =!= 0.0, expr(s"$n1 / $det")), 6).as("w1"),
-        round(when(expr(det) =!= 0.0, expr(s"$n2 / $det")), 6).as("w2"))
+        Exact.round6z(when(expr(det) =!= 0.0, expr(s"$n0 / $det"))).as("w0"),
+        Exact.round6z(when(expr(det) =!= 0.0, expr(s"$n1 / $det"))).as("w1"),
+        Exact.round6z(when(expr(det) =!= 0.0, expr(s"$n2 / $det"))).as("w2"))
   }
 
   /** Score every row with the fitted model (broadcast 1-row cross join):
@@ -109,10 +110,10 @@ object RegressionOps {
     val model = ridge2Fit(data, lambda)
     data.crossJoin(broadcast(model))
       .select(col("id"),
-        round(col("y"), 6).as("y"),
-        round(col("w0") + col("w1") * round(col("x1"), 6)
-          + col("w2") * round(col("x2"), 6), 6).as("y_hat"))
-      .withColumn("resid", round(col("y") - col("y_hat"), 6))
+        Exact.round6z(col("y")).as("y"),
+        Exact.round6z(col("w0") + col("w1") * round(col("x1"), 6)
+          + col("w2") * round(col("x2"), 6)).as("y_hat"))
+      .withColumn("resid", Exact.round6z(col("y") - col("y_hat")))
   }
 
   /** The two cheap distillation features over a text column — round-6

@@ -187,4 +187,18 @@ object WhitenOps {
       graft.functions.AffineExpressions.affineProject(
         vec, model.w, model.mean, model.dim, model.dim).as("whitened"))
   }
+
+  /** [[whiten]] in long form: one `(vec_id, dim, value)` row per
+    * whitened coordinate, value round-6 and signed-zero normalized.
+    * This is the REGISTERED face (q134): a top-level `array<double>`
+    * column is not canonicalizable by the correctness driver (pandas
+    * cannot sort on an ndarray cell), and scalar rows additionally give
+    * the gate a real row-count signal (n_vectors × dim) instead of a
+    * crash. Same row-local plan — posexplode adds no shuffle. */
+  def whitenLong(emb: DataFrame, id: Column, vec: Column,
+      model: ZcaModel): DataFrame =
+    whiten(emb, id, vec, model)
+      .select(col("vec_id"), posexplode(col("whitened")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        graft.functions.Exact.round6z(col("v")).as("value"))
 }

@@ -3951,19 +3951,23 @@ object Pipeline {
        |SELECT i, j, CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS s
        |FROM pairs GROUP BY 1, 2""".stripMargin)
 
-  /** ZCA-whitened embeddings ([[graft.operators.WhitenOps.whiten]]) —
-    * rows-only (the dim×dim eigensolve runs on the driver over the
+  /** ZCA-whitened embeddings ([[graft.operators.WhitenOps.whitenLong]])
+    * — rows-only (the dim×dim eigensolve runs on the driver over the
     * BOUNDED moment table and is not SQL-expressible); the defining law
     * (whitened covariance = I), production/oracle moment parity, the
     * cosine un-squashing effect, and run/partitioning determinism are
-    * all pinned in WhitenSpec. */
+    * all pinned in WhitenSpec. Registered in LONG form — one
+    * `(vec_id, dim, value)` scalar row per coordinate — because the
+    * driver's canonicalizer cannot sort a top-level `array<double>`
+    * column (r12 lesson: the array face crashed the gate and the entry
+    * recorded an error instead of a rows-only pass). */
   private val q134 = QueryDef(
     "q134_whitened_embeddings",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = graft.operators.WhitenOps.fitZca(
         graft.operators.WhitenOps.moments(emb, col("embedding"), DIM), DIM)
-      graft.operators.WhitenOps.whiten(
+      graft.operators.WhitenOps.whitenLong(
         emb, col("vec_id"), col("embedding"), model)
     },
     None)
@@ -4500,11 +4504,11 @@ object Pipeline {
        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
        |  round(CASE WHEN n_types * sxx - sx * sx <> 0
        |    THEN (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)
-       |    END, 6) AS zipf_slope,
+       |    END, 6) + 0.0 AS zipf_slope,
        |  round(CASE WHEN n_types * sxx - sx * sx <> 0
        |    THEN (sy - ((n_types * sxy - sx * sy)
        |      / (n_types * sxx - sx * sx)) * sx) / n_types
-       |    END, 6) AS zipf_intercept
+       |    END, 6) + 0.0 AS zipf_intercept
        |FROM a""".stripMargin)
 
   /** Heaps'-law vocabulary-growth fit V(N) = K·N^β, curve sampled at 32
@@ -4546,7 +4550,7 @@ object Pipeline {
        |SELECT n_points, n_tokens, n_types,
        |  round(CASE WHEN n_points * sxx - sx * sx <> 0
        |    THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
-       |    END, 6) AS heaps_beta,
+       |    END, 6) + 0.0 AS heaps_beta,
        |  round(exp(CASE WHEN n_points * sxx - sx * sx <> 0
        |    THEN (sy - ((n_points * sxy - sx * sy)
        |      / (n_points * sxx - sx * sx)) * sx) / n_points
@@ -4568,7 +4572,7 @@ object Pipeline {
       |  FROM b JOIN m USING (grp) GROUP BY b.grp)
       |SELECT did, grp, v,
       |  round(CASE WHEN mad <> 0
-      |    THEN (v - med) / (1.4826 * mad) END, 6) AS robust_z,
+      |    THEN (v - med) / (1.4826 * mad) END, 6) + 0.0 AS robust_z,
       |  coalesce(abs(round(CASE WHEN mad <> 0
       |    THEN (v - med) / (1.4826 * mad) END, 6)) > 3.0, FALSE)
       |    AS is_outlier
@@ -4720,9 +4724,9 @@ object Pipeline {
       s"""WITH $ridgeFeatSql,
          |m AS (${graft.operators.RegressionOps.momentRowSql})
          |SELECT CAST(n AS BIGINT) AS n_rows,
-         |  round($n0 / $det, 6) AS w0,
-         |  round($n1 / $det, 6) AS w1,
-         |  round($n2 / $det, 6) AS w2
+         |  round($n0 / $det, 6) + 0.0 AS w0,
+         |  round($n1 / $det, 6) + 0.0 AS w1,
+         |  round($n2 / $det, 6) + 0.0 AS w2
          |FROM m""".stripMargin
     })
 
@@ -4739,10 +4743,12 @@ object Pipeline {
          |m AS (${graft.operators.RegressionOps.momentRowSql}),
          |w AS (SELECT round($n0 / $det, 6) AS w0,
          |  round($n1 / $det, 6) AS w1, round($n2 / $det, 6) AS w2 FROM m),
-         |p AS (SELECT id, round(y, 6) AS y,
-         |    round(w0 + w1 * round(x1, 6) + w2 * round(x2, 6), 6) AS y_hat
+         |p AS (SELECT id, round(y, 6) + 0.0 AS y,
+         |    round(w0 + w1 * round(x1, 6) + w2 * round(x2, 6), 6) + 0.0
+         |      AS y_hat
          |  FROM feat, w)
-         |SELECT id, y, y_hat, round(y - y_hat, 6) AS resid FROM p""".stripMargin
+         |SELECT id, y, y_hat, round(y - y_hat, 6) + 0.0 AS resid
+         |FROM p""".stripMargin
     })
 
   // ------------------------------------------------- html extraction
@@ -5002,9 +5008,9 @@ object Pipeline {
          |  round(sum(round(x2 * y, 6)), 6) AS s2y
          |FROM feat GROUP BY grp)
          |SELECT grp, CAST(n AS BIGINT) AS n_rows,
-         |  round(CASE WHEN $det <> 0 THEN $n0 / $det END, 6) AS w0,
-         |  round(CASE WHEN $det <> 0 THEN $n1 / $det END, 6) AS w1,
-         |  round(CASE WHEN $det <> 0 THEN $n2 / $det END, 6) AS w2
+         |  round(CASE WHEN $det <> 0 THEN $n0 / $det END, 6) + 0.0 AS w0,
+         |  round(CASE WHEN $det <> 0 THEN $n1 / $det END, 6) + 0.0 AS w1,
+         |  round(CASE WHEN $det <> 0 THEN $n2 / $det END, 6) + 0.0 AS w2
          |FROM m""".stripMargin
     })
 

@@ -1887,14 +1887,23 @@ object Streaming {
     * verbatim, which also makes stream/batch parity DEFINITIONAL (the
     * spec pins it row-for-row). A monitoring dashboard then reads the
     * appended parquet as an ordinary table and alerts on slope/hapax
-    * drift across batches. */
+    * drift across batches.
+    *
+    * Idempotent per batch: the stat rows land under
+    * `outDir/batch_id=<id>/` and the write REPLACES that one partition
+    * (dynamic partition overwrite), so a micro-batch replayed after a
+    * failure rewrites its own rows instead of appending duplicates that
+    * would skew the drift monitor. */
   def corpusStatsSink(outDir: String,
       group: String = "lang"): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       graft.operators.CorpusStatsOps.zipfDiagnostics(
           batch, col(group), col("text"))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(outDir)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
     }
   }
 

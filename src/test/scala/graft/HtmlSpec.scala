@@ -34,6 +34,13 @@ class HtmlSpec extends SparkSpec {
     assert(extract(html)._1 === "alive")
   }
 
+  test("doubly-escaped entities decode exactly one level ('&amp;' last)") {
+    // '&amp;lt;' is the TEXT '&lt;' — decoding '&amp;' first would
+    // re-interpret the output and collapse it to '<' (r12 ADVICE item).
+    val (text, _) = extract("<p>&amp;lt; and &amp;amp; stay text</p>")
+    assert(text === "&lt; and &amp; stay text")
+  }
+
   test("roundtrip: every word of the original doc survives extraction") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val wrapped = docs.withColumn("html",
