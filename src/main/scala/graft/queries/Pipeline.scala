@@ -2844,84 +2844,110 @@ object Pipeline {
     * whole upstream DAG (repetition chain × minhash × recursive reach) —
     * measured >12 min vs 0.7 s at sf0.01. Oracle-side syntax only; Spark
     * never parses this SQL. */
+  /** The q117 funnel's stages as `(name, plan, survivors)` triples:
+    * `plan` is the stage's DataFrame BEFORE the settle() boundary — the
+    * unit of physical planning a staged pipeline actually executes
+    * (each stage's own operators over the previous stage's
+    * checkpointed survivors) and what [[graft.PlanDump]] explains per
+    * stage — and `survivors` is the settled frame the next stage
+    * consumes. One builder shared by the q117 registry body and
+    * PlanDump, so the dumped plans cannot drift from the registered
+    * funnel. Building the list EXECUTES the funnel (settle() is an
+    * eager localCheckpoint — the stage-boundary materialization is the
+    * point: without it each stage re-derives its whole upstream DAG
+    * and at 18 stages Catalyst analysis alone dominates). */
+  private[graft] def funnelStages(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = {
+    graft.functions.HashExpressions.register(s)
+    val docs = Tables.documents(s, d)
+    val stages =
+      Seq.newBuilder[(String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]
+    // a boundary-free stage (raw scan / terminal): plan == survivors
+    def raw(name: String, df: org.apache.spark.sql.DataFrame) = {
+      stages += ((name, df, df)); df
+    }
+    def settle(name: String, df: org.apache.spark.sql.DataFrame) = {
+      val settled = df.localCheckpoint(true)
+      stages += ((name, df, settled))
+      settled
+    }
+    raw("corpus", docs)
+    // 1. quality funnel
+    val clean = settle("funnel",
+      docs.where(TextOps.funnelPredicates(col("text"))
+        .map(_._2).reduce(_ && _)))
+    // 2. Gopher repetition screen (the q126 rules, the demo's stage)
+    val screened = settle("gopher", clean.join(
+      TextOps.gopherRepetition(clean, col("doc_id"), col("text"))
+        .where(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    // 3. cross-document verbatim-span removal (the q152 rewrite,
+    // syndication screen): spans whose 3-grams recur in >= 4 docs lose
+    // every non-canonical copy; text is REWRITTEN in place and docs
+    // scrubbed empty drop out, so every later stage (minhash, KN model,
+    // packing) sees the despanned corpus
+    val dsp0 = graft.operators.SpanDedupOps.crossDocDedup(
+      screened, col("doc_id"), col("text"), k = 3, minDf = 4)
+    val despan = settle("despanned", screened.drop("text")
+      .join(dsp0.where(col("text_clean") =!= "")
+        .select(col("did").as("doc_id"), col("text_clean").as("text")),
+        "doc_id"))
+    // 4. near-dup keep-best (the q63 pair: qualityComposite score)
+    val clusters = DedupOps.dedupClusters(
+      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
+        despan, col("doc_id"), col("text"), SHINGLE_W)),
+      "doc_a", "doc_b")
+    val best = DedupOps.keepBestInCluster(
+      despan, col("doc_id"), TextOps.qualityComposite(col("text")),
+      clusters)
+    val dropDup = clusters.join(best, "cluster_id")
+      .where(col("doc_id") =!= col("keep_id")).select("doc_id")
+    val deduped = settle("keep_best",
+      despan.join(dropDup, Seq("doc_id"), "left_anti"))
+    // 5. exact decontamination (the q79 shape over the survivors)
+    val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"),
+      ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
+    val decon = settle("decontaminated", deduped.join(leaky.select("doc_id"),
+      Seq("doc_id"), "left_anti"))
+    // 6. KN-perplexity band-pass, calibrated per source (q138 ∘ q115:
+    // word-order-aware cross-entropy under the SURVIVORS' own bigram
+    // model; the worst decile per source drops — per-source
+    // calibration so one threshold transfers across languages)
+    val ce = TextOps.knScore(decon, col("doc_id"), col("text"))
+    val cal = TextOps.calibrateScores(
+      ce.join(decon.select("doc_id", "source"), "doc_id"),
+      col("doc_id"), col("cross_entropy"), col("source"), "source",
+      10, 0.9)
+    val lmKept = settle("lm_perplexity", decon.join(
+      cal.where(col("keep")).select("doc_id"), Seq("doc_id"),
+      "left_semi"))
+    // 7. mix to a uniform source weighting at the q64 budget
+    val weights = lmKept.select("source").distinct().collect()
+      .map(_.getString(0) -> 1L).toMap // bounded: the source domain
+    val thr = TextOps.mixThresholds(lmKept, col("doc_id"), col("text"),
+      col("source"), weights, MixBudget)
+    val mixed = settle("mixed", lmKept
+      .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
+        graft.functions.HashExpressions.polyHash(col("text")), 1000000))
+      .join(thr, "source").where(col("_bkt") < col("_thr"))
+      .drop("_bkt", "_thr"))
+    // 8. pack into fixed token-budget chunks
+    raw("chunks",
+      TextOps.packSequences(mixed, col("doc_id"), col("text"), 512L))
+    stages.result()
+  }
+
   private val q117 = QueryDef(
     "q117_curation_funnel",
     (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val docs = Tables.documents(s, d)
-      def settle(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
-      // 1. quality funnel
-      val clean = settle(docs.where(TextOps.funnelPredicates(col("text"))
-        .map(_._2).reduce(_ && _)))
-      // 2. Gopher repetition screen (the q126 rules, the demo's stage)
-      val screened = settle(clean.join(
-        TextOps.gopherRepetition(clean, col("doc_id"), col("text"))
-          .where(col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi"))
-      // 3. cross-document verbatim-span removal (the q152 rewrite,
-      // syndication screen): spans whose 3-grams recur in >= 4 docs lose
-      // every non-canonical copy; text is REWRITTEN in place and docs
-      // scrubbed empty drop out, so every later stage (minhash, KN model,
-      // packing) sees the despanned corpus
-      val dsp0 = graft.operators.SpanDedupOps.crossDocDedup(
-        screened, col("doc_id"), col("text"), k = 3, minDf = 4)
-      val despan = settle(screened.drop("text")
-        .join(dsp0.where(col("text_clean") =!= "")
-          .select(col("did").as("doc_id"), col("text_clean").as("text")),
-          "doc_id"))
-      // 4. near-dup keep-best (the q63 pair: qualityComposite score)
-      val clusters = DedupOps.dedupClusters(
-        DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-          despan, col("doc_id"), col("text"), SHINGLE_W)),
-        "doc_a", "doc_b")
-      val best = DedupOps.keepBestInCluster(
-        despan, col("doc_id"), TextOps.qualityComposite(col("text")),
-        clusters)
-      val dropDup = clusters.join(best, "cluster_id")
-        .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-      val deduped = settle(despan.join(dropDup, Seq("doc_id"), "left_anti"))
-      // 3. exact decontamination (the q79 shape over the survivors)
-      val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"),
-        ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
-      val decon = settle(deduped.join(leaky.select("doc_id"),
-        Seq("doc_id"), "left_anti"))
-      // 5. KN-perplexity band-pass, calibrated per source (q138 ∘ q115:
-      // word-order-aware cross-entropy under the SURVIVORS' own bigram
-      // model; the worst decile per source drops — per-source
-      // calibration so one threshold transfers across languages)
-      val ce = TextOps.knScore(decon, col("doc_id"), col("text"))
-      val cal = TextOps.calibrateScores(
-        ce.join(decon.select("doc_id", "source"), "doc_id"),
-        col("doc_id"), col("cross_entropy"), col("source"), "source",
-        10, 0.9)
-      val lmKept = settle(decon.join(
-        cal.where(col("keep")).select("doc_id"), Seq("doc_id"),
-        "left_semi"))
-      // 6. mix to a uniform source weighting at the q64 budget
-      val weights = lmKept.select("source").distinct().collect()
-        .map(_.getString(0) -> 1L).toMap // bounded: the source domain
-      val thr = TextOps.mixThresholds(lmKept, col("doc_id"), col("text"),
-        col("source"), weights, MixBudget)
-      val mixed = settle(lmKept
-        .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
-          graft.functions.HashExpressions.polyHash(col("text")), 1000000))
-        .join(thr, "source").where(col("_bkt") < col("_thr"))
-        .drop("_bkt", "_thr"))
-      // 5. pack into fixed token-budget chunks
-      val packed = TextOps.packSequences(mixed, col("doc_id"), col("text"),
-        512L)
       def cnt(i: Long, name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n"))
           .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n"))
-      cnt(0L, "corpus", docs)
-        .unionAll(cnt(1L, "funnel", clean))
-        .unionAll(cnt(2L, "gopher", screened))
-        .unionAll(cnt(3L, "despanned", despan))
-        .unionAll(cnt(4L, "keep_best", deduped))
-        .unionAll(cnt(5L, "decontaminated", decon))
-        .unionAll(cnt(6L, "lm_perplexity", lmKept))
-        .unionAll(cnt(7L, "mixed", mixed))
-        .unionAll(cnt(8L, "chunks", packed))
+      funnelStages(s, d).zipWithIndex.map { case ((name, _, surv), i) =>
+        cnt(i.toLong, name, surv)
+      }.reduce(_ unionAll _)
     }, {
       val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
         .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
