@@ -190,6 +190,39 @@ object CorpusStatsOps {
         median(abs(col("v") - col("med"))).as("mad"))
   }
 
+  /** Screen-age detector for a FROZEN [[robustStats]] baseline — the
+    * q105 quantization-drift treatment applied to the text screens, so
+    * a long-running ingest stream's outlier gate does not silently age:
+    * fit fresh per-group stats on a new batch and measure how far each
+    * group's center moved in frozen-MAD units,
+    * `drift_z = |med_new − med_frozen| / (1.4826·mad_frozen)`, plus the
+    * spread ratio `mad_new / mad_frozen`. A group flags `needs_refit`
+    * when the drift exceeds `zThresh`, when the frozen MAD is
+    * degenerate (0 — the frozen frame cannot score that group), or when
+    * the group is new/missing on either side. The refresh itself is a
+    * RE-FIT on trigger: medians do not merge like the BM25/gram sums,
+    * so recompute-on-drift is the correct maintenance, and this
+    * detector is what makes it event-driven instead of never. */
+  def robustDrift(frozen: DataFrame, batch: DataFrame, group: Column,
+      value: Column, zThresh: Double = 3.0, exact: Boolean = true)
+      : DataFrame = {
+    val fresh = robustStats(batch, group, value, exact)
+    val driftZ = when(col("mad_frozen") =!= lit(0.0),
+      graft.functions.Exact.round6z(
+        abs(col("med_new") - col("med_frozen")) /
+          (lit(1.4826) * col("mad_frozen"))))
+    frozen.select(col("grp"), col("med").as("med_frozen"),
+        col("mad").as("mad_frozen"))
+      .join(fresh.select(col("grp"), col("med").as("med_new"),
+        col("mad").as("mad_new")), Seq("grp"), "full_outer")
+      .select(col("grp"), col("med_frozen"), col("mad_frozen"),
+        col("med_new"), col("mad_new"), driftZ.as("drift_z"),
+        when(col("mad_frozen") =!= lit(0.0),
+          graft.functions.Exact.round6z(
+            col("mad_new") / col("mad_frozen"))).as("mad_ratio"),
+        coalesce(driftZ > zThresh, lit(true)).as("needs_refit"))
+  }
+
   /** The round-6 robust z (NULL when MAD = 0; signed-zero normalized —
     * a z just below zero rounds to `-0.0` in DuckDB but `+0.0` in
     * Spark, the q149 byte-level hash knife edge). */

@@ -124,6 +124,30 @@ object SpanDedupOps {
       countDistinct(col("did")).as("df"),
       min(col("did")).as("canon"))
 
+  /** Incremental maintenance of the frozen [[gramIndex]] — the
+    * bm25StatsUpdate treatment applied to the cross-doc screen's static
+    * side, so a long-running ingest stream's gram screen does not
+    * silently age: per-gram `df` is a count over distinct docs and
+    * `canon` a min over doc ids, and BOTH merge exactly for a disjoint
+    * delta (PRECONDITION, the incrementalDedup convention: delta doc
+    * ids are NEW — a re-crawl of existing ids goes through CDC apply
+    * and a re-stat, not this fold). One full-outer hash-keyed merge of
+    * two gram-vocabulary-sized frames — never touches the old corpus.
+    * Invariant: `update(index(A), B) ≡ index(A ∪ B)`; q168's oracle
+    * replays `index(A ∪ B)` in SQL, so the invariant IS the driver
+    * gate (the q145 brute-force-oracle convention). */
+  def gramIndexUpdate(prev: DataFrame, delta: DataFrame, id: Column,
+      text: Column, k: Int = 3): DataFrame = {
+    val d = gramIndex(delta, id, text, k)
+    prev.select(col("h"), col("df").as("_da"), col("canon").as("_ca"))
+      .join(d.select(col("h"), col("df").as("_db"), col("canon").as("_cb")),
+        Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("_da"), lit(0L)) + coalesce(col("_db"), lit(0L)))
+          .as("df"),
+        least(col("_ca"), col("_cb")).as("canon")) // least skips NULLs
+  }
+
   /** DuckDB oracle fragment mirroring [[gramTable]] over a table exposing
     * `did` and `ws = string_split(text, ' ')`: one row per full-width
     * k-gram with 1-based `pos` and the shared polynomial hash. */

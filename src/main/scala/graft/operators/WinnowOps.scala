@@ -64,6 +64,19 @@ object WinnowOps {
     fingerprintPairsFrom(fingerprints(docs, id, text, k, w),
       maxDf, minJaccard)
 
+  /** Incremental maintenance of a frozen [[fingerprints]] index — the
+    * refresh face for [[graft.streaming.Streaming.winnowScreenStream]]'s
+    * static side: winnowing selects fingerprints PER DOC (each doc's
+    * windows see only its own grams), so a disjoint delta's fingerprints
+    * are exactly the union — no merge arithmetic at all, and the
+    * df/maxDf boilerplate cap stays a probe-time aggregate over the
+    * maintained index. Same NEW-ids precondition as
+    * [[graft.operators.SpanDedupOps.gramIndexUpdate]]. Invariant:
+    * `update(fps(A), B) ≡ fps(A ∪ B)`, spec-pinned. */
+  def fingerprintIndexUpdate(prev: DataFrame, delta: DataFrame,
+      id: Column, text: Column, k: Int = 3, w: Int = 4): DataFrame =
+    prev.unionByName(fingerprints(delta, id, text, k, w))
+
   /** [[fingerprintPairs]] from an already-materialized fingerprint table
     * — the production entry point: at corpus scale the fingerprint set
     * (~2/(w+1) of the gram count) is written once as an index (the BM25

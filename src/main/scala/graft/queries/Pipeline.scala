@@ -5118,6 +5118,74 @@ object Pipeline {
     },
     None)
 
+  /** Frozen-screen refresh, gram index ([[graft.operators.SpanDedupOps
+    * .gramIndexUpdate]]): the corpus is split 3:1 into a frozen base
+    * and a new-docs delta, the delta FOLDS into the frozen index (one
+    * full-outer merge of vocabulary-sized frames — the old corpus is
+    * never re-scanned), and the oracle replays `gramIndex(A ∪ B)` from
+    * scratch in SQL — the merge-equals-rebuild invariant IS the hash
+    * gate (the q122/q145 convention). */
+  private val q168 = QueryDef(
+    "q168_gram_index_refresh",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.where(col("doc_id") % 4 =!= 0)
+      val delta = docs.where(col("doc_id") % 4 === 0)
+      graft.operators.SpanDedupOps.gramIndexUpdate(
+        graft.operators.SpanDedupOps.gramIndex(
+          base, col("doc_id"), col("text"), XDOC_K),
+        delta, col("doc_id"), col("text"), XDOC_K)
+    },
+    s"""WITH $xdocCtes
+       |SELECT h, CAST(count(DISTINCT did) AS BIGINT) AS df,
+       |  min(did) AS canon
+       |FROM g GROUP BY 1""".stripMargin)
+
+  /** Frozen-screen drift detector ([[graft.operators.CorpusStatsOps
+    * .robustDrift]]): the per-language median/MAD baseline is fitted on
+    * the full corpus, a half-corpus "arrival batch" with a planted
+    * +300-char shift on `de` is fitted fresh, and each group reports
+    * its center drift in frozen-MAD units plus the needs_refit verdict
+    * — the event-driven trigger for the recompute-on-drift refresh
+    * (medians do not merge; the q105 detector precedent for the text
+    * screens). Full oracle: both fits are quantile_cont SQL. */
+  private val q169 = QueryDef(
+    "q169_robust_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val frozen = graft.operators.CorpusStatsOps.robustStats(
+        docs, col("lang"), col("n_chars"))
+      val batch = docs.where(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") +
+          when(col("lang") === "de", 300L).otherwise(0L))
+      graft.operators.CorpusStatsOps.robustDrift(
+        frozen, batch, col("lang"), col("n_chars"))
+    },
+    """WITH fb AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS v
+      |    FROM documents),
+      |fm AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM fb GROUP BY 1),
+      |fz AS (SELECT fb.grp, any_value(med) AS med,
+      |    quantile_cont(abs(v - med), 0.5) AS mad
+      |  FROM fb JOIN fm USING (grp) GROUP BY fb.grp),
+      |bb AS (SELECT lang AS grp, CAST(n_chars +
+      |      CASE WHEN lang = 'de' THEN 300 ELSE 0 END AS DOUBLE) AS v
+      |    FROM documents WHERE doc_id % 2 = 0),
+      |bm AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM bb GROUP BY 1),
+      |bz AS (SELECT bb.grp, any_value(med) AS med,
+      |    quantile_cont(abs(v - med), 0.5) AS mad
+      |  FROM bb JOIN bm USING (grp) GROUP BY bb.grp),
+      |j AS (SELECT grp, fz.med AS med_frozen, fz.mad AS mad_frozen,
+      |    bz.med AS med_new, bz.mad AS mad_new,
+      |    round(CASE WHEN fz.mad <> 0
+      |      THEN abs(bz.med - fz.med) / (1.4826 * fz.mad) END, 6) + 0.0
+      |      AS drift_z,
+      |    round(CASE WHEN fz.mad <> 0
+      |      THEN bz.mad / fz.mad END, 6) + 0.0 AS mad_ratio
+      |  FROM fz FULL OUTER JOIN bz USING (grp))
+      |SELECT grp, med_frozen, mad_frozen, med_new, mad_new, drift_z,
+      |  mad_ratio, coalesce(drift_z > 3.0, TRUE) AS needs_refit
+      |FROM j""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -5129,7 +5197,7 @@ object Pipeline {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -216,4 +216,62 @@ class IngestFacesSpec extends SparkSpec {
       assert(out === Map((30L, 1L) -> fp1))
     } finally { q.stop(); fpIndex.unpersist(blocking = false) }
   }
+
+  test("corpusStatsSink replays a batch id idempotently (no duplicate stat rows)") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stats-replay").toString
+    val sink = Streaming.corpusStatsSink(outDir)
+    val b = Seq((1L, "en", "a a b"), (2L, "de", "x y"))
+      .toDF("doc_id", "lang", "text")
+    sink(b, 7L)
+    sink(b, 7L) // replay after a simulated failure
+    val got = spark.read.parquet(outDir)
+    assert(got.count() === 2L) // one row per group, not four
+    assert(got.select("batch_id").distinct().collect()
+      .map(_.get(0).toString).toSeq === Seq("7"))
+  }
+
+  test("gramIndexUpdate: folding a disjoint delta equals rebuilding from scratch") {
+    val docs = graft.Tables.documents(spark, sf)
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val delta = docs.where(col("doc_id") % 4 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = SpanDedupOps.gramIndexUpdate(
+      SpanDedupOps.gramIndex(base, col("doc_id"), col("text")),
+      delta, col("doc_id"), col("text"))
+    val rebuilt = SpanDedupOps.gramIndex(docs, col("doc_id"), col("text"))
+    assert(key(merged) === key(rebuilt))
+    assert(merged.count() > 0)
+  }
+
+  test("fingerprintIndexUpdate: union of a disjoint delta equals rebuilding") {
+    val docs = graft.Tables.documents(spark, sf)
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val delta = docs.where(col("doc_id") % 4 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val merged = WinnowOps.fingerprintIndexUpdate(
+      WinnowOps.fingerprints(base, col("doc_id"), col("text")),
+      delta, col("doc_id"), col("text"))
+    assert(key(merged) ===
+      key(WinnowOps.fingerprints(docs, col("doc_id"), col("text"))))
+  }
+
+  test("robustDrift flags the drifted group and the degenerate frozen group only") {
+    val frozen = Seq(
+      ("en", 100.0, 10.0), ("de", 100.0, 10.0), ("zz", 100.0, 0.0))
+      .toDF("grp", "med", "mad")
+    // 'de' arrivals shifted far beyond 3 frozen MADs; 'en' stable;
+    // 'new' has no frozen baseline at all
+    val batch = (1 to 21).flatMap(i => Seq(
+      ("en", 95.0 + i % 11), ("de", 300.0 + i % 11), ("new", 50.0 + i % 11)))
+      .toDF("lang", "v")
+    val out = CorpusStatsOps.robustDrift(
+      frozen, batch, col("lang"), col("v"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Boolean]("needs_refit")).toMap
+    assert(out === Map("en" -> false, "de" -> true,
+      "zz" -> true, "new" -> true))
+  }
 }
