@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain-level rollups — the stage-ZERO
+  * filters of every web-scale curation pipeline (CCNet, RefinedWeb,
+  * Gopher/MassiveWeb all gate on URL/domain before touching content):
+  * normalize each document's source URL to a canonical form so
+  * exact-URL dedup and domain blocklists stop leaking variants
+  * (tracking parameters, fragments, case, default ports), extract the
+  * registered domain (the public-suffix+1 label), and aggregate
+  * per-domain corpus shares for blocklist/cap decisions.
+  *
+  * Scale design: canonicalization is pure row-local Column arithmetic
+  * (regexp + array HOFs, whole-stage codegen, zero shuffle); the domain
+  * rollup is one hash aggregation producing a DOMAIN-cardinality frame
+  * — web corpora have ~10⁷ registered domains at 10¹⁰ documents, so the
+  * frame broadcasts back for blocklist joins. Every definition is
+  * mirrored as SQL text so the DuckDB oracle replays the exact strings.
+  *
+  * The suffix handling is deliberately a COMPACT registry, not a vendored
+  * copy of the full Mozilla public-suffix list: the operator's shape
+  * (label arithmetic against a broadcast suffix set) is identical at
+  * 9,000 suffixes, and the set is a constructor argument.
+  */
+object UrlOps {
+
+  /** Second-level public suffixes recognized by [[registeredDomain]] —
+    * `registered = last 3 labels` when the final two match, else the
+    * standard last-2. Constructor-replaceable at the call sites. */
+  val MultiPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "co.in", "com.br")
+
+  /** Query parameters stripped by [[canonicalUrl]]: the cross-site
+    * tracking families (analytics campaign tags and click ids) that
+    * make one page crawl as dozens of "distinct" URLs. */
+  val TrackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "ref", "fbclid", "gclid", "mc_cid", "mc_eid")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** The scheme://host[:port] part of `url`, lowercased (RFC 3986 §6.2.2.1:
+    * scheme and host are case-insensitive; nothing after them is). */
+  private def lowerAuthority(base: Column): Column = {
+    val auth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
+    val rest = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    concat(lower(auth), rest)
+  }
+
+  /** Canonical URL: fragment stripped; scheme+authority lowercased;
+    * default port removed (`:80` for http, `:443` for https); empty
+    * path normalized to `/`; tracking parameters dropped and the
+    * surviving query parameters SORTED (parameter order is not
+    * semantic, and sorting makes equal resources string-equal). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = lowerAuthority(regexp_extract(noFrag, "^[^?]*", 0))
+    // each default-port pattern is scheme-anchored, so two unconditional
+    // rewrites strip exactly the (scheme, default-port) combinations
+    val base2 = regexp_replace(
+      regexp_replace(base, "^(http://[^/:]*):80(/|$)", "$1$2"),
+      "^(https://[^/:]*):443(/|$)", "$1$2")
+    val base3 = when(regexp_extract(base2, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1) === "",
+      concat(base2, lit("/"))).otherwise(base2)
+    val q = when(noFrag.contains("?"),
+      regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_sort(filter(split(q, "&"), p =>
+      p =!= "" && !regexp_extract(p, "^([^=]*)", 1).isin(TrackingParams: _*)))
+    when(size(kept) > 0, concat(base3, lit("?"), concat_ws("&", kept)))
+      .otherwise(base3)
+  }
+
+  /** DuckDB twin of [[canonicalUrl]] over a column expression `url`. */
+  def canonicalUrlSql(url: String): String =
+    s"""(WITH x AS (SELECT regexp_replace($url, '#.*$$', '') AS nf),
+       |y AS (SELECT nf,
+       |    lower(regexp_extract(regexp_extract(nf, '^[^?]*'),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*')) ||
+       |    regexp_replace(regexp_extract(nf, '^[^?]*'),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS b FROM x),
+       |z AS (SELECT nf, regexp_replace(
+       |    regexp_replace(b, '^(http://[^/:]*):80(/|$$)', '\\1\\2'),
+       |    '^(https://[^/:]*):443(/|$$)', '\\1\\2') AS b2 FROM y),
+       |w AS (SELECT nf, CASE
+       |    WHEN regexp_extract(b2, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$$', 1) = ''
+       |      THEN b2 || '/' ELSE b2 END AS b3,
+       |  CASE WHEN contains(nf, '?')
+       |    THEN regexp_replace(nf, '^[^?]*\\?', '') ELSE '' END AS q
+       |  FROM z),
+       |k AS (SELECT b3, list_sort(list_filter(string_split(q, '&'),
+       |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1)
+       |      IN ${sqlList(TrackingParams)})) AS kept FROM w)
+       |SELECT CASE WHEN len(kept) > 0
+       |  THEN b3 || '?' || array_to_string(kept, '&') ELSE b3 END FROM k)"""
+      .stripMargin
+
+  /** The lowercased host of `url` (no port, no userinfo). */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+
+  /** DuckDB twin of [[hostOf]]. */
+  def hostOfSql(url: String): String =
+    s"lower(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))"
+
+  /** Registered domain (public-suffix + 1): the last two host labels,
+    * or three when the final two form a [[MultiPartSuffixes]] entry —
+    * the aggregation key for domain caps/blocklists (grouping by full
+    * host lets one site dodge a cap with unlimited subdomains). */
+  def registeredDomain(host: Column,
+      suffixes: Seq[String] = MultiPartSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val tail2 = concat_ws(".", slice(labels, -2, 2))
+    when(n <= 2, host)
+      .when(tail2.isin(suffixes: _*), concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(tail2)
+  }
+
+  /** DuckDB twin of [[registeredDomain]] over a column expression `host`. */
+  def registeredDomainSql(host: String,
+      suffixes: Seq[String] = MultiPartSuffixes): String =
+    s"""(WITH l AS (SELECT string_split($host, '.') AS ls)
+       |SELECT CASE
+       |  WHEN len(ls) <= 2 THEN $host
+       |  WHEN array_to_string(ls[-2:], '.') IN ${sqlList(suffixes)}
+       |    THEN array_to_string(ls[-3:], '.')
+       |  ELSE array_to_string(ls[-2:], '.') END FROM l)""".stripMargin
+
+  /** Per-document URL canonicalization frame: the raw and canonical
+    * URL, host, registered domain, and how many query parameters the
+    * tracking strip removed. Pure row-local select. */
+  def canonicalize(docs: DataFrame, id: Column, url: Column): DataFrame = {
+    val q = when(regexp_replace(url, "#.*$", "").contains("?"),
+      regexp_replace(regexp_replace(url, "#.*$", ""), "^[^?]*\\?", ""))
+      .otherwise(lit(""))
+    val all = filter(split(q, "&"), p => p =!= "")
+    val kept = filter(all, p =>
+      !regexp_extract(p, "^([^=]*)", 1).isin(TrackingParams: _*))
+    val host = hostOf(url)
+    docs.select(id.as("doc_id"), url.as("url"),
+      canonicalUrl(url).as("url_canon"),
+      host.as("host"),
+      registeredDomain(host).as("domain"),
+      (size(all) - size(kept)).cast("long").as("n_params_dropped"))
+  }
+
+  /** Per-registered-domain corpus rollup over a [[canonicalize]] frame
+    * joined back to token counts: document share, distinct hosts,
+    * canonical-URL duplication (docs minus distinct canonical URLs —
+    * crawl redundancy the canonicalization exposed), and the blocklist
+    * verdict. One hash aggregation to a domain-sized frame. */
+  def domainStats(canon: DataFrame, tokens: Column,
+      blocklist: Seq[String]): DataFrame =
+    canon.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("host")).as("n_hosts"),
+      (count(lit(1)) - countDistinct(col("url_canon"))).as("n_url_dups"),
+      sum(tokens).as("n_tokens"),
+      sum(col("n_params_dropped")).as("n_tracking_params"))
+      .withColumn("blocked", col("domain").isin(blocklist: _*))
+}

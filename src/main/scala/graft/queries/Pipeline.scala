@@ -5186,6 +5186,139 @@ object Pipeline {
       |  mad_ratio, coalesce(drift_z > 3.0, TRUE) AS needs_refit
       |FROM j""".stripMargin)
 
+  // ------------------------------------------------- URL / domain band
+
+  /** Deterministic per-doc source URL (Spark side): hash-derived
+    * scheme, mixed-case subdomain (exercises lowering), multi-part
+    * suffixes (exercises the public-suffix rule), default and
+    * non-default ports, empty paths, tracking-tainted queries with
+    * shuffled parameter order, fragments. Twin of [[urlSql]]. */
+  private def urlCol: org.apache.spark.sql.Column = {
+    val h = graft.functions.HashExpressions.polyHash(col("text"))
+    def m(n: Int) = pmod(h, lit(n.toLong))
+    val scheme = when(m(2) === 0, "http").otherwise("https")
+    val sub = when(m(4) === 0, "WWW.").when(m(4) === 1, "cdn.")
+      .when(m(4) === 2, "News.").otherwise("")
+    val dom = concat(lit("site"), m(37).cast("string"))
+    val suffix = when(m(5) === 0, ".com").when(m(5) === 1, ".co.uk")
+      .when(m(5) === 2, ".org").when(m(5) === 3, ".io").otherwise(".com.au")
+    val port = when(m(6) === 0, ":80").when(m(6) === 1, ":443")
+      .when(m(6) === 2, ":8080").otherwise("")
+    val path = when(m(3) === 0, "").otherwise(
+      concat(lit("/p/"), pmod(col("doc_id"), lit(100L)).cast("string")))
+    val qid = pmod(col("doc_id"), lit(50L)).cast("string")
+    val query = when(m(4) === 0,
+        concat(lit("?utm_source=feed&id="), qid, lit("&utm_campaign=x")))
+      .when(m(4) === 1, "?ref=tw&b=2&a=1")
+      .when(m(4) === 2, concat(lit("?id="), qid))
+      .otherwise("")
+    val frag = when(m(5) === 0, "#sec").otherwise("")
+    concat(scheme, lit("://"), sub, dom, suffix, port, path, query, frag)
+  }
+
+  /** DuckDB twin of [[urlCol]] over `documents` columns. */
+  private def urlSql: String = {
+    val h = polyHashSql("text")
+    s"""(CASE WHEN $h % 2 = 0 THEN 'http' ELSE 'https' END || '://' ||
+       | CASE $h % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'cdn.'
+       |   WHEN 2 THEN 'News.' ELSE '' END ||
+       | 'site' || CAST($h % 37 AS VARCHAR) ||
+       | CASE $h % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+       |   WHEN 2 THEN '.org' WHEN 3 THEN '.io' ELSE '.com.au' END ||
+       | CASE $h % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       |   WHEN 2 THEN ':8080' ELSE '' END ||
+       | CASE WHEN $h % 3 = 0 THEN ''
+       |   ELSE '/p/' || CAST(doc_id % 100 AS VARCHAR) END ||
+       | CASE $h % 4
+       |   WHEN 0 THEN '?utm_source=feed&id=' ||
+       |     CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+       |   WHEN 1 THEN '?ref=tw&b=2&a=1'
+       |   WHEN 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+       |   ELSE '' END ||
+       | CASE WHEN $h % 5 = 0 THEN '#sec' ELSE '' END)""".stripMargin
+  }
+
+  /** URL canonicalization ([[graft.operators.UrlOps.canonicalize]]):
+    * fragment/tracking-param/default-port/case normalization plus
+    * registered-domain extraction over a deterministic URL corpus
+    * covering every rule — full oracle, both engines canonicalizing
+    * the identical strings. */
+  private val q170 = QueryDef(
+    "q170_url_canonicalize",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.UrlOps.canonicalize(
+        Tables.documents(s, d), col("doc_id"), urlCol)
+    },
+    s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+       |c AS (SELECT doc_id, url,
+       |  ${graft.operators.UrlOps.canonicalUrlSql("u.url")} AS url_canon,
+       |  ${graft.operators.UrlOps.hostOfSql("u.url")} AS host,
+       |  len(list_filter(string_split(CASE WHEN contains(
+       |      regexp_replace(url, '#.*$$', ''), '?')
+       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
+       |      '^[^?]*\\?', '') ELSE '' END, '&'), p -> p <> '')) AS n_all,
+       |  len(list_filter(string_split(CASE WHEN contains(
+       |      regexp_replace(url, '#.*$$', ''), '?')
+       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
+       |      '^[^?]*\\?', '') ELSE '' END, '&'),
+       |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) IN
+       |      ('utm_source', 'utm_medium', 'utm_campaign', 'utm_term',
+       |       'utm_content', 'ref', 'fbclid', 'gclid', 'mc_cid',
+       |       'mc_eid'))) AS n_kept
+       |  FROM u)
+       |SELECT doc_id, url, url_canon, host,
+       |  ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain,
+       |  CAST(n_all - n_kept AS BIGINT) AS n_params_dropped
+       |FROM c""".stripMargin)
+
+  /** Per-registered-domain rollup ([[graft.operators.UrlOps
+    * .domainStats]]): doc/host/token shares, canonical-URL duplication
+    * exposed by q170's normalization, and the blocklist verdict. */
+  private val DomainBlocklist = Seq("site3.com", "site17.co.uk")
+  private val q171 = QueryDef(
+    "q171_domain_stats",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val docs = Tables.documents(s, d)
+      val canon = graft.operators.UrlOps.canonicalize(
+        docs, col("doc_id"), urlCol)
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("_toks")), "doc_id")
+      graft.operators.UrlOps.domainStats(
+        canon, col("_toks"), DomainBlocklist)
+    },
+    s"""WITH u AS (SELECT doc_id, $urlSql AS url,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |  ${graft.operators.UrlOps.canonicalUrlSql("u.url")} AS url_canon,
+       |  ${graft.operators.UrlOps.hostOfSql("u.url")} AS host,
+       |  len(list_filter(string_split(CASE WHEN contains(
+       |      regexp_replace(url, '#.*$$', ''), '?')
+       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
+       |      '^[^?]*\\?', '') ELSE '' END, '&'), p -> p <> '')) -
+       |  len(list_filter(string_split(CASE WHEN contains(
+       |      regexp_replace(url, '#.*$$', ''), '?')
+       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
+       |      '^[^?]*\\?', '') ELSE '' END, '&'),
+       |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) IN
+       |      ('utm_source', 'utm_medium', 'utm_campaign', 'utm_term',
+       |       'utm_content', 'ref', 'fbclid', 'gclid', 'mc_cid',
+       |       'mc_eid'))) AS dropped
+       |  FROM u),
+       |r AS (SELECT doc_id, toks, url_canon, host, dropped,
+       |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
+       |  FROM c)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       |  CAST(count(*) - count(DISTINCT url_canon) AS BIGINT) AS n_url_dups,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(dropped) AS BIGINT) AS n_tracking_params,
+       |  domain IN ${DomainBlocklist.map(d => s"'$d'").mkString("(", ", ", ")")}
+       |    AS blocked
+       |FROM r GROUP BY domain""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q45, q46, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -5197,7 +5330,8 @@ object Pipeline {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
+    q170, q171)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

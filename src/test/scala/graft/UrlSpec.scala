@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UrlOps
+
+/** URL canonicalization ([[UrlOps]]): normalization rules on hostile
+  * fixtures — RFC 3986 case/port semantics, tracking-parameter strip
+  * with parameter-order sort, public-suffix registered domains. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq((1L, url)).toDF("doc_id", "url")
+      .select(UrlOps.canonicalUrl(col("url"))).collect().head.getString(0)
+
+  test("scheme and host lowercase; path and query case survive") {
+    assert(canon("HTTP://WWW.Ex.COM/Path?Q=Vv") ===
+      "http://www.ex.com/Path?Q=Vv")
+  }
+
+  test("default ports strip per scheme; non-default ports survive") {
+    assert(canon("http://a.com:80/x") === "http://a.com/x")
+    assert(canon("https://a.com:443/x") === "https://a.com/x")
+    assert(canon("http://a.com:443/x") === "http://a.com:443/x")
+    assert(canon("https://a.com:80/x") === "https://a.com:80/x")
+    assert(canon("http://a.com:8080/x") === "http://a.com:8080/x")
+  }
+
+  test("fragments drop, empty paths normalize to /, ports keep the rule") {
+    assert(canon("https://a.com#top") === "https://a.com/")
+    assert(canon("http://a.com:80#x") === "http://a.com/")
+    assert(canon("http://a.com:8080") === "http://a.com:8080/")
+  }
+
+  test("tracking params strip; survivors sort; all-tracking queries vanish") {
+    assert(canon("http://a.com/p?utm_source=x&b=2&utm_campaign=y&a=1") ===
+      "http://a.com/p?a=1&b=2")
+    assert(canon("http://a.com/p?utm_source=x&fbclid=z") ===
+      "http://a.com/p")
+    assert(canon("http://a.com/p?ref=tw") === "http://a.com/p")
+    // 'ref' strips by NAME — a param merely containing it survives
+    assert(canon("http://a.com/p?refresh=1") === "http://a.com/p?refresh=1")
+  }
+
+  test("registered domain: plain, multi-part suffix, bare and 2-label hosts") {
+    val rows = Seq("a.b.site.com", "news.site5.co.uk", "site5.co.uk",
+      "ex.com", "localhost").toDF("h")
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("a.b.site.com") === "site.com")
+    assert(rows("news.site5.co.uk") === "site5.co.uk")
+    assert(rows("site5.co.uk") === "site5.co.uk")
+    assert(rows("ex.com") === "ex.com")
+    assert(rows("localhost") === "localhost")
+  }
+
+  test("canonicalize frame: dropped-param counts and domain wiring") {
+    val df = Seq(
+      (1L, "https://CDN.s.co.uk:443/p?utm_source=a&id=3#f"),
+      (2L, "http://x.io/q"))
+      .toDF("doc_id", "u")
+    val out = UrlOps.canonicalize(df, col("doc_id"), col("u"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("url_canon") === "https://cdn.s.co.uk/p?id=3")
+    assert(out(1L).getAs[String]("host") === "cdn.s.co.uk")
+    assert(out(1L).getAs[String]("domain") === "s.co.uk")
+    assert(out(1L).getAs[Long]("n_params_dropped") === 1L)
+    assert(out(2L).getAs[Long]("n_params_dropped") === 0L)
+  }
+
+  test("domainStats: duplication exposed by canonicalization, blocklist verdict") {
+    // two raw variants of ONE resource on blocked.com + one other domain
+    val df = Seq(
+      (1L, "http://Blocked.com:80/p?utm_source=a", 10L),
+      (2L, "http://blocked.com/p", 20L),
+      (3L, "https://ok.org/x", 5L))
+      .toDF("doc_id", "u", "toks")
+    val canon = UrlOps.canonicalize(df, col("doc_id"), col("u"))
+      .join(df.select(col("doc_id"), col("toks")), "doc_id")
+    val out = UrlOps.domainStats(canon, col("toks"), Seq("blocked.com"))
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out("blocked.com").getAs[Long]("n_url_dups") === 1L)
+    assert(out("blocked.com").getAs[Long]("n_tokens") === 30L)
+    assert(out("blocked.com").getAs[Boolean]("blocked"))
+    assert(!out("ok.org").getAs[Boolean]("blocked"))
+  }
+}
