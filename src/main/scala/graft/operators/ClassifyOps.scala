@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Exact
 
 /** Learned document classification — the curation-pipeline quality/domain
   * classifier tier (CCNet/fastText-style: train a cheap linear model on the
@@ -29,6 +30,45 @@ import org.apache.spark.sql.functions._
   * aggregation. The class domain is the operator's one bounded collect
   * (the k-row centroid-table precedent). */
 object ClassifyOps {
+
+  /** ROC-AUC of a score against a boolean label by the Mann–Whitney
+    * rank-sum identity (Hanley & McNeil 1982) with midrank tie handling
+    * — the standard acceptance metric for a distilled quality filter
+    * (does the cheap score actually rank kept docs above dropped
+    * ones?). Returns ONE row: `(n_pos, n_neg, auc)`.
+    *
+    * Scale design: the naive formulation ranks every document in one
+    * global sort (a single-partition window over the corpus). Here the
+    * corpus first collapses to per-DISTINCT-SCORE aggregates — a
+    * round-6 score has bounded cardinality, orders of magnitude smaller
+    * than the corpus — and the ordered cumulative window walks only
+    * that frame (the heapsFit bucket trick). Midranks are exact
+    * half-integers and the rank-sum accumulates in exact DECIMAL, so
+    * the oracle replays bit-identically. */
+  def scoreAuc(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored
+      .select(score.as("s"), label.cast("boolean").as("y"))
+      .groupBy("s").agg(
+        count(lit(1)).as("n_tot"),
+        Exact.countIf(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val ranked = byScore.select(
+      col("n_tot"), col("n_pos"),
+      (coalesce(sum(col("n_tot")).over(w), lit(0L)).cast("double") +
+        (col("n_tot").cast("double") + lit(1.0)) / lit(2.0)).as("avg_rank"))
+    ranked.agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_tot") - col("n_pos")).as("n_neg"),
+        Exact.dsum(col("n_pos").cast("double") * col("avg_rank")).as("_r"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, Exact.round6z(
+          (col("_r") - col("n_pos").cast("double") *
+            (col("n_pos").cast("double") + 1.0) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double"))))
+          .as("auc"))
+  }
 
   private def lpDec(c: Column): Column = round(c, 6).cast("decimal(18,6)")
 

@@ -190,6 +190,53 @@ object CorpusStatsOps {
         median(abs(col("v") - col("med"))).as("mad"))
   }
 
+  /** Per-document token-distribution entropy — the information-theoretic
+    * repetition/diversity screen (Shannon 1948): unigram entropy
+    * `H = −Σ p(w)·ln p(w)` over the doc's own word distribution, its
+    * normalized form `H / ln(n_types)` (1 = perfectly even usage, → 0 =
+    * dominated by one token), and bigram entropy (word-order
+    * repetition: a doc that loops one phrase has near-zero bigram
+    * entropy even when its unigram mix looks healthy). Complements the
+    * DEFLATE screen (q164): entropy is exactly SQL-replayable where
+    * DEFLATE is rows-only, and it decomposes (unigram vs bigram blame).
+    *
+    * Shape: two explode + per-doc aggregations over corpus tokens (the
+    * zipf cost class). Engine parity: each `−p·ln p` term is rounded to
+    * 6 decimals and summed in exact DECIMAL ([[graft.functions.Exact
+    * .dsum]]), so addition order cannot flip a bit. Entropies are in
+    * NATS (the repo's ln-parity precedent — q148/q149). */
+  def entropyScreen(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.functions.Exact
+    val base = docs.select(id.as("did"), split(text, " ").as("ws"))
+    def dist(tokens: DataFrame): DataFrame = {
+      val n = org.apache.spark.sql.expressions.Window.partitionBy(col("did"))
+      val freq = tokens.groupBy("did", "t").agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / sum(col("c")).over(n).cast("double")
+      freq.select(col("did"), round(-p * log(p), 6).as("term"),
+          col("c"))
+        .groupBy("did").agg(
+          Exact.dsum(col("term")).as("h_raw"),
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_typ"))
+    }
+    val words = base.select(col("did"), explode(col("ws")).as("t"))
+      .where(length(col("t")) > 0)
+    val grams = base.select(col("did"), explode(
+      when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", slice(col("ws"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("t"))
+    val uni = dist(words).select(col("did"),
+      col("n_tok").as("n_tokens"), col("n_typ").as("n_types"),
+      Exact.round6z(col("h_raw")).as("word_entropy"),
+      when(col("n_typ") > 1,
+        Exact.round6z(col("h_raw") / log(col("n_typ").cast("double"))))
+        .as("norm_entropy"))
+    val bi = dist(grams).select(col("did"),
+      Exact.round6z(col("h_raw")).as("bigram_entropy"))
+    uni.join(bi, Seq("did"), "left")
+  }
+
   /** Screen-age detector for a FROZEN [[robustStats]] baseline — the
     * q105 quantization-drift treatment applied to the text screens, so
     * a long-running ingest stream's outlier gate does not silently age:

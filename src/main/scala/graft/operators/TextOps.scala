@@ -41,6 +41,44 @@ object TextOps {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Unicode-script composition per document — the char-class
+    * complement of [[langId]]'s stopword evidence (and the standard
+    * pre-langid router: CJK/Cyrillic-dominant docs should never reach
+    * a Latin stopword model), plus a wrong-script-contamination signal
+    * for ingest QA (a "Latin" source suddenly emitting CJK runs is a
+    * crawl or transcode fault). Counts per class come from
+    * length-minus-stripped arithmetic — one regexp per class, pure
+    * row-local codegen, zero shuffle. `dominant` is the max-count
+    * class with the fixed tie order latin > cjk > cyrillic > digit >
+    * other; `is_mixed` flags ≥ 2 letter-script classes present. */
+  def scriptMix(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val len = length(text)
+    def stripped(re: String) = len - length(regexp_replace(text, re, ""))
+    val nLatin = stripped("[A-Za-z]")
+    val nDigit = stripped("[0-9]")
+    val nCjk = stripped("[\u4e00-\u9fff]")
+    val nCyr = stripped("[\u0400-\u04ff]")
+    val nSpace = stripped(" ")
+    val nOther = len - nLatin - nDigit - nCjk - nCyr - nSpace
+    val dom = when(nLatin >= nCjk && nLatin >= nCyr && nLatin >= nDigit &&
+        nLatin >= nOther, "latin")
+      .when(nCjk >= nCyr && nCjk >= nDigit && nCjk >= nOther, "cjk")
+      .when(nCyr >= nDigit && nCyr >= nOther, "cyrillic")
+      .when(nDigit >= nOther, "digit")
+      .otherwise("other")
+    docs.select(id.as("did"),
+      nLatin.cast("long").as("n_latin"),
+      nCjk.cast("long").as("n_cjk"),
+      nCyr.cast("long").as("n_cyrillic"),
+      nDigit.cast("long").as("n_digit"),
+      nOther.cast("long").as("n_other"),
+      when(len > 0, graft.functions.Exact.round6z(
+        nLatin.cast("double") / len.cast("double"))).as("latin_ratio"),
+      dom.as("dominant"),
+      ((nLatin > 0).cast("int") + (nCjk > 0).cast("int") +
+        (nCyr > 0).cast("int") >= 2).as("is_mixed"))
+  }
+
   /** The fixed-weight composite of [[qualityScore]] as a reusable Column —
     * shared with the per-source aggregation ([[sourceStats]]) so both
     * compute the identical score. */
@@ -583,6 +621,30 @@ object TextOps {
         Window.partitionBy("shard").orderBy(col("_k"), col("doc_id")))
         .cast("long"))
       .select("doc_id", "shard", "pos")
+  }
+
+  /** Shard manifest — the audit artifact a pipeline publishes next to
+    * its [[shuffleShards]] output: per shard the document count, token
+    * count, max in-shard position (== n_docs when the shard is
+    * complete — a gap means a lost write), and an ORDER-INDEPENDENT
+    * content fingerprint (XOR of the per-doc content hashes), so any
+    * engine regenerating a shard can verify byte-identical membership
+    * without sorting or re-reading the others. One aggregation to a
+    * shard-count-sized frame. */
+  def shardManifest(docs: DataFrame, id: Column, text: Column,
+      nShards: Int): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val meta = docs.select(id.as("doc_id"),
+      size(split(text, " ")).cast("long").as("_toks"),
+      hashes.polyHash(text).as("_h"))
+    shuffleShards(docs, id, text, nShards)
+      .join(meta, "doc_id")
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_toks")).as("n_tokens"),
+        max(col("pos")).as("max_pos"),
+        call_function("bit_xor", col("_h")).as("content_fp"))
   }
 
   /** Source-interleaved training order — the read-order companion to

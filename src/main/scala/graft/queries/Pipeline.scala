@@ -5186,6 +5186,94 @@ object Pipeline {
       |  mad_ratio, coalesce(drift_z > 3.0, TRUE) AS needs_refit
       |FROM j""".stripMargin)
 
+  /** Shard manifest ([[TextOps.shardManifest]]): per-shard doc/token
+    * counts, completeness check (max_pos), and the order-independent
+    * XOR content fingerprint over the q80 shard assignment — the audit
+    * artifact published next to the training shards. Full oracle. */
+  private val q175 = QueryDef(
+    "q175_shard_manifest",
+    (s, d) => TextOps.shardManifest(
+      Tables.documents(s, d), col("doc_id"), col("text"), 16),
+    s"""WITH t AS (SELECT doc_id, k % 16 AS shard,
+       |    CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
+       |      AS BIGINT) AS pos, toks, h
+       |  FROM (SELECT doc_id,
+       |      ((((h * 31 + doc_id) % $P + $P) % $P) * 2654435761) % $P AS k,
+       |      toks, h
+       |    FROM (SELECT doc_id, ${polyHashSql("text")} AS h,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |      FROM documents)))
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  max(pos) AS max_pos,
+       |  bit_xor(h) AS content_fp
+       |FROM t GROUP BY shard""".stripMargin)
+
+  /** Unicode-script composition ([[TextOps.scriptMix]]) over a corpus
+    * with deterministic CJK/Cyrillic runs spliced onto hash-picked docs
+    * (the q165 synthetic-damage precedent) — script routing before
+    * langid and wrong-script contamination QA, full oracle. */
+  private val q174 = QueryDef(
+    "q174_script_mix",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val h = graft.functions.HashExpressions.polyHash(col("text"))
+      val m = (pmod(h, lit(7L)) + 3L).cast("int")
+      val spliced = when(pmod(h, lit(5L)) === 0,
+          concat(col("text"), lit(" "),
+            call_function("repeat", lit("中文"), m)))
+        .when(pmod(h, lit(5L)) === 1,
+          concat(col("text"), lit(" "),
+            call_function("repeat", lit("да"), m)))
+        .otherwise(col("text"))
+      TextOps.scriptMix(Tables.documents(s, d).withColumn("text", spliced),
+        col("doc_id"), col("text"))
+    },
+    s"""WITH c AS (SELECT doc_id AS did, CASE
+       |    WHEN h % 5 = 0 THEN text || ' ' ||
+       |      repeat(chr(20013) || chr(25991), CAST(h % 7 + 3 AS INTEGER))
+       |    WHEN h % 5 = 1 THEN text || ' ' ||
+       |      repeat(chr(1076) || chr(1072), CAST(h % 7 + 3 AS INTEGER))
+       |    ELSE text END AS t
+       |  FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h
+       |        FROM documents)),
+       |n AS (SELECT did, CAST(length(t) AS BIGINT) AS len,
+       |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+       |      AS BIGINT) AS n_latin,
+       |    CAST(length(t) - length(regexp_replace(t,
+       |      '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+       |    CAST(length(t) - length(regexp_replace(t,
+       |      '[\\x{0400}-\\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+       |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+       |      AS BIGINT) AS n_digit,
+       |    CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT)
+       |      AS n_space
+       |  FROM c)
+       |SELECT did, n_latin, n_cjk, n_cyrillic, n_digit,
+       |  len - n_latin - n_cjk - n_cyrillic - n_digit - n_space AS n_other,
+       |  CASE WHEN len > 0 THEN
+       |    round(CAST(n_latin AS DOUBLE) / CAST(len AS DOUBLE), 6) + 0.0
+       |    END AS latin_ratio,
+       |  CASE
+       |    WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic AND
+       |      n_latin >= n_digit AND n_latin >=
+       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
+       |      THEN 'latin'
+       |    WHEN n_cjk >= n_cyrillic AND n_cjk >= n_digit AND n_cjk >=
+       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
+       |      THEN 'cjk'
+       |    WHEN n_cyrillic >= n_digit AND n_cyrillic >=
+       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
+       |      THEN 'cyrillic'
+       |    WHEN n_digit >=
+       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
+       |      THEN 'digit'
+       |    ELSE 'other' END AS dominant,
+       |  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+       |   CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END +
+       |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
+       |FROM n""".stripMargin)
+
   // ------------------------------------------------- URL / domain band
 
   /** Deterministic per-doc source URL (Spark side): hash-derived
@@ -5237,6 +5325,86 @@ object Pipeline {
        |   ELSE '' END ||
        | CASE WHEN $h % 5 = 0 THEN '#sec' ELSE '' END)""".stripMargin
   }
+
+  /** ROC-AUC of the composite quality score against the `lang = en`
+    * label ([[graft.operators.ClassifyOps.scoreAuc]]): Mann–Whitney
+    * rank-sum with midrank ties, cumulative window over DISTINCT
+    * round-6 scores only (never a corpus-wide rank), decimal-exact
+    * rank-sum — full oracle. */
+  private val q173 = QueryDef(
+    "q173_score_auc",
+    (s, d) => graft.operators.ClassifyOps.scoreAuc(
+      Tables.documents(s, d),
+      round(TextOps.qualityComposite(col("text")), 6),
+      col("lang") === "en"),
+    s"""WITH f AS (SELECT round($qualityCompositeSql, 6) AS s,
+       |    (lang = 'en') AS y
+       |  FROM (SELECT text, lang, string_split(text, ' ') AS ws
+       |        FROM documents)),
+       |b AS (SELECT s, CAST(count(*) AS BIGINT) AS n_tot,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM f GROUP BY 1),
+       |r AS (SELECT n_tot, n_pos,
+       |    CAST(coalesce(sum(n_tot) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS DOUBLE) + (CAST(n_tot AS DOUBLE) + 1.0) / 2.0 AS avg_rank
+       |  FROM b),
+       |a AS (SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(n_tot - n_pos) AS BIGINT) AS n_neg,
+       |    CAST(CAST(sum(CAST(CAST(n_pos AS DOUBLE) * avg_rank
+       |      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS rs
+       |  FROM r)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    round((rs - CAST(n_pos AS DOUBLE) *
+       |        (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+       |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) + 0.0
+       |    END AS auc
+       |FROM a""".stripMargin)
+
+  /** Per-doc unigram/bigram token entropy ([[graft.operators
+    * .CorpusStatsOps.entropyScreen]]): the SQL-replayable complement of
+    * the DEFLATE screen — decimal-exact rounded-term sums, entropies in
+    * nats, full oracle. */
+  private val q172 = QueryDef(
+    "q172_entropy_screen",
+    (s, d) => graft.operators.CorpusStatsOps.entropyScreen(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    """WITH base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
+      |    FROM documents),
+      |wnz AS (SELECT did, unnest(ws) AS t FROM base),
+      |uf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT * FROM wnz WHERE length(t) > 0) GROUP BY 1, 2),
+      |ut AS (SELECT did, c, round(
+      |    -(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)) *
+      |    ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)), 6) AS term
+      |  FROM uf WINDOW w AS (PARTITION BY did)),
+      |ua AS (SELECT did,
+      |    CAST(CAST(sum(CAST(term AS DECIMAL(28,10))) AS VARCHAR)
+      |      AS DOUBLE) AS h,
+      |    CAST(sum(c) AS BIGINT) AS n_tok,
+      |    CAST(count(*) AS BIGINT) AS n_typ
+      |  FROM ut GROUP BY 1),
+      |g AS (SELECT did, array_to_string(ws[i:i+1], ' ') AS t
+      |  FROM base, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
+      |  WHERE len(ws) >= 2),
+      |gf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS c
+      |  FROM g GROUP BY 1, 2),
+      |gt AS (SELECT did, c, round(
+      |    -(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)) *
+      |    ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)), 6) AS term
+      |  FROM gf WINDOW w AS (PARTITION BY did)),
+      |ga AS (SELECT did,
+      |    CAST(CAST(sum(CAST(term AS DECIMAL(28,10))) AS VARCHAR)
+      |      AS DOUBLE) AS h
+      |  FROM gt GROUP BY 1)
+      |SELECT ua.did, n_tok AS n_tokens, n_typ AS n_types,
+      |  round(ua.h, 6) + 0.0 AS word_entropy,
+      |  CASE WHEN n_typ > 1
+      |    THEN round(ua.h / ln(CAST(n_typ AS DOUBLE)), 6) + 0.0 END
+      |    AS norm_entropy,
+      |  round(ga.h, 6) + 0.0 AS bigram_entropy
+      |FROM ua LEFT JOIN ga ON ua.did = ga.did""".stripMargin)
 
   /** URL canonicalization ([[graft.operators.UrlOps.canonicalize]]):
     * fragment/tracking-param/default-port/case normalization plus
@@ -5331,7 +5499,7 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171)
+    q170, q171, q172, q173, q174, q175)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -158,4 +158,24 @@ class ClassifyOpsSpec extends SparkSpec {
       out.select("doc_id").distinct().count() == heldN)
     train.unpersist(blocking = false)
   }
+
+  test("scoreAuc: perfect, inverted, tied, and hand-computed mixed rankings") {
+    import graft.operators.ClassifyOps
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val df = rows.toDF("s", "y")
+      val r = ClassifyOps.scoreAuc(df, col("s"), col("y")).collect().head
+      if (r.isNullAt(r.fieldIndex("auc"))) None
+      else Some(r.getAs[Double]("auc"))
+    }
+    // perfect separation -> 1.0; inverted -> 0.0
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false))) === Some(1.0))
+    assert(auc(Seq((0.1, true), (0.2, true), (0.9, false))) === Some(0.0))
+    // all scores equal -> midrank AUC exactly 0.5
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true))) === Some(0.5))
+    // one swapped pair out of 2x2 -> 3 of 4 pairs ordered = 0.75
+    assert(auc(Seq((0.9, true), (0.8, false), (0.7, true), (0.1, false)))
+      === Some(0.75))
+    // degenerate: single-class input -> NULL, not a division blowup
+    assert(auc(Seq((0.9, true), (0.1, true))) === None)
+  }
 }

@@ -190,4 +190,44 @@ class CorpusStatsSpec extends SparkSpec {
     // constant group: MAD 0 → NULL z, never an outlier
     assert(out(6L)._1.isEmpty && !out(6L)._2)
   }
+
+  test("entropyScreen: hand-computed unigram/bigram entropies in nats") {
+    val df = Seq(
+      (1L, "a a a a"),          // one type: H = 0, norm NULL, bigram H = 0
+      (2L, "a b a b"),          // uniform 2 types: H = ln 2
+      (3L, "w"))                // single word: no bigram row
+      .toDF("doc_id", "text")
+    val out = CorpusStatsOps.entropyScreen(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("did") -> r).toMap
+    assert(out(1L).getAs[Double]("word_entropy") === 0.0)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("norm_entropy")))
+    assert(out(1L).getAs[Double]("bigram_entropy") === 0.0)
+    // terms are rounded BEFORE summation (engine-parity convention):
+    // H = 2 * round6(0.5 * ln 2) = 0.693148, one ulp-of-round6 above
+    // round6(ln 2), and the normalized form divides the rounded sum
+    val h2 = round6(2 * round6(0.5 * math.log(2)))
+    assert(out(2L).getAs[Double]("word_entropy") === h2)
+    assert(out(2L).getAs[Double]("norm_entropy") ===
+      round6(2 * round6(0.5 * math.log(2)) / math.log(2)))
+    // bigrams of "a b a b": "a b" x2, "b a" x1 -> H = ln3 - (2/3) ln2
+    val h3 = {
+      val t1 = round6(-(2.0 / 3.0) * math.log(2.0 / 3.0))
+      val t2 = round6(-(1.0 / 3.0) * math.log(1.0 / 3.0))
+      round6(t1 + t2)
+    }
+    assert(out(2L).getAs[Double]("bigram_entropy") === h3)
+    assert(out(3L).getAs[Long]("n_tokens") === 1L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("bigram_entropy")))
+  }
+
+  test("robustDrift/entropy inputs: repetitive text scores below diverse text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam ham"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val out = CorpusStatsOps.entropyScreen(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("did") ->
+        r.getAs[Double]("word_entropy")).toMap
+    assert(out(1L) < out(2L))
+  }
 }

@@ -1887,4 +1887,47 @@ class PipelineOpsSpec extends SparkSpec {
       assert(ids === (0L until ids.length).toArray.toSeq.sorted.toArray, s"bucket $b")
     }
   }
+
+  test("scriptMix: class counts, dominant tie order, mixed-script flag") {
+    val rows = Seq(
+      (1L, "abc def 12"),                      // latin-dominant, digits
+      (2L, "\u4e2d\u6587\u4e2d\u6587\u4e2d ab"), // CJK-dominant + latin
+      (3L, "\u0434\u0430 \u0434\u0430\u0434"),   // cyrillic only
+      (4L, "123 456"),                          // digit-dominant
+      (5L, ""))                                 // empty doc
+      .toDF("doc_id", "text")
+    val out = TextOps.scriptMix(rows, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("did") -> r).toMap
+    assert(out(1L).getAs[Long]("n_latin") === 6L)
+    assert(out(1L).getAs[Long]("n_digit") === 2L)
+    assert(out(1L).getAs[String]("dominant") === "latin")
+    assert(!out(1L).getAs[Boolean]("is_mixed"))
+    assert(out(2L).getAs[Long]("n_cjk") === 5L)
+    assert(out(2L).getAs[String]("dominant") === "cjk")
+    assert(out(2L).getAs[Boolean]("is_mixed"))
+    assert(out(3L).getAs[String]("dominant") === "cyrillic")
+    assert(out(4L).getAs[String]("dominant") === "digit")
+    // empty doc: all counts 0, the >= chain falls through to latin by
+    // the fixed tie order, ratio NULL
+    assert(out(5L).getAs[String]("dominant") === "latin")
+    assert(out(5L).isNullAt(out(5L).fieldIndex("latin_ratio")))
+  }
+
+  test("shardManifest: totals add up, shards are complete, fp is order-free") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val m = TextOps.shardManifest(corpus, col("doc_id"), col("text"), 8)
+      .collect()
+    assert(m.length === 8)
+    assert(m.map(_.getAs[Long]("n_docs")).sum === corpus.count())
+    // completeness: max in-shard position equals the shard's doc count
+    m.foreach(r => assert(
+      r.getAs[Long]("max_pos") === r.getAs[Long]("n_docs")))
+    // the XOR fingerprint is partitioning-independent
+    val m2 = TextOps.shardManifest(corpus.repartition(7),
+      col("doc_id"), col("text"), 8)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        r.getAs[Long]("content_fp")).toMap
+    m.foreach(r => assert(
+      m2(r.getAs[Long]("shard")) === r.getAs[Long]("content_fp")))
+  }
 }
