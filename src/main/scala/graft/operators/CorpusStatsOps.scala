@@ -237,6 +237,34 @@ object CorpusStatsOps {
     uni.join(bi, Seq("did"), "left")
   }
 
+  /** Row-local (HOF) twin of one [[entropyScreen]] distribution: the
+    * entropy of the given token ARRAY computed entirely inside the row
+    * — sort the tokens, find run starts, turn run lengths into
+    * round-6 `−p·ln p` terms, and fold them in exact DECIMAL (same
+    * addends, same arithmetic as the batch op's dsum, so stream/batch
+    * parity is exact, not approximate). This is what a streaming plan
+    * needs: the batch shape's explode + per-doc window is unsupported
+    * there, and per-arrival entropy has no business shuffling anyway. */
+  def entropyExpr(tokens: Column): Column = {
+    val sorted = array_sort(tokens)
+    val n = size(sorted)
+    val starts = filter(sequence(lit(1), n), i =>
+      i === 1 || element_at(sorted, i) =!= element_at(sorted, i - 1))
+    val counts = transform(sequence(lit(1), size(starts)), j =>
+      when(j < size(starts), element_at(starts, j + 1))
+        .otherwise(n + 1) - element_at(starts, j))
+    val terms = transform(counts, c => {
+      val p = c.cast("double") / n.cast("double")
+      round(-p * log(p), 6)
+    })
+    when(n > 0, graft.functions.Exact.round6z(
+      aggregate(terms,
+        lit(0).cast(graft.functions.Exact.SumDecimal),
+        (acc, t) => (acc + t.cast(graft.functions.Exact.SumDecimal))
+          .cast(graft.functions.Exact.SumDecimal),
+        acc => acc.cast("double"))))
+  }
+
   /** Screen-age detector for a FROZEN [[robustStats]] baseline — the
     * q105 quantization-drift treatment applied to the text screens, so
     * a long-running ingest stream's outlier gate does not silently age:

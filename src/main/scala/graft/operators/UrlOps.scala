@@ -131,8 +131,10 @@ object UrlOps {
 
   /** Per-document URL canonicalization frame: the raw and canonical
     * URL, host, registered domain, and how many query parameters the
-    * tracking strip removed. Pure row-local select. */
-  def canonicalize(docs: DataFrame, id: Column, url: Column): DataFrame = {
+    * tracking strip removed. Pure row-local select; `keep` names
+    * pass-through columns (the streaming face keeps its event time). */
+  def canonicalize(docs: DataFrame, id: Column, url: Column,
+      keep: Seq[String] = Nil): DataFrame = {
     val q = when(regexp_replace(url, "#.*$", "").contains("?"),
       regexp_replace(regexp_replace(url, "#.*$", ""), "^[^?]*\\?", ""))
       .otherwise(lit(""))
@@ -140,11 +142,11 @@ object UrlOps {
     val kept = filter(all, p =>
       !regexp_extract(p, "^([^=]*)", 1).isin(TrackingParams: _*))
     val host = hostOf(url)
-    docs.select(id.as("doc_id"), url.as("url"),
+    docs.select(keep.map(col) ++ Seq(id.as("doc_id"), url.as("url"),
       canonicalUrl(url).as("url_canon"),
       host.as("host"),
       registeredDomain(host).as("domain"),
-      (size(all) - size(kept)).cast("long").as("n_params_dropped"))
+      (size(all) - size(kept)).cast("long").as("n_params_dropped")): _*)
   }
 
   /** Per-registered-domain corpus rollup over a [[canonicalize]] frame

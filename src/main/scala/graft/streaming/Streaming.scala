@@ -1847,6 +1847,41 @@ object Streaming {
     * the keep flags use the HOF form precisely because a streaming plan
     * cannot run the lag/lead window — so this face is a stateless
     * select: no watermark, no state store, arbitrary throughput. */
+  /** Ingest face of [[graft.operators.CorpusStatsOps.entropyScreen]] —
+    * per-arrival unigram/bigram token entropy as a stateless select on
+    * the row-local [[graft.operators.CorpusStatsOps.entropyExpr]] HOF
+    * (sort-runs-fold inside the row, DECIMAL fold — the batch op's
+    * explode + per-doc window is unsupported in streaming plans, and
+    * the addends/arithmetic are identical, so parity is exact). */
+  def entropyScreenStream(docs: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    import graft.operators.CorpusStatsOps.entropyExpr
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val raw = split(col("text"), " ")
+    val grams = when(size(raw) >= 2,
+      transform(sequence(lit(1), size(raw) - 1),
+        i => concat_ws(" ", slice(raw, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(timeCol), col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_types"),
+      entropyExpr(ws).as("word_entropy"),
+      when(size(array_distinct(ws)) > 1, graft.functions.Exact.round6z(
+        entropyExpr(ws) / log(size(array_distinct(ws)).cast("double"))))
+        .as("norm_entropy"),
+      when(size(grams) > 0, entropyExpr(grams)).as("bigram_entropy"))
+  }
+
+  /** Ingest face of [[graft.operators.UrlOps.canonicalize]] — URL
+    * normalization on arrivals is pure row-local regexp/HOF column
+    * arithmetic, so the face is a stateless select; the per-domain
+    * rollup ([[graft.operators.UrlOps.domainStats]]) stays a batch/
+    * foreachBatch concern like every other corpus-wide statistic. */
+  def urlCanonStream(docs: DataFrame,
+      timeCol: String = "event_time"): DataFrame =
+    graft.operators.UrlOps.canonicalize(
+      docs, col("doc_id"), col("url"), keep = Seq(timeCol))
+
   def htmlExtractStream(docs: DataFrame, minWords: Int = 6,
       rescueWords: Int = 3, timeCol: String = "event_time"): DataFrame = {
     import graft.operators.HtmlOps

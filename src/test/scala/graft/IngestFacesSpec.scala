@@ -274,4 +274,51 @@ class IngestFacesSpec extends SparkSpec {
     assert(out === Map("en" -> false, "de" -> true,
       "zz" -> true, "new" -> true))
   }
+
+  test("entropyScreenStream equals the batch entropy per doc (exact)") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.entropyScreenStream(
+      in.toDS().toDF("doc_id", "text", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ent1").start()
+    try {
+      val rows = Seq(
+        (1L, "a a a a"), (2L, "a b a b"), (3L, "w"),
+        (4L, "x y z x y q r s t u v"))
+      in.addData(rows.map { case (i, t) => (i, t, ts(T0)) }: _*)
+      q.processAllAvailable()
+      def k(r: org.apache.spark.sql.Row) = (
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        Option(r.getAs[java.lang.Double]("word_entropy")),
+        Option(r.getAs[java.lang.Double]("norm_entropy")),
+        Option(r.getAs[java.lang.Double]("bigram_entropy")))
+      val got = spark.table("ent1").collect()
+        .map(r => r.getAs[Long]("doc_id") -> k(r)).toMap
+      val exp = CorpusStatsOps.entropyScreen(
+        rows.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .collect().map(r => r.getAs[Long]("did") -> (
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          Option(r.getAs[java.lang.Double]("word_entropy")),
+          Option(r.getAs[java.lang.Double]("norm_entropy")),
+          Option(r.getAs[java.lang.Double]("bigram_entropy")))).toMap
+      assert(got === exp)
+    } finally q.stop()
+  }
+
+  test("urlCanonStream canonicalizes arrivals statelessly") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.urlCanonStream(
+      in.toDS().toDF("doc_id", "url", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("url1").start()
+    try {
+      in.addData((1L, "https://CDN.s.co.uk:443/p?utm_source=a&id=3#f", ts(T0)))
+      q.processAllAvailable()
+      val r = spark.table("url1").collect().head
+      assert(r.getAs[String]("url_canon") === "https://cdn.s.co.uk/p?id=3")
+      assert(r.getAs[String]("domain") === "s.co.uk")
+      assert(r.getAs[Long]("n_params_dropped") === 1L)
+      assert(r.getAs[Timestamp]("event_time") === ts(T0))
+    } finally q.stop()
+  }
 }
