@@ -31,6 +31,39 @@ import graft.functions.Exact
   * (the k-row centroid-table precedent). */
 object ClassifyOps {
 
+  /** Cohen's κ agreement between two label columns (Cohen 1960) — the
+    * standard chance-corrected audit for annotator/heuristic agreement
+    * (here: does a cheap classifier agree with stored labels beyond
+    * what the label marginals guarantee? κ ≈ 0 exposes a predictor
+    * that "agrees" only by echoing the majority class, which raw
+    * accuracy hides). Returns ONE row `(n, n_agree, po, pe, kappa)`.
+    *
+    * Shape: one corpus aggregation to a label²-sized confusion frame;
+    * marginal products and the observed/expected agreement are exact
+    * BIGINT arithmetic until three final double divisions, so the
+    * oracle replays bit-identically. */
+  def cohenKappa(labeled: DataFrame, a: Column, b: Column): DataFrame = {
+    val conf = labeled.select(a.as("la"), b.as("lb"))
+      .groupBy("la", "lb").agg(count(lit(1)).as("c"))
+    val tot = conf.agg(
+      sum(col("c")).as("n"),
+      coalesce(sum(when(col("la") === col("lb"), col("c"))), lit(0L))
+        .as("n_agree"))
+    val marg = conf.groupBy("la").agg(sum(col("c")).as("ra"))
+      .join(conf.groupBy("lb").agg(sum(col("c")).as("cb")),
+        col("la") === col("lb"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_num"))
+    val n = col("n").cast("double")
+    val po = col("n_agree").cast("double") / n
+    val pe = col("pe_num").cast("double") / (n * n)
+    tot.crossJoin(broadcast(marg))
+      .select(col("n"), col("n_agree"),
+        Exact.round6z(po).as("po"),
+        Exact.round6z(pe).as("pe"),
+        when(pe < 1.0, Exact.round6z((po - pe) / (lit(1.0) - pe)))
+          .as("kappa"))
+  }
+
   /** ROC-AUC of a score against a boolean label by the Mann–Whitney
     * rank-sum identity (Hanley & McNeil 1982) with midrank tie handling
     * — the standard acceptance metric for a distilled quality filter

@@ -5274,6 +5274,64 @@ object Pipeline {
        |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
        |FROM n""".stripMargin)
 
+  /** Cohen's κ between the q38 heuristic language prediction and the
+    * stored labels ([[graft.operators.ClassifyOps.cohenKappa]]) — the
+    * chance-corrected agreement audit; exact-integer confusion/marginal
+    * arithmetic, full oracle reusing the q38 scoring chain verbatim. */
+  private val q176 = QueryDef(
+    "q176_label_agreement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = TextOps.langId(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("pred_lang"))
+      graft.operators.ClassifyOps.cohenKappa(
+        docs.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
+        col("lang"), col("pred_lang"))
+    },
+    {
+      val scores = TextOps.LangProfiles.map { case (lang, stop) =>
+        val list = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(ws, w -> list_contains($list, w))) AS DOUBLE)" +
+          s" / CAST(len(ws) AS DOUBLE) AS score_$lang"
+      }.mkString(",\n  ")
+      val best = TextOps.LangProfiles.map(p => s"score_${p._1}")
+        .mkString("greatest(", ", ", ")")
+      val pred = TextOps.LangProfiles.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH words AS (SELECT doc_id, lang,
+         |    string_split(text, ' ') AS ws FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM words),
+         |wb AS (SELECT *, $best AS best FROM scored),
+         |j AS (SELECT lang AS la, $pred AS lb FROM wb),
+         |conf AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+         |  FROM j GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0)
+         |      AS BIGINT) AS n_agree
+         |  FROM conf),
+         |ra AS (SELECT la, sum(c) AS ra FROM conf GROUP BY 1),
+         |cb AS (SELECT lb, sum(c) AS cb FROM conf GROUP BY 1),
+         |m AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+         |  FROM ra JOIN cb ON la = lb)
+         |SELECT n, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+         |    AS po,
+         |  round(CAST(pe_num AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0 AS pe,
+         |  CASE WHEN CAST(pe_num AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+         |    round((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
+         |        CAST(pe_num AS DOUBLE) /
+         |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      / (1.0 - CAST(pe_num AS DOUBLE) /
+         |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0.0
+         |    END AS kappa
+         |FROM tot, m""".stripMargin
+    })
+
   // ------------------------------------------------- URL / domain band
 
   /** Deterministic per-doc source URL (Spark side): hash-derived
@@ -5499,7 +5557,7 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175)
+    q170, q171, q172, q173, q174, q175, q176)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -178,4 +178,29 @@ class ClassifyOpsSpec extends SparkSpec {
     // degenerate: single-class input -> NULL, not a division blowup
     assert(auc(Seq((0.9, true), (0.1, true))) === None)
   }
+
+  test("cohenKappa: hand-computed agreement, chance correction, degenerate cases") {
+    import graft.operators.ClassifyOps
+    def kap(rows: Seq[(String, String)]) = {
+      val r = ClassifyOps.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+      (r.getAs[Long]("n"), r.getAs[Long]("n_agree"),
+        r.getAs[Double]("po"), r.getAs[Double]("pe"),
+        Option(r.getAs[java.lang.Double]("kappa")))
+    }
+    // classic 2x2 fixture: conf = [[20,5],[10,15]], po=0.7,
+    // pe = (30*25 + 20*25)/2500 = 0.5, kappa = 0.4
+    val rows =
+      Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    assert(kap(rows) === ((50L, 35L, 0.7, 0.5, Some(0.4))))
+    // perfect agreement -> kappa 1; orthogonal labels -> pe 0 path absent,
+    // total disagreement with symmetric marginals -> kappa negative
+    assert(kap(Seq(("x", "x"), ("y", "y")))._5 === Some(1.0))
+    val disagree = kap(Seq(("x", "y"), ("y", "x")))
+    assert(disagree._5.exists(_ < 0))
+    // agreement by majority echo: predictor always says 'x' -> kappa 0
+    val echo = kap(Seq(("x", "x"), ("x", "x"), ("x", "x"), ("y", "x")))
+    assert(echo._5 === Some(0.0))
+  }
 }
