@@ -149,6 +149,35 @@ object UrlOps {
       (size(all) - size(kept)).cast("long").as("n_params_dropped")): _*)
   }
 
+  /** Per-domain token-budget cap — the RefinedWeb-style head-domain
+    * squeeze, but greedy-by-quality against a TOKEN budget rather than
+    * a doc count (q19's top-k-per-group) or a global allocation
+    * (q144's waterfill): within each domain, documents are taken in
+    * (score desc, id asc) order while the RUNNING token total stays
+    * within `tokenBudget`; the first doc of a domain always survives
+    * (a single giant page must not zero out its domain). Returns every
+    * doc with its in-domain rank, cumulative tokens, and keep verdict.
+    *
+    * Shape: one window pass partitioned by domain — the shuffle is on
+    * the domain key, and the per-domain sort is bounded by domain
+    * cardinality skew; a corpus-dominating domain is exactly the case
+    * where the cap fires early, so pair with a pre-filter on
+    * [[domainStats]] (`n_docs` threshold) when one domain holds a
+    * double-digit corpus share. */
+  def domainTokenCap(docs: DataFrame, id: Column, domain: Column,
+      tokens: Column, score: Column, tokenBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docs.select(id.as("doc_id"), domain.as("domain"),
+        tokens.cast("long").as("n_tokens"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep",
+        col("cum_tokens") <= tokenBudget || col("rank") === 1L)
+  }
+
   /** Per-registered-domain corpus rollup over a [[canonicalize]] frame
     * joined back to token counts: document share, distinct hosts,
     * canonical-URL duplication (docs minus distinct canonical URLs —

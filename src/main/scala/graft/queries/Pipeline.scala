@@ -5274,6 +5274,49 @@ object Pipeline {
        |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
        |FROM n""".stripMargin)
 
+  /** Per-domain token-budget cap ([[graft.operators.UrlOps
+    * .domainTokenCap]]): greedy-by-quality truncation of each
+    * registered domain at a token budget — the RefinedWeb head-domain
+    * squeeze, composed over the q170 domain extraction. Full oracle. */
+  private val q177 = QueryDef(
+    "q177_domain_token_cap",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val docs = Tables.documents(s, d)
+      val canon = graft.operators.UrlOps.canonicalize(
+        docs, col("doc_id"), urlCol)
+      val enriched = canon.select(col("doc_id"), col("domain"))
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("_toks"),
+          round(TextOps.qualityComposite(col("text")), 6).as("_score")),
+          "doc_id")
+      graft.operators.UrlOps.domainTokenCap(enriched, col("doc_id"),
+        col("domain"), col("_toks"), col("_score"), tokenBudget = 150L)
+    },
+    s"""WITH u AS (SELECT doc_id, $urlSql AS url,
+       |    CAST(len(ws) AS BIGINT) AS toks,
+       |    round($qualityCompositeSql, 6) AS score
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |        FROM documents)),
+       |c AS (SELECT doc_id, toks, score,
+       |    ${graft.operators.UrlOps.hostOfSql("u.url")} AS host FROM u),
+       |r AS (SELECT doc_id, toks, score,
+       |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
+       |  FROM c)
+       |SELECT doc_id, domain, toks AS n_tokens, score,
+       |  CAST(row_number() OVER (PARTITION BY domain
+       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       |  CAST(sum(toks) OVER (PARTITION BY domain
+       |    ORDER BY score DESC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens,
+       |  (CAST(sum(toks) OVER (PARTITION BY domain
+       |    ORDER BY score DESC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    <= 150 OR row_number() OVER (PARTITION BY domain
+       |    ORDER BY score DESC, doc_id ASC) = 1) AS keep
+       |FROM r""".stripMargin)
+
   /** Cohen's κ between the q38 heuristic language prediction and the
     * stored labels ([[graft.operators.ClassifyOps.cohenKappa]]) — the
     * chance-corrected agreement audit; exact-integer confusion/marginal
@@ -5557,7 +5600,7 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176)
+    q170, q171, q172, q173, q174, q175, q176, q177)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1872,6 +1872,26 @@ object Streaming {
       when(size(grams) > 0, entropyExpr(grams)).as("bigram_entropy"))
   }
 
+  /** Within-stream exact dedup — the stream-side complement of the
+    * stream-static [[incrementalDedupStream]] family: arrivals are
+    * deduplicated against EACH OTHER on the content fingerprint using
+    * Spark's watermark-bounded dedup state
+    * (`dropDuplicatesWithinWatermark`), so a burst of syndicated
+    * copies collapses to one survivor at the ingest edge before any
+    * corpus index is consulted. State is bounded by the watermark
+    * horizon — the fingerprint set ages out instead of growing
+    * forever, which is the only honest contract for an unbounded
+    * stream (an exact-forever guarantee belongs to the batch/static
+    * index, not the stream). */
+  def streamDedupStream(docs: DataFrame,
+      timeCol: String = "event_time"): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs.withWatermark(timeCol, WatermarkDelay)
+      .withColumn("content_fp",
+        graft.functions.HashExpressions.polyHash(col("text")))
+      .dropDuplicatesWithinWatermark("content_fp")
+  }
+
   /** Ingest face of [[graft.operators.UrlOps.canonicalize]] — URL
     * normalization on arrivals is pure row-local regexp/HOF column
     * arithmetic, so the face is a stateless select; the per-domain

@@ -321,4 +321,25 @@ class IngestFacesSpec extends SparkSpec {
       assert(r.getAs[Timestamp]("event_time") === ts(T0))
     } finally q.stop()
   }
+
+  test("streamDedupStream collapses in-stream exact copies to one survivor") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.streamDedupStream(
+      in.toDS().toDF("doc_id", "text", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdd1").start()
+    try {
+      in.addData(
+        (1L, "the same syndicated body", ts(T0)),
+        (2L, "the same syndicated body", sec(T0, 5)),
+        (3L, "a different body", ts(T0)))
+      in.addData((4L, "the same syndicated body", sec(T0, 20)))
+      q.processAllAvailable()
+      val got = spark.table("sdd1").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // one survivor per distinct content within the watermark horizon
+      assert(got.intersect(Set(1L, 2L, 4L)).size === 1)
+      assert(got.contains(3L))
+    } finally q.stop()
+  }
 }

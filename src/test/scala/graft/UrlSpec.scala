@@ -84,4 +84,28 @@ class UrlSpec extends SparkSpec {
     assert(out("blocked.com").getAs[Boolean]("blocked"))
     assert(!out("ok.org").getAs[Boolean]("blocked"))
   }
+
+  test("domainTokenCap: greedy-by-quality truncation, first-doc guarantee") {
+    val df = Seq(
+      // domain A: budget 100, three 60-token docs in quality order
+      // 3 > 1 > 2; cum = 60, 120, 180 -> only doc 3 fits the budget
+      (1L, "a.com", 60L, 0.5),
+      (2L, "a.com", 60L, 0.3),
+      (3L, "a.com", 60L, 0.9),
+      // domain B: single giant doc over budget - always survives
+      (4L, "b.com", 500L, 0.1),
+      // domain C: exact-budget boundary is inclusive
+      (5L, "c.com", 100L, 0.2))
+      .toDF("doc_id", "domain", "toks", "score")
+    val out = UrlOps.domainTokenCap(df, col("doc_id"), col("domain"),
+      col("toks"), col("score"), tokenBudget = 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(3L) === ((1L, 60L, true)))
+    assert(out(1L) === ((2L, 120L, false)))
+    assert(out(2L) === ((3L, 180L, false)))
+    assert(out(4L) === ((1L, 500L, true)))  // first doc always survives
+    assert(out(5L) === ((1L, 100L, true)))  // <= is inclusive
+  }
 }
