@@ -1353,6 +1353,60 @@ object TextOps {
          else Nil): _*)
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 "Efficient
+    * Training of Language Models to Fill in the Middle"): with rate
+    * ~1/2 per doc, two hash-drawn cut points split the token stream
+    * into (prefix, middle, suffix) and the training text is reordered
+    * PSM — `<PRE> prefix <SUF> suffix <MID> middle` — so the model
+    * learns infilling from ordinary documents; the other half stays
+    * untouched (the paper's joint objective). Draws follow the
+    * [[prefixLmSplit]] scheme (avalanched content⊕id mix, one Knuth
+    * multiply per draw), so the transform is deterministic across
+    * runs, partitionings, and engines. Pure row-local column
+    * arithmetic, zero shuffle. Output: cut points (0-based token
+    * offsets, cut1 ≤ cut2), the applied flag, per-segment fingerprints,
+    * and the fingerprint of the emitted training text (PSM when
+    * applied, original when not); `keepText` adds the text itself. */
+  def fimSplit(docs: DataFrame, id: Column, text: Column,
+      keepText: Boolean = false): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val P = graft.functions.TextHash.P
+    val toks = filter(split(text, " "), w => length(w) > 0)
+    val mix = pmod(pmod(graft.functions.HashExpressions.polyHash(text)
+      * lit(31L) + id, lit(P)) * lit(2654435761L), lit(P))
+    val base = docs.select(id.as("doc_id"), text.as("_t"),
+      toks.as("_toks"), mix.as("_d1"),
+      pmod(mix * lit(2654435761L), lit(P)).as("_d2"))
+    val n = size(col("_toks"))
+    val a = pmod(col("_d1"), (n + 1).cast("long")).cast("int")
+    val b = pmod(col("_d2"), (n + 1).cast("long")).cast("int")
+    val cut1 = least(a, b)
+    val cut2 = greatest(a, b)
+    val prefix = concat_ws(" ", slice(col("_toks"), lit(1), cut1))
+    val middle = concat_ws(" ",
+      when(cut2 > cut1, slice(col("_toks"), cut1 + 1, cut2 - cut1))
+        .otherwise(array().cast("array<string>")))
+    val suffix = concat_ws(" ",
+      when(n > cut2, slice(col("_toks"), cut2 + 1, n - cut2))
+        .otherwise(array().cast("array<string>")))
+    val applied = pmod(col("_d1"), lit(10L)) < 5
+    val psm = concat_ws(" ", lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+      lit("<MID>"), middle)
+    val emitted = when(applied, psm).otherwise(col("_t"))
+    base.select(
+      Seq(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        applied.as("fim_applied"),
+        cut1.cast("long").as("cut1"),
+        cut2.cast("long").as("cut2"),
+        graft.functions.HashExpressions.polyHash(prefix).as("prefix_fp"),
+        graft.functions.HashExpressions.polyHash(middle).as("middle_fp"),
+        graft.functions.HashExpressions.polyHash(suffix).as("suffix_fp"),
+        graft.functions.HashExpressions.polyHash(emitted).as("emitted_fp")) ++
+        (if (keepText) Seq(emitted.as("emitted_text")) else Nil): _*)
+  }
+
   /** Inverse-cloze-task pair construction (ICT, Lee, Chang & Toutanova
     * ACL 2019 §3.1 — the standard unsupervised pre-training objective
     * for dense retrievers): from each document, a hash-drawn contiguous

@@ -5274,6 +5274,55 @@ object Pipeline {
        |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
        |FROM n""".stripMargin)
 
+  /** Fill-in-the-middle transform ([[TextOps.fimSplit]], Bavarian et
+    * al. 2022): hash-drawn double cut into (prefix, middle, suffix),
+    * PSM reorder at rate 1/2, deterministic draws — the code-model
+    * infilling data prep, completing the denoising family with q124
+    * (span corruption) and q125 (prefix-LM). Full oracle: cut points,
+    * the applied draw, all three segment fingerprints, and the emitted
+    * training text's fingerprint replayed in SQL. */
+  private val q178 = QueryDef(
+    "q178_fim_transform",
+    (s, d) => TextOps.fimSplit(
+      Tables.documents(s, d), col("doc_id"), col("text")),
+    s"""WITH base AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0)
+       |      AS toks,
+       |    ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
+       |      * 2654435761) % $P AS d1
+       |  FROM documents),
+       |b2 AS (SELECT *, (d1 * 2654435761) % $P AS d2, len(toks) AS n
+       |  FROM base),
+       |c AS (SELECT doc_id, text, toks, n, d1,
+       |    least(d1 % (n + 1), d2 % (n + 1)) AS cut1,
+       |    greatest(d1 % (n + 1), d2 % (n + 1)) AS cut2
+       |  FROM b2),
+       |s AS (SELECT doc_id, text, n, d1, cut1, cut2,
+       |    coalesce(array_to_string(toks[1:cut1], ' '), '') AS prefix,
+       |    CASE WHEN cut2 > cut1 THEN
+       |      coalesce(array_to_string(toks[cut1+1:cut2], ' '), '')
+       |      ELSE '' END AS middle,
+       |    CASE WHEN n > cut2 THEN
+       |      coalesce(array_to_string(toks[cut2+1:n], ' '), '')
+       |      ELSE '' END AS suffix
+       |  FROM c),
+       |e AS (SELECT doc_id, n, cut1, cut2, prefix, middle, suffix,
+       |    (d1 % 10) < 5 AS applied,
+       |    CASE WHEN (d1 % 10) < 5 THEN concat_ws(' ', '<PRE>', prefix,
+       |      '<SUF>', suffix, '<MID>', middle) ELSE text END AS emitted
+       |  FROM s)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  applied AS fim_applied,
+       |  CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2,
+       |  CASE WHEN prefix = '' THEN 0
+       |    ELSE ${polyHashSql("prefix")} END AS prefix_fp,
+       |  CASE WHEN middle = '' THEN 0
+       |    ELSE ${polyHashSql("middle")} END AS middle_fp,
+       |  CASE WHEN suffix = '' THEN 0
+       |    ELSE ${polyHashSql("suffix")} END AS suffix_fp,
+       |  ${polyHashSql("emitted")} AS emitted_fp
+       |FROM e""".stripMargin)
+
   /** Per-domain token-budget cap ([[graft.operators.UrlOps
     * .domainTokenCap]]): greedy-by-quality truncation of each
     * registered domain at a token budget — the RefinedWeb head-domain
@@ -5600,7 +5649,7 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177)
+    q170, q171, q172, q173, q174, q175, q176, q177, q178)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1930,4 +1930,41 @@ class PipelineOpsSpec extends SparkSpec {
     m.foreach(r => assert(
       m2(r.getAs[Long]("shard")) === r.getAs[Long]("content_fp")))
   }
+
+  test("fimSplit: reconstruction identity, cut ordering, rate, determinism") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val out = TextOps.fimSplit(corpus, col("doc_id"), col("text"),
+      keepText = true).cache()
+    val n = out.count()
+    // cut points are ordered and within [0, n_tokens]
+    assert(out.where(col("cut1") > col("cut2") || col("cut1") < 0 ||
+      col("cut2") > col("n_tokens")).count() === 0L)
+    // the applied rate is a fair hash draw (~1/2)
+    val applied = out.where(col("fim_applied")).count().toDouble / n
+    assert(applied > 0.35 && applied < 0.65, s"rate $applied")
+    // PSM reconstruction: reordering the emitted text's segments back
+    // to prefix+middle+suffix yields the original token stream
+    val rebuilt = out.where(col("fim_applied"))
+      .withColumn("_pre", regexp_extract(col("emitted_text"),
+        "^<PRE> (.*) <SUF> .* <MID> .*$", 1))
+      .withColumn("_suf", regexp_extract(col("emitted_text"),
+        "^<PRE> .* <SUF> (.*) <MID> .*$", 1))
+      .withColumn("_mid", regexp_extract(col("emitted_text"),
+        "^<PRE> .* <SUF> .* <MID> (.*)$", 1))
+    val badRebuild = rebuilt.join(corpus, "doc_id")
+      .where(concat_ws(" ",
+        filter(split(concat_ws(" ", col("_pre"), col("_mid"), col("_suf")),
+          " "), w => length(w) > 0)) =!=
+        concat_ws(" ", filter(split(col("text"), " "),
+          w => length(w) > 0)))
+      .count()
+    assert(badRebuild === 0L)
+    // deterministic under repartition
+    val again = TextOps.fimSplit(corpus.repartition(7), col("doc_id"),
+      col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("emitted_fp")).toMap
+    out.collect().foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) === r.getAs[Long]("emitted_fp")))
+    out.unpersist(blocking = false)
+  }
 }
