@@ -1735,6 +1735,50 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processTrip)
   }
 
+  /** One arriving doc for [[domainTokenCapStream]]. */
+  final case class DomainDoc(domain: String, doc_id: Long,
+      time: Timestamp, n_tokens: Long)
+
+  /** The cap verdict for one arrival. */
+  final case class DomainCapOut(domain: String, doc_id: Long,
+      cum_tokens: Long, keep: Boolean)
+
+  /** Streaming face of [[graft.operators.UrlOps.domainTokenCap]] — a
+    * RUNNING per-domain token budget enforced across micro-batches via
+    * `flatMapGroupsWithState` (state: one Long per domain, the
+    * cumulative admitted-token total). Contract divergence from the
+    * batch op, stated rather than hidden: the batch cap is
+    * greedy-by-QUALITY (it can sort the whole corpus); a stream cannot
+    * sort the future, so admission is greedy in (event-time, doc_id)
+    * arrival order within each batch — the honest online analogue.
+    * The first doc of a domain is always admitted (batch parity), and
+    * ONLY admitted docs consume budget, so one over-budget arrival
+    * cannot starve later small docs the batch op would also have
+    * skipped over. */
+  def domainTokenCapStream(docs: Dataset[DomainDoc], tokenBudget: Long)(
+      implicit spark: SparkSession): Dataset[DomainCapOut] = {
+    import spark.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (domain: String, it: Iterator[DomainDoc],
+            state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          var first = !state.exists
+          val out = Seq.newBuilder[DomainCapOut]
+          it.toIndexedSeq.sortBy(d => (d.time.getTime, d.doc_id))
+            .foreach { d =>
+              val admitted = first || cum + d.n_tokens <= tokenBudget
+              if (admitted) cum += d.n_tokens
+              first = false
+              out += DomainCapOut(domain, d.doc_id, cum, admitted)
+            }
+          state.update(cum)
+          out.result().iterator
+        }
+      }
+  }
+
   // ---------------------------------------- substring/stats ingest faces
 
   /** Ingest face of [[graft.operators.SpanDedupOps.crossDocSpans]] — each

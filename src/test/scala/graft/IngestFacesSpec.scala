@@ -342,4 +342,37 @@ class IngestFacesSpec extends SparkSpec {
       assert(got.contains(3L))
     } finally q.stop()
   }
+
+  test("domainTokenCapStream enforces the running budget across batches") {
+    import Streaming.{DomainDoc, DomainCapOut}
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val in = MemoryStream[DomainDoc]
+    val q = Streaming.domainTokenCapStream(in.toDS(), tokenBudget = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dtc1").start()
+    try {
+      // batch 1: a.com admits 60 + 30; b.com's giant first doc admits
+      in.addData(
+        DomainDoc("a.com", 1L, ts(T0), 60L),
+        DomainDoc("a.com", 2L, sec(T0, 1), 30L),
+        DomainDoc("b.com", 3L, ts(T0), 500L))
+      q.processAllAvailable()
+      // batch 2: a.com has 10 budget left -> 20-token doc dropped, a
+      // later 10-token doc still fits (drops don't consume budget);
+      // b.com is exhausted
+      in.addData(
+        DomainDoc("a.com", 4L, sec(T0, 10), 20L),
+        DomainDoc("a.com", 5L, sec(T0, 11), 10L),
+        DomainDoc("b.com", 6L, sec(T0, 10), 1L))
+      q.processAllAvailable()
+      val out = spark.table("dtc1").as[DomainCapOut].collect()
+        .map(r => r.doc_id -> ((r.cum_tokens, r.keep))).toMap
+      assert(out(1L) === ((60L, true)))
+      assert(out(2L) === ((90L, true)))
+      assert(out(3L) === ((500L, true)))   // first-doc guarantee
+      assert(out(4L) === ((90L, false)))   // would exceed: dropped
+      assert(out(5L) === ((100L, true)))   // still fits exactly
+      assert(out(6L) === ((500L, false)))  // b.com exhausted
+    } finally q.stop()
+  }
 }
