@@ -237,6 +237,60 @@ object CorpusStatsOps {
     uni.join(bi, Seq("did"), "left")
   }
 
+  /** Corpus datasheet — the one-row summary a dataset ships with
+    * (Gebru et al. 2021 "Datasheets for Datasets", the quantitative
+    * half): sizes (docs, tokens, chars, vocabulary), composition
+    * (language/source counts), and the headline health rates every
+    * release note quotes — exact-duplicate fraction, quality-screen
+    * keep rate, encoding-damage rate, hapax ratio. Everything here is
+    * already gated query-by-query (q30, q60, q165, q148); the
+    * datasheet is the composed artifact, one row, cheap enough to
+    * regenerate per snapshot and diff across releases.
+    *
+    * Shape: three independent corpus aggregations (doc-level,
+    * token-level, duplicate-level) cross-joined as broadcast 1-row
+    * frames. */
+  def datasheet(docs: DataFrame, id: Column, text: Column,
+      lang: Column, source: Column): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    import graft.functions.Exact.round6z
+    val base = docs.select(id.as("did"), text.as("t"),
+      lang.as("lg"), source.as("src"),
+      graft.functions.HashExpressions.polyHash(text).as("fp"))
+    val docAgg = base.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lg")).as("n_langs"),
+      countDistinct(col("src")).as("n_sources"),
+      sum(length(col("t"))).cast("long").as("n_chars"),
+      (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+      graft.functions.Exact.countIf(
+        graft.operators.TextOps.qualityComposite(col("t")) >=
+          graft.operators.TextOps.DefaultMinQuality).as("n_quality_keep"),
+      graft.functions.Exact.countIf(
+        (length(col("t")) - length(replace(col("t"), lit("�"), lit("")))) > 0
+          || (length(col("t")) - length(regexp_replace(col("t"),
+            "[\\x00-\\x08\\x0b-\\x1f\\x7f]", ""))) > 0).as("n_suspect"))
+    val words = base.select(explode(split(col("t"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val tokAgg = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        graft.functions.Exact.countIf(col("c") === 1).as("n_hapax"))
+    docAgg.crossJoin(broadcast(tokAgg)).select(
+      col("n_docs"), col("n_tokens"), col("n_chars"),
+      col("n_types"), col("n_langs"), col("n_sources"),
+      round6z(col("n_tokens").cast("double") / col("n_docs").cast("double"))
+        .as("mean_doc_tokens"),
+      round6z(col("n_hapax").cast("double") / col("n_types").cast("double"))
+        .as("hapax_ratio"),
+      round6z(col("n_exact_dups").cast("double") /
+        col("n_docs").cast("double")).as("exact_dup_frac"),
+      round6z(col("n_quality_keep").cast("double") /
+        col("n_docs").cast("double")).as("quality_keep_rate"),
+      round6z(col("n_suspect").cast("double") /
+        col("n_docs").cast("double")).as("suspect_rate"))
+  }
+
   /** Row-local (HOF) twin of one [[entropyScreen]] distribution: the
     * entropy of the given token ARRAY computed entirely inside the row
     * — sort the tokens, find run starts, turn run lengths into

@@ -5274,6 +5274,53 @@ object Pipeline {
        |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
        |FROM n""".stripMargin)
 
+  /** Corpus datasheet ([[graft.operators.CorpusStatsOps.datasheet]]):
+    * the one-row release summary — sizes, composition, and the
+    * headline health rates (exact-dup fraction, quality keep rate,
+    * encoding-damage rate, hapax ratio). Full oracle. */
+  private val q180 = QueryDef(
+    "q180_corpus_datasheet",
+    (s, d) => graft.operators.CorpusStatsOps.datasheet(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      col("lang"), col("source")),
+    s"""WITH base AS (SELECT doc_id, text, lang, source,
+       |    ${polyHashSql("text")} AS fp, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       |    CAST(sum(CASE WHEN $qualityCompositeSql
+       |      >= ${TextOps.DefaultMinQuality} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_quality_keep,
+       |    CAST(sum(CASE WHEN
+       |      (length(text) - length(replace(text, chr(65533), ''))) > 0 OR
+       |      (length(text) - length(regexp_replace(text,
+       |        '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'))) > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+       |  FROM base),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS w FROM base)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax
+       |  FROM wf)
+       |SELECT n_docs, n_tokens, n_chars, n_types, n_langs, n_sources,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    + 0.0 AS mean_doc_tokens,
+       |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+       |    + 0.0 AS hapax_ratio,
+       |  round(CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    + 0.0 AS exact_dup_frac,
+       |  round(CAST(n_quality_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    + 0.0 AS quality_keep_rate,
+       |  round(CAST(n_suspect AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    + 0.0 AS suspect_rate
+       |FROM d, t""".stripMargin)
+
   /** Per-eval-item contamination report ([[TextOps.contaminationReport]])
     * — the governance flip side of q79: which TEST items are
     * compromised, by how many train docs, worst offender id, and the
@@ -5690,7 +5737,7 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
