@@ -84,7 +84,11 @@ def main() -> int:
             n_fail += 1
             continue
         if len(got) == 0:
-            print(f"FAIL {name}: rows-only output is EMPTY")
+            # the driver canonicalizes an empty frame fine, but records
+            # spark_rows=0 — which fails the rows>0 grading downstream,
+            # so flag it here where it's cheap to see
+            print(f"FAIL {name}: rows-only output is EMPTY "
+                  f"(driver would record spark_rows=0)")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows, rows-only)")

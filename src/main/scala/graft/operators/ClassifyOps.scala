@@ -80,8 +80,13 @@ object ClassifyOps {
     * the oracle replays bit-identically. */
   def scoreAuc(scored: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL scores/labels are excluded, not ranked: Spark's ASC window
+    // sorts NULL first while DuckDB sorts it last, so admitting a NULL
+    // group would silently shift every real rank (and a row with no
+    // score expresses no ranking opinion anyway)
     val byScore = scored
       .select(score.as("s"), label.cast("boolean").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s").agg(
         count(lit(1)).as("n_tot"),
         Exact.countIf(col("y")).as("n_pos"))

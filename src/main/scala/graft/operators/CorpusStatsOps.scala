@@ -207,7 +207,12 @@ object CorpusStatsOps {
     * NATS (the repo's ln-parity precedent — q148/q149). */
   def entropyScreen(docs: DataFrame, id: Column, text: Column): DataFrame = {
     import graft.functions.Exact
-    val base = docs.select(id.as("did"), split(text, " ").as("ws"))
+    // empty tokens are filtered ONCE, before both distributions — the
+    // bigram side must see exactly the tokens the unigram side counts
+    // (building grams from the raw split would mint phantom bigrams
+    // around doubled spaces)
+    val base = docs.select(id.as("did"),
+      filter(split(text, " "), w => length(w) > 0).as("ws"))
     def dist(tokens: DataFrame): DataFrame = {
       val n = org.apache.spark.sql.expressions.Window.partitionBy(col("did"))
       val freq = tokens.groupBy("did", "t").agg(count(lit(1)).as("c"))
@@ -220,7 +225,6 @@ object CorpusStatsOps {
           count(lit(1)).as("n_typ"))
     }
     val words = base.select(col("did"), explode(col("ws")).as("t"))
-      .where(length(col("t")) > 0)
     val grams = base.select(col("did"), explode(
       when(size(col("ws")) >= 2,
         transform(sequence(lit(1), size(col("ws")) - 1),

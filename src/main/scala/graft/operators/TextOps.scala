@@ -541,13 +541,7 @@ object TextOps {
       estimatedTestShingles: Long = 1L << 22): DataFrame = {
     val hashes = graft.functions.HashExpressions
     hashes.register(docs.sparkSession)
-    val bucket = pmod(hashes.polyHash(text), lit(100))
-    val withSplit = docs.select(
-      id.as("doc_id"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"),
-      array_distinct(hashes.shingleHashes(text, w)).as("hs"))
+    val withSplit = splitShingleFrame(docs, id, text, w, trainPct, valPct)
     val testH = withSplit.where(col("split") === "test")
       .select(explode(col("hs")).as("h")).distinct()
     val train = withSplit.where(col("split") === "train")
@@ -587,6 +581,24 @@ object TextOps {
         col("n_in_test").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** The ONE definition of the train/val/test hash split plus the
+    * distinct-shingle set per doc, shared by [[decontaminate]] (q79)
+    * and [[contaminationReport]] (q179): the report is only meaningful
+    * as the flip side of the drop list, so the split frame must be a
+    * single piece of code — a drift between the two would attribute a
+    * dropped train doc to the wrong split and fail silently. */
+  private def splitShingleFrame(docs: DataFrame, id: Column, text: Column,
+      w: Int, trainPct: Int, valPct: Int): DataFrame = {
+    val hashes = graft.functions.HashExpressions
+    val bucket = pmod(hashes.polyHash(text), lit(100))
+    docs.select(
+      id.as("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"),
+      array_distinct(hashes.shingleHashes(text, w)).as("hs"))
+  }
+
   /** Per-eval-item contamination report — the flip side of
     * [[decontaminate]]: q79 answers "which TRAIN docs must drop";
     * this answers the governance question "which TEST items are
@@ -605,15 +617,8 @@ object TextOps {
   def contaminationReport(docs: DataFrame, id: Column, text: Column,
       w: Int, minOverlap: Int = 2, trainPct: Int = 80, valPct: Int = 10)
       : DataFrame = {
-    val hashes = graft.functions.HashExpressions
-    hashes.register(docs.sparkSession)
-    val bucket = pmod(hashes.polyHash(text), lit(100))
-    val withSplit = docs.select(
-      id.as("doc_id"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"),
-      array_distinct(hashes.shingleHashes(text, w)).as("hs"))
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val withSplit = splitShingleFrame(docs, id, text, w, trainPct, valPct)
     val test = withSplit.where(col("split") === "test")
       .select(col("doc_id").as("test_id"),
         size(col("hs")).cast("long").as("n_shingles"),

@@ -42,12 +42,21 @@ object UrlOps {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
-  /** The scheme://host[:port] part of `url`, lowercased (RFC 3986 §6.2.2.1:
-    * scheme and host are case-insensitive; nothing after them is). */
+  /** Lowercase the scheme and host[:port] of `url`'s authority while
+    * PRESERVING any userinfo (RFC 3986 §6.2.2.1: scheme and host are
+    * case-insensitive; userinfo and everything after the authority are
+    * not). The userinfo pattern `[^/?#@]*@` deliberately admits ':'
+    * (user:pw@) so a credentialed URL cannot smuggle its username in
+    * as the "host". */
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*"
+  private val UserinfoRe = "(?:[^/?#@]*@)?"
   private def lowerAuthority(base: Column): Column = {
-    val auth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
-    val rest = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
-    concat(lower(auth), rest)
+    val scheme = lower(regexp_extract(base, s"($SchemeRe)://", 1))
+    val userinfo = regexp_extract(base, s"$SchemeRe://([^/?#@]*@)?", 1)
+    val hostport = lower(
+      regexp_extract(base, s"$SchemeRe://$UserinfoRe([^/]*)", 1))
+    val rest = regexp_replace(base, s"$SchemeRe://[^/]*", "")
+    concat(scheme, lit("://"), userinfo, hostport, rest)
   }
 
   /** Canonical URL: fragment stripped; scheme+authority lowercased;
@@ -59,10 +68,12 @@ object UrlOps {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base = lowerAuthority(regexp_extract(noFrag, "^[^?]*", 0))
     // each default-port pattern is scheme-anchored, so two unconditional
-    // rewrites strip exactly the (scheme, default-port) combinations
+    // rewrites strip exactly the (scheme, default-port) combinations;
+    // the optional userinfo group keeps user:pw@host:80 strippable
     val base2 = regexp_replace(
-      regexp_replace(base, "^(http://[^/:]*):80(/|$)", "$1$2"),
-      "^(https://[^/:]*):443(/|$)", "$1$2")
+      regexp_replace(base,
+        "^(http://(?:[^/@]*@)?[^/:]*):80(/|$)", "$1$2"),
+      "^(https://(?:[^/@]*@)?[^/:]*):443(/|$)", "$1$2")
     val base3 = when(regexp_extract(base2, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1) === "",
       concat(base2, lit("/"))).otherwise(base2)
     val q = when(noFrag.contains("?"),
@@ -78,12 +89,18 @@ object UrlOps {
     s"""(WITH x AS (SELECT regexp_replace($url, '#.*$$', '') AS nf),
        |y AS (SELECT nf,
        |    lower(regexp_extract(regexp_extract(nf, '^[^?]*'),
-       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*')) ||
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+       |    coalesce(regexp_extract(regexp_extract(nf, '^[^?]*'),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?', 1), '') ||
+       |    lower(regexp_extract(regexp_extract(nf, '^[^?]*'),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/]*)', 1)) ||
        |    regexp_replace(regexp_extract(nf, '^[^?]*'),
        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS b FROM x),
        |z AS (SELECT nf, regexp_replace(
-       |    regexp_replace(b, '^(http://[^/:]*):80(/|$$)', '\\1\\2'),
-       |    '^(https://[^/:]*):443(/|$$)', '\\1\\2') AS b2 FROM y),
+       |    regexp_replace(b,
+       |      '^(http://(?:[^/@]*@)?[^/:]*):80(/|$$)', '\\1\\2'),
+       |    '^(https://(?:[^/@]*@)?[^/:]*):443(/|$$)', '\\1\\2')
+       |    AS b2 FROM y),
        |w AS (SELECT nf, CASE
        |    WHEN regexp_extract(b2, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$$', 1) = ''
        |      THEN b2 || '/' ELSE b2 END AS b3,
@@ -97,13 +114,17 @@ object UrlOps {
        |  THEN b3 || '?' || array_to_string(kept, '&') ELSE b3 END FROM k)"""
       .stripMargin
 
-  /** The lowercased host of `url` (no port, no userinfo). */
+  /** The lowercased host of `url` (no port, no userinfo — the optional
+    * `user[:pw]@` prefix is skipped so credentials can never pose as
+    * the host, which would otherwise be a blocklist bypass). */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+    lower(regexp_extract(url,
+      s"$SchemeRe://$UserinfoRe([^/:?#]*)", 1))
 
   /** DuckDB twin of [[hostOf]]. */
   def hostOfSql(url: String): String =
-    s"lower(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))"
+    s"lower(regexp_extract($url, " +
+      s"'$SchemeRe://$UserinfoRe([^/:?#]*)', 1))"
 
   /** Registered domain (public-suffix + 1): the last two host labels,
     * or three when the final two form a [[MultiPartSuffixes]] entry —

@@ -5581,7 +5581,7 @@ object Pipeline {
        |        FROM documents)),
        |b AS (SELECT s, CAST(count(*) AS BIGINT) AS n_tot,
        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-       |  FROM f GROUP BY 1),
+       |  FROM f WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY 1),
        |r AS (SELECT n_tot, n_pos,
        |    CAST(coalesce(sum(n_tot) OVER (ORDER BY s
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -5608,11 +5608,12 @@ object Pipeline {
     "q172_entropy_screen",
     (s, d) => graft.operators.CorpusStatsOps.entropyScreen(
       Tables.documents(s, d), col("doc_id"), col("text")),
-    """WITH base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
-      |    FROM documents),
+    """WITH base AS (SELECT doc_id AS did,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents),
       |wnz AS (SELECT did, unnest(ws) AS t FROM base),
       |uf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS c
-      |  FROM (SELECT * FROM wnz WHERE length(t) > 0) GROUP BY 1, 2),
+      |  FROM wnz GROUP BY 1, 2),
       |ut AS (SELECT did, c, round(
       |    -(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)) *
       |    ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)), 6) AS term

@@ -1754,7 +1754,14 @@ object Streaming {
     * The first doc of a domain is always admitted (batch parity), and
     * ONLY admitted docs consume budget, so one over-budget arrival
     * cannot starve later small docs the batch op would also have
-    * skipped over. */
+    * skipped over. Consequently `cum_tokens` here is the ADMITTED
+    * running total (a rejected row repeats the prior total), where the
+    * batch op's `cum_tokens` is the inclusive window sum over all docs
+    * — reconcile on `keep`, not on the totals. State is one Long per
+    * DOMAIN (no timeout): bounded by registered-domain cardinality
+    * (~10⁷ at web scale, tens of MB), not by arrival volume — the
+    * per-key-space-bounded exception to this file's
+    * watermark-bounds-the-state rule. */
   def domainTokenCapStream(docs: Dataset[DomainDoc], tokenBudget: Long)(
       implicit spark: SparkSession): Dataset[DomainCapOut] = {
     import spark.implicits._
@@ -1900,11 +1907,13 @@ object Streaming {
   def entropyScreenStream(docs: DataFrame,
       timeCol: String = "event_time"): DataFrame = {
     import graft.operators.CorpusStatsOps.entropyExpr
+    // same once-filtered token stream for both distributions (the
+    // batch op's rule — phantom bigrams around doubled spaces are a
+    // parity bug, not a feature)
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
-    val raw = split(col("text"), " ")
-    val grams = when(size(raw) >= 2,
-      transform(sequence(lit(1), size(raw) - 1),
-        i => concat_ws(" ", slice(raw, i, lit(2)))))
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
     docs.select(col(timeCol), col("doc_id"),
       size(ws).cast("long").as("n_tokens"),
