@@ -170,6 +170,25 @@ object UrlOps {
       (size(all) - size(kept)).cast("long").as("n_params_dropped")): _*)
   }
 
+  /** Exact-URL dedup over a [[canonicalize]] frame — crawl stage zero:
+    * the same resource fetched as `?utm_source=…`, `#fragment`,
+    * mixed-case-host, or `:80` variants collapses onto its canonical
+    * URL, the min-id fetch survives (the cross-doc dedup canon
+    * convention), and everything else drops BEFORE content-level
+    * dedup ever hashes a shingle. One aggregation on the canonical-URL
+    * key + a broadcast-friendly join back; emits every doc with its
+    * keeper and copy count so the drop is auditable. */
+  def urlDedup(canon: DataFrame): DataFrame = {
+    val groups = canon.groupBy(col("url_canon")).agg(
+      min(col("doc_id")).as("keeper_id"),
+      count(lit(1)).as("n_copies"))
+    canon.select(col("doc_id"), col("url_canon"), col("domain"))
+      .join(groups, Seq("url_canon"))
+      .select(col("doc_id"), col("url_canon"), col("domain"),
+        col("keeper_id"), col("n_copies"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   /** Per-domain token-budget cap — the RefinedWeb-style head-domain
     * squeeze, but greedy-by-quality against a TOKEN budget rather than
     * a doc count (q19's top-k-per-group) or a global allocation

@@ -5274,6 +5274,32 @@ object Pipeline {
        |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
        |FROM n""".stripMargin)
 
+  /** Exact-URL dedup ([[graft.operators.UrlOps.urlDedup]]) — crawl
+    * stage zero over the canonicalized URL corpus: variant fetches of
+    * one resource collapse to the min-id keeper before any content
+    * hashing. Full oracle. */
+  private val q181 = QueryDef(
+    "q181_url_dedup",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.UrlOps.urlDedup(graft.operators.UrlOps.canonicalize(
+        Tables.documents(s, d), col("doc_id"), urlCol))
+    },
+    s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+       |c AS (SELECT doc_id,
+       |  ${graft.operators.UrlOps.canonicalUrlSql("u.url")} AS url_canon,
+       |  ${graft.operators.UrlOps.hostOfSql("u.url")} AS host
+       |  FROM u),
+       |r AS (SELECT doc_id, url_canon,
+       |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
+       |  FROM c),
+       |g AS (SELECT url_canon, min(doc_id) AS keeper_id,
+       |    CAST(count(*) AS BIGINT) AS n_copies
+       |  FROM r GROUP BY 1)
+       |SELECT doc_id, r.url_canon, domain, keeper_id, n_copies,
+       |  doc_id = keeper_id AS keep
+       |FROM r JOIN g ON r.url_canon = g.url_canon""".stripMargin)
+
   /** Corpus datasheet ([[graft.operators.CorpusStatsOps.datasheet]]):
     * the one-row release summary — sizes, composition, and the
     * headline health rates (exact-dup fraction, quality keep rate,
@@ -5738,7 +5764,8 @@ object Pipeline {
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+    q181)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

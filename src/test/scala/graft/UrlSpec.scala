@@ -120,4 +120,22 @@ class UrlSpec extends SparkSpec {
     assert(out(4L) === ((1L, 500L, true)))  // first doc always survives
     assert(out(5L) === ((1L, 100L, true)))  // <= is inclusive
   }
+
+  test("urlDedup: variant fetches collapse onto the min-id keeper") {
+    val df = Seq(
+      (5L, "http://A.com:80/p?utm_source=x"),  // variant of the same page
+      (2L, "http://a.com/p"),                   // min id -> keeper
+      (9L, "http://a.com/p#frag"),              // another variant
+      (3L, "http://a.com/q"))                   // distinct resource
+      .toDF("doc_id", "u")
+    val out = UrlOps.urlDedup(
+      UrlOps.canonicalize(df, col("doc_id"), col("u")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(2L) === ((2L, 3L, true)))
+    assert(out(5L) === ((2L, 3L, false)))
+    assert(out(9L) === ((2L, 3L, false)))
+    assert(out(3L) === ((3L, 1L, true)))
+  }
 }
