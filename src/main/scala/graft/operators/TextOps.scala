@@ -605,32 +605,58 @@ object TextOps {
     * compromised, how badly, and by whom" — the table an eval-integrity
     * review actually reads (Brown et al. 2020 §4 report exactly this
     * per-benchmark exposure). For every test-split doc with at least
-    * one train doc sharing ≥ `minOverlap` distinct w-shingles: the
-    * number of such train docs, the worst offender's shared-shingle
-    * count, and the offender id itself (ties to the smaller id via a
-    * struct max — deterministic in both engines).
+    * one train doc sharing ≥ `minOverlap` distinct NON-boilerplate
+    * w-shingles: the number of such train docs, the worst offender's
+    * shared-shingle count, and the offender id itself (ties to the
+    * smaller id via a struct max — deterministic in both engines).
+    *
+    * Boilerplate guard (the [[WinnowOps]] `maxDf` precedent,
+    * `WinnowOps.scala:62`): a shingle present in MORE than `maxDf`
+    * train documents is boilerplate — a license banner, nav chrome, a
+    * markdown header — not contamination evidence, and it is also a
+    * quadratic join key: ONE such shingle shared by 10⁶ train docs and
+    * 10⁴ test docs is a 10¹⁰-row join input before any grouping can
+    * bound it. Such shingles are pruned from BOTH sides before the
+    * pair join and surfaced instead as a per-test-item
+    * `boilerplate_shingles` count, so a test item whose only overlap
+    * with the corpus is boilerplate still gets a row (with
+    * `n_train_docs = 0` and NULL offender columns) — the reviewer sees
+    * "overlaps, but only via boilerplate" rather than nothing.
     *
     * Shape: the q79 join reversed and grouped per (test, train) pair
-    * first, then per test doc — the pair frame is bounded by true
-    * overlap, not the cross product, and the test side is the small
-    * split by construction. */
+    * first, then per test doc. The pair-join INPUT is now bounded by
+    * `maxDf` per shingle (each hash key fans out to ≤ maxDf train
+    * rows), the grouped output by true overlap; the df frame is
+    * shingle-cardinality and joins on the same hash key — no broadcast
+    * assumption, so a boilerplate-heavy corpus cannot blow either the
+    * driver or a join key. */
   def contaminationReport(docs: DataFrame, id: Column, text: Column,
-      w: Int, minOverlap: Int = 2, trainPct: Int = 80, valPct: Int = 10)
-      : DataFrame = {
+      w: Int, minOverlap: Int = 2, trainPct: Int = 80, valPct: Int = 10,
+      maxDf: Int = 64): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     val withSplit = splitShingleFrame(docs, id, text, w, trainPct, valPct)
     val test = withSplit.where(col("split") === "test")
       .select(col("doc_id").as("test_id"),
         size(col("hs")).cast("long").as("n_shingles"),
         explode(col("hs")).as("h"))
-    val train = withSplit.where(col("split") === "train")
+    val trainAll = withSplit.where(col("split") === "train")
       .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-    val pairs = test.join(train, "h")
+    // `hs` is per-doc distinct, so count(*) per hash IS the train
+    // document frequency; the hot set is ≤ n_train_shingles / maxDf rows
+    val hot = trainAll.groupBy("h").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxDf).select("h")
+    val train = trainAll.join(hot, Seq("h"), "left_anti")
+    val testKept = test.join(hot, Seq("h"), "left_anti")
+    val boiler = test.join(hot, Seq("h"), "left_semi")
+      .groupBy("test_id").agg(
+        max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("boilerplate_shingles"))
+    val pairs = testKept.join(train, "h")
       .groupBy("test_id", "train_id")
       .agg(max(col("n_shingles")).as("n_shingles"),
         count(lit(1)).as("shared"))
       .where(col("shared") >= minOverlap)
-    pairs.groupBy("test_id").agg(
+    val contaminated = pairs.groupBy("test_id").agg(
         max(col("n_shingles")).as("n_shingles"),
         count(lit(1)).as("n_train_docs"),
         max(struct(col("shared").as("sh"),
@@ -638,6 +664,16 @@ object TextOps {
       .select(col("test_id"), col("n_shingles"), col("n_train_docs"),
         col("_m.sh").as("max_shared"),
         (-col("_m.ni")).as("worst_train_id"))
+    contaminated.join(
+        boiler.select(col("test_id"), col("n_shingles").as("_bns"),
+          col("boilerplate_shingles")),
+        Seq("test_id"), "full_outer")
+      .select(col("test_id"),
+        coalesce(col("n_shingles"), col("_bns")).as("n_shingles"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        col("max_shared"), col("worst_train_id"),
+        coalesce(col("boilerplate_shingles"), lit(0L))
+          .as("boilerplate_shingles"))
       .withColumn("exposure", graft.functions.Exact.round6z(
         col("max_shared").cast("double") / col("n_shingles").cast("double")))
   }

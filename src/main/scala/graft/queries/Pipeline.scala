@@ -501,6 +501,11 @@ object Pipeline {
     * Width 3 (longer than the dedup shingles): contamination wants matching
     * PASSAGES, not near-dup pages. */
   private val ContamW = 3
+
+  /** Train-doc-frequency cap for q179's pair join (the WinnowOps
+    * `maxDf = 64` precedent): shingles in more train docs than this are
+    * boilerplate, pruned before the test×train join. */
+  private val ContamMaxDf = 64
   private val q55 = QueryDef(
     "q55_contamination",
     (s, d) => TextOps.contamination(
@@ -5350,12 +5355,18 @@ object Pipeline {
   /** Per-eval-item contamination report ([[TextOps.contaminationReport]])
     * — the governance flip side of q79: which TEST items are
     * compromised, by how many train docs, worst offender id, and the
-    * shared-shingle exposure. Full oracle (the q79 chain reversed,
-    * struct-max tie rule mirrored). */
+    * shared-shingle exposure. Boilerplate-df-capped (r13 verdict item
+    * 2): shingles in more than [[ContamMaxDf]] train docs are pruned
+    * from the pair join — bounding each join key's fan-out at maxDf —
+    * and surfaced per test item as `boilerplate_shingles`; a test item
+    * whose ONLY overlap is boilerplate gets a row with zero train docs
+    * and NULL offender columns. Full oracle (the q79 chain reversed,
+    * struct-max tie rule and the df cap mirrored). */
   private val q179 = QueryDef(
     "q179_contamination_report",
     (s, d) => TextOps.contaminationReport(
-      Tables.documents(s, d), col("doc_id"), col("text"), ContamW),
+      Tables.documents(s, d), col("doc_id"), col("text"), ContamW,
+      maxDf = ContamMaxDf),
     s"""WITH ${shingleCteW(ContamW)},
        |spl AS (SELECT doc_id,
        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
@@ -5371,10 +5382,16 @@ object Pipeline {
        |tr AS (SELECT sh.doc_id AS train_id, sh.h
        |  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
        |  WHERE split = 'train'),
+       |hot AS (SELECT h FROM tr GROUP BY 1
+       |  HAVING count(*) > $ContamMaxDf),
+       |bl AS (SELECT test_id, max(n_shingles) AS n_shingles,
+       |    CAST(count(*) AS BIGINT) AS boilerplate_shingles
+       |  FROM te WHERE h IN (SELECT h FROM hot) GROUP BY 1),
        |p AS (SELECT test_id, train_id,
        |    max(n_shingles) AS n_shingles,
        |    CAST(count(*) AS BIGINT) AS shared
        |  FROM te JOIN tr ON te.h = tr.h
+       |  WHERE te.h NOT IN (SELECT h FROM hot)
        |  GROUP BY 1, 2
        |  HAVING count(*) >= 2),
        |a AS (SELECT test_id,
@@ -5382,11 +5399,14 @@ object Pipeline {
        |    CAST(count(*) AS BIGINT) AS n_train_docs,
        |    max({'sh': shared, 'ni': -train_id}) AS m
        |  FROM p GROUP BY 1)
-       |SELECT test_id, n_shingles, n_train_docs,
+       |SELECT coalesce(a.test_id, bl.test_id) AS test_id,
+       |  coalesce(a.n_shingles, bl.n_shingles) AS n_shingles,
+       |  coalesce(a.n_train_docs, 0) AS n_train_docs,
        |  (m).sh AS max_shared, -(m).ni AS worst_train_id,
-       |  round(CAST((m).sh AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+       |  coalesce(bl.boilerplate_shingles, 0) AS boilerplate_shingles,
+       |  round(CAST((m).sh AS DOUBLE) / CAST(a.n_shingles AS DOUBLE), 6)
        |    + 0.0 AS exposure
-       |FROM a""".stripMargin)
+       |FROM a FULL OUTER JOIN bl ON a.test_id = bl.test_id""".stripMargin)
 
   /** Fill-in-the-middle transform ([[TextOps.fimSplit]], Bavarian et
     * al. 2022): hash-drawn double cut into (prefix, middle, suffix),

@@ -1079,6 +1079,39 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("doc_id", "n_shingles", "n_in_test", "contamination"))
   }
 
+  test("contaminationReport df-caps boilerplate shingles out of the pair join") {
+    // contamCorpus: 60 variants share a 40-word core, so each core bigram's
+    // train document frequency is the train-variant count (~48 by the hash
+    // split) — far above maxDf = 4. Uncapped, every test variant reports
+    // every train variant as an offender through the core; capped, the core
+    // shingles are boilerplate (pruned from the join INPUT — the 100 TB
+    // quadratic-key guard) and each test variant degrades to an
+    // n_train_docs = 0 row that still counts its boilerplate shingles.
+    def run(maxDf: Int): Map[Long,
+        (Long, Long, Long, Option[Long], Option[Long], Long, Option[Double])] =
+      TextOps.contaminationReport(contamCorpus, col("doc_id"), col("text"),
+          2, maxDf = maxDf)
+        .as[(Long, Long, Long, Option[Long], Option[Long], Long,
+          Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+    val uncapped = run(1000000)
+    assert(uncapped.nonEmpty, "fixture must put core variants in both splits")
+    val nTrainVariants = uncapped.values.head._3
+    assert(nTrainVariants > 4L, "core df must exceed the test cap")
+    // uncapped: all 39 core bigrams shared with every train variant,
+    // nothing classified boilerplate
+    assert(uncapped.values.forall(r =>
+      r._3 == nTrainVariants && r._4.contains(39L) && r._6 == 0L))
+    val capped = run(4)
+    assert(capped.keySet == uncapped.keySet,
+      "cap must not change WHICH test items get a row, only the evidence")
+    assert(capped.values.forall(r =>
+      r._2 == 40L && r._3 == 0L && r._4.isEmpty && r._5.isEmpty &&
+        r._6 == 39L && r._7.isEmpty))
+    // noise docs share no shingle with anything: never reported either way
+    assert(capped.keys.forall(_ < 500L))
+  }
+
   test("removeRepeatedSpans excises cross-doc and self-repeated passages") {
     val banner = "all rights reserved by the original publisher" // 7 words
     val d = Seq(
