@@ -42,6 +42,60 @@ object UrlOps {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** URLs we canonicalize must have a real scheme+authority; anything
+    * else (relative references, "javascript:", bare hosts, garbage) is
+    * passed through UNCHANGED rather than silently mangled into
+    * `://<original>/` — a malformed crawl URL must stay visibly
+    * malformed, not degrade into a shared empty-host dedup/blocklist
+    * key. */
+  private val HasAuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  // ---------------------------------- RFC 3986 §6.2.2.2 percent-encoding
+  /** The unreserved characters (RFC 3986 §2.3): percent-escapes of these
+    * decode during normalization ("%7Euser" ≡ "~user"); every OTHER
+    * escape is semantic and only has its hex digits uppercased
+    * ("%3a" → "%3A"). '%' itself (0x25) is NOT unreserved, so "%2541"
+    * can never double-decode. */
+  private val Unreserved: Seq[Char] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) ++ Seq('-', '.', '_', '~')
+
+  /** Case-insensitive pattern for one escape, e.g. '~' → "%7[Ee]" (the
+    * first hex digit of every unreserved byte is 2..7 — a digit, no
+    * case form). */
+  private def pctPattern(ch: Char): String = {
+    val hex = f"${ch.toInt}%02X"
+    val d2 = if (hex(1).isDigit) hex(1).toString
+             else s"[${hex(1)}${hex(1).toLower}]"
+    s"%${hex(0)}$d2"
+  }
+
+  /** Percent-encoding normalization as a chain of row-local
+    * regexp_replace steps (66 decodes + 12 hex-uppercases — all
+    * whole-stage-codegen string ops, zero shuffle): decode unreserved
+    * escapes, then uppercase the hex digits of the escapes that remain
+    * (first digit, then second — "%aa" needs both passes). The
+    * uppercase passes only touch two-hex-digit escapes, so a literal
+    * '%' in malformed content is left alone. */
+  private def pctNormalize(u: Column): Column = {
+    val decoded = Unreserved.foldLeft(u)((c, ch) =>
+      regexp_replace(c, pctPattern(ch), ch.toString))
+    val firstUp = "abcdef".foldLeft(decoded)((c, d) =>
+      regexp_replace(c, s"%$d([0-9A-Fa-f])", s"%${d.toUpper}$$1"))
+    "abcdef".foldLeft(firstUp)((c, d) =>
+      regexp_replace(c, s"%([0-9A-F])$d", s"%$$1${d.toUpper}"))
+  }
+
+  /** DuckDB twin of [[pctNormalize]] — the same replace chain (DuckDB
+    * regexp_replace needs the explicit 'g' flag and `\1` backrefs). */
+  private def pctNormalizeSql(e: String): String = {
+    val decoded = Unreserved.foldLeft(e)((c, ch) =>
+      s"regexp_replace($c, '${pctPattern(ch)}', '$ch', 'g')")
+    val firstUp = "abcdef".foldLeft(decoded)((c, d) =>
+      s"regexp_replace($c, '%$d([0-9A-Fa-f])', '%${d.toUpper}\\1', 'g')")
+    "abcdef".foldLeft(firstUp)((c, d) =>
+      s"regexp_replace($c, '%([0-9A-F])$d', '%\\1${d.toUpper}', 'g')")
+  }
+
   /** Lowercase the scheme and host[:port] of `url`'s authority while
     * PRESERVING any userinfo (RFC 3986 §6.2.2.1: scheme and host are
     * case-insensitive; userinfo and everything after the authority are
@@ -59,13 +113,19 @@ object UrlOps {
     concat(scheme, lit("://"), userinfo, hostport, rest)
   }
 
-  /** Canonical URL: fragment stripped; scheme+authority lowercased;
-    * default port removed (`:80` for http, `:443` for https); empty
-    * path normalized to `/`; tracking parameters dropped and the
+  /** Canonical URL: percent-encoding normalized (RFC 3986 §6.2.2.2 —
+    * unreserved escapes decoded, remaining hex uppercased); fragment
+    * stripped; scheme+authority lowercased; default port removed
+    * (`:80` for http, `:443` for https); dot segments removed from the
+    * path (§6.2.2.3 — `/a/./b` and `/a/c/../b` both crawl as `/a/b`);
+    * empty path normalized to `/`; tracking parameters dropped and the
     * surviving query parameters SORTED (parameter order is not
-    * semantic, and sorting makes equal resources string-equal). */
+    * semantic, and sorting makes equal resources string-equal). A URL
+    * with no scheme+authority passes through unchanged (see
+    * [[HasAuthorityRe]]). */
   def canonicalUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val u = pctNormalize(url)
+    val noFrag = regexp_replace(u, "#.*$", "")
     val base = lowerAuthority(regexp_extract(noFrag, "^[^?]*", 0))
     // each default-port pattern is scheme-anchored, so two unconditional
     // rewrites strip exactly the (scheme, default-port) combinations;
@@ -74,19 +134,42 @@ object UrlOps {
       regexp_replace(base,
         "^(http://(?:[^/@]*@)?[^/:]*):80(/|$)", "$1$2"),
       "^(https://(?:[^/@]*@)?[^/:]*):443(/|$)", "$1$2")
-    val base3 = when(regexp_extract(base2, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1) === "",
-      concat(base2, lit("/"))).otherwise(base2)
+    // remove_dot_segments (§6.2.2.3) as a row-local string fold over the
+    // path's segments: '.' is a no-op, '..' pops the last emitted
+    // segment (a pop at root stays at root — leading '..' drops, per
+    // the RFC), anything else appends; a trailing '.'/'..' leaves the
+    // trailing slash the RFC output buffer keeps. The accumulator is
+    // the partially-built path STRING, so the same fold runs as DuckDB
+    // list_reduce — no recursion, no UDF.
+    val prefix = regexp_extract(base2, "^([a-z][a-z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_replace(base2, "^[a-z][a-z0-9+.-]*://[^/]*", "")
+    val segs = split(path, "/")
+    val folded = aggregate(
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), lit(""),
+      (acc, seg) => when(seg === ".", acc)
+        .when(seg === "..", regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(concat(acc, lit("/"), seg)))
+    val base2b = concat(prefix,
+      when(path.rlike("/\\.\\.?$"), concat(folded, lit("/")))
+        .otherwise(folded))
+    val base3 = when(regexp_extract(base2b, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1) === "",
+      concat(base2b, lit("/"))).otherwise(base2b)
     val q = when(noFrag.contains("?"),
       regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
     val kept = array_sort(filter(split(q, "&"), p =>
       p =!= "" && !regexp_extract(p, "^([^=]*)", 1).isin(TrackingParams: _*)))
-    when(size(kept) > 0, concat(base3, lit("?"), concat_ws("&", kept)))
-      .otherwise(base3)
+    when(url.rlike(HasAuthorityRe),
+      when(size(kept) > 0, concat(base3, lit("?"), concat_ws("&", kept)))
+        .otherwise(base3))
+      .otherwise(url)
   }
 
   /** DuckDB twin of [[canonicalUrl]] over a column expression `url`. */
   def canonicalUrlSql(url: String): String =
-    s"""(WITH x AS (SELECT regexp_replace($url, '#.*$$', '') AS nf),
+    s"""(CASE WHEN NOT regexp_matches($url, '$HasAuthorityRe') THEN $url
+       |ELSE
+       |(WITH x0 AS (SELECT ${pctNormalizeSql(url)} AS u),
+       |x AS (SELECT regexp_replace(u, '#.*$$', '') AS nf FROM x0),
        |y AS (SELECT nf,
        |    lower(regexp_extract(regexp_extract(nf, '^[^?]*'),
        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
@@ -101,30 +184,47 @@ object UrlOps {
        |      '^(http://(?:[^/@]*@)?[^/:]*):80(/|$$)', '\\1\\2'),
        |    '^(https://(?:[^/@]*@)?[^/:]*):443(/|$$)', '\\1\\2')
        |    AS b2 FROM y),
+       |ds AS (SELECT nf,
+       |    regexp_extract(b2, '^([a-z][a-z0-9+.-]*://[^/]*)', 1) AS pre,
+       |    regexp_replace(b2, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS pth
+       |  FROM z),
+       |d2 AS (SELECT nf, pre || (CASE
+       |    WHEN regexp_matches(pth, '/\\.\\.?$$') THEN fp || '/'
+       |    ELSE fp END) AS b2
+       |  FROM (SELECT nf, pre, pth,
+       |    list_reduce(list_prepend('', (string_split(pth, '/'))[2:]),
+       |      (acc, seg) -> CASE WHEN seg = '.' THEN acc
+       |        WHEN seg = '..' THEN regexp_replace(acc, '/[^/]*$$', '')
+       |        ELSE acc || '/' || seg END) AS fp FROM ds)),
        |w AS (SELECT nf, CASE
        |    WHEN regexp_extract(b2, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$$', 1) = ''
        |      THEN b2 || '/' ELSE b2 END AS b3,
        |  CASE WHEN contains(nf, '?')
        |    THEN regexp_replace(nf, '^[^?]*\\?', '') ELSE '' END AS q
-       |  FROM z),
+       |  FROM d2),
        |k AS (SELECT b3, list_sort(list_filter(string_split(q, '&'),
        |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1)
        |      IN ${sqlList(TrackingParams)})) AS kept FROM w)
        |SELECT CASE WHEN len(kept) > 0
-       |  THEN b3 || '?' || array_to_string(kept, '&') ELSE b3 END FROM k)"""
-      .stripMargin
+       |  THEN b3 || '?' || array_to_string(kept, '&') ELSE b3 END FROM k)
+       |END)""".stripMargin
 
   /** The lowercased host of `url` (no port, no userinfo — the optional
     * `user[:pw]@` prefix is skipped so credentials can never pose as
-    * the host, which would otherwise be a blocklist bypass). */
+    * the host, which would otherwise be a blocklist bypass), extracted
+    * from the percent-normalized form so "ex%61mple.com" cannot dodge a
+    * blocklist either; NULL when the URL has no scheme+authority (a
+    * malformed URL must not degrade to the shared ''-host key). */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url,
-      s"$SchemeRe://$UserinfoRe([^/:?#]*)", 1))
+    when(url.rlike(HasAuthorityRe),
+      lower(regexp_extract(pctNormalize(url),
+        s"$SchemeRe://$UserinfoRe([^/:?#]*)", 1)))
 
   /** DuckDB twin of [[hostOf]]. */
   def hostOfSql(url: String): String =
-    s"lower(regexp_extract($url, " +
-      s"'$SchemeRe://$UserinfoRe([^/:?#]*)', 1))"
+    s"(CASE WHEN regexp_matches($url, '$HasAuthorityRe') THEN " +
+      s"lower(regexp_extract(${pctNormalizeSql(url)}, " +
+      s"'$SchemeRe://$UserinfoRe([^/:?#]*)', 1)) END)"
 
   /** Registered domain (public-suffix + 1): the last two host labels,
     * or three when the final two form a [[MultiPartSuffixes]] entry —
@@ -135,7 +235,11 @@ object UrlOps {
     val labels = split(host, "\\.")
     val n = size(labels)
     val tail2 = concat_ws(".", slice(labels, -2, 2))
-    when(n <= 2, host)
+    // explicit NULL passthrough: concat_ws SKIPS null inputs, so without
+    // the guard a NULL host (malformed URL) would fall through to the
+    // '' domain — exactly the shared-key degradation hostOf avoids
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
       .when(tail2.isin(suffixes: _*), concat_ws(".", slice(labels, -3, 3)))
       .otherwise(tail2)
   }

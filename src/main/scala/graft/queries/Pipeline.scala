@@ -5578,6 +5578,10 @@ object Pipeline {
       .when(m(6) === 2, ":8080").otherwise("")
     val path = when(m(3) === 0, "").otherwise(
       concat(lit("/p/"), pmod(col("doc_id"), lit(100L)).cast("string")))
+    // percent-escape and dot-segment decorations (round-14): exercise
+    // RFC 3986 §6.2.2.2–6.2.2.3 normalization at the driver gate
+    val deco = when(m(7) === 0, "/./x%7Ea").when(m(7) === 1, "/d/../%41b")
+      .when(m(7) === 2, "/%2e").otherwise("")
     val qid = pmod(col("doc_id"), lit(50L)).cast("string")
     val query = when(m(4) === 0,
         concat(lit("?utm_source=feed&id="), qid, lit("&utm_campaign=x")))
@@ -5585,7 +5589,8 @@ object Pipeline {
       .when(m(4) === 2, concat(lit("?id="), qid))
       .otherwise("")
     val frag = when(m(5) === 0, "#sec").otherwise("")
-    concat(scheme, lit("://"), sub, dom, suffix, port, path, query, frag)
+    concat(scheme, lit("://"), sub, dom, suffix, port, path, deco, query,
+      frag)
   }
 
   /** DuckDB twin of [[urlCol]] over `documents` columns. */
@@ -5601,6 +5606,8 @@ object Pipeline {
        |   WHEN 2 THEN ':8080' ELSE '' END ||
        | CASE WHEN $h % 3 = 0 THEN ''
        |   ELSE '/p/' || CAST(doc_id % 100 AS VARCHAR) END ||
+       | CASE $h % 7 WHEN 0 THEN '/./x%7Ea' WHEN 1 THEN '/d/../%41b'
+       |   WHEN 2 THEN '/%2e' ELSE '' END ||
        | CASE $h % 4
        |   WHEN 0 THEN '?utm_source=feed&id=' ||
        |     CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'

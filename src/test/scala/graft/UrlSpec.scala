@@ -121,6 +121,58 @@ class UrlSpec extends SparkSpec {
     assert(out(5L) === ((1L, 100L, true)))  // <= is inclusive
   }
 
+  test("percent-encoding: unreserved escapes decode, reserved hex uppercases") {
+    // RFC 3986 §6.2.2.2 — the CCNet-style duplicate classes
+    assert(canon("http://a.com/%7Euser") === "http://a.com/~user")
+    assert(canon("http://a.com/%7euser") === "http://a.com/~user")
+    assert(canon("http://a.com/%41b%2dc%5F%2e") === "http://a.com/Ab-c_.")
+    // reserved escapes stay ENCODED, hex digits normalized to uppercase
+    assert(canon("http://a.com/a%3ab%2fc") === "http://a.com/a%3Ab%2Fc")
+    assert(canon("http://a.com/%aa%Af") === "http://a.com/%AA%AF")
+    // %25 is NOT unreserved: "%2541" must not double-decode to "A"
+    assert(canon("http://a.com/%2541") === "http://a.com/%2541")
+    // escapes normalize in the HOST and in query params too: an encoded
+    // host or tracking-param name cannot dodge its rule
+    assert(canon("http://ex%61mple.com/p") === "http://example.com/p")
+    assert(canon("http://a.com/p?%75tm_source=x&b=2") === "http://a.com/p?b=2")
+  }
+
+  test("dot segments: ./.. collapse per RFC 3986 remove_dot_segments") {
+    // the §5.4 composite example
+    assert(canon("http://a.com/a/b/c/./../../g") === "http://a.com/a/g")
+    assert(canon("http://a.com/a/./b") === "http://a.com/a/b")
+    assert(canon("http://a.com/a/c/../b") === "http://a.com/a/b")
+    // leading '..' at the root drops; a pure-dot path is the root
+    assert(canon("http://a.com/../a") === "http://a.com/a")
+    assert(canon("http://a.com/..") === "http://a.com/")
+    assert(canon("http://a.com/.") === "http://a.com/")
+    // trailing '.'/'..' keep the RFC output buffer's trailing slash
+    assert(canon("http://a.com/a/.") === "http://a.com/a/")
+    assert(canon("http://a.com/a/b/..") === "http://a.com/a/")
+    // empty segments are segments, not dots: '//' survives (RFC keeps it)
+    assert(canon("http://a.com/a//b") === "http://a.com/a//b")
+    // %2E decodes to '.' FIRST (§6.2.2.2 before §6.2.2.3), then collapses
+    assert(canon("http://a.com/a/%2E/b") === "http://a.com/a/b")
+    // the dedup class q181 exists to catch: all three are one resource
+    assert(canon("http://a.com/a/./b") === canon("HTTP://A.com:80/x/../a/b"))
+  }
+
+  test("malformed URLs pass through unchanged; host and domain go NULL") {
+    // no scheme+authority: canonicalizing would fabricate '://<url>/'
+    for (bad <- Seq("example.com/p", "/relative/path", "javascript:alert(1)",
+        "", "mailto:a@b.com")) {
+      assert(canon(bad) === bad)
+    }
+    val df = Seq((1L, "example.com/p"), (2L, "http://ok.com/p"))
+      .toDF("doc_id", "u")
+    val out = UrlOps.canonicalize(df, col("doc_id"), col("u"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("host") == null)
+    assert(out(1L).getAs[String]("domain") == null)
+    assert(out(1L).getAs[String]("url_canon") === "example.com/p")
+    assert(out(2L).getAs[String]("host") === "ok.com")
+  }
+
   test("urlDedup: variant fetches collapse onto the min-id keeper") {
     val df = Seq(
       (5L, "http://A.com:80/p?utm_source=x"),  // variant of the same page
