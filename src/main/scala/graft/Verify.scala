@@ -8,6 +8,9 @@ object Verify {
     // args: <sfDir> <outDir> [queryName...] — the optional names restrict
     // the dump (dev iteration); the driver always calls with exactly two.
     val Array(sfDir, outDir) = args.take(2)
+    // fit-replaying oracles (q134) regenerate their frozen model from
+    // the SAME sf dir the queries ran on — published for the thunks
+    System.setProperty("graft.verify.sfdir", sfDir)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()

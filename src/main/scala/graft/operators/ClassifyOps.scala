@@ -49,10 +49,15 @@ object ClassifyOps {
       sum(col("c")).as("n"),
       coalesce(sum(when(col("la") === col("lb"), col("c"))), lit(0L))
         .as("n_agree"))
+    // marginal products reach N²: BIGINT would wrap silently past
+    // ~3e9 agreed rows, so the product-sum runs in DECIMAL(38,0)
+    // (the DuckDB twin's sum() is HUGEINT — 128-bit — natively)
     val marg = conf.groupBy("la").agg(sum(col("c")).as("ra"))
       .join(conf.groupBy("lb").agg(sum(col("c")).as("cb")),
         col("la") === col("lb"))
-      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_num"))
+      .agg(coalesce(sum(col("ra").cast("decimal(19,0)") *
+          col("cb").cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
     val n = col("n").cast("double")
     val po = col("n_agree").cast("double") / n
     val pe = col("pe_num").cast("double") / (n * n)
@@ -96,16 +101,55 @@ object ClassifyOps {
       col("n_tot"), col("n_pos"),
       (coalesce(sum(col("n_tot")).over(w), lit(0L)).cast("double") +
         (col("n_tot").cast("double") + lit(1.0)) / lit(2.0)).as("avg_rank"))
+    // rank-sum reaches ~N²/2: the standard Exact.dsum DECIMAL(28,10)
+    // saturates (NULL) near N~1e9; 38,10 is exact to N~1e14 docs
     ranked.agg(
         sum(col("n_pos")).as("n_pos"),
         sum(col("n_tot") - col("n_pos")).as("n_neg"),
-        Exact.dsum(col("n_pos").cast("double") * col("avg_rank")).as("_r"))
+        sum((col("n_pos").cast("double") * col("avg_rank"))
+          .cast("decimal(38,10)")).cast("double").as("_r"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0, Exact.round6z(
           (col("_r") - col("n_pos").cast("double") *
             (col("n_pos").cast("double") + 1.0) / 2.0) /
           (col("n_pos").cast("double") * col("n_neg").cast("double"))))
           .as("auc"))
+  }
+
+  /** Classifier-drift detector for a FROZEN NB model — the q169
+    * robustDrift shape applied to the classifier tier (r13 verdict item
+    * 4: the NB model "ages silently under a long-running ingest
+    * stream"): per true label, the frozen model's accuracy on its
+    * acceptance BASELINE confusion versus on a new-arrivals confusion,
+    * the drop, and a `needs_refit` verdict — true when the drop exceeds
+    * `dropThresh` or the label is missing on either side (a vanished or
+    * brand-new class is always a refit trigger; NB counts are additive
+    * and COULD fold incrementally, but a drifted input distribution
+    * needs the re-fit decision first — this operator is that trigger).
+    * Inputs are two `(label, pred_label, n)` confusion frames (the
+    * q116/q118 output shape), so it composes over any split or
+    * perturbation; both sides aggregate to label-cardinality frames
+    * before the full-outer compare — nothing corpus-scale ever joins.
+    * Accuracies are 1e-6-rounded before the compare, so the verdict is
+    * engine-exact. */
+  def confusionDrift(baseline: DataFrame, arrivals: DataFrame,
+      dropThresh: Double = 0.1): DataFrame = {
+    def acc(df: DataFrame, accName: String, nName: String): DataFrame =
+      df.groupBy("label").agg(
+        sum(col("n")).as(nName),
+        Exact.round6z(
+          coalesce(sum(when(col("label") === col("pred_label"), col("n"))),
+            lit(0L)).cast("double") / sum(col("n")).cast("double"))
+          .as(accName))
+    acc(baseline, "acc_frozen", "n_base")
+      .join(acc(arrivals, "acc_new", "n_new"), Seq("label"), "full_outer")
+      .select(col("label"), col("n_base"), col("n_new"),
+        col("acc_frozen"), col("acc_new"),
+        Exact.znorm(round(col("acc_frozen") - col("acc_new"), 6))
+          .as("drift"),
+        (col("acc_frozen").isNull || col("acc_new").isNull ||
+          (col("acc_frozen") - col("acc_new")) > dropThresh)
+          .as("needs_refit"))
   }
 
   private def lpDec(c: Column): Column = round(c, 6).cast("decimal(18,6)")

@@ -238,7 +238,19 @@ object CorpusStatsOps {
         .as("norm_entropy"))
     val bi = dist(grams).select(col("did"),
       Exact.round6z(col("h_raw")).as("bigram_entropy"))
-    uni.join(bi, Seq("did"), "left")
+    // anchor on the DOC frame, not the token aggregate: a zero-token
+    // (empty/whitespace-only) doc produces no unigram rows, and an
+    // inner anchor would silently omit it — the screen must SEE such a
+    // doc (n_tokens = 0, NULL entropies) to reject it, and the ingest
+    // face ([[graft.streaming.Streaming.entropyScreenStream]]) emits
+    // exactly that row, so parity is row-for-row including empties
+    base.select(col("did"))
+      .join(uni, Seq("did"), "left")
+      .join(bi, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        col("word_entropy"), col("norm_entropy"), col("bigram_entropy"))
   }
 
   /** Corpus datasheet — the one-row summary a dataset ships with
@@ -260,13 +272,19 @@ object CorpusStatsOps {
     import graft.functions.Exact.round6z
     val base = docs.select(id.as("did"), text.as("t"),
       lang.as("lg"), source.as("src"),
-      graft.functions.HashExpressions.polyHash(text).as("fp"))
+      graft.functions.HashExpressions.polyHash(text).as("fp"),
+      length(text).cast("long").as("fp_len"))
+    // the headline dup statistic counts (polyHash, length) PAIRS: the
+    // 1e9+7-modulus hash alone expects ~n²/2P false "duplicates" —
+    // material at 1e6+ docs in a number release notes quote — while a
+    // pair collision needs same hash AND same exact length
     val docAgg = base.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("lg")).as("n_langs"),
       countDistinct(col("src")).as("n_sources"),
       sum(length(col("t"))).cast("long").as("n_chars"),
-      (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+      (count(lit(1)) - countDistinct(col("fp"), col("fp_len")))
+        .as("n_exact_dups"),
       graft.functions.Exact.countIf(
         graft.operators.TextOps.qualityComposite(col("t")) >=
           graft.operators.TextOps.DefaultMinQuality).as("n_quality_keep"),

@@ -267,9 +267,12 @@ object PQOps {
     val c = emb.select(id.as("nid"), vec.as("n_e"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("l2_dist"), col("nid"))
-    shortlist.select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
-      .join(broadcast(q), "qid")
-      .join(c, "nid")
+    // the (queries × shortlist)-row frame broadcasts; the corpus float
+    // fetch is then a map-side hash join, never an SMJ shuffle of emb
+    c.join(broadcast(
+        shortlist.select(col("query_id").as("qid"),
+          col("neighbor_id").as("nid"))
+        .join(broadcast(q), "qid")), "nid")
       .withColumn("l2_dist", round(
         selfDot("q") - lit(2.0) * VectorExpressions.floatDot(
           col("q_e"), col("n_e")) + selfDot("n"), 6))

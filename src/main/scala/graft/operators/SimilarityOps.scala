@@ -162,7 +162,10 @@ object SimilarityOps {
       vec: Column, k: Int): DataFrame = {
     val c = withNorm(corpus, id, vec, "nid")
     val q = withNorm(queries, id, vec, "qid")
-    val scored = q.join(c, col("qid") =!= col("nid"))
+    // queries broadcast (tens of rows by contract): the corpus streams
+    // through one BroadcastNestedLoopJoin instead of a planner-estimated
+    // SMJ/cartesian — the only distributed plan brute force admits
+    val scored = broadcast(q).join(c, col("qid") =!= col("nid"))
       .withColumn("cos_sim", pairCosine("qid", "nid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
@@ -238,7 +241,10 @@ object SimilarityOps {
     val q = assign(withNorm(queries, id, vec, "qid"), "qid", "qcell", nProbe)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
-    q.join(c, col("qcell") === col("cell") && col("qid") =!= col("nid"))
+    // the probe side is queries × nProbe rows — broadcast, so the
+    // cell-bucketed corpus never shuffles for this equi-join
+    broadcast(q).join(c,
+        col("qcell") === col("cell") && col("qid") =!= col("nid"))
       .withColumn("cos_sim", pairCosine("qid", "nid"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
@@ -465,8 +471,9 @@ object SimilarityOps {
   def annRecall(truth: DataFrame, approx: DataFrame,
       method: String): DataFrame =
     truth.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"))
-        .withColumn("_hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L))), Seq("query_id", "neighbor_id"),
+        "left")
       .agg(count(lit(1)).as("n_truth"),
         sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
       .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
@@ -481,7 +488,9 @@ object SimilarityOps {
       .withColumn("bucket", signBucket(col("nid_e"), nBits))
     val q = withNorm(queries, id, vec, "qid")
       .withColumn("qbucket", signBucket(col("qid_e"), nBits))
-    val scored = q.join(c,
+    // broadcast the bucketed queries: corpus-side bucket rows stream
+    // map-side, no shuffle on the bucket key
+    val scored = broadcast(q).join(c,
         col("qbucket") === col("bucket") && col("qid") =!= col("nid"))
       .withColumn("cos_sim", pairCosine("qid", "nid"))
     val w = Window.partitionBy(col("qid"))

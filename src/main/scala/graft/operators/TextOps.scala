@@ -1851,10 +1851,47 @@ object TextOps {
     * model rows. */
   def knModelParts(docs: DataFrame, text: Column,
       discount: Double = KnDiscount)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    knPartsFromCounts(knBigramCounts(docs, text), discount)
+
+  /** Incremental maintenance of the frozen KN statistics — the
+    * gramIndexUpdate treatment ([[SpanDedupOps]], `SpanDedupOps
+    * .scala:139`) applied to the language model, closing the r13
+    * verdict's "frozen models age silently" gap for the KN-LM: the
+    * PRIMITIVE statistic is the bigram-type count frame `(v, w, c_vw)`
+    * and counts are ADDITIVE, so a new-arrivals delta folds in with one
+    * full-outer merge of two bigram-VOCABULARY-sized frames — the old
+    * corpus is never re-scanned — and every derived statistic (context
+    * totals, continuation counts, the type total, every `P(w|v)`)
+    * re-derives from the merged frame at vocabulary cost via
+    * [[knModelFromCounts]]. Same precondition as every ingest fold
+    * here: delta docs are NEW arrivals (a re-crawl goes through CDC
+    * apply + re-stat, not this fold). Invariant:
+    * `update(counts(A), B) ≡ counts(A ∪ B)` — q182's oracle replays the
+    * full-rebuild model in SQL, so merge-equals-rebuild IS the driver
+    * gate (the q168 convention). */
+  def knCountsUpdate(prev: DataFrame, delta: DataFrame,
+      text: Column): DataFrame =
+    prev.select(col("v"), col("w"), col("c_vw").as("_ca"))
+      .join(knBigramCounts(delta, text)
+          .select(col("v"), col("w"), col("c_vw").as("_cb")),
+        Seq("v", "w"), "full_outer")
+      .select(col("v"), col("w"),
+        (coalesce(col("_ca"), lit(0L)) + coalesce(col("_cb"), lit(0L)))
+          .as("c_vw"))
+
+  /** The interpolated-KN model frame re-derived from a (possibly
+    * [[knCountsUpdate]]-merged) bigram-count frame — the refresh path's
+    * second half: everything downstream of the counts is
+    * vocabulary-scale re-aggregation, cheap enough to run per fold. */
+  def knModelFromCounts(cvw: DataFrame,
+      discount: Double = KnDiscount): DataFrame =
+    knPartsFromCounts(cvw, discount)._1
+
+  private def knPartsFromCounts(cvw: DataFrame, discount: Double)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(discount > 0.0 && discount < 1.0,
       s"KN discount must be in (0,1), got $discount")
-    val cvw = knBigramCounts(docs, text)
     val ctx = cvw.groupBy("v")
       .agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1p_v"))
     val cont = cvw.groupBy("w").agg(count(lit(1)).as("n1p_w"))

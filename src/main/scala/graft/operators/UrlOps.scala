@@ -302,24 +302,47 @@ object UrlOps {
     * (a single giant page must not zero out its domain). Returns every
     * doc with its in-domain rank, cumulative tokens, and keep verdict.
     *
-    * Shape: one window pass partitioned by domain — the shuffle is on
-    * the domain key, and the per-domain sort is bounded by domain
-    * cardinality skew; a corpus-dominating domain is exactly the case
-    * where the cap fires early, so pair with a pre-filter on
-    * [[domainStats]] (`n_docs` threshold) when one domain holds a
-    * double-digit corpus share. */
+    * Shape: the skew bound is ENFORCED, not advisory (r13 verdict item
+    * 7) — `maxDocsPerDomain` caps how many docs per domain ever reach
+    * the ordered window, via an exact salted two-phase top-N: phase 1
+    * ranks within (domain, doc_id mod `salt`) buckets — every global
+    * top-N doc is in its bucket's top-N, so pruning to N per bucket
+    * loses nothing — and phase 2 runs the true per-domain window over
+    * ≤ salt·maxDocs candidate rows. A corpus-dominating domain (the
+    * RefinedWeb head: one domain with double-digit share) therefore
+    * costs one task ~(its docs)/salt in phase 1 and ≤ salt·maxDocs in
+    * phase 2, instead of single-threading its entire doc list; `salt`
+    * scales with executor count. Docs pruned in phase 1 stay in the
+    * OUTPUT (auditable, like [[urlDedup]]'s drops) with NULL
+    * rank/cum_tokens and keep = false — by construction they rank
+    * below maxDocsPerDomain, far past any sane budget. */
   def domainTokenCap(docs: DataFrame, id: Column, domain: Column,
-      tokens: Column, score: Column, tokenBudget: Long): DataFrame = {
+      tokens: Column, score: Column, tokenBudget: Long,
+      maxDocsPerDomain: Long = 100000L, salt: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val base = docs.select(id.as("doc_id"), domain.as("domain"),
+      tokens.cast("long").as("n_tokens"), score.as("score"))
+    val wS = Window.partitionBy(col("domain"), col("_salt"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val cand = base
+      .withColumn("_salt", pmod(col("doc_id"), lit(salt.toLong)))
+      .withColumn("_srk", row_number().over(wS))
+      .where(col("_srk") <= maxDocsPerDomain)
+      .drop("_salt", "_srk")
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    docs.select(id.as("doc_id"), domain.as("domain"),
-        tokens.cast("long").as("n_tokens"), score.as("score"))
+    val ranked = cand
       .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= maxDocsPerDomain)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("keep",
         col("cum_tokens") <= tokenBudget || col("rank") === 1L)
+    base.join(
+        ranked.select(col("doc_id"), col("rank"), col("cum_tokens"),
+          col("keep")),
+        Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
   }
 
   /** Per-registered-domain corpus rollup over a [[canonicalize]] frame

@@ -4001,7 +4001,51 @@ object Pipeline {
       graft.operators.WhitenOps.whitenLong(
         emb, col("vec_id"), col("embedding"), model)
     },
-    None)
+    Some(() => whitenApplyOracle()))
+
+  /** The q134 APPLY oracle (r13 verdict item 5 — rows-only → hash-gated):
+    * the eigendecomposition is not SQL-replayable, but the fit is
+    * DETERMINISTIC (fixed-order cyclic Jacobi: same input bytes ⇒ same
+    * model), so the oracle thunk re-fits the model at dump time and
+    * embeds it as frozen (i, j, w) / (j, mu) VALUES tables — the q133
+    * moment-table pattern one step further. DuckDB then replays
+    * `y_i = Σ_j w[i,j]·(x_j − μ_j)` as a join+ordered-fold against the
+    * same parquet input: `list_reduce(list(term ORDER BY j))` is a
+    * left fold, bit-identical to [[graft.functions.AffineProject]]'s
+    * ascending-j double accumulation, so the 1e-6 round cannot straddle
+    * an ulp. What this gates: the distributed apply — the codegen'd
+    * kernel, centering, row-major indexing, posexplode, rounding —
+    * against an independent engine's arithmetic. */
+  private def whitenApplyOracle(): String = {
+    // graft.Verify publishes the sf dir it ran on; outside Verify (the
+    // contract tests enumerate oracleSql) the smallest test dir stands
+    // in — the thunk still needs an active SparkSession for the fit
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+      "/root/testdata/sf0.001")
+    val s = org.apache.spark.sql.SparkSession.active
+    val model = graft.operators.WhitenOps.fitZca(
+      graft.operators.WhitenOps.moments(
+        Tables.embeddings(s, sfDir), col("embedding"), DIM), DIM)
+    def d(x: Double) = java.lang.Double.toString(x) // shortest round-trip
+    val wRows = (for (i <- 0 until DIM; j <- 0 until DIM)
+      yield s"($i,$j,${d(model.w(i * DIM + j))})").mkString(",")
+    val mRows = (0 until DIM).map(j => s"($j,${d(model.mean(j))})")
+      .mkString(",")
+    s"""WITH wm(i, j, w) AS (VALUES $wRows),
+       |mm(j, mu) AS (VALUES $mRows),
+       |x AS (SELECT vec_id, i - 1 AS j,
+       |    CAST(embedding[i] AS DOUBLE) AS xv
+       |  FROM embeddings, UNNEST(generate_series(1, $DIM)) AS t(i)),
+       |c AS (SELECT vec_id, x.j, xv - mu AS cent
+       |  FROM x JOIN mm ON mm.j = x.j),
+       |tm AS (SELECT vec_id, wm.i AS dim, wm.w * c.cent AS term, c.j
+       |  FROM c JOIN wm ON wm.j = c.j),
+       |sm AS (SELECT vec_id, dim,
+       |    list_reduce(list(term ORDER BY j), (a, b) -> a + b) AS v
+       |  FROM tm GROUP BY 1, 2)
+       |SELECT vec_id, dim, round(v, 6) + 0.0 AS value FROM sm"""
+      .stripMargin
+  }
 
   /** Blocklist screen ([[TextOps.blocklistScreen]], Aho-Corasick): all
     * substring hits of a frozen phrase list in one automaton walk per
@@ -5305,6 +5349,144 @@ object Pipeline {
        |  doc_id = keeper_id AS keep
        |FROM r JOIN g ON r.url_canon = g.url_canon""".stripMargin)
 
+  /** KN-LM statistics refresh ([[TextOps.knCountsUpdate]] +
+    * [[TextOps.knModelFromCounts]]) — the gramIndexUpdate treatment for
+    * the language model (r13 verdict item 4): the corpus splits into a
+    * frozen base and a new-arrivals delta, the delta's bigram counts
+    * FOLD into the frozen count frame (one full-outer merge of
+    * bigram-vocabulary-sized frames — the old corpus is never
+    * re-scanned), and the full interpolated-KN model re-derives from
+    * the merged counts at vocabulary cost. The oracle replays the
+    * FULL-REBUILD model over A ∪ B in SQL, so merge-equals-rebuild is
+    * the hash gate across every derived statistic (context totals,
+    * continuation counts, each smoothed probability) — the q168
+    * convention at model depth. */
+  private val q182 = QueryDef(
+    "q182_kn_stats_refresh",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.where(col("doc_id") % 4 =!= 0)
+      val delta = docs.where(col("doc_id") % 4 === 0)
+      TextOps.knModelFromCounts(
+        TextOps.knCountsUpdate(
+          TextOps.knBigramCounts(base, col("text")), delta, col("text")))
+        .drop("_lp")
+    },
+    s"""WITH ${knModelCtes("documents")}
+       |SELECT v, w, c_vw, c_v, n1p_v, n1p_w,
+       |  round($knPSql, 6) AS p_kn
+       |FROM cvw JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot"""
+      .stripMargin)
+
+  /** NB classifier drift ([[graft.operators.ClassifyOps
+    * .confusionDrift]]) — the q169 robustDrift shape for the learned
+    * classifier tier: the NB language model is frozen on the hash-split
+    * train corpus, its held-out confusion is the acceptance BASELINE
+    * (the q118 artifact), a synthetic arrivals batch perturbs the `de`
+    * documents' token distribution (vowel squash — a deterministic,
+    * SQL-replayable encoding-drift stand-in), and each label reports
+    * its frozen-model accuracy drop plus the needs_refit verdict. Full
+    * oracle: the q118 chain applied twice (baseline + perturbed held
+    * split) and reduced to per-label accuracy drift.
+    *
+    * Honest finding (sf0.01): no label flags — the held-out NB is
+    * already chance-level on this shared-vocabulary synthetic corpus
+    * (`de` acc 0.056 baseline, the q176 κ≈0.002 verdict from the other
+    * direction), so an all-OOV perturbation cannot DROP it 0.1; the
+    * firing semantics (collapse → flag, vanished/new label → flag) are
+    * pinned on a synthetic confusion fixture in ClassifyOpsSpec. */
+  private val q183 = QueryDef(
+    "q183_nb_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = TextOps.hashSplit(docs, col("doc_id"), col("text"))
+      val withSplit = docs.join(split.select("doc_id", "split"), "doc_id")
+      val train = withSplit.where(col("split") === "train")
+      val held = withSplit.where(col("split") =!= "train")
+      def confusion(apply: org.apache.spark.sql.DataFrame) =
+        graft.operators.ClassifyOps.nbClassify(
+            train, col("text"), col("lang"),
+            apply, col("doc_id"), col("text"), Some(col("lang")))
+          .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+      val arrivals = held.withColumn("text",
+        when(col("lang") === "de", translate(col("text"), "aeiou", "xxxxx"))
+          .otherwise(col("text")))
+      graft.operators.ClassifyOps.confusionDrift(
+        confusion(held), confusion(arrivals))
+    }, {
+      val ls = NbLangs
+      val dec = "DECIMAL(18,6)"
+      val ph = graft.functions.TextHash.polyHashSql("text")
+      // the q118 apply chain, emitted once per side with a prefix
+      def applyChain(p: String): String =
+        s"""${p}htoks AS (SELECT doc_id, lang,
+           |    unnest(string_split(text, ' ')) AS word FROM ${p}held),
+           |${p}sums AS (SELECT t.doc_id, t.lang,
+           |    ${ls.map(l => s"sum(COALESCE(m.lp_$l, oov.oov_$l)) AS s_$l")
+                .mkString(", ")}
+           |  FROM ${p}htoks t LEFT JOIN model m ON m.word = t.word
+           |  CROSS JOIN oov GROUP BY 1, 2),
+           |${p}scored AS (SELECT doc_id, lang,
+           |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
+           |  FROM ${p}sums CROSS JOIN pri),
+           |${p}pick AS (
+           |  SELECT doc_id, lang, l AS pred_label,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l)
+           |      AS rk
+           |  FROM (SELECT doc_id, lang,
+           |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
+           |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
+           |    FROM ${p}scored) u),
+           |${p}cells AS (SELECT lang AS label, pred_label,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM ${p}pick WHERE rk = 1 GROUP BY 1, 2),
+           |${p}acc AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_${p},
+           |    round(coalesce(sum(CASE WHEN label = pred_label THEN n END),
+           |      0) / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS acc_${p}
+           |  FROM ${p}cells GROUP BY 1)""".stripMargin
+      s"""WITH train AS (SELECT * FROM documents WHERE $ph % 100 < 80),
+         |bheld AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE $ph % 100 >= 80),
+         |aheld AS (SELECT doc_id, lang,
+         |    CASE WHEN lang = 'de' THEN translate(text, 'aeiou', 'xxxxx')
+         |      ELSE text END AS text
+         |  FROM documents WHERE $ph % 100 >= 80),
+         |toks AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS word FROM train),
+         |cls AS (SELECT count(DISTINCT word) AS v,
+         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
+              .mkString(",\n    ")}
+         |  FROM toks),
+         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
+         |pri AS (SELECT
+         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
+              s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
+              .mkString(",\n    ")}
+         |  FROM train),
+         |oov AS (SELECT
+         |    ${ls.map(l => s"CAST(round(ln(1.0 / (cls.tot_$l + cls.v)), 6)" +
+              s" AS $dec) AS oov_$l").mkString(",\n    ")}
+         |  FROM cls),
+         |model AS (
+         |  SELECT w.word,
+         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
+              s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
+              .mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
+         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
+              .mkString("\n  ")}),
+         |${applyChain("b")},
+         |${applyChain("a")}
+         |SELECT coalesce(bacc.label, aacc.label) AS label,
+         |  n_b AS n_base, n_a AS n_new,
+         |  acc_b AS acc_frozen, acc_a AS acc_new,
+         |  round(acc_b - acc_a, 6) + 0.0 AS drift,
+         |  (bacc.label IS NULL OR aacc.label IS NULL
+         |    OR acc_b - acc_a > 0.1) AS needs_refit
+         |FROM bacc FULL OUTER JOIN aacc ON bacc.label = aacc.label"""
+        .stripMargin
+    })
+
   /** Corpus datasheet ([[graft.operators.CorpusStatsOps.datasheet]]):
     * the one-row release summary — sizes, composition, and the
     * headline health rates (exact-dup fraction, quality keep rate,
@@ -5321,7 +5503,8 @@ object Pipeline {
        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       |    CAST(count(*) - count(DISTINCT (fp, length(text))) AS BIGINT)
+       |      AS n_exact_dups,
        |    CAST(sum(CASE WHEN $qualityCompositeSql
        |      >= ${TextOps.DefaultMinQuality} THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_quality_keep,
@@ -5485,20 +5668,21 @@ object Pipeline {
        |    ${graft.operators.UrlOps.hostOfSql("u.url")} AS host FROM u),
        |r AS (SELECT doc_id, toks, score,
        |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
-       |  FROM c)
+       |  FROM c),
+       |rk AS (SELECT doc_id, domain, toks, score,
+       |    CAST(row_number() OVER (PARTITION BY domain
+       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
+       |    CAST(sum(toks) OVER (PARTITION BY domain
+       |      ORDER BY score DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM r)
        |SELECT doc_id, domain, toks AS n_tokens, score,
-       |  CAST(row_number() OVER (PARTITION BY domain
-       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-       |  CAST(sum(toks) OVER (PARTITION BY domain
-       |    ORDER BY score DESC, doc_id ASC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |    AS cum_tokens,
-       |  (CAST(sum(toks) OVER (PARTITION BY domain
-       |    ORDER BY score DESC, doc_id ASC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |    <= 150 OR row_number() OVER (PARTITION BY domain
-       |    ORDER BY score DESC, doc_id ASC) = 1) AS keep
-       |FROM r""".stripMargin)
+       |  CASE WHEN rnk <= 100000 THEN rnk END AS rank,
+       |  CASE WHEN rnk <= 100000 THEN cum END AS cum_tokens,
+       |  CASE WHEN rnk <= 100000 THEN (cum <= 150 OR rnk = 1)
+       |    ELSE false END AS keep
+       |FROM rk""".stripMargin)
 
   /** Cohen's κ between the q38 heuristic language prediction and the
     * stored labels ([[graft.operators.ClassifyOps.cohenKappa]]) — the
@@ -5540,7 +5724,7 @@ object Pipeline {
          |  FROM conf),
          |ra AS (SELECT la, sum(c) AS ra FROM conf GROUP BY 1),
          |cb AS (SELECT lb, sum(c) AS cb FROM conf GROUP BY 1),
-         |m AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+         |m AS (SELECT coalesce(sum(ra * cb), 0) AS pe_num
          |  FROM ra JOIN cb ON la = lb)
          |SELECT n, n_agree,
          |  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
@@ -5643,7 +5827,7 @@ object Pipeline {
        |a AS (SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
        |    CAST(sum(n_tot - n_pos) AS BIGINT) AS n_neg,
        |    CAST(CAST(sum(CAST(CAST(n_pos AS DOUBLE) * avg_rank
-       |      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS rs
+       |      AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS rs
        |  FROM r)
        |SELECT n_pos, n_neg,
        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
@@ -5690,13 +5874,15 @@ object Pipeline {
       |    CAST(CAST(sum(CAST(term AS DECIMAL(28,10))) AS VARCHAR)
       |      AS DOUBLE) AS h
       |  FROM gt GROUP BY 1)
-      |SELECT ua.did, n_tok AS n_tokens, n_typ AS n_types,
+      |SELECT base.did, coalesce(n_tok, 0) AS n_tokens,
+      |  coalesce(n_typ, 0) AS n_types,
       |  round(ua.h, 6) + 0.0 AS word_entropy,
       |  CASE WHEN n_typ > 1
       |    THEN round(ua.h / ln(CAST(n_typ AS DOUBLE)), 6) + 0.0 END
       |    AS norm_entropy,
       |  round(ga.h, 6) + 0.0 AS bigram_entropy
-      |FROM ua LEFT JOIN ga ON ua.did = ga.did""".stripMargin)
+      |FROM base LEFT JOIN ua ON base.did = ua.did
+      |  LEFT JOIN ga ON base.did = ga.did""".stripMargin)
 
   /** URL canonicalization ([[graft.operators.UrlOps.canonicalize]]):
     * fragment/tracking-param/default-port/case normalization plus
@@ -5792,7 +5978,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181)
+    q181, q182, q183)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

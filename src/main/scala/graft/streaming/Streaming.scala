@@ -1939,10 +1939,21 @@ object Streaming {
   def streamDedupStream(docs: DataFrame,
       timeCol: String = "event_time"): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
+    // the dedup key is (polyHash, xxhash64, length): polyHash alone is
+    // mod 1e9+7 (~2^30), where birthday collisions — i.e. FALSE DROPS,
+    // unauditable in a physically-dropping face — are expected within a
+    // watermark window at ~n²/2P (≈5 per 100k in-window docs). The
+    // composite widens the space to ~2^94: independent hash families
+    // (polynomial-mod vs xxhash64) plus the exact length make a false
+    // drop need a simultaneous 3-way collision, ~1 per 10^13 windows at
+    // the same volume. State cost: +16 bytes per in-window distinct doc.
     docs.withWatermark(timeCol, WatermarkDelay)
       .withColumn("content_fp",
         graft.functions.HashExpressions.polyHash(col("text")))
-      .dropDuplicatesWithinWatermark("content_fp")
+      .withColumn("content_fp64", xxhash64(col("text")))
+      .withColumn("content_len", length(col("text")).cast("long"))
+      .dropDuplicatesWithinWatermark("content_fp", "content_fp64",
+        "content_len")
   }
 
   /** Ingest face of [[graft.operators.UrlOps.canonicalize]] — URL
@@ -1954,6 +1965,21 @@ object Streaming {
       timeCol: String = "event_time"): DataFrame =
     graft.operators.UrlOps.canonicalize(
       docs, col("doc_id"), col("url"), keep = Seq(timeCol))
+
+  /** Within-stream exact-URL dedup — the ingest twin of the q181 batch
+    * semantics ([[graft.operators.UrlOps.urlDedup]]), composed over
+    * [[urlCanonStream]]: arrivals dedup against each other on the FULL
+    * canonical-URL string (exact key, no hash-collision false drops;
+    * the state row carries the string, bounded by the watermark
+    * horizon like [[streamDedupStream]]). Crawl frontiers refetch the
+    * same resource in bursts — tracking-param variants, fragments,
+    * case — so the stage-zero drop point is the ingest edge; the
+    * batch face remains the auditable keeper/copy-count record. */
+  def urlDedupStream(docs: DataFrame,
+      timeCol: String = "event_time"): DataFrame =
+    urlCanonStream(docs, timeCol)
+      .withWatermark(timeCol, WatermarkDelay)
+      .dropDuplicatesWithinWatermark("url_canon")
 
   def htmlExtractStream(docs: DataFrame, minWords: Int = 6,
       rescueWords: Int = 3, timeCol: String = "event_time"): DataFrame = {

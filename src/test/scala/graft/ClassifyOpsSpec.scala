@@ -203,4 +203,29 @@ class ClassifyOpsSpec extends SparkSpec {
     val echo = kap(Seq(("x", "x"), ("x", "x"), ("x", "x"), ("y", "x")))
     assert(echo._5 === Some(0.0))
   }
+
+  test("confusionDrift: drop flags, stable passes, vanished/new labels flag") {
+    import graft.operators.ClassifyOps
+    // baseline: en 9/10 correct, de 8/10 correct, zz present
+    val base = Seq(
+      ("en", "en", 9L), ("en", "de", 1L),
+      ("de", "de", 8L), ("de", "en", 2L),
+      ("zz", "zz", 5L)).toDF("label", "pred_label", "n")
+    // arrivals: en stable, de collapses (2/10), zz VANISHED, 'new' appears
+    val arr = Seq(
+      ("en", "en", 18L), ("en", "de", 2L),
+      ("de", "de", 2L), ("de", "en", 8L),
+      ("new", "en", 4L)).toDF("label", "pred_label", "n")
+    val out = ClassifyOps.confusionDrift(base, arr)
+      .collect().map(r => r.getAs[String]("label") ->
+        ((Option(r.getAs[java.lang.Double]("acc_frozen")),
+          Option(r.getAs[java.lang.Double]("acc_new")),
+          Option(r.getAs[java.lang.Double]("drift")),
+          r.getAs[Boolean]("needs_refit")))).toMap
+    assert(out("en") === ((Some(0.9), Some(0.9), Some(0.0), false)))
+    assert(out("de") === ((Some(0.8), Some(0.2), Some(0.6), true)))
+    assert(out("zz") === ((Some(1.0), None, None, true)))
+    assert(out("new") === ((None, Some(0.0), None, true)))
+    assert(out.size === 4)
+  }
 }

@@ -258,6 +258,27 @@ class IngestFacesSpec extends SparkSpec {
       key(WinnowOps.fingerprints(docs, col("doc_id"), col("text"))))
   }
 
+  test("knCountsUpdate: merged delta equals rebuild, down to each P(w|v)") {
+    import graft.operators.TextOps
+    // overlapping bigram vocabulary across base and delta, so the merge
+    // actually SUMS (a disjoint-vocab fixture would pass with a broken
+    // coalesce); plus a delta-only and a base-only bigram
+    val base = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val delta = Seq((3L, "a b x y"), (4L, "c d c d")).toDF("doc_id", "text")
+    val all = base.unionAll(delta)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val merged = TextOps.knCountsUpdate(
+      TextOps.knBigramCounts(base, col("text")), delta, col("text"))
+    assert(key(merged) === key(TextOps.knBigramCounts(all, col("text"))))
+    // ("a","b") counted in BOTH halves: the fold must sum 2 + 1
+    assert(merged.where(col("v") === "a" && col("w") === "b")
+      .head().getAs[Long]("c_vw") === 3L)
+    // every derived statistic re-derives identically from the fold
+    assert(key(TextOps.knModelFromCounts(merged)) ===
+      key(TextOps.knBigramModel(all, col("text"))))
+  }
+
   test("robustDrift flags the drifted group and the degenerate frozen group only") {
     val frozen = Seq(
       ("en", 100.0, 10.0), ("de", 100.0, 10.0), ("zz", 100.0, 0.0))
@@ -284,7 +305,11 @@ class IngestFacesSpec extends SparkSpec {
     try {
       val rows = Seq(
         (1L, "a a a a"), (2L, "a b a b"), (3L, "w"),
-        (4L, "x y z x y q r s t u v"))
+        (4L, "x y z x y q r s t u v"),
+        // zero-token docs: BOTH faces must emit the (0, 0, NULL, NULL,
+        // NULL) row — the batch op anchors on the doc frame so an
+        // empty doc is seen (and rejectable), not silently omitted
+        (5L, ""), (6L, "   "))
       in.addData(rows.map { case (i, t) => (i, t, ts(T0)) }: _*)
       q.processAllAvailable()
       def k(r: org.apache.spark.sql.Row) = (
@@ -302,6 +327,8 @@ class IngestFacesSpec extends SparkSpec {
           Option(r.getAs[java.lang.Double]("norm_entropy")),
           Option(r.getAs[java.lang.Double]("bigram_entropy")))).toMap
       assert(got === exp)
+      assert(got(5L) === ((0L, 0L, None, None, None)))
+      assert(got(6L) === ((0L, 0L, None, None, None)))
     } finally q.stop()
   }
 
@@ -340,6 +367,41 @@ class IngestFacesSpec extends SparkSpec {
       // one survivor per distinct content within the watermark horizon
       assert(got.intersect(Set(1L, 2L, 4L)).size === 1)
       assert(got.contains(3L))
+    } finally q.stop()
+  }
+
+  test("urlDedupStream collapses canonical-URL variants like batch urlDedup") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.urlDedupStream(
+      in.toDS().toDF("doc_id", "url", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("udd1").start()
+    try {
+      val urls = Seq(
+        (5L, "http://A.com:80/p?utm_source=x", ts(T0)),
+        (2L, "http://a.com/p", sec(T0, 3)),
+        (9L, "http://a.com/p#frag", sec(T0, 6)),
+        (3L, "http://a.com/q", ts(T0)))
+      in.addData(urls: _*)
+      q.processAllAvailable()
+      val got = spark.table("udd1")
+        .select("doc_id", "url_canon").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // one survivor per canonical URL — the same grouping the batch
+      // face (q181) keys on; the stream keeps an arrival, the batch
+      // face keeps min-id, so parity is on the canonical-key PARTITION
+      assert(got.length === 2)
+      assert(got.map(_._2).toSet ===
+        Set("http://a.com/p", "http://a.com/q"))
+      assert(got.collect { case (id, "http://a.com/p") => id }
+        .forall(Set(5L, 2L, 9L).contains))
+      // batch parity on the keyed partition: same distinct canon keys
+      val batch = graft.operators.UrlOps.urlDedup(
+        graft.operators.UrlOps.canonicalize(
+          urls.toDF("doc_id", "url", "event_time"),
+          col("doc_id"), col("url")))
+      assert(batch.select("url_canon").distinct().collect()
+        .map(_.getString(0)).toSet === got.map(_._2).toSet)
     } finally q.stop()
   }
 

@@ -121,6 +121,39 @@ class UrlSpec extends SparkSpec {
     assert(out(5L) === ((1L, 100L, true)))  // <= is inclusive
   }
 
+  test("domainTokenCap: maxDocsPerDomain prunes a head domain, salt-invariantly") {
+    // head.com holds 40 of 42 docs — the RefinedWeb head-domain shape.
+    // With maxDocsPerDomain = 8 the ordered window sees ≤ 8 head rows
+    // (phase 2; phase 1 buckets see ~40/salt each), and the output still
+    // carries all 42 docs: pruned ones keep NULL rank/cum and keep=false.
+    val head = (1 to 40).map(i =>
+      (i.toLong, "head.com", 10L, (i % 7).toDouble / 10.0))
+    val tail = Seq((101L, "t.com", 10L, 0.5), (102L, "t.com", 10L, 0.4))
+    val df = (head ++ tail).toDF("doc_id", "domain", "toks", "score")
+    def run(maxDocs: Long, salt: Int) = UrlOps.domainTokenCap(
+        df, col("doc_id"), col("domain"), col("toks"), col("score"),
+        tokenBudget = 60L, maxDocsPerDomain = maxDocs, salt = salt)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("rank")).map(Long2long),
+          Option(r.getAs[java.lang.Long]("cum_tokens")).map(Long2long),
+          r.getAs[Boolean]("keep")))).toMap
+    val full = run(100000L, 32)
+    val capped = run(8L, 5)
+    assert(capped.size === 42, "pruned docs must stay in the output")
+    capped.foreach { case (id, (rk, cum, keep)) =>
+      full(id) match {
+        case (Some(fr), fc, fk) if fr <= 8L =>
+          // the salted prune is EXACT: survivors carry the global values
+          assert((rk, cum, keep) === ((Some(fr), fc, fk)), s"doc $id")
+        case _ =>
+          assert(rk.isEmpty && cum.isEmpty && !keep, s"doc $id")
+      }
+    }
+    assert(capped.values.count(_._1.nonEmpty) === 10) // 8 head + 2 tail
+    // bucket arithmetic cannot change the answer
+    assert(run(8L, 1) === capped && run(8L, 7) === capped)
+  }
+
   test("percent-encoding: unreserved escapes decode, reserved hex uppercases") {
     // RFC 3986 §6.2.2.2 — the CCNet-style duplicate classes
     assert(canon("http://a.com/%7Euser") === "http://a.com/~user")
