@@ -69,21 +69,17 @@ object UrlOps {
     s"%${hex(0)}$d2"
   }
 
-  /** Percent-encoding normalization as a chain of row-local
-    * regexp_replace steps (66 decodes + 12 hex-uppercases — all
-    * whole-stage-codegen string ops, zero shuffle): decode unreserved
-    * escapes, then uppercase the hex digits of the escapes that remain
-    * (first digit, then second — "%aa" needs both passes). The
-    * uppercase passes only touch two-hex-digit escapes, so a literal
-    * '%' in malformed content is left alone. */
-  private def pctNormalize(u: Column): Column = {
-    val decoded = Unreserved.foldLeft(u)((c, ch) =>
-      regexp_replace(c, pctPattern(ch), ch.toString))
-    val firstUp = "abcdef".foldLeft(decoded)((c, d) =>
-      regexp_replace(c, s"%$d([0-9A-Fa-f])", s"%${d.toUpper}$$1"))
-    "abcdef".foldLeft(firstUp)((c, d) =>
-      regexp_replace(c, s"%([0-9A-F])$d", s"%$$1${d.toUpper}"))
-  }
+  /** Percent-encoding normalization — ONE codegen'd O(len) string pass
+    * ([[graft.functions.UrlPctNormalize]]; call sites must have run
+    * [[graft.functions.UrlExpressions.register]], which [[canonicalize]]
+    * does). A 78-step regexp_replace chain expressed the same rules but
+    * Catalyst tree duplication multiplied it into hundreds of regex
+    * executions per row (q181: 107 s at sf0.1 vs ~2 s) — the library's
+    * own "native expression beats a UDF beats a regex chain" rule. The
+    * DuckDB twin ([[pctNormalizeSql]]) keeps the chain form, verified
+    * byte-equivalent over all UrlSpec fixtures. */
+  private def pctNormalize(u: Column): Column =
+    graft.functions.UrlExpressions.pctNormalize(u)
 
   /** DuckDB twin of [[pctNormalize]] — the same replace chain (DuckDB
     * regexp_replace needs the explicit 'g' flag and `\1` backrefs). */
@@ -134,24 +130,20 @@ object UrlOps {
       regexp_replace(base,
         "^(http://(?:[^/@]*@)?[^/:]*):80(/|$)", "$1$2"),
       "^(https://(?:[^/@]*@)?[^/:]*):443(/|$)", "$1$2")
-    // remove_dot_segments (§6.2.2.3) as a row-local string fold over the
-    // path's segments: '.' is a no-op, '..' pops the last emitted
-    // segment (a pop at root stays at root — leading '..' drops, per
-    // the RFC), anything else appends; a trailing '.'/'..' leaves the
-    // trailing slash the RFC output buffer keeps. The accumulator is
-    // the partially-built path STRING, so the same fold runs as DuckDB
-    // list_reduce — no recursion, no UDF.
+    // remove_dot_segments (§6.2.2.3) — the codegen'd one-scan kernel
+    // ([[graft.functions.UrlRemoveDotSegments]]): '.' is a no-op, '..'
+    // pops the last emitted segment (a pop at root stays at root —
+    // leading '..' drops, per the RFC), anything else appends; a
+    // trailing '.'/'..' leaves the trailing slash the RFC output buffer
+    // keeps. The DuckDB twin runs the same fold as list_reduce over the
+    // split segments. (An `aggregate` HOF expressed this too, but
+    // Catalyst HOFs are CodegenFallback and one fallback node drops the
+    // WHOLE duplicated canonicalization tree to interpreted eval —
+    // measured 10× on q181.)
     val prefix = regexp_extract(base2, "^([a-z][a-z0-9+.-]*://[^/]*)", 1)
     val path = regexp_replace(base2, "^[a-z][a-z0-9+.-]*://[^/]*", "")
-    val segs = split(path, "/")
-    val folded = aggregate(
-      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), lit(""),
-      (acc, seg) => when(seg === ".", acc)
-        .when(seg === "..", regexp_replace(acc, "/[^/]*$", ""))
-        .otherwise(concat(acc, lit("/"), seg)))
     val base2b = concat(prefix,
-      when(path.rlike("/\\.\\.?$"), concat(folded, lit("/")))
-        .otherwise(folded))
+      graft.functions.UrlExpressions.removeDotSegments(path))
     val base3 = when(regexp_extract(base2b, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1) === "",
       concat(base2b, lit("/"))).otherwise(base2b)
     val q = when(noFrag.contains("?"),
@@ -260,6 +252,7 @@ object UrlOps {
     * pass-through columns (the streaming face keeps its event time). */
   def canonicalize(docs: DataFrame, id: Column, url: Column,
       keep: Seq[String] = Nil): DataFrame = {
+    graft.functions.UrlExpressions.register(docs.sparkSession)
     val q = when(regexp_replace(url, "#.*$", "").contains("?"),
       regexp_replace(regexp_replace(url, "#.*$", ""), "^[^?]*\\?", ""))
       .otherwise(lit(""))

@@ -361,23 +361,111 @@ object Pipeline {
        |  CAST(len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS BIGINT) AS n_urls
        |FROM documents""".stripMargin)
 
+  /** One k-means fit per (sf dir, k), memoized as collected floats: the
+    * query body and the dump-time oracle thunk must see IDENTICAL frozen
+    * centroids, and memoizing the bytes makes any run-to-run ML-fit
+    * noise structurally irrelevant — the frozen-model convention (fit
+    * once; apply and replay from the same bytes), the q134 pattern
+    * applied to the learned-quantizer family. The cache holds k×dim
+    * floats per entry — centroid-table-sized, the same data ivfTopK
+    * broadcasts anyway. */
+  private object CentroidMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Seq[(Long, Seq[Float])]]
+    def rows(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
+        : Seq[(Long, Seq[Float])] =
+      cache.getOrElseUpdate((d, k), SimilarityOps.learnCentroids(
+          Tables.embeddings(s, d), col("embedding"), k,
+          "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList)
+    def frame(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
+        : org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      rows(s, d, k).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+    }
+  }
+
+  /** The frozen learned-centroid table as a DuckDB CTE
+    * `cents(cid, ce, cnrm)`, built from the memoized fit bytes at
+    * oracle-dump time — the q134 pattern's shared leg for the learned
+    * ANN family (q48/q71): the fit is not SQL-expressible, its OUTPUT
+    * is just k×dim frozen floats, and everything downstream (cosine
+    * assignment, probing, dominance, top-k) replays independently. */
+  private def centroidValuesCte(k: Int): String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+      "/root/testdata/sf0.001")
+    val cents = CentroidMemo.rows(
+      org.apache.spark.sql.SparkSession.active, sfDir, k)
+    def dd(x: Double) = java.lang.Double.toString(x)
+    val rows = cents.map { case (cid, e) =>
+      s"($cid, [${e.map(f => dd(f.toDouble)).mkString(",")}])"
+    }.mkString(",")
+    s"""cents AS (SELECT CAST(cid AS BIGINT) AS cid, ce,
+       |    sqrt(${dotSql("ce", "ce", DIM)}) AS cnrm
+       |  FROM (VALUES $rows) t(cid, ce))""".stripMargin
+  }
+
   /** IVF with LEARNED centroids (deterministic-seed k-means over the
     * corpus) — the IVF-real production shape: learned cells track the data
     * distribution where q43's fixed-sample quantizer is arbitrary.
-    * Recall@k of learned vs fixed is measured in PipelineOpsSpec. No
-    * oracle — k-means isn't SQL-expressible; the driver records the
-    * rows-only check (same contract as q24). */
+    * Recall@k of learned vs fixed is measured in PipelineOpsSpec.
+    * Full oracle since r14 (the q134 frozen-model pattern): the k-means
+    * fit itself is not SQL-expressible, but the fitted centroids are
+    * FROZEN BYTES — the oracle thunk embeds them as a VALUES table at
+    * dump time and DuckDB independently replays the distributed half
+    * (cosine cell assignment, nProbe probing, in-cell top-k) with the
+    * same left-fold dot products, so the ASSIGNMENT and SEARCH
+    * semantics are hash-gated even though the fit stays a Spark ML
+    * concern. */
   private val q48 = QueryDef(
     "q48_ann_ivf_learned",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.ivfTopK(
         emb, emb.where(col("vec_id") < 10),
-        SimilarityOps.learnCentroids(
-          emb, col("embedding"), 8, "vec_id", "embedding"),
+        CentroidMemo.frame(s, d, 8),
         col("vec_id"), col("embedding"), LSH_K, nProbe = 2)
     },
-    None)
+    Some(() => {
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+         |  FROM embeddings),
+         |${centroidValuesCte(8)},
+         |asgc AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT a.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0
+         |          THEN round(${dotSql("a.e", "c.ce", DIM)}
+         |            / (a.nrm * c.cnrm), 6) END) DESC,
+         |        c.cid) AS crk
+         |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
+         |asgq AS (SELECT vec_id, cid AS qcell FROM (
+         |    SELECT a.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0
+         |          THEN round(${dotSql("a.e", "c.ce", DIM)}
+         |            / (a.nrm * c.cnrm), 6) END) DESC,
+         |        c.cid) AS crk
+         |    FROM v a CROSS JOIN cents c WHERE a.vec_id < 10) t
+         |  WHERE crk <= 2),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, an.cell,
+         |    CASE WHEN q.nrm * n.nrm > 0
+         |      THEN round(${dotSql("q.e", "n.e", DIM)}
+         |        / (q.nrm * n.nrm), 6) END AS cos_sim
+         |  FROM v q
+         |  JOIN asgq aq ON q.vec_id = aq.vec_id
+         |  JOIN asgc an ON an.cell = aq.qcell
+         |  JOIN v n ON n.vec_id = an.vec_id AND n.vec_id <> q.vec_id)
+         |SELECT query_id, rk, neighbor_id, cell, cos_sim FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS BIGINT) AS rk
+         |  FROM scored
+         |) t WHERE rk <= $LSH_K""".stripMargin
+    }))
 
   // ------------------------------------------------------------------ text
 
@@ -987,19 +1075,46 @@ object Pipeline {
     * in different cells and are silently KEPT. Measured on the test table
     * (PipelineOpsSpec): the learned 8-cell quantizer catches 24/62 of the
     * global dominance drop-set vs 18/62 for the q69 fixed sample, at the
-    * same cell budget. Like q48, k-means isn't SQL-expressible → no
-    * oracle; the driver records the rows-only check. */
+    * same cell budget. Full oracle since r14 — the q48 frozen-centroid
+    * treatment over the q69 replay chain: the dump-time thunk embeds the
+    * memoized centroids and DuckDB independently replays assignment +
+    * within-cell dominance. */
   private val q71 = QueryDef(
     "q71_semantic_dedup_learned",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilarityOps.semanticDedup(
-        emb,
-        SimilarityOps.learnCentroids(
-          emb, col("embedding"), 8, "vec_id", "embedding"),
+        emb, CentroidMemo.frame(s, d, 8),
         col("vec_id"), col("embedding"), COSINE_T)
     },
-    None)
+    Some(() => {
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+         |  FROM embeddings),
+         |${centroidValuesCte(8)},
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT a.vec_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0
+         |          THEN round(${dotSql("a.e", "c.ce", DIM)}
+         |            / (a.nrm * c.cnrm), 6) END) DESC,
+         |        c.cid) AS crk
+         |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
+         |pairs AS (
+         |  SELECT x.vec_id AS va, y.vec_id AS vb
+         |  FROM assign x
+         |  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN v a ON a.vec_id = x.vec_id
+         |  JOIN v b ON b.vec_id = y.vec_id
+         |  WHERE (CASE WHEN a.nrm * b.nrm > 0
+         |    THEN round(${dotSql("a.e", "b.e", DIM)}
+         |      / (a.nrm * b.nrm), 6) END) >= $COSINE_T),
+         |dropped AS (SELECT DISTINCT vb FROM pairs)
+         |SELECT a.vec_id, a.cell, (d.vb IS NULL) AS kept
+         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vb"""
+        .stripMargin
+    }))
 
   /** Bottom-k containment sketch estimates
     * ([[DedupOps.containmentSketchPairs]]) — the constant-probe-budget
@@ -1777,25 +1892,88 @@ object Pipeline {
          |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
     })
 
+  /** One per-subspace k-means codebook fit per sf dir, memoized as
+    * collected floats — the [[CentroidMemo]] discipline for the PQ
+    * learned quantizer: query body and dump-time oracle replay from the
+    * SAME frozen bytes. */
+  private object PqCodebookMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Long, Seq[Float])]]
+    def rows(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[(Long, Seq[Float])] =
+      cache.getOrElseUpdate(d, PQOps.pqLearnCodebook(
+          Tables.embeddings(s, d), col("embedding"), PQ_M, PQ_SUB, PQ_K,
+          "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList)
+    def frame(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      rows(s, d).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+    }
+  }
+
   /** PQ top-k with a LEARNED codebook — per-subspace k-means glued into
     * full-dimension entries ([[PQOps.pqLearnCodebook]]), the quantizer
     * that actually tracks the data distribution (q48's learned-vs-fixed
-    * contract, here for PQ). k-means isn't SQL-expressible → rows-only
-    * driver check; the recall floor against exact float search is pinned
-    * in PQSpec. */
+    * contract, here for PQ). Full oracle since r14 (the q48/q134
+    * frozen-model treatment over the q94 replay chain): the dump-time
+    * thunk embeds the memoized codebook and DuckDB independently
+    * replays subspace assignment, reconstruction, ADC scoring, and the
+    * final ranking; the recall floor against exact float search stays
+    * pinned in PQSpec. */
   private val q95 = QueryDef(
     "q95_pq_topk_learned",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       PQOps.pqTopK(
-        PQOps.pqIndex(emb,
-          PQOps.pqLearnCodebook(emb, col("embedding"), PQ_M, PQ_SUB, PQ_K,
-            "vec_id", "embedding"),
+        PQOps.pqIndex(emb, PqCodebookMemo.frame(s, d),
           col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
         emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
         LSH_K, PQ_SUB)
     },
-    None)
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val cbRows = PqCodebookMemo.rows(
+          org.apache.spark.sql.SparkSession.active, sfDir)
+        .map { case (cid, e) =>
+          s"($cid, [${e.map(f =>
+            java.lang.Double.toString(f.toDouble)).mkString(",")}])"
+        }.mkString(",")
+      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
+      val subDist = (e: String, ce: String, sIdx: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
+          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
+            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cb AS (SELECT CAST(cid AS BIGINT) AS cid, ce
+         |  FROM (VALUES $cbRows) t(cid, ce)),
+         |dists AS (
+         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
+         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+         |    FROM dists) t WHERE rk = 1),
+         |recon AS (
+         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
+         |    SELECT codes.vec_id, codes.s,
+         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
+         |        x -> CAST(x AS DOUBLE)) AS sub
+         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
+         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
+         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
+         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
+         |  FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id)
+         |SELECT query_id, rk, neighbor_id, adc_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
+    }))
 
   /** PQ shortlist + exact re-rank ([[PQOps.pqRerankTopK]]) — the full
     * production ANN composition: codes prune the corpus to a top-

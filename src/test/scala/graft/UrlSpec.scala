@@ -9,6 +9,8 @@ import graft.operators.UrlOps
 class UrlSpec extends SparkSpec {
   import spark.implicits._
 
+  graft.functions.UrlExpressions.register(spark)
+
   private def canon(url: String): String =
     Seq((1L, url)).toDF("doc_id", "url")
       .select(UrlOps.canonicalUrl(col("url"))).collect().head.getString(0)
