@@ -5826,14 +5826,14 @@ object Pipeline {
     "q177_domain_token_cap",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
+      // tokens + quality score ride canonicalize's pass-through columns
+      // (the q171 no-join-back rule)
       val docs = Tables.documents(s, d)
-      val canon = graft.operators.UrlOps.canonicalize(
-        docs, col("doc_id"), urlCol)
-      val enriched = canon.select(col("doc_id"), col("domain"))
-        .join(docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("_toks"),
-          round(TextOps.qualityComposite(col("text")), 6).as("_score")),
-          "doc_id")
+        .withColumn("_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("_score",
+          round(TextOps.qualityComposite(col("text")), 6))
+      val enriched = graft.operators.UrlOps.canonicalize(
+        docs, col("doc_id"), urlCol, keep = Seq("_toks", "_score"))
       graft.operators.UrlOps.domainTokenCap(enriched, col("doc_id"),
         col("domain"), col("_toks"), col("_score"), tokenBudget = 150L)
     },
@@ -6104,13 +6104,15 @@ object Pipeline {
     "q171_domain_stats",
     (s, d) => {
       graft.functions.HashExpressions.register(s)
-      val docs = Tables.documents(s, d)
-      val canon = graft.operators.UrlOps.canonicalize(
-        docs, col("doc_id"), urlCol)
-        .join(docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("_toks")), "doc_id")
+      // token counts ride canonicalize's pass-through columns — a
+      // join-back to documents on doc_id would shuffle the corpus twice
+      // for a value computable in the same row-local pass
+      val docs = Tables.documents(s, d).withColumn("_toks",
+        size(split(col("text"), " ")).cast("long"))
       graft.operators.UrlOps.domainStats(
-        canon, col("_toks"), DomainBlocklist)
+        graft.operators.UrlOps.canonicalize(
+          docs, col("doc_id"), urlCol, keep = Seq("_toks")),
+        col("_toks"), DomainBlocklist)
     },
     s"""WITH u AS (SELECT doc_id, $urlSql AS url,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
