@@ -1594,6 +1594,38 @@ object TextOps {
       .select(col("doc_id"), col("_b.*"))
   }
 
+  /** Incremental maintenance of a frozen [[blocklistScreen]] — the LAST
+    * of the frozen-model aging gaps (gram index, winnow, robust stats,
+    * KN counts, NB drift all have their fold/trigger faces; the
+    * takedown blocklist GROWS over time too, and re-walking the corpus
+    * with the full automaton on every addition re-pays work the frozen
+    * screen already did): per-pattern hit counts are independent, so
+    * for a delta pattern set DISJOINT from the frozen one (PRECONDITION
+    * — the gramIndexUpdate convention; re-screening a changed pattern
+    * is a rebuild, not a fold) the corpus is walked with an automaton
+    * over ONLY the delta patterns, and the two screens merge by
+    * addition: `n_hits` and `n_patterns` sum, `flagged` ORs. One
+    * full-outer doc-keyed merge of two screen frames; the old automaton
+    * never re-runs. Invariant: `update(screen(P₁), P₂) ≡ screen(P₁∪P₂)`
+    * — q184's oracle replays the full-rebuild screen in SQL, so
+    * merge-equals-rebuild IS the driver gate. */
+  def blocklistScreenUpdate(prev: DataFrame, docs: DataFrame, id: Column,
+      text: Column, deltaPatterns: Seq[String]): DataFrame = {
+    val d = blocklistScreen(docs, id, text, deltaPatterns)
+    prev.select(col("doc_id"), col("n_hits").as("_ha"),
+        col("n_patterns").as("_pa"), col("flagged").as("_fa"))
+      .join(d.select(col("doc_id"), col("n_hits").as("_hb"),
+          col("n_patterns").as("_pb"), col("flagged").as("_fb")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("_ha"), lit(0L)) + coalesce(col("_hb"), lit(0L)))
+          .as("n_hits"),
+        (coalesce(col("_pa"), lit(0L)) + coalesce(col("_pb"), lit(0L)))
+          .as("n_patterns"),
+        (coalesce(col("_fa"), lit(false)) || coalesce(col("_fb"),
+          lit(false))).as("flagged"))
+  }
+
   /** Redaction face of [[blocklistScreen]] ([[graft.functions
     * .AcRedact]]): matched spans replaced by `marker` under greedy
     * leftmost-longest non-overlapping resolution (the FlashText rule) —

@@ -4233,28 +4233,57 @@ object Pipeline {
     * corpus text, a two-word phrase, a single char-gram) so the
     * dictionary-suffix reporting path is exercised on real data. */
   private val BlockPatterns = Seq("slow", "fast table", "agg", "w sc")
+
+  /** The q135 oracle as a pattern-parametrized builder (shared with
+    * q184's full-rebuild replay): every start position of every pattern
+    * enumerated — the O(len × patterns) shape the automaton replaces. */
+  private def blocklistScreenSql(patterns: Seq[String]): String = {
+    val cnts = patterns.zipWithIndex.map { case (p, k) =>
+      s"""    SUM(CASE WHEN substr(text, i, ${p.length}) = '$p'
+         |      THEN 1 ELSE 0 END) AS c$k""".stripMargin
+    }
+    val ks = patterns.indices
+    s"""WITH posn AS (SELECT doc_id, text, g.i
+       |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)),
+       |cnts AS (SELECT doc_id,
+       |${cnts.mkString(",\n")}
+       |  FROM posn GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(${ks.map(k => s"c$k").mkString(" + ")} AS BIGINT) AS n_hits,
+       |  CAST(${ks.map(k => s"(CASE WHEN c$k > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")} AS BIGINT) AS n_patterns,
+       |  (${ks.map(k => s"c$k").mkString(" + ")}) > 0 AS flagged
+       |FROM cnts""".stripMargin
+  }
+
   private val q135 = QueryDef(
     "q135_blocklist_screen",
     (s, d) => TextOps.blocklistScreen(
       Tables.documents(s, d), col("doc_id"), col("text"), BlockPatterns),
-    {
-      val cnts = BlockPatterns.zipWithIndex.map { case (p, k) =>
-        s"""    SUM(CASE WHEN substr(text, i, ${p.length}) = '$p'
-           |      THEN 1 ELSE 0 END) AS c$k""".stripMargin
-      }
-      val ks = BlockPatterns.indices
-      s"""WITH posn AS (SELECT doc_id, text, g.i
-         |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)),
-         |cnts AS (SELECT doc_id,
-         |${cnts.mkString(",\n")}
-         |  FROM posn GROUP BY 1)
-         |SELECT doc_id,
-         |  CAST(${ks.map(k => s"c$k").mkString(" + ")} AS BIGINT) AS n_hits,
-         |  CAST(${ks.map(k => s"(CASE WHEN c$k > 0 THEN 1 ELSE 0 END)")
-          .mkString(" + ")} AS BIGINT) AS n_patterns,
-         |  (${ks.map(k => s"c$k").mkString(" + ")}) > 0 AS flagged
-         |FROM cnts""".stripMargin
-    })
+    blocklistScreenSql(BlockPatterns))
+
+  /** Blocklist refresh ([[TextOps.blocklistScreenUpdate]]) — the last
+    * frozen-model aging gap closed: the takedown pattern list GROWS,
+    * the frozen q135 screen is never re-run; only the DELTA patterns
+    * walk the corpus (their own small automaton) and the two screens
+    * merge by addition. Oracle: the full-rebuild screen over
+    * frozen ∪ delta patterns replayed in SQL — merge-equals-rebuild is
+    * the hash gate (the q168/q182 convention). Delta patterns chosen to
+    * HIT ("tab" inside every "table", "que" inside "query/queries") so
+    * the additive merge is exercised on overlapping-match text, and
+    * disjoint as strings from [[BlockPatterns]] (the fold's
+    * precondition — a CHANGED pattern is a rebuild, not a fold). */
+  private val DeltaBlockPatterns = Seq("tab", "que")
+  private val q184 = QueryDef(
+    "q184_blocklist_refresh",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.blocklistScreenUpdate(
+        TextOps.blocklistScreen(
+          docs, col("doc_id"), col("text"), BlockPatterns),
+        docs, col("doc_id"), col("text"), DeltaBlockPatterns)
+    },
+    blocklistScreenSql(BlockPatterns ++ DeltaBlockPatterns))
 
   /** Blocklist redaction ([[TextOps.blocklistRedact]]): matched spans
     * replaced under greedy leftmost-longest resolution — the oracle
@@ -6158,7 +6187,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183)
+    q181, q182, q183, q184)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -258,6 +258,31 @@ class IngestFacesSpec extends SparkSpec {
       key(WinnowOps.fingerprints(docs, col("doc_id"), col("text"))))
   }
 
+  test("blocklistScreenUpdate: disjoint delta patterns fold additively") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a slow slow query on a fast table"),
+      (2L, "nothing to see here"),
+      (3L, "aggregate the table of queries")).toDF("doc_id", "text")
+    val frozen = Seq("slow", "fast table")
+    val delta = Seq("tab", "que") // hits overlap frozen matches in TEXT,
+                                  // but the pattern SETS are disjoint
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val merged = TextOps.blocklistScreenUpdate(
+      TextOps.blocklistScreen(docs, col("doc_id"), col("text"), frozen),
+      docs, col("doc_id"), col("text"), delta)
+    val rebuilt = TextOps.blocklistScreen(
+      docs, col("doc_id"), col("text"), frozen ++ delta)
+    assert(key(merged) === key(rebuilt))
+    // the never-hit doc stays an explicit unflagged row in both
+    val m = merged.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(m(2L) === ((0L, 0L, false)))
+    assert(m(1L)._1 === 5L && m(1L)._3) // 2×slow + fast table + tab + que
+  }
+
   test("knCountsUpdate: merged delta equals rebuild, down to each P(w|v)") {
     import graft.operators.TextOps
     // overlapping bigram vocabulary across base and delta, so the merge
