@@ -59,16 +59,6 @@ object UrlOps {
   private val Unreserved: Seq[Char] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')) ++ Seq('-', '.', '_', '~')
 
-  /** Case-insensitive pattern for one escape, e.g. '~' → "%7[Ee]" (the
-    * first hex digit of every unreserved byte is 2..7 — a digit, no
-    * case form). */
-  private def pctPattern(ch: Char): String = {
-    val hex = f"${ch.toInt}%02X"
-    val d2 = if (hex(1).isDigit) hex(1).toString
-             else s"[${hex(1)}${hex(1).toLower}]"
-    s"%${hex(0)}$d2"
-  }
-
   /** Percent-encoding normalization — ONE codegen'd O(len) string pass
     * ([[graft.functions.UrlPctNormalize]]; call sites must have run
     * [[graft.functions.UrlExpressions.register]], which [[canonicalize]]
@@ -76,20 +66,32 @@ object UrlOps {
     * Catalyst tree duplication multiplied it into hundreds of regex
     * executions per row (q181: 107 s at sf0.1 vs ~2 s) — the library's
     * own "native expression beats a UDF beats a regex chain" rule. The
-    * DuckDB twin ([[pctNormalizeSql]]) keeps the chain form, verified
-    * byte-equivalent over all UrlSpec fixtures. */
+    * DuckDB twin ([[pctNormalizeSql]]) is single-pass-EQUIVALENT,
+    * verified byte-equivalent over all UrlSpec fixtures. */
   private def pctNormalize(u: Column): Column =
     graft.functions.UrlExpressions.pctNormalize(u)
 
-  /** DuckDB twin of [[pctNormalize]] — the same replace chain (DuckDB
-    * regexp_replace needs the explicit 'g' flag and `\1` backrefs). */
+  /** DuckDB twin of [[pctNormalize]] — single-pass-EQUIVALENT (r14
+    * advisory closed a real divergence here): the prior sequential
+    * replace chain could double-decode when a decode MINTED a new
+    * escape — for '%6%412' the kernel's one scan yields '%6A2' (the
+    * leading '%6%' is not a valid escape, '%41' decodes to 'A'), but
+    * after the chain decoded %41→'A' it also matched the newly-formed
+    * '%6A' and yielded 'j2'. This form tokenizes the string exactly the
+    * way the kernel scans it — one left-to-right regexp alternation of
+    * (valid escape | bare '%' | non-'%' run), which can never see a
+    * character produced by another token's rewrite — then maps each
+    * ESCAPE token once (unreserved → the decoded char, anything else →
+    * '%'+uppercased hex = upper(token)); bare '%' and non-'%' runs pass
+    * through untouched. */
   private def pctNormalizeSql(e: String): String = {
-    val decoded = Unreserved.foldLeft(e)((c, ch) =>
-      s"regexp_replace($c, '${pctPattern(ch)}', '$ch', 'g')")
-    val firstUp = "abcdef".foldLeft(decoded)((c, d) =>
-      s"regexp_replace($c, '%$d([0-9A-Fa-f])', '%${d.toUpper}\\1', 'g')")
-    "abcdef".foldLeft(firstUp)((c, d) =>
-      s"regexp_replace($c, '%([0-9A-F])$d', '%\\1${d.toUpper}', 'g')")
+    val whens = Unreserved.map(ch =>
+      s"WHEN '%${f"${ch.toInt}%02X"}' THEN '$ch'").mkString(" ")
+    s"""array_to_string(list_transform(
+       |  regexp_extract_all($e, '%[0-9A-Fa-f]{2}|%|[^%]+'),
+       |  pt -> CASE WHEN substr(pt, 1, 1) = '%' AND length(pt) = 3
+       |    THEN CASE upper(pt) $whens ELSE upper(pt) END
+       |    ELSE pt END), '')""".stripMargin
   }
 
   /** Lowercase the scheme and host[:port] of `url`'s authority while
@@ -279,10 +281,25 @@ object UrlOps {
     * re-canonicalize the input once per branch; the window shuffles
     * once and reads the canonicalization once (measured 2× on q181).
     * Emits every doc with its keeper and copy count so the drop is
-    * auditable. */
+    * auditable.
+    *
+    * NULL canonical URLs (⇔ a NULL source url — [[canonicalUrl]] passes
+    * malformed non-NULL urls through as themselves) are each their OWN
+    * keeper (n_copies = 1, keep = true): two docs with no URL share no
+    * evidence of being the same resource, so grouping them — what a
+    * bare `Window.partitionBy(url_canon)` would do, NULLs collate
+    * together — would silently drop all but one (r14 advisory). The
+    * window partitions on (url_canon, NULL ? doc_id : 0) — a TWO-column
+    * key, so NULL rows are singleton partitions (their own keeper by
+    * construction) and can never collide with a real canonical URL the
+    * way a sentinel-string salt could (a malformed pass-through
+    * url_canon is an arbitrary crawl string); the per-row salt also
+    * keeps a heavily-NULL corpus from funneling one all-NULLs window
+    * partition to a single task. */
   def urlDedup(canon: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("url_canon"))
+    val w = Window.partitionBy(col("url_canon"),
+      when(col("url_canon").isNull, col("doc_id")).otherwise(lit(0L)))
     canon.select(col("doc_id"), col("url_canon"), col("domain"))
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
@@ -345,7 +362,13 @@ object UrlOps {
     * joined back to token counts: document share, distinct hosts,
     * canonical-URL duplication (docs minus distinct canonical URLs —
     * crawl redundancy the canonicalization exposed), and the blocklist
-    * verdict. One hash aggregation to a domain-sized frame. */
+    * verdict. One hash aggregation to a domain-sized frame.
+    *
+    * `blocked` is an explicit FALSE for the NULL-domain (malformed-URL)
+    * group, not three-valued NULL (r14 advisory): `isin` over a NULL
+    * domain yields NULL, and a downstream `!blocked` / `blocked =
+    * false` filter would then silently drop exactly the malformed-URL
+    * rows the NULL host/domain convention exists to keep visible. */
   def domainStats(canon: DataFrame, tokens: Column,
       blocklist: Seq[String]): DataFrame =
     canon.groupBy(col("domain")).agg(
@@ -354,5 +377,6 @@ object UrlOps {
       (count(lit(1)) - countDistinct(col("url_canon"))).as("n_url_dups"),
       sum(tokens).as("n_tokens"),
       sum(col("n_params_dropped")).as("n_tracking_params"))
-      .withColumn("blocked", col("domain").isin(blocklist: _*))
+      .withColumn("blocked",
+        coalesce(col("domain").isin(blocklist: _*), lit(false)))
 }

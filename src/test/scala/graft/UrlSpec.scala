@@ -166,6 +166,13 @@ class UrlSpec extends SparkSpec {
     assert(canon("http://a.com/%aa%Af") === "http://a.com/%AA%AF")
     // %25 is NOT unreserved: "%2541" must not double-decode to "A"
     assert(canon("http://a.com/%2541") === "http://a.com/%2541")
+    // a decode-CREATED escape must not re-decode (r14 advisory): the
+    // single pass sees '%6' (invalid, literal) then '%41'→'A' then '2'
+    // — never the minted '%6A'. Pins kernel AND DuckDB-twin semantics.
+    assert(canon("http://a.com/%6%412") === "http://a.com/%6A2")
+    // ...even when the minted escape would itself be special ('%25'):
+    // '%2' literal, then '%35'→'5' — the pass never revisits the '%2'
+    assert(canon("http://a.com/%2%35x") === "http://a.com/%25x")
     // escapes normalize in the HOST and in query params too: an encoded
     // host or tracking-param name cannot dodge its rule
     assert(canon("http://ex%61mple.com/p") === "http://example.com/p")
@@ -224,5 +231,37 @@ class UrlSpec extends SparkSpec {
     assert(out(5L) === ((2L, 3L, false)))
     assert(out(9L) === ((2L, 3L, false)))
     assert(out(3L) === ((3L, 1L, true)))
+  }
+
+  test("urlDedup: NULL urls are each their own keeper, never a group") {
+    // r14 advisory: a bare partitionBy(url_canon) collates NULLs into
+    // ONE partition, silently dedup-dropping distinct no-URL docs
+    val df = Seq((1L, null), (2L, null), (3L, "http://a.com/p"),
+      (4L, "http://a.com/p")).toDF("doc_id", "u")
+    val out = UrlOps.urlDedup(
+      UrlOps.canonicalize(df, col("doc_id"), col("u")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) === ((1L, 1L, true)))
+    assert(out(2L) === ((2L, 1L, true)))
+    assert(out(3L) === ((3L, 2L, true)))
+    assert(out(4L) === ((3L, 2L, false)))
+  }
+
+  test("domainStats: the NULL-domain group reads blocked = FALSE, not NULL") {
+    // r14 advisory: three-valued isin would make `!blocked` silently
+    // drop exactly the malformed-URL rows the NULL convention keeps
+    val df = Seq((1L, "not a url", 5L), (2L, "https://ok.org/x", 7L))
+      .toDF("doc_id", "u", "toks")
+    val canon = UrlOps.canonicalize(df, col("doc_id"), col("u"),
+      keep = Seq("toks"))
+    val out = UrlOps.domainStats(canon, col("toks"), Seq("ok.org"))
+      .collect().map(r => Option(r.getAs[String]("domain")) -> r).toMap
+    assert(out(None).getAs[Boolean]("blocked") === false)
+    assert(out(Some("ok.org")).getAs[Boolean]("blocked") === true)
+    // and the row count survives a keep-side filter
+    assert(UrlOps.domainStats(canon, col("toks"), Seq("ok.org"))
+      .where(!col("blocked")).count() === 1L)
   }
 }
