@@ -104,6 +104,26 @@ object UrlNorm {
     if (s.endsWith("/.") || s.endsWith("/..")) sb.append('/')
     UTF8String.fromString(sb.toString)
   }
+
+  /** IDNA host folding (r14 verdict item 6): an `xn--`-encoded
+    * (Punycode, RFC 3492 / IDNA RFC 5890) host label and its Unicode
+    * form name the SAME authority — `xn--mnchen-3ya.de` IS
+    * `münchen.de` — so dedup/cap/blocklist keys must not split on the
+    * encoding. Folds every ACE label to its Unicode form via the JDK's
+    * `java.net.IDN.toUnicode` (which by contract never fails — a
+    * malformed ACE label passes through unmodified, matching the
+    * library's malformed-input convention). Fold direction is
+    * ASCII→Unicode because `toASCII` throws on labels that are not
+    * IDNA-encodable, and a crawl host is hostile input. Row-local, one
+    * fast-path substring probe per host; only hosts containing "xn--"
+    * pay the JDK call. Call sites pass LOWERCASED hosts (the ACE prefix
+    * check is case-exact here by design — hostOf lowers first). */
+  def idnFold(h: UTF8String): UTF8String = {
+    val s = h.toString
+    if (s.indexOf("xn--") < 0) return h // fast path: no ACE labels
+    try UTF8String.fromString(java.net.IDN.toUnicode(s))
+    catch { case _: IllegalArgumentException => h }
+  }
 }
 
 /** Codegen'd wrapper over [[UrlNorm.pctNormalize]]. */
@@ -140,11 +160,29 @@ case class UrlRemoveDotSegments(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Codegen'd wrapper over [[UrlNorm.idnFold]]. */
+case class UrlIdnFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_idn_fold"
+
+  override def nullSafeEval(v: Any): Any =
+    UrlNorm.idnFold(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UrlNorm.idnFold($v);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object UrlExpressions {
   val FnName = "url_pct_normalize"
   val DotFnName = "url_remove_dot_segments"
+  val IdnFnName = "url_idn_fold"
 
-  /** Idempotently register both URL-normalization kernels. */
+  /** Idempotently register the URL-normalization kernels. */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     def bad(fn: String) = new org.apache.spark.sql.AnalysisException(
@@ -162,10 +200,18 @@ object UrlExpressions {
         if (exprs.length != 1) throw bad(DotFnName)
         UrlRemoveDotSegments(exprs.head)
       }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      IdnFnName,
+      exprs => {
+        if (exprs.length != 1) throw bad(IdnFnName)
+        UrlIdnFold(exprs.head)
+      }, "scala_udf")
   }
 
   def pctNormalize(url: Column): Column = call_function(FnName, url)
 
   def removeDotSegments(path: Column): Column =
     call_function(DotFnName, path)
+
+  def idnFold(host: Column): Column = call_function(IdnFnName, host)
 }

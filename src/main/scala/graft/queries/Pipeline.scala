@@ -5979,8 +5979,16 @@ object Pipeline {
     val sub = when(m(4) === 0, "WWW.").when(m(4) === 1, "cdn.")
       .when(m(4) === 2, "News.").otherwise("")
     val dom = concat(lit("site"), m(37).cast("string"))
-    val suffix = when(m(5) === 0, ".com").when(m(5) === 1, ".co.uk")
-      .when(m(5) === 2, ".org").when(m(5) === 3, ".io").otherwise(".com.au")
+    // round-15: ccTLD second-levels and hosting-platform suffixes from
+    // the widened PublicSuffixes snapshot, so the registry's new tiers
+    // (com.cn, co.nz, github.io, 3-label s3.amazonaws.com) are
+    // exercised at the driver gate, not just in UrlSpec
+    val suffix = when(m(11) === 0, ".com").when(m(11) === 1, ".co.uk")
+      .when(m(11) === 2, ".org").when(m(11) === 3, ".io")
+      .when(m(11) === 4, ".com.au").when(m(11) === 5, ".com.cn")
+      .when(m(11) === 6, ".github.io").when(m(11) === 7, ".co.nz")
+      .when(m(11) === 8, ".s3.amazonaws.com").when(m(11) === 9, ".net")
+      .otherwise(".com")
     val port = when(m(6) === 0, ":80").when(m(6) === 1, ":443")
       .when(m(6) === 2, ":8080").otherwise("")
     val path = when(m(3) === 0, "").otherwise(
@@ -5990,10 +5998,17 @@ object Pipeline {
     val deco = when(m(7) === 0, "/./x%7Ea").when(m(7) === 1, "/d/../%41b")
       .when(m(7) === 2, "/%2e").otherwise("")
     val qid = pmod(col("doc_id"), lit(50L)).cast("string")
-    val query = when(m(4) === 0,
+    // round-15: click-id families from the widened TrackingParams set
+    // (google ads, instagram/marketo, hubspot, microsoft/yandex) so the
+    // strip rules face the driver gate, not just UrlSpec
+    val query = when(m(13) === 0,
         concat(lit("?utm_source=feed&id="), qid, lit("&utm_campaign=x")))
-      .when(m(4) === 1, "?ref=tw&b=2&a=1")
-      .when(m(4) === 2, concat(lit("?id="), qid))
+      .when(m(13) === 1, "?ref=tw&b=2&a=1")
+      .when(m(13) === 2, concat(lit("?id="), qid))
+      .when(m(13) === 3, concat(lit("?gclid=abc&id="), qid))
+      .when(m(13) === 4, "?igshid=xyz&mkt_tok=t1")
+      .when(m(13) === 5, "?_hsenc=h&b=1&wbraid=w")
+      .when(m(13) === 6, concat(lit("?msclkid=m&yclid=y&id="), qid))
       .otherwise("")
     val frag = when(m(5) === 0, "#sec").otherwise("")
     concat(scheme, lit("://"), sub, dom, suffix, port, path, deco, query,
@@ -6007,19 +6022,27 @@ object Pipeline {
        | CASE $h % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'cdn.'
        |   WHEN 2 THEN 'News.' ELSE '' END ||
        | 'site' || CAST($h % 37 AS VARCHAR) ||
-       | CASE $h % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
-       |   WHEN 2 THEN '.org' WHEN 3 THEN '.io' ELSE '.com.au' END ||
+       | CASE $h % 11 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+       |   WHEN 2 THEN '.org' WHEN 3 THEN '.io' WHEN 4 THEN '.com.au'
+       |   WHEN 5 THEN '.com.cn' WHEN 6 THEN '.github.io'
+       |   WHEN 7 THEN '.co.nz' WHEN 8 THEN '.s3.amazonaws.com'
+       |   WHEN 9 THEN '.net' ELSE '.com' END ||
        | CASE $h % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
        |   WHEN 2 THEN ':8080' ELSE '' END ||
        | CASE WHEN $h % 3 = 0 THEN ''
        |   ELSE '/p/' || CAST(doc_id % 100 AS VARCHAR) END ||
        | CASE $h % 7 WHEN 0 THEN '/./x%7Ea' WHEN 1 THEN '/d/../%41b'
        |   WHEN 2 THEN '/%2e' ELSE '' END ||
-       | CASE $h % 4
+       | CASE $h % 13
        |   WHEN 0 THEN '?utm_source=feed&id=' ||
        |     CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
        |   WHEN 1 THEN '?ref=tw&b=2&a=1'
        |   WHEN 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+       |   WHEN 3 THEN '?gclid=abc&id=' || CAST(doc_id % 50 AS VARCHAR)
+       |   WHEN 4 THEN '?igshid=xyz&mkt_tok=t1'
+       |   WHEN 5 THEN '?_hsenc=h&b=1&wbraid=w'
+       |   WHEN 6 THEN '?msclkid=m&yclid=y&id=' ||
+       |     CAST(doc_id % 50 AS VARCHAR)
        |   ELSE '' END ||
        | CASE WHEN $h % 5 = 0 THEN '#sec' ELSE '' END)""".stripMargin
   }
@@ -6132,9 +6155,7 @@ object Pipeline {
        |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
        |      '^[^?]*\\?', '') ELSE '' END, '&'),
        |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) IN
-       |      ('utm_source', 'utm_medium', 'utm_campaign', 'utm_term',
-       |       'utm_content', 'ref', 'fbclid', 'gclid', 'mc_cid',
-       |       'mc_eid'))) AS n_kept
+       |      ${graft.operators.UrlOps.trackingParamsSql})) AS n_kept
        |  FROM u)
        |SELECT doc_id, url, url_canon, host,
        |  ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain,
@@ -6144,7 +6165,8 @@ object Pipeline {
   /** Per-registered-domain rollup ([[graft.operators.UrlOps
     * .domainStats]]): doc/host/token shares, canonical-URL duplication
     * exposed by q170's normalization, and the blocklist verdict. */
-  private val DomainBlocklist = Seq("site3.com", "site17.co.uk")
+  private val DomainBlocklist =
+    Seq("site3.com", "site17.co.uk", "site9.com.cn", "site21.github.io")
   private val q171 = QueryDef(
     "q171_domain_stats",
     (s, d) => {
@@ -6174,9 +6196,7 @@ object Pipeline {
        |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
        |      '^[^?]*\\?', '') ELSE '' END, '&'),
        |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) IN
-       |      ('utm_source', 'utm_medium', 'utm_campaign', 'utm_term',
-       |       'utm_content', 'ref', 'fbclid', 'gclid', 'mc_cid',
-       |       'mc_eid'))) AS dropped
+       |      ${graft.operators.UrlOps.trackingParamsSql})) AS dropped
        |  FROM u),
        |r AS (SELECT doc_id, toks, url_canon, host, dropped,
        |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain

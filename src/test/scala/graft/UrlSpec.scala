@@ -56,6 +56,34 @@ class UrlSpec extends SparkSpec {
     assert(canon("http://a.com/p?refresh=1") === "http://a.com/p?refresh=1")
   }
 
+  test("tracking params: one case per widened family (r14 verdict item 3)") {
+    // google ads click ids (incl. the iOS-privacy gbraid/wbraid pair)
+    assert(canon("http://a.com/p?gclid=x&id=1") === "http://a.com/p?id=1")
+    assert(canon("http://a.com/p?gbraid=g&wbraid=w&gclsrc=s&dclid=d") ===
+      "http://a.com/p")
+    // GA4 campaign tags beyond the classic five
+    assert(canon("http://a.com/p?utm_id=7&utm_source_platform=sa") ===
+      "http://a.com/p")
+    // microsoft / yandex
+    assert(canon("http://a.com/p?msclkid=m&b=1") === "http://a.com/p?b=1")
+    assert(canon("http://a.com/p?yclid=y&_openstat=o") === "http://a.com/p")
+    // tiktok / twitter / linkedin
+    assert(canon("http://a.com/p?ttclid=t&twclid=w&li_fat_id=l") ===
+      "http://a.com/p")
+    // instagram share ids
+    assert(canon("http://a.com/p?igshid=i&igsh=j") === "http://a.com/p")
+    // marketo / hubspot / vero / omeda email-campaign ids
+    assert(canon("http://a.com/p?mkt_tok=k") === "http://a.com/p")
+    assert(canon("http://a.com/p?_hsenc=h&_hsmi=m&z=9") ===
+      "http://a.com/p?z=9")
+    assert(canon("http://a.com/p?vero_id=v&vero_conv=c") === "http://a.com/p")
+    assert(canon("http://a.com/p?oly_anon_id=a&oly_enc_id=e") ===
+      "http://a.com/p")
+    // strip is by exact NAME: lookalikes survive
+    assert(canon("http://a.com/p?gclid2=x&my_hsenc=1") ===
+      "http://a.com/p?gclid2=x&my_hsenc=1")
+  }
+
   test("registered domain: plain, multi-part suffix, bare and 2-label hosts") {
     val rows = Seq("a.b.site.com", "news.site5.co.uk", "site5.co.uk",
       "ex.com", "localhost").toDF("h")
@@ -66,6 +94,39 @@ class UrlSpec extends SparkSpec {
     assert(rows("site5.co.uk") === "site5.co.uk")
     assert(rows("ex.com") === "ex.com")
     assert(rows("localhost") === "localhost")
+  }
+
+  test("registered domain: PSL snapshot — ccTLD tiers and private-section hosts") {
+    // r14 verdict item 1: the 7-entry registry keyed all of these wrong
+    val rows = Seq(
+      "news.sina.com.cn",        // ICANN 2-label suffix beyond the old 7
+      "shop.example.co.nz",
+      "x.y.gob.mx",
+      "user.github.io",          // private section: each user is a site
+      "www.user.github.io",
+      "github.io",               // the bare suffix is its own unit
+      "bucket.s3.amazonaws.com", // 3-label private-section suffix
+      "a.bucket.s3.amazonaws.com",
+      "schools.nyc.gov",         // no rule -> default last-2
+      "k12.il")                  // bare 2-label suffix stays itself
+      .toDF("h")
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("news.sina.com.cn") === "sina.com.cn")
+    assert(rows("shop.example.co.nz") === "example.co.nz")
+    assert(rows("x.y.gob.mx") === "y.gob.mx")
+    assert(rows("user.github.io") === "user.github.io")
+    assert(rows("www.user.github.io") === "user.github.io")
+    assert(rows("github.io") === "github.io")
+    assert(rows("bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com")
+    assert(rows("a.bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com")
+    assert(rows("schools.nyc.gov") === "nyc.gov")
+    assert(rows("k12.il") === "k12.il")
+    // longest match wins: amazonaws.com is NOT a rule here, so only the
+    // 3-label tier reshapes the key — last-2 stays the fallback
+    val plain = Seq("x.amazonaws.com").toDF("h")
+      .select(UrlOps.registeredDomain(col("h"))).collect().head.getString(0)
+    assert(plain === "amazonaws.com")
   }
 
   test("canonicalize frame: dropped-param counts and domain wiring") {
@@ -231,6 +292,30 @@ class UrlSpec extends SparkSpec {
     assert(out(5L) === ((2L, 3L, false)))
     assert(out(9L) === ((2L, 3L, false)))
     assert(out(3L) === ((3L, 1L, true)))
+  }
+
+  test("IDN hosts fold: xn-- ACE form and Unicode form are one authority") {
+    // r14 verdict item 6 — the last URL-equivalence class: dedup and
+    // blocklist keys must not split on the host's encoding
+    val df = Seq(
+      (1L, "http://xn--mnchen-3ya.de/p"),
+      (2L, "http://München.de/p"),          // same authority, Unicode
+      (3L, "http://sub.xn--bcher-kva.example/x"), // bücher, embedded label
+      (4L, "http://xn--99999999.com/x"))   // overflowing Punycode digits
+      .toDF("doc_id", "u")
+    val out = UrlOps.canonicalize(df, col("doc_id"), col("u"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("host") === "münchen.de")
+    assert(out(2L).getAs[String]("host") === "münchen.de")
+    assert(out(1L).getAs[String]("url_canon") ===
+      out(2L).getAs[String]("url_canon"))
+    assert(out(1L).getAs[String]("domain") === "münchen.de")
+    assert(out(3L).getAs[String]("host") === "sub.bücher.example")
+    assert(out(3L).getAs[String]("domain") === "bücher.example")
+    // malformed ACE (digit overflow) passes through unmodified
+    // (IDN.toUnicode contract) — and keys consistently on itself
+    assert(out(4L).getAs[String]("host") === "xn--99999999.com")
+    assert(out(4L).getAs[String]("domain") === "xn--99999999.com")
   }
 
   test("urlDedup: NULL urls are each their own keeper, never a group") {
