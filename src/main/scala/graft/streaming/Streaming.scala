@@ -1966,20 +1966,89 @@ object Streaming {
     graft.operators.UrlOps.canonicalize(
       docs, col("doc_id"), col("url"), keep = Seq(timeCol))
 
+  /** One canonicalized arrival for [[urlDedupStream]]. */
+  final case class UrlDocIn(doc_id: Long, url_canon: String,
+      domain: String, event_time: Timestamp)
+
+  /** One audited verdict from [[urlDedupStream]]: every arrival comes
+    * back out, keepers and copies alike. */
+  final case class UrlDedupOut(doc_id: Long, url_canon: String,
+      domain: String, event_time: Timestamp, keeper_id: Long,
+      n_seen: Long, keep: Boolean)
+
+  /** Per-canonical-URL first-seen keeper state: the keeper id and the
+    * running arrival count within the watermark horizon. */
+  private[streaming] final case class UrlKeyState(
+      keeperId: Long, nSeen: Long, lastMs: Long)
+
   /** Within-stream exact-URL dedup — the ingest twin of the q181 batch
     * semantics ([[graft.operators.UrlOps.urlDedup]]), composed over
     * [[urlCanonStream]]: arrivals dedup against each other on the FULL
-    * canonical-URL string (exact key, no hash-collision false drops;
-    * the state row carries the string, bounded by the watermark
-    * horizon like [[streamDedupStream]]). Crawl frontiers refetch the
-    * same resource in bursts — tracking-param variants, fragments,
-    * case — so the stage-zero drop point is the ingest edge; the
-    * batch face remains the auditable keeper/copy-count record. */
+    * canonical-URL string (exact key, no hash-collision false drops).
+    * Crawl frontiers refetch the same resource in bursts —
+    * tracking-param variants, fragments, case — so the stage-zero drop
+    * point is the ingest edge.
+    *
+    * AUDITABLE like the batch face (r14 verdict item 4 — the audit half
+    * of the r13 streamDedup advisory): where the previous
+    * `dropDuplicatesWithinWatermark` physically discarded copies, this
+    * face emits EVERY arrival with its keeper attribution — `keeper_id`
+    * (the first-seen doc for the key within the horizon), `n_seen` (the
+    * running copy count at this arrival — the online analogue of the
+    * batch `n_copies` total, which a stream cannot know until the key
+    * expires), and `keep` (true exactly for the first-seen arrival, so
+    * `where(keep)` reproduces the old dropping face's output).
+    * State is one (long, long, long) per distinct in-horizon canonical
+    * URL, expired by event-time timeout at the same 400 s horizon that
+    * bounded the drop variant's state. NULL canonical URLs (NULL source
+    * url) mirror the batch rule: each row is its own keeper, never
+    * grouped, and holds no state. */
   def urlDedupStream(docs: DataFrame,
-      timeCol: String = "event_time"): DataFrame =
+      timeCol: String = "event_time"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     urlCanonStream(docs, timeCol)
-      .withWatermark(timeCol, WatermarkDelay)
-      .dropDuplicatesWithinWatermark("url_canon")
+      .select(col("doc_id").cast("long").as("doc_id"), col("url_canon"),
+        col("domain"), col(timeCol).cast("timestamp").as("event_time"))
+      .withWatermark("event_time", WatermarkDelay)
+      .as[UrlDocIn]
+      .groupByKey(_.url_canon)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processUrlKey)
+      .toDF()
+  }
+
+  private[streaming] def processUrlKey(key: String, it: Iterator[UrlDocIn],
+      state: GroupState[UrlKeyState]): Iterator[UrlDedupOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // micro-batch iterators are not time-ordered; a key's in-batch rows
+    // are its refetch burst — small — so an in-group sort is safe
+    val rows = it.toIndexedSeq.sortBy(d => (d.event_time.getTime, d.doc_id))
+    if (key == null) {
+      // batch parity (UrlOps.urlDedup): no shared evidence — each
+      // no-URL doc is its own keeper; stateless by construction
+      return rows.iterator.map(d => UrlDedupOut(d.doc_id, d.url_canon,
+        d.domain, d.event_time, d.doc_id, 1L, keep = true))
+    }
+    val out = Seq.newBuilder[UrlDedupOut]
+    var st = state.getOption
+    rows.foreach { d =>
+      st match {
+        case None =>
+          st = Some(UrlKeyState(d.doc_id, 1L, d.event_time.getTime))
+          out += UrlDedupOut(d.doc_id, key, d.domain, d.event_time,
+            d.doc_id, 1L, keep = true)
+        case Some(s) =>
+          st = Some(UrlKeyState(s.keeperId, s.nSeen + 1,
+            math.max(s.lastMs, d.event_time.getTime)))
+          out += UrlDedupOut(d.doc_id, key, d.domain, d.event_time,
+            s.keeperId, s.nSeen + 1, keep = false)
+      }
+    }
+    state.update(st.get)
+    state.setTimeoutTimestamp(st.get.lastMs + SessionCloseMs)
+    out.result().iterator
+  }
 
   def htmlExtractStream(docs: DataFrame, minWords: Int = 6,
       rescueWords: Int = 3, timeCol: String = "event_time"): DataFrame = {

@@ -395,7 +395,10 @@ class IngestFacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("urlDedupStream collapses canonical-URL variants like batch urlDedup") {
+  test("urlDedupStream audits every arrival: keeper, running count, keep flag") {
+    // r14 verdict item 4 — the audit half of the streamDedup advisory:
+    // copies are ATTRIBUTED (keeper_id, n_seen, keep=false), never
+    // physically vanished; where(keep) reproduces the old dropping face
     val in = MemoryStream[(Long, String, Timestamp)]
     val q = Streaming.urlDedupStream(
       in.toDS().toDF("doc_id", "url", "event_time"))
@@ -410,23 +413,59 @@ class IngestFacesSpec extends SparkSpec {
       in.addData(urls: _*)
       q.processAllAvailable()
       val got = spark.table("udd1")
-        .select("doc_id", "url_canon").collect()
-        .map(r => r.getLong(0) -> r.getString(1))
-      // one survivor per canonical URL — the same grouping the batch
-      // face (q181) keys on; the stream keeps an arrival, the batch
-      // face keeps min-id, so parity is on the canonical-key PARTITION
-      assert(got.length === 2)
-      assert(got.map(_._2).toSet ===
-        Set("http://a.com/p", "http://a.com/q"))
-      assert(got.collect { case (id, "http://a.com/p") => id }
-        .forall(Set(5L, 2L, 9L).contains))
-      // batch parity on the keyed partition: same distinct canon keys
+        .select("doc_id", "url_canon", "keeper_id", "n_seen", "keep")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))).toMap
+      // EVERY arrival comes back out — nothing physically dropped
+      assert(got.size === 4)
+      // doc 5 is the first ARRIVAL of its key (event-time order) — the
+      // stream's keeper; the batch face would keep min-id 2 instead —
+      // the one documented divergence (a stream cannot know the future
+      // min), reconciled below on the canonical-key partition
+      assert(got(5L) === (("http://a.com/p", 5L, 1L, true)))
+      assert(got(2L) === (("http://a.com/p", 5L, 2L, false)))
+      assert(got(9L) === (("http://a.com/p", 5L, 3L, false)))
+      assert(got(3L) === (("http://a.com/q", 3L, 1L, true)))
+      // where(keep) == the old dropping face: one survivor per key
+      val kept = got.collect { case (id, (u, _, _, true)) => id -> u }
+      assert(kept.size === 2)
+      // batch parity on the keyed partition: same distinct canon keys,
+      // same group membership under keeper attribution
       val batch = graft.operators.UrlOps.urlDedup(
         graft.operators.UrlOps.canonicalize(
           urls.toDF("doc_id", "url", "event_time"),
           col("doc_id"), col("url")))
-      assert(batch.select("url_canon").distinct().collect()
-        .map(_.getString(0)).toSet === got.map(_._2).toSet)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("url_canon")).toMap
+      assert(batch.keySet === got.keySet)
+      got.foreach { case (id, (u, keeper, _, _)) =>
+        assert(batch(id) === u)
+        // stream keeper and each copy share one batch canon key
+        assert(batch(keeper) === u)
+      }
+    } finally q.stop()
+  }
+
+  test("urlDedupStream: NULL urls are stateless self-keepers (batch parity)") {
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.urlDedupStream(
+      in.toDS().toDF("doc_id", "url", "event_time"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("udd2").start()
+    try {
+      in.addData(
+        (1L, null.asInstanceOf[String], ts(T0)),
+        (2L, null.asInstanceOf[String], sec(T0, 2)),
+        (3L, "http://a.com/p", ts(T0)))
+      q.processAllAvailable()
+      val got = spark.table("udd2")
+        .select("doc_id", "keeper_id", "n_seen", "keep").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(got(1L) === ((1L, 1L, true)))
+      assert(got(2L) === ((2L, 1L, true)))
+      assert(got(3L) === ((3L, 1L, true)))
     } finally q.stop()
   }
 
