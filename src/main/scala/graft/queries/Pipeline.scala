@@ -1355,8 +1355,11 @@ object Pipeline {
     * approximate method (sign-LSH, IVF-fixed, IVF-learned nprobe=2) with
     * its recall against the shared brute-force truth at k = LSH_K — the
     * PipelineOpsSpec recall measurement promoted to a registered artifact
-    * (r7 verdict item 7). No SQL oracle — learnCentroids (k-means) isn't
-    * SQL-expressible (q48 contract); the rows-only check is made
+    * (r7 verdict item 7). No SQL oracle for the RECALL rows — learnCentroids
+    * (k-means) isn't SQL-expressible (q48 contract) — but the brute-force
+    * TRUTH frame every method is measured against is hash-gated as its own
+    * entry (q185, r14 verdict item 5; PipelineOpsSpec pins this query's
+    * truth leg row-for-row against it). The rows-only check here is made
     * regression-SENSITIVE by the [[AnnRecallFloor]] filter: 3 rows while
     * every method clears the floor, fewer the moment one collapses.
     * Measured (MicroBench ann_recall_all): lsh 0.10/0.20/0.07,
@@ -1447,6 +1450,42 @@ object Pipeline {
         .where(col("recall") >= AnnRecallFloor)
     },
     None)
+
+  /** The q82 ground-truth frame, hash-gated on its own (r14 verdict
+    * item 5): the recall harness's learned tiers are not
+    * SQL-expressible, but the brute-force truth they are all measured
+    * AGAINST is plain relational top-k — every (query, neighbor, rank,
+    * cosine) row replayed by DuckDB from the same parquet, so the
+    * bench's most expensive entry is now half-auditable: a broken
+    * truth (distance kernel, norm guard, tie order) fails THIS hash
+    * gate, and PipelineOpsSpec pins q82's recall numbers against this
+    * exact frame. Same arguments as q82's `truth` leg by construction
+    * ([[SimilarityOps.bruteForceTopK]], queries = vec_id < 10,
+    * k = LSH_K). */
+  private val q185 = QueryDef(
+    "q185_ann_truth",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), LSH_K)
+    },
+    s"""WITH v AS (SELECT vec_id, embedding AS e,
+       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm
+       |  FROM v WHERE vec_id < 10),
+       |p AS (SELECT q.qid, v.vec_id AS nid,
+       |    CASE WHEN q.qnrm * v.nrm > 0
+       |      THEN round(${dotSql("q.qe", "v.e", DIM)}
+       |        / (q.qnrm * v.nrm), 6) END AS cos_sim
+       |  FROM q JOIN v ON v.vec_id <> q.qid)
+       |SELECT qid AS query_id, rk, nid AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos_sim DESC, nid)
+       |    AS BIGINT) AS rk
+       |  FROM p
+       |) t WHERE rk <= $LSH_K""".stripMargin)
 
   /** Coordinated bottom-k sketch-vs-sketch containment
     * ([[DedupOps.coordinatedContainmentPairs]]) — the sketch-INDEX path:
@@ -6224,7 +6263,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184)
+    q181, q182, q183, q184, q185)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

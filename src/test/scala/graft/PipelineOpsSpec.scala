@@ -264,6 +264,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rep("lsh") == ((30L, 3L, 0.1)))
     assert(rep("ivf_fixed") == ((30L, 26L, 0.866667)))
     assert(rep("ivf_learned") == ((30L, 17L, 0.566667)))
+    // r14 verdict item 5: the truth side is now its own hash-gated
+    // registry entry (q185) — q82's recall numbers are measured against
+    // EXACTLY that frame, pinned row-for-row here
+    val q185 = graft.SparkEntry.queries("q185_ann_truth")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val truthRows = truth.as[(Long, Long, Long, Double)].collect().toSet
+    assert(q185 === truthRows)
+    assert(q185.size === 30)
   }
 
   test("learned IVF centroids: recall@k vs the fixed-sample quantizer") {
