@@ -33,19 +33,36 @@ import graft.functions.TextHash
 object SpanDedupOps {
 
   /** Word positions are 1-based (SQL `generate_series` parity). Emits one
-    * row per (doc, position) k-gram: `(did, pos, h)`; docs shorter than
-    * `k` words emit nothing. */
+    * row per (doc, position) k-gram: `(did, pos, h, glen)` — the hash AND
+    * the gram's char length; docs shorter than `k` words emit nothing.
+    *
+    * Gram IDENTITY downstream is the composite (h, glen) — the
+    * q41/exact_dup (fp, fp_len) convention (r14 verdict item 8): the
+    * dedup rewrite DROPS words on this key with no verify pass, and the
+    * bare ~2^30 polynomial hash collides at ~n²/2P pairs — a certainty at
+    * corpus scale (10¹² grams), each one a false "duplicated" span in an
+    * innocent doc. The length component is free in both engines
+    * (DuckDB replays `length(...)`) and removes every unequal-length
+    * collision; same-length collisions remain the inherent residue
+    * (SpanDedupSpec pins both sides of that line). Winnowing
+    * ([[WinnowOps.fingerprints]]) deliberately keys on `h` alone — there
+    * a collision only perturbs a SELECTION estimate that q154's df cap +
+    * Jaccard verify bound, never a drop. */
   private[operators] def gramTable(docs: DataFrame, id: Column,
       text: Column, k: Int): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     val ws = split(text, " ")
     val grams = when(size(ws) >= k,
       transform(sequence(lit(1), size(ws) - lit(k - 1)),
-        i => graft.functions.HashExpressions.polyHash(
-          concat_ws(" ", slice(ws, i, lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
-    docs.select(id.as("did"), posexplode(grams).as(Seq("p0", "h")))
-      .select(col("did"), (col("p0") + 1).as("pos"), col("h"))
+        i => {
+          val g = concat_ws(" ", slice(ws, i, lit(k)))
+          struct(graft.functions.HashExpressions.polyHash(g).as("h"),
+            length(g).cast("long").as("glen"))
+        }))
+      .otherwise(array().cast("array<struct<h:bigint,glen:bigint>>"))
+    docs.select(id.as("did"), posexplode(grams).as(Seq("p0", "g")))
+      .select(col("did"), (col("p0") + 1).as("pos"),
+        col("g.h").as("h"), col("g.glen").as("glen"))
   }
 
   /** Maximal cross-document duplicated spans per doc: every maximal run of
@@ -55,10 +72,10 @@ object SpanDedupOps {
   def crossDocSpans(docs: DataFrame, id: Column, text: Column,
       k: Int = 3, minDf: Int = 2): DataFrame = {
     val grams = gramTable(docs, id, text, k)
-    val dup = grams.groupBy("h")
+    val dup = grams.groupBy("h", "glen")
       .agg(countDistinct(col("did")).as("df"))
       .where(col("df") >= minDf)
-    val dupPos = grams.join(dup, "h")
+    val dupPos = grams.join(dup, Seq("h", "glen"))
     val island = col("pos") -
       row_number().over(Window.partitionBy(col("did")).orderBy(col("pos")))
     dupPos.withColumn("island", island)
@@ -82,11 +99,11 @@ object SpanDedupOps {
   private def dropPositions(docs: DataFrame, id: Column, text: Column,
       k: Int, minDf: Int): DataFrame = {
     val grams = gramTable(docs, id, text, k)
-    val dup = grams.groupBy("h").agg(
+    val dup = grams.groupBy("h", "glen").agg(
       countDistinct(col("did")).as("df"),
       min(col("did")).as("canon"))
       .where(col("df") >= minDf)
-    grams.join(dup, "h")
+    grams.join(dup, Seq("h", "glen"))
       .where(col("did") =!= col("canon"))
       .select(col("did"), explode(
         sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
@@ -120,7 +137,7 @@ object SpanDedupOps {
     * sized (linear scan output, one aggregation). */
   def gramIndex(docs: DataFrame, id: Column, text: Column, k: Int = 3)
       : DataFrame =
-    gramTable(docs, id, text, k).groupBy("h").agg(
+    gramTable(docs, id, text, k).groupBy("h", "glen").agg(
       countDistinct(col("did")).as("df"),
       min(col("did")).as("canon"))
 
@@ -139,10 +156,12 @@ object SpanDedupOps {
   def gramIndexUpdate(prev: DataFrame, delta: DataFrame, id: Column,
       text: Column, k: Int = 3): DataFrame = {
     val d = gramIndex(delta, id, text, k)
-    prev.select(col("h"), col("df").as("_da"), col("canon").as("_ca"))
-      .join(d.select(col("h"), col("df").as("_db"), col("canon").as("_cb")),
-        Seq("h"), "full_outer")
-      .select(col("h"),
+    prev.select(col("h"), col("glen"), col("df").as("_da"),
+        col("canon").as("_ca"))
+      .join(d.select(col("h"), col("glen"), col("df").as("_db"),
+          col("canon").as("_cb")),
+        Seq("h", "glen"), "full_outer")
+      .select(col("h"), col("glen"),
         (coalesce(col("_da"), lit(0L)) + coalesce(col("_db"), lit(0L)))
           .as("df"),
         least(col("_ca"), col("_cb")).as("canon")) // least skips NULLs
@@ -153,7 +172,8 @@ object SpanDedupOps {
     * k-gram with 1-based `pos` and the shared polynomial hash. */
   def gramCteSql(k: Int, table: String): String =
     s"""SELECT did, i AS pos,
-       |  ${TextHash.polyHashSql(s"array_to_string(ws[i:i+${k - 1}], ' ')")} AS h
+       |  ${TextHash.polyHashSql(s"array_to_string(ws[i:i+${k - 1}], ' ')")} AS h,
+       |  CAST(length(array_to_string(ws[i:i+${k - 1}], ' ')) AS BIGINT) AS glen
        |FROM $table, UNNEST(generate_series(1, len(ws) - ${k - 1})) AS t(i)
        |WHERE len(ws) >= $k""".stripMargin
 }

@@ -1721,7 +1721,7 @@ object TextOps {
     * original order) — NULL when nothing survives, so a pipeline can
     * verify the cleaned corpus without the text leaving the row.
     *
-    * Scale shape: the duplicated-line table is keyed by line HASH, not the
+    * Scale shape: the duplicated-line table is keyed by line hash, not the
     * line text, and only the DROP set (lines with df >= maxDf — the
     * boilerplate vocabulary, tiny next to the corpus) flows into the
     * anti-join, which AQE broadcasts when it fits. Boilerplate lines are
@@ -1729,15 +1729,27 @@ object TextOps {
     * left_anti against the small drop-set (rather than joining every line
     * to its df) means a hot line never fans out. Reassembly sorts WITHIN
     * each document's collected array — no cross-document order
-    * dependency. */
+    * dependency.
+    *
+    * The drop KEY is the composite (polyHash, line length) — the
+    * q41/exact_dup (fp, fp_len) convention (r14 verdict item 8): a drop
+    * decided on the bare ~2^30 hash false-drops an innocent line whenever
+    * it collides with boilerplate (expected ~n²/2P per corpus — a
+    * certainty at 10⁹ distinct lines); the length component is free in
+    * both engines and removes every unequal-length collision. Same-length
+    * collisions remain the inherent hash-key residue (LineDedupSpec pins
+    * both: a cross-length collision survives, a same-length one is the
+    * documented exposure); the drop-set's smallness would admit an exact
+    * text-keyed anti-join where zero residue is required. */
   def lineDedup(docs: DataFrame, id: Column, text: Column,
       maxDf: Int): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     val lines = docs
       .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
       .withColumn("h", graft.functions.HashExpressions.polyHash(col("line")))
+      .withColumn("llen", length(col("line")).cast("long"))
     val keptAgg = lines.join(boilerplateLineSet(docs, id, text, maxDf),
-        Seq("h"), "left_anti")
+        Seq("h", "llen"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         graft.functions.HashExpressions.polyHash(
@@ -1752,9 +1764,10 @@ object TextOps {
         col("clean_fingerprint"))
   }
 
-  /** The corpus's boilerplate-line table: hashes of lines occurring in
-    * `maxDf`+ distinct documents. [[lineDedup]]'s drop-set, exposed so an
-    * ingest stream can reuse it as the STATIC side of a stream-static join
+  /** The corpus's boilerplate-line table: (hash, length) keys of lines
+    * occurring in `maxDf`+ distinct documents ([[lineDedup]]'s composite
+    * drop key). Exposed so an ingest stream can reuse it as the STATIC
+    * side of a stream-static join
     * ([[graft.streaming.Streaming.lineDedupStream]]) — line df is a
     * corpus-global statistic a micro-batch cannot see. */
   def boilerplateLineSet(docs: DataFrame, id: Column, text: Column,
@@ -1764,11 +1777,12 @@ object TextOps {
     docs
       .select(id.as("doc_id"), explode(split(text, "\n")).as("line"))
       .select(col("doc_id"),
-        graft.functions.HashExpressions.polyHash(col("line")).as("h"))
-      .groupBy("h")
+        graft.functions.HashExpressions.polyHash(col("line")).as("h"),
+        length(col("line")).cast("long").as("llen"))
+      .groupBy("h", "llen")
       .agg(countDistinct("doc_id").as("_df"))
       .where(col("_df") >= maxDf)
-      .select("h")
+      .select("h", "llen")
   }
 
   /** Per-source unigram KL divergence vs the whole corpus —

@@ -1183,17 +1183,20 @@ object Pipeline {
        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
        |lns AS (
        |  SELECT doc_id, i AS pos, ls[i] AS line,
-       |    ${polyHashSql("ls[i]")} AS h
+       |    ${polyHashSql("ls[i]")} AS h,
+       |    CAST(length(ls[i]) AS BIGINT) AS llen
        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
        |       UNNEST(generate_series(1, len(ls))) AS t(i)),
        |drop_set AS (
-       |  SELECT h FROM lns GROUP BY h
+       |  SELECT h, llen FROM lns GROUP BY h, llen
        |  HAVING count(DISTINCT doc_id) >= $LineMaxDf),
        |ka AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        |    ${polyHashSql("string_agg(line, chr(10) ORDER BY pos)")}
        |      AS clean_fingerprint
-       |  FROM lns WHERE h NOT IN (SELECT h FROM drop_set)
+       |  FROM (SELECT lns.* FROM lns LEFT JOIN drop_set d
+       |        ON lns.h = d.h AND lns.llen = d.llen
+       |        WHERE d.h IS NULL) lk
        |  GROUP BY doc_id)
        |SELECT m.doc_id,
        |  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
@@ -3191,10 +3194,11 @@ object Pipeline {
          |dwords0 AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
          |  FROM scr),
          |dg AS (${graft.operators.SpanDedupOps.gramCteSql(3, "dwords0")}),
-         |ddup AS (SELECT h, min(did) AS canon FROM dg GROUP BY 1
+         |ddup AS (SELECT h, glen, min(did) AS canon
+         |  FROM dg GROUP BY 1, 2
          |  HAVING count(DISTINCT did) >= 4),
          |ddrop AS (SELECT DISTINCT dg.did, p AS pos
-         |  FROM dg JOIN ddup USING (h),
+         |  FROM dg JOIN ddup USING (h, glen),
          |    UNNEST(generate_series(dg.pos, dg.pos + 2)) AS t(p)
          |  WHERE dg.did <> ddup.canon),
          |dtok AS (SELECT did, i AS pos, ws[i] AS w
@@ -4933,9 +4937,10 @@ object Pipeline {
     (s, d) => graft.operators.SpanDedupOps.crossDocSpans(
       Tables.documents(s, d), col("doc_id"), col("text"), k = XDOC_K),
     s"""WITH $xdocCtes,
-       |dup AS (SELECT h, CAST(count(DISTINCT did) AS BIGINT) AS df
-       |  FROM g GROUP BY 1 HAVING count(DISTINCT did) >= 2),
-       |dp AS (SELECT g.did, g.pos, dup.df FROM g JOIN dup USING (h)),
+       |dup AS (SELECT h, glen, CAST(count(DISTINCT did) AS BIGINT) AS df
+       |  FROM g GROUP BY 1, 2 HAVING count(DISTINCT did) >= 2),
+       |dp AS (SELECT g.did, g.pos, dup.df
+       |  FROM g JOIN dup USING (h, glen)),
        |isl AS (SELECT did, pos, df,
        |    pos - row_number() OVER (PARTITION BY did ORDER BY pos)
        |      AS island
@@ -4956,10 +4961,10 @@ object Pipeline {
     (s, d) => graft.operators.SpanDedupOps.crossDocDedup(
       Tables.documents(s, d), col("doc_id"), col("text"), k = XDOC_K),
     s"""WITH $xdocCtes,
-       |dup AS (SELECT h, min(did) AS canon
-       |  FROM g GROUP BY 1 HAVING count(DISTINCT did) >= 2),
+       |dup AS (SELECT h, glen, min(did) AS canon
+       |  FROM g GROUP BY 1, 2 HAVING count(DISTINCT did) >= 2),
        |dropp AS (SELECT DISTINCT g.did, p AS pos
-       |  FROM g JOIN dup USING (h),
+       |  FROM g JOIN dup USING (h, glen),
        |    UNNEST(generate_series(g.pos, g.pos + ${XDOC_K - 1})) AS t(p)
        |  WHERE g.did <> dup.canon),
        |toks AS (SELECT did, i AS pos, ws[i] AS w
@@ -5446,9 +5451,9 @@ object Pipeline {
         delta, col("doc_id"), col("text"), XDOC_K)
     },
     s"""WITH $xdocCtes
-       |SELECT h, CAST(count(DISTINCT did) AS BIGINT) AS df,
+       |SELECT h, glen, CAST(count(DISTINCT did) AS BIGINT) AS df,
        |  min(did) AS canon
-       |FROM g GROUP BY 1""".stripMargin)
+       |FROM g GROUP BY 1, 2""".stripMargin)
 
   /** Frozen-screen drift detector ([[graft.operators.CorpusStatsOps
     * .robustDrift]]): the per-language median/MAD baseline is fitted on

@@ -1233,8 +1233,10 @@ object Streaming {
         size(split(col("text"), "\n")).cast("long").as("n_lines"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("h", polyHash(col("line")))
+      .withColumn("llen", length(col("line")).cast("long"))
     lines
-      .join(dropLines.select(col("h"), lit(true).as("_drop")), Seq("h"), "left")
+      .join(dropLines.select(col("h"), col("llen"), lit(true).as("_drop")),
+        Seq("h", "llen"), "left")
       .groupBy(window(col("_t"), "1 minute"), col("doc_id"))
       .agg(first(col("n_lines")).as("n_lines"),
         count(when(col("_drop").isNull, 1)).as("n_kept"),
@@ -1802,17 +1804,24 @@ object Streaming {
       timeCol: String = "event_time"): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     val ws = split(col("text"), " ")
+    // gram identity is the composite (h, glen) — must match the frozen
+    // index's key exactly (SpanDedupOps.gramTable, r14 verdict item 8)
     val grams = when(size(ws) >= k,
       transform(sequence(lit(1), size(ws) - lit(k - 1)),
-        i => struct(i.as("pos"), graft.functions.HashExpressions.polyHash(
-          concat_ws(" ", slice(ws, i, lit(k)))).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+        i => {
+          val g = concat_ws(" ", slice(ws, i, lit(k)))
+          struct(i.as("pos"),
+            graft.functions.HashExpressions.polyHash(g).as("h"),
+            length(g).cast("long").as("glen"))
+        }))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint,glen:bigint>>"))
     val exploded = docs.withWatermark(timeCol, WatermarkDelay)
       .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
         explode_outer(grams).as("g"))
       .select(col("window"), col("doc_id"), col("g.pos").as("pos"),
-        col("g.h").as("h"))
-      .join(index.select(col("h"), col("df")), Seq("h"), "left")
+        col("g.h").as("h"), col("g.glen").as("glen"))
+      .join(index.select(col("h"), col("glen"), col("df")),
+        Seq("h", "glen"), "left")
     val agg = exploded.groupBy(col("window"), col("doc_id")).agg(
       count(col("pos")).as("n_grams"),
       count(col("df")).as("n_dup"),

@@ -34,14 +34,36 @@ class LineDedupSpec extends SparkSpec {
   }
 
   test("boilerplateLineSet counts DISTINCT docs and respects the threshold") {
+    // the drop key is the composite (hash, length) — the exact_dup
+    // (fp, fp_len) convention (r14 verdict item 8)
     val at2 = TextOps.boilerplateLineSet(docs, col("doc_id"), col("text"), 2)
-      .as[Long].collect().toSet
-    assert(at2 == Set(fp(banner), fp(nav)))
+      .as[(Long, Long)].collect().toSet
+    assert(at2 == Set((fp(banner), banner.length.toLong),
+      (fp(nav), nav.length.toLong)))
     // at maxDf=3 the nav line (df 2) is no longer boilerplate; doc 2's
     // double banner must not lift any df — only the banner qualifies
     val at3 = TextOps.boilerplateLineSet(docs, col("doc_id"), col("text"), 3)
-      .as[Long].collect().toSet
-    assert(at3 == Set(fp(banner)))
+      .as[(Long, Long)].collect().toSet
+    assert(at3 == Set((fp(banner), banner.length.toLong)))
+  }
+
+  test("composite drop key: a cross-length hash collision cannot false-drop") {
+    // 'ao' and 'మ' (U+0C2E) share polyHash 3118 but differ in length;
+    // 'bP' collides at the SAME length — the documented residue. The
+    // boilerplate line 'ao' (3 docs) must drop ONLY itself.
+    assert(fp("ao") === fp("మ") && fp("ao") === fp("bP"))
+    val coll = Seq(
+      (1L, "ao\nkeep one"), (2L, "ao\nkeep two"), (3L, "ao\nkeep three"),
+      (4L, "మ\nkeep four"),   // cross-length collision: survives
+      (5L, "bP\nkeep five"))       // same-length collision: residue drop
+      .toDF("doc_id", "text")
+    val out = TextOps.lineDedup(coll, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(4L) === 2L,
+      "a different-length line colliding with boilerplate must survive")
+    assert(out(5L) === 1L) // same-length collision: inherent hash residue
   }
 
   test("lineDedup on native multi-line docs: counts, order, NULL convention") {

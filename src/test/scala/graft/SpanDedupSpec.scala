@@ -68,4 +68,26 @@ class SpanDedupSpec extends SparkSpec {
       keptWords.cast("long") =!= col("n_words") - col("n_dropped")).count()
       === 0L)
   }
+
+  test("gram identity is (hash, length): cross-length collisions cannot span") {
+    // k=1 grams: 'ao' and 'మ' share polyHash 3118 at different lengths,
+    // 'bP' collides at the SAME length (the documented residue)
+    val docs = Seq(
+      (1L, "ao x"), (2L, "ao y"),  // true duplicated gram, df=2
+      (3L, "మ z"))                  // cross-length collision: df must stay 1
+      .toDF("doc_id", "text")
+    val spans = SpanDedupOps.crossDocSpans(
+      docs, col("doc_id"), col("text"), k = 1, minDf = 2)
+      .select("did").as[Long].collect().toSet
+    assert(spans === Set(1L, 2L),
+      "a shorter gram colliding with a duplicated hash must not be a span")
+    // and the rewrite keeps doc 3 untouched (canon rule never reaches it)
+    val clean = SpanDedupOps.crossDocDedup(
+      docs, col("doc_id"), col("text"), k = 1, minDf = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(clean(3L) === "మ z")
+    assert(clean(1L) === "ao x")     // min-id canonical holder keeps
+    assert(clean(2L) === "y")        // non-canonical occurrence removed
+  }
 }
