@@ -172,9 +172,26 @@ object Bench {
     // encode, measured on the split-out fixture), so the bench gated the
     // encoder, not the operator.
     val mediaNames = graft.queries.MediaNearDup.faces.map(_._1).toSet
+    // Per-entry warm-up for the bench variance kings (r14 verdict item
+    // 7): q82 compiles seven recall branches' codegen units and q117
+    // nine funnel stages — across rounds their rep 1 carried the
+    // compile/JIT cost (driver artifacts: one outlier rep doubling
+    // max/median, while QSolo warm reps sat tight). One untimed
+    // materialization before the timed reps — the same discipline the
+    // media and z_ztbus blocks already apply — so the timed reps
+    // measure the plan, not the compiler. Deliberately NOT applied to
+    // the fit-bearing entries (q48/q71/q95): their rep 1 carries the
+    // memoized model FIT, which is honest cost the artifact should show.
+    val warmupFirst = Set("q82_ann_recall", "q117_curation_funnel")
     val results: Seq[(String, Timing)] =
       SparkEntry.registry.filterNot(q => mediaNames(q.name))
-        .map(q => q.name -> timeReps(q.name)(materialize(q.name)))
+        .map { q =>
+          if (warmupFirst(q.name)) {
+            try materialize(q.name) catch { case _: Throwable => () }
+            System.gc() // shed the warm-up rep's blocks before timing
+          }
+          q.name -> timeReps(q.name)(materialize(q.name))
+        }
 
     // Media near-dup: PERSIST the synthetic corpus outside the timed reps
     // (the z_ztbus fixture discipline) and time decode→hash→band→verify —
