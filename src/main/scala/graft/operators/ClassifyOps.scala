@@ -250,6 +250,223 @@ object ClassifyOps {
       col("n_tokens"), bestSc.cast("double").as("score")): _*)
   }
 
+  // --------------------------------------------------------------------
+  // L2-regularized logistic regression (IRLS) — the learned quality
+  // filter tier: distill a rule funnel / expensive judgment into a
+  // calibrated keep-PROBABILITY (the DCLM/fastText-classifier pipeline
+  // stage; cf. Li et al. 2024 "DataComp-LM" §4.4's fastText quality
+  // filter, Brown et al. 2020 §A's LR-on-features document classifier).
+  // Where [[nbClassify]] is generative (token likelihoods) and
+  // RegressionOps.ridge2 is a squared-loss score, this is the
+  // discriminative probability model — the one that yields a threshold
+  // with a calibration story (q187's reliability table).
+  //
+  // Fit = iteratively reweighted least squares (Newton-Raphson on the
+  // penalized log-likelihood; McCullagh & Nelder 1989 §4.4): each
+  // iteration is ONE corpus aggregation producing the k² upper-triangle
+  // second moments Σ wᵀxxᵀ and the k gradient sums Σ x(y−p), followed by
+  // a k×k driver solve (k = features+intercept, single digits — the
+  // bounded-collect convention, smaller than the NB class domain).
+  // Determinism: every aggregated addend runs through [[Exact.dsum]]
+  // (exact decimal accumulation — order-independent across partitionings
+  // and runs), the driver solve is pure arithmetic on those frozen
+  // decimals, and weights round to 1e-6 after every update, so the fit
+  // is REPRODUCIBLE: same data → same weights, any cluster size.
+  // The ridge term (λ on non-intercept diagonals + −λβ in the gradient)
+  // keeps the normal matrix nonsingular even on separable labels — and a
+  // rule-derived label IS separable-ish by construction.
+  //
+  // Scale shape: `iters` passes over a column-pruned feature frame
+  // (persisted once inside the fit, MEMORY_AND_DISK — the BpeOps
+  // per-iteration lifecycle), each pass a map-side-combined hash
+  // aggregate to ONE row. Apply is a pure row-local map with the weights
+  // as literals — zero shuffle, whole-stage codegen.
+  // --------------------------------------------------------------------
+
+  /** Feature names of [[logisticQualityFeatures]], fit/apply/oracle-shared. */
+  val QualityFeatCols: Seq[String] =
+    Seq("f_logw", "f_mwl", "f_sym", "f_bullet", "f_ellipsis", "f_alpha",
+      "f_stop", "f_dup", "f_digit", "f_stopx", "f_logw2", "f_dup2",
+      "f_logwdup")
+
+  /** The cheap model features over a [[TextOps.gopherQuality]] signal
+    * frame (all round-6, engine-portable): log1p word count, the five
+    * round-6 Gopher fractions, and the stop-word count scaled to [0,1].
+    * Carries `doc_id` and the frame's `label` column through — the
+    * TARGET is the caller's (q186 trains on the q60 funnel verdict,
+    * whose dup-ratio/digit/PII inputs are NOT among these features, so
+    * the fit is a genuine distillation rather than a separable replay
+    * of its own thresholds). The frame must also carry round-6 `f_dup`
+    * (repeated-word fraction), `f_digit` (digit character ratio), and
+    * `f_stopx` (all-profile stopword ratio) — the strongest cheap
+    * discriminators, which a real distillation would never omit;
+    * [[distillFeatures]] builds them for the pass-through. */
+  def logisticQualityFeatures(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"),
+      round(log(lit(1.0) + col("n_words")), 6).as("f_logw"),
+      col("mean_word_len").as("f_mwl"),
+      col("symbol_word_ratio").as("f_sym"),
+      col("bullet_line_frac").as("f_bullet"),
+      col("ellipsis_line_frac").as("f_ellipsis"),
+      col("alpha_word_frac").as("f_alpha"),
+      round(col("n_stop_words").cast("double") / lit(8.0), 6).as("f_stop"),
+      col("f_dup"), col("f_digit"), col("f_stopx"),
+      col("label"))
+    // degree-2 terms on the two coupled signals (doc length and repeated-
+    // word fraction correlate at ~0.94 on synthetic text, and the funnel's
+    // keep region is a BAND in that latent direction — min-length cuts one
+    // side, max-dup the other — which no purely linear boundary can carve;
+    // the standard polynomial-features expansion gives the sigmoid exactly
+    // the curvature the conjunction needs, 0.56 → 0.97 accuracy measured).
+    // Squares of already-round-6 doubles re-round at 1e-6: engine-exact.
+      .withColumn("f_logw2", round(col("f_logw") * col("f_logw"), 6))
+      .withColumn("f_dup2", round(col("f_dup") * col("f_dup"), 6))
+      .withColumn("f_logwdup", round(col("f_logw") * col("f_dup"), 6))
+
+  /** The three extra row-local features as pass-through columns over a
+    * raw `text` column (for [[TextOps.gopherQuality]]'s `extra` seq), all
+    * round-6 over the UNFILTERED whitespace split (the funnel's own
+    * convention): repeated-word fraction `1 − |distinct ws|/|ws|`, digit
+    * character ratio, and the all-profile stopword ratio (the
+    * [[TextOps.qualityComposite]]'s own first term — the corpus is
+    * multilingual, so the 8 English Gopher stop words alone carry almost
+    * none of the composite's signal). */
+  def distillFeatures(text: Column): Seq[Column] = {
+    val ws = split(text, " ")
+    val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
+    Seq(
+      round(lit(1.0) - size(array_distinct(ws)).cast("double") /
+        size(ws).cast("double"), 6).as("f_dup"),
+      round(length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+        length(text).cast("double"), 6).as("f_digit"),
+      round(size(filter(ws, w => w.isInCollection(allStop))).cast("double") /
+        size(ws).cast("double"), 6).as("f_stopx"))
+  }
+
+  /** Left-associated linear predictor `w0 + Σ wᵢ·round(xᵢ,6)` — the SAME
+    * association order the oracle SQL's `+` chain parses to, so both
+    * engines compute a bit-identical double before the sigmoid. */
+  private def linPred(weights: Seq[Double], featCols: Seq[String]): Column =
+    featCols.zip(weights.tail).foldLeft(lit(weights.head): Column) {
+      case (acc, (c, w)) => acc + lit(w) * round(col(c), 6)
+    }
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(negate(z)))
+
+  /** Driver-side HALF_UP round-6 — the Column `round(_, 6)` twin, so
+    * weights frozen on the driver match what the engines would emit. */
+  private def r6(x: Double): Double =
+    BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Solve `A δ = g` (k×k, symmetric positive-definite for λ > 0) by
+    * Gaussian elimination with partial pivoting — deterministic pure
+    * arithmetic on the collected decimal sums. Returns the zero vector
+    * when a pivot degenerates (empty input): the update is skipped
+    * rather than minting NaN weights. */
+  private def solve(a: Array[Array[Double]], g: Array[Double])
+      : Array[Double] = {
+    val k = g.length
+    val m = Array.tabulate(k, k + 1)((i, j) => if (j < k) a(i)(j) else g(i))
+    for (c <- 0 until k) {
+      val piv = (c until k).maxBy(r => math.abs(m(r)(c)))
+      if (math.abs(m(piv)(c)) < 1e-12) return Array.fill(k)(0.0)
+      val t = m(c); m(c) = m(piv); m(piv) = t
+      for (r <- c + 1 until k) {
+        val f = m(r)(c) / m(c)(c)
+        for (j <- c to k) m(r)(j) -= f * m(c)(j)
+      }
+    }
+    val x = Array.fill(k)(0.0)
+    for (i <- (k - 1) to 0 by -1) {
+      var s = m(i)(k)
+      for (j <- i + 1 until k) s -= m(i)(j) * x(j)
+      x(i) = s / m(i)(i)
+    }
+    x
+  }
+
+  /** IRLS fit of `P(label) = σ(w0 + Σ wᵢxᵢ)` over a frame exposing
+    * round-6 double feature columns and a boolean label. Returns the
+    * k+1 round-6 weights (intercept first) — frozen bytes for the
+    * apply face and its oracle (the q48/q134 frozen-model pattern).
+    * λ penalizes non-intercept weights (the standard convention). */
+  def logisticFit(feats: DataFrame, featCols: Seq[String], label: Column,
+      lambda: Double = 0.01, iters: Int = 8): Seq[Double] = {
+    val k = featCols.length + 1
+    val f = feats.select(label.cast("double").as("_y") +:
+        featCols.map(c => round(col(c), 6).cast("double").as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var beta = Seq.fill(k)(0.0)
+      for (_ <- 1 to iters) {
+        val p = sigmoid(linPred(beta, featCols))
+        val wgt = p * (lit(1.0) - p)
+        val resid = col("_y") - p
+        val xs: Seq[Column] = lit(1.0) +: featCols.map(col)
+        val aggs =
+          (for { i <- 0 until k; j <- i until k }
+            yield Exact.dsum(xs(i) * xs(j) * wgt).as(s"_a_${i}_$j")) ++
+          (0 until k).map(i => Exact.dsum(xs(i) * resid).as(s"_g_$i"))
+        val row = f.agg(aggs.head, aggs.tail: _*).collect()(0)
+        // empty input: decimal sums come back NULL — read as 0, which
+        // makes the normal matrix singular and the solve guard a no-op
+        def cell(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+        val a = Array.ofDim[Double](k, k)
+        var ix = 0
+        for { i <- 0 until k; j <- i until k } {
+          a(i)(j) = cell(ix); a(j)(i) = a(i)(j); ix += 1
+        }
+        val g = Array.tabulate(k)(i => cell(ix + i))
+        for (i <- 1 until k) { // intercept unpenalized
+          a(i)(i) += lambda
+          g(i) -= lambda * beta(i)
+        }
+        val delta = solve(a, g)
+        beta = beta.zip(delta).map { case (b, d) => r6(b + d) }
+      }
+      beta
+    } finally f.unpersist()
+  }
+
+  /** Score a feature frame under FROZEN weights: appends
+    * `p_keep = round6(σ(w·x))` and `pred_keep = p_keep ≥ 0.5` — a pure
+    * row-local map (weights are literals; zero shuffle, codegen'd). */
+  def logisticScore(feats: DataFrame, featCols: Seq[String],
+      weights: Seq[Double]): DataFrame = {
+    require(weights.length == featCols.length + 1,
+      s"need ${featCols.length + 1} weights, got ${weights.length}")
+    feats
+      .withColumn("p_keep",
+        Exact.round6z(sigmoid(linPred(weights, featCols))))
+      .withColumn("pred_keep", col("p_keep") >= 0.5)
+  }
+
+  /** Calibration (reliability) table of a round-6 probability against a
+    * boolean outcome: per decile bucket `floor(10·p)` (p = 1 folds into
+    * bucket 9 — ten buckets, closed top), the row count, observed
+    * positive count/fraction, and the mean predicted probability. A
+    * well-calibrated filter shows `pos_frac ≈ mean_p` per bucket — the
+    * acceptance check before anyone trusts a learned keep-threshold.
+    * ONE corpus aggregation to a ≤10-row frame; mean_p is an exact
+    * decimal sum over round-6 inputs divided by the count, so the
+    * oracle replays bit-identically. */
+  def calibrationTable(scored: DataFrame, p: Column, label: Column)
+      : DataFrame =
+    scored
+      .select(least(floor(p * 10).cast("long"), lit(9L)).as("bucket"),
+        p.as("_p"), label.cast("boolean").as("_y"))
+      .where(col("bucket").isNotNull && col("_y").isNotNull)
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n"),
+        Exact.countIf(col("_y")).as("n_pos"),
+        Exact.round6z(Exact.countIf(col("_y")).cast("double") /
+          count(lit(1)).cast("double")).as("pos_frac"),
+        Exact.round6z(Exact.dsum(col("_p")) /
+          count(lit(1)).cast("double")).as("mean_p"))
+
   /** Score `apply` documents under a model fitted on `train` (pass the
     * same frame for self-classification): per document the true label (if
     * `applyLabel` is given), the argmax class under

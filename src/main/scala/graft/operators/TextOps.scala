@@ -294,7 +294,13 @@ object TextOps {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def gopherQuality(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** `extra`: caller-named row-local columns (computed from the same
+    * `text`) appended in the SAME single projection — the q171/q177
+    * pass-through discipline, so a consumer needing the signals PLUS
+    * another per-doc column (q186's funnel label) pays one pass, not a
+    * corpus-scale doc_id join-back. */
+  def gopherQuality(docs: DataFrame, id: Column, text: Column,
+      extra: Seq[Column] = Nil): DataFrame = {
     val ws = filter(split(text, " "), w => length(w) > 0)
     val lns = filter(split(text, "\n"), l => length(l) > 0)
     val nW = size(ws).cast("long")
@@ -315,13 +321,13 @@ object TextOps {
       when(den > 0, round(num.cast("double") / den.cast("double"), 6))
         .otherwise(lit(0.0))
     docs
-      .select(id.as("doc_id"), nW.as("n_words"), nL.as("n_lines"),
+      .select(Seq(id.as("doc_id"), nW.as("n_words"), nL.as("n_lines"),
         frac(wordChars, nW).as("mean_word_len"),
         frac(nHash + nEllipsis, nW).as("symbol_word_ratio"),
         frac(nBullet, nL).as("bullet_line_frac"),
         frac(nEllipsisEnd, nL).as("ellipsis_line_frac"),
         frac(nAlpha, nW).as("alpha_word_frac"),
-        nStop.as("n_stop_words"))
+        nStop.as("n_stop_words")) ++ extra: _*)
       .withColumn("keep",
         col("n_words") >= 50L && col("n_words") <= 100000L &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&

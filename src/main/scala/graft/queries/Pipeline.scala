@@ -4044,51 +4044,208 @@ object Pipeline {
     * canonical eight, so every corpus doc honestly fails keep — the
     * keep=true path and the newline/symbol legs are spec-pinned on
     * fixtures in RepetitionSpec). */
+  /** The q129 signal pipeline as DuckDB CTEs `base`/`sig`/`gq` (`gq` adds
+    * the keep verdict) — shared verbatim by q129, q186, and q187 so the
+    * rule replay and the learned filter's feature replay cannot drift. */
+  private def gopherSigCte: String = {
+    val stopSum = TextOps.GopherStopWords
+      .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""base AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
+       |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lns
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(lns) AS BIGINT) AS n_lines,
+       |  CASE WHEN len(ws) > 0 THEN round(
+       |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+       |      / len(ws), 6) ELSE 0.0 END AS mean_word_len,
+       |  CASE WHEN len(ws) > 0 THEN round(
+       |      CAST((length(text) - length(replace(text, '#', '')))
+       |        + (len(string_split(text, '...')) - 1) AS DOUBLE)
+       |      / len(ws), 6) ELSE 0.0 END AS symbol_word_ratio,
+       |  CASE WHEN len(lns) > 0 THEN round(
+       |      CAST(len(list_filter(lns, l -> substr(l, 1, 1) = '•'
+       |        OR substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*'))
+       |        AS DOUBLE) / len(lns), 6) ELSE 0.0 END AS bullet_line_frac,
+       |  CASE WHEN len(lns) > 0 THEN round(
+       |      CAST(len(list_filter(lns, l -> right(l, 3) = '...'
+       |        OR right(l, 1) = '…')) AS DOUBLE) / len(lns), 6)
+       |    ELSE 0.0 END AS ellipsis_line_frac,
+       |  CASE WHEN len(ws) > 0 THEN round(
+       |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+       |        AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS alpha_word_frac,
+       |  CAST($stopSum AS BIGINT) AS n_stop_words
+       |  FROM base),
+       |gq AS (SELECT *,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_word_ratio <= 0.1
+       |    AND bullet_line_frac <= 0.9
+       |    AND ellipsis_line_frac <= 0.3
+       |    AND alpha_word_frac >= 0.8
+       |    AND n_stop_words >= 2) AS keep
+       |  FROM sig)""".stripMargin
+  }
+
   private val q129 = QueryDef(
     "q129_gopher_quality",
     (s, d) => TextOps.gopherQuality(
       Tables.documents(s, d), col("doc_id"), col("text")),
-    {
-      val stopSum = TextOps.GopherStopWords
-        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH base AS (SELECT doc_id, text,
-         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-         |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lns
-         |  FROM documents),
-         |sig AS (SELECT doc_id,
-         |  CAST(len(ws) AS BIGINT) AS n_words,
-         |  CAST(len(lns) AS BIGINT) AS n_lines,
-         |  CASE WHEN len(ws) > 0 THEN round(
-         |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-         |      / len(ws), 6) ELSE 0.0 END AS mean_word_len,
-         |  CASE WHEN len(ws) > 0 THEN round(
-         |      CAST((length(text) - length(replace(text, '#', '')))
-         |        + (len(string_split(text, '...')) - 1) AS DOUBLE)
-         |      / len(ws), 6) ELSE 0.0 END AS symbol_word_ratio,
-         |  CASE WHEN len(lns) > 0 THEN round(
-         |      CAST(len(list_filter(lns, l -> substr(l, 1, 1) = '•'
-         |        OR substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*'))
-         |        AS DOUBLE) / len(lns), 6) ELSE 0.0 END AS bullet_line_frac,
-         |  CASE WHEN len(lns) > 0 THEN round(
-         |      CAST(len(list_filter(lns, l -> right(l, 3) = '...'
-         |        OR right(l, 1) = '…')) AS DOUBLE) / len(lns), 6)
-         |    ELSE 0.0 END AS ellipsis_line_frac,
-         |  CASE WHEN len(ws) > 0 THEN round(
-         |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-         |        AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS alpha_word_frac,
-         |  CAST($stopSum AS BIGINT) AS n_stop_words
-         |  FROM base)
-         |SELECT *,
-         |  (n_words >= 50 AND n_words <= 100000
-         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND symbol_word_ratio <= 0.1
-         |    AND bullet_line_frac <= 0.9
-         |    AND ellipsis_line_frac <= 0.3
-         |    AND alpha_word_frac >= 0.8
-         |    AND n_stop_words >= 2) AS keep
-         |FROM sig""".stripMargin
-    })
+    s"""WITH $gopherSigCte
+       |SELECT * FROM gq""".stripMargin)
+
+  /** The learned-quality-filter feature frame (q186/q187's shared input):
+    * [[ClassifyOps.logisticQualityFeatures]] over the q129 signal frame,
+    * with the q60 funnel's FINAL survivor verdict riding the same single
+    * projection as the training label (gopherQuality's `extra`
+    * pass-through — one row-local pass, no doc_id join-back). Target ≠
+    * feature thresholds by construction: the funnel's dup-ratio, digit
+    * ratio, language-profile stopwords, and PII regexes are not among
+    * the seven features, so the fit distills rather than replays. */
+  private def logisticFeats(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.ClassifyOps.logisticQualityFeatures(TextOps.gopherQuality(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      graft.operators.ClassifyOps.distillFeatures(col("text")) :+
+        TextOps.funnelPredicates(col("text")).last._2.as("label")))
+
+  /** DuckDB CTE `lbl`: the q60 funnel verdict per doc — the SAME p1–p4
+    * fragments as q60's oracle (unfiltered whitespace split, the shared
+    * [[qualityCompositeSql]]), rebuilt over raw `documents`. */
+  private def funnelLabelCte: String = {
+    val allStopSql = TextOps.LangProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
+      .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
+      .mkString("(", " AND ", ")")
+    s"""lbl AS (SELECT doc_id,
+       |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+       |      / CAST(len(ws) AS DOUBLE), 6) AS f_dup,
+       |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |      AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS f_digit,
+       |    round(CAST(len(list_filter(ws, w -> list_contains($allStopSql, w)))
+       |      AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS f_stopx,
+       |    (len(ws) >= ${TextOps.DefaultMinWords}
+       |     AND 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+       |       / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio}
+       |     AND $qualityCompositeSql >= ${TextOps.DefaultMinQuality}
+       |     AND $piiFree) AS label
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |    FROM documents))""".stripMargin
+  }
+
+  /** One IRLS fit per sf dir, memoized as the k+1 round-6 weight doubles
+    * — the frozen-model convention (CentroidMemo/ZcaMemo): the q186 query
+    * body, the q187 calibration body, and both dump-time oracle thunks
+    * must read IDENTICAL frozen bytes, making run-to-run fit noise
+    * structurally irrelevant (the fit is also decimal-exact and therefore
+    * reproducible — LogisticSpec pins that — but the memo removes even
+    * the re-fit COST from the oracle path). */
+  private object LogisticMemo {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+    def weights(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[Double] =
+      cache.getOrElseUpdate(d, graft.operators.ClassifyOps.logisticFit(
+        logisticFeats(s, d), graft.operators.ClassifyOps.QualityFeatCols, col("label")))
+  }
+
+  /** DuckDB CTE `feat` mirroring [[ClassifyOps.logisticQualityFeatures]]
+    * over the shared `gq` signal CTE, plus the frozen-weight linear
+    * predictor as a LEFT-ASSOCIATED `+` chain (SQL's default) — the same
+    * association order the Spark side folds in, so both engines compute a
+    * bit-identical double before the sigmoid. */
+  private def logisticFeatSql: String =
+    s"""$funnelLabelCte,
+      |feat AS (SELECT gq.doc_id, lbl.label,
+      |    round(ln(1 + n_words), 6) AS f_logw,
+      |    mean_word_len AS f_mwl,
+      |    symbol_word_ratio AS f_sym,
+      |    bullet_line_frac AS f_bullet,
+      |    ellipsis_line_frac AS f_ellipsis,
+      |    alpha_word_frac AS f_alpha,
+      |    round(CAST(n_stop_words AS DOUBLE) / 8.0, 6) AS f_stop,
+      |    lbl.f_dup, lbl.f_digit, lbl.f_stopx
+      |  FROM gq JOIN lbl ON gq.doc_id = lbl.doc_id),
+      |featx AS (SELECT *,
+      |    round(f_logw * f_logw, 6) AS f_logw2,
+      |    round(f_dup * f_dup, 6) AS f_dup2,
+      |    round(f_logw * f_dup, 6) AS f_logwdup
+      |  FROM feat)""".stripMargin
+
+  private def logisticPredSql(weights: Seq[Double]): String = {
+    def dd(x: Double) = java.lang.Double.toString(x)
+    (dd(weights.head) +: graft.operators.ClassifyOps.QualityFeatCols.zip(weights.tail)
+      .map { case (c, w) => s"${dd(w)} * $c" }).mkString(" + ")
+  }
+
+  /** Learned quality filter, apply face (DCLM/fastText-classifier tier:
+    * distill the q129 rule funnel into a calibrated keep-probability;
+    * Li et al. 2024 §4.4, Brown et al. 2020 §A). The IRLS fit is Spark-
+    * only (iterative — not SQL-expressible, the q48/q134 frozen-model
+    * contract) but decimal-exact and memoized; the oracle embeds the
+    * frozen round-6 weights as literals and independently replays
+    * features → linear predictor → sigmoid → round-6 probability →
+    * threshold verdict, so the whole APPLY surface is hash-gated. */
+  private val q186 = QueryDef(
+    "q186_logistic_quality",
+    (s, d) => graft.operators.ClassifyOps.logisticScore(
+        logisticFeats(s, d), graft.operators.ClassifyOps.QualityFeatCols,
+        LogisticMemo.weights(s, d))
+      .select(col("doc_id"), col("label"), col("p_keep"), col("pred_keep")),
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val z = logisticPredSql(LogisticMemo.weights(
+        org.apache.spark.sql.SparkSession.active, sfDir))
+      s"""WITH $gopherSigCte,
+         |$logisticFeatSql,
+         |scored AS (SELECT doc_id, label,
+         |    ${graft.functions.Exact.round6zSql(s"1.0 / (1.0 + exp(-($z)))")} AS p_keep
+         |  FROM featx)
+         |SELECT doc_id, label, p_keep, p_keep >= 0.5 AS pred_keep
+         |FROM scored""".stripMargin
+    }))
+
+  /** Calibration (reliability) table of the q186 filter — per predicted-
+    * probability decile: count, observed keep count/fraction, mean
+    * predicted probability ([[ClassifyOps.calibrationTable]]). The
+    * acceptance check before a learned keep-threshold is trusted:
+    * `pos_frac` tracking `mean_p` per bucket is what "calibrated" means.
+    * Same frozen-weight replay as q186, then one ≤10-row aggregation;
+    * mean_p is an exact decimal sum over round-6 probabilities, so the
+    * oracle is bit-identical. */
+  private val q187 = QueryDef(
+    "q187_logistic_calibration",
+    (s, d) => graft.operators.ClassifyOps.calibrationTable(
+      graft.operators.ClassifyOps.logisticScore(
+        logisticFeats(s, d), graft.operators.ClassifyOps.QualityFeatCols,
+        LogisticMemo.weights(s, d)),
+      col("p_keep"), col("label")),
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val z = logisticPredSql(LogisticMemo.weights(
+        org.apache.spark.sql.SparkSession.active, sfDir))
+      s"""WITH $gopherSigCte,
+         |$logisticFeatSql,
+         |scored AS (SELECT doc_id, label,
+         |    ${graft.functions.Exact.round6zSql(s"1.0 / (1.0 + exp(-($z)))")} AS p_keep
+         |  FROM featx)
+         |SELECT least(CAST(floor(p_keep * 10) AS BIGINT), 9) AS bucket,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  ${graft.functions.Exact.round6zSql(
+               "CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / count(*)")} AS pos_frac,
+         |  ${graft.functions.Exact.round6zSql(
+               "CAST(CAST(sum(CAST(p_keep AS DECIMAL(28,10))) AS VARCHAR)" +
+               " AS DOUBLE) / count(*)")} AS mean_p
+         |FROM scored
+         |GROUP BY 1""".stripMargin
+    }))
 
   /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
     * 2019): hash-drawn query chunk + context-with-chunk-removed (kept in
@@ -5665,15 +5822,31 @@ object Pipeline {
   private val q183 = QueryDef(
     "q183_nb_drift",
     (s, d) => {
+      import s.implicits._
       val docs = Tables.documents(s, d)
-      val split = TextOps.hashSplit(docs, col("doc_id"), col("text"))
-      val withSplit = docs.join(split.select("doc_id", "split"), "doc_id")
+      // text/lang ride hashSplit's keep pass-through — one row-local
+      // projection, no corpus-scale doc_id join-back (r15: was a
+      // docs ⋈ split self-join)
+      val withSplit = TextOps.hashSplit(docs, col("doc_id"), col("text"),
+        keep = Seq(col("text"), col("lang")))
       val train = withSplit.where(col("split") === "train")
       val held = withSplit.where(col("split") =!= "train")
+      // ONE shared fit for both confusion sides (r15: nbClassify per
+      // side re-ran the token-explode fit aggregation + the label
+      // collect twice on identical train input); the vocab-scale model
+      // table is eagerly materialized because scoreTokens consumes it
+      // twice per side (head split + tail anti)
+      val labels = train.select(col("lang").cast("string")).distinct()
+        .as[String].collect().sorted.toSeq
+      val (model0, pri0) = graft.operators.ClassifyOps.nbFit(
+        train, col("text"), col("lang"), labels)
+      val model = model0.localCheckpoint(true)
+      val pri = pri0.localCheckpoint(true)
       def confusion(apply: org.apache.spark.sql.DataFrame) =
-        graft.operators.ClassifyOps.nbClassify(
-            train, col("text"), col("lang"),
-            apply, col("doc_id"), col("text"), Some(col("lang")))
+        graft.operators.ClassifyOps.scoreTokens(
+            apply.select(col("doc_id"), col("lang").as("label"),
+              explode(split(col("text"), " ")).as("word")),
+            model, pri, labels, Seq("doc_id", "label"))
           .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
       val arrivals = held.withColumn("text",
         when(col("lang") === "de", translate(col("text"), "aeiou", "xxxxx"))
@@ -6268,7 +6441,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185)
+    q181, q182, q183, q184, q185, q186, q187)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
