@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer — the third member of the subword triad
+  * (BPE = [[BpeOps]], Unigram-LM = [[UnigramOps]]): the BERT-family
+  * vocabulary (Schuster & Nakajima, ICASSP 2012; Devlin et al. 2019 §A;
+  * the trainer formulation below is the public HuggingFace-tokenizers
+  * one — "BPE with a likelihood score").
+  *
+  * FIT: identical loop shape to [[BpeOps.bpeLearn]] — the corpus is
+  * touched ONCE (the word-frequency aggregate); every iteration is
+  * vocab-scale — but the argmax criterion is
+  * `score(l, r) = count(lr) / (count(l) · count(r))` instead of the raw
+  * pair count: merging is driven by pointwise mutual information, so a
+  * pair of already-frequent symbols must co-occur far beyond chance to
+  * win a slot. Counts are exact longs and the score is one double
+  * division of exact longs — bit-identical on any partitioning — with
+  * (score desc, left, right) as the total deterministic order.
+  *
+  * Symbols carry the continuation marker from the start (the WordPiece
+  * convention): "abc" symbolizes to ["a", "##b", "##c"]; merging
+  * ("a", "##b") mints "ab", merging ("##b", "##c") mints "##bc" — the
+  * marker survives on pieces that cannot start a word.
+  *
+  * APPLY: greedy longest-match-first (MaxMatch) against the FROZEN
+  * vocabulary — per position take the LONGEST vocabulary piece that
+  * matches (continuation form after the first), emit `[UNK]` for the
+  * whole word when any position has no match or the word exceeds
+  * [[MaxWordChars]] code points (the published WordPieceTokenizer
+  * contract). Row-local, zero shuffle, vocabulary as DATA inside one
+  * codegen'd expression ([[graft.functions.WordPieceEncode]], the
+  * [[graft.functions.BpeEncode]] pattern) — and, unlike the iterative
+  * fits, REPLAYABLE in SQL: a frozen VALUES vocabulary + a recursive
+  * longest-match cursor, so the apply face is fully oracle-checkable
+  * (q189) where q107/q140's fits are rows-only. */
+object WordPieceOps {
+
+  /** Continuation marker on non-initial pieces (the BERT `##`). */
+  val Continuation = "##"
+
+  /** Whole-word fallback token. */
+  val Unk = "[UNK]"
+
+  /** Words longer than this many code points tokenize to `[UNK]`
+    * outright (the public WordPieceTokenizer `max_input_chars_per_word`
+    * default — a 10k-char "word" is markup damage, and the quadratic
+    * per-word match cost needs a bound). */
+  val MaxWordChars = 100
+
+  /** A word as WordPiece start symbols: first code point raw, the rest
+    * `##`-prefixed. */
+  def toWpSymbols(word: Column): Column = {
+    val chars = filter(split(word, ""), s => s =!= "")
+    zip_with(chars, sequence(lit(1), size(chars)),
+      (c, i) => when(i === 1, c).otherwise(concat(lit(Continuation), c)))
+  }
+
+  /** Greedy left-to-right non-overlapping rewrite of one (left, right)
+    * adjacency into `merged` — [[BpeOps.mergePair]] with the minted
+    * symbol explicit, because WordPiece's merged piece strips the
+    * right's continuation marker rather than concatenating verbatim. */
+  def mergePairInto(syms: Column, left: String, right: String,
+      merged: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, t) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(left) && t === lit(right),
+        concat(slice(acc, lit(1), size(acc) - lit(1)),
+          array(lit(merged))))
+        .otherwise(concat(acc, array(t))))
+
+  /** The piece a (left, right) merge mints. */
+  def mintPiece(left: String, right: String): String =
+    left + right.stripPrefix(Continuation)
+
+  /** Learn `numMerges` WordPiece merges over a [[BpeOps.wordFreqs]]
+    * frame. Returns `(rank, left, right, piece, pair_count, score)` in
+    * learn order; stops early when no pair reaches `minPairCount`
+    * occurrences (a score over sub-noise counts is meaningless).
+    * Per iteration: ONE pair-count aggregation + ONE symbol-count
+    * aggregation joined onto it (all vocab-scale), a deterministic 1-row
+    * argmax, and the row-local rewrite — the [[BpeOps.bpeLearn]]
+    * per-iteration localCheckpoint lifecycle throughout. */
+  def wpLearn(freqs: DataFrame, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var words = freqs.repartition(4)
+      .select(toWpSymbols(col("word")).as("toks"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Double)]
+    try {
+      var done = false
+      var rank = 0L
+      while (!done && rank < numMerges) {
+        val syms = words
+          .select(explode(col("toks")).as("s"), col("freq"))
+          .groupBy("s").agg(sum(col("freq")).as("c"))
+        val best = words
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - lit(1)),
+            slice(col("toks"), lit(2), size(col("toks")) - lit(1)),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("n"))
+          .where(col("n") >= minPairCount)
+          .join(syms.select(col("s").as("l"), col("c").as("cl")), "l")
+          .join(syms.select(col("s").as("r"), col("c").as("cr")), "r")
+          // exact longs in, one double division out: the score is
+          // bit-deterministic on any partitioning, and (score, l, r)
+          // is a total order
+          .select(col("l"), col("r"), col("n"),
+            (col("n").cast("double") /
+              (col("cl").cast("double") * col("cr").cast("double")))
+              .as("score"))
+          .orderBy(col("score").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, r, n, sc) = (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2), best.head.getDouble(3))
+          val piece = mintPiece(l, r)
+          merges += ((rank, l, r, piece, n, sc))
+          val next = words
+            .select(mergePairInto(col("toks"), l, r, piece).as("toks"),
+              col("freq")).localCheckpoint(true)
+          freeCheckpoint(words)
+          words = next
+          rank += 1
+        }
+      }
+    } finally freeCheckpoint(words)
+    merges.toSeq.toDF("rank", "left", "right", "piece", "pair_count", "score")
+  }
+
+  /** The apply vocabulary: every INITIAL symbol of the fit input (all
+    * single code points, raw and `##`-marked — so any fit-corpus word
+    * can always fall back to characters) plus every minted piece.
+    * One vocab-scale aggregation; `(piece)` rows. */
+  def wpVocab(freqs: DataFrame, merges: DataFrame): DataFrame =
+    freqs.select(explode(toWpSymbols(col("word"))).as("piece")).distinct()
+      .unionByName(merges.select(col("piece"))).distinct()
+
+  /** Per-doc greedy longest-match tokenization under a FROZEN vocabulary
+    * (collected — vocab-sized by construction, the merge-table
+    * convention): `(doc_id, tokens, n_tokens, n_unk)` with `n_unk` the
+    * count of whole-word `[UNK]` fallbacks — the vocabulary-coverage
+    * signal a tokenizer rollout is gated on. */
+  def wordPieceTokenize(docs: DataFrame, id: Column, text: Column,
+      vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordPieceTokenizePieces(docs, id, text,
+      vocab.select(col("piece").cast("string")).as[String].collect().toSeq)
+  }
+
+  /** [[wordPieceTokenize]] over an already-collected piece list (the
+    * frozen-vocabulary form the memoized registry/stream faces hold). */
+  def wordPieceTokenizePieces(docs: DataFrame, id: Column, text: Column,
+      vocab: Seq[String]): DataFrame = {
+    val toks = graft.functions.WordPieceExpressions
+      .wordPieceEncode(docs.sparkSession, text, vocab)
+    docs.select(id.as("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t === Unk)).cast("long").as("n_unk"))
+  }
+}

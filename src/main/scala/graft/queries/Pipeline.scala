@@ -4247,6 +4247,120 @@ object Pipeline {
          |GROUP BY 1""".stripMargin
     }))
 
+  /** WordPiece tokenizer fit ([[graft.operators.WordPieceOps.wpLearn]])
+    * — the third subword family (BERT's; Schuster & Nakajima 2012),
+    * completing the BPE (q107) / Unigram-LM (q140) triad: the SAME
+    * vocab-scale iteration shape as BPE but the argmax is the pointwise-
+    * mutual-information score `count(lr)/(count(l)·count(r))`, so
+    * already-frequent symbols must co-occur beyond chance to win a
+    * merge. Iterative distributed argmax → rows-only (the q107
+    * precedent); the score-vs-count divergence from BPE and the
+    * continuation-marker algebra are pinned in WordPieceSpec. */
+  private val q188 = QueryDef(
+    "q188_wordpiece_merges",
+    (s, d) => graft.operators.WordPieceOps.wpLearn(
+      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
+      16),
+    None)
+
+  /** One WordPiece fit per sf dir, memoized as the frozen piece list
+    * (CentroidMemo discipline): the q189 apply body and its dump-time
+    * oracle must read IDENTICAL vocabulary bytes. */
+  private object WordPieceMemo {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    def vocab(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[String] =
+      cache.getOrElseUpdate(d, {
+        import s.implicits._
+        val freqs = graft.operators.BpeOps.wordFreqs(
+          Tables.documents(s, d), col("text"))
+        val merges = graft.operators.WordPieceOps.wpLearn(freqs, 16)
+        graft.operators.WordPieceOps.wpVocab(freqs, merges)
+          .orderBy("piece").as[String].collect().toSeq
+      })
+  }
+
+  /** WordPiece apply face, FULLY oracle-checked — unlike the fits, the
+    * greedy longest-match-first walk over a FROZEN vocabulary is
+    * SQL-expressible: the memoized piece list embeds as a VALUES table
+    * and DuckDB replays the cursor as a recursive CTE whose step takes
+    * the longest piece matching at the position (continuation form
+    * after the first), collapsing to `[UNK]` on any miss — the
+    * published WordPieceTokenizer contract, q48's frozen-model pattern
+    * applied to a TOKENIZER for the first time (q107/q140/q141 are all
+    * rows-only). Output per doc: token count, whole-word-UNK count (the
+    * vocabulary-coverage rollout gate), and the polyHash fingerprint of
+    * the space-joined token stream — NULL when the doc has no tokens
+    * (hash-of-empty diverges between engines; a fingerprint of nothing
+    * means nothing). */
+  private val q189 = QueryDef(
+    "q189_wordpiece_tokenize",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.WordPieceOps.wordPieceTokenizePieces(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          WordPieceMemo.vocab(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          when(col("n_tokens") > 0, graft.functions.HashExpressions
+            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val vocab = WordPieceMemo.vocab(
+        org.apache.spark.sql.SparkSession.active, sfDir)
+      val vals = vocab
+        .map(p => s"('${p.replace("'", "''")}')").mkString(",")
+      val unk = graft.operators.WordPieceOps.Unk
+      val maxW = graft.operators.WordPieceOps.MaxWordChars
+      s"""WITH RECURSIVE pieces(p) AS (SELECT * FROM (VALUES $vals) t(p)),
+         |pl AS (SELECT p,
+         |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw,
+         |    p LIKE '##%' AS cont FROM pieces),
+         |dws AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
+         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |step AS (
+         |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS pos,
+         |    CAST('' AS VARCHAR) AS toks, false AS failed
+         |  FROM words WHERE length(w) <= $maxW
+         |  UNION ALL
+         |  SELECT doc_id, wi, w,
+         |    CASE WHEN bp IS NULL THEN CAST(length(w) + 1 AS BIGINT)
+         |      ELSE pos + length(CASE WHEN bp LIKE '##%'
+         |        THEN substr(bp, 3) ELSE bp END) END,
+         |    CASE WHEN bp IS NULL THEN '$unk'
+         |      WHEN toks = '' THEN bp ELSE toks || ' ' || bp END,
+         |    bp IS NULL
+         |  FROM (SELECT s.doc_id, s.wi, s.w, s.pos, s.toks,
+         |      (SELECT p FROM pl WHERE pl.cont = (s.pos > 1)
+         |         AND pl.raw = substr(s.w, CAST(s.pos AS INTEGER),
+         |           length(pl.raw))
+         |       ORDER BY length(pl.raw) DESC, p LIMIT 1) AS bp
+         |    FROM step s WHERE s.pos <= length(s.w) AND NOT s.failed) t),
+         |done AS (
+         |  SELECT doc_id, wi, toks FROM step
+         |  WHERE failed OR pos > length(w)
+         |  UNION ALL
+         |  SELECT doc_id, wi, '$unk' AS toks
+         |  FROM words WHERE length(w) > $maxW),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
+         |  FROM done GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
+         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(coalesce(len(list_filter(string_split(p.alltoks, ' '),
+         |    x -> x = '$unk')), 0) AS BIGINT) AS n_unk,
+         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
+         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
+         |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    }))
+
   /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
     * 2019): hash-drawn query chunk + context-with-chunk-removed (kept in
     * 1/10 of docs, the paper's rule), both sides' fingerprints
@@ -6441,7 +6555,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

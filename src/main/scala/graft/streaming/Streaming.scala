@@ -463,6 +463,22 @@ object Streaming {
     graft.operators.UnigramOps.unigramTokenize(
       docs, col("doc_id"), col("text"), pieces)
 
+  /** Ingest face of
+    * [[graft.operators.WordPieceOps.wordPieceTokenizePieces]] — the
+    * [[bpeTokenizeStream]] contract for the WordPiece family: arriving
+    * docs greedy-longest-matched against the FROZEN vocabulary, baked as
+    * data into one row-local compiled expression
+    * ([[graft.functions.WordPieceEncode]] — the same expression the
+    * batch face builds, parity definitional), no state, no join. A word
+    * the vocabulary cannot cover emits `[UNK]` instead of failing, so
+    * the face never drops an arrival; the per-window `n_unk` rate is
+    * the vocabulary-aging signal (rising UNKs → re-fit → restart, the
+    * standing static-index rule). */
+  def wordPieceTokenizeStream(docs: DataFrame,
+      vocab: Seq[String]): DataFrame =
+    graft.operators.WordPieceOps.wordPieceTokenizePieces(
+      docs, col("doc_id"), col("text"), vocab)
+
   /** Ingest face of [[graft.operators.TextOps.negativeSamples]]: draw
     * `k` contrastive negatives for each ARRIVING document from the
     * FROZEN training-corpus noise distribution

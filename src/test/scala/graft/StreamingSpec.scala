@@ -770,6 +770,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wordPieceTokenizeStream rows equal the batch tokenizer; unseen chars go [UNK]") {
+    import graft.operators.{BpeOps, WordPieceOps}
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text").cache()
+    val freqs = BpeOps.wordFreqs(docs, col("text"))
+    val vocab = WordPieceOps.wpVocab(
+        freqs, WordPieceOps.wpLearn(freqs, 8))
+      .orderBy("piece").collect().map(_.getString(0)).toSeq
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.wordPieceTokenizeStream(
+      in.toDS().toDF("doc_id", "text"), vocab)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wp1").start()
+    try {
+      in.addData(rows.take(30).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(30).toIndexedSeq: _*); q.processAllAvailable()
+      // a doc in a script the fit never saw: whole words go [UNK], no drop
+      in.addData((9999L, "щось нове")); q.processAllAvailable()
+      val streamed = spark.table("wp1").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getSeq[String](1), r.getLong(2), r.getLong(3)))).toMap
+      val batch = WordPieceOps.wordPieceTokenizePieces(docs, col("doc_id"),
+        col("text"), vocab).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getSeq[String](1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed.filterNot(_._1 == 9999L) == batch,
+        "ingest-time rows must equal the batch tokenizer exactly")
+      assert(streamed(9999L)._1 == Seq(WordPieceOps.Unk, WordPieceOps.Unk),
+        "novel-script words collapse to whole-word [UNK], never a drop")
+      assert(streamed(9999L)._3 == 2L)
+    } finally q.stop()
+  }
+
   test("typoSuggestStream: OOV words resolve to the closest frequent vocab word") {
     val vocab = Seq(("table", 10L), ("cable", 3L), ("chair", 5L))
       .toDF("word", "df")
