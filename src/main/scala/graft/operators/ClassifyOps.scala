@@ -302,7 +302,7 @@ object ClassifyOps {
     * discriminators, which a real distillation would never omit;
     * [[distillFeatures]] builds them for the pass-through. */
   def logisticQualityFeatures(sig: DataFrame): DataFrame =
-    sig.select(
+    sig.select(Seq(
       col("doc_id"),
       round(log(lit(1.0) + col("n_words")), 6).as("f_logw"),
       col("mean_word_len").as("f_mwl"),
@@ -311,8 +311,10 @@ object ClassifyOps {
       col("ellipsis_line_frac").as("f_ellipsis"),
       col("alpha_word_frac").as("f_alpha"),
       round(col("n_stop_words").cast("double") / lit(8.0), 6).as("f_stop"),
-      col("f_dup"), col("f_digit"), col("f_stopx"),
-      col("label"))
+      col("f_dup"), col("f_digit"), col("f_stopx")) ++
+      // label is the TRAINING face's column; the scoring ingest face has
+      // no label to carry — pass through only when present
+      (if (sig.columns.contains("label")) Seq(col("label")) else Nil): _*)
     // degree-2 terms on the two coupled signals (doc length and repeated-
     // word fraction correlate at ~0.94 on synthetic text, and the funnel's
     // keep region is a BAND in that latent direction — min-length cuts one

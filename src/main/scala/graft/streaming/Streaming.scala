@@ -479,6 +479,25 @@ object Streaming {
     graft.operators.WordPieceOps.wordPieceTokenizePieces(
       docs, col("doc_id"), col("text"), vocab)
 
+  /** Ingest face of the learned quality filter
+    * ([[graft.operators.ClassifyOps.logisticScore]], q186): arriving
+    * docs scored under the FROZEN round-6 IRLS weights — the whole face
+    * is the batch pipeline's own row-local half (gopherQuality signals +
+    * distill features + polynomial terms + sigmoid, weights as
+    * literals), so parity is definitional: no state, no join, no
+    * watermark. Emits `(doc_id, p_keep, pred_keep)` per arrival — the
+    * ridgeScoreStream contract for the classifier tier. Re-fit →
+    * restart, the standing frozen-model rule. */
+  def logisticScoreStream(docs: DataFrame,
+      weights: Seq[Double]): DataFrame = {
+    import graft.operators.{ClassifyOps, TextOps}
+    val sig = TextOps.gopherQuality(docs, col("doc_id"), col("text"),
+      ClassifyOps.distillFeatures(col("text")))
+    ClassifyOps.logisticScore(ClassifyOps.logisticQualityFeatures(sig),
+        ClassifyOps.QualityFeatCols, weights)
+      .select(col("doc_id"), col("p_keep"), col("pred_keep"))
+  }
+
   /** Ingest face of [[graft.operators.TextOps.negativeSamples]]: draw
     * `k` contrastive negatives for each ARRIVING document from the
     * FROZEN training-corpus noise distribution

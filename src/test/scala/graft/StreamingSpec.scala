@@ -804,6 +804,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("logisticScoreStream probabilities equal the batch scorer row-for-row") {
+    import graft.operators.{ClassifyOps, TextOps}
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 80)
+      .select("doc_id", "text").cache()
+    val feats = ClassifyOps.logisticQualityFeatures(TextOps.gopherQuality(
+      docs, col("doc_id"), col("text"),
+      ClassifyOps.distillFeatures(col("text")) :+
+        TextOps.funnelPredicates(col("text")).last._2.as("label")))
+    val w = ClassifyOps.logisticFit(feats, ClassifyOps.QualityFeatCols,
+      col("label"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.logisticScoreStream(
+      in.toDS().toDF("doc_id", "text"), w)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lg1").start()
+    try {
+      in.addData(rows.take(40).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(40).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("lg1").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      val batch = ClassifyOps.logisticScore(feats,
+          ClassifyOps.QualityFeatCols, w)
+        .select(col("doc_id"), col("p_keep"), col("pred_keep")).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      assert(streamed == batch,
+        "ingest-time keep-probabilities must equal the batch scorer exactly")
+      assert(batch.values.map(_._1).toSet.size > 10,
+        "fixture sanity — probabilities must actually vary")
+    } finally q.stop()
+  }
+
   test("typoSuggestStream: OOV words resolve to the closest frequent vocab word") {
     val vocab = Seq(("table", 10L), ("cable", 3L), ("chair", 5L))
       .toDF("word", "df")
