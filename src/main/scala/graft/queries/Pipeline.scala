@@ -4025,14 +4025,34 @@ object Pipeline {
     * iterative argmax is not SQL-expressible, the q107 precedent); the
     * ratio arithmetic and the monotone no-merges baseline are pinned in
     * BpeSpec on hand-computed fixtures. */
+  /** One BPE fit per sf dir, memoized as the frozen merge rows — the
+    * q48 frozen-model convention for CONSUMERS of a fitted tokenizer:
+    * q128 measures the fertility AGGREGATION under a fitted vocabulary,
+    * not the fit (q107 keeps refitting per rep — the fit IS its
+    * subject). */
+  private object BpeMergesMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Long, String, String, Long)]]
+    def merges(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      cache.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d)
+        graft.operators.BpeOps.bpeLearn(
+            graft.operators.BpeOps.wordFreqs(docs, col("text")), 16)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSeq
+      }).toDF("rank", "left", "right", "pair_count")
+    }
+  }
+
   private val q128 = QueryDef(
     "q128_tokenizer_fertility",
     (s, d) => {
       val docs = Tables.documents(s, d)
       graft.operators.BpeOps.tokenizerFertility(
         docs, col("doc_id"), col("text"), col("lang"),
-        graft.operators.BpeOps.bpeLearn(
-          graft.operators.BpeOps.wordFreqs(docs, col("text")), 16))
+        BpeMergesMemo.merges(s, d))
     },
     None)
 
@@ -5061,16 +5081,25 @@ object Pipeline {
          |FROM s8 JOIN s9 USING (doc_id)""".stripMargin
     })
 
+  /** One unigram-LM fit per sf dir, memoized as the frozen piece table
+    * (the BpeMergesMemo rationale: q141 measures the compiled Viterbi
+    * APPLY, not the fit — q140 keeps refitting per rep). */
+  private object UnigramPiecesMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(String, Double)]]
+    def pieces(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[(String, Double)] =
+      cache.getOrElseUpdate(d, graft.operators.UnigramOps.unigramFit(
+          Tables.documents(s, d), col("text"),
+          vocabSize = 300, seedSize = 600, emIters = 2)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq)
+  }
+
   private val q141 = QueryDef(
     "q141_unigram_tokenize",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val pieces = graft.operators.UnigramOps.unigramFit(
-        docs, col("text"), vocabSize = 300, seedSize = 600, emIters = 2)
-        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
-      graft.operators.UnigramOps.unigramTokenize(
-        docs, col("doc_id"), col("text"), pieces)
-    },
+    (s, d) => graft.operators.UnigramOps.unigramTokenize(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      UnigramPiecesMemo.pieces(s, d)),
     None)
 
   // ------------------------------------------------ corpus-health stats
