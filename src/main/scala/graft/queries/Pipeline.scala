@@ -4046,6 +4046,19 @@ object Pipeline {
     }
   }
 
+  /** FULL oracle since r15 (was rows-only): the q141/q189 insight
+    * applied to BPE — the APPLY under a FROZEN merge table is the
+    * fold-by-rank contract ([[graft.operators.BpeOps.bpeTokensExpr]]:
+    * each merge, in rank order, rewrites greedily left-to-right
+    * non-overlapping), and with symbols space-joined and space-
+    * sentineled that rewrite IS SQL `replace` (standard left-to-right
+    * non-overlapping scan; the sentinels stop a pattern matching inside
+    * a token, and a match's trailing space stays in the output so
+    * adjacent occurrences still chain). Sixteen frozen merges compose
+    * as sixteen nested replaces — no recursion — and the whole
+    * fertility aggregation replays. (Symbolization is per UTF-16 unit
+    * on the Spark side and per code point in DuckDB — identical on
+    * this BMP corpus; the hash gate would catch divergence.) */
   private val q128 = QueryDef(
     "q128_tokenizer_fertility",
     (s, d) => {
@@ -4054,7 +4067,95 @@ object Pipeline {
         docs, col("doc_id"), col("text"), col("lang"),
         BpeMergesMemo.merges(s, d))
     },
-    None)
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val merges = BpeMergesMemo.merges(spark, sfDir)
+        .orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      def esc(x: String) = x.replace("'", "''")
+      val eow = graft.operators.BpeOps.EndOfWord
+      val syms0 = s"' ' || array_to_string(list_append(" +
+        s"string_split(w, ''), '${esc(eow)}'), ' ') || ' '"
+      val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
+        s"replace($acc, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')"
+      }
+      s"""WITH docs AS (SELECT lang,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |words AS (SELECT lang, unnest(ws) AS w FROM docs),
+         |enc AS (SELECT lang, CAST(length(w) AS BIGINT) AS wc,
+         |    CAST(len(string_split(trim($folded), ' ')) AS BIGINT) AS nt
+         |  FROM words),
+         |agg AS (SELECT lang,
+         |    coalesce(CAST(count(*) AS BIGINT), 0) AS n_words,
+         |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS n_tokens,
+         |    coalesce(CAST(sum(wc) AS BIGINT), 0) AS n_chars
+         |  FROM enc GROUP BY lang),
+         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM docs GROUP BY lang)
+         |SELECT nd.lang AS grp, nd.n_docs,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_chars, 0) AS n_chars,
+         |  CASE WHEN coalesce(a.n_words, 0) > 0 THEN
+         |    round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END
+         |    AS fertility,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
+         |    round(CAST(a.n_chars AS DOUBLE) / a.n_tokens, 6) END
+         |    AS chars_per_token
+         |FROM nd LEFT JOIN agg a USING (lang)""".stripMargin
+    }))
+
+  /** Per-doc BPE apply face, hash-gated — with q141 (unigram Viterbi)
+    * and q189 (WordPiece) this completes the triad: every tokenizer's
+    * production APPLY is now oracle-checked, and only the iterative
+    * FITS (q107/q140/q188) remain rows-only. Same frozen merge table as
+    * q128, same replace-fold replay; output mirrors q141's shape
+    * (token count + stream fingerprint, NULL fp for token-less docs). */
+  private val q190 = QueryDef(
+    "q190_bpe_tokenize",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.BpeOps.bpeTokenize(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          BpeMergesMemo.merges(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0, graft.functions.HashExpressions
+            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val merges = BpeMergesMemo.merges(spark, sfDir)
+        .orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      def esc(x: String) = x.replace("'", "''")
+      val eow = graft.operators.BpeOps.EndOfWord
+      val syms0 = s"' ' || array_to_string(list_append(" +
+        s"string_split(w, ''), '${esc(eow)}'), ' ') || ' '"
+      val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
+        s"replace($acc, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')"
+      }
+      s"""WITH dws AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
+         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |enc AS (SELECT doc_id, wi, trim($folded) AS toks FROM words),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
+         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
+         |    AS n_tokens,
+         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
+         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
+         |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    }))
 
   /** Gopher quality rules ([[TextOps.gopherQuality]], Rae et al. 2021
     * Table A1's non-repetition half): structural quality signals + keep
@@ -5095,12 +5196,111 @@ object Pipeline {
         .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq)
   }
 
+  /** Unigram-LM Viterbi apply, FULL oracle since r15 (was rows-only
+    * "per the q107 iterative-fit precedent" — but that precedent covers
+    * FITS; the APPLY under a FROZEN table is a deterministic dynamic
+    * program, and q189's recursive-CTE replay showed the way): the
+    * memoized fitted pieces embed as a map literal, and DuckDB replays
+    * the exact [[graft.functions.UnigramEncode]] DP — position i's best
+    * is max over candidate pieces of best(j) + logp, candidates scanned
+    * longest-first with a strictly-greater keep (ties → longer piece),
+    * positions with no covering piece falling back to the single
+    * character at the unk floor — as a recursive CTE carrying the
+    * (bests, backs) arrays, plus a second recursion walking the
+    * backpointers into the piece stream. Double parity is structural:
+    * both engines add the same stored double to the same round-6 logp
+    * in the same order, and lm_logp re-accumulates as exact
+    * DECIMAL(28,6). (The kernel indexes UTF-16 units, DuckDB code
+    * points — identical on this BMP corpus, and the hash gate would
+    * catch any divergence.) */
   private val q141 = QueryDef(
     "q141_unigram_tokenize",
     (s, d) => graft.operators.UnigramOps.unigramTokenize(
       Tables.documents(s, d), col("doc_id"), col("text"),
       UnigramPiecesMemo.pieces(s, d)),
-    None)
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val pieces = UnigramPiecesMemo.pieces(
+        org.apache.spark.sql.SparkSession.active, sfDir)
+      def dd(x: Double) = java.lang.Double.toString(x)
+      val keys = pieces.map(p => s"'${p._1.replace("'", "''")}'")
+        .mkString("[", ",", "]")
+      val vals = pieces
+        .map(p => s"${dd(math.rint(p._2 * 1e6) / 1e6)}::DOUBLE")
+        .mkString("[", ",", "]")
+      val maxLen = if (pieces.isEmpty) 1 else pieces.map(_._1.length).max
+      val unk = dd(graft.functions.UnigramExpressions.UnkLogp)
+      s"""WITH RECURSIVE
+         |params AS (SELECT map($keys, $vals) AS m, $maxLen AS maxlen,
+         |  $unk::DOUBLE AS unk),
+         |dws AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
+         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |dp AS (
+         |  SELECT doc_id, wi, w, 0 AS i, [0.0::DOUBLE] AS bests,
+         |    []::INT[] AS backs
+         |  FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wi, w, i + 1,
+         |    list_append(bests, CASE WHEN pick.back = -1
+         |      THEN bests[i + 1] + p2.unk ELSE pick.s END),
+         |    list_append(backs, CASE WHEN pick.back = -1
+         |      THEN i ELSE pick.back END)
+         |  FROM (
+         |    SELECT d.doc_id, d.wi, d.w, d.i, d.bests, d.backs,
+         |      list_reduce(
+         |        list_prepend(struct_pack(s := '-inf'::DOUBLE, back := -1),
+         |          list_filter(
+         |            list_transform(
+         |              generate_series(greatest(0, d.i + 1 - p.maxlen), d.i),
+         |              j -> CASE WHEN map_extract(p.m,
+         |                    substr(d.w, j + 1, d.i + 1 - j))[1] IS NOT NULL
+         |                  AND d.bests[j + 1] > '-inf'::DOUBLE
+         |                THEN struct_pack(
+         |                  s := d.bests[j + 1] + map_extract(p.m,
+         |                    substr(d.w, j + 1, d.i + 1 - j))[1],
+         |                  back := j)
+         |                END),
+         |            x -> x IS NOT NULL)),
+         |        (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END) AS pick
+         |    FROM dp d CROSS JOIN params p
+         |    WHERE d.i < length(d.w)) t CROSS JOIN params p2),
+         |fin AS (SELECT doc_id, wi, w, backs FROM dp WHERE i = length(w)),
+         |trace AS (
+         |  SELECT doc_id, wi, w, backs, CAST(length(w) AS INT) AS at,
+         |    '' AS toks
+         |  FROM fin
+         |  UNION ALL
+         |  SELECT doc_id, wi, w, backs, backs[at],
+         |    CASE WHEN toks = ''
+         |      THEN substr(w, backs[at] + 1, at - backs[at])
+         |      ELSE substr(w, backs[at] + 1, at - backs[at]) || ' ' || toks
+         |      END
+         |  FROM trace WHERE at > 0),
+         |wtoks AS (SELECT doc_id, wi, toks FROM trace WHERE at = 0),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
+         |  FROM wtoks GROUP BY doc_id),
+         |lp AS (SELECT w.doc_id,
+         |    CAST(CAST(sum(CAST(coalesce(map_extract(p.m, t.pc)[1], p.unk)
+         |      AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS lm_logp
+         |  FROM wtoks w CROSS JOIN params p,
+         |    UNNEST(string_split(w.toks, ' ')) AS t(pc)
+         |  GROUP BY w.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN pd.alltoks IS NULL OR pd.alltoks = '' THEN 0
+         |    ELSE len(string_split(pd.alltoks, ' ')) END AS BIGINT)
+         |    AS n_pieces,
+         |  CASE WHEN pd.alltoks IS NULL OR pd.alltoks = '' THEN 0
+         |    ELSE ${polyHashSql("pd.alltoks")} END AS pieces_fp,
+         |  coalesce(lp.lm_logp, 0.0) AS lm_logp
+         |FROM dws d
+         |LEFT JOIN perdoc pd USING (doc_id)
+         |LEFT JOIN lp USING (doc_id)""".stripMargin
+    }))
 
   // ------------------------------------------------ corpus-health stats
 
@@ -6584,7 +6784,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
