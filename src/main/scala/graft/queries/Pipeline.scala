@@ -4168,15 +4168,17 @@ object Pipeline {
   /** The q129 signal pipeline as DuckDB CTEs `base`/`sig`/`gq` (`gq` adds
     * the keep verdict) — shared verbatim by q129, q186, and q187 so the
     * rule replay and the learned filter's feature replay cannot drift. */
-  private def gopherSigCte: String = {
+  private def gopherSigCte: String = gopherSigCteOver("documents")
+
+  private def gopherSigCteOver(table: String, p: String = ""): String = {
     val stopSum = TextOps.GopherStopWords
       .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""base AS (SELECT doc_id, text,
+    s"""${p}base AS (SELECT doc_id, text,
        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
        |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lns
-       |  FROM documents),
-       |sig AS (SELECT doc_id,
+       |  FROM $table),
+       |${p}sig AS (SELECT doc_id,
        |  CAST(len(ws) AS BIGINT) AS n_words,
        |  CAST(len(lns) AS BIGINT) AS n_lines,
        |  CASE WHEN len(ws) > 0 THEN round(
@@ -4198,8 +4200,8 @@ object Pipeline {
        |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
        |        AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS alpha_word_frac,
        |  CAST($stopSum AS BIGINT) AS n_stop_words
-       |  FROM base),
-       |gq AS (SELECT *,
+       |  FROM ${p}base),
+       |${p}gq AS (SELECT *,
        |  (n_words >= 50 AND n_words <= 100000
        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
        |    AND symbol_word_ratio <= 0.1
@@ -4207,7 +4209,7 @@ object Pipeline {
        |    AND ellipsis_line_frac <= 0.3
        |    AND alpha_word_frac >= 0.8
        |    AND n_stop_words >= 2) AS keep
-       |  FROM sig)""".stripMargin
+       |  FROM ${p}sig)""".stripMargin
   }
 
   private val q129 = QueryDef(
@@ -4227,21 +4229,27 @@ object Pipeline {
     * the seven features, so the fit distills rather than replays. */
   private def logisticFeats(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
+    logisticFeatsOf(Tables.documents(s, d))
+
+  private def logisticFeatsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     graft.operators.ClassifyOps.logisticQualityFeatures(TextOps.gopherQuality(
-      Tables.documents(s, d), col("doc_id"), col("text"),
+      docs, col("doc_id"), col("text"),
       graft.operators.ClassifyOps.distillFeatures(col("text")) :+
         TextOps.funnelPredicates(col("text")).last._2.as("label")))
 
   /** DuckDB CTE `lbl`: the q60 funnel verdict per doc — the SAME p1–p4
     * fragments as q60's oracle (unfiltered whitespace split, the shared
     * [[qualityCompositeSql]]), rebuilt over raw `documents`. */
-  private def funnelLabelCte: String = {
+  private def funnelLabelCte: String = funnelLabelCteOver("documents")
+
+  private def funnelLabelCteOver(table: String, p: String = ""): String = {
     val allStopSql = TextOps.LangProfiles.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString("[", ", ", "]")
     val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
       .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
       .mkString("(", " AND ", ")")
-    s"""lbl AS (SELECT doc_id,
+    s"""${p}lbl AS (SELECT doc_id,
        |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
        |      / CAST(len(ws) AS DOUBLE), 6) AS f_dup,
        |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
@@ -4254,7 +4262,7 @@ object Pipeline {
        |     AND $qualityCompositeSql >= ${TextOps.DefaultMinQuality}
        |     AND $piiFree) AS label
        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-       |    FROM documents))""".stripMargin
+       |    FROM $table))""".stripMargin
   }
 
   /** One IRLS fit per sf dir, memoized as the k+1 round-6 weight doubles
@@ -4278,9 +4286,14 @@ object Pipeline {
     * predictor as a LEFT-ASSOCIATED `+` chain (SQL's default) — the same
     * association order the Spark side folds in, so both engines compute a
     * bit-identical double before the sigmoid. */
-  private def logisticFeatSql: String =
-    s"""$funnelLabelCte,
-      |feat AS (SELECT gq.doc_id, lbl.label,
+  private def logisticFeatSql: String = logisticFeatSqlOver("documents")
+
+  /** The q186 feature chain over `table`, with every CTE name prefixed
+    * by `p` — so q191 can emit the chain twice (baseline + perturbed
+    * arrivals) in one statement. */
+  private def logisticFeatSqlOver(table: String, p: String = ""): String =
+    s"""${funnelLabelCteOver(table, p)},
+      |${p}feat AS (SELECT ${p}gq.doc_id, ${p}lbl.label,
       |    round(ln(1 + n_words), 6) AS f_logw,
       |    mean_word_len AS f_mwl,
       |    symbol_word_ratio AS f_sym,
@@ -4288,13 +4301,13 @@ object Pipeline {
       |    ellipsis_line_frac AS f_ellipsis,
       |    alpha_word_frac AS f_alpha,
       |    round(CAST(n_stop_words AS DOUBLE) / 8.0, 6) AS f_stop,
-      |    lbl.f_dup, lbl.f_digit, lbl.f_stopx
-      |  FROM gq JOIN lbl ON gq.doc_id = lbl.doc_id),
-      |featx AS (SELECT *,
+      |    ${p}lbl.f_dup, ${p}lbl.f_digit, ${p}lbl.f_stopx
+      |  FROM ${p}gq JOIN ${p}lbl ON ${p}gq.doc_id = ${p}lbl.doc_id),
+      |${p}featx AS (SELECT *,
       |    round(f_logw * f_logw, 6) AS f_logw2,
       |    round(f_dup * f_dup, 6) AS f_dup2,
       |    round(f_logw * f_dup, 6) AS f_logwdup
-      |  FROM feat)""".stripMargin
+      |  FROM ${p}feat)""".stripMargin
 
   private def logisticPredSql(weights: Seq[Double]): String = {
     def dd(x: Double) = java.lang.Double.toString(x)
@@ -4480,6 +4493,74 @@ object Pipeline {
          |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
          |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
          |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    }))
+
+  /** Logistic-filter drift — the frozen-model aging face the q186
+    * classifier owes under the standing rule (every frozen model gets a
+    * refit trigger: NB→q183, KN→q182, blocklist→q184, gram→q168,
+    * winnow/robust→q169): [[graft.operators.ClassifyOps.confusionDrift]]
+    * over the FROZEN weights' keep-verdict confusions — the acceptance
+    * baseline (the unperturbed corpus) versus a synthetic arrivals
+    * batch whose every doc_id ≡ 0 (mod 3) text gains a digit-run suffix
+    * (a deterministic, SQL-replayable distribution-shift stand-in: it
+    * moves f_digit and the dup ratio, so features AND the funnel label
+    * move — exactly the covariate shift a frozen linear model ages
+    * under). Per keep-class: frozen accuracy on both sides, the drop,
+    * and needs_refit. Fully oracle-checked — scoring is row-local, so
+    * the whole chain (perturbation, features, sigmoid, confusion,
+    * drift) replays in SQL; the drift magnitude is whatever it honestly
+    * is (the q183 convention: the MACHINERY is the contract, not a
+    * staged alarm). */
+  private val q191 = QueryDef(
+    "q191_logistic_drift",
+    (s, d) => {
+      val w = LogisticMemo.weights(s, d)
+      val docs = Tables.documents(s, d)
+      val arrivals = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" 0 1 2 3 4 5 0 1 2 3 4 5")))
+          .otherwise(col("text")))
+      def conf(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.ClassifyOps.logisticScore(
+            logisticFeatsOf(df),
+            graft.operators.ClassifyOps.QualityFeatCols, w)
+          .groupBy(col("label"), col("pred_keep").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+      graft.operators.ClassifyOps.confusionDrift(conf(docs), conf(arrivals))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val z = logisticPredSql(LogisticMemo.weights(
+        org.apache.spark.sql.SparkSession.active, sfDir))
+      def side(p: String, table: String): String =
+        s"""${gopherSigCteOver(table, p)},
+           |${logisticFeatSqlOver(table, p)},
+           |${p}cells AS (SELECT label,
+           |    (${graft.functions.Exact
+                  .round6zSql(s"1.0 / (1.0 + exp(-($z)))")}) >= 0.5
+           |      AS pred_label,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM ${p}featx GROUP BY 1, 2),
+           |${p}acc AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_${p},
+           |    round(coalesce(sum(CASE WHEN label = pred_label THEN n END),
+           |      0) / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS acc_${p}
+           |  FROM ${p}cells GROUP BY 1)""".stripMargin
+      s"""WITH adocs AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' 0 1 2 3 4 5 0 1 2 3 4 5'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |${side("b", "documents")},
+         |${side("a", "adocs")}
+         |SELECT coalesce(bacc.label, aacc.label) AS label,
+         |  n_b AS n_base, n_a AS n_new,
+         |  acc_b AS acc_frozen, acc_a AS acc_new,
+         |  round(acc_b - acc_a, 6) + 0.0 AS drift,
+         |  (bacc.label IS NULL OR aacc.label IS NULL
+         |    OR acc_b - acc_a > 0.1) AS needs_refit
+         |FROM bacc FULL OUTER JOIN aacc ON bacc.label = aacc.label"""
+        .stripMargin
     }))
 
   /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
@@ -6784,7 +6865,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
