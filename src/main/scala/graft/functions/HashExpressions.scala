@@ -87,6 +87,40 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass per-position word k-gram (hash, char length) pairs — the
+  * [[ShingleHashes]] kernel widened for DROP-DECIDING consumers
+  * ([[graft.operators.SpanDedupOps]]'s gram table, r14 verdict item 8):
+  * gram identity downstream is the (h, glen) composite, and computing
+  * the pair compositionally (`transform` + `concat_ws` + polyHash +
+  * `length`) materializes every gram STRING twice per position —
+  * measured +45–60% on q151/q152 when the length leg landed that way.
+  * Here neither evaluation allocates: the hash folds over the char
+  * range and the code-point count rides the same walk.
+  *
+  * Contract difference from [[ShingleHashes]]: texts with fewer than
+  * `w` words emit an EMPTY array (the gram-table semantics — a short
+  * doc has no k-gram) rather than one truncated shingle. */
+case class GramHashLens(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("glen", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "gram_hash_lens"
+
+  override def nullSafeEval(input: Any): Any =
+    HashExpressions.gramHashLenArray(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.HashExpressions.gramHashLenArray($input, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `|A ∩ B|` of two SORTED long arrays by a zero-allocation merge walk.
   *
   * `size(array_intersect(a, b))` is semantically identical on
@@ -167,6 +201,7 @@ object HashExpressions {
   val FnName = "poly_hash"
   val ShingleFnName = "shingle_hashes"
   val IntersectFnName = "sorted_intersect_count"
+  val GramLenFnName = "gram_hash_lens"
   val CoordFnName = "coordinated_sketch_stats"
 
   /** Idempotently register `poly_hash`, `shingle_hashes` and
@@ -191,6 +226,19 @@ object HashExpressions {
         if (w == null) throw bad("non-null")
         if (!w.isInstanceOf[Number]) throw bad("an integer")
         ShingleHashes(exprs.head, w.asInstanceOf[Number].intValue())
+      }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      GramLenFnName,
+      exprs => {
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$GramLenFnName(text, w): width argument must be $what"))
+        if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
+        if (!exprs(1).foldable) throw bad("a foldable integer literal")
+        val w = exprs(1).eval()
+        if (w == null) throw bad("non-null")
+        if (!w.isInstanceOf[Number]) throw bad("an integer")
+        GramHashLens(exprs.head, w.asInstanceOf[Number].intValue())
       }, "scala_udf")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       IntersectFnName,
@@ -225,6 +273,11 @@ object HashExpressions {
     * [[register]] on the session. */
   def shingleHashes(text: Column, w: Int): Column =
     call_function(ShingleFnName, text, org.apache.spark.sql.functions.lit(w))
+
+  /** Codegen'd one-pass k-gram (hash, char length) pairs (see
+    * [[GramHashLens]]); requires [[register]] on the session. */
+  def gramHashLens(text: Column, w: Int): Column =
+    call_function(GramLenFnName, text, org.apache.spark.sql.functions.lit(w))
 
   /** Codegen'd merge-walk `|A ∩ B|` over two ASCENDING long-array columns
     * (see [[SortedIntersectCount]]); requires [[register]] on the
@@ -327,6 +380,53 @@ object HashExpressions {
         j += Character.charCount(cp)
       }
       out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Shared kernel for [[GramHashLens]] (called from generated code):
+    * same word-boundary walk as [[shingleHashArray]], but (a) texts with
+    * fewer than `w` words emit an EMPTY array, and (b) each position
+    * carries the gram's CODE-POINT length alongside its hash — both legs
+    * computed in the one char scan, no gram string ever built. The
+    * length equals `length(concat_ws(" ", slice(words, i, w)))` exactly
+    * (separating spaces included). */
+  def gramHashLenArray(u: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = u.toString
+    val len = s.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val start = new Array[Int](nWords + 1)
+    start(0) = 0
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { start(k) = i + 1; k += 1 }
+      i += 1
+    }
+    start(nWords) = len + 1
+    val nSh = nWords - (w - 1)
+    val out = new Array[Any](nSh)
+    var p = 0
+    while (p < nSh) {
+      val from = start(p)
+      val to = start(p + w) - 1 // exclusive: char before the next space
+      var acc = 0L
+      var cps = 0L
+      var j = from
+      while (j < to) {
+        val cp = s.codePointAt(j)
+        acc = (acc * 31L + cp) % TextHash.P
+        cps += 1L
+        j += Character.charCount(cp)
+      }
+      out(p) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](acc, cps))
       p += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -51,16 +51,13 @@ object SpanDedupOps {
   private[operators] def gramTable(docs: DataFrame, id: Column,
       text: Column, k: Int): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
-    val ws = split(text, " ")
-    val grams = when(size(ws) >= k,
-      transform(sequence(lit(1), size(ws) - lit(k - 1)),
-        i => {
-          val g = concat_ws(" ", slice(ws, i, lit(k)))
-          struct(graft.functions.HashExpressions.polyHash(g).as("h"),
-            length(g).cast("long").as("glen"))
-        }))
-      .otherwise(array().cast("array<struct<h:bigint,glen:bigint>>"))
-    docs.select(id.as("did"), posexplode(grams).as(Seq("p0", "g")))
+    // one codegen'd scan per doc emits (h, glen) pairs directly — the
+    // compositional form (transform + concat_ws + polyHash + length)
+    // built every gram STRING twice per position, measured +45-60% on
+    // q151/q152 when the r15 length leg first landed that way
+    docs.select(id.as("did"), posexplode(
+        graft.functions.HashExpressions.gramHashLens(text, k))
+      .as(Seq("p0", "g")))
       .select(col("did"), (col("p0") + 1).as("pos"),
         col("g.h").as("h"), col("g.glen").as("glen"))
   }

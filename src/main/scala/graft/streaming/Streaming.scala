@@ -1838,22 +1838,18 @@ object Streaming {
   def crossDocScreenStream(docs: DataFrame, index: DataFrame, k: Int = 3,
       timeCol: String = "event_time"): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
-    val ws = split(col("text"), " ")
     // gram identity is the composite (h, glen) — must match the frozen
-    // index's key exactly (SpanDedupOps.gramTable, r14 verdict item 8)
-    val grams = when(size(ws) >= k,
-      transform(sequence(lit(1), size(ws) - lit(k - 1)),
-        i => {
-          val g = concat_ws(" ", slice(ws, i, lit(k)))
-          struct(i.as("pos"),
-            graft.functions.HashExpressions.polyHash(g).as("h"),
-            length(g).cast("long").as("glen"))
-        }))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint,glen:bigint>>"))
+    // index's key exactly: the SAME one-pass GramHashLens kernel
+    // SpanDedupOps.gramTable scans with (r14 verdict item 8; the r15
+    // kernel — identical (h, glen) values by construction, and no gram
+    // string is ever materialized)
     val exploded = docs.withWatermark(timeCol, WatermarkDelay)
       .select(window(col(timeCol), "1 minute").as("window"), col("doc_id"),
-        explode_outer(grams).as("g"))
-      .select(col("window"), col("doc_id"), col("g.pos").as("pos"),
+        posexplode_outer(
+          graft.functions.HashExpressions.gramHashLens(col("text"), k))
+          .as(Seq("p0", "g")))
+      .select(col("window"), col("doc_id"),
+        (col("p0") + 1).cast("int").as("pos"),
         col("g.h").as("h"), col("g.glen").as("glen"))
       .join(index.select(col("h"), col("glen"), col("df")),
         Seq("h", "glen"), "left")
