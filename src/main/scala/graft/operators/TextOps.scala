@@ -2329,4 +2329,66 @@ object TextOps {
       size(norm).cast("long").as("n_cc_candidates"),
       size(filter(norm, d => luhnValid(d))).cast("long").as("n_cc_valid"))
   }
+
+  // ---- IBAN scan (ISO 13616 + ISO/IEC 7064 MOD 97-10) — the bank-
+  // account sibling of the Luhn card scan: account-shaped uppercase
+  // alphanumeric runs are everywhere in crawled text (order ids, hashes,
+  // coupon codes), and the mod-97 checksum rejects 96/97 of random
+  // candidates — same reviewable-report-vs-noise argument as [[ccScan]].
+
+  /** Candidate IBAN shape: 2 country letters + 2 check digits + 11–30
+    * alphanumeric BBAN chars, optional single-space print grouping
+    * (compact and `DE89 3704 0044 ...` forms both match). RE2-compatible
+    * — no lookaround, bounded repetition — so the oracle runs it
+    * verbatim. */
+  val IbanCandidateRe = "[A-Z]{2}[0-9]{2}( ?[A-Z0-9]){11,30}"
+
+  /** ISO 7064 incremental big-number remainder: fold the character
+    * codes left-to-right with digits appended base-10 and letters as
+    * their two-digit values (A=10 … Z=35, appended base-100). −1 poison
+    * (sticky) for any character outside [0-9A-Z] — callers normalize
+    * first. The code string is the HOF argument, never a lambda capture
+    * (the [[luhnSum]] per-element re-evaluation lesson). */
+  private def mod97(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= ""),
+        c => ascii(c).cast("long")),
+      lit(0L), (acc, x) =>
+        when(acc < 0, lit(-1L))
+          .when(x.between(48, 57), (acc * 10 + (x - 48)) % 97)
+          .when(x.between(65, 90), (acc * 100 + (x - 55)) % 97)
+          .otherwise(lit(-1L)))
+
+  /** MOD 97-10 remainder of a compact IBAN after the standard
+    * rearrangement (first four chars moved to the end). Valid IBANs
+    * remainder exactly 1. */
+  def ibanMod97(iban: Column): Column =
+    mod97(concat(iban.substr(lit(5), length(iban)),
+      iban.substr(lit(1), lit(4))))
+
+  /** True iff a compact (separator-free) candidate is IBAN-plausible:
+    * 15–34 chars (shortest/longest national formats) with remainder 1. */
+  def ibanValid(iban: Column): Column =
+    length(iban).between(15, 34) && ibanMod97(iban) === 1
+
+  /** The two IBAN CHECK DIGITS for (country, BBAN) — the generator half
+    * (`98 − mod97(BBAN ∥ country ∥ "00")`, zero-padded): synthetic-
+    * fixture manufacture and the cross-engine generator∘validator ≡ true
+    * identity, the [[luhnCheckDigit]] convention. */
+  def ibanCheckDigits(country: Column, bban: Column): Column =
+    lpad((lit(98) - mod97(concat(bban, country, lit("00"))))
+      .cast("string"), 2, "0")
+
+  /** Per-document IBAN scan: candidates by [[IbanCandidateRe]],
+    * space-normalized, then mod-97-gated — output
+    * `(doc_id, n_iban_candidates, n_iban_valid)`, the [[ccScan]] shape
+    * for bank identifiers. Row-local, zero shuffle. */
+  def ibanScan(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = transform(
+      regexp_extract_all(text, lit(IbanCandidateRe), lit(0)),
+      c => regexp_replace(c, " ", ""))
+    docs.select(id.as("doc_id"),
+      size(norm).cast("long").as("n_iban_candidates"),
+      size(filter(norm, d => ibanValid(d))).cast("long").as("n_iban_valid"))
+  }
 }

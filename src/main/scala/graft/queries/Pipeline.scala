@@ -4563,6 +4563,61 @@ object Pipeline {
         .stripMargin
     }))
 
+  /** IBAN scan ([[TextOps.ibanScan]], ISO 13616 + ISO/IEC 7064 MOD
+    * 97-10) — the bank-account sibling of the q139 Luhn scan, same
+    * fixture convention: the corpus holds no real IBANs, so the
+    * checksum arithmetic is hash-gated on synthetic hash-derived
+    * numbers carried alongside the scan columns — a generated IBAN with
+    * COMPUTED check digits (generator∘validator ≡ true pinned in BOTH
+    * engines) and one with hash-drawn check digits (valid ~1/97, the
+    * split is the gate). Candidate regex is RE2-verbatim in DuckDB. */
+  private val q192 = QueryDef(
+    "q192_iban_scan",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      import graft.functions.HashExpressions.polyHash
+      val docs = Tables.documents(s, d)
+      val h1 = polyHash(col("text"))
+      val h2 = polyHash(concat(col("text"), lit("iban")))
+      val bban = concat(
+        lpad((h1 % 1000000000L).cast("string"), 9, "0"),
+        lpad((h2 % 1000000000L).cast("string"), 9, "0"))
+      val check = TextOps.ibanCheckDigits(lit("DE"), bban)
+      val genIban = concat(lit("DE"), check, bban)
+      val randIban = concat(lit("DE"),
+        lpad((h1 % 100).cast("string"), 2, "0"), bban)
+      TextOps.ibanScan(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"),
+          genIban.as("gen_iban"),
+          TextOps.ibanValid(genIban).as("gen_valid"),
+          randIban.as("rand_iban"),
+          TextOps.ibanValid(randIban).as("rand_valid")), "doc_id")
+    },
+    s"""WITH b AS (SELECT doc_id, text,
+       |    lpad(CAST(${polyHashSql("text")} % 1000000000 AS VARCHAR), 9, '0')
+       |    || lpad(CAST(${polyHashSql("text || 'iban'")} % 1000000000
+       |         AS VARCHAR), 9, '0') AS bban,
+       |    lpad(CAST(${polyHashSql("text")} % 100 AS VARCHAR), 2, '0')
+       |      AS rchk
+       |  FROM documents),
+       |g AS (SELECT doc_id, text, bban,
+       |    'DE' || lpad(CAST(98 - ${mod97Sql("(bban || 'DE00')")}
+       |      AS VARCHAR), 2, '0') || bban AS gen_iban,
+       |    'DE' || rchk || bban AS rand_iban
+       |  FROM b),
+       |c AS (SELECT doc_id,
+       |    list_transform(
+       |      regexp_extract_all(text, '${TextOps.IbanCandidateRe}'),
+       |      x -> replace(x, ' ', '')) AS cands
+       |  FROM b)
+       |SELECT g.doc_id,
+       |  CAST(len(c.cands) AS BIGINT) AS n_iban_candidates,
+       |  CAST(len(list_filter(c.cands, d -> ${ibanValidSql("d")}))
+       |    AS BIGINT) AS n_iban_valid,
+       |  g.gen_iban, ${ibanValidSql("g.gen_iban")} AS gen_valid,
+       |  g.rand_iban, ${ibanValidSql("g.rand_iban")} AS rand_valid
+       |FROM g JOIN c USING (doc_id)""".stripMargin)
+
   /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
     * 2019): hash-drawn query chunk + context-with-chunk-removed (kept in
     * 1/10 of docs, the paper's rule), both sides' fingerprints
@@ -4938,6 +4993,23 @@ object Pipeline {
     * doubling parity `dbl` — mirrors [[TextOps]]' private luhnSum
     * exactly (0-based positions from the right; (i−1) because DuckDB
     * generate_series is 1-based here). */
+  /** DuckDB twin of TextOps.mod97 — fold char codes with the same
+    * digit/letter appends and the same sticky −1 poison. */
+  private def mod97Sql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_filter(string_split($e, ''), c -> c <> ''),
+       |      c -> CAST(unicode(c) AS BIGINT))),
+       |  (acc, x) -> CASE WHEN acc < 0 THEN -1
+       |    WHEN x BETWEEN 48 AND 57 THEN (acc * 10 + (x - 48)) % 97
+       |    WHEN x BETWEEN 65 AND 90 THEN (acc * 100 + (x - 55)) % 97
+       |    ELSE -1 END)""".stripMargin.replace("\n", " ")
+
+  private def ibanMod97Sql(e: String): String =
+    mod97Sql(s"(substr($e, 5) || substr($e, 1, 4))")
+
+  private def ibanValidSql(e: String): String =
+    s"(length($e) BETWEEN 15 AND 34 AND ${ibanMod97Sql(e)} = 1)"
+
   private def luhnSumSql(e: String, dbl: Int): String =
     s"""list_sum(list_transform(generate_series(1, length($e)),
        |    i -> CASE WHEN (i - 1) % 2 = $dbl
@@ -6865,7 +6937,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -1756,6 +1756,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ok.length == 6 && ok.forall(identity))
   }
 
+  test("ibanScan: mod-97 gates candidates, print spacing normalizes, generator round-trips") {
+    val fx = Seq(
+      // two published example IBANs (compact + print-grouped forms)
+      (1L, "send to GB82WEST12345698765432 today"),
+      (2L, "konto DE89 3704 0044 0532 0130 00 bitte"),
+      (3L, "typo GB82WEST12345698765433 fails"),   // one digit mutated
+      (4L, "code AB12FOOBARBAZ1234567 matches shape"), // random alnum run
+      (5L, "short DE89 370 nope"),                 // below the length band
+      (6L, "no account here")).toDF("doc_id", "text")
+    val got = TextOps.ibanScan(fx, col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 1L)), s"$got")
+    assert(got(2L) == ((1L, 1L)), "print-grouped form normalizes and validates")
+    assert(got(3L) == ((1L, 0L)), "mutated check digit: candidate, not valid")
+    assert(got(4L) == ((1L, 0L)), "IBAN-shaped junk fails the checksum")
+    assert(got(5L) == ((0L, 0L)))
+    assert(got(6L) == ((0L, 0L)))
+    // generator ∘ validator ≡ true on arbitrary 18-digit BBANs/countries
+    val bban = lpad((col("doc_id") * 987654321L).cast("string"), 18, "0")
+    Seq("DE", "GB", "FR").foreach { cc =>
+      val iban = concat(lit(cc), TextOps.ibanCheckDigits(lit(cc), bban), bban)
+      val ok = fx.select(TextOps.ibanValid(iban).as("ok"))
+        .as[Boolean].collect()
+      assert(ok.length == 6 && ok.forall(identity), cc)
+    }
+    // the validator is the ISO arithmetic, not a lookup: remainder ≠ 1
+    // for 96 of 97 check-digit values on a fixed BBAN
+    val validCount = (0 to 99).count { cd =>
+      val iban = concat(lit("DE"), lit(f"$cd%02d"),
+        lit("370400440532013000"))
+      fx.limit(1).select(TextOps.ibanValid(iban)).as[Boolean].collect()(0)
+    }
+    assert(validCount == 1, s"exactly one check-digit value validates")
+  }
+
   test("preferencePairs: max-margin pair per group, tie rules, drops") {
     val fx = Seq(
       (1L, "g1", 0.9), (2L, "g1", 0.3), (3L, "g1", 0.5),  // clear order
