@@ -2321,13 +2321,19 @@ object TextOps {
     * columns is exactly the false-positive mass a checksum-free scrubber
     * would have redacted. Row-local like [[piiScan]]; composes with
     * [[piiRedact]]'s drop/replace machinery downstream. */
-  def ccScan(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def ccScan(docs: DataFrame, id: Column, text: Column,
+      extra: Seq[Column] = Nil): DataFrame = {
     val norm = transform(
       regexp_extract_all(text, lit(CcCandidateRe), lit(0)),
       c => regexp_replace(c, "[ -]", ""))
-    docs.select(id.as("doc_id"),
+    // extra: caller-named row-local columns riding the SAME projection
+    // (the gopherQuality pass-through discipline) — q139's synthetic
+    // checksum fixtures used to arrive via a corpus-scale doc_id
+    // self-join; one select, zero joins
+    docs.select(Seq(id.as("doc_id"),
       size(norm).cast("long").as("n_cc_candidates"),
       size(filter(norm, d => luhnValid(d))).cast("long").as("n_cc_valid"))
+      ++ extra: _*)
   }
 
   // ---- IBAN scan (ISO 13616 + ISO/IEC 7064 MOD 97-10) — the bank-
@@ -2383,12 +2389,14 @@ object TextOps {
     * space-normalized, then mod-97-gated — output
     * `(doc_id, n_iban_candidates, n_iban_valid)`, the [[ccScan]] shape
     * for bank identifiers. Row-local, zero shuffle. */
-  def ibanScan(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def ibanScan(docs: DataFrame, id: Column, text: Column,
+      extra: Seq[Column] = Nil): DataFrame = {
     val norm = transform(
       regexp_extract_all(text, lit(IbanCandidateRe), lit(0)),
       c => regexp_replace(c, " ", ""))
-    docs.select(id.as("doc_id"),
+    docs.select(Seq(id.as("doc_id"),
       size(norm).cast("long").as("n_iban_candidates"),
       size(filter(norm, d => ibanValid(d))).cast("long").as("n_iban_valid"))
+      ++ extra: _*)
   }
 }

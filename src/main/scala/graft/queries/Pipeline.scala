@@ -4586,12 +4586,13 @@ object Pipeline {
       val genIban = concat(lit("DE"), check, bban)
       val randIban = concat(lit("DE"),
         lpad((h1 % 100).cast("string"), 2, "0"), bban)
-      TextOps.ibanScan(docs, col("doc_id"), col("text"))
-        .join(docs.select(col("doc_id"),
-          genIban.as("gen_iban"),
-          TextOps.ibanValid(genIban).as("gen_valid"),
-          randIban.as("rand_iban"),
-          TextOps.ibanValid(randIban).as("rand_valid")), "doc_id")
+      // synthetic fixtures ride the scan's own projection (no doc_id
+      // self-join — one pass over documents, zero joins in the plan)
+      TextOps.ibanScan(docs, col("doc_id"), col("text"), Seq(
+        genIban.as("gen_iban"),
+        TextOps.ibanValid(genIban).as("gen_valid"),
+        randIban.as("rand_iban"),
+        TextOps.ibanValid(randIban).as("rand_valid")))
     },
     s"""WITH b AS (SELECT doc_id, text,
        |    lpad(CAST(${polyHashSql("text")} % 1000000000 AS VARCHAR), 9, '0')
@@ -5042,13 +5043,15 @@ object Pipeline {
         lpad((h1 % 100000000).cast("string"), 8, "0"),
         lpad((h2 % 100000000).cast("string"), 8, "0"))
       val payload = cc16.substr(lit(1), lit(15))
-      TextOps.ccScan(docs, col("doc_id"), col("text"))
-        .join(docs.select(col("doc_id"), cc16.as("cc16"),
-          TextOps.luhnValid(cc16).as("luhn_valid"),
-          TextOps.luhnCheckDigit(payload).cast("long").as("check_digit"),
-          TextOps.luhnValid(concat(payload,
-            TextOps.luhnCheckDigit(payload).cast("string")))
-            .as("gen_valid")), "doc_id")
+      // synthetic fixtures ride the scan's own projection (r15: was a
+      // corpus-scale doc_id self-join)
+      TextOps.ccScan(docs, col("doc_id"), col("text"), Seq(
+        cc16.as("cc16"),
+        TextOps.luhnValid(cc16).as("luhn_valid"),
+        TextOps.luhnCheckDigit(payload).cast("long").as("check_digit"),
+        TextOps.luhnValid(concat(payload,
+          TextOps.luhnCheckDigit(payload).cast("string")))
+          .as("gen_valid")))
     },
     s"""WITH s AS (SELECT doc_id, text,
        |    lpad(CAST(${polyHashSql("text")} % 100000000 AS VARCHAR), 8, '0')

@@ -122,6 +122,18 @@ class LogisticSpec extends SparkSpec {
     assert(acc >= majority + 0.25, s"acc $acc vs majority $majority")
   }
 
+  test("sf0.001 ranking: the scorer's ROC-AUC vs the funnel verdict") {
+    val w = ClassifyOps.logisticFit(
+      sfFeats, ClassifyOps.QualityFeatCols, col("label"))
+    val auc = ClassifyOps.scoreAuc(
+        ClassifyOps.logisticScore(sfFeats, ClassifyOps.QualityFeatCols, w),
+        col("p_keep"), col("label"))
+      .select(col("auc")).collect()(0).getDouble(0)
+    // the q173 audit op composed over the q186 scorer: a filter this
+    // accurate must also RANK keeps above drops near-perfectly
+    assert(auc >= 0.97, s"AUC $auc")
+  }
+
   test("sf0.001 calibration: every decile populated, frac tracks mean_p") {
     val w = ClassifyOps.logisticFit(
       sfFeats, ClassifyOps.QualityFeatCols, col("label"))
