@@ -4619,6 +4619,67 @@ object Pipeline {
        |  g.rand_iban, ${ibanValidSql("g.rand_iban")} AS rand_valid
        |FROM g JOIN c USING (doc_id)""".stripMargin)
 
+  /** One TRAIN-ONLY IRLS fit per sf dir (content-hash buckets < 80, the
+    * q118 split), memoized like [[LogisticMemo]] — q193's generalization
+    * face must score documents the fit never saw. */
+  private object TrainLogisticMemo {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+    def weights(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[Double] =
+      cache.getOrElseUpdate(d, {
+        graft.functions.HashExpressions.register(s)
+        val train = Tables.documents(s, d).where(pmod(
+          graft.functions.HashExpressions.polyHash(col("text")),
+          lit(100)) < 80)
+        graft.operators.ClassifyOps.logisticFit(logisticFeatsOf(train),
+          graft.operators.ClassifyOps.QualityFeatCols, col("label"))
+      })
+  }
+
+  /** Held-out evaluation of the learned quality filter — the q118
+    * convention applied to q186: the model fits on the content-hash
+    * 80% train split ONLY and scores the held-out 20%, so fit and eval
+    * never share a document and the cells measure GENERALIZATION
+    * (self-scoring, q186's face, can never exercise that). Output: the
+    * held-out (label, pred_keep) confusion cells with per-cell counts
+    * — composable with [[ClassifyOps.confusionDrift]] like any
+    * confusion frame. Fully oracle-checked: split (polyHash mod 100),
+    * features, frozen train-only weights, sigmoid, and cells all
+    * replay in SQL. */
+  private val q193 = QueryDef(
+    "q193_logistic_holdout",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val w = TrainLogisticMemo.weights(s, d)
+      val held = Tables.documents(s, d).where(pmod(
+        graft.functions.HashExpressions.polyHash(col("text")),
+        lit(100)) >= 80)
+      graft.operators.ClassifyOps.logisticScore(
+          logisticFeatsOf(held),
+          graft.operators.ClassifyOps.QualityFeatCols, w)
+        .groupBy(col("label"), col("pred_keep"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val z = logisticPredSql(TrainLogisticMemo.weights(
+        org.apache.spark.sql.SparkSession.active, sfDir))
+      val ph = graft.functions.TextHash.polyHashSql("text")
+      s"""WITH held AS (SELECT doc_id, text FROM documents
+         |  WHERE $ph % 100 >= 80),
+         |${gopherSigCteOver("held")},
+         |${logisticFeatSqlOver("held")},
+         |scored AS (SELECT label,
+         |    (${graft.functions.Exact
+                .round6zSql(s"1.0 / (1.0 + exp(-($z)))")}) >= 0.5
+         |      AS pred_keep
+         |  FROM featx)
+         |SELECT label, pred_keep, CAST(count(*) AS BIGINT) AS n
+         |FROM scored GROUP BY 1, 2""".stripMargin
+    }))
+
   /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
     * 2019): hash-drawn query chunk + context-with-chunk-removed (kept in
     * 1/10 of docs, the paper's rule), both sides' fingerprints
@@ -6940,7 +7001,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

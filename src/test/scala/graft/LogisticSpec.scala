@@ -134,6 +134,30 @@ class LogisticSpec extends SparkSpec {
     assert(auc >= 0.97, s"AUC $auc")
   }
 
+  test("sf0.001 holdout: a train-split fit generalizes to unseen docs") {
+    import graft.functions.HashExpressions
+    HashExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def feats(df: DataFrame) =
+      ClassifyOps.logisticQualityFeatures(TextOps.gopherQuality(
+        df, col("doc_id"), col("text"),
+        ClassifyOps.distillFeatures(col("text")) :+
+          TextOps.funnelPredicates(col("text")).last._2.as("label")))
+    val bucket = pmod(HashExpressions.polyHash(col("text")), lit(100))
+    val w = ClassifyOps.logisticFit(feats(docs.where(bucket < 80)),
+      ClassifyOps.QualityFeatCols, col("label"))
+    val held = ClassifyOps.logisticScore(feats(docs.where(bucket >= 80)),
+      ClassifyOps.QualityFeatCols, w)
+    val Row(n: Long, nPos: Long, nAgree: Long) = held.agg(
+      count(lit(1)), graft.functions.Exact.countIf(col("label")),
+      graft.functions.Exact.countIf(col("label") === col("pred_keep")))
+      .collect()(0)
+    val acc = nAgree.toDouble / n
+    val modal = math.max(nPos, n - nPos).toDouble / n
+    assert(acc >= 0.85, s"held-out accuracy $acc over $n docs")
+    assert(acc > modal, s"must beat the modal baseline: $acc vs $modal")
+  }
+
   test("sf0.001 calibration: every decile populated, frac tracks mean_p") {
     val w = ClassifyOps.logisticFit(
       sfFeats, ClassifyOps.QualityFeatCols, col("label"))
