@@ -1206,8 +1206,16 @@ object TextOps {
           .cast("decimal(18,6)").as("_lp"))
   }
 
-  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = docs.select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+  def lmScore(docs: DataFrame, id: Column, text: Column,
+      keep: Seq[Column] = Nil): DataFrame = {
+    // keep: caller-named per-doc columns riding the explode and the
+    // per-doc aggregation key (same cardinality — doc_id is already in
+    // the key), so a consumer needing the score PLUS a doc attribute
+    // (q115's lang) pays no doc-cardinality join-back
+    val words = docs.select(id.as("doc_id") +: keep :+
+      explode(split(text, " ")).as("word"): _*)
+    val extraNames = words.columns.toSeq
+      .filter(c => c != "doc_id" && c != "word")
     val wlp = unigramSurprisals(docs, text)
     val head = wlp.orderBy(col("_cnt").desc, col("word")).limit(LmHeadK)
       .select(col("word"), col("_lp"))
@@ -1216,11 +1224,11 @@ object TextOps {
     val probed = words.join(broadcast(head), Seq("word"), "left")
     probed.where(col("_lp").isNotNull)
       .unionByName(probed.where(col("_lp").isNull).drop("_lp").join(tail, "word"))
-      .groupBy("doc_id")
+      .groupBy(col("doc_id") +: extraNames.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"), sum("_lp").as("_s"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id") +: extraNames.map(col) ++: Seq(col("n_tokens"),
         round(col("_s").cast("double") / col("n_tokens"), 6)
-          .as("cross_entropy"))
+          .as("cross_entropy")): _*)
   }
 
   /** Percentile score calibration — raw quality scores ([[lmScore]]

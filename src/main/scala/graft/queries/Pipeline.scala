@@ -2956,8 +2956,10 @@ object Pipeline {
     "q115_score_calibration",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val scored = TextOps.lmScore(docs, col("doc_id"), col("text"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
+      // lang rides lmScore's aggregation key (r15: was a doc-cardinality
+      // join-back onto the corpus)
+      val scored = TextOps.lmScore(docs, col("doc_id"), col("text"),
+        keep = Seq(col("lang")))
       TextOps.calibrateScores(scored, col("doc_id"),
         col("cross_entropy"), col("lang"), "lang", 10, 0.7)
     },
