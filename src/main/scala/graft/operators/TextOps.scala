@@ -25,10 +25,13 @@ object TextOps {
 
   /** Language-ID: per-language stopword hit-rate scores + argmax prediction
     * (first language in profile order wins ties). */
-  def langId(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def langId(docs: DataFrame, id: Column, text: Column,
+      keep: Seq[Column] = Nil): DataFrame = {
+    // keep: caller-named row-local columns riding the same projection
+    // (q176 carries the stored label this way — no doc_id join-back)
     val ws = split(text, " ")
     val scored = docs.select(
-      id.as("doc_id") +:
+      (id.as("doc_id") +: keep) ++
         LangProfiles.map { case (lang, stop) =>
           scoreFor(ws, stop).as(s"score_$lang")
         }: _*)

@@ -3329,10 +3329,11 @@ object Pipeline {
   private val q118 = QueryDef(
     "q118_nb_holdout_confusion",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val split = graft.operators.TextOps.hashSplit(
-        docs, col("doc_id"), col("text"))
-      val withSplit = docs.join(split.select("doc_id", "split"), "doc_id")
+      // text/lang ride hashSplit's keep pass-through (r15: was a
+      // docs ⋈ split self-join — the q183 cleanup applied here too)
+      val withSplit = graft.operators.TextOps.hashSplit(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        keep = Seq(col("text"), col("lang")))
       val train = withSplit.where(col("split") === "train")
       val held = withSplit.where(col("split") =!= "train")
       val pred = graft.operators.ClassifyOps.nbClassify(
@@ -6693,12 +6694,12 @@ object Pipeline {
   private val q176 = QueryDef(
     "q176_label_agreement",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val pred = TextOps.langId(docs, col("doc_id"), col("text"))
-        .select(col("doc_id"), col("pred_lang"))
+      // the stored label rides langId's own projection (r15: was a
+      // doc-cardinality join-back)
+      val pred = TextOps.langId(Tables.documents(s, d),
+        col("doc_id"), col("text"), keep = Seq(col("lang")))
       graft.operators.ClassifyOps.cohenKappa(
-        docs.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
-        col("lang"), col("pred_lang"))
+        pred, col("lang"), col("pred_lang"))
     },
     {
       val scores = TextOps.LangProfiles.map { case (lang, stop) =>
