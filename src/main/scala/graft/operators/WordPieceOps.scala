@@ -163,6 +163,37 @@ object WordPieceOps {
       vocab.select(col("piece").cast("string")).as[String].collect().toSeq)
   }
 
+  /** Per-group WordPiece fertility / vocabulary-coverage audit — the
+    * [[BpeOps.tokenizerFertility]] table for the WordPiece family, plus
+    * the column BPE cannot have: the whole-word `[UNK]` rate. Per
+    * `group` (language, source): doc/word/token counts, `fertility` =
+    * tokens per word, and `unk_word_frac` — a language whose words keep
+    * falling to `[UNK]` is NOT COVERED by the fitted vocabulary at all
+    * (stronger signal than high fertility), the re-fit trigger for a
+    * multilingual rollout. One row-local compiled-encode pass + one
+    * group-sized aggregation; ratios are doubles off exact long sums,
+    * rounded 1e-6. */
+  def wordPieceFertility(docs: DataFrame, id: Column, text: Column,
+      group: Column, vocab: Seq[String]): DataFrame = {
+    val toks = graft.functions.WordPieceExpressions
+      .wordPieceEncode(docs.sparkSession, text, vocab)
+    val words = filter(split(text, " "), w => length(w) > 0)
+    docs
+      .select(group.as("grp"),
+        size(words).cast("long").as("_w"),
+        size(toks).cast("long").as("_t"),
+        size(filter(toks, t => t === Unk)).cast("long").as("_u"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_t")).as("n_tokens"), sum(col("_u")).as("n_unk_words"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 6)))
+      .withColumn("unk_word_frac",
+        when(col("n_words") > 0,
+          round(col("n_unk_words").cast("double") / col("n_words"), 6)))
+  }
+
   /** [[wordPieceTokenize]] over an already-collected piece list (the
     * frozen-vocabulary form the memoized registry/stream faces hold). */
   def wordPieceTokenizePieces(docs: DataFrame, id: Column, text: Column,

@@ -4160,6 +4160,46 @@ object Pipeline {
          |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
     }))
 
+  /** Per-language WordPiece fertility + vocabulary-coverage audit
+    * ([[graft.operators.WordPieceOps.wordPieceFertility]]) — the q128
+    * table for the WordPiece family plus the column BPE cannot have:
+    * the whole-word `[UNK]` rate per language. A language whose words
+    * keep collapsing to `[UNK]` is not covered by the fitted vocabulary
+    * AT ALL (a stronger re-fit trigger than high fertility). Full
+    * oracle: the shared q189 recursive greedy-match chain aggregated
+    * per language. */
+  private val q194 = QueryDef(
+    "q194_wordpiece_fertility",
+    (s, d) => graft.operators.WordPieceOps.wordPieceFertility(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
+      WordPieceMemo.vocab(s, d)),
+    Some(() => {
+      val unk = graft.operators.WordPieceOps.Unk
+      s"""WITH RECURSIVE ${wordPieceChainSql()},
+         |perword AS (SELECT doc_id, wi,
+         |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt,
+         |    CAST(len(list_filter(string_split(toks, ' '),
+         |      x -> x = '$unk')) AS BIGINT) AS nu
+         |  FROM wtoks),
+         |perdoc AS (SELECT doc_id,
+         |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS nt,
+         |    coalesce(CAST(sum(nu) AS BIGINT), 0) AS nu
+         |  FROM perword GROUP BY doc_id)
+         |SELECT d.lang AS grp,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(d.ws)) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(coalesce(p.nu, 0)) AS BIGINT) AS n_unk_words,
+         |  CASE WHEN sum(len(d.ws)) > 0 THEN
+         |    round(CAST(sum(coalesce(p.nt, 0)) AS DOUBLE)
+         |      / sum(len(d.ws)), 6) END AS fertility,
+         |  CASE WHEN sum(len(d.ws)) > 0 THEN
+         |    round(CAST(sum(coalesce(p.nu, 0)) AS DOUBLE)
+         |      / sum(len(d.ws)), 6) END AS unk_word_frac
+         |FROM dws d LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY d.lang""".stripMargin
+    }))
+
   /** Gopher quality rules ([[TextOps.gopherQuality]], Rae et al. 2021
     * Table A1's non-repetition half): structural quality signals + keep
     * verdict at the published thresholds, all hash-pinned. The corpus
@@ -4431,6 +4471,55 @@ object Pipeline {
     * the space-joined token stream — NULL when the doc has no tokens
     * (hash-of-empty diverges between engines; a fingerprint of nothing
     * means nothing). */
+  /** The q189 greedy-match replay as shared CTE text (`dws`/`words`/
+    * `dp`/`fin`/`trace`/`wtoks`) over the memoized frozen vocabulary —
+    * emitted by q189 (per-doc tokenize) and q194 (per-language
+    * fertility/coverage) so the two replays cannot drift. Caller
+    * prepends WITH RECURSIVE. */
+  private def wordPieceChainSql(): String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+      "/root/testdata/sf0.001")
+    val vocab = WordPieceMemo.vocab(
+      org.apache.spark.sql.SparkSession.active, sfDir)
+    val vals = vocab
+      .map(p => s"('${p.replace("'", "''")}')").mkString(",")
+    val unk = graft.operators.WordPieceOps.Unk
+    val maxW = graft.operators.WordPieceOps.MaxWordChars
+    s"""pieces(p) AS (SELECT * FROM (VALUES $vals) t(p)),
+       |pl AS (SELECT p,
+       |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw,
+       |    p LIKE '##%' AS cont FROM pieces),
+       |dws AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |words AS (SELECT doc_id, i AS wi, ws[i] AS w
+       |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
+       |dp AS (
+       |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS pos,
+       |    CAST('' AS VARCHAR) AS toks, false AS failed
+       |  FROM words WHERE length(w) <= $maxW
+       |  UNION ALL
+       |  SELECT doc_id, wi, w,
+       |    CASE WHEN bp IS NULL THEN CAST(length(w) + 1 AS BIGINT)
+       |      ELSE pos + length(CASE WHEN bp LIKE '##%'
+       |        THEN substr(bp, 3) ELSE bp END) END,
+       |    CASE WHEN bp IS NULL THEN '$unk'
+       |      WHEN toks = '' THEN bp ELSE toks || ' ' || bp END,
+       |    bp IS NULL
+       |  FROM (SELECT s.doc_id, s.wi, s.w, s.pos, s.toks,
+       |      (SELECT p FROM pl WHERE pl.cont = (s.pos > 1)
+       |         AND pl.raw = substr(s.w, CAST(s.pos AS INTEGER),
+       |           length(pl.raw))
+       |       ORDER BY length(pl.raw) DESC, p LIMIT 1) AS bp
+       |    FROM dp s WHERE s.pos <= length(s.w) AND NOT s.failed) t),
+       |fin AS (SELECT doc_id, wi, toks FROM dp
+       |  WHERE failed OR pos > length(w)
+       |  UNION ALL
+       |  SELECT doc_id, wi, '$unk' AS toks
+       |  FROM words WHERE length(w) > $maxW),
+       |wtoks AS (SELECT doc_id, wi, toks FROM fin)""".stripMargin
+  }
+
   private val q189 = QueryDef(
     "q189_wordpiece_tokenize",
     (s, d) => {
@@ -4443,60 +4532,22 @@ object Pipeline {
             .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
     },
     Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val vocab = WordPieceMemo.vocab(
-        org.apache.spark.sql.SparkSession.active, sfDir)
-      val vals = vocab
-        .map(p => s"('${p.replace("'", "''")}')").mkString(",")
-      val unk = graft.operators.WordPieceOps.Unk
-      val maxW = graft.operators.WordPieceOps.MaxWordChars
-      s"""WITH RECURSIVE pieces(p) AS (SELECT * FROM (VALUES $vals) t(p)),
-         |pl AS (SELECT p,
-         |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw,
-         |    p LIKE '##%' AS cont FROM pieces),
-         |dws AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
-         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |step AS (
-         |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS pos,
-         |    CAST('' AS VARCHAR) AS toks, false AS failed
-         |  FROM words WHERE length(w) <= $maxW
-         |  UNION ALL
-         |  SELECT doc_id, wi, w,
-         |    CASE WHEN bp IS NULL THEN CAST(length(w) + 1 AS BIGINT)
-         |      ELSE pos + length(CASE WHEN bp LIKE '##%'
-         |        THEN substr(bp, 3) ELSE bp END) END,
-         |    CASE WHEN bp IS NULL THEN '$unk'
-         |      WHEN toks = '' THEN bp ELSE toks || ' ' || bp END,
-         |    bp IS NULL
-         |  FROM (SELECT s.doc_id, s.wi, s.w, s.pos, s.toks,
-         |      (SELECT p FROM pl WHERE pl.cont = (s.pos > 1)
-         |         AND pl.raw = substr(s.w, CAST(s.pos AS INTEGER),
-         |           length(pl.raw))
-         |       ORDER BY length(pl.raw) DESC, p LIMIT 1) AS bp
-         |    FROM step s WHERE s.pos <= length(s.w) AND NOT s.failed) t),
-         |done AS (
-         |  SELECT doc_id, wi, toks FROM step
-         |  WHERE failed OR pos > length(w)
-         |  UNION ALL
-         |  SELECT doc_id, wi, '$unk' AS toks
-         |  FROM words WHERE length(w) > $maxW),
+      s"""WITH RECURSIVE ${wordPieceChainSql()},
          |perdoc AS (SELECT doc_id,
          |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
-         |  FROM done GROUP BY doc_id)
+         |  FROM wtoks GROUP BY doc_id)
          |SELECT d.doc_id,
          |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
          |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
          |    AS n_tokens,
          |  CAST(coalesce(len(list_filter(string_split(p.alltoks, ' '),
-         |    x -> x = '$unk')), 0) AS BIGINT) AS n_unk,
+         |    x -> x = '${graft.operators.WordPieceOps.Unk}')), 0) AS BIGINT)
+         |    AS n_unk,
          |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
          |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
          |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
     }))
+
 
   /** Logistic-filter drift — the frozen-model aging face the q186
     * classifier owes under the standing rule (every frozen model gets a
@@ -7004,7 +7055,7 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS
