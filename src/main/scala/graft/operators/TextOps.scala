@@ -2353,12 +2353,17 @@ object TextOps {
   // coupon codes), and the mod-97 checksum rejects 96/97 of random
   // candidates — same reviewable-report-vs-noise argument as [[ccScan]].
 
-  /** Candidate IBAN shape: 2 country letters + 2 check digits + 11–30
-    * alphanumeric BBAN chars, optional single-space print grouping
-    * (compact and `DE89 3704 0044 ...` forms both match). RE2-compatible
-    * — no lookaround, bounded repetition — so the oracle runs it
-    * verbatim. */
-  val IbanCandidateRe = "[A-Z]{2}[0-9]{2}( ?[A-Z0-9]){11,30}"
+  /** Candidate IBAN shape: 2 country letters + 2 check digits + a BBAN
+    * of 4-char alphanumeric groups with the standard print spacing
+    * (compact and `DE89 3704 0044 ...` forms both match; a remainder
+    * group of 1–3 closes odd national lengths). The per-GROUP spacing —
+    * not per-character — is what keeps two IBANs separated by a short
+    * word from greedily fusing into one garbage candidate that hides
+    * both (measured with the ` ?[A-Z0-9]{11,30}` per-char form).
+    * RE2-compatible — no lookaround, bounded repetition — so the oracle
+    * runs it verbatim; the 15–34 length gate in [[ibanValid]] does the
+    * precise bounding after normalization. */
+  val IbanCandidateRe = "[A-Z]{2}[0-9]{2}( ?[A-Z0-9]{4}){2,7}( ?[A-Z0-9]{1,3})?"
 
   /** ISO 7064 incremental big-number remainder: fold the character
     * codes left-to-right with digits appended base-10 and letters as

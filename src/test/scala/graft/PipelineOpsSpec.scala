@@ -1764,7 +1764,12 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, "typo GB82WEST12345698765433 fails"),   // one digit mutated
       (4L, "code AB12FOOBARBAZ1234567 matches shape"), // random alnum run
       (5L, "short DE89 370 nope"),                 // below the length band
-      (6L, "no account here")).toDF("doc_id", "text")
+      (6L, "no account here"),
+      // two valid IBANs split by a short word: per-GROUP print spacing
+      // keeps them two candidates (a per-char pattern fused them into
+      // one garbage match that hid both)
+      (7L, "X GB82WEST12345698765432 Y DE89370400440532013000 Z"))
+      .toDF("doc_id", "text")
     val got = TextOps.ibanScan(fx, col("doc_id"), col("text"))
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -1774,13 +1779,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L)), "IBAN-shaped junk fails the checksum")
     assert(got(5L) == ((0L, 0L)))
     assert(got(6L) == ((0L, 0L)))
+    assert(got(7L) == ((2L, 2L)), "adjacent IBANs stay separate candidates")
     // generator ∘ validator ≡ true on arbitrary 18-digit BBANs/countries
     val bban = lpad((col("doc_id") * 987654321L).cast("string"), 18, "0")
     Seq("DE", "GB", "FR").foreach { cc =>
       val iban = concat(lit(cc), TextOps.ibanCheckDigits(lit(cc), bban), bban)
-      val ok = fx.select(TextOps.ibanValid(iban).as("ok"))
+        val ok = fx.select(TextOps.ibanValid(iban).as("ok"))
         .as[Boolean].collect()
-      assert(ok.length == 6 && ok.forall(identity), cc)
+      assert(ok.length == 7 && ok.forall(identity), cc)
     }
     // the validator is the ISO arithmetic, not a lookup: remainder ≠ 1
     // for 96 of 97 check-digit values on a fixed BBAN
