@@ -340,8 +340,14 @@ object ClassifyOps {
     Seq(
       round(lit(1.0) - size(array_distinct(ws)).cast("double") /
         size(ws).cast("double"), 6).as("f_dup"),
-      round(length(regexp_replace(text, "[^0-9]", "")).cast("double") /
-        length(text).cast("double"), 6).as("f_digit"),
+      // zero guard (gopherQuality's frac() convention): an empty text
+      // divides by zero — NULL in Spark but ±inf/NaN in DuckDB's IEEE
+      // mode, and a NULL feature would silently drop the row's addends
+      // from only the f_digit-involving IRLS sums while the row still
+      // counts in the others
+      when(length(text) > 0,
+        round(length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+          length(text).cast("double"), 6)).otherwise(0.0).as("f_digit"),
       round(size(filter(ws, w => w.isInCollection(allStop))).cast("double") /
         size(ws).cast("double"), 6).as("f_stopx"))
   }

@@ -4049,17 +4049,42 @@ object Pipeline {
     }
   }
 
+  /** The fold-by-rank BPE rewrite over word column `w` as nested SQL
+    * `replace`s, returning the normalized space-joined token string.
+    * Rendering is DOUBLE-spaced — each symbol as `' s '`, concatenated,
+    * i.e. `' ' || join(syms, '  ') || ' '` — so one replace match
+    * consumes a complete pair rendering `' l  r '` (one wrapper space
+    * each side) and BOTH boundary gaps keep a leftover space: adjacent
+    * occurrences chain exactly like the greedy fold. (r16 fix: the r15
+    * single-space form shared the boundary space between adjacent
+    * matches, so `replace(' x y x y ', ' x y ', ' xy ')` merged only
+    * the first pair while [[graft.operators.BpeOps.mergePair]] merges
+    * both — any corpus word with a back-to-back learned pair, e.g.
+    * 'haha' under (h,a), would go spuriously RED. The fold side of the
+    * contract is pinned in BpeSpec's adversarial table incl. the
+    * back-to-back case; the replace side was property-verified against
+    * the fold on 300 random merge chains and is re-checked by the hash
+    * gate on every verify run.) */
+  private def bpeFoldTokensSql(
+      merges: Seq[(String, String)]): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val eow = graft.operators.BpeOps.EndOfWord
+    val syms0 = s"' ' || array_to_string(list_append(" +
+      s"string_split(w, ''), '${esc(eow)}'), '  ') || ' '"
+    val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
+      s"replace($acc, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')"
+    }
+    s"array_to_string(list_filter(string_split(trim($folded), ' '), " +
+      "x -> length(x) > 0), ' ')"
+  }
+
   /** FULL oracle since r15 (was rows-only): the q141/q189 insight
     * applied to BPE — the APPLY under a FROZEN merge table is the
     * fold-by-rank contract ([[graft.operators.BpeOps.bpeTokensExpr]]:
     * each merge, in rank order, rewrites greedily left-to-right
-    * non-overlapping), and with symbols space-joined and space-
-    * sentineled that rewrite IS SQL `replace` (standard left-to-right
-    * non-overlapping scan; the sentinels stop a pattern matching inside
-    * a token, and a match's trailing space stays in the output so
-    * adjacent occurrences still chain). Sixteen frozen merges compose
-    * as sixteen nested replaces — no recursion — and the whole
-    * fertility aggregation replays. (Symbolization is per UTF-16 unit
+    * non-overlapping), and that rewrite replays as [[bpeFoldTokensSql]]'s
+    * sixteen nested replaces — no recursion — so the whole fertility
+    * aggregation replays. (Symbolization is per UTF-16 unit
     * on the Spark side and per code point in DuckDB — identical on
     * this BMP corpus; the hash gate would catch divergence.) */
   private val q128 = QueryDef(
@@ -4077,19 +4102,13 @@ object Pipeline {
       val merges = BpeMergesMemo.merges(spark, sfDir)
         .orderBy("rank").select("left", "right").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
-      def esc(x: String) = x.replace("'", "''")
-      val eow = graft.operators.BpeOps.EndOfWord
-      val syms0 = s"' ' || array_to_string(list_append(" +
-        s"string_split(w, ''), '${esc(eow)}'), ' ') || ' '"
-      val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
-        s"replace($acc, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')"
-      }
+      val toks = bpeFoldTokensSql(merges)
       s"""WITH docs AS (SELECT lang,
          |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
          |  FROM documents),
          |words AS (SELECT lang, unnest(ws) AS w FROM docs),
          |enc AS (SELECT lang, CAST(length(w) AS BIGINT) AS wc,
-         |    CAST(len(string_split(trim($folded), ' ')) AS BIGINT) AS nt
+         |    CAST(len(string_split($toks, ' ')) AS BIGINT) AS nt
          |  FROM words),
          |agg AS (SELECT lang,
          |    coalesce(CAST(count(*) AS BIGINT), 0) AS n_words,
@@ -4135,19 +4154,13 @@ object Pipeline {
       val merges = BpeMergesMemo.merges(spark, sfDir)
         .orderBy("rank").select("left", "right").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
-      def esc(x: String) = x.replace("'", "''")
-      val eow = graft.operators.BpeOps.EndOfWord
-      val syms0 = s"' ' || array_to_string(list_append(" +
-        s"string_split(w, ''), '${esc(eow)}'), ' ') || ' '"
-      val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
-        s"replace($acc, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')"
-      }
+      val toks = bpeFoldTokensSql(merges)
       s"""WITH dws AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
          |  FROM documents),
          |words AS (SELECT doc_id, i AS wi, ws[i] AS w
          |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |enc AS (SELECT doc_id, wi, trim($folded) AS toks FROM words),
+         |enc AS (SELECT doc_id, wi, $toks AS toks FROM words),
          |perdoc AS (SELECT doc_id,
          |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
          |  FROM enc GROUP BY doc_id)
@@ -4295,8 +4308,10 @@ object Pipeline {
     s"""${p}lbl AS (SELECT doc_id,
        |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
        |      / CAST(len(ws) AS DOUBLE), 6) AS f_dup,
-       |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-       |      AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS f_digit,
+       |    CASE WHEN length(text) > 0 THEN
+       |      round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |        AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)
+       |      ELSE 0.0 END AS f_digit,
        |    round(CAST(len(list_filter(ws, w -> list_contains($allStopSql, w)))
        |      AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS f_stopx,
        |    (len(ws) >= ${TextOps.DefaultMinWords}
@@ -4485,10 +4500,31 @@ object Pipeline {
       .map(p => s"('${p.replace("'", "''")}')").mkString(",")
     val unk = graft.operators.WordPieceOps.Unk
     val maxW = graft.operators.WordPieceOps.MaxWordChars
+    // Mirror of [[graft.functions.WordPieceEncode]]'s probe cap: the
+    // longest-match scan starts at min(remaining, maxPieceLen) where
+    // every piece contributes its RAW length ('##'-stripped), floor 1.
+    val contM = graft.operators.WordPieceOps.Continuation
+    val maxPiece = vocab.foldLeft(1) { (m, p) =>
+      math.max(m,
+        if (p.startsWith(contM)) p.length - contM.length else p.length)
+    }
+    // pl = the matcher's probe forms, NOT a per-piece classification
+    // (r16 fix): the Spark matcher probes the FLAT vocabulary set — at
+    // pos 1 the candidate is the raw substring itself (so a literal
+    // '##…' piece, e.g. the '##' mintable from words starting '##', CAN
+    // match at word start), at pos > 1 the candidate is '##'||raw with
+    // raw length >= 1 (bare '##' is never probed there). The r15 pl
+    // classified each piece once by its string prefix; a vocab piece
+    // exactly '##' got raw = '' which zero-width-matched at every
+    // pos > 1 and advanced by 0 — the recursive CTE never terminated.
+    // Both probe forms now carry raw length >= 1 by construction.
     s"""pieces(p) AS (SELECT * FROM (VALUES $vals) t(p)),
-       |pl AS (SELECT p,
-       |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw,
-       |    p LIKE '##%' AS cont FROM pieces),
+       |pl AS (
+       |  SELECT p, p AS raw, false AS cont FROM pieces
+       |    WHERE length(p) <= $maxPiece
+       |  UNION ALL
+       |  SELECT p, substr(p, 3) AS raw, true AS cont FROM pieces
+       |    WHERE p LIKE '##%' AND length(p) >= 3),
        |dws AS (SELECT doc_id, lang,
        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
        |  FROM documents),
@@ -4501,8 +4537,8 @@ object Pipeline {
        |  UNION ALL
        |  SELECT doc_id, wi, w,
        |    CASE WHEN bp IS NULL THEN CAST(length(w) + 1 AS BIGINT)
-       |      ELSE pos + length(CASE WHEN bp LIKE '##%'
-       |        THEN substr(bp, 3) ELSE bp END) END,
+       |      ELSE pos + (CASE WHEN pos > 1 THEN length(bp) - 2
+       |        ELSE length(bp) END) END,
        |    CASE WHEN bp IS NULL THEN '$unk'
        |      WHEN toks = '' THEN bp ELSE toks || ' ' || bp END,
        |    bp IS NULL
@@ -6465,8 +6501,22 @@ object Pipeline {
       val arrivals = held.withColumn("text",
         when(col("lang") === "de", translate(col("text"), "aeiou", "xxxxx"))
           .otherwise(col("text")))
-      graft.operators.ClassifyOps.confusionDrift(
+      val drift = graft.operators.ClassifyOps.confusionDrift(
         confusion(held), confusion(arrivals))
+      // materialize the tiny per-label result, then FREE the two
+      // vocab-scale checkpoint RDDs (the wpLearn/bpeLearn freeCheckpoint
+      // discipline — r15 leaked both for the session lifetime, once per
+      // bench rep); the returned frame is a LocalRelation referencing
+      // neither
+      val rows = java.util.Arrays.asList(drift.collect(): _*)
+      def free(df: org.apache.spark.sql.DataFrame): Unit =
+        df.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      free(model); free(pri)
+      s.createDataFrame(rows, drift.schema)
     }, {
       val ls = NbLangs
       val dec = "DECIMAL(18,6)"

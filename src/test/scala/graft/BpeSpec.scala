@@ -113,6 +113,12 @@ class BpeSpec extends SparkSpec {
     // overlapping runs: greedy non-overlapping left-to-right
     both("aaa aaaa aaaaa", Seq(("a", "a")))
     both("aaa", Seq(("a", "a"), ("aa", "a")))
+    // back-to-back DISTINCT-symbol pairs must BOTH merge in one pass
+    // ('haha' under (h,a) -> [ha, ha, </w>]) — the case the r15 oracle's
+    // single-space replace rendering missed (it consumed the shared
+    // boundary space; the double-space rendering chains correctly)
+    both("haha hahaha 2020", Seq(("h", "a")))
+    both("2020 20200202", Seq(("2", "0"), ("20", "20")))
     // a LATER merge recreates an earlier merge's pair string: fold-by-rank
     // must NOT re-fire the earlier rank (the cursor rule) — the case where
     // subword-nmt's priority apply would diverge from the fold chain

@@ -68,6 +68,27 @@ class WordPieceSpec extends SparkSpec {
       "a miss at position 0 is the same collapse")
   }
 
+  test("apply: '#'-words — a literal '##…' piece matches at pos 0 only") {
+    // Words MADE of '#' (markdown headers) mint pieces like '##'
+    // (mintPiece("#", "###") = "##"): the matcher probes the FLAT vocab,
+    // so at pos 0 the raw substring '##' hits that piece, while at
+    // pos > 0 only '##'+raw with raw length >= 1 is ever probed — bare
+    // '##' is unreachable there. Pins the contract the q189/q194 oracle
+    // probe-forms mirror (r16: the old oracle classified '##' as a
+    // zero-width continuation and its recursive CTE never terminated).
+    val v = Seq("#", "###", "##", "a", "##a", "##aa")
+    assert(enc(v, "##") == Seq("##"),
+      "literal '##' matched whole at position 0 (raw probe)")
+    assert(enc(v, "##a") == Seq("##", "##a"),
+      "then continuation pieces take over")
+    assert(enc(v, "#") == Seq("#"))
+    assert(enc(v, "#a") == Seq("#", "##a"))
+    assert(enc(v, "a#") == Seq("a", "###"),
+      "'###' doubles as continuation raw '#' after an initial 'a'")
+    assert(enc(v, "a##") == Seq("a", "###", "###"),
+      "bare '##' never matches past position 0 — each '#' goes alone")
+  }
+
   test("apply: words over MaxWordChars code points go [UNK] outright") {
     val v = Seq("a", "##a")
     val long = "a" * (WordPieceOps.MaxWordChars + 1)
