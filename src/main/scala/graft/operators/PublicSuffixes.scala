@@ -13,12 +13,18 @@ package graft.operators
   * snapshot carries the high-traffic ICANN-section second-level rules
   * (the country registries under which web corpora actually
   * concentrate) plus the hosting-platform private-section entries a
-  * crawl hits constantly. It is deliberately NOT the full ~9,000-rule
-  * list (no wildcard `*.` or exception `!` rules, no IDN suffixes) —
-  * [[UrlOps.registeredDomain]] takes the suffix set as a parameter, so
-  * a deployment can drop in a complete, current snapshot without
+  * crawl hits constantly, and (since r16, closing the r15 verdict's
+  * top suffix gap) the high-traffic wildcard `*.` rules and their `!`
+  * exceptions — the `*.compute.amazonaws.com`-class rules without
+  * which every EC2-hosted customer site rolls up to one "domain" for
+  * caps and dedup. It is deliberately NOT the full ~9,000-rule list
+  * (no IDN suffixes, no long-tail entries) — [[UrlOps
+  * .registeredDomain]] takes all three rule sets as parameters, so a
+  * deployment can drop in a complete, current snapshot without
   * touching the operator; the label arithmetic is identical at 9,000
-  * entries (one broadcast hash-set probe per label-count tier).
+  * entries (one broadcast hash-set probe per label-count tier, with
+  * wildcards one extra probe on the SAME tier walk and exceptions a
+  * constant-size override checked first).
   */
 object PublicSuffixes {
 
@@ -192,8 +198,51 @@ object PublicSuffixes {
     "fly.dev", "github.io", "githubusercontent.com", "gitlab.io",
     "glitch.me", "herokuapp.com", "neocities.org", "netlify.app",
     "pages.dev", "readthedocs.io", "s3.amazonaws.com", "surge.sh",
-    "vercel.app", "web.app", "workers.dev")
+    "vercel.app", "web.app", "workers.dev",
+    // S3 static-website endpoints (legacy dash-style regions): each
+    // bucket site is an independent operator, same as github.io
+    "s3-website-us-east-1.amazonaws.com",
+    "s3-website-us-west-1.amazonaws.com",
+    "s3-website-us-west-2.amazonaws.com",
+    "s3-website-eu-west-1.amazonaws.com",
+    "s3-website-ap-southeast-1.amazonaws.com",
+    "s3-website-ap-southeast-2.amazonaws.com",
+    "s3-website-ap-northeast-1.amazonaws.com",
+    "s3-website-sa-east-1.amazonaws.com")
 
   /** The default suffix set: ICANN snapshot + hosting platforms. */
   val All: Seq[String] = Icann ++ Private
+
+  /** Wildcard rules (`*.<base>` in PSL syntax), vendored as their BASES
+    * (r15 verdict item 3 — the r15 snapshot had no wildcard support at
+    * all, documented then as its top gap): EVERY direct child of a base
+    * is itself a public suffix, so a host under `*.compute.amazonaws
+    * .com` keys as `<customer>.<region>.compute.amazonaws.com`, not as
+    * one giant "domain" absorbing every EC2-hosted site — the exact
+    * github.io failure mode r14 item 1 fixed, one tier deeper. A
+    * wildcard base with k labels is a (k+1)-label rule: it matches
+    * "trailing k labels equal the base, label k+1 free", and the
+    * registered domain is trailing k+2 labels. */
+  val Wildcards: Seq[String] = Seq(
+    // ICANN wildcard ccTLDs (whole TLD delegates per-label registries)
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg", "ye",
+    // Japanese city domains: third-level registrations under the city
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+    // AWS compute: every EC2/ELB public hostname is a distinct operator
+    "compute.amazonaws.com", "compute-1.amazonaws.com",
+    "compute.amazonaws.com.cn",
+    // Linode and DigitalOcean per-IP hostnames follow the same shape
+    "ip.linodeusercontent.com", "nodebalancer.linode.com")
+
+  /** Exception rules (`!<host>` in PSL syntax): carve-outs that ARE
+    * registrable domains even though a wildcard covers them — the
+    * city governments' own sites under the Japanese city wildcards,
+    * and `www.ck`. An exception beats every other rule (PSL §Algorithm
+    * step 3), so `x.www.ck` keys as `www.ck`, not `x.www.ck`. */
+  val Exceptions: Seq[String] = Seq(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
 }

@@ -34,6 +34,15 @@ object UrlOps {
     * constructor-replaceable parameter at every call site. */
   val MultiPartSuffixes: Seq[String] = PublicSuffixes.All
 
+  /** Wildcard-rule BASES (`*.<base>`) recognized by [[registeredDomain]]
+    * — [[PublicSuffixes.Wildcards]] by default, parameterized like the
+    * exact set. */
+  val MultiPartWildcards: Seq[String] = PublicSuffixes.Wildcards
+
+  /** Exception rules (`!<host>`) — registrable carve-outs that beat
+    * every other rule ([[PublicSuffixes.Exceptions]]). */
+  val MultiPartExceptions: Seq[String] = PublicSuffixes.Exceptions
+
   /** Query parameters stripped by [[canonicalUrl]]: the cross-site
     * tracking families (analytics campaign tags and click ids) that
     * make one page crawl as dozens of "distinct" URLs. Widened r15
@@ -267,40 +276,93 @@ object UrlOps {
     * that IS a suffix exactly (e.g. bare `github.io`) returns itself,
     * matching the bare/2-label convention. One broadcast hash-set probe
     * per label-count tier — row-local, no shuffle, same cost shape at
-    * 9,000 suffixes as at 7. */
+    * 9,000 suffixes as at 7.
+    *
+    * Wildcard + exception rules (r15 verdict item 3): a wildcard base
+    * `w` (PSL `*.w`) makes EVERY direct child of `w` a public suffix —
+    * it probes on the same tier walk as the (labels(w)+1)-label exact
+    * rules ("trailing labels(w) equal `w`, one label free"), so
+    * `vm.us-east-1.compute.amazonaws.com` keys under the 5-label unit,
+    * not as all-of-EC2; rank ties with exact rules need no ordering
+    * (both yield the same suffix length). An exception `!e` prevails
+    * over every other rule (PSL algorithm): `e` itself is the
+    * registrable unit for `e` and all its descendants — `x.www.ck`
+    * keys as `www.ck` even though `*.ck` covers it. */
   def registeredDomain(host: Column,
-      suffixes: Seq[String] = MultiPartSuffixes): Column = {
+      suffixes: Seq[String] = MultiPartSuffixes,
+      wildcards: Seq[String] = MultiPartWildcards,
+      exceptions: Seq[String] = MultiPartExceptions): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     def tailK(k: Int) = concat_ws(".", slice(labels, -k, k))
-    val byLen = suffixes.groupBy(_.count(_ == '.') + 1)
+    def nLabels(s: String) = s.count(_ == '.') + 1
+    val byLen = suffixes.groupBy(nLabels)
+    // a wildcard base of k labels is a (k+1)-label rule — it probes on
+    // the SAME tier walk, ranked with the (k+1)-label exact rules
+    val wildByRank = wildcards.groupBy(nLabels(_) + 1)
+    val excByLen = exceptions.groupBy(nLabels)
     // explicit NULL passthrough: concat_ws SKIPS null inputs, so without
     // the guard a NULL host (malformed URL) would fall through to the
     // '' domain — exactly the shared-key degradation hostOf avoids
-    val base = when(host.isNull, lit(null).cast("string"))
-      .when(n <= 2, host)
-    // longest suffix first; each tier is one set-membership probe
-    byLen.keys.toSeq.sorted.reverse.foldLeft(base) { (acc, k) =>
-      acc.when(n > k && tailK(k).isin(byLen(k): _*), tailK(k + 1))
-        .when(n === k && tailK(k).isin(byLen(k): _*), host)
-    }.otherwise(tailK(2))
+    val guard = when(host.isNull, lit(null).cast("string"))
+    // exception rules prevail over EVERYTHING (PSL algorithm step 3):
+    // the exception itself is the registrable unit, for the host and
+    // any descendant alike
+    val withExc = excByLen.keys.toSeq.sorted.reverse.foldLeft(guard) {
+      (acc, j) => acc.when(n >= j && tailK(j).isin(excByLen(j): _*),
+        tailK(j))
+    }
+    val base = withExc.when(n <= 2, host)
+    // longest rule first; each rank is one (or two) set-membership
+    // probes — exact suffixes of r labels and wildcard bases of r-1
+    (byLen.keys.toSet ++ wildByRank.keys.toSet).toSeq.sorted.reverse
+      .foldLeft(base) { (acc, r) =>
+        val withExact = byLen.get(r).fold(acc) { es =>
+          acc.when(n > r && tailK(r).isin(es: _*), tailK(r + 1))
+            .when(n === r && tailK(r).isin(es: _*), host)
+        }
+        wildByRank.get(r).fold(withExact) { ws =>
+          withExact
+            .when(n > r && tailK(r - 1).isin(ws: _*), tailK(r + 1))
+            .when(n === r && tailK(r - 1).isin(ws: _*), host)
+        }
+      }.otherwise(tailK(2))
   }
 
   /** DuckDB twin of [[registeredDomain]] over a column expression `host`. */
   def registeredDomainSql(host: String,
-      suffixes: Seq[String] = MultiPartSuffixes): String = {
-    val byLen = suffixes.groupBy(_.count(_ == '.') + 1)
-    val tiers = byLen.keys.toSeq.sorted.reverse.map { k =>
-      s"""  WHEN len(ls) > $k AND array_to_string(ls[-$k:], '.')
-         |      IN ${sqlList(byLen(k))}
-         |    THEN array_to_string(ls[-${k + 1}:], '.')
-         |  WHEN len(ls) = $k AND array_to_string(ls[-$k:], '.')
-         |      IN ${sqlList(byLen(k))}
-         |    THEN $host""".stripMargin
+      suffixes: Seq[String] = MultiPartSuffixes,
+      wildcards: Seq[String] = MultiPartWildcards,
+      exceptions: Seq[String] = MultiPartExceptions): String = {
+    def nLabels(s: String) = s.count(_ == '.') + 1
+    val byLen = suffixes.groupBy(nLabels)
+    val wildByRank = wildcards.groupBy(nLabels(_) + 1)
+    val excByLen = exceptions.groupBy(nLabels)
+    def tail(k: Int) = s"array_to_string(ls[-$k:], '.')"
+    val excs = excByLen.keys.toSeq.sorted.reverse.map { j =>
+      s"""  WHEN len(ls) >= $j AND ${tail(j)} IN ${sqlList(excByLen(j))}
+         |    THEN ${tail(j)}""".stripMargin
     }.mkString("\n")
+    val tiers = (byLen.keys.toSet ++ wildByRank.keys.toSet).toSeq
+      .sorted.reverse.map { r =>
+        val exact = byLen.get(r).fold("") { es =>
+          s"""  WHEN len(ls) > $r AND ${tail(r)} IN ${sqlList(es)}
+             |    THEN ${tail(r + 1)}
+             |  WHEN len(ls) = $r AND ${tail(r)} IN ${sqlList(es)}
+             |    THEN $host""".stripMargin
+        }
+        val wild = wildByRank.get(r).fold("") { ws =>
+          s"""  WHEN len(ls) > $r AND ${tail(r - 1)} IN ${sqlList(ws)}
+             |    THEN ${tail(r + 1)}
+             |  WHEN len(ls) = $r AND ${tail(r - 1)} IN ${sqlList(ws)}
+             |    THEN $host""".stripMargin
+        }
+        Seq(exact, wild).filter(_.nonEmpty).mkString("\n")
+      }.mkString("\n")
+    val excBlock = if (excs.isEmpty) "" else excs + "\n"
     s"""(WITH l AS (SELECT string_split($host, '.') AS ls)
        |SELECT CASE
-       |  WHEN len(ls) <= 2 THEN $host
+       |$excBlock  WHEN len(ls) <= 2 THEN $host
        |$tiers
        |  ELSE array_to_string(ls[-2:], '.') END FROM l)""".stripMargin
   }

@@ -129,6 +129,48 @@ class UrlSpec extends SparkSpec {
     assert(plain === "amazonaws.com")
   }
 
+  test("registered domain: wildcard rules and exception carve-outs") {
+    // r15 verdict item 3: *.compute.amazonaws.com-class rules — every
+    // EC2 public hostname is a distinct operator, every *.ck label a
+    // distinct registry, and the ! exceptions carve the city/government
+    // sites back out as ordinary registrable domains
+    val rows = Seq(
+      "vm1.us-east-1.compute.amazonaws.com",   // *.compute.amazonaws.com
+      "a.vm1.us-east-1.compute.amazonaws.com", // one deeper: same unit
+      "us-east-1.compute.amazonaws.com",       // host IS the suffix
+      "compute.amazonaws.com",                 // base itself: no wildcard
+                                               // match, falls to last-2
+      "shop.acme.ck",                          // *.ck: acme.ck is a suffix
+      "deep.shop.acme.ck",
+      "www.ck",                                // !www.ck: registrable
+      "pages.www.ck",                          // descendant keys at www.ck
+      "x.pages.www.ck",
+      "sub.example.kawasaki.jp",               // *.kawasaki.jp
+      "city.kawasaki.jp",                      // !city.kawasaki.jp
+      "ward.city.kawasaki.jp",
+      "b.s3-website-us-east-1.amazonaws.com")  // exact s3-website entry
+      .toDF("h")
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("vm1.us-east-1.compute.amazonaws.com") ===
+      "vm1.us-east-1.compute.amazonaws.com")
+    assert(rows("a.vm1.us-east-1.compute.amazonaws.com") ===
+      "vm1.us-east-1.compute.amazonaws.com")
+    assert(rows("us-east-1.compute.amazonaws.com") ===
+      "us-east-1.compute.amazonaws.com")
+    assert(rows("compute.amazonaws.com") === "amazonaws.com")
+    assert(rows("shop.acme.ck") === "shop.acme.ck")
+    assert(rows("deep.shop.acme.ck") === "shop.acme.ck")
+    assert(rows("www.ck") === "www.ck")
+    assert(rows("pages.www.ck") === "www.ck")
+    assert(rows("x.pages.www.ck") === "www.ck")
+    assert(rows("sub.example.kawasaki.jp") === "sub.example.kawasaki.jp")
+    assert(rows("city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(rows("ward.city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(rows("b.s3-website-us-east-1.amazonaws.com") ===
+      "b.s3-website-us-east-1.amazonaws.com")
+  }
+
   test("canonicalize frame: dropped-param counts and domain wiring") {
     val df = Seq(
       (1L, "https://CDN.s.co.uk:443/p?utm_source=a&id=3#f"),
