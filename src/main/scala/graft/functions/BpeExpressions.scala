@@ -42,11 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabulary constantly — the cache turns the per-word loop into a hash
   * probe for every repeated word, the standard production-tokenizer
   * trick. */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression {
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "bpe_encode"
+  override def prettyName: String =
+    if (byteLevel) "byte_bpe_encode" else "bpe_encode"
 
   // Rank map rebuilt per (de)serialized instance; the joint is a space
   // (symbols come from single-space-split words, so no symbol contains
@@ -88,18 +89,32 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     val c = cache.get()
     val hit = c.get(word)
     if (hit != null) return hit
-    // start symbols: code points + the end-of-word marker
+    // start symbols: char-level = code points + the end-of-word marker;
+    // byte-level = the word's UTF-8 octets as uppercase hex pairs, NO
+    // marker and NO possible UNK (the GPT-2-family base-alphabet
+    // property: 256 symbols cover every input by construction)
     var syms = {
-      val buf = new java.util.ArrayList[String](word.length + 1)
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        val n = Character.charCount(cp)
-        buf.add(word.substring(i, i + n))
-        i += n
+      if (byteLevel) {
+        val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val buf = new java.util.ArrayList[String](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          buf.add(String.format("%02X", Byte.box(bytes(i))))
+          i += 1
+        }
+        buf
+      } else {
+        val buf = new java.util.ArrayList[String](word.length + 1)
+        var i = 0
+        while (i < word.length) {
+          val cp = word.codePointAt(i)
+          val n = Character.charCount(cp)
+          buf.add(word.substring(i, i + n))
+          i += n
+        }
+        buf.add(graft.operators.BpeOps.EndOfWord)
+        buf
       }
-      buf.add(graft.operators.BpeOps.EndOfWord)
-      buf
     }
     var cur = 0
     var continue = true
@@ -182,26 +197,33 @@ object BpeExpressions {
     * FOLDABLE array<struct<l string, r string>> literal (the frozen merge
     * table — tokenizers are fitted once, the table is a plan-time
     * constant). */
+  /** Byte-level variant's function name (see [[BpeEncode.byteLevel]]). */
+  val ByteFnName = "byte_bpe_encode"
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => {
-        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
-          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
-            s"$FnName(text, merges): merges argument must be $what"))
-        if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
-        if (!exprs(1).foldable)
-          throw bad("a foldable array<struct<l,r>> literal")
-        val v = exprs(1).eval()
-        if (v == null) throw bad("non-null")
-        val arr = v.asInstanceOf[ArrayData]
-        val merges = (0 until arr.numElements()).map { i =>
-          val row = arr.getStruct(i, 2)
-          (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
-        }
-        BpeEncode(exprs.head, merges)
-      }, "scala_udf")
+    Seq((FnName, false), (ByteFnName, true)).foreach {
+      case (name, byteLevel) =>
+        classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name,
+          exprs => {
+            def bad(what: String) =
+              new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+                  s"$name(text, merges): merges argument must be $what"))
+            if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
+            if (!exprs(1).foldable)
+              throw bad("a foldable array<struct<l,r>> literal")
+            val v = exprs(1).eval()
+            if (v == null) throw bad("non-null")
+            val arr = v.asInstanceOf[ArrayData]
+            val merges = (0 until arr.numElements()).map { i =>
+              val row = arr.getStruct(i, 2)
+              (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+            }
+            BpeEncode(exprs.head, merges, byteLevel)
+          }, "scala_udf")
+    }
   }
 
   /** Compiled-tokenizer column (see [[BpeEncode]]); call [[register]] on
@@ -210,6 +232,16 @@ object BpeExpressions {
     val lit = org.apache.spark.sql.functions.typedlit(merges.map {
       case (l, r) => BpeMergeRow(l, r) })
     call_function(FnName, text, lit)
+  }
+
+  /** Byte-level compiled-tokenizer column: symbols are the UTF-8 octets
+    * as uppercase hex pairs, no end-of-word marker, no UNK possible.
+    * Merge table entries are hex-pair concatenations (fit under
+    * [[graft.operators.BpeOps.toByteSymbols]]). */
+  def byteBpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val lit = org.apache.spark.sql.functions.typedlit(merges.map {
+      case (l, r) => BpeMergeRow(l, r) })
+    call_function(ByteFnName, text, lit)
   }
 }
 

@@ -43,6 +43,21 @@ object BpeOps {
   def toSymbols(word: Column): Column =
     concat(filter(split(word, ""), s => s =!= ""), array(lit(EndOfWord)))
 
+  /** A word as BYTE-level BPE start symbols: its UTF-8 octets as
+    * uppercase hex pairs (Spark `hex()` casing), NO end-of-word marker
+    * — the GPT-2-family base alphabet (Radford et al. 2019 §2.2): 256
+    * symbols cover every input, so the apply can never emit UNK and
+    * `decode ∘ encode` is the identity by construction. Hex-pair
+    * strings keep the whole fit/apply machinery ([[mergePair]],
+    * [[bpeLearn]], [[graft.functions.BpeEncode]]) verbatim: a merge is
+    * still string concatenation, and a merged token's byte payload is
+    * just its hex unpaired. */
+  def toByteSymbols(word: Column): Column = {
+    val h = hex(encode(word, "UTF-8"))
+    transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
+      i => h.substr(i * 2 - 1, lit(2)))
+  }
+
   /** Greedy left-to-right non-overlapping rewrite of one merge over a
     * symbol array — the BPE inner loop as a stateless fold: append each
     * symbol, except when the accumulator's last element is `left` and
@@ -65,7 +80,8 @@ object BpeOps {
     * coordinates `numMerges` vocab-scale jobs; the corpus itself is
     * touched only by the one [[wordFreqs]] aggregation. */
   def bpeLearn(freqs: DataFrame, numMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      symbolize: Column => Column = toSymbols): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = freqs.sparkSession
     import spark.implicits._
@@ -87,7 +103,7 @@ object BpeOps {
         case _ => ()
       }
     var words = freqs.repartition(4)
-      .select(toSymbols(col("word")).as("toks"), col("freq"))
+      .select(symbolize(col("word")).as("toks"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
@@ -199,5 +215,50 @@ object BpeOps {
       .withColumn("chars_per_token",
         when(col("n_tokens") > 0,
           round(col("n_chars").cast("double") / col("n_tokens"), 6)))
+  }
+
+  /** Per-doc BYTE-level tokenization under a [[toByteSymbols]]-fitted
+    * merge table: [[bpeTokenize]]'s shape on the
+    * [[graft.functions.BpeExpressions.byteBpeEncode]] path. Tokens are
+    * hex-pair concatenations ("48", "656C6C" …); decoding a token is
+    * `unhex` — no UNK exists by construction. */
+  def byteBpeTokenize(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = graft.functions.BpeExpressions.byteBpeEncode(text, m)
+    docs.select(id.as("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
+  /** [[tokenizerFertility]]'s QA table for the BYTE-level face: per
+    * `group`, words / tokens / UTF-8 BYTES (the byte tokenizer's
+    * denominator universe — multi-byte scripts pay more base symbols
+    * per character, the fairness property this table exists to show),
+    * with `fertility` = tokens per word and `bytes_per_token` the
+    * compression rate. */
+  def byteTokenizerFertility(docs: DataFrame, id: Column, text: Column,
+      group: Column, merges: DataFrame): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = graft.functions.BpeExpressions.byteBpeEncode(text, m)
+    val words = filter(split(text, " "), w => length(w) > 0)
+    docs
+      .select(group.as("grp"),
+        size(words).cast("long").as("_w"),
+        size(toks).cast("long").as("_t"),
+        aggregate(words, lit(0L),
+          (acc, x) => acc + octet_length(x).cast("long")).as("_b"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_t")).as("n_tokens"), sum(col("_b")).as("n_bytes"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 6)))
+      .withColumn("bytes_per_token",
+        when(col("n_tokens") > 0,
+          round(col("n_bytes").cast("double") / col("n_tokens"), 6)))
   }
 }

@@ -1956,6 +1956,26 @@ object Pipeline {
     }
   }
 
+  /** The ENCODED q95 index, memoized per sf dir as an eagerly
+    * materialized frame (r15 verdict item 1, belt-and-braces after the
+    * QSolo exoneration — DECISIONS round-16): a PQ index is built ONCE
+    * in production, and without the memo every bench rep rebuilt and
+    * re-analyzed the literal centroid tree from [[PqCodebookMemo]]
+    * (thousands of nodes at k=[[PQ_K]]). The checkpoint truncates the
+    * plan to one LogicalRDD scan; search reps measure SEARCH. */
+  private object PqIndexMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    def frame(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame =
+      cache.getOrElseUpdate(d, {
+        val emb = Tables.embeddings(s, d)
+        PQOps.pqIndex(emb, PqCodebookMemo.frame(s, d),
+          col("vec_id"), col("embedding"), PQ_M, PQ_SUB)
+          .localCheckpoint(true)
+      })
+  }
+
   /** PQ top-k with a LEARNED codebook — per-subspace k-means glued into
     * full-dimension entries ([[PQOps.pqLearnCodebook]]), the quantizer
     * that actually tracks the data distribution (q48's learned-vs-fixed
@@ -1970,8 +1990,7 @@ object Pipeline {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       PQOps.pqTopK(
-        PQOps.pqIndex(emb, PqCodebookMemo.frame(s, d),
-          col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
+        PqIndexMemo.frame(s, d),
         emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
         LSH_K, PQ_SUB)
     },
@@ -4047,6 +4066,10 @@ object Pipeline {
             r.getString(2), r.getLong(3))).toSeq
       }).toDF("rank", "left", "right", "pair_count")
     }
+    def pairs(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[(String, String)] =
+      merges(s, d).orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
   /** The fold-by-rank BPE rewrite over word column `w` as nested SQL
@@ -4065,12 +4088,21 @@ object Pipeline {
     * back-to-back case; the replace side was property-verified against
     * the fold on 300 random merge chains and is re-checked by the hash
     * gate on every verify run.) */
-  private def bpeFoldTokensSql(
-      merges: Seq[(String, String)]): String = {
+  private def bpeFoldTokensSql(merges: Seq[(String, String)],
+      byteLevel: Boolean = false): String = {
     def esc(x: String) = x.replace("'", "''")
     val eow = graft.operators.BpeOps.EndOfWord
-    val syms0 = s"' ' || array_to_string(list_append(" +
-      s"string_split(w, ''), '${esc(eow)}'), '  ') || ' '"
+    // byte-level start symbols: the word's UTF-8 octets as uppercase
+    // hex pairs (DuckDB hex(encode(w)) ≡ Spark hex(encode(w,'UTF-8'))),
+    // NO end-of-word marker — [[graft.operators.BpeOps.toByteSymbols]]
+    val syms0 =
+      if (byteLevel)
+        "' ' || array_to_string(list_transform(" +
+          "generate_series(1, length(hex(encode(w))) // 2), " +
+          "i -> substr(hex(encode(w)), CAST(i * 2 - 1 AS INTEGER), 2))" +
+          ", '  ') || ' '"
+      else s"' ' || array_to_string(list_append(" +
+        s"string_split(w, ''), '${esc(eow)}'), '  ') || ' '"
     val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
       s"replace($acc, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')"
     }
@@ -4173,6 +4205,201 @@ object Pipeline {
          |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
     }))
 
+  /** One byte-level BPE fit per sf dir, memoized (the BpeMergesMemo
+    * rationale on the [[graft.operators.BpeOps.toByteSymbols]]
+    * alphabet): q196/q197's bodies and dump-time oracles must read
+    * IDENTICAL frozen merge bytes. */
+  private object ByteBpeMergesMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Long, String, String, Long)]]
+    def merges(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      cache.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d)
+        graft.operators.BpeOps.bpeLearn(
+            graft.operators.BpeOps.wordFreqs(docs, col("text")), 16,
+            symbolize = graft.operators.BpeOps.toByteSymbols)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSeq
+      }).toDF("rank", "left", "right", "pair_count")
+    }
+    def pairs(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[(String, String)] =
+      merges(s, d).orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** BYTE-level BPE fit face (r15 verdict item 4 / What's missing 2 —
+    * the GPT-family tokenizer: base alphabet = the 256 UTF-8 octets,
+    * so no UNK exists and decode∘encode is the identity by
+    * construction): [[graft.operators.BpeOps.bpeLearn]] verbatim over
+    * [[graft.operators.BpeOps.toByteSymbols]] hex-pair symbols.
+    * Rows-only like every iterative fit (q107/q140/q188): each rank's
+    * pair counts depend on every earlier rewrite. The APPLY faces
+    * (q196/q197) carry the hash gates. */
+  private val q195 = QueryDef(
+    "q195_bytebpe_merges",
+    (s, d) => ByteBpeMergesMemo.merges(s, d),
+    None)
+
+  /** Per-doc byte-level BPE apply face, hash-gated — q190's shape on
+    * the byte alphabet: same frozen-merge fold-by-rank contract, same
+    * double-space nested-replace oracle replay, symbols now hex pairs
+    * of the word's UTF-8 octets with no end-of-word marker. DuckDB's
+    * `hex(encode(w))` and Spark's `hex(encode(w, 'UTF-8'))` spell the
+    * SAME uppercase hex, so the fold operates on identical strings —
+    * and bytes sidestep the UTF-16-vs-code-point symbolization caveat
+    * the char-level faces carry. */
+  private val q196 = QueryDef(
+    "q196_bytebpe_tokenize",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.BpeOps.byteBpeTokenize(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          ByteBpeMergesMemo.merges(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0, graft.functions.HashExpressions
+            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val toks = bpeFoldTokensSql(
+        ByteBpeMergesMemo.pairs(
+          org.apache.spark.sql.SparkSession.active, sfDir),
+        byteLevel = true)
+      s"""WITH dws AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
+         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
+         |enc AS (SELECT doc_id, wi, $toks AS toks FROM words),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
+         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
+         |    AS n_tokens,
+         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
+         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
+         |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    }))
+
+  /** Per-language byte-level fertility / compression audit
+    * ([[graft.operators.BpeOps.byteTokenizerFertility]]) — q128's
+    * QA table with BYTES as the denominator universe: multi-byte
+    * scripts pay more base symbols per character, which is exactly the
+    * fairness property this face exists to surface (the GPT-2/BLOOM
+    * byte-fertility analyses). Full oracle via the same fold replay. */
+  private val q197 = QueryDef(
+    "q197_bytebpe_fertility",
+    (s, d) => graft.operators.BpeOps.byteTokenizerFertility(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
+      ByteBpeMergesMemo.merges(s, d)),
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val toks = bpeFoldTokensSql(
+        ByteBpeMergesMemo.pairs(
+          org.apache.spark.sql.SparkSession.active, sfDir),
+        byteLevel = true)
+      s"""WITH docs AS (SELECT lang,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |words AS (SELECT lang, unnest(ws) AS w FROM docs),
+         |enc AS (SELECT lang,
+         |    CAST(octet_length(encode(w)) AS BIGINT) AS wb,
+         |    CAST(len(string_split($toks, ' ')) AS BIGINT) AS nt
+         |  FROM words),
+         |agg AS (SELECT lang,
+         |    coalesce(CAST(count(*) AS BIGINT), 0) AS n_words,
+         |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS n_tokens,
+         |    coalesce(CAST(sum(wb) AS BIGINT), 0) AS n_bytes
+         |  FROM enc GROUP BY lang),
+         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM docs GROUP BY lang)
+         |SELECT nd.lang AS grp, nd.n_docs,
+         |  coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_bytes, 0) AS n_bytes,
+         |  CASE WHEN coalesce(a.n_words, 0) > 0 THEN
+         |    round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END
+         |    AS fertility,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
+         |    round(CAST(a.n_bytes AS DOUBLE) / a.n_tokens, 6) END
+         |    AS bytes_per_token
+         |FROM nd LEFT JOIN agg a USING (lang)""".stripMargin
+    }))
+
+  /** Tokenizer round-trip audit (r15 verdict item 5 / What's missing 3
+    * — [[graft.operators.TokenizerAuditOps.roundTrip]]): asserts
+    * `decode ∘ encode` identity per (tokenizer, language) for all FOUR
+    * fitted families in one frame — char BPE / byte BPE / unigram are
+    * lossless by construction (proved computationally here, not
+    * assumed), WordPiece's whole-word `[UNK]` loss is characterized per
+    * language (the q194 coverage face's loss twin). Full oracle: one
+    * statement composing the shared word explode, the q189 WordPiece
+    * recursive chain, the q141 Viterbi chain, and both BPE fold
+    * replays, each decoded per word and compared. */
+  private val q198 = QueryDef(
+    "q198_tokenizer_roundtrip",
+    (s, d) => graft.operators.TokenizerAuditOps.roundTrip(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
+      BpeMergesMemo.pairs(s, d), ByteBpeMergesMemo.pairs(s, d),
+      WordPieceMemo.vocab(s, d), UnigramPiecesMemo.pieces(s, d)),
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val bpeToks = bpeFoldTokensSql(BpeMergesMemo.pairs(spark, sfDir))
+      val byteToks = bpeFoldTokensSql(
+        ByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
+      val eow = graft.operators.BpeOps.EndOfWord
+      def agg(n: String, label: String): String =
+        s"""${n}_doc AS (SELECT d.doc_id, d.lang, len(d.ws) AS nw,
+           |    coalesce(sum(CASE WHEN p.lossy THEN 1 END), 0) AS nl
+           |  FROM dws d LEFT JOIN ${n}_pw p USING (doc_id)
+           |  GROUP BY 1, 2, 3),
+           |${n}_agg AS (SELECT '$label' AS tokenizer, lang AS grp,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(*) FILTER (WHERE nl = 0) AS BIGINT)
+           |      AS n_docs_lossless,
+           |    CAST(sum(nw) AS BIGINT) AS n_words,
+           |    CAST(sum(nl) AS BIGINT) AS n_lossy_words,
+           |    CASE WHEN sum(nw) > 0 THEN
+           |      round(CAST(sum(nl) AS DOUBLE) / sum(nw), 6) END
+           |      AS lossy_word_frac
+           |  FROM ${n}_doc GROUP BY 1, 2)""".stripMargin
+      s"""WITH RECURSIVE ${docWordsCteSql},
+         |${wordPieceChainSql()},
+         |${unigramChainSql()},
+         |bpe_pw AS (SELECT doc_id,
+         |    (replace($bpeToks, ' ', '') <> w || '$eow') AS lossy
+         |  FROM words),
+         |byte_pw AS (SELECT doc_id,
+         |    (decode(unhex(replace($byteToks, ' ', ''))) <> w) AS lossy
+         |  FROM words),
+         |wp_pw AS (SELECT t.doc_id,
+         |    ((ts[1] || array_to_string(
+         |      list_transform(ts[2:], x -> substr(x, 3)), '')) <> wo.w)
+         |      AS lossy
+         |  FROM (SELECT doc_id, wi, string_split(toks, ' ') AS ts
+         |    FROM wtoks) t
+         |  JOIN words wo USING (doc_id, wi)),
+         |uni_pw AS (SELECT u.doc_id,
+         |    (replace(u.toks, ' ', '') <> wo.w) AS lossy
+         |  FROM uwtoks u JOIN words wo USING (doc_id, wi)),
+         |${agg("bpe", "bpe")},
+         |${agg("byte", "bytebpe")},
+         |${agg("wp", "wordpiece")},
+         |${agg("uni", "unigram")}
+         |SELECT * FROM bpe_agg UNION ALL SELECT * FROM byte_agg
+         |UNION ALL SELECT * FROM wp_agg
+         |UNION ALL SELECT * FROM uni_agg""".stripMargin
+    }))
+
   /** Per-language WordPiece fertility + vocabulary-coverage audit
     * ([[graft.operators.WordPieceOps.wordPieceFertility]]) — the q128
     * table for the WordPiece family plus the column BPE cannot have:
@@ -4188,7 +4415,8 @@ object Pipeline {
       WordPieceMemo.vocab(s, d)),
     Some(() => {
       val unk = graft.operators.WordPieceOps.Unk
-      s"""WITH RECURSIVE ${wordPieceChainSql()},
+      s"""WITH RECURSIVE ${docWordsCteSql},
+         |${wordPieceChainSql()},
          |perword AS (SELECT doc_id, wi,
          |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt,
          |    CAST(len(list_filter(string_split(toks, ' '),
@@ -4486,11 +4714,23 @@ object Pipeline {
     * the space-joined token stream — NULL when the doc has no tokens
     * (hash-of-empty diverges between engines; a fingerprint of nothing
     * means nothing). */
-  /** The q189 greedy-match replay as shared CTE text (`dws`/`words`/
-    * `dp`/`fin`/`trace`/`wtoks`) over the memoized frozen vocabulary —
-    * emitted by q189 (per-doc tokenize) and q194 (per-language
-    * fertility/coverage) so the two replays cannot drift. Caller
-    * prepends WITH RECURSIVE. */
+  /** The shared per-word explode (`dws`/`words`) every tokenizer replay
+    * rides: one row per doc with its non-empty whitespace words, one
+    * row per (doc, word-index, word). Factored so q141/q189/q194/q198
+    * spell IDENTICAL word semantics. */
+  private def docWordsCteSql: String =
+    s"""dws AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |words AS (SELECT doc_id, i AS wi, ws[i] AS w
+       |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i))"""
+      .stripMargin
+
+  /** The q189 greedy-match replay as shared CTE text (`dp`/`fin`/
+    * `wtoks`) over the memoized frozen vocabulary — emitted by q189
+    * (per-doc tokenize), q194 (per-language fertility/coverage) and
+    * q198 (round-trip audit) so the replays cannot drift. Caller
+    * prepends WITH RECURSIVE and [[docWordsCteSql]]. */
   private def wordPieceChainSql(): String = {
     val sfDir = sys.props.getOrElse("graft.verify.sfdir",
       "/root/testdata/sf0.001")
@@ -4525,11 +4765,6 @@ object Pipeline {
        |  UNION ALL
        |  SELECT p, substr(p, 3) AS raw, true AS cont FROM pieces
        |    WHERE p LIKE '##%' AND length(p) >= 3),
-       |dws AS (SELECT doc_id, lang,
-       |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-       |  FROM documents),
-       |words AS (SELECT doc_id, i AS wi, ws[i] AS w
-       |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
        |dp AS (
        |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS pos,
        |    CAST('' AS VARCHAR) AS toks, false AS failed
@@ -4568,7 +4803,8 @@ object Pipeline {
             .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
     },
     Some(() => {
-      s"""WITH RECURSIVE ${wordPieceChainSql()},
+      s"""WITH RECURSIVE ${docWordsCteSql},
+         |${wordPieceChainSql()},
          |perdoc AS (SELECT doc_id,
          |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
          |  FROM wtoks GROUP BY doc_id)
@@ -5511,6 +5747,72 @@ object Pipeline {
         .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq)
   }
 
+  /** The q141 Viterbi replay as shared CTE text (`uparams`/`udp`/
+    * `ufin`/`utrace`/`uwtoks`) over the memoized frozen piece table —
+    * emitted by q141 (per-doc tokenize) and q198 (round-trip audit) so
+    * the replays cannot drift; the u-prefix keeps it composable next
+    * to [[wordPieceChainSql]]'s `dp`/`fin`/`wtoks` in one statement.
+    * Caller prepends WITH RECURSIVE and [[docWordsCteSql]]. */
+  private def unigramChainSql(): String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+      "/root/testdata/sf0.001")
+    val pieces = UnigramPiecesMemo.pieces(
+      org.apache.spark.sql.SparkSession.active, sfDir)
+    def dd(x: Double) = java.lang.Double.toString(x)
+    val keys = pieces.map(p => s"'${p._1.replace("'", "''")}'")
+      .mkString("[", ",", "]")
+    val vals = pieces
+      .map(p => s"${dd(math.rint(p._2 * 1e6) / 1e6)}::DOUBLE")
+      .mkString("[", ",", "]")
+    val maxLen = if (pieces.isEmpty) 1 else pieces.map(_._1.length).max
+    val unk = dd(graft.functions.UnigramExpressions.UnkLogp)
+    s"""uparams AS (SELECT map($keys, $vals) AS m, $maxLen AS maxlen,
+       |  $unk::DOUBLE AS unk),
+       |udp AS (
+       |  SELECT doc_id, wi, w, 0 AS i, [0.0::DOUBLE] AS bests,
+       |    []::INT[] AS backs
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi, w, i + 1,
+       |    list_append(bests, CASE WHEN pick.back = -1
+       |      THEN bests[i + 1] + p2.unk ELSE pick.s END),
+       |    list_append(backs, CASE WHEN pick.back = -1
+       |      THEN i ELSE pick.back END)
+       |  FROM (
+       |    SELECT d.doc_id, d.wi, d.w, d.i, d.bests, d.backs,
+       |      list_reduce(
+       |        list_prepend(struct_pack(s := '-inf'::DOUBLE, back := -1),
+       |          list_filter(
+       |            list_transform(
+       |              generate_series(greatest(0, d.i + 1 - p.maxlen), d.i),
+       |              j -> CASE WHEN map_extract(p.m,
+       |                    substr(d.w, j + 1, d.i + 1 - j))[1] IS NOT NULL
+       |                  AND d.bests[j + 1] > '-inf'::DOUBLE
+       |                THEN struct_pack(
+       |                  s := d.bests[j + 1] + map_extract(p.m,
+       |                    substr(d.w, j + 1, d.i + 1 - j))[1],
+       |                  back := j)
+       |                END),
+       |            x -> x IS NOT NULL)),
+       |        (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END) AS pick
+       |    FROM udp d CROSS JOIN uparams p
+       |    WHERE d.i < length(d.w)) t CROSS JOIN uparams p2),
+       |ufin AS (SELECT doc_id, wi, w, backs FROM udp WHERE i = length(w)),
+       |utrace AS (
+       |  SELECT doc_id, wi, w, backs, CAST(length(w) AS INT) AS at,
+       |    '' AS toks
+       |  FROM ufin
+       |  UNION ALL
+       |  SELECT doc_id, wi, w, backs, backs[at],
+       |    CASE WHEN toks = ''
+       |      THEN substr(w, backs[at] + 1, at - backs[at])
+       |      ELSE substr(w, backs[at] + 1, at - backs[at]) || ' ' || toks
+       |      END
+       |  FROM utrace WHERE at > 0),
+       |uwtoks AS (SELECT doc_id, wi, toks FROM utrace WHERE at = 0)"""
+      .stripMargin
+  }
+
   /** Unigram-LM Viterbi apply, FULL oracle since r15 (was rows-only
     * "per the q107 iterative-fit precedent" — but that precedent covers
     * FITS; the APPLY under a FROZEN table is a deterministic dynamic
@@ -5534,75 +5836,15 @@ object Pipeline {
       Tables.documents(s, d), col("doc_id"), col("text"),
       UnigramPiecesMemo.pieces(s, d)),
     Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val pieces = UnigramPiecesMemo.pieces(
-        org.apache.spark.sql.SparkSession.active, sfDir)
-      def dd(x: Double) = java.lang.Double.toString(x)
-      val keys = pieces.map(p => s"'${p._1.replace("'", "''")}'")
-        .mkString("[", ",", "]")
-      val vals = pieces
-        .map(p => s"${dd(math.rint(p._2 * 1e6) / 1e6)}::DOUBLE")
-        .mkString("[", ",", "]")
-      val maxLen = if (pieces.isEmpty) 1 else pieces.map(_._1.length).max
-      val unk = dd(graft.functions.UnigramExpressions.UnkLogp)
-      s"""WITH RECURSIVE
-         |params AS (SELECT map($keys, $vals) AS m, $maxLen AS maxlen,
-         |  $unk::DOUBLE AS unk),
-         |dws AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
-         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |dp AS (
-         |  SELECT doc_id, wi, w, 0 AS i, [0.0::DOUBLE] AS bests,
-         |    []::INT[] AS backs
-         |  FROM words
-         |  UNION ALL
-         |  SELECT doc_id, wi, w, i + 1,
-         |    list_append(bests, CASE WHEN pick.back = -1
-         |      THEN bests[i + 1] + p2.unk ELSE pick.s END),
-         |    list_append(backs, CASE WHEN pick.back = -1
-         |      THEN i ELSE pick.back END)
-         |  FROM (
-         |    SELECT d.doc_id, d.wi, d.w, d.i, d.bests, d.backs,
-         |      list_reduce(
-         |        list_prepend(struct_pack(s := '-inf'::DOUBLE, back := -1),
-         |          list_filter(
-         |            list_transform(
-         |              generate_series(greatest(0, d.i + 1 - p.maxlen), d.i),
-         |              j -> CASE WHEN map_extract(p.m,
-         |                    substr(d.w, j + 1, d.i + 1 - j))[1] IS NOT NULL
-         |                  AND d.bests[j + 1] > '-inf'::DOUBLE
-         |                THEN struct_pack(
-         |                  s := d.bests[j + 1] + map_extract(p.m,
-         |                    substr(d.w, j + 1, d.i + 1 - j))[1],
-         |                  back := j)
-         |                END),
-         |            x -> x IS NOT NULL)),
-         |        (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END) AS pick
-         |    FROM dp d CROSS JOIN params p
-         |    WHERE d.i < length(d.w)) t CROSS JOIN params p2),
-         |fin AS (SELECT doc_id, wi, w, backs FROM dp WHERE i = length(w)),
-         |trace AS (
-         |  SELECT doc_id, wi, w, backs, CAST(length(w) AS INT) AS at,
-         |    '' AS toks
-         |  FROM fin
-         |  UNION ALL
-         |  SELECT doc_id, wi, w, backs, backs[at],
-         |    CASE WHEN toks = ''
-         |      THEN substr(w, backs[at] + 1, at - backs[at])
-         |      ELSE substr(w, backs[at] + 1, at - backs[at]) || ' ' || toks
-         |      END
-         |  FROM trace WHERE at > 0),
-         |wtoks AS (SELECT doc_id, wi, toks FROM trace WHERE at = 0),
+      s"""WITH RECURSIVE ${docWordsCteSql},
+         |${unigramChainSql()},
          |perdoc AS (SELECT doc_id,
          |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
-         |  FROM wtoks GROUP BY doc_id),
+         |  FROM uwtoks GROUP BY doc_id),
          |lp AS (SELECT w.doc_id,
          |    CAST(CAST(sum(CAST(coalesce(map_extract(p.m, t.pc)[1], p.unk)
          |      AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS lm_logp
-         |  FROM wtoks w CROSS JOIN params p,
+         |  FROM uwtoks w CROSS JOIN uparams p,
          |    UNNEST(string_split(w.toks, ' ')) AS t(pc)
          |  GROUP BY w.doc_id)
          |SELECT d.doc_id,
@@ -7113,7 +7355,8 @@ object Pipeline {
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
+    q193, q194, q195, q196, q197, q198)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -405,6 +405,24 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of [[graft.operators.BpeOps.byteBpeTokenize]] — the
+    * [[bpeTokenizeStream]] contract for the BYTE-level (GPT-family)
+    * tokenizer: arriving docs encoded under the FROZEN byte-merge
+    * table, baked as data into the same row-local compiled expression
+    * the batch face builds ([[graft.functions.BpeEncode]] with
+    * `byteLevel=true`, parity definitional), no state, no join. The
+    * 256-octet base alphabet means no arrival can ever fail or UNK —
+    * the face's defining property. Re-fit → restart, the standing
+    * static-index rule. */
+  def byteBpeTokenizeStream(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val toks = graft.functions.BpeExpressions.byteBpeEncode(
+      col("text"), merges)
+    docs.select(col("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** Typo-normalization ingest face of
     * [[graft.operators.TextOps.fuzzyVocabPairs]]: arriving documents'
     * out-of-vocabulary words are resolved against the FROZEN reference

@@ -176,4 +176,51 @@ class BpeSpec extends SparkSpec {
       assert(r.getAs[Double]("fertility") > 1.0, s"fertility sanity $g")
     }
   }
+
+  test("byte level: hex symbolization, fit reuse, compiled-vs-fold parity") {
+    import graft.functions.BpeExpressions
+    // toByteSymbols: ASCII one pair per char, astral four pairs
+    val syms = Seq(("Hi", 0), ("😀", 1)).toDF("w", "i")
+      .select(BpeOps.toByteSymbols(col("w"))).collect()
+      .map(_.getSeq[String](0))
+    assert(syms(0) == Seq("48", "69"))
+    assert(syms(1) == Seq("F0", "9F", "98", "80"))
+    // fit rides bpeLearn verbatim: "aaaa" x3 -> rank 0 merges (61, 61)
+    val freqs = Seq(("aaaa", 3L), ("ab", 2L)).toDF("word", "freq")
+    val m = BpeOps.bpeLearn(freqs, 2, symbolize = BpeOps.toByteSymbols)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m(0) == (("61", "61")), s"rank 0 drifted: ${m.toSeq}")
+    // compiled apply == the mergePair fold over toByteSymbols, on
+    // adversarial inputs (runs, multibyte, back-to-back pairs)
+    val merges = m.toSeq
+    def both(text: String): Unit = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val a = df.select(flatten(transform(
+          filter(split(col("text"), " "), w => length(w) > 0),
+          w => merges.foldLeft(BpeOps.toByteSymbols(w)) {
+            case (s, (l, r)) => BpeOps.mergePair(s, l, r) })))
+        .head().getSeq[String](0)
+      BpeExpressions.register(spark)
+      val b = df.select(BpeExpressions.byteBpeEncode(col("text"), merges))
+        .head().getSeq[String](0)
+      assert(a == b, s"byte divergence on '$text': $a vs $b")
+    }
+    both("aaaa ab aaa")
+    both("a😀a aa")
+    both("")
+    // no UNK, round trip: unhex(concat(tokens)) reconstitutes each word
+    val docs = Seq((1L, "héllo wörld 😀"), (2L, "aaaa ab")).toDF("doc_id", "text")
+    val out = BpeOps.byteBpeTokenize(docs, col("doc_id"), col("text"),
+      BpeOps.bpeLearn(freqs, 2, symbolize = BpeOps.toByteSymbols))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    Seq(1L -> "héllo wörld 😀", 2L -> "aaaa ab").foreach { case (id, t) =>
+      val hexcat = out(id).mkString
+      val decoded = new String(
+        hexcat.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(decoded == t.split(" ").filter(_.nonEmpty).mkString,
+        s"round trip failed for doc $id")
+    }
+  }
 }

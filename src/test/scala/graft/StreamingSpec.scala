@@ -737,6 +737,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("byteBpeTokenizeStream tokens equal the batch byte tokenizer") {
+    import graft.operators.BpeOps
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 80)
+      .select("doc_id", "text").cache()
+    val mergesDf = BpeOps.bpeLearn(BpeOps.wordFreqs(docs, col("text")), 8,
+      symbolize = BpeOps.toByteSymbols)
+    val merges = mergesDf.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.byteBpeTokenizeStream(
+      in.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bytebpe1").start()
+    try {
+      in.addData(rows.take(40).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(rows.drop(40).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("bytebpe1").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      val batch = BpeOps.byteBpeTokenize(docs, col("doc_id"), col("text"),
+        mergesDf).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      assert(batch.values.exists(_._1.exists(_.length > 2)),
+        "fixture sanity — some learned multi-byte unit must appear")
+      assert(streamed == batch,
+        "ingest-time byte tokens must equal the batch tokenizer exactly")
+    } finally q.stop()
+  }
+
   test("unigramTokenizeStream rows equal the batch tokenizer; novel chars price as unk") {
     import graft.operators.UnigramOps
     val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)

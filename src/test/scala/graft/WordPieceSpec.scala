@@ -89,6 +89,39 @@ class WordPieceSpec extends SparkSpec {
       "bare '##' never matches past position 0 — each '#' goes alone")
   }
 
+  test("roundTrip: decode∘encode identity per tokenizer, UNK loss counted") {
+    // one doc with a word OUTSIDE the WordPiece vocab (lossy for
+    // wordpiece only — BPE/byteBPE/unigram are lossless by construction
+    // and the audit must PROVE that), one fully-covered doc
+    val docs = Seq((1L, "ab zz", "en"), (2L, "ab", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TokenizerAuditOps.roundTrip(
+        docs, col("doc_id"), col("text"), col("lang"),
+        bpeMerges = Seq(("a", "b")),
+        byteMerges = Seq(("61", "62")),
+        wpVocab = Seq("a", "##b"),
+        uniPieces = Seq(("ab", -1.0)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 8, s"4 tokenizers x 2 langs, got ${out.keySet}")
+    // wordpiece: 'zz' has no piece -> whole-word [UNK] -> lossy
+    val wpEn = out(("wordpiece", "en"))
+    assert(wpEn.getAs[Long]("n_words") == 2L)
+    assert(wpEn.getAs[Long]("n_lossy_words") == 1L)
+    assert(wpEn.getAs[Long]("n_docs_lossless") == 0L)
+    assert(wpEn.getAs[Double]("lossy_word_frac") == 0.5)
+    assert(out(("wordpiece", "de")).getAs[Long]("n_lossy_words") == 0L)
+    // every other family reconstructs every word exactly
+    Seq("bpe", "bytebpe", "unigram").foreach { t =>
+      Seq("en", "de").foreach { g =>
+        val r = out((t, g))
+        assert(r.getAs[Long]("n_lossy_words") == 0L, s"$t/$g lossy")
+        assert(r.getAs[Long]("n_docs_lossless") ==
+          r.getAs[Long]("n_docs"), s"$t/$g docs")
+      }
+    }
+  }
+
   test("apply: words over MaxWordChars code points go [UNK] outright") {
     val v = Seq("a", "##a")
     val long = "a" * (WordPieceOps.MaxWordChars + 1)
