@@ -177,10 +177,121 @@ case class UrlIdnFold(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Registered-domain (public-suffix + 1) extraction as ONE compiled
+  * label walk with the three PSL rule sets as DATA — the kernel form of
+  * [[graft.operators.UrlOps.registeredDomainExpr]]'s when-chain.
+  *
+  * Why an expression and not the Column fold: the fold references
+  * `split(host)` + `slice` + `concat_ws` afresh inside EVERY when
+  * branch, and Catalyst duplicates subtrees instead of CSE-ing them —
+  * at the r15 snapshot's ~4 tiers plus r16's wildcard/exception probes
+  * that is ~20 string-array builds per row, and the same-box solo A/B
+  * measured q177 1.66 → 5.65 s and q181 1.77 → 5.00 s across
+  * r14→r16 with the fold (DECISIONS round-16). This kernel counts
+  * labels in one scan and probes each tier as one trailing-substring
+  * hash-set lookup — the GramHashLens treatment. Semantics are pinned
+  * ≡ the fold in UrlSpec; the DuckDB oracle twin stays the (shared)
+  * CASE chain of [[graft.operators.UrlOps.registeredDomainSql]]. */
+case class UrlRegisteredDomain(child: Expression, suffixes: Seq[String],
+    wildcards: Seq[String], exceptions: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_registered_domain"
+
+  private def nLabels(s: String) = s.count(_ == '.') + 1
+  private def hs(xs: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](xs.size * 2)
+    xs.foreach(s.add)
+    s
+  }
+
+  /** Exception tiers, longest first: (labelCount, set). */
+  @transient private lazy val excTiers
+      : Array[(Int, java.util.HashSet[String])] =
+    exceptions.groupBy(nLabels).toArray.sortBy(-_._1)
+      .map { case (j, xs) => (j, hs(xs)) }
+
+  /** Rule ranks, longest first: (rank, exactSet|null, wildBaseSet|null)
+    * — a wildcard base of k labels is a (k+1)-label rule, probed on the
+    * same walk (the [[graft.operators.UrlOps.registeredDomain]]
+    * contract). */
+  @transient private lazy val tiers: Array[(Int,
+      java.util.HashSet[String], java.util.HashSet[String])] = {
+    val ex = suffixes.groupBy(nLabels)
+    val wd = wildcards.groupBy(nLabels(_) + 1)
+    (ex.keySet ++ wd.keySet).toArray.sorted.reverse.map { r =>
+      (r, ex.get(r).map(hs).orNull, wd.get(r).map(hs).orNull)
+    }
+  }
+
+  /** The trailing-k-label suffix of `host` (the whole host when it has
+    * fewer than k labels) — `concat_ws(".", slice(labels, -k, k))`
+    * without materializing the label array. */
+  private def tailFrom(host: String, k: Int): String = {
+    var idx = host.length
+    var seen = 0
+    while (seen < k && idx > 0) {
+      idx -= 1
+      if (host.charAt(idx) == '.') seen += 1
+    }
+    if (seen < k) host else host.substring(idx + 1)
+  }
+
+  def domain(u: UTF8String): UTF8String = {
+    val host = u.toString
+    var n = 1
+    var i = 0
+    while (i < host.length) {
+      if (host.charAt(i) == '.') n += 1
+      i += 1
+    }
+    // exception rules prevail over everything (PSL algorithm)
+    var e = 0
+    while (e < excTiers.length) {
+      val (j, set) = excTiers(e)
+      if (n >= j) {
+        val t = tailFrom(host, j)
+        if (set.contains(t)) return UTF8String.fromString(t)
+      }
+      e += 1
+    }
+    if (n <= 2) return u
+    var ti = 0
+    while (ti < tiers.length) {
+      val (r, exact, wild) = tiers(ti)
+      if (n >= r) {
+        if (exact != null && exact.contains(tailFrom(host, r)))
+          return if (n > r) UTF8String.fromString(tailFrom(host, r + 1))
+            else u
+        if (wild != null && wild.contains(tailFrom(host, r - 1)))
+          return if (n > r) UTF8String.fromString(tailFrom(host, r + 1))
+            else u
+      }
+      ti += 1
+    }
+    UTF8String.fromString(tailFrom(host, 2))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    domain(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("urlRegDom", this,
+        classOf[UrlRegisteredDomain].getName)
+      s"${ev.value} = $ref.domain($v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object UrlExpressions {
   val FnName = "url_pct_normalize"
   val DotFnName = "url_remove_dot_segments"
   val IdnFnName = "url_idn_fold"
+  val RegDomFnName = "url_registered_domain"
 
   /** Idempotently register the URL-normalization kernels. */
   def register(spark: SparkSession): Unit = {
@@ -206,6 +317,27 @@ object UrlExpressions {
         if (exprs.length != 1) throw bad(IdnFnName)
         UrlIdnFold(exprs.head)
       }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RegDomFnName,
+      exprs => {
+        def badR(what: String) =
+          new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              (s"$RegDomFnName(host, suffixes, wildcards, exceptions): " +
+                what)))
+        if (exprs.length != 4) throw badR("exactly 4 arguments required")
+        def strs(e: Expression, name: String): Seq[String] = {
+          if (!e.foldable)
+            throw badR(s"$name must be a foldable array<string> literal")
+          val v = e.eval()
+          if (v == null) throw badR(s"$name must be non-null")
+          val arr = v.asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+        }
+        UrlRegisteredDomain(exprs.head, strs(exprs(1), "suffixes"),
+          strs(exprs(2), "wildcards"), strs(exprs(3), "exceptions"))
+      }, "scala_udf")
   }
 
   def pctNormalize(url: Column): Column = call_function(FnName, url)
@@ -214,4 +346,13 @@ object UrlExpressions {
     call_function(DotFnName, path)
 
   def idnFold(host: Column): Column = call_function(IdnFnName, host)
+
+  /** Compiled registered-domain column (see [[UrlRegisteredDomain]]);
+    * call [[register]] on the session first. */
+  def registeredDomain(host: Column, suffixes: Seq[String],
+      wildcards: Seq[String], exceptions: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function(RegDomFnName, host, typedlit(suffixes),
+      typedlit(wildcards), typedlit(exceptions))
+  }
 }

@@ -291,6 +291,22 @@ object UrlOps {
   def registeredDomain(host: Column,
       suffixes: Seq[String] = MultiPartSuffixes,
       wildcards: Seq[String] = MultiPartWildcards,
+      exceptions: Seq[String] = MultiPartExceptions): Column =
+    graft.functions.UrlExpressions.registeredDomain(
+      host, suffixes, wildcards, exceptions)
+
+  /** The Column-fold REFERENCE shape of [[registeredDomain]] — the
+    * when-chain a SQL oracle can read off directly (and the shape
+    * [[registeredDomainSql]] mirrors). NOT the production path: every
+    * when branch re-references split/slice/concat_ws subtrees that
+    * Catalyst duplicates rather than CSEs, which the r16 same-box A/B
+    * measured at 2-3× on the domain-rollup queries (DECISIONS
+    * round-16). Kept as the executable spec; UrlSpec pins EXACT output
+    * equality with the kernel over every fixture host, so the oracles
+    * that replay this form stay valid against the kernel path. */
+  def registeredDomainExpr(host: Column,
+      suffixes: Seq[String] = MultiPartSuffixes,
+      wildcards: Seq[String] = MultiPartWildcards,
       exceptions: Seq[String] = MultiPartExceptions): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)

@@ -171,6 +171,41 @@ class UrlSpec extends SparkSpec {
       "b.s3-website-us-east-1.amazonaws.com")
   }
 
+  test("registered domain: kernel ≡ the Column-fold reference, exhaustively") {
+    // the production path is the one-scan kernel (UrlRegisteredDomain);
+    // this pins EXACT equality with the when-chain the SQL oracle
+    // mirrors, over every fixture family plus degenerate shapes
+    val hosts = Seq(
+      "a.b.site.com", "news.site5.co.uk", "site5.co.uk", "ex.com",
+      "localhost", "news.sina.com.cn", "shop.example.co.nz", "x.y.gob.mx",
+      "user.github.io", "www.user.github.io", "github.io",
+      "bucket.s3.amazonaws.com", "a.bucket.s3.amazonaws.com",
+      "schools.nyc.gov", "k12.il", "x.amazonaws.com",
+      "vm1.us-east-1.compute.amazonaws.com",
+      "a.vm1.us-east-1.compute.amazonaws.com",
+      "us-east-1.compute.amazonaws.com", "compute.amazonaws.com",
+      "shop.acme.ck", "deep.shop.acme.ck", "acme.ck", "ck",
+      "www.ck", "pages.www.ck", "x.pages.www.ck",
+      "sub.example.kawasaki.jp", "city.kawasaki.jp",
+      "ward.city.kawasaki.jp", "kawasaki.jp",
+      "b.s3-website-us-east-1.amazonaws.com",
+      // degenerate label shapes: empties, dots at the edges, single char
+      "", ".", "..", "a.", ".a", "a..b", "a.b.", ".a.b.c", "x",
+      "co.uk", "uk", "a.co.uk", "b.a.co.uk")
+    val df = hosts.toDF("h").select(col("h"),
+      UrlOps.registeredDomain(col("h")).as("k"),
+      UrlOps.registeredDomainExpr(col("h")).as("f"))
+    val diff = df.where(col("k") =!= col("f") ||
+      col("k").isNull =!= col("f").isNull).collect()
+    assert(diff.isEmpty,
+      s"kernel/fold divergence: ${diff.map(_.toString).mkString(", ")}")
+    // NULL passthrough on both paths
+    val nr = Seq(Tuple1(Option.empty[String])).toDF("h")
+      .select(UrlOps.registeredDomain(col("h")),
+        UrlOps.registeredDomainExpr(col("h"))).collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("canonicalize frame: dropped-param counts and domain wiring") {
     val df = Seq(
       (1L, "https://CDN.s.co.uk:443/p?utm_source=a&id=3#f"),
