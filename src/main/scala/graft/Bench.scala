@@ -191,7 +191,7 @@ object Bench {
     val warmupFirst = Set("q82_ann_recall", "q117_curation_funnel",
       "q70_containment_prefix", "q72_containment_sketch",
       "q95_pq_topk_learned", "q186_logistic_quality",
-      "q193_logistic_holdout")
+      "q193_logistic_holdout", "q200_bytebpe_gpt_tokenize")
     val results: Seq[(String, Timing)] =
       SparkEntry.registry.filterNot(q => mediaNames(q.name))
         .map { q =>

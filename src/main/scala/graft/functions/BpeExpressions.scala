@@ -43,11 +43,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * probe for every repeated word, the standard production-tokenizer
   * trick. */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)],
-    byteLevel: Boolean = false) extends UnaryExpression {
+    byteLevel: Boolean = false, wholeInput: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String =
-    if (byteLevel) "byte_bpe_encode" else "bpe_encode"
+    if (wholeInput) "byte_bpe_encode_pre"
+    else if (byteLevel) "byte_bpe_encode"
+    else "bpe_encode"
 
   // Rank map rebuilt per (de)serialized instance; the joint is a space
   // (symbols come from single-space-split words, so no symbol contains
@@ -153,9 +156,21 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
   }
 
   /** Whole text -> flattened tokens: words are the non-empty single-space
-    * splits, exactly `filter(split(text, " "), w => length(w) > 0)`. */
+    * splits, exactly `filter(split(text, " "), w => length(w) > 0)` —
+    * except in `wholeInput` mode (the pre-tokenized byte path), where
+    * the ENTIRE input is one unit: a GPT-style pre-token carries its
+    * leading space as part of the token, so splitting would corrupt
+    * the byte stream. */
   def encodeText(u: UTF8String): ArrayData = {
     val s = u.toString
+    if (wholeInput) {
+      if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+      val ws = encodeWord(s)
+      val arr = new Array[Any](ws.length)
+      var k = 0
+      while (k < ws.length) { arr(k) = UTF8String.fromString(ws(k)); k += 1 }
+      return new GenericArrayData(arr)
+    }
     val toks = new java.util.ArrayList[UTF8String]()
     var from = 0
     val len = s.length
@@ -200,10 +215,15 @@ object BpeExpressions {
   /** Byte-level variant's function name (see [[BpeEncode.byteLevel]]). */
   val ByteFnName = "byte_bpe_encode"
 
+  /** Whole-input byte-level variant (see [[BpeEncode.wholeInput]]) —
+    * the per-PRE-TOKEN encode: input is one unit, spaces included. */
+  val BytePreFnName = "byte_bpe_encode_pre"
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    Seq((FnName, false), (ByteFnName, true)).foreach {
-      case (name, byteLevel) =>
+    Seq((FnName, false, false), (ByteFnName, true, false),
+      (BytePreFnName, true, true)).foreach {
+      case (name, byteLevel, wholeInput) =>
         classic.sessionState.functionRegistry.createOrReplaceTempFunction(
           name,
           exprs => {
@@ -221,7 +241,7 @@ object BpeExpressions {
               val row = arr.getStruct(i, 2)
               (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
             }
-            BpeEncode(exprs.head, merges, byteLevel)
+            BpeEncode(exprs.head, merges, byteLevel, wholeInput)
           }, "scala_udf")
     }
   }
@@ -242,6 +262,16 @@ object BpeExpressions {
     val lit = org.apache.spark.sql.functions.typedlit(merges.map {
       case (l, r) => BpeMergeRow(l, r) })
     call_function(ByteFnName, text, lit)
+  }
+
+  /** Per-PRE-TOKEN byte-level encode: the whole input (spaces and all)
+    * is one BPE unit — apply inside a `transform` over
+    * [[graft.operators.BpeOps.gptPreTokenize]]'s output. */
+  def byteBpeEncodePre(token: Column,
+      merges: Seq[(String, String)]): Column = {
+    val lit = org.apache.spark.sql.functions.typedlit(merges.map {
+      case (l, r) => BpeMergeRow(l, r) })
+    call_function(BytePreFnName, token, lit)
   }
 }
 

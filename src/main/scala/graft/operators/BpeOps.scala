@@ -217,6 +217,51 @@ object BpeOps {
           round(col("n_chars").cast("double") / col("n_tokens"), 6)))
   }
 
+  /** GPT-style pre-tokenization pattern (Radford et al. 2019 §2.2's
+    * published regex, reformulated WITHOUT the trailing-whitespace
+    * lookahead `\s+(?!\S)` so RE2 — the oracle engine's regex — and
+    * Java agree; the divergence is confined to multi-space runs, which
+    * here stay one whitespace pre-token instead of donating their last
+    * space to the next word's ` ?` — a documented, engine-consistent
+    * simplification): contraction suffixes split off, letters /
+    * numbers / other-symbols form runs each carrying an optional
+    * LEADING space, whitespace runs survive as their own tokens. The
+    * alternation covers every character class, so the matches
+    * PARTITION the input exactly — `concat(preTokens) == text`, the
+    * identity the spec pins. */
+  val GptPreTokenPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Text as GPT-style pre-tokens (see [[GptPreTokenPattern]]). */
+  def gptPreTokenize(text: Column): Column =
+    regexp_extract_all(text, lit(GptPreTokenPattern), lit(0))
+
+  /** `(word, freq)` over [[gptPreTokenize]] pre-tokens — the fit input
+    * for the pre-tokenized byte-BPE face ([[wordFreqs]]'s shape; a
+    * pre-token is never empty by construction). */
+  def preTokenFreqs(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(gptPreTokenize(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Per-doc PRE-TOKENIZED byte-level BPE — the production GPT shape:
+    * [[gptPreTokenize]] segments (contractions split, spaces ride
+    * INSIDE the following token), then each pre-token byte-encodes as
+    * one whole unit under the frozen merge table. Row-local: one
+    * regexp pass + one compiled encode per pre-token (`transform` +
+    * flatten), zero shuffle. Output `(doc_id, tokens, n_tokens)`;
+    * `concat(unhex(tokens))` reconstitutes the FULL text, whitespace
+    * included — a stronger identity than the whitespace-word faces. */
+  def gptByteBpeTokenize(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = flatten(transform(gptPreTokenize(text),
+      t => graft.functions.BpeExpressions.byteBpeEncodePre(t, m)))
+    docs.select(id.as("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** Per-doc BYTE-level tokenization under a [[toByteSymbols]]-fitted
     * merge table: [[bpeTokenize]]'s shape on the
     * [[graft.functions.BpeExpressions.byteBpeEncode]] path. Tokens are

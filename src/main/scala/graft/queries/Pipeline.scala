@@ -4333,6 +4333,107 @@ object Pipeline {
          |FROM nd LEFT JOIN agg a USING (lang)""".stripMargin
     }))
 
+  /** One pre-tokenized byte-level BPE fit per sf dir, memoized
+    * ([[ByteBpeMergesMemo]]'s shape over [[graft.operators.BpeOps
+    * .preTokenFreqs]] — the GPT segmentation changes the frequency
+    * table, so it is a distinct frozen model). */
+  private object GptByteBpeMergesMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Long, String, String, Long)]]
+    def merges(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      cache.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d)
+        graft.operators.BpeOps.bpeLearn(
+            graft.operators.BpeOps.preTokenFreqs(docs, col("text")), 16,
+            symbolize = graft.operators.BpeOps.toByteSymbols)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSeq
+      }).toDF("rank", "left", "right", "pair_count")
+    }
+    def pairs(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[(String, String)] =
+      merges(s, d).orderBy("rank").select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** GPT-style pre-tokenization face ([[graft.operators.BpeOps
+    * .gptPreTokenize]] — the published GPT-2 segmentation, RE2-safe
+    * reformulation): contraction suffixes split off, letter/number/
+    * symbol runs carry their leading space, whitespace runs survive.
+    * The matches PARTITION the text (concat == identity, spec-pinned),
+    * which is what lets the downstream byte BPE be lossless over FULL
+    * text including whitespace. Fingerprint is over hex-encoded
+    * pre-tokens (pre-tokens contain spaces, so a space-join of the raw
+    * strings would be ambiguous; hex is not). */
+  private val q199 = QueryDef(
+    "q199_gpt_pretokenize",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val pt = graft.operators.BpeOps.gptPreTokenize(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(pt).cast("long").as("n_pretokens"),
+        when(size(pt) > 0, graft.functions.HashExpressions.polyHash(
+          array_join(transform(pt, t => hex(encode(t, "UTF-8"))), " ")))
+          .as("pretokens_fp"))
+    },
+    {
+      val pat = graft.operators.BpeOps.GptPreTokenPattern
+        .replace("'", "''")
+      s"""WITH dpt AS (SELECT doc_id,
+         |    regexp_extract_all(text, '$pat') AS pts FROM documents)
+         |SELECT doc_id, CAST(len(pts) AS BIGINT) AS n_pretokens,
+         |  CASE WHEN len(pts) > 0 THEN ${polyHashSql(
+             "array_to_string(list_transform(pts, t -> hex(encode(t))), ' ')")}
+         |    END AS pretokens_fp
+         |FROM dpt""".stripMargin
+    })
+
+  /** PRE-TOKENIZED byte-level BPE apply — the production GPT shape
+    * ([[graft.operators.BpeOps.gptByteBpeTokenize]]): q196's byte face
+    * with [[q199]]'s segmentation instead of whitespace words, so
+    * spaces ride INSIDE tokens and `concat(unhex(tokens))` rebuilds
+    * the FULL text. Distinct frozen fit (the GPT segmentation changes
+    * the frequency table). Same double-space fold-replay oracle, per
+    * pre-token. */
+  private val q200 = QueryDef(
+    "q200_bytebpe_gpt_tokenize",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.BpeOps.gptByteBpeTokenize(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          GptByteBpeMergesMemo.merges(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0, graft.functions.HashExpressions
+            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val toks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(
+          org.apache.spark.sql.SparkSession.active, sfDir),
+        byteLevel = true)
+      val pat = graft.operators.BpeOps.GptPreTokenPattern
+        .replace("'", "''")
+      s"""WITH dpt AS (SELECT doc_id,
+         |    regexp_extract_all(text, '$pat') AS pts FROM documents),
+         |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
+         |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
+         |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY pi) AS alltoks
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
+         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
+         |    AS n_tokens,
+         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
+         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
+         |FROM dpt d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    }))
+
   /** Tokenizer round-trip audit (r15 verdict item 5 / What's missing 3
     * — [[graft.operators.TokenizerAuditOps.roundTrip]]): asserts
     * `decode ∘ encode` identity per (tokenizer, language) for all FOUR
@@ -7356,7 +7457,7 @@ object Pipeline {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198)
+    q193, q194, q195, q196, q197, q198, q199, q200)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -177,6 +177,56 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("gpt pre-tokenize: contraction/space rules; matches partition the text") {
+    def pt(t: String): Seq[String] = Seq(Tuple1(t)).toDF("text")
+      .select(BpeOps.gptPreTokenize(col("text"))).head().getSeq[String](0)
+    assert(pt("Hello world") == Seq("Hello", " world"),
+      "a word carries its LEADING space")
+    assert(pt("it's 2024!") == Seq("it", "'s", " 2024", "!"),
+      "contraction suffix splits; numbers and symbols are their own runs")
+    assert(pt("don't stop") == Seq("don", "'t", " stop"))
+    assert(pt("x1y2") == Seq("x", "1", "y", "2"),
+      "letter/number boundaries split")
+    assert(pt("  lead") == Seq("  ", "lead"),
+      "multi-space runs stay one whitespace token (the documented " +
+        "RE2-safe divergence from the lookahead form)")
+    assert(pt("") == Seq.empty)
+    // the alternation covers every character class: matches PARTITION
+    // the input, so concatenation is the identity — on hostile strings
+    // and on corpus text alike
+    val hostile = Seq("a  b\tc\nd", "€uro-sign!?", "'''", "  ", "a'b",
+      "tab\t\ttab", "😀 emoji'sfun 42x")
+    hostile.foreach { t =>
+      assert(pt(t).mkString == t, s"partition identity failed on '$t'")
+    }
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 100)
+    val bad = docs.select(col("text"),
+        concat_ws("", BpeOps.gptPreTokenize(col("text"))).as("r"))
+      .where(col("r") =!= col("text")).count()
+    assert(bad == 0L, "pre-tokens must concatenate back to the text")
+  }
+
+  test("gpt byte bpe: whole-input encode round-trips the FULL text") {
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text")
+    val merges = BpeOps.bpeLearn(
+      BpeOps.preTokenFreqs(docs, col("text")), 8,
+      symbolize = BpeOps.toByteSymbols)
+    val out = BpeOps.gptByteBpeTokenize(docs, col("doc_id"), col("text"),
+      merges).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.exists(_.exists(_.length > 2)),
+      "fixture sanity — some learned multi-byte unit must appear")
+    texts.foreach { case (id, t) =>
+      val hexcat = out(id).mkString
+      val decoded = new String(
+        hexcat.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(decoded == t,
+        s"FULL-text round trip (whitespace included) failed for doc $id")
+    }
+  }
+
   test("byte level: hex symbolization, fit reuse, compiled-vs-fold parity") {
     import graft.functions.BpeExpressions
     // toByteSymbols: ASCII one pair per char, astral four pairs
