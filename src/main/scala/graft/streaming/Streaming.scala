@@ -423,6 +423,21 @@ object Streaming {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Ingest face of [[graft.operators.BpeOps.gptByteBpeTokenize]] —
+    * the [[byteBpeTokenizeStream]] contract on the GPT pre-tokenized
+    * segmentation: one regexp pass + one whole-input byte encode per
+    * pre-token, all row-local (no state, no join); concat(unhex) of an
+    * arrival's tokens rebuilds its FULL text. Re-fit → restart. */
+  def gptByteBpeTokenizeStream(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val toks = flatten(transform(
+      graft.operators.BpeOps.gptPreTokenize(col("text")),
+      t => graft.functions.BpeExpressions.byteBpeEncodePre(t, merges)))
+    docs.select(col("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** Typo-normalization ingest face of
     * [[graft.operators.TextOps.fuzzyVocabPairs]]: arriving documents'
     * out-of-vocabulary words are resolved against the FROZEN reference

@@ -768,6 +768,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gptByteBpeTokenizeStream tokens equal the batch pre-tokenized face") {
+    import graft.operators.BpeOps
+    val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
+      .select("doc_id", "text").cache()
+    val mergesDf = BpeOps.bpeLearn(
+      BpeOps.preTokenFreqs(docs, col("text")), 8,
+      symbolize = BpeOps.toByteSymbols)
+    val merges = mergesDf.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.gptByteBpeTokenizeStream(
+      in.toDS().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gptbpe1").start()
+    try {
+      in.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("gptbpe1").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      val batch = BpeOps.gptByteBpeTokenize(docs, col("doc_id"),
+        col("text"), mergesDf).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      assert(streamed == batch,
+        "ingest-time GPT byte tokens must equal the batch face exactly")
+    } finally q.stop()
+  }
+
   test("unigramTokenizeStream rows equal the batch tokenizer; novel chars price as unk") {
     import graft.operators.UnigramOps
     val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < 60)
