@@ -228,9 +228,13 @@ object BpeOps {
     * LEADING space, whitespace runs survive as their own tokens. The
     * alternation covers every character class, so the matches
     * PARTITION the input exactly — `concat(preTokens) == text`, the
-    * identity the spec pins. */
+    * identity the spec pins.
+    *
+    * The whitespace class is EXPLICIT (`[ \t\n\x0B\f\r]`, Java's ASCII
+    * `\s`) rather than `\s`, because RE2's `\s` omits vertical tab —
+    * the one place the two engines' shorthand classes disagree. */
   val GptPreTokenPattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+"""
 
   /** Text as GPT-style pre-tokens (see [[GptPreTokenPattern]]). */
   def gptPreTokenize(text: Column): Column =

@@ -195,7 +195,10 @@ class BpeSpec extends SparkSpec {
     // the input, so concatenation is the identity — on hostile strings
     // and on corpus text alike
     val hostile = Seq("a  b\tc\nd", "€uro-sign!?", "'''", "  ", "a'b",
-      "tab\t\ttab", "😀 emoji'sfun 42x")
+      "tab\t\ttab", "😀 emoji'sfun 42x",
+      // vertical tab: the one char Java \s matches and RE2's doesn't —
+      // the pattern's EXPLICIT whitespace class keeps engines agreeing
+      "ab ")
     hostile.foreach { t =>
       assert(pt(t).mkString == t, s"partition identity failed on '$t'")
     }

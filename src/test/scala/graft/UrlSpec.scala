@@ -204,6 +204,22 @@ class UrlSpec extends SparkSpec {
       .select(UrlOps.registeredDomain(col("h")),
         UrlOps.registeredDomainExpr(col("h"))).collect().head
     assert(nr.isNullAt(0) && nr.isNullAt(1))
+    // randomized: hosts built from labels that COLLIDE with the rule
+    // sets (suffix tails, wildcard bases, exception heads) so every
+    // tier/precedence path gets exercised, not just the fixtures
+    val rnd = new scala.util.Random(20260816)
+    val pool = Seq("ck", "uk", "co", "www", "city", "kawasaki", "jp",
+      "compute", "amazonaws", "com", "io", "github", "s3", "x", "a", "")
+    val randoms = (1 to 400).map { _ =>
+      (1 to (1 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(".")
+    }
+    val rdiff = randoms.toDF("h").select(col("h"),
+        UrlOps.registeredDomain(col("h")).as("k"),
+        UrlOps.registeredDomainExpr(col("h")).as("f"))
+      .where(col("k") =!= col("f")).collect()
+    assert(rdiff.isEmpty,
+      s"kernel/fold divergence on random hosts: ${rdiff.take(5).mkString}")
   }
 
   test("canonicalize frame: dropped-param counts and domain wiring") {
