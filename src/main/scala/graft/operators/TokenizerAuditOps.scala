@@ -82,4 +82,65 @@ object TokenizerAuditOps {
 
     bpe.unionByName(bytebpe).unionByName(wordpiece).unionByName(unigram)
   }
+
+  /** Tokenizer fertility drift — the refit trigger for the FROZEN
+    * BPE-family merge tables and the unigram piece table under the
+    * standing every-frozen-model rule (WordPiece has its own richer
+    * face, [[WordPieceOps.wordPieceDrift]], with the `[UNK]` axis
+    * these no-UNK families cannot have): per (tokenizer, group),
+    * baseline fertility vs an arrivals batch under the SAME frozen
+    * tables — a distribution the vocabulary no longer fits shatters
+    * words into more subwords, inflating tokens-per-word, which is
+    * sequence-length cost a serving budget pays directly. Denominator
+    * is whitespace words for every family (one consistent definition;
+    * the GPT face's own tokens include whitespace pre-tokens but the
+    * ratio still moves the same way). `needs_refit` fires on
+    * fertility-ratio inflation or a group appearing/vanishing. Group
+    * cardinality: one row-local encode pass per (family, side). */
+  def fertilityDrift(base: DataFrame, arrivals: DataFrame, id: Column,
+      text: Column, group: Column,
+      bpeMerges: Seq[(String, String)],
+      byteMerges: Seq[(String, String)],
+      gptMerges: Seq[(String, String)],
+      uniPieces: Seq[(String, Double)],
+      maxFertilityRatio: Double = 1.25): DataFrame = {
+    val spark = base.sparkSession
+    graft.functions.BpeExpressions.register(spark)
+    graft.functions.UnigramExpressions.register(spark)
+    val words = filter(split(text, " "), w => length(w) > 0)
+
+    def side(df: DataFrame, s: String, tokens: Column): DataFrame =
+      df.select(group.as("grp"),
+          size(words).cast("long").as("_w"),
+          size(tokens).cast("long").as("_t"))
+        .groupBy(col("grp"))
+        .agg(sum(col("_w")).as(s"n_words_$s"), sum(col("_t")).as("_ts"))
+        .withColumn(s"fertility_$s",
+          when(col(s"n_words_$s") > 0,
+            round(col("_ts").cast("double") / col(s"n_words_$s"), 6)))
+        .drop("_ts")
+
+    def face(name: String, tokens: Column): DataFrame =
+      side(base, "base", tokens)
+        .join(side(arrivals, "new", tokens), Seq("grp"), "full_outer")
+        .select(lit(name).as("tokenizer"), col("grp"),
+          col("n_words_base"), col("fertility_base"),
+          col("n_words_new"), col("fertility_new"),
+          when(col("fertility_base") > 0,
+            round(col("fertility_new") / col("fertility_base"), 6))
+            .as("fertility_ratio"))
+        .withColumn("needs_refit",
+          col("fertility_base").isNull || col("fertility_new").isNull ||
+            col("fertility_ratio") > maxFertilityRatio)
+
+    face("bpe", graft.functions.BpeExpressions.bpeEncode(text, bpeMerges))
+      .unionByName(face("bytebpe",
+        graft.functions.BpeExpressions.byteBpeEncode(text, byteMerges)))
+      .unionByName(face("gptbpe",
+        flatten(transform(BpeOps.gptPreTokenize(text),
+          t => graft.functions.BpeExpressions.byteBpeEncodePre(
+            t, gptMerges)))))
+      .unionByName(face("unigram",
+        graft.functions.UnigramExpressions.unigramEncode(text, uniPieces)))
+  }
 }

@@ -194,6 +194,41 @@ object WordPieceOps {
           round(col("n_unk_words").cast("double") / col("n_words"), 6)))
   }
 
+  /** Tokenizer-vocabulary drift — the refit trigger the FROZEN
+    * WordPiece vocabulary owes under the standing every-frozen-model
+    * rule (NB→confusionDrift, KN→knCountsUpdate, logistic→q191, …):
+    * [[wordPieceFertility]] over the acceptance BASELINE corpus versus
+    * an arrivals batch, reduced per group to the two rollout gates —
+    * fertility inflation (words shattering into more subwords: the
+    * vocabulary no longer fits the distribution) and the whole-word
+    * `[UNK]` rate delta (the hard coverage failure). A group fires
+    * `needs_refit` when either gate trips or when it appears/vanishes
+    * between the two sides (the confusionDrift label rules). Group
+    * cardinality throughout — one fertility aggregation per side, one
+    * full-outer merge, no corpus re-scan beyond the two row-local
+    * encode passes. */
+  def wordPieceDrift(base: DataFrame, arrivals: DataFrame, id: Column,
+      text: Column, group: Column, vocab: Seq[String],
+      maxFertilityRatio: Double = 1.25,
+      maxUnkDelta: Double = 0.05): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      wordPieceFertility(df, id, text, group, vocab)
+        .select(col("grp"), col("n_words").as(s"n_words_$s"),
+          col("fertility").as(s"fertility_$s"),
+          col("unk_word_frac").as(s"unk_frac_$s"))
+    side(base, "base").join(side(arrivals, "new"), Seq("grp"), "full_outer")
+      .withColumn("fertility_ratio",
+        when(col("fertility_base") > 0,
+          round(col("fertility_new") / col("fertility_base"), 6)))
+      .withColumn("unk_delta",
+        when(col("unk_frac_base").isNotNull && col("unk_frac_new").isNotNull,
+          round(col("unk_frac_new") - col("unk_frac_base"), 6)))
+      .withColumn("needs_refit",
+        col("fertility_base").isNull || col("fertility_new").isNull ||
+          col("fertility_ratio") > maxFertilityRatio ||
+          col("unk_delta") > maxUnkDelta)
+  }
+
   /** [[wordPieceTokenize]] over an already-collected piece list (the
     * frozen-vocabulary form the memoized registry/stream faces hold). */
   def wordPieceTokenizePieces(docs: DataFrame, id: Column, text: Column,

@@ -4501,6 +4501,195 @@ object Pipeline {
          |UNION ALL SELECT * FROM uni_agg""".stripMargin
     }))
 
+  /** WordPiece vocabulary drift (r16 — the refit trigger the FROZEN
+    * tokenizer vocabulary owed under the standing every-frozen-model
+    * rule; NB→q183, KN→q182, blocklist→q184, gram→q168, winnow/robust
+    * →q169, logistic→q191 — the tokenizer family was the last frozen
+    * model without one): [[graft.operators.WordPieceOps
+    * .wordPieceDrift]] — baseline fertility/UNK per language vs a
+    * deterministic, SQL-replayable arrivals perturbation (every
+    * doc_id ≡ 0 (mod 3) text gets its vowels squashed — novel
+    * consonant blobs shatter into char-fallback pieces, the fertility
+    * gate — and one 101-char word appended, a guaranteed
+    * MaxWordChars `[UNK]`, the coverage gate). Full oracle: the q189
+    * walk emitted twice (prefixed) over the shared probe forms.
+    * Honest finding at sf0.001/0.01: the squash is a harder shift than
+    * designed — words that START with a vowel become `x…` blobs and
+    * the fitted vocabulary has no initial-`x` piece, so they collapse
+    * to whole-word `[UNK]` (unk_frac 0.24-0.43 per language, the
+    * COVERAGE gate) while fertility DROPS (each UNK is one token,
+    * ratio 0.68-0.82 — the fertility gate correctly does NOT fire);
+    * both-gate independence plus vanished/new-group semantics are
+    * pinned on fixtures in WordPieceSpec. */
+  private val q201 = QueryDef(
+    "q201_wordpiece_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val arrivals = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(translate(col("text"), "aeiou", "xxxxx"),
+            lit(" "), lit("x" * 101)))
+          .otherwise(col("text")))
+      graft.operators.WordPieceOps.wordPieceDrift(
+        docs, arrivals, col("doc_id"), col("text"), col("lang"),
+        WordPieceMemo.vocab(s, d))
+    },
+    Some(() => {
+      val unk = graft.operators.WordPieceOps.Unk
+      val arrivalsTable = "(SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0" +
+        " THEN translate(text, 'aeiou', 'xxxxx') || ' ' || repeat('x', 101)" +
+        " ELSE text END AS text FROM documents)"
+      def sideSql(p: String): String =
+        s"""${p}per AS (SELECT doc_id,
+           |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt,
+           |    CAST(len(list_filter(string_split(toks, ' '),
+           |      x -> x = '$unk')) AS BIGINT) AS nu
+           |  FROM ${p}wtoks),
+           |${p}perdoc AS (SELECT doc_id,
+           |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS nt,
+           |    coalesce(CAST(sum(nu) AS BIGINT), 0) AS nu
+           |  FROM ${p}per GROUP BY doc_id),
+           |${p}agg AS (SELECT d.lang AS grp,
+           |    CAST(sum(len(d.ws)) AS BIGINT) AS nw,
+           |    CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS nt,
+           |    CAST(sum(coalesce(p.nu, 0)) AS BIGINT) AS nu
+           |  FROM ${p}dws d LEFT JOIN ${p}perdoc p USING (doc_id)
+           |  GROUP BY d.lang)""".stripMargin
+      s"""WITH RECURSIVE ${docWordsCteOver("documents", "b")},
+         |${docWordsCteOver(arrivalsTable, "a")},
+         |${wordPiecePiecesSql()},
+         |${wordPieceWalkSql("b")},
+         |${wordPieceWalkSql("a")},
+         |${sideSql("b")},
+         |${sideSql("a")},
+         |j AS (SELECT coalesce(b.grp, a.grp) AS grp,
+         |    b.nw AS nwb, a.nw AS nwa,
+         |    CASE WHEN b.nw > 0 THEN
+         |      round(CAST(b.nt AS DOUBLE) / b.nw, 6) END AS fb,
+         |    CASE WHEN b.nw > 0 THEN
+         |      round(CAST(b.nu AS DOUBLE) / b.nw, 6) END AS ub,
+         |    CASE WHEN a.nw > 0 THEN
+         |      round(CAST(a.nt AS DOUBLE) / a.nw, 6) END AS fa,
+         |    CASE WHEN a.nw > 0 THEN
+         |      round(CAST(a.nu AS DOUBLE) / a.nw, 6) END AS ua
+         |  FROM bagg b FULL OUTER JOIN aagg a ON b.grp = a.grp)
+         |SELECT grp, nwb AS n_words_base, fb AS fertility_base,
+         |  ub AS unk_frac_base, nwa AS n_words_new,
+         |  fa AS fertility_new, ua AS unk_frac_new,
+         |  CASE WHEN fb > 0 THEN round(fa / fb, 6) END AS fertility_ratio,
+         |  CASE WHEN ub IS NOT NULL AND ua IS NOT NULL THEN
+         |    round(ua - ub, 6) END AS unk_delta,
+         |  (fb IS NULL OR fa IS NULL
+         |    OR (CASE WHEN fb > 0 THEN round(fa / fb, 6) END) > 1.25
+         |    OR (CASE WHEN ub IS NOT NULL AND ua IS NOT NULL THEN
+         |      round(ua - ub, 6) END) > 0.05) AS needs_refit
+         |FROM j""".stripMargin
+    }))
+
+  /** Tokenizer fertility drift for the no-UNK families (r16, with
+    * q201 closing the standing every-frozen-model-gets-a-refit-trigger
+    * rule for ALL frozen tokenizer tables): [[graft.operators
+    * .TokenizerAuditOps.fertilityDrift]] — char BPE / byte BPE / GPT
+    * byte BPE / unigram under their frozen tables, baseline vs the
+    * q201 arrivals perturbation, per language. These families cannot
+    * UNK, so a distribution shift shows up ONLY as fertility
+    * inflation (words shattering into more subwords = sequence-length
+    * cost a serving budget pays directly). Full oracle: both BPE fold
+    * replays and the Viterbi walk emitted twice with prefixed CTEs
+    * over shared frozen tables. */
+  private val q202 = QueryDef(
+    "q202_tokenizer_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val arrivals = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(translate(col("text"), "aeiou", "xxxxx"),
+            lit(" "), lit("x" * 101)))
+          .otherwise(col("text")))
+      graft.operators.TokenizerAuditOps.fertilityDrift(
+        docs, arrivals, col("doc_id"), col("text"), col("lang"),
+        BpeMergesMemo.pairs(s, d), ByteBpeMergesMemo.pairs(s, d),
+        GptByteBpeMergesMemo.pairs(s, d), UnigramPiecesMemo.pieces(s, d))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val bpeToks = bpeFoldTokensSql(BpeMergesMemo.pairs(spark, sfDir))
+      val byteToks = bpeFoldTokensSql(
+        ByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
+      val gptToks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
+      val pat = graft.operators.BpeOps.GptPreTokenPattern
+        .replace("'", "''")
+      val arrivalsTable = "(SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0" +
+        " THEN translate(text, 'aeiou', 'xxxxx') || ' ' || repeat('x', 101)" +
+        " ELSE text END AS text FROM documents)"
+      def table(p: String) = if (p == "b") "documents" else arrivalsTable
+      // per-(family, side) per-doc token counts
+      def famSql(p: String): String =
+        s"""${p}bpe AS (SELECT doc_id,
+           |    CAST(len(string_split($bpeToks, ' ')) AS BIGINT) AS nt
+           |  FROM ${p}words),
+           |${p}byt AS (SELECT doc_id,
+           |    CAST(len(string_split($byteToks, ' ')) AS BIGINT) AS nt
+           |  FROM ${p}words),
+           |${p}dpt AS (SELECT doc_id,
+           |    regexp_extract_all(text, '$pat') AS pts FROM ${table(p)}),
+           |${p}gpt AS (SELECT doc_id,
+           |    CAST(len(string_split($gptToks, ' ')) AS BIGINT) AS nt
+           |  FROM (SELECT doc_id, unnest(pts) AS w FROM ${p}dpt)),
+           |${p}uni AS (SELECT doc_id,
+           |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt
+           |  FROM ${p}uwtoks)""".stripMargin
+      def aggSql(p: String, f: String): String =
+        s"""${p}${f}agg AS (SELECT d.lang AS grp,
+           |    CAST(sum(len(d.ws)) AS BIGINT) AS nw,
+           |    CAST(sum(coalesce(t.nt, 0)) AS BIGINT) AS nt
+           |  FROM ${p}dws d LEFT JOIN (SELECT doc_id,
+           |      sum(nt) AS nt FROM ${p}$f GROUP BY doc_id) t
+           |    USING (doc_id)
+           |  GROUP BY d.lang)""".stripMargin
+      def faceSql(f: String, label: String): String =
+        s"""SELECT '$label' AS tokenizer, coalesce(b.grp, a.grp) AS grp,
+           |  b.nw AS n_words_base,
+           |  CASE WHEN b.nw > 0 THEN
+           |    round(CAST(b.nt AS DOUBLE) / b.nw, 6) END AS fertility_base,
+           |  a.nw AS n_words_new,
+           |  CASE WHEN a.nw > 0 THEN
+           |    round(CAST(a.nt AS DOUBLE) / a.nw, 6) END AS fertility_new,
+           |  CASE WHEN b.nw > 0 AND a.nw > 0
+           |      AND round(CAST(b.nt AS DOUBLE) / b.nw, 6) > 0 THEN
+           |    round(round(CAST(a.nt AS DOUBLE) / a.nw, 6)
+           |      / round(CAST(b.nt AS DOUBLE) / b.nw, 6), 6) END
+           |    AS fertility_ratio,
+           |  ((CASE WHEN b.nw > 0 THEN
+           |      round(CAST(b.nt AS DOUBLE) / b.nw, 6) END) IS NULL
+           |    OR (CASE WHEN a.nw > 0 THEN
+           |      round(CAST(a.nt AS DOUBLE) / a.nw, 6) END) IS NULL
+           |    OR (CASE WHEN b.nw > 0 AND a.nw > 0
+           |        AND round(CAST(b.nt AS DOUBLE) / b.nw, 6) > 0 THEN
+           |      round(round(CAST(a.nt AS DOUBLE) / a.nw, 6)
+           |        / round(CAST(b.nt AS DOUBLE) / b.nw, 6), 6) END) > 1.25)
+           |    AS needs_refit
+           |FROM b${f}agg b FULL OUTER JOIN a${f}agg a ON b.grp = a.grp"""
+          .stripMargin
+      s"""WITH RECURSIVE ${docWordsCteOver("documents", "b")},
+         |${docWordsCteOver(arrivalsTable, "a")},
+         |${unigramParamsSql()},
+         |${unigramWalkSql("b")},
+         |${unigramWalkSql("a")},
+         |${famSql("b")},
+         |${famSql("a")},
+         |${Seq("bpe", "byt", "gpt", "uni")
+            .flatMap(f => Seq(aggSql("b", f), aggSql("a", f)))
+            .mkString(",\n")}
+         |${faceSql("bpe", "bpe")}
+         |UNION ALL ${faceSql("byt", "bytebpe")}
+         |UNION ALL ${faceSql("gpt", "gptbpe")}
+         |UNION ALL ${faceSql("uni", "unigram")}""".stripMargin
+    }))
+
   /** Per-language WordPiece fertility + vocabulary-coverage audit
     * ([[graft.operators.WordPieceOps.wordPieceFertility]]) — the q128
     * table for the WordPiece family plus the column BPE cannot have:
@@ -4819,12 +5008,19 @@ object Pipeline {
     * rides: one row per doc with its non-empty whitespace words, one
     * row per (doc, word-index, word). Factored so q141/q189/q194/q198
     * spell IDENTICAL word semantics. */
-  private def docWordsCteSql: String =
-    s"""dws AS (SELECT doc_id, lang,
+  private def docWordsCteSql: String = docWordsCteOver()
+
+  /** [[docWordsCteSql]] over an arbitrary doc-shaped table expression,
+    * every CTE name prefixed by `p` — so q201 can emit the explode
+    * twice (baseline + perturbed arrivals) in one statement, the
+    * funnelLabelCteOver convention. */
+  private def docWordsCteOver(table: String = "documents",
+      p: String = ""): String =
+    s"""${p}dws AS (SELECT doc_id, lang,
        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-       |  FROM documents),
-       |words AS (SELECT doc_id, i AS wi, ws[i] AS w
-       |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i))"""
+       |  FROM $table),
+       |${p}words AS (SELECT doc_id, i AS wi, ws[i] AS w
+       |  FROM ${p}dws, UNNEST(generate_series(1, len(ws))) AS t(i))"""
       .stripMargin
 
   /** The q189 greedy-match replay as shared CTE text (`dp`/`fin`/
@@ -4832,7 +5028,14 @@ object Pipeline {
     * (per-doc tokenize), q194 (per-language fertility/coverage) and
     * q198 (round-trip audit) so the replays cannot drift. Caller
     * prepends WITH RECURSIVE and [[docWordsCteSql]]. */
-  private def wordPieceChainSql(): String = {
+  private def wordPieceChainSql(): String =
+    s"""${wordPiecePiecesSql()},
+       |${wordPieceWalkSql()}""".stripMargin
+
+  /** The frozen-vocabulary probe-form CTEs (`pieces`/`pl`) — emitted
+    * ONCE per statement even when the walk runs twice (q201's
+    * baseline-vs-arrivals drift). */
+  private def wordPiecePiecesSql(): String = {
     val sfDir = sys.props.getOrElse("graft.verify.sfdir",
       "/root/testdata/sf0.001")
     val vocab = WordPieceMemo.vocab(
@@ -4865,11 +5068,18 @@ object Pipeline {
        |    WHERE length(p) <= $maxPiece
        |  UNION ALL
        |  SELECT p, substr(p, 3) AS raw, true AS cont FROM pieces
-       |    WHERE p LIKE '##%' AND length(p) >= 3),
-       |dp AS (
+       |    WHERE p LIKE '##%' AND length(p) >= 3)""".stripMargin
+  }
+
+  /** The greedy longest-match walk CTEs over `${p}words`, every name
+    * prefixed by `p` (reads the shared `pl` probe forms). */
+  private def wordPieceWalkSql(p: String = ""): String = {
+    val unk = graft.operators.WordPieceOps.Unk
+    val maxW = graft.operators.WordPieceOps.MaxWordChars
+    s"""${p}dp AS (
        |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS pos,
        |    CAST('' AS VARCHAR) AS toks, false AS failed
-       |  FROM words WHERE length(w) <= $maxW
+       |  FROM ${p}words WHERE length(w) <= $maxW
        |  UNION ALL
        |  SELECT doc_id, wi, w,
        |    CASE WHEN bp IS NULL THEN CAST(length(w) + 1 AS BIGINT)
@@ -4883,13 +5093,13 @@ object Pipeline {
        |         AND pl.raw = substr(s.w, CAST(s.pos AS INTEGER),
        |           length(pl.raw))
        |       ORDER BY length(pl.raw) DESC, p LIMIT 1) AS bp
-       |    FROM dp s WHERE s.pos <= length(s.w) AND NOT s.failed) t),
-       |fin AS (SELECT doc_id, wi, toks FROM dp
+       |    FROM ${p}dp s WHERE s.pos <= length(s.w) AND NOT s.failed) t),
+       |${p}fin AS (SELECT doc_id, wi, toks FROM ${p}dp
        |  WHERE failed OR pos > length(w)
        |  UNION ALL
        |  SELECT doc_id, wi, '$unk' AS toks
-       |  FROM words WHERE length(w) > $maxW),
-       |wtoks AS (SELECT doc_id, wi, toks FROM fin)""".stripMargin
+       |  FROM ${p}words WHERE length(w) > $maxW),
+       |${p}wtoks AS (SELECT doc_id, wi, toks FROM ${p}fin)""".stripMargin
   }
 
   private val q189 = QueryDef(
@@ -5854,7 +6064,13 @@ object Pipeline {
     * the replays cannot drift; the u-prefix keeps it composable next
     * to [[wordPieceChainSql]]'s `dp`/`fin`/`wtoks` in one statement.
     * Caller prepends WITH RECURSIVE and [[docWordsCteSql]]. */
-  private def unigramChainSql(): String = {
+  private def unigramChainSql(): String =
+    s"""${unigramParamsSql()},
+       |${unigramWalkSql()}""".stripMargin
+
+  /** The frozen piece-table CTE (`uparams`) — emitted ONCE per
+    * statement even when the walk runs twice (q202's drift). */
+  private def unigramParamsSql(): String = {
     val sfDir = sys.props.getOrElse("graft.verify.sfdir",
       "/root/testdata/sf0.001")
     val pieces = UnigramPiecesMemo.pieces(
@@ -5868,11 +6084,16 @@ object Pipeline {
     val maxLen = if (pieces.isEmpty) 1 else pieces.map(_._1.length).max
     val unk = dd(graft.functions.UnigramExpressions.UnkLogp)
     s"""uparams AS (SELECT map($keys, $vals) AS m, $maxLen AS maxlen,
-       |  $unk::DOUBLE AS unk),
-       |udp AS (
+       |  $unk::DOUBLE AS unk)""".stripMargin
+  }
+
+  /** The Viterbi walk CTEs over `${p}words`, every name prefixed by
+    * `p` (reads the shared `uparams` piece table). */
+  private def unigramWalkSql(p: String = ""): String = {
+    s"""${p}udp AS (
        |  SELECT doc_id, wi, w, 0 AS i, [0.0::DOUBLE] AS bests,
        |    []::INT[] AS backs
-       |  FROM words
+       |  FROM ${p}words
        |  UNION ALL
        |  SELECT doc_id, wi, w, i + 1,
        |    list_append(bests, CASE WHEN pick.back = -1
@@ -5896,22 +6117,23 @@ object Pipeline {
        |                END),
        |            x -> x IS NOT NULL)),
        |        (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END) AS pick
-       |    FROM udp d CROSS JOIN uparams p
+       |    FROM ${p}udp d CROSS JOIN uparams p
        |    WHERE d.i < length(d.w)) t CROSS JOIN uparams p2),
-       |ufin AS (SELECT doc_id, wi, w, backs FROM udp WHERE i = length(w)),
-       |utrace AS (
+       |${p}ufin AS (SELECT doc_id, wi, w, backs FROM ${p}udp
+       |  WHERE i = length(w)),
+       |${p}utrace AS (
        |  SELECT doc_id, wi, w, backs, CAST(length(w) AS INT) AS at,
        |    '' AS toks
-       |  FROM ufin
+       |  FROM ${p}ufin
        |  UNION ALL
        |  SELECT doc_id, wi, w, backs, backs[at],
        |    CASE WHEN toks = ''
        |      THEN substr(w, backs[at] + 1, at - backs[at])
        |      ELSE substr(w, backs[at] + 1, at - backs[at]) || ' ' || toks
        |      END
-       |  FROM utrace WHERE at > 0),
-       |uwtoks AS (SELECT doc_id, wi, toks FROM utrace WHERE at = 0)"""
-      .stripMargin
+       |  FROM ${p}utrace WHERE at > 0),
+       |${p}uwtoks AS (SELECT doc_id, wi, toks FROM ${p}utrace
+       |  WHERE at = 0)""".stripMargin
   }
 
   /** Unigram-LM Viterbi apply, FULL oracle since r15 (was rows-only
@@ -7457,7 +7679,7 @@ object Pipeline {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -230,6 +230,40 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("fertilityDrift: ratio gate per family; group appear/vanish") {
+    import graft.operators.TokenizerAuditOps
+    val base = Seq((1L, "ab", "en"), (2L, "ab", "fr"), (3L, "ab", "it"))
+      .toDF("doc_id", "text", "lang")
+    val arrivals = Seq(
+      (1L, "cd", "en"),  // no merge applies: fertility inflates, fires
+      (4L, "ab", "es"),  // new group
+      (3L, "ab", "it"))  // stable
+      .toDF("doc_id", "text", "lang")
+    val out = TokenizerAuditOps.fertilityDrift(base, arrivals,
+        col("doc_id"), col("text"), col("lang"),
+        bpeMerges = Seq(("a", "b")), byteMerges = Seq(("61", "62")),
+        gptMerges = Seq(("61", "62")), uniPieces = Seq(("ab", -1.0)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val fams = Seq("bpe", "bytebpe", "gptbpe", "unigram")
+    assert(out.keySet == fams.flatMap(f =>
+      Seq("en", "fr", "it", "es").map(f -> _)).toSet)
+    fams.foreach { f =>
+      assert(out((f, "en")).getAs[Boolean]("needs_refit"),
+        s"$f: fertility inflation must fire " +
+          s"(ratio ${out((f, "en")).getAs[Double]("fertility_ratio")})")
+      assert(out((f, "en")).getAs[Double]("fertility_ratio") > 1.25, f)
+      assert(!out((f, "it")).getAs[Boolean]("needs_refit"), s"$f stable")
+      assert(out((f, "it")).getAs[Double]("fertility_ratio") == 1.0, f)
+      assert(out((f, "fr")).getAs[Boolean]("needs_refit"), s"$f vanished")
+      assert(out((f, "es")).getAs[Boolean]("needs_refit"), s"$f new")
+    }
+    // the char face's exact arithmetic: 'ab' = [ab, </w>] two tokens,
+    // 'cd' = [c, d, </w>] three -> ratio 1.5
+    assert(out(("bpe", "en")).getAs[Double]("fertility_base") == 2.0)
+    assert(out(("bpe", "en")).getAs[Double]("fertility_ratio") == 1.5)
+  }
+
   test("byte level: hex symbolization, fit reuse, compiled-vs-fold parity") {
     import graft.functions.BpeExpressions
     // toByteSymbols: ASCII one pair per char, astral four pairs

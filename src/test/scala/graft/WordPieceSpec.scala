@@ -89,6 +89,34 @@ class WordPieceSpec extends SparkSpec {
       "bare '##' never matches past position 0 — each '#' goes alone")
   }
 
+  test("wordPieceDrift: each gate fires independently; group appear/vanish") {
+    import graft.operators.WordPieceOps
+    val vocab = Seq("a", "##a")
+    val base = Seq(
+      (1L, "aa aa", "en"), (2L, "aa", "de"), (3L, "aa", "fr"),
+      (4L, "aa", "it")).toDF("doc_id", "text", "lang")
+    val arrivals = Seq(
+      (1L, "aaaa", "en"),  // fertility 2.0 -> 4.0: ratio gate fires
+      (2L, "qq", "de"),    // 'q' uncovered -> [UNK]: unk gate fires
+                           //   (fertility RATIO 0.5 — gates independent)
+      (5L, "aa", "es"),    // new group
+      (4L, "aa", "it")).toDF("doc_id", "text", "lang") // stable
+    val out = WordPieceOps.wordPieceDrift(base, arrivals,
+        col("doc_id"), col("text"), col("lang"), vocab)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out.keySet == Set("en", "de", "fr", "it", "es"))
+    assert(out("en").getAs[Double]("fertility_ratio") == 2.0)
+    assert(out("en").getAs[Boolean]("needs_refit"), "fertility gate")
+    assert(out("de").getAs[Double]("unk_delta") == 1.0)
+    assert(out("de").getAs[Double]("fertility_ratio") == 0.5)
+    assert(out("de").getAs[Boolean]("needs_refit"), "unk gate alone")
+    assert(out("fr").getAs[Boolean]("needs_refit"), "vanished group")
+    assert(out("es").getAs[Boolean]("needs_refit"), "new group")
+    assert(!out("it").getAs[Boolean]("needs_refit"), "stable group")
+    assert(out("it").getAs[Double]("fertility_ratio") == 1.0)
+    assert(out("it").getAs[Double]("unk_delta") == 0.0)
+  }
+
   test("roundTrip: decode∘encode identity per tokenizer, UNK loss counted") {
     // one doc with a word OUTSIDE the WordPiece vocab (lossy for
     // wordpiece only — BPE/byteBPE/unigram are lossless by construction
