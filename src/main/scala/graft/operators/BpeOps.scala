@@ -54,8 +54,14 @@ object BpeOps {
     * just its hex unpaired. */
   def toByteSymbols(word: Column): Column = {
     val h = hex(encode(word, "UTF-8"))
-    transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
-      i => h.substr(i * 2 - 1, lit(2)))
+    // empty-word guard (r16 advice): sequence(1, 0) DESCENDS in Spark
+    // ([1, 0]), which would mint two phantom ''-symbols; an empty word
+    // has no byte symbols. wordFreqs/preTokenFreqs never produce empty
+    // words, but the helper is a public operator.
+    when(length(h) > 0,
+      transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
+        i => h.substr(i * 2 - 1, lit(2))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Greedy left-to-right non-overlapping rewrite of one merge over a
@@ -134,6 +140,124 @@ object BpeOps {
       }
     } finally freeCheckpoint(words)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** PRODUCTION-SCALE fit (r16 verdict item 4 — the SentencePiece /
+    * HF-trainer shape): cap the word-frequency table to its `maxWords`
+    * highest-frequency rows (freq desc, word asc — deterministic),
+    * collect that BOUNDED frame once, and run the merge loop
+    * DRIVER-SIDE over the in-memory table. [[bpeLearn]]'s distributed
+    * loop is exact but serializes `numMerges` cluster rounds — at a
+    * real 32k–100k vocabulary that is tens of thousands of SEQUENTIAL
+    * distributed jobs (scheduling alone dominates), which does not
+    * survive 100×. Here the cluster does ONE corpus-scale aggregation
+    * (the [[wordFreqs]] input, the only thing that touches the 100 TB)
+    * plus one vocab-scale top-k; the 32k merge iterations then touch
+    * only the local frequency table — the published trainer recipe
+    * (HuggingFace `BpeTrainer` / SentencePiece both fit over an
+    * in-memory word-count table). The head-capped table is the right
+    * sample: pair counts are freq-weighted, so rank-(maxWords+1)
+    * tail words contribute at most their (tiny) frequency to any
+    * count. Per-iteration semantics are IDENTICAL to [[bpeLearn]] —
+    * same frequency-multiplicity pair counting, same
+    * (count desc, left, right) UTF8-binary argmax, same greedy
+    * left-to-right non-overlapping rewrite — so
+    * `bpeLearnSampled(freqs, n, maxWords ≥ |freqs|)` ≡
+    * `bpeLearn(freqs, n)` exactly (the BpeSpec parity pin). Returns
+    * [[bpeLearn]]'s `(rank, left, right, pair_count)` frame. */
+  def bpeLearnSampled(freqs: DataFrame, numMerges: Int,
+      maxWords: Int = 1 << 16, minPairCount: Long = 2L,
+      byteLevel: Boolean = false): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    val top = freqs.orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].collect()
+    val words = top.map { case (w, f) => (localSymbols(w, byteLevel), f) }
+    localMergeLoop(words, numMerges, minPairCount)
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** [[toSymbols]]/[[toByteSymbols]] on a driver-side string: same
+    * code-UNIT split as Spark's `split(w, "")` (a surrogate pair is two
+    * symbols on both paths), same uppercase hex as `hex()`. */
+  private[operators] def localSymbols(w: String,
+      byteLevel: Boolean): Array[String] =
+    if (byteLevel)
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X")
+    else w.toArray.map(_.toString) :+ EndOfWord
+
+  /** UTF8-binary string order — Spark's `orderBy` collation for the
+    * argmax tie-break (Java `compareTo` differs on supplementary
+    * chars). */
+  private[operators] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** The driver-side merge loop: per iteration one pair-count pass
+    * (frequency multiplicity, exactly the zip_with-slices explode),
+    * the (count desc, left, right) argmax, and the greedy
+    * non-overlapping rewrite. */
+  private def localMergeLoop(words0: Array[(Array[String], Long)],
+      numMerges: Int, minPairCount: Long)
+      : Seq[(Long, String, String, Long)] = {
+    var words = words0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (!done && rank < numMerges) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      var bestP: (String, String) = null
+      var bestN = 0L
+      counts.foreach { case (p, n) =>
+        if (bestP == null || n > bestN ||
+            (n == bestN && (utf8Lt(p._1, bestP._1) ||
+              (p._1 == bestP._1 && utf8Lt(p._2, bestP._2)))))
+          { bestP = p; bestN = n }
+      }
+      if (bestP == null || bestN < minPairCount) done = true
+      else {
+        out += ((rank, bestP._1, bestP._2, bestN))
+        val merged = bestP._1 + bestP._2
+        words = words.map { case (s, f) =>
+          (rewriteLocal(s, bestP._1, bestP._2, merged), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Greedy left-to-right non-overlapping rewrite — [[mergePair]]'s
+    * scan form (a merge consumes its left, so "aaa" + (a,a) →
+    * ["aa","a"], byte-equal to the fold: a fold-merged token `l+r`
+    * can never re-match `l`, since symbols are non-empty). */
+  private[operators] def rewriteLocal(s: Array[String], l: String,
+      r: String, merged: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        b += merged
+        i += 2
+      } else {
+        b += s(i)
+        i += 1
+      }
+    }
+    b.result()
   }
 
   /** Tokens of `text` under an ORDERED merge list as a COMPOSABLE
@@ -220,25 +344,79 @@ object BpeOps {
   /** GPT-style pre-tokenization pattern (Radford et al. 2019 §2.2's
     * published regex, reformulated WITHOUT the trailing-whitespace
     * lookahead `\s+(?!\S)` so RE2 — the oracle engine's regex — and
-    * Java agree; the divergence is confined to multi-space runs, which
-    * here stay one whitespace pre-token instead of donating their last
-    * space to the next word's ` ?` — a documented, engine-consistent
-    * simplification): contraction suffixes split off, letters /
-    * numbers / other-symbols form runs each carrying an optional
-    * LEADING space, whitespace runs survive as their own tokens. The
-    * alternation covers every character class, so the matches
-    * PARTITION the input exactly — `concat(preTokens) == text`, the
-    * identity the spec pins.
+    * Java agree): contraction suffixes split off, letters / numbers /
+    * other-symbols form runs each carrying an optional LEADING space,
+    * whitespace runs survive as their own tokens. The alternation
+    * covers every character class, so the matches PARTITION the input
+    * exactly — `concat(preTokens) == text`, the identity the spec pins.
+    *
+    * On its own this pattern keeps a multi-whitespace run as ONE
+    * pre-token; the published pattern's lookahead instead donates the
+    * run's last char to the next token. [[gptPreTokenize]] restores
+    * that fidelity with a lookahead-free pre-split (see
+    * [[GptWsSplitPattern]]) — this pattern is then applied per
+    * segment, where the two formulations agree.
     *
     * The whitespace class is EXPLICIT (`[ \t\n\x0B\f\r]`, Java's ASCII
-    * `\s`) rather than `\s`, because RE2's `\s` omits vertical tab —
-    * the one place the two engines' shorthand classes disagree. */
+    * `\s`) rather than `\s`, for TWO divergences from shorthand
+    * classes: RE2's `\s` omits vertical tab (the one place the two
+    * engines' shorthand classes disagree), and `\s` in neither engine
+    * is extended here to UNICODE whitespace — U+00A0, U+2028, the
+    * ideographic space and friends fall into the 'other symbols' run
+    * (r16 advice note). That is internally consistent across both
+    * engines and keeps the partition identity, but token streams on
+    * text carrying such characters are not comparable to reference
+    * GPT-2 tokenizers, whose Python `\s` is Unicode-aware. */
   val GptPreTokenPattern: String =
     """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+"""
 
-  /** Text as GPT-style pre-tokens (see [[GptPreTokenPattern]]). */
+  /** The lookahead-free twin of the published pattern's `\s+(?!\S)`
+    * (r16 verdict item 3): inside any whitespace run of ≥ 2 chars
+    * followed by non-whitespace, mark a boundary BEFORE the run's last
+    * char — exactly where `\s+(?!\S)`'s backtracking ends its match.
+    * One global regexp_replace inserts [[GptWsSplitSep]] at each such
+    * boundary (matches cannot overlap: each needs two whitespace chars
+    * then a non-whitespace, so a run yields exactly one boundary);
+    * re-tokenizing the segments with [[GptPreTokenPattern]] then
+    * reproduces the published segmentation INCLUDING its corner cases
+    * — a donated space is absorbed by the next run's ` ?`, a donated
+    * tab stands alone, a space before a contraction re-segments as
+    * `" '" + letters` with the letters merging into a following
+    * letter run — because the true tokenization never crosses this
+    * boundary and both patterns are context-free within a segment. */
+  val GptWsSplitPattern: String =
+    """([ \t\n\x0B\f\r])([ \t\n\x0B\f\r][^ \t\n\x0B\f\r])"""
+
+  /** Segment separator for [[GptWsSplitPattern]]'s pre-split: a
+    * private-use code point. A corpus text already containing U+E000
+    * would gain a spurious (engine-CONSISTENT — both sides run the
+    * same replace+split) segment boundary; the synthetic corpus and
+    * every fixture are clean of it. */
+  val GptWsSplitSep: String = "\uE000"
+
+  /** Text as GPT-style pre-tokens: the published GPT-2 segmentation
+    * (Radford et al. 2019 §2.2) via the lookahead-free two-pass form —
+    * mark the `\s+(?!\S)` boundaries ([[GptWsSplitPattern]]), split,
+    * extract [[GptPreTokenPattern]] per segment, flatten. Row-local:
+    * two regexp passes + one split. The DuckDB oracle twin is
+    * [[gptPreTokensSql]] — the same three steps verbatim. */
   def gptPreTokenize(text: Column): Column =
-    regexp_extract_all(text, lit(GptPreTokenPattern), lit(0))
+    flatten(transform(
+      split(regexp_replace(text, GptWsSplitPattern,
+        "$1" + GptWsSplitSep + "$2"), GptWsSplitSep),
+      s => regexp_extract_all(s, lit(GptPreTokenPattern), lit(0))))
+
+  /** DuckDB twin of [[gptPreTokenize]] over a column expression `text`
+    * — a LIST(VARCHAR) expression (quote-escaped; RE2 rewrite
+    * backrefs). */
+  def gptPreTokensSql(text: String): String = {
+    val pat = GptPreTokenPattern.replace("'", "''")
+    s"""flatten(list_transform(
+       |    string_split(regexp_replace($text,
+       |      '$GptWsSplitPattern', '\\1$GptWsSplitSep\\2', 'g'),
+       |      '$GptWsSplitSep'),
+       |    s -> regexp_extract_all(s, '$pat')))""".stripMargin
+  }
 
   /** `(word, freq)` over [[gptPreTokenize]] pre-tokens — the fit input
     * for the pre-tokenized byte-BPE face ([[wordFreqs]]'s shape; a

@@ -142,6 +142,83 @@ object WordPieceOps {
     merges.toSeq.toDF("rank", "left", "right", "piece", "pair_count", "score")
   }
 
+  /** PRODUCTION-SCALE WordPiece fit — [[graft.operators.BpeOps
+    * .bpeLearnSampled]]'s shape for the likelihood-scored family: cap
+    * the word-frequency table to its `maxWords` highest-frequency rows
+    * (freq desc, word asc), collect ONCE, and run the merge loop
+    * driver-side. Per iteration the local loop computes the SAME two
+    * aggregates [[wpLearn]] distributes (occurrence-weighted symbol
+    * counts and adjacency pair counts), the same
+    * `n / (count(l) · count(r))` double score off exact longs, the
+    * same (score desc, left, right) UTF8-binary argmax, and the same
+    * greedy rewrite minting [[mintPiece]] — so
+    * `wpLearnSampled(freqs, n, maxWords ≥ |freqs|)` ≡
+    * `wpLearn(freqs, n)` exactly (the WordPieceSpec parity pin). The
+    * corpus is touched only by the word-frequency aggregation; a 32k
+    * vocabulary costs 32k LOCAL iterations instead of 32k sequential
+    * distributed rounds. */
+  def wpLearnSampled(freqs: DataFrame, numMerges: Int,
+      maxWords: Int = 1 << 16, minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    val top = freqs.orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].collect()
+    var words = top.map { case (w, f) => (localWpSymbols(w), f) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Double)]
+    var rank = 0L
+    var done = false
+    while (!done && rank < numMerges) {
+      val symC = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairC =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length) {
+          symC.update(s(i), symC.getOrElse(s(i), 0L) + f)
+          if (i + 1 < s.length) {
+            val p = (s(i), s(i + 1))
+            pairC.update(p, pairC.getOrElse(p, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      var bestP: (String, String) = null
+      var bestN = 0L
+      var bestS = 0.0
+      pairC.foreach { case (p, n) =>
+        if (n >= minPairCount) {
+          val sc = n.toDouble / (symC(p._1).toDouble * symC(p._2).toDouble)
+          if (bestP == null || sc > bestS ||
+              (sc == bestS && (graft.operators.BpeOps.utf8Lt(p._1, bestP._1)
+                || (p._1 == bestP._1 &&
+                  graft.operators.BpeOps.utf8Lt(p._2, bestP._2)))))
+            { bestP = p; bestN = n; bestS = sc }
+        }
+      }
+      if (bestP == null) done = true
+      else {
+        val piece = mintPiece(bestP._1, bestP._2)
+        out += ((rank, bestP._1, bestP._2, piece, bestN, bestS))
+        words = words.map { case (s, f) =>
+          (graft.operators.BpeOps.rewriteLocal(s, bestP._1, bestP._2,
+            piece), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+      .toDF("rank", "left", "right", "piece", "pair_count", "score")
+  }
+
+  /** [[toWpSymbols]] on a driver-side string (code-unit split, first
+    * raw, rest `##`-marked). */
+  private def localWpSymbols(w: String): Array[String] =
+    w.toArray.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c.toString else Continuation + c }
+
   /** The apply vocabulary: every INITIAL symbol of the fit input (all
     * single code points, raw and `##`-marked — so any fit-corpus word
     * can always fall back to characters) plus every minted piece.

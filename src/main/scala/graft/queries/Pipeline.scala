@@ -4379,10 +4379,9 @@ object Pipeline {
           .as("pretokens_fp"))
     },
     {
-      val pat = graft.operators.BpeOps.GptPreTokenPattern
-        .replace("'", "''")
       s"""WITH dpt AS (SELECT doc_id,
-         |    regexp_extract_all(text, '$pat') AS pts FROM documents)
+         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+         |  FROM documents)
          |SELECT doc_id, CAST(len(pts) AS BIGINT) AS n_pretokens,
          |  CASE WHEN len(pts) > 0 THEN ${polyHashSql(
              "array_to_string(list_transform(pts, t -> hex(encode(t))), ' ')")}
@@ -4415,10 +4414,9 @@ object Pipeline {
         GptByteBpeMergesMemo.pairs(
           org.apache.spark.sql.SparkSession.active, sfDir),
         byteLevel = true)
-      val pat = graft.operators.BpeOps.GptPreTokenPattern
-        .replace("'", "''")
       s"""WITH dpt AS (SELECT doc_id,
-         |    regexp_extract_all(text, '$pat') AS pts FROM documents),
+         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+         |  FROM documents),
          |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
          |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
          |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
@@ -4620,8 +4618,6 @@ object Pipeline {
         ByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
       val gptToks = bpeFoldTokensSql(
         GptByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
-      val pat = graft.operators.BpeOps.GptPreTokenPattern
-        .replace("'", "''")
       val arrivalsTable = "(SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0" +
         " THEN translate(text, 'aeiou', 'xxxxx') || ' ' || repeat('x', 101)" +
         " ELSE text END AS text FROM documents)"
@@ -4635,7 +4631,8 @@ object Pipeline {
            |    CAST(len(string_split($byteToks, ' ')) AS BIGINT) AS nt
            |  FROM ${p}words),
            |${p}dpt AS (SELECT doc_id,
-           |    regexp_extract_all(text, '$pat') AS pts FROM ${table(p)}),
+           |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+           |  FROM ${table(p)}),
            |${p}gpt AS (SELECT doc_id,
            |    CAST(len(string_split($gptToks, ' ')) AS BIGINT) AS nt
            |  FROM (SELECT doc_id, unnest(pts) AS w FROM ${p}dpt)),
@@ -4689,6 +4686,35 @@ object Pipeline {
          |UNION ALL ${faceSql("gpt", "gptbpe")}
          |UNION ALL ${faceSql("uni", "unigram")}""".stripMargin
     }))
+
+  /** PRODUCTION-SCALE BPE fit ([[graft.operators.BpeOps
+    * .bpeLearnSampled]], r16 verdict item 4): the cluster runs ONE
+    * word-frequency aggregation + one vocab-scale top-k; the merge
+    * loop is driver-side over the collected bounded table — the
+    * HF-trainer/SentencePiece shape that survives a 32k-vocabulary
+    * fit where q107's 16 sequential distributed rounds would become
+    * 32k of them. Rows-only like every iterative fit (the per-rank
+    * argmax chain has no closed SQL form); sampled ≡ distributed is
+    * spec-pinned (BpeSpec) and the two registry entries share the
+    * corpus so their outputs cross-check. */
+  private val q203 = QueryDef(
+    "q203_bpe_merges_sampled",
+    (s, d) => graft.operators.BpeOps.bpeLearnSampled(
+      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
+      16),
+    None)
+
+  /** PRODUCTION-SCALE WordPiece fit ([[graft.operators.WordPieceOps
+    * .wpLearnSampled]]) — q203's shape for the likelihood-scored
+    * family; q188's 16 distributed rounds collapse to one aggregation
+    * + one top-k + a driver-side loop. Rows-only (iterative argmax);
+    * sampled ≡ distributed spec-pinned (WordPieceSpec). */
+  private val q204 = QueryDef(
+    "q204_wordpiece_merges_sampled",
+    (s, d) => graft.operators.WordPieceOps.wpLearnSampled(
+      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
+      16),
+    None)
 
   /** Per-language WordPiece fertility + vocabulary-coverage audit
     * ([[graft.operators.WordPieceOps.wordPieceFertility]]) — the q128
@@ -7679,7 +7705,8 @@ object Pipeline {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
+    q204)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -38,6 +38,29 @@ class BpeSpec extends SparkSpec {
     assert(merges.toSeq == want, s"merge sequence drifted: ${merges.toSeq}")
   }
 
+  test("bpeLearnSampled ≡ bpeLearn when the cap covers the table " +
+      "(char and byte level), and respects the cap") {
+    val freqs = BpeOps.wordFreqs(corpus, col("text"))
+    for (byteLevel <- Seq(false, true)) {
+      val dist = BpeOps.bpeLearn(freqs, 6,
+          symbolize =
+            if (byteLevel) BpeOps.toByteSymbols else BpeOps.toSymbols)
+        .orderBy("rank").collect().map(_.toSeq)
+      val local = BpeOps.bpeLearnSampled(freqs, 6, maxWords = 1 << 20,
+          byteLevel = byteLevel)
+        .orderBy("rank").collect().map(_.toSeq)
+      assert(local.toSeq == dist.toSeq,
+        s"sampled/distributed fit drift (byteLevel=$byteLevel)")
+    }
+    // the cap is the top-maxWords by (freq desc, word asc): with
+    // maxWords=1 only "newest" (freq 6) survives, so every merge is a
+    // newest-internal pair with count 6
+    val capped = BpeOps.bpeLearnSampled(freqs, 3, maxWords = 1)
+      .collect()
+    assert(capped.nonEmpty && capped.forall(_.getLong(3) == 6L),
+      s"cap did not reduce the table: ${capped.toSeq}")
+  }
+
   test("bpeTokenize segments an UNSEEN word with learned units") {
     val merges = BpeOps.bpeLearn(BpeOps.wordFreqs(corpus, col("text")), 6)
     val toks = BpeOps.bpeTokenize(
@@ -187,9 +210,34 @@ class BpeSpec extends SparkSpec {
     assert(pt("don't stop") == Seq("don", "'t", " stop"))
     assert(pt("x1y2") == Seq("x", "1", "y", "2"),
       "letter/number boundaries split")
-    assert(pt("  lead") == Seq("  ", "lead"),
-      "multi-space runs stay one whitespace token (the documented " +
-        "RE2-safe divergence from the lookahead form)")
+    // multi-whitespace-run fidelity (r16 verdict item 3): the two-pass
+    // lookahead-free form reproduces the PUBLISHED GPT-2 pattern's
+    // `\s+(?!\S)` behavior — a run donates its last SPACE to the next
+    // run's ` ?`; a non-space last char stands alone; the run keeps one
+    // token at end-of-text. Expected values are the published
+    // pattern's segmentation (hand-verified against Radford et al.
+    // 2019 §2.2's regex semantics).
+    assert(pt("  lead") == Seq(" ", " lead"),
+      "a 2-space run before letters donates its last space")
+    assert(pt("a  b") == Seq("a", " ", " b"), "the canonical a-2sp-b case")
+    assert(pt("a    b") == Seq("a", "   ", " b"),
+      "longer runs keep all-but-last as one whitespace token")
+    assert(pt("def f():\n    return 1") ==
+      Seq("def", " f", "():", "\n   ", " return", " 1"),
+      "code indentation — the q178 FIM-shaped fixture")
+    assert(pt("a  1") == Seq("a", " ", " 1"), "donation before numbers")
+    assert(pt("a  !!") == Seq("a", " ", " !!"), "donation before symbols")
+    assert(pt("a  's") == Seq("a", " ", " '", "s"),
+      "donated space before a quote absorbs into the symbol run; the " +
+        "contraction letters become a letter run")
+    assert(pt("a  'sfoo") == Seq("a", " ", " '", "sfoo"),
+      "…and merge with following letters, as the published pattern does")
+    assert(pt("x\t\ty") == Seq("x", "\t", "\t", "y"),
+      "a donated TAB cannot ride a ` ?` — it stands alone")
+    assert(pt("a \t b") == Seq("a", " \t", " b"),
+      "mixed run: all-but-last-space one token, space donated")
+    assert(pt("a  ") == Seq("a", "  "),
+      "a trailing run is one token (the lookahead matches it whole)")
     assert(pt("") == Seq.empty)
     // the alternation covers every character class: matches PARTITION
     // the input, so concatenation is the identity — on hostile strings
@@ -267,11 +315,14 @@ class BpeSpec extends SparkSpec {
   test("byte level: hex symbolization, fit reuse, compiled-vs-fold parity") {
     import graft.functions.BpeExpressions
     // toByteSymbols: ASCII one pair per char, astral four pairs
-    val syms = Seq(("Hi", 0), ("😀", 1)).toDF("w", "i")
+    val syms = Seq(("Hi", 0), ("😀", 1), ("", 2)).toDF("w", "i")
       .select(BpeOps.toByteSymbols(col("w"))).collect()
       .map(_.getSeq[String](0))
     assert(syms(0) == Seq("48", "69"))
     assert(syms(1) == Seq("F0", "9F", "98", "80"))
+    // empty word -> EMPTY array, not two phantom ''-symbols from the
+    // descending sequence(1, 0) (r16 advice guard)
+    assert(syms(2) == Seq.empty)
     // fit rides bpeLearn verbatim: "aaaa" x3 -> rank 0 merges (61, 61)
     val freqs = Seq(("aaaa", 3L), ("ab", 2L)).toDF("word", "freq")
     val m = BpeOps.bpeLearn(freqs, 2, symbolize = BpeOps.toByteSymbols)

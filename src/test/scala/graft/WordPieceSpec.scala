@@ -38,6 +38,21 @@ class WordPieceSpec extends SparkSpec {
     assert(fit(1) == fit(5))
   }
 
+  test("wpLearnSampled ≡ wpLearn when the cap covers the table; " +
+      "cap takes the top-freq words") {
+    val dist = WordPieceOps.wpLearn(freqs, 3)
+      .orderBy("rank").collect().map(_.toSeq)
+    val local = WordPieceOps.wpLearnSampled(freqs, 3, maxWords = 1 << 20)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(local.toSeq == dist.toSeq, "sampled/distributed WP fit drift")
+    // maxWords=1 keeps only "ax" (freq 30): the only learnable merge is
+    // (a,##x) with count 30
+    val capped = WordPieceOps.wpLearnSampled(freqs, 3, maxWords = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(capped.toSeq == Seq(("a", "##x", 30L)),
+      s"cap did not reduce the table: ${capped.toSeq}")
+  }
+
   test("wpVocab: every initial char symbol (raw and ##) plus minted pieces") {
     val v = WordPieceOps.wpVocab(freqs, WordPieceOps.wpLearn(freqs, 3))
       .collect().map(_.getString(0)).toSet
