@@ -45,6 +45,12 @@ object UrlNorm {
   def pctNormalize(s: UTF8String): UTF8String = {
     val str = s.toString
     if (str.indexOf('%') < 0) return s // fast path: nothing to do
+    UTF8String.fromString(pctNormalizeStr(str))
+  }
+
+  /** [[pctNormalize]]'s string core (shared by [[UrlCanonParts]]). */
+  private[functions] def pctNormalizeStr(str: String): String = {
+    if (str.indexOf('%') < 0) return str
     val n = str.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
@@ -65,7 +71,7 @@ object UrlNorm {
         i += 1
       }
     }
-    UTF8String.fromString(sb.toString)
+    sb.toString
   }
 
   /** RFC 3986 §6.2.2.3 remove_dot_segments over an absolute PATH
@@ -82,8 +88,14 @@ object UrlNorm {
     * slash. */
   def removeDotSegments(p: UTF8String): UTF8String = {
     val s = p.toString
+    if (s.isEmpty || s.indexOf('.') < 0) return p // fast path
+    UTF8String.fromString(removeDotSegmentsStr(s))
+  }
+
+  /** [[removeDotSegments]]'s string core (shared by [[UrlCanonParts]]). */
+  private[functions] def removeDotSegmentsStr(s: String): String = {
     val n = s.length
-    if (n == 0 || s.indexOf('.') < 0) return p // fast path: no dot segments
+    if (n == 0 || s.indexOf('.') < 0) return s // fast path: no dot segments
     val sb = new java.lang.StringBuilder(n)
     var i = 1
     while (i <= n) {
@@ -102,7 +114,7 @@ object UrlNorm {
       i = j + 1
     }
     if (s.endsWith("/.") || s.endsWith("/..")) sb.append('/')
-    UTF8String.fromString(sb.toString)
+    sb.toString
   }
 
   /** IDNA host folding (r14 verdict item 6): an `xn--`-encoded
@@ -124,6 +136,20 @@ object UrlNorm {
     try UTF8String.fromString(java.net.IDN.toUnicode(s))
     catch { case _: IllegalArgumentException => h }
   }
+
+  /** [[idnFold]]'s string core (shared by [[UrlCanonParts]]). */
+  private[functions] def idnFoldStr(s: String): String = {
+    if (s.indexOf("xn--") < 0) return s
+    try java.net.IDN.toUnicode(s)
+    catch { case _: IllegalArgumentException => s }
+  }
+
+  /** Spark's `lower()` on a driver/executor string — UTF8String's
+    * lowercase (ASCII fast path, else JDK toLowerCase), NOT
+    * String.toLowerCase directly, so the kernel byte-matches the
+    * Column forest on every input. */
+  private[functions] def sparkLower(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
 }
 
 /** Codegen'd wrapper over [[UrlNorm.pctNormalize]]. */
@@ -287,11 +313,209 @@ case class UrlRegisteredDomain(child: Expression, suffixes: Seq[String],
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** URL canonicalization as ONE compiled scan returning a struct
+  * `(url_canon, host, n_params_dropped)` — the kernel form of the
+  * [[graft.operators.UrlOps.canonicalUrl]] + [[graft.operators.UrlOps
+  * .hostOf]] + tracking-drop-count Column forest, with the tracking
+  * set as DATA (r16 verdict item 5: the builder's A/B attributed the
+  * residual URL-band cost to the param strip + the duplicated
+  * canonicalUrl sub-expressions riding ~12 regexp nodes per
+  * reference; the GramHashLens / UrlRegisteredDomain treatment
+  * applies verbatim).
+  *
+  * The forest stays as the executable SPEC — the DuckDB oracles
+  * replay ITS SQL twins ([[graft.operators.UrlOps.canonicalUrlSql]] /
+  * [[graft.operators.UrlOps.hostOfSql]]), and UrlSpec pins this
+  * kernel's three fields EXACTLY equal to the forest's three columns
+  * over every fixture URL, so the oracles stay valid against the
+  * kernel path. Each parsing step below mirrors one forest regexp
+  * (cited inline); percent-normalize / remove-dot-segments / IDN fold
+  * are the SAME [[UrlNorm]] cores the forest's kernels run.
+  *
+  * Scale shape: one O(len) scan + a bounded param sort per row,
+  * zero regex, zero duplicated subtrees; the struct's three field
+  * reads CSE inside one whole-stage-codegen projection. */
+case class UrlCanonParts(child: Expression, tracking: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("url_canon", StringType, nullable = true),
+    StructField("host", StringType, nullable = true),
+    StructField("n_params_dropped", LongType, nullable = false)))
+  override def prettyName: String = "url_canon_parts"
+
+  @transient private lazy val trackingSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](tracking.size * 2)
+    tracking.foreach(s.add)
+    s
+  }
+
+  /** End index of the scheme iff `s` has scheme "://" at position 0
+    * ([[graft.operators.UrlOps]]'s `HasAuthorityRe` probe), else -1. */
+  private def schemeEnd(s: String): Int = {
+    if (s.isEmpty) return -1
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return -1
+    var i = 1
+    while (i < s.length && {
+      val c = s.charAt(i)
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+    }) i += 1
+    if (s.startsWith("://", i)) i else -1
+  }
+
+  /** Tracking-key hits among the NON-EMPTY `&`-params of `q` (the
+    * forest's `size(all) - size(kept)`: key = prefix before '='). */
+  private def droppedIn(q: String): Long = {
+    var dropped = 0L
+    var start = 0
+    var i = 0
+    val n = q.length
+    while (i <= n) {
+      if (i == n || q.charAt(i) == '&') {
+        if (i > start) {
+          val p = q.substring(start, i)
+          val eq = p.indexOf('=')
+          val key = if (eq >= 0) p.substring(0, eq) else p
+          if (trackingSet.contains(key)) dropped += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    dropped
+  }
+
+  def parts(u0: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val url = u0.toString
+    // n_params_dropped counts on the RAW url (the canonicalize()
+    // contract): fragment-stripped, after the first '?'
+    val nDropped = {
+      val hi = url.indexOf('#')
+      val rawNf = if (hi >= 0) url.substring(0, hi) else url
+      val qi = rawNf.indexOf('?')
+      if (qi >= 0) droppedIn(rawNf.substring(qi + 1)) else 0L
+    }
+    val se = schemeEnd(url)
+    if (se < 0) // malformed: url passes through, host is NULL
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](u0, null, nDropped))
+    val nu = UrlNorm.pctNormalizeStr(url)
+    // ---- host (hostOf): after '://' skip userinfo (first '@' before
+    // any /?#), then the run up to ':' '/' '?' '#'
+    val host: String = {
+      val aStart = se + 3
+      var aEnd = aStart
+      while (aEnd < nu.length && {
+        val c = nu.charAt(aEnd); c != '/' && c != '?' && c != '#'
+      }) aEnd += 1
+      var at = -1
+      var i = aStart
+      while (i < aEnd && at < 0) {
+        if (nu.charAt(i) == '@') at = i
+        i += 1
+      }
+      val hStart = if (at >= 0) at + 1 else aStart
+      var hEnd = hStart
+      while (hEnd < aEnd && nu.charAt(hEnd) != ':') hEnd += 1
+      UrlNorm.idnFoldStr(UrlNorm.sparkLower(nu.substring(hStart, hEnd)))
+    }
+    // ---- canonical URL over noFrag(nu)
+    val fi = nu.indexOf('#')
+    val nf = if (fi >= 0) nu.substring(0, fi) else nu
+    val qi = nf.indexOf('?')
+    val base = if (qi >= 0) nf.substring(0, qi) else nf
+    val scheme = UrlNorm.sparkLower(base.substring(0, se))
+    val aStart = se + 3
+    var aEnd = aStart
+    while (aEnd < base.length && base.charAt(aEnd) != '/') aEnd += 1
+    var at = -1
+    var i = aStart
+    while (i < aEnd && at < 0) {
+      if (base.charAt(i) == '@') at = i
+      i += 1
+    }
+    val userinfo = if (at >= 0) base.substring(aStart, at + 1) else ""
+    var hostport = UrlNorm.idnFoldStr(UrlNorm.sparkLower(
+      base.substring(if (at >= 0) at + 1 else aStart, aEnd)))
+    // default-port strip (the two scheme-anchored rewrites): host part
+    // `[^/:]*` then the literal default port at end-of-authority ⇔
+    // hostport's FIRST ':' starts its ':80'/'443' suffix
+    if (scheme == "http" && hostport.endsWith(":80") &&
+        hostport.indexOf(':') == hostport.length - 3)
+      hostport = hostport.substring(0, hostport.length - 3)
+    else if (scheme == "https" && hostport.endsWith(":443") &&
+        hostport.indexOf(':') == hostport.length - 4)
+      hostport = hostport.substring(0, hostport.length - 4)
+    // path: remove_dot_segments; an authority-only URL gets '/'
+    // (canonPath == "" ⇔ rest == "", since the RFC fold maps any
+    // nonempty '/…' input to a nonempty output)
+    val rest = if (aEnd < base.length) base.substring(aEnd) else ""
+    val path =
+      if (rest.isEmpty) "/" else UrlNorm.removeDotSegmentsStr(rest)
+    // query: non-empty non-tracking params of nf-after-first-'?',
+    // sorted in UTF8-binary order (array_sort)
+    val sb = new java.lang.StringBuilder(nu.length + 1)
+    sb.append(scheme).append("://").append(userinfo).append(hostport)
+      .append(path)
+    if (qi >= 0) {
+      val q = nf.substring(qi + 1)
+      val kept = new java.util.ArrayList[UTF8String]
+      var start = 0
+      var j = 0
+      val n = q.length
+      while (j <= n) {
+        if (j == n || q.charAt(j) == '&') {
+          if (j > start) {
+            val p = q.substring(start, j)
+            val eq = p.indexOf('=')
+            val key = if (eq >= 0) p.substring(0, eq) else p
+            if (!trackingSet.contains(key))
+              kept.add(UTF8String.fromString(p))
+          }
+          start = j + 1
+        }
+        j += 1
+      }
+      if (!kept.isEmpty) {
+        java.util.Collections.sort(kept)
+        sb.append('?')
+        var k = 0
+        while (k < kept.size) {
+          if (k > 0) sb.append('&')
+          sb.append(kept.get(k).toString)
+          k += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString),
+        UTF8String.fromString(host), nDropped))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    parts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("urlCanonParts", this,
+        classOf[UrlCanonParts].getName)
+      s"${ev.value} = $ref.parts($v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object UrlExpressions {
   val FnName = "url_pct_normalize"
   val DotFnName = "url_remove_dot_segments"
   val IdnFnName = "url_idn_fold"
   val RegDomFnName = "url_registered_domain"
+  val CanonFnName = "url_canon_parts"
 
   /** Idempotently register the URL-normalization kernels. */
   def register(spark: SparkSession): Unit = {
@@ -338,6 +562,24 @@ object UrlExpressions {
         UrlRegisteredDomain(exprs.head, strs(exprs(1), "suffixes"),
           strs(exprs(2), "wildcards"), strs(exprs(3), "exceptions"))
       }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CanonFnName,
+      exprs => {
+        def badC(what: String) =
+          new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              s"$CanonFnName(url, trackingParams): $what"))
+        if (exprs.length != 2) throw badC("exactly 2 arguments required")
+        val t = exprs(1)
+        if (!t.foldable)
+          throw badC("trackingParams must be a foldable array<string>")
+        val v = t.eval()
+        if (v == null) throw badC("trackingParams must be non-null")
+        val arr =
+          v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        UrlCanonParts(exprs.head,
+          (0 until arr.numElements()).map(arr.getUTF8String(_).toString))
+      }, "scala_udf")
   }
 
   def pctNormalize(url: Column): Column = call_function(FnName, url)
@@ -354,5 +596,13 @@ object UrlExpressions {
     import org.apache.spark.sql.functions.typedlit
     call_function(RegDomFnName, host, typedlit(suffixes),
       typedlit(wildcards), typedlit(exceptions))
+  }
+
+  /** Compiled canonicalization struct
+    * `(url_canon, host, n_params_dropped)` (see [[UrlCanonParts]]);
+    * call [[register]] on the session first. */
+  def canonParts(url: Column, tracking: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function(CanonFnName, url, typedlit(tracking))
   }
 }

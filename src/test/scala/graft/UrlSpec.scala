@@ -236,6 +236,80 @@ class UrlSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_params_dropped") === 0L)
   }
 
+  test("canonicalize: kernel ≡ the Column-forest reference, exhaustively") {
+    // the production path is the one-scan UrlCanonParts struct kernel;
+    // this pins EXACT (url_canon, host, domain, n_params_dropped)
+    // equality with the regexp forest the SQL oracles mirror — over
+    // every canonicalization rule family plus degenerate shapes
+    val urls = Seq(
+      "HTTP://WWW.Ex.COM/Path?Q=Vv",
+      "http://ex.com:80/a", "https://ex.com:443/a", "http://ex.com:8080/a",
+      "https://ex.com:80/a", "http://ex.com:443/a", "http://ex.com:80",
+      "http://ex.com:80?x=1", "http://ex.com:8080?x=1", "HTTPS://ex.com:443",
+      "http://ex.com", "http://ex.com#frag", "http://ex.com/#frag",
+      "http://ex.com/?", "http://ex.com/??a=1", "http://ex.com?x=1#f?y=2",
+      "http://ex.com#a?b=1", "http://ex.com/p#a#b",
+      "http://User:Pw@Ex.com:80/p", "http://u@ex.com", "http://@ex.com",
+      "http://a@b@c.com:80/", "http://u:p@h:80@x/", "http://ex.com/a@b",
+      "http://ex.com/a/./b/../c/", "http://ex.com/../..",
+      "http://ex.com/a/..", "http://ex.com/a/.", "http://ex.com/a//b///c",
+      "http://ex.com/p?utm_source=x&b=2&a=1&gclid=9",
+      "http://ex.com/p?utm_source=x&utm_medium=y",
+      "http://ex.com/p?&&a=1&&", "http://ex.com/p?==&=x&a",
+      "http://ex.com/p?ref=1&REF=2", "http://ex.com/p?utm_source",
+      "http://ex.com/p?utm_source=", "http://ex.com/p?a=1&a=1&a=0",
+      "http://ex.com/%7Euser/%3a/%2541?x=%61&utm_source=%62",
+      "http://EX%41MPLE.com/", "http://ex.com/%", "http://ex.com/%6%412",
+      "http://xn--mnchen-3ya.de/p", "https://XN--bogus---x.de",
+      "http://xn--mnchen-3ya.de:443/p", "https://xn--mnchen-3ya.de:443/p",
+      "ftp://Ex.Com:21/f", "javascript:alert(1)", "", "x",
+      "relative/path?utm_source=1", "://nohost", "http:/missing",
+      "http://😀.ws/p", "http://:80/", "http://", "http://#f",
+      "http://?utm_source=1", "http://ex.com:081/", "http://ex.com:/p")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, Seq[String])
+          => org.apache.spark.sql.DataFrame) =
+      f(urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+          .toDF("i", "u"), col("i"), col("u"), Nil)
+        .orderBy("doc_id").collect()
+    val k = run(UrlOps.canonicalize(_, _, _, _))
+    val f = run(UrlOps.canonicalizeExpr(_, _, _, _))
+    k.zip(f).zip(urls).foreach { case ((a, b), u) =>
+      assert(a == b, s"kernel/forest divergence on '$u': $a vs $b")
+    }
+    // NULL url: both paths yield NULL canon/host/domain, 0 dropped
+    val nk = run((df, id, url, keep) => UrlOps.canonicalize(
+      df.select(id.as("i"), lit(null).cast("string").as("u")),
+      col("i"), col("u"), keep)).head
+    assert(nk.isNullAt(2) && nk.isNullAt(3) && nk.isNullAt(4) &&
+      nk.getLong(5) == 0L)
+    // randomized: URLs assembled from colliding parts so every rule
+    // interaction (port×userinfo×dots×params×frag) gets exercised
+    val rnd = new scala.util.Random(20260817)
+    val schemes = Seq("http://", "https://", "HTTP://", "ftp://", "")
+    val hosts2 = Seq("Ex.COM", "a.co.uk", "u:p@H.io", "@x.y", "h:80",
+      "h:443", "h:8080", "xn--mnchen-3ya.de", "", "%41b.com")
+    val paths = Seq("", "/", "/a/./b", "/a/../..", "/%7E%3a", "//x", "/.")
+    val queries = Seq("", "?", "?a=1&utm_source=x", "?b&&a", "?ref=1&a=%41")
+    val frags = Seq("", "#f", "#a?b=1")
+    val randoms = (1 to 500).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + hosts2(rnd.nextInt(hosts2.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+    }
+    def runR(f: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        Seq[String]) => org.apache.spark.sql.DataFrame) =
+      f(randoms.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+          .toDF("i", "u"), col("i"), col("u"), Nil)
+        .orderBy("doc_id").collect()
+    val rk = runR(UrlOps.canonicalize(_, _, _, _))
+    val rf = runR(UrlOps.canonicalizeExpr(_, _, _, _))
+    rk.zip(rf).zip(randoms).foreach { case ((a, b), u) =>
+      assert(a == b, s"kernel/forest divergence on random '$u': $a vs $b")
+    }
+  }
+
   test("domainStats: duplication exposed by canonicalization, blocklist verdict") {
     // two raw variants of ONE resource on blocked.com + one other domain
     val df = Seq(
