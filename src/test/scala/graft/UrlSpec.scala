@@ -129,6 +129,41 @@ class UrlSpec extends SparkSpec {
     assert(plain === "amazonaws.com")
   }
 
+  test("registered domain: FULL vendored PSL — IDN suffix, long-tail " +
+      "private rules, load shape (r16 verdict item 7)") {
+    import graft.operators.PublicSuffixes
+    // the full snapshot actually loaded (was ~190 curated rules r14-r16)
+    assert(PublicSuffixes.All.size > 7000,
+      s"full exact rule set expected, got ${PublicSuffixes.All.size}")
+    assert(PublicSuffixes.Wildcards.size > 100)
+    assert(PublicSuffixes.Exceptions.size >= 8)
+    // IDN suffix in its Unicode canonical form: 公司.cn is an ICANN rule
+    val idn = Seq("example.公司.cn", "deep.example.公司.cn", "公司.cn")
+      .toDF("h")
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idn("example.公司.cn") === "example.公司.cn")
+    assert(idn("deep.example.公司.cn") === "example.公司.cn")
+    assert(idn("公司.cn") === "公司.cn")
+    // …and the ACE spelling reaches the same unit through hostOf's IDN
+    // fold: xn--55qx5d.cn IS 公司.cn
+    val viaUrl = Seq(Tuple1("http://Sub.Example.XN--55QX5D.cn/p"))
+      .toDF("u")
+      .select(UrlOps.registeredDomain(UrlOps.hostOf(col("u"))))
+      .collect().head.getString(0)
+    assert(viaUrl === "example.公司.cn")
+    // long-tail private-section rules the curated snapshot lacked
+    val tail = Seq("mybox.duckdns.org", "a.mybox.duckdns.org",
+      "app.trycloudflare.com", "x.map.fastly.net")
+      .toDF("h")
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tail("mybox.duckdns.org") === "mybox.duckdns.org")
+    assert(tail("a.mybox.duckdns.org") === "mybox.duckdns.org")
+    assert(tail("app.trycloudflare.com") === "app.trycloudflare.com")
+    assert(tail("x.map.fastly.net") === "x.map.fastly.net")
+  }
+
   test("registered domain: wildcard rules and exception carve-outs") {
     // r15 verdict item 3: *.compute.amazonaws.com-class rules — every
     // EC2 public hostname is a distinct operator, every *.ck label a
