@@ -205,6 +205,118 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
     copy(child = newChild)
 }
 
+/** GPT-2 pre-tokenization (Radford et al. 2019 §2.2) as ONE compiled
+  * code-point scan — the kernel form of [[graft.operators.BpeOps
+  * .gptPreTokenizeExpr]]'s two-regex-pass Column tree (boundary-mark
+  * replace + split + per-segment extract). Same output by construction:
+  * the scan IS the published alternation evaluated left-to-right —
+  * contraction suffix first (token start only; a mid-run apostrophe
+  * stays inside its symbol run, the regex's no-mid-match semantics),
+  * then the ` ?`-led letter / number / other-symbol runs (one optional
+  * leading SPACE, classes = Java `\p{L}` / `\p{N}` / the complement
+  * minus the explicit ASCII whitespace set), then the whitespace-run
+  * rule with the `\s+(?!\S)` donation built in: a run followed by
+  * non-whitespace emits all-but-last-char as one token, a trailing
+  * SPACE rides the next run's ` ?`, a trailing non-space whitespace
+  * char stands alone. Classes are disjoint and cover every code point,
+  * so the emitted tokens PARTITION the input (concat == identity).
+  * Kernel ≡ the two-pass reference is pinned in BpeSpec over the
+  * GPT-2 fixtures, randomized colliding-part strings, and the corpus.
+  *
+  * Why: the production GPT tokenization path (q200's shape — the one a
+  * 100 TB corpus actually runs) paid two full regex passes + a split +
+  * a flatten per document before the byte encode; this is one O(len)
+  * scan, zero regex. The DuckDB oracle keeps replaying the two-pass
+  * SQL twin ([[graft.operators.BpeOps.gptPreTokensSql]]) verbatim. */
+case class GptPreTokenize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gpt_pre_tokenize"
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+  private def isNum(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  def segment(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Object](16)
+    def add(a: Int, b: Int): Unit =
+      out.add(UTF8String.fromString(s.substring(a, b)))
+    // the ` ?X+` rule: consume the class run whose first code point sits
+    // at `p` (non-whitespace by the callers' guards); the token starts
+    // at `tokStart` (== p, or p-1 when a leading space rides). Returns
+    // the run end.
+    def run(tokStart: Int, p: Int): Int = {
+      val cp0 = s.codePointAt(p)
+      var j = p + Character.charCount(cp0)
+      if (Character.isLetter(cp0)) {
+        while (j < n && Character.isLetter(s.codePointAt(j)))
+          j += Character.charCount(s.codePointAt(j))
+      } else if (isNum(cp0)) {
+        while (j < n && isNum(s.codePointAt(j)))
+          j += Character.charCount(s.codePointAt(j))
+      } else {
+        var go = true
+        while (j < n && go) {
+          val cp = s.codePointAt(j)
+          go = !Character.isLetter(cp) && !isNum(cp) &&
+            !(cp < 128 && isWs(cp.toChar))
+          if (go) j += Character.charCount(cp)
+        }
+      }
+      add(tokStart, j)
+      j
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' && i + 1 < n && {
+        val c1 = s.charAt(i + 1)
+        c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd'
+      }) { add(i, i + 2); i += 2 }
+      else if (c == '\'' && i + 2 < n && {
+        val c2 = s.charAt(i + 1); val c3 = s.charAt(i + 2)
+        (c2 == 'r' && c3 == 'e') || (c2 == 'v' && c3 == 'e') ||
+          (c2 == 'l' && c3 == 'l')
+      }) { add(i, i + 3); i += 3 }
+      else if (c == ' ' && i + 1 < n && !isWs(s.charAt(i + 1)))
+        i = run(i, i + 1) // ` ?X+` absorption
+      else if (isWs(c)) {
+        var j = i
+        while (j < n && isWs(s.charAt(j))) j += 1
+        if (j >= n || j - i == 1) { add(i, j); i = j } // trailing / lone
+        else {
+          add(i, j - 1) // the `\s+(?!\S)` piece: run minus last char
+          if (s.charAt(j - 1) == ' ') i = run(j - 1, j) // donated space
+          else { add(j - 1, j); i = j } // a tab/newline stands alone
+        }
+      }
+      else i = run(i, i)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    segment(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("gptPreTok", this,
+        classOf[GptPreTokenize].getName)
+      s"${ev.value} = $ref.segment($v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object BpeExpressions {
   val FnName = "bpe_encode"
 
@@ -219,8 +331,20 @@ object BpeExpressions {
     * the per-PRE-TOKEN encode: input is one unit, spaces included. */
   val BytePreFnName = "byte_bpe_encode_pre"
 
+  /** The one-scan GPT pre-tokenizer (see [[GptPreTokenize]]). */
+  val GptPreFnName = "gpt_pre_tokenize"
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      GptPreFnName,
+      exprs => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              s"$GptPreFnName(text): exactly 1 argument required"))
+        GptPreTokenize(exprs.head)
+      }, "scala_udf")
     Seq((FnName, false, false), (ByteFnName, true, false),
       (BytePreFnName, true, true)).foreach {
       case (name, byteLevel, wholeInput) =>
@@ -273,6 +397,11 @@ object BpeExpressions {
       case (l, r) => BpeMergeRow(l, r) })
     call_function(BytePreFnName, token, lit)
   }
+
+  /** One-scan GPT pre-tokenization column (see [[GptPreTokenize]]);
+    * call [[register]] on the session first. */
+  def gptPreTokens(text: Column): Column =
+    call_function(GptPreFnName, text)
 }
 
 /** Struct shape of one merge row in the [[BpeExpressions.bpeEncode]]

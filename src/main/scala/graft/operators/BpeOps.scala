@@ -395,12 +395,29 @@ object BpeOps {
   val GptWsSplitSep: String = "\uE000"
 
   /** Text as GPT-style pre-tokens: the published GPT-2 segmentation
-    * (Radford et al. 2019 §2.2) via the lookahead-free two-pass form —
-    * mark the `\s+(?!\S)` boundaries ([[GptWsSplitPattern]]), split,
-    * extract [[GptPreTokenPattern]] per segment, flatten. Row-local:
-    * two regexp passes + one split. The DuckDB oracle twin is
-    * [[gptPreTokensSql]] — the same three steps verbatim. */
-  def gptPreTokenize(text: Column): Column =
+    * (Radford et al. 2019 §2.2). Production path is the ONE-SCAN
+    * compiled kernel ([[graft.functions.GptPreTokenize]] — zero regex
+    * on the path every tokenized byte of a 100 TB corpus walks);
+    * [[gptPreTokenizeExpr]] keeps the lookahead-free two-regex-pass
+    * Column form as the oracle-mirrored executable reference
+    * ([[gptPreTokensSql]] is ITS verbatim SQL twin), and BpeSpec pins
+    * kernel ≡ reference on the GPT-2 fixtures, randomized strings,
+    * and the corpus. Call sites need no registration call — this
+    * registers the kernel on the input's session via the expression
+    * registry (idempotent). */
+  def gptPreTokenize(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.BpeExpressions.register)
+    graft.functions.BpeExpressions.gptPreTokens(text)
+  }
+
+  /** The two-pass Column REFERENCE form of [[gptPreTokenize]] — mark
+    * the `\s+(?!\S)` boundaries ([[GptWsSplitPattern]]), split,
+    * extract [[GptPreTokenPattern]] per segment, flatten. Two regexp
+    * passes + one split per row; NOT the production path (the
+    * registeredDomainExpr/canonicalizeExpr precedent), but the form
+    * the DuckDB oracles replay verbatim. */
+  def gptPreTokenizeExpr(text: Column): Column =
     flatten(transform(
       split(regexp_replace(text, GptWsSplitPattern,
         "$1" + GptWsSplitSep + "$2"), GptWsSplitSep),

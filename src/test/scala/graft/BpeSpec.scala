@@ -257,6 +257,50 @@ class BpeSpec extends SparkSpec {
     assert(bad == 0L, "pre-tokens must concatenate back to the text")
   }
 
+  test("gpt pre-tokenize: one-scan kernel ≡ the two-pass regex reference, " +
+      "exhaustively") {
+    // production path is the compiled GptPreTokenize scan; this pins
+    // EXACT token-list equality with the two-regex-pass Column form the
+    // DuckDB oracle replays — over the GPT-2 fixtures, randomized
+    // colliding-part strings, and the corpus
+    def both(ts: Seq[String]): Unit = {
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("i", "t")
+      val rows = df.select(col("t"),
+          BpeOps.gptPreTokenize(col("t")).as("k"),
+          BpeOps.gptPreTokenizeExpr(col("t")).as("f"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"kernel/reference divergence on '${r.getString(0)}': " +
+            s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+    both(Seq("a  b", "a    b", "def f():\n    return 1", "a  's",
+      "a  'sfoo", "x\t\ty", "a \t b", "a  ", "  lead", "", " ", "  ",
+      "don't stop", "it's 2024!", "x1y2", "a'b", "'''", "'re'll'x",
+      "€uro-sign!?", "😀 emoji'sfun 42x", "ab", "'s", "'", "x'",
+      "１２34五", "Ⅻroman", "a  １２", "tab\t\ttab", "_under score_",
+      "é combining", "ＡＢfull width"))
+    val rnd = new scala.util.Random(20260818)
+    val parts = Seq("a", "B", "1", "２", "'s", "'ll", "'x", "!", "-", "'",
+      " ", "  ", "\t", "\n", " \t ", "€", "😀", "五", "é", "")
+    both((1 to 600).map { _ =>
+      (1 to (1 + rnd.nextInt(8))).map(_ => parts(rnd.nextInt(parts.size)))
+        .mkString
+    })
+    // corpus: kernel partition identity (concat == text) + parity
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 200)
+    val bad = docs.select(
+        BpeOps.gptPreTokenize(col("text")).as("k"),
+        BpeOps.gptPreTokenizeExpr(col("text")).as("f"),
+        col("text"))
+      .where(col("k") =!= col("f") ||
+        concat_ws("", col("k")) =!= col("text")).count()
+    assert(bad == 0L, "kernel/reference divergence or identity break " +
+      "on corpus text")
+  }
+
   test("gpt byte bpe: whole-input encode round-trips the FULL text") {
     val docs = Tables.documents(spark, sf).where(col("doc_id") < 60)
       .select("doc_id", "text")
