@@ -232,22 +232,64 @@ case class GptPreTokenize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "gpt_pre_tokenize"
 
+  def segment(u: UTF8String): ArrayData = {
+    val s = u.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Object](16)
+    GptSegmenter.scan(s, (a, b) =>
+      out.add(UTF8String.fromString(s.substring(a, b))))
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    segment(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("gptPreTok", this,
+        classOf[GptPreTokenize].getName)
+      s"${ev.value} = $ref.segment($v);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** The one-scan GPT-2 segmentation itself, as an [a, b) boundary
+  * emitter shared by [[GptPreTokenize]] (emits the pre-token strings)
+  * and [[GptByteBpe]] (encodes each pre-token in place, never
+  * materializing the pre-token array). */
+object GptSegmenter {
+
+  // The full Unicode White_Space=Yes set (25 BMP code points) -- in
+  // lockstep with [[graft.operators.BpeOps.GptWsClass]] (the regex twin)
+  // and its SQL form (r17 verdict item 1: Python `regex`'s whitespace
+  // shorthand, the published pattern's engine, is Unicode-aware, so
+  // NBSP, the typographic spaces, line/paragraph separators, and the
+  // ideographic space are whitespace to the reference tokenizer). A
+  // Char test covers the whole class: no member is astral and a
+  // surrogate half can never equal one (the D800-DFFF block is
+  // disjoint).
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
-      c == '\r'
+    c == ' ' || (c >= '\t' && c <= '\r') || c == '\u0085' ||
+      c == '\u00A0' || c == '\u1680' ||
+      (c >= '\u2000' && c <= '\u200A') ||
+      c == '\u2028' || c == '\u2029' || c == '\u202F' ||
+      c == '\u205F' || c == '\u3000'
   private def isNum(cp: Int): Boolean = {
     val t = Character.getType(cp)
     t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
       t == Character.OTHER_NUMBER
   }
 
-  def segment(u: UTF8String): ArrayData = {
-    val s = u.toString
+  /** Emit each pre-token's code-unit span [a, b), left to right; the
+    * spans partition `s`. Only a LITERAL space (U+0020) can lead a run
+    * via ` ?` or be donated across a `\s+(?!\S)` boundary -- the
+    * published pattern's ` ?` is a literal space, so any other
+    * whitespace char at a run boundary stands alone like a tab. */
+  def scan(s: String, add: (Int, Int) => Unit): Unit = {
     val n = s.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val out = new java.util.ArrayList[Object](16)
-    def add(a: Int, b: Int): Unit =
-      out.add(UTF8String.fromString(s.substring(a, b)))
     // the ` ?X+` rule: consume the class run whose first code point sits
     // at `p` (non-whitespace by the callers' guards); the token starts
     // at `tokStart` (== p, or p-1 when a leading space rides). Returns
@@ -266,7 +308,7 @@ case class GptPreTokenize(child: Expression) extends UnaryExpression {
         while (j < n && go) {
           val cp = s.codePointAt(j)
           go = !Character.isLetter(cp) && !isNum(cp) &&
-            !(cp < 128 && isWs(cp.toChar))
+            !(cp < 0x10000 && isWs(cp.toChar))
           if (go) j += Character.charCount(cp)
         }
       }
@@ -294,28 +336,67 @@ case class GptPreTokenize(child: Expression) extends UnaryExpression {
         else {
           add(i, j - 1) // the `\s+(?!\S)` piece: run minus last char
           if (s.charAt(j - 1) == ' ') i = run(j - 1, j) // donated space
-          else { add(j - 1, j); i = j } // a tab/newline stands alone
+          else { add(j - 1, j); i = j } // a tab/NBSP/... stands alone
         }
       }
       else i = run(i, i)
     }
+  }
+}
+
+/** The FUSED production GPT tokenize path (r17 verdict item 2):
+  * pre-tokenize then byte-BPE-encode in ONE compiled scan. The staged
+  * form (`transform(gpt_pre_tokenize(text), t =>
+  * byte_bpe_encode_pre(t, m))`) pays a Catalyst HOF -- HOFs are
+  * CodegenFallback, so one node drops the enclosing projection to
+  * interpreted eval (the repo's r14 lesson) -- and materializes the
+  * pre-token array per document. Here the [[GptSegmenter]] boundary
+  * scan feeds each pre-token span straight into [[BpeEncode]]'s
+  * byte-level whole-input coder (same rank maps, same per-thread Zipf
+  * cache; fused == staged is pinned in BpeSpec over fixtures,
+  * randomized strings, and the corpus), so a document tokenizes in one
+  * codegen'd expression with zero regex, zero HOF, and zero
+  * intermediate array. */
+case class GptByteBpe(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gpt_byte_bpe"
+
+  // BpeEncode's byte-level whole-input machinery reused as the
+  // per-pre-token coder (rank map + bounded per-thread word cache);
+  // held as data, never evaluated as an expression itself.
+  @transient private lazy val coder =
+    BpeEncode(child, merges, byteLevel = true, wholeInput = true)
+
+  def encodeAll(u: UTF8String): ArrayData = {
+    val s = u.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Object](32)
+    GptSegmenter.scan(s, (a, b) => {
+      val ws = coder.encodeWord(s.substring(a, b))
+      var k = 0
+      while (k < ws.length) {
+        out.add(UTF8String.fromString(ws(k))); k += 1
+      }
+    })
     new GenericArrayData(out.toArray)
   }
 
   override def nullSafeEval(v: Any): Any =
-    segment(v.asInstanceOf[UTF8String])
+    encodeAll(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val ref = ctx.addReferenceObj("gptPreTok", this,
-        classOf[GptPreTokenize].getName)
-      s"${ev.value} = $ref.segment($v);"
+      val ref = ctx.addReferenceObj("gptByteBpe", this,
+        classOf[GptByteBpe].getName)
+      s"${ev.value} = $ref.encodeAll($v);"
     })
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
 }
+
 
 object BpeExpressions {
   val FnName = "bpe_encode"
@@ -334,6 +415,9 @@ object BpeExpressions {
   /** The one-scan GPT pre-tokenizer (see [[GptPreTokenize]]). */
   val GptPreFnName = "gpt_pre_tokenize"
 
+  /** The fused pre-tokenize∘byte-BPE kernel (see [[GptByteBpe]]). */
+  val GptByteBpeFnName = "gpt_byte_bpe"
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -345,29 +429,40 @@ object BpeExpressions {
               s"$GptPreFnName(text): exactly 1 argument required"))
         GptPreTokenize(exprs.head)
       }, "scala_udf")
+    def parseMerges(name: String, exprs: Seq[Expression])
+        : (Expression, Seq[(String, String)]) = {
+      def bad(what: String) =
+        new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"$name(text, merges): merges argument must be $what"))
+      if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
+      if (!exprs(1).foldable)
+        throw bad("a foldable array<struct<l,r>> literal")
+      val v = exprs(1).eval()
+      if (v == null) throw bad("non-null")
+      val arr = v.asInstanceOf[ArrayData]
+      val merges = (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 2)
+        (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+      }
+      (exprs.head, merges)
+    }
     Seq((FnName, false, false), (ByteFnName, true, false),
       (BytePreFnName, true, true)).foreach {
       case (name, byteLevel, wholeInput) =>
         classic.sessionState.functionRegistry.createOrReplaceTempFunction(
           name,
           exprs => {
-            def bad(what: String) =
-              new org.apache.spark.sql.AnalysisException(
-                "USER_RAISED_EXCEPTION", Map("errorMessage" ->
-                  s"$name(text, merges): merges argument must be $what"))
-            if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
-            if (!exprs(1).foldable)
-              throw bad("a foldable array<struct<l,r>> literal")
-            val v = exprs(1).eval()
-            if (v == null) throw bad("non-null")
-            val arr = v.asInstanceOf[ArrayData]
-            val merges = (0 until arr.numElements()).map { i =>
-              val row = arr.getStruct(i, 2)
-              (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
-            }
-            BpeEncode(exprs.head, merges, byteLevel, wholeInput)
+            val (text, merges) = parseMerges(name, exprs)
+            BpeEncode(text, merges, byteLevel, wholeInput)
           }, "scala_udf")
     }
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      GptByteBpeFnName,
+      exprs => {
+        val (text, merges) = parseMerges(GptByteBpeFnName, exprs)
+        GptByteBpe(text, merges)
+      }, "scala_udf")
   }
 
   /** Compiled-tokenizer column (see [[BpeEncode]]); call [[register]] on
@@ -402,6 +497,15 @@ object BpeExpressions {
     * call [[register]] on the session first. */
   def gptPreTokens(text: Column): Column =
     call_function(GptPreFnName, text)
+
+  /** FUSED pre-tokenize∘byte-BPE column (see [[GptByteBpe]]) — the
+    * production GPT tokenize path; call [[register]] on the session
+    * first. */
+  def gptByteBpe(text: Column, merges: Seq[(String, String)]): Column = {
+    val lit = org.apache.spark.sql.functions.typedlit(merges.map {
+      case (l, r) => BpeMergeRow(l, r) })
+    call_function(GptByteBpeFnName, text, lit)
+  }
 }
 
 /** Struct shape of one merge row in the [[BpeExpressions.bpeEncode]]

@@ -57,11 +57,14 @@ object BpeOps {
     // empty-word guard (r16 advice): sequence(1, 0) DESCENDS in Spark
     // ([1, 0]), which would mint two phantom ''-symbols; an empty word
     // has no byte symbols. wordFreqs/preTokenFreqs never produce empty
-    // words, but the helper is a public operator.
+    // words, but the helper is a public operator. NULL passthrough (r17
+    // advice): only the genuinely EMPTY word maps to the empty array — a
+    // NULL word stays NULL (`length(h) === 0` is NULL for NULL input, so
+    // neither branch fires and the `when` chain yields NULL).
     when(length(h) > 0,
       transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
         i => h.substr(i * 2 - 1, lit(2))))
-      .otherwise(array().cast("array<string>"))
+      .when(length(h) === 0, array().cast("array<string>"))
   }
 
   /** Greedy left-to-right non-overlapping rewrite of one merge over a
@@ -357,18 +360,28 @@ object BpeOps {
     * [[GptWsSplitPattern]]) — this pattern is then applied per
     * segment, where the two formulations agree.
     *
-    * The whitespace class is EXPLICIT (`[ \t\n\x0B\f\r]`, Java's ASCII
-    * `\s`) rather than `\s`, for TWO divergences from shorthand
-    * classes: RE2's `\s` omits vertical tab (the one place the two
-    * engines' shorthand classes disagree), and `\s` in neither engine
-    * is extended here to UNICODE whitespace — U+00A0, U+2028, the
-    * ideographic space and friends fall into the 'other symbols' run
-    * (r16 advice note). That is internally consistent across both
-    * engines and keeps the partition identity, but token streams on
-    * text carrying such characters are not comparable to reference
-    * GPT-2 tokenizers, whose Python `\s` is Unicode-aware. */
+    * The whitespace class is EXPLICIT — the full Unicode
+    * White_Space=Yes set ([[GptWsClass]]) spelled out code point by
+    * code point rather than `\s`, for TWO reasons: the engines'
+    * shorthand classes disagree (Java's `\s` is ASCII-without-NBSP,
+    * RE2's omits vertical tab), and the published GPT-2 pattern's `\s`
+    * is PYTHON `regex`, which IS Unicode-aware — U+00A0 (NBSP, what
+    * `&nbsp;`-derived HTML text carries), the typographic spaces
+    * U+2000–U+200A, the line/paragraph separators, U+202F/U+205F, and
+    * the ideographic space U+3000 are all whitespace to the reference
+    * tokenizer (r17 verdict item 1; r16 left them in the 'other
+    * symbols' run, which made token streams on web/CJK text
+    * incomparable to any real GPT-2 tokenizer). The explicit class
+    * keeps Java, RE2, and the compiled kernel in exact lockstep and
+    * preserves the partition identity. Only U+0020 itself can ride a
+    * run's ` ?` or be donated across a `\s+(?!\S)` boundary — the
+    * published pattern's ` ?` is a LITERAL space, so an NBSP or
+    * ideographic space at a run boundary stands alone like a tab. */
+  val GptWsClass: String =
+    """ \t\n\x0B\f\r\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"""
+
   val GptPreTokenPattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+"""
+    s"""'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$GptWsClass\\p{L}\\p{N}]+|[$GptWsClass]+"""
 
   /** The lookahead-free twin of the published pattern's `\s+(?!\S)`
     * (r16 verdict item 3): inside any whitespace run of ≥ 2 chars
@@ -385,7 +398,7 @@ object BpeOps {
     * letter run — because the true tokenization never crosses this
     * boundary and both patterns are context-free within a segment. */
   val GptWsSplitPattern: String =
-    """([ \t\n\x0B\f\r])([ \t\n\x0B\f\r][^ \t\n\x0B\f\r])"""
+    s"""([$GptWsClass])([$GptWsClass][^$GptWsClass])"""
 
   /** Segment separator for [[GptWsSplitPattern]]'s pre-split: a
     * private-use code point. A corpus text already containing U+E000
@@ -406,8 +419,19 @@ object BpeOps {
     * registers the kernel on the input's session via the expression
     * registry (idempotent). */
   def gptPreTokenize(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.BpeExpressions.register)
+    // Fail FAST when no session is active (r17 advice): a silent skip
+    // here would surface later as an opaque 'undefined function
+    // gpt_pre_tokenize' at analysis time, and in multi-session apps
+    // could register on the wrong session. DataFrame-bearing call
+    // sites (gptByteBpeTokenize, preTokenFreqs' callers) register on
+    // the input frame's own session explicitly.
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(throw new IllegalStateException(
+        "BpeOps.gptPreTokenize: no active SparkSession on this thread — " +
+          "call graft.functions.BpeExpressions.register(session) on the " +
+          "DataFrame's session first, or invoke from a thread with an " +
+          "active session"))
+    graft.functions.BpeExpressions.register(spark)
     graft.functions.BpeExpressions.gptPreTokens(text)
   }
 
@@ -417,19 +441,39 @@ object BpeOps {
     * passes + one split per row; NOT the production path (the
     * registeredDomainExpr/canonicalizeExpr precedent), but the form
     * the DuckDB oracles replay verbatim. */
-  def gptPreTokenizeExpr(text: Column): Column =
+  def gptPreTokenizeExpr(text: Column): Column = {
+    // U+E000 guard (r17 advice): the two-pass form uses [[GptWsSplitSep]]
+    // as a split sentinel, so input natively containing it would SILENTLY
+    // gain a segment boundary — and silently diverge from the one-scan
+    // kernel (which needs no sentinel) and break the oracle compare.
+    // Assert absence per row instead: a future corpus with private-use
+    // code points fails LOUDLY here and in the SQL twin alike.
+    val guarded = when(contains(text, lit(GptWsSplitSep)),
+        raise_error(lit("gptPreTokenizeExpr: input contains the " +
+          "private-use sentinel U+E000 — the two-pass reference form " +
+          "cannot segment it; use the gpt_pre_tokenize kernel path"))
+          .cast("string"))
+      .otherwise(text)
     flatten(transform(
-      split(regexp_replace(text, GptWsSplitPattern,
+      split(regexp_replace(guarded, GptWsSplitPattern,
         "$1" + GptWsSplitSep + "$2"), GptWsSplitSep),
       s => regexp_extract_all(s, lit(GptPreTokenPattern), lit(0))))
+  }
 
   /** DuckDB twin of [[gptPreTokenize]] over a column expression `text`
     * — a LIST(VARCHAR) expression (quote-escaped; RE2 rewrite
     * backrefs). */
   def gptPreTokensSql(text: String): String = {
     val pat = GptPreTokenPattern.replace("'", "''")
+    // chr(57344) = U+E000; same loud sentinel guard as
+    // [[gptPreTokenizeExpr]] (DuckDB error() unifies with VARCHAR in a
+    // CASE and evaluates lazily per row)
+    val err =
+      "error('gptPreTokensSql: private-use sentinel U+E000 in input')"
+    val guarded = s"""(CASE WHEN contains($text, chr(57344))
+       |      THEN $err ELSE $text END)""".stripMargin
     s"""flatten(list_transform(
-       |    string_split(regexp_replace($text,
+       |    string_split(regexp_replace($guarded,
        |      '$GptWsSplitPattern', '\\1$GptWsSplitSep\\2', 'g'),
        |      '$GptWsSplitSep'),
        |    s -> regexp_extract_all(s, '$pat')))""".stripMargin
@@ -443,14 +487,35 @@ object BpeOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Per-doc PRE-TOKENIZED byte-level BPE — the production GPT shape:
-    * [[gptPreTokenize]] segments (contractions split, spaces ride
-    * INSIDE the following token), then each pre-token byte-encodes as
-    * one whole unit under the frozen merge table. Row-local: one
-    * regexp pass + one compiled encode per pre-token (`transform` +
-    * flatten), zero shuffle. Output `(doc_id, tokens, n_tokens)`;
-    * `concat(unhex(tokens))` reconstitutes the FULL text, whitespace
-    * included — a stronger identity than the whitespace-word faces. */
+    * [[gptPreTokenize]] segmentation (contractions split, spaces ride
+    * INSIDE the following token), each pre-token byte-encoded as one
+    * whole unit under the frozen merge table — FUSED into the one-scan
+    * [[graft.functions.GptByteBpe]] kernel (r17 verdict item 2: the
+    * staged `transform` HOF was CodegenFallback and materialized the
+    * pre-token array per document; the fused kernel is one codegen'd
+    * scan, zero regex, zero HOF, zero intermediate array).
+    * [[gptByteBpeTokenizeStaged]] keeps the two-expression composition
+    * as the executable reference, spec-pinned fused ≡ staged. Output
+    * `(doc_id, tokens, n_tokens)`; `concat(unhex(tokens))`
+    * reconstitutes the FULL text, whitespace included — a stronger
+    * identity than the whitespace-word faces. */
   def gptByteBpeTokenize(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = graft.functions.BpeExpressions.gptByteBpe(text, m)
+    docs.select(id.as("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
+  /** The STAGED composition of the production GPT tokenize path —
+    * `transform(gptPreTokenize(text), t => byteBpeEncodePre(t, m))` —
+    * kept as the executable reference the fused [[gptByteBpeTokenize]]
+    * kernel is pinned against in BpeSpec (the gptPreTokenizeExpr /
+    * registeredDomainExpr convention: the composition IS the spec; the
+    * kernel is the path a 100 TB corpus walks). */
+  def gptByteBpeTokenizeStaged(docs: DataFrame, id: Column, text: Column,
       merges: DataFrame): DataFrame = {
     graft.functions.BpeExpressions.register(docs.sparkSession)
     val m = merges.orderBy("rank").select("left", "right").collect()

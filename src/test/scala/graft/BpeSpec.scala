@@ -239,6 +239,33 @@ class BpeSpec extends SparkSpec {
     assert(pt("a  ") == Seq("a", "  "),
       "a trailing run is one token (the lookahead matches it whole)")
     assert(pt("") == Seq.empty)
+    // UNICODE whitespace (r17 verdict item 1): the published pattern's
+    // `\s` is Python `regex`, which is Unicode-aware — NBSP (U+00A0,
+    // what `&nbsp;`-derived HTML text carries), the ideographic space
+    // (U+3000), thin space (U+2009), NEL (U+0085), and the line
+    // separator (U+2028) are whitespace to every real GPT-2 tokenizer.
+    // Every expected value below is the PUBLISHED tokenizer's
+    // segmentation (verified against Python `regex` with GPT-2's
+    // pattern). Only a LITERAL space can ride ` ?` or be donated, so a
+    // boundary NBSP stands alone like a tab.
+    assert(pt("a b") == Seq("a", " ", "b"),
+      "NBSP is whitespace — its neighbors are bare runs")
+    assert(pt("a  b") == Seq("a", " ", " ", "b"),
+      "a donated NBSP stands alone (it cannot ride ` ?`)")
+    assert(pt("café bar") == Seq("café", " ", "bar"),
+      "the HTML-extraction shape: word NBSP word")
+    assert(pt("x 　y") == Seq("x", " ", "　", "y"),
+      "mixed space+ideographic run: space kept, ideographic standalone")
+    assert(pt("a   b") == Seq("a", "  ", " b"),
+      "run minus last char is one token; the trailing SPACE donates")
+    assert(pt(" line") == Seq(" ", "line"),
+      "line separator is whitespace")
+    assert(pt("ab") == Seq("a", "", "b"),
+      "NEL (U+0085) is White_Space=Yes")
+    assert(pt("  x") == Seq(" ", " ", "x"))
+    // NOT whitespace: zero-width space (U+200B) is Cf, not
+    // White_Space=Yes — Python `\s` rejects it too
+    assert(pt("a​b") == Seq("a", "​", "b"))
     // the alternation covers every character class: matches PARTITION
     // the input, so concatenation is the identity — on hostile strings
     // and on corpus text alike
@@ -281,10 +308,15 @@ class BpeSpec extends SparkSpec {
       "don't stop", "it's 2024!", "x1y2", "a'b", "'''", "'re'll'x",
       "€uro-sign!?", "😀 emoji'sfun 42x", "ab", "'s", "'", "x'",
       "１２34五", "Ⅻroman", "a  １２", "tab\t\ttab", "_under score_",
-      "é combining", "ＡＢfull width"))
+      "é combining", "ＡＢfull width",
+      // Unicode whitespace (r17 verdict item 1): NBSP / ideographic /
+      // thin / NEL / line-separator at every boundary position
+      "a b", "a  b", "café bar", "x 　y", "a   b", " line", "ab", "  x", " 's", "   a", "a  ", "a​b", "　　　"))
     val rnd = new scala.util.Random(20260818)
     val parts = Seq("a", "B", "1", "２", "'s", "'ll", "'x", "!", "-", "'",
-      " ", "  ", "\t", "\n", " \t ", "€", "😀", "五", "é", "")
+      " ", "  ", "\t", "\n", " \t ", "€", "😀", "五", "é", "",
+      // Unicode ws members + the ZWSP non-member (r17 item 1)
+      " ", "　", " ", "", " ", "​", "  ", "  ")
     both((1 to 600).map { _ =>
       (1 to (1 + rnd.nextInt(8))).map(_ => parts(rnd.nextInt(parts.size)))
         .mkString
@@ -404,5 +436,60 @@ class BpeSpec extends SparkSpec {
       assert(decoded == t.split(" ").filter(_.nonEmpty).mkString,
         s"round trip failed for doc $id")
     }
+  }
+
+  test("gpt byte bpe: FUSED kernel ≡ the staged transform composition") {
+    // the production path (r17 verdict item 2): GptByteBpe fuses
+    // pre-tokenize + per-pre-token byte encode into one scan; the staged
+    // transform(gptPreTokenize, byteBpeEncodePre) composition stays the
+    // executable reference — exact token-list equality over the corpus
+    // and the whitespace-heavy fixtures
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 150)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (91001L, "a  b\t\tc don't  stop"),
+        (91002L, "x y café bar 　 it's"),
+        (91003L, ""), (91004L, "   "), (91005L, "  ")
+      ).toDF("doc_id", "text"))
+    val merges = BpeOps.bpeLearn(
+      BpeOps.preTokenFreqs(docs, col("text")), 10,
+      symbolize = BpeOps.toByteSymbols)
+    val fused = BpeOps.gptByteBpeTokenize(
+      docs, col("doc_id"), col("text"), merges)
+    val staged = BpeOps.gptByteBpeTokenizeStaged(
+      docs, col("doc_id"), col("text"), merges)
+    val diff = fused.select(col("doc_id"), col("tokens").as("a"))
+      .join(staged.select(col("doc_id"), col("tokens").as("b")), "doc_id")
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L, "fused kernel must equal the staged composition")
+    // and the fused plan carries NO higher-order function (the point of
+    // the fusion): one gpt_byte_bpe call, zero transform/lambda nodes
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction") && !plan.contains("transform("),
+      s"fused plan still carries a HOF:\n$plan")
+  }
+
+  test("toByteSymbols: NULL passes through as NULL (r17 advice)") {
+    val rows = Seq(Some("Hi"), Some(""), None).toDF("w")
+      .select(BpeOps.toByteSymbols(col("w")).as("s")).collect()
+    assert(rows(0).getSeq[String](0) == Seq("48", "69"))
+    assert(rows(1).getSeq[String](0) == Seq.empty, "empty word -> []")
+    assert(rows(2).isNullAt(0), "NULL word must stay NULL, not []")
+  }
+
+  test("gptPreTokenizeExpr: U+E000 sentinel input fails LOUDLY " +
+      "(r17 advice); the kernel handles it as an ordinary symbol") {
+    val dirty = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      dirty.select(BpeOps.gptPreTokenizeExpr(col("text"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("U+E000")),
+      s"expected the sentinel guard message, got: ${msgs(ex)}")
+    // the one-scan kernel needs no sentinel: U+E000 is just a symbol char
+    val toks = dirty.select(BpeOps.gptPreTokenize(col("text")))
+      .head().getSeq[String](0)
+    assert(toks == Seq("a", "", "b"))
   }
 }
