@@ -83,27 +83,16 @@ object UnigramOps {
   def unigramFit(docs: DataFrame, text: Column, vocabSize: Int,
       seedSize: Int, emIters: Int = 2, pruneFrac: Double = 0.25)
       : DataFrame = {
-    require(vocabSize > 0 && seedSize >= vocabSize,
-      s"need seedSize >= vocabSize > 0, got seed=$seedSize vocab=$vocabSize")
-    require(pruneFrac > 0 && pruneFrac < 1,
-      s"pruneFrac must be in (0,1), got $pruneFrac")
+    requireFitParams(vocabSize, seedSize, pruneFrac)
     val spark = docs.sparkSession
     import spark.implicits._
     UnigramExpressions.register(spark)
     val hist = wordHistogram(docs, text).repartition(4).localCheckpoint(true)
     try {
       // driver-side table: (piece, cnt) — bounded by seedSize + charset
-      var table: Seq[(String, Long)] = seed(hist, seedSize)
+      val table0: Seq[(String, Long)] = seed(hist, seedSize)
         .as[(String, Long)].collect().toSeq
         .sortBy { case (p, c) => (-c, p) }
-
-      def logps(t: Seq[(String, Long)]): Seq[(String, Double)] = {
-        val total = math.max(t.map(_._2).sum, 1L).toDouble
-        t.map { case (p, c) =>
-          (p, if (c <= 0) UnigramExpressions.UnkLogp
-              else math.log(c / total))
-        }
-      }
 
       /** One hard-EM round: Viterbi counts under the current table. */
       def eStep(t: Seq[(String, Long)]): Map[String, Long] =
@@ -113,30 +102,7 @@ object UnigramOps {
           .groupBy("piece").agg(sum("freq").as("cnt"))
           .as[(String, Long)].collect().toMap
 
-      def mStep(t: Seq[(String, Long)], counts: Map[String, Long])
-          : Seq[(String, Long)] =
-        t.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
-
-      var it = 0
-      while (it < emIters) { table = mStep(table, eStep(table)); it += 1 }
-      // prune-EM cycles: drop the lowest-count multi-char pieces (count
-      // asc, piece asc — deterministic), re-estimate, repeat
-      var prunable = true
-      while (prunable && table.size > vocabSize) {
-        val multi = table.filter(_._1.length > 1)
-        if (multi.isEmpty) prunable = false // charset floor: cannot shrink
-        else {
-        val nChars = table.size - multi.size
-        val target = math.max(vocabSize - nChars, 0)
-        val dropN = math.max(
-          multi.size - math.max(target,
-            (multi.size * (1 - pruneFrac)).toInt), 1)
-        val dropped = multi.sortBy { case (p, c) => (c, p) }
-          .take(dropN).map(_._1).toSet
-        table = table.filterNot { case (p, _) => dropped(p) }
-        table = mStep(table, eStep(table))
-        }
-      }
+      val table = fitLoop(table0, eStep, vocabSize, emIters, pruneFrac)
       val total = math.max(table.map(_._2).sum, 1L).toDouble
       table.map { case (p, c) =>
         (p, c, if (c <= 0) UnigramExpressions.UnkLogp
@@ -149,6 +115,161 @@ object UnigramOps {
         case _ => ()
       }
     }
+  }
+
+  /** PRODUCTION-SCALE unigram fit (r17 verdict item 3 — the
+    * [[BpeOps.bpeLearnSampled]] / SentencePiece shape, completing the
+    * sampled-fit story for all four tokenizer families): the cluster
+    * runs ONE corpus word-count aggregation plus one vocab-scale top-k
+    * (freq desc, word asc — deterministic); the seed explode, every
+    * Viterbi E-step, and the prune cycles then run DRIVER-SIDE over the
+    * collected BOUNDED histogram. [[unigramFit]]'s distributed E-steps
+    * are vocabulary-scale jobs (not a 100×-killer the way per-rank BPE
+    * rounds were — the EM round count is small and fixed), but at a
+    * real 10–20-cycle 32k-vocab fit the per-round scheduling still
+    * dominates the vocab-sized work; SentencePiece itself fits over an
+    * in-memory sentence sample. The head-capped histogram is the right
+    * sample for the same reason as BPE's: substring counts and Viterbi
+    * counts are freq-weighted, so tail words beyond rank maxWords move
+    * any count by at most their (tiny) frequency.
+    *
+    * Exact-mirror contract (the BpeSpec:53 parity-pin discipline, and
+    * the r17 lesson that driver-side fits must mirror Spark to the
+    * byte): the local seed replays [[allSubstrings]]'s CODE-POINT
+    * substring semantics (Spark `substr`/`length` count code points)
+    * with the Spark top-k's UTF8-binary tie-break; the local E-step
+    * calls the SAME [[graft.functions.UnigramEncode]] Viterbi the
+    * distributed step ships (code-unit DP, longer-piece tie rule,
+    * UnkLogp pricing); the shared [[fitLoop]]/[[logps]] drive both
+    * fits, so `unigramFitSampled(…, maxWords ≥ |hist|)` ≡
+    * `unigramFit(…)` exactly (UnigramSpec pin). Same
+    * `(piece, cnt, logp)` frame. */
+  def unigramFitSampled(docs: DataFrame, text: Column, vocabSize: Int,
+      seedSize: Int, emIters: Int = 2, pruneFrac: Double = 0.25,
+      maxWords: Int = 1 << 16): DataFrame = {
+    requireFitParams(vocabSize, seedSize, pruneFrac)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist: Array[(String, Long)] =
+      wordHistogram(docs, text).orderBy(col("freq").desc, col("word"))
+        .limit(maxWords)
+        .select(col("word").cast("string"), col("freq").cast("long"))
+        .as[(String, Long)].collect()
+
+    def eStep(t: Seq[(String, Long)]): Map[String, Long] = {
+      // the SAME compiled Viterbi the distributed E-step ships, run
+      // in-process: piece table as data, code-unit DP, identical
+      // tie-breaks — a fresh instance per round (the table changed)
+      val enc = graft.functions.UnigramEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal(""), logps(t))
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      hist.foreach { case (w, f) =>
+        enc.encodeWord(w).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+      }
+      counts.toMap
+    }
+
+    val table = fitLoop(localSeed(hist, seedSize), eStep, vocabSize,
+      emIters, pruneFrac)
+    val total = math.max(table.map(_._2).sum, 1L).toDouble
+    table.map { case (p, c) =>
+      (p, c, if (c <= 0) UnigramExpressions.UnkLogp
+             else math.rint(math.log(c / total) * 1e6) / 1e6)
+    }.toDF("piece", "cnt", "logp")
+  }
+
+  private def requireFitParams(vocabSize: Int, seedSize: Int,
+      pruneFrac: Double): Unit = {
+    require(vocabSize > 0 && seedSize >= vocabSize,
+      s"need seedSize >= vocabSize > 0, got seed=$seedSize vocab=$vocabSize")
+    require(pruneFrac > 0 && pruneFrac < 1,
+      s"pruneFrac must be in (0,1), got $pruneFrac")
+  }
+
+  /** Piece log-probs under integer counts — shared by both fits and
+    * both E-step forms (unrounded here; rounding happens once, in the
+    * returned frame). */
+  private def logps(t: Seq[(String, Long)]): Seq[(String, Double)] = {
+    val total = math.max(t.map(_._2).sum, 1L).toDouble
+    t.map { case (p, c) =>
+      (p, if (c <= 0) UnigramExpressions.UnkLogp
+          else math.log(c / total))
+    }
+  }
+
+  /** The driver-side fit loop shared VERBATIM by [[unigramFit]] and
+    * [[unigramFitSampled]] (only the E-step differs): `emIters` full
+    * hard-EM rounds, then prune cycles dropping the lowest-count
+    * multi-char pieces (count asc, piece asc — deterministic; single
+    * chars are the never-pruned coverage floor) until ≤ `vocabSize`
+    * pieces remain. */
+  private def fitLoop(table0: Seq[(String, Long)],
+      eStep: Seq[(String, Long)] => Map[String, Long],
+      vocabSize: Int, emIters: Int, pruneFrac: Double)
+      : Seq[(String, Long)] = {
+    def mStep(t: Seq[(String, Long)], counts: Map[String, Long])
+        : Seq[(String, Long)] =
+      t.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
+    var table = table0
+    var it = 0
+    while (it < emIters) { table = mStep(table, eStep(table)); it += 1 }
+    var prunable = true
+    while (prunable && table.size > vocabSize) {
+      val multi = table.filter(_._1.length > 1)
+      if (multi.isEmpty) prunable = false // charset floor: cannot shrink
+      else {
+        val nChars = table.size - multi.size
+        val target = math.max(vocabSize - nChars, 0)
+        val dropN = math.max(
+          multi.size - math.max(target,
+            (multi.size * (1 - pruneFrac)).toInt), 1)
+        val dropped = multi.sortBy { case (p, c) => (c, p) }
+          .take(dropN).map(_._1).toSet
+        table = table.filterNot { case (p, _) => dropped(p) }
+        table = mStep(table, eStep(table))
+      }
+    }
+    table
+  }
+
+  /** [[seed]]'s exact local mirror over a collected histogram: the
+    * substring explode by CODE POINTS (Spark `substr`/`length`
+    * semantics — a surrogate pair is ONE position), the multi-char
+    * top-`seedSize` by (cnt desc, piece asc) in UTF8-BINARY order
+    * (Spark's orderBy collation, NOT Java compareTo — they differ on
+    * supplementary characters), all single chars kept, and the final
+    * driver-side (-cnt, piece) Java-order sort [[unigramFit]] applies
+    * after its collect. */
+  private[operators] def localSeed(hist: Array[(String, Long)],
+      seedSize: Int): Seq[(String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    hist.foreach { case (w, f) =>
+      val cps = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        cps += w.substring(i, i + n)
+        i += n
+      }
+      var len = 1
+      while (len <= MaxPieceLen) {
+        var j = 0
+        while (j + len <= cps.length) {
+          val piece = cps.slice(j, j + len).mkString
+          counts.update(piece, counts.getOrElse(piece, 0L) + f)
+          j += 1
+        }
+        len += 1
+      }
+    }
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val (chars, multi) = counts.toSeq.partition { case (p, _) => cpLen(p) == 1 }
+    val top = multi.sortWith { case ((p1, c1), (p2, c2)) =>
+      if (c1 != c2) c1 > c2 else BpeOps.utf8Lt(p1, p2)
+    }.take(seedSize)
+    (chars ++ top).sortBy { case (p, c) => (-c, p) }
   }
 
   /** Tokenize `text` under a FITTED frozen piece table — the corpus-

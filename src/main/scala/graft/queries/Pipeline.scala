@@ -4716,6 +4716,24 @@ object Pipeline {
       16),
     None)
 
+  /** PRODUCTION-SCALE unigram-LM fit ([[graft.operators.UnigramOps
+    * .unigramFitSampled]], r17 verdict item 3) — q203/q204's shape for
+    * the seed-and-prune EM family, completing the sampled-fit story for
+    * all FOUR tokenizer families: one corpus word-count aggregation +
+    * one vocab-scale top-k, then the seed explode, every Viterbi
+    * E-step, and the prune cycles run driver-side over the bounded
+    * histogram (the SentencePiece in-memory-sample recipe). Same fit
+    * parameters as q140, so the two registry entries cross-check on the
+    * shared corpus; sampled ≡ distributed is spec-pinned (UnigramSpec).
+    * Rows-only like every iterative fit (EM argmax has no closed SQL
+    * form; the q140 precedent). */
+  private val q205 = QueryDef(
+    "q205_unigram_pieces_sampled",
+    (s, d) => graft.operators.UnigramOps.unigramFitSampled(
+      Tables.documents(s, d), col("text"),
+      vocabSize = 300, seedSize = 600, emIters = 2),
+    None)
+
   /** Per-language WordPiece fertility + vocabulary-coverage audit
     * ([[graft.operators.WordPieceOps.wordPieceFertility]]) — the q128
     * table for the WordPiece family plus the column BPE cannot have:
@@ -7706,7 +7724,7 @@ object Pipeline {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204)
+    q204, q205)
 }
 
 /** The media near-dup queries (q86/q87/q89) factored into CORPUS SYNTHESIS

@@ -97,6 +97,38 @@ class UnigramSpec extends SparkSpec {
     assert(fit().toSeq == a.toSeq, "fit must be bit-deterministic")
   }
 
+  test("unigramFitSampled ≡ unigramFit when the cap covers the " +
+      "histogram, and respects the cap") {
+    // the BpeSpec:53 parity discipline for the fourth family (r17
+    // verdict item 3): with maxWords ≥ |hist| the sampled fit's local
+    // seed explode, local Viterbi E-steps, and shared prune loop must
+    // reproduce the distributed fit BIT-exactly — over the real corpus
+    // (multi-byte text included) and the hand-replay fixture alike
+    val fixtures = Seq(
+      Seq((1L, "ab ab ab ac")).toDF("doc_id", "text"),
+      Tables.documents(spark, sf).limit(100).select("doc_id", "text"))
+    fixtures.foreach { docs =>
+      val dist = UnigramOps.unigramFit(docs, col("text"),
+        vocabSize = 150, seedSize = 300, emIters = 2)
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      val local = UnigramOps.unigramFitSampled(docs, col("text"),
+        vocabSize = 150, seedSize = 300, emIters = 2,
+        maxWords = 1 << 20)
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(local == dist, "sampled/distributed unigram fit drift")
+    }
+    // the cap keeps the top-maxWords by (freq desc, word asc): with
+    // maxWords=1 only "ab" (freq 3) survives, so the fitted table is
+    // exactly {a, b, ab} with all mass on the whole word
+    val capped = UnigramOps.unigramFitSampled(
+      Seq((1L, "ab ab ab ac")).toDF("doc_id", "text"), col("text"),
+      vocabSize = 5, seedSize = 10, emIters = 1, maxWords = 1)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(capped.keySet == Set("a", "b", "ab"),
+      s"cap did not reduce the histogram: $capped")
+    assert(capped("ab") == 3L)
+  }
+
   test("unigramTokenize: coverage, fingerprint determinism, lm_logp sums") {
     val docs = Tables.documents(spark, sf).limit(40)
     val pieces = UnigramOps.unigramFit(docs, col("text"),
