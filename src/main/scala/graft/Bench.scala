@@ -55,8 +55,17 @@ object Bench {
     // by diffing across rounds (round 5: a 2.17x median drift on untouched
     // code was only detectable by comparing BENCH_r04 vs BENCH_r05).
     final case class Timing(med: Double, min: Double, max: Double,
-        reps: Seq[Double], gcs: Seq[Double], cached: Seq[Double])
-    val failed = Timing(-1.0, -1.0, -1.0, Nil, Nil, Nil)
+        reps: Seq[Double], gcs: Seq[Double], cached: Seq[Double],
+        loads: Seq[Double])
+    val failed = Timing(-1.0, -1.0, -1.0, Nil, Nil, Nil, Nil)
+
+    // 1-min loadavg at a rep's START (r17 verdict item 5: the quiet-box
+    // gate controls load at bench start, but the bench IS the load —
+    // recording it per rep lets a reader condition any per-entry delta
+    // on the load that rep actually ran under).
+    def load1: Double =
+      scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").head.toDouble).getOrElse(-1.0)
 
     // Block-manager footprint (MB) at the END of each rep: RDD blocks
     // (cached/checkpointed, mem+disk) PLUS broadcast blocks via executor
@@ -77,7 +86,8 @@ object Bench {
       // [6.4, 21.4] s here vs a stable [5.3, 6.5] over six isolated
       // reps — the z_ztbus drift class, same fix).
       System.gc()
-      def rep(): Option[(Double, Double, Double)] = {
+      def rep(): Option[(Double, Double, Double, Double)] = {
+        val l0 = load1
         val g0 = gcMillis
         val t0 = System.nanoTime()
         try body
@@ -86,7 +96,7 @@ object Bench {
           return None
         }
         Some(((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3,
-          cachedMb))
+          cachedMb, l0))
       }
       // Between reps of SLOW queries, force a driver GC (outside the timed
       // window) so ContextCleaner frees the previous rep's blocks/shuffles
@@ -96,9 +106,9 @@ object Bench {
       // being >= 1 s so the ~70 sub-second queries don't pay it (bounds
       // the suite overhead to ~10 s while covering every query whose
       // median a drifting rep could actually move).
-      def isolate(prev: List[(Double, Double, Double)]): Unit =
+      def isolate(prev: List[(Double, Double, Double, Double)]): Unit =
         if (prev.headOption.exists(_._1 >= 1.0)) System.gc()
-      var pairs = List.empty[(Double, Double, Double)]
+      var pairs = List.empty[(Double, Double, Double, Double)]
       var i = 0
       while (i < Reps) {
         if (i > 0) isolate(pairs)
@@ -132,7 +142,8 @@ object Bench {
       }
       val times = pairs.reverse.map(_._1)
       Timing(times.sorted.apply(times.size / 2), times.min, times.max,
-        times, pairs.reverse.map(_._2), pairs.reverse.map(_._3))
+        times, pairs.reverse.map(_._2), pairs.reverse.map(_._3),
+        pairs.reverse.map(_._4))
     }
 
     // JVM/codegen warmup: one query per table domain, against the benched
@@ -305,6 +316,9 @@ object Bench {
       val cachedJson = all
         .map { case (k, t) => s""""$k":${arr(t.cached, d => f"$d%.1f")}""" }
         .mkString("{", ",", "}")
+      val loadJson = all
+        .map { case (k, t) => s""""$k":${arr(t.loads, d => f"$d%.2f")}""" }
+        .mkString("{", ",", "}")
       // Settled queries carry 5 entries in the rep vectors where base_reps
       // is 3 — the list makes them machine-identifiable (r9 advisory: a
       // consumer keying off a single top-level rep count misread which
@@ -324,7 +338,8 @@ object Bench {
           s""""base_reps":$Reps,"settled":$settled,""" +
           s""""sf":"$sfDir","env":$env,"total_median_sec":$total,""" +
           s""""queries":$detail,"rep_wall_sec":$repsJson,""" +
-          s""""rep_gc_sec":$gcJson,"rep_cached_mb":$cachedJson}""")
+          s""""rep_gc_sec":$gcJson,"rep_cached_mb":$cachedJson,""" +
+          s""""rep_load1":$loadJson}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     // Key order is deliberate: truncation eats the line FRONT, so the

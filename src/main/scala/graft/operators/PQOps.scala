@@ -297,12 +297,27 @@ object PQOps {
     * assignment, which is how the oracle replays it. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, cells: DataFrame,
       codebook: DataFrame, id: Column, vec: Column, k: Int, nProbe: Int,
-      m: Int, sub: Int): DataFrame = {
-    VectorExpressions.register(emb.sparkSession)
+      m: Int, sub: Int): DataFrame =
+    ivfPqTopKIndexed(ivfPqIndex(emb, cells, codebook, id, vec, m, sub),
+      queries, cells, id, vec, k, nProbe, sub)
+
+  /** The IVF-PQ index half of [[ivfPqTopK]] on its own — PQ codes
+    * joined with the coarse-cell assignment, `(vec_id, codes, recon,
+    * cell)`. A production deployment builds this ONCE and serves many
+    * searches ([[ivfPqTopKIndexed]]); the one-shot [[ivfPqTopK]] is
+    * index∘search by construction, so the two forms cannot drift. */
+  def ivfPqIndex(emb: DataFrame, cells: DataFrame, codebook: DataFrame,
+      id: Column, vec: Column, m: Int, sub: Int): DataFrame = {
     val corpusCells = SimilarityOps.assignCells(emb, cells, id, vec)
       .select(col("vec_id"), col("cell"))
-    val idx = pqIndex(emb, codebook, id, vec, m, sub)
-      .join(corpusCells, "vec_id")
+    pqIndex(emb, codebook, id, vec, m, sub).join(corpusCells, "vec_id")
+  }
+
+  /** [[ivfPqTopK]]'s SEARCH half over a prebuilt [[ivfPqIndex]]. */
+  def ivfPqTopKIndexed(idx: DataFrame, queries: DataFrame,
+      cells: DataFrame, id: Column, vec: Column, k: Int, nProbe: Int,
+      sub: Int): DataFrame = {
+    VectorExpressions.register(queries.sparkSession)
     // query-side probe list: top-nProbe cells by the same rounded cosine
     // and tie-break as assignCells (nProbe=1 degenerates to it)
     val cents = cells.select(id.as("cid"), vec.as("ce"),
@@ -397,9 +412,18 @@ object PQOps {
     * `(query_id, rk, neighbor_id, cell, adc_dist)`, house ranking rule. */
   def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame,
       cells: DataFrame, codebook: DataFrame, id: Column, vec: Column,
-      k: Int, nProbe: Int, m: Int, sub: Int): DataFrame = {
-    VectorExpressions.register(emb.sparkSession)
-    val idx = ivfPqResidualIndex(emb, cells, codebook, id, vec, m, sub)
+      k: Int, nProbe: Int, m: Int, sub: Int): DataFrame =
+    ivfPqResidualTopKIndexed(
+      ivfPqResidualIndex(emb, cells, codebook, id, vec, m, sub),
+      queries, cells, id, vec, k, nProbe, sub)
+
+  /** [[ivfPqResidualTopK]]'s SEARCH half over a prebuilt
+    * [[ivfPqResidualIndex]] — the build-once/serve-many split
+    * ([[ivfPqTopKIndexed]]'s shape for the residual-coded tier). */
+  def ivfPqResidualTopKIndexed(idx: DataFrame, queries: DataFrame,
+      cells: DataFrame, id: Column, vec: Column,
+      k: Int, nProbe: Int, sub: Int): DataFrame = {
+    VectorExpressions.register(queries.sparkSession)
     val cents = cells.select(id.as("cid"), vec.as("ce"),
       sqrt(VectorExpressions.floatDot(vec, vec)).as("cnrm"))
     val qn = queries.select(id.as("qid"), vec.as("qe"),

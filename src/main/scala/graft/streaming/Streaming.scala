@@ -425,15 +425,16 @@ object Streaming {
 
   /** Ingest face of [[graft.operators.BpeOps.gptByteBpeTokenize]] —
     * the [[byteBpeTokenizeStream]] contract on the GPT pre-tokenized
-    * segmentation: one regexp pass + one whole-input byte encode per
-    * pre-token, all row-local (no state, no join); concat(unhex) of an
-    * arrival's tokens rebuilds its FULL text. Re-fit → restart. */
+    * segmentation: ONE fused scan per arrival (the r18
+    * [[graft.functions.GptByteBpe]] kernel the batch path runs — zero
+    * regex, zero HOF, no pre-token array), all row-local (no state, no
+    * join); concat(unhex) of an arrival's tokens rebuilds its FULL
+    * text. Re-fit → restart. */
   def gptByteBpeTokenizeStream(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     graft.functions.BpeExpressions.register(docs.sparkSession)
-    val toks = flatten(transform(
-      graft.operators.BpeOps.gptPreTokenize(col("text")),
-      t => graft.functions.BpeExpressions.byteBpeEncodePre(t, merges)))
+    val toks = graft.functions.BpeExpressions.gptByteBpe(col("text"),
+      merges)
     docs.select(col("doc_id"), toks.as("tokens"),
       size(toks).cast("long").as("n_tokens"))
   }
