@@ -12,7731 +12,13 @@ import graft.operators.{DedupOps, MultimodalOps, PQOps, RetrievalOps, Similarity
   */
 object Pipeline {
 
-  private val DIM = 64        // embedding dimensionality in the test tables
-  private val SHINGLE_W = 2   // word-bigram shingles
-  private val JACCARD_T = 0.3
-  private val COSINE_T = 0.4
-  private val ANN_K = 5
-  private val LSH_BITS = 4
-  private val LSH_K = 3
-  private val LSH_TABLES = 4
+  import PipelineBandDedupText._
+  import PipelineBandAnnLayout._
+  import PipelineBandCuration._
+  import PipelineBandTokenizer._
+  import PipelineBandCorpusModels._
+  import PipelineBandScaleUrl._
 
-  /** Shared oracle CTE: distinct (doc_id, shingle-hash) pairs at width `w`,
-    * over `table` (the `documents` table, or a corpus CTE derived from it). */
-  private def shingleCteOver(w: Int, table: String): String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $table),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
-       |    SELECT doc_id, ${wordShinglesSql(w)} AS s
-       |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - ${w - 1}, 1))) AS t(i)))""".stripMargin
-
-  private def shingleCteW(w: Int): String = shingleCteOver(w, "documents")
-
-  private def shingleCte: String = shingleCteW(SHINGLE_W)
-
-  /** Shared oracle fragment: the [[TextOps.qualityComposite]] fixed-weight
-    * score, expecting `text` and `ws = string_split(text, ' ')` in scope —
-    * defined once so q56/q60 cannot drift from the Spark side
-    * independently. */
-  private def qualityCompositeSql: String = {
-    val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""0.5 * (CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
-       |      / CAST(len(ws) AS DOUBLE))
-       |    + 0.3 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-       |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-       |      / CAST(length(text) AS DOUBLE))""".stripMargin
-  }
-
-  /** Shared oracle CTE: 8-permutation minhash signature per doc. */
-  private def sigCte: String = {
-    val mins = (0 until MinhashA.size)
-      .map(i => s"min(${minhashPermSql("h", i)}) AS m$i").mkString(", ")
-    s"""$shingleCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
-  }
-
-  // ----------------------------------------------------------------- dedup
-
-  private val q30 = QueryDef(
-    "q30_dedup_exact",
-    (s, d) => DedupOps.exactDedupStats(
-      Tables.documents(s, d), col("lang"), col("text")),
-    """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
-      |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique
-      |FROM documents GROUP BY lang""".stripMargin)
-
-  private val q31 = QueryDef(
-    "q31_minhash_signatures",
-    (s, d) => DedupOps.minhashSignatures(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W),
-    s"""WITH $sigCte
-       |SELECT * FROM sig""".stripMargin)
-
-  private val q32 = QueryDef(
-    "q32_lsh_candidate_pairs",
-    (s, d) => DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
-    s"""WITH $sigCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig)
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id""".stripMargin)
-
-  /** Exact Jaccard on LSH candidates — discovery via minhash bands, exact
-    * verification only on candidates (the scale path; the all-pairs shingle
-    * self-join in [[DedupOps.jaccardPairs]] stays available for small data
-    * and tests). */
-  /** Shared oracle CTE chain ending in `jp(doc_a, doc_b, n_common,
-    * jaccard)` — the q33 near-dup pair set at [[JACCARD_T]], reused by the
-    * q78 syndication matrix so the two cannot drift. */
-  private def jaccardPairsCtes: String =
-    s"""$sigCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
-       |  GROUP BY 1, 2),
-       |jp AS (
-       |  SELECT doc_a, doc_b, n_common,
-       |    CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-       |  FROM inter
-       |  JOIN sizes sa ON doc_a = sa.doc_id
-       |  JOIN sizes sb ON doc_b = sb.doc_id
-       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JACCARD_T)""".stripMargin
-
-  private val q33 = QueryDef(
-    "q33_jaccard_pairs",
-    (s, d) => DedupOps.jaccardOnCandidates(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, JACCARD_T),
-    s"""WITH $jaccardPairsCtes
-       |SELECT doc_a, doc_b, n_common, jaccard FROM jp""".stripMargin)
-
-  private val q34 = QueryDef(
-    "q34_simhash",
-    (s, d) => DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text")),
-    {
-      val sums = (0 until 16)
-        .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(", ")
-      val bits = (0 until 16)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH words AS (
-         |  SELECT DISTINCT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-         |hashes AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM words),
-         |sums AS (SELECT doc_id, $sums FROM hashes GROUP BY doc_id)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
-    })
-
-  // ------------------------------------------------------------ similarity
-
-  private val q35 = QueryDef(
-    "q35_cosine_neardup",
-    (s, d) => SimilarityOps.cosinePairs(
-      Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T),
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings)
-       |SELECT vec_a, vec_b, cos_sim FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END AS cos_sim
-       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-       |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
-
-  /** Near-dup pair discovery via multi-table sign-LSH — q35's scale path:
-    * bucket-equality hash self-joins (PlanSpec asserts no nested-loop join)
-    * instead of the all-pairs theta join. 4 tables × 4 sign bits over
-    * disjoint component ranges (recall ≈ 1-(1-p)⁴, p = (1-θ/π)^bits). */
-  private val q46 = QueryDef(
-    "q46_cosine_neardup_bucketed",
-    (s, d) => SimilarityOps.cosinePairsBucketed(
-      Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T,
-      LSH_BITS, LSH_TABLES),
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |b AS (
-       |  ${(0 until LSH_TABLES).map(t =>
-            s"SELECT vec_id, $t AS tbl, " +
-              s"${signBucketAtSql("e", LSH_BITS, t * LSH_BITS)} AS bucket FROM v")
-            .mkString("\n  UNION ALL\n  ")}),
-       |cand AS (
-       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM b x JOIN b y
-       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT vec_a, vec_b, cos_sim FROM (
-       |  SELECT c.vec_a, c.vec_b,
-       |    CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END AS cos_sim
-       |  FROM cand c
-       |  JOIN v a ON c.vec_a = a.vec_id
-       |  JOIN v b ON c.vec_b = b.vec_id
-       |) t WHERE cos_sim >= $COSINE_T""".stripMargin)
-
-  private val q36 = QueryDef(
-    "q36_ann_brute_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.bruteForceTopK(
-        emb, emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-        ANN_K)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
-       |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-       |SELECT query_id, rk, neighbor_id, cos_sim FROM (
-       |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-       |  FROM scored
-       |) t WHERE rk <= $ANN_K""".stripMargin)
-
-  private val q37 = QueryDef(
-    "q37_ann_lsh_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.lshTopK(
-        emb, emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-        LSH_BITS, LSH_K)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm,
-       |    ${signBucketSql("embedding", LSH_BITS)} AS bucket FROM embeddings),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
-       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
-       |  FROM v q JOIN v c
-       |    ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
-       |SELECT query_id, rk, neighbor_id, bucket, cos_sim FROM (
-       |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-       |  FROM scored
-       |) t WHERE rk <= $LSH_K""".stripMargin)
-
-  /** IVF-style ANN: coarse-quantize to the highest-cosine centroid (first 8
-    * vectors as a deterministic centroid set), search within the cell. */
-  private val q43 = QueryDef(
-    "q43_ann_ivf_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.ivfTopK(
-        emb, emb.where(col("vec_id") < 10), emb.where(col("vec_id") < 8),
-        col("vec_id"), col("embedding"), LSH_K)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
-       |assign AS (
-       |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT a.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0 THEN round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END) DESC,
-       |                 c.cid) AS crk
-       |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, an.cell,
-       |    CASE WHEN q.nrm * n.nrm > 0 THEN round(${dotSql("q.e", "n.e", DIM)} / (q.nrm * n.nrm), 6) END AS cos_sim
-       |  FROM v q
-       |  JOIN assign aq ON q.vec_id = aq.vec_id AND q.vec_id < 10
-       |  JOIN assign an ON an.cell = aq.cell
-       |  JOIN v n ON n.vec_id = an.vec_id AND n.vec_id <> q.vec_id)
-       |SELECT query_id, rk, neighbor_id, cell, cos_sim FROM (
-       |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-       |  FROM scored
-       |) t WHERE rk <= $LSH_K""".stripMargin)
-
-  /** Near-dup clusters over the LSH candidate-pair graph: connected
-    * components (min-label propagation) — the transitive step after pair
-    * discovery, so one canonical doc survives per GROUP, not per pair.
-    * Oracle: the same pair CTE as q32 closed transitively with a recursive
-    * CTE, cluster id = min reachable doc id. */
-  /** The recursive connected-components CTE chain shared by the q51 and
-    * q85 oracles: LSH bands → candidate pairs → undirected closure; the
-    * consumer selects from `reach`. */
-  private def clusterChainCtes: String =
-    s"""$sigCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-       |pairs AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
-       |und AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM und
-       |  UNION
-       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)""".stripMargin
-
-  private val q51 = QueryDef(
-    "q51_dedup_clusters",
-    (s, d) => DedupOps.dedupClusters(
-      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-        Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
-      "doc_a", "doc_b"),
-    s"""WITH RECURSIVE $clusterChainCtes
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |FROM reach GROUP BY a""".stripMargin)
-
-  /** Deterministic per-language quota sampling: downsample the dominant
-    * language, keep the rest — the rebalancing step of a curation
-    * pipeline, content-hash-selected so it reproduces anywhere. */
-  private val SampleFractions = Seq("en" -> 0.5, "de" -> 1.0, "es" -> 1.0,
-    "fr" -> 1.0, "zh" -> 0.25)
-  private val q52 = QueryDef(
-    "q52_stratified_sample",
-    (s, d) => TextOps.stratifiedSample(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
-      SampleFractions.toMap),
-    s"""SELECT doc_id, lang AS stratum
-       |FROM (SELECT doc_id, lang,
-       |        ${sampleBucketSql(polyHashSql("text"), 10000)} AS bkt
-       |      FROM documents) t
-       |WHERE bkt < CASE lang ${SampleFractions.map { case (k, f) =>
-          s"WHEN '$k' THEN ${math.round(f * 10000)}" }.mkString(" ")}
-       | ELSE 0 END""".stripMargin)
-
-  /** Corpus-level vocabulary: top-k words by document frequency. */
-  private val q53 = QueryDef(
-    "q53_vocabulary",
-    (s, d) => TextOps.vocabulary(
-      Tables.documents(s, d), col("doc_id"), col("text"), 20),
-    """SELECT word,
-      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
-      |  CAST(count(*) AS BIGINT) AS term_freq
-      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      |      FROM documents) t
-      |GROUP BY word
-      |ORDER BY doc_freq DESC, word
-      |LIMIT 20""".stripMargin)
-
-  /** Row-local repetition/boilerplate screen over the documents table. */
-  private val q49 = QueryDef(
-    "q49_repetition_score",
-    (s, d) => TextOps.repetitionScore(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    """SELECT doc_id,
-      |  CAST(len(ws) AS BIGINT) AS n_words,
-      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
-      |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_ratio,
-      |  CAST(list_max(list_transform(list_distinct(ws),
-      |    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS top_word_ratio
-      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t""".stripMargin)
-
-  /** PII pattern counts; the synthetic corpus contains none (all-zero
-    * output still hash-gates the cross-engine regex/count plumbing), and
-    * the patterns' match behavior is unit-tested on a fixture with real
-    * emails/phones/URLs (PipelineOpsSpec). */
-  private val q50 = QueryDef(
-    "q50_pii_scan",
-    (s, d) => TextOps.piiScan(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
-       |  CAST(len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS BIGINT) AS n_urls
-       |FROM documents""".stripMargin)
-
-  /** One k-means fit per (sf dir, k), memoized as collected floats: the
-    * query body and the dump-time oracle thunk must see IDENTICAL frozen
-    * centroids, and memoizing the bytes makes any run-to-run ML-fit
-    * noise structurally irrelevant — the frozen-model convention (fit
-    * once; apply and replay from the same bytes), the q134 pattern
-    * applied to the learned-quantizer family. The cache holds k×dim
-    * floats per entry — centroid-table-sized, the same data ivfTopK
-    * broadcasts anyway. */
-  private object CentroidMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[(String, Int), Seq[(Long, Seq[Float])]]
-    def rows(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
-        : Seq[(Long, Seq[Float])] =
-      cache.getOrElseUpdate((d, k), SimilarityOps.learnCentroids(
-          Tables.embeddings(s, d), col("embedding"), k,
-          "vec_id", "embedding")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList)
-    def frame(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
-        : org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      rows(s, d, k).toDF("vec_id", "embedding")
-        .select(col("vec_id"), col("embedding").cast("array<float>"))
-    }
-  }
-
-  /** The frozen learned-centroid table as a DuckDB CTE
-    * `cents(cid, ce, cnrm)`, built from the memoized fit bytes at
-    * oracle-dump time — the q134 pattern's shared leg for the learned
-    * ANN family (q48/q71): the fit is not SQL-expressible, its OUTPUT
-    * is just k×dim frozen floats, and everything downstream (cosine
-    * assignment, probing, dominance, top-k) replays independently. */
-  private def centroidValuesCte(k: Int): String = {
-    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-      "/root/testdata/sf0.001")
-    val cents = CentroidMemo.rows(
-      org.apache.spark.sql.SparkSession.active, sfDir, k)
-    def dd(x: Double) = java.lang.Double.toString(x)
-    val rows = cents.map { case (cid, e) =>
-      s"($cid, [${e.map(f => dd(f.toDouble)).mkString(",")}])"
-    }.mkString(",")
-    s"""cents AS (SELECT CAST(cid AS BIGINT) AS cid, ce,
-       |    sqrt(${dotSql("ce", "ce", DIM)}) AS cnrm
-       |  FROM (VALUES $rows) t(cid, ce))""".stripMargin
-  }
-
-  /** IVF with LEARNED centroids (deterministic-seed k-means over the
-    * corpus) — the IVF-real production shape: learned cells track the data
-    * distribution where q43's fixed-sample quantizer is arbitrary.
-    * Recall@k of learned vs fixed is measured in PipelineOpsSpec.
-    * Full oracle since r14 (the q134 frozen-model pattern): the k-means
-    * fit itself is not SQL-expressible, but the fitted centroids are
-    * FROZEN BYTES — the oracle thunk embeds them as a VALUES table at
-    * dump time and DuckDB independently replays the distributed half
-    * (cosine cell assignment, nProbe probing, in-cell top-k) with the
-    * same left-fold dot products, so the ASSIGNMENT and SEARCH
-    * semantics are hash-gated even though the fit stays a Spark ML
-    * concern. */
-  private val q48 = QueryDef(
-    "q48_ann_ivf_learned",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.ivfTopK(
-        emb, emb.where(col("vec_id") < 10),
-        CentroidMemo.frame(s, d, 8),
-        col("vec_id"), col("embedding"), LSH_K, nProbe = 2)
-    },
-    Some(() => {
-      s"""WITH v AS (SELECT vec_id, embedding AS e,
-         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-         |  FROM embeddings),
-         |${centroidValuesCte(8)},
-         |asgc AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT a.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0
-         |          THEN round(${dotSql("a.e", "c.ce", DIM)}
-         |            / (a.nrm * c.cnrm), 6) END) DESC,
-         |        c.cid) AS crk
-         |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
-         |asgq AS (SELECT vec_id, cid AS qcell FROM (
-         |    SELECT a.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0
-         |          THEN round(${dotSql("a.e", "c.ce", DIM)}
-         |            / (a.nrm * c.cnrm), 6) END) DESC,
-         |        c.cid) AS crk
-         |    FROM v a CROSS JOIN cents c WHERE a.vec_id < 10) t
-         |  WHERE crk <= 2),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, an.cell,
-         |    CASE WHEN q.nrm * n.nrm > 0
-         |      THEN round(${dotSql("q.e", "n.e", DIM)}
-         |        / (q.nrm * n.nrm), 6) END AS cos_sim
-         |  FROM v q
-         |  JOIN asgq aq ON q.vec_id = aq.vec_id
-         |  JOIN asgc an ON an.cell = aq.qcell
-         |  JOIN v n ON n.vec_id = an.vec_id AND n.vec_id <> q.vec_id)
-         |SELECT query_id, rk, neighbor_id, cell, cos_sim FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
-         |    AS BIGINT) AS rk
-         |  FROM scored
-         |) t WHERE rk <= $LSH_K""".stripMargin
-    }))
-
-  // ------------------------------------------------------------------ text
-
-  private val q38 = QueryDef(
-    "q38_langid",
-    (s, d) => TextOps.langId(Tables.documents(s, d), col("doc_id"), col("text")),
-    {
-      val scores = TextOps.LangProfiles.map { case (lang, stop) =>
-        val list = stop.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(ws, w -> list_contains($list, w))) AS DOUBLE)" +
-          s" / CAST(len(ws) AS DOUBLE) AS score_$lang"
-      }.mkString(",\n  ")
-      val best = TextOps.LangProfiles.map(p => s"score_${p._1}")
-        .mkString("greatest(", ", ", ")")
-      val pred = TextOps.LangProfiles.map { case (lang, _) =>
-        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
-      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |scored AS (SELECT doc_id,
-         |  $scores
-         |FROM words),
-         |wb AS (SELECT *, $best AS best FROM scored)
-         |SELECT doc_id, score_en, score_de, score_es, score_fr,
-         |  $pred AS pred_lang
-         |FROM wb""".stripMargin
-    })
-
-  private val q39 = QueryDef(
-    "q39_quality_score",
-    (s, d) => TextOps.qualityScore(Tables.documents(s, d), col("doc_id"), col("text")),
-    {
-      val allStop = TextOps.LangProfiles.flatMap(_._2).distinct
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH base AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
-         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |      / CAST(length(text) AS DOUBLE) AS digit_ratio,
-         |    CAST(len(list_filter(ws, w -> list_contains($allStop, w))) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE) AS stopword_ratio
-         |  FROM base)
-         |SELECT doc_id, n_words, avg_word_len, digit_ratio, stopword_ratio,
-         |  0.5 * stopword_ratio
-         |    + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
-         |    + 0.2 * (1.0 - digit_ratio) AS quality_score
-         |FROM m""".stripMargin
-    })
-
-  private val q40 = QueryDef(
-    "q40_token_counts",
-    (s, d) => TextOps.tokenCounts(Tables.documents(s, d), col("doc_id"), col("text")),
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
-      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
-      |FROM documents""".stripMargin)
-
-  private val q41 = QueryDef(
-    "q41_fingerprint",
-    (s, d) => TextOps.fingerprint(Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""SELECT doc_id, ${polyHashSql("text")} AS fingerprint
-       |FROM documents""".stripMargin)
-
-  // ------------------------------------------------------------ multimodal
-
-  private val q42 = QueryDef(
-    "q42_multimodal_metadata",
-    (s, d) => MultimodalOps.mediaMetadata(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    """SELECT doc_id AS media_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  md5(text) AS content_md5,
-      |  md5(substr(text, 1, 16)) AS frame_md5
-      |FROM documents""".stripMargin)
-
-  /** Deterministic hash-based train/val/test split, summarized per
-    * (lang, split). Content-hash bucketing beats RNG sampling at scale:
-    * reproducible across runs/partitionings/engines — which is also what
-    * makes it oracle-able at all. */
-  private val q45 = QueryDef(
-    "q45_train_split",
-    (s, d) => TextOps.hashSplit(Tables.documents(s, d), col("doc_id"),
-        col("text"), keep = Seq(col("lang")))
-      .groupBy(col("lang"), col("split"))
-      .agg(count(lit(1)).as("n")),
-    s"""SELECT lang,
-       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-       |  CAST(count(*) AS BIGINT) AS n
-       |FROM (SELECT lang, ${polyHashSql("text")} % 100 AS b FROM documents) t
-       |GROUP BY 1, 2""".stripMargin)
-
-  /** Contiguous-fill packing of documents into fixed token-budget training
-    * chunks — the sequence-packing step before tokenization. The chunk
-    * boundary comes from a DISTRIBUTED hierarchical prefix sum
-    * ([[TextOps.packSequences]]); the oracle's single window sum is the
-    * same math, viable only at oracle scale. Both engines use integer
-    * division for the boundary — exact at any offset. */
-  private val PackBudget = 2048L
-  private val q54 = QueryDef(
-    "q54_pack_sequences",
-    (s, d) => TextOps.packSequences(
-      Tables.documents(s, d), col("doc_id"), col("text"), PackBudget),
-    s"""WITH t AS (SELECT doc_id,
-       |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks
-       |  FROM documents),
-       |c AS (SELECT doc_id, toks,
-       |    sum(toks) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS strt
-       |  FROM t)
-       |SELECT CAST(strt // $PackBudget AS BIGINT) AS chunk_id,
-       |  CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
-       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM c GROUP BY 1""".stripMargin)
-
-  /** Train/test n-gram contamination screen over the [[TextOps.hashSplit]]
-    * split — the decontamination audit run before an eval set is trusted.
-    * Width 3 (longer than the dedup shingles): contamination wants matching
-    * PASSAGES, not near-dup pages. */
-  private val ContamW = 3
-
-  /** Train-doc-frequency cap for q179's pair join (the WinnowOps
-    * `maxDf = 64` precedent): shingles in more train docs than this are
-    * boilerplate, pruned before the test×train join. */
-  private val ContamMaxDf = 64
-  private val q55 = QueryDef(
-    "q55_contamination",
-    (s, d) => TextOps.contamination(
-      Tables.documents(s, d), col("doc_id"), col("text"), ContamW),
-    s"""WITH ${shingleCteW(ContamW)},
-       |spl AS (SELECT doc_id,
-       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-       |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b FROM documents) t),
-       |tr AS (SELECT DISTINCT h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-       |  WHERE split = 'train'),
-       |te AS (SELECT sh.doc_id, sh.h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-       |  WHERE split = 'test')
-       |SELECT te.doc_id,
-       |  CAST(count(*) AS BIGINT) AS n_shingles,
-       |  CAST(count(tr.h) AS BIGINT) AS n_in_train,
-       |  CAST(count(tr.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
-       |FROM te LEFT JOIN tr ON te.h = tr.h
-       |GROUP BY te.doc_id""".stripMargin)
-
-  /** Per-source curation audit over documents.source. */
-  private val q56 = QueryDef(
-    "q56_source_stats",
-    (s, d) => TextOps.sourceStats(
-      Tables.documents(s, d), col("source"), col("text"), col("n_chars")),
-    {
-      s"""WITH base AS (
-         |  SELECT source, text, n_chars, string_split(text, ' ') AS ws FROM documents),
-         |m AS (SELECT source, text, n_chars,
-         |    $qualityCompositeSql AS q
-         |  FROM base)
-         |SELECT source,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
-         |  1.0 - CAST(count(DISTINCT text) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio,
-         |  avg(n_chars) AS avg_chars,
-         |  round(avg(q), 6) AS avg_quality
-         |FROM m GROUP BY source""".stripMargin
-    })
-
-  /** Top-k TF-IDF terms per document (smoothed idf, rounded-score ranking). */
-  private val TfidfK = 3
-  private val q57 = QueryDef(
-    "q57_tfidf_topk",
-    (s, d) => TextOps.tfidfTopK(
-      Tables.documents(s, d), col("doc_id"), col("text"), TfidfK),
-    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
-       |dfreq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
-       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-       |s AS (SELECT doc_id, word, tf, df,
-       |    round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
-       |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
-       |SELECT doc_id, rk, word, tf, df, tfidf FROM (
-       |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rk FROM s
-       |) t WHERE rk <= $TfidfK""".stripMargin)
-
-  /** Embedding-space class statistics per embeddings.label. */
-  private val q58 = QueryDef(
-    "q58_label_stats",
-    (s, d) => SimilarityOps.labelStats(
-      Tables.embeddings(s, d), col("label"), col("embedding"), DIM),
-    s"""WITH v AS (SELECT label, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |comp AS (SELECT label, i, round(avg(CAST(e[i] AS DOUBLE)), 6) AS c
-       |  FROM v, UNNEST(generate_series(1, $DIM)) AS t(i)
-       |  GROUP BY 1, 2),
-       |cent AS (SELECT label, list(c ORDER BY i) AS ce FROM comp GROUP BY label),
-       |j AS (SELECT v.label, v.nrm,
-       |    sqrt(${dotSql("ce", "ce", DIM)}) AS cnrm,
-       |    ${dotSql("e", "ce", DIM)} AS d
-       |  FROM v JOIN cent ON v.label = cent.label)
-       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-       |  round(avg(nrm), 6) AS avg_norm,
-       |  round(avg(CASE WHEN nrm * cnrm > 0 THEN round(d / (nrm * cnrm), 6) END), 6) AS avg_cos_centroid
-       |FROM j GROUP BY label""".stripMargin)
-
-  /** SimHash near-dup pair discovery — the step the signatures feed:
-    * band-equality candidates (pigeonhole: full recall at hamming ≤ 3)
-    * verified by exact hamming distance, over a 28-BIT signature (q34's
-    * 16-bit reference signature has only 16 bucket values per band —
-    * measured 30 s vs ~2 s at sf0.1 on this self-similar corpus; see
-    * [[DedupOps.simhashPairs]]). The registered query aggregates the pair
-    * set per hamming distance (count + an avalanched integer checksum over
-    * the pair ids, so the oracle still pins the ENTIRE pair set): raw
-    * pairs grow quadratically with corpus self-similarity — the aggregate
-    * output is scale-stable while the raw pair surface stays spec-tested. */
-  private val SimhashBits = 28
-  private val q59 = QueryDef(
-    "q59_simhash_pairs",
-    (s, d) => DedupOps.simhashPairs(
-      DedupOps.simhash(Tables.documents(s, d), col("doc_id"), col("text"),
-        SimhashBits), bits = SimhashBits)
-      .groupBy("hamming")
-      .agg(count(lit(1)).as("n_pairs"),
-        // per-pair AVALANCHED hash, then sum: a plain linear sum
-        // (31·a + b) collides across different pair sets, letting
-        // divergent engines agree by accident
-        sum(pmod(pmod(pmod(col("doc_a"), lit(P)) * lit(1000003L)
-          + col("doc_b"), lit(P)) * lit(2654435761L), lit(P)))
-          .as("pair_checksum")),
-    {
-      val bandBits = SimhashBits / 4
-      val mask = (1L << bandBits) - 1
-      val sums = (0 until SimhashBits)
-        .map(j => s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(", ")
-      val bits = (0 until SimhashBits)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH words AS (
-         |  SELECT DISTINCT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-         |hashes AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM words),
-         |sums AS (SELECT doc_id, $sums FROM hashes GROUP BY doc_id),
-         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums),
-         |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * $bandBits)) & $mask AS v
-         |  FROM s, UNNEST(generate_series(0, 3)) AS t(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-         |  FROM cand
-         |  JOIN s sa ON doc_a = sa.doc_id
-         |  JOIN s sb ON doc_b = sb.doc_id
-         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)
-         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(((((doc_a % $P) * 1000003 + doc_b) % $P) * 2654435761) % $P) AS BIGINT) AS pair_checksum
-         |FROM pairs GROUP BY hamming""".stripMargin
-    })
-
-  /** Cumulative curation-funnel survivor counts (one pass, 5 rows). */
-  private val q60 = QueryDef(
-    "q60_filter_funnel",
-    (s, d) => TextOps.filterFunnel(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    {
-      val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
-        .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
-        .mkString("(", " AND ", ")")
-      s"""WITH base AS (
-         |  SELECT text, string_split(text, ' ') AS ws FROM documents),
-         |m AS (SELECT
-         |    len(ws) >= ${TextOps.DefaultMinWords} AS p1,
-         |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio} AS p2,
-         |    $qualityCompositeSql >= ${TextOps.DefaultMinQuality} AS p3,
-         |    $piiFree AS p4
-         |  FROM base),
-         |f AS (SELECT CAST(count(*) AS BIGINT) AS s0,
-         |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-         |    CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-         |    CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
-         |    CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
-         |  FROM m)
-         |SELECT 0 AS stage_idx, 'input' AS stage, s0 AS n_surviving FROM f
-         |UNION ALL SELECT 1, 'min_words', s1 FROM f
-         |UNION ALL SELECT 2, 'max_dup_ratio', s2 FROM f
-         |UNION ALL SELECT 3, 'min_quality', s3 FROM f
-         |UNION ALL SELECT 4, 'pii_free', s4 FROM f""".stripMargin
-    })
-
-  /** Incremental (delta-vs-corpus) dedup — the ingest-time production
-    * shape: the new batch (doc_id ≡ 0 mod 10 here) is screened against the
-    * existing corpus's LSH band buckets; survivors are appended. The corpus
-    * side takes PRECOMPUTED signatures, so a real deployment maintains the
-    * index incrementally instead of re-shingling 100 TB per batch. */
-  private val q61 = QueryDef(
-    "q61_incremental_dedup",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      def sig(side: org.apache.spark.sql.DataFrame) =
-        DedupOps.minhashSignatures(side, col("doc_id"), col("text"), SHINGLE_W)
-      DedupOps.incrementalDedup(
-        sig(docs.where(col("doc_id") % 10 === 0)),
-        sig(docs.where(col("doc_id") % 10 =!= 0)))
-    },
-    s"""WITH $sigCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-       |hit AS (
-       |  SELECT DISTINCT x.doc_id
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.b = y.b AND y.doc_id % 10 <> 0
-       |  WHERE x.doc_id % 10 = 0)
-       |SELECT sig.* FROM sig ANTI JOIN hit ON sig.doc_id = hit.doc_id
-       |WHERE sig.doc_id % 10 = 0""".stripMargin)
-
-  /** Cross-doc duplicate n-gram coverage — the passage-level boilerplate
-    * screen (docs unique as pages but assembled from shared shingles). */
-  private val q62 = QueryDef(
-    "q62_dup_ngram_coverage",
-    (s, d) => TextOps.dupNgramCoverage(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W),
-    s"""WITH $shingleCte,
-       |hd AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM sh GROUP BY h)
-       |SELECT doc_id,
-       |  CAST(count(*) AS BIGINT) AS n_shingles,
-       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
-       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(count(*) AS DOUBLE) AS dup_coverage
-       |FROM sh JOIN hd USING (h)
-       |GROUP BY doc_id""".stripMargin)
-
-  /** Quality-aware cluster representatives: per near-dup cluster, keep the
-    * highest-[[TextOps.qualityComposite]] member (smallest id on rounded
-    * ties) — what a real pipeline keeps, vs q51's arbitrary smallest id. */
-  private val q63 = QueryDef(
-    "q63_keep_best",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      DedupOps.keepBestInCluster(
-        docs, col("doc_id"), TextOps.qualityComposite(col("text")),
-        DedupOps.dedupClusters(
-          DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-            docs, col("doc_id"), col("text"), SHINGLE_W)),
-          "doc_a", "doc_b"))
-    },
-    s"""WITH RECURSIVE $sigCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-       |pairs AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
-       |und AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM und
-       |  UNION
-       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-       |labels AS (
-       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |  FROM reach GROUP BY a),
-       |q AS (SELECT doc_id, round($qualityCompositeSql, 6) AS q
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) b0),
-       |r AS (SELECT l.cluster_id, l.doc_id, q.q,
-       |    row_number() OVER (PARTITION BY l.cluster_id
-       |      ORDER BY q.q DESC, l.doc_id) AS rk
-       |  FROM labels l JOIN q USING (doc_id))
-       |SELECT cluster_id,
-       |  CAST(count(*) AS BIGINT) AS n_members,
-       |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
-       |  max(CASE WHEN rk = 1 THEN q END) AS keep_quality
-       |FROM r GROUP BY cluster_id""".stripMargin)
-
-  /** Deterministic corpus mixing to integer weights under a token budget —
-    * the rebalancing step that composes a training mix from sources.
-    * Thresholds are pure integer arithmetic (millionths), so the keep set
-    * is bit-identical cross-engine. */
-  private val MixWeights = Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 1L,
-    "src3" -> 1L, "src4" -> 1L)
-  private val MixBudget = 2000L
-  private val q64 = QueryDef(
-    "q64_corpus_mix",
-    (s, d) => TextOps.corpusMix(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("source"),
-      MixWeights.toMap, MixBudget),
-    {
-      val totalW = MixWeights.map(_._2).sum
-      val vals = MixWeights.map { case (k, w) =>
-        s"('$k', CAST($w AS BIGINT))" }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, source,
-         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks,
-         |    ${sampleBucketSql(polyHashSql("text"), 1000000)} AS bkt
-         |  FROM documents),
-         |a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail FROM t GROUP BY source),
-         |wt(source, w) AS (VALUES $vals),
-         |thr AS (SELECT a.source,
-         |    least(w * $MixBudget * 1000000 // ($totalW * avail),
-         |      CAST(1000000 AS BIGINT)) AS thr
-         |  FROM a JOIN wt USING (source))
-         |SELECT t.source,
-         |  CAST(count(*) AS BIGINT) AS n_docs_kept,
-         |  CAST(sum(toks) AS BIGINT) AS n_tokens_kept,
-         |  max(thr) AS keep_millionths
-         |FROM t JOIN thr ON t.source = thr.source
-         |WHERE bkt < thr
-         |GROUP BY t.source""".stripMargin
-    })
-
-  /** Fixed-size word-window chunking with overlap — context-length
-    * segmentation before tokenization ([[TextOps.chunkDocs]]): integer-only
-    * boundary math, per-chunk word count + content fingerprint. */
-  private val ChunkW = 64
-  private val ChunkStride = 48
-  private val q65 = QueryDef(
-    "q65_chunk_docs",
-    (s, d) => TextOps.chunkDocs(
-      Tables.documents(s, d), col("doc_id"), col("text"), ChunkW, ChunkStride),
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-       |c AS (SELECT doc_id, ws, n, i AS chunk_idx
-       |  FROM t, UNNEST(generate_series(0, (n - 1) // $ChunkStride)) AS u(i))
-       |SELECT doc_id, chunk_idx,
-       |  least($ChunkW, n - chunk_idx * $ChunkStride) AS n_chunk_words,
-       |  ${polyHashSql(
-           s"array_to_string(ws[chunk_idx * $ChunkStride + 1 : " +
-             s"chunk_idx * $ChunkStride + $ChunkW], ' ')")} AS chunk_hash
-       |FROM c""".stripMargin)
-
-  /** Unigram-LM cross-entropy quality signal ([[TextOps.lmScore]]):
-    * per-word surprisals rounded then summed as DECIMAL so the per-doc sum
-    * is order-independent and engine-exact. */
-  private val q66 = QueryDef(
-    "q66_lm_score",
-    (s, d) => TextOps.lmScore(Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |cnt AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
-       |tot AS (SELECT sum(cnt) AS tot FROM cnt),
-       |wlp AS (SELECT word,
-       |    CAST(round(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
-       |      AS DECIMAL(18,6)) AS lp
-       |  FROM cnt CROSS JOIN tot),
-       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |    sum(lp) AS s
-       |  FROM w JOIN wlp USING (word) GROUP BY doc_id)
-       |SELECT doc_id, n_tokens,
-       |  round(CAST(s AS DOUBLE) / n_tokens, 6) AS cross_entropy
-       |FROM d""".stripMargin)
-
-  /** PII redaction ([[TextOps.piiRedact]]) — q50's transform counterpart;
-    * the synthetic corpus holds no PII (fingerprints gate the cross-engine
-    * replace chain; match behavior is fixture-tested in PipelineOpsSpec). */
-  private val q67 = QueryDef(
-    "q67_pii_redact",
-    (s, d) => TextOps.piiRedact(Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}'))
-       |    + len(regexp_extract_all(text, '${TextOps.PhoneRe}'))
-       |    + len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS BIGINT)
-       |    AS n_redactions,
-       |  CAST(length(r) AS BIGINT) AS redacted_len,
-       |  ${polyHashSql("r")} AS redacted_fingerprint
-       |FROM (SELECT doc_id, text,
-       |    regexp_replace(regexp_replace(regexp_replace(text,
-       |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
-       |      '${TextOps.PhoneRe}', '<PHONE>', 'g'),
-       |      '${TextOps.UrlRe}', '<URL>', 'g') AS r
-       |  FROM documents) t""".stripMargin)
-
-  /** Asymmetric shingle containment on LSH candidates
-    * ([[DedupOps.containmentOnCandidates]]) — subset-duplicate detection
-    * Jaccard dilutes away. */
-  private val ContainT = 0.6
-  private val q68 = QueryDef(
-    "q68_containment",
-    (s, d) => DedupOps.containmentOnCandidates(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W, ContainT),
-    s"""WITH $sigCte,
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_common,
-       |  CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
-       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
-       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= $ContainT""".stripMargin)
-
-  /** SemDeDup-shape semantic dedup ([[SimilarityOps.semanticDedup]]):
-    * centroid-cell assignment (fixed deterministic sample, as q43 — the
-    * learned-centroid variant is q48's contract), within-cell dominance
-    * keep-set. */
-  private val q69 = QueryDef(
-    "q69_semantic_dedup",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.semanticDedup(
-        emb, emb.where(col("vec_id") < 8), col("vec_id"), col("embedding"),
-        COSINE_T)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
-       |assign AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT a.vec_id, c.cid AS cell,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0 THEN round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END) DESC,
-       |                 c.cid) AS crk
-       |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
-       |pairs AS (
-       |  SELECT x.vec_id AS va, y.vec_id AS vb
-       |  FROM assign x
-       |  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  JOIN v a ON a.vec_id = x.vec_id
-       |  JOIN v b ON b.vec_id = y.vec_id
-       |  WHERE (CASE WHEN a.nrm * b.nrm > 0 THEN round(${dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm), 6) END) >= $COSINE_T),
-       |dropped AS (SELECT DISTINCT vb FROM pairs)
-       |SELECT a.vec_id, a.cell, (d.vb IS NULL) AS kept
-       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vb""".stripMargin)
-
-  /** Exact-recall containment via prefix filtering
-    * ([[DedupOps.containmentPrefixPairs]]) — closes q68's documented
-    * discovery hole. The corpus is `documents` plus two rows DERIVED from
-    * it, built identically on both engines, that form an extreme subset
-    * pair LSH cannot recall: a "big" doc (texts of docs 0-3 concatenated in
-    * doc_id order, ~280 words) and a "small" doc (a 6-word slice of doc 1),
-    * giving |small|/|big| ≈ 0.02 in shingles — containment 1.0, Jaccard
-    * ≈ 0.02. The oracle is BRUTE FORCE (every pair sharing ≥ 1 shingle,
-    * exactly verified), so a hash match here checks the prefix path's
-    * exact-recall claim against an oracle that cannot itself miss a pair. */
-  private val PrefixContainT = 0.9
-  private val q70 = QueryDef(
-    "q70_containment_prefix",
-    (s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val big = base.where(col("doc_id") < 4)
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("text")))),
-          t => t.getField("text")), " ").as("text"))
-        .select(lit(1000000L).as("doc_id"), col("text"))
-      val small = base.where(col("doc_id") === 1)
-        .select(lit(1000001L).as("doc_id"),
-          array_join(slice(split(col("text"), " "), 11, 6), " ").as("text"))
-      DedupOps.containmentPrefixPairs(
-        base.unionByName(big).unionByName(small),
-        col("doc_id"), col("text"), SHINGLE_W, PrefixContainT)
-    },
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT CAST(1000000 AS BIGINT),
-       |    (SELECT string_agg(text, ' ' ORDER BY doc_id)
-       |     FROM documents WHERE doc_id < 4)
-       |  UNION ALL
-       |  SELECT CAST(1000001 AS BIGINT),
-       |    (SELECT array_to_string((string_split(text, ' '))[11:16], ' ')
-       |     FROM documents WHERE doc_id = 1)),
-       |${shingleCteOver(SHINGLE_W, "corpus")},
-       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-       |  FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(count(*) AS BIGINT) AS n_common
-       |  FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_common,
-       |  CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
-       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
-       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE))
-       |  >= $PrefixContainT""".stripMargin)
-
-  /** [[SimilarityOps.semanticDedup]] composed with the LEARNED coarse
-    * quantizer ([[SimilarityOps.learnCentroids]]) — the production shape:
-    * SemDeDup's cells must track the data distribution or near-dups land
-    * in different cells and are silently KEPT. Measured on the test table
-    * (PipelineOpsSpec): the learned 8-cell quantizer catches 24/62 of the
-    * global dominance drop-set vs 18/62 for the q69 fixed sample, at the
-    * same cell budget. Full oracle since r14 — the q48 frozen-centroid
-    * treatment over the q69 replay chain: the dump-time thunk embeds the
-    * memoized centroids and DuckDB independently replays assignment +
-    * within-cell dominance. */
-  private val q71 = QueryDef(
-    "q71_semantic_dedup_learned",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.semanticDedup(
-        emb, CentroidMemo.frame(s, d, 8),
-        col("vec_id"), col("embedding"), COSINE_T)
-    },
-    Some(() => {
-      s"""WITH v AS (SELECT vec_id, embedding AS e,
-         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-         |  FROM embeddings),
-         |${centroidValuesCte(8)},
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT a.vec_id, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0
-         |          THEN round(${dotSql("a.e", "c.ce", DIM)}
-         |            / (a.nrm * c.cnrm), 6) END) DESC,
-         |        c.cid) AS crk
-         |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
-         |pairs AS (
-         |  SELECT x.vec_id AS va, y.vec_id AS vb
-         |  FROM assign x
-         |  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |  JOIN v a ON a.vec_id = x.vec_id
-         |  JOIN v b ON b.vec_id = y.vec_id
-         |  WHERE (CASE WHEN a.nrm * b.nrm > 0
-         |    THEN round(${dotSql("a.e", "b.e", DIM)}
-         |      / (a.nrm * b.nrm), 6) END) >= $COSINE_T),
-         |dropped AS (SELECT DISTINCT vb FROM pairs)
-         |SELECT a.vec_id, a.cell, (d.vb IS NULL) AS kept
-         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vb"""
-        .stripMargin
-    }))
-
-  /** Bottom-k containment sketch estimates
-    * ([[DedupOps.containmentSketchPairs]]) — the constant-probe-budget
-    * middle path: exact for docs with ≤ k shingles (where the subset pairs
-    * live), a uniform-sample estimate above, probe cost k·E[df] per doc at
-    * ANY threshold. Deterministic hashes → the oracle recomputes the same
-    * sketch. */
-  private val SketchK = 16
-  private val SketchT = 0.6
-  private val q72 = QueryDef(
-    "q72_containment_sketch",
-    (s, d) => DedupOps.containmentSketchPairs(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W,
-      SketchK, SketchT, maxDf = DedupOps.MaxPostingDf),
-    s"""WITH $shingleCte,
-       |shf AS (SELECT s.doc_id, s.h FROM sh s JOIN (
-       |    SELECT h FROM sh GROUP BY h
-       |    HAVING count(*) <= ${DedupOps.MaxPostingDf}) ok ON ok.h = s.h),
-       |bk AS (SELECT doc_id, h FROM (
-       |    SELECT doc_id, h,
-       |      row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
-       |    FROM shf) t
-       |  WHERE rk <= $SketchK),
-       |bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sketch
-       |  FROM bk GROUP BY doc_id),
-       |hits AS (
-       |  SELECT b.doc_id AS doc_a, s.doc_id AS doc_b,
-       |    CAST(count(*) AS BIGINT) AS n_hits
-       |  FROM bk b JOIN shf s ON s.h = b.h AND s.doc_id <> b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_hits, n_sketch,
-       |  CAST(n_hits AS DOUBLE) / CAST(n_sketch AS DOUBLE) AS containment_est
-       |FROM hits JOIN bsz ON hits.doc_a = bsz.doc_id
-       |WHERE CAST(n_hits AS DOUBLE) / CAST(n_sketch AS DOUBLE)
-       |  >= $SketchT""".stripMargin)
-
-  /** Line-level duplicate removal ([[TextOps.lineDedup]]) — the CCNet-shape
-    * boilerplate screen. The test corpus holds no newlines, so the query
-    * derives a multi-line frame from the documents table itself (the q70
-    * pattern): doc i and doc i+1 concatenated with a newline (every
-    * ORIGINAL text becomes a line of ≤2 derived docs; corpus-level
-    * exact-dup texts then appear as lines of ≥4 derived docs), plus a
-    * shared banner line on every third doc — guaranteed boilerplate at any
-    * scale factor, so the drop-and-refingerprint path is always exercised.
-    * Both engines derive, split, count, drop, and re-fingerprint the same
-    * lines. */
-  private val LineMaxDf = 3
-  private val LineBanner = "all rights reserved boilerplate banner"
-  private val q73 = QueryDef(
-    "q73_line_dedup",
-    (s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val next = base.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("_next"))
-      val multi = base.join(next, "doc_id")
-        .select(col("doc_id"),
-          concat(col("text"), lit("\n"), col("_next"),
-            when(col("doc_id") % 3 === 0, lit("\n" + LineBanner))
-              .otherwise(lit(""))).as("text"))
-      TextOps.lineDedup(multi, col("doc_id"), col("text"), LineMaxDf)
-    },
-    s"""WITH multi AS (
-       |  SELECT a.doc_id, a.text || chr(10) || b.text ||
-       |    CASE WHEN a.doc_id % 3 = 0 THEN chr(10) || '$LineBanner'
-       |         ELSE '' END AS text
-       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
-       |lns AS (
-       |  SELECT doc_id, i AS pos, ls[i] AS line,
-       |    ${polyHashSql("ls[i]")} AS h,
-       |    CAST(length(ls[i]) AS BIGINT) AS llen
-       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
-       |       UNNEST(generate_series(1, len(ls))) AS t(i)),
-       |drop_set AS (
-       |  SELECT h, llen FROM lns GROUP BY h, llen
-       |  HAVING count(DISTINCT doc_id) >= $LineMaxDf),
-       |ka AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-       |    ${polyHashSql("string_agg(line, chr(10) ORDER BY pos)")}
-       |      AS clean_fingerprint
-       |  FROM (SELECT lns.* FROM lns LEFT JOIN drop_set d
-       |        ON lns.h = d.h AND lns.llen = d.llen
-       |        WHERE d.h IS NULL) lk
-       |  GROUP BY doc_id)
-       |SELECT m.doc_id,
-       |  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
-       |  coalesce(ka.n_kept, 0) AS n_kept, ka.clean_fingerprint
-       |FROM multi m LEFT JOIN ka USING (doc_id)""".stripMargin)
-
-  /** Per-source unigram KL divergence vs the corpus
-    * ([[TextOps.sourceDivergence]]) — corpus-QA drift signal. The weighted
-    * sum rides the q66 DECIMAL pattern so both engines produce the exact
-    * same total. */
-  private val q74 = QueryDef(
-    "q74_source_divergence",
-    (s, d) => TextOps.sourceDivergence(
-      Tables.documents(s, d), col("source"), col("text")),
-    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
-      |  FROM documents),
-      |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
-      |cw AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
-      |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
-      |    CAST(count(*) AS BIGINT) AS n_vocab
-      |  FROM sw GROUP BY 1),
-      |tot AS (SELECT sum(c_w) AS n_total FROM cw),
-      |terms AS (
-      |  SELECT s.source, ns.n_tokens, ns.n_vocab,
-      |    CAST(s.c_sw AS DECIMAL(20,0)) *
-      |      CAST(round(ln((CAST(s.c_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE))
-      |          / (CAST(ns.n_tokens AS DOUBLE) * CAST(c.c_w AS DOUBLE))), 6)
-      |        AS DECIMAL(18,6)) AS term
-      |  FROM sw s JOIN cw c USING (word) JOIN ns USING (source)
-      |  CROSS JOIN tot t)
-      |SELECT source, n_tokens, n_vocab,
-      |  round(CAST(sum(term) AS DOUBLE) / n_tokens, 6) AS kl_vs_corpus
-      |FROM terms GROUP BY 1, 2, 3""".stripMargin)
-
-  /** Cross-source syndication matrix: the q33 near-dup pair set grouped by
-    * unordered source pair — which feeds copy from which (wire-service
-    * syndication, mirror sites) and how much duplication stays
-    * intra-source. Composition, not new machinery: pair discovery+verify
-    * is [[DedupOps.jaccardOnCandidates]] unchanged; the source dimension
-    * is doc-level and broadcast. */
-  private val q78 = QueryDef(
-    "q78_syndication_matrix",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val src = docs.select(col("doc_id"), col("source"))
-      DedupOps.jaccardOnCandidates(
-          docs, col("doc_id"), col("text"), SHINGLE_W, JACCARD_T)
-        .join(broadcast(src.select(col("doc_id").as("doc_a"),
-          col("source").as("_sa"))), "doc_a")
-        .join(broadcast(src.select(col("doc_id").as("doc_b"),
-          col("source").as("_sb"))), "doc_b")
-        .select(least(col("_sa"), col("_sb")).as("source_a"),
-          greatest(col("_sa"), col("_sb")).as("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_pairs"))
-    },
-    s"""WITH $jaccardPairsCtes
-       |SELECT least(da.source, db.source) AS source_a,
-       |  greatest(da.source, db.source) AS source_b,
-       |  CAST(count(*) AS BIGINT) AS n_pairs
-       |FROM jp
-       |JOIN documents da ON jp.doc_a = da.doc_id
-       |JOIN documents db ON jp.doc_b = db.doc_id
-       |GROUP BY 1, 2""".stripMargin)
-
-  /** Bloom-pruned EXACT decontamination ([[TextOps.decontaminate]]): the
-    * train-split documents overlapping the test split by ≥2 distinct
-    * shingles. The oracle is pure relational (the Bloom stage only prunes;
-    * the exact semi-join guarantees the same rows for any filter sizing). */
-  private val q79 = QueryDef(
-    "q79_decontaminate",
-    (s, d) => TextOps.decontaminate(
-      Tables.documents(s, d), col("doc_id"), col("text"), ContamW,
-      minOverlap = 2, estimatedTestShingles = 1L << 20),
-    s"""WITH ${shingleCteW(ContamW)},
-       |spl AS (SELECT doc_id,
-       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-       |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b FROM documents) t),
-       |te AS (SELECT DISTINCT h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-       |  WHERE split = 'test'),
-       |tr AS (SELECT sh.doc_id, sh.h FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-       |  WHERE split = 'train')
-       |SELECT tr.doc_id,
-       |  CAST(count(*) AS BIGINT) AS n_shingles,
-       |  CAST(count(te.h) AS BIGINT) AS n_in_test,
-       |  CAST(count(te.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
-       |FROM tr LEFT JOIN te ON tr.h = te.h
-       |GROUP BY tr.doc_id
-       |HAVING count(te.h) >= 2""".stripMargin)
-
-  /** Deterministic shuffle-and-shard ([[TextOps.shuffleShards]]): shard +
-    * in-shard position as pure functions of (text, doc_id) — the
-    * reproducible "random" order a training run consumes. The oracle
-    * replays the same avalanched-hash arithmetic and window. */
-  private val q80 = QueryDef(
-    "q80_shuffle_shards",
-    (s, d) => TextOps.shuffleShards(
-      Tables.documents(s, d), col("doc_id"), col("text"), 16),
-    s"""SELECT doc_id, k % 16 AS shard,
-       |  CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
-       |    AS BIGINT) AS pos
-       |FROM (SELECT doc_id,
-       |    ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
-       |      * 2654435761) % $P AS k
-       |  FROM documents) t""".stripMargin)
-
-  /** Repeated-span removal ([[TextOps.removeRepeatedSpans]]): excise every
-    * ≥5-token span whose 3-grams all repeat corpus-wide. The oracle
-    * replays the position stream, frequency threshold, gaps-and-islands
-    * run grouping, interval clipping, and row rebuild relationally. */
-  private val q81 = QueryDef(
-    "q81_remove_repeated_spans", {
-      (s, d) => TextOps.removeRepeatedSpans(
-        Tables.documents(s, d), col("doc_id"), col("text"), 3, 5)
-    },
-    s"""WITH words AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-       |possh AS (
-       |  SELECT doc_id, i, ${polyHashSql("s")} AS h FROM (
-       |    SELECT doc_id, i, ${wordShinglesSql(3)} AS s
-       |    FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))),
-       |dup AS (SELECT h FROM possh GROUP BY h HAVING count(*) >= 2),
-       |runs AS (SELECT doc_id, i,
-       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
-       |  FROM possh WHERE h IN (SELECT h FROM dup)),
-       |iv AS (SELECT r.doc_id, min(r.i) AS a,
-       |    least(max(r.i) + 2, len(w2.ws)) AS b
-       |  FROM runs r JOIN words w2 USING (doc_id)
-       |  GROUP BY r.doc_id, g, len(w2.ws)
-       |  HAVING least(max(r.i) + 2, len(w2.ws)) - min(r.i) + 1 >= 5),
-       |tok AS (SELECT doc_id, i AS pos, ws[i] AS word
-       |  FROM words, UNNEST(generate_series(1, len(ws))) AS t(i)),
-       |kept AS (SELECT t.* FROM tok t WHERE NOT EXISTS (
-       |  SELECT 1 FROM iv WHERE iv.doc_id = t.doc_id
-       |    AND t.pos BETWEEN iv.a AND iv.b)),
-       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-       |    ${polyHashSql("string_agg(word, ' ' ORDER BY pos)")} AS fp
-       |  FROM kept GROUP BY doc_id),
-       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
-       |  FROM iv GROUP BY doc_id)
-       |SELECT w3.doc_id,
-       |  CAST(len(w3.ws) AS BIGINT) AS n_tokens,
-       |  CAST(len(w3.ws) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
-       |  coalesce(ns.n_spans, CAST(0 AS BIGINT)) AS n_spans,
-       |  ka.fp AS clean_fingerprint
-       |FROM words w3
-       |LEFT JOIN ka USING (doc_id) LEFT JOIN ns USING (doc_id)""".stripMargin)
-
-  /** ANN recall floor (q82): each approximate method's recall@k vs the
-    * brute-force truth must clear this, or its summary row disappears and
-    * the driver's rows-only check flags the regression. A COLLAPSE
-    * detector, not a quality bar: set below every measured value across
-    * sf dirs (the q82 scaladoc), because recall varies with data shape —
-    * what it catches is the realistic regression mode, a broken bucket
-    * key / centroid assignment sending a method's recall to ~0. */
-  private val AnnRecallFloor = 0.05
-
-  /** ANN recall-at-k report ([[SimilarityOps.annRecall]]): one row per
-    * approximate method (sign-LSH, IVF-fixed, IVF-learned nprobe=2) with
-    * its recall against the shared brute-force truth at k = LSH_K — the
-    * PipelineOpsSpec recall measurement promoted to a registered artifact
-    * (r7 verdict item 7). No SQL oracle for the RECALL rows — learnCentroids
-    * (k-means) isn't SQL-expressible (q48 contract) — but the brute-force
-    * TRUTH frame every method is measured against is hash-gated as its own
-    * entry (q185, r14 verdict item 5; PipelineOpsSpec pins this query's
-    * truth leg row-for-row against it). The rows-only check here is made
-    * regression-SENSITIVE by the [[AnnRecallFloor]] filter: 3 rows while
-    * every method clears the floor, fewer the moment one collapses.
-    * Measured (MicroBench ann_recall_all): lsh 0.10/0.20/0.07,
-    * ivf_fixed 0.87/0.83/0.80, ivf_learned 0.57/0.57/0.57 at
-    * sf0.001/0.01/0.1 — single-table 4-bit sign-LSH recall is honestly
-    * low (the q37 operator's documented trade); IVF-learned trails
-    * IVF-fixed HERE because the vec_id<10 queries overlap the fixed
-    * vec_id<8 centroid set (in-sample bias) — out-of-sample the learned
-    * quantizer wins, measured in PipelineOpsSpec's recall@k test.
-    *
-    * ivfpq_short20 (added r11 — the production 100 TB tier, q99's
-    * composition recall-gated): 0.63/0.40/0.53 at sf0.001/0.01/0.1 with
-    * nProbe=2 of 8 cells — tracking pq_short20 (0.57/0.40/0.50) within
-    * a few points, i.e. at this corpus shape the 4× candidate pruning
-    * costs almost no recall on top of PQ distortion, which is exactly
-    * the trade IVF-PQ is deployed for.
-    *
-    * ivfadc_short20 (added r11, q101's residual composition):
-    * 0.50/0.63/0.23 — noisy ACROSS sf dirs rather than better, and
-    * honestly so: residual coding's accuracy advantage assumes residuals
-    * are small (clustered data) and a codebook that tracks them; this
-    * synthetic near-uniform corpus gives neither, and the q101 fixed
-    * 8-residual sample is deliberately arbitrary (it exists to hash-pin
-    * mechanics, not to flatter recall). The row still earns its place:
-    * the floor catches the realistic regression (a broken residual or
-    * double-subtracted centroid sends recall to ~0, not to 0.23), and
-    * PQSpec pins the law that matters — with a perfect residual codebook
-    * IVFADC distances ARE exact L2, the property raw coding cannot
-    * have. */
-  /** q82's SHARED harness artifacts, memoized per sf dir (r17 verdict
-    * item 4 — the PqIndexMemo discipline): the brute-force TRUTH frame
-    * (the harness's gold standard, hash-gated on its own as q185 and
-    * pinned row-for-row in PipelineOpsSpec), the learned k-means
-    * centroid table, the fixed-codebook PQ index, and the IVFADC
-    * residual codebook. All four are FIT/INDEX artifacts a production
-    * deployment builds once and serves many — per-rep rebuilds measured
-    * the builders, not the seven searches the recall harness exists to
-    * gate (QSolo warm reps 8.3–9.7 s before; the memo leaves the
-    * per-rep work = 7 shortlist searches + recall joins). Eager
-    * localCheckpoints truncate lineage to one LogicalRDD scan each;
-    * every frame is deterministic, so correctness is unchanged. */
-  private case class AnnFrames(truth: org.apache.spark.sql.DataFrame,
-      cent: org.apache.spark.sql.DataFrame,
-      pqIdx: org.apache.spark.sql.DataFrame,
-      ivfpqIdx: org.apache.spark.sql.DataFrame,
-      ivfadcIdx: org.apache.spark.sql.DataFrame)
-
-  private object AnnHarnessMemo {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, AnnFrames]
-    def frames(s: org.apache.spark.sql.SparkSession, d: String): AnnFrames =
-      cache.getOrElseUpdate(d, {
-        val emb = Tables.embeddings(s, d)
-        val queries = emb.where(col("vec_id") < 10)
-        val cells = emb.where(col("vec_id") < 8)
-        val id = col("vec_id"); val v = col("embedding")
-        val rcb = PQOps.cellResiduals(
-            emb.where(col("vec_id") >= 8 && col("vec_id") < 16),
-            cells, id, v)
-          .select((col("vec_id") - 8).as("vec_id"),
-            col("res").as("embedding"))
-        AnnFrames(
-          truth = SimilarityOps.bruteForceTopK(emb, queries, id, v,
-            LSH_K).localCheckpoint(true),
-          cent = SimilarityOps.learnCentroids(emb, v, 8, "vec_id",
-            "embedding").localCheckpoint(true),
-          pqIdx = PQOps.pqIndex(emb, cells, id, v, 8, 8)
-            .localCheckpoint(true),
-          ivfpqIdx = PQOps.ivfPqIndex(emb, cells, cells, id, v, 8, 8)
-            .localCheckpoint(true),
-          ivfadcIdx = PQOps.ivfPqResidualIndex(emb, cells, rcb, id, v,
-            8, 8).localCheckpoint(true))
-      })
-  }
-
-  private val q82 = QueryDef(
-    "q82_ann_recall",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.where(col("vec_id") < 10)
-      def id = col("vec_id")
-      def v = col("embedding")
-      // Shared truth + fitted/encoded artifacts from [[AnnHarnessMemo]]
-      // (r11 item 2 made truth once-per-QUERY; r17 item 4 makes all
-      // five build-once artifacts once-per-PROCESS — the production
-      // lifecycle, leaving the timed reps measuring SEARCH)
-      val f = AnnHarnessMemo.frames(s, d)
-      val cells = emb.where(col("vec_id") < 8)
-      val lsh = SimilarityOps.lshTopK(emb, queries, id, v, LSH_BITS, LSH_K)
-      val ivfFixed = SimilarityOps.ivfTopK(emb, queries, cells, id, v,
-        LSH_K)
-      val ivfLearned = SimilarityOps.ivfTopK(
-        emb, queries, f.cent, id, v, LSH_K, nProbe = 2)
-      // compression-ladder tiers (round-12): the PQ fixed-codebook
-      // shortlist and the binary sign screen, recall-gated like the rest —
-      // a quantizer or distance regression drops the row
-      val pqShort = PQOps.pqTopK(f.pqIdx, queries, id, v, 20, 8)
-      val binShort = SimilarityOps.binarySignTopK(emb, queries, id, v,
-        DIM, 50)
-      // the production 100 TB path: coarse cells prune, PQ codes score —
-      // its recall compounds nProbe cell misses with PQ distortion, so it
-      // gets its own gated row (r10 verdict item 1)
-      val ivfpqShort = PQOps.ivfPqTopKIndexed(f.ivfpqIdx, queries,
-        cells, id, v, 20, 2, 8)
-      // IVFADC (q101): same budget and probing, residual-coded — the
-      // accuracy the centroid offset + centered residual buy is what
-      // this row gates
-      val ivfadcShort = PQOps.ivfPqResidualTopKIndexed(f.ivfadcIdx,
-        queries, cells, id, v, 20, 2, 8)
-      SimilarityOps.annRecall(f.truth, lsh, "lsh")
-        .unionAll(SimilarityOps.annRecall(f.truth, ivfFixed, "ivf_fixed"))
-        .unionAll(SimilarityOps.annRecall(f.truth, ivfLearned, "ivf_learned"))
-        .unionAll(SimilarityOps.annRecall(f.truth, pqShort, "pq_short20"))
-        .unionAll(SimilarityOps.annRecall(f.truth, binShort, "bin_short50"))
-        .unionAll(SimilarityOps.annRecall(f.truth, ivfpqShort, "ivfpq_short20"))
-        .unionAll(SimilarityOps.annRecall(f.truth, ivfadcShort, "ivfadc_short20"))
-        .where(col("recall") >= AnnRecallFloor)
-    },
-    None)
-
-  /** The q82 ground-truth frame, hash-gated on its own (r14 verdict
-    * item 5): the recall harness's learned tiers are not
-    * SQL-expressible, but the brute-force truth they are all measured
-    * AGAINST is plain relational top-k — every (query, neighbor, rank,
-    * cosine) row replayed by DuckDB from the same parquet, so the
-    * bench's most expensive entry is now half-auditable: a broken
-    * truth (distance kernel, norm guard, tie order) fails THIS hash
-    * gate, and PipelineOpsSpec pins q82's recall numbers against this
-    * exact frame. Same arguments as q82's `truth` leg by construction
-    * ([[SimilarityOps.bruteForceTopK]], queries = vec_id < 10,
-    * k = LSH_K). */
-  private val q185 = QueryDef(
-    "q185_ann_truth",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.bruteForceTopK(
-        emb, emb.where(col("vec_id") < 10),
-        col("vec_id"), col("embedding"), LSH_K)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm
-       |  FROM v WHERE vec_id < 10),
-       |p AS (SELECT q.qid, v.vec_id AS nid,
-       |    CASE WHEN q.qnrm * v.nrm > 0
-       |      THEN round(${dotSql("q.qe", "v.e", DIM)}
-       |        / (q.qnrm * v.nrm), 6) END AS cos_sim
-       |  FROM q JOIN v ON v.vec_id <> q.qid)
-       |SELECT qid AS query_id, rk, nid AS neighbor_id, cos_sim FROM (
-       |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY qid ORDER BY cos_sim DESC, nid)
-       |    AS BIGINT) AS rk
-       |  FROM p
-       |) t WHERE rk <= $LSH_K""".stripMargin)
-
-  /** Coordinated bottom-k sketch-vs-sketch containment
-    * ([[DedupOps.coordinatedContainmentPairs]]) — the sketch-INDEX path:
-    * no postings pass, both sides are the k-row sketches (q72's suggested
-    * alternative estimator, measured side-by-side in MicroBench). Same
-    * k/threshold/cap as q72; deterministic, so the oracle replays the
-    * union-sample relationally. */
-  private val CoordMinSupport = 3
-  private val q83 = QueryDef(
-    "q83_containment_coordinated",
-    (s, d) => DedupOps.coordinatedContainmentPairs(
-      Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W,
-      SketchK, SketchT, maxDf = DedupOps.MaxPostingDf,
-      minSupport = CoordMinSupport),
-    s"""WITH $shingleCte,
-       |shf AS (SELECT s.doc_id, s.h FROM sh s JOIN (
-       |    SELECT h FROM sh GROUP BY h
-       |    HAVING count(*) <= ${DedupOps.MaxPostingDf}) ok ON ok.h = s.h),
-       |bk AS (SELECT doc_id, h FROM (
-       |    SELECT doc_id, h,
-       |      row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
-       |    FROM shf) t
-       |  WHERE rk <= $SketchK),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bk a JOIN bk b ON a.h = b.h AND a.doc_id < b.doc_id),
-       |m AS (SELECT c.doc_a, c.doc_b, x.h,
-       |    max(CASE WHEN x.doc_id = c.doc_a THEN 1 ELSE 0 END) AS ina,
-       |    max(CASE WHEN x.doc_id = c.doc_b THEN 1 ELSE 0 END) AS inb
-       |  FROM cand c JOIN bk x ON x.doc_id IN (c.doc_a, c.doc_b)
-       |  GROUP BY 1, 2, 3),
-       |v AS (SELECT * FROM (SELECT m.*,
-       |    row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY h) AS rk
-       |  FROM m) r WHERE rk <= $SketchK),
-       |s AS (SELECT doc_a, doc_b,
-       |    CAST(count(*) AS BIGINT) AS n_sample,
-       |    CAST(sum(ina * inb) AS BIGINT) AS n_both,
-       |    sum(ina) AS nva, sum(inb) AS nvb
-       |  FROM v GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_sample, n_both,
-       |  CASE WHEN nva >= $CoordMinSupport
-       |    THEN CAST(n_both AS DOUBLE) / CAST(nva AS DOUBLE) END
-       |    AS containment_ab_est,
-       |  CASE WHEN nvb >= $CoordMinSupport
-       |    THEN CAST(n_both AS DOUBLE) / CAST(nvb AS DOUBLE) END
-       |    AS containment_ba_est
-       |FROM s
-       |WHERE greatest(
-       |    coalesce(CASE WHEN nva >= $CoordMinSupport
-       |      THEN CAST(n_both AS DOUBLE) / CAST(nva AS DOUBLE) END, -1),
-       |    coalesce(CASE WHEN nvb >= $CoordMinSupport
-       |      THEN CAST(n_both AS DOUBLE) / CAST(nvb AS DOUBLE) END, -1))
-       |  >= $SketchT""".stripMargin)
-
-  /** Incremental semantic dedup ([[SimilarityOps.incrementalSemanticDedup]])
-    * — arriving vectors (vec_id % 5 = 0, the "delta") screened against the
-    * pre-assigned rest of the corpus under the q43 fixed centroid set.
-    * Oracle replays assignment + same-cell cosine screen relationally. */
-  private val q84 = QueryDef(
-    "q84_semantic_dedup_incremental",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-      SimilarityOps.incrementalSemanticDedup(
-        emb.where(pmod(col("vec_id"), lit(5)) === 0),
-        SimilarityOps.assignCells(
-          emb.where(pmod(col("vec_id"), lit(5)) =!= 0), cents,
-          col("vec_id"), col("embedding")),
-        cents, col("vec_id"), col("embedding"), COSINE_T)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
-       |assign AS (
-       |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT a.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY (CASE WHEN a.nrm * c.cnrm > 0 THEN round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END) DESC,
-       |                 c.cid) AS crk
-       |    FROM v a CROSS JOIN cents c) t WHERE crk = 1),
-       |hits AS (
-       |  SELECT DISTINCT dv.vec_id
-       |  FROM v dv
-       |  JOIN assign da ON da.vec_id = dv.vec_id AND dv.vec_id % 5 = 0
-       |  JOIN assign ca ON ca.cell = da.cell AND ca.vec_id % 5 <> 0
-       |  JOIN v cv ON cv.vec_id = ca.vec_id
-       |  WHERE (CASE WHEN dv.nrm * cv.nrm > 0
-       |    THEN round(${dotSql("dv.e", "cv.e", DIM)} / (dv.nrm * cv.nrm), 6) END)
-       |    >= $COSINE_T)
-       |SELECT a.vec_id, a.cell, (h.vec_id IS NULL) AS kept
-       |FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
-       |WHERE a.vec_id % 5 = 0""".stripMargin)
-
-  /** Cluster-size audit ([[DedupOps.clusterStats]]) over the q51 cluster
-    * chain — the dedup report row set (how many clusters of each size,
-    * how many docs a keep-one pass removes). */
-  private val q85 = QueryDef(
-    "q85_cluster_stats",
-    (s, d) => DedupOps.clusterStats(
-      DedupOps.dedupClusters(
-        DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-          Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
-        "doc_a", "doc_b")),
-    s"""WITH RECURSIVE $clusterChainCtes,
-       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |  FROM reach GROUP BY a),
-       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
-       |  FROM cl GROUP BY 1)
-       |SELECT n AS cluster_size,
-       |  CAST(count(*) AS BIGINT) AS n_clusters,
-       |  CAST(n * count(*) AS BIGINT) AS n_docs
-       |FROM sz GROUP BY n""".stripMargin)
-
-  /** Leakage-safe train/val/test split ([[TextOps.leakageSafeSplit]]):
-    * q45's independent hash split leaks near-duplicates across splits — a
-    * test doc's 0.9-Jaccard twin lands in train and no decontamination
-    * pass can see it (it IS the same corpus). Here the q51 near-dup
-    * cluster moves as ONE unit: every member takes the bucket of the
-    * cluster's min content hash (id-independent — re-ingestion with fresh
-    * doc ids reproduces the split), plus the 1/|cluster| duplicate-aware
-    * sample weight. Oracle: the q51 recursive-CTE cluster chain, a left
-    * join for singletons, and the same bucket arithmetic. */
-  private val q88 = QueryDef(
-    "q88_leakage_safe_split",
-    (s, d) => TextOps.leakageSafeSplit(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      DedupOps.dedupClusters(
-        DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-          Tables.documents(s, d), col("doc_id"), col("text"), SHINGLE_W)),
-        "doc_a", "doc_b")),
-    s"""WITH RECURSIVE $clusterChainCtes,
-       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |  FROM reach GROUP BY a),
-       |base AS (SELECT doc_id, ${polyHashSql("text")} AS own_hash
-       |  FROM documents),
-       |g AS (SELECT b.doc_id,
-       |    COALESCE(cl.cluster_id, b.doc_id) AS cluster_id, b.own_hash
-       |  FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id),
-       |pc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-       |    min(own_hash) AS grp_hash
-       |  FROM g GROUP BY 1)
-       |SELECT g.doc_id, g.cluster_id, pc.n_members,
-       |  1.0 / pc.n_members AS sample_weight,
-       |  pc.grp_hash % 100 AS bucket,
-       |  CASE WHEN pc.grp_hash % 100 < 80 THEN 'train'
-       |       WHEN pc.grp_hash % 100 < 90 THEN 'val'
-       |       ELSE 'test' END AS split
-       |FROM g JOIN pc ON pc.cluster_id = g.cluster_id""".stripMargin)
-
-  /** Image near-dup as a REGISTERED query (round-9, closing the verdict's
-    * "media near-dup has no registered query" gap): REAL PNG payloads are
-    * synthesized deterministically from the documents table
-    * ([[MultimodalOps.syntheticImageCorpus]] — binary can't cross the
-    * DuckDB oracle but pair rows of BIGINTs can, the q42/q82 precedent),
-    * then the full production pipeline runs: ImageIO decode → 64-bit
-    * dHash → 8×8-band pigeonhole discovery → exact bit_count(xor)
-    * verify. Planted decode→re-encode twins guarantee hamming-0 pairs
-    * (non-empty, rows-checkable); planted resize variants exercise the
-    * perceptual tolerance; planted truncated payloads must be dropped by
-    * the `ok` gate — a codec, banding, or integrity regression all move
-    * the row count. No SQL oracle: ImageIO's area-average resample is
-    * not expressible in DuckDB. */
-  private val q86 = QueryDef(
-    "q86_image_neardup",
-    (s, d) => MediaNearDup.imageOp(MediaNearDup.imageCorpus(s, d))(s),
-    None)
-
-  /** Audio near-dup as a REGISTERED query — the audio face of [[q86]]:
-    * REAL WAV payloads from the documents table
-    * ([[MultimodalOps.syntheticAudioCorpus]]), then PCM decode →
-    * energy-envelope hash → the shared banded discovery. Planted
-    * half-volume twins hash identically by amplitude-scale invariance
-    * (hamming 0 — deterministic non-empty output); truncated payloads
-    * must flag `ok = false` and stay out of the pairs. */
-  private val q87 = QueryDef(
-    "q87_audio_neardup",
-    (s, d) => MediaNearDup.audioOp(MediaNearDup.audioCorpus(s, d))(s),
-    None)
-
-  /** Video near-dup as a REGISTERED query — the video face of [[q86]],
-    * closing the last spec-only modality: REAL Y4M payloads from the
-    * documents table ([[MultimodalOps.syntheticVideoCorpus]]), then the
-    * full production pipeline: pure-JVM Y4M decode → per-frame luma
-    * dHash → banded discovery over EVERY frame hash → frame-set verify
-    * with match fraction normalized over the smaller video. Planted
-    * decode→re-encode twins match at fraction 1.0 (deterministic
-    * non-empty output); planted FRAME-STRIDE twins (every 2nd frame)
-    * exercise the trimmed-copy recall guarantee; truncated payloads must
-    * flag `ok = false` and stay out of the pairs — codec, hashing,
-    * banding, and verify regressions all move the row count. No SQL
-    * oracle: the Y4M decode is not expressible in DuckDB. */
-  private val q89 = QueryDef(
-    "q89_video_neardup",
-    (s, d) => MediaNearDup.videoOp(MediaNearDup.videoCorpus(s, d))(s),
-    None)
-
-  /** Z-order (Morton) cell statistics over events — the write-side layout
-    * curve ([[graft.operators.LayoutOps.zValue]], the clustering key
-    * behind [[graft.operators.LayoutOps.zOrderedWrite]]) verified
-    * cell-exact against DuckDB computing the SAME interleave in SQL: both
-    * engines bin (value, user_id) linearly into 8-bit bins against the
-    * table's own min/max and interleave the bits column-major; rows group
-    * by the top-8-bit cell prefix. Any drift in the binning (rounding
-    * mode, clamp rule, NULL rule) or the interleave order moves rows
-    * across cells and fails the hash — the curve the physical layout
-    * depends on is therefore oracle-pinned, even though the file-level
-    * effects (LayoutOpsSpec's box-pruning gates) live outside SQL. */
-  private val ZBITS = 8
-  private val q90 = QueryDef(
-    "q90_zorder_cells",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-      val rs = graft.operators.LayoutOps
-        .columnRanges(ev, Seq("value", "user_id"))
-      val z = graft.operators.LayoutOps.zValue(
-        rs.map { case (c, lo, hi) => (col(c), lo, hi) }, bits = ZBITS)
-      ev.withColumn("_z", z)
-        .groupBy(shiftright(col("_z"), ZBITS).as("cell"))
-        .agg(count(lit(1)).as("n"), min(col("_z")).as("z_min"),
-          max(col("_z")).as("z_max"))
-    }, {
-      val maxBin = (1 << ZBITS) - 1
-      def bin(c: String, lo: String, hi: String) =
-        s"CAST(least(greatest(coalesce(round(((CAST($c AS DOUBLE) - $lo)" +
-          s" / ($hi - $lo)) * $maxBin.0), 0.0), 0.0), $maxBin.0) AS BIGINT)"
-      val terms = (0 until ZBITS).flatMap(b => Seq(
-        s"(((b0 >> $b) & 1) << ${b * 2})",
-        s"(((b1 >> $b) & 1) << ${b * 2 + 1})"))
-      s"""WITH r AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo0,
-         |  CAST(MAX(value) AS DOUBLE) AS hi0,
-         |  CAST(MIN(user_id) AS DOUBLE) AS lo1,
-         |  CAST(MAX(user_id) AS DOUBLE) AS hi1 FROM events),
-         |b AS (SELECT ${bin("value", "lo0", "hi0")} AS b0,
-         |  ${bin("user_id", "lo1", "hi1")} AS b1 FROM events, r),
-         |z AS (SELECT ${terms.mkString(" | ")} AS z FROM b)
-         |SELECT z >> $ZBITS AS cell, COUNT(*) AS n,
-         |  MIN(z) AS z_min, MAX(z) AS z_max
-         |FROM z GROUP BY 1""".stripMargin
-    })
-
-  /** Compaction plan ([[graft.operators.LayoutOps.compactionPlan]]) —
-    * the OPTIMIZE-planning half of the write-side layout family: a
-    * synthetic small-file audit derived from `orders` (one "file" per
-    * 1000-key range, so file sizes vary with TPC-H's sparse key stride)
-    * binned to ~2500-row rewrite groups by the distributed-prefix-sum
-    * rule over the clustering order. The oracle replays the cumsum
-    * window, the floor binning, and the per-bin aggregates — the
-    * adjacency-preserving assignment is hash-pinned, which is the
-    * property that keeps per-file ranges disjoint after the rewrite. */
-  private val q102 = QueryDef(
-    "q102_compaction_plan",
-    (s, d) => {
-      val o = Tables.orders(s, d)
-      val audit = o.groupBy((col("o_orderkey") / 1000).cast("long")
-          .as("file"))
-        .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("k_min"))
-      graft.operators.LayoutOps.compactionPlan(audit, col("file"),
-        col("n_rows"), col("k_min"), 2500L)
-    },
-    s"""WITH a AS (SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS file,
-       |    CAST(count(*) AS BIGINT) AS n_rows, min(o_orderkey) AS k_min
-       |  FROM orders GROUP BY 1),
-       |p AS (SELECT file, n_rows,
-       |    coalesce(sum(n_rows) OVER (ORDER BY k_min, file
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4
-       |  FROM a),
-       |b AS (SELECT file, n_rows,
-       |    CAST(floor(b4 / 2500.0) AS BIGINT) AS bin FROM p)
-       |SELECT file, n_rows, bin,
-       |  CAST(sum(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows,
-       |  CAST(count(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files,
-       |  (count(*) OVER (PARTITION BY bin)) > 1 AS needs_compaction
-       |FROM b""".stripMargin)
-
-  /** Temperature-flattened source mix ([[TextOps.temperatureMix]],
-    * alpha = 0.5): per-doc sampling weights plus the deterministic
-    * hash-realized copy counts. The oracle recomputes the whole chain —
-    * sqrt weights (exactly-rounded on both engines), the decimal-path
-    * weight total (VARCHAR hop per the DuckDB cast convention), and the
-    * shuffleShards mixed-hash draw — so a drift in any of the binning,
-    * the Σ discipline, or the draw arithmetic fails the hash. */
-  private val q91 = QueryDef(
-    "q91_temperature_mix",
-    (s, d) => TextOps.temperatureMix(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("source"),
-      alpha = 0.5),
-    s"""WITH c AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
-       |  FROM documents GROUP BY source),
-       |w AS (SELECT source, n_src, sqrt(CAST(n_src AS DOUBLE)) AS w FROM c),
-       |t AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total,
-       |    CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-       |      AS w_total FROM w),
-       |r AS (SELECT source, n_src,
-       |    CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
-       |    w / w_total AS p_temp
-       |  FROM w, t),
-       |d AS (SELECT doc_id, source,
-       |    (((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
-       |      * 2654435761) % $P) % 1000000 AS draw
-       |  FROM documents)
-       |SELECT d.doc_id, d.source, r.n_src, r.p_raw, r.p_temp,
-       |  r.p_temp / r.p_raw AS boost,
-       |  CAST(floor(r.p_temp / r.p_raw) AS BIGINT) +
-       |    (CASE WHEN CAST(draw AS DOUBLE) <
-       |      (r.p_temp / r.p_raw - floor(r.p_temp / r.p_raw)) * 1000000.0
-       |     THEN 1 ELSE 0 END) AS n_copies
-       |FROM d JOIN r USING (source)""".stripMargin)
-
-  /** Shared oracle CTE chain for SQ8 ([[SimilarityOps.sq8Stats]] +
-    * [[SimilarityOps.sq8Quantize]] in SQL): per-dim min/max → scales →
-    * per-vector int codes, mirroring [[graft.functions.SQ8Encode]]'s
-    * clamp(round((x-min)/scale)) arithmetic exactly (for non-negative
-    * arguments JVM Math.round and DuckDB round agree on every double). */
-  private def sq8Ctes: String =
-    s"""st AS (
-       |  SELECT list(mn ORDER BY d) AS mins, list(sc ORDER BY d) AS scales FROM (
-       |    SELECT i AS d, CAST(min(embedding[i]) AS DOUBLE) AS mn,
-       |      (CAST(max(embedding[i]) AS DOUBLE) - CAST(min(embedding[i]) AS DOUBLE)) / 255.0 AS sc
-       |    FROM embeddings, generate_series(1,$DIM) AS t(i) GROUP BY 1)),
-       |q0 AS (SELECT vec_id, embedding AS e, st.mins AS mn, st.scales AS sc
-       |  FROM embeddings, st),
-       |q AS (SELECT vec_id, e, mn, sc,
-       |  list_transform(generate_series(1,$DIM), i -> CASE WHEN sc[i] > 0
-       |    THEN CAST(least(255.0, greatest(0.0, round((CAST(e[i] AS DOUBLE) - mn[i]) / sc[i]))) AS INTEGER)
-       |    ELSE 0 END) AS c
-       |  FROM q0)""".stripMargin
-
-  /** Int8 scalar quantization digest ([[SimilarityOps.sq8Digest]]): the
-    * embedding memory-footprint scale path (4 bytes/dim → 1) registered
-    * through per-vector scalars — code checksum/range, reconstructed norm,
-    * max reconstruction error — each either order-free (int sum, min, max)
-    * or a fixed-order fold rounded at 1e-6, so the whole quantizer
-    * (stats pass, clamp/round rule, reconstruction arithmetic) is
-    * hash-pinned against DuckDB computing the identical chain. */
-  private val q92 = QueryDef(
-    "q92_embedding_sq8",
-    (s, d) => SimilarityOps.sq8Digest(
-      Tables.embeddings(s, d), col("vec_id"), col("embedding"), DIM),
-    s"""WITH $sq8Ctes
-       |SELECT vec_id,
-       |  CAST(list_reduce(list_prepend(0, c), (x,y) -> x + y) AS BIGINT) AS code_sum,
-       |  list_reduce(c, (x,y) -> least(x,y)) AS code_min,
-       |  list_reduce(c, (x,y) -> greatest(x,y)) AS code_max,
-       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
-       |    i -> (mn[i] + c[i]*sc[i]) * (mn[i] + c[i]*sc[i]))), (x,y) -> x + y)), 6) AS recon_nrm,
-       |  round(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
-       |    i -> abs(CAST(e[i] AS DOUBLE) - (mn[i] + c[i]*sc[i])))), (x,y) -> greatest(x,y)), 6) AS max_err
-       |FROM q""".stripMargin)
-
-  /** Near-dup discovery over the QUANTIZED corpus
-    * ([[SimilarityOps.sq8NearDupPairsBucketed]]) — q46's multi-table
-    * sign-LSH re-expressed on SQ8 codes: buckets from reconstructed signs,
-    * the exact reconstructed-cosine verify fused into the bucket join.
-    * The oracle reconstructs the same vectors from the same codes and runs
-    * the same banding, so ANY drift in the quantizer or the reconstructed
-    * scoring moves pairs and fails the hash. Proves the float corpus can
-    * be discarded post-encode without losing the dedup capability. */
-  private val q93 = QueryDef(
-    "q93_sq8_neardup",
-    (s, d) => SimilarityOps.sq8NearDupPairsBucketed(
-      Tables.embeddings(s, d), col("vec_id"), col("embedding"), COSINE_T,
-      LSH_BITS, LSH_TABLES, DIM), {
-      val bands = (0 until LSH_TABLES).map { t =>
-        val bits = (1 to LSH_BITS).map(j =>
-          s"(CASE WHEN re[${t * LSH_BITS + j}] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
-          .mkString(" + ")
-        s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM n"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $sq8Ctes,
-         |v AS (SELECT vec_id,
-         |  list_transform(generate_series(1,$DIM), i -> mn[i] + c[i]*sc[i]) AS re FROM q),
-         |n AS (SELECT vec_id, re,
-         |  sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
-         |    i -> re[i] * re[i])), (x,y) -> x + y)) AS nrm FROM v),
-         |b AS (
-         |$bands),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |SELECT vec_a, vec_b, cos_sim FROM (
-         |  SELECT cd.vec_a, cd.vec_b,
-         |    CASE WHEN a.nrm * bb.nrm > 0 THEN
-         |      round(list_reduce(list_prepend(0.0, list_transform(generate_series(1,$DIM),
-         |        i -> a.re[i] * bb.re[i])), (x,y) -> x + y) / (a.nrm * bb.nrm), 6) END AS cos_sim
-         |  FROM cand cd JOIN n a ON cd.vec_a = a.vec_id JOIN n bb ON cd.vec_b = bb.vec_id
-         |) t WHERE cos_sim >= $COSINE_T""".stripMargin
-    })
-
-  // product quantization: m subspaces of sub components, k entries each
-  private val PQ_M = 8
-  private val PQ_SUB = 8
-  private val PQ_K = 8
-  private val PQ_SHORTLIST = 20
-
-  /** Product-quantized ANN top-k with a FIXED deterministic codebook
-    * ([[PQOps.pqIndex]]/[[PQOps.pqTopK]], codebook = the first [[PQ_K]]
-    * corpus rows — the q43 fixed-sample precedent): 64 floats become 8
-    * byte-codes, and search runs asymmetrically against the
-    * reconstructions, floats discarded post-encode. The oracle recomputes
-    * the whole chain — per-subspace argmin assignment (fixed-order
-    * squared-L2, tie → smallest entry), glued reconstructions, and the
-    * subspace-grouped ADC fold — so encode, codebook slicing, and the
-    * ranking rule are all hash-pinned. */
-  private val q94 = QueryDef(
-    "q94_pq_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      PQOps.pqTopK(
-        PQOps.pqIndex(emb, emb.where(col("vec_id") < PQ_K),
-          col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
-        emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-        LSH_K, PQ_SUB)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
-         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
-         |  FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id)
-         |SELECT query_id, rk, neighbor_id, adc_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
-    })
-
-  /** One per-subspace k-means codebook fit per sf dir, memoized as
-    * collected floats — the [[CentroidMemo]] discipline for the PQ
-    * learned quantizer: query body and dump-time oracle replay from the
-    * SAME frozen bytes. */
-  private object PqCodebookMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, Seq[(Long, Seq[Float])]]
-    def rows(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[(Long, Seq[Float])] =
-      cache.getOrElseUpdate(d, PQOps.pqLearnCodebook(
-          Tables.embeddings(s, d), col("embedding"), PQ_M, PQ_SUB, PQ_K,
-          "vec_id", "embedding")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList)
-    def frame(s: org.apache.spark.sql.SparkSession, d: String)
-        : org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      rows(s, d).toDF("vec_id", "embedding")
-        .select(col("vec_id"), col("embedding").cast("array<float>"))
-    }
-  }
-
-  /** The ENCODED q95 index, memoized per sf dir as an eagerly
-    * materialized frame (r15 verdict item 1, belt-and-braces after the
-    * QSolo exoneration — DECISIONS round-16): a PQ index is built ONCE
-    * in production, and without the memo every bench rep rebuilt and
-    * re-analyzed the literal centroid tree from [[PqCodebookMemo]]
-    * (thousands of nodes at k=[[PQ_K]]). The checkpoint truncates the
-    * plan to one LogicalRDD scan; search reps measure SEARCH. */
-  private object PqIndexMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, org.apache.spark.sql.DataFrame]
-    def frame(s: org.apache.spark.sql.SparkSession, d: String)
-        : org.apache.spark.sql.DataFrame =
-      cache.getOrElseUpdate(d, {
-        val emb = Tables.embeddings(s, d)
-        PQOps.pqIndex(emb, PqCodebookMemo.frame(s, d),
-          col("vec_id"), col("embedding"), PQ_M, PQ_SUB)
-          .localCheckpoint(true)
-      })
-  }
-
-  /** PQ top-k with a LEARNED codebook — per-subspace k-means glued into
-    * full-dimension entries ([[PQOps.pqLearnCodebook]]), the quantizer
-    * that actually tracks the data distribution (q48's learned-vs-fixed
-    * contract, here for PQ). Full oracle since r14 (the q48/q134
-    * frozen-model treatment over the q94 replay chain): the dump-time
-    * thunk embeds the memoized codebook and DuckDB independently
-    * replays subspace assignment, reconstruction, ADC scoring, and the
-    * final ranking; the recall floor against exact float search stays
-    * pinned in PQSpec. */
-  private val q95 = QueryDef(
-    "q95_pq_topk_learned",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      PQOps.pqTopK(
-        PqIndexMemo.frame(s, d),
-        emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-        LSH_K, PQ_SUB)
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val cbRows = PqCodebookMemo.rows(
-          org.apache.spark.sql.SparkSession.active, sfDir)
-        .map { case (cid, e) =>
-          s"($cid, [${e.map(f =>
-            java.lang.Double.toString(f.toDouble)).mkString(",")}])"
-        }.mkString(",")
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |cb AS (SELECT CAST(cid AS BIGINT) AS cid, ce
-         |  FROM (VALUES $cbRows) t(cid, ce)),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
-         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
-         |  FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id)
-         |SELECT query_id, rk, neighbor_id, adc_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
-    }))
-
-  /** PQ shortlist + exact re-rank ([[PQOps.pqRerankTopK]]) — the full
-    * production ANN composition: codes prune the corpus to a top-
-    * [[PQ_SHORTLIST]] shortlist (q94's fixed-codebook chain), exact
-    * squared-L2 re-scores only those candidates. The oracle replays the
-    * entire two-stage pipeline — PQ assignment, reconstruction, ADC
-    * shortlist, then the three-dot exact distance and the final ranking —
-    * so the composition's hand-off (shortlist membership!) is itself
-    * hash-pinned: a pruning regression changes who gets re-ranked and
-    * fails the gate even when the re-rank arithmetic is right. */
-  private val q96 = QueryDef(
-    "q96_pq_rerank",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.where(col("vec_id") < 10)
-      PQOps.pqRerankTopK(
-        PQOps.pqTopK(
-          PQOps.pqIndex(emb, emb.where(col("vec_id") < PQ_K),
-            col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
-          queries, col("vec_id"), col("embedding"), PQ_SHORTLIST, PQ_SUB),
-        emb, queries, col("vec_id"), col("embedding"), LSH_K)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
-         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
-         |shortlist AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS srk
-         |    FROM (
-         |      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |        round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |            ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |            (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
-         |      FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id) a
-         |  ) b WHERE srk <= $PQ_SHORTLIST)
-         |SELECT query_id, rk, neighbor_id, l2_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM (
-         |    SELECT sl.query_id, sl.neighbor_id,
-         |      round(${dotSql("q.e", "q.e", DIM)} - 2.0 * ${dotSql("q.e", "n.e", DIM)}
-         |        + ${dotSql("n.e", "n.e", DIM)}, 6) AS l2_dist
-         |    FROM shortlist sl
-         |    JOIN v q ON q.vec_id = sl.query_id
-         |    JOIN v n ON n.vec_id = sl.neighbor_id) s
-         |) t WHERE rk <= $LSH_K""".stripMargin
-    })
-
-  /** Snapshot diff ([[graft.operators.AuditOps.snapshotDiff]]) — corpus
-    * version auditing: the "after" snapshot is derived from documents with
-    * deterministic planted edits (mod-97 removals, mod-101 text revisions,
-    * mod-103 re-keyed additions), so every status arm is exercised and
-    * counted. The oracle replays the same derivation and the same
-    * full-outer hash compare; a drift in the content canonicalization
-    * (separator, column order, cast) or the join/status logic moves rows
-    * between statuses and fails the hash. */
-  private val q97 = QueryDef(
-    "q97_snapshot_diff",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val after = docs.where(col("doc_id") % 97 =!= 0)
-        .withColumn("text", when(col("doc_id") % 101 === 0,
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-        .unionAll(docs.where(col("doc_id") % 103 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-      graft.operators.AuditOps.snapshotDiff(
-        docs, after, col("doc_id"), Seq(col("text"), col("source")),
-        keyName = "doc_id")
-    }, {
-      // mirror contentHash's NULL sentinel: coalesce each field to chr(0)
-      // BEFORE concat_ws (both engines skip NULL args silently)
-      val h = (t: String) => polyHashSql(
-        s"concat_ws(chr(1), coalesce(CAST($t.text AS VARCHAR), chr(0)), " +
-          s"coalesce(CAST($t.source AS VARCHAR), chr(0)))")
-      s"""WITH chg AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 101 = 0 THEN text || ' [rev2]' ELSE text END AS text,
-         |    source
-         |  FROM documents WHERE doc_id % 97 <> 0),
-         |adds AS (SELECT doc_id + 10000000 AS doc_id, text, source
-         |  FROM documents WHERE doc_id % 103 = 0),
-         |b AS (SELECT * FROM chg UNION ALL SELECT * FROM adds),
-         |bh AS (SELECT a.doc_id, ${h("a")} AS before_hash FROM documents a),
-         |ah AS (SELECT b.doc_id, ${h("b")} AS after_hash FROM b)
-         |SELECT COALESCE(bh.doc_id, ah.doc_id) AS doc_id,
-         |  CASE WHEN bh.doc_id IS NULL THEN 'added'
-         |       WHEN ah.doc_id IS NULL THEN 'removed'
-         |       WHEN before_hash <> after_hash THEN 'changed'
-         |       ELSE 'unchanged' END AS status,
-         |  before_hash, after_hash
-         |FROM bh FULL OUTER JOIN ah ON bh.doc_id = ah.doc_id""".stripMargin
-    })
-
-  /** Hamming top-k over 64-bit sign fingerprints
-    * ([[SimilarityOps.binarySignTopK]]) — the cheapest tier of the
-    * embedding compression ladder (8 bytes + one bit_count per candidate),
-    * the coarse screen in front of SQ8/PQ/exact stages. The oracle mirrors
-    * the disjoint-bit sum encoding (two's-complement at bit 64, the q59
-    * simhash convention), the xor/popcount distance, and the
-    * (hamming, id) ranking — sign rule, packing, and ranking all
-    * hash-pinned. */
-  private val q98 = QueryDef(
-    "q98_binary_ann",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.binarySignTopK(emb, emb.where(col("vec_id") < 10),
-        col("vec_id"), col("embedding"), DIM, LSH_K)
-    }, {
-      val bits = (1 to DIM).map(i =>
-        s"(CASE WHEN e[$i] > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" + ")
-      s"""WITH sig AS (
-         |  SELECT vec_id, CAST($bits AS BIGINT) AS s
-         |  FROM (SELECT vec_id, embedding AS e FROM embeddings) t)
-         |SELECT query_id, rk, neighbor_id, hamming FROM (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    CAST(bit_count(xor(q.s, n.s)) AS INTEGER) AS hamming,
-         |    CAST(row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY bit_count(xor(q.s, n.s)), n.vec_id) AS BIGINT) AS rk
-         |  FROM sig q JOIN sig n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
-         |) t WHERE rk <= $LSH_K""".stripMargin
-    })
-
-  /** IVF-PQ ([[PQOps.ivfPqTopK]]) — the standard billion-scale ANN
-    * composition: q43's cosine coarse cells prune, q94's PQ codes score,
-    * floats appear nowhere after indexing. Fixed deterministic cells AND
-    * codebook (the first [[PQ_K]] rows serve both roles), so the oracle
-    * replays the ENTIRE composition — cell assignment, nProbe probing,
-    * per-cell ADC scoring, final ranking — and a drift in either half or
-    * in their hand-off (which candidates get scored) fails the hash. */
-  private val q99 = QueryDef(
-    "q99_ivfpq_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val sample = emb.where(col("vec_id") < PQ_K)
-      PQOps.ivfPqTopK(emb, emb.where(col("vec_id") < 10), sample, sample,
-        col("vec_id"), col("embedding"), LSH_K, nProbe = 2, PQ_M, PQ_SUB)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e,
-         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $PQ_K),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
-         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
-         |csim AS (
-         |  SELECT a.vec_id, c.cid,
-         |    CASE WHEN a.nrm * c.cnrm > 0 THEN
-         |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
-         |  FROM v a CROSS JOIN cb c),
-         |assign AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
-         |  WHERE crk = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk
-         |    FROM csim WHERE vec_id < 10) t WHERE crk <= 2),
-         |scored AS (
-         |  SELECT p.query_id, r.vec_id AS neighbor_id, an.cell,
-         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
-         |  FROM probes p
-         |  JOIN assign an ON an.cell = p.cell
-         |  JOIN recon r ON r.vec_id = an.vec_id AND r.vec_id <> p.query_id
-         |  JOIN v q ON q.vec_id = p.query_id)
-         |SELECT query_id, rk, neighbor_id, cell, adc_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
-    })
-
-  /** IVFADC — IVF-PQ over CELL RESIDUALS ([[PQOps.ivfPqResidualTopK]]),
-    * the composition production billion-scale ANN actually deploys: the
-    * coarse cell carries the EXACT centroid offset and PQ quantizes only
-    * the small centered residual, so the same 8-byte code budget buys
-    * less distortion than q99's raw-vector coding. Fixed deterministic
-    * geometry keeps it oracle-expressible: cells = first [[PQ_K]] corpus
-    * rows (q99's), residual codebook = the residuals of corpus rows
-    * [[PQ_K]]..2·[[PQ_K]]−1 re-idd to 0..7 (nonzero by construction —
-    * the first-8 rows' own residuals are identically zero since each IS
-    * its cell's centroid). The oracle replays assignment, the FLOAT
-    * residual subtraction (DuckDB REAL arithmetic is IEEE-single
-    * bit-identical to Spark's `zip_with` subtraction — measured), the
-    * per-subspace argmin over residual space, recon glue, probing, and
-    * the residual-vs-residual ADC — the full IVFADC chain hash-pinned. */
-  private val q101 = QueryDef(
-    "q101_ivfadc_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cells = emb.where(col("vec_id") < PQ_K)
-      val rcb = PQOps.cellResiduals(
-          emb.where(col("vec_id") >= PQ_K && col("vec_id") < 2 * PQ_K),
-          cells, col("vec_id"), col("embedding"))
-        .select((col("vec_id") - PQ_K).as("vec_id"),
-          col("res").as("embedding"))
-      PQOps.ivfPqResidualTopK(emb, emb.where(col("vec_id") < 10), cells,
-        rcb, col("vec_id"), col("embedding"), LSH_K, nProbe = 2,
-        PQ_M, PQ_SUB)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e,
-         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < $PQ_K),
-         |csim AS (
-         |  SELECT a.vec_id, c.cid,
-         |    CASE WHEN a.nrm * c.cnrm > 0 THEN
-         |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
-         |  FROM v a CROSS JOIN cb c),
-         |assign AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
-         |  WHERE crk = 1),
-         |res AS (
-         |  SELECT a.vec_id, an.cell,
-         |    list_transform(generate_series(1,$DIM), i -> a.e[i] - c.ce[i]) AS r
-         |  FROM v a JOIN assign an ON an.vec_id = a.vec_id
-         |  JOIN cb c ON c.cid = an.cell),
-         |rcb AS (SELECT vec_id - $PQ_K AS cid, r AS ce FROM res
-         |  WHERE vec_id >= $PQ_K AND vec_id < ${2 * PQ_K}),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.r", "c.ce", "s.s")} AS dist
-         |  FROM res a CROSS JOIN rcb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(rcb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN rcb ON rcb.cid = codes.code) d GROUP BY d.vec_id),
-         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk
-         |    FROM csim WHERE vec_id < 10) t WHERE crk <= 2),
-         |qres AS (
-         |  SELECT p.query_id, p.cell,
-         |    list_transform(generate_series(1,$DIM), i -> q.e[i] - c.ce[i]) AS qr
-         |  FROM probes p JOIN v q ON q.vec_id = p.query_id
-         |  JOIN cb c ON c.cid = p.cell),
-         |scored AS (
-         |  SELECT p.query_id, r.vec_id AS neighbor_id, p.cell,
-         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |        ${sq(s"CAST(p.qr[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
-         |  FROM qres p
-         |  JOIN assign an ON an.cell = p.cell
-         |  JOIN recon r ON r.vec_id = an.vec_id AND r.vec_id <> p.query_id)
-         |SELECT query_id, rk, neighbor_id, cell, adc_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
-    })
-
-  /** Incremental snapshot audit ([[graft.operators.AuditOps
-    * .snapshotDeltaAudit]]) — q97's ingest-time face: a re-crawl DELTA
-    * (every third doc, a fifth of those revised, plus genuinely new keys)
-    * classified added | changed | unchanged against the persisted
-    * (key, hash) index of the previous snapshot, WITHOUT recomputing the
-    * snapshot side. The oracle replays the index build, the row-local
-    * delta hash (same chr(1)/chr(0) canonicalization as q97), and the
-    * left-join classification — so the index/delta hash agreement the
-    * incremental contract rests on is itself hash-pinned. */
-  private val q100 = QueryDef(
-    "q100_snapshot_delta",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val idx = graft.operators.AuditOps.snapshotHashIndex(
-        docs, col("doc_id"), Seq(col("text"), col("source")),
-        keyName = "doc_id")
-      val delta = docs.where(col("doc_id") % 3 === 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-        .unionAll(docs.where(col("doc_id") % 103 === 0)
-          .withColumn("doc_id", col("doc_id") + 20000000L))
-      graft.operators.AuditOps.snapshotDeltaAudit(
-        delta, idx, col("doc_id"), Seq(col("text"), col("source")),
-        keyName = "doc_id")
-    }, {
-      val h = (t: String) => polyHashSql(
-        s"concat_ws(chr(1), coalesce(CAST($t.text AS VARCHAR), chr(0)), " +
-          s"coalesce(CAST($t.source AS VARCHAR), chr(0)))")
-      s"""WITH dl AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text,
-         |    source
-         |  FROM documents WHERE doc_id % 3 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 20000000 AS doc_id, text, source
-         |  FROM documents WHERE doc_id % 103 = 0),
-         |ih AS (SELECT a.doc_id, ${h("a")} AS snapshot_hash FROM documents a),
-         |dh AS (SELECT b.doc_id, ${h("b")} AS delta_hash FROM dl b)
-         |SELECT dh.doc_id,
-         |  CASE WHEN ih.doc_id IS NULL THEN 'added'
-         |       WHEN snapshot_hash <> delta_hash THEN 'changed'
-         |       ELSE 'unchanged' END AS status,
-         |  snapshot_hash, delta_hash
-         |FROM dh LEFT JOIN ih ON dh.doc_id = ih.doc_id""".stripMargin
-    })
-
-  /** Incremental semantic screen with BOTH sides in PQ code space
-    * ([[PQOps.pqSemanticScreen]] over [[PQOps.pqCellIndex]]) — the q84
-    * contract (same delta/corpus split, same cell-local compare, same
-    * (vec_id, cell, kept) schema) at the deepest compression tier:
-    * ~8 bytes/vector static side, every compare m table gathers, no
-    * reconstruction materialized anywhere. The oracle replays raw-vector
-    * cell assignment (q84's CTE), the q94 encode chain, reconstructed
-    * norms, and the subspace-grouped reconstructed cosine — codebook,
-    * table arithmetic, and the keep decision all hash-pinned. */
-  private val q103 = QueryDef(
-    "q103_pq_semantic_screen",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.where(col("vec_id") < 8)
-      val idx = PQOps.pqCellIndex(
-        emb.where(pmod(col("vec_id"), lit(5)) =!= 0), cents, cents,
-        col("vec_id"), col("embedding"), PQ_M, PQ_SUB)
-      PQOps.pqSemanticScreen(
-        emb.where(pmod(col("vec_id"), lit(5)) === 0), idx, cents, cents,
-        col("vec_id"), col("embedding"), COSINE_T, PQ_M, PQ_SUB)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      val gdot = (x: String, y: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s -> " +
-          s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          s"$x[s*$PQ_SUB+i] * $y[s*$PQ_SUB+i])), (u,w) -> u + w))), (u,w) -> u + w)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e,
-         |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
-         |csim AS (
-         |  SELECT a.vec_id, c.cid,
-         |    CASE WHEN a.nrm * c.cnrm > 0 THEN
-         |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
-         |  FROM v a CROSS JOIN cb c),
-         |assign AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
-         |  WHERE crk = 1),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
-         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
-         |rn AS (SELECT vec_id, re, sqrt(${gdot("re", "re")}) AS rnrm FROM recon),
-         |hits AS (
-         |  SELECT DISTINCT dv.vec_id
-         |  FROM rn dv
-         |  JOIN assign da ON da.vec_id = dv.vec_id AND dv.vec_id % 5 = 0
-         |  JOIN assign ca ON ca.cell = da.cell AND ca.vec_id % 5 <> 0
-         |  JOIN rn cv ON cv.vec_id = ca.vec_id
-         |  WHERE (CASE WHEN dv.rnrm * cv.rnrm > 0
-         |    THEN round(${gdot("dv.re", "cv.re")} / (dv.rnrm * cv.rnrm), 6) END)
-         |    >= $COSINE_T)
-         |SELECT a.vec_id, a.cell, (h.vec_id IS NULL) AS kept
-         |FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
-         |WHERE a.vec_id % 5 = 0""".stripMargin
-    })
-
-  /** Takedown propagation: the deletion list (every 97th doc) expanded to
-    * byte-exact mirrors and verified near-duplicates, one row per
-    * affected doc with its strongest reason and smallest triggering
-    * listed id ([[DedupOps.takedownPropagation]]). The oracle replays the
-    * list, the text-equality mirror join, the q32/q33 band-discovery +
-    * exact-Jaccard verify chain, and the priority resolution. */
-  private val q104 = QueryDef(
-    "q104_takedown_propagation",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      DedupOps.takedownPropagation(docs,
-        docs.where(col("doc_id") % 97 === 0).select("doc_id"),
-        col("doc_id"), col("text"), SHINGLE_W, JACCARD_T)
-    },
-    s"""WITH $sigCte,
-       |del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
-       |bands AS (
-       |  SELECT doc_id, 0 AS band,
-       |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band,
-       |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id, y.doc_id AS src
-       |  FROM bands x
-       |  JOIN bands y ON x.band = y.band AND x.b = y.b
-       |    AND x.doc_id <> y.doc_id
-       |  JOIN del ON y.doc_id = del.doc_id),
-       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-       |  FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.doc_id, c.src, CAST(count(*) AS BIGINT) AS n_common
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_id
-       |  JOIN sh b ON b.doc_id = c.src AND b.h = a.h
-       |  GROUP BY 1, 2),
-       |near AS (
-       |  SELECT i.doc_id, min(i.src) AS src_id
-       |  FROM inter i
-       |  JOIN sizes sa ON i.doc_id = sa.doc_id
-       |  JOIN sizes sb ON i.src = sb.doc_id
-       |  WHERE CAST(n_common AS DOUBLE)
-       |    / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JACCARD_T
-       |  GROUP BY 1),
-       |ex AS (
-       |  SELECT d.doc_id, min(l.doc_id) AS src_id
-       |  FROM documents d
-       |  JOIN (SELECT doc_id, text FROM documents JOIN del USING (doc_id)) l
-       |    ON d.text = l.text AND d.doc_id <> l.doc_id
-       |  GROUP BY 1),
-       |allr AS (
-       |  SELECT doc_id, 'listed' AS reason, doc_id AS src_id, 0 AS pri
-       |  FROM del
-       |  UNION ALL SELECT doc_id, 'exact_copy', src_id, 1 FROM ex
-       |  UNION ALL SELECT doc_id, 'near_dup', src_id, 2 FROM near)
-       |SELECT doc_id, reason, src_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY doc_id
-       |    ORDER BY pri, src_id) AS rk FROM allr) t
-       |WHERE rk = 1""".stripMargin)
-
-  /** Quantization-drift monitor ([[PQOps.quantizationDrift]]): the PQ
-    * codebook's reconstruction error on a drifted delta (every 7th
-    * vector OFFSET by +2 per component in single-precision — a region
-    * the codebook never saw; float arithmetic is bit-exact cross-engine,
-    * the cellResiduals precedent) vs its error on the corpus it
-    * represents; the delta row must flag a re-fit (DriftSpec pins the
-    * flag). The oracle replays the q94 encode chain on both sides, the
-    * subspace-grouped ADC error, the decimal-exact means, and the ratio
-    * gate — so the number that triggers production re-fits is itself
-    * hash-pinned. */
-  private val q105 = QueryDef(
-    "q105_quantization_drift",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      PQOps.quantizationDrift(
-        emb,
-        emb.where(col("vec_id") % 7 === 0)
-          .withColumn("embedding",
-            transform(col("embedding"), x => x + lit(2.0f))),
-        emb.where(col("vec_id") < PQ_K),
-        col("vec_id"), col("embedding"), PQ_M, PQ_SUB)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
-         |uni AS (
-         |  SELECT 'baseline' AS side, vec_id, e FROM v
-         |  UNION ALL
-         |  SELECT 'delta', vec_id, list_transform(e, x -> x + CAST(2.0 AS REAL))
-         |  FROM v WHERE vec_id % 7 = 0),
-         |dists AS (
-         |  SELECT u.side, u.vec_id, c.cid, s.s, ${subDist("u.e", "c.ce", "s.s")} AS dist
-         |  FROM uni u CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT side, vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY side, vec_id, s
-         |      ORDER BY dist, cid) AS rk FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.side, d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.side, codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.side, d.vec_id),
-         |err AS (
-         |  SELECT u.side, u.vec_id,
-         |    list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |        ${sq(s"CAST(u.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |        (x,y) -> x + y))), (x,y) -> x + y) AS e2
-         |  FROM uni u JOIN recon r ON u.side = r.side AND u.vec_id = r.vec_id),
-         |st AS (
-         |  SELECT side, CAST(count(*) AS BIGINT) AS n,
-         |    round(CAST(CAST(SUM(CAST(e2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-         |      / count(*), 6) AS mean_err,
-         |    round(max(e2), 6) AS max_err
-         |  FROM err GROUP BY side)
-         |SELECT st.side, st.n, st.mean_err, st.max_err,
-         |  CASE WHEN st.side = 'baseline' THEN 1.0
-         |       WHEN b.bm > 0 THEN round(st.mean_err / b.bm, 6) END AS err_ratio,
-         |  CASE WHEN st.side = 'baseline' THEN FALSE
-         |       ELSE coalesce(CASE WHEN b.bm > 0
-         |         THEN round(st.mean_err / b.bm, 6) >= 1.5 END, FALSE)
-         |  END AS refit
-         |FROM st CROSS JOIN
-         |  (SELECT mean_err AS bm FROM st WHERE side = 'baseline') b""".stripMargin
-    })
-
-  /** Diversity-aware sampling ([[SimilarityOps.diversitySample]]):
-    * ~100 vectors drawn with per-cell quotas ∝ √n_cell over the q43
-    * cell geometry — head cells downsampled harder, coverage over skew.
-    * The oracle replays cell assignment, the decimal-exact weight total,
-    * the fixed-order millionth thresholds, and the avalanched id draw —
-    * every kept/dropped decision hash-pinned. */
-  private val q106 = QueryDef(
-    "q106_diversity_sample",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.diversitySample(emb, emb.where(col("vec_id") < 8),
-        col("vec_id"), col("embedding"), 0.5, 100L)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |cb AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
-       |csim AS (
-       |  SELECT a.vec_id, c.cid,
-       |    CASE WHEN a.nrm * c.cnrm > 0 THEN
-       |      round(${dotSql("a.e", "c.ce", DIM)} / (a.nrm * c.cnrm), 6) END AS c_sim
-       |  FROM v a CROSS JOIN cb c),
-       |assign AS (SELECT vec_id, cid AS cell FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY c_sim DESC NULLS LAST, cid) AS crk FROM csim) t
-       |  WHERE crk = 1),
-       |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
-       |  FROM assign GROUP BY cell),
-       |wt AS (SELECT cell, n_cell, sqrt(CAST(n_cell AS DOUBLE)) AS w FROM cnt),
-       |tot AS (SELECT CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR)
-       |    AS DOUBLE) AS wtot FROM wt),
-       |thr AS (SELECT cell, least(1000000, CAST(floor(
-       |    ((100.0 * (w / wtot)) / CAST(n_cell AS DOUBLE)) * 1000000.0)
-       |    AS BIGINT)) AS thr FROM wt CROSS JOIN tot)
-       |SELECT a.vec_id, a.cell,
-       |  (((a.vec_id * 2654435761) % 1000000007) % 1000000) < t.thr AS kept
-       |FROM assign a JOIN thr t USING (cell)""".stripMargin)
-
-  /** BPE tokenizer fit ([[BpeOps.bpeLearn]]): 16 merges learned over the
-    * corpus word-frequency table — iterative distributed argmax, not
-    * SQL-expressible (each rank's pair counts depend on every earlier
-    * rewrite) → rows-only driver check; the merge sequence itself is
-    * pinned against a hand-computed Sennrich fixture in BpeSpec, and the
-    * greedy rewrite + round-trip contracts are spec-gated there. */
-  private val q107 = QueryDef(
-    "q107_bpe_merges",
-    (s, d) => graft.operators.BpeOps.bpeLearn(
-      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
-      16),
-    None)
-
-  /** Source-interleaved training order ([[TextOps.interleavedOrder]]):
-    * round-robin across sources, shuffled within each — same-source runs
-    * impossible until sources exhaust. The oracle replays the avalanched
-    * draw, the per-source rank window, and the closed-form position
-    * (rounds-before + within-round slot) relationally — the exact
-    * permutation is hash-pinned. */
-  private val q108 = QueryDef(
-    "q108_interleaved_order",
-    (s, d) => TextOps.interleavedOrder(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("source")),
-    s"""WITH ranked AS (
-       |  SELECT doc_id, source,
-       |    CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
-       |      AS BIGINT) AS r
-       |  FROM (SELECT doc_id, source,
-       |      ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
-       |        * 2654435761) % $P AS k
-       |    FROM documents) t),
-       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-       |  FROM documents GROUP BY source)
-       |SELECT x.doc_id, x.source, x.r AS rank_in_source,
-       |  CAST(sum(least(c.n, x.r - 1))
-       |    + sum(CASE WHEN c.source < x.source AND c.n >= x.r
-       |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS global_pos
-       |FROM ranked x CROSS JOIN cnt c
-       |GROUP BY x.doc_id, x.source, x.r""".stripMargin)
-
-  /** OPQ-lite: PQ search over the VARIANCE-BALANCED dimension permutation
-    * ([[PQOps.balancedPermutation]] — the rotation-free eigenvalue-
-    * allocation heuristic) — q94's exact chain with every vector, query,
-    * and codebook entry permuted first. The oracle replays the
-    * decimal-exact per-dim variances, the (var desc, dim) ranking, the
-    * round-robin dealing, the permuted gather, and the whole q94
-    * encode/search chain — so the permutation itself (the learned part)
-    * is hash-pinned; the distortion WIN over the contiguous split is
-    * PQSpec's job (it needs learned codebooks and a skewed corpus). */
-  private val q109 = QueryDef(
-    "q109_pq_permuted",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val vars = PQOps.dimVariances(emb, col("embedding"), DIM)
-        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
-      val perm = PQOps.balancedPermutation(vars, PQ_M, PQ_SUB)
-      val embP = emb.select(col("vec_id"),
-        PQOps.permuteExpr(col("embedding"), perm).as("embedding"))
-      PQOps.pqTopK(
-        PQOps.pqIndex(embP, embP.where(col("vec_id") < PQ_K),
-          col("vec_id"), col("embedding"), PQ_M, PQ_SUB),
-        embP.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-        LSH_K, PQ_SUB)
-    }, {
-      def sq(a: String, b: String) = s"($a - $b) * ($a - $b)"
-      val subDist = (e: String, ce: String, sIdx: String) =>
-        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i -> " +
-          sq(s"CAST($e[$sIdx*$PQ_SUB+i] AS DOUBLE)",
-            s"CAST($ce[$sIdx*$PQ_SUB+i] AS DOUBLE)") + ")), (x,y) -> x + y)"
-      s"""WITH v0 AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |ux AS (SELECT t.i AS dim, CAST(e[t.i] AS DOUBLE) AS x
-         |  FROM v0, UNNEST(generate_series(1, $DIM)) AS t(i)),
-         |vars AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s1,
-         |    CAST(CAST(SUM(CAST(x*x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
-         |  FROM ux GROUP BY dim),
-         |vr AS (SELECT dim, (s2 - s1*s1/n)/n AS var FROM vars),
-         |perm AS (SELECT dim,
-         |    CAST(row_number() OVER (ORDER BY var DESC, dim) - 1 AS BIGINT) AS rk
-         |  FROM vr),
-         |pmap AS (SELECT ((rk % $PQ_M) * $PQ_SUB + rk // $PQ_M + 1) AS outpos,
-         |    dim AS srcdim FROM perm),
-         |v AS (SELECT v0.vec_id, list(e[p.srcdim] ORDER BY p.outpos) AS e
-         |  FROM v0 CROSS JOIN pmap p GROUP BY v0.vec_id),
-         |cb AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $PQ_K),
-         |dists AS (
-         |  SELECT a.vec_id, c.cid, s.s, ${subDist("a.e", "c.ce", "s.s")} AS dist
-         |  FROM v a CROSS JOIN cb c CROSS JOIN generate_series(0,${PQ_M - 1}) AS s(s)),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-         |    FROM dists) t WHERE rk = 1),
-         |recon AS (
-         |  SELECT d.vec_id, flatten(list(d.sub ORDER BY d.s)) AS re FROM (
-         |    SELECT codes.vec_id, codes.s,
-         |      list_transform(cb.ce[codes.s*$PQ_SUB+1 : codes.s*$PQ_SUB+$PQ_SUB],
-         |        x -> CAST(x AS DOUBLE)) AS sub
-         |    FROM codes JOIN cb ON cb.cid = codes.code) d GROUP BY d.vec_id),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    round(list_reduce(list_prepend(0.0, list_transform(generate_series(0,${PQ_M - 1}), s ->
-         |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,$PQ_SUB), i ->
-         |        ${sq(s"CAST(q.e[s*$PQ_SUB+i] AS DOUBLE)", s"r.re[s*$PQ_SUB+i]")})),
-         |        (u,w) -> u + w))), (u,w) -> u + w), 6) AS adc_dist
-         |  FROM v q JOIN recon r ON q.vec_id < 10 AND r.vec_id <> q.vec_id)
-         |SELECT query_id, rk, neighbor_id, adc_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored) t WHERE rk <= $LSH_K""".stripMargin
-    })
-
-  /** Learned language classifier ([[ClassifyOps.nbClassify]] self-scoring
-    * the documents table on its own `lang` labels): multinomial Naive
-    * Bayes with add-one smoothing. The closed-form fit makes the ENTIRE
-    * learned model oracle-replayable — counts, smoothing, priors, the
-    * per-doc decimal score sums, and the (score desc, label asc) argmax
-    * all hash-pin, where the k-means/SGD queries (q48/q71/q95) can only
-    * be rows-only. */
-  private val NbLangs = Seq("de", "en", "es", "fr", "zh")
-  private val q110 = QueryDef(
-    "q110_nb_langid",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.ClassifyOps.nbClassify(
-        docs, col("text"), col("lang"),
-        docs, col("doc_id"), col("text"), Some(col("lang")))
-    }, {
-      val ls = NbLangs
-      val dec = "DECIMAL(18,6)"
-      s"""WITH toks AS (SELECT doc_id, lang,
-         |    unnest(string_split(text, ' ')) AS word FROM documents),
-         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
-         |cls AS (SELECT count(DISTINCT word) AS v,
-         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
-              .mkString(",\n    ")}
-         |  FROM toks),
-         |pri AS (SELECT
-         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
-                s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
-              .mkString(",\n    ")}
-         |  FROM documents),
-         |model AS (
-         |  SELECT w.word,
-         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
-                s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
-              .mkString(",\n    ")}
-         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
-         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
-              .mkString("\n  ")}),
-         |sums AS (SELECT t.doc_id, t.lang, count(*) AS n_tokens,
-         |    ${ls.map(l => s"sum(m.lp_$l) AS s_$l").mkString(", ")}
-         |  FROM toks t JOIN model m ON m.word = t.word GROUP BY 1, 2),
-         |sc AS (SELECT doc_id, lang, n_tokens,
-         |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
-         |  FROM sums CROSS JOIN pri),
-         |ranked AS (
-         |  SELECT doc_id, lang, n_tokens, l AS pred_label, s AS score,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rk
-         |  FROM (SELECT doc_id, lang, n_tokens,
-         |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
-         |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
-         |    FROM sc) u)
-         |SELECT doc_id, lang AS label, pred_label,
-         |  CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
-         |FROM ranked WHERE rk = 1""".stripMargin
-    })
-
-  /** CDC changeset apply ([[graft.operators.AuditOps.applyChangeSet]]):
-    * MERGE-INTO semantics — latest seq wins per key, delete beats upsert
-    * on a seq tie, snapshot flows through one anti join unshuffled. The
-    * changeset is derived deterministically from the snapshot itself and
-    * exercises every rule: superseded revisions (rev1 < rev2), plain
-    * deletes, a delete/upsert seq TIE (the zombie row must not survive),
-    * and fresh-key inserts. */
-  private val q111 = QueryDef(
-    "q111_cdc_merge",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val m = col("doc_id") % 7
-      def change(rows: org.apache.spark.sql.DataFrame,
-          idC: org.apache.spark.sql.Column,
-          textC: org.apache.spark.sql.Column, seqV: Long, opV: String) =
-        rows.select(idC.as("doc_id"), textC.as("text"), col("lang"),
-          col("source"), length(textC).cast("long").as("n_chars"),
-          lit(seqV).as("seq"), lit(opV).as("op"))
-      val changes = Seq(
-        change(docs.where(m === 1), col("doc_id"),
-          concat(col("text"), lit(" [rev1]")), 1L, "upsert"),
-        change(docs.where(m === 1), col("doc_id"),
-          concat(col("text"), lit(" [rev2]")), 2L, "upsert"),
-        change(docs.where(m === 0), col("doc_id"), col("text"), 1L, "delete"),
-        change(docs.where(m === 2), col("doc_id"), col("text"), 3L, "delete"),
-        change(docs.where(m === 2), col("doc_id"),
-          concat(col("text"), lit(" [zombie]")), 3L, "upsert"),
-        change(docs.where(m === 3), col("doc_id") + 10000L,
-          concat(lit("new: "), col("text")), 1L, "upsert"))
-        .reduce(_ unionByName _)
-      graft.operators.AuditOps.applyChangeSet(docs, changes, "doc_id")
-    },
-    s"""WITH ch AS (
-       |  SELECT doc_id, text || ' [rev1]' AS text, lang, source,
-       |    CAST(length(text || ' [rev1]') AS BIGINT) AS n_chars,
-       |    1 AS seq, 'upsert' AS op FROM documents WHERE doc_id % 7 = 1
-       |  UNION ALL SELECT doc_id, text || ' [rev2]', lang, source,
-       |    length(text || ' [rev2]'), 2, 'upsert'
-       |    FROM documents WHERE doc_id % 7 = 1
-       |  UNION ALL SELECT doc_id, text, lang, source, length(text),
-       |    1, 'delete' FROM documents WHERE doc_id % 7 = 0
-       |  UNION ALL SELECT doc_id, text, lang, source, length(text),
-       |    3, 'delete' FROM documents WHERE doc_id % 7 = 2
-       |  UNION ALL SELECT doc_id, text || ' [zombie]', lang, source,
-       |    length(text || ' [zombie]'), 3, 'upsert'
-       |    FROM documents WHERE doc_id % 7 = 2
-       |  UNION ALL SELECT doc_id + 10000, 'new: ' || text, lang, source,
-       |    length('new: ' || text), 1, 'upsert'
-       |    FROM documents WHERE doc_id % 7 = 3),
-       |win AS (SELECT * FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY doc_id ORDER BY seq DESC, op,
-       |        concat_ws(chr(1), coalesce(CAST(doc_id AS VARCHAR), chr(0)),
-       |          coalesce(text, chr(0)), coalesce(lang, chr(0)),
-       |          coalesce(source, chr(0)),
-       |          coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS rk
-       |    FROM ch) t
-       |  WHERE rk = 1)
-       |SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
-       |FROM documents s ANTI JOIN win ON s.doc_id = win.doc_id
-       |UNION ALL
-       |SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT)
-       |FROM win WHERE op = 'upsert'""".stripMargin)
-
-  /** Zone-map pruning plan ([[graft.operators.LayoutOps.pruningPlan]]):
-    * a user_id-clustered simulated layout (15 "files" of 10 ids each —
-    * the q102 relational-layout convention) pruned by a conjunctive
-    * interval predicate. The clustered column prunes to the predicate's
-    * file range; the scattered `value` column's wide boxes hit almost
-    * everywhere — the asymmetry that motivates Z-ordering, here
-    * hash-pinned per file. */
-  private val q112 = QueryDef(
-    "q112_pruning_plan",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-      val audit = ev
-        .groupBy((col("user_id") / 10).cast("long").as("file"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("user_id")).as("user_id_min"),
-          max(col("user_id")).as("user_id_max"),
-          min(col("value")).as("value_min"),
-          max(col("value")).as("value_max"))
-      graft.operators.LayoutOps.pruningPlan(audit, col("file"),
-        col("n_rows"), Seq(("user_id", 35.0, 72.0), ("value", 0.0, 450.0)))
-    },
-    s"""WITH a AS (SELECT CAST(floor(user_id / 10) AS BIGINT) AS file,
-       |    CAST(count(*) AS BIGINT) AS n_rows,
-       |    min(user_id) AS umin, max(user_id) AS umax,
-       |    min(value) AS vmin, max(value) AS vmax
-       |  FROM events GROUP BY 1)
-       |SELECT file, n_rows,
-       |  (CAST(umin AS DOUBLE) <= 72.0 AND CAST(umax AS DOUBLE) >= 35.0)
-       |    AS user_id_hit,
-       |  (vmin <= 450.0 AND vmax >= 0.0) AS value_hit,
-       |  ((CAST(umin AS DOUBLE) <= 72.0 AND CAST(umax AS DOUBLE) >= 35.0)
-       |    AND (vmin <= 450.0 AND vmax >= 0.0)) AS scan
-       |FROM a""".stripMargin)
-
-  /** Semantic contamination screen
-    * ([[SimilarityOps.semanticContamination]]): corpus vectors within
-    * cosine `COSINE_T` of any eval-set vector (vec_id < 25 plays the
-    * benchmark), via the broadcast banded sign-LSH probe with cosine
-    * verified inside the join. The embedding-space complement of
-    * q55/q79's exact n-gram screens — paraphrased eval leakage that
-    * exact matching cannot see. */
-  private val q113 = QueryDef(
-    "q113_semantic_contamination",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimilarityOps.semanticContamination(
-        emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25),
-        col("vec_id"), col("embedding"), COSINE_T, LSH_BITS, LSH_TABLES)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm FROM embeddings),
-       |cb AS (
-       |  ${(0 until LSH_TABLES).map(t =>
-            s"SELECT vec_id, e, nrm, $t AS tbl, " +
-              s"${signBucketAtSql("e", LSH_BITS, t * LSH_BITS)} AS bucket " +
-              "FROM v WHERE vec_id >= 25").mkString("\n  UNION ALL\n  ")}),
-       |qb AS (
-       |  ${(0 until LSH_TABLES).map(t =>
-            s"SELECT vec_id, e, nrm, $t AS tbl, " +
-              s"${signBucketAtSql("e", LSH_BITS, t * LSH_BITS)} AS bucket " +
-              "FROM v WHERE vec_id < 25").mkString("\n  UNION ALL\n  ")}),
-       |hits AS (
-       |  SELECT c.vec_id, q.vec_id AS eval_id,
-       |    CASE WHEN c.nrm * q.nrm > 0 THEN
-       |      round(${dotSql("c.e", "q.e", DIM)} / (c.nrm * q.nrm), 6) END AS cos_sim
-       |  FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket)
-       |SELECT vec_id, eval_id, cos_sim FROM (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id) AS rk
-       |  FROM hits WHERE cos_sim >= $COSINE_T) t
-       |WHERE rk = 1""".stripMargin)
-
-  /** Margin-based cross-corpus mining ([[SimilarityOps.marginMining]],
-    * the LASER/CCMatrix ratio-margin criterion): even vec_ids play
-    * corpus A, odd play corpus B; each A doc's best-margin B partner at
-    * the standard margin ≥ 1 cutoff. The oracle replays both exact
-    * top-k legs, the decimal neighborhood sums, the double margin
-    * division (VARCHAR-hop decimal cast per the DuckDB convention), and
-    * the (margin desc, dst asc) pick. */
-  private val MARGIN_K = 3
-  private val q114 = QueryDef(
-    "q114_margin_mining",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d).where(col("vec_id") < 2000)
-      SimilarityOps.marginMining(
-        emb.where(col("vec_id") % 2 === 0),
-        emb.where(col("vec_id") % 2 === 1),
-        col("vec_id"), col("embedding"), MARGIN_K, 1.0)
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-       |  FROM embeddings WHERE vec_id < 2000),
-       |fs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
-       |  FROM v q JOIN v c ON q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
-       |bs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CASE WHEN q.nrm * c.nrm > 0 THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6) END AS cos_sim
-       |  FROM v q JOIN v c ON q.vec_id % 2 = 1 AND c.vec_id % 2 = 0),
-       |fwd AS (SELECT * FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-       |    FROM fs) t WHERE rk <= $MARGIN_K),
-       |bwd AS (SELECT * FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-       |    FROM bs) t WHERE rk <= $MARGIN_K),
-       |fa AS (SELECT query_id AS src_id,
-       |    SUM(CAST(cos_sim AS DECIMAL(18,6))) AS sx FROM fwd GROUP BY 1),
-       |ba AS (SELECT query_id AS dst_id,
-       |    SUM(CAST(cos_sim AS DECIMAL(18,6))) AS sy FROM bwd GROUP BY 1),
-       |cand AS (
-       |  SELECT f.query_id AS src_id, f.neighbor_id AS dst_id, f.cos_sim,
-       |    round(f.cos_sim * ${2 * MARGIN_K}
-       |      / CAST(CAST(fa.sx + ba.sy AS VARCHAR) AS DOUBLE), 6) AS margin
-       |  FROM fwd f
-       |  JOIN fa ON fa.src_id = f.query_id
-       |  JOIN ba ON ba.dst_id = f.neighbor_id)
-       |SELECT src_id, dst_id, cos_sim, margin FROM (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY src_id ORDER BY margin DESC, dst_id) AS rk
-       |  FROM cand) t
-       |WHERE rk = 1 AND margin >= 1.0""".stripMargin)
-
-  /** Percentile score calibration ([[TextOps.calibrateScores]]): q66's
-    * unigram cross-entropy converted to within-LANGUAGE percentile
-    * ranks, decile buckets, and a keep-best-70% decision — the CCNet
-    * per-language calibration step that makes one threshold safe across
-    * resource levels. */
-  private val q115 = QueryDef(
-    "q115_score_calibration",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      // lang rides lmScore's aggregation key (r15: was a doc-cardinality
-      // join-back onto the corpus)
-      val scored = TextOps.lmScore(docs, col("doc_id"), col("text"),
-        keep = Seq(col("lang")))
-      TextOps.calibrateScores(scored, col("doc_id"),
-        col("cross_entropy"), col("lang"), "lang", 10, 0.7)
-    },
-    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |cnt AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
-       |tot AS (SELECT sum(cnt) AS tot FROM cnt),
-       |wlp AS (SELECT word,
-       |    CAST(round(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
-       |      AS DECIMAL(18,6)) AS lp
-       |  FROM cnt CROSS JOIN tot),
-       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |    sum(lp) AS s
-       |  FROM w JOIN wlp USING (word) GROUP BY doc_id),
-       |ce AS (SELECT d.doc_id,
-       |    round(CAST(s AS DOUBLE) / n_tokens, 6) AS score, doc.lang
-       |  FROM d JOIN documents doc USING (doc_id)),
-       |p AS (SELECT doc_id, lang, score,
-       |    round(percent_rank() OVER (
-       |      PARTITION BY lang ORDER BY score), 6) AS pct
-       |  FROM ce)
-       |SELECT doc_id, lang, score, pct,
-       |  CAST(least(floor(pct * 10), 9.0) AS BIGINT) AS bucket,
-       |  (pct <= 0.7) AS keep
-       |FROM p""".stripMargin)
-
-  /** Confusion matrix of the q110 classifier — the aggregate face a
-    * pipeline actually monitors (per-class precision/recall inputs and
-    * the disagreement rate CurationDemo's language audit thresholds):
-    * per (label, pred_label) cell the doc count and its share of the
-    * true-label row, millionth-rounded. */
-  private val q116 = QueryDef(
-    "q116_nb_confusion",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val pred = graft.operators.ClassifyOps.nbClassify(
-        docs, col("text"), col("lang"),
-        docs, col("doc_id"), col("text"), Some(col("lang")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
-      pred.groupBy("label", "pred_label")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("label_share",
-          round(col("n") / sum(col("n")).over(w), 6))
-    }, {
-      val ls = NbLangs
-      val dec = "DECIMAL(18,6)"
-      // the q110 oracle chain, aggregated to (label, pred_label) cells
-      s"""WITH toks AS (SELECT doc_id, lang,
-         |    unnest(string_split(text, ' ')) AS word FROM documents),
-         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
-         |cls AS (SELECT count(DISTINCT word) AS v,
-         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
-              .mkString(",\n    ")}
-         |  FROM toks),
-         |pri AS (SELECT
-         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
-                s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
-              .mkString(",\n    ")}
-         |  FROM documents),
-         |model AS (
-         |  SELECT w.word,
-         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
-                s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
-              .mkString(",\n    ")}
-         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
-         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
-              .mkString("\n  ")}),
-         |sums AS (SELECT t.doc_id, t.lang,
-         |    ${ls.map(l => s"sum(m.lp_$l) AS s_$l").mkString(", ")}
-         |  FROM toks t JOIN model m ON m.word = t.word GROUP BY 1, 2),
-         |sc AS (SELECT doc_id, lang,
-         |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
-         |  FROM sums CROSS JOIN pri),
-         |pick AS (
-         |  SELECT doc_id, lang, l AS pred_label,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rk
-         |  FROM (SELECT doc_id, lang,
-         |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
-         |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
-         |    FROM sc) u),
-         |cells AS (SELECT lang AS label, pred_label,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM pick WHERE rk = 1 GROUP BY 1, 2)
-         |SELECT label, pred_label, n,
-         |  round(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
-         |    AS label_share
-         |FROM cells""".stripMargin
-    })
-
-  /** End-to-end curation funnel as a REGISTERED query (r11 verdict item
-    * 6): the SQL-expressible spine of [[graft.operators.CurationDemo]] —
-    * quality funnel → Gopher repetition screen → near-dup keep-best →
-    * exact decontamination → KN-perplexity band-pass (q138's word-order-
-    * aware cross-entropy under the survivors' own bigram model,
-    * calibrated per source via q115's percent-rank — worst decile per
-    * source drops) → source mixing → sequence packing — chained over
-    * the SURVIVORS of
-    * each previous stage (not the full corpus like the per-stage queries
-    * q60/q63/q79/q138/q115/q64/q54), with per-stage survivor counts as
-    * the output.
-    * The oracle replays the whole seven-stage composition in one CTE
-    * chain, so a stage that silently stops dropping (or drops everything)
-    * hash-fails the round's CORRECTNESS artifact, not just a spec. The
-    * demo's non-SQL stages (semantic/media dedup over embeddings and
-    * codecs) stay gated by their own queries (q69/q86/q87/q89) and
-    * CurationDemoSpec's golden stage-count vector. The multiply-referenced
-    * stage CTEs carry the MATERIALIZED hint: DuckDB 1.0 inlines every CTE
-    * reference, so without it each downstream reference re-expands the
-    * whole upstream DAG (repetition chain × minhash × recursive reach) —
-    * measured >12 min vs 0.7 s at sf0.01. Oracle-side syntax only; Spark
-    * never parses this SQL. */
-  /** The q117 funnel's stages as `(name, plan, survivors)` triples:
-    * `plan` is the stage's DataFrame BEFORE the settle() boundary — the
-    * unit of physical planning a staged pipeline actually executes
-    * (each stage's own operators over the previous stage's
-    * checkpointed survivors) and what [[graft.PlanDump]] explains per
-    * stage — and `survivors` is the settled frame the next stage
-    * consumes. One builder shared by the q117 registry body and
-    * PlanDump, so the dumped plans cannot drift from the registered
-    * funnel. Building the list EXECUTES the funnel (settle() is an
-    * eager localCheckpoint — the stage-boundary materialization is the
-    * point: without it each stage re-derives its whole upstream DAG
-    * and at 18 stages Catalyst analysis alone dominates). */
-  private[graft] def funnelStages(s: org.apache.spark.sql.SparkSession,
-      d: String): Seq[(String, org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame)] = {
-    graft.functions.HashExpressions.register(s)
-    val docs = Tables.documents(s, d)
-    val stages =
-      Seq.newBuilder[(String, org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame)]
-    // a boundary-free stage (raw scan / terminal): plan == survivors
-    def raw(name: String, df: org.apache.spark.sql.DataFrame) = {
-      stages += ((name, df, df)); df
-    }
-    def settle(name: String, df: org.apache.spark.sql.DataFrame) = {
-      val settled = df.localCheckpoint(true)
-      stages += ((name, df, settled))
-      settled
-    }
-    raw("corpus", docs)
-    // 1. quality funnel
-    val clean = settle("funnel",
-      docs.where(TextOps.funnelPredicates(col("text"))
-        .map(_._2).reduce(_ && _)))
-    // 2. Gopher repetition screen (the q126 rules, the demo's stage)
-    val screened = settle("gopher", clean.join(
-      TextOps.gopherRepetition(clean, col("doc_id"), col("text"))
-        .where(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
-    // 3. cross-document verbatim-span removal (the q152 rewrite,
-    // syndication screen): spans whose 3-grams recur in >= 4 docs lose
-    // every non-canonical copy; text is REWRITTEN in place and docs
-    // scrubbed empty drop out, so every later stage (minhash, KN model,
-    // packing) sees the despanned corpus
-    val dsp0 = graft.operators.SpanDedupOps.crossDocDedup(
-      screened, col("doc_id"), col("text"), k = 3, minDf = 4)
-    val despan = settle("despanned", screened.drop("text")
-      .join(dsp0.where(col("text_clean") =!= "")
-        .select(col("did").as("doc_id"), col("text_clean").as("text")),
-        "doc_id"))
-    // 4. near-dup keep-best (the q63 pair: qualityComposite score)
-    val clusters = DedupOps.dedupClusters(
-      DedupOps.lshCandidatePairs(DedupOps.minhashSignatures(
-        despan, col("doc_id"), col("text"), SHINGLE_W)),
-      "doc_a", "doc_b")
-    val best = DedupOps.keepBestInCluster(
-      despan, col("doc_id"), TextOps.qualityComposite(col("text")),
-      clusters)
-    val dropDup = clusters.join(best, "cluster_id")
-      .where(col("doc_id") =!= col("keep_id")).select("doc_id")
-    val deduped = settle("keep_best",
-      despan.join(dropDup, Seq("doc_id"), "left_anti"))
-    // 5. exact decontamination (the q79 shape over the survivors)
-    val leaky = TextOps.decontaminate(deduped, col("doc_id"), col("text"),
-      ContamW, minOverlap = 2, estimatedTestShingles = 1L << 20)
-    val decon = settle("decontaminated", deduped.join(leaky.select("doc_id"),
-      Seq("doc_id"), "left_anti"))
-    // 6. KN-perplexity band-pass, calibrated per source (q138 ∘ q115:
-    // word-order-aware cross-entropy under the SURVIVORS' own bigram
-    // model; the worst decile per source drops — per-source
-    // calibration so one threshold transfers across languages)
-    val ce = TextOps.knScore(decon, col("doc_id"), col("text"))
-    val cal = TextOps.calibrateScores(
-      ce.join(decon.select("doc_id", "source"), "doc_id"),
-      col("doc_id"), col("cross_entropy"), col("source"), "source",
-      10, 0.9)
-    val lmKept = settle("lm_perplexity", decon.join(
-      cal.where(col("keep")).select("doc_id"), Seq("doc_id"),
-      "left_semi"))
-    // 7. mix to a uniform source weighting at the q64 budget
-    val weights = lmKept.select("source").distinct().collect()
-      .map(_.getString(0) -> 1L).toMap // bounded: the source domain
-    val thr = TextOps.mixThresholds(lmKept, col("doc_id"), col("text"),
-      col("source"), weights, MixBudget)
-    val mixed = settle("mixed", lmKept
-      .withColumn("_bkt", graft.functions.TextHash.sampleBucket(
-        graft.functions.HashExpressions.polyHash(col("text")), 1000000))
-      .join(thr, "source").where(col("_bkt") < col("_thr"))
-      .drop("_bkt", "_thr"))
-    // 8. pack into fixed token-budget chunks
-    raw("chunks",
-      TextOps.packSequences(mixed, col("doc_id"), col("text"), 512L))
-    stages.result()
-  }
-
-  private val q117 = QueryDef(
-    "q117_curation_funnel",
-    (s, d) => {
-      def cnt(i: Long, name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n"))
-          .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n"))
-      funnelStages(s, d).zipWithIndex.map { case ((name, _, surv), i) =>
-        cnt(i.toLong, name, surv)
-      }.reduce(_ unionAll _)
-    }, {
-      val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
-        .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
-        .mkString("(", " AND ", ")")
-      val mins = (0 until MinhashA.size)
-        .map(i => s"min(${minhashPermSql("h", i)}) AS m$i").mkString(", ")
-      s"""WITH RECURSIVE fun AS MATERIALIZED (
-         |  SELECT doc_id, text, source FROM (
-         |    SELECT doc_id, text, source, string_split(text, ' ') AS ws
-         |    FROM documents) b
-         |  WHERE len(ws) >= ${TextOps.DefaultMinWords}
-         |    AND 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio}
-         |    AND $qualityCompositeSql >= ${TextOps.DefaultMinQuality}
-         |    AND $piiFree),
-         |${repetitionCtes("fun", "gr")},
-         |scr AS MATERIALIZED (SELECT f.* FROM fun f
-         |  JOIN grkeep k USING (doc_id) WHERE k.keep),
-         |dwords0 AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
-         |  FROM scr),
-         |dg AS (${graft.operators.SpanDedupOps.gramCteSql(3, "dwords0")}),
-         |ddup AS (SELECT h, glen, min(did) AS canon
-         |  FROM dg GROUP BY 1, 2
-         |  HAVING count(DISTINCT did) >= 4),
-         |ddrop AS (SELECT DISTINCT dg.did, p AS pos
-         |  FROM dg JOIN ddup USING (h, glen),
-         |    UNNEST(generate_series(dg.pos, dg.pos + 2)) AS t(p)
-         |  WHERE dg.did <> ddup.canon),
-         |dtok AS (SELECT did, i AS pos, ws[i] AS w
-         |  FROM dwords0, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |dkept AS (SELECT dtok.did, dtok.pos, dtok.w FROM dtok
-         |  LEFT JOIN ddrop ON dtok.did = ddrop.did AND dtok.pos = ddrop.pos
-         |  WHERE ddrop.pos IS NULL),
-         |dsp AS MATERIALIZED (SELECT s.doc_id, a.text, s.source
-         |  FROM scr s JOIN (SELECT did,
-         |      string_agg(w, ' ' ORDER BY pos) AS text
-         |    FROM dkept GROUP BY did) a ON s.doc_id = a.did),
-         |${shingleCteOver(SHINGLE_W, "dsp")},
-         |sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band,
-         |    ${bandBucketSql((0 to 3).map(i => s"m$i"))} AS b FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band,
-         |    ${bandBucketSql((4 to 7).map(i => s"m$i"))} AS b FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.b = y.b AND x.doc_id < y.doc_id),
-         |und AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-         |labels AS MATERIALIZED (
-         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |  FROM reach GROUP BY a),
-         |q AS (SELECT doc_id, round($qualityCompositeSql, 6) AS q
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |    FROM dsp) b0),
-         |r AS (SELECT l.cluster_id, l.doc_id,
-         |    row_number() OVER (PARTITION BY l.cluster_id
-         |      ORDER BY q.q DESC, l.doc_id) AS rk
-         |  FROM labels l JOIN q USING (doc_id)),
-         |dropdup AS (SELECT doc_id FROM r WHERE rk > 1),
-         |dedup AS MATERIALIZED (SELECT * FROM dsp ANTI JOIN dropdup USING (doc_id)),
-         |dwords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup),
-         |dsh AS (
-         |  SELECT DISTINCT doc_id, ${polyHashSql("s")} AS h FROM (
-         |    SELECT doc_id, ${wordShinglesSql(ContamW)} AS s
-         |    FROM dwords, UNNEST(generate_series(1,
-         |      greatest(len(ws) - ${ContamW - 1}, 1))) AS t(i))),
-         |spl AS (SELECT doc_id,
-         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-         |      ELSE 'test' END AS split
-         |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b
-         |    FROM dedup) t2),
-         |te AS (SELECT DISTINCT h FROM dsh JOIN spl USING (doc_id)
-         |  WHERE split = 'test'),
-         |trd AS (SELECT dsh.doc_id, dsh.h FROM dsh
-         |  JOIN spl ON dsh.doc_id = spl.doc_id WHERE split = 'train'),
-         |leaky AS (SELECT trd.doc_id FROM trd LEFT JOIN te ON trd.h = te.h
-         |  GROUP BY trd.doc_id HAVING count(te.h) >= 2),
-         |decon AS MATERIALIZED (SELECT * FROM dedup ANTI JOIN leaky USING (doc_id)),
-         |${knModelCtes("decon", "kn")},
-         |knlp AS (SELECT v, w,
-         |    CAST(round(-ln($knPSql), 6) AS DECIMAL(18,6)) AS lp
-         |  FROM kncvw JOIN knctx USING (v) JOIN kncont USING (w)
-         |  CROSS JOIN kntot),
-         |knce AS (SELECT b.doc_id,
-         |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS ce
-         |  FROM knbg b JOIN knlp USING (v, w) GROUP BY b.doc_id),
-         |kncal AS (SELECT k.doc_id,
-         |    round(percent_rank() OVER (
-         |      PARTITION BY d.source ORDER BY k.ce), 6) AS pct
-         |  FROM knce k JOIN decon d USING (doc_id)),
-         |lmkept AS MATERIALIZED (SELECT decon.* FROM decon
-         |  JOIN kncal USING (doc_id) WHERE pct <= 0.9),
-         |t AS (SELECT doc_id, source,
-         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks,
-         |    ${sampleBucketSql(polyHashSql("text"), 1000000)} AS bkt
-         |  FROM lmkept),
-         |a AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail
-         |  FROM t GROUP BY source),
-         |nsrc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM a),
-         |thr AS (SELECT a.source,
-         |    least($MixBudget * 1000000 // (nsrc.k * avail),
-         |      CAST(1000000 AS BIGINT)) AS thr
-         |  FROM a CROSS JOIN nsrc),
-         |mixed AS MATERIALIZED (SELECT t.doc_id, t.toks FROM t JOIN thr USING (source)
-         |  WHERE bkt < thr),
-         |c AS (SELECT doc_id, toks,
-         |    sum(toks) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS strt
-         |  FROM mixed),
-         |chunks AS (SELECT DISTINCT CAST(strt // 512 AS BIGINT) AS chunk_id
-         |  FROM c)
-         |SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
-         |UNION ALL SELECT 1, 'funnel',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM fun)
-         |UNION ALL SELECT 2, 'gopher',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM scr)
-         |UNION ALL SELECT 3, 'despanned',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM dsp)
-         |UNION ALL SELECT 4, 'keep_best',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM dedup)
-         |UNION ALL SELECT 5, 'decontaminated',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM decon)
-         |UNION ALL SELECT 6, 'lm_perplexity',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM lmkept)
-         |UNION ALL SELECT 7, 'mixed',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM mixed)
-         |UNION ALL SELECT 8, 'chunks',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM chunks)""".stripMargin
-    })
-
-  /** Held-out confusion matrix of the NB classifier — the honest face of
-    * q116: q110/q116 score the corpus the model was FITTED on, so their
-    * accuracy is in-sample (a memorizing model would ace it). Here the
-    * [[TextOps.hashSplit]] train buckets (content-hash < 80) fit the
-    * model and the held-out 20% is scored — fit and eval never share a
-    * document, so the matrix measures generalization. The entire chain
-    * (split, fit, OOV-smoothed scoring of words the train vocabulary
-    * never saw, argmax, cells) hash-pins against DuckDB: held-out tokens
-    * LEFT-join the model and absent words take the `_oov_l` constants —
-    * the one scoring path self-classification can never exercise.
-    * ClassifyOpsSpec gates held-out accuracy above the modal-class
-    * baseline. */
-  private val q118 = QueryDef(
-    "q118_nb_holdout_confusion",
-    (s, d) => {
-      // text/lang ride hashSplit's keep pass-through (r15: was a
-      // docs ⋈ split self-join — the q183 cleanup applied here too)
-      val withSplit = graft.operators.TextOps.hashSplit(
-        Tables.documents(s, d), col("doc_id"), col("text"),
-        keep = Seq(col("text"), col("lang")))
-      val train = withSplit.where(col("split") === "train")
-      val held = withSplit.where(col("split") =!= "train")
-      val pred = graft.operators.ClassifyOps.nbClassify(
-        train, col("text"), col("lang"),
-        held, col("doc_id"), col("text"), Some(col("lang")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
-      pred.groupBy("label", "pred_label")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("label_share",
-          round(col("n") / sum(col("n")).over(w), 6))
-    }, {
-      val ls = NbLangs
-      val dec = "DECIMAL(18,6)"
-      val ph = graft.functions.TextHash.polyHashSql("text")
-      s"""WITH train AS (SELECT * FROM documents WHERE $ph % 100 < 80),
-         |held AS (SELECT * FROM documents WHERE $ph % 100 >= 80),
-         |toks AS (SELECT doc_id, lang,
-         |    unnest(string_split(text, ' ')) AS word FROM train),
-         |cls AS (SELECT count(DISTINCT word) AS v,
-         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
-              .mkString(",\n    ")}
-         |  FROM toks),
-         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
-         |pri AS (SELECT
-         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
-                s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
-              .mkString(",\n    ")}
-         |  FROM train),
-         |oov AS (SELECT
-         |    ${ls.map(l => s"CAST(round(ln(1.0 / (cls.tot_$l + cls.v)), 6)" +
-                s" AS $dec) AS oov_$l").mkString(",\n    ")}
-         |  FROM cls),
-         |model AS (
-         |  SELECT w.word,
-         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
-                s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
-              .mkString(",\n    ")}
-         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
-         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
-              .mkString("\n  ")}),
-         |htoks AS (SELECT doc_id, lang,
-         |    unnest(string_split(text, ' ')) AS word FROM held),
-         |sums AS (SELECT t.doc_id, t.lang,
-         |    ${ls.map(l => s"sum(COALESCE(m.lp_$l, oov.oov_$l)) AS s_$l")
-              .mkString(", ")}
-         |  FROM htoks t LEFT JOIN model m ON m.word = t.word
-         |  CROSS JOIN oov GROUP BY 1, 2),
-         |sc AS (SELECT doc_id, lang,
-         |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
-         |  FROM sums CROSS JOIN pri),
-         |pick AS (
-         |  SELECT doc_id, lang, l AS pred_label,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rk
-         |  FROM (SELECT doc_id, lang,
-         |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
-         |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
-         |    FROM sc) u),
-         |cells AS (SELECT lang AS label, pred_label,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM pick WHERE rk = 1 GROUP BY 1, 2)
-         |SELECT label, pred_label, n,
-         |  round(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
-         |    AS label_share
-         |FROM cells""".stripMargin
-    })
-
-  /** Okapi BM25 lexical retrieval ([[RetrievalOps.bm25TopK]]): the first 3
-    * documents play standing queries over the corpus (self-match expected
-    * at rank 1 — a retrieval sanity the hash then pins). k1/b are the
-    * universal defaults; idf is the non-negative Lucene variant, rounded
-    * decimal before the product so the oracle replays it as an exact
-    * intermediate. */
-  private val BM25_K = 5
-  private val q119 = QueryDef(
-    "q119_bm25_topk",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
-        docs.where(col("doc_id") < 3), col("doc_id"), col("text"), BM25_K)
-    },
-    s"""WITH words AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents) t WHERE length(w) > 0),
-       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-       |  FROM words GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-       |  FROM tf GROUP BY 1),
-       |stats AS (SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
-       |  WHERE doc_id < 3),
-       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
-       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
-       |contrib AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST(CAST(CAST(round(ln(1.0 +
-       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-       |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
-       |      AS DECIMAL(18,6)) AS c
-       |  FROM tf
-       |  JOIN qt ON qt.w = tf.w
-       |  JOIN dfq ON dfq.w = tf.w
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id, sum(c) AS s,
-       |    CAST(count(*) AS BIGINT) AS n_terms
-       |  FROM contrib GROUP BY 1, 2),
-       |ranked AS (SELECT query_id, doc_id, n_terms, s,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
-       |  FROM sc)
-       |SELECT query_id, rk, doc_id, n_terms,
-       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score
-       |FROM ranked WHERE rk <= $BM25_K""".stripMargin)
-
-  /** Hybrid retrieval via reciprocal-rank fusion ([[RetrievalOps
-    * .rrfFuse]], Cormack et al. 2009): the q119 lexical ranking and the
-    * q36-shape vector ranking over the SAME query ids (doc 0-2 texts /
-    * vec 0-2 embeddings), fused score-scale-free as
-    * Σ round(1/(60+rank), 6). Both legs run at k=10 and the fusion
-    * reports the top 5 — documents strong in either modality surface,
-    * documents strong in both win. */
-  private val q120 = QueryDef(
-    "q120_hybrid_rrf",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val lex = RetrievalOps.bm25TopK(docs, col("doc_id"), col("text"),
-        docs.where(col("doc_id") < 3), col("doc_id"), col("text"), 10)
-      val vec = SimilarityOps.bruteForceTopK(
-        emb, emb.where(col("vec_id") < 3), col("vec_id"), col("embedding"),
-        10)
-      RetrievalOps.rrfFuse(lex, vec, 5)
-    },
-    s"""WITH words AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents) t WHERE length(w) > 0),
-       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-       |  FROM words GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-       |  FROM tf GROUP BY 1),
-       |stats AS (SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
-       |  WHERE doc_id < 3),
-       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
-       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
-       |contrib AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST(CAST(CAST(round(ln(1.0 +
-       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-       |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
-       |      AS DECIMAL(18,6)) AS c
-       |  FROM tf
-       |  JOIN qt ON qt.w = tf.w
-       |  JOIN dfq ON dfq.w = tf.w
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
-       |  GROUP BY 1, 2),
-       |lex AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
-       |  FROM sc QUALIFY rk <= 10),
-       |v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-       |  FROM embeddings),
-       |vscored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CASE WHEN q.nrm * c.nrm > 0
-       |      THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6)
-       |    END AS cos_sim
-       |  FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
-       |vec AS (SELECT query_id, neighbor_id AS doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-       |  FROM vscored QUALIFY rk <= 10),
-       |fused AS (
-       |  SELECT COALESCE(l.query_id, vv.query_id) AS query_id,
-       |    COALESCE(l.doc_id, vv.doc_id) AS doc_id,
-       |    l.rk AS lex_rk, vv.rk AS vec_rk,
-       |    COALESCE(CAST(round(1.0 / (60 + l.rk), 6) AS DECIMAL(18,6)),
-       |      CAST(0 AS DECIMAL(18,6))) +
-       |    COALESCE(CAST(round(1.0 / (60 + vv.rk), 6) AS DECIMAL(18,6)),
-       |      CAST(0 AS DECIMAL(18,6))) AS f
-       |  FROM lex l FULL OUTER JOIN vec vv
-       |    ON l.query_id = vv.query_id AND l.doc_id = vv.doc_id)
-       |SELECT query_id, rk, doc_id, lex_rk, vec_rk,
-       |  CAST(CAST(f AS VARCHAR) AS DOUBLE) AS fused
-       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY f DESC, doc_id) AS BIGINT) AS rk FROM fused) z
-       |WHERE rk <= 5""".stripMargin)
-
-  /** DSIR importance weighting ([[RetrievalOps.dsirWeights]], Xie et al.
-    * NeurIPS 2023): every document weighted by how much more likely its
-    * tokens are under the TARGET unigram distribution (the English slice
-    * plays the target domain) than under the whole-corpus distribution —
-    * the importance-resampling score that steers a 100 TB crawl toward a
-    * desired domain. Selection composes with q115's percentile
-    * calibration; this query pins the weights themselves. */
-  private val q121 = QueryDef(
-    "q121_dsir_weights",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      RetrievalOps.dsirWeights(docs, col("doc_id"), col("text"),
-        docs.where(col("lang") === "en"), col("text"))
-    },
-    s"""WITH rt AS (SELECT w FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-       |  WHERE length(w) > 0),
-       |tt AS (SELECT w FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
-       |    WHERE lang = 'en') t WHERE length(w) > 0),
-       |rc AS (SELECT w, CAST(count(*) AS BIGINT) AS rc FROM rt GROUP BY w),
-       |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS tc FROM tt GROUP BY w),
-       |vocab AS (SELECT w FROM rc UNION SELECT w FROM tc),
-       |sizes AS (SELECT
-       |    (SELECT sum(rc) FROM rc) AS rtot,
-       |    (SELECT sum(tc) FROM tc) AS ttot,
-       |    (SELECT count(*) FROM vocab) AS v),
-       |lr AS (SELECT vocab.w,
-       |    CAST(round(ln((COALESCE(tc.tc, 0) + 1)
-       |        / CAST(sizes.ttot + sizes.v AS DOUBLE)), 6)
-       |      AS DECIMAL(18,6)) -
-       |    CAST(round(ln((COALESCE(rc.rc, 0) + 1)
-       |        / CAST(sizes.rtot + sizes.v AS DOUBLE)), 6)
-       |      AS DECIMAL(18,6)) AS lr
-       |  FROM vocab LEFT JOIN rc ON rc.w = vocab.w
-       |  LEFT JOIN tc ON tc.w = vocab.w CROSS JOIN sizes),
-       |dw AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents) t WHERE length(w) > 0),
-       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |    sum(lr) AS s
-       |  FROM dw JOIN lr ON lr.w = dw.w GROUP BY doc_id)
-       |SELECT doc_id, n_tokens,
-       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS log_weight,
-       |  round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_tokens, 6)
-       |    AS avg_log_weight
-       |FROM s""".stripMargin)
-
-  /** Incremental BM25 index maintenance ([[RetrievalOps
-    * .bm25StatsUpdate]]): the df table and scalar stats of a 90% corpus
-    * folded with the remaining 10% as a new-document delta — and the
-    * oracle computes the SAME statistics over the full corpus directly,
-    * so the hash match IS the maintenance invariant
-    * `update(stats(A), B) ≡ stats(A ∪ B)`. This is what retires the
-    * standing-query index's "re-fit → restart" recompute: a delta folds
-    * in with one word-keyed merge + one 1-row addition. */
-  private val q122 = QueryDef(
-    "q122_bm25_incremental",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("doc_id") % 10 =!= 0)
-      val delta = docs.where(col("doc_id") % 10 === 0)
-      val (df1, st1) = RetrievalOps.bm25StatsUpdate(
-        RetrievalOps.bm25CorpusDf(corpus, col("doc_id"), col("text")),
-        RetrievalOps.bm25CorpusStats(corpus, col("doc_id"), col("text")),
-        delta, col("doc_id"), col("text"))
-      df1.crossJoin(broadcast(st1))
-        .select(col("word"), col("df"), col("n_docs"), col("n_docs_tok"),
-          col("n_tokens"))
-    },
-    s"""WITH words AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents) t WHERE length(w) > 0),
-       |d AS (SELECT w AS word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |  FROM words GROUP BY 1),
-       |st AS (SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-       |    (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM words)
-       |      AS n_docs_tok,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_tokens)
-       |SELECT word, df, n_docs, n_docs_tok, n_tokens
-       |FROM d CROSS JOIN st""".stripMargin)
-
-  /** Retrieval-quality gate ([[RetrievalOps.ndcgAtK]]): nDCG@10 of the
-    * lexical and the hybrid rankings against cosine-graded relevance —
-    * the q82 recall-gate pattern applied to ranked retrieval. Query docs
-    * (ids < 3) are excluded from both corpora so self-matches cannot
-    * flatter either leg; relevance is the clamped rounded cosine of the
-    * query/doc embeddings (unjudged = 0, the standard convention). The
-    * vector leg's nDCG would be 1 by construction (it IS the relevance
-    * order), so the report carries the two rankings whose quality is NOT
-    * definitional. */
-  private val q123 = QueryDef(
-    "q123_retrieval_ndcg",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val corpusD = docs.where(col("doc_id") >= 3)
-      val corpusE = emb.where(col("vec_id") >= 3)
-      val qD = docs.where(col("doc_id") < 3)
-      val qE = emb.where(col("vec_id") < 3)
-      val lex = RetrievalOps.bm25TopK(corpusD, col("doc_id"), col("text"),
-        qD, col("doc_id"), col("text"), 10)
-      val vec = SimilarityOps.bruteForceTopK(corpusE, qE,
-        col("vec_id"), col("embedding"), 10)
-      val hybrid = RetrievalOps.rrfFuse(lex, vec, 10)
-      val rels = SimilarityOps.bruteForceTopK(corpusE, qE,
-        col("vec_id"), col("embedding"), 1000000)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          greatest(coalesce(col("cos_sim"), lit(0.0)), lit(0.0))
-            .cast("decimal(18,6)").as("rel"))
-      def face(name: String, ranking: org.apache.spark.sql.DataFrame) =
-        RetrievalOps.ndcgAtK(
-          ranking.select(col("query_id"), col("doc_id"), col("rk")),
-          rels, 10)
-          .select(lit(name).as("method"), col("query_id"),
-            col("dcg"), col("idcg"), col("ndcg"))
-      face("lexical",
-        lex.select(col("query_id"), col("doc_id"), col("rk")))
-        .unionAll(face("hybrid",
-          hybrid.select(col("query_id"), col("doc_id"), col("rk"))))
-    },
-    s"""WITH v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-       |  FROM embeddings),
-       |vcos AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-       |    CASE WHEN q.nrm * c.nrm > 0
-       |      THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6)
-       |    END AS cos_sim
-       |  FROM v q JOIN v c ON q.vec_id < 3 AND c.vec_id >= 3),
-       |rel AS (SELECT query_id, doc_id,
-       |    CAST(greatest(COALESCE(cos_sim, 0), 0) AS DECIMAL(18,6)) AS rel
-       |  FROM vcos),
-       |vec AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rk
-       |  FROM vcos QUALIFY rk <= 10),
-       |corp AS (SELECT * FROM documents WHERE doc_id >= 3),
-       |words AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM corp) t WHERE length(w) > 0),
-       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-       |  FROM words GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-       |  FROM tf GROUP BY 1),
-       |stats AS (SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM corp) AS n_docs,
-       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents WHERE doc_id < 3) t WHERE length(w) > 0),
-       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
-       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
-       |contrib AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST(CAST(CAST(round(ln(1.0 +
-       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-       |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
-       |      AS DECIMAL(18,6)) AS c
-       |  FROM tf
-       |  JOIN qt ON qt.w = tf.w
-       |  JOIN dfq ON dfq.w = tf.w
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
-       |  GROUP BY 1, 2),
-       |lex AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
-       |  FROM sc QUALIFY rk <= 10),
-       |fused AS (
-       |  SELECT COALESCE(l.query_id, vv.query_id) AS query_id,
-       |    COALESCE(l.doc_id, vv.doc_id) AS doc_id,
-       |    COALESCE(CAST(round(1.0 / (60 + l.rk), 6) AS DECIMAL(18,6)),
-       |      CAST(0 AS DECIMAL(18,6))) +
-       |    COALESCE(CAST(round(1.0 / (60 + vv.rk), 6) AS DECIMAL(18,6)),
-       |      CAST(0 AS DECIMAL(18,6))) AS f
-       |  FROM lex l FULL OUTER JOIN vec vv
-       |    ON l.query_id = vv.query_id AND l.doc_id = vv.doc_id),
-       |hyb AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY f DESC, doc_id) AS BIGINT) AS rk
-       |  FROM fused QUALIFY rk <= 10),
-       |idcg AS (SELECT query_id,
-       |    sum(CAST(round(CAST(CAST(rel AS VARCHAR) AS DOUBLE)
-       |      / log2(irk + 1), 6) AS DECIMAL(18,6))) AS idcg
-       |  FROM (SELECT query_id, rel,
-       |      CAST(row_number() OVER (PARTITION BY query_id
-       |        ORDER BY rel DESC, doc_id) AS BIGINT) AS irk
-       |    FROM rel) t WHERE irk <= 10 GROUP BY query_id),
-       |faces AS (
-       |  SELECT 'lexical' AS method, query_id, doc_id, rk FROM lex
-       |  UNION ALL SELECT 'hybrid', query_id, doc_id, rk FROM hyb),
-       |dcg AS (SELECT method, f.query_id,
-       |    sum(CAST(round(CAST(CAST(COALESCE(rel.rel,
-       |        CAST(0 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
-       |      / log2(f.rk + 1), 6) AS DECIMAL(18,6))) AS dcg
-       |  FROM faces f LEFT JOIN rel
-       |    ON rel.query_id = f.query_id AND rel.doc_id = f.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d.method, d.query_id,
-       |  CAST(CAST(d.dcg AS VARCHAR) AS DOUBLE) AS dcg,
-       |  CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE) AS idcg,
-       |  CASE WHEN i.idcg > 0 THEN
-       |    round(CAST(CAST(d.dcg AS VARCHAR) AS DOUBLE)
-       |      / CAST(CAST(i.idcg AS VARCHAR) AS DOUBLE), 6)
-       |  ELSE 0.0 END AS ndcg
-       |FROM dcg d JOIN idcg i ON d.query_id = i.query_id""".stripMargin)
-
-  /** T5 span-corruption target construction ([[TextOps
-    * .spanCorruptionMask]], Raffel et al. 2020): ~15% of each doc's
-    * tokens masked in mean-3 spans, input/target pair fingerprints
-    * hash-pinned — the oracle replays the per-position hash draws, the
-    * bounded-band span-coverage join, the merged-run sentinels, and BOTH
-    * rebuilt strings' polynomial hashes, so the exact denoising pair an
-    * engine would feed a trainer is what the gate checks. */
-  private val SpanMaskRate = 0.15
-  private val SpanMean = 3
-  private val q124 = QueryDef(
-    "q124_span_corruption",
-    (s, d) => graft.operators.TextOps.spanCorruptionMask(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      SpanMaskRate, SpanMean),
-    {
-      val maxL = 2 * SpanMean - 1
-      val thr = math.round(SpanMaskRate / SpanMean * 1e6)
-      s"""WITH base AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-         |    ((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P AS mix
-         |  FROM documents),
-         |pos AS (SELECT doc_id, i, ws[i] AS tok,
-         |    ((mix + i) * 2654435761) % $P AS d
-         |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |sp AS (SELECT doc_id, i, tok,
-         |    (d % 1000000 < $thr) AS st,
-         |    1 + (d // 1000000) % $maxL AS ln
-         |  FROM pos),
-         |mk AS (SELECT p.doc_id, p.i AS j, p.tok,
-         |    max(CASE WHEN s.st AND p.i < s.i + s.ln THEN 1 ELSE 0 END)
-         |      AS m
-         |  FROM sp p LEFT JOIN sp s
-         |    ON s.doc_id = p.doc_id AND s.i BETWEEN p.i - ${maxL - 1} AND p.i
-         |  GROUP BY 1, 2, 3),
-         |rn AS (SELECT doc_id, j, tok, m,
-         |    CASE WHEN m = 1 AND COALESCE(lag(m) OVER w, 0) = 0
-         |      THEN 1 ELSE 0 END AS rs
-         |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
-         |kk AS (SELECT doc_id, j, tok, m, rs,
-         |    sum(rs) OVER (PARTITION BY doc_id ORDER BY j) - 1 AS k
-         |  FROM rn),
-         |strs AS (SELECT doc_id,
-         |    COALESCE(string_agg(
-         |      CASE WHEN m = 0 THEN tok
-         |        WHEN rs = 1 THEN '<extra_id_' || k || '>' END,
-         |      ' ' ORDER BY j), '') AS inp,
-         |    COALESCE(string_agg(
-         |      CASE WHEN m = 1 AND rs = 1
-         |          THEN '<extra_id_' || k || '> ' || tok
-         |        WHEN m = 1 THEN tok END,
-         |      ' ' ORDER BY j), '') AS tgt,
-         |    CAST(count(*) AS BIGINT) AS n_tokens,
-         |    CAST(sum(m) AS BIGINT) AS n_masked,
-         |    CAST(sum(rs) AS BIGINT) AS n_spans
-         |  FROM kk GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, n_masked, n_spans,
-         |  CAST(length(inp) AS BIGINT) AS input_len,
-         |  CASE WHEN inp = '' THEN 0 ELSE ${polyHashSql("inp")} END
-         |    AS input_fp,
-         |  -- string_split('', '') yields [''] and unicode('') = -1 in
-         |  -- DuckDB, so the empty string must hash to 0 explicitly (the
-         |  -- Spark expression's value)
-         |  CASE WHEN tgt = '' THEN 0 ELSE ${polyHashSql("tgt")} END
-         |    AS target_fp
-         |FROM strs""".stripMargin
-    })
-
-  /** Prefix-LM pair construction ([[TextOps.prefixLmSplit]]) — the
-    * sequential-denoising companion to q124: deterministic hash-drawn
-    * split of every doc into non-empty prefix/continuation, both sides'
-    * fingerprints hash-pinned. */
-  private val q125 = QueryDef(
-    "q125_prefix_lm_split",
-    (s, d) => graft.operators.TextOps.prefixLmSplit(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH base AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-       |    ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
-       |      * 2654435761) % $P AS d
-       |  FROM documents),
-       |sp AS (SELECT doc_id, ws, len(ws) AS n,
-       |    CASE WHEN len(ws) >= 2 THEN 1 + d % (len(ws) - 1)
-       |      ELSE len(ws) END AS s
-       |  FROM base),
-       |strs AS (SELECT doc_id, n, s,
-       |    array_to_string(ws[1:s], ' ') AS pre,
-       |    CASE WHEN n > s THEN array_to_string(ws[s+1:n], ' ')
-       |      ELSE '' END AS tgt
-       |  FROM sp)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |  CAST(s AS BIGINT) AS split_at,
-       |  CASE WHEN pre = '' THEN 0 ELSE ${polyHashSql("pre")} END
-       |    AS prefix_fp,
-       |  CASE WHEN tgt = '' THEN 0 ELSE ${polyHashSql("tgt")} END
-       |    AS target_fp
-       |FROM strs""".stripMargin)
-
-  /** CTE chain computing the thirteen Gopher repetition signals + keep
-    * over `table` (which must expose doc_id, text), every CTE name
-    * prefixed with `pfx` so the chain composes inside larger oracles
-    * (q117 threads it over the funnel survivors). Final CTE:
-    * `${pfx}keep` with all signal columns + `keep`. */
-  private def repetitionCtes(table: String, pfx: String): String = {
-    val topNs = Seq(2, 3, 4)
-    val covNs = Seq(5, 6, 7, 8, 9, 10)
-    val gramCtes = (topNs ++ covNs).map { n =>
-      s"""${pfx}g$n AS (SELECT doc_id, i, array_to_string(ws[i:i+${n - 1}], ' ') AS g
-         |  FROM ${pfx}base, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
-         |${pfx}c$n AS (SELECT doc_id, g, count(*) AS c FROM ${pfx}g$n GROUP BY 1, 2)""".stripMargin
-    }
-    val topCtes = topNs.map { n =>
-      s"""${pfx}t$n AS (SELECT doc_id, c, length(g) - ${n - 1} AS gc FROM ${pfx}c$n
-         |  WHERE c >= 2
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)""".stripMargin
-    }
-    val covCtes = covNs.map { n =>
-      s"""${pfx}d$n AS (SELECT g.doc_id, g.i FROM ${pfx}g$n g
-         |  JOIN ${pfx}c$n c ON c.doc_id = g.doc_id AND c.g = g.g WHERE c.c >= 2),
-         |${pfx}v$n AS (SELECT DISTINCT t.doc_id, t.i, length(t.tok) AS lc FROM ${pfx}tok t
-         |  JOIN ${pfx}d$n s ON s.doc_id = t.doc_id AND t.i BETWEEN s.i AND s.i + ${n - 1}),
-         |${pfx}cov$n AS (SELECT doc_id, CAST(sum(lc) AS BIGINT) AS cc FROM ${pfx}v$n GROUP BY 1)""".stripMargin
-    }
-    val topCols = topNs.map { n =>
-      s"""  COALESCE(round(CAST(${pfx}t$n.c * ${pfx}t$n.gc AS DOUBLE) / CAST(${pfx}tt.tc AS DOUBLE), 6), 0.0)
-         |    AS top_${n}gram_frac""".stripMargin
-    }
-    val covCols = covNs.map { n =>
-      s"""  COALESCE(round(CAST(${pfx}cov$n.cc AS DOUBLE) / CAST(${pfx}tt.tc AS DOUBLE), 6), 0.0)
-         |    AS dup_${n}gram_frac""".stripMargin
-    }
-    val joins =
-      topNs.map(n => s"LEFT JOIN ${pfx}t$n ON ${pfx}t$n.doc_id = ${pfx}tt.doc_id") ++
-        covNs.map(n => s"LEFT JOIN ${pfx}cov$n ON ${pfx}cov$n.doc_id = ${pfx}tt.doc_id")
-    import graft.functions.{RepetitionSignals => RS}
-    val keepSql =
-      s"""dup_line_frac <= ${RS.DupLineThr} AND dup_para_frac <= ${RS.DupParaThr}
-         |    AND dup_line_char_frac <= ${RS.DupLineCharThr}
-         |    AND dup_para_char_frac <= ${RS.DupParaCharThr}
-         |    AND top_2gram_frac <= ${RS.Top2Thr} AND top_3gram_frac <= ${RS.Top3Thr}
-         |    AND top_4gram_frac <= ${RS.Top4Thr}
-         |    AND dup_5gram_frac <= ${RS.Dup5Thr} AND dup_6gram_frac <= ${RS.Dup6Thr}
-         |    AND dup_7gram_frac <= ${RS.Dup7Thr} AND dup_8gram_frac <= ${RS.Dup8Thr}
-         |    AND dup_9gram_frac <= ${RS.Dup9Thr} AND dup_10gram_frac <= ${RS.Dup10Thr}""".stripMargin
-    s"""${pfx}base AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-       |    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lns,
-       |    list_filter(string_split(text, chr(10) || chr(10)), x -> length(x) > 0) AS prs
-       |  FROM $table),
-       |${pfx}tok AS (SELECT doc_id, i, ws[i] AS tok
-       |  FROM ${pfx}base, UNNEST(generate_series(1, len(ws))) AS t(i)),
-       |${pfx}tt AS (SELECT b.doc_id, len(b.ws) AS nw, COALESCE(s.tc, 0) AS tc
-       |  FROM ${pfx}base b LEFT JOIN (
-       |    SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS tc
-       |    FROM ${pfx}tok GROUP BY 1) s ON s.doc_id = b.doc_id),
-       |${pfx}lparts AS (SELECT doc_id, unnest(lns) AS p FROM ${pfx}base),
-       |${pfx}lcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
-       |  FROM ${pfx}lparts GROUP BY 1, 2),
-       |${pfx}lagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
-       |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
-       |  FROM ${pfx}lcnt GROUP BY 1),
-       |${pfx}pparts AS (SELECT doc_id, unnest(prs) AS p FROM ${pfx}base),
-       |${pfx}pcnt AS (SELECT doc_id, p, count(*) AS c, length(p) AS lc
-       |  FROM ${pfx}pparts GROUP BY 1, 2),
-       |${pfx}pagg AS (SELECT doc_id, sum(c) AS np, sum(c * lc) AS pc,
-       |    sum(c - 1) AS dup, sum((c - 1) * lc) AS dupc
-       |  FROM ${pfx}pcnt GROUP BY 1),
-       |${gramCtes.mkString(",\n")},
-       |${topCtes.mkString(",\n")},
-       |${covCtes.mkString(",\n")},
-       |${pfx}sig AS (SELECT ${pfx}tt.doc_id,
-       |  CAST(${pfx}tt.nw AS BIGINT) AS n_words, ${pfx}tt.tc AS n_chars,
-       |  COALESCE(round(CAST(la.dup AS DOUBLE) / CAST(la.np AS DOUBLE), 6), 0.0)
-       |    AS dup_line_frac,
-       |  COALESCE(round(CAST(la.dupc AS DOUBLE) / CAST(la.pc AS DOUBLE), 6), 0.0)
-       |    AS dup_line_char_frac,
-       |  COALESCE(round(CAST(pa.dup AS DOUBLE) / CAST(pa.np AS DOUBLE), 6), 0.0)
-       |    AS dup_para_frac,
-       |  COALESCE(round(CAST(pa.dupc AS DOUBLE) / CAST(pa.pc AS DOUBLE), 6), 0.0)
-       |    AS dup_para_char_frac,
-       |${topCols.mkString(",\n")},
-       |${covCols.mkString(",\n")}
-       |  FROM ${pfx}tt
-       |  LEFT JOIN ${pfx}lagg la ON la.doc_id = ${pfx}tt.doc_id
-       |  LEFT JOIN ${pfx}pagg pa ON pa.doc_id = ${pfx}tt.doc_id
-       |  ${joins.mkString("\n  ")}),
-       |${pfx}keep AS (SELECT *, ($keepSql) AS keep FROM ${pfx}sig)""".stripMargin
-  }
-
-  /** Gopher repetition rules ([[TextOps.gopherRepetition]], Rae et al.
-    * 2021 Table A1): thirteen per-document self-repetition signals + the
-    * keep verdict at the published thresholds, all hash-pinned — the
-    * oracle replays line/paragraph duplicate accounting, top-n-gram
-    * selection (count >= 2, lexicographic ties), and per-character
-    * duplicated-n-gram coverage through the shared [[repetitionCtes]]
-    * chain (q117 threads the same chain over its funnel survivors). The
-    * corpus has no newlines, so the line/paragraph legs gate the zero
-    * path here; RepetitionSpec pins them on multi-line fixtures against
-    * the reference model. */
-  private val q126 = QueryDef(
-    "q126_repetition_signals",
-    (s, d) => TextOps.gopherRepetition(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH ${repetitionCtes("documents", "rg")}
-       |SELECT * FROM rgkeep""".stripMargin)
-
-  /** DPR-style hard-negative mining ([[RetrievalOps.hardNegatives]],
-    * Karpukhin et al. 2020): per query the top lexically-confusable
-    * candidates that fail the semantic-positive check, in BM25 order —
-    * the oracle replays the full q120 lexical chain, the candidate
-    * cosines (NULL-guarded), the NOT-positive filter (NULL ⇒ negative,
-    * the unverifiable-stays-negative convention), and the re-rank. The
-    * query doc itself (cosine 1) is excluded by the positive check, not
-    * by an id rule — the same mechanism that removes any other true
-    * positive. */
-  private val q127 = QueryDef(
-    "q127_hard_negatives",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      RetrievalOps.hardNegatives(docs, col("doc_id"), col("text"),
-        docs.where(col("doc_id") < 3), col("doc_id"), col("text"),
-        Tables.embeddings(s, d), col("vec_id"), col("embedding"),
-        10, COSINE_T, 5)
-    },
-    s"""WITH words AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents) t WHERE length(w) > 0),
-       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-       |  FROM words GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-       |  FROM tf GROUP BY 1),
-       |stats AS (SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
-       |  WHERE doc_id < 3),
-       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
-       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
-       |contrib AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST(CAST(CAST(round(ln(1.0 +
-       |          (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 6)
-       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-       |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
-       |      AS DECIMAL(18,6)) AS c
-       |  FROM tf
-       |  JOIN qt ON qt.w = tf.w
-       |  JOIN dfq ON dfq.w = tf.w
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib
-       |  GROUP BY 1, 2),
-       |lex AS (SELECT query_id, doc_id, s,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
-       |  FROM sc QUALIFY rk <= 10),
-       |v AS (SELECT vec_id, embedding AS e,
-       |    sqrt(${dotSql("embedding", "embedding", DIM)}) AS nrm
-       |  FROM embeddings),
-       |cand AS (SELECT l.query_id, l.rk AS bm25_rk, l.doc_id,
-       |    CAST(CAST(l.s AS VARCHAR) AS DOUBLE) AS bm25_score,
-       |    CASE WHEN q.nrm * c.nrm > 0
-       |      THEN round(${dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm), 6)
-       |    END AS cos_sim
-       |  FROM lex l
-       |  LEFT JOIN v q ON q.vec_id = l.query_id
-       |  LEFT JOIN v c ON c.vec_id = l.doc_id),
-       |neg AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY bm25_rk) AS BIGINT) AS neg_rk
-       |  FROM cand WHERE NOT COALESCE(cos_sim >= $COSINE_T, FALSE))
-       |SELECT query_id, neg_rk, doc_id, bm25_rk, bm25_score, cos_sim
-       |FROM neg WHERE neg_rk <= 5""".stripMargin)
-
-  /** Tokenizer fertility audit ([[graft.operators.BpeOps
-    * .tokenizerFertility]]): per-language tokens/word and chars/token
-    * under the corpus-fitted 16-merge BPE — rows-only (the fit's
-    * iterative argmax is not SQL-expressible, the q107 precedent); the
-    * ratio arithmetic and the monotone no-merges baseline are pinned in
-    * BpeSpec on hand-computed fixtures. */
-  /** One BPE fit per sf dir, memoized as the frozen merge rows — the
-    * q48 frozen-model convention for CONSUMERS of a fitted tokenizer:
-    * q128 measures the fertility AGGREGATION under a fitted vocabulary,
-    * not the fit (q107 keeps refitting per rep — the fit IS its
-    * subject). */
-  private object BpeMergesMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, Seq[(Long, String, String, Long)]]
-    def merges(s: org.apache.spark.sql.SparkSession, d: String)
-        : org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      cache.getOrElseUpdate(d, {
-        val docs = Tables.documents(s, d)
-        graft.operators.BpeOps.bpeLearn(
-            graft.operators.BpeOps.wordFreqs(docs, col("text")), 16)
-          .collect().map(r => (r.getLong(0), r.getString(1),
-            r.getString(2), r.getLong(3))).toSeq
-      }).toDF("rank", "left", "right", "pair_count")
-    }
-    def pairs(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[(String, String)] =
-      merges(s, d).orderBy("rank").select("left", "right").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-  }
-
-  /** The fold-by-rank BPE rewrite over word column `w` as nested SQL
-    * `replace`s, returning the normalized space-joined token string.
-    * Rendering is DOUBLE-spaced — each symbol as `' s '`, concatenated,
-    * i.e. `' ' || join(syms, '  ') || ' '` — so one replace match
-    * consumes a complete pair rendering `' l  r '` (one wrapper space
-    * each side) and BOTH boundary gaps keep a leftover space: adjacent
-    * occurrences chain exactly like the greedy fold. (r16 fix: the r15
-    * single-space form shared the boundary space between adjacent
-    * matches, so `replace(' x y x y ', ' x y ', ' xy ')` merged only
-    * the first pair while [[graft.operators.BpeOps.mergePair]] merges
-    * both — any corpus word with a back-to-back learned pair, e.g.
-    * 'haha' under (h,a), would go spuriously RED. The fold side of the
-    * contract is pinned in BpeSpec's adversarial table incl. the
-    * back-to-back case; the replace side was property-verified against
-    * the fold on 300 random merge chains and is re-checked by the hash
-    * gate on every verify run.) */
-  private def bpeFoldTokensSql(merges: Seq[(String, String)],
-      byteLevel: Boolean = false): String = {
-    def esc(x: String) = x.replace("'", "''")
-    val eow = graft.operators.BpeOps.EndOfWord
-    // byte-level start symbols: the word's UTF-8 octets as uppercase
-    // hex pairs (DuckDB hex(encode(w)) ≡ Spark hex(encode(w,'UTF-8'))),
-    // NO end-of-word marker — [[graft.operators.BpeOps.toByteSymbols]]
-    val syms0 =
-      if (byteLevel)
-        "' ' || array_to_string(list_transform(" +
-          "generate_series(1, length(hex(encode(w))) // 2), " +
-          "i -> substr(hex(encode(w)), CAST(i * 2 - 1 AS INTEGER), 2))" +
-          ", '  ') || ' '"
-      else s"' ' || array_to_string(list_append(" +
-        s"string_split(w, ''), '${esc(eow)}'), '  ') || ' '"
-    val folded = merges.foldLeft(syms0) { case (acc, (l, r)) =>
-      s"replace($acc, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')"
-    }
-    s"array_to_string(list_filter(string_split(trim($folded), ' '), " +
-      "x -> length(x) > 0), ' ')"
-  }
-
-  /** FULL oracle since r15 (was rows-only): the q141/q189 insight
-    * applied to BPE — the APPLY under a FROZEN merge table is the
-    * fold-by-rank contract ([[graft.operators.BpeOps.bpeTokensExpr]]:
-    * each merge, in rank order, rewrites greedily left-to-right
-    * non-overlapping), and that rewrite replays as [[bpeFoldTokensSql]]'s
-    * sixteen nested replaces — no recursion — so the whole fertility
-    * aggregation replays. (Symbolization is per UTF-16 unit
-    * on the Spark side and per code point in DuckDB — identical on
-    * this BMP corpus; the hash gate would catch divergence.) */
-  private val q128 = QueryDef(
-    "q128_tokenizer_fertility",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.BpeOps.tokenizerFertility(
-        docs, col("doc_id"), col("text"), col("lang"),
-        BpeMergesMemo.merges(s, d))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val merges = BpeMergesMemo.merges(spark, sfDir)
-        .orderBy("rank").select("left", "right").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-      val toks = bpeFoldTokensSql(merges)
-      s"""WITH docs AS (SELECT lang,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         |words AS (SELECT lang, unnest(ws) AS w FROM docs),
-         |enc AS (SELECT lang, CAST(length(w) AS BIGINT) AS wc,
-         |    CAST(len(string_split($toks, ' ')) AS BIGINT) AS nt
-         |  FROM words),
-         |agg AS (SELECT lang,
-         |    coalesce(CAST(count(*) AS BIGINT), 0) AS n_words,
-         |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS n_tokens,
-         |    coalesce(CAST(sum(wc) AS BIGINT), 0) AS n_chars
-         |  FROM enc GROUP BY lang),
-         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM docs GROUP BY lang)
-         |SELECT nd.lang AS grp, nd.n_docs,
-         |  coalesce(a.n_words, 0) AS n_words,
-         |  coalesce(a.n_tokens, 0) AS n_tokens,
-         |  coalesce(a.n_chars, 0) AS n_chars,
-         |  CASE WHEN coalesce(a.n_words, 0) > 0 THEN
-         |    round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END
-         |    AS fertility,
-         |  CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
-         |    round(CAST(a.n_chars AS DOUBLE) / a.n_tokens, 6) END
-         |    AS chars_per_token
-         |FROM nd LEFT JOIN agg a USING (lang)""".stripMargin
-    }))
-
-  /** Per-doc BPE apply face, hash-gated — with q141 (unigram Viterbi)
-    * and q189 (WordPiece) this completes the triad: every tokenizer's
-    * production APPLY is now oracle-checked, and only the iterative
-    * FITS (q107/q140/q188) remain rows-only. Same frozen merge table as
-    * q128, same replace-fold replay; output mirrors q141's shape
-    * (token count + stream fingerprint, NULL fp for token-less docs). */
-  private val q190 = QueryDef(
-    "q190_bpe_tokenize",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      graft.operators.BpeOps.bpeTokenize(
-          Tables.documents(s, d), col("doc_id"), col("text"),
-          BpeMergesMemo.merges(s, d))
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") > 0, graft.functions.HashExpressions
-            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val merges = BpeMergesMemo.merges(spark, sfDir)
-        .orderBy("rank").select("left", "right").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-      val toks = bpeFoldTokensSql(merges)
-      s"""WITH dws AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
-         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |enc AS (SELECT doc_id, wi, $toks AS toks FROM words),
-         |perdoc AS (SELECT doc_id,
-         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
-         |  FROM enc GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
-         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
-         |    AS n_tokens,
-         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
-         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
-         |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
-    }))
-
-  /** One byte-level BPE fit per sf dir, memoized (the BpeMergesMemo
-    * rationale on the [[graft.operators.BpeOps.toByteSymbols]]
-    * alphabet): q196/q197's bodies and dump-time oracles must read
-    * IDENTICAL frozen merge bytes. */
-  private object ByteBpeMergesMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, Seq[(Long, String, String, Long)]]
-    def merges(s: org.apache.spark.sql.SparkSession, d: String)
-        : org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      cache.getOrElseUpdate(d, {
-        val docs = Tables.documents(s, d)
-        graft.operators.BpeOps.bpeLearn(
-            graft.operators.BpeOps.wordFreqs(docs, col("text")), 16,
-            symbolize = graft.operators.BpeOps.toByteSymbols)
-          .collect().map(r => (r.getLong(0), r.getString(1),
-            r.getString(2), r.getLong(3))).toSeq
-      }).toDF("rank", "left", "right", "pair_count")
-    }
-    def pairs(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[(String, String)] =
-      merges(s, d).orderBy("rank").select("left", "right").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-  }
-
-  /** BYTE-level BPE fit face (r15 verdict item 4 / What's missing 2 —
-    * the GPT-family tokenizer: base alphabet = the 256 UTF-8 octets,
-    * so no UNK exists and decode∘encode is the identity by
-    * construction): [[graft.operators.BpeOps.bpeLearn]] verbatim over
-    * [[graft.operators.BpeOps.toByteSymbols]] hex-pair symbols.
-    * Rows-only like every iterative fit (q107/q140/q188): each rank's
-    * pair counts depend on every earlier rewrite. The APPLY faces
-    * (q196/q197) carry the hash gates. */
-  private val q195 = QueryDef(
-    "q195_bytebpe_merges",
-    (s, d) => ByteBpeMergesMemo.merges(s, d),
-    None)
-
-  /** Per-doc byte-level BPE apply face, hash-gated — q190's shape on
-    * the byte alphabet: same frozen-merge fold-by-rank contract, same
-    * double-space nested-replace oracle replay, symbols now hex pairs
-    * of the word's UTF-8 octets with no end-of-word marker. DuckDB's
-    * `hex(encode(w))` and Spark's `hex(encode(w, 'UTF-8'))` spell the
-    * SAME uppercase hex, so the fold operates on identical strings —
-    * and bytes sidestep the UTF-16-vs-code-point symbolization caveat
-    * the char-level faces carry. */
-  private val q196 = QueryDef(
-    "q196_bytebpe_tokenize",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      graft.operators.BpeOps.byteBpeTokenize(
-          Tables.documents(s, d), col("doc_id"), col("text"),
-          ByteBpeMergesMemo.merges(s, d))
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") > 0, graft.functions.HashExpressions
-            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val toks = bpeFoldTokensSql(
-        ByteBpeMergesMemo.pairs(
-          org.apache.spark.sql.SparkSession.active, sfDir),
-        byteLevel = true)
-      s"""WITH dws AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         |words AS (SELECT doc_id, i AS wi, ws[i] AS w
-         |  FROM dws, UNNEST(generate_series(1, len(ws))) AS t(i)),
-         |enc AS (SELECT doc_id, wi, $toks AS toks FROM words),
-         |perdoc AS (SELECT doc_id,
-         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
-         |  FROM enc GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
-         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
-         |    AS n_tokens,
-         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
-         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
-         |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
-    }))
-
-  /** Per-language byte-level fertility / compression audit
-    * ([[graft.operators.BpeOps.byteTokenizerFertility]]) — q128's
-    * QA table with BYTES as the denominator universe: multi-byte
-    * scripts pay more base symbols per character, which is exactly the
-    * fairness property this face exists to surface (the GPT-2/BLOOM
-    * byte-fertility analyses). Full oracle via the same fold replay. */
-  private val q197 = QueryDef(
-    "q197_bytebpe_fertility",
-    (s, d) => graft.operators.BpeOps.byteTokenizerFertility(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
-      ByteBpeMergesMemo.merges(s, d)),
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val toks = bpeFoldTokensSql(
-        ByteBpeMergesMemo.pairs(
-          org.apache.spark.sql.SparkSession.active, sfDir),
-        byteLevel = true)
-      s"""WITH docs AS (SELECT lang,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-         |  FROM documents),
-         |words AS (SELECT lang, unnest(ws) AS w FROM docs),
-         |enc AS (SELECT lang,
-         |    CAST(octet_length(encode(w)) AS BIGINT) AS wb,
-         |    CAST(len(string_split($toks, ' ')) AS BIGINT) AS nt
-         |  FROM words),
-         |agg AS (SELECT lang,
-         |    coalesce(CAST(count(*) AS BIGINT), 0) AS n_words,
-         |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS n_tokens,
-         |    coalesce(CAST(sum(wb) AS BIGINT), 0) AS n_bytes
-         |  FROM enc GROUP BY lang),
-         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM docs GROUP BY lang)
-         |SELECT nd.lang AS grp, nd.n_docs,
-         |  coalesce(a.n_words, 0) AS n_words,
-         |  coalesce(a.n_tokens, 0) AS n_tokens,
-         |  coalesce(a.n_bytes, 0) AS n_bytes,
-         |  CASE WHEN coalesce(a.n_words, 0) > 0 THEN
-         |    round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END
-         |    AS fertility,
-         |  CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
-         |    round(CAST(a.n_bytes AS DOUBLE) / a.n_tokens, 6) END
-         |    AS bytes_per_token
-         |FROM nd LEFT JOIN agg a USING (lang)""".stripMargin
-    }))
-
-  /** One pre-tokenized byte-level BPE fit per sf dir, memoized
-    * ([[ByteBpeMergesMemo]]'s shape over [[graft.operators.BpeOps
-    * .preTokenFreqs]] — the GPT segmentation changes the frequency
-    * table, so it is a distinct frozen model). */
-  private object GptByteBpeMergesMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, Seq[(Long, String, String, Long)]]
-    def merges(s: org.apache.spark.sql.SparkSession, d: String)
-        : org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      cache.getOrElseUpdate(d, {
-        val docs = Tables.documents(s, d)
-        graft.operators.BpeOps.bpeLearn(
-            graft.operators.BpeOps.preTokenFreqs(docs, col("text")), 16,
-            symbolize = graft.operators.BpeOps.toByteSymbols)
-          .collect().map(r => (r.getLong(0), r.getString(1),
-            r.getString(2), r.getLong(3))).toSeq
-      }).toDF("rank", "left", "right", "pair_count")
-    }
-    def pairs(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[(String, String)] =
-      merges(s, d).orderBy("rank").select("left", "right").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-  }
-
-  /** GPT-style pre-tokenization face ([[graft.operators.BpeOps
-    * .gptPreTokenize]] — the published GPT-2 segmentation, RE2-safe
-    * reformulation): contraction suffixes split off, letter/number/
-    * symbol runs carry their leading space, whitespace runs survive.
-    * The matches PARTITION the text (concat == identity, spec-pinned),
-    * which is what lets the downstream byte BPE be lossless over FULL
-    * text including whitespace. Fingerprint is over hex-encoded
-    * pre-tokens (pre-tokens contain spaces, so a space-join of the raw
-    * strings would be ambiguous; hex is not). */
-  private val q199 = QueryDef(
-    "q199_gpt_pretokenize",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val pt = graft.operators.BpeOps.gptPreTokenize(col("text"))
-      Tables.documents(s, d).select(col("doc_id"),
-        size(pt).cast("long").as("n_pretokens"),
-        when(size(pt) > 0, graft.functions.HashExpressions.polyHash(
-          array_join(transform(pt, t => hex(encode(t, "UTF-8"))), " ")))
-          .as("pretokens_fp"))
-    },
-    {
-      s"""WITH dpt AS (SELECT doc_id,
-         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
-         |  FROM documents)
-         |SELECT doc_id, CAST(len(pts) AS BIGINT) AS n_pretokens,
-         |  CASE WHEN len(pts) > 0 THEN ${polyHashSql(
-             "array_to_string(list_transform(pts, t -> hex(encode(t))), ' ')")}
-         |    END AS pretokens_fp
-         |FROM dpt""".stripMargin
-    })
-
-  /** PRE-TOKENIZED byte-level BPE apply — the production GPT shape
-    * ([[graft.operators.BpeOps.gptByteBpeTokenize]]): q196's byte face
-    * with [[q199]]'s segmentation instead of whitespace words, so
-    * spaces ride INSIDE tokens and `concat(unhex(tokens))` rebuilds
-    * the FULL text. Distinct frozen fit (the GPT segmentation changes
-    * the frequency table). Same double-space fold-replay oracle, per
-    * pre-token. */
-  private val q200 = QueryDef(
-    "q200_bytebpe_gpt_tokenize",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      graft.operators.BpeOps.gptByteBpeTokenize(
-          Tables.documents(s, d), col("doc_id"), col("text"),
-          GptByteBpeMergesMemo.merges(s, d))
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") > 0, graft.functions.HashExpressions
-            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val toks = bpeFoldTokensSql(
-        GptByteBpeMergesMemo.pairs(
-          org.apache.spark.sql.SparkSession.active, sfDir),
-        byteLevel = true)
-      s"""WITH dpt AS (SELECT doc_id,
-         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
-         |  FROM documents),
-         |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
-         |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
-         |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
-         |perdoc AS (SELECT doc_id,
-         |    string_agg(toks, ' ' ORDER BY pi) AS alltoks
-         |  FROM enc GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
-         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
-         |    AS n_tokens,
-         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
-         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
-         |FROM dpt d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
-    }))
-
-  /** Tokenizer round-trip audit (r15 verdict item 5 / What's missing 3
-    * — [[graft.operators.TokenizerAuditOps.roundTrip]]): asserts
-    * `decode ∘ encode` identity per (tokenizer, language) for all FOUR
-    * fitted families in one frame — char BPE / byte BPE / unigram are
-    * lossless by construction (proved computationally here, not
-    * assumed), WordPiece's whole-word `[UNK]` loss is characterized per
-    * language (the q194 coverage face's loss twin). Full oracle: one
-    * statement composing the shared word explode, the q189 WordPiece
-    * recursive chain, the q141 Viterbi chain, and both BPE fold
-    * replays, each decoded per word and compared. */
-  private val q198 = QueryDef(
-    "q198_tokenizer_roundtrip",
-    (s, d) => graft.operators.TokenizerAuditOps.roundTrip(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
-      BpeMergesMemo.pairs(s, d), ByteBpeMergesMemo.pairs(s, d),
-      WordPieceMemo.vocab(s, d), UnigramPiecesMemo.pieces(s, d)),
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val bpeToks = bpeFoldTokensSql(BpeMergesMemo.pairs(spark, sfDir))
-      val byteToks = bpeFoldTokensSql(
-        ByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
-      val eow = graft.operators.BpeOps.EndOfWord
-      def agg(n: String, label: String): String =
-        s"""${n}_doc AS (SELECT d.doc_id, d.lang, len(d.ws) AS nw,
-           |    coalesce(sum(CASE WHEN p.lossy THEN 1 END), 0) AS nl
-           |  FROM dws d LEFT JOIN ${n}_pw p USING (doc_id)
-           |  GROUP BY 1, 2, 3),
-           |${n}_agg AS (SELECT '$label' AS tokenizer, lang AS grp,
-           |    CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(count(*) FILTER (WHERE nl = 0) AS BIGINT)
-           |      AS n_docs_lossless,
-           |    CAST(sum(nw) AS BIGINT) AS n_words,
-           |    CAST(sum(nl) AS BIGINT) AS n_lossy_words,
-           |    CASE WHEN sum(nw) > 0 THEN
-           |      round(CAST(sum(nl) AS DOUBLE) / sum(nw), 6) END
-           |      AS lossy_word_frac
-           |  FROM ${n}_doc GROUP BY 1, 2)""".stripMargin
-      s"""WITH RECURSIVE ${docWordsCteSql},
-         |${wordPieceChainSql()},
-         |${unigramChainSql()},
-         |bpe_pw AS (SELECT doc_id,
-         |    (replace($bpeToks, ' ', '') <> w || '$eow') AS lossy
-         |  FROM words),
-         |byte_pw AS (SELECT doc_id,
-         |    (decode(unhex(replace($byteToks, ' ', ''))) <> w) AS lossy
-         |  FROM words),
-         |wp_pw AS (SELECT t.doc_id,
-         |    ((ts[1] || array_to_string(
-         |      list_transform(ts[2:], x -> substr(x, 3)), '')) <> wo.w)
-         |      AS lossy
-         |  FROM (SELECT doc_id, wi, string_split(toks, ' ') AS ts
-         |    FROM wtoks) t
-         |  JOIN words wo USING (doc_id, wi)),
-         |uni_pw AS (SELECT u.doc_id,
-         |    (replace(u.toks, ' ', '') <> wo.w) AS lossy
-         |  FROM uwtoks u JOIN words wo USING (doc_id, wi)),
-         |${agg("bpe", "bpe")},
-         |${agg("byte", "bytebpe")},
-         |${agg("wp", "wordpiece")},
-         |${agg("uni", "unigram")}
-         |SELECT * FROM bpe_agg UNION ALL SELECT * FROM byte_agg
-         |UNION ALL SELECT * FROM wp_agg
-         |UNION ALL SELECT * FROM uni_agg""".stripMargin
-    }))
-
-  /** WordPiece vocabulary drift (r16 — the refit trigger the FROZEN
-    * tokenizer vocabulary owed under the standing every-frozen-model
-    * rule; NB→q183, KN→q182, blocklist→q184, gram→q168, winnow/robust
-    * →q169, logistic→q191 — the tokenizer family was the last frozen
-    * model without one): [[graft.operators.WordPieceOps
-    * .wordPieceDrift]] — baseline fertility/UNK per language vs a
-    * deterministic, SQL-replayable arrivals perturbation (every
-    * doc_id ≡ 0 (mod 3) text gets its vowels squashed — novel
-    * consonant blobs shatter into char-fallback pieces, the fertility
-    * gate — and one 101-char word appended, a guaranteed
-    * MaxWordChars `[UNK]`, the coverage gate). Full oracle: the q189
-    * walk emitted twice (prefixed) over the shared probe forms.
-    * Honest finding at sf0.001/0.01: the squash is a harder shift than
-    * designed — words that START with a vowel become `x…` blobs and
-    * the fitted vocabulary has no initial-`x` piece, so they collapse
-    * to whole-word `[UNK]` (unk_frac 0.24-0.43 per language, the
-    * COVERAGE gate) while fertility DROPS (each UNK is one token,
-    * ratio 0.68-0.82 — the fertility gate correctly does NOT fire);
-    * both-gate independence plus vanished/new-group semantics are
-    * pinned on fixtures in WordPieceSpec. */
-  private val q201 = QueryDef(
-    "q201_wordpiece_drift",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val arrivals = docs.withColumn("text",
-        when(col("doc_id") % 3 === 0,
-          concat(translate(col("text"), "aeiou", "xxxxx"),
-            lit(" "), lit("x" * 101)))
-          .otherwise(col("text")))
-      graft.operators.WordPieceOps.wordPieceDrift(
-        docs, arrivals, col("doc_id"), col("text"), col("lang"),
-        WordPieceMemo.vocab(s, d))
-    },
-    Some(() => {
-      val unk = graft.operators.WordPieceOps.Unk
-      val arrivalsTable = "(SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0" +
-        " THEN translate(text, 'aeiou', 'xxxxx') || ' ' || repeat('x', 101)" +
-        " ELSE text END AS text FROM documents)"
-      def sideSql(p: String): String =
-        s"""${p}per AS (SELECT doc_id,
-           |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt,
-           |    CAST(len(list_filter(string_split(toks, ' '),
-           |      x -> x = '$unk')) AS BIGINT) AS nu
-           |  FROM ${p}wtoks),
-           |${p}perdoc AS (SELECT doc_id,
-           |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS nt,
-           |    coalesce(CAST(sum(nu) AS BIGINT), 0) AS nu
-           |  FROM ${p}per GROUP BY doc_id),
-           |${p}agg AS (SELECT d.lang AS grp,
-           |    CAST(sum(len(d.ws)) AS BIGINT) AS nw,
-           |    CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS nt,
-           |    CAST(sum(coalesce(p.nu, 0)) AS BIGINT) AS nu
-           |  FROM ${p}dws d LEFT JOIN ${p}perdoc p USING (doc_id)
-           |  GROUP BY d.lang)""".stripMargin
-      s"""WITH RECURSIVE ${docWordsCteOver("documents", "b")},
-         |${docWordsCteOver(arrivalsTable, "a")},
-         |${wordPiecePiecesSql()},
-         |${wordPieceWalkSql("b")},
-         |${wordPieceWalkSql("a")},
-         |${sideSql("b")},
-         |${sideSql("a")},
-         |j AS (SELECT coalesce(b.grp, a.grp) AS grp,
-         |    b.nw AS nwb, a.nw AS nwa,
-         |    CASE WHEN b.nw > 0 THEN
-         |      round(CAST(b.nt AS DOUBLE) / b.nw, 6) END AS fb,
-         |    CASE WHEN b.nw > 0 THEN
-         |      round(CAST(b.nu AS DOUBLE) / b.nw, 6) END AS ub,
-         |    CASE WHEN a.nw > 0 THEN
-         |      round(CAST(a.nt AS DOUBLE) / a.nw, 6) END AS fa,
-         |    CASE WHEN a.nw > 0 THEN
-         |      round(CAST(a.nu AS DOUBLE) / a.nw, 6) END AS ua
-         |  FROM bagg b FULL OUTER JOIN aagg a ON b.grp = a.grp)
-         |SELECT grp, nwb AS n_words_base, fb AS fertility_base,
-         |  ub AS unk_frac_base, nwa AS n_words_new,
-         |  fa AS fertility_new, ua AS unk_frac_new,
-         |  CASE WHEN fb > 0 THEN round(fa / fb, 6) END AS fertility_ratio,
-         |  CASE WHEN ub IS NOT NULL AND ua IS NOT NULL THEN
-         |    round(ua - ub, 6) END AS unk_delta,
-         |  (fb IS NULL OR fa IS NULL
-         |    OR (CASE WHEN fb > 0 THEN round(fa / fb, 6) END) > 1.25
-         |    OR (CASE WHEN ub IS NOT NULL AND ua IS NOT NULL THEN
-         |      round(ua - ub, 6) END) > 0.05) AS needs_refit
-         |FROM j""".stripMargin
-    }))
-
-  /** Tokenizer fertility drift for the no-UNK families (r16, with
-    * q201 closing the standing every-frozen-model-gets-a-refit-trigger
-    * rule for ALL frozen tokenizer tables): [[graft.operators
-    * .TokenizerAuditOps.fertilityDrift]] — char BPE / byte BPE / GPT
-    * byte BPE / unigram under their frozen tables, baseline vs the
-    * q201 arrivals perturbation, per language. These families cannot
-    * UNK, so a distribution shift shows up ONLY as fertility
-    * inflation (words shattering into more subwords = sequence-length
-    * cost a serving budget pays directly). Full oracle: both BPE fold
-    * replays and the Viterbi walk emitted twice with prefixed CTEs
-    * over shared frozen tables. */
-  private val q202 = QueryDef(
-    "q202_tokenizer_drift",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val arrivals = docs.withColumn("text",
-        when(col("doc_id") % 3 === 0,
-          concat(translate(col("text"), "aeiou", "xxxxx"),
-            lit(" "), lit("x" * 101)))
-          .otherwise(col("text")))
-      graft.operators.TokenizerAuditOps.fertilityDrift(
-        docs, arrivals, col("doc_id"), col("text"), col("lang"),
-        BpeMergesMemo.pairs(s, d), ByteBpeMergesMemo.pairs(s, d),
-        GptByteBpeMergesMemo.pairs(s, d), UnigramPiecesMemo.pieces(s, d))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val bpeToks = bpeFoldTokensSql(BpeMergesMemo.pairs(spark, sfDir))
-      val byteToks = bpeFoldTokensSql(
-        ByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
-      val gptToks = bpeFoldTokensSql(
-        GptByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
-      val arrivalsTable = "(SELECT doc_id, lang, CASE WHEN doc_id % 3 = 0" +
-        " THEN translate(text, 'aeiou', 'xxxxx') || ' ' || repeat('x', 101)" +
-        " ELSE text END AS text FROM documents)"
-      def table(p: String) = if (p == "b") "documents" else arrivalsTable
-      // per-(family, side) per-doc token counts
-      def famSql(p: String): String =
-        s"""${p}bpe AS (SELECT doc_id,
-           |    CAST(len(string_split($bpeToks, ' ')) AS BIGINT) AS nt
-           |  FROM ${p}words),
-           |${p}byt AS (SELECT doc_id,
-           |    CAST(len(string_split($byteToks, ' ')) AS BIGINT) AS nt
-           |  FROM ${p}words),
-           |${p}dpt AS (SELECT doc_id,
-           |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
-           |  FROM ${table(p)}),
-           |${p}gpt AS (SELECT doc_id,
-           |    CAST(len(string_split($gptToks, ' ')) AS BIGINT) AS nt
-           |  FROM (SELECT doc_id, unnest(pts) AS w FROM ${p}dpt)),
-           |${p}uni AS (SELECT doc_id,
-           |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt
-           |  FROM ${p}uwtoks)""".stripMargin
-      def aggSql(p: String, f: String): String =
-        s"""${p}${f}agg AS (SELECT d.lang AS grp,
-           |    CAST(sum(len(d.ws)) AS BIGINT) AS nw,
-           |    CAST(sum(coalesce(t.nt, 0)) AS BIGINT) AS nt
-           |  FROM ${p}dws d LEFT JOIN (SELECT doc_id,
-           |      sum(nt) AS nt FROM ${p}$f GROUP BY doc_id) t
-           |    USING (doc_id)
-           |  GROUP BY d.lang)""".stripMargin
-      def faceSql(f: String, label: String): String =
-        s"""SELECT '$label' AS tokenizer, coalesce(b.grp, a.grp) AS grp,
-           |  b.nw AS n_words_base,
-           |  CASE WHEN b.nw > 0 THEN
-           |    round(CAST(b.nt AS DOUBLE) / b.nw, 6) END AS fertility_base,
-           |  a.nw AS n_words_new,
-           |  CASE WHEN a.nw > 0 THEN
-           |    round(CAST(a.nt AS DOUBLE) / a.nw, 6) END AS fertility_new,
-           |  CASE WHEN b.nw > 0 AND a.nw > 0
-           |      AND round(CAST(b.nt AS DOUBLE) / b.nw, 6) > 0 THEN
-           |    round(round(CAST(a.nt AS DOUBLE) / a.nw, 6)
-           |      / round(CAST(b.nt AS DOUBLE) / b.nw, 6), 6) END
-           |    AS fertility_ratio,
-           |  ((CASE WHEN b.nw > 0 THEN
-           |      round(CAST(b.nt AS DOUBLE) / b.nw, 6) END) IS NULL
-           |    OR (CASE WHEN a.nw > 0 THEN
-           |      round(CAST(a.nt AS DOUBLE) / a.nw, 6) END) IS NULL
-           |    OR (CASE WHEN b.nw > 0 AND a.nw > 0
-           |        AND round(CAST(b.nt AS DOUBLE) / b.nw, 6) > 0 THEN
-           |      round(round(CAST(a.nt AS DOUBLE) / a.nw, 6)
-           |        / round(CAST(b.nt AS DOUBLE) / b.nw, 6), 6) END) > 1.25)
-           |    AS needs_refit
-           |FROM b${f}agg b FULL OUTER JOIN a${f}agg a ON b.grp = a.grp"""
-          .stripMargin
-      s"""WITH RECURSIVE ${docWordsCteOver("documents", "b")},
-         |${docWordsCteOver(arrivalsTable, "a")},
-         |${unigramParamsSql()},
-         |${unigramWalkSql("b")},
-         |${unigramWalkSql("a")},
-         |${famSql("b")},
-         |${famSql("a")},
-         |${Seq("bpe", "byt", "gpt", "uni")
-            .flatMap(f => Seq(aggSql("b", f), aggSql("a", f)))
-            .mkString(",\n")}
-         |${faceSql("bpe", "bpe")}
-         |UNION ALL ${faceSql("byt", "bytebpe")}
-         |UNION ALL ${faceSql("gpt", "gptbpe")}
-         |UNION ALL ${faceSql("uni", "unigram")}""".stripMargin
-    }))
-
-  /** PRODUCTION-SCALE BPE fit ([[graft.operators.BpeOps
-    * .bpeLearnSampled]], r16 verdict item 4): the cluster runs ONE
-    * word-frequency aggregation + one vocab-scale top-k; the merge
-    * loop is driver-side over the collected bounded table — the
-    * HF-trainer/SentencePiece shape that survives a 32k-vocabulary
-    * fit where q107's 16 sequential distributed rounds would become
-    * 32k of them. Rows-only like every iterative fit (the per-rank
-    * argmax chain has no closed SQL form); sampled ≡ distributed is
-    * spec-pinned (BpeSpec) and the two registry entries share the
-    * corpus so their outputs cross-check. */
-  private val q203 = QueryDef(
-    "q203_bpe_merges_sampled",
-    (s, d) => graft.operators.BpeOps.bpeLearnSampled(
-      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
-      16),
-    None)
-
-  /** PRODUCTION-SCALE WordPiece fit ([[graft.operators.WordPieceOps
-    * .wpLearnSampled]]) — q203's shape for the likelihood-scored
-    * family; q188's 16 distributed rounds collapse to one aggregation
-    * + one top-k + a driver-side loop. Rows-only (iterative argmax);
-    * sampled ≡ distributed spec-pinned (WordPieceSpec). */
-  private val q204 = QueryDef(
-    "q204_wordpiece_merges_sampled",
-    (s, d) => graft.operators.WordPieceOps.wpLearnSampled(
-      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
-      16),
-    None)
-
-  /** PRODUCTION-SCALE unigram-LM fit ([[graft.operators.UnigramOps
-    * .unigramFitSampled]], r17 verdict item 3) — q203/q204's shape for
-    * the seed-and-prune EM family, completing the sampled-fit story for
-    * all FOUR tokenizer families: one corpus word-count aggregation +
-    * one vocab-scale top-k, then the seed explode, every Viterbi
-    * E-step, and the prune cycles run driver-side over the bounded
-    * histogram (the SentencePiece in-memory-sample recipe). Same fit
-    * parameters as q140, so the two registry entries cross-check on the
-    * shared corpus; sampled ≡ distributed is spec-pinned (UnigramSpec).
-    * Rows-only like every iterative fit (EM argmax has no closed SQL
-    * form; the q140 precedent). */
-  private val q205 = QueryDef(
-    "q205_unigram_pieces_sampled",
-    (s, d) => graft.operators.UnigramOps.unigramFitSampled(
-      Tables.documents(s, d), col("text"),
-      vocabSize = 300, seedSize = 600, emIters = 2),
-    None)
-
-  /** Per-language WordPiece fertility + vocabulary-coverage audit
-    * ([[graft.operators.WordPieceOps.wordPieceFertility]]) — the q128
-    * table for the WordPiece family plus the column BPE cannot have:
-    * the whole-word `[UNK]` rate per language. A language whose words
-    * keep collapsing to `[UNK]` is not covered by the fitted vocabulary
-    * AT ALL (a stronger re-fit trigger than high fertility). Full
-    * oracle: the shared q189 recursive greedy-match chain aggregated
-    * per language. */
-  private val q194 = QueryDef(
-    "q194_wordpiece_fertility",
-    (s, d) => graft.operators.WordPieceOps.wordPieceFertility(
-      Tables.documents(s, d), col("doc_id"), col("text"), col("lang"),
-      WordPieceMemo.vocab(s, d)),
-    Some(() => {
-      val unk = graft.operators.WordPieceOps.Unk
-      s"""WITH RECURSIVE ${docWordsCteSql},
-         |${wordPieceChainSql()},
-         |perword AS (SELECT doc_id, wi,
-         |    CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt,
-         |    CAST(len(list_filter(string_split(toks, ' '),
-         |      x -> x = '$unk')) AS BIGINT) AS nu
-         |  FROM wtoks),
-         |perdoc AS (SELECT doc_id,
-         |    coalesce(CAST(sum(nt) AS BIGINT), 0) AS nt,
-         |    coalesce(CAST(sum(nu) AS BIGINT), 0) AS nu
-         |  FROM perword GROUP BY doc_id)
-         |SELECT d.lang AS grp,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(d.ws)) AS BIGINT) AS n_words,
-         |  CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS n_tokens,
-         |  CAST(sum(coalesce(p.nu, 0)) AS BIGINT) AS n_unk_words,
-         |  CASE WHEN sum(len(d.ws)) > 0 THEN
-         |    round(CAST(sum(coalesce(p.nt, 0)) AS DOUBLE)
-         |      / sum(len(d.ws)), 6) END AS fertility,
-         |  CASE WHEN sum(len(d.ws)) > 0 THEN
-         |    round(CAST(sum(coalesce(p.nu, 0)) AS DOUBLE)
-         |      / sum(len(d.ws)), 6) END AS unk_word_frac
-         |FROM dws d LEFT JOIN perdoc p USING (doc_id)
-         |GROUP BY d.lang""".stripMargin
-    }))
-
-  /** Gopher quality rules ([[TextOps.gopherQuality]], Rae et al. 2021
-    * Table A1's non-repetition half): structural quality signals + keep
-    * verdict at the published thresholds, all hash-pinned. The corpus
-    * exercises word count, mean word length, alpha fraction, and
-    * stop-word presence (its synthetic vocabulary holds ≤ 1 of the
-    * canonical eight, so every corpus doc honestly fails keep — the
-    * keep=true path and the newline/symbol legs are spec-pinned on
-    * fixtures in RepetitionSpec). */
-  /** The q129 signal pipeline as DuckDB CTEs `base`/`sig`/`gq` (`gq` adds
-    * the keep verdict) — shared verbatim by q129, q186, and q187 so the
-    * rule replay and the learned filter's feature replay cannot drift. */
-  private def gopherSigCte: String = gopherSigCteOver("documents")
-
-  private def gopherSigCteOver(table: String, p: String = ""): String = {
-    val stopSum = TextOps.GopherStopWords
-      .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""${p}base AS (SELECT doc_id, text,
-       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-       |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lns
-       |  FROM $table),
-       |${p}sig AS (SELECT doc_id,
-       |  CAST(len(ws) AS BIGINT) AS n_words,
-       |  CAST(len(lns) AS BIGINT) AS n_lines,
-       |  CASE WHEN len(ws) > 0 THEN round(
-       |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-       |      / len(ws), 6) ELSE 0.0 END AS mean_word_len,
-       |  CASE WHEN len(ws) > 0 THEN round(
-       |      CAST((length(text) - length(replace(text, '#', '')))
-       |        + (len(string_split(text, '...')) - 1) AS DOUBLE)
-       |      / len(ws), 6) ELSE 0.0 END AS symbol_word_ratio,
-       |  CASE WHEN len(lns) > 0 THEN round(
-       |      CAST(len(list_filter(lns, l -> substr(l, 1, 1) = '•'
-       |        OR substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*'))
-       |        AS DOUBLE) / len(lns), 6) ELSE 0.0 END AS bullet_line_frac,
-       |  CASE WHEN len(lns) > 0 THEN round(
-       |      CAST(len(list_filter(lns, l -> right(l, 3) = '...'
-       |        OR right(l, 1) = '…')) AS DOUBLE) / len(lns), 6)
-       |    ELSE 0.0 END AS ellipsis_line_frac,
-       |  CASE WHEN len(ws) > 0 THEN round(
-       |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-       |        AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS alpha_word_frac,
-       |  CAST($stopSum AS BIGINT) AS n_stop_words
-       |  FROM ${p}base),
-       |${p}gq AS (SELECT *,
-       |  (n_words >= 50 AND n_words <= 100000
-       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-       |    AND symbol_word_ratio <= 0.1
-       |    AND bullet_line_frac <= 0.9
-       |    AND ellipsis_line_frac <= 0.3
-       |    AND alpha_word_frac >= 0.8
-       |    AND n_stop_words >= 2) AS keep
-       |  FROM ${p}sig)""".stripMargin
-  }
-
-  private val q129 = QueryDef(
-    "q129_gopher_quality",
-    (s, d) => TextOps.gopherQuality(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH $gopherSigCte
-       |SELECT * FROM gq""".stripMargin)
-
-  /** The learned-quality-filter feature frame (q186/q187's shared input):
-    * [[ClassifyOps.logisticQualityFeatures]] over the q129 signal frame,
-    * with the q60 funnel's FINAL survivor verdict riding the same single
-    * projection as the training label (gopherQuality's `extra`
-    * pass-through — one row-local pass, no doc_id join-back). Target ≠
-    * feature thresholds by construction: the funnel's dup-ratio, digit
-    * ratio, language-profile stopwords, and PII regexes are not among
-    * the seven features, so the fit distills rather than replays. */
-  private def logisticFeats(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame =
-    logisticFeatsOf(Tables.documents(s, d))
-
-  private def logisticFeatsOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    graft.operators.ClassifyOps.logisticQualityFeatures(TextOps.gopherQuality(
-      docs, col("doc_id"), col("text"),
-      graft.operators.ClassifyOps.distillFeatures(col("text")) :+
-        TextOps.funnelPredicates(col("text")).last._2.as("label")))
-
-  /** DuckDB CTE `lbl`: the q60 funnel verdict per doc — the SAME p1–p4
-    * fragments as q60's oracle (unfiltered whitespace split, the shared
-    * [[qualityCompositeSql]]), rebuilt over raw `documents`. */
-  private def funnelLabelCte: String = funnelLabelCteOver("documents")
-
-  private def funnelLabelCteOver(table: String, p: String = ""): String = {
-    val allStopSql = TextOps.LangProfiles.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    val piiFree = Seq(TextOps.EmailRe, TextOps.PhoneRe, TextOps.UrlRe)
-      .map(re => s"len(regexp_extract_all(text, '$re')) = 0")
-      .mkString("(", " AND ", ")")
-    s"""${p}lbl AS (SELECT doc_id,
-       |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
-       |      / CAST(len(ws) AS DOUBLE), 6) AS f_dup,
-       |    CASE WHEN length(text) > 0 THEN
-       |      round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-       |        AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)
-       |      ELSE 0.0 END AS f_digit,
-       |    round(CAST(len(list_filter(ws, w -> list_contains($allStopSql, w)))
-       |      AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS f_stopx,
-       |    (len(ws) >= ${TextOps.DefaultMinWords}
-       |     AND 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
-       |       / CAST(len(ws) AS DOUBLE) <= ${TextOps.DefaultMaxDupRatio}
-       |     AND $qualityCompositeSql >= ${TextOps.DefaultMinQuality}
-       |     AND $piiFree) AS label
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-       |    FROM $table))""".stripMargin
-  }
-
-  /** One IRLS fit per sf dir, memoized as the k+1 round-6 weight doubles
-    * — the frozen-model convention (CentroidMemo/ZcaMemo): the q186 query
-    * body, the q187 calibration body, and both dump-time oracle thunks
-    * must read IDENTICAL frozen bytes, making run-to-run fit noise
-    * structurally irrelevant (the fit is also decimal-exact and therefore
-    * reproducible — LogisticSpec pins that — but the memo removes even
-    * the re-fit COST from the oracle path). */
-  private object LogisticMemo {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
-    def weights(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[Double] =
-      cache.getOrElseUpdate(d, graft.operators.ClassifyOps.logisticFit(
-        logisticFeats(s, d), graft.operators.ClassifyOps.QualityFeatCols, col("label")))
-  }
-
-  /** DuckDB CTE `feat` mirroring [[ClassifyOps.logisticQualityFeatures]]
-    * over the shared `gq` signal CTE, plus the frozen-weight linear
-    * predictor as a LEFT-ASSOCIATED `+` chain (SQL's default) — the same
-    * association order the Spark side folds in, so both engines compute a
-    * bit-identical double before the sigmoid. */
-  private def logisticFeatSql: String = logisticFeatSqlOver("documents")
-
-  /** The q186 feature chain over `table`, with every CTE name prefixed
-    * by `p` — so q191 can emit the chain twice (baseline + perturbed
-    * arrivals) in one statement. */
-  private def logisticFeatSqlOver(table: String, p: String = ""): String =
-    s"""${funnelLabelCteOver(table, p)},
-      |${p}feat AS (SELECT ${p}gq.doc_id, ${p}lbl.label,
-      |    round(ln(1 + n_words), 6) AS f_logw,
-      |    mean_word_len AS f_mwl,
-      |    symbol_word_ratio AS f_sym,
-      |    bullet_line_frac AS f_bullet,
-      |    ellipsis_line_frac AS f_ellipsis,
-      |    alpha_word_frac AS f_alpha,
-      |    round(CAST(n_stop_words AS DOUBLE) / 8.0, 6) AS f_stop,
-      |    ${p}lbl.f_dup, ${p}lbl.f_digit, ${p}lbl.f_stopx
-      |  FROM ${p}gq JOIN ${p}lbl ON ${p}gq.doc_id = ${p}lbl.doc_id),
-      |${p}featx AS (SELECT *,
-      |    round(f_logw * f_logw, 6) AS f_logw2,
-      |    round(f_dup * f_dup, 6) AS f_dup2,
-      |    round(f_logw * f_dup, 6) AS f_logwdup
-      |  FROM ${p}feat)""".stripMargin
-
-  private def logisticPredSql(weights: Seq[Double]): String = {
-    def dd(x: Double) = java.lang.Double.toString(x)
-    (dd(weights.head) +: graft.operators.ClassifyOps.QualityFeatCols.zip(weights.tail)
-      .map { case (c, w) => s"${dd(w)} * $c" }).mkString(" + ")
-  }
-
-  /** Learned quality filter, apply face (DCLM/fastText-classifier tier:
-    * distill the q129 rule funnel into a calibrated keep-probability;
-    * Li et al. 2024 §4.4, Brown et al. 2020 §A). The IRLS fit is Spark-
-    * only (iterative — not SQL-expressible, the q48/q134 frozen-model
-    * contract) but decimal-exact and memoized; the oracle embeds the
-    * frozen round-6 weights as literals and independently replays
-    * features → linear predictor → sigmoid → round-6 probability →
-    * threshold verdict, so the whole APPLY surface is hash-gated. */
-  private val q186 = QueryDef(
-    "q186_logistic_quality",
-    (s, d) => graft.operators.ClassifyOps.logisticScore(
-        logisticFeats(s, d), graft.operators.ClassifyOps.QualityFeatCols,
-        LogisticMemo.weights(s, d))
-      .select(col("doc_id"), col("label"), col("p_keep"), col("pred_keep")),
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val z = logisticPredSql(LogisticMemo.weights(
-        org.apache.spark.sql.SparkSession.active, sfDir))
-      s"""WITH $gopherSigCte,
-         |$logisticFeatSql,
-         |scored AS (SELECT doc_id, label,
-         |    ${graft.functions.Exact.round6zSql(s"1.0 / (1.0 + exp(-($z)))")} AS p_keep
-         |  FROM featx)
-         |SELECT doc_id, label, p_keep, p_keep >= 0.5 AS pred_keep
-         |FROM scored""".stripMargin
-    }))
-
-  /** Calibration (reliability) table of the q186 filter — per predicted-
-    * probability decile: count, observed keep count/fraction, mean
-    * predicted probability ([[ClassifyOps.calibrationTable]]). The
-    * acceptance check before a learned keep-threshold is trusted:
-    * `pos_frac` tracking `mean_p` per bucket is what "calibrated" means.
-    * Same frozen-weight replay as q186, then one ≤10-row aggregation;
-    * mean_p is an exact decimal sum over round-6 probabilities, so the
-    * oracle is bit-identical. */
-  private val q187 = QueryDef(
-    "q187_logistic_calibration",
-    (s, d) => graft.operators.ClassifyOps.calibrationTable(
-      graft.operators.ClassifyOps.logisticScore(
-        logisticFeats(s, d), graft.operators.ClassifyOps.QualityFeatCols,
-        LogisticMemo.weights(s, d)),
-      col("p_keep"), col("label")),
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val z = logisticPredSql(LogisticMemo.weights(
-        org.apache.spark.sql.SparkSession.active, sfDir))
-      s"""WITH $gopherSigCte,
-         |$logisticFeatSql,
-         |scored AS (SELECT doc_id, label,
-         |    ${graft.functions.Exact.round6zSql(s"1.0 / (1.0 + exp(-($z)))")} AS p_keep
-         |  FROM featx)
-         |SELECT least(CAST(floor(p_keep * 10) AS BIGINT), 9) AS bucket,
-         |  count(*) AS n,
-         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |  ${graft.functions.Exact.round6zSql(
-               "CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)" +
-               " / count(*)")} AS pos_frac,
-         |  ${graft.functions.Exact.round6zSql(
-               "CAST(CAST(sum(CAST(p_keep AS DECIMAL(28,10))) AS VARCHAR)" +
-               " AS DOUBLE) / count(*)")} AS mean_p
-         |FROM scored
-         |GROUP BY 1""".stripMargin
-    }))
-
-  /** WordPiece tokenizer fit ([[graft.operators.WordPieceOps.wpLearn]])
-    * — the third subword family (BERT's; Schuster & Nakajima 2012),
-    * completing the BPE (q107) / Unigram-LM (q140) triad: the SAME
-    * vocab-scale iteration shape as BPE but the argmax is the pointwise-
-    * mutual-information score `count(lr)/(count(l)·count(r))`, so
-    * already-frequent symbols must co-occur beyond chance to win a
-    * merge. Iterative distributed argmax → rows-only (the q107
-    * precedent); the score-vs-count divergence from BPE and the
-    * continuation-marker algebra are pinned in WordPieceSpec. */
-  private val q188 = QueryDef(
-    "q188_wordpiece_merges",
-    (s, d) => graft.operators.WordPieceOps.wpLearn(
-      graft.operators.BpeOps.wordFreqs(Tables.documents(s, d), col("text")),
-      16),
-    None)
-
-  /** One WordPiece fit per sf dir, memoized as the frozen piece list
-    * (CentroidMemo discipline): the q189 apply body and its dump-time
-    * oracle must read IDENTICAL vocabulary bytes. */
-  private object WordPieceMemo {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
-    def vocab(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[String] =
-      cache.getOrElseUpdate(d, {
-        import s.implicits._
-        val freqs = graft.operators.BpeOps.wordFreqs(
-          Tables.documents(s, d), col("text"))
-        val merges = graft.operators.WordPieceOps.wpLearn(freqs, 16)
-        graft.operators.WordPieceOps.wpVocab(freqs, merges)
-          .orderBy("piece").as[String].collect().toSeq
-      })
-  }
-
-  /** WordPiece apply face, FULLY oracle-checked — unlike the fits, the
-    * greedy longest-match-first walk over a FROZEN vocabulary is
-    * SQL-expressible: the memoized piece list embeds as a VALUES table
-    * and DuckDB replays the cursor as a recursive CTE whose step takes
-    * the longest piece matching at the position (continuation form
-    * after the first), collapsing to `[UNK]` on any miss — the
-    * published WordPieceTokenizer contract, q48's frozen-model pattern
-    * applied to a TOKENIZER for the first time (q107/q140/q141 are all
-    * rows-only). Output per doc: token count, whole-word-UNK count (the
-    * vocabulary-coverage rollout gate), and the polyHash fingerprint of
-    * the space-joined token stream — NULL when the doc has no tokens
-    * (hash-of-empty diverges between engines; a fingerprint of nothing
-    * means nothing). */
-  /** The shared per-word explode (`dws`/`words`) every tokenizer replay
-    * rides: one row per doc with its non-empty whitespace words, one
-    * row per (doc, word-index, word). Factored so q141/q189/q194/q198
-    * spell IDENTICAL word semantics. */
-  private def docWordsCteSql: String = docWordsCteOver()
-
-  /** [[docWordsCteSql]] over an arbitrary doc-shaped table expression,
-    * every CTE name prefixed by `p` — so q201 can emit the explode
-    * twice (baseline + perturbed arrivals) in one statement, the
-    * funnelLabelCteOver convention. */
-  private def docWordsCteOver(table: String = "documents",
-      p: String = ""): String =
-    s"""${p}dws AS (SELECT doc_id, lang,
-       |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-       |  FROM $table),
-       |${p}words AS (SELECT doc_id, i AS wi, ws[i] AS w
-       |  FROM ${p}dws, UNNEST(generate_series(1, len(ws))) AS t(i))"""
-      .stripMargin
-
-  /** The q189 greedy-match replay as shared CTE text (`dp`/`fin`/
-    * `wtoks`) over the memoized frozen vocabulary — emitted by q189
-    * (per-doc tokenize), q194 (per-language fertility/coverage) and
-    * q198 (round-trip audit) so the replays cannot drift. Caller
-    * prepends WITH RECURSIVE and [[docWordsCteSql]]. */
-  private def wordPieceChainSql(): String =
-    s"""${wordPiecePiecesSql()},
-       |${wordPieceWalkSql()}""".stripMargin
-
-  /** The frozen-vocabulary probe-form CTEs (`pieces`/`pl`) — emitted
-    * ONCE per statement even when the walk runs twice (q201's
-    * baseline-vs-arrivals drift). */
-  private def wordPiecePiecesSql(): String = {
-    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-      "/root/testdata/sf0.001")
-    val vocab = WordPieceMemo.vocab(
-      org.apache.spark.sql.SparkSession.active, sfDir)
-    val vals = vocab
-      .map(p => s"('${p.replace("'", "''")}')").mkString(",")
-    val unk = graft.operators.WordPieceOps.Unk
-    val maxW = graft.operators.WordPieceOps.MaxWordChars
-    // Mirror of [[graft.functions.WordPieceEncode]]'s probe cap: the
-    // longest-match scan starts at min(remaining, maxPieceLen) where
-    // every piece contributes its RAW length ('##'-stripped), floor 1.
-    val contM = graft.operators.WordPieceOps.Continuation
-    val maxPiece = vocab.foldLeft(1) { (m, p) =>
-      math.max(m,
-        if (p.startsWith(contM)) p.length - contM.length else p.length)
-    }
-    // pl = the matcher's probe forms, NOT a per-piece classification
-    // (r16 fix): the Spark matcher probes the FLAT vocabulary set — at
-    // pos 1 the candidate is the raw substring itself (so a literal
-    // '##…' piece, e.g. the '##' mintable from words starting '##', CAN
-    // match at word start), at pos > 1 the candidate is '##'||raw with
-    // raw length >= 1 (bare '##' is never probed there). The r15 pl
-    // classified each piece once by its string prefix; a vocab piece
-    // exactly '##' got raw = '' which zero-width-matched at every
-    // pos > 1 and advanced by 0 — the recursive CTE never terminated.
-    // Both probe forms now carry raw length >= 1 by construction.
-    s"""pieces(p) AS (SELECT * FROM (VALUES $vals) t(p)),
-       |pl AS (
-       |  SELECT p, p AS raw, false AS cont FROM pieces
-       |    WHERE length(p) <= $maxPiece
-       |  UNION ALL
-       |  SELECT p, substr(p, 3) AS raw, true AS cont FROM pieces
-       |    WHERE p LIKE '##%' AND length(p) >= 3)""".stripMargin
-  }
-
-  /** The greedy longest-match walk CTEs over `${p}words`, every name
-    * prefixed by `p` (reads the shared `pl` probe forms). */
-  private def wordPieceWalkSql(p: String = ""): String = {
-    val unk = graft.operators.WordPieceOps.Unk
-    val maxW = graft.operators.WordPieceOps.MaxWordChars
-    s"""${p}dp AS (
-       |  SELECT doc_id, wi, w, CAST(1 AS BIGINT) AS pos,
-       |    CAST('' AS VARCHAR) AS toks, false AS failed
-       |  FROM ${p}words WHERE length(w) <= $maxW
-       |  UNION ALL
-       |  SELECT doc_id, wi, w,
-       |    CASE WHEN bp IS NULL THEN CAST(length(w) + 1 AS BIGINT)
-       |      ELSE pos + (CASE WHEN pos > 1 THEN length(bp) - 2
-       |        ELSE length(bp) END) END,
-       |    CASE WHEN bp IS NULL THEN '$unk'
-       |      WHEN toks = '' THEN bp ELSE toks || ' ' || bp END,
-       |    bp IS NULL
-       |  FROM (SELECT s.doc_id, s.wi, s.w, s.pos, s.toks,
-       |      (SELECT p FROM pl WHERE pl.cont = (s.pos > 1)
-       |         AND pl.raw = substr(s.w, CAST(s.pos AS INTEGER),
-       |           length(pl.raw))
-       |       ORDER BY length(pl.raw) DESC, p LIMIT 1) AS bp
-       |    FROM ${p}dp s WHERE s.pos <= length(s.w) AND NOT s.failed) t),
-       |${p}fin AS (SELECT doc_id, wi, toks FROM ${p}dp
-       |  WHERE failed OR pos > length(w)
-       |  UNION ALL
-       |  SELECT doc_id, wi, '$unk' AS toks
-       |  FROM ${p}words WHERE length(w) > $maxW),
-       |${p}wtoks AS (SELECT doc_id, wi, toks FROM ${p}fin)""".stripMargin
-  }
-
-  private val q189 = QueryDef(
-    "q189_wordpiece_tokenize",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      graft.operators.WordPieceOps.wordPieceTokenizePieces(
-          Tables.documents(s, d), col("doc_id"), col("text"),
-          WordPieceMemo.vocab(s, d))
-        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
-          when(col("n_tokens") > 0, graft.functions.HashExpressions
-            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
-    },
-    Some(() => {
-      s"""WITH RECURSIVE ${docWordsCteSql},
-         |${wordPieceChainSql()},
-         |perdoc AS (SELECT doc_id,
-         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
-         |  FROM wtoks GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
-         |    ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT)
-         |    AS n_tokens,
-         |  CAST(coalesce(len(list_filter(string_split(p.alltoks, ' '),
-         |    x -> x = '${graft.operators.WordPieceOps.Unk}')), 0) AS BIGINT)
-         |    AS n_unk,
-         |  CASE WHEN p.alltoks IS NOT NULL AND p.alltoks <> ''
-         |    THEN ${polyHashSql("p.alltoks")} END AS tokens_fp
-         |FROM dws d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
-    }))
-
-
-  /** Logistic-filter drift — the frozen-model aging face the q186
-    * classifier owes under the standing rule (every frozen model gets a
-    * refit trigger: NB→q183, KN→q182, blocklist→q184, gram→q168,
-    * winnow/robust→q169): [[graft.operators.ClassifyOps.confusionDrift]]
-    * over the FROZEN weights' keep-verdict confusions — the acceptance
-    * baseline (the unperturbed corpus) versus a synthetic arrivals
-    * batch whose every doc_id ≡ 0 (mod 3) text gains a digit-run suffix
-    * (a deterministic, SQL-replayable distribution-shift stand-in: it
-    * moves f_digit and the dup ratio, so features AND the funnel label
-    * move — exactly the covariate shift a frozen linear model ages
-    * under). Per keep-class: frozen accuracy on both sides, the drop,
-    * and needs_refit. Fully oracle-checked — scoring is row-local, so
-    * the whole chain (perturbation, features, sigmoid, confusion,
-    * drift) replays in SQL; the drift magnitude is whatever it honestly
-    * is (the q183 convention: the MACHINERY is the contract, not a
-    * staged alarm). */
-  private val q191 = QueryDef(
-    "q191_logistic_drift",
-    (s, d) => {
-      val w = LogisticMemo.weights(s, d)
-      val docs = Tables.documents(s, d)
-      val arrivals = docs.withColumn("text",
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" 0 1 2 3 4 5 0 1 2 3 4 5")))
-          .otherwise(col("text")))
-      def conf(df: org.apache.spark.sql.DataFrame) =
-        graft.operators.ClassifyOps.logisticScore(
-            logisticFeatsOf(df),
-            graft.operators.ClassifyOps.QualityFeatCols, w)
-          .groupBy(col("label"), col("pred_keep").as("pred_label"))
-          .agg(count(lit(1)).as("n"))
-      graft.operators.ClassifyOps.confusionDrift(conf(docs), conf(arrivals))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val z = logisticPredSql(LogisticMemo.weights(
-        org.apache.spark.sql.SparkSession.active, sfDir))
-      def side(p: String, table: String): String =
-        s"""${gopherSigCteOver(table, p)},
-           |${logisticFeatSqlOver(table, p)},
-           |${p}cells AS (SELECT label,
-           |    (${graft.functions.Exact
-                  .round6zSql(s"1.0 / (1.0 + exp(-($z)))")}) >= 0.5
-           |      AS pred_label,
-           |    CAST(count(*) AS BIGINT) AS n
-           |  FROM ${p}featx GROUP BY 1, 2),
-           |${p}acc AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_${p},
-           |    round(coalesce(sum(CASE WHEN label = pred_label THEN n END),
-           |      0) / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS acc_${p}
-           |  FROM ${p}cells GROUP BY 1)""".stripMargin
-      s"""WITH adocs AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0
-         |      THEN text || ' 0 1 2 3 4 5 0 1 2 3 4 5'
-         |      ELSE text END AS text
-         |  FROM documents),
-         |${side("b", "documents")},
-         |${side("a", "adocs")}
-         |SELECT coalesce(bacc.label, aacc.label) AS label,
-         |  n_b AS n_base, n_a AS n_new,
-         |  acc_b AS acc_frozen, acc_a AS acc_new,
-         |  round(acc_b - acc_a, 6) + 0.0 AS drift,
-         |  (bacc.label IS NULL OR aacc.label IS NULL
-         |    OR acc_b - acc_a > 0.1) AS needs_refit
-         |FROM bacc FULL OUTER JOIN aacc ON bacc.label = aacc.label"""
-        .stripMargin
-    }))
-
-  /** IBAN scan ([[TextOps.ibanScan]], ISO 13616 + ISO/IEC 7064 MOD
-    * 97-10) — the bank-account sibling of the q139 Luhn scan, same
-    * fixture convention: the corpus holds no real IBANs, so the
-    * checksum arithmetic is hash-gated on synthetic hash-derived
-    * numbers carried alongside the scan columns — a generated IBAN with
-    * COMPUTED check digits (generator∘validator ≡ true pinned in BOTH
-    * engines) and one with hash-drawn check digits (valid ~1/97, the
-    * split is the gate). Candidate regex is RE2-verbatim in DuckDB. */
-  private val q192 = QueryDef(
-    "q192_iban_scan",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      import graft.functions.HashExpressions.polyHash
-      val docs = Tables.documents(s, d)
-      val h1 = polyHash(col("text"))
-      val h2 = polyHash(concat(col("text"), lit("iban")))
-      val bban = concat(
-        lpad((h1 % 1000000000L).cast("string"), 9, "0"),
-        lpad((h2 % 1000000000L).cast("string"), 9, "0"))
-      val check = TextOps.ibanCheckDigits(lit("DE"), bban)
-      val genIban = concat(lit("DE"), check, bban)
-      val randIban = concat(lit("DE"),
-        lpad((h1 % 100).cast("string"), 2, "0"), bban)
-      // synthetic fixtures ride the scan's own projection (no doc_id
-      // self-join — one pass over documents, zero joins in the plan)
-      TextOps.ibanScan(docs, col("doc_id"), col("text"), Seq(
-        genIban.as("gen_iban"),
-        TextOps.ibanValid(genIban).as("gen_valid"),
-        randIban.as("rand_iban"),
-        TextOps.ibanValid(randIban).as("rand_valid")))
-    },
-    s"""WITH b AS (SELECT doc_id, text,
-       |    lpad(CAST(${polyHashSql("text")} % 1000000000 AS VARCHAR), 9, '0')
-       |    || lpad(CAST(${polyHashSql("text || 'iban'")} % 1000000000
-       |         AS VARCHAR), 9, '0') AS bban,
-       |    lpad(CAST(${polyHashSql("text")} % 100 AS VARCHAR), 2, '0')
-       |      AS rchk
-       |  FROM documents),
-       |g AS (SELECT doc_id, text, bban,
-       |    'DE' || lpad(CAST(98 - ${mod97Sql("(bban || 'DE00')")}
-       |      AS VARCHAR), 2, '0') || bban AS gen_iban,
-       |    'DE' || rchk || bban AS rand_iban
-       |  FROM b),
-       |c AS (SELECT doc_id,
-       |    list_transform(
-       |      regexp_extract_all(text, '${TextOps.IbanCandidateRe}'),
-       |      x -> replace(x, ' ', '')) AS cands
-       |  FROM b)
-       |SELECT g.doc_id,
-       |  CAST(len(c.cands) AS BIGINT) AS n_iban_candidates,
-       |  CAST(len(list_filter(c.cands, d -> ${ibanValidSql("d")}))
-       |    AS BIGINT) AS n_iban_valid,
-       |  g.gen_iban, ${ibanValidSql("g.gen_iban")} AS gen_valid,
-       |  g.rand_iban, ${ibanValidSql("g.rand_iban")} AS rand_valid
-       |FROM g JOIN c USING (doc_id)""".stripMargin)
-
-  /** One TRAIN-ONLY IRLS fit per sf dir (content-hash buckets < 80, the
-    * q118 split), memoized like [[LogisticMemo]] — q193's generalization
-    * face must score documents the fit never saw. */
-  private object TrainLogisticMemo {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
-    def weights(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[Double] =
-      cache.getOrElseUpdate(d, {
-        graft.functions.HashExpressions.register(s)
-        val train = Tables.documents(s, d).where(pmod(
-          graft.functions.HashExpressions.polyHash(col("text")),
-          lit(100)) < 80)
-        graft.operators.ClassifyOps.logisticFit(logisticFeatsOf(train),
-          graft.operators.ClassifyOps.QualityFeatCols, col("label"))
-      })
-  }
-
-  /** Held-out evaluation of the learned quality filter — the q118
-    * convention applied to q186: the model fits on the content-hash
-    * 80% train split ONLY and scores the held-out 20%, so fit and eval
-    * never share a document and the cells measure GENERALIZATION
-    * (self-scoring, q186's face, can never exercise that). Output: the
-    * held-out (label, pred_keep) confusion cells with per-cell counts
-    * — composable with [[ClassifyOps.confusionDrift]] like any
-    * confusion frame. Fully oracle-checked: split (polyHash mod 100),
-    * features, frozen train-only weights, sigmoid, and cells all
-    * replay in SQL. */
-  private val q193 = QueryDef(
-    "q193_logistic_holdout",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val w = TrainLogisticMemo.weights(s, d)
-      val held = Tables.documents(s, d).where(pmod(
-        graft.functions.HashExpressions.polyHash(col("text")),
-        lit(100)) >= 80)
-      graft.operators.ClassifyOps.logisticScore(
-          logisticFeatsOf(held),
-          graft.operators.ClassifyOps.QualityFeatCols, w)
-        .groupBy(col("label"), col("pred_keep"))
-        .agg(count(lit(1)).as("n"))
-    },
-    Some(() => {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-        "/root/testdata/sf0.001")
-      val z = logisticPredSql(TrainLogisticMemo.weights(
-        org.apache.spark.sql.SparkSession.active, sfDir))
-      val ph = graft.functions.TextHash.polyHashSql("text")
-      s"""WITH held AS (SELECT doc_id, text FROM documents
-         |  WHERE $ph % 100 >= 80),
-         |${gopherSigCteOver("held")},
-         |${logisticFeatSqlOver("held")},
-         |scored AS (SELECT label,
-         |    (${graft.functions.Exact
-                .round6zSql(s"1.0 / (1.0 + exp(-($z)))")}) >= 0.5
-         |      AS pred_keep
-         |  FROM featx)
-         |SELECT label, pred_keep, CAST(count(*) AS BIGINT) AS n
-         |FROM scored GROUP BY 1, 2""".stripMargin
-    }))
-
-  /** ICT positive-pair construction ([[TextOps.ictPairs]], Lee et al.
-    * 2019): hash-drawn query chunk + context-with-chunk-removed (kept in
-    * 1/10 of docs, the paper's rule), both sides' fingerprints
-    * hash-pinned — the oracle replays the draws, the chunk slice, the
-    * keep decision, and both rebuilt strings' hashes. Together with
-    * q127's hard negatives this is the full dense-retriever training
-    * pair set. */
-  private val q130 = QueryDef(
-    "q130_ict_pairs",
-    (s, d) => TextOps.ictPairs(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH base AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws,
-       |    ((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P AS mix
-       |  FROM documents),
-       |sp AS (SELECT doc_id, ws, len(ws) AS n,
-       |    greatest(1, len(ws) // 10) AS qlen,
-       |    (mix * 2654435761) % $P AS d0,
-       |    ((mix + 1) * 2654435761) % $P AS d1
-       |  FROM base WHERE len(ws) >= 2),
-       |pos AS (SELECT doc_id, ws, n, qlen,
-       |    1 + d0 % (n - qlen + 1) AS qs,
-       |    (d1 % 10 = 0) AS kept
-       |  FROM sp),
-       |strs AS (SELECT doc_id, n, qs, qlen, kept,
-       |    array_to_string(ws[qs:qs+qlen-1], ' ') AS q,
-       |    CASE WHEN kept THEN array_to_string(ws, ' ')
-       |      ELSE array_to_string(
-       |        list_concat(ws[1:qs-1], ws[qs+qlen:n]), ' ') END AS ctx
-       |  FROM pos)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |  CAST(qs AS BIGINT) AS q_start, CAST(qlen AS BIGINT) AS q_len,
-       |  kept AS kept_in_context,
-       |  CASE WHEN q = '' THEN 0 ELSE ${polyHashSql("q")} END AS query_fp,
-       |  CASE WHEN ctx = '' THEN 0 ELSE ${polyHashSql("ctx")} END
-       |    AS context_fp
-       |FROM strs""".stripMargin)
-
-  /** JL sign projection ([[SimilarityOps.jlProject]], Achlioptas 2003):
-    * 64 → 16 dims through the deterministic ±1 matrix — every projected
-    * coordinate hash-pinned (the oracle embeds the SAME sign constants
-    * the Spark side derives, generated by one function; per-element ±1
-    * products are float-exact and the fold order matches `float_vector_
-    * dot`). The recall value of screening in the projected space is
-    * gated in PipelineOpsSpec. */
-  private val q131 = QueryDef(
-    "q131_jl_projection",
-    (s, d) => SimilarityOps.jlProject(
-      Tables.embeddings(s, d), col("vec_id"), col("embedding"), DIM, 16),
-    {
-      val cols = SimilarityOps.jlSigns(DIM, 16).zipWithIndex.map {
-        case (sv, j) =>
-          val lst = sv.map(v => if (v > 0) "1.0" else "-1.0")
-            .mkString("[", ", ", "]")
-          s"""  round(list_reduce(list_prepend(0.0,
-             |    list_transform(generate_series(1, $DIM),
-             |      i -> CAST(embedding[i] AS DOUBLE) * ($lst[i]))),
-             |    (x, y) -> x + y), 6) AS p$j""".stripMargin
-      }
-      s"""SELECT vec_id,
-         |${cols.mkString(",\n")}
-         |FROM embeddings""".stripMargin
-    })
-
-  /** Text normalization ([[TextOps.normalizeText]]): the fixed
-    * strip-collapse-trim-lowercase chain, fingerprint hash-pinned. The
-    * corpus is already normal form, so every row pins the no-op path
-    * (changed = false, fp = polyHash(text)); the transforming paths are
-    * spec-pinned on fixtures in RepetitionSpec. */
-  private val q132 = QueryDef(
-    "q132_normalize_text",
-    (s, d) => TextOps.normalizeText(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH n AS (SELECT doc_id, text, lower(trim(regexp_replace(
-       |    regexp_replace(text, '${TextOps.ZeroWidthRe}', '', 'g'),
-       |    '${TextOps.ControlWsRe}', ' ', 'g'))) AS norm
-       |  FROM documents)
-       |SELECT doc_id,
-       |  CASE WHEN norm = '' THEN 0 ELSE ${polyHashSql("norm")} END
-       |    AS norm_fp,
-       |  CAST(length(norm) AS BIGINT) AS n_chars,
-       |  (norm <> text) AS changed
-       |FROM n""".stripMargin)
-
-  /** Embedding first/second moments, relational face ([[graft.operators
-    * .WhitenOps.momentsRelational]]): the decimal-exact (i, j, s) moment
-    * table the ZCA whitening fit consumes — count at (-1,-1), first
-    * moments at (i,-1), rounded-product second moments at (i,j), i ≤ j
-    * — all hash-pinned. The production face is one treeAggregate pass
-    * (WhitenSpec pins ≈-parity); this shape exists so the fit input is
-    * oracle-checkable.
-    *
-    * STANDING (r16, closing r15 verdict item 6): q133's bench number
-    * measures the DECIMAL oracle arithmetic BY CONTRACT — the exact
-    * (i,j) decimal moment table IS this entry's deliverable, not an
-    * implementation detail to optimize away. The production-shape twin
-    * is q166 (float treeAggregate, ~3-4× faster in every round's
-    * artifact); judges comparing the two are reading the decimal-vs-
-    * float price, not a regression. */
-  private val q133 = QueryDef(
-    "q133_embedding_moments",
-    (s, d) => graft.operators.WhitenOps.momentsRelational(
-      Tables.embeddings(s, d), col("embedding"), DIM),
-    s"""WITH e AS (SELECT embedding AS v FROM embeddings),
-       |pairs AS (
-       |  SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
-       |    CAST(1.0 AS DECIMAL(28,10)) AS p FROM e
-       |  UNION ALL
-       |  SELECT CAST(t.i - 1 AS INTEGER), CAST(-1 AS INTEGER),
-       |    CAST(round(CAST(v[t.i] AS DOUBLE), 6) AS DECIMAL(28,10))
-       |  FROM e, UNNEST(generate_series(1, $DIM)) AS t(i)
-       |  UNION ALL
-       |  SELECT CAST(t.i - 1 AS INTEGER), CAST(u.j - 1 AS INTEGER),
-       |    CAST(round(CAST(v[t.i] AS DOUBLE) * CAST(v[u.j] AS DOUBLE), 6)
-       |      AS DECIMAL(28,10))
-       |  FROM e, UNNEST(generate_series(1, $DIM)) AS t(i),
-       |    UNNEST(generate_series(1, $DIM)) AS u(j)
-       |  WHERE u.j >= t.i)
-       |SELECT i, j, CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS s
-       |FROM pairs GROUP BY 1, 2""".stripMargin)
-
-  /** ZCA-whitened embeddings ([[graft.operators.WhitenOps.whitenLong]])
-    * — rows-only (the dim×dim eigensolve runs on the driver over the
-    * BOUNDED moment table and is not SQL-expressible); the defining law
-    * (whitened covariance = I), production/oracle moment parity, the
-    * cosine un-squashing effect, and run/partitioning determinism are
-    * all pinned in WhitenSpec. Registered in LONG form — one
-    * `(vec_id, dim, value)` scalar row per coordinate — because the
-    * driver's canonicalizer cannot sort a top-level `array<double>`
-    * column (r12 lesson: the array face crashed the gate and the entry
-    * recorded an error instead of a rows-only pass). */
-  private val q134 = QueryDef(
-    "q134_whitened_embeddings",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      graft.operators.WhitenOps.whitenLong(
-        emb, col("vec_id"), col("embedding"), ZcaMemo.model(s, d))
-    },
-    Some(() => whitenApplyOracle()))
-
-  /** One ZCA fit per sf dir, memoized as the fitted model bytes — the
-    * [[CentroidMemo]] frozen-model discipline applied to q134 (r14
-    * advisory): `moments` accumulates doubles via treeAggregate, whose
-    * partition combine ORDER is not deterministic, so a dump-time refit
-    * could differ from the query-run fit in low-order bits and flip a
-    * value sitting on the 1e-6 rounding boundary. Memoizing makes the
-    * query body and the oracle thunk read the SAME frozen model, so
-    * run-to-run fit noise is structurally irrelevant to the hash gate. */
-  private object ZcaMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, graft.operators.WhitenOps.ZcaModel]
-    def model(s: org.apache.spark.sql.SparkSession, d: String)
-        : graft.operators.WhitenOps.ZcaModel =
-      cache.getOrElseUpdate(d, graft.operators.WhitenOps.fitZca(
-        graft.operators.WhitenOps.moments(
-          Tables.embeddings(s, d), col("embedding"), DIM), DIM))
-  }
-
-  /** The q134 APPLY oracle (r13 verdict item 5 — rows-only → hash-gated):
-    * the eigendecomposition is not SQL-replayable, but the fitted model
-    * is FROZEN BYTES ([[ZcaMemo]] — the thunk reads the same memoized
-    * fit the query body applied, never a refit) embedded as
-    * (i, j, w) / (j, mu) VALUES tables — the q133
-    * moment-table pattern one step further. DuckDB then replays
-    * `y_i = Σ_j w[i,j]·(x_j − μ_j)` as a join+ordered-fold against the
-    * same parquet input: `list_reduce(list(term ORDER BY j))` is a
-    * left fold, bit-identical to [[graft.functions.AffineProject]]'s
-    * ascending-j double accumulation, so the 1e-6 round cannot straddle
-    * an ulp. What this gates: the distributed apply — the codegen'd
-    * kernel, centering, row-major indexing, posexplode, rounding —
-    * against an independent engine's arithmetic. */
-  private def whitenApplyOracle(): String = {
-    // graft.Verify publishes the sf dir it ran on; outside Verify (the
-    // contract tests enumerate oracleSql) the smallest test dir stands
-    // in — the thunk still needs an active SparkSession for the fit
-    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-      "/root/testdata/sf0.001")
-    val s = org.apache.spark.sql.SparkSession.active
-    val model = ZcaMemo.model(s, sfDir)
-    def d(x: Double) = java.lang.Double.toString(x) // shortest round-trip
-    val wRows = (for (i <- 0 until DIM; j <- 0 until DIM)
-      yield s"($i,$j,${d(model.w(i * DIM + j))})").mkString(",")
-    val mRows = (0 until DIM).map(j => s"($j,${d(model.mean(j))})")
-      .mkString(",")
-    s"""WITH wm(i, j, w) AS (VALUES $wRows),
-       |mm(j, mu) AS (VALUES $mRows),
-       |x AS (SELECT vec_id, i - 1 AS j,
-       |    CAST(embedding[i] AS DOUBLE) AS xv
-       |  FROM embeddings, UNNEST(generate_series(1, $DIM)) AS t(i)),
-       |c AS (SELECT vec_id, x.j, xv - mu AS cent
-       |  FROM x JOIN mm ON mm.j = x.j),
-       |tm AS (SELECT vec_id, wm.i AS dim, wm.w * c.cent AS term, c.j
-       |  FROM c JOIN wm ON wm.j = c.j),
-       |sm AS (SELECT vec_id, dim,
-       |    list_reduce(list(term ORDER BY j), (a, b) -> a + b) AS v
-       |  FROM tm GROUP BY 1, 2)
-       |SELECT vec_id, dim, round(v, 6) + 0.0 AS value FROM sm"""
-      .stripMargin
-  }
-
-  /** Blocklist screen ([[TextOps.blocklistScreen]], Aho-Corasick): all
-    * substring hits of a frozen phrase list in one automaton walk per
-    * doc — hash-pinned against an oracle that enumerates every start
-    * position per pattern (the O(len × patterns) shape the automaton
-    * replaces). Patterns chosen to overlap ("slow" inside "slower"-less
-    * corpus text, a two-word phrase, a single char-gram) so the
-    * dictionary-suffix reporting path is exercised on real data. */
-  private val BlockPatterns = Seq("slow", "fast table", "agg", "w sc")
-
-  /** The q135 oracle as a pattern-parametrized builder (shared with
-    * q184's full-rebuild replay): every start position of every pattern
-    * enumerated — the O(len × patterns) shape the automaton replaces. */
-  private def blocklistScreenSql(patterns: Seq[String]): String = {
-    val cnts = patterns.zipWithIndex.map { case (p, k) =>
-      s"""    SUM(CASE WHEN substr(text, i, ${p.length}) = '$p'
-         |      THEN 1 ELSE 0 END) AS c$k""".stripMargin
-    }
-    val ks = patterns.indices
-    s"""WITH posn AS (SELECT doc_id, text, g.i
-       |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)),
-       |cnts AS (SELECT doc_id,
-       |${cnts.mkString(",\n")}
-       |  FROM posn GROUP BY 1)
-       |SELECT doc_id,
-       |  CAST(${ks.map(k => s"c$k").mkString(" + ")} AS BIGINT) AS n_hits,
-       |  CAST(${ks.map(k => s"(CASE WHEN c$k > 0 THEN 1 ELSE 0 END)")
-        .mkString(" + ")} AS BIGINT) AS n_patterns,
-       |  (${ks.map(k => s"c$k").mkString(" + ")}) > 0 AS flagged
-       |FROM cnts""".stripMargin
-  }
-
-  private val q135 = QueryDef(
-    "q135_blocklist_screen",
-    (s, d) => TextOps.blocklistScreen(
-      Tables.documents(s, d), col("doc_id"), col("text"), BlockPatterns),
-    blocklistScreenSql(BlockPatterns))
-
-  /** Blocklist refresh ([[TextOps.blocklistScreenUpdate]]) — the last
-    * frozen-model aging gap closed: the takedown pattern list GROWS,
-    * the frozen q135 screen is never re-run; only the DELTA patterns
-    * walk the corpus (their own small automaton) and the two screens
-    * merge by addition. Oracle: the full-rebuild screen over
-    * frozen ∪ delta patterns replayed in SQL — merge-equals-rebuild is
-    * the hash gate (the q168/q182 convention). Delta patterns chosen to
-    * HIT ("tab" inside every "table", "que" inside "query/queries") so
-    * the additive merge is exercised on overlapping-match text, and
-    * disjoint as strings from [[BlockPatterns]] (the fold's
-    * precondition — a CHANGED pattern is a rebuild, not a fold). */
-  private val DeltaBlockPatterns = Seq("tab", "que")
-  private val q184 = QueryDef(
-    "q184_blocklist_refresh",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      TextOps.blocklistScreenUpdate(
-        TextOps.blocklistScreen(
-          docs, col("doc_id"), col("text"), BlockPatterns),
-        docs, col("doc_id"), col("text"), DeltaBlockPatterns)
-    },
-    blocklistScreenSql(BlockPatterns ++ DeltaBlockPatterns))
-
-  /** Blocklist redaction ([[TextOps.blocklistRedact]]): matched spans
-    * replaced under greedy leftmost-longest resolution — the oracle
-    * replays the automaton's match set by position enumeration, the
-    * greedy sweep as a recursive per-doc cursor (arg-min encoded as
-    * `min(s·1e5 + (1e5−1−l))`, aggregation in the recursive term), and
-    * the rebuilt string's fingerprint. */
-  private val q136 = QueryDef(
-    "q136_blocklist_redact",
-    (s, d) => TextOps.blocklistRedact(
-      Tables.documents(s, d), col("doc_id"), col("text"), BlockPatterns),
-    {
-      val mm = BlockPatterns.map { p =>
-        val l = p.length
-        s"""  SELECT doc_id, g.i AS s, $l AS l
-           |  FROM documents, UNNEST(generate_series(1, length(text) - ${l - 1}))
-           |    AS g(i)
-           |  WHERE substr(text, g.i, $l) = '$p'""".stripMargin
-      }.mkString("\n  UNION ALL\n")
-      s"""WITH RECURSIVE m AS (
-         |$mm),
-         |sel(doc_id, s, l) AS (
-         |  SELECT doc_id,
-         |    CAST(min(s * 100000 + (99999 - l)) // 100000 AS BIGINT),
-         |    CAST(99999 - (min(s * 100000 + (99999 - l)) % 100000) AS BIGINT)
-         |  FROM m GROUP BY doc_id
-         |  UNION ALL
-         |  SELECT m.doc_id,
-         |    CAST(min(m.s * 100000 + (99999 - m.l)) // 100000 AS BIGINT),
-         |    CAST(99999 - (min(m.s * 100000 + (99999 - m.l)) % 100000)
-         |      AS BIGINT)
-         |  FROM m JOIN sel p ON p.doc_id = m.doc_id AND m.s >= p.s + p.l
-         |  GROUP BY m.doc_id),
-         |sp AS (SELECT sel.doc_id, sel.s, sel.l, d.text,
-         |    COALESCE(lag(sel.s + sel.l)
-         |      OVER (PARTITION BY sel.doc_id ORDER BY sel.s), 1) AS pe
-         |  FROM sel JOIN documents d USING (doc_id)),
-         |agg AS (SELECT doc_id,
-         |    string_agg(substr(text, CAST(pe AS INTEGER),
-         |      CAST(s - pe AS INTEGER)) || '<BLOCKED>', '' ORDER BY s)
-         |      AS headpart,
-         |    CAST(max(s + l) AS INTEGER) AS lastend,
-         |    CAST(count(*) AS BIGINT) AS n_redacted,
-         |    CAST(sum(l) AS BIGINT) AS n_chars_removed
-         |  FROM sp GROUP BY doc_id),
-         |red AS (SELECT d.doc_id,
-         |    COALESCE(a.n_redacted, 0) AS n_redacted,
-         |    COALESCE(a.n_chars_removed, 0) AS n_chars_removed,
-         |    COALESCE(a.headpart, '') || substr(d.text, COALESCE(a.lastend, 1))
-         |      AS r
-         |  FROM documents d LEFT JOIN agg a USING (doc_id))
-         |SELECT doc_id, n_redacted, n_chars_removed,
-         |  CASE WHEN r = '' THEN 0 ELSE ${polyHashSql("r")} END AS redacted_fp
-         |FROM red""".stripMargin
-    })
-
-  /** Shared DuckDB CTE chain for the interpolated Kneser–Ney bigram
-    * model ([[TextOps.knBigramModel]]): bigram-type counts, context
-    * totals, continuation counts, and the type total — defined once so
-    * q137 (the model) and q138 (the scorer) cannot drift. `cvw` is
-    * MATERIALIZED (the q117 lesson: DuckDB 1.0 re-inlines every
-    * reference, and three aggregations + the model join read it). */
-  private def knModelCtes(docsFrom: String, p: String = ""): String =
-    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS ws
-       |  FROM $docsFrom),
-       |${p}bg AS MATERIALIZED (SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
-       |  FROM ${p}t, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
-       |  WHERE len(ws) >= 2),
-       |${p}cvw AS MATERIALIZED (
-       |  SELECT v, w, count(*) AS c_vw FROM ${p}bg GROUP BY 1, 2),
-       |${p}ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
-       |    count(*) AS n1p_v FROM ${p}cvw GROUP BY 1),
-       |${p}cont AS (SELECT w, count(*) AS n1p_w FROM ${p}cvw GROUP BY 1),
-       |${p}tot AS (SELECT count(*) AS nb FROM ${p}cvw)""".stripMargin
-
-  /** The KN probability expression, shared between both oracles — the
-    * exact parenthesization of the Spark column tree so IEEE evaluation
-    * matches before the 1e-6 rounding absorbs libm ulps. */
-  private def knPSql: String =
-    s"""(CAST(c_vw AS DOUBLE) - ${TextOps.KnDiscount})
-       |      / CAST(c_v AS DOUBLE)
-       |    + ${TextOps.KnDiscount} * CAST(n1p_v AS DOUBLE)
-       |      / CAST(c_v AS DOUBLE)
-       |      * (CAST(n1p_w AS DOUBLE) / CAST(nb AS DOUBLE))""".stripMargin
-
-  /** Interpolated Kneser–Ney bigram model ([[TextOps.knBigramModel]],
-    * Kneser & Ney 1995 / Chen & Goodman 1999): the top-100 bigram types
-    * with their count statistics and smoothed probability. The full
-    * estimation chain — context totals, continuation counts (KN's
-    * distinct-context insight), the discount interpolation — is
-    * hash-gated, not just the counts. */
-  private val q137 = QueryDef(
-    "q137_kn_bigram_model",
-    (s, d) => TextOps.knBigramModel(Tables.documents(s, d), col("text"))
-      .drop("_lp")
-      .orderBy(col("c_vw").desc, col("v"), col("w")).limit(100),
-    s"""WITH ${knModelCtes("documents")}
-       |SELECT v, w, c_vw, c_v, n1p_v, n1p_w,
-       |  round($knPSql, 6) AS p_kn
-       |FROM cvw JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot
-       |ORDER BY c_vw DESC, v, w LIMIT 100""".stripMargin)
-
-  /** KN-bigram cross-entropy per document ([[TextOps.knScore]]) — the
-    * CCNet-style perplexity filter one n-gram order above q66: word
-    * ORDER is priced, so shuffled boilerplate scores high where the
-    * unigram model cannot tell it from its source. Self-scoring (every
-    * doc bigram is fitted); per-bigram surprisals rounded then DECIMAL-
-    * summed per the q66 determinism convention. */
-  private val q138 = QueryDef(
-    "q138_kn_perplexity",
-    (s, d) => TextOps.knScore(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH ${knModelCtes("documents")},
-       |lp AS (SELECT v, w,
-       |    CAST(round(-ln($knPSql), 6) AS DECIMAL(18,6)) AS lp
-       |  FROM cvw JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
-       |FROM bg JOIN lp USING (v, w) GROUP BY doc_id""".stripMargin)
-
-  /** DuckDB Luhn mod-10 sum over digit-string expression `e` with
-    * doubling parity `dbl` — mirrors [[TextOps]]' private luhnSum
-    * exactly (0-based positions from the right; (i−1) because DuckDB
-    * generate_series is 1-based here). */
-  /** DuckDB twin of TextOps.mod97 — fold char codes with the same
-    * digit/letter appends and the same sticky −1 poison. */
-  private def mod97Sql(e: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(list_filter(string_split($e, ''), c -> c <> ''),
-       |      c -> CAST(unicode(c) AS BIGINT))),
-       |  (acc, x) -> CASE WHEN acc < 0 THEN -1
-       |    WHEN x BETWEEN 48 AND 57 THEN (acc * 10 + (x - 48)) % 97
-       |    WHEN x BETWEEN 65 AND 90 THEN (acc * 100 + (x - 55)) % 97
-       |    ELSE -1 END)""".stripMargin.replace("\n", " ")
-
-  private def ibanMod97Sql(e: String): String =
-    mod97Sql(s"(substr($e, 5) || substr($e, 1, 4))")
-
-  private def ibanValidSql(e: String): String =
-    s"(length($e) BETWEEN 15 AND 34 AND ${ibanMod97Sql(e)} = 1)"
-
-  private def luhnSumSql(e: String, dbl: Int): String =
-    s"""list_sum(list_transform(generate_series(1, length($e)),
-       |    i -> CASE WHEN (i - 1) % 2 = $dbl
-       |      THEN CASE
-       |        WHEN 2 * CAST(substr(reverse($e), i, 1) AS INTEGER) > 9
-       |        THEN 2 * CAST(substr(reverse($e), i, 1) AS INTEGER) - 9
-       |        ELSE 2 * CAST(substr(reverse($e), i, 1) AS INTEGER) END
-       |      ELSE CAST(substr(reverse($e), i, 1) AS INTEGER) END))"""
-      .stripMargin
-
-  /** Luhn-gated payment-card scan ([[TextOps.ccScan]]) + the checksum
-    * arithmetic hash-gated on SYNTHETIC per-doc numbers: the corpus
-    * holds no card numbers (the q50/q67 PII precedent — candidate
-    * matching is fixture-tested in PipelineOpsSpec), so the oracle
-    * would otherwise only check zeros. Each doc derives a 16-digit
-    * string from its content hash — `luhn_valid` splits ~10/90 across
-    * the corpus (real discrimination for the validator) — and a
-    * 15-digit payload whose computed check digit must satisfy
-    * generator∘validator ≡ true (`gen_valid`, pinned true in BOTH
-    * engines: if either side's arithmetic drifts, the hash fails). */
-  private val q139 = QueryDef(
-    "q139_cc_luhn",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      import graft.functions.HashExpressions.polyHash
-      val docs = Tables.documents(s, d)
-      val h1 = polyHash(col("text"))
-      val h2 = polyHash(concat(col("text"), lit("cc")))
-      val cc16 = concat(
-        lpad((h1 % 100000000).cast("string"), 8, "0"),
-        lpad((h2 % 100000000).cast("string"), 8, "0"))
-      val payload = cc16.substr(lit(1), lit(15))
-      // synthetic fixtures ride the scan's own projection (r15: was a
-      // corpus-scale doc_id self-join)
-      TextOps.ccScan(docs, col("doc_id"), col("text"), Seq(
-        cc16.as("cc16"),
-        TextOps.luhnValid(cc16).as("luhn_valid"),
-        TextOps.luhnCheckDigit(payload).cast("long").as("check_digit"),
-        TextOps.luhnValid(concat(payload,
-          TextOps.luhnCheckDigit(payload).cast("string")))
-          .as("gen_valid")))
-    },
-    s"""WITH s AS (SELECT doc_id, text,
-       |    lpad(CAST(${polyHashSql("text")} % 100000000 AS VARCHAR), 8, '0')
-       |    || lpad(CAST(${polyHashSql("text || 'cc'")} % 100000000
-       |         AS VARCHAR), 8, '0') AS cc16
-       |  FROM documents),
-       |p AS (SELECT doc_id, text, cc16, substr(cc16, 1, 15) AS payload
-       |  FROM s),
-       |g AS (SELECT doc_id, text, cc16,
-       |    CAST((10 - ${luhnSumSql("payload", 0)} % 10) % 10 AS BIGINT)
-       |      AS check_digit, payload
-       |  FROM p),
-       |c AS (SELECT doc_id,
-       |    list_transform(
-       |      regexp_extract_all(text, '${TextOps.CcCandidateRe}'),
-       |      x -> regexp_replace(x, '[ -]', '', 'g')) AS cands
-       |  FROM s)
-       |SELECT g.doc_id,
-       |  CAST(len(c.cands) AS BIGINT) AS n_cc_candidates,
-       |  CAST(len(list_filter(c.cands, d -> length(d) BETWEEN 13 AND 19
-       |    AND ${luhnSumSql("d", 1)} % 10 = 0)) AS BIGINT) AS n_cc_valid,
-       |  g.cc16,
-       |  length(g.cc16) BETWEEN 13 AND 19
-       |    AND ${luhnSumSql("g.cc16", 1)} % 10 = 0 AS luhn_valid,
-       |  g.check_digit,
-       |  length(g.payload || CAST(g.check_digit AS VARCHAR))
-       |      BETWEEN 13 AND 19
-       |    AND ${luhnSumSql("(g.payload || CAST(g.check_digit AS VARCHAR))",
-             1)} % 10 = 0 AS gen_valid
-       |FROM g JOIN c USING (doc_id)""".stripMargin)
-
-  /** SentencePiece-style unigram-LM tokenizer fit
-    * ([[graft.operators.UnigramOps.unigramFit]], Kudo ACL 2018):
-    * seed-substring vocabulary pruned under Viterbi hard-EM to the
-    * target size. Rows-only per the q107 BPE precedent — an iterative
-    * EM argmax is not SQL-expressible; the fit is hand-replayed and
-    * brute-force-pinned in UnigramSpec instead. */
-  private val q140 = QueryDef(
-    "q140_unigram_fit",
-    (s, d) => graft.operators.UnigramOps.unigramFit(
-      Tables.documents(s, d), col("text"),
-      vocabSize = 300, seedSize = 600, emIters = 2),
-    None)
-
-  /** Corpus tokenization under the fitted unigram-LM table
-    * ([[graft.operators.UnigramOps.unigramTokenize]]) — the compiled
-    * Viterbi apply path (piece table as DATA in one codegen'd
-    * expression, the BpeEncode discipline): per-doc piece count, piece-
-    * stream fingerprint, and segmentation log-probability. Rows-only
-    * (rides the q140 fit); coverage and determinism pinned in
-    * UnigramSpec. */
-  /** Preference-pair construction ([[TextOps.preferencePairs]]) — the
-    * RLHF/DPO data-prep reduction: per source, the max-margin
-    * (best, worst) quality pair, as ONE struct-ordered aggregation (no
-    * window, no self-join). Tie rules (chosen id-asc, rejected id-desc)
-    * are part of the hash-gated contract. */
-  private val q142 = QueryDef(
-    "q142_preference_pairs",
-    (s, d) => TextOps.preferencePairs(
-      Tables.documents(s, d), col("doc_id"), col("source"),
-      round(TextOps.qualityComposite(col("text")), 6), "source"),
-    s"""WITH q AS (SELECT doc_id, source, round($qualityCompositeSql, 6) AS s
-       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws
-       |    FROM documents) b),
-       |c AS (SELECT source, doc_id AS chosen_id, s AS chosen_score FROM q
-       |  QUALIFY row_number() OVER (PARTITION BY source
-       |    ORDER BY s DESC, doc_id ASC) = 1),
-       |r AS (SELECT source, doc_id AS rejected_id, s AS rejected_score
-       |  FROM q
-       |  QUALIFY row_number() OVER (PARTITION BY source
-       |    ORDER BY s ASC, doc_id DESC) = 1)
-       |SELECT c.source, chosen_id, rejected_id, chosen_score,
-       |  rejected_score,
-       |  round(chosen_score - rejected_score, 6) AS margin
-       |FROM c JOIN r USING (source)
-       |WHERE chosen_id <> rejected_id
-       |  AND round(chosen_score - rejected_score, 6) >= 0.0""".stripMargin)
-
-  /** Token-budget water-filling with epoch caps
-    * ([[TextOps.budgetWaterfill]]): the redistribution step q64's
-    * one-shot `least(share, cap)` skips — capped sources' shortfall
-    * flows to the uncapped, by the exact sorted-prefix condition (all
-    * BIGINT, no float anywhere). Budget/epochs chosen so the corpus
-    * splits into both capped and uncapped sources. */
-  private val WfBudget = 70000L
-  private val WfEpochs = 2L
-  private val q144 = QueryDef(
-    "q144_budget_waterfill",
-    (s, d) => TextOps.budgetWaterfill(
-      Tables.documents(s, d), col("text"), col("source"),
-      WfBudget, WfEpochs),
-    s"""WITH a AS (SELECT source, CAST(sum(CAST(ceil(
-       |      CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT)
-       |      AS avail
-       |  FROM documents GROUP BY 1),
-       |c AS (SELECT source, avail, avail * $WfEpochs AS cap FROM a),
-       |r AS (SELECT source, avail, cap,
-       |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT)
-       |      AS rank,
-       |    sum(cap) OVER (ORDER BY cap, source
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM c),
-       |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c),
-       |f AS (SELECT r.*, k.k,
-       |    cap * (k.k - rank + 1) <= $WfBudget - (cum - cap) AS capped
-       |  FROM r CROSS JOIN k),
-       |s AS (SELECT
-       |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS m,
-       |    CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
-       |      AS capsum,
-       |    max(k) AS k2 FROM f)
-       |SELECT source, avail, cap, rank, capped,
-       |  CASE WHEN capped THEN cap
-       |    ELSE ($WfBudget - capsum) // greatest(k2 - m, 1) END AS alloc
-       |FROM f CROSS JOIN s""".stripMargin)
-
-  /** Deletion-neighborhood fuzzy matching ([[TextOps.fuzzyVocabPairs]],
-    * the SymSpell indexing method): every vocabulary pair within
-    * Levenshtein distance 1, found by a neighborhood join and verified
-    * with the metric. The corpus vocabulary is typo-free (31 distinct
-    * clean words), so each doc contributes one hash-derived
-    * single-substitution typo of its first word — the q139 synthetic
-    * precedent — giving the vocabulary a real misspelling population.
-    * The oracle is the ALL-PAIRS brute force with the same `levenshtein`
-    * — a hash match proves the bucketed method finds EXACTLY the true
-    * pair set, not an approximation of it. */
-  private val q145 = QueryDef(
-    "q145_fuzzy_vocab_pairs",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      import graft.functions.HashExpressions.polyHash
-      val docs = Tables.documents(s, d)
-      val h = polyHash(col("text"))
-      val w0 = element_at(split(col("text"), " "), 1)
-      val p = (pmod(h, length(w0).cast("long")) + 1).cast("int")
-      val c = lit("abcdefghijklmnopqrstuvwxyz")
-        .substr((pmod(h * 31, lit(26L)) + 1).cast("int"), lit(1))
-      val typo = concat(w0.substr(lit(1), p - 1), c,
-        w0.substr(p + 1, length(w0)))
-      val words = docs
-        .select(explode(split(col("text"), " ")).as("word"))
-        .where(length(col("word")) > 0)
-      val vocab = words.unionAll(docs.select(typo.as("word")))
-        .groupBy("word").agg(count(lit(1)).as("df"))
-      TextOps.fuzzyVocabPairs(vocab)
-    },
-    s"""WITH ty0 AS (SELECT string_split(text, ' ')[1] AS w0,
-       |    ${polyHashSql("text")} AS h FROM documents),
-       |ty AS (SELECT concat(substr(w0, 1, CAST(p - 1 AS INTEGER)), c,
-       |    substr(w0, CAST(p + 1 AS INTEGER), length(w0))) AS word
-       |  FROM (SELECT w0, h % length(w0) + 1 AS p,
-       |      substr('abcdefghijklmnopqrstuvwxyz',
-       |        CAST((h * 31) % 26 + 1 AS INTEGER), 1) AS c
-       |    FROM ty0)),
-       |w AS (SELECT unnest(string_split(text, ' ')) AS word
-       |  FROM documents
-       |  UNION ALL SELECT word FROM ty),
-       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM w
-       |  WHERE length(word) >= 4 GROUP BY 1)
-       |SELECT a.word AS word_a, a.df AS df_a,
-       |  b.word AS word_b, b.df AS df_b,
-       |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
-       |FROM v a JOIN v b ON a.word < b.word
-       |WHERE levenshtein(a.word, b.word) <= 1""".stripMargin)
-
-  /** The q145 method at distance 2 — the production SymSpell setting
-    * (most real typos sit within two edits): two-deletion neighborhoods
-    * on both sides, same metric-verify, same all-pairs brute-force
-    * oracle proving bucketed ≡ exact. minLen rises to 5 (distance 2 on
-    * a 4-char word is half the word). */
-  private val q146 = QueryDef(
-    "q146_fuzzy_pairs_d2",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      import graft.functions.HashExpressions.polyHash
-      val docs = Tables.documents(s, d)
-      val h = polyHash(col("text"))
-      val w0 = element_at(split(col("text"), " "), 1)
-      val p = (pmod(h, length(w0).cast("long")) + 1).cast("int")
-      val c = lit("abcdefghijklmnopqrstuvwxyz")
-        .substr((pmod(h * 31, lit(26L)) + 1).cast("int"), lit(1))
-      val typo = concat(w0.substr(lit(1), p - 1), c,
-        w0.substr(p + 1, length(w0)))
-      val words = docs
-        .select(explode(split(col("text"), " ")).as("word"))
-        .where(length(col("word")) > 0)
-      val vocab = words.unionAll(docs.select(typo.as("word")))
-        .groupBy("word").agg(count(lit(1)).as("df"))
-      TextOps.fuzzyVocabPairs(vocab, minLen = 5, maxDist = 2)
-    },
-    s"""WITH ty0 AS (SELECT string_split(text, ' ')[1] AS w0,
-       |    ${polyHashSql("text")} AS h FROM documents),
-       |ty AS (SELECT concat(substr(w0, 1, CAST(p - 1 AS INTEGER)), c,
-       |    substr(w0, CAST(p + 1 AS INTEGER), length(w0))) AS word
-       |  FROM (SELECT w0, h % length(w0) + 1 AS p,
-       |      substr('abcdefghijklmnopqrstuvwxyz',
-       |        CAST((h * 31) % 26 + 1 AS INTEGER), 1) AS c
-       |    FROM ty0)),
-       |w AS (SELECT unnest(string_split(text, ' ')) AS word
-       |  FROM documents
-       |  UNION ALL SELECT word FROM ty),
-       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM w
-       |  WHERE length(word) >= 5 GROUP BY 1)
-       |SELECT a.word AS word_a, a.df AS df_a,
-       |  b.word AS word_b, b.df AS df_b,
-       |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
-       |FROM v a JOIN v b ON a.word < b.word
-       |WHERE levenshtein(a.word, b.word) <= 2""".stripMargin)
-
-  /** Deterministic unigram^0.75 negative sampling
-    * ([[TextOps.negativeSamples]], the word2vec noise distribution):
-    * four negatives per document by exact inverse-CDF over the
-    * vocabulary's DECIMAL cumulative weights, membership decided by the
-    * division-free comparison prev·1e6 ≤ u·total < cum·1e6 — the hash
-    * gate proves every draw lands in exactly one interval identically
-    * in both engines. */
-  private val q147 = QueryDef(
-    "q147_negative_samples",
-    (s, d) => TextOps.negativeSamples(
-      Tables.documents(s, d), col("doc_id"), col("text"), k = 4),
-    {
-      val P = graft.functions.TextHash.P
-      def mixSql(h: String): String = graft.functions.TextHash.hrwMixSql(h)
-      s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-         |    FROM documents)
-         |  WHERE length(word) > 0 GROUP BY 1),
-         |cum AS (SELECT word, p,
-         |    sum(p) OVER (ORDER BY word ROWS BETWEEN UNBOUNDED PRECEDING
-         |      AND CURRENT ROW) AS cum
-         |  FROM (SELECT word,
-         |      CAST(round(pow(freq, 0.75), 6) AS DECIMAL(18,6)) AS p
-         |    FROM wf) t1),
-         |tot AS (SELECT max(cum) AS tot FROM cum),
-         |wb AS (SELECT word, CAST(cum - p AS DECIMAL(28,6)) AS prev,
-         |    cum, tot,
-         |    unnest(generate_series(
-         |      GREATEST(CAST(floor(CAST(cum - p AS DOUBLE) * 1024
-         |        / CAST(tot AS DOUBLE)) AS BIGINT) - 1, 0),
-         |      LEAST(CAST(floor(CAST(cum AS DOUBLE) * 1024
-         |        / CAST(tot AS DOUBLE)) AS BIGINT) + 1, 1023))) AS b
-         |  FROM cum CROSS JOIN tot),
-         |dr AS (SELECT doc_id, j AS neg_idx,
-         |    ${mixSql(s"((${polyHashSql("text")}) * 31 + j) % $P")}
-         |      % 1000000 AS u
-         |  FROM documents, UNNEST(generate_series(0, 3)) AS t(j))
-         |SELECT doc_id, CAST(neg_idx AS BIGINT) AS neg_idx,
-         |  word AS neg_word, u AS draw
-         |FROM dr JOIN wb
-         |  ON wb.b = CAST(floor(u * 1024 / 1000000.0) AS BIGINT)
-         |WHERE prev * 1000000 <= u * tot
-         |  AND u * tot < cum * 1000000""".stripMargin
-    })
-
-  /** Rendezvous/HRW sharding ([[TextOps.rendezvousShard]]) under n=8
-    * and n=9 side by side: the hash-gated artifact carries the
-    * consistency property itself — every `moved` row lands on the NEW
-    * shard (spec-asserted exactly; ~1/9 of keys, never survivor-to-
-    * survivor traffic). */
-  private val q143 = QueryDef(
-    "q143_rendezvous_shards",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      Tables.documents(s, d).select(col("doc_id"),
-        TextOps.rendezvousShard(col("text"), 8).as("shard8"),
-        TextOps.rendezvousShard(col("text"), 9).as("shard9"))
-        .withColumn("moved", col("shard8") =!= col("shard9"))
-    },
-    {
-      val P = graft.functions.TextHash.P
-      def mixSql(h: String): String = graft.functions.TextHash.hrwMixSql(h)
-      val score = mixSql(polyHashSql("text || '#' || CAST(s AS VARCHAR)"))
-      s"""WITH s8 AS (
-         |  SELECT doc_id, s AS shard8
-         |  FROM documents, UNNEST(generate_series(0, 7)) AS t(s)
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY
-         |    $score DESC, s DESC) = 1),
-         |s9 AS (
-         |  SELECT doc_id, s AS shard9
-         |  FROM documents, UNNEST(generate_series(0, 8)) AS t(s)
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY
-         |    $score DESC, s DESC) = 1)
-         |SELECT doc_id, shard8, shard9, shard8 <> shard9 AS moved
-         |FROM s8 JOIN s9 USING (doc_id)""".stripMargin
-    })
-
-  /** One unigram-LM fit per sf dir, memoized as the frozen piece table
-    * (the BpeMergesMemo rationale: q141 measures the compiled Viterbi
-    * APPLY, not the fit — q140 keeps refitting per rep). */
-  private object UnigramPiecesMemo {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, Seq[(String, Double)]]
-    def pieces(s: org.apache.spark.sql.SparkSession, d: String)
-        : Seq[(String, Double)] =
-      cache.getOrElseUpdate(d, graft.operators.UnigramOps.unigramFit(
-          Tables.documents(s, d), col("text"),
-          vocabSize = 300, seedSize = 600, emIters = 2)
-        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq)
-  }
-
-  /** The q141 Viterbi replay as shared CTE text (`uparams`/`udp`/
-    * `ufin`/`utrace`/`uwtoks`) over the memoized frozen piece table —
-    * emitted by q141 (per-doc tokenize) and q198 (round-trip audit) so
-    * the replays cannot drift; the u-prefix keeps it composable next
-    * to [[wordPieceChainSql]]'s `dp`/`fin`/`wtoks` in one statement.
-    * Caller prepends WITH RECURSIVE and [[docWordsCteSql]]. */
-  private def unigramChainSql(): String =
-    s"""${unigramParamsSql()},
-       |${unigramWalkSql()}""".stripMargin
-
-  /** The frozen piece-table CTE (`uparams`) — emitted ONCE per
-    * statement even when the walk runs twice (q202's drift). */
-  private def unigramParamsSql(): String = {
-    val sfDir = sys.props.getOrElse("graft.verify.sfdir",
-      "/root/testdata/sf0.001")
-    val pieces = UnigramPiecesMemo.pieces(
-      org.apache.spark.sql.SparkSession.active, sfDir)
-    def dd(x: Double) = java.lang.Double.toString(x)
-    val keys = pieces.map(p => s"'${p._1.replace("'", "''")}'")
-      .mkString("[", ",", "]")
-    val vals = pieces
-      .map(p => s"${dd(math.rint(p._2 * 1e6) / 1e6)}::DOUBLE")
-      .mkString("[", ",", "]")
-    val maxLen = if (pieces.isEmpty) 1 else pieces.map(_._1.length).max
-    val unk = dd(graft.functions.UnigramExpressions.UnkLogp)
-    s"""uparams AS (SELECT map($keys, $vals) AS m, $maxLen AS maxlen,
-       |  $unk::DOUBLE AS unk)""".stripMargin
-  }
-
-  /** The Viterbi walk CTEs over `${p}words`, every name prefixed by
-    * `p` (reads the shared `uparams` piece table). */
-  private def unigramWalkSql(p: String = ""): String = {
-    s"""${p}udp AS (
-       |  SELECT doc_id, wi, w, 0 AS i, [0.0::DOUBLE] AS bests,
-       |    []::INT[] AS backs
-       |  FROM ${p}words
-       |  UNION ALL
-       |  SELECT doc_id, wi, w, i + 1,
-       |    list_append(bests, CASE WHEN pick.back = -1
-       |      THEN bests[i + 1] + p2.unk ELSE pick.s END),
-       |    list_append(backs, CASE WHEN pick.back = -1
-       |      THEN i ELSE pick.back END)
-       |  FROM (
-       |    SELECT d.doc_id, d.wi, d.w, d.i, d.bests, d.backs,
-       |      list_reduce(
-       |        list_prepend(struct_pack(s := '-inf'::DOUBLE, back := -1),
-       |          list_filter(
-       |            list_transform(
-       |              generate_series(greatest(0, d.i + 1 - p.maxlen), d.i),
-       |              j -> CASE WHEN map_extract(p.m,
-       |                    substr(d.w, j + 1, d.i + 1 - j))[1] IS NOT NULL
-       |                  AND d.bests[j + 1] > '-inf'::DOUBLE
-       |                THEN struct_pack(
-       |                  s := d.bests[j + 1] + map_extract(p.m,
-       |                    substr(d.w, j + 1, d.i + 1 - j))[1],
-       |                  back := j)
-       |                END),
-       |            x -> x IS NOT NULL)),
-       |        (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END) AS pick
-       |    FROM ${p}udp d CROSS JOIN uparams p
-       |    WHERE d.i < length(d.w)) t CROSS JOIN uparams p2),
-       |${p}ufin AS (SELECT doc_id, wi, w, backs FROM ${p}udp
-       |  WHERE i = length(w)),
-       |${p}utrace AS (
-       |  SELECT doc_id, wi, w, backs, CAST(length(w) AS INT) AS at,
-       |    '' AS toks
-       |  FROM ${p}ufin
-       |  UNION ALL
-       |  SELECT doc_id, wi, w, backs, backs[at],
-       |    CASE WHEN toks = ''
-       |      THEN substr(w, backs[at] + 1, at - backs[at])
-       |      ELSE substr(w, backs[at] + 1, at - backs[at]) || ' ' || toks
-       |      END
-       |  FROM ${p}utrace WHERE at > 0),
-       |${p}uwtoks AS (SELECT doc_id, wi, toks FROM ${p}utrace
-       |  WHERE at = 0)""".stripMargin
-  }
-
-  /** Unigram-LM Viterbi apply, FULL oracle since r15 (was rows-only
-    * "per the q107 iterative-fit precedent" — but that precedent covers
-    * FITS; the APPLY under a FROZEN table is a deterministic dynamic
-    * program, and q189's recursive-CTE replay showed the way): the
-    * memoized fitted pieces embed as a map literal, and DuckDB replays
-    * the exact [[graft.functions.UnigramEncode]] DP — position i's best
-    * is max over candidate pieces of best(j) + logp, candidates scanned
-    * longest-first with a strictly-greater keep (ties → longer piece),
-    * positions with no covering piece falling back to the single
-    * character at the unk floor — as a recursive CTE carrying the
-    * (bests, backs) arrays, plus a second recursion walking the
-    * backpointers into the piece stream. Double parity is structural:
-    * both engines add the same stored double to the same round-6 logp
-    * in the same order, and lm_logp re-accumulates as exact
-    * DECIMAL(28,6). (The kernel indexes UTF-16 units, DuckDB code
-    * points — identical on this BMP corpus, and the hash gate would
-    * catch any divergence.) */
-  private val q141 = QueryDef(
-    "q141_unigram_tokenize",
-    (s, d) => graft.operators.UnigramOps.unigramTokenize(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      UnigramPiecesMemo.pieces(s, d)),
-    Some(() => {
-      s"""WITH RECURSIVE ${docWordsCteSql},
-         |${unigramChainSql()},
-         |perdoc AS (SELECT doc_id,
-         |    string_agg(toks, ' ' ORDER BY wi) AS alltoks
-         |  FROM uwtoks GROUP BY doc_id),
-         |lp AS (SELECT w.doc_id,
-         |    CAST(CAST(sum(CAST(coalesce(map_extract(p.m, t.pc)[1], p.unk)
-         |      AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS lm_logp
-         |  FROM uwtoks w CROSS JOIN uparams p,
-         |    UNNEST(string_split(w.toks, ' ')) AS t(pc)
-         |  GROUP BY w.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN pd.alltoks IS NULL OR pd.alltoks = '' THEN 0
-         |    ELSE len(string_split(pd.alltoks, ' ')) END AS BIGINT)
-         |    AS n_pieces,
-         |  CASE WHEN pd.alltoks IS NULL OR pd.alltoks = '' THEN 0
-         |    ELSE ${polyHashSql("pd.alltoks")} END AS pieces_fp,
-         |  coalesce(lp.lm_logp, 0.0) AS lm_logp
-         |FROM dws d
-         |LEFT JOIN perdoc pd USING (doc_id)
-         |LEFT JOIN lp USING (doc_id)""".stripMargin
-    }))
-
-  // ------------------------------------------------ corpus-health stats
-
-  /** Shared oracle fragment: the round-6 least-squares regression terms
-    * over `(x, y)` pairs — mirrors [[CorpusStatsOps]]'s convention of
-    * rounding each term BEFORE summation so both engines add identical
-    * values. */
-  private def lsTermsSql(xExpr: String, yExpr: String): String =
-    s"""round($xExpr, 6) AS x, round($yExpr, 6) AS y,
-       |round(round($xExpr, 6) * round($yExpr, 6), 6) AS xy,
-       |round(round($xExpr, 6) * round($xExpr, 6), 6) AS xx""".stripMargin
-
-  /** Corpus rank-frequency diagnostics per language: Zipf's law fit plus
-    * vocabulary/hapax/TTR health metrics (Zipf 1949; the per-snapshot
-    * corpus monitoring row of a curation pipeline). */
-  private val q148 = QueryDef(
-    "q148_zipf_diagnostics",
-    (s, d) => graft.operators.CorpusStatsOps.zipfDiagnostics(
-      Tables.documents(s, d), col("lang"), col("text")),
-    s"""WITH words AS (
-       |  SELECT lang AS grp, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |f AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS freq
-       |  FROM words WHERE length(word) > 0 GROUP BY 1, 2),
-       |r AS (SELECT grp, freq, row_number() OVER (
-       |    PARTITION BY grp ORDER BY freq DESC, word ASC) AS rnk
-       |  FROM f),
-       |t AS (SELECT grp, freq,
-       |  ${lsTermsSql("ln(CAST(rnk AS DOUBLE))", "ln(CAST(freq AS DOUBLE))")}
-       |  FROM r),
-       |a AS (SELECT grp,
-       |    CAST(count(*) AS BIGINT) AS n_types,
-       |    CAST(sum(freq) AS BIGINT) AS n_tokens,
-       |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_hapax,
-       |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
-       |  FROM t GROUP BY grp)
-       |SELECT grp, n_types, n_tokens, n_hapax,
-       |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio,
-       |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
-       |  round(CASE WHEN n_types * sxx - sx * sx <> 0
-       |    THEN (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)
-       |    END, 6) + 0.0 AS zipf_slope,
-       |  round(CASE WHEN n_types * sxx - sx * sx <> 0
-       |    THEN (sy - ((n_types * sxy - sx * sy)
-       |      / (n_types * sxx - sx * sx)) * sx) / n_types
-       |    END, 6) + 0.0 AS zipf_intercept
-       |FROM a""".stripMargin)
-
-  /** Heaps'-law vocabulary-growth fit V(N) = K·N^β, curve sampled at 32
-    * doc-id buckets so the ordered cumulative window runs over 32 rows,
-    * not the corpus (Heaps 1978). */
-  private val q149 = QueryDef(
-    "q149_heaps_fit",
-    (s, d) => graft.operators.CorpusStatsOps.heapsFit(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH base AS (
-       |  SELECT doc_id AS did, string_split(text, ' ') AS ws FROM documents),
-       |bounds AS (SELECT min(did) AS lo, max(did) AS hi FROM base),
-       |wb AS (SELECT did, ws, least(31, CAST(floor(
-       |    CAST(did - lo AS DOUBLE) * 32 / CAST(hi - lo + 1 AS DOUBLE))
-       |    AS INTEGER)) AS bucket
-       |  FROM base, bounds),
-       |words AS (SELECT bucket, did, unnest(ws) AS word FROM wb),
-       |wnz AS (SELECT * FROM words WHERE length(word) > 0),
-       |tp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks
-       |  FROM wnz GROUP BY 1),
-       |nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
-       |    SELECT word, arg_min(bucket, did) AS bucket FROM wnz GROUP BY 1)
-       |  GROUP BY 1),
-       |pb AS (SELECT tp.bucket, toks, coalesce(new_types, 0) AS new_types
-       |  FROM tp LEFT JOIN nt ON tp.bucket = nt.bucket),
-       |c AS (SELECT
-       |    CAST(sum(toks) OVER w AS BIGINT) AS cum_toks,
-       |    CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
-       |  FROM pb WINDOW w AS (ORDER BY bucket
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |t AS (SELECT cum_toks, cum_types,
-       |  ${lsTermsSql("ln(CAST(cum_toks AS DOUBLE))",
-                       "ln(CAST(cum_types AS DOUBLE))")}
-       |  FROM c WHERE cum_toks > 0 AND cum_types > 0),
-       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
-       |    max(cum_toks) AS n_tokens, max(cum_types) AS n_types,
-       |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
-       |  FROM t)
-       |SELECT n_points, n_tokens, n_types,
-       |  round(CASE WHEN n_points * sxx - sx * sx <> 0
-       |    THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
-       |    END, 6) + 0.0 AS heaps_beta,
-       |  round(exp(CASE WHEN n_points * sxx - sx * sx <> 0
-       |    THEN (sy - ((n_points * sxy - sx * sy)
-       |      / (n_points * sxx - sx * sx)) * sx) / n_points
-       |    END), 6) AS heaps_k
-       |FROM a""".stripMargin)
-
-  /** Robust median/MAD outlier screen on doc length per language
-    * (Iglewicz & Hoaglin 1993) — the anomaly gate a pipeline runs on every
-    * ingest batch before the expensive quality stages. */
-  private val q150 = QueryDef(
-    "q150_robust_outliers",
-    (s, d) => graft.operators.CorpusStatsOps.robustOutliers(
-      Tables.documents(s, d), col("doc_id"), col("lang"), col("n_chars")),
-    """WITH b AS (SELECT doc_id AS did, lang AS grp,
-      |    CAST(n_chars AS DOUBLE) AS v FROM documents),
-      |m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1),
-      |md AS (SELECT b.grp, any_value(med) AS med,
-      |    quantile_cont(abs(v - med), 0.5) AS mad
-      |  FROM b JOIN m USING (grp) GROUP BY b.grp)
-      |SELECT did, grp, v,
-      |  round(CASE WHEN mad <> 0
-      |    THEN (v - med) / (1.4826 * mad) END, 6) + 0.0 AS robust_z,
-      |  coalesce(abs(round(CASE WHEN mad <> 0
-      |    THEN (v - med) / (1.4826 * mad) END, 6)) > 3.0, FALSE)
-      |    AS is_outlier
-      |FROM b JOIN md USING (grp)""".stripMargin)
-
-  // -------------------------------------- cross-document substring dedup
-
-  private val XDOC_K = 3
-
-  /** Shared oracle prefix for q151/q152: the word table and the k-gram
-    * table (positions 1-based), built from [[SpanDedupOps.gramCteSql]] so
-    * the hash definition cannot drift from the Spark side. */
-  private def xdocCtes: String =
-    s"""base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
-       |  FROM documents),
-       |g AS (${graft.operators.SpanDedupOps.gramCteSql(XDOC_K, "base")})""".stripMargin
-
-  /** Maximal cross-doc duplicated spans (Lee et al. ACL 2022, k-gram
-    * anchored): every verbatim word run shared by ≥ 2 docs, merged from
-    * adjacent duplicated 3-grams with a gaps-and-islands window. */
-  private val q151 = QueryDef(
-    "q151_crossdoc_spans",
-    (s, d) => graft.operators.SpanDedupOps.crossDocSpans(
-      Tables.documents(s, d), col("doc_id"), col("text"), k = XDOC_K),
-    s"""WITH $xdocCtes,
-       |dup AS (SELECT h, glen, CAST(count(DISTINCT did) AS BIGINT) AS df
-       |  FROM g GROUP BY 1, 2 HAVING count(DISTINCT did) >= 2),
-       |dp AS (SELECT g.did, g.pos, dup.df
-       |  FROM g JOIN dup USING (h, glen)),
-       |isl AS (SELECT did, pos, df,
-       |    pos - row_number() OVER (PARTITION BY did ORDER BY pos)
-       |      AS island
-       |  FROM dp)
-       |SELECT did,
-       |  CAST(min(pos) AS BIGINT) AS span_start,
-       |  CAST(max(pos) + ${XDOC_K - 1} AS BIGINT) AS span_end,
-       |  CAST(max(pos) + ${XDOC_K - 1} - min(pos) + 1 AS BIGINT)
-       |    AS span_len,
-       |  CAST(count(*) AS BIGINT) AS n_grams,
-       |  CAST(max(df) AS BIGINT) AS max_df
-       |FROM isl GROUP BY did, island""".stripMargin)
-
-  /** Cross-doc dedup rewrite: non-canonical duplicated spans removed at
-    * word granularity, min-id holder keeps the single surviving copy. */
-  private val q152 = QueryDef(
-    "q152_crossdoc_dedup",
-    (s, d) => graft.operators.SpanDedupOps.crossDocDedup(
-      Tables.documents(s, d), col("doc_id"), col("text"), k = XDOC_K),
-    s"""WITH $xdocCtes,
-       |dup AS (SELECT h, glen, min(did) AS canon
-       |  FROM g GROUP BY 1, 2 HAVING count(DISTINCT did) >= 2),
-       |dropp AS (SELECT DISTINCT g.did, p AS pos
-       |  FROM g JOIN dup USING (h, glen),
-       |    UNNEST(generate_series(g.pos, g.pos + ${XDOC_K - 1})) AS t(p)
-       |  WHERE g.did <> dup.canon),
-       |toks AS (SELECT did, i AS pos, ws[i] AS w
-       |  FROM base, UNNEST(generate_series(1, len(ws))) AS t(i)),
-       |kept AS (SELECT toks.did, toks.pos, toks.w
-       |  FROM toks LEFT JOIN dropp
-       |    ON toks.did = dropp.did AND toks.pos = dropp.pos
-       |  WHERE dropp.pos IS NULL),
-       |agg AS (SELECT did, string_agg(w, ' ' ORDER BY pos) AS text_clean
-       |  FROM kept GROUP BY did),
-       |nd AS (SELECT did, CAST(count(*) AS BIGINT) AS n_dropped
-       |  FROM dropp GROUP BY did)
-       |SELECT b.did, coalesce(agg.text_clean, '') AS text_clean,
-       |  CAST(len(b.ws) AS BIGINT) AS n_words,
-       |  coalesce(nd.n_dropped, 0) AS n_dropped
-       |FROM base b
-       |LEFT JOIN agg ON b.did = agg.did
-       |LEFT JOIN nd ON b.did = nd.did""".stripMargin)
-
-  // -------------------------------------------- winnowing fingerprints
-
-  /** Winnowed fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD
-    * 2003): rightmost-min of each 4-window of 3-gram hashes per doc. */
-  private val q153 = QueryDef(
-    "q153_winnow_fingerprints",
-    (s, d) => graft.operators.WinnowOps.fingerprints(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      k = XDOC_K, w = 4),
-    s"""WITH $xdocCtes
-       |${graft.operators.WinnowOps.fingerprintCteSql(4)}""".stripMargin)
-
-  /** Partial-overlap candidates from shared winnowed fingerprints, with
-    * the repo-standard hot-hash df cap and fingerprint-set Jaccard. */
-  private val q154 = QueryDef(
-    "q154_winnow_pairs",
-    (s, d) => graft.operators.WinnowOps.fingerprintPairs(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      k = XDOC_K, w = 4, maxDf = 64, minJaccard = 0.5),
-    s"""WITH $xdocCtes,
-       |fp0 AS (${graft.operators.WinnowOps.fingerprintCteSql(4)}),
-       |fp AS (SELECT DISTINCT did, h FROM fp0),
-       |sz AS (SELECT did, CAST(count(*) AS BIGINT) AS sz
-       |  FROM fp GROUP BY 1),
-       |rare AS (SELECT fp.did, fp.h FROM fp
-       |  JOIN (SELECT h FROM fp GROUP BY h
-       |        HAVING count(DISTINCT did) <= 64) dd USING (h)),
-       |sh AS (SELECT a.did AS did_a, b.did AS did_b,
-       |    CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM rare a JOIN rare b ON a.h = b.h AND a.did < b.did
-       |  GROUP BY 1, 2)
-       |SELECT did_a, did_b, n_shared,
-       |  round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6)
-       |    AS jaccard
-       |FROM sh
-       |JOIN sz sa ON sh.did_a = sa.did
-       |JOIN sz sb ON sh.did_b = sb.did
-       |WHERE round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared),
-       |  6) >= 0.5""".stripMargin)
-
-  // ------------------------------------------------ ridge distillation
-
-  private val RIDGE_LAMBDA = 0.1
-
-  /** Spark-side feature/target frame for the ridge distillation: two
-    * cheap features (log word count, mean word length) and the composite
-    * quality score as the expensive target being distilled. */
-  private def ridgeData(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val (x1, x2) =
-      graft.operators.RegressionOps.qualityFeatures(col("text"))
-    Tables.documents(s, d).select(
-      col("doc_id").as("id"), x1.as("x1"), x2.as("x2"),
-      round(TextOps.qualityComposite(col("text")), 6).as("y"))
-  }
-
-  /** Oracle twin of [[ridgeData]]. */
-  private def ridgeFeatSql: String =
-    s"""feat AS (SELECT doc_id AS id,
-       |  round(ln(1.0 + len(list_filter(ws, w -> length(w) > 0))), 6)
-       |    AS x1,
-       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |    / len(list_filter(ws, w -> length(w) > 0)), 6) AS x2,
-       |  round($qualityCompositeSql, 6) AS y
-       |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-       |      FROM documents))""".stripMargin
-
-  /** Closed-form ridge fit (Hoerl & Kennard 1970) distilling the
-    * composite quality score onto two cheap features — a learned model
-    * with ZERO driver involvement: one aggregate row + Cramer's-rule
-    * column arithmetic, weight formulas shared with the oracle as text. */
-  private val q155 = QueryDef(
-    "q155_ridge_distill",
-    (s, d) => graft.operators.RegressionOps.ridge2Fit(
-      ridgeData(s, d), RIDGE_LAMBDA),
-    {
-      val Seq(det, n0, n1, n2) =
-        graft.operators.RegressionOps.cramerSql(RIDGE_LAMBDA)
-      s"""WITH $ridgeFeatSql,
-         |m AS (${graft.operators.RegressionOps.momentRowSql})
-         |SELECT CAST(n AS BIGINT) AS n_rows,
-         |  round($n0 / $det, 6) + 0.0 AS w0,
-         |  round($n1 / $det, 6) + 0.0 AS w1,
-         |  round($n2 / $det, 6) + 0.0 AS w2
-         |FROM m""".stripMargin
-    })
-
-  /** Whole-corpus scoring face of q155: the cheap distilled score and its
-    * residual against the expensive target, model broadcast as one row. */
-  private val q156 = QueryDef(
-    "q156_ridge_residuals",
-    (s, d) => graft.operators.RegressionOps.ridge2Score(
-      ridgeData(s, d), RIDGE_LAMBDA),
-    {
-      val Seq(det, n0, n1, n2) =
-        graft.operators.RegressionOps.cramerSql(RIDGE_LAMBDA)
-      s"""WITH $ridgeFeatSql,
-         |m AS (${graft.operators.RegressionOps.momentRowSql}),
-         |w AS (SELECT round($n0 / $det, 6) AS w0,
-         |  round($n1 / $det, 6) AS w1, round($n2 / $det, 6) AS w2 FROM m),
-         |p AS (SELECT id, round(y, 6) + 0.0 AS y,
-         |    round(w0 + w1 * round(x1, 6) + w2 * round(x2, 6), 6) + 0.0
-         |      AS y_hat
-         |  FROM feat, w)
-         |SELECT id, y, y_hat, round(y - y_hat, 6) + 0.0 AS resid
-         |FROM p""".stripMargin
-    })
-
-  // ------------------------------------------------- html extraction
-
-  /** Shared q157/q158 oracle prefix: synthesize the deterministic page
-    * around each doc, run the tag-strip/entity/line chain. */
-  private def htmlCtes: String = {
-    import graft.operators.HtmlOps
-    s"""base AS (SELECT doc_id AS did, text, string_split(text, ' ') AS ws
-       |  FROM documents),
-       |hh AS (SELECT did, ${HtmlOps.wrapHtmlSql} AS html FROM base),
-       |l AS (SELECT did, ${HtmlOps.textLinesSql("html")} AS ls FROM hh)"""
-      .stripMargin
-  }
-
-  /** HTML → clean text over the synthesized page corpus: script/style
-    * subtree drop, block tags → line breaks, entity decode, whitespace
-    * normalization. */
-  private val q157 = QueryDef(
-    "q157_html_extract",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.HtmlOps.extractText(
-        docs.withColumn("html", graft.operators.HtmlOps.wrapHtml(
-          col("doc_id"), col("text"))),
-        col("doc_id"), col("html"))
-    },
-    s"""WITH $htmlCtes
-       |SELECT did, array_to_string(ls, chr(10)) AS text_clean,
-       |  CAST(len(ls) AS BIGINT) AS n_lines
-       |FROM l""".stripMargin)
-
-  /** Line-density boilerplate removal (Kohlschütter WSDM 2010 flavor):
-    * nav/title/footer drop out, 8-word body paragraphs survive, short
-    * closing lines are rescued next to content. */
-  private val q158 = QueryDef(
-    "q158_html_content",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.HtmlOps.extractContent(
-        docs.withColumn("html", graft.operators.HtmlOps.wrapHtml(
-          col("doc_id"), col("text"))),
-        col("doc_id"), col("html"))
-    },
-    s"""WITH $htmlCtes,
-       |ln AS (SELECT did, i AS lno, ls[i] AS line
-       |  FROM l, UNNEST(generate_series(1, len(ls))) AS t(i)),
-       |sc AS (SELECT did, lno, line,
-       |    len(string_split(line, ' ')) AS wc FROM ln),
-       |k AS (SELECT did, lno, line,
-       |    (wc >= 6 OR (wc >= 3 AND (
-       |      coalesce(lag(wc) OVER w, 0) >= 6 OR
-       |      coalesce(lead(wc) OVER w, 0) >= 6))) AS keep
-       |  FROM sc WINDOW w AS (PARTITION BY did ORDER BY lno))
-       |SELECT did,
-       |  coalesce(string_agg(line, chr(10) ORDER BY lno)
-       |    FILTER (WHERE keep), '') AS content,
-       |  CAST(coalesce(count(*) FILTER (WHERE keep), 0) AS BIGINT)
-       |    AS n_kept,
-       |  CAST(count(*) AS BIGINT) AS n_total
-       |FROM k GROUP BY did""".stripMargin)
-
-  // ------------------------------------------- PRF + weighted sampling
-
-  /** The q119 BM25 scoring chain, parameterized by the query-term CTE so
-    * the PRF oracle can run it twice (first pass and expanded pass)
-    * without drift. Expects CTEs `words`, `tf`, `dl`, `stats` in scope. */
-  private def bm25ChainSql(qt: String, sfx: String): String =
-    s"""dfq$sfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
-       |  WHERE w IN (SELECT w FROM $qt) GROUP BY w),
-       |contrib$sfx AS (
-       |  SELECT $qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST(CAST(CAST(round(ln(1.0 +
-       |          (stats.n_docs - dfq$sfx.df + 0.5) / (dfq$sfx.df + 0.5)), 6)
-       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-       |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
-       |      AS DECIMAL(18,6)) AS c
-       |  FROM tf
-       |  JOIN $qt ON $qt.w = tf.w
-       |  JOIN dfq$sfx ON dfq$sfx.w = tf.w
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN stats),
-       |sc$sfx AS (SELECT query_id, doc_id, sum(c) AS s,
-       |    CAST(count(*) AS BIGINT) AS n_terms
-       |  FROM contrib$sfx GROUP BY 1, 2),
-       |ranked$sfx AS (SELECT query_id, doc_id, n_terms, s,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY s DESC, doc_id) AS BIGINT) AS rk
-       |  FROM sc$sfx)""".stripMargin
-
-  /** Rocchio/RM3 pseudo-relevance feedback: expand each query with the
-    * 3 heaviest tf·idf terms of its top-5 first-pass docs, re-rank with
-    * the expanded term set. The oracle replays BOTH passes and the
-    * decimal expansion selection. */
-  private val q159 = QueryDef(
-    "q159_prf_expansion",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val queries = docs.where(col("doc_id") < 3)
-      val qterms = queries.select(col("doc_id").as("query_id"),
-          explode(split(col("text"), " ")).as("word"))
-        .where(length(col("word")) > 0).distinct()
-      val expanded = RetrievalOps.prfExpandTerms(
-        docs, col("doc_id"), col("text"), qterms, kFb = 5, tExp = 3)
-      RetrievalOps.bm25TopKTerms(
-        docs, col("doc_id"), col("text"), expanded, BM25_K)
-    },
-    s"""WITH words AS (SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |    FROM documents) t WHERE length(w) > 0),
-       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-       |  FROM words GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-       |  FROM tf GROUP BY 1),
-       |stats AS (SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-       |    (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, w FROM words
-       |  WHERE doc_id < 3),
-       |${bm25ChainSql("qt", "")},
-       |fb AS (SELECT query_id, doc_id FROM ranked WHERE rk <= 5),
-       |dfall AS (SELECT w, CAST(count(*) AS BIGINT) AS df
-       |  FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
-       |wgt AS (SELECT f.query_id, tf.w,
-       |    sum(CAST(round(
-       |      CAST(CAST(CAST(round(ln(1.0 +
-       |          (stats.n_docs - dfall.df + 0.5) / (dfall.df + 0.5)), 6)
-       |        AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-       |      * tf.tf, 6) AS DECIMAL(18,6))) AS wgt
-       |  FROM fb f
-       |  JOIN tf ON tf.doc_id = f.doc_id
-       |  JOIN dfall ON dfall.w = tf.w
-       |  CROSS JOIN stats
-       |  GROUP BY 1, 2),
-       |novel AS (SELECT wgt.query_id, wgt.w, wgt.wgt FROM wgt
-       |  ANTI JOIN qt ON qt.query_id = wgt.query_id AND qt.w = wgt.w),
-       |expn AS (SELECT query_id, w FROM (
-       |    SELECT query_id, w, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY wgt DESC, w) AS rk FROM novel)
-       |  WHERE rk <= 3),
-       |qt2 AS (SELECT query_id, w FROM qt
-       |  UNION SELECT query_id, w FROM expn),
-       |${bm25ChainSql("qt2", "2")}
-       |SELECT query_id, rk, doc_id, n_terms,
-       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score
-       |FROM ranked2 WHERE rk <= $BM25_K""".stripMargin)
-
-  /** Efraimidis–Spirakis weighted sampling without replacement (IPL
-    * 2006): top-50 of u^(1/w) keys with deterministic hash-derived u —
-    * reproducible weighted subset selection at any scale. */
-  private val q160 = QueryDef(
-    "q160_weighted_sample",
-    (s, d) => graft.operators.ScaleOps.weightedSample(
-      Tables.documents(s, d), col("doc_id"), col("n_chars"), 50),
-    s"""WITH b AS (SELECT doc_id AS did,
-       |    CAST(n_chars AS DOUBLE) AS weight,
-       |    round(ln((${graft.functions.TextHash.hrwMixSql(
-                  "doc_id % 1000000007")} + 1) / 1000000008.0)
-       |      * 1000000.0 / CAST(n_chars AS DOUBLE), 6) AS skey
-       |  FROM documents WHERE n_chars > 0),
-       |top AS (SELECT * FROM b ORDER BY skey DESC, did LIMIT 50)
-       |SELECT did, weight, skey,
-       |  CAST(row_number() OVER (ORDER BY skey DESC, did) AS BIGINT) AS rk
-       |FROM top""".stripMargin)
-
-  /** Length-grouped packing (the q54 packer per power-of-two length
-    * bucket): similarly-sized docs share chunks, cutting pad-to-longest
-    * waste; the bucket key is integer bit-length, engine-exact. */
-  private val q161 = QueryDef(
-    "q161_bucketed_packing",
-    (s, d) => TextOps.packSequencesBucketed(
-      Tables.documents(s, d), col("doc_id"), col("text"), 512L),
-    """WITH b AS (SELECT doc_id,
-      |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS toks
-      |  FROM documents),
-      |bb AS (SELECT doc_id, toks,
-      |    CAST(length(bin(toks)) AS BIGINT) AS bucket,
-      |    doc_id // 1048576 AS block FROM b),
-      |off AS (SELECT bucket, block,
-      |    coalesce(sum(btot) OVER (PARTITION BY bucket ORDER BY block
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
-      |  FROM (SELECT bucket, block, sum(toks) AS btot FROM bb
-      |        GROUP BY 1, 2)),
-      |c AS (SELECT bb.bucket, bb.doc_id, bb.toks,
-      |    off.boff + sum(bb.toks) OVER (PARTITION BY bb.bucket, bb.block
-      |      ORDER BY bb.doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      - bb.toks AS strt
-      |  FROM bb JOIN off ON bb.bucket = off.bucket AND bb.block = off.block)
-      |SELECT bucket, CAST(strt // 512 AS BIGINT) AS chunk_id,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
-      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM c GROUP BY 1, 2""".stripMargin)
-
-  /** Two-phase heavy-hitter bigrams: deterministic 1/4 occurrence
-    * sample for candidates, exact verify of candidates only — the
-    * huge-key-space frequency-mining shape, fully oracle-replayed. */
-  private val q162 = QueryDef(
-    "q162_heavy_ngrams",
-    (s, d) => graft.operators.CorpusStatsOps.heavyNgrams(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      n = 2, rate = 4, minCount = 32L, k = 20),
-    s"""WITH base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws
-       |  FROM documents),
-       |g AS (SELECT did, i AS pos, array_to_string(ws[i:i+1], ' ') AS gram
-       |  FROM base, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
-       |  WHERE len(ws) >= 2),
-       |samp AS (SELECT gram FROM g
-       |  WHERE ${polyHashSql("gram || '#' || CAST(did AS VARCHAR)" +
-                              " || '#' || CAST(pos AS VARCHAR)")} % 4 = 0),
-       |cand AS (SELECT gram FROM samp GROUP BY gram
-       |  HAVING count(*) >= 4),
-       |ex AS (SELECT g.gram, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM g JOIN cand USING (gram) GROUP BY g.gram
-       |  HAVING count(*) >= 32)
-       |SELECT rk, gram, cnt FROM (
-       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram)
-       |    AS BIGINT) AS rk, gram, cnt FROM ex)
-       |WHERE rk <= 20""".stripMargin)
-
-  /** Per-language ridge fits (the q155 distillation per domain): one
-    * guarded Cramer's-rule model row per language from one grouped
-    * aggregation. */
-  private val q163 = QueryDef(
-    "q163_ridge_by_lang",
-    (s, d) => {
-      val (x1, x2) =
-        graft.operators.RegressionOps.qualityFeatures(col("text"))
-      val data = Tables.documents(s, d).select(col("lang"),
-        x1.as("x1"), x2.as("x2"),
-        round(TextOps.qualityComposite(col("text")), 6).as("y"))
-      graft.operators.RegressionOps.ridge2FitBy(
-        data, col("lang"), RIDGE_LAMBDA)
-    },
-    {
-      val Seq(det, n0, n1, n2) =
-        graft.operators.RegressionOps.cramerSql(RIDGE_LAMBDA)
-      s"""WITH feat AS (SELECT lang AS grp,
-         |  round(ln(1.0 + len(list_filter(ws, w -> length(w) > 0))), 6)
-         |    AS x1,
-         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         |    / len(list_filter(ws, w -> length(w) > 0)), 6) AS x2,
-         |  round($qualityCompositeSql, 6) AS y
-         |FROM (SELECT lang, text, string_split(text, ' ') AS ws
-         |      FROM documents)),
-         |m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n,
-         |  round(sum(round(x1, 6)), 6) AS s1,
-         |  round(sum(round(x2, 6)), 6) AS s2,
-         |  round(sum(round(x1 * x1, 6)), 6) AS s11,
-         |  round(sum(round(x1 * x2, 6)), 6) AS s12,
-         |  round(sum(round(x2 * x2, 6)), 6) AS s22,
-         |  round(sum(round(y, 6)), 6) AS sy,
-         |  round(sum(round(x1 * y, 6)), 6) AS s1y,
-         |  round(sum(round(x2 * y, 6)), 6) AS s2y
-         |FROM feat GROUP BY grp)
-         |SELECT grp, CAST(n AS BIGINT) AS n_rows,
-         |  round(CASE WHEN $det <> 0 THEN $n0 / $det END, 6) + 0.0 AS w0,
-         |  round(CASE WHEN $det <> 0 THEN $n1 / $det END, 6) + 0.0 AS w1,
-         |  round(CASE WHEN $det <> 0 THEN $n2 / $det END, 6) + 0.0 AS w2
-         |FROM m""".stripMargin
-    })
-
-  /** Gopher compression filter on the codegen'd DEFLATE expression —
-    * rows-only (no SQL engine can replay DEFLATE); CorpusStatsSpec pins
-    * exact values against the same JDK kernel. */
-  private val q164 = QueryDef(
-    "q164_compression_screen",
-    (s, d) => graft.operators.CorpusStatsOps.compressionScreen(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    None)
-
-  /** Mojibake/encoding-damage scan over a deterministically corrupted
-    * corpus (hash-picked docs get one U+FFFD spliced at a hash-picked
-    * position — the q145 synthetic-damage precedent), full oracle. */
-  private val q165 = QueryDef(
-    "q165_mojibake_scan",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      import graft.functions.HashExpressions.polyHash
-      val docs = Tables.documents(s, d)
-      val h = polyHash(col("text"))
-      val p = (pmod(h, length(col("text")).cast("long")) + 1).cast("int")
-      val corrupted = when(pmod(h, lit(5L)) === 0,
-        concat(col("text").substr(lit(1), p - 1), lit("�"),
-          col("text").substr(p + 1, length(col("text")))))
-        .otherwise(col("text"))
-      graft.operators.CorpusStatsOps.encodingScan(
-        docs.withColumn("text", corrupted), col("doc_id"), col("text"))
-    },
-    s"""WITH c AS (SELECT doc_id AS did,
-       |    CASE WHEN h % 5 = 0 THEN
-       |      substr(text, 1, CAST(p - 1 AS INTEGER)) || chr(65533) ||
-       |      substr(text, CAST(p + 1 AS INTEGER), length(text))
-       |    ELSE text END AS t
-       |  FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h,
-       |      ${polyHashSql("text")} % length(text) + 1 AS p
-       |    FROM documents))
-       |SELECT did,
-       |  CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT)
-       |    AS n_repl,
-       |  CAST(length(t) - length(regexp_replace(t,
-       |    '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g')) AS BIGINT)
-       |    AS n_ctrl,
-       |  (length(t) - length(replace(t, chr(65533), ''))) > 0 OR
-       |  (length(t) - length(regexp_replace(t,
-       |    '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'))) > 0 AS is_suspect
-       |FROM c""".stripMargin)
-
-  /** Embedding moments, PRODUCTION face ([[graft.operators.WhitenOps
-    * .moments]]): the one-treeAggregate-pass covariance shape that
-    * actually feeds the ZCA fit at scale — zero shuffle, one
-    * dim²/2-sized double buffer per partition, log-depth combine.
-    * Registered (rows-only — double accumulation is the production
-    * trade; the DECIMAL oracle face is q133) so the BENCH measures the
-    * production shape, not just the verification machinery: the r12
-    * verdict flagged that the round's most expensive non-flagship bench
-    * row (q133, 9.5 s) was the oracle shape by design. WhitenSpec pins
-    * ≈-parity between the two faces at 1e-9 relative. */
-  private val q166 = QueryDef(
-    "q166_embedding_moments_scale",
-    (s, d) => graft.operators.WhitenOps.moments(
-      Tables.embeddings(s, d), col("embedding"), DIM),
-    None)
-
-  /** Compressed-audio ingest QA ([[MultimodalOps.mpegAudioInfo]]): the
-    * MPEG frame-header walk over a deterministic MP3 corpus (CBR and
-    * VBR streams, ID3v2-prefixed payloads, planted non-MPEG garbage) —
-    * frames, duration, mean bitrate, CBR/VBR verdict per clip, no PCM
-    * decode. Rows-only (no SQL engine parses MPEG framing);
-    * MultimodalSpec pins encode→parse roundtrips, the ID3 skip, the
-    * truncated-tail rule, and the garbage rejection. */
-  private val q167 = QueryDef(
-    "q167_mpeg_frame_scan",
-    (s, d) => {
-      implicit val sp: org.apache.spark.sql.SparkSession = s
-      MultimodalOps.mpegAudioInfo(MultimodalOps.syntheticMp3Corpus(
-        Tables.documents(s, d), col("doc_id"), col("text"))).toDF()
-    },
-    None)
-
-  /** Frozen-screen refresh, gram index ([[graft.operators.SpanDedupOps
-    * .gramIndexUpdate]]): the corpus is split 3:1 into a frozen base
-    * and a new-docs delta, the delta FOLDS into the frozen index (one
-    * full-outer merge of vocabulary-sized frames — the old corpus is
-    * never re-scanned), and the oracle replays `gramIndex(A ∪ B)` from
-    * scratch in SQL — the merge-equals-rebuild invariant IS the hash
-    * gate (the q122/q145 convention). */
-  private val q168 = QueryDef(
-    "q168_gram_index_refresh",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val base = docs.where(col("doc_id") % 4 =!= 0)
-      val delta = docs.where(col("doc_id") % 4 === 0)
-      graft.operators.SpanDedupOps.gramIndexUpdate(
-        graft.operators.SpanDedupOps.gramIndex(
-          base, col("doc_id"), col("text"), XDOC_K),
-        delta, col("doc_id"), col("text"), XDOC_K)
-    },
-    s"""WITH $xdocCtes
-       |SELECT h, glen, CAST(count(DISTINCT did) AS BIGINT) AS df,
-       |  min(did) AS canon
-       |FROM g GROUP BY 1, 2""".stripMargin)
-
-  /** Frozen-screen drift detector ([[graft.operators.CorpusStatsOps
-    * .robustDrift]]): the per-language median/MAD baseline is fitted on
-    * the full corpus, a half-corpus "arrival batch" with a planted
-    * +300-char shift on `de` is fitted fresh, and each group reports
-    * its center drift in frozen-MAD units plus the needs_refit verdict
-    * — the event-driven trigger for the recompute-on-drift refresh
-    * (medians do not merge; the q105 detector precedent for the text
-    * screens). Full oracle: both fits are quantile_cont SQL. */
-  private val q169 = QueryDef(
-    "q169_robust_drift",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val frozen = graft.operators.CorpusStatsOps.robustStats(
-        docs, col("lang"), col("n_chars"))
-      val batch = docs.where(col("doc_id") % 2 === 0)
-        .withColumn("n_chars", col("n_chars") +
-          when(col("lang") === "de", 300L).otherwise(0L))
-      graft.operators.CorpusStatsOps.robustDrift(
-        frozen, batch, col("lang"), col("n_chars"))
-    },
-    """WITH fb AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS v
-      |    FROM documents),
-      |fm AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM fb GROUP BY 1),
-      |fz AS (SELECT fb.grp, any_value(med) AS med,
-      |    quantile_cont(abs(v - med), 0.5) AS mad
-      |  FROM fb JOIN fm USING (grp) GROUP BY fb.grp),
-      |bb AS (SELECT lang AS grp, CAST(n_chars +
-      |      CASE WHEN lang = 'de' THEN 300 ELSE 0 END AS DOUBLE) AS v
-      |    FROM documents WHERE doc_id % 2 = 0),
-      |bm AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM bb GROUP BY 1),
-      |bz AS (SELECT bb.grp, any_value(med) AS med,
-      |    quantile_cont(abs(v - med), 0.5) AS mad
-      |  FROM bb JOIN bm USING (grp) GROUP BY bb.grp),
-      |j AS (SELECT grp, fz.med AS med_frozen, fz.mad AS mad_frozen,
-      |    bz.med AS med_new, bz.mad AS mad_new,
-      |    round(CASE WHEN fz.mad <> 0
-      |      THEN abs(bz.med - fz.med) / (1.4826 * fz.mad) END, 6) + 0.0
-      |      AS drift_z,
-      |    round(CASE WHEN fz.mad <> 0
-      |      THEN bz.mad / fz.mad END, 6) + 0.0 AS mad_ratio
-      |  FROM fz FULL OUTER JOIN bz USING (grp))
-      |SELECT grp, med_frozen, mad_frozen, med_new, mad_new, drift_z,
-      |  mad_ratio, coalesce(drift_z > 3.0, TRUE) AS needs_refit
-      |FROM j""".stripMargin)
-
-  /** Shard manifest ([[TextOps.shardManifest]]): per-shard doc/token
-    * counts, completeness check (max_pos), and the order-independent
-    * XOR content fingerprint over the q80 shard assignment — the audit
-    * artifact published next to the training shards. Full oracle. */
-  private val q175 = QueryDef(
-    "q175_shard_manifest",
-    (s, d) => TextOps.shardManifest(
-      Tables.documents(s, d), col("doc_id"), col("text"), 16),
-    s"""WITH t AS (SELECT doc_id, k % 16 AS shard,
-       |    CAST(row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id)
-       |      AS BIGINT) AS pos, toks, h
-       |  FROM (SELECT doc_id,
-       |      ((((h * 31 + doc_id) % $P + $P) % $P) * 2654435761) % $P AS k,
-       |      toks, h
-       |    FROM (SELECT doc_id, ${polyHashSql("text")} AS h,
-       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-       |      FROM documents)))
-       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
-       |  max(pos) AS max_pos,
-       |  bit_xor(h) AS content_fp
-       |FROM t GROUP BY shard""".stripMargin)
-
-  /** Unicode-script composition ([[TextOps.scriptMix]]) over a corpus
-    * with deterministic CJK/Cyrillic runs spliced onto hash-picked docs
-    * (the q165 synthetic-damage precedent) — script routing before
-    * langid and wrong-script contamination QA, full oracle. */
-  private val q174 = QueryDef(
-    "q174_script_mix",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      val h = graft.functions.HashExpressions.polyHash(col("text"))
-      val m = (pmod(h, lit(7L)) + 3L).cast("int")
-      val spliced = when(pmod(h, lit(5L)) === 0,
-          concat(col("text"), lit(" "),
-            call_function("repeat", lit("中文"), m)))
-        .when(pmod(h, lit(5L)) === 1,
-          concat(col("text"), lit(" "),
-            call_function("repeat", lit("да"), m)))
-        .otherwise(col("text"))
-      TextOps.scriptMix(Tables.documents(s, d).withColumn("text", spliced),
-        col("doc_id"), col("text"))
-    },
-    s"""WITH c AS (SELECT doc_id AS did, CASE
-       |    WHEN h % 5 = 0 THEN text || ' ' ||
-       |      repeat(chr(20013) || chr(25991), CAST(h % 7 + 3 AS INTEGER))
-       |    WHEN h % 5 = 1 THEN text || ' ' ||
-       |      repeat(chr(1076) || chr(1072), CAST(h % 7 + 3 AS INTEGER))
-       |    ELSE text END AS t
-       |  FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h
-       |        FROM documents)),
-       |n AS (SELECT did, CAST(length(t) AS BIGINT) AS len,
-       |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
-       |      AS BIGINT) AS n_latin,
-       |    CAST(length(t) - length(regexp_replace(t,
-       |      '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
-       |    CAST(length(t) - length(regexp_replace(t,
-       |      '[\\x{0400}-\\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
-       |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
-       |      AS BIGINT) AS n_digit,
-       |    CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT)
-       |      AS n_space
-       |  FROM c)
-       |SELECT did, n_latin, n_cjk, n_cyrillic, n_digit,
-       |  len - n_latin - n_cjk - n_cyrillic - n_digit - n_space AS n_other,
-       |  CASE WHEN len > 0 THEN
-       |    round(CAST(n_latin AS DOUBLE) / CAST(len AS DOUBLE), 6) + 0.0
-       |    END AS latin_ratio,
-       |  CASE
-       |    WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic AND
-       |      n_latin >= n_digit AND n_latin >=
-       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
-       |      THEN 'latin'
-       |    WHEN n_cjk >= n_cyrillic AND n_cjk >= n_digit AND n_cjk >=
-       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
-       |      THEN 'cjk'
-       |    WHEN n_cyrillic >= n_digit AND n_cyrillic >=
-       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
-       |      THEN 'cyrillic'
-       |    WHEN n_digit >=
-       |      len - n_latin - n_cjk - n_cyrillic - n_digit - n_space
-       |      THEN 'digit'
-       |    ELSE 'other' END AS dominant,
-       |  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
-       |   CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END +
-       |   CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
-       |FROM n""".stripMargin)
-
-  /** Exact-URL dedup ([[graft.operators.UrlOps.urlDedup]]) — crawl
-    * stage zero over the canonicalized URL corpus: variant fetches of
-    * one resource collapse to the min-id keeper before any content
-    * hashing. Full oracle. */
-  private val q181 = QueryDef(
-    "q181_url_dedup",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      graft.operators.UrlOps.urlDedup(graft.operators.UrlOps.canonicalize(
-        Tables.documents(s, d), col("doc_id"), urlCol))
-    },
-    s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
-       |c AS (SELECT doc_id,
-       |  ${graft.operators.UrlOps.canonicalUrlSql("u.url")} AS url_canon,
-       |  ${graft.operators.UrlOps.hostOfSql("u.url")} AS host
-       |  FROM u),
-       |r AS (SELECT doc_id, url_canon,
-       |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
-       |  FROM c),
-       |g AS (SELECT url_canon, min(doc_id) AS keeper_id,
-       |    CAST(count(*) AS BIGINT) AS n_copies
-       |  FROM r WHERE url_canon IS NOT NULL GROUP BY 1)
-       |SELECT doc_id, r.url_canon, domain,
-       |  coalesce(keeper_id, doc_id) AS keeper_id,
-       |  coalesce(n_copies, CAST(1 AS BIGINT)) AS n_copies,
-       |  doc_id = coalesce(keeper_id, doc_id) AS keep
-       |FROM r LEFT JOIN g ON r.url_canon = g.url_canon""".stripMargin)
-
-  /** KN-LM statistics refresh ([[TextOps.knCountsUpdate]] +
-    * [[TextOps.knModelFromCounts]]) — the gramIndexUpdate treatment for
-    * the language model (r13 verdict item 4): the corpus splits into a
-    * frozen base and a new-arrivals delta, the delta's bigram counts
-    * FOLD into the frozen count frame (one full-outer merge of
-    * bigram-vocabulary-sized frames — the old corpus is never
-    * re-scanned), and the full interpolated-KN model re-derives from
-    * the merged counts at vocabulary cost. The oracle replays the
-    * FULL-REBUILD model over A ∪ B in SQL, so merge-equals-rebuild is
-    * the hash gate across every derived statistic (context totals,
-    * continuation counts, each smoothed probability) — the q168
-    * convention at model depth. */
-  private val q182 = QueryDef(
-    "q182_kn_stats_refresh",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val base = docs.where(col("doc_id") % 4 =!= 0)
-      val delta = docs.where(col("doc_id") % 4 === 0)
-      TextOps.knModelFromCounts(
-        TextOps.knCountsUpdate(
-          TextOps.knBigramCounts(base, col("text")), delta, col("text")))
-        .drop("_lp")
-    },
-    s"""WITH ${knModelCtes("documents")}
-       |SELECT v, w, c_vw, c_v, n1p_v, n1p_w,
-       |  round($knPSql, 6) AS p_kn
-       |FROM cvw JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot"""
-      .stripMargin)
-
-  /** NB classifier drift ([[graft.operators.ClassifyOps
-    * .confusionDrift]]) — the q169 robustDrift shape for the learned
-    * classifier tier: the NB language model is frozen on the hash-split
-    * train corpus, its held-out confusion is the acceptance BASELINE
-    * (the q118 artifact), a synthetic arrivals batch perturbs the `de`
-    * documents' token distribution (vowel squash — a deterministic,
-    * SQL-replayable encoding-drift stand-in), and each label reports
-    * its frozen-model accuracy drop plus the needs_refit verdict. Full
-    * oracle: the q118 chain applied twice (baseline + perturbed held
-    * split) and reduced to per-label accuracy drift.
-    *
-    * Honest finding (sf0.01): no label flags — the held-out NB is
-    * already chance-level on this shared-vocabulary synthetic corpus
-    * (`de` acc 0.056 baseline, the q176 κ≈0.002 verdict from the other
-    * direction), so an all-OOV perturbation cannot DROP it 0.1; the
-    * firing semantics (collapse → flag, vanished/new label → flag) are
-    * pinned on a synthetic confusion fixture in ClassifyOpsSpec. */
-  private val q183 = QueryDef(
-    "q183_nb_drift",
-    (s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      // text/lang ride hashSplit's keep pass-through — one row-local
-      // projection, no corpus-scale doc_id join-back (r15: was a
-      // docs ⋈ split self-join)
-      val withSplit = TextOps.hashSplit(docs, col("doc_id"), col("text"),
-        keep = Seq(col("text"), col("lang")))
-      val train = withSplit.where(col("split") === "train")
-      val held = withSplit.where(col("split") =!= "train")
-      // ONE shared fit for both confusion sides (r15: nbClassify per
-      // side re-ran the token-explode fit aggregation + the label
-      // collect twice on identical train input); the vocab-scale model
-      // table is eagerly materialized because scoreTokens consumes it
-      // twice per side (head split + tail anti)
-      val labels = train.select(col("lang").cast("string")).distinct()
-        .as[String].collect().sorted.toSeq
-      val (model0, pri0) = graft.operators.ClassifyOps.nbFit(
-        train, col("text"), col("lang"), labels)
-      val model = model0.localCheckpoint(true)
-      val pri = pri0.localCheckpoint(true)
-      def confusion(apply: org.apache.spark.sql.DataFrame) =
-        graft.operators.ClassifyOps.scoreTokens(
-            apply.select(col("doc_id"), col("lang").as("label"),
-              explode(split(col("text"), " ")).as("word")),
-            model, pri, labels, Seq("doc_id", "label"))
-          .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
-      val arrivals = held.withColumn("text",
-        when(col("lang") === "de", translate(col("text"), "aeiou", "xxxxx"))
-          .otherwise(col("text")))
-      val drift = graft.operators.ClassifyOps.confusionDrift(
-        confusion(held), confusion(arrivals))
-      // materialize the tiny per-label result, then FREE the two
-      // vocab-scale checkpoint RDDs (the wpLearn/bpeLearn freeCheckpoint
-      // discipline — r15 leaked both for the session lifetime, once per
-      // bench rep); the returned frame is a LocalRelation referencing
-      // neither
-      val rows = java.util.Arrays.asList(drift.collect(): _*)
-      def free(df: org.apache.spark.sql.DataFrame): Unit =
-        df.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
-      free(model); free(pri)
-      s.createDataFrame(rows, drift.schema)
-    }, {
-      val ls = NbLangs
-      val dec = "DECIMAL(18,6)"
-      val ph = graft.functions.TextHash.polyHashSql("text")
-      // the q118 apply chain, emitted once per side with a prefix
-      def applyChain(p: String): String =
-        s"""${p}htoks AS (SELECT doc_id, lang,
-           |    unnest(string_split(text, ' ')) AS word FROM ${p}held),
-           |${p}sums AS (SELECT t.doc_id, t.lang,
-           |    ${ls.map(l => s"sum(COALESCE(m.lp_$l, oov.oov_$l)) AS s_$l")
-                .mkString(", ")}
-           |  FROM ${p}htoks t LEFT JOIN model m ON m.word = t.word
-           |  CROSS JOIN oov GROUP BY 1, 2),
-           |${p}scored AS (SELECT doc_id, lang,
-           |    ${ls.map(l => s"s_$l + pri.pri_$l AS sc_$l").mkString(", ")}
-           |  FROM ${p}sums CROSS JOIN pri),
-           |${p}pick AS (
-           |  SELECT doc_id, lang, l AS pred_label,
-           |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l)
-           |      AS rk
-           |  FROM (SELECT doc_id, lang,
-           |      unnest([${ls.map(l => s"'$l'").mkString(", ")}]) AS l,
-           |      unnest([${ls.map(l => s"sc_$l").mkString(", ")}]) AS s
-           |    FROM ${p}scored) u),
-           |${p}cells AS (SELECT lang AS label, pred_label,
-           |    CAST(count(*) AS BIGINT) AS n
-           |  FROM ${p}pick WHERE rk = 1 GROUP BY 1, 2),
-           |${p}acc AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_${p},
-           |    round(coalesce(sum(CASE WHEN label = pred_label THEN n END),
-           |      0) / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS acc_${p}
-           |  FROM ${p}cells GROUP BY 1)""".stripMargin
-      s"""WITH train AS (SELECT * FROM documents WHERE $ph % 100 < 80),
-         |bheld AS (SELECT doc_id, lang, text FROM documents
-         |  WHERE $ph % 100 >= 80),
-         |aheld AS (SELECT doc_id, lang,
-         |    CASE WHEN lang = 'de' THEN translate(text, 'aeiou', 'xxxxx')
-         |      ELSE text END AS text
-         |  FROM documents WHERE $ph % 100 >= 80),
-         |toks AS (SELECT doc_id, lang,
-         |    unnest(string_split(text, ' ')) AS word FROM train),
-         |cls AS (SELECT count(DISTINCT word) AS v,
-         |    ${ls.map(l => s"count(*) FILTER (WHERE lang = '$l') AS tot_$l")
-              .mkString(",\n    ")}
-         |  FROM toks),
-         |wc AS (SELECT word, lang, count(*) AS n FROM toks GROUP BY 1, 2),
-         |pri AS (SELECT
-         |    ${ls.map(l => s"CAST(round(ln(count(*) FILTER (WHERE lang = '$l')" +
-              s" / CAST(count(*) AS DOUBLE)), 6) AS $dec) AS pri_$l")
-              .mkString(",\n    ")}
-         |  FROM train),
-         |oov AS (SELECT
-         |    ${ls.map(l => s"CAST(round(ln(1.0 / (cls.tot_$l + cls.v)), 6)" +
-              s" AS $dec) AS oov_$l").mkString(",\n    ")}
-         |  FROM cls),
-         |model AS (
-         |  SELECT w.word,
-         |    ${ls.map(l => s"CAST(round(ln(CAST(COALESCE(c_$l.n, 0) + 1 AS DOUBLE)" +
-              s" / (cls.tot_$l + cls.v)), 6) AS $dec) AS lp_$l")
-              .mkString(",\n    ")}
-         |  FROM (SELECT DISTINCT word FROM toks) w CROSS JOIN cls
-         |  ${ls.map(l => s"LEFT JOIN wc c_$l ON c_$l.word = w.word AND c_$l.lang = '$l'")
-              .mkString("\n  ")}),
-         |${applyChain("b")},
-         |${applyChain("a")}
-         |SELECT coalesce(bacc.label, aacc.label) AS label,
-         |  n_b AS n_base, n_a AS n_new,
-         |  acc_b AS acc_frozen, acc_a AS acc_new,
-         |  round(acc_b - acc_a, 6) + 0.0 AS drift,
-         |  (bacc.label IS NULL OR aacc.label IS NULL
-         |    OR acc_b - acc_a > 0.1) AS needs_refit
-         |FROM bacc FULL OUTER JOIN aacc ON bacc.label = aacc.label"""
-        .stripMargin
-    })
-
-  /** Corpus datasheet ([[graft.operators.CorpusStatsOps.datasheet]]):
-    * the one-row release summary — sizes, composition, and the
-    * headline health rates (exact-dup fraction, quality keep rate,
-    * encoding-damage rate, hapax ratio). Full oracle. */
-  private val q180 = QueryDef(
-    "q180_corpus_datasheet",
-    (s, d) => graft.operators.CorpusStatsOps.datasheet(
-      Tables.documents(s, d), col("doc_id"), col("text"),
-      col("lang"), col("source")),
-    s"""WITH base AS (SELECT doc_id, text, lang, source,
-       |    ${polyHashSql("text")} AS fp, string_split(text, ' ') AS ws
-       |  FROM documents),
-       |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-       |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       |    CAST(count(*) - count(DISTINCT (fp, length(text))) AS BIGINT)
-       |      AS n_exact_dups,
-       |    CAST(sum(CASE WHEN $qualityCompositeSql
-       |      >= ${TextOps.DefaultMinQuality} THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_quality_keep,
-       |    CAST(sum(CASE WHEN
-       |      (length(text) - length(replace(text, chr(65533), ''))) > 0 OR
-       |      (length(text) - length(regexp_replace(text,
-       |        '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'))) > 0
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
-       |  FROM base),
-       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
-       |  FROM (SELECT unnest(ws) AS w FROM base)
-       |  WHERE length(w) > 0 GROUP BY 1),
-       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
-       |    CAST(count(*) AS BIGINT) AS n_types,
-       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_hapax
-       |  FROM wf)
-       |SELECT n_docs, n_tokens, n_chars, n_types, n_langs, n_sources,
-       |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-       |    + 0.0 AS mean_doc_tokens,
-       |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
-       |    + 0.0 AS hapax_ratio,
-       |  round(CAST(n_exact_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-       |    + 0.0 AS exact_dup_frac,
-       |  round(CAST(n_quality_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-       |    + 0.0 AS quality_keep_rate,
-       |  round(CAST(n_suspect AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-       |    + 0.0 AS suspect_rate
-       |FROM d, t""".stripMargin)
-
-  /** Per-eval-item contamination report ([[TextOps.contaminationReport]])
-    * — the governance flip side of q79: which TEST items are
-    * compromised, by how many train docs, worst offender id, and the
-    * shared-shingle exposure. Boilerplate-df-capped (r13 verdict item
-    * 2): shingles in more than [[ContamMaxDf]] train docs are pruned
-    * from the pair join — bounding each join key's fan-out at maxDf —
-    * and surfaced per test item as `boilerplate_shingles`; a test item
-    * whose ONLY overlap is boilerplate gets a row with zero train docs
-    * and NULL offender columns. Full oracle (the q79 chain reversed,
-    * struct-max tie rule and the df cap mirrored). */
-  private val q179 = QueryDef(
-    "q179_contamination_report",
-    (s, d) => TextOps.contaminationReport(
-      Tables.documents(s, d), col("doc_id"), col("text"), ContamW,
-      maxDf = ContamMaxDf),
-    s"""WITH ${shingleCteW(ContamW)},
-       |spl AS (SELECT doc_id,
-       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-       |      ELSE 'test' END AS split
-       |  FROM (SELECT doc_id, ${polyHashSql("text")} % 100 AS b
-       |        FROM documents) t),
-       |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-       |  FROM sh GROUP BY 1),
-       |te AS (SELECT sh.doc_id AS test_id, ns.n_shingles, sh.h
-       |  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-       |  JOIN ns ON sh.doc_id = ns.doc_id
-       |  WHERE split = 'test'),
-       |tr AS (SELECT sh.doc_id AS train_id, sh.h
-       |  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-       |  WHERE split = 'train'),
-       |hot AS (SELECT h FROM tr GROUP BY 1
-       |  HAVING count(*) > $ContamMaxDf),
-       |bl AS (SELECT test_id, max(n_shingles) AS n_shingles,
-       |    CAST(count(*) AS BIGINT) AS boilerplate_shingles
-       |  FROM te WHERE h IN (SELECT h FROM hot) GROUP BY 1),
-       |p AS (SELECT test_id, train_id,
-       |    max(n_shingles) AS n_shingles,
-       |    CAST(count(*) AS BIGINT) AS shared
-       |  FROM te JOIN tr ON te.h = tr.h
-       |  WHERE te.h NOT IN (SELECT h FROM hot)
-       |  GROUP BY 1, 2
-       |  HAVING count(*) >= 2),
-       |a AS (SELECT test_id,
-       |    max(n_shingles) AS n_shingles,
-       |    CAST(count(*) AS BIGINT) AS n_train_docs,
-       |    max({'sh': shared, 'ni': -train_id}) AS m
-       |  FROM p GROUP BY 1)
-       |SELECT coalesce(a.test_id, bl.test_id) AS test_id,
-       |  coalesce(a.n_shingles, bl.n_shingles) AS n_shingles,
-       |  coalesce(a.n_train_docs, 0) AS n_train_docs,
-       |  (m).sh AS max_shared, -(m).ni AS worst_train_id,
-       |  coalesce(bl.boilerplate_shingles, 0) AS boilerplate_shingles,
-       |  round(CAST((m).sh AS DOUBLE) / CAST(a.n_shingles AS DOUBLE), 6)
-       |    + 0.0 AS exposure
-       |FROM a FULL OUTER JOIN bl ON a.test_id = bl.test_id""".stripMargin)
-
-  /** Fill-in-the-middle transform ([[TextOps.fimSplit]], Bavarian et
-    * al. 2022): hash-drawn double cut into (prefix, middle, suffix),
-    * PSM reorder at rate 1/2, deterministic draws — the code-model
-    * infilling data prep, completing the denoising family with q124
-    * (span corruption) and q125 (prefix-LM). Full oracle: cut points,
-    * the applied draw, all three segment fingerprints, and the emitted
-    * training text's fingerprint replayed in SQL. */
-  private val q178 = QueryDef(
-    "q178_fim_transform",
-    (s, d) => TextOps.fimSplit(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    s"""WITH base AS (SELECT doc_id, text,
-       |    list_filter(string_split(text, ' '), w -> length(w) > 0)
-       |      AS toks,
-       |    ((((${polyHashSql("text")} * 31 + doc_id) % $P + $P) % $P)
-       |      * 2654435761) % $P AS d1
-       |  FROM documents),
-       |b2 AS (SELECT *, (d1 * 2654435761) % $P AS d2, len(toks) AS n
-       |  FROM base),
-       |c AS (SELECT doc_id, text, toks, n, d1,
-       |    least(d1 % (n + 1), d2 % (n + 1)) AS cut1,
-       |    greatest(d1 % (n + 1), d2 % (n + 1)) AS cut2
-       |  FROM b2),
-       |s AS (SELECT doc_id, text, n, d1, cut1, cut2,
-       |    coalesce(array_to_string(toks[1:cut1], ' '), '') AS prefix,
-       |    CASE WHEN cut2 > cut1 THEN
-       |      coalesce(array_to_string(toks[cut1+1:cut2], ' '), '')
-       |      ELSE '' END AS middle,
-       |    CASE WHEN n > cut2 THEN
-       |      coalesce(array_to_string(toks[cut2+1:n], ' '), '')
-       |      ELSE '' END AS suffix
-       |  FROM c),
-       |e AS (SELECT doc_id, n, cut1, cut2, prefix, middle, suffix,
-       |    (d1 % 10) < 5 AS applied,
-       |    CASE WHEN (d1 % 10) < 5 THEN concat_ws(' ', '<PRE>', prefix,
-       |      '<SUF>', suffix, '<MID>', middle) ELSE text END AS emitted
-       |  FROM s)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |  applied AS fim_applied,
-       |  CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2,
-       |  CASE WHEN prefix = '' THEN 0
-       |    ELSE ${polyHashSql("prefix")} END AS prefix_fp,
-       |  CASE WHEN middle = '' THEN 0
-       |    ELSE ${polyHashSql("middle")} END AS middle_fp,
-       |  CASE WHEN suffix = '' THEN 0
-       |    ELSE ${polyHashSql("suffix")} END AS suffix_fp,
-       |  ${polyHashSql("emitted")} AS emitted_fp
-       |FROM e""".stripMargin)
-
-  /** Per-domain token-budget cap ([[graft.operators.UrlOps
-    * .domainTokenCap]]): greedy-by-quality truncation of each
-    * registered domain at a token budget — the RefinedWeb head-domain
-    * squeeze, composed over the q170 domain extraction. Full oracle. */
-  private val q177 = QueryDef(
-    "q177_domain_token_cap",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      // tokens + quality score ride canonicalize's pass-through columns
-      // (the q171 no-join-back rule)
-      val docs = Tables.documents(s, d)
-        .withColumn("_toks", size(split(col("text"), " ")).cast("long"))
-        .withColumn("_score",
-          round(TextOps.qualityComposite(col("text")), 6))
-      val enriched = graft.operators.UrlOps.canonicalize(
-        docs, col("doc_id"), urlCol, keep = Seq("_toks", "_score"))
-      graft.operators.UrlOps.domainTokenCap(enriched, col("doc_id"),
-        col("domain"), col("_toks"), col("_score"), tokenBudget = 150L)
-    },
-    s"""WITH u AS (SELECT doc_id, $urlSql AS url,
-       |    CAST(len(ws) AS BIGINT) AS toks,
-       |    round($qualityCompositeSql, 6) AS score
-       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-       |        FROM documents)),
-       |c AS (SELECT doc_id, toks, score,
-       |    ${graft.operators.UrlOps.hostOfSql("u.url")} AS host FROM u),
-       |r AS (SELECT doc_id, toks, score,
-       |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
-       |  FROM c),
-       |rk AS (SELECT doc_id, domain, toks, score,
-       |    CAST(row_number() OVER (PARTITION BY domain
-       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
-       |    CAST(sum(toks) OVER (PARTITION BY domain
-       |      ORDER BY score DESC, doc_id ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |      AS cum
-       |  FROM r)
-       |SELECT doc_id, domain, toks AS n_tokens, score,
-       |  CASE WHEN rnk <= 100000 THEN rnk END AS rank,
-       |  CASE WHEN rnk <= 100000 THEN cum END AS cum_tokens,
-       |  CASE WHEN rnk <= 100000 THEN (cum <= 150 OR rnk = 1)
-       |    ELSE false END AS keep
-       |FROM rk""".stripMargin)
-
-  /** Cohen's κ between the q38 heuristic language prediction and the
-    * stored labels ([[graft.operators.ClassifyOps.cohenKappa]]) — the
-    * chance-corrected agreement audit; exact-integer confusion/marginal
-    * arithmetic, full oracle reusing the q38 scoring chain verbatim. */
-  private val q176 = QueryDef(
-    "q176_label_agreement",
-    (s, d) => {
-      // the stored label rides langId's own projection (r15: was a
-      // doc-cardinality join-back)
-      val pred = TextOps.langId(Tables.documents(s, d),
-        col("doc_id"), col("text"), keep = Seq(col("lang")))
-      graft.operators.ClassifyOps.cohenKappa(
-        pred, col("lang"), col("pred_lang"))
-    },
-    {
-      val scores = TextOps.LangProfiles.map { case (lang, stop) =>
-        val list = stop.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(ws, w -> list_contains($list, w))) AS DOUBLE)" +
-          s" / CAST(len(ws) AS DOUBLE) AS score_$lang"
-      }.mkString(",\n  ")
-      val best = TextOps.LangProfiles.map(p => s"score_${p._1}")
-        .mkString("greatest(", ", ", ")")
-      val pred = TextOps.LangProfiles.map { case (lang, _) =>
-        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
-      s"""WITH words AS (SELECT doc_id, lang,
-         |    string_split(text, ' ') AS ws FROM documents),
-         |scored AS (SELECT doc_id, lang,
-         |  $scores
-         |FROM words),
-         |wb AS (SELECT *, $best AS best FROM scored),
-         |j AS (SELECT lang AS la, $pred AS lb FROM wb),
-         |conf AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
-         |  FROM j GROUP BY 1, 2),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-         |    CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0)
-         |      AS BIGINT) AS n_agree
-         |  FROM conf),
-         |ra AS (SELECT la, sum(c) AS ra FROM conf GROUP BY 1),
-         |cb AS (SELECT lb, sum(c) AS cb FROM conf GROUP BY 1),
-         |m AS (SELECT coalesce(sum(ra * cb), 0) AS pe_num
-         |  FROM ra JOIN cb ON la = lb)
-         |SELECT n, n_agree,
-         |  round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
-         |    AS po,
-         |  round(CAST(pe_num AS DOUBLE) /
-         |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0 AS pe,
-         |  CASE WHEN CAST(pe_num AS DOUBLE) /
-         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
-         |    round((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
-         |        CAST(pe_num AS DOUBLE) /
-         |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-         |      / (1.0 - CAST(pe_num AS DOUBLE) /
-         |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0.0
-         |    END AS kappa
-         |FROM tot, m""".stripMargin
-    })
-
-  // ------------------------------------------------- URL / domain band
-
-  /** Deterministic per-doc source URL (Spark side): hash-derived
-    * scheme, mixed-case subdomain (exercises lowering), multi-part
-    * suffixes (exercises the public-suffix rule), default and
-    * non-default ports, empty paths, tracking-tainted queries with
-    * shuffled parameter order, fragments. Twin of [[urlSql]]. */
-  private def urlCol: org.apache.spark.sql.Column = {
-    val h = graft.functions.HashExpressions.polyHash(col("text"))
-    def m(n: Int) = pmod(h, lit(n.toLong))
-    val scheme = when(m(2) === 0, "http").otherwise("https")
-    val sub = when(m(4) === 0, "WWW.").when(m(4) === 1, "cdn.")
-      .when(m(4) === 2, "News.").otherwise("")
-    val dom = concat(lit("site"), m(37).cast("string"))
-    // round-15: ccTLD second-levels and hosting-platform suffixes from
-    // the widened PublicSuffixes snapshot, so the registry's new tiers
-    // (com.cn, co.nz, github.io, 3-label s3.amazonaws.com) are
-    // exercised at the driver gate, not just in UrlSpec
-    val suffix = when(m(11) === 0, ".com").when(m(11) === 1, ".co.uk")
-      .when(m(11) === 2, ".org").when(m(11) === 3, ".io")
-      .when(m(11) === 4, ".com.au").when(m(11) === 5, ".com.cn")
-      .when(m(11) === 6, ".github.io").when(m(11) === 7, ".co.nz")
-      .when(m(11) === 8, ".s3.amazonaws.com").when(m(11) === 9, ".net")
-      .otherwise(".com")
-    val port = when(m(6) === 0, ":80").when(m(6) === 1, ":443")
-      .when(m(6) === 2, ":8080").otherwise("")
-    val path = when(m(3) === 0, "").otherwise(
-      concat(lit("/p/"), pmod(col("doc_id"), lit(100L)).cast("string")))
-    // percent-escape and dot-segment decorations (round-14): exercise
-    // RFC 3986 §6.2.2.2–6.2.2.3 normalization at the driver gate
-    val deco = when(m(7) === 0, "/./x%7Ea").when(m(7) === 1, "/d/../%41b")
-      .when(m(7) === 2, "/%2e").otherwise("")
-    val qid = pmod(col("doc_id"), lit(50L)).cast("string")
-    // round-15: click-id families from the widened TrackingParams set
-    // (google ads, instagram/marketo, hubspot, microsoft/yandex) so the
-    // strip rules face the driver gate, not just UrlSpec
-    val query = when(m(13) === 0,
-        concat(lit("?utm_source=feed&id="), qid, lit("&utm_campaign=x")))
-      .when(m(13) === 1, "?ref=tw&b=2&a=1")
-      .when(m(13) === 2, concat(lit("?id="), qid))
-      .when(m(13) === 3, concat(lit("?gclid=abc&id="), qid))
-      .when(m(13) === 4, "?igshid=xyz&mkt_tok=t1")
-      .when(m(13) === 5, "?_hsenc=h&b=1&wbraid=w")
-      .when(m(13) === 6, concat(lit("?msclkid=m&yclid=y&id="), qid))
-      .otherwise("")
-    val frag = when(m(5) === 0, "#sec").otherwise("")
-    concat(scheme, lit("://"), sub, dom, suffix, port, path, deco, query,
-      frag)
-  }
-
-  /** DuckDB twin of [[urlCol]] over `documents` columns. */
-  private def urlSql: String = {
-    val h = polyHashSql("text")
-    s"""(CASE WHEN $h % 2 = 0 THEN 'http' ELSE 'https' END || '://' ||
-       | CASE $h % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'cdn.'
-       |   WHEN 2 THEN 'News.' ELSE '' END ||
-       | 'site' || CAST($h % 37 AS VARCHAR) ||
-       | CASE $h % 11 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
-       |   WHEN 2 THEN '.org' WHEN 3 THEN '.io' WHEN 4 THEN '.com.au'
-       |   WHEN 5 THEN '.com.cn' WHEN 6 THEN '.github.io'
-       |   WHEN 7 THEN '.co.nz' WHEN 8 THEN '.s3.amazonaws.com'
-       |   WHEN 9 THEN '.net' ELSE '.com' END ||
-       | CASE $h % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
-       |   WHEN 2 THEN ':8080' ELSE '' END ||
-       | CASE WHEN $h % 3 = 0 THEN ''
-       |   ELSE '/p/' || CAST(doc_id % 100 AS VARCHAR) END ||
-       | CASE $h % 7 WHEN 0 THEN '/./x%7Ea' WHEN 1 THEN '/d/../%41b'
-       |   WHEN 2 THEN '/%2e' ELSE '' END ||
-       | CASE $h % 13
-       |   WHEN 0 THEN '?utm_source=feed&id=' ||
-       |     CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
-       |   WHEN 1 THEN '?ref=tw&b=2&a=1'
-       |   WHEN 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
-       |   WHEN 3 THEN '?gclid=abc&id=' || CAST(doc_id % 50 AS VARCHAR)
-       |   WHEN 4 THEN '?igshid=xyz&mkt_tok=t1'
-       |   WHEN 5 THEN '?_hsenc=h&b=1&wbraid=w'
-       |   WHEN 6 THEN '?msclkid=m&yclid=y&id=' ||
-       |     CAST(doc_id % 50 AS VARCHAR)
-       |   ELSE '' END ||
-       | CASE WHEN $h % 5 = 0 THEN '#sec' ELSE '' END)""".stripMargin
-  }
-
-  /** ROC-AUC of the composite quality score against the `lang = en`
-    * label ([[graft.operators.ClassifyOps.scoreAuc]]): Mann–Whitney
-    * rank-sum with midrank ties, cumulative window over DISTINCT
-    * round-6 scores only (never a corpus-wide rank), decimal-exact
-    * rank-sum — full oracle. */
-  private val q173 = QueryDef(
-    "q173_score_auc",
-    (s, d) => graft.operators.ClassifyOps.scoreAuc(
-      Tables.documents(s, d),
-      round(TextOps.qualityComposite(col("text")), 6),
-      col("lang") === "en"),
-    s"""WITH f AS (SELECT round($qualityCompositeSql, 6) AS s,
-       |    (lang = 'en') AS y
-       |  FROM (SELECT text, lang, string_split(text, ' ') AS ws
-       |        FROM documents)),
-       |b AS (SELECT s, CAST(count(*) AS BIGINT) AS n_tot,
-       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-       |  FROM f WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY 1),
-       |r AS (SELECT n_tot, n_pos,
-       |    CAST(coalesce(sum(n_tot) OVER (ORDER BY s
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      AS DOUBLE) + (CAST(n_tot AS DOUBLE) + 1.0) / 2.0 AS avg_rank
-       |  FROM b),
-       |a AS (SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
-       |    CAST(sum(n_tot - n_pos) AS BIGINT) AS n_neg,
-       |    CAST(CAST(sum(CAST(CAST(n_pos AS DOUBLE) * avg_rank
-       |      AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS rs
-       |  FROM r)
-       |SELECT n_pos, n_neg,
-       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-       |    round((rs - CAST(n_pos AS DOUBLE) *
-       |        (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
-       |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) + 0.0
-       |    END AS auc
-       |FROM a""".stripMargin)
-
-  /** Per-doc unigram/bigram token entropy ([[graft.operators
-    * .CorpusStatsOps.entropyScreen]]): the SQL-replayable complement of
-    * the DEFLATE screen — decimal-exact rounded-term sums, entropies in
-    * nats, full oracle. */
-  private val q172 = QueryDef(
-    "q172_entropy_screen",
-    (s, d) => graft.operators.CorpusStatsOps.entropyScreen(
-      Tables.documents(s, d), col("doc_id"), col("text")),
-    """WITH base AS (SELECT doc_id AS did,
-      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
-      |  FROM documents),
-      |wnz AS (SELECT did, unnest(ws) AS t FROM base),
-      |uf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS c
-      |  FROM wnz GROUP BY 1, 2),
-      |ut AS (SELECT did, c, round(
-      |    -(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)) *
-      |    ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)), 6) AS term
-      |  FROM uf WINDOW w AS (PARTITION BY did)),
-      |ua AS (SELECT did,
-      |    CAST(CAST(sum(CAST(term AS DECIMAL(28,10))) AS VARCHAR)
-      |      AS DOUBLE) AS h,
-      |    CAST(sum(c) AS BIGINT) AS n_tok,
-      |    CAST(count(*) AS BIGINT) AS n_typ
-      |  FROM ut GROUP BY 1),
-      |g AS (SELECT did, array_to_string(ws[i:i+1], ' ') AS t
-      |  FROM base, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
-      |  WHERE len(ws) >= 2),
-      |gf AS (SELECT did, t, CAST(count(*) AS BIGINT) AS c
-      |  FROM g GROUP BY 1, 2),
-      |gt AS (SELECT did, c, round(
-      |    -(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)) *
-      |    ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER w AS DOUBLE)), 6) AS term
-      |  FROM gf WINDOW w AS (PARTITION BY did)),
-      |ga AS (SELECT did,
-      |    CAST(CAST(sum(CAST(term AS DECIMAL(28,10))) AS VARCHAR)
-      |      AS DOUBLE) AS h
-      |  FROM gt GROUP BY 1)
-      |SELECT base.did, coalesce(n_tok, 0) AS n_tokens,
-      |  coalesce(n_typ, 0) AS n_types,
-      |  round(ua.h, 6) + 0.0 AS word_entropy,
-      |  CASE WHEN n_typ > 1
-      |    THEN round(ua.h / ln(CAST(n_typ AS DOUBLE)), 6) + 0.0 END
-      |    AS norm_entropy,
-      |  round(ga.h, 6) + 0.0 AS bigram_entropy
-      |FROM base LEFT JOIN ua ON base.did = ua.did
-      |  LEFT JOIN ga ON base.did = ga.did""".stripMargin)
-
-  /** URL canonicalization ([[graft.operators.UrlOps.canonicalize]]):
-    * fragment/tracking-param/default-port/case normalization plus
-    * registered-domain extraction over a deterministic URL corpus
-    * covering every rule — full oracle, both engines canonicalizing
-    * the identical strings. */
-  private val q170 = QueryDef(
-    "q170_url_canonicalize",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      graft.operators.UrlOps.canonicalize(
-        Tables.documents(s, d), col("doc_id"), urlCol)
-    },
-    s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
-       |c AS (SELECT doc_id, url,
-       |  ${graft.operators.UrlOps.canonicalUrlSql("u.url")} AS url_canon,
-       |  ${graft.operators.UrlOps.hostOfSql("u.url")} AS host,
-       |  len(list_filter(string_split(CASE WHEN contains(
-       |      regexp_replace(url, '#.*$$', ''), '?')
-       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
-       |      '^[^?]*\\?', '') ELSE '' END, '&'), p -> p <> '')) AS n_all,
-       |  len(list_filter(string_split(CASE WHEN contains(
-       |      regexp_replace(url, '#.*$$', ''), '?')
-       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
-       |      '^[^?]*\\?', '') ELSE '' END, '&'),
-       |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) IN
-       |      ${graft.operators.UrlOps.trackingParamsSql})) AS n_kept
-       |  FROM u)
-       |SELECT doc_id, url, url_canon, host,
-       |  ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain,
-       |  CAST(n_all - n_kept AS BIGINT) AS n_params_dropped
-       |FROM c""".stripMargin)
-
-  /** Per-registered-domain rollup ([[graft.operators.UrlOps
-    * .domainStats]]): doc/host/token shares, canonical-URL duplication
-    * exposed by q170's normalization, and the blocklist verdict. */
-  private val DomainBlocklist =
-    Seq("site3.com", "site17.co.uk", "site9.com.cn", "site21.github.io")
-  private val q171 = QueryDef(
-    "q171_domain_stats",
-    (s, d) => {
-      graft.functions.HashExpressions.register(s)
-      // token counts ride canonicalize's pass-through columns — a
-      // join-back to documents on doc_id would shuffle the corpus twice
-      // for a value computable in the same row-local pass
-      val docs = Tables.documents(s, d).withColumn("_toks",
-        size(split(col("text"), " ")).cast("long"))
-      graft.operators.UrlOps.domainStats(
-        graft.operators.UrlOps.canonicalize(
-          docs, col("doc_id"), urlCol, keep = Seq("_toks")),
-        col("_toks"), DomainBlocklist)
-    },
-    s"""WITH u AS (SELECT doc_id, $urlSql AS url,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-       |  FROM documents),
-       |c AS (SELECT doc_id, toks,
-       |  ${graft.operators.UrlOps.canonicalUrlSql("u.url")} AS url_canon,
-       |  ${graft.operators.UrlOps.hostOfSql("u.url")} AS host,
-       |  len(list_filter(string_split(CASE WHEN contains(
-       |      regexp_replace(url, '#.*$$', ''), '?')
-       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
-       |      '^[^?]*\\?', '') ELSE '' END, '&'), p -> p <> '')) -
-       |  len(list_filter(string_split(CASE WHEN contains(
-       |      regexp_replace(url, '#.*$$', ''), '?')
-       |    THEN regexp_replace(regexp_replace(url, '#.*$$', ''),
-       |      '^[^?]*\\?', '') ELSE '' END, '&'),
-       |    p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) IN
-       |      ${graft.operators.UrlOps.trackingParamsSql})) AS dropped
-       |  FROM u),
-       |r AS (SELECT doc_id, toks, url_canon, host, dropped,
-       |    ${graft.operators.UrlOps.registeredDomainSql("c.host")} AS domain
-       |  FROM c)
-       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
-       |  CAST(count(*) - count(DISTINCT url_canon) AS BIGINT) AS n_url_dups,
-       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
-       |  CAST(sum(dropped) AS BIGINT) AS n_tracking_params,
-       |  coalesce(domain IN
-       |    ${DomainBlocklist.map(d => s"'$d'").mkString("(", ", ", ")")},
-       |    false) AS blocked
-       |FROM r GROUP BY domain""".stripMargin)
 
   val all: Seq[QueryDef] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
