@@ -111,6 +111,31 @@ class SqlApiSpec extends SparkSpec {
     assert(eCol.getMessage.contains("foldable"))
   }
 
+  test("tokenizer kernels are SQL-callable; fused merges arg guarded") {
+    graft.functions.BpeExpressions.register(spark)
+    val pts = spark.sql("SELECT gpt_pre_tokenize('it''s 2024!') AS p")
+      .as[Seq[String]].head()
+    assert(pts == Seq("it", "'s", " 2024", "!"))
+    // fused pre-tokenize∘byte-encode from SQL: merge (69, 74) = "it";
+    // the space rides INSIDE ' 2024''s first token (hex 20)
+    val toks = spark.sql(
+      "SELECT gpt_byte_bpe('it''s it', array(named_struct('l', '69', 'r', '74'))) AS t")
+      .as[Seq[String]].head()
+    assert(toks == Seq("6974", "27", "73", "20", "6974"),
+      s"fused SQL tokens drifted: $toks")
+    // decode identity straight from SQL
+    val rt = spark.sql(
+      "SELECT decode(unhex(concat_ws('', gpt_byte_bpe('a  b', " +
+        "array(named_struct('l', '61', 'r', '20'))))), 'UTF-8') AS t")
+      .as[String].head()
+    assert(rt == "a  b", "SQL-side decode∘encode must be the identity")
+    val eCol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT gpt_byte_bpe('x', array(named_struct('l', s, 'r', s))) " +
+        "FROM VALUES ('61') AS t(s)")
+    }
+    assert(eCol.getMessage.contains("foldable"))
+  }
+
   test("ORC roundtrip preserves the telemetry lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val t = graft.ztbus.Fixtures.telemetry(seconds = 120).toDF()
