@@ -357,7 +357,8 @@ object GptSegmenter {
   * randomized strings, and the corpus), so a document tokenizes in one
   * codegen'd expression with zero regex, zero HOF, and zero
   * intermediate array. */
-case class GptByteBpe(child: Expression, merges: Seq[(String, String)])
+case class GptByteBpe(child: Expression, merges: Seq[(String, String)],
+    specials: Seq[String] = Nil)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "gpt_byte_bpe"
@@ -368,17 +369,53 @@ case class GptByteBpe(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val coder =
     BpeEncode(child, merges, byteLevel = true, wholeInput = true)
 
+  // SPECIAL tokens (the tiktoken/HF `allowed_special` contract): each
+  // is ATOMIC — never pre-tokenized, never merged, never split — and
+  // emits as ONE token, its UTF-8 hex (so `concat(unhex(tokens))`
+  // stays the full-text identity). Occurrence resolution is
+  // leftmost-first, ties to the LONGEST special (so "<|eot|>x" beats
+  // "<|eot|>" at the same offset — the standard trie-match rule).
+  @transient private lazy val specialsByLen: Seq[(String, UTF8String)] =
+    specials.distinct.sortBy(-_.length).map { sp =>
+      (sp, UTF8String.fromString(
+        sp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X").mkString))
+    }
+
   def encodeAll(u: UTF8String): ArrayData = {
     val s = u.toString
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[Object](32)
-    GptSegmenter.scan(s, (a, b) => {
-      val ws = coder.encodeWord(s.substring(a, b))
-      var k = 0
-      while (k < ws.length) {
-        out.add(UTF8String.fromString(ws(k))); k += 1
+    def emitSegment(seg: String): Unit =
+      GptSegmenter.scan(seg, (a, b) => {
+        val ws = coder.encodeWord(seg.substring(a, b))
+        var k = 0
+        while (k < ws.length) {
+          out.add(UTF8String.fromString(ws(k))); k += 1
+        }
+      })
+    if (specialsByLen.isEmpty) emitSegment(s)
+    else {
+      var cur = 0
+      while (cur < s.length) {
+        // earliest special occurrence at/after cur; tie -> longest
+        // (specialsByLen is length-desc, so the first strict '<' wins)
+        var bestPos = -1
+        var bestSp: (String, UTF8String) = null
+        specialsByLen.foreach { sp =>
+          val p = s.indexOf(sp._1, cur)
+          if (p >= 0 && (bestPos < 0 || p < bestPos)) {
+            bestPos = p; bestSp = sp
+          }
+        }
+        if (bestPos < 0) { emitSegment(s.substring(cur)); cur = s.length }
+        else {
+          if (bestPos > cur) emitSegment(s.substring(cur, bestPos))
+          out.add(bestSp._2)
+          cur = bestPos + bestSp._1.length
+        }
       }
-    })
+    }
     new GenericArrayData(out.toArray)
   }
 
@@ -460,8 +497,32 @@ object BpeExpressions {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       GptByteBpeFnName,
       exprs => {
-        val (text, merges) = parseMerges(GptByteBpeFnName, exprs)
-        GptByteBpe(text, merges)
+        def bad(what: String) =
+          new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              (s"$GptByteBpeFnName(text, merges[, specials]): specials " +
+                s"argument must be $what")))
+        // optional 3rd arg: foldable array<string> of ATOMIC special
+        // tokens (document separators etc. — the tiktoken contract)
+        val specials: Seq[String] =
+          if (exprs.length <= 2) Nil
+          else {
+            if (exprs.length != 3)
+              throw bad("the only extra argument (at most 3 total)")
+            if (!exprs(2).foldable)
+              throw bad("a foldable array<string> literal")
+            val v = exprs(2).eval()
+            if (v == null) throw bad("non-null")
+            val arr = v.asInstanceOf[ArrayData]
+            (0 until arr.numElements()).map { i =>
+              val sp = arr.getUTF8String(i)
+              if (sp == null || sp.numChars() == 0)
+                throw bad("free of null/empty entries")
+              sp.toString
+            }
+          }
+        val (text, merges) = parseMerges(GptByteBpeFnName, exprs.take(2))
+        GptByteBpe(text, merges, specials)
       }, "scala_udf")
   }
 
@@ -500,11 +561,16 @@ object BpeExpressions {
 
   /** FUSED pre-tokenize∘byte-BPE column (see [[GptByteBpe]]) — the
     * production GPT tokenize path; call [[register]] on the session
-    * first. */
-  def gptByteBpe(text: Column, merges: Seq[(String, String)]): Column = {
+    * first. Pass `specials` for ATOMIC special tokens (document
+    * separators — never pre-tokenized, never merged; each emits as one
+    * token, its UTF-8 hex, so the decode identity holds). */
+  def gptByteBpe(text: Column, merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): Column = {
     val lit = org.apache.spark.sql.functions.typedlit(merges.map {
       case (l, r) => BpeMergeRow(l, r) })
-    call_function(GptByteBpeFnName, text, lit)
+    if (specials.isEmpty) call_function(GptByteBpeFnName, text, lit)
+    else call_function(GptByteBpeFnName, text, lit,
+      org.apache.spark.sql.functions.typedlit(specials))
   }
 }
 

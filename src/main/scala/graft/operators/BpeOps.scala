@@ -509,6 +509,29 @@ object BpeOps {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** [[gptByteBpeTokenize]] with ATOMIC special tokens (the
+    * tiktoken/HF `allowed_special` contract — what a production
+    * pipeline needs the moment it packs documents with separators
+    * like `<|endoftext|>`): each special is never pre-tokenized,
+    * never merged, never split by the pattern, and emits as exactly
+    * ONE token — its UTF-8 hex, so `concat(unhex(tokens))` remains
+    * the full-text identity. Occurrences resolve leftmost-first,
+    * ties to the longest special. Same fused one-scan kernel; the
+    * non-special segments walk the identical pre-tokenize∘encode
+    * path, so with `specials = Nil` this IS [[gptByteBpeTokenize]]
+    * (spec-pinned). */
+  def gptByteBpeTokenizeSpecial(docs: DataFrame, id: Column,
+      text: Column, merges: DataFrame,
+      specials: Seq[String]): DataFrame = {
+    require(specials.forall(_.nonEmpty), "specials must be non-empty")
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = graft.functions.BpeExpressions.gptByteBpe(text, m, specials)
+    docs.select(id.as("doc_id"), toks.as("tokens"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** The STAGED composition of the production GPT tokenize path —
     * `transform(gptPreTokenize(text), t => byteBpeEncodePre(t, m))` —
     * kept as the executable reference the fused [[gptByteBpeTokenize]]

@@ -282,6 +282,79 @@ private[queries] object PipelineBandTokenizer {
          |FROM dpt d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
     }))
 
+  /** The document separator every GPT-family packing pipeline inserts
+    * between concatenated documents — the canonical special token. */
+  private val GptSpecial = "<|endoftext|>"
+  private val GptSpecialHex = GptSpecial
+    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    .map(b => f"${b & 0xff}%02X").mkString
+
+  /** GPT byte-BPE with an ATOMIC special token ([[graft.operators
+    * .BpeOps.gptByteBpeTokenizeSpecial]] — the tiktoken/HF
+    * `allowed_special` contract): every doc is augmented with one
+    * mid-string `<|endoftext|>` (text ‖ special ‖ lang — the
+    * packed-documents shape), tokenized under the FROZEN q200 merge
+    * table; the special must survive as exactly ONE token (its UTF-8
+    * hex — decode identity intact) with the surrounding text
+    * segmented exactly as q200 segments it. FULL oracle: the q200
+    * per-pre-token fold replay run per SEGMENT of the
+    * special-delimited split, reassembled in (segment, pre-token)
+    * order with the special's hex interleaved — so a kernel that
+    * let the pattern split the special, or merged across it, hash-
+    * fails here. */
+  private[queries] val q206 = QueryDef(
+    "q206_gpt_special_tokens",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val aug = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(GptSpecial), col("lang")))
+      graft.operators.BpeOps.gptByteBpeTokenizeSpecial(
+          aug, col("doc_id"), col("text"),
+          GptByteBpeMergesMemo.merges(s, d), Seq(GptSpecial))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0, graft.functions.HashExpressions
+            .polyHash(array_join(col("tokens"), " "))).as("tokens_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val toks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(
+          org.apache.spark.sql.SparkSession.active, sfDir),
+        byteLevel = true)
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || '$GptSpecial' || lang AS text FROM documents),
+         |dseg AS (SELECT doc_id,
+         |    string_split(text, '$GptSpecial') AS segs FROM aug),
+         |seg AS (SELECT doc_id, si, segs[si] AS seg, len(segs) AS nseg
+         |  FROM dseg, UNNEST(generate_series(1, len(segs))) AS t(si)),
+         |spt AS (SELECT doc_id, si, nseg,
+         |    ${graft.operators.BpeOps.gptPreTokensSql("seg")} AS pts
+         |  FROM seg),
+         |pt AS (SELECT doc_id, si, i AS pi, pts[i] AS w
+         |  FROM spt, UNNEST(generate_series(1, len(pts))) AS t(i)),
+         |enc AS (SELECT doc_id, si, pi, $toks AS toks FROM pt),
+         |perseg AS (SELECT doc_id, si,
+         |    string_agg(toks, ' ' ORDER BY pi) AS segtoks
+         |  FROM enc GROUP BY doc_id, si),
+         |assembled AS (SELECT s.doc_id, string_agg(
+         |    CASE WHEN p.segtoks IS NULL OR p.segtoks = ''
+         |      THEN (CASE WHEN s.si < s.nseg THEN '$GptSpecialHex' END)
+         |      ELSE p.segtoks ||
+         |        (CASE WHEN s.si < s.nseg THEN ' $GptSpecialHex'
+         |          ELSE '' END) END,
+         |    ' ' ORDER BY s.si) AS alltoks
+         |  FROM seg s LEFT JOIN perseg p USING (doc_id, si)
+         |  GROUP BY s.doc_id)
+         |SELECT a.doc_id,
+         |  CAST(CASE WHEN a.alltoks IS NULL OR a.alltoks = '' THEN 0
+         |    ELSE len(string_split(a.alltoks, ' ')) END AS BIGINT)
+         |    AS n_tokens,
+         |  CASE WHEN a.alltoks IS NOT NULL AND a.alltoks <> ''
+         |    THEN ${polyHashSql("a.alltoks")} END AS tokens_fp
+         |FROM assembled a""".stripMargin
+    }))
+
   /** Tokenizer round-trip audit (r15 verdict item 5 / What's missing 3
     * — [[graft.operators.TokenizerAuditOps.roundTrip]]): asserts
     * `decode ∘ encode` identity per (tokenizer, language) for all FOUR

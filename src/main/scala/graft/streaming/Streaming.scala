@@ -429,12 +429,16 @@ object Streaming {
     * [[graft.functions.GptByteBpe]] kernel the batch path runs — zero
     * regex, zero HOF, no pre-token array), all row-local (no state, no
     * join); concat(unhex) of an arrival's tokens rebuilds its FULL
-    * text. Re-fit → restart. */
+    * text. Optional ATOMIC `specials` ride the same kernel (the
+    * tiktoken contract — batch twin `gptByteBpeTokenizeSpecial`,
+    * parity pinned). Re-fit → restart. */
   def gptByteBpeTokenizeStream(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): DataFrame = {
+    require(specials.forall(_.nonEmpty), "specials must be non-empty")
     graft.functions.BpeExpressions.register(docs.sparkSession)
     val toks = graft.functions.BpeExpressions.gptByteBpe(col("text"),
-      merges)
+      merges, specials)
     docs.select(col("doc_id"), toks.as("tokens"),
       size(toks).cast("long").as("n_tokens"))
   }

@@ -469,6 +469,59 @@ class BpeSpec extends SparkSpec {
       s"fused plan still carries a HOF:\n$plan")
   }
 
+  test("gpt byte bpe: special tokens are ATOMIC, ordered, and " +
+      "decode-identity-preserving") {
+    def hexOf(s: String): String = s.getBytes("UTF-8")
+      .map(b => f"${b & 0xff}%02X").mkString
+    val sp = "<|endoftext|>"
+    val docs = Seq(
+      (1L, s"hello${sp}world"),        // mid-word: no space absorption
+      (2L, s"a b $sp c"),              // surrounded by spaces
+      (3L, s"$sp"),                    // special alone
+      (4L, s"$sp$sp"),                 // back-to-back
+      (5L, s"x${sp}"), (6L, s"${sp}x"),// at either end
+      (7L, "no special here"),
+      (8L, s"tail<|endoftex")          // prefix of a special: NOT one
+    ).toDF("doc_id", "text")
+    val merges = BpeOps.bpeLearn(
+      BpeOps.preTokenFreqs(
+        Tables.documents(spark, sf).where(col("doc_id") < 60),
+        col("text")), 8, symbolize = BpeOps.toByteSymbols)
+    val out = BpeOps.gptByteBpeTokenizeSpecial(docs, col("doc_id"),
+        col("text"), merges, Seq(sp))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // atomicity: the special is exactly ONE token, its hex
+    assert(out(1L).count(_ == hexOf(sp)) == 1)
+    assert(out(3L) == Seq(hexOf(sp)))
+    assert(out(4L) == Seq(hexOf(sp), hexOf(sp)))
+    assert(out(6L).head == hexOf(sp))
+    // the pattern never sees the special: doc 7/8 equal the plain path
+    val plain = BpeOps.gptByteBpeTokenize(docs, col("doc_id"),
+        col("text"), merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(7L) == plain(7L))
+    assert(out(8L) == plain(8L), "a PREFIX of a special is ordinary text")
+    // decode identity over every fixture, specials included
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val decoded = new String(out(id).mkString.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+      assert(decoded == t, s"decode identity failed for doc $id")
+    }
+    // leftmost-longest: overlapping specials resolve to the longer one
+    val both = Seq((1L, "ab!end")).toDF("doc_id", "text")
+    val t2 = BpeOps.gptByteBpeTokenizeSpecial(both, col("doc_id"),
+        col("text"), merges, Seq("ab", "ab!"))
+      .head().getSeq[String](1)
+    assert(t2.head == hexOf("ab!"),
+      s"longest special must win at the same offset: $t2")
+    // empty specials refused
+    intercept[IllegalArgumentException] {
+      BpeOps.gptByteBpeTokenizeSpecial(both, col("doc_id"), col("text"),
+        merges, Seq(""))
+    }
+  }
+
   test("toByteSymbols: NULL passes through as NULL (r17 advice)") {
     val rows = Seq(Some("Hi"), Some(""), None).toDF("w")
       .select(BpeOps.toByteSymbols(col("w")).as("s")).collect()

@@ -795,6 +795,27 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch,
         "ingest-time GPT byte tokens must equal the batch face exactly")
     } finally q.stop()
+    // specials ride the same kernel: ingest ≡ the batch special face
+    val sp = "<|endoftext|>"
+    val augRows = rows.map { case (id, t) => (id, t + sp + "en") }
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.gptByteBpeTokenizeStream(
+      in2.toDS().toDF("doc_id", "text"), merges, Seq(sp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gptbpe2").start()
+    try {
+      in2.addData(augRows.toIndexedSeq: _*); q2.processAllAvailable()
+      val streamed2 = spark.table("gptbpe2").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      val batch2 = BpeOps.gptByteBpeTokenizeSpecial(
+        docs.withColumn("text", concat(col("text"), lit(sp), lit("en"))),
+        col("doc_id"), col("text"), mergesDf, Seq(sp)).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2))))
+        .toMap
+      assert(streamed2 == batch2,
+        "ingest-time special tokens must equal the batch special face")
+    } finally q2.stop()
   }
 
   test("unigramTokenizeStream rows equal the batch tokenizer; novel chars price as unk") {
