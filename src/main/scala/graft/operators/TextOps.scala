@@ -485,6 +485,163 @@ object TextOps {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Token-EXACT context-window packing — the GPT-pretraining data
+    * layout ([[packSequences]] plans chunks at document granularity;
+    * this operator emits the actual packed token streams): documents'
+    * token arrays are concatenated in `doc_id` order, `sep` (when
+    * given — `<|endoftext|>`'s token in a GPT pipeline) appended after
+    * EVERY document, and the global stream cut into sequences of
+    * exactly `ctx` tokens, documents SPLITTING across sequence
+    * boundaries (only the final sequence may be short). Per sequence:
+    * the packed `tokens`, segment/boundary stats, and `doc_starts` —
+    * the in-sequence offsets where a document begins, i.e. the reset
+    * points an attention mask that stops cross-document attention
+    * needs (reference behavior: Orca-ztbus-python-processor has no
+    * tokenizer tier; this extends the q54 packing face to the token
+    * level).
+    *
+    * Scale shape: the global token offset is the [[packSequences]]
+    * hierarchical prefix sum (intra-block window + broadcast
+    * block-offset table — never a corpus-wide single-partition
+    * window); each document then row-locally EXPLODES into its
+    * covered sequence ids (`strt div ctx .. (strt+n-1) div ctx` —
+    * bounded by `n/ctx + 1` rows) with an array `slice` per segment,
+    * and one aggregation keyed on `seq_id` (uniform by construction —
+    * every group holds exactly `ctx` tokens) assembles each sequence
+    * from its sorted segments. Two shuffles total, both uniform; the
+    * per-group state is bounded by `ctx`, so executor memory is flat
+    * at any corpus size. The assembly HOFs (`array_sort`/`flatten`/
+    * `transform` over a handful of segments per sequence) run on
+    * group-sized arrays, not the corpus hot path — the heavy work
+    * (tokenization) stays upstream in whole-stage codegen.
+    *
+    * Documents with NULL or (when `sep` is None) empty token arrays
+    * contribute nothing to the stream; with `sep` set, an empty
+    * document still contributes its separator — the packed stream is
+    * the identity `flatten(docs.sortBy(doc_id).map(tokens ++ sep))`
+    * either way (spec-pinned, with block-size invariance). */
+  def packTokenSequences(docs: DataFrame, id: Column, tokens: Column,
+      ctx: Int, sep: Option[String] = None,
+      blockSize: Long = 1L << 20): DataFrame = {
+    require(ctx > 0 && blockSize > 0, "ctx and blockSize must be > 0")
+    require(sep.forall(_.nonEmpty), "sep token must be non-empty")
+    val toks = sep match {
+      case Some(t) => concat(tokens, array(lit(t)))
+      case None    => tokens
+    }
+    val base = docs
+      .select(id.as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+    val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("block").agg(sum("n").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
+      .select("block", "boff")
+    val placed = base
+      .withColumn("cum_in", sum("n").over(wIn))
+      .join(broadcast(offsets), "block")
+      .withColumn("strt", col("boff") + col("cum_in") - col("n"))
+    // One row per (document, covered sequence): in-doc slice bounds are
+    // 0-based [lo, hi); slice positions fit Int because they are bounded
+    // by the DOCUMENT's token count, never the corpus'.
+    val segs = placed
+      .withColumn("seq_id",
+        explode(expr(s"sequence(strt div ${ctx}L, (strt + n - 1) div ${ctx}L)")))
+      .withColumn("lo", greatest(col("seq_id") * ctx - col("strt"), lit(0L)))
+      .withColumn("hi", least((col("seq_id") + 1) * ctx - col("strt"), col("n")))
+      .select(col("seq_id"), struct(
+        col("strt"),
+        expr("slice(toks, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))").as("seg"),
+        col("doc_id"),
+        (col("lo") === 0L).as("starts_here"),
+        (col("hi") === col("n")).as("ends_here")).as("part"))
+    segs
+      .groupBy("seq_id")
+      // distinct strt per document ⇒ array_sort's field-order struct
+      // compare is a total order ⇒ deterministic assembly.
+      .agg(array_sort(collect_list(col("part"))).as("parts"))
+      .select(
+        col("seq_id"),
+        flatten(expr("transform(parts, p -> p.seg)")).as("tokens"),
+        size(col("parts")).cast("long").as("n_segments"),
+        expr("aggregate(parts, 0L, (a, p) -> a + IF(p.ends_here, 1L, 0L))")
+          .as("n_docs_end"),
+        expr("parts[0].doc_id").as("first_doc"),
+        expr("element_at(parts, -1).doc_id").as("last_doc"),
+        expr(s"transform(filter(parts, p -> p.starts_here)," +
+          s" p -> p.strt - seq_id * ${ctx}L)").as("doc_starts"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .select("seq_id", "tokens", "n_tokens", "n_segments", "n_docs_end",
+        "first_doc", "last_doc", "doc_starts")
+  }
+
+  /** Padding-free WHOLE-document packing ([[HistogramPacking]] — the
+    * SFT counterpart of [[packTokenSequences]]: examples must not split
+    * across sequences, so they are bin-packed into `ctx`-token packs
+    * and the shortfall is padding): per document, the assigned
+    * `pack_id` + `slot`, with `len` clamped to `ctx` (`truncated`
+    * flags documents longer than the context window — the standard
+    * pre-truncation).
+    *
+    * Scale shape: the ONLY driver-side work is the length histogram —
+    * `ctx` rows regardless of corpus size (a bounded-by-construction
+    * collect, the bpeLearnSampled precedent) — fed to the pure
+    * [[HistogramPacking.pack]]; the document→pack assignment is then
+    * CLOSED-FORM from (length, per-length rank) against the broadcast
+    * group table (driver-scale rows: groups × combo lengths). The
+    * per-length rank is hierarchical like [[packSequences]]' prefix
+    * sum — an intra-(len, block) `row_number` plus per-len exclusive
+    * block offsets over (len, block) AGGREGATE rows — so no single
+    * task ever ranks a whole length class (at 100 TB one popular
+    * length can hold billions of documents; `Window.partitionBy(len)`
+    * alone would serialize them). The offsets join shares the
+    * (len, block) hash partitioning the rank window just produced —
+    * no extra corpus exchange. */
+  def histogramPack(docs: DataFrame, id: Column, nTokens: Column,
+      ctx: Long, blockSize: Long = 1L << 20): DataFrame = {
+    require(ctx > 0 && blockSize > 0, "ctx and blockSize must be > 0")
+    val base = docs
+      .select(id.as("doc_id"), nTokens.cast("long").as("n"))
+      .where(col("n") >= 1L)
+      .withColumn("len", least(col("n"), lit(ctx)))
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+    val hist = base.groupBy("len").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    if (hist.isEmpty) return base.select(col("doc_id"),
+      col("n").as("n_tokens"), col("len"), lit(false).as("truncated"),
+      col("n").as("pack_id"), col("n").as("slot"))
+    val groups = HistogramPacking.pack(hist, ctx)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = groups
+      .flatMap(g => g.slots.map { case (l, k, off) =>
+        (l, off, k, g.mult, g.packBase) })
+      .toDF("slen", "soff", "k", "mult", "pack_base")
+    val wIn = Window.partitionBy(col("len"), col("block"))
+      .orderBy(col("doc_id"))
+    val wBlocks = Window.partitionBy(col("len")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("len", "block").agg(count(lit(1)).as("bc"))
+      .withColumn("boff", coalesce(sum("bc").over(wBlocks), lit(0L)))
+      .select(col("len").as("olen"), col("block").as("oblock"), col("boff"))
+    base
+      .withColumn("ri", row_number().over(wIn).cast("long") - 1L)
+      .join(offsets,
+        col("len") === col("olen") && col("block") === col("oblock"))
+      .withColumn("r", col("boff") + col("ri"))
+      .join(broadcast(slots),
+        col("len") === col("slen") && col("r") >= col("soff") &&
+          col("r") < col("soff") + col("mult") * col("k"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("len"),
+        (col("n") > lit(ctx)).as("truncated"),
+        (col("pack_base") + expr("(r - soff) div k")).as("pack_id"),
+        expr("(r - soff) % k").as("slot"))
+  }
+
   /** Train/test contamination screen (n-gram decontamination): for every
     * TEST-split document ([[hashSplit]]), the fraction of its distinct
     * word-`w`-gram shingles that occur in ANY train-split document. The

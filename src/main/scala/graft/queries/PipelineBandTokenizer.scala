@@ -355,6 +355,186 @@ private[queries] object PipelineBandTokenizer {
          |FROM assembled a""".stripMargin
     }))
 
+  /** Token-EXACT context-window packing ([[graft.operators.TextOps
+    * .packTokenSequences]] — the capstone of the GPT packing arc:
+    * q200 tokenizes, q206 keeps separators atomic, this emits the
+    * actual training sequences): every document's q200 token stream +
+    * the `<|endoftext|>` separator token, concatenated in doc_id
+    * order and cut at EXACTLY 512 tokens, documents splitting across
+    * sequence boundaries. FULL oracle — the q200 fold replay extended
+    * with a SQL prefix sum: per-doc token strings → exclusive
+    * `sum() OVER (ORDER BY doc_id)` offsets → one row per global
+    * token position → GROUP BY `gpos // 512`, re-assembling each
+    * sequence in position order. A packer that mis-places one
+    * boundary token, drops an empty doc's separator, or assembles
+    * segments out of order hash-fails per sequence. */
+  private[queries] val q207 = QueryDef(
+    "q207_gpt_packed_sequences",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val tok = graft.operators.BpeOps.gptByteBpeTokenize(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        GptByteBpeMergesMemo.merges(s, d))
+      graft.operators.TextOps.packTokenSequences(
+          tok, col("doc_id"), col("tokens"), 512, Some(GptSpecialHex))
+        .select(col("seq_id"), col("n_tokens"), col("n_segments"),
+          col("n_docs_end"), col("first_doc"), col("last_doc"),
+          array_join(transform(col("doc_starts"), x => x.cast("string")),
+            ",").as("doc_starts"),
+          graft.functions.HashExpressions.polyHash(
+            array_join(col("tokens"), " ")).as("tokens_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val toks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(
+          org.apache.spark.sql.SparkSession.active, sfDir),
+        byteLevel = true)
+      s"""WITH dpt AS (SELECT doc_id,
+         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+         |  FROM documents),
+         |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
+         |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
+         |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY pi) AS alltoks
+         |  FROM enc GROUP BY doc_id),
+         |tk AS (SELECT d.doc_id,
+         |    CASE WHEN p.alltoks IS NULL OR p.alltoks = ''
+         |      THEN ['$GptSpecialHex']
+         |      ELSE string_split(p.alltoks || ' $GptSpecialHex', ' ')
+         |      END AS tks
+         |  FROM dpt d LEFT JOIN perdoc p USING (doc_id)),
+         |woff AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n,
+         |    sum(CAST(len(tks) AS BIGINT))
+         |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - len(tks) AS strt
+         |  FROM tk),
+         |pos AS (SELECT doc_id, strt, n, strt + i - 1 AS gpos, tks[i] AS tok
+         |  FROM woff, UNNEST(generate_series(1, n)) AS t(i)),
+         |seqs AS (SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_segments,
+         |    CAST(count(*) FILTER (WHERE gpos = strt + n - 1) AS BIGINT)
+         |      AS n_docs_end,
+         |    min(doc_id) AS first_doc,
+         |    max(doc_id) AS last_doc,
+         |    coalesce(string_agg(CASE WHEN gpos = strt
+         |        THEN CAST(gpos - (gpos // 512) * 512 AS VARCHAR) END,
+         |      ',' ORDER BY gpos), '') AS doc_starts,
+         |    string_agg(tok, ' ' ORDER BY gpos) AS seqtoks
+         |  FROM pos GROUP BY 1)
+         |SELECT seq_id, n_tokens, n_segments, n_docs_end, first_doc,
+         |  last_doc, doc_starts, ${polyHashSql("seqtoks")} AS tokens_fp
+         |FROM seqs""".stripMargin
+    }))
+
+  /** Frozen packing strategy for q208 — the per-sfDir length histogram
+    * (≤ 512 rows by construction) packed once by
+    * [[graft.operators.HistogramPacking.pack]]; the oracle embeds the
+    * group table as VALUES (the frozen-model convention), so the SQL
+    * side replays only the deterministic closed-form assignment. */
+  private[queries] object HistPackMemo {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[graft.operators.HistogramPacking.PackGroup]]
+    def groups(s: org.apache.spark.sql.SparkSession, d: String)
+        : Seq[graft.operators.HistogramPacking.PackGroup] =
+      cache.getOrElseUpdate(d, {
+        val tok = graft.operators.BpeOps.gptByteBpeTokenize(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          GptByteBpeMergesMemo.merges(s, d))
+        val hist = tok
+          .select(least(col("n_tokens"), lit(512L)).as("len"))
+          .where(col("len") >= 1L)
+          .groupBy("len").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.operators.HistogramPacking.pack(hist, 512L)
+      })
+    def valuesSql(s: org.apache.spark.sql.SparkSession, d: String): String =
+      groups(s, d)
+        .flatMap(g => g.slots.map { case (l, k, off) =>
+          s"($l, $off, $k, ${g.mult}, ${g.packBase})" })
+        .mkString(", ")
+  }
+
+  /** Padding-free WHOLE-document packing ([[graft.operators.TextOps
+    * .histogramPack]] — the SFT face of the packing tier: q207 splits
+    * documents across ctx boundaries, this keeps every example whole
+    * and measures the padding bill): per 512-token pack, the document
+    * count, used tokens, waste = 512 − used, truncation count, and a
+    * fingerprint of the exact member set. FULL oracle — the packing
+    * strategy is a pure function of the ≤512-row length histogram,
+    * frozen as a VALUES group table; DuckDB replays the q200 token
+    * counts, the per-length rank, and the closed-form
+    * `pack_base + (rank − off) // k` assignment, so a packer that
+    * misranks one document or misplaces one group boundary
+    * hash-fails on the member fingerprint. */
+  private[queries] val q208 = QueryDef(
+    "q208_histogram_pack",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      val tok = graft.operators.BpeOps.gptByteBpeTokenize(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        GptByteBpeMergesMemo.merges(s, d))
+      graft.operators.TextOps.histogramPack(
+          tok, col("doc_id"), col("n_tokens"), 512L)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("len").as("n_tokens"),
+          (lit(512L) - sum("len")).as("waste"),
+          sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("docs"))
+        .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+          col("waste"), col("n_truncated"),
+          graft.functions.HashExpressions.polyHash(col("docs"))
+            .as("docs_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val toks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
+      val values = HistPackMemo.valuesSql(spark, sfDir)
+      s"""WITH dpt AS (SELECT doc_id,
+         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+         |  FROM documents),
+         |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
+         |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
+         |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY pi) AS alltoks
+         |  FROM enc GROUP BY doc_id),
+         |lens AS (SELECT d.doc_id,
+         |    CAST(CASE WHEN p.alltoks IS NULL OR p.alltoks = '' THEN 0
+         |      ELSE len(string_split(p.alltoks, ' ')) END AS BIGINT) AS n
+         |  FROM dpt d LEFT JOIN perdoc p USING (doc_id)),
+         |flt AS (SELECT doc_id, n, least(n, 512) AS len
+         |  FROM lens WHERE n >= 1),
+         |ranks AS (SELECT doc_id, n, len,
+         |    row_number() OVER (PARTITION BY len ORDER BY doc_id) - 1 AS r
+         |  FROM flt),
+         |strat(slen, soff, k, mult, pack_base) AS (VALUES $values),
+         |asg AS (SELECT doc_id, n, len,
+         |    pack_base + (r - soff) // k AS pack_id
+         |  FROM ranks JOIN strat ON slen = len
+         |    AND r >= soff AND r < soff + mult * k),
+         |packs AS (SELECT pack_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS n_tokens,
+         |    CAST(512 - sum(len) AS BIGINT) AS waste,
+         |    CAST(count(*) FILTER (WHERE n > 512) AS BIGINT)
+         |      AS n_truncated,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |      AS docs
+         |  FROM asg GROUP BY pack_id)
+         |SELECT pack_id, n_docs, n_tokens, waste, n_truncated,
+         |  ${polyHashSql("docs")} AS docs_fp
+         |FROM packs""".stripMargin
+    }))
+
   /** Tokenizer round-trip audit (r15 verdict item 5 / What's missing 3
     * — [[graft.operators.TokenizerAuditOps.roundTrip]]): asserts
     * `decode ∘ encode` identity per (tokenizer, language) for all FOUR

@@ -431,6 +431,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(oneBlock == out)
   }
 
+  test("packTokenSequences: token-exact packing, splits, doc_starts") {
+    // streams (sep E): 1:[a b c E] 2:[E] 3:[d E] 4:[e f g h i j E] -> 14
+    // tokens; ctx 4 cuts at positions 4/8/12, doc4 spans seqs 1-3
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq.empty[String]),                  // empty doc: sep only
+      (4L, Seq("e", "f", "g", "h", "i", "j")),
+      (3L, Seq("d")),
+      (5L, null.asInstanceOf[Seq[String]]))     // NULL tokens: skipped
+      .toDF("doc_id", "toks")
+    def run(df: org.apache.spark.sql.DataFrame, block: Long) =
+      TextOps.packTokenSequences(df, col("doc_id"), col("toks"), 4,
+        Some("E"), blockSize = block)
+        .as[(Long, Seq[String], Long, Long, Long, Long, Long, Seq[Long])]
+        .collect().sortBy(_._1).toSeq
+    val out = run(d, 2L) // blockSize 2 forces the hierarchical path
+    assert(out == Seq(
+      (0L, Seq("a", "b", "c", "E"), 4L, 1L, 1L, 1L, 1L, Seq(0L)),
+      (1L, Seq("E", "d", "E", "e"), 4L, 3L, 2L, 2L, 4L, Seq(0L, 1L, 3L)),
+      (2L, Seq("f", "g", "h", "i"), 4L, 1L, 0L, 4L, 4L, Seq.empty[Long]),
+      (3L, Seq("j", "E"), 2L, 1L, 1L, 4L, 4L, Seq.empty[Long])), s"$out")
+    assert(run(d, 1024L) == out, "blockSize never changes the result")
+    assert(run(d.repartition(5), 2L) == out, "partitioning-invariant")
+    // global identity: concatenating the sequences IN seq_id ORDER
+    // rebuilds exactly flatten(docs.sorted.map(toks :+ sep))
+    assert(out.flatMap(_._2) ==
+      Seq("a", "b", "c", "E", "E", "d", "E", "e", "f", "g", "h", "i",
+        "j", "E"))
+    // every sequence but the last is exactly ctx tokens
+    assert(out.init.forall(_._3 == 4L) && out.last._3 <= 4L)
+  }
+
+  test("packTokenSequences: no separator drops empty docs from the stream") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("d")),
+      (4L, Seq("e", "f", "g", "h", "i", "j"))).toDF("doc_id", "toks")
+    val out = TextOps.packTokenSequences(d, col("doc_id"), col("toks"), 3,
+        None, blockSize = 2L)
+      .as[(Long, Seq[String], Long, Long, Long, Long, Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    // stream: a b c | d | e f g h i j  (doc 2 contributes nothing)
+    assert(out.map(_._2) == Seq(Seq("a", "b", "c"), Seq("d", "e", "f"),
+      Seq("g", "h", "i"), Seq("j")), s"$out")
+    assert(out(1) == ((1L, Seq("d", "e", "f"), 3L, 2L, 1L, 3L, 4L,
+      Seq(0L, 1L))), s"${out(1)}")
+    // ctx 2: doc 4 (6 tokens) spans 3+ sequences; identity still holds
+    val tiny = TextOps.packTokenSequences(d, col("doc_id"), col("toks"), 2,
+        None, blockSize = 2L)
+      .as[(Long, Seq[String], Long, Long, Long, Long, Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(tiny.flatMap(_._2) ==
+      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+    // only seq1 [c, d] mixes docs (1 and 3); doc 3 ends flush on the
+    // boundary so doc 4 opens seq2 alone
+    assert(tiny.count(_._4 > 1L) == 1 &&
+      tiny(1) == ((1L, Seq("c", "d"), 2L, 2L, 2L, 1L, 3L, Seq(1L))),
+      s"$tiny")
+  }
+
   test("contamination scores test-split docs by train shingle overlap") {
     // unique texts sharing exactly the 2 leading trigrams out of 5 ->
     // every test doc reads 2/5 contamination against any train doc
