@@ -41,9 +41,7 @@ object HistogramPacking {
     * `packBase + (r - off) div k` of the unique group whose `l`-slot
     * satisfies `off <= r < off + mult*k`. */
   final case class PackGroup(packBase: Long, mult: Long,
-      slots: List[(Long, Long, Long)]) {
-    def used: Long = slots.map { case (l, k, _) => l * k }.sum
-  }
+      slots: List[(Long, Long, Long)])
 
   /** Mutable in-flight strategy part; `slots` as in [[PackGroup]]. */
   private final class Part(var rem: Long, var mult: Long,

@@ -430,21 +430,50 @@ object TextOps {
     val base = docs
       .select(id.as("doc_id"), toks.as("toks"))
       .withColumn("block", expr(s"doc_id div $blockSize"))
-    val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBlocks = Window.orderBy(col("block"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("block").agg(sum("toks").as("btot"))
-      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
-      .select("block", "boff")
-    base
-      .withColumn("cum_in", sum("toks").over(wIn))
-      .join(broadcast(offsets), "block")
-      .withColumn("strt", col("boff") + col("cum_in") - col("toks"))
+    blockPrefixSum(base, Nil, col("toks"))
       .withColumn("chunk_id", expr(s"strt div $budget"))
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** Exclusive hierarchical prefix sum — the packing family's shared
+    * placement kit: over `base` (which must carry `doc_id`, `block`,
+    * and the `partCols` columns), adds `strt` = the sum of `weight`
+    * over all EARLIER rows (doc_id order) of the same `partCols`
+    * group (globally when `partCols` is empty). The intra-(group,
+    * block) running-sum window bounds per-task work by blockSize;
+    * per-(group, block) totals aggregate to a tiny frame whose
+    * exclusive running sum supplies block offsets — the distributed
+    * prefix-sum shape shared by [[packSequences]],
+    * [[packSequencesBucketed]], [[packTokenSequences]], and
+    * [[histogramPack]]. With `broadcastOffsets` the offset frame
+    * ships broadcast (right when it is ~one row per block); offset
+    * frames that could outgrow a broadcast at corpus scale
+    * ([[histogramPack]]'s per-(len, block)) instead join on the SAME
+    * (group, block) hash partitioning the window just produced — no
+    * extra corpus exchange. `weight` = `lit(1L)` makes `strt` the
+    * 0-based in-group rank. */
+  private[operators] def blockPrefixSum(base: DataFrame,
+      partCols: Seq[String], weight: Column,
+      broadcastOffsets: Boolean = true): DataFrame = {
+    val part = partCols.map(col)
+    val wIn = Window.partitionBy(part :+ col("block"): _*)
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.partitionBy(part: _*).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val weighted = base.withColumn("_w", weight)
+    val off = weighted.groupBy(part :+ col("block"): _*)
+      .agg(sum("_w").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
+      .select((partCols :+ "block").map(col) :+ col("boff"): _*)
+    weighted
+      .withColumn("_cum", sum("_w").over(wIn))
+      .join(if (broadcastOffsets) broadcast(off) else off,
+        partCols :+ "block")
+      .withColumn("strt", col("boff") + col("_cum") - col("_w"))
+      .drop("_w", "_cum", "boff")
   }
 
   /** Length-bucketed sequence packing — the length-grouped-batching
@@ -466,19 +495,7 @@ object TextOps {
       .select(id.as("doc_id"), toks.as("toks"))
       .withColumn("bucket", length(bin(col("toks"))).cast("long"))
       .withColumn("block", expr(s"doc_id div $blockSize"))
-    val wIn = Window.partitionBy(col("bucket"), col("block"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBlocks = Window.partitionBy(col("bucket")).orderBy(col("block"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bucket", "block")
-      .agg(sum("toks").as("btot"))
-      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
-      .select("bucket", "block", "boff")
-    base
-      .withColumn("cum_in", sum("toks").over(wIn))
-      .join(broadcast(offsets), Seq("bucket", "block"))
-      .withColumn("strt", col("boff") + col("cum_in") - col("toks"))
+    blockPrefixSum(base, Seq("bucket"), col("toks"))
       .withColumn("chunk_id", expr(s"strt div $budget"))
       .groupBy("bucket", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
@@ -534,17 +551,7 @@ object TextOps {
       .withColumn("n", size(col("toks")).cast("long"))
       .where(col("n") > 0)
       .withColumn("block", expr(s"doc_id div $blockSize"))
-    val wIn = Window.partitionBy(col("block")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBlocks = Window.orderBy(col("block"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("block").agg(sum("n").as("btot"))
-      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
-      .select("block", "boff")
-    val placed = base
-      .withColumn("cum_in", sum("n").over(wIn))
-      .join(broadcast(offsets), "block")
-      .withColumn("strt", col("boff") + col("cum_in") - col("n"))
+    val placed = blockPrefixSum(base, Nil, col("n"))
     // One row per (document, covered sequence): in-doc slice bounds are
     // 0-based [lo, hi); slice positions fit Int because they are bounded
     // by the DOCUMENT's token count, never the corpus'.
@@ -621,25 +628,15 @@ object TextOps {
       .flatMap(g => g.slots.map { case (l, k, off) =>
         (l, off, k, g.mult, g.packBase) })
       .toDF("slen", "soff", "k", "mult", "pack_base")
-    val wIn = Window.partitionBy(col("len"), col("block"))
-      .orderBy(col("doc_id"))
-    val wBlocks = Window.partitionBy(col("len")).orderBy(col("block"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("len", "block").agg(count(lit(1)).as("bc"))
-      .withColumn("boff", coalesce(sum("bc").over(wBlocks), lit(0L)))
-      .select(col("len").as("olen"), col("block").as("oblock"), col("boff"))
-    base
-      .withColumn("ri", row_number().over(wIn).cast("long") - 1L)
-      .join(offsets,
-        col("len") === col("olen") && col("block") === col("oblock"))
-      .withColumn("r", col("boff") + col("ri"))
+    // strt with weight 1 IS the 0-based rank within the length class
+    blockPrefixSum(base, Seq("len"), lit(1L), broadcastOffsets = false)
       .join(broadcast(slots),
-        col("len") === col("slen") && col("r") >= col("soff") &&
-          col("r") < col("soff") + col("mult") * col("k"))
+        col("len") === col("slen") && col("strt") >= col("soff") &&
+          col("strt") < col("soff") + col("mult") * col("k"))
       .select(col("doc_id"), col("n").as("n_tokens"), col("len"),
         (col("n") > lit(ctx)).as("truncated"),
-        (col("pack_base") + expr("(r - soff) div k")).as("pack_id"),
-        expr("(r - soff) % k").as("slot"))
+        (col("pack_base") + expr("(strt - soff) div k")).as("pack_id"),
+        expr("(strt - soff) % k").as("slot"))
   }
 
   /** Train/test contamination screen (n-gram decontamination): for every

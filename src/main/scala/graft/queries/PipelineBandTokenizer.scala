@@ -405,7 +405,8 @@ private[queries] object PipelineBandTokenizer {
          |      THEN ['$GptSpecialHex']
          |      ELSE string_split(p.alltoks || ' $GptSpecialHex', ' ')
          |      END AS tks
-         |  FROM dpt d LEFT JOIN perdoc p USING (doc_id)),
+         |  FROM dpt d LEFT JOIN perdoc p USING (doc_id)
+         |  WHERE d.pts IS NOT NULL),
          |woff AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n,
          |    sum(CAST(len(tks) AS BIGINT))
          |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

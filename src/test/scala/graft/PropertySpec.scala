@@ -421,4 +421,39 @@ class PropertySpec extends SparkSpec {
         s"one shared level — $ctx")
     }
   }
+
+  private val tokenDocsGen: Gen[List[List[String]]] =
+    Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0, 9).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d")))))
+
+  test("packTokenSequences: global identity, exact cuts, doc_starts") {
+    samples(Gen.zip(tokenDocsGen, Gen.oneOf(1, 3, 7),
+      Gen.oneOf(1L, 4L, 1024L)), 12).foreach { case (docs, ctx, block) =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "toks")
+      val out = graft.operators.TextOps.packTokenSequences(
+          df, col("doc_id"), col("toks"), ctx, Some("E"), blockSize = block)
+        .as[(Long, Seq[String], Long, Long, Long, Long, Long, Seq[Long])]
+        .collect().sortBy(_._1)
+      val ctxMsg = s"docs=$docs ctx=$ctx block=$block"
+      // the packed stream IS flatten(docs.sorted.map(toks :+ sep))
+      val stream = docs.flatMap(_ :+ "E")
+      assert(out.flatMap(_._2).toList == stream, ctxMsg)
+      // seq ids dense from 0; every sequence but the last exactly ctx
+      assert(out.map(_._1).toList == out.indices.map(_.toLong).toList, ctxMsg)
+      assert(out.init.forall(_._3 == ctx.toLong) &&
+        out.last._3 == ((stream.size - 1) % ctx) + 1, ctxMsg)
+      // doc_starts: exactly the in-seq positions where a doc opens
+      val opens = docs.indices.map(i =>
+        docs.take(i).map(_.size + 1).sum.toLong)
+      out.foreach { case (sid, _, _, _, _, _, _, starts) =>
+        val want = opens.filter(p => p >= sid * ctx && p < (sid + 1) * ctx)
+          .map(_ - sid * ctx)
+        assert(starts.toList == want.toList, s"$ctxMsg seq $sid")
+      }
+      // n_docs_end totals the corpus (every separator lands somewhere)
+      assert(out.map(_._5).sum == docs.size.toLong, ctxMsg)
+    }
+  }
 }
