@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled BPE tokenization under a FROZEN merge table — the production
@@ -434,6 +434,67 @@ case class GptByteBpe(child: Expression, merges: Seq[(String, String)],
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Vocabulary id lookup as ONE compiled probe per token: array<string>
+  * tokens → array<bigint> ids under a FROZEN (token → id) table held as
+  * instance data — the last step turning a packed token stream into the
+  * integer sequences a trainer consumes. A literal `map()` column
+  * (`element_at(typedlit(m), tok)`) walks Catalyst's ArrayBasedMapData
+  * LINEARLY per lookup — O(|vocab|) per token, ruinous at a 50k-entry
+  * trainer vocabulary; this kernel is the constant-time hash probe (the
+  * [[BpeEncode]] table-as-data pattern). Duplicate token strings keep
+  * the SMALLEST id (a merge can re-manufacture an earlier merge's
+  * string — the vocab is keyed by string, one id per string, exactly
+  * the GPT-2 vocab-file semantics). A token absent from the table fails
+  * LOUDLY: under the matching frozen merge table every encoder output
+  * is a base byte or a merge result, so a miss means vocab/merges skew
+  * — silent NULLs would corrupt training data undetectably. */
+case class TokenIds(child: Expression, vocab: Seq[(String, Long)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ids"
+
+  @transient private lazy val ids
+      : java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, i) =>
+      val k = UTF8String.fromString(t)
+      val prev = m.get(k)
+      if (prev == null || i < prev) m.put(k, i)
+    }
+    m
+  }
+
+  def lookupAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val id = ids.get(t)
+      if (id == null) throw new IllegalArgumentException(
+        s"token_ids: token '$t' not in the ${vocab.size}-entry " +
+          "vocabulary — the id table does not match the merge table " +
+          "that produced these tokens")
+      out(i) = id.longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    lookupAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("tokenIds", this,
+        classOf[TokenIds].getName)
+      s"${ev.value} = $ref.lookupAll($input);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
 
 object BpeExpressions {
   val FnName = "bpe_encode"
@@ -454,6 +515,9 @@ object BpeExpressions {
 
   /** The fused pre-tokenize∘byte-BPE kernel (see [[GptByteBpe]]). */
   val GptByteBpeFnName = "gpt_byte_bpe"
+
+  /** The vocabulary id-lookup kernel (see [[TokenIds]]). */
+  val TokenIdsFnName = "token_ids"
 
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -524,6 +588,25 @@ object BpeExpressions {
         val (text, merges) = parseMerges(GptByteBpeFnName, exprs.take(2))
         GptByteBpe(text, merges, specials)
       }, "scala_udf")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TokenIdsFnName,
+      exprs => {
+        def bad(what: String) =
+          new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              s"$TokenIdsFnName(tokens, vocab): vocab must be $what"))
+        if (exprs.length != 2) throw bad("present (exactly 2 arguments)")
+        if (!exprs(1).foldable)
+          throw bad("a foldable array<struct<t,i>> literal")
+        val v = exprs(1).eval()
+        if (v == null) throw bad("non-null")
+        val arr = v.asInstanceOf[ArrayData]
+        val vocab = (0 until arr.numElements()).map { i =>
+          val row = arr.getStruct(i, 2)
+          (row.getUTF8String(0).toString, row.getLong(1))
+        }
+        TokenIds(exprs.head, vocab)
+      }, "scala_udf")
   }
 
   /** Compiled-tokenizer column (see [[BpeEncode]]); call [[register]] on
@@ -572,7 +655,21 @@ object BpeExpressions {
     else call_function(GptByteBpeFnName, text, lit,
       org.apache.spark.sql.functions.typedlit(specials))
   }
+
+  /** Vocabulary id-lookup column (see [[TokenIds]]); call [[register]]
+    * on the session first. `vocab` is the frozen (token, id) table —
+    * duplicates resolve to the smallest id. */
+  def tokenIds(tokens: Column, vocab: Seq[(String, Long)]): Column = {
+    val lit = org.apache.spark.sql.functions.typedlit(vocab.map {
+      case (t, i) => VocabIdRow(t, i) })
+    call_function(TokenIdsFnName, tokens, lit)
+  }
 }
+
+/** Struct shape of one vocabulary row in the [[BpeExpressions.tokenIds]]
+  * literal: field order (t, i) is the wire contract the registration
+  * parses. */
+case class VocabIdRow(t: String, i: Long)
 
 /** Struct shape of one merge row in the [[BpeExpressions.bpeEncode]]
   * literal: field order (l, r) is the wire contract the registration

@@ -509,6 +509,46 @@ object BpeOps {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** The GPT-2 vocabulary construction over a [[toByteSymbols]]-fitted
+    * merge table (Radford et al. 2019 §2.2 — the `vocab.json`
+    * contract): ids 0–255 are the 256 base byte symbols (uppercase
+    * hex pairs, the byte tokenizer's alphabet) and id `256 + rank` is
+    * merge `rank`'s concatenation. The vocabulary is keyed BY STRING —
+    * a merge that re-manufactures an existing token string (a later
+    * merge pair whose concatenation collides with an earlier result)
+    * does not mint a second id; the SMALLEST id wins, so `n_tokens`
+    * may be < 256 + nMerges. Tiny frame (vocab-scale rows); feeds
+    * [[graft.functions.BpeExpressions.tokenIds]]'s frozen lookup
+    * table. */
+  def gptVocab(merges: DataFrame): DataFrame =
+    merges.sparkSession.range(256)
+      .select(col("id"), lpad(hex(col("id")), 2, "0").as("token"))
+      .unionByName(merges.select((col("rank") + lit(256L)).as("id"),
+        concat(col("left"), col("right")).as("token")))
+      .groupBy("token").agg(min("id").as("id"))
+      .select("id", "token")
+
+  /** [[gptByteBpeTokenize]] as trainer-ready integer ids: the fused
+    * tokenize kernel followed by the [[graft.functions.BpeExpressions
+    * .tokenIds]] hash-probe kernel under the [[gptVocab]] table —
+    * `(doc_id, ids, n_tokens)`, both steps one compiled pass, zero
+    * shuffle. The id table rides the expression as data (the frozen-
+    * model convention); an encoder output missing from the vocabulary
+    * throws rather than NULLing — it cannot happen under the matching
+    * merge table. */
+  def gptByteBpeTokenizeIds(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    graft.functions.BpeExpressions.register(docs.sparkSession)
+    val m = merges.orderBy("rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val vocab = gptVocab(merges).orderBy("id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    val ids = graft.functions.BpeExpressions.tokenIds(
+      graft.functions.BpeExpressions.gptByteBpe(text, m), vocab)
+    docs.select(id.as("doc_id"), ids.as("ids"),
+      size(ids).cast("long").as("n_tokens"))
+  }
+
   /** [[gptByteBpeTokenize]] with ATOMIC special tokens (the
     * tiktoken/HF `allowed_special` contract — what a production
     * pipeline needs the moment it packs documents with separators

@@ -536,6 +536,156 @@ private[queries] object PipelineBandTokenizer {
          |FROM packs""".stripMargin
     }))
 
+  /** The GPT vocabulary as (token, id) pairs for the frozen TokenIds
+    * lookup table — [[graft.operators.BpeOps.gptVocab]] over the q200
+    * merge memo, with the `<|endoftext|>` separator appended at
+    * `256 + nMerges` (the GPT-2 convention: specials take the ids
+    * after the merge block). */
+  private def gptVocabWithSpecial(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, Long)] = {
+    val nMerges = GptByteBpeMergesMemo.pairs(s, d).length
+    graft.operators.BpeOps.gptVocab(GptByteBpeMergesMemo.merges(s, d))
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSeq :+
+      ((GptSpecialHex, 256L + nMerges))
+  }
+
+  /** DuckDB CTE replaying [[graft.operators.BpeOps.gptVocab]]'s
+    * CONSTRUCTION from the frozen merge VALUES — 256 base bytes +
+    * `256 + rank` per merge + the separator at `256 + nMerges`, keyed
+    * by string with the smallest id winning — so the id assignment
+    * itself is oracle-checked, not frozen. */
+  private def gptVocabCteSql(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val pairs = GptByteBpeMergesMemo.pairs(s, d)
+    val mergeRows = pairs.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
+    s"""vocab AS (SELECT token, min(id) AS id FROM (
+       |    SELECT lpad(upper(to_hex(i)), 2, '0') AS token,
+       |      CAST(i AS BIGINT) AS id FROM range(256) t(i)
+       |    UNION ALL
+       |    SELECT l || r, CAST(256 + rank AS BIGINT)
+       |      FROM (VALUES $mergeRows) m(rank, l, r)
+       |    UNION ALL
+       |    SELECT '$GptSpecialHex', CAST(${256 + pairs.length} AS BIGINT)
+       |  ) GROUP BY token)""".stripMargin
+  }
+
+  /** Trainer-ready integer ids ([[graft.operators.BpeOps
+    * .gptByteBpeTokenizeIds]] — q200's fused tokenize followed by the
+    * [[graft.functions.TokenIds]] hash-probe kernel under the
+    * [[graft.operators.BpeOps.gptVocab]] table; both compiled
+    * passes, zero shuffle). FULL oracle INCLUDING the vocabulary
+    * construction: ids 0-255 from the byte alphabet, 256+rank per
+    * merge, string-keyed smallest-id dedup — all replayed from the
+    * frozen merge VALUES, then joined per token position. */
+  private[queries] val q209 = QueryDef(
+    "q209_gpt_token_ids",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.operators.BpeOps.gptByteBpeTokenizeIds(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          GptByteBpeMergesMemo.merges(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0, graft.functions.HashExpressions
+            .polyHash(array_join(
+              transform(col("ids"), x => x.cast("string")), " ")))
+            .as("ids_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val toks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
+      s"""WITH dpt AS (SELECT doc_id,
+         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+         |  FROM documents),
+         |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
+         |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
+         |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY pi) AS alltoks
+         |  FROM enc GROUP BY doc_id),
+         |${gptVocabCteSql(spark, sfDir)},
+         |dtk AS (SELECT doc_id, string_split(alltoks, ' ') AS ts
+         |  FROM perdoc WHERE alltoks IS NOT NULL AND alltoks <> ''),
+         |tokrows AS (SELECT doc_id, i, ts[i] AS tok
+         |  FROM dtk, UNNEST(generate_series(1, len(ts))) AS t(i)),
+         |idtoks AS (SELECT doc_id, i, v.id
+         |  FROM tokrows JOIN vocab v ON v.token = tokrows.tok),
+         |perid AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS idstr
+         |  FROM idtoks GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+         |  CASE WHEN p.idstr IS NOT NULL
+         |    THEN ${polyHashSql("p.idstr")} END AS ids_fp
+         |FROM dpt d LEFT JOIN perid p USING (doc_id)""".stripMargin
+    }))
+
+  /** The END of the chain — packed TRAINING sequences as integer ids:
+    * q207's token-exact packing followed by the TokenIds kernel over
+    * the packed arrays (separator included at its `256 + nMerges`
+    * id). What a trainer's data loader reads. FULL oracle: q207's
+    * prefix-sum replay joined to the replayed vocabulary per global
+    * token position. */
+  private[queries] val q210 = QueryDef(
+    "q210_gpt_packed_ids",
+    (s, d) => {
+      graft.functions.HashExpressions.register(s)
+      graft.functions.BpeExpressions.register(s)
+      val tok = graft.operators.BpeOps.gptByteBpeTokenize(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        GptByteBpeMergesMemo.merges(s, d))
+      graft.operators.TextOps.packTokenSequences(
+          tok, col("doc_id"), col("tokens"), 512, Some(GptSpecialHex))
+        .select(col("seq_id"), col("n_tokens"),
+          graft.functions.HashExpressions.polyHash(array_join(
+            transform(graft.functions.BpeExpressions.tokenIds(
+              col("tokens"), gptVocabWithSpecial(s, d)),
+              x => x.cast("string")), " ")).as("ids_fp"))
+    },
+    Some(() => {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir",
+        "/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val toks = bpeFoldTokensSql(
+        GptByteBpeMergesMemo.pairs(spark, sfDir), byteLevel = true)
+      s"""WITH dpt AS (SELECT doc_id,
+         |    ${graft.operators.BpeOps.gptPreTokensSql("text")} AS pts
+         |  FROM documents),
+         |pt AS (SELECT doc_id, i AS pi, pts[i] AS w
+         |  FROM dpt, UNNEST(generate_series(1, len(pts))) AS t(i)),
+         |enc AS (SELECT doc_id, pi, $toks AS toks FROM pt),
+         |perdoc AS (SELECT doc_id,
+         |    string_agg(toks, ' ' ORDER BY pi) AS alltoks
+         |  FROM enc GROUP BY doc_id),
+         |${gptVocabCteSql(spark, sfDir)},
+         |tk AS (SELECT d.doc_id,
+         |    CASE WHEN p.alltoks IS NULL OR p.alltoks = ''
+         |      THEN ['$GptSpecialHex']
+         |      ELSE string_split(p.alltoks || ' $GptSpecialHex', ' ')
+         |      END AS tks
+         |  FROM dpt d LEFT JOIN perdoc p USING (doc_id)
+         |  WHERE d.pts IS NOT NULL),
+         |woff AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n,
+         |    sum(CAST(len(tks) AS BIGINT))
+         |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - len(tks) AS strt
+         |  FROM tk),
+         |pos AS (SELECT doc_id, strt + i - 1 AS gpos, tks[i] AS tok
+         |  FROM woff, UNNEST(generate_series(1, n)) AS t(i)),
+         |idpos AS (SELECT p.gpos, v.id
+         |  FROM pos p JOIN vocab v ON v.token = p.tok),
+         |seqs AS (SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS idstr
+         |  FROM idpos GROUP BY 1)
+         |SELECT seq_id, n_tokens, ${polyHashSql("idstr")} AS ids_fp
+         |FROM seqs""".stripMargin
+    }))
+
   /** Tokenizer round-trip audit (r15 verdict item 5 / What's missing 3
     * — [[graft.operators.TokenizerAuditOps.roundTrip]]): asserts
     * `decode ∘ encode` identity per (tokenizer, language) for all FOUR

@@ -545,4 +545,67 @@ class BpeSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(toks == Seq("a", "", "b"))
   }
+
+  test("gptVocab: 256 bytes + 256+rank merges; smallest id wins collisions") {
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 150)
+      .select("doc_id", "text")
+    val merges = BpeOps.bpeLearn(
+      BpeOps.preTokenFreqs(docs, col("text")), 8,
+      symbolize = BpeOps.toByteSymbols)
+    val m = BpeOps.gptVocab(merges).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toMap
+    (0 until 256).foreach(i =>
+      assert(m(f"$i%02X") == i.toLong, s"base byte $i"))
+    // fitted merge strings are >= 4 hex chars (never collide with bases);
+    // each maps to 256 + its smallest producing rank
+    val pairs = merges.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1) + r.getString(2)))
+    pairs.foreach { case (_, t) =>
+      assert(m(t) == 256L + pairs.filter(_._2 == t).map(_._1).min, t) }
+    // synthetic re-manufactured string: ranks 0 and 2 both concat to
+    // "414242" -> one entry, id 256; rank 1's "4242" keeps 257
+    val coll = Seq((0L, "41", "4242"), (1L, "42", "42"),
+      (2L, "4142", "42")).toDF("rank", "left", "right")
+    val vc = BpeOps.gptVocab(coll).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toMap
+    assert(vc("414242") == 256L && vc("4242") == 257L &&
+      vc.size == 256 + 2, s"$vc")
+  }
+
+  test("TokenIds kernel: ids face \u2261 token face under the vocab map; " +
+      "vocab/merges skew fails loudly") {
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 150)
+      .select("doc_id", "text")
+    val merges = BpeOps.bpeLearn(
+      BpeOps.preTokenFreqs(docs, col("text")), 10,
+      symbolize = BpeOps.toByteSymbols)
+    val vocab = BpeOps.gptVocab(merges).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toMap
+    val ids = BpeOps.gptByteBpeTokenizeIds(
+        docs, col("doc_id"), col("text"), merges)
+      .select("doc_id", "ids").as[(Long, Seq[Long])].collect().toMap
+    val toks = BpeOps.gptByteBpeTokenize(
+        docs, col("doc_id"), col("text"), merges)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(ids.keySet == toks.keySet)
+    ids.keys.foreach(k =>
+      assert(ids(k) == toks(k).map(vocab), s"doc $k id stream"))
+    // duplicate vocab entries resolve to the SMALLEST id in the kernel
+    graft.functions.BpeExpressions.register(spark)
+    val dup = Seq((1L, Seq("AA"))).toDF("doc_id", "toks")
+      .select(graft.functions.BpeExpressions.tokenIds(col("toks"),
+        Seq(("AA", 5L), ("AA", 2L))))
+      .head().getSeq[Long](0)
+    assert(dup == Seq(2L), s"$dup")
+    // a token outside the table must THROW, not NULL (silent corruption)
+    val ex = intercept[Throwable] {
+      Seq((1L, Seq("AA", "ZZ"))).toDF("doc_id", "toks")
+        .select(graft.functions.BpeExpressions.tokenIds(col("toks"),
+          Seq(("AA", 0L)))).collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(ex).exists(_.contains("token_ids")),
+      s"expected the loud vocabulary-miss, got: ${msgs2(ex)}")
+  }
 }
