@@ -505,7 +505,9 @@ object BpeOps {
     val m = merges.orderBy("rank").select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     val toks = graft.functions.BpeExpressions.gptByteBpe(text, m)
-    docs.select(id.as("doc_id"), toks.as("tokens"),
+    // the fused pre-tokenize∘encode kernel is per-row-heavy; spread a
+    // tiny single-split scan first (no-op at scale)
+    Fanout.spread(docs).select(id.as("doc_id"), toks.as("tokens"),
       size(toks).cast("long").as("n_tokens"))
   }
 
@@ -545,7 +547,8 @@ object BpeOps {
       .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
     val ids = graft.functions.BpeExpressions.tokenIds(
       graft.functions.BpeExpressions.gptByteBpe(text, m), vocab)
-    docs.select(id.as("doc_id"), ids.as("ids"),
+    // see gptByteBpeTokenize's fan-out note
+    Fanout.spread(docs).select(id.as("doc_id"), ids.as("ids"),
       size(ids).cast("long").as("n_tokens"))
   }
 

@@ -184,7 +184,10 @@ object ClassifyOps {
     * `(model, priors)`. */
   def nbFit(docs: DataFrame, text: Column, label: Column,
       labels: Seq[String]): (DataFrame, DataFrame) = {
-    val toks = docs.select(label.as("_lbl"), explode(split(text, " ")).as("word"))
+    // tokenize + the pivot's partial aggregation ride the scan's stage;
+    // spread a tiny single-split scan first (no-op at scale)
+    val toks = Fanout.spread(docs)
+      .select(label.as("_lbl"), explode(split(text, " ")).as("word"))
     val cls = toks.agg(
       countDistinct("word").as("_v"),
       labels.map(l =>
@@ -404,8 +407,10 @@ object ClassifyOps {
   def logisticFit(feats: DataFrame, featCols: Seq[String], label: Column,
       lambda: Double = 0.01, iters: Int = 8): Seq[Double] = {
     val k = featCols.length + 1
-    val f = feats.select(label.cast("double").as("_y") +:
-        featCols.map(c => round(col(c), 6).cast("double").as(c)): _*)
+    // 8 IRLS sweeps re-aggregate this frame; spread a tiny
+    // single-split scan before persisting (no-op at scale)
+    val f = Fanout.spread(feats.select(label.cast("double").as("_y") +:
+        featCols.map(c => round(col(c), 6).cast("double").as(c)): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var beta = Seq.fill(k)(0.0)

@@ -53,7 +53,7 @@ object CorpusStatsOps {
   def zipfDiagnostics(docs: DataFrame, group: Column, text: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = docs
+    val words = Fanout.spread(docs)
       .select(group.as("grp"), explode(split(text, " ")).as("word"))
       .where(length(col("word")) > 0)
     val freq = words.groupBy("grp", "word")
@@ -102,7 +102,8 @@ object CorpusStatsOps {
   def heapsFit(docs: DataFrame, id: Column, text: Column,
       buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(id.as("did"), split(text, " ").as("ws"))
+    val base = Fanout.spread(docs)
+      .select(id.as("did"), split(text, " ").as("ws"))
     // one tiny agg for the id range; broadcast as a literal-free cross join
     val bounds = base.agg(min(col("did")).as("lo"), max(col("did")).as("hi"))
     val withB = base.crossJoin(broadcast(bounds)).select(
@@ -211,7 +212,9 @@ object CorpusStatsOps {
     // bigram side must see exactly the tokens the unigram side counts
     // (building grams from the raw split would mint phantom bigrams
     // around doubled spaces)
-    val base = docs.select(id.as("did"),
+    // both distributions re-run the per-doc token fan-out; spread a
+    // tiny single-split scan first (no-op at scale)
+    val base = Fanout.spread(docs).select(id.as("did"),
       filter(split(text, " "), w => length(w) > 0).as("ws"))
     def dist(tokens: DataFrame): DataFrame = {
       val n = org.apache.spark.sql.expressions.Window.partitionBy(col("did"))
@@ -443,7 +446,10 @@ object CorpusStatsOps {
     import graft.functions.HashExpressions.polyHash
     import org.apache.spark.sql.expressions.Window
     val ws = split(text, " ")
-    val grams = docs.select(id.as("did"), posexplode(
+    // Both passes (sample-count and exact verify) re-run the per-doc
+    // n-gram fan-out in the scan's stage; spread a tiny single-split
+    // scan so it isn't one task (no-op at scale — Fanout contract).
+    val grams = Fanout.spread(docs).select(id.as("did"), posexplode(
       when(size(ws) >= n,
         transform(sequence(lit(1), size(ws) - lit(n - 1)),
           i => concat_ws(" ", slice(ws, i, lit(n)))))

@@ -73,7 +73,10 @@ object CurationDemo {
       verbose: Boolean = false, outDir: Option[String] = None): StageCounts = {
     def say(s: => String): Unit = if (verbose) println(s)
 
-    val docs = graft.Tables.documents(spark, sfDir)
+    // ONE fan-out at the funnel's entry: every settle() checkpoint
+    // below preserves the partitioning, so all 18 per-doc stages
+    // inherit it (no-op at scale — Fanout contract)
+    val docs = Fanout.spread(graft.Tables.documents(spark, sfDir))
     val n0 = docs.count()
     say(s"[curate] corpus: $n0 docs")
 

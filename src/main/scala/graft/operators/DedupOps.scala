@@ -39,10 +39,39 @@ object DedupOps {
   /** Raw (doc, shingleHash) stream — duplicates retained (no shuffle).
     * One-pass native shingle hashing ([[HashExpressions.shingleHashes]]):
     * no shingle string is ever materialized. */
+  /** Shingle positions per chunk when a huge document is split for
+    * parallel hashing (see [[shingleHashesRaw]]). */
+  val ShingleChunk: Int = 4096
+
   def shingleHashesRaw(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
     HashExpressions.register(docs.sparkSession)
-    docs.select(id.as("doc_id"),
-      explode(HashExpressions.shingleHashes(text, w)).as("h"))
+    // Two fan-outs, both no-ops where they don't apply:
+    //  1. Giant-ROW skew: one enormous document (q70's corpus-sized
+    //     concatenation; at 100 TB, any boilerplate mega-page) pins its
+    //     whole shingle stream to the task holding that row — AQE can
+    //     split skewed partitions but never a single row. Documents
+    //     longer than ShingleChunk+w-1 words are split at word
+    //     boundaries into chunks of exactly ShingleChunk shingle
+    //     positions (+ w-1 overlap words), whose shingle MULTISETS
+    //     partition the original's exactly — every downstream consumer
+    //     (min-aggregation, distinct) is multiset-union-invariant, so
+    //     outputs are bit-identical (oracle-gated). Normal-length
+    //     documents take the `array(text)` branch: no split, no copy.
+    //  2. Tiny-SCAN pinning: Fanout.spread after the chunk explode so a
+    //     single-split corpus file (and the giant doc's chunks) spread
+    //     over the cluster before the heavy per-chunk hashing.
+    val ws = split(text, " ")
+    val nSh = greatest(size(ws) - lit(w - 1), lit(1))
+    val chunks = when(size(ws) <= lit(ShingleChunk + w - 1), array(text))
+      .otherwise(transform(
+        sequence(lit(0), floor((nSh - lit(1)) / lit(ShingleChunk)).cast("int")),
+        c => array_join(
+          slice(ws, c * lit(ShingleChunk) + lit(1),
+            least(nSh - c * lit(ShingleChunk), lit(ShingleChunk)) + lit(w - 1)),
+          " ")))
+    Fanout.spread(docs.select(id.as("doc_id"), explode(chunks).as("_t")))
+      .select(col("doc_id"),
+        explode(HashExpressions.shingleHashes(col("_t"), w)).as("h"))
   }
 
   /** Distinct (doc, shingleHash) pairs — needed where shingles are COUNTED
@@ -249,6 +278,20 @@ object DedupOps {
     * with zero GC). Each superseded frame is therefore unpersisted HERE,
     * the moment its successor is materialized; only the frame backing the
     * returned labels outlives the call. */
+  /** Edge count at or below which [[dedupClusters]] solves the
+    * connected components with a driver-side union-find instead of the
+    * distributed label-propagation loop. The edge list is already
+    * materialized (checkpointed) when the choice is made, so the gate
+    * reads actual data size, not an estimate; 2²¹ edges ≈ 32 MB
+    * collected — far under any driver budget, while a 100 TB dedup run
+    * (billions of candidate pairs) takes the distributed path
+    * untouched. Rationale: each propagation round is ~6 driver-latency-
+    * bound jobs over tiny frames, and a diameter-D pair graph needs
+    * O(log D) rounds — at bench scale that is ~13 rounds ≈ 3-4 s of
+    * pure job scheduling for a graph union-find solves in
+    * milliseconds (guide §8: decide on small rows). */
+  val LocalEdgeCap: Long = 1L << 21
+
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     // The blocks behind an eagerly-checkpointed frame: the analyzed plan's
@@ -269,6 +312,49 @@ object DedupOps {
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
+    // Size-gated local solve (see [[LocalEdgeCap]]): the count is one
+    // cheap job over the just-checkpointed edge frame. Long-typed ids
+    // only (every graft caller); other key types keep the loop below.
+    val srcType = undirected.schema("src").dataType
+    val localDisabled = sys.env.get("SPARK_GRAFT_NO_LOCALCC").contains("1")
+    if (!localDisabled &&
+        srcType == org.apache.spark.sql.types.LongType &&
+        undirected.count() <= LocalEdgeCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = undirected.as[(Long, Long)].collect()
+      // Union-find with min-id roots: path-halving find, union attaches
+      // the larger root under the smaller so the representative is the
+      // component's min node id — exactly the loop's fixpoint.
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val labels = {
+        val it = parent.keySet().iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (it.hasNext) { val n = it.next(); buf += ((n, find(n))) }
+        buf.toSeq
+      }
+      freeCheckpoint(undirected)
+      return labels.toDF("doc_id", "cluster_id")
+    }
     // Seed = min(self, direct neighbors): exactly the state after round 1
     // of min-label propagation, folded into one aggregation — replaces the
     // identity-label distinct AND the first full round (2 fewer jobs).
@@ -350,7 +436,10 @@ object DedupOps {
     * keeps far under bucket caps. */
   def keepBestInCluster(docs: DataFrame, id: Column, score: Column,
       clusters: DataFrame): DataFrame = {
-    val members = docs.select(id.as("_id"), round(score, 6).as("q"))
+    // `score` is typically a per-doc text composite (regex + HOFs) — too
+    // heavy for a single-split scan's one task (Fanout contract: no-op
+    // at scale)
+    val members = Fanout.spread(docs).select(id.as("_id"), round(score, 6).as("q"))
       .join(clusters, col("_id") === col("doc_id"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("q").desc, col("doc_id"))

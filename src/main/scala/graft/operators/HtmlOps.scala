@@ -88,7 +88,10 @@ object HtmlOps {
     * row-local (no explode, no window, zero exchanges). */
   def extractContent(docs: DataFrame, id: Column, html: Column,
       minWords: Int = 6, rescueWords: Int = 3): DataFrame = {
-    val base = docs.select(id.as("did"), textLines(html).as("ls"))
+    // per-doc line split + keep-flag walk are row-local and heavy;
+    // spread a tiny single-split scan first (no-op at scale)
+    val base = Fanout.spread(docs)
+      .select(id.as("did"), textLines(html).as("ls"))
       .withColumn("ks", contentKeepFlags(col("ls"), minWords, rescueWords))
     val keptLines = filter(
       zip_with(col("ls"), col("ks"), (l, k) => when(k, l)),

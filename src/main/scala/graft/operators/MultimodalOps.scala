@@ -1278,7 +1278,7 @@ object MultimodalOps {
       variantEvery: Int = 4, brokenEvery: Int = 97)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(id.cast("long").as("media_id"), text.as("text"))
+    Fanout.spread(docs.select(id.cast("long").as("media_id"), text.as("text")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (mid, t) =>
         val s = if (t == null || t.isEmpty) " " else t
@@ -1357,7 +1357,7 @@ object MultimodalOps {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
-    docs.select(id.cast("long").as("media_id"), text.as("text"))
+    Fanout.spread(docs.select(id.cast("long").as("media_id"), text.as("text")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (mid, t) =>
         val base = MediaRow(mid, "audio", wavBytes(t, 1.0), 0, 0, rate)
@@ -1398,7 +1398,7 @@ object MultimodalOps {
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     val (w, h, nFrames) = (16, 16, 6)
-    docs.select(id.cast("long").as("media_id"), text.as("text"))
+    Fanout.spread(docs.select(id.cast("long").as("media_id"), text.as("text")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (mid, t) =>
         val s = if (t == null || t.isEmpty) " " else t
@@ -1458,7 +1458,7 @@ object MultimodalOps {
       brokenEvery: Int = 97)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(id.cast("long").as("media_id"), text.as("text"))
+    Fanout.spread(docs.select(id.cast("long").as("media_id"), text.as("text")))
       .as[(Long, String)]
       .mapPartitions(_.map { case (mid, t) =>
         val s = if (t == null || t.isEmpty) " " else t

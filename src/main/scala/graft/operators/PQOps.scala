@@ -57,7 +57,11 @@ object PQOps {
       require(ce.length >= m * sub,
         s"codebook entry $cid has ${ce.length} components, need ${m * sub}") }
     val (codes, recon) = pqEncodeExprs(vec, cents, m, sub)
-    emb.select(id.as("vec_id"), codes.as("codes"), recon.as("recon"))
+    // The per-vector encode tree (m×k argmin + reconstruction) and the
+    // downstream ADC scoring it feeds run in the scan's own stage; a
+    // tiny single-split corpus file pins all of it to one task. Spread
+    // first (no-op at scale — Fanout contract).
+    Fanout.spread(emb).select(id.as("vec_id"), codes.as("codes"), recon.as("recon"))
   }
 
   /** The relational form of [[pqIndex]] — one broadcast cross join
@@ -367,7 +371,10 @@ object PQOps {
     val cents = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
     val cmap = typedLit(cents.map { case (cid, ce) => cid -> ce.toSeq }.toMap)
-    emb.select(id.as("vec_id"), vec.as("_e"))
+    // cell assignment + residual subtraction (and the residual encode
+    // chained on top by ivfPqResidualIndex) are per-row-heavy; see
+    // pqIndex's note
+    Fanout.spread(emb).select(id.as("vec_id"), vec.as("_e"))
       .withColumn("cell", SimilarityOps.cellExprFor(col("_e"), cents))
       .select(col("vec_id"), col("cell"),
         zip_with(col("_e"), element_at(cmap, col("cell")),
@@ -499,7 +506,8 @@ object PQOps {
       .sortBy(_._1).toSeq
     val (codes, _) = pqEncodeExprs(vec, cbRows, m, sub)
     val table = typedLit(pqCodeDotTable(cbRows, m, sub).toSeq)
-    emb.select(id.as("vec_id"),
+    // encode + cell assignment are per-row-heavy; see pqIndex's note
+    Fanout.spread(emb).select(id.as("vec_id"),
         SimilarityOps.cellExprFor(vec, cellRows).as("cell"),
         codes.as("codes"))
       .withColumn("nrm", sqrt(VectorExpressions.pqCodeDot(table,

@@ -73,7 +73,10 @@ object RetrievalOps {
       qterms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val words = docs.select(id.as("doc_id"),
+    // tokenize + tf partial aggregation ride the corpus scan's stage;
+    // spread a tiny single-split scan first (no-op at scale)
+    val docsS = Fanout.spread(docs)
+    val words = docsS.select(id.as("doc_id"),
       explode(split(text, " ")).as("word")).where(length(col("word")) > 0)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val withDl = tf.withColumn("dl",
@@ -409,7 +412,7 @@ object RetrievalOps {
   def dsirRatioTable(raw: DataFrame, rawText: Column,
       target: DataFrame, targetText: Column): DataFrame = {
     def toks(df: DataFrame, t: Column) =
-      df.select(explode(split(t, " ")).as("word"))
+      Fanout.spread(df).select(explode(split(t, " ")).as("word"))
         .where(length(col("word")) > 0)
     val rawCnt = toks(raw, rawText).groupBy("word")
       .agg(count(lit(1)).as("_rc"))

@@ -160,7 +160,10 @@ object SimilarityOps {
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       vec: Column, k: Int): DataFrame = {
-    val c = withNorm(corpus, id, vec, "nid")
+    // The corpus side streams through the NLJ computing |queries| dots
+    // per row — per-row-heavy, so don't let a tiny single-split scan pin
+    // it to one task (no-op at scale — Fanout contract).
+    val c = withNorm(Fanout.spread(corpus), id, vec, "nid")
     val q = withNorm(queries, id, vec, "qid")
     // queries broadcast (tens of rows by contract): the corpus streams
     // through one BroadcastNestedLoopJoin instead of a planner-estimated
@@ -361,7 +364,9 @@ object SimilarityOps {
   def assignCells(emb: DataFrame, centroids: DataFrame, id: Column,
       vec: Column): DataFrame = {
     val cents = withNorm(centroids, id, vec, "cid")
-    val v = withNorm(emb, id, vec, "vid")
+    // per-vector |cells| dots ride the corpus scan's stage — spread a
+    // tiny single-split scan first (no-op at scale — Fanout contract)
+    val v = withNorm(Fanout.spread(emb), id, vec, "vid")
     val scored = v.join(broadcast(cents), expr("true"))
       .withColumn("c_sim", when(col("vid_nrm") * col("cid_nrm") > 0,
         round(
@@ -522,7 +527,10 @@ object SimilarityOps {
     * on neighbor id — deterministic, oracle-reproducible. */
   def binarySignTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       vec: Column, dim: Int, k: Int): DataFrame = {
-    val c = corpus.select(id.as("nid"), binarySignHash(vec, dim).as("nsig"))
+    // corpus-side sign hashing + the NLJ hamming scan ride the scan's
+    // stage; spread a tiny single-split scan first (no-op at scale)
+    val c = Fanout.spread(corpus)
+      .select(id.as("nid"), binarySignHash(vec, dim).as("nsig"))
     val q = queries.select(id.as("qid"), binarySignHash(vec, dim).as("qsig"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("hamming"), col("nid"))
@@ -568,7 +576,9 @@ object SimilarityOps {
   def sq8Quantize(emb: DataFrame, stats: DataFrame, id: Column,
       vec: Column): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    emb.crossJoin(broadcast(stats))
+    // per-vector encode is row-local and heavy; spread a tiny
+    // single-split scan first (no-op at scale)
+    Fanout.spread(emb).crossJoin(broadcast(stats))
       .select(id.as("vec_id"),
         VectorExpressions.sq8Encode(vec, col("mins"), col("scales"))
           .as("codes"),

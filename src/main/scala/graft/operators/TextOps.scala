@@ -248,12 +248,15 @@ object TextOps {
     * before (and independently of) cross-document dedup. Pure higher-order
     * array Columns; per-row cost O(distinct × words), no shuffle. */
   def repetitionScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // the top-frequency scan below is O(words²) per doc — spread a tiny
+    // single-split scan first (no-op at scale)
+    val docsS = Fanout.spread(docs)
     val ws = split(text, " ")
     val nWords = size(ws).cast("long")
     val nDistinct = size(array_distinct(ws)).cast("long")
     val topFreq = array_max(transform(array_distinct(ws),
       w => size(filter(ws, x => x === w))))
-    docs.select(
+    docsS.select(
       id.as("doc_id"),
       nWords.as("n_words"),
       nDistinct.as("n_distinct_words"),
@@ -754,7 +757,9 @@ object TextOps {
       w: Int, trainPct: Int, valPct: Int): DataFrame = {
     val hashes = graft.functions.HashExpressions
     val bucket = pmod(hashes.polyHash(text), lit(100))
-    docs.select(
+    // per-doc shingle hashing rides the scan's stage; spread a tiny
+    // single-split scan first (no-op at scale)
+    Fanout.spread(docs).select(
       id.as("doc_id"),
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -1369,7 +1374,7 @@ object TextOps {
     // per-doc aggregation key (same cardinality — doc_id is already in
     // the key), so a consumer needing the score PLUS a doc attribute
     // (q115's lang) pays no doc-cardinality join-back
-    val words = docs.select(id.as("doc_id") +: keep :+
+    val words = Fanout.spread(docs).select(id.as("doc_id") +: keep :+
       explode(split(text, " ")).as("word"): _*)
     val extraNames = words.columns.toSeq
       .filter(c => c != "doc_id" && c != "word")

@@ -35,9 +35,12 @@ object TokenizerAuditOps {
     graft.functions.WordPieceExpressions.register(spark)
     graft.functions.UnigramExpressions.register(spark)
     val words = filter(split(text, " "), w => length(w) > 0)
+    // four tokenizer faces each re-run per-word encode/decode over the
+    // corpus; spread a tiny single-split scan first (no-op at scale)
+    val docsS = Fanout.spread(docs)
 
     def face(name: String, lossyWord: Column => Column): DataFrame =
-      docs.select(group.as("grp"),
+      docsS.select(group.as("grp"),
           size(words).cast("long").as("_w"),
           size(filter(words, w => lossyWord(w))).cast("long").as("_l"))
         .groupBy(col("grp"))

@@ -34,6 +34,11 @@ object WhitenOps {
   /** Moment rows `(i, j, s)`: `(-1,-1)` → n; `(i,-1)` → Σ round6(x_i);
     * `(i,j), i ≤ j` → Σ round6(x_i·x_j). Decimal-exact sums. */
   def momentsRelational(emb: DataFrame, vec: Column, dim: Int): DataFrame = {
+    // The dim(dim+1)/2-struct fan-out below is per-row-heavy; a tiny
+    // single-row-group corpus file otherwise pins the whole explode +
+    // partial aggregation to ONE scan task (r18: 12.2 s -> sub-second at
+    // sf0.1 on 32 cores). No-op at scale (Fanout.spread contract).
+    val embS = Fanout.spread(emb)
     val v = vec
     def x(i: Column) = element_at(v, i + 1).cast("double")
     val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"),
@@ -43,7 +48,7 @@ object WhitenOps {
     val seconds = flatten(transform(sequence(lit(0), lit(dim - 1)),
       i => transform(sequence(i, lit(dim - 1)),
         j => struct(i.as("i"), j.as("j"), round(x(i) * x(j), 6).as("p")))))
-    emb.select(explode(concat(cnt, firsts, seconds)).as("_m"))
+    embS.select(explode(concat(cnt, firsts, seconds)).as("_m"))
       .select(col("_m.i").as("i"), col("_m.j").as("j"), col("_m.p").as("_p"))
       .groupBy("i", "j")
       .agg(Exact.dsum(col("_p")).as("s"))

@@ -166,8 +166,8 @@ object Relational {
     * doubles sum exactly; monetary sums use exact decimal accumulation. */
   private val q10 = QueryDef(
     "q10_pricing_summary",
-    (s, d) => Tables.lineitem(s, d)
-      .where(col("l_shipdate") <= ts("2001-09-01"))
+    (s, d) => graft.operators.Fanout.spread(Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= ts("2001-09-01")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
